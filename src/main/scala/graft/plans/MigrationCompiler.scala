@@ -1,0 +1,196 @@
+package graft.plans
+
+import graft.config.{MappingRule, TableConfig}
+import graft.functions.TransformOps
+import graft.operators.LookupOps
+import graft.rules.ValidationCompiler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.internal.Logging
+
+/**
+ * The engine's planner: compiles a declarative [[TableConfig]] (the
+ * reference's "query language") into one Catalyst plan.
+ *
+ * Pipeline shape mirrors the reference's per-row fold
+ * (reference: pipeline.py:64-122) set-at-a-time:
+ *
+ *   source scan -> where filter -> rename+transform projection
+ *     -> external lookup joins -> validations (in rule order)
+ *     -> skip filter -> self-lookup join -> sink
+ *
+ * Everything is a `DataFrame` transformation, so Catalyst gets the
+ * whole plan: column pruning + the where-predicate reach the scan,
+ * lookups become broadcast hash joins, and the chain of per-column
+ * `when`s stays inside one whole-stage-codegen span.
+ */
+object MigrationCompiler extends Logging {
+
+  /** A compiled table migration. `dataFrame` is the pure transformation
+    * result; `abortChecks` are the `on_fail=error` / `on_missing=error`
+    * pre-write assertions (run them via `assertValid()` before writing —
+    * the set-at-a-time equivalent of the reference aborting mid-stream,
+    * SURVEY §4.3.4). */
+  final case class CompiledTable(
+      table: TableConfig,
+      dataFrame: DataFrame,
+      abortChecks: Seq[() => Unit],
+      droppedColumns: Seq[String]) {
+    def assertValid(): Unit = abortChecks.foreach(_.apply())
+  }
+
+  /**
+   * @param source   already-scanned source table (parquet or JDBC)
+   * @param resolve  lookup-/validation-dim resolver: table name -> DataFrame
+   * @param wherePushed  true when the where-string was already pushed
+   *                     verbatim into the source scan (Oracle-dialect JDBC
+   *                     mode, SURVEY §7.5.6) and must not be re-applied
+   * @param broadcastDims hint lookup dims as broadcast (leave false to let
+   *                      Catalyst decide from stats — the 100 TB-safe default)
+   */
+  def compile(
+      cfg: TableConfig,
+      source: DataFrame,
+      resolve: String => DataFrame,
+      wherePushed: Boolean = false,
+      broadcastDims: Boolean = true): CompiledTable = {
+
+    // 1. auto-mapping: empty mappings -> 1:1 identity rules from the target
+    //    table's schema if resolvable, else the source schema
+    //    (reference: plugins/default_auto_mapping.py:18-26).
+    val mappings0 =
+      if (cfg.mappings.nonEmpty) cfg.mappings
+      else {
+        val tgtSchema = scala.util.Try(resolve(cfg.targetTable).schema)
+          .getOrElse(source.schema)
+        tgtSchema.fields.toList.map(f => MappingRule(source = Some(f.name), target = Some(f.name)))
+      }
+
+    // 2. plan-time schema degradation (replaces the reference's ORA-00904
+    //    retry loop, plugins/default_fetcher.py:33-60 — deterministic, no
+    //    retry). The reference drops the column from the SELECT but keeps
+    //    the mapping rule, so the OUTPUT column still exists filled with
+    //    NULL (row.get of a missing key, plugins/default_transform.py:18);
+    //    we mirror that: missing source -> NULL literal, rule retained.
+    val sourceCols = source.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    val mappings = mappings0
+    val dropped = mappings0.filterNot(r => sourceCols.contains(r.sourceName.toLowerCase))
+    dropped.foreach(r => logWarning(
+      s"[${cfg.targetTable}] source column '${r.sourceName}' missing — scanning NULL (plan-time ORA-00904)"))
+
+    // 3. where filter on SOURCE columns (reference embeds it in the SELECT,
+    //    plugins/default_fetcher.py:31,40; Catalyst pushes it to the scan).
+    val filtered = cfg.where.filterNot(_ => wherePushed) match {
+      case Some(w) => source.filter(expr(w))
+      case None => source
+    }
+
+    // 4. rename projection + transform chains (reference:
+    //    plugins/default_transform.py:11-41): one narrow select.
+    val projected = filtered.select(mappings.map { r =>
+      sourceCols.get(r.sourceName.toLowerCase) match {
+        case Some(srcName) =>
+          val dt = filtered.schema(srcName).dataType
+          TransformOps.chain(r.transform, col(srcName), dt).alias(r.targetName)
+        case None => // degraded column: NULL in, transforms still apply (insert:X works)
+          TransformOps.chain(r.transform, lit(null).cast(org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StringType).alias(r.targetName)
+      }
+    }: _*)
+
+    var df = projected
+    val abortChecks = Seq.newBuilder[() => Unit]
+
+    // columns with a self-lookup rule: in the reference these are nulled
+    // before validators run (plugins/default_lookup.py:104-107), so every
+    // validation on them null-bypasses; we therefore skip those rules.
+    val selfRules = mappings.filter(r => r.lookup.exists(_.table == cfg.targetTable))
+    val selfTargets = selfRules.map(_.targetName).toSet
+
+    // 5. external lookup joins (reference: plugins/default_lookup.py:44-95).
+    mappings.filter(r => r.lookup.exists(_.table != cfg.targetTable)).foreach { r =>
+      val lk = r.lookup.get
+      val res = LookupOps.externalLookup(df, r.targetName, lk, resolve(lk.table), broadcastDims)
+      df = res.df
+      res.abortViolationCol.foreach { violCol =>
+        val frame = df
+        abortChecks += (() => ValidationCompiler.assertNoViolations(
+          frame, col(violCol), s"${cfg.targetTable}.${r.targetName} lookup on_missing=error"))
+        df = df.drop(violCol)
+      }
+    }
+
+    // 6. validations, in mapping order then rule order; each action is
+    //    applied to the frame before the next rule runs, preserving the
+    //    reference's sequential mutation semantics
+    //    (plugins/default_validation.py:11-91).
+    mappings.filterNot(r => selfTargets(r.targetName)).foreach { r =>
+      r.validation.foreach { vr =>
+        val tgt = r.targetName
+        val dt = df.schema(tgt).dataType
+        val ok: Column = vr.vtype match {
+          case "lookup" =>
+            val lk = vr.lookup.getOrElse(
+              throw new IllegalArgumentException(s"lookup validation on $tgt needs a lookup block"))
+            val (joined, okCol) = LookupOps.existenceProbe(df, tgt, lk, resolve(lk.table), broadcastDims)
+            df = joined
+            col(okCol)
+          case _ => ValidationCompiler.okPredicate(vr, col(tgt), dt)
+        }
+        ValidationCompiler.action(vr) match {
+          case ValidationCompiler.NullOut =>
+            df = df.withColumn(tgt, when(ok, col(tgt)).otherwise(lit(null).cast(dt)))
+          case ValidationCompiler.Default(x) =>
+            df = df.withColumn(tgt, when(ok, col(tgt)).otherwise(lit(x).cast(dt)))
+          case ValidationCompiler.Skip =>
+            df = df.filter(ok) // skipped rows short-circuit later rules, like the reference
+          case ValidationCompiler.Abort =>
+            val frame = df
+            val cond = !ok
+            abortChecks += (() => ValidationCompiler.assertNoViolations(
+              frame, cond, s"${cfg.targetTable}.$tgt ${vr.vtype}"))
+        }
+        // drop any probe helper column
+        df = df.select(mappings.map(m => col(m.targetName)): _*)
+      }
+    }
+
+    // 7. self-lookup joins, replacing the two-phase UPDATE fixup
+    //    (plugins/default_loader.py:109-154).
+    selfRules.foreach { r =>
+      df = LookupOps.selfLookup(df, r.targetName, r.lookup.get)
+    }
+
+    // 8. final projection in mapping order (the reference emits columns in
+    //    mapping order via the first row's dict keys,
+    //    plugins/default_loader.py:92).
+    df = df.select(mappings.map(m => col(m.targetName)): _*)
+
+    CompiledTable(cfg, df, abortChecks.result(), dropped.map(_.sourceName))
+  }
+
+  /**
+   * Table-ordering scheduler: topological order from lookup dependencies
+   * with stable config-order tie-break. The reference relies on manual
+   * `table_files` order (mappings/parser.py:159-162, pipeline.py:39);
+   * we derive the constraint instead. Independent tables may run in
+   * parallel (they share no dependency edge).
+   */
+  def schedule(tables: List[TableConfig]): List[TableConfig] = {
+    val byTarget = tables.map(t => t.targetTable -> t).toMap
+    def deps(t: TableConfig): Set[String] =
+      t.mappings.flatMap(r =>
+        r.lookup.map(_.table).toList ++ r.validation.flatMap(_.lookup.map(_.table))
+      ).toSet.filter(d => d != t.targetTable && byTarget.contains(d))
+    val done = scala.collection.mutable.LinkedHashSet[String]()
+    val out = List.newBuilder[TableConfig]
+    var remaining = tables
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(t => deps(t).forall(done.contains))
+      val batch = if (ready.nonEmpty) ready else List(blocked.head) // cycle: fall back to config order
+      batch.foreach { t => done += t.targetTable; out += t }
+      remaining = remaining.filterNot(t => batch.exists(_.targetTable == t.targetTable))
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Sink abstraction — the reference's loader surface
+ * (reference: plugin_interfaces/loader_interface.py:10-31 +
+ * plugins/default_loader.py). The batch lifecycle (pre_load /
+ * load_batch / finalize_table) collapses to preLoad / write /
+ * finalizeTable because a DataFrame write IS the batch loop.
+ */
+trait Sink {
+  def preLoad(table: String): Unit = ()
+  def write(table: String, df: DataFrame): Unit
+  def finalizeTable(table: String): Unit = ()
+}
+
+/** Parquet sink for the test/bench path; overwrite == the reference's
+  * truncate-then-load idempotency (plugins/default_loader.py:38-44). */
+final case class ParquetSink(dir: String, truncate: Boolean = true) extends Sink {
+  def write(table: String, df: DataFrame): Unit =
+    df.write.mode(if (truncate) "overwrite" else "append").parquet(s"$dir/$table.parquet")
+}
+
+/**
+ * JDBC sink. Replaces the single-connection `execute_values` loop
+ * (reference: plugins/default_loader.py:80-107, page_size=1000) with
+ * per-partition parallel batched inserts.
+ *
+ * 100 TB design rules:
+ *  - `truncate=true` maps the reference's `TRUNCATE TABLE … RESTART
+ *    IDENTITY CASCADE` (plugins/default_loader.py:38-44) onto Spark's
+ *    overwrite-with-truncate, which keeps the table's DDL;
+ *  - writes are repartitioned to `writePartitions` bounded-size tasks
+ *    so one straggler partition can't hold a commit hostage;
+ *  - `batchsize` controls rows per INSERT round-trip (the reference's
+ *    1000-row execute_values page).
+ */
+final case class JdbcSink(
+    url: String,
+    user: String,
+    password: String,
+    batchSize: Int = 5000,
+    truncate: Boolean = true,
+    cascadeTruncate: Boolean = true,
+    writePartitions: Int = 0) extends Sink {
+
+  def write(table: String, df: DataFrame): Unit = {
+    val out = if (writePartitions > 0) df.repartition(writePartitions) else df
+    out.write.format("jdbc")
+      .option("url", url).option("user", user).option("password", password)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .option("truncate", truncate)
+      .option("cascadeTruncate", cascadeTruncate)
+      .option("isolationLevel", "READ_COMMITTED")
+      .mode(if (truncate) "overwrite" else "append")
+      .save()
+  }
+
+  /** Generic statement executor (reference:
+    * connectors/postgres_connector.py:81-99 / oracle_connector.py:89-107)
+    * for DDL the DataFrame writer can't express: RESTART IDENTITY, the
+    * self-lookup compat-mode UPDATE…FROM fixup, ALTER TABLE. */
+  def execute(sql: String): Boolean = {
+    val c = java.sql.DriverManager.getConnection(url, user, password)
+    try {
+      val st = c.createStatement()
+      try st.execute(sql) finally st.close()
+    } finally c.close()
+  }
+
+  /** Self-lookup compat mode (SURVEY §7.5.4): post-write UPDATE fixup for
+    * targets preloaded with other data — the reference's exact statement
+    * (plugins/default_loader.py:128-141) minus the tmp column, keyed on
+    * the already-written target column. */
+  def selfLookupFixup(table: String, targetCol: String, keyCol: String, valueCol: String): Unit = {
+    execute(
+      s"""UPDATE $table AS target SET $targetCol = source.$valueCol
+         |FROM $table AS source
+         |WHERE target.$targetCol = source.$keyCol AND source.$valueCol IS NOT NULL""".stripMargin)
+    ()
+  }
+}
