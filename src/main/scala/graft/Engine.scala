@@ -7,6 +7,9 @@ import graft.sources.Catalog
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 /**
  * Engine facade: config -> scheduled, compiled, executed migration —
  * the set-at-a-time equivalent of the reference's `run_pipeline`
@@ -14,7 +17,12 @@ import org.apache.spark.sql.DataFrame
  *
  * Differences by design:
  *  - tables run in dependency (topological) order derived from lookup
- *    references instead of manual file order;
+ *    references instead of manual file order; independent tables in a
+ *    wave run CONCURRENTLY (Spark schedules their jobs in parallel);
+ *  - lookup dims referencing a table migrated earlier in this run
+ *    resolve to that table's WRITTEN OUTPUT (target-side names/values),
+ *    matching the reference which queries the target Postgres
+ *    (default_lookup.py issues its probes against the target conn);
  *  - `on_fail=error` / `on_missing=error` abort BEFORE the write starts
  *    (the reference aborts mid-stream with partial batches committed);
  *  - per-table metrics come from the returned report instead of
@@ -27,16 +35,32 @@ object Engine extends Logging {
     def totalRows: Long = tables.map(_.rows).sum
   }
 
-  /** Compile one table (no execution) — the unit the tests exercise. */
-  def plan(cfg: TableConfig, catalog: Catalog, broadcastDims: Boolean = true): MigrationCompiler.CompiledTable =
-    MigrationCompiler.compile(cfg, catalog.table(cfg.sourceTable), catalog.table, broadcastDims = broadcastDims)
+  /** Compile one table (no execution) — the unit the tests exercise.
+    * broadcastDims defaults to false: let Catalyst pick broadcast vs
+    * sort-merge from dim stats (the 100 TB-safe default). */
+  def plan(cfg: TableConfig, catalog: Catalog, broadcastDims: Boolean = false): MigrationCompiler.CompiledTable = {
+    val (source, wherePushed) = catalog.scan(cfg.sourceTable, cfg.where)
+    MigrationCompiler.compile(cfg, source, catalog.tableOpt, wherePushed = wherePushed,
+      broadcastDims = broadcastDims)
+  }
 
-  /** Full run: schedule -> compile -> assert error-rules -> write. */
-  def migrate(cfg: EtlConfig, catalog: Catalog, sink: Sink): MigrationReport = {
-    val ordered = MigrationCompiler.schedule(cfg.tables)
-    val reports = ordered.map { t =>
+  /** Full run: schedule into waves -> compile -> assert error-rules ->
+    * write; independent tables within a wave execute concurrently. */
+  def migrate(cfg: EtlConfig, catalog: Catalog, sink: Sink,
+              broadcastDims: Boolean = false,
+              maxParallelTables: Int = 4): MigrationReport = {
+    val waves = MigrationCompiler.scheduleWaves(cfg.tables)
+    // outputs of tables already migrated in THIS run, keyed by target name;
+    // lookups prefer these over the source catalog (see class doc).
+    val written = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    def resolve(name: String): Option[DataFrame] =
+      Option(written.get(name)).orElse(catalog.tableOpt(name))
+
+    def runTable(t: TableConfig): TableReport = {
       val t0 = System.nanoTime()
-      val compiled = plan(t, catalog)
+      val (source, wherePushed) = catalog.scan(t.sourceTable, t.where)
+      val compiled = MigrationCompiler.compile(t, source, resolve,
+        wherePushed = wherePushed, broadcastDims = broadcastDims)
       compiled.assertValid()
       sink.preLoad(t.targetTable)
       // row count via observe: no cache, no second pass over the data
@@ -46,11 +70,21 @@ object Engine extends Logging {
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
       sink.write(t.targetTable, observed)
       sink.finalizeTable(t.targetTable)
+      written.put(t.targetTable, sink.readBack(t.targetTable).getOrElse(compiled.dataFrame))
       val rows = obs.get("rows").asInstanceOf[Long]
       val secs = (System.nanoTime() - t0) / 1e9
       logInfo(f"[${t.targetTable}] $rows rows in $secs%.2fs")
       TableReport(t.targetTable, rows, compiled.droppedColumns, secs)
     }
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, maxParallelTables))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val reports =
+      try waves.flatMap { wave =>
+        if (wave.sizeIs <= 1) wave.map(runTable)
+        else Await.result(Future.traverse(wave)(t => Future(runTable(t))), Duration.Inf)
+      }
+      finally pool.shutdown()
     MigrationReport(reports)
   }
 }

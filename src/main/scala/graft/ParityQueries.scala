@@ -31,7 +31,7 @@ object ParityQueries {
       transform = ops.split(",").map(_.trim).filter(_.nonEmpty).toList)
 
   private def compile(cfg: TableConfig, source: DataFrame,
-                      resolve: String => DataFrame): DataFrame = {
+                      resolve: String => Option[DataFrame]): DataFrame = {
     val compiled = MigrationCompiler.compile(cfg, source, resolve)
     compiled.assertValid()
     compiled.dataFrame
@@ -41,7 +41,7 @@ object ParityQueries {
                        dims: Map[String, DataFrame] = Map.empty): DataFrame = {
     prep(s)
     val cat = ParquetCatalog(s, dir)
-    val resolve: String => DataFrame = n => dims.getOrElse(n, cat.table(n))
+    val resolve: String => Option[DataFrame] = n => dims.get(n).orElse(cat.tableOpt(n))
     det(compile(cfg, cat.table(cfg.sourceTable), resolve))
   }
 
@@ -50,7 +50,7 @@ object ParityQueries {
                           dims: Map[String, DataFrame] = Map.empty): DataFrame = {
     prep(s)
     val cat = ParquetCatalog(s, dir)
-    val resolve: String => DataFrame = n => dims.getOrElse(n, cat.table(n))
+    val resolve: String => Option[DataFrame] = n => dims.get(n).orElse(cat.tableOpt(n))
     det(compile(cfg, source, resolve))
   }
 

@@ -73,7 +73,12 @@ object LookupOps {
     // evaluated BEFORE the value rewrite, while targetCol still holds the key
     val missed = col(targetCol).isNotNull && !matched
 
-    val onMissing = lookup.onMissing.getOrElse("error").toLowerCase
+    // dispatch case-insensitively, but slice the default: payload from the
+    // ORIGINAL string — the reference lowercases only for comparison and
+    // injects the raw value (default_lookup.py on_missing block), so
+    // `default:N/A` must yield "N/A", not "n/a".
+    val onMissingRaw = lookup.onMissing.getOrElse("error")
+    val onMissing = onMissingRaw.toLowerCase
     var abortViolationCol: Option[String] = None
     onMissing match {
       case "skip" => joined = joined.filter(!missed)
@@ -87,7 +92,7 @@ object LookupOps {
     val base = when(col(targetCol).isNull, lit(null).cast(StringType))
       .when(matched, col(vc))
     val valueExpr = onMissing match {
-      case s if s.startsWith("default:") => base.otherwise(lit(s.split(":", 2)(1)))
+      case s if s.startsWith("default:") => base.otherwise(lit(onMissingRaw.split(":", 2)(1)))
       case _ => base.otherwise(lit(null).cast(StringType))
     }
     LookupResult(joined.withColumn(targetCol, valueExpr).drop(kc, vc), abortViolationCol)

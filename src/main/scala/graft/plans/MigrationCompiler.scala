@@ -41,19 +41,27 @@ object MigrationCompiler extends Logging {
 
   /**
    * @param source   already-scanned source table (parquet or JDBC)
-   * @param resolve  lookup-/validation-dim resolver: table name -> DataFrame
+   * @param resolve  lookup-/validation-dim resolver: table name ->
+   *                 Some(df) if the table exists, None otherwise (so the
+   *                 auto-mapping target probe never throws/logs a stack)
    * @param wherePushed  true when the where-string was already pushed
    *                     verbatim into the source scan (Oracle-dialect JDBC
    *                     mode, SURVEY §7.5.6) and must not be re-applied
-   * @param broadcastDims hint lookup dims as broadcast (leave false to let
-   *                      Catalyst decide from stats — the 100 TB-safe default)
+   * @param broadcastDims hint lookup dims as broadcast. Default FALSE —
+   *                      Catalyst broadcasts below
+   *                      autoBroadcastJoinThreshold from stats and degrades
+   *                      to sort-merge above it, the 100 TB-safe path; a
+   *                      forced hint on an unbounded dim OOMs executors.
    */
   def compile(
       cfg: TableConfig,
       source: DataFrame,
-      resolve: String => DataFrame,
+      resolve: String => Option[DataFrame],
       wherePushed: Boolean = false,
-      broadcastDims: Boolean = true): CompiledTable = {
+      broadcastDims: Boolean = false): CompiledTable = {
+
+    def dim(name: String): DataFrame = resolve(name).getOrElse(
+      throw new IllegalArgumentException(s"[${cfg.targetTable}] lookup table '$name' not found"))
 
     // 1. auto-mapping: empty mappings -> 1:1 identity rules from the target
     //    table's schema if resolvable, else the source schema
@@ -61,8 +69,7 @@ object MigrationCompiler extends Logging {
     val mappings0 =
       if (cfg.mappings.nonEmpty) cfg.mappings
       else {
-        val tgtSchema = scala.util.Try(resolve(cfg.targetTable).schema)
-          .getOrElse(source.schema)
+        val tgtSchema = resolve(cfg.targetTable).map(_.schema).getOrElse(source.schema)
         tgtSchema.fields.toList.map(f => MappingRule(source = Some(f.name), target = Some(f.name)))
       }
 
@@ -110,7 +117,7 @@ object MigrationCompiler extends Logging {
     // 5. external lookup joins (reference: plugins/default_lookup.py:44-95).
     mappings.filter(r => r.lookup.exists(_.table != cfg.targetTable)).foreach { r =>
       val lk = r.lookup.get
-      val res = LookupOps.externalLookup(df, r.targetName, lk, resolve(lk.table), broadcastDims)
+      val res = LookupOps.externalLookup(df, r.targetName, lk, dim(lk.table), broadcastDims)
       df = res.df
       res.abortViolationCol.foreach { violCol =>
         val frame = df
@@ -132,7 +139,7 @@ object MigrationCompiler extends Logging {
           case "lookup" =>
             val lk = vr.lookup.getOrElse(
               throw new IllegalArgumentException(s"lookup validation on $tgt needs a lookup block"))
-            val (joined, okCol) = LookupOps.existenceProbe(df, tgt, lk, resolve(lk.table), broadcastDims)
+            val (joined, okCol) = LookupOps.existenceProbe(df, tgt, lk, dim(lk.table), broadcastDims)
             df = joined
             col(okCol)
           case _ => ValidationCompiler.okPredicate(vr, col(tgt), dt)
@@ -176,19 +183,26 @@ object MigrationCompiler extends Logging {
    * we derive the constraint instead. Independent tables may run in
    * parallel (they share no dependency edge).
    */
-  def schedule(tables: List[TableConfig]): List[TableConfig] = {
+  def schedule(tables: List[TableConfig]): List[TableConfig] =
+    scheduleWaves(tables).flatten
+
+  /** Same topological order, grouped into waves: tables in one wave share
+    * no dependency edge and may execute concurrently (the reference's
+    * sequential file-order loop, pipeline.py:39, generalized). */
+  def scheduleWaves(tables: List[TableConfig]): List[List[TableConfig]] = {
     val byTarget = tables.map(t => t.targetTable -> t).toMap
     def deps(t: TableConfig): Set[String] =
       t.mappings.flatMap(r =>
         r.lookup.map(_.table).toList ++ r.validation.flatMap(_.lookup.map(_.table))
       ).toSet.filter(d => d != t.targetTable && byTarget.contains(d))
     val done = scala.collection.mutable.LinkedHashSet[String]()
-    val out = List.newBuilder[TableConfig]
+    val out = List.newBuilder[List[TableConfig]]
     var remaining = tables
     while (remaining.nonEmpty) {
       val (ready, blocked) = remaining.partition(t => deps(t).forall(done.contains))
       val batch = if (ready.nonEmpty) ready else List(blocked.head) // cycle: fall back to config order
-      batch.foreach { t => done += t.targetTable; out += t }
+      batch.foreach(t => done += t.targetTable)
+      out += batch
       remaining = remaining.filterNot(t => batch.exists(_.targetTable == t.targetTable))
     }
     out.result()

@@ -13,6 +13,12 @@ trait Sink {
   def preLoad(table: String): Unit = ()
   def write(table: String, df: DataFrame): Unit
   def finalizeTable(table: String): Unit = ()
+
+  /** Read back a table written in this run, if the sink supports it —
+    * used by Engine.migrate to resolve lookups against already-migrated
+    * TARGET data (the reference probes the target Postgres,
+    * default_lookup.py), not the pre-transform source. */
+  def readBack(table: String): Option[DataFrame] = None
 }
 
 /** Parquet sink for the test/bench path; overwrite == the reference's
@@ -20,6 +26,8 @@ trait Sink {
 final case class ParquetSink(dir: String, truncate: Boolean = true) extends Sink {
   def write(table: String, df: DataFrame): Unit =
     df.write.mode(if (truncate) "overwrite" else "append").parquet(s"$dir/$table.parquet")
+  override def readBack(table: String): Option[DataFrame] =
+    Some(org.apache.spark.sql.SparkSession.active.read.parquet(s"$dir/$table.parquet"))
 }
 
 /**

@@ -12,11 +12,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait Catalog extends (String => DataFrame) {
   def table(name: String): DataFrame
   override def apply(name: String): DataFrame = table(name)
+
+  /** Quiet resolution: Some(df) if the table exists, None otherwise —
+    * without throwing (and stack-logging) an AnalysisException, so the
+    * auto-mapping target probe stays silent on a missing target. */
+  def tableOpt(name: String): Option[DataFrame] =
+    scala.util.Try(table(name)).toOption
+
+  /** Source scan for a table migration. Returns the frame plus whether the
+    * `where` string was already pushed verbatim into the scan (JDBC
+    * source-dialect mode, SURVEY §7.5.6). Default: plain table read, the
+    * where is applied by the compiler (Catalyst pushes it to the scan). */
+  def scan(name: String, where: Option[String]): (DataFrame, Boolean) =
+    (table(name), false)
 }
 
 /** One parquet file per table under `dir` (the driver testdata layout). */
 final case class ParquetCatalog(spark: SparkSession, dir: String) extends Catalog {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  override def tableOpt(name: String): Option[DataFrame] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$name.parquet")))
+      Some(table(name))
+    else None
 }
 
 /**
@@ -54,8 +71,11 @@ final case class JdbcSource(
 
   def table(name: String): DataFrame = reader.option("dbtable", name).load()
 
-  /** Scan with optional verbatim (source-dialect) where-push and range partitioning. */
-  def scan(table: String, where: Option[String]): DataFrame = {
+  /** Scan with verbatim (source-dialect) where-push and range partitioning.
+    * The where string never round-trips through Catalyst's parser, so
+    * Oracle-only syntax survives (SURVEY §7.5.6); `wherePushed=true` tells
+    * the compiler not to re-apply it. */
+  override def scan(table: String, where: Option[String]): (DataFrame, Boolean) = {
     val rel = where match {
       case Some(w) => s"(SELECT * FROM $table WHERE $w) graft_src"
       case None => table
@@ -67,7 +87,7 @@ final case class JdbcSource(
           .option("upperBound", hi).option("numPartitions", numPartitions)
       case _ => base
     }
-    partitioned.load()
+    (partitioned.load(), where.isDefined)
   }
 
   /** Startup connectivity probe (reference: cli.py:13-31): resolve the
