@@ -1,10 +1,220 @@
 package graft
 
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** SURVEY §7.4 LLM-pipeline operators (dedup, similarity, text analysis,
-  * multimodal). Filled in incrementally; see graft.operators.*. */
+/**
+ * SURVEY §7.4 LLM-pipeline operators as driver-verifiable queries over
+ * the `documents` / `embeddings` / `events` testdata tables.
+ *
+ * Oracle notes: every SQL-expressible query carries a DuckDB oracle that
+ * mirrors the Spark semantics EXACTLY (same regexes, same shingle
+ * definition, same double-arithmetic shapes, counts cast to BIGINT).
+ * `q_dedup_minhash` shares the exact-Jaccard oracle with
+ * `q_dedup_ngram_pairs`: LSH banding (32 bands x 2 rows) + exact-verify
+ * has no false negatives on pairs at J>=0.5 in practice (miss prob at
+ * J=0.5 is (1-0.25)^32 ~ 1e-4, and real near-dup pairs sit at J>=0.85
+ * where it is ~1e-23); the sketch is deterministic (xxhash64), so this
+ * is a stable property of the dataset, not a per-run gamble.
+ * `q_dedup_simhash` / `q_sim_ann_lsh` use Spark-side hashing that DuckDB
+ * cannot replicate -> no oracle (driver records rows-only).
+ */
 object ExtensionQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  /** deterministic total order over every output column (same as ParityQueries). */
+  private def det(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    // events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's reader
+    // rejects by default; read nanos as long (ts is unused here).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- text analysis ----------------------------------------------------
+
+    "q_text_tokens" -> ((s, dir) => det(docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens")))),
+
+    "q_text_quality" -> ((s, dir) => {
+      val cols = TextFunctions.qualityColumns(col("text"))
+      det(docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*))
+    }),
+
+    "q_text_langid" -> ((s, dir) => det(docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.detectLanguage(col("text")).as("detected_lang")))),
+
+    "q_text_fingerprint" -> ((s, dir) => det(docs(s, dir)
+      .groupBy(TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups")))),
+
+    // --- dedup ------------------------------------------------------------
+
+    "q_dedup_exact" -> ((s, dir) =>
+      det(Dedup.exactDedup(docs(s, dir), "text", "doc_id"))),
+
+    "q_dedup_ngram_pairs" -> ((s, dir) =>
+      det(Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.5, dfCap = 100))),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      det(Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.5, numPerm = 64, bands = 32))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      det(Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text"))),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      det(Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.45)
+        .withColumn("cos_sim", round(col("cos_sim"), 6)))),
+
+    // --- similarity search ------------------------------------------------
+
+    "q_sim_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      det(Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5).drop("cos_sim"))
+    }),
+
+    "q_sim_ann_lsh" -> ((s, dir) =>
+      det(Similarity.annTopK(emb(s, dir), "vec_id", "embedding", k = 5,
+        tables = 12, planes = 6, dim = 64).drop("cos_sim"))),
+
+    // --- multimodal -------------------------------------------------------
+
+    "q_multimodal_json" -> ((s, dir) => {
+      val parsed = Multimodal.parseJson(events(s, dir), "props",
+        StructType(Seq(StructField("k", LongType))), "p")
+      det(parsed.groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("p.k")).as("sum_k"),
+        round(sum(col("value")), 2).as("sum_value")))
+    }),
+
+    "q_multimodal_binary" -> ((s, dir) => {
+      val withBin = docs(s, dir).withColumn("__bin", encode(col("text"), "UTF-8"))
+      val meta = Multimodal.binaryMeta(col("__bin"))
+      det(withBin.select(col("doc_id") +: meta.map { case (n, c) => c.as(n) }: _*))
+    }),
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val N1 = "NULLS FIRST"
+  private val BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val STOP_EN = TextFunctions.EnStopwords.map(w => s"'$w'").mkString(",")
+
+  /** shared word-5-gram blocking (df-cap 100) -> exact jaccard >= 0.5;
+    * mirrors Dedup.ngramJaccardPairs / minhashLshPairs verify exactly. */
+  private val jaccardSql =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ') for i in generate_series(1, len(t)-4)]) AS s FROM toks),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 100),
+      |exk AS (SELECT ex.doc_id, ex.g FROM ex JOIN keep USING (g)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM exk a JOIN exk b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |j AS (SELECT doc_a, doc_b,
+      |      CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)/len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+      |      FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+      |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+      |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST, jaccard NULLS FIRST""".stripMargin
+
+  private val cosSql =
+    """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
+
+  private val langProfileSql: String = {
+    val scores = TextFunctions.LangProfiles.map { case (lang, words) =>
+      lang -> s"len(list_distinct(list_intersect(toks, [${words.map(w => s"'$w'").mkString(",")}])))"
+    }.toMap
+    s"""WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')) AS toks,
+       |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS n_cjk FROM documents),
+       |s AS (SELECT doc_id, n_cjk, ${scores("en")} AS s_en, ${scores("de")} AS s_de,
+       |  ${scores("fr")} AS s_fr, ${scores("es")} AS s_es FROM t)
+       |SELECT doc_id, CASE
+       |  WHEN n_cjk > 0 THEN 'zh'
+       |  WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+       |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |  WHEN s_fr >= s_es THEN 'fr'
+       |  ELSE 'es' END AS detected_lang
+       |FROM s ORDER BY doc_id $N1, detected_lang $N1""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_tokens" ->
+      s"""SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         |len(regexp_extract_all(text, '$BPE')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id $N1, n_tokens $N1, n_bpe_tokens $N1""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
+         |  regexp_extract_all(text, '\\S+') AS toks,
+         |  len(regexp_extract_all(text, '[^ -~]')) AS n_nonascii,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+         |  FROM documents),
+         |m AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         |  len(list_filter(toks, x -> list_contains([$STOP_EN], x))) AS n_stop,
+         |  list_sum(list_transform(toks, x -> length(x))) AS tok_chars,
+         |  n_punct, n_nonascii FROM t)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  CAST(tok_chars AS DOUBLE)/n_tokens AS mean_tok_len,
+         |  CAST(n_stop AS DOUBLE)/n_tokens AS stopword_ratio,
+         |  CAST(n_punct AS DOUBLE)/n_chars AS punct_ratio,
+         |  (CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END +
+         |   CASE WHEN CAST(tok_chars AS DOUBLE)/n_tokens BETWEEN 3 AND 12 THEN 1 ELSE 0 END +
+         |   CASE WHEN CAST(n_stop AS DOUBLE)/n_tokens BETWEEN 0.01 AND 0.6 THEN 1 ELSE 0 END +
+         |   CASE WHEN n_nonascii = 0 THEN 1 ELSE 0 END) AS quality_score
+         |FROM m ORDER BY doc_id $N1, n_chars $N1, n_tokens $N1, mean_tok_len $N1,
+         |stopword_ratio $N1, punct_ratio $N1, quality_score $N1""".stripMargin,
+    "q_text_langid" -> langProfileSql,
+    "q_text_fingerprint" ->
+      s"""SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_dups
+         |FROM documents GROUP BY md5(text)
+         |ORDER BY fingerprint $N1, doc_id $N1, n_dups $N1""".stripMargin,
+    "q_dedup_exact" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_dedup_ngram_pairs" -> jaccardSql,
+    "q_dedup_minhash" -> jaccardSql,
+    "q_dedup_embedding" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cosSql, 6) AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE $cosSql >= 0.45
+         |ORDER BY vec_a $N1, vec_b $N1, cos_sim $N1""".stripMargin,
+    "q_sim_topk" ->
+      s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < 20),
+         |r AS (SELECT vec_id, neighbor_id, row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+         |SELECT vec_id, neighbor_id, rank FROM r WHERE rank <= 5
+         |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1""".stripMargin,
+    "q_multimodal_json" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |CAST(sum(json_extract(props,'$$.k')::BIGINT) AS BIGINT) AS sum_k,
+         |round(sum(value), 2) AS sum_value
+         |FROM events GROUP BY event_type
+         |ORDER BY event_type $N1, n_events $N1, sum_k $N1, sum_value $N1""".stripMargin,
+    "q_multimodal_binary" ->
+      s"""SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_md5,
+         |ascii(substr(text,1,1)) AS first_byte
+         |FROM documents ORDER BY doc_id $N1, n_bytes $N1, content_md5 $N1, first_byte $N1""".stripMargin,
+  )
 }

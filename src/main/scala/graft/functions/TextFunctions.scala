@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis building blocks for LLM-data pipelines (SURVEY §7.4):
+ * tokenization, language ID, quality metrics, fingerprints.
+ *
+ * Everything here is a pure `Column` rewrite over built-in functions
+ * (regexp_extract_all / higher-order array functions), so the whole
+ * stage stays inside whole-stage codegen with no UDFs and no
+ * driver-side work — each doc is scored independently, which is the
+ * property that makes these safe at 100 TB (embarrassingly parallel,
+ * no shuffle at all until an aggregation asks for one).
+ */
+object TextFunctions {
+
+  /** GPT-2-style pre-tokenizer regex (public BPE convention simplified):
+    * letter runs, digit runs, or single non-alphanumeric marks. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace tokens (the \S+ runs). */
+  def whitespaceTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column =
+    size(whitespaceTokens(text)).cast(LongType)
+
+  /** BPE-ish subword-boundary count — a cheap, deterministic stand-in for
+    * a real tokenizer's token count (the usual cost predictor for LLM
+    * training data). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast(LongType)
+
+  /** Distinct word n-gram shingles over whitespace tokens; the unit of
+    * document similarity for Jaccard / MinHash dedup. Empty when the doc
+    * has fewer than n tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val count = size(toks) - (n - 1)
+    when(count >= 1,
+      array_distinct(transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  // --- language ID ---------------------------------------------------------
+  // Stopword-profile heuristic (the classic cheap langid): score = number of
+  // DISTINCT profile words present; argmax with a fixed tie-break order;
+  // CJK codepoints short-circuit to zh. Real systems use char-n-gram models
+  // (e.g. CLD); the profile table is the pluggable part.
+
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"),
+  )
+
+  private def letterTokens(text: Column): Column =
+    array_distinct(regexp_extract_all(lower(text), lit("[a-zà-ÿäöüß]+"), lit(0)))
+
+  def cjkCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast(LongType)
+
+  /** Detected language code: zh | profile langs | unknown. */
+  def detectLanguage(text: Column): Column = {
+    val toks = letterTokens(text)
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    when(cjkCount(text) > 0, lit("zh"))
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, lit("unknown"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  // --- quality scoring -----------------------------------------------------
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** (n_chars, n_tokens, mean_tok_len, stopword_ratio, punct_ratio,
+    * quality_score) as named columns appended to `df`. The composite score
+    * (0-4) is the usual quality-filter recipe: enough tokens, sane mean
+    * token length, some-but-not-all stopwords, printable ASCII. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = whitespaceTokens(text)
+    val stopArr = array(EnStopwords.map(lit): _*)
+    val nChars = length(text).cast(LongType)
+    val nTokens = size(toks).cast(LongType)
+    val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast(LongType)
+    val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast(LongType)
+    val nNonAscii = size(regexp_extract_all(text, lit("[^ -~]"), lit(0))).cast(LongType)
+    val meanTokLen = tokChars.cast(DoubleType) / nTokens
+    val stopRatio = nStop.cast(DoubleType) / nTokens
+    val punctRatio = nPunct.cast(DoubleType) / nChars
+    val score =
+      when(nTokens >= 10, 1).otherwise(0) +
+      when(meanTokLen.between(3, 12), 1).otherwise(0) +
+      when(stopRatio.between(0.01, 0.6), 1).otherwise(0) +
+      when(nNonAscii === 0, 1).otherwise(0)
+    Seq(
+      "n_chars" -> nChars, "n_tokens" -> nTokens, "mean_tok_len" -> meanTokLen,
+      "stopword_ratio" -> stopRatio, "punct_ratio" -> punctRatio,
+      "quality_score" -> score)
+  }
+
+  // --- fingerprints --------------------------------------------------------
+
+  /** Content fingerprint: md5 hex of the text bytes. The exact-dedup key
+    * at scale — shuffle 16 bytes, not the document. */
+  def contentFingerprint(text: Column): Column = md5(text)
+
+  /** Polynomial rolling hash over whitespace tokens (Rabin-Karp style,
+    * order-sensitive — unlike a shingle set it distinguishes permuted
+    * docs). Modular arithmetic (mod 1e9+7) so it can never overflow —
+    * safe under ANSI mode. Token hashes come from xxhash64. */
+  def rollingHash(text: Column): Column = {
+    val M = 1000000007L
+    aggregate(whitespaceTokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(M)), lit(M)))
+  }
+
+  /**
+   * 63-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes from
+   * each token's xxhash64 bit; the sign becomes the fingerprint bit.
+   * Near-duplicate docs land within small Hamming distance. 63 bits (not
+   * 64) keeps the fold below Long.MaxValue so ANSI mode can't overflow.
+   * All one codegen'd expression: O(63 * n_tokens) per row, no shuffle.
+   */
+  def simhash63(text: Column): Column = {
+    val toks = whitespaceTokens(text)
+    val bitVotes = transform(sequence(lit(0), lit(62)), i =>
+      aggregate(toks, lit(0),
+        (acc, t) => acc + when(getbit(xxhash64(t), i) === 1, 1).otherwise(-1)))
+    // fold votes bit62..bit0 as acc*2 + bit; max value 2^63-1, no overflow
+    aggregate(reverse(bitVotes), lit(0L),
+      (acc, v) => acc * lit(2L) + when(v > 0, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Hamming distance between two fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column handling (SURVEY §7.4): semi-structured JSON props,
+ * opaque binary payloads with typed metadata, and the decode/feature
+ * pipeline plumbing for image/audio/video columns.
+ *
+ * The actual media decode (JPEG/PNG/WAV codecs) is NOT implementable in
+ * this container — no imaging libraries ship with it — so the decoder
+ * behind [[decodeBatch]] is a clearly-marked deterministic STUB
+ * ([[StubMediaDecoder]]): the Spark-side plumbing (schema, typed
+ * Dataset, mapPartitions batch shape, bounded partitions) is real and
+ * tested; swap the decoder for a JNI/codec-backed one in production.
+ *
+ * 100 TB design:
+ *  - binary payloads stay opaque end-to-end; metadata (length, hash,
+ *    magic bytes) is computed columnar, no decode needed for filtering;
+ *  - decode runs per-partition (`mapPartitions`) so codec init is
+ *    amortized per task, not per row; repartition first so a task's
+ *    batch of blobs fits executor memory;
+ *  - JSON props parse once via `from_json` with an explicit schema —
+ *    never schema-inference over the corpus at scale.
+ */
+object Multimodal {
+
+  /** Parse a JSON string column with an explicit schema (never inference). */
+  def parseJson(df: DataFrame, jsonCol: String, schema: StructType, as: String): DataFrame =
+    df.withColumn(as, from_json(col(jsonCol), schema))
+
+  /** Columnar binary metadata: byte length, md5, first byte — the
+    * filter-without-decoding surface. `bin` must be BinaryType. */
+  def binaryMeta(bin: Column): Seq[(String, Column)] = Seq(
+    "n_bytes" -> length(bin).cast(LongType),
+    "content_md5" -> md5(bin),
+    "first_byte" -> ascii(substring(bin.cast(StringType), 1, 1))
+  )
+
+  // --- decode pipeline (typed) --------------------------------------------
+
+  /** One media payload in flight. */
+  final case class MediaRow(id: Long, kind: String, bytes: Array[Byte])
+
+  /** Decoded features — the schema a real decoder would fill. */
+  final case class DecodedMedia(id: Long, kind: String, nBytes: Long,
+                                width: Int, height: Int, nFrames: Int,
+                                feature: Array[Float])
+
+  /** Decoder SPI: one instance per partition (codec init amortized). */
+  trait MediaDecoder extends Serializable {
+    def decode(row: MediaRow): DecodedMedia
+  }
+
+  /** STUB decoder — deterministic fake: dimensions/features derived from
+    * the byte content so tests are stable. Replace with a codec-backed
+    * implementation in production (??? marks the real-decode slot). */
+  final class StubMediaDecoder extends MediaDecoder {
+    override def decode(row: MediaRow): DecodedMedia = {
+      // real implementation: val img = ImageIO.read(...) — unavailable here
+      val b = row.bytes
+      val h = b.foldLeft(17L)((acc, x) => acc * 31 + (x & 0xFF))
+      DecodedMedia(
+        id = row.id, kind = row.kind, nBytes = b.length.toLong,
+        width = 1 + math.abs(h % 4096).toInt,
+        height = 1 + math.abs((h / 4096) % 4096).toInt,
+        nFrames = if (row.kind == "video") 1 + math.abs((h / 97) % 300).toInt else 1,
+        feature = Array.tabulate(8)(i => ((h >> (i * 8)) & 0xFF).toFloat / 255f))
+    }
+  }
+
+  implicit private val mediaRowEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+  implicit private val decodedEnc: Encoder[DecodedMedia] = Encoders.product[DecodedMedia]
+
+  /** Decode a binary-payload frame (`id`, `kind`, `bytes` columns) into
+    * typed features. `partitions` bounds task batch size so a task's
+    * blobs fit in memory (tune: targetPartitionBytes / avg blob size). */
+  def decodeBatch(df: DataFrame, mkDecoder: () => MediaDecoder,
+                  partitions: Int = 0): Dataset[DecodedMedia] = {
+    val base = if (partitions > 0) df.repartition(partitions) else df
+    base.select(col("id").cast(LongType), col("kind").cast(StringType), col("bytes"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val decoder = mkDecoder() // once per partition: codec init amortized
+        it.map(decoder.decode)
+      }
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over embedding columns (SURVEY §7.4):
+ * brute-force cosine top-k as the exact baseline, sign-random-projection
+ * LSH bucketing as the approximate scale path.
+ *
+ * Embeddings are `array<float>`; all arithmetic is done in DOUBLE via
+ * higher-order functions (`zip_with` product + `aggregate` left-fold),
+ * which stays inside codegen — no UDFs, no ml.linalg conversion.
+ *
+ * 100 TB design:
+ *  - brute-force is QUERIES x CORPUS: fine when the query set is small
+ *    enough to broadcast (the common "nearest neighbors of these N docs"
+ *    shape) — one pass over the corpus, no shuffle of the corpus itself,
+ *    top-k via per-query window on the (small) scored frame.
+ *  - all-pairs corpus self-search must NOT be brute-force: SRP-LSH
+ *    buckets (L tables x H hyperplanes) turn it into an equi-join on
+ *    (table, bucket-signature); only same-bucket candidates get the
+ *    exact cosine rerank. Recall is tuned by L; precision by H.
+ */
+object Similarity {
+
+  /** Left-fold dot product of two equal-length float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact top-k cosine neighbors for each row of `queries` against
+   * `corpus` (both `(idCol, vecCol)`). The query side is broadcast —
+   * the corpus is scanned exactly once, partition-parallel.
+   * Output: (idCol, neighbor_id, rank, cos_sim).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("__qid"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.join(c, col("__qid") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all corpus pairs with
+    * cosine >= threshold. Exact (self-join) flavor — the verify baseline;
+    * use [[srpCandidatePairs]] + this threshold as the scale path. */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
+    val b = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: L tables x H planes x dim,
+    * from a fixed-seed PRNG (same plan every run). */
+  private def hyperplanes(tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(tables, planes, dim)(rnd.nextGaussian())
+  }
+
+  /** (table, bucket) signature columns for SRP-LSH: bucket = bit pattern of
+    * sign(dot(plane, vec)) over H planes. Returns one row per (row, table). */
+  def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(tables, planes, dim)
+    val tableStructs = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val plane = array(hp(t)(p).map(lit): _*)
+        when(dot(col(vecCol), plane) >= 0, lit(1)).otherwise(lit(0))
+      }
+      // bucket id = fold of sign bits (H <= 30 keeps it in Int range)
+      val bucket = bits.foldLeft(lit(0))((acc, b) => acc * 2 + b)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      explode(array(tableStructs: _*)).as("__tb"))
+      .select(col("__id"), col("__v"),
+        col("__tb.table").as("__table"), col("__tb.bucket").as("__bucket"))
+  }
+
+  /** Candidate pairs from shared SRP buckets (any table). */
+  def srpCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
+    val b = srpBuckets(corpus, idCol, vecCol, tables, planes, dim)
+    b.select(col("__table"), col("__bucket"), col("__id").as("vec_a"), col("__v").as("__va"))
+      .join(b.select(col("__table"), col("__bucket"), col("__id").as("vec_b"), col("__v").as("__vb")),
+        Seq("__table", "__bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("__va"), col("__vb"))
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /**
+   * Approximate top-k: SRP-LSH candidates, exact cosine rerank.
+   * Recall < 1 by construction; intended for corpus-scale self-search
+   * where brute force is quadratic. SRP recall depends on how CLOSE the
+   * true neighbors are: for near-duplicate vectors (cosine >= 0.9,
+   * angle <= 26°) a 6-plane bucket agrees with prob (1-26/180)^6 ≈ 0.36
+   * per table, so 12 tables recall ≈ 1-(0.64)^12 ≈ 0.995 — while for
+   * weakly-similar corpora (cosine ~0.4) recall@k degrades to ~0.5;
+   * raise `tables` (more recall, more candidates) or lower `planes`
+   * (coarser buckets) per workload. Pruning factor ≈ 2^planes / tables.
+   * Output: (idCol, neighbor_id, rank, cos_sim) — rank within retrieved.
+   */
+  def annTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+              tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
+    val pairs = srpCandidatePairs(corpus, idCol, vecCol, tables, planes, dim)
+      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+    // symmetrize: each pair scores both directions
+    val directed = pairs.select(col("vec_a").as("__qid"), col("vec_b").as("neighbor_id"), col("cos_sim"))
+      .unionAll(pairs.select(col("vec_b").as("__qid"), col("vec_a").as("neighbor_id"), col("cos_sim")))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    directed.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"), col("cos_sim"))
+  }
+}
