@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup of 1
+    (4L, "one two three four five six seven eight"),
+    (5L, "moon star cloud rain snow wind storm sun")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest-order row per group") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+  test("exactDedup byFingerprint matches direct-key dedup") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id", byFingerprint = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+  test("ngramJaccardPairs finds exact and near duplicates with correct jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)) == List((1L, 2L), (1L, 3L), (2L, 3L)))
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3
+    assert(exact == 1.0)
+    // docs 1,3 share 8 tokens with last differing: 6 shingles each, 5 shared -> J=5/7
+    val near = pairs.find(p => (p._1, p._2) == (1L, 3L)).get._3
+    assert(math.abs(near - 5.0 / 7) < 1e-12)
+  }
+  test("dfCap suppresses stop-shingle blocking") {
+    // every doc shares the shingle "x y z" -> df=3 > cap=2 -> no candidates
+    val stop = Seq(
+      (1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z g h i")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(stop, "doc_id", "text", n = 3, threshold = 0.01, dfCap = 2)
+    assert(pairs.count() == 0)
+    // with the cap lifted the shared shingle produces (low-jaccard) pairs
+    val pairs2 = Dedup.ngramJaccardPairs(stop, "doc_id", "text", n = 3, threshold = 0.01, dfCap = 10)
+    assert(pairs2.count() == 3)
+  }
+  test("minhashLshPairs agrees with exact ngram pairs on near-dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.3,
+      numPerm = 64, bands = 32)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+  test("simhashPairs finds near-identical docs") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical text -> hamming 0
+  }
+  test("simhash fingerprint of identical docs is identical") {
+    val fps = Dedup.simhashFingerprints(docs.filter(col("doc_id") <= 2), "doc_id", "text")
+      .select("simhash").as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+}

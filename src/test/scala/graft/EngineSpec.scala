@@ -1,0 +1,78 @@
+package graft
+
+import graft.config._
+import graft.sinks.ParquetSink
+import graft.sources.{Catalog, ParquetCatalog}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** In-memory catalog over given frames (stub for JDBC in tests). */
+  private case class MemCatalog(tables: Map[String, DataFrame]) extends Catalog {
+    def table(name: String): DataFrame = tables(name)
+    override def tableOpt(name: String): Option[DataFrame] = tables.get(name)
+  }
+
+  private def rule(src: String, tgt: String, ops: String = ""): MappingRule =
+    MappingRule(source = Some(src), target = Some(tgt),
+      transform = ops.split(",").map(_.trim).filter(_.nonEmpty).toList)
+
+  test("migrate resolves lookups against the WRITTEN output of earlier tables") {
+    val cat = MemCatalog(Map(
+      "nations" -> Seq((1, "ALPHA"), (2, "BETA")).toDF("nid", "nname"),
+      "people" -> Seq((10L, 1), (20L, 2), (30L, 3)).toDF("pid", "nation")))
+    val out = java.nio.file.Files.createTempDirectory("engine_spec").toString
+    val cfg = EtlConfig(GlobalConfig(), List(
+      TableConfig(sourceTable = "nations", targetTable = "dim", mappings = List(
+        rule("nid", "key"), rule("nname", "name", "lower"))),
+      TableConfig(sourceTable = "people", targetTable = "out", mappings = List(
+        rule("pid", "id"),
+        rule("nation", "nation_name").copy(lookup =
+          Some(LookupConfig("dim", "key", Some("name"), Some("null"))))))))
+    val report = Engine.migrate(cfg, cat, ParquetSink(out))
+    assert(report.tables.map(t => t.table -> t.rows).toMap == Map("dim" -> 2L, "out" -> 3L))
+    val res = spark.read.parquet(s"$out/out.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // values come from the TARGET-side dim (lowercased by its transform)
+    assert(res(10L) == "alpha" && res(20L) == "beta" && res(30L) == null)
+  }
+
+  test("independent tables run in one wave and all get written") {
+    val cat = MemCatalog(Map(
+      "a" -> Seq(1, 2, 3).toDF("x"),
+      "b" -> Seq(4, 5).toDF("x"),
+      "c" -> Seq(6).toDF("x")))
+    val out = java.nio.file.Files.createTempDirectory("engine_par").toString
+    val cfg = EtlConfig(GlobalConfig(), List("a", "b", "c").map(n =>
+      TableConfig(sourceTable = n, targetTable = s"${n}_out",
+        mappings = List(rule("x", "x")))))
+    val report = Engine.migrate(cfg, cat, ParquetSink(out), maxParallelTables = 3)
+    assert(report.totalRows == 6L)
+    for (n <- Seq("a", "b", "c"))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, s"${n}_out.parquet")))
+  }
+
+  test("migrate aborts before writing when an error-rule fires") {
+    val cat = MemCatalog(Map("src" -> Seq("ok", "BAD").toDF("v")))
+    val out = java.nio.file.Files.createTempDirectory("engine_abort").toString
+    val cfg = EtlConfig(GlobalConfig(), List(
+      TableConfig(sourceTable = "src", targetTable = "t", mappings = List(
+        rule("v", "v").copy(validation =
+          List(ValidationRule("regex", pattern = Some("[a-z]+$"), onFail = Some("error"))))))))
+    intercept[IllegalStateException] {
+      Engine.migrate(cfg, cat, ParquetSink(out))
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "t.parquet")))
+  }
+
+  test("plan compiles against a parquet catalog end-to-end") {
+    val compiled = Engine.plan(
+      TableConfig(sourceTable = "nation", targetTable = "x",
+        mappings = List(rule("n_nationkey", "id"), rule("n_name", "name", "lower"))),
+      ParquetCatalog(spark, "/root/testdata/sf0.001"))
+    assert(compiled.dataFrame.count() == 25)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parseJson extracts typed fields with an explicit schema") {
+    val df = Seq((1L, """{"k": 42}"""), (2L, """{"k": null}""")).toDF("id", "props")
+    val parsed = Multimodal.parseJson(df, "props",
+      StructType(Seq(StructField("k", LongType))), "p")
+    val ks = parsed.select(col("p.k")).collect()
+    assert(ks(0).getLong(0) == 42L)
+    assert(ks(1).isNullAt(0))
+  }
+  test("binaryMeta computes length, md5, first byte columnar") {
+    val df = Seq("abc").toDF("t").withColumn("bin", encode(col("t"), "UTF-8"))
+    val meta = Multimodal.binaryMeta(col("bin"))
+    val row = df.select(meta.map { case (n, c) => c.as(n) }: _*).collect().head
+    assert(row.getAs[Long]("n_bytes") == 3L)
+    assert(row.getAs[String]("content_md5") == "900150983cd24fb0d6963f7d28e17f72")
+    assert(row.getAs[Int]("first_byte") == 'a'.toInt)
+  }
+  test("stub decoder is deterministic and byte-sensitive") {
+    val dec = new Multimodal.StubMediaDecoder
+    val a1 = dec.decode(Multimodal.MediaRow(1, "image", Array[Byte](1, 2, 3)))
+    val a2 = dec.decode(Multimodal.MediaRow(1, "image", Array[Byte](1, 2, 3)))
+    val b = dec.decode(Multimodal.MediaRow(1, "image", Array[Byte](9, 9, 9)))
+    assert(a1 == a2.copy(feature = a1.feature) && a1.feature.sameElements(a2.feature))
+    assert(a1.width != b.width || a1.height != b.height)
+    assert(a1.width > 0 && a1.height > 0 && a1.feature.length == 8)
+  }
+  test("decodeBatch runs the decoder per partition over a binary frame") {
+    val df = Seq((1L, "image", "aa"), (2L, "video", "bbbb")).toDF("id", "kind", "s")
+      .withColumn("bytes", encode(col("s"), "UTF-8")).drop("s")
+    val out = Multimodal.decodeBatch(df, () => new Multimodal.StubMediaDecoder, partitions = 2)
+      .collect().sortBy(_.id)
+    assert(out.length == 2)
+    assert(out(0).nBytes == 2L && out(1).nBytes == 4L)
+    assert(out(1).kind == "video" && out(1).nFrames >= 1)
+  }
+}

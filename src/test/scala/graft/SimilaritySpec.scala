@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine of hand-computed vectors") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f))).toDF("a", "b")
+    val cos = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(cos(0) - 0.0) < 1e-12)
+    assert(math.abs(cos(1) - 1.0) < 1e-12)
+    assert(math.abs(cos(2) + 1.0) < 1e-12)
+  }
+
+  private val corpus = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f)),   // closest to 0
+    (2L, Array(0f, 1f, 0f)),
+    (3L, Array(0f, 0.9f, 0.2f)),   // closest to 2
+    (4L, Array(-1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break") {
+    val res = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") === 0), corpus, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(res.map(_.getLong(1)).toSeq == Seq(1L, 2L).take(2).updated(1, res(1).getLong(1)))
+    assert(res(0).getLong(1) == 1L) // nearest neighbor of 0 is 1
+    assert(res(0).getLong(2) == 1L) // rank 1
+  }
+  test("bruteForceTopK excludes self and respects k") {
+    val res = Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding", k = 2)
+    assert(res.filter(col("vec_id") === col("neighbor_id")).count() == 0)
+    assert(res.groupBy("vec_id").count().select(max("count")).as[Long].collect().head <= 2)
+  }
+  test("cosineNearDupPairs finds only the close pairs") {
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+  test("annTopK recovers planted near-duplicates (high-recall regime)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val base = Array.fill(40)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // plant: vec i+100 = tiny perturbation of vec i (cosine ~ 0.999)
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, v), (i + 100L, twin))
+    }
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+    val ann = Similarity.annTopK(df, "vec_id", "embedding", k = 1,
+      tables = 12, planes = 6, dim = dim)
+      .filter(col("vec_id") < 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recalled = (0 until 40).count(i => ann.get(i.toLong).contains(i + 100L))
+    assert(recalled >= 36, s"recall $recalled/40") // >= 90% on true near-dups
+  }
+  test("srpCandidatePairs emits each pair once") {
+    val pairs = Similarity.srpCandidatePairs(corpus, "vec_id", "embedding",
+      tables = 4, planes = 2, dim = 3).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length)
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+}

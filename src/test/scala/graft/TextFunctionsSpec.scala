@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c).collect().head.get(0).asInstanceOf[T]
+
+  test("tokenCount counts \\S+ runs") {
+    assert(one[Long](tokenCount(col("t")), "a  b\tc\nd") == 4L)
+  }
+  test("bpeTokenCount splits letter/digit/punct runs") {
+    // "Hello" "," "world" "!" "42" -> 5
+    assert(one[Long](bpeTokenCount(col("t")), "Hello, world! 42") == 5L)
+  }
+  private def shingles(n: Int, text: String): Seq[String] =
+    Seq(text).toDF("t").select(wordShingles(col("t"), n))
+      .collect().head.getSeq[String](0).toList
+
+  test("wordShingles builds n-grams, distinct, empty under n tokens") {
+    assert(shingles(3, "a b c d") == Seq("a b c", "b c d"))
+    assert(shingles(3, "a b").isEmpty)
+    // repeated shingle collapses (distinct)
+    assert(shingles(2, "x y x y") == Seq("x y", "y x"))
+  }
+  test("detectLanguage classifies stopword-profiled snippets") {
+    val cases = Map(
+      "the cat is in the house and it is fine" -> "en",
+      "der Hund ist nicht das Problem und ein Freund" -> "de",
+      "le chat est dans la maison et les chiens dorment" -> "fr",
+      "el perro es un animal y los gatos duermen" -> "es",
+      "你好世界" -> "zh",
+      "xyzzy plugh qwertz" -> "unknown")
+    for ((text, want) <- cases)
+      assert(one[String](detectLanguage(col("t")), text) == want, text)
+  }
+  test("quality metrics on a crafted doc") {
+    val text = "the quick brown fox, it jumps!" // 6 tokens, 2 punct marks
+    val df = Seq(text).toDF("t")
+    val cols = qualityColumns(col("t"))
+    val row = df.select(cols.map { case (n, c) => c.as(n) }: _*).collect().head
+    assert(row.getAs[Long]("n_chars") == text.length)
+    assert(row.getAs[Long]("n_tokens") == 6L)
+    // stopwords present: the, it -> 2/6
+    assert(math.abs(row.getAs[Double]("stopword_ratio") - 2.0 / 6) < 1e-12)
+    assert(math.abs(row.getAs[Double]("punct_ratio") - 2.0 / text.length) < 1e-12)
+    // score: n_tokens<10 (0) + mean_len in 3..12 (1) + stop ratio ok (1) + ascii (1)
+    assert(row.getAs[Int]("quality_score") == 3)
+  }
+  test("contentFingerprint is md5 hex") {
+    assert(one[String](contentFingerprint(col("t")), "abc")
+      == "900150983cd24fb0d6963f7d28e17f72")
+  }
+  test("rollingHash is order-sensitive and deterministic") {
+    val h1 = one[Long](rollingHash(col("t")), "a b c")
+    val h2 = one[Long](rollingHash(col("t")), "c b a")
+    val h3 = one[Long](rollingHash(col("t")), "a b c")
+    assert(h1 != h2)
+    assert(h1 == h3)
+    assert(h1 >= 0 && h1 < 1000000007L) // modular range
+  }
+  test("simhash63: identical equal; near-dup closer than unrelated") {
+    val base = "spark window merge join the fast table scan with hash keys and rows"
+    val near = base.replace("fast", "quick")
+    val far = "completely different words about gardens flowers bees honey sunshine rain"
+    val Seq(hBase, hNear, hFar) = Seq(base, near, far).map(t => one[Long](simhash63(col("t")), t))
+    assert(hBase == one[Long](simhash63(col("t")), base))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hBase, hNear) < ham(hBase, hFar))
+    assert(hBase >= 0) // 63-bit: sign bit never set
+  }
+}
