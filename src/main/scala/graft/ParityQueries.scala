@@ -274,6 +274,28 @@ object ParityQueries {
     "q_auto_mapping" -> ((s, dir) => runTable(s, dir,
       TableConfig(sourceTable = "region", targetTable = "region_out"))),
 
+    // 2.12 YAML config path incl. the Excel front-end's COMPACT encodings
+    // (reference: generate/generate_configs.py:106-187): the config text
+    // below goes YAML -> TableConfig -> compile, nothing hand-built.
+    "q_yaml_compact" -> ((s, dir) => runTable(s, dir,
+      YamlConfig.tableFromYaml(
+        """source_table: customer
+          |target_table: customer_out
+          |where: "c_mktsegment <> 'MACHINERY'"
+          |mappings:
+          |  - source: c_custkey
+          |    target: id
+          |  - source: c_name
+          |    target: name
+          |    transform: "strip, capitalize"
+          |  - source: c_acctbal
+          |    target: acctbal
+          |    validation: "range:0-5000"
+          |  - source: c_nationkey
+          |    target: nation_name
+          |    lookup: "null:nation.n_nationkey=n_name"
+          |""".stripMargin))),
+
     // §7.2 flagship end-to-end slice: where + transforms + range-default +
     // broadcast lookup in one compiled plan
     "q_pipeline_e2e" -> ((s, dir) => runTable(s, dir,
@@ -413,6 +435,16 @@ object ParityQueries {
       s"SELECT n_nationkey AS key, n_name AS name FROM nation ORDER BY key $N1, name $N1",
     "q_auto_mapping" ->
       s"SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey $N1, r_name $N1",
+    "q_yaml_compact" ->
+      s"""SELECT c.c_custkey AS id,
+         |  upper(substr(c.c_name,1,1)) || lower(substr(c.c_name,2)) AS name,
+         |  CASE WHEN c.c_acctbal IS NULL OR (c.c_acctbal >= 0 AND c.c_acctbal <= 5000)
+         |       THEN c.c_acctbal END AS acctbal,
+         |  n.n_name AS nation_name
+         |FROM customer c
+         |LEFT JOIN nation n ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+         |WHERE c.c_mktsegment <> 'MACHINERY'
+         |ORDER BY id $N1, name $N1, acctbal $N1, nation_name $N1""".stripMargin,
     "q_pipeline_e2e" ->
       s"""SELECT c.c_custkey AS id,
          |  upper(substr(c.c_name,1,1)) || lower(substr(c.c_name,2)) AS name,
