@@ -1,0 +1,104 @@
+package graft
+
+import graft.config.{EtlConfig, YamlConfig}
+import graft.plugins.PluginRegistry
+import graft.sinks.{JdbcSink, ParquetSink, Sink}
+import graft.sources.{Catalog, JdbcSource, ParquetCatalog}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Production entry point — the reference's `cli.py:39-70` flow:
+ * load config -> register plugins -> connectivity probes -> migrate.
+ *
+ * Usage:
+ *   graft.Main <config.yaml> [--parquet-source DIR] [--parquet-target DIR]
+ *              [--plugin fully.qualified.ClassName]...
+ *
+ * Connector selection: with `--parquet-source/--parquet-target` the run is
+ * file-based (tests, local runs). Otherwise the YAML `connectors` section
+ * wires the JDBC path: the Oracle side becomes a PARTITIONED JdbcSource
+ * (range-split reads + verbatim where-push — never the reference's
+ * single-cursor fetch) and the Postgres side a batched JdbcSink.
+ */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-migrate")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    try run(args, spark) finally spark.stop()
+  }
+
+  /** The testable body: session is provided (and NOT stopped) here. */
+  def run(args: Array[String], spark: SparkSession): Engine.MigrationReport = {
+    val (flags, positional) = parseArgs(args.toList)
+    val cfgPath = positional.headOption.getOrElse("config/config.yaml")
+    val cfg = YamlConfig.load(cfgPath)
+
+    flags.getOrElse("plugin", Nil).foreach { cn =>
+      val p = PluginRegistry.loadAndInstall(cn)
+      println(s"[graft] installed plugin ${p.name} ($cn)")
+    }
+
+    val (catalog, sink) = wire(spark, cfg,
+      flags.get("parquet-source").flatMap(_.headOption),
+      flags.get("parquet-target").flatMap(_.headOption))
+
+    val report = Engine.migrate(cfg, catalog, sink)
+    report.tables.foreach(t =>
+      println(f"[graft] ${t.table}%-30s ${t.rows}%10d rows  ${t.seconds}%8.2fs" +
+        (if (t.droppedColumns.nonEmpty) s"  degraded: ${t.droppedColumns.mkString(",")}" else "")))
+    println(s"[graft] total ${report.totalRows} rows across ${report.tables.size} tables")
+    report
+  }
+
+  /** Build catalog + sink from flags/connectors, with connectivity probes
+    * (reference: cli.py:13-31) before any work starts. */
+  private[graft] def wire(spark: SparkSession, cfg: EtlConfig,
+                          parquetSource: Option[String],
+                          parquetTarget: Option[String]): (Catalog, Sink) = {
+    val catalog: Catalog = parquetSource match {
+      case Some(dir) => ParquetCatalog(spark, dir)
+      case None =>
+        val o = cfg.global.connectors.oracle.getOrElse(
+          throw new IllegalArgumentException(
+            "no source: pass --parquet-source or configure connectors.oracle"))
+        val src = JdbcSource(spark, o.jdbcUrl, o.user, o.password,
+          fetchSize = cfg.global.batchSize)
+        src.checkConnectivity() // fail fast, like the reference's probes
+        src
+    }
+    val sink: Sink = parquetTarget match {
+      case Some(dir) => ParquetSink(dir)
+      case None =>
+        val p = cfg.global.connectors.postgres.getOrElse(
+          throw new IllegalArgumentException(
+            "no target: pass --parquet-target or configure connectors.postgres"))
+        val s = JdbcSink(p.jdbcUrl, p.user, p.password, batchSize = cfg.global.batchSize)
+        s.execute("SELECT 1")
+        s
+    }
+    (catalog, sink)
+  }
+
+  private def parseArgs(args: List[String]): (Map[String, List[String]], List[String]) = {
+    val flags = scala.collection.mutable.Map[String, List[String]]().withDefaultValue(Nil)
+    val positional = List.newBuilder[String]
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case flag :: value :: tail if flag.startsWith("--") =>
+        val k = flag.drop(2)
+        flags(k) = flags(k) :+ value
+        rest = tail
+      case p :: tail =>
+        positional += p
+        rest = tail
+      case Nil => ()
+    }
+    (flags.toMap, positional.result())
+  }
+}

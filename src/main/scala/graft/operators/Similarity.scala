@@ -35,6 +35,25 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Allocation-free dot for the PAIR hot path: an aggregate fold over
+    * element_at instead of zip_with, which materializes a product array
+    * per pair — a GC storm at millions of candidate pairs. (A statically
+    * unrolled 64-term sum was measured SLOWER: the giant expression
+    * overflows Janino's method limit and falls back to interpretation.)
+    * Left-to-right add order matches [[dot]], so results are bit-identical. */
+  private def dotIdx(a: Column, b: Column, dim: Int): Column =
+    aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+      (acc, i) => acc + element_at(a, i).cast(DoubleType) * element_at(b, i).cast(DoubleType))
+
+  /** Pre-projected side for pairwise kernels: id, double vector, norm —
+    * computed ONCE per row on each join side (join is a collapse barrier),
+    * so the per-pair work is just the indexed dot. */
+  private def side(df: DataFrame, idCol: String, vecCol: String,
+                   idAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+      transform(col(vecCol), x => x.cast(DoubleType)).as(vecAs),
+      norm(col(vecCol)).as(normAs))
+
   /**
    * Exact top-k cosine neighbors for each row of `queries` against
    * `corpus` (both `(idCol, vecCol)`). The query side is broadcast —
@@ -43,25 +62,34 @@ object Similarity {
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("__qid"), col(vecCol).as("__qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val dim = vectorDim(corpus, vecCol)
+    val q = broadcast(side(queries, idCol, vecCol, "__qid", "__qv", "__qn"))
+    val c = side(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
     val scored = q.join(c, col("__qid") =!= col("neighbor_id"))
-      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos_sim",
+        dotIdx(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("__qid")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"), col("cos_sim"))
   }
 
+  /** Static vector width from the first row (embedding layouts are fixed
+    * per dataset; avoids threading dim through every call site). */
+  private def vectorDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** Embedding-cosine near-duplicate pairs: all corpus pairs with
     * cosine >= threshold. Exact (self-join) flavor — the verify baseline;
     * use [[srpCandidatePairs]] + this threshold as the scale path. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
-    val b = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
+    val dim = vectorDim(corpus, vecCol)
+    val a = side(corpus, idCol, vecCol, "vec_a", "__va", "__na")
+    val b = side(corpus, idCol, vecCol, "vec_b", "__vb", "__nb")
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .withColumn("cos_sim",
+        dotIdx(col("__va"), col("__vb"), dim) / (col("__na") * col("__nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
@@ -87,9 +115,13 @@ object Similarity {
       val bucket = bits.foldLeft(lit(0))((acc, b) => acc * 2 + b)
       struct(lit(t).as("table"), bucket.as("bucket"))
     }
-    df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+    // carry the pre-cast double vector + norm so the pair rerank never
+    // touches the float array again
+    df.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("__v"),
+      norm(col(vecCol)).as("__n"),
       explode(array(tableStructs: _*)).as("__tb"))
-      .select(col("__id"), col("__v"),
+      .select(col("__id"), col("__v"), col("__n"),
         col("__tb.table").as("__table"), col("__tb.bucket").as("__bucket"))
   }
 
@@ -97,11 +129,13 @@ object Similarity {
   def srpCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
                         tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
     val b = srpBuckets(corpus, idCol, vecCol, tables, planes, dim)
-    b.select(col("__table"), col("__bucket"), col("__id").as("vec_a"), col("__v").as("__va"))
-      .join(b.select(col("__table"), col("__bucket"), col("__id").as("vec_b"), col("__v").as("__vb")),
+    b.select(col("__table"), col("__bucket"), col("__id").as("vec_a"),
+        col("__v").as("__va"), col("__n").as("__na"))
+      .join(b.select(col("__table"), col("__bucket"), col("__id").as("vec_b"),
+        col("__v").as("__vb"), col("__n").as("__nb")),
         Seq("__table", "__bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("__va"), col("__vb"))
+      .select(col("vec_a"), col("vec_b"), col("__va"), col("__vb"), col("__na"), col("__nb"))
       .dropDuplicates("vec_a", "vec_b")
   }
 
@@ -120,7 +154,8 @@ object Similarity {
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
               tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
     val pairs = srpCandidatePairs(corpus, idCol, vecCol, tables, planes, dim)
-      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .withColumn("cos_sim",
+        dotIdx(col("__va"), col("__vb"), dim) / (col("__na") * col("__nb")))
     // symmetrize: each pair scores both directions
     val directed = pairs.select(col("vec_a").as("__qid"), col("vec_b").as("neighbor_id"), col("cos_sim"))
       .unionAll(pairs.select(col("vec_b").as("__qid"), col("vec_a").as("neighbor_id"), col("cos_sim")))

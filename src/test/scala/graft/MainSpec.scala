@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("Main runs a YAML config end-to-end in parquet mode") {
+    val dir = java.nio.file.Files.createTempDirectory("main_spec")
+    val tables = dir.resolve("tables")
+    java.nio.file.Files.createDirectories(tables)
+    java.nio.file.Files.writeString(dir.resolve("config.yaml"),
+      """global:
+        |  tables_folder: tables
+        |  table_files: [nation.yaml]
+        |""".stripMargin)
+    java.nio.file.Files.writeString(tables.resolve("nation.yaml"),
+      """source_table: nation
+        |target_table: nation_out
+        |mappings:
+        |  - source: n_nationkey
+        |    target: id
+        |  - source: n_name
+        |    target: name
+        |    transform: lower
+        |""".stripMargin)
+    val out = java.nio.file.Files.createTempDirectory("main_out").toString
+    val report = Main.run(Array(dir.resolve("config.yaml").toString,
+      "--parquet-source", "/root/testdata/sf0.001",
+      "--parquet-target", out), spark)
+    assert(report.totalRows == 25L)
+    val res = spark.read.parquet(s"$out/nation_out.parquet")
+    assert(res.count() == 25)
+    assert(res.columns.toSeq == Seq("id", "name"))
+  }
+
+  test("wire fails fast with a clear message when no source is configured") {
+    val cfg = graft.config.EtlConfig(graft.config.GlobalConfig(), Nil)
+    val ex = intercept[IllegalArgumentException] {
+      Main.wire(spark, cfg, None, Some("/tmp"))
+    }
+    assert(ex.getMessage.contains("--parquet-source"))
+  }
+}
