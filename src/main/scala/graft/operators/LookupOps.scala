@@ -42,8 +42,12 @@ object LookupOps {
   /** Result of compiling one lookup step. `abortViolationCol`, when set,
     * names a boolean helper column on `df` flagging rows that must abort
     * the job (on_missing=error); the caller asserts it empty pre-write
-    * and projects the helper away. skip-rows are already filtered out. */
-  final case class LookupResult(df: DataFrame, abortViolationCol: Option[String])
+    * and projects the helper away. skip-rows are filtered out eagerly,
+    * unless `deferSkip` asked for them to be FLAGGED instead
+    * (`skipFlagCol`) so the caller can keep one frame for a combined
+    * violation pass and filter once at the end. */
+  final case class LookupResult(df: DataFrame, abortViolationCol: Option[String],
+                                skipFlagCol: Option[String] = None)
 
   /**
    * Rewrites `targetCol` of `df` (currently holding the key value) to the
@@ -55,7 +59,8 @@ object LookupOps {
       targetCol: String,
       lookup: LookupConfig,
       dim: DataFrame,
-      hintBroadcast: Boolean = false): LookupResult = {
+      hintBroadcast: Boolean = false,
+      deferSkip: Boolean = false): LookupResult = {
     val id = ctr.incrementAndGet()
     val kc = s"__lk_key_$id"
     val vc = s"__lk_val_$id"
@@ -80,8 +85,14 @@ object LookupOps {
     val onMissingRaw = lookup.onMissing.getOrElse("error")
     val onMissing = onMissingRaw.toLowerCase
     var abortViolationCol: Option[String] = None
+    var skipFlagCol: Option[String] = None
     onMissing match {
-      case "skip" => joined = joined.filter(!missed)
+      case "skip" =>
+        if (deferSkip) {
+          val flagCol = s"__lk_skip_$id"
+          joined = joined.withColumn(flagCol, missed)
+          skipFlagCol = Some(flagCol)
+        } else joined = joined.filter(!missed)
       case "null" => ()
       case s if s.startsWith("default:") => ()
       case _ => // error (the reference's default, default_lookup.py:78)
@@ -95,7 +106,8 @@ object LookupOps {
       case s if s.startsWith("default:") => base.otherwise(lit(onMissingRaw.split(":", 2)(1)))
       case _ => base.otherwise(lit(null).cast(StringType))
     }
-    LookupResult(joined.withColumn(targetCol, valueExpr).drop(kc, vc), abortViolationCol)
+    LookupResult(joined.withColumn(targetCol, valueExpr).drop(kc, vc),
+      abortViolationCol, skipFlagCol)
   }
 
   /**

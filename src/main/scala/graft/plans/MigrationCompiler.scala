@@ -106,7 +106,26 @@ object MigrationCompiler extends Logging {
     }: _*)
 
     var df = projected
-    val abortChecks = Seq.newBuilder[() => Unit]
+
+    // Row-drop ("skip") and abort ("error") rules are compiled to FLAG
+    // COLUMNS on one frame instead of eager filters + per-rule check jobs:
+    //  - skip flags AND-combine into one final filter (row-local
+    //    predicates, so one combined filter selects the same survivors as
+    //    the reference's sequential short-circuit);
+    //  - abort flags are guarded by alive-so-far (a row skipped by an
+    //    EARLIER rule never reaches a later error rule — the reference's
+    //    `return row` short-circuit, default_validation.py:31 — while a
+    //    row a LATER rule would skip still aborts first);
+    //  - all abort flags are summed in ONE aggregation job, so N error
+    //    rules cost one extra pass over the source, not N (at 100 TB the
+    //    per-rule isEmpty probes each re-read the upstream).
+    var skipFlags = List.empty[String]  // flag=true -> row dropped
+    var abortFlags = List.empty[(String, String)] // flag col -> context
+    def aliveSoFar: Column =
+      skipFlags.foldLeft(lit(true))((acc, f) => acc && !col(f))
+    def helperCols: Seq[Column] = (skipFlags ++ abortFlags.map(_._1)).map(col)
+    def reproject(): Unit =
+      df = df.select(mappings.map(m => col(m.targetName)) ++ helperCols: _*)
 
     // columns with a self-lookup rule: in the reference these are nulled
     // before validators run (plugins/default_lookup.py:104-107), so every
@@ -117,20 +136,21 @@ object MigrationCompiler extends Logging {
     // 5. external lookup joins (reference: plugins/default_lookup.py:44-95).
     mappings.filter(r => r.lookup.exists(_.table != cfg.targetTable)).foreach { r =>
       val lk = r.lookup.get
-      val res = LookupOps.externalLookup(df, r.targetName, lk, dim(lk.table), broadcastDims)
+      val res = LookupOps.externalLookup(df, r.targetName, lk, dim(lk.table),
+        broadcastDims, deferSkip = true)
       df = res.df
       res.abortViolationCol.foreach { violCol =>
-        val frame = df
-        abortChecks += (() => ValidationCompiler.assertNoViolations(
-          frame, col(violCol), s"${cfg.targetTable}.${r.targetName} lookup on_missing=error"))
-        df = df.drop(violCol)
+        df = df.withColumn(violCol, aliveSoFar && col(violCol))
+        abortFlags ::= violCol -> s"${cfg.targetTable}.${r.targetName} lookup on_missing=error"
       }
+      res.skipFlagCol.foreach { f => skipFlags ::= f }
     }
 
     // 6. validations, in mapping order then rule order; each action is
     //    applied to the frame before the next rule runs, preserving the
     //    reference's sequential mutation semantics
     //    (plugins/default_validation.py:11-91).
+    var flagId = 0
     mappings.filterNot(r => selfTargets(r.targetName)).foreach { r =>
       r.validation.foreach { vr =>
         val tgt = r.targetName
@@ -144,26 +164,44 @@ object MigrationCompiler extends Logging {
             col(okCol)
           case _ => ValidationCompiler.okPredicate(vr, col(tgt), dt)
         }
+        flagId += 1
         ValidationCompiler.action(vr) match {
           case ValidationCompiler.NullOut =>
             df = df.withColumn(tgt, when(ok, col(tgt)).otherwise(lit(null).cast(dt)))
           case ValidationCompiler.Default(x) =>
             df = df.withColumn(tgt, when(ok, col(tgt)).otherwise(lit(x).cast(dt)))
           case ValidationCompiler.Skip =>
-            df = df.filter(ok) // skipped rows short-circuit later rules, like the reference
+            val f = s"__skip_$flagId"
+            df = df.withColumn(f, !ok)
+            skipFlags ::= f
           case ValidationCompiler.Abort =>
-            val frame = df
-            val cond = !ok
-            abortChecks += (() => ValidationCompiler.assertNoViolations(
-              frame, cond, s"${cfg.targetTable}.$tgt ${vr.vtype}"))
+            val f = s"__abort_$flagId"
+            df = df.withColumn(f, aliveSoFar && !ok)
+            abortFlags ::= f -> s"${cfg.targetTable}.$tgt ${vr.vtype}"
         }
-        // drop any probe helper column
-        df = df.select(mappings.map(m => col(m.targetName)): _*)
+        // drop any probe helper column, keep the flags
+        reproject()
       }
     }
 
+    // one combined violation pass over the flagged frame (pre-filter, so
+    // rows later skips would drop still abort — reference order semantics)
+    val abortChecks =
+      if (abortFlags.isEmpty) Seq.empty[() => Unit]
+      else {
+        val frame = df
+        val flags = abortFlags.reverse
+        Seq(() => ValidationCompiler.assertNoViolationsCombined(
+          frame, flags.map { case (f, ctx) => (col(f), ctx) }))
+      }
+
+    // final skip filter: one conjunction instead of N sequential filters
+    if (skipFlags.nonEmpty) df = df.filter(aliveSoFar)
+
     // 7. self-lookup joins, replacing the two-phase UPDATE fixup
-    //    (plugins/default_loader.py:109-154).
+    //    (plugins/default_loader.py:109-154). Runs after the skip filter:
+    //    the self-dim must only see surviving rows.
+    df = df.select(mappings.map(m => col(m.targetName)): _*)
     selfRules.foreach { r =>
       df = LookupOps.selfLookup(df, r.targetName, r.lookup.get)
     }
@@ -173,7 +211,7 @@ object MigrationCompiler extends Logging {
     //    plugins/default_loader.py:92).
     df = df.select(mappings.map(m => col(m.targetName)): _*)
 
-    CompiledTable(cfg, df, abortChecks.result(), dropped.map(_.sourceName))
+    CompiledTable(cfg, df, abortChecks, dropped.map(_.sourceName))
   }
 
   /**

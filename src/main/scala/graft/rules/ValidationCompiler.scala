@@ -115,4 +115,24 @@ object ValidationCompiler {
       throw new IllegalStateException(s"validation failed (on_fail=error) in $context: $row")
     }
   }
+
+  /** Combined abort check: ONE aggregation job summing every error-rule's
+    * violation flag, so N error rules cost one extra pass over the source
+    * instead of N (the per-rule probes each re-execute the upstream plan —
+    * a 2x source-read per rule at 100 TB). Throws naming every violated
+    * rule with its violation count. */
+  def assertNoViolationsCombined(df: DataFrame, flags: Seq[(Column, String)]): Unit = {
+    if (flags.isEmpty) return
+    val counts = df.agg(
+      sum(when(flags.head._1, 1L).otherwise(0L)),
+      flags.tail.map { case (c, _) => sum(when(c, 1L).otherwise(0L)) }: _*
+    ).collect().head
+    val violated = flags.zipWithIndex.collect {
+      case ((_, ctx), i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+        s"$ctx (${counts.getLong(i)} rows)"
+    }
+    if (violated.nonEmpty)
+      throw new IllegalStateException(
+        s"validation failed (on_fail=error) in ${violated.mkString("; ")}")
+  }
 }

@@ -44,6 +44,20 @@ final case class ParquetSink(dir: String, truncate: Boolean = true) extends Sink
  *  - `batchsize` controls rows per INSERT round-trip (the reference's
  *    1000-row execute_values page).
  */
+object JdbcSink {
+  /** SQL-standard identifier quoting: wrap in double quotes, double any
+    * embedded quote. Rejects control characters outright. */
+  def quote(ident: String): String = {
+    require(ident.nonEmpty && !ident.exists(_ < ' '),
+      s"illegal SQL identifier: '$ident'")
+    "\"" + ident.replace("\"", "\"\"") + "\""
+  }
+
+  /** Quote a possibly schema-qualified name part by part. */
+  def quoteQualified(name: String): String =
+    name.split("\\.", -1).map(quote).mkString(".")
+}
+
 final case class JdbcSink(
     url: String,
     user: String,
@@ -81,12 +95,16 @@ final case class JdbcSink(
   /** Self-lookup compat mode (SURVEY §7.5.4): post-write UPDATE fixup for
     * targets preloaded with other data — the reference's exact statement
     * (plugins/default_loader.py:128-141) minus the tmp column, keyed on
-    * the already-written target column. */
+    * the already-written target column. Identifiers are quoted (the
+    * reference interpolates them raw — config-driven injection surface,
+    * and unquoted mixed-case names break in Postgres). */
   def selfLookupFixup(table: String, targetCol: String, keyCol: String, valueCol: String): Unit = {
+    val (t, tc, kc, vc) = (JdbcSink.quoteQualified(table), JdbcSink.quote(targetCol),
+      JdbcSink.quote(keyCol), JdbcSink.quote(valueCol))
     execute(
-      s"""UPDATE $table AS target SET $targetCol = source.$valueCol
-         |FROM $table AS source
-         |WHERE target.$targetCol = source.$keyCol AND source.$valueCol IS NOT NULL""".stripMargin)
+      s"""UPDATE $t AS target SET $tc = source.$vc
+         |FROM $t AS source
+         |WHERE target.$tc = source.$kc AND source.$vc IS NOT NULL""".stripMargin)
     ()
   }
 }
