@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.config.TableConfig
+import graft.plans.MigrationCompiler
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured-Streaming operators — the engine's answer to the
+ * reference's named-but-missing `incremental_fetcher` extension point
+ * (reference: config/tables/table_example.yaml:10, loaded dynamically by
+ * core/plugin_registry.py; the module never shipped). Where the
+ * reference would re-poll Oracle with a cursor, Spark's incremental
+ * model is readStream -> same compiled transforms -> writeStream.
+ *
+ * 100 TB design:
+ *  - event-time windows ALWAYS carry a watermark, or state grows
+ *    unboundedly;
+ *  - sessionization state is per-key and dropped via timeout — the
+ *    planner shuffles by key once and keeps state local to a partition;
+ *  - the migration compiler is reused verbatim on streaming frames:
+ *    transforms/validations are stateless Column rewrites and lookup
+ *    joins become stream-static joins (Spark executes the static dim
+ *    side as a broadcast per micro-batch).
+ */
+object StreamingOps {
+
+  /** Watermarked tumbling-window counts + sums per key — the canonical
+    * streaming aggregation (late rows beyond `watermark` are dropped,
+    * bounding state). */
+  def windowedEventCounts(events: DataFrame, tsCol: String, keyCol: String,
+                          valueCol: String, window: String,
+                          watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_events"), col("sum_value"))
+
+  final case class SessionEvent(userId: Long, ts: java.sql.Timestamp, eventType: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(userId: Long, startTs: java.sql.Timestamp,
+                           endTs: java.sql.Timestamp, nEvents: Int)
+
+  implicit private val eventEnc: Encoder[SessionEvent] = Encoders.product[SessionEvent]
+  implicit private val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit private val sessionEnc: Encoder[Session] = Encoders.product[Session]
+  implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * when a later event arrives past the gap, or (with
+    * ProcessingTimeTimeout, the production default) when no event arrives
+    * for `gapMs`. State is one small struct per active user —
+    * partition-local, timeout-bounded. Tests use NoTimeout: the timeout
+    * path keeps scheduling wake-up batches, which never settles under
+    * MemoryStream's processAllAvailable. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[Session] =
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n))
+          } else {
+            val evs = it.toSeq
+            val closed = Seq.newBuilder[Session]
+            var st = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0))
+            evs.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (st.n > 0 && t - st.last > gapMs) {
+                closed += Session(userId, new java.sql.Timestamp(st.start),
+                  new java.sql.Timestamp(st.last), st.n)
+                st = SessionState(t, t, 1)
+              } else {
+                st = SessionState(math.min(st.start, t), math.max(st.last, t), st.n + 1)
+              }
+            }
+            state.update(st)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
+              state.setTimeoutDuration(gapMs)
+            closed.result().iterator
+          }
+      }
+
+  /** Apply a table migration config to a STREAMING source frame: the same
+    * compiled plan (rename/transform/validate/lookup), incremental
+    * execution. `resolve` supplies STATIC lookup dims (stream-static
+    * join). Abort-rules are rejected: a streaming job cannot pre-scan. */
+  def compileStream(cfg: TableConfig, stream: DataFrame,
+                    resolve: String => Option[DataFrame]): DataFrame = {
+    val compiled = MigrationCompiler.compile(cfg, stream, resolve)
+    require(compiled.abortChecks.isEmpty,
+      "on_fail=error / on_missing=error rules are not supported on streams " +
+        "(no pre-write validation pass exists); use skip/null/default actions")
+    compiled.dataFrame
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.config._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.SessionEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowed counts aggregate a micro-batch with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val stream = mem.toDF().toDF("ts", "user_id", "value")
+    val out = StreamingOps.windowedEventCounts(stream, "ts", "user_id",
+      "value", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), 1L, 2.0),
+      (ts("2024-01-01 00:02:00"), 1L, 3.0),
+      (ts("2024-01-01 00:11:00"), 1L, 5.0),
+      (ts("2024-01-01 00:03:00"), 2L, 7.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM win_counts").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 00:00:00.0", 1L, 2L, 5.0),
+      ("2024-01-01 00:10:00.0", 1L, 1L, 5.0),
+      ("2024-01-01 00:00:00.0", 2L, 1L, 7.0)))
+  }
+
+  test("sessionize closes a session on gap within one batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingOps.sessionize(mem.toDS(), gapMs = 60000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // two bursts 10 minutes apart -> first session closes when the second arrives
+    mem.addData(
+      SessionEvent(1L, ts("2024-01-01 00:00:00"), "click"),
+      SessionEvent(1L, ts("2024-01-01 00:00:30"), "view"),
+      SessionEvent(1L, ts("2024-01-01 00:10:00"), "click"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getInt(3)))
+    q.stop()
+    assert(rows.toSeq == Seq((1L, "2024-01-01 00:00:00.0", "2024-01-01 00:00:30.0", 2)))
+  }
+
+  test("compileStream applies a migration config incrementally with a static lookup") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1, "ALPHA"), (2, "BETA")).toDF("k", "v")
+    val mem = MemoryStream[(Long, Int)]
+    val cfg = TableConfig(sourceTable = "s", targetTable = "t", mappings = List(
+      MappingRule(source = Some("id"), target = Some("id")),
+      MappingRule(source = Some("nation"), target = Some("nation_name"),
+        lookup = Some(LookupConfig("dim", "k", Some("v"), Some("null"))))))
+    val out = StreamingOps.compileStream(cfg, mem.toDF().toDF("id", "nation"),
+      n => if (n == "dim") Some(dim) else None)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_migrate")
+      .outputMode("append").start()
+    mem.addData((10L, 1), (20L, 3))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM stream_migrate").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    assert(rows == Map(10L -> "ALPHA", 20L -> null))
+  }
+
+  test("compileStream rejects abort rules (no pre-scan on a stream)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val cfg = TableConfig(sourceTable = "s", targetTable = "t", mappings = List(
+      MappingRule(source = Some("v"), target = Some("v"), validation =
+        List(ValidationRule("regex", pattern = Some("[0-9]+"), onFail = Some("error"))))))
+    intercept[IllegalArgumentException] {
+      StreamingOps.compileStream(cfg, mem.toDF().toDF("id", "v"), _ => None)
+    }
+  }
+}
