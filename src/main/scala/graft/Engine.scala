@@ -1,6 +1,6 @@
 package graft
 
-import graft.config.{EtlConfig, TableConfig}
+import graft.config.{EtlConfig, GlobalConfig, TableConfig}
 import graft.plans.MigrationCompiler
 import graft.sinks.Sink
 import graft.sources.Catalog
@@ -35,17 +35,38 @@ object Engine extends Logging {
     def totalRows: Long = tables.map(_.rows).sum
   }
 
+  /** Resolve a config-named plugin: the reference's "default_*" names mean
+    * built-in behavior; any other name must be registered in
+    * [[graft.plugins.PluginRegistry]] (reference: core/plugin_registry.py
+    * selects modules by these exact config fields). */
+  private def named[P](name: Option[String], dflt: String,
+                       get: String => Option[P], kind: String): Option[P] =
+    name.filter(_ != dflt).map(n => get(n).getOrElse(
+      throw new IllegalArgumentException(
+        s"$kind plugin '$n' named in config but not registered — " +
+          s"load it via PluginRegistry.loadAndInstall or --plugin")))
+
+  private def scanVia(t: TableConfig, global: GlobalConfig, catalog: Catalog): (DataFrame, Boolean) =
+    named(t.fetcherPlugin.orElse(Some(global.fetcherPlugin)), "default_fetcher",
+      graft.plugins.PluginRegistry.fetcher, "fetcher") match {
+      case Some(f) => f.scan(catalog, t.sourceTable, t.where)
+      case None => catalog.scan(t.sourceTable, t.where)
+    }
+
   /** Compile one table (no execution) — the unit the tests exercise.
     * broadcastDims defaults to false: let Catalyst pick broadcast vs
     * sort-merge from dim stats (the 100 TB-safe default). */
-  def plan(cfg: TableConfig, catalog: Catalog, broadcastDims: Boolean = false): MigrationCompiler.CompiledTable = {
-    val (source, wherePushed) = catalog.scan(cfg.sourceTable, cfg.where)
+  def plan(cfg: TableConfig, catalog: Catalog, broadcastDims: Boolean = false,
+           global: GlobalConfig = GlobalConfig()): MigrationCompiler.CompiledTable = {
+    val (source, wherePushed) = scanVia(cfg, global, catalog)
     MigrationCompiler.compile(cfg, source, catalog.tableOpt, wherePushed = wherePushed,
       broadcastDims = broadcastDims)
   }
 
   /** Full run: schedule into waves -> compile -> assert error-rules ->
-    * write; independent tables within a wave execute concurrently. */
+    * write; independent tables within a wave execute concurrently.
+    * Config-named fetcher/loader plugins (table-level overriding global)
+    * are honored; non-default names must be registered. */
   def migrate(cfg: EtlConfig, catalog: Catalog, sink: Sink,
               broadcastDims: Boolean = false,
               maxParallelTables: Int = 4): MigrationReport = {
@@ -58,19 +79,22 @@ object Engine extends Logging {
 
     def runTable(t: TableConfig): TableReport = {
       val t0 = System.nanoTime()
-      val (source, wherePushed) = catalog.scan(t.sourceTable, t.where)
+      val (source, wherePushed) = scanVia(t, cfg.global, catalog)
       val compiled = MigrationCompiler.compile(t, source, resolve,
         wherePushed = wherePushed, broadcastDims = broadcastDims)
+      val tableSink = named(t.loaderPlugin.orElse(Some(cfg.global.loaderPlugin)),
+        "default_loader", graft.plugins.PluginRegistry.loader, "loader")
+        .map(_.sink(Map("table" -> t.targetTable))).getOrElse(sink)
       compiled.assertValid()
-      sink.preLoad(t.targetTable)
+      tableSink.preLoad(t.targetTable)
       // row count via observe: no cache, no second pass over the data
       // (replaces the reference's per-batch count logs, pipeline.py:100).
       val obs = new org.apache.spark.sql.Observation()
       val observed = compiled.dataFrame.observe(obs,
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
-      sink.write(t.targetTable, observed)
-      sink.finalizeTable(t.targetTable)
-      written.put(t.targetTable, sink.readBack(t.targetTable).getOrElse(compiled.dataFrame))
+      tableSink.write(t.targetTable, observed)
+      tableSink.finalizeTable(t.targetTable)
+      written.put(t.targetTable, tableSink.readBack(t.targetTable).getOrElse(compiled.dataFrame))
       val rows = obs.get("rows").asInstanceOf[Long]
       val secs = (System.nanoTime() - t0) / 1e9
       logInfo(f"[${t.targetTable}] $rows rows in $secs%.2fs")

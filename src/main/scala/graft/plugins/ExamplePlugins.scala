@@ -21,3 +21,30 @@ final class NormalizeNamesPlugin extends TransformPlugin {
         regexp_replace(lower(trim(c)), "[^a-z0-9]+", "_"), "^_+|_+$", "")),
   )
 }
+
+/**
+ * Example site fetcher: the `incremental_fetcher` the reference's example
+ * table config selects but never shipped
+ * (reference: config/tables/table_example.yaml:10). Restricts the scan to
+ * rows past a watermark — the batch flavor of incremental loading (the
+ * streaming flavor is [[graft.streaming.StreamingOps.compileStream]]).
+ *
+ * Watermark source: `GRAFT_WATERMARK` env ("column>=value"), kept
+ * env-driven so the class stays no-arg-constructible for
+ * `Class.forName` loading; a real deployment would read its own state
+ * store. The predicate is ANDed into the pushdown where-clause, so JDBC
+ * sources ship it to the database verbatim.
+ */
+final class IncrementalFetcherPlugin extends FetcherPlugin {
+  override def name: String = "incremental_fetcher"
+  override def scan(catalog: graft.sources.Catalog, table: String,
+                    where: Option[String]): (org.apache.spark.sql.DataFrame, Boolean) = {
+    val watermark = sys.env.get("GRAFT_WATERMARK")
+    val combined = (where.toList ++ watermark.toList) match {
+      case Nil => None
+      case one :: Nil => Some(one)
+      case many => Some(many.map(w => s"($w)").mkString(" AND "))
+    }
+    catalog.scan(table, combined)
+  }
+}

@@ -20,11 +20,17 @@ trait Catalog extends (String => DataFrame) {
     scala.util.Try(table(name)).toOption
 
   /** Source scan for a table migration. Returns the frame plus whether the
-    * `where` string was already pushed verbatim into the scan (JDBC
-    * source-dialect mode, SURVEY §7.5.6). Default: plain table read, the
-    * where is applied by the compiler (Catalyst pushes it to the scan). */
+    * `where` string was already applied (so the compiler must not re-apply
+    * cfg.where). The where passed here may be RICHER than cfg.where — a
+    * fetcher plugin can AND in a watermark — so the default implementation
+    * applies it rather than dropping it; Catalyst still pushes the filter
+    * into the file scan. JDBC overrides with a verbatim source-dialect
+    * push (SURVEY §7.5.6). */
   def scan(name: String, where: Option[String]): (DataFrame, Boolean) =
-    (table(name), false)
+    where match {
+      case Some(w) => (table(name).filter(org.apache.spark.sql.functions.expr(w)), true)
+      case None => (table(name), false)
+    }
 }
 
 /** One parquet file per table under `dir` (the driver testdata layout). */

@@ -30,6 +30,31 @@ class PluginRegistrySpec extends AnyFunSuite {
       PluginRegistry.load("graft.plugins.NoSuchPlugin")
     }
   }
+  test("config-named fetcher plugin is honored by Engine.migrate") {
+    import spark.implicits._
+    PluginRegistry.loadAndInstall("graft.plugins.IncrementalFetcherPlugin")
+    val out = java.nio.file.Files.createTempDirectory("inc_fetch").toString
+    val cfg = graft.config.EtlConfig(
+      graft.config.GlobalConfig(fetcherPlugin = "incremental_fetcher"),
+      List(graft.config.TableConfig(sourceTable = "nation", targetTable = "n_out",
+        where = Some("n_nationkey < 10"),
+        mappings = List(graft.config.MappingRule(source = Some("n_nationkey"), target = Some("k"))))))
+    val report = Engine.migrate(cfg,
+      graft.sources.ParquetCatalog(spark, "/root/testdata/sf0.001"),
+      graft.sinks.ParquetSink(out))
+    assert(report.totalRows == 10L) // where still applied through the plugin scan
+  }
+  test("unregistered config-named plugin fails with a clear message") {
+    val cfg = graft.config.EtlConfig(
+      graft.config.GlobalConfig(fetcherPlugin = "no_such_fetcher"),
+      List(graft.config.TableConfig(sourceTable = "nation", targetTable = "x",
+        mappings = List(graft.config.MappingRule(source = Some("n_nationkey"), target = Some("k"))))))
+    val ex = intercept[IllegalArgumentException] {
+      Engine.migrate(cfg, graft.sources.ParquetCatalog(spark, "/root/testdata/sf0.001"),
+        graft.sinks.ParquetSink("/tmp/never"))
+    }
+    assert(ex.getMessage.contains("no_such_fetcher"))
+  }
   test("install registers capability-specific registries") {
     object FakeLoader extends LoaderPlugin {
       def name = "fake_loader"
