@@ -125,18 +125,22 @@ object Similarity {
         col("__tb.table").as("__table"), col("__tb.bucket").as("__bucket"))
   }
 
-  /** Candidate pairs from shared SRP buckets (any table). */
+  /** Candidate pairs from shared SRP buckets (any table). The bucket join
+    * and the pair dedup carry IDs ONLY — vectors re-join after distinct,
+    * so the dedup shuffle moves 16 bytes per candidate instead of the
+    * ~1KB double vectors (the dominant shuffle at corpus scale). */
   def srpCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
                         tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
     val b = srpBuckets(corpus, idCol, vecCol, tables, planes, dim)
-    b.select(col("__table"), col("__bucket"), col("__id").as("vec_a"),
-        col("__v").as("__va"), col("__n").as("__na"))
-      .join(b.select(col("__table"), col("__bucket"), col("__id").as("vec_b"),
-        col("__v").as("__vb"), col("__n").as("__nb")),
+    val ids = b.select(col("__table"), col("__bucket"), col("__id").as("vec_a"))
+      .join(b.select(col("__table"), col("__bucket"), col("__id").as("vec_b")),
         Seq("__table", "__bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val a = side(corpus, idCol, vecCol, "vec_a", "__va", "__na")
+    val bb = side(corpus, idCol, vecCol, "vec_b", "__vb", "__nb")
+    ids.join(a, "vec_a").join(bb, "vec_b")
       .select(col("vec_a"), col("vec_b"), col("__va"), col("__vb"), col("__na"), col("__nb"))
-      .dropDuplicates("vec_a", "vec_b")
   }
 
   /**
