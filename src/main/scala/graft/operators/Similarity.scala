@@ -35,15 +35,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Allocation-free dot for the PAIR hot path: an aggregate fold over
-    * element_at instead of zip_with, which materializes a product array
-    * per pair — a GC storm at millions of candidate pairs. (A statically
-    * unrolled 64-term sum was measured SLOWER: the giant expression
-    * overflows Janino's method limit and falls back to interpretation.)
-    * Left-to-right add order matches [[dot]], so results are bit-identical. */
+  /** Dot product for the PAIR hot path: a native codegen'd Catalyst
+    * expression ([[graft.functions.DotProduct]]) — HOF formulations
+    * (zip_with/aggregate) interpret the lambda per element and allocate
+    * per pair, which dominates at millions of candidate pairs. (A
+    * statically unrolled 64-term Column sum was measured even slower:
+    * it overflows Janino's method limit and falls back to full
+    * interpretation.) Same ascending fold order as [[dot]], so results
+    * are bit-identical across all three formulations. */
   private def dotIdx(a: Column, b: Column, dim: Int): Column =
-    aggregate(sequence(lit(1), lit(dim)), lit(0.0),
-      (acc, i) => acc + element_at(a, i).cast(DoubleType) * element_at(b, i).cast(DoubleType))
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   /** Pre-projected side for pairwise kernels: id, double vector, norm —
     * computed ONCE per row on each join side (join is a collapse barrier),
