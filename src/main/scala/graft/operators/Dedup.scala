@@ -93,28 +93,17 @@ object Dedup {
                       n: Int = 5, threshold: Double = 0.5,
                       numPerm: Int = 64, bands: Int = 32): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
-    val rows = numPerm / bands
     val sh = shingled(docs, idCol, textCol, n)
-    // signature[i] = min over shingles of xxhash64(shingle, i), computed as
-    // explode -> partial-aggregated min. NOT a nested HOF expression: that
-    // shape gets inlined by projection collapse into every band struct and
-    // recomputes the shingling numPerm*bands times per row; the explode
-    // plan hashes each (shingle, perm) exactly once, and the groupBy's
-    // map-side combine shrinks the shuffle to numPerm rows per doc.
-    val inv = sh.select(col("__id"), explode(col("__sh")).as("__g"))
-    val hashed = inv.select(col("__id"),
-      posexplode(transform(sequence(lit(0), lit(numPerm - 1)), i => xxhash64(col("__g"), i)))
-        .as(Seq("__perm", "__h")))
-    val sigArr = hashed.groupBy("__id", "__perm").agg(min("__h").as("__mh"))
-      .groupBy("__id")
-      .agg(transform(array_sort(collect_list(struct(col("__perm"), col("__mh")))),
-        s => s.getField("__mh")).as("__sig"))
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("band"), concat_ws(",",
-        slice(col("__sig"), b * rows + 1, rows)).as("sig")))
-    val bandRow = sigArr.select(col("__id"),
-      explode(array(bandStructs: _*)).as("__band"))
-      .select(col("__id"), col("__band.band").as("__bd"), col("__band.sig").as("__bs"))
+    // signature[i] = min over shingles of xxhash64(shingle, i), then band
+    // strings — all in ONE native expression per doc
+    // (graft.functions.MinHashBands): each shingle's bytes hashed once +
+    // numPerm integer mixes, no 96M-row explode/groupBy pipeline, no
+    // projection-collapse recompute hazard (the expression is a single
+    // generator input evaluated once per row).
+    val bandRow = sh.filter(size(col("__sh")) > 0)
+      .select(col("__id"),
+        posexplode(graft.functions.MinHashBands.minhashBands(col("__sh"), numPerm, bands))
+          .as(Seq("__bd", "__bs")))
     val cands = bandRow.select(col("__bd"), col("__bs"), col("__id").as("__a"))
       .join(bandRow.select(col("__bd"), col("__bs"), col("__id").as("__b")), Seq("__bd", "__bs"))
       .filter(col("__a") < col("__b"))

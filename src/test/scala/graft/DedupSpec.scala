@@ -59,6 +59,23 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L))) // identical text -> hamming 0
   }
+  test("MinHashBands expression equals the declarative xxhash64 formulation") {
+    import graft.functions.{MinHashBands, TextFunctions}
+    val df = docs.select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val native = df.select(col("doc_id"),
+      MinHashBands.minhashBands(col("sh"), numPerm = 8, bands = 4).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val declarative = df.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(7)),
+        i => xxhash64(col("g"), i))).as(Seq("p", "h")))
+      .groupBy("doc_id", "p").agg(min("h").as("mh"))
+      .groupBy("doc_id").agg(transform(array_sort(collect_list(struct(col("p"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+      .select(col("doc_id"), transform(sequence(lit(0), lit(3)),
+        b => concat_ws(",", slice(col("sig"), b * 2 + 1, lit(2)))).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(native == declarative)
+  }
   test("simhash fingerprint of identical docs is identical") {
     val fps = Dedup.simhashFingerprints(docs.filter(col("doc_id") <= 2), "doc_id", "text")
       .select("simhash").as[Long].collect()
