@@ -87,4 +87,40 @@ object Multimodal {
         it.map(decoder.decode)
       }
   }
+
+  /** One sampled video frame. */
+  final case class FrameSample(id: Long, frameIdx: Int, feature: Array[Float])
+
+  implicit private val frameEnc: Encoder[FrameSample] = Encoders.product[FrameSample]
+
+  /**
+   * Resize decoded media to a target box, preserving aspect ratio
+   * (standard image-pipeline pre-step before feature extraction). The
+   * pixel resample itself is the decoder's job in production — here the
+   * dimension math is real and the feature rescale is the stub.
+   */
+  def resize(ds: Dataset[DecodedMedia], maxW: Int, maxH: Int): Dataset[DecodedMedia] =
+    ds.map { m =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      if (scale >= 1.0) m
+      else m.copy(
+        width = math.max(1, math.round(m.width * scale).toInt),
+        height = math.max(1, math.round(m.height * scale).toInt))
+    }
+
+  /**
+   * Frame sampling for video payloads: emit every `everyN`-th frame as
+   * its own row (the unit a frame-level embedding model consumes).
+   * flatMap keeps it partition-local — no shuffle; at scale the output
+   * is repartitioned by the WRITER, not here.
+   */
+  def sampleFrames(ds: Dataset[DecodedMedia], everyN: Int): Dataset[FrameSample] =
+    ds.flatMap { m =>
+      if (m.kind != "video" || m.nFrames <= 0) Iterator.empty
+      else (0 until m.nFrames by math.max(1, everyN)).iterator.map { f =>
+        // stub frame feature: deterministic per (payload, frame index);
+        // a real decoder would extract the frame and embed it
+        FrameSample(m.id, f, m.feature.map(x => x + f * 1e-3f))
+      }
+    }
 }

@@ -34,6 +34,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a1.width != b.width || a1.height != b.height)
     assert(a1.width > 0 && a1.height > 0 && a1.feature.length == 8)
   }
+  test("resize preserves aspect ratio and never upscales") {
+    import spark.implicits._
+    val ds = Seq(
+      Multimodal.DecodedMedia(1L, "image", 10L, 4000, 2000, 1, Array.fill(8)(0f)),
+      Multimodal.DecodedMedia(2L, "image", 10L, 100, 50, 1, Array.fill(8)(0f))
+    ).toDS()
+    val out = Multimodal.resize(ds, 1024, 1024).collect().sortBy(_.id)
+    assert(out(0).width == 1024 && out(0).height == 512) // 4000x2000 -> fit 1024 box
+    assert(out(1).width == 100 && out(1).height == 50)   // small: untouched
+  }
+  test("sampleFrames emits every Nth frame for videos only") {
+    import spark.implicits._
+    val ds = Seq(
+      Multimodal.DecodedMedia(1L, "video", 10L, 100, 100, 10, Array.fill(8)(0.5f)),
+      Multimodal.DecodedMedia(2L, "image", 10L, 100, 100, 1, Array.fill(8)(0.5f))
+    ).toDS()
+    val frames = Multimodal.sampleFrames(ds, everyN = 3).collect()
+    assert(frames.map(_.id).distinct.toSeq == Seq(1L))
+    assert(frames.map(_.frameIdx).sorted.toSeq == Seq(0, 3, 6, 9))
+    // deterministic per-frame feature
+    val f3 = frames.find(_.frameIdx == 3).get.feature
+    assert(math.abs(f3(0) - (0.5f + 3e-3f)) < 1e-6)
+  }
   test("decodeBatch runs the decoder per partition over a binary frame") {
     val df = Seq((1L, "image", "aa"), (2L, "video", "bbbb")).toDF("id", "kind", "s")
       .withColumn("bytes", encode(col("s"), "UTF-8")).drop("s")
