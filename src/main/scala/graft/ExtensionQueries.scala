@@ -96,6 +96,21 @@ object ExtensionQueries {
 
     // --- multimodal -------------------------------------------------------
 
+    // --- batch windowing over events ------------------------------------
+
+    "q_events_sessionize" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts",
+        timestamp_micros(expr("ts div 1000"))) // nanos-long -> micros
+      det(graft.operators.Windowed.sessionizeBatch(ev, "user_id", "ts",
+        gapSeconds = 7200, tieBreakCol = Some("event_id")))
+    }),
+
+    "q_events_hourly" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts",
+        timestamp_micros(expr("ts div 1000")))
+      det(graft.operators.Windowed.timeBucketAgg(ev, "ts", "event_type", "value", "hour"))
+    }),
+
     "q_multimodal_json" -> ((s, dir) => {
       val parsed = Multimodal.parseJson(events(s, dir), "props",
         StructType(Seq(StructField("k", LongType))), "p")
@@ -206,6 +221,24 @@ object ExtensionQueries {
          |  (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM p)
          |SELECT vec_id, neighbor_id, rank FROM r WHERE rank <= 5
          |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1""".stripMargin,
+    "q_events_sessionize" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+         |l AS (SELECT user_id, ts, event_id,
+         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+         |f AS (SELECT user_id, ts, event_id,
+         |   CASE WHEN prev IS NULL OR extract(epoch FROM ts) - extract(epoch FROM prev) > 7200
+         |        THEN 1 ELSE 0 END AS nw FROM l),
+         |s AS (SELECT user_id, ts,
+         |   sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM f)
+         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         |       count(*) AS n_events
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id $N1, session_start $N1, session_end $N1, n_events $N1""".stripMargin,
+    "q_events_hourly" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+         |count(*) AS n_events, round(sum(value), 2) AS sum_value
+         |FROM events GROUP BY 1, 2
+         |ORDER BY bucket $N1, event_type $N1, n_events $N1, sum_value $N1""".stripMargin,
     "q_multimodal_json" ->
       s"""SELECT event_type, count(*) AS n_events,
          |CAST(sum(json_extract(props,'$$.k')::BIGINT) AS BIGINT) AS sum_k,
