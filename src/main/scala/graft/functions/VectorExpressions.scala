@@ -17,7 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  * whole-stage codegen: no allocation, no boxing, no virtual calls.
  *
  * Summation is an ascending left fold, matching the HOF formulation
- * bit-for-bit, so swapping implementations cannot change results.
+ * bit-for-bit, so swapping implementations cannot change results: like
+ * `aggregate(zip_with(a,b,*),...)` it returns NULL for ragged lengths
+ * (zip_with pads with null) or a null element — bad embedding data
+ * surfaces as null, never as a silently-truncated sum. The per-element
+ * null branch is only generated when the array type admits nulls
+ * (`containsNull`), so dense float/double columns keep the tight loop.
  */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -25,14 +30,26 @@ case class DotProduct(left: Expression, right: Expression)
   // inputs are guaranteed array<double> by the Column helper's casts
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -41,13 +58,22 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("sum")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -120,8 +120,14 @@ object Dedup {
   }
 
   /** SimHash fingerprints (63-bit) per doc, plus near-dup pairs within
-    * `maxHamming`, candidates from 4 x 16-bit band blocking (any pair
-    * within Hamming 3 shares at least one of 4 bands — pigeonhole). */
+    * `maxHamming`, candidates from band blocking with `maxHamming + 1`
+    * bands (pigeonhole: a pair differing in <= maxHamming bits must agree
+    * on at least one band). Default radius 3 -> 4 x 16-bit bands; a wider
+    * radius means MORE, NARROWER bands, so random-collision candidates
+    * grow ~2^(63/bands) per band — the standard simhash blocking
+    * tradeoff (radius up, pruning down). Real near-dup text (J >= 0.85)
+    * lands at Hamming <= 5 on this fingerprint, so radius 5 = 6 bands
+    * is the permissive end. */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       TextFunctions.simhash63(col(textCol)).as("simhash"))
@@ -129,9 +135,12 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val fp = simhashFingerprints(docs, idCol, textCol)
-    val chunkStructs = (0 until 4).map(b =>
+    val bands = maxHamming + 1
+    val width = (63 + bands - 1) / bands // ceil: bands cover all 63 bits
+    val mask = (1L << width) - 1
+    val chunkStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("chunk")))
+        shiftright(col("simhash"), width * b).bitwiseAND(lit(mask)).as("chunk")))
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(array(chunkStructs: _*)).as("__b"))
       .select(col("doc_id"), col("simhash"), col("__b.band").as("__bd"), col("__b.chunk").as("__ck"))

@@ -32,11 +32,16 @@ object Multimodal {
     df.withColumn(as, from_json(col(jsonCol), schema))
 
   /** Columnar binary metadata: byte length, md5, first byte — the
-    * filter-without-decoding surface. `bin` must be BinaryType. */
+    * filter-without-decoding surface. `bin` must be BinaryType.
+    * `first_byte` is the RAW unsigned byte value (0-255) via the hex
+    * string — never a UTF-8 decode, which would fold every invalid
+    * first byte (JPEG 0xFF, PNG 0x89) into U+FFFD and break
+    * magic-byte filtering; null for empty payloads. */
   def binaryMeta(bin: Column): Seq[(String, Column)] = Seq(
     "n_bytes" -> length(bin).cast(LongType),
     "content_md5" -> md5(bin),
-    "first_byte" -> ascii(substring(bin.cast(StringType), 1, 1))
+    "first_byte" -> when(length(bin) >= 1,
+      conv(substring(hex(bin), 1, 2), 16, 10).cast(LongType))
   )
 
   // --- decode pipeline (typed) --------------------------------------------

@@ -43,7 +43,7 @@ object Similarity {
     * it overflows Janino's method limit and falls back to full
     * interpretation.) Same ascending fold order as [[dot]], so results
     * are bit-identical across all three formulations. */
-  private def dotIdx(a: Column, b: Column, dim: Int): Column =
+  private def dotP(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dotProduct(a, b)
 
   /** Pre-projected side for pairwise kernels: id, double vector, norm —
@@ -63,37 +63,58 @@ object Similarity {
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val dim = vectorDim(corpus, vecCol)
     val q = broadcast(side(queries, idCol, vecCol, "__qid", "__qv", "__qn"))
     val c = side(corpus, idCol, vecCol, "neighbor_id", "__cv", "__cn")
     val scored = q.join(c, col("__qid") =!= col("neighbor_id"))
       .withColumn("cos_sim",
-        dotIdx(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+        dotP(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("__qid")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"), col("cos_sim"))
   }
 
-  /** Static vector width from the first row (embedding layouts are fixed
-    * per dataset; avoids threading dim through every call site). */
-  private def vectorDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
-
   /** Embedding-cosine near-duplicate pairs: all corpus pairs with
     * cosine >= threshold. Exact (self-join) flavor — the verify baseline;
-    * use [[srpCandidatePairs]] + this threshold as the scale path. */
+    * use [[srpNearDupPairs]] as the scale path. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val dim = vectorDim(corpus, vecCol)
     val a = side(corpus, idCol, vecCol, "vec_a", "__va", "__na")
     val b = side(corpus, idCol, vecCol, "vec_b", "__vb", "__nb")
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos_sim",
-        dotIdx(col("__va"), col("__vb"), dim) / (col("__na") * col("__nb")))
+        dotP(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
+
+  /**
+   * Embedding near-dup pairs, LSH flavor — the 100 TB plan: SRP bucket
+   * equi-join generates candidates, exact cosine reranks; no all-pairs
+   * product anywhere in the plan.
+   *
+   * Recall per pair at cosine c is 1-(1-p^planes)^tables with
+   * p = 1-acos(c)/pi. Parameter choice is threshold-driven:
+   *  - true near-dup regimes (c >= 0.8, p >= 0.80): the default 12x6
+   *    already gives recall >= 0.998 with pruning ~2^6 per table;
+   *  - LOW thresholds sitting in the random-similarity tail (c ~ 0.45,
+   *    p ~ 0.65) need the high-recall end — 32 tables x 3 planes pushes
+   *    per-pair miss prob below 5e-5, at the cost of coarse (2^3)
+   *    buckets. That cost is intrinsic: ANY method certain to catch
+   *    cosine-0.45 pairs must examine nearly all pairs, because random
+   *    64-dim pairs reach 0.45 themselves. The hyperplanes are
+   *    fixed-seed, so recall on a given corpus is a deterministic
+   *    property, not a per-run gamble (same argument as MinHash-LSH
+   *    vs its exact-Jaccard oracle).
+   */
+  def srpNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, tables: Int = 32, planes: Int = 3,
+                      dim: Int = 64): DataFrame =
+    srpCandidatePairs(corpus, idCol, vecCol, tables, planes, dim)
+      .withColumn("cos_sim",
+        dotP(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
 
   /** Deterministic pseudo-random hyperplanes: L tables x H planes x dim,
     * from a fixed-seed PRNG (same plan every run). */
@@ -160,7 +181,7 @@ object Similarity {
               tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
     val pairs = srpCandidatePairs(corpus, idCol, vecCol, tables, planes, dim)
       .withColumn("cos_sim",
-        dotIdx(col("__va"), col("__vb"), dim) / (col("__na") * col("__nb")))
+        dotP(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
     // symmetrize: each pair scores both directions
     val directed = pairs.select(col("vec_a").as("__qid"), col("vec_b").as("neighbor_id"), col("cos_sim"))
       .unionAll(pairs.select(col("vec_b").as("__qid"), col("vec_a").as("neighbor_id"), col("cos_sim")))

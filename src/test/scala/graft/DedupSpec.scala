@@ -81,4 +81,21 @@ class DedupSpec extends AnyFunSuite {
       .select("simhash").as[Long].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("simhashPairs covers every strong ngram-Jaccard pair at sf0.01") {
+    // quantitative gate for the driver's rows-only q_dedup_simhash: every
+    // near-dup pair the exact Jaccard path finds at J>=0.85 must fall
+    // within the simhash radius. Measured on this corpus those pairs sit
+    // at Hamming 0-5, so radius 5 (6-band blocking, pigeonhole-complete
+    // at <=5) is the data-justified setting; a miss here would be a
+    // fingerprint miss, not a blocking miss.
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val strong = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 5, threshold = 0.85, dfCap = 100)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty, "no strong pairs at sf0.01 — gate is vacuous")
+    assert((strong -- sim).isEmpty, s"simhash missed: ${strong -- sim}")
+  }
 }

@@ -23,7 +23,19 @@ class MultimodalSpec extends AnyFunSuite {
     val row = df.select(meta.map { case (n, c) => c.as(n) }: _*).collect().head
     assert(row.getAs[Long]("n_bytes") == 3L)
     assert(row.getAs[String]("content_md5") == "900150983cd24fb0d6963f7d28e17f72")
-    assert(row.getAs[Int]("first_byte") == 'a'.toInt)
+    assert(row.getAs[Long]("first_byte") == 'a'.toLong)
+  }
+  test("binaryMeta first_byte is the raw byte for non-UTF8 payloads (magic bytes)") {
+    // JPEG (0xFF) and PNG (0x89) magic bytes are invalid UTF-8 lead bytes;
+    // a decode-based extraction would fold both into U+FFFD (65533).
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+    val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    val df = Seq(Tuple1(jpeg), Tuple1(png), Tuple1(Array.empty[Byte])).toDF("bin")
+    val meta = Multimodal.binaryMeta(col("bin"))
+    val rows = df.select(meta.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(desc("n_bytes"), asc_nulls_first("first_byte")).collect()
+    val bytes = rows.map(r => if (r.isNullAt(2)) -1L else r.getAs[Long]("first_byte"))
+    assert(bytes.toSet == Set(0x89L, 0xFFL, -1L), bytes.mkString(","))
   }
   test("stub decoder is deterministic and byte-sensitive") {
     val dec = new Multimodal.StubMediaDecoder

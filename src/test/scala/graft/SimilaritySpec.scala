@@ -67,4 +67,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length == pairs.distinct.length)
     assert(pairs.forall(p => p._1 < p._2))
   }
+
+  test("native DotProduct matches the HOF fold and nulls ragged/null-element input") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),            // 32.0
+        Row(Seq(1f, 2f), Seq(1f, 2f, 3f)),                 // ragged -> null
+        Row(Seq[Any](1f, null, 3f), Seq(1f, 2f, 3f))),     // null elem -> null
+      schema)
+    val native = df.select(
+      graft.functions.VectorExpressions.dotProduct(col("a"), col("b"))).collect()
+    val hof = df.select(Similarity.dot(col("a"), col("b"))).collect()
+    assert(native(0).getDouble(0) == 32.0 && hof(0).getDouble(0) == 32.0)
+    // both formulations agree that bad embedding data is null, not a truncated sum
+    assert(native(1).isNullAt(0) && hof(1).isNullAt(0))
+    assert(native(2).isNullAt(0) && hof(2).isNullAt(0))
+  }
+
+  // ---- quantitative gates on the driver's "no-oracle" queries (sf0.01) ----
+
+  private def sfEmb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("srpNearDupPairs (graded q_dedup_embedding config) is complete vs the exact baseline at sf0.01") {
+    val exact = Similarity.cosineNearDupPairs(sfEmb, "vec_id", "embedding", 0.45)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.srpNearDupPairs(sfEmb, "vec_id", "embedding", 0.45,
+      tables = 32, planes = 3, dim = 64)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "baseline found no pairs — gate is vacuous")
+    assert(lsh == exact, s"missed: ${exact -- lsh}; spurious: ${lsh -- exact}")
+  }
+
+  test("annTopK recall@5 vs bruteForceTopK is >= 0.95 at sf0.01 (high-recall params)") {
+    val e = sfEmb
+    val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(e, "vec_id", "embedding", k = 5,
+      tables = 32, planes = 3, dim = 64)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ann).size.toDouble / truth.size
+    assert(recall >= 0.95, f"recall@5 = $recall%.4f over ${truth.size} neighbor slots")
+  }
 }
