@@ -3,7 +3,7 @@ package graft
 import graft.config.{EtlConfig, YamlConfig}
 import graft.plugins.PluginRegistry
 import graft.sinks.{JdbcSink, ParquetSink, Sink}
-import graft.sources.{Catalog, JdbcSource, ParquetCatalog}
+import graft.sources.{Catalog, JdbcPartitioning, JdbcSource, ParquetCatalog}
 import org.apache.spark.sql.SparkSession
 
 /**
@@ -68,7 +68,7 @@ object Main {
           throw new IllegalArgumentException(
             "no source: pass --parquet-source or configure connectors.oracle"))
         val src = JdbcSource(spark, o.jdbcUrl, o.user, o.password,
-          fetchSize = cfg.global.batchSize)
+          fetchSize = cfg.global.batchSize, partitioning = partitioningFromConfig(cfg))
         src.checkConnectivity() // fail fast, like the reference's probes
         src
     }
@@ -79,21 +79,39 @@ object Main {
           throw new IllegalArgumentException(
             "no target: pass --parquet-target or configure connectors.postgres"))
         val s = JdbcSink(p.jdbcUrl, p.user, p.password, batchSize = cfg.global.batchSize)
-        s.execute("SELECT 1")
+        s.checkConnectivity()
         s
     }
     (catalog, sink)
   }
 
+  /** Per-table range partitioning from config (partition_column /
+    * lower_bound / upper_bound / num_partitions), keyed by SOURCE table —
+    * absent bounds are min/max-probed at scan time, so a production
+    * Oracle read is never the reference's single cursor
+    * (connectors/oracle_connector.py:57-87). */
+  private[graft] def partitioningFromConfig(cfg: EtlConfig): Map[String, JdbcPartitioning] =
+    cfg.tables.flatMap(t => t.partitionColumn.map(pc =>
+      t.sourceTable -> JdbcPartitioning(pc, t.lowerBound, t.upperBound,
+        t.numPartitions.getOrElse(32)))).toMap
+
+  /** Every flag takes exactly one value. A value that itself starts with
+    * `--`, or a trailing valueless flag, is an ERROR — a typo like
+    * `--parquet-source --plugin X` must not silently corrupt both flags. */
   private def parseArgs(args: List[String]): (Map[String, List[String]], List[String]) = {
     val flags = scala.collection.mutable.Map[String, List[String]]().withDefaultValue(Nil)
     val positional = List.newBuilder[String]
     var rest = args
     while (rest.nonEmpty) rest match {
       case flag :: value :: tail if flag.startsWith("--") =>
+        if (value.startsWith("--"))
+          throw new IllegalArgumentException(
+            s"flag $flag needs a value but got '$value' — did you omit the value?")
         val k = flag.drop(2)
         flags(k) = flags(k) :+ value
         rest = tail
+      case flag :: Nil if flag.startsWith("--") =>
+        throw new IllegalArgumentException(s"flag $flag needs a value")
       case p :: tail =>
         positional += p
         rest = tail

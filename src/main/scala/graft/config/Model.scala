@@ -38,7 +38,14 @@ final case class MappingRule(
     throw new IllegalArgumentException("MappingRule needs source or target"))
 }
 
-/** reference: mappings/parser.py:77-133. */
+/** reference: mappings/parser.py:77-133.
+  *
+  * The `partition*` fields extend the reference's config with the one
+  * thing its single-cursor fetch (connectors/oracle_connector.py:57-87)
+  * cannot express: a range-partitioned parallel source read. When
+  * `partitionColumn` is set the JDBC scan opens `numPartitions`
+  * concurrent cursors over `[lowerBound, upperBound]`; absent bounds are
+  * auto-derived from a one-row min/max probe at scan time. */
 final case class TableConfig(
     sourceTable: String,
     sourceSchema: Option[String] = None,
@@ -50,6 +57,10 @@ final case class TableConfig(
     transformOverride: Boolean = false,
     transformPlugins: List[String] = Nil,
     loaderPlugin: Option[String] = None,
+    partitionColumn: Option[String] = None,
+    lowerBound: Option[String] = None,
+    upperBound: Option[String] = None,
+    numPartitions: Option[Int] = None,
 )
 
 final case class OracleConnectorConfig(

@@ -107,6 +107,10 @@ object YamlConfig {
       transformOverride = bool(m, "transform_override", dflt = false),
       transformPlugins = m.get("transform_plugins").map(strList).getOrElse(Nil),
       loaderPlugin = str(m, "loader_plugin"),
+      partitionColumn = str(m, "partition_column"),
+      lowerBound = str(m, "lower_bound"),
+      upperBound = str(m, "upper_bound"),
+      numPartitions = str(m, "num_partitions").map(_.toInt),
     )
   }
 

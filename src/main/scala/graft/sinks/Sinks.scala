@@ -53,9 +53,17 @@ object JdbcSink {
     "\"" + ident.replace("\"", "\"\"") + "\""
   }
 
-  /** Quote a possibly schema-qualified name part by part. */
-  def quoteQualified(name: String): String =
-    name.split("\\.", -1).map(quote).mkString(".")
+  /** Validate a table name for RAW interpolation. The table name must
+    * stay unquoted so it resolves exactly like the writer's own
+    * `CREATE TABLE $name` (identifier case-folding differs per dialect:
+    * Derby/Oracle fold up, Postgres folds down — quoting here would
+    * miss the table the write just created). Validation closes the
+    * injection surface quoting would have closed. */
+  def rawTableName(name: String): String = {
+    require(name.matches("""[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)*"""),
+      s"illegal SQL table name: '$name'")
+    name
+  }
 }
 
 final case class JdbcSink(
@@ -65,19 +73,39 @@ final case class JdbcSink(
     batchSize: Int = 5000,
     truncate: Boolean = true,
     cascadeTruncate: Boolean = true,
-    writePartitions: Int = 0) extends Sink {
+    writePartitions: Int = 0,
+    createTableColumnTypes: Option[String] = None) extends Sink {
 
   def write(table: String, df: DataFrame): Unit = {
     val out = if (writePartitions > 0) df.repartition(writePartitions) else df
-    out.write.format("jdbc")
+    val w = out.write.format("jdbc")
       .option("url", url).option("user", user).option("password", password)
       .option("dbtable", table)
       .option("batchsize", batchSize)
       .option("truncate", truncate)
       .option("cascadeTruncate", cascadeTruncate)
       .option("isolationLevel", "READ_COMMITTED")
-      .mode(if (truncate) "overwrite" else "append")
-      .save()
+    // dialect override for CREATE TABLE column types (e.g. VARCHAR(n)
+    // where the dialect default — Derby's CLOB — can't be compared/joined)
+    createTableColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.mode(if (truncate) "overwrite" else "append").save()
+  }
+
+  /** Read the written target back so later tables' lookups resolve
+    * against TARGET-side data (sink coercions and post-write fixups
+    * included) instead of re-executing the upstream plan per dependent
+    * table — the reference probes the target Postgres the same way
+    * (default_lookup.py). */
+  override def readBack(table: String): Option[DataFrame] =
+    Some(org.apache.spark.sql.SparkSession.active.read.format("jdbc")
+      .option("url", url).option("user", user).option("password", password)
+      .option("dbtable", table).load())
+
+  /** Startup connectivity probe — JDBC-standard `Connection.isValid`,
+    * dialect-free (Derby rejects the FROM-less `SELECT 1`). */
+  def checkConnectivity(): Unit = {
+    val c = java.sql.DriverManager.getConnection(url, user, password)
+    try require(c.isValid(5), s"connection to $url not valid") finally c.close()
   }
 
   /** Generic statement executor (reference:
@@ -93,18 +121,24 @@ final case class JdbcSink(
   }
 
   /** Self-lookup compat mode (SURVEY §7.5.4): post-write UPDATE fixup for
-    * targets preloaded with other data — the reference's exact statement
-    * (plugins/default_loader.py:128-141) minus the tmp column, keyed on
-    * the already-written target column. Identifiers are quoted (the
-    * reference interpolates them raw — config-driven injection surface,
-    * and unquoted mixed-case names break in Postgres). */
+    * targets preloaded with other data — same effect as the reference's
+    * Postgres-only `UPDATE … FROM` (plugins/default_loader.py:128-141)
+    * but spelled as an ANSI correlated subquery, so it runs on every
+    * dialect (live-tested on Derby). Stricter than the reference on
+    * duplicate keys: a scalar subquery with >1 match errors instead of
+    * picking an arbitrary row. Column identifiers are quoted, matching
+    * how Spark's JDBC writer created them (the reference interpolates
+    * raw — config-driven injection surface); the table name is
+    * validated but raw, so it case-folds identically to the write's
+    * own `CREATE TABLE`. */
   def selfLookupFixup(table: String, targetCol: String, keyCol: String, valueCol: String): Unit = {
-    val (t, tc, kc, vc) = (JdbcSink.quoteQualified(table), JdbcSink.quote(targetCol),
+    val (t, tc, kc, vc) = (JdbcSink.rawTableName(table), JdbcSink.quote(targetCol),
       JdbcSink.quote(keyCol), JdbcSink.quote(valueCol))
     execute(
-      s"""UPDATE $t AS target SET $tc = source.$vc
-         |FROM $t AS source
-         |WHERE target.$tc = source.$kc AND source.$vc IS NOT NULL""".stripMargin)
+      s"""UPDATE $t target SET $tc =
+         |  (SELECT s.$vc FROM $t s WHERE s.$kc = target.$tc AND s.$vc IS NOT NULL)
+         |WHERE EXISTS
+         |  (SELECT 1 FROM $t s WHERE s.$kc = target.$tc AND s.$vc IS NOT NULL)""".stripMargin)
     ()
   }
 }

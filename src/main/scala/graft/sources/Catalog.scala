@@ -42,16 +42,30 @@ final case class ParquetCatalog(spark: SparkSession, dir: String) extends Catalo
     else None
 }
 
+/** Per-table range-partitioning spec for a JDBC scan. `lower`/`upper`
+  * absent -> auto-derived from a one-row min/max probe at scan time
+  * (one driver round-trip, like the reference's metadata probes,
+  * postgres_connector.py:111-124). */
+final case class JdbcPartitioning(
+    column: String,
+    lower: Option[String] = None,
+    upper: Option[String] = None,
+    numPartitions: Int = 32)
+
 /**
  * Partitioned JDBC source — replaces the reference's single-cursor
  * single-thread fetch (reference: connectors/oracle_connector.py:57-87)
  * with N parallel range-partitioned reads.
  *
  * 100 TB design rules:
- *  - reads are ALWAYS partitioned when a numeric/timestamp partition
- *    column is known (`partitionColumn` + bounds -> `numPartitions`
- *    concurrent cursors); an unpartitioned JDBC read of a big table is
- *    a single-executor bottleneck.
+ *  - reads are partitioned whenever the table's config declares a
+ *    numeric/timestamp `partition_column` (`partitioning` keys on the
+ *    SOURCE table name): `numPartitions` concurrent cursors over the
+ *    bound range; an unpartitioned JDBC read of a big table is a
+ *    single-connection bottleneck — the reference's own pathology.
+ *  - bounds not given in config are probed with ONE `SELECT min,max`
+ *    over the (where-filtered) relation, so stale config can never
+ *    skew the range split.
  *  - `fetchsize` maps the reference's batch_size (default 5000,
  *    reference: config/config.yaml:11) to the driver-side cursor page.
  *  - an Oracle-dialect `where` string is pushed VERBATIM via a
@@ -64,10 +78,7 @@ final case class JdbcSource(
     user: String,
     password: String,
     fetchSize: Int = 5000,
-    partitionColumn: Option[String] = None,
-    lowerBound: Option[String] = None,
-    upperBound: Option[String] = None,
-    numPartitions: Int = 32) extends Catalog {
+    partitioning: Map[String, JdbcPartitioning] = Map.empty) extends Catalog {
 
   private def reader = spark.read.format("jdbc")
     .option("url", url)
@@ -87,19 +98,49 @@ final case class JdbcSource(
       case None => table
     }
     val base = reader.option("dbtable", rel)
-    val partitioned = (partitionColumn, lowerBound, upperBound) match {
-      case (Some(pc), Some(lo), Some(hi)) =>
-        base.option("partitionColumn", pc).option("lowerBound", lo)
-          .option("upperBound", hi).option("numPartitions", numPartitions)
-      case _ => base
+    val partitioned = partitioning.get(table) match {
+      case Some(spec) =>
+        probeBounds(rel, spec) match {
+          case Some((lo, hi)) =>
+            base.option("partitionColumn", spec.column)
+              .option("lowerBound", lo).option("upperBound", hi)
+              .option("numPartitions", spec.numPartitions)
+          case None => base // empty table: nothing to split
+        }
+      case None => base
     }
     (partitioned.load(), where.isDefined)
   }
 
-  /** Startup connectivity probe (reference: cli.py:13-31): resolve the
-    * schema of a trivial query; throws if the endpoint is unreachable. */
+  /** Config bounds if complete, else one min/max round-trip over the
+    * where-filtered relation (alias-without-AS: the one derived-table
+    * spelling Oracle, Postgres AND Derby all accept). None when the
+    * relation is empty. */
+  private def probeBounds(rel: String, spec: JdbcPartitioning): Option[(String, String)] =
+    (spec.lower, spec.upper) match {
+      case (Some(lo), Some(hi)) => Some((lo, hi))
+      case _ =>
+        val c = java.sql.DriverManager.getConnection(url, user, password)
+        try {
+          val st = c.createStatement()
+          try {
+            val rs = st.executeQuery(
+              s"SELECT MIN(${spec.column}), MAX(${spec.column}) FROM $rel")
+            if (!rs.next()) None
+            else (Option(rs.getObject(1)), Option(rs.getObject(2))) match {
+              case (Some(lo), Some(hi)) =>
+                Some((spec.lower.getOrElse(lo.toString), spec.upper.getOrElse(hi.toString)))
+              case _ => None
+            }
+          } finally st.close()
+        } finally c.close()
+    }
+
+  /** Startup connectivity probe (reference: cli.py:13-31) — JDBC-standard
+    * `Connection.isValid`, no SQL text, so it works on every dialect
+    * (Derby, for one, rejects FROM-less SELECT). */
   def checkConnectivity(): Unit = {
     val c = java.sql.DriverManager.getConnection(url, user, password)
-    try c.createStatement().execute("SELECT 1") finally c.close()
+    try require(c.isValid(5), s"connection to $url not valid") finally c.close()
   }
 }

@@ -41,4 +41,28 @@ class MainSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("--parquet-source"))
   }
+
+  test("config partition fields reach the JDBC source keyed by source table") {
+    import graft.config._
+    val cfg = EtlConfig(GlobalConfig(), List(
+      TableConfig(sourceTable = "big", targetTable = "t1",
+        partitionColumn = Some("id"), lowerBound = Some("0"),
+        upperBound = Some("1000"), numPartitions = Some(16)),
+      TableConfig(sourceTable = "probe_me", targetTable = "t2",
+        partitionColumn = Some("ts")), // bounds/N absent -> probe + default 32
+      TableConfig(sourceTable = "small", targetTable = "t3")))
+    val p = Main.partitioningFromConfig(cfg)
+    assert(p("big") == graft.sources.JdbcPartitioning("id", Some("0"), Some("1000"), 16))
+    assert(p("probe_me") == graft.sources.JdbcPartitioning("ts", None, None, 32))
+    assert(!p.contains("small"))
+  }
+
+  test("parseArgs rejects flag values that look like flags and trailing valueless flags") {
+    intercept[IllegalArgumentException] {
+      Main.run(Array("cfg.yaml", "--parquet-source", "--plugin"), spark)
+    }
+    intercept[IllegalArgumentException] {
+      Main.run(Array("cfg.yaml", "--parquet-source"), spark)
+    }
+  }
 }

@@ -8,10 +8,16 @@ class SinksSpec extends AnyFunSuite {
     assert(JdbcSink.quote("employees") == "\"employees\"")
     assert(JdbcSink.quote("Mixed Case") == "\"Mixed Case\"")
     assert(JdbcSink.quote("we\"ird") == "\"we\"\"ird\"")
-    assert(JdbcSink.quoteQualified("public.employees") == "\"public\".\"employees\"")
   }
   test("identifier quoting rejects control characters and empties") {
     intercept[IllegalArgumentException] { JdbcSink.quote("") }
     intercept[IllegalArgumentException] { JdbcSink.quote("bad\nname") }
+  }
+  test("raw table names pass through validation; injection attempts are rejected") {
+    assert(JdbcSink.rawTableName("public.employees") == "public.employees")
+    assert(JdbcSink.rawTableName("EVENTS_2024") == "EVENTS_2024")
+    intercept[IllegalArgumentException] { JdbcSink.rawTableName("t; DROP TABLE x") }
+    intercept[IllegalArgumentException] { JdbcSink.rawTableName("t\"x") }
+    intercept[IllegalArgumentException] { JdbcSink.rawTableName("") }
   }
 }

@@ -99,6 +99,27 @@ class YamlConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned-read fields parse and default sensibly") {
+    val t = YamlConfig.tableFromYaml(
+      """source_table: big_events
+        |target_table: events
+        |partition_column: event_id
+        |lower_bound: 0
+        |upper_bound: 500000000
+        |num_partitions: 64
+        |""".stripMargin)
+    assert(t.partitionColumn.contains("event_id"))
+    assert(t.lowerBound.contains("0") && t.upperBound.contains("500000000"))
+    assert(t.numPartitions.contains(64))
+    // bounds optional: min/max probed at scan time
+    val auto = YamlConfig.tableFromYaml(
+      "source_table: s\ntarget_table: t\npartition_column: id\n")
+    assert(auto.partitionColumn.contains("id"))
+    assert(auto.lowerBound.isEmpty && auto.upperBound.isEmpty && auto.numPartitions.isEmpty)
+    val none = YamlConfig.tableFromYaml("source_table: s\ntarget_table: t\n")
+    assert(none.partitionColumn.isEmpty)
+  }
+
   test("main config + table files load end-to-end in list order") {
     val dir = java.nio.file.Files.createTempDirectory("yamlcfg")
     val tables = dir.resolve("tables")
