@@ -60,7 +60,7 @@ object Engine extends Logging {
            global: GlobalConfig = GlobalConfig()): MigrationCompiler.CompiledTable = {
     val (source, wherePushed) = scanVia(cfg, global, catalog)
     MigrationCompiler.compile(cfg, source, catalog.tableOpt, wherePushed = wherePushed,
-      broadcastDims = broadcastDims)
+      broadcastDims = broadcastDims, global = global)
   }
 
   /** Full run: schedule into waves -> compile -> assert error-rules ->
@@ -81,7 +81,7 @@ object Engine extends Logging {
       val t0 = System.nanoTime()
       val (source, wherePushed) = scanVia(t, cfg.global, catalog)
       val compiled = MigrationCompiler.compile(t, source, resolve,
-        wherePushed = wherePushed, broadcastDims = broadcastDims)
+        wherePushed = wherePushed, broadcastDims = broadcastDims, global = cfg.global)
       val tableSink = named(t.loaderPlugin.orElse(Some(cfg.global.loaderPlugin)),
         "default_loader", graft.plugins.PluginRegistry.loader, "loader")
         .map(_.sink(Map("table" -> t.targetTable))).getOrElse(sink)

@@ -58,6 +58,11 @@ object TransformOps {
   register("to_double", (c, _) => c.cast(DoubleType))
   register("to_string", (c, _) => c.cast(StringType))
 
+  /** Snapshot of the op names `default_transform` owns, taken before any
+    * plugin install can add to the registry — scoped resolution must not
+    * let an unchained plugin's override shadow a builtin. */
+  val builtinOpNames: Set[String] = registry.keySet().asScala.toSet
+
   /**
    * The Y/N->bool op. The reference dispatches on the op string merely
    * CONTAINING "true" or "false" (plugins/default_transform.py:26), so
@@ -116,5 +121,47 @@ object TransformOps {
   def chain(ops: Seq[String], col: Column, dt: DataType): Column =
     ops.foldLeft((col, dt)) { case ((c, t), op) =>
       (apply(op, c, t), resultType(op, t))
+    }._1
+
+  /**
+   * Config-scoped op resolution (reference: pipeline.py:27-61 dispatches
+   * rows through the CONFIGURED transform-plugin chain, not through
+   * every registered plugin):
+   *  - `pluginOps`: ops of plugins in the table's effective chain, chain
+   *    order, first definition wins;
+   *  - `builtin`: whether `default_transform` is in the chain — it owns
+   *    the built-in ops AND the `insert:` / true-false dispatch
+   *    (plugins/default_transform.py:21-37);
+   *  - `shadowed`: op names owned by registered-but-unchained plugins —
+   *    these must NOT leak in via the global registry; they resolve to
+   *    identity exactly like an unknown op.
+   */
+  final case class Scope(pluginOps: Map[String, Op], builtin: Boolean, shadowed: Set[String]) {
+    def applyOp(op: String, col: Column, dt: DataType): Column = {
+      val t = op.trim
+      pluginOps.get(t) match {
+        case Some(f) => f(col, dt)
+        case None if builtin && builtinOpNames(t) => TransformOps(t, col, dt)
+        case None if shadowed(t) => col // owning plugin not in chain: identity
+        case None if builtin => TransformOps(t, col, dt) // insert:/ynbool/unknown dispatch
+        case None => col // no default_transform in chain: nothing claims it
+      }
+    }
+    def resultTypeOf(op: String, dt: DataType): DataType = {
+      val t = op.trim
+      if (pluginOps.contains(t)) dt
+      else if (builtin && builtinOpNames(t)) resultType(t, dt)
+      else if (shadowed(t)) dt
+      else if (builtin) resultType(t, dt)
+      else dt
+    }
+  }
+
+  /** The unscoped behavior as a Scope (global registry + fallbacks). */
+  val globalScope: Scope = Scope(Map.empty, builtin = true, Set.empty)
+
+  def chainScoped(ops: Seq[String], col: Column, dt: DataType, scope: Scope): Column =
+    ops.foldLeft((col, dt)) { case ((c, t), op) =>
+      (scope.applyOp(op, c, t), scope.resultTypeOf(op, t))
     }._1
 }

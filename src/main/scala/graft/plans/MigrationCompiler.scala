@@ -1,8 +1,9 @@
 package graft.plans
 
-import graft.config.{MappingRule, TableConfig}
+import graft.config.{GlobalConfig, MappingRule, TableConfig}
 import graft.functions.TransformOps
 import graft.operators.LookupOps
+import graft.plugins.PluginRegistry
 import graft.rules.ValidationCompiler
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -52,25 +53,37 @@ object MigrationCompiler extends Logging {
    *                      autoBroadcastJoinThreshold from stats and degrades
    *                      to sort-merge above it, the 100 TB-safe path; a
    *                      forced hint on an unbounded dim OOMs executors.
+   * @param global  global config carrying the plugin chains
+   *                (auto_mapping_plugin / transform_plugins /
+   *                validation_plugins) the compile path dispatches on —
+   *                the reference resolves modules by exactly these fields
+   *                (core/plugin_registry.py:52-97, pipeline.py:27-61).
    */
   def compile(
       cfg: TableConfig,
       source: DataFrame,
       resolve: String => Option[DataFrame],
       wherePushed: Boolean = false,
-      broadcastDims: Boolean = false): CompiledTable = {
+      broadcastDims: Boolean = false,
+      global: GlobalConfig = GlobalConfig()): CompiledTable = {
 
     def dim(name: String): DataFrame = resolve(name).getOrElse(
       throw new IllegalArgumentException(s"[${cfg.targetTable}] lookup table '$name' not found"))
 
-    // 1. auto-mapping: empty mappings -> 1:1 identity rules from the target
-    //    table's schema if resolvable, else the source schema
-    //    (reference: plugins/default_auto_mapping.py:18-26).
+    // 1. auto-mapping: empty mappings -> derive rules via the configured
+    //    auto_mapping plugin. The default derives 1:1 identity rules from
+    //    the target table's schema if resolvable, else the source schema
+    //    (reference: plugins/default_auto_mapping.py:18-26); any other
+    //    name must be registered (fail loudly, never silently default).
     val mappings0 =
       if (cfg.mappings.nonEmpty) cfg.mappings
-      else {
-        val tgtSchema = resolve(cfg.targetTable).map(_.schema).getOrElse(source.schema)
-        tgtSchema.fields.toList.map(f => MappingRule(source = Some(f.name), target = Some(f.name)))
+      else global.autoMappingPlugin match {
+        case "default_auto_mapping" =>
+          val tgtSchema = resolve(cfg.targetTable).map(_.schema).getOrElse(source.schema)
+          tgtSchema.fields.toList.map(f => MappingRule(source = Some(f.name), target = Some(f.name)))
+        case n =>
+          PluginRegistry.required(n, PluginRegistry.autoMapper, "auto_mapping")
+            .derive(source.schema, resolve(cfg.targetTable).map(_.schema))
       }
 
     // 2. plan-time schema degradation (replaces the reference's ORA-00904
@@ -93,15 +106,36 @@ object MigrationCompiler extends Logging {
     }
 
     // 4. rename projection + transform chains (reference:
-    //    plugins/default_transform.py:11-41): one narrow select.
+    //    plugins/default_transform.py:11-41): one narrow select. Op names
+    //    resolve against the table's CONFIGURED plugin chain — the global
+    //    chain extended (or, with transform_override, REPLACED) by the
+    //    table-level list (reference: pipeline.py:58-61, parser.py:112-118),
+    //    with a rule-level `plugin:` taking top precedence. Unchained
+    //    plugins' ops never leak in; unregistered chain names throw.
+    val tableChain =
+      if (cfg.transformOverride) cfg.transformPlugins
+      else global.transformPlugins ++ cfg.transformPlugins
+    def transformScope(rulePlugin: Option[String]): TransformOps.Scope = {
+      val names = (rulePlugin.toList ++ tableChain).distinct
+      val pluginOps = names.filterNot(_ == "default_transform")
+        .map(n => PluginRegistry.required(n, PluginRegistry.transform, "transform"))
+        .foldLeft(Map.empty[String, TransformOps.Op]) { (acc, p) =>
+          p.ops.foldLeft(acc)((a, kv) => if (a.contains(kv._1)) a else a + kv) // chain order: first wins
+        }
+      TransformOps.Scope(pluginOps,
+        builtin = names.contains("default_transform"),
+        shadowed = PluginRegistry.allTransformOpNames -- pluginOps.keySet)
+    }
     val projected = filtered.select(mappings.map { r =>
+      val scope = transformScope(r.plugin)
       sourceCols.get(r.sourceName.toLowerCase) match {
         case Some(srcName) =>
           val dt = filtered.schema(srcName).dataType
-          TransformOps.chain(r.transform, col(srcName), dt).alias(r.targetName)
+          TransformOps.chainScoped(r.transform, col(srcName), dt, scope).alias(r.targetName)
         case None => // degraded column: NULL in, transforms still apply (insert:X works)
-          TransformOps.chain(r.transform, lit(null).cast(org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StringType).alias(r.targetName)
+          TransformOps.chainScoped(r.transform,
+            lit(null).cast(org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StringType, scope).alias(r.targetName)
       }
     }: _*)
 
@@ -149,21 +183,48 @@ object MigrationCompiler extends Logging {
     // 6. validations, in mapping order then rule order; each action is
     //    applied to the frame before the next rule runs, preserving the
     //    reference's sequential mutation semantics
-    //    (plugins/default_validation.py:11-91).
+    //    (plugins/default_validation.py:11-91). Each rule dispatches
+    //    through the CONFIGURED validation-plugin chain in order:
+    //    `default_validation` claims the built-in rule types (regex /
+    //    range / lookup-existence join); a custom plugin claims a rule by
+    //    returning Some(okPredicate). A rule nothing in the chain claims
+    //    is an ERROR — silently-unvalidated data is worse than a crash.
+    def builtinOk(vr: graft.config.ValidationRule, tgt: String, dt: org.apache.spark.sql.types.DataType): Column =
+      vr.vtype match {
+        case "lookup" =>
+          val lk = vr.lookup.getOrElse(
+            throw new IllegalArgumentException(s"lookup validation on $tgt needs a lookup block"))
+          val (joined, okCol) = LookupOps.existenceProbe(df, tgt, lk, dim(lk.table), broadcastDims)
+          df = joined
+          col(okCol)
+        case _ => ValidationCompiler.okPredicate(vr, col(tgt), dt)
+      }
+    @scala.annotation.tailrec
+    def resolveOk(chain: List[String], vr: graft.config.ValidationRule,
+                  tgt: String, dt: org.apache.spark.sql.types.DataType): Column =
+      chain match {
+        case Nil => throw new IllegalArgumentException(
+          s"[${cfg.targetTable}] no plugin in validation chain " +
+            s"${global.validationPlugins.mkString("[", ", ", "]")} handles rule type " +
+            s"'${vr.vtype}' on column '$tgt'")
+        case "default_validation" :: rest =>
+          // the built-in claims exactly its three rule types; unknown
+          // types continue down the chain (and error loudly at Nil)
+          if (Set("regex", "range", "lookup")(vr.vtype)) builtinOk(vr, tgt, dt)
+          else resolveOk(rest, vr, tgt, dt)
+        case n :: rest =>
+          PluginRegistry.required(n, PluginRegistry.validator, "validation")
+            .okPredicate(vr, col(tgt), dt) match {
+            case Some(pred) => pred
+            case None => resolveOk(rest, vr, tgt, dt)
+          }
+      }
     var flagId = 0
     mappings.filterNot(r => selfTargets(r.targetName)).foreach { r =>
       r.validation.foreach { vr =>
         val tgt = r.targetName
         val dt = df.schema(tgt).dataType
-        val ok: Column = vr.vtype match {
-          case "lookup" =>
-            val lk = vr.lookup.getOrElse(
-              throw new IllegalArgumentException(s"lookup validation on $tgt needs a lookup block"))
-            val (joined, okCol) = LookupOps.existenceProbe(df, tgt, lk, dim(lk.table), broadcastDims)
-            df = joined
-            col(okCol)
-          case _ => ValidationCompiler.okPredicate(vr, col(tgt), dt)
-        }
+        val ok: Column = resolveOk(global.validationPlugins, vr, tgt, dt)
         flagId += 1
         ValidationCompiler.action(vr) match {
           case ValidationCompiler.NullOut =>

@@ -23,6 +23,30 @@ final class NormalizeNamesPlugin extends TransformPlugin {
 }
 
 /**
+ * Example site validator: adds a `length` rule type (pattern "MIN-MAX"
+ * on string length) the built-in validator doesn't know. Demonstrates
+ * the ValidationPlugin contract: claim a rule by returning Some(ok),
+ * pass on the rest (reference: plugin_interfaces/validation_interface.py).
+ * Select it via `validation_plugins: [length_validation,
+ * default_validation]`.
+ */
+final class LengthValidationPlugin extends ValidationPlugin {
+  override def name: String = "length_validation"
+  override def okPredicate(rule: graft.config.ValidationRule,
+                           value: org.apache.spark.sql.Column,
+                           dt: org.apache.spark.sql.types.DataType)
+  : Option[org.apache.spark.sql.Column] =
+    rule.vtype match {
+      case "length" =>
+        val Array(lo, hi) = rule.pattern.getOrElse("0-0").split("-", 2).map(_.trim.toInt)
+        // null bypass matches the built-in rules: null is never a failure
+        Some(value.isNull || (length(value.cast(StringType)) >= lo &&
+          length(value.cast(StringType)) <= hi))
+      case _ => None
+    }
+}
+
+/**
  * Example site fetcher: the `incremental_fetcher` the reference's example
  * table config selects but never shipped
  * (reference: config/tables/table_example.yaml:10). Restricts the scan to

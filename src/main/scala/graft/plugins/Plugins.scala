@@ -63,6 +63,7 @@ object PluginRegistry {
   private val validators = new java.util.concurrent.ConcurrentHashMap[String, ValidationPlugin]()
   private val loaders = new java.util.concurrent.ConcurrentHashMap[String, LoaderPlugin]()
   private val autoMappers = new java.util.concurrent.ConcurrentHashMap[String, AutoMappingPlugin]()
+  private val transforms = new java.util.concurrent.ConcurrentHashMap[String, TransformPlugin]()
 
   /** Instantiate a plugin class by fully qualified name (the `Class.forName`
     * equivalent of the reference's importlib resolution). */
@@ -77,7 +78,12 @@ object PluginRegistry {
     * a module for all interface implementations, plugin_registry.py:78-91). */
   def install(plugin: GraftPlugin): Unit = {
     plugin match {
-      case p: TransformPlugin => p.ops.foreach { case (n, op) => TransformOps.register(n, op) }
+      case p: TransformPlugin =>
+        transforms.put(p.name, p)
+        // also into the global op registry for direct programmatic use;
+        // CONFIG-scoped resolution (MigrationCompiler) shadows ops whose
+        // plugin isn't in the table's configured chain.
+        p.ops.foreach { case (n, op) => TransformOps.register(n, op) }
       case _ => ()
     }
     plugin match { case p: FetcherPlugin => fetchers.put(p.name, p); case _ => () }
@@ -94,4 +100,22 @@ object PluginRegistry {
   def validator(name: String): Option[ValidationPlugin] = Option(validators.get(name))
   def loader(name: String): Option[LoaderPlugin] = Option(loaders.get(name))
   def autoMapper(name: String): Option[AutoMappingPlugin] = Option(autoMappers.get(name))
+  def transform(name: String): Option[TransformPlugin] = Option(transforms.get(name))
+
+  /** Every op name contributed by ANY registered transform plugin — the
+    * set config-scoped resolution must shadow when the owning plugin is
+    * not in a table's chain. */
+  def allTransformOpNames: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    transforms.values().asScala.flatMap(_.ops.keySet).toSet
+  }
+
+  /** Resolve a config-named plugin or fail loudly — a non-default name
+    * that is not registered must never silently degrade to default
+    * behavior (the reference resolves modules by exactly these config
+    * fields, core/plugin_registry.py:52-97). */
+  def required[P](name: String, get: String => Option[P], kind: String): P =
+    get(name).getOrElse(throw new IllegalArgumentException(
+      s"$kind plugin '$name' named in config but not registered — " +
+        "load it via PluginRegistry.loadAndInstall or --plugin"))
 }

@@ -42,6 +42,39 @@ class MainSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("--parquet-source"))
   }
 
+  test("YAML-routed transform_override selects the table-level plugin chain end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("override_spec")
+    val tables = dir.resolve("tables")
+    java.nio.file.Files.createDirectories(tables)
+    java.nio.file.Files.writeString(dir.resolve("config.yaml"),
+      """global:
+        |  tables_folder: tables
+        |  table_files: [nation.yaml]
+        |""".stripMargin)
+    java.nio.file.Files.writeString(tables.resolve("nation.yaml"),
+      """source_table: nation
+        |target_table: nation_norm
+        |transform_override: true
+        |transform_plugins: [normalize_names]
+        |mappings:
+        |  - source: n_name
+        |    target: name
+        |    transform: normalize_names,upper
+        |""".stripMargin)
+    val out = java.nio.file.Files.createTempDirectory("override_out").toString
+    val report = Main.run(Array(dir.resolve("config.yaml").toString,
+      "--parquet-source", "/root/testdata/sf0.001",
+      "--parquet-target", out,
+      "--plugin", "graft.plugins.NormalizeNamesPlugin"), spark)
+    assert(report.totalRows == 25L)
+    val names = spark.read.parquet(s"$out/nation_norm.parquet")
+      .collect().map(_.getString(0))
+    // plugin chain replaced the default: normalized, and the builtin
+    // 'upper' in the same transform list stayed INERT (not in the chain)
+    assert(names.contains("nation_0"))
+    assert(names.forall(n => n == n.toLowerCase))
+  }
+
   test("config partition fields reach the JDBC source keyed by source table") {
     import graft.config._
     val cfg = EtlConfig(GlobalConfig(), List(

@@ -97,4 +97,92 @@ class MigrationCompilerSpec extends AnyFunSuite {
       mappings = List(rule("x", "x").copy(lookup = Some(LookupConfig("a", "x", None, None)))))
     assert(MigrationCompiler.scheduleWaves(List(selfT)).head.map(_.targetTable) == List("a"))
   }
+
+  // ---- config-dispatched plugin chains (validation / auto-mapping / transform)
+
+  test("a chained validation plugin claims its rule type; the default chain rejects it") {
+    graft.plugins.PluginRegistry.install(new graft.plugins.LengthValidationPlugin)
+    val source = Seq(("abc"), ("toolongvalue"), ("x")).toDF("code")
+    val cfg = TableConfig(sourceTable = "s", targetTable = "t",
+      mappings = List(rule("code", "code").copy(validation =
+        List(ValidationRule("length", pattern = Some("2-5"), onFail = Some("skip"))))))
+    val out = MigrationCompiler.compile(cfg, source, noDims,
+      global = GlobalConfig(validationPlugins = List("length_validation", "default_validation")))
+      .dataFrame.collect().map(_.getString(0)).toSet
+    assert(out == Set("abc")) // "toolongvalue" and "x" skipped by the plugin rule
+    // same config through the default chain: nothing claims 'length' -> loud error
+    val ex = intercept[IllegalArgumentException] {
+      MigrationCompiler.compile(cfg, source, noDims).dataFrame
+    }
+    assert(ex.getMessage.contains("length") && ex.getMessage.contains("validation chain"))
+  }
+
+  test("an unregistered validation plugin name in the chain fails loudly") {
+    val source = Seq("a").toDF("code")
+    val cfg = TableConfig(sourceTable = "s", targetTable = "t",
+      mappings = List(rule("code", "code").copy(validation =
+        List(ValidationRule("regex", pattern = Some("^a"))))))
+    val ex = intercept[IllegalArgumentException] {
+      MigrationCompiler.compile(cfg, source, noDims,
+        global = GlobalConfig(validationPlugins = List("no_such_validator")))
+    }
+    assert(ex.getMessage.contains("no_such_validator"))
+  }
+
+  test("a configured auto-mapping plugin derives the rules; unregistered names throw") {
+    object PrefixMapper extends graft.plugins.AutoMappingPlugin {
+      def name = "prefix_strip_mapper"
+      def derive(source: org.apache.spark.sql.types.StructType,
+                 target: Option[org.apache.spark.sql.types.StructType]) =
+        source.fields.toList.map(f =>
+          MappingRule(source = Some(f.name), target = Some(f.name.stripPrefix("src_"))))
+    }
+    graft.plugins.PluginRegistry.install(PrefixMapper)
+    val source = Seq((1, "a")).toDF("src_id", "src_name")
+    val cfg = TableConfig(sourceTable = "s", targetTable = "t")
+    val out = MigrationCompiler.compile(cfg, source, noDims,
+      global = GlobalConfig(autoMappingPlugin = "prefix_strip_mapper")).dataFrame
+    assert(out.columns.toSeq == Seq("id", "name")) // plugin visibly changed the plan
+    val ex = intercept[IllegalArgumentException] {
+      MigrationCompiler.compile(cfg, source, noDims,
+        global = GlobalConfig(autoMappingPlugin = "missing_mapper"))
+    }
+    assert(ex.getMessage.contains("missing_mapper"))
+  }
+
+  test("transform_override replaces the global chain; unchained plugin ops never leak") {
+    graft.plugins.PluginRegistry.loadAndInstall("graft.plugins.NormalizeNamesPlugin")
+    val source = Seq(("  A B  ")).toDF("v")
+    // chain = [normalize_names] ONLY: plugin op applies, builtin 'upper' is inert
+    val overridden = TableConfig(sourceTable = "s", targetTable = "t",
+      transformOverride = true, transformPlugins = List("normalize_names"),
+      mappings = List(rule("v", "v", "normalize_names,upper")))
+    val got = MigrationCompiler.compile(overridden, source, noDims).dataFrame
+      .collect().head.getString(0)
+    assert(got == "a_b") // snake-cased, NOT uppercased
+    // default chain: the registered-but-unchained plugin op must NOT leak
+    val defaultChain = TableConfig(sourceTable = "s", targetTable = "t",
+      mappings = List(rule("v", "v", "normalize_names,upper")))
+    val got2 = MigrationCompiler.compile(defaultChain, source, noDims).dataFrame
+      .collect().head.getString(0)
+    assert(got2 == "  A B  ".toUpperCase) // identity for the plugin op, builtin upper applies
+    // unregistered chain name: loud error
+    val ex = intercept[IllegalArgumentException] {
+      MigrationCompiler.compile(
+        defaultChain.copy(transformPlugins = List("ghost_plugin")), source, noDims)
+    }
+    assert(ex.getMessage.contains("ghost_plugin"))
+  }
+
+  test("a rule-level plugin grants that rule the plugin's ops") {
+    graft.plugins.PluginRegistry.loadAndInstall("graft.plugins.NormalizeNamesPlugin")
+    val source = Seq(("  A B  ", "  C D  ")).toDF("x", "y")
+    val cfg = TableConfig(sourceTable = "s", targetTable = "t",
+      mappings = List(
+        rule("x", "x", "normalize_names").copy(plugin = Some("normalize_names")),
+        rule("y", "y", "normalize_names"))) // no rule plugin, default chain -> inert
+    val row = MigrationCompiler.compile(cfg, source, noDims).dataFrame.collect().head
+    assert(row.getString(0) == "a_b")
+    assert(row.getString(1) == "  C D  ")
+  }
 }
