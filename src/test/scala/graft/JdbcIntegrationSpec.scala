@@ -106,4 +106,37 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     sink.execute("INSERT INTO ddl_only VALUES (7)")
     assert(src.table("ddl_only").head().getInt(0) == 7)
   }
+
+  test("Engine.migrate runs end-to-end over a live JDBC source AND sink") {
+    import graft.config._
+    exec("CREATE TABLE src_dept (dcode VARCHAR(8), dname VARCHAR(32))")
+    Seq(("E", "engineering"), ("S", "sales"), ("F", "finance"))
+      .foreach { case (c, n) => exec(s"INSERT INTO src_dept VALUES ('$c', '$n')") }
+    exec("CREATE TABLE src_emp (eid INT, dept VARCHAR(8))")
+    (1 to 5).foreach(i => exec(s"INSERT INTO src_emp VALUES ($i, '${Seq("E", "S", "F")(i % 3)}')"))
+    exec("INSERT INTO src_emp VALUES (6, 'X')") // unknown dept -> on_missing null
+
+    val jdbcCatalog = JdbcSource(spark, url, "", "",
+      partitioning = Map("src_emp" -> JdbcPartitioning("eid", numPartitions = 3)))
+    val cfg = EtlConfig(GlobalConfig(), List(
+      // deliberately listed dependent-first: the scheduler must reorder
+      TableConfig(sourceTable = "src_emp", targetTable = "fact_emp",
+        mappings = List(
+          MappingRule(source = Some("eid"), target = Some("id")),
+          MappingRule(source = Some("dept"), target = Some("dept_name"),
+            lookup = Some(LookupConfig("dim_dept", "code", Some("name"), Some("null")))))),
+      TableConfig(sourceTable = "src_dept", targetTable = "dim_dept",
+        mappings = List(
+          MappingRule(source = Some("dcode"), target = Some("code")),
+          MappingRule(source = Some("dname"), target = Some("name"), transform = List("upper"))))))
+
+    val report = Engine.migrate(cfg, jdbcCatalog, JdbcSink(url, "", ""))
+    assert(report.tables.map(_.table) == Seq("dim_dept", "fact_emp")) // dependency order
+    assert(report.totalRows == 9L)
+    val emp = src.table("fact_emp").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    // dept_name resolved against the WRITTEN target (post-transform names)
+    assert(emp(1) == Some("SALES") && emp(3) == Some("ENGINEERING"))
+    assert(emp(6).isEmpty) // unknown key -> on_missing null
+  }
 }
