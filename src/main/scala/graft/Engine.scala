@@ -30,7 +30,8 @@ import scala.concurrent.duration.Duration
  */
 object Engine extends Logging {
 
-  final case class TableReport(table: String, rows: Long, droppedColumns: Seq[String], seconds: Double)
+  final case class TableReport(table: String, rows: Long, droppedColumns: Seq[String],
+                               seconds: Double, skippedRows: Long = 0L)
   final case class MigrationReport(tables: Seq[TableReport]) {
     def totalRows: Long = tables.map(_.rows).sum
   }
@@ -96,9 +97,10 @@ object Engine extends Logging {
       tableSink.finalizeTable(t.targetTable)
       written.put(t.targetTable, tableSink.readBack(t.targetTable).getOrElse(compiled.dataFrame))
       val rows = obs.get("rows").asInstanceOf[Long]
+      val skipped = compiled.skippedRows // same execution, no extra pass
       val secs = (System.nanoTime() - t0) / 1e9
-      logInfo(f"[${t.targetTable}] $rows rows in $secs%.2fs")
-      TableReport(t.targetTable, rows, compiled.droppedColumns, secs)
+      logInfo(f"[${t.targetTable}] $rows rows ($skipped skipped) in $secs%.2fs")
+      TableReport(t.targetTable, rows, compiled.droppedColumns, secs, skipped)
     }
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, maxParallelTables))

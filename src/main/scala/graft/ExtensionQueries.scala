@@ -62,6 +62,9 @@ object ExtensionQueries {
       .groupBy(TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups")))),
 
+    "q_text_repetition" -> ((s, dir) =>
+      det(graft.operators.TextStats.repetitionProfile(docs(s, dir), "doc_id", "text"))),
+
     // --- dedup ------------------------------------------------------------
 
     // byFingerprint: the graded plan shuffles 16-byte md5 keys, not raw
@@ -102,6 +105,13 @@ object ExtensionQueries {
     "q_sim_ann_lsh" -> ((s, dir) =>
       det(Similarity.annTopK(emb(s, dir), "vec_id", "embedding", k = 5,
         tables = 12, planes = 6, dim = 64).drop("cos_sim"))),
+
+    // IVF flavor: data-adaptive cells (deterministic corpus-sampled
+    // centroids) — no DuckDB oracle (Spark-side hashing picks the
+    // centroid sample); recall gated vs brute force in SimilaritySpec.
+    "q_sim_ann_ivf" -> ((s, dir) =>
+      det(Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", k = 5,
+        nCentroids = 16, nprobe = 6).drop("cos_sim"))),
 
     // --- multimodal -------------------------------------------------------
 
@@ -207,6 +217,19 @@ object ExtensionQueries {
          |FROM m ORDER BY doc_id $N1, n_chars $N1, n_tokens $N1, mean_tok_len $N1,
          |stopword_ratio $N1, punct_ratio $N1, quality_score $N1""".stripMargin,
     "q_text_langid" -> langProfileSql,
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |b AS (SELECT doc_id, CAST(len(list_distinct(w)) AS DOUBLE)/len(w) AS dwr,
+         |  [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)] AS bg FROM t),
+         |e AS (SELECT doc_id, dwr, unnest(bg) AS g FROM b),
+         |c AS (SELECT doc_id, any_value(dwr) AS dwr, g, count(*) AS c FROM e GROUP BY doc_id, g)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  CAST(count(*) AS DOUBLE)/sum(c) AS distinct_bigram_ratio,
+         |  CAST(max(c) AS DOUBLE)/sum(c) AS top_bigram_ratio,
+         |  any_value(dwr) AS distinct_word_ratio
+         |FROM c GROUP BY doc_id
+         |ORDER BY doc_id $N1, n_bigrams $N1, distinct_bigram_ratio $N1,
+         |top_bigram_ratio $N1, distinct_word_ratio $N1""".stripMargin,
     "q_text_fingerprint" ->
       s"""SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_dups
          |FROM documents GROUP BY md5(text)

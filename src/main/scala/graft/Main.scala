@@ -51,6 +51,7 @@ object Main {
     val report = Engine.migrate(cfg, catalog, sink)
     report.tables.foreach(t =>
       println(f"[graft] ${t.table}%-30s ${t.rows}%10d rows  ${t.seconds}%8.2fs" +
+        (if (t.skippedRows > 0) s"  skipped: ${t.skippedRows}" else "") +
         (if (t.droppedColumns.nonEmpty) s"  degraded: ${t.droppedColumns.mkString(",")}" else "")))
     println(s"[graft] total ${report.totalRows} rows across ${report.tables.size} tables")
     report

@@ -147,22 +147,105 @@ object Similarity {
         col("__tb.table").as("__table"), col("__tb.bucket").as("__bucket"))
   }
 
-  /** Candidate pairs from shared SRP buckets (any table). The bucket join
-    * and the pair dedup carry IDs ONLY — vectors re-join after distinct,
-    * so the dedup shuffle moves 16 bytes per candidate instead of the
-    * ~1KB double vectors (the dominant shuffle at corpus scale). */
-  def srpCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
-                        tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
-    val b = srpBuckets(corpus, idCol, vecCol, tables, planes, dim)
-    val ids = b.select(col("__table"), col("__bucket"), col("__id").as("vec_a"))
-      .join(b.select(col("__table"), col("__bucket"), col("__id").as("vec_b")),
-        Seq("__table", "__bucket"))
+  /** Candidate pairs from any blocking frame (`__id` + block-key cols):
+    * equi-join on the keys, a<b dedup on IDS ONLY, vectors re-joined
+    * after distinct — so the dedup shuffle moves 16 bytes per candidate
+    * instead of the ~1KB double vectors (the dominant shuffle at corpus
+    * scale). Shared by the SRP and IVF blockers. */
+  private def candidatesFromBlocks(blocks: DataFrame, corpus: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   keys: Seq[String]): DataFrame = {
+    val ids = blocks.select(keys.map(col) :+ col("__id").as("vec_a"): _*)
+      .join(blocks.select(keys.map(col) :+ col("__id").as("vec_b"): _*), keys)
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
     val a = side(corpus, idCol, vecCol, "vec_a", "__va", "__na")
     val bb = side(corpus, idCol, vecCol, "vec_b", "__vb", "__nb")
     ids.join(a, "vec_a").join(bb, "vec_b")
       .select(col("vec_a"), col("vec_b"), col("__va"), col("__vb"), col("__na"), col("__nb"))
+  }
+
+  /** Candidate pairs from shared SRP buckets (any table). */
+  def srpCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame =
+    candidatesFromBlocks(srpBuckets(corpus, idCol, vecCol, tables, planes, dim),
+      corpus, idCol, vecCol, Seq("__table", "__bucket"))
+
+  // ------------------------------------------------------------------- IVF
+
+  /**
+   * IVF (inverted-file) coarse quantization — the data-ADAPTIVE blocker:
+   * `nCentroids` centroid vectors are drawn deterministically from the
+   * corpus itself (lowest xxhash64(id) — a fixed pseudo-random sample),
+   * and every vector is assigned to its `nprobe` nearest centroids by
+   * dot product against the L2-normalized centroids (= cosine ranking).
+   *
+   * vs SRP: SRP's hyperplanes are oblivious to the data distribution;
+   * IVF cells follow it, so clustered corpora (the common embedding
+   * shape) get tighter buckets at equal candidate volume. Multi-probe
+   * (`nprobe` > 1) covers the cell-boundary problem the same way extra
+   * SRP tables do.
+   *
+   * Driver cost: ONE collect of `nCentroids` vectors (bounded, e.g.
+   * 256 x 64 doubles = 128 KB) broadcast as plan literals — not a
+   * driver-side loop over the corpus. Assignment is a single codegen'd
+   * projection; the block join carries ids only.
+   */
+  def ivfAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int = 16, nprobe: Int = 3): DataFrame = {
+    val cents: Array[Array[Double]] = corpus
+      .select(col(idCol).cast(StringType).as("__id"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(nCentroids)
+      .collect()
+      .map { r =>
+        val a = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(a.map(x => x * x).sum)
+        if (n == 0) a else a.map(_ / n)
+      }
+    require(cents.nonEmpty, "IVF needs a non-empty corpus to draw centroids from")
+    val scored = cents.indices.map { ci =>
+      struct(
+        graft.functions.VectorExpressions.dotProduct(
+          col("__v"), array(cents(ci).map(lit): _*)).as("dot"),
+        lit(ci).as("cid"))
+    }
+    // top-nprobe cells: sort (dot, cid) structs ascending, take the tail
+    val probes = slice(array_sort(array(scored: _*)), -math.min(nprobe, cents.length),
+      math.min(nprobe, cents.length))
+    corpus.select(col(idCol).as("__id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("__v"),
+        norm(col(vecCol)).as("__n"))
+      .withColumn("__cell", explode(probes))
+      .select(col("__id"), col("__v"), col("__n"), col("__cell.cid").as("__cid"))
+  }
+
+  /** Candidate pairs from shared IVF cells (any probe). */
+  def ivfCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCentroids: Int = 16, nprobe: Int = 3): DataFrame =
+    candidatesFromBlocks(ivfAssignments(corpus, idCol, vecCol, nCentroids, nprobe),
+      corpus, idCol, vecCol, Seq("__cid"))
+
+  /** Approximate top-k via IVF cells + exact cosine rerank — same output
+    * contract as [[annTopK]]; recall is data-dependent (cell-local), so
+    * gate it against [[bruteForceTopK]] on a sample (see SimilaritySpec). */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 3): DataFrame =
+    topKFromCandidates(ivfCandidatePairs(corpus, idCol, vecCol, nCentroids, nprobe),
+      idCol, k)
+
+  /** Score candidate pairs, symmetrize (each pair serves both endpoints
+    * as a query), rank per query: the shared rerank tail of every
+    * blocked ANN variant. */
+  private def topKFromCandidates(candidates: DataFrame, idCol: String, k: Int): DataFrame = {
+    val pairs = candidates.withColumn("cos_sim",
+      dotP(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+    val directed = pairs.select(col("vec_a").as("__qid"), col("vec_b").as("neighbor_id"), col("cos_sim"))
+      .unionAll(pairs.select(col("vec_b").as("__qid"), col("vec_a").as("neighbor_id"), col("cos_sim")))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    directed.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"), col("cos_sim"))
   }
 
   /**
@@ -178,16 +261,7 @@ object Similarity {
    * Output: (idCol, neighbor_id, rank, cos_sim) — rank within retrieved.
    */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-              tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
-    val pairs = srpCandidatePairs(corpus, idCol, vecCol, tables, planes, dim)
-      .withColumn("cos_sim",
-        dotP(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-    // symmetrize: each pair scores both directions
-    val directed = pairs.select(col("vec_a").as("__qid"), col("vec_b").as("neighbor_id"), col("cos_sim"))
-      .unionAll(pairs.select(col("vec_b").as("__qid"), col("vec_a").as("neighbor_id"), col("cos_sim")))
-    val w = Window.partitionBy(col("__qid")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    directed.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"), col("cos_sim"))
-  }
+              tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame =
+    topKFromCandidates(srpCandidatePairs(corpus, idCol, vecCol, tables, planes, dim),
+      idCol, k)
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Corpus-level repetition profiling for LLM-data quality filtering —
+ * the word/n-gram repetition signals (Rae et al., "Scaling Language
+ * Models" §A1.1; C4's heuristics) that catch boilerplate and
+ * low-entropy spam text which simple length/stopword scores miss.
+ *
+ * Definitions (word tokens = space-split, matching the shingle
+ * definition used by the dedup operators):
+ *  - distinct_word_ratio   = |distinct words| / |words|
+ *  - n_bigrams             = |word 2-grams| (= words - 1)
+ *  - distinct_bigram_ratio = |distinct 2-grams| / |2-grams|
+ *  - top_bigram_ratio      = occurrences of the most frequent 2-gram
+ *                            / |2-grams|
+ *
+ * 100 TB design: the per-word ratios are pure higher-order-function
+ * columns (zero shuffle); the bigram mode needs a count-per-key, done
+ * with explode -> two partial-aggregated groupBys on (doc, gram) then
+ * (doc) — linear in corpus tokens, shuffle keyed by doc hash, no
+ * skew hazard beyond document length itself. Nothing touches the
+ * driver.
+ */
+object TextStats {
+
+  /** Per-document repetition metrics. Requires every doc to have >= 2
+    * words (single-word docs would need a null-guard on the ratios). */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      words.as("__w"),
+      (size(array_distinct(words)).cast(DoubleType) / size(words)).as("distinct_word_ratio"))
+    val bigrams = base.select(col("doc_id"), col("distinct_word_ratio"),
+      explode(transform(sequence(lit(1), size(col("__w")) - 1),
+        i => concat_ws(" ", element_at(col("__w"), i), element_at(col("__w"), i + 1)))).as("__g"))
+    bigrams
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(first(col("distinct_word_ratio")).as("__dwr"), count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("__c")).as("n_bigrams"),
+        (count(lit(1)).cast(DoubleType) / sum(col("__c"))).as("distinct_bigram_ratio"),
+        (max(col("__c")).cast(DoubleType) / sum(col("__c"))).as("top_bigram_ratio"),
+        first(col("__dwr")).as("distinct_word_ratio"))
+  }
+}

@@ -31,13 +31,20 @@ object MigrationCompiler extends Logging {
     * result; `abortChecks` are the `on_fail=error` / `on_missing=error`
     * pre-write assertions (run them via `assertValid()` before writing —
     * the set-at-a-time equivalent of the reference aborting mid-stream,
-    * SURVEY §4.3.4). */
+    * SURVEY §4.3.4). `skippedRows` is an `observe`-backed count of rows
+    * dropped by skip rules, collected as a free by-product of whatever
+    * action executes the frame (the reference's per-row warn logs,
+    * default_validation.py:31 — minus the second pass they'd cost us). */
   final case class CompiledTable(
       table: TableConfig,
       dataFrame: DataFrame,
       abortChecks: Seq[() => Unit],
-      droppedColumns: Seq[String]) {
+      droppedColumns: Seq[String],
+      skippedObservation: Option[org.apache.spark.sql.Observation] = None) {
     def assertValid(): Unit = abortChecks.foreach(_.apply())
+    /** Valid after the frame has executed once (e.g. after the write). */
+    def skippedRows: Long =
+      skippedObservation.map(_.get("skipped_rows").asInstanceOf[Long]).getOrElse(0L)
   }
 
   /**
@@ -256,8 +263,16 @@ object MigrationCompiler extends Logging {
           frame, flags.map { case (f, ctx) => (col(f), ctx) }))
       }
 
-    // final skip filter: one conjunction instead of N sequential filters
-    if (skipFlags.nonEmpty) df = df.filter(aliveSoFar)
+    // final skip filter: one conjunction instead of N sequential filters;
+    // the observe rides the same execution, so the skip count is free
+    val skippedObs =
+      if (skipFlags.isEmpty) None
+      else {
+        val o = org.apache.spark.sql.Observation(s"graft_skips_${cfg.targetTable}")
+        df = df.observe(o, count(when(!aliveSoFar, lit(1))).as("skipped_rows"))
+        df = df.filter(aliveSoFar)
+        Some(o)
+      }
 
     // 7. self-lookup joins, replacing the two-phase UPDATE fixup
     //    (plugins/default_loader.py:109-154). Runs after the skip filter:
@@ -272,7 +287,7 @@ object MigrationCompiler extends Logging {
     //    plugins/default_loader.py:92).
     df = df.select(mappings.map(m => col(m.targetName)): _*)
 
-    CompiledTable(cfg, df, abortChecks, dropped.map(_.sourceName))
+    CompiledTable(cfg, df, abortChecks, dropped.map(_.sourceName), skippedObs)
   }
 
   /**

@@ -68,6 +68,18 @@ class EngineSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "t.parquet")))
   }
 
+  test("migrate reports observe-counted skipped rows without a second pass") {
+    val cat = MemCatalog(Map("src" -> Seq("aa", "bb", "XX", "YY", "cc").toDF("v")))
+    val out = java.nio.file.Files.createTempDirectory("engine_skip").toString
+    val cfg = EtlConfig(GlobalConfig(), List(
+      TableConfig(sourceTable = "src", targetTable = "t", mappings = List(
+        rule("v", "v").copy(validation =
+          List(ValidationRule("regex", pattern = Some("[a-z]+$"), onFail = Some("skip"))))))))
+    val report = Engine.migrate(cfg, cat, ParquetSink(out))
+    assert(report.tables.head.rows == 3L)
+    assert(report.tables.head.skippedRows == 2L)
+  }
+
   test("plan compiles against a parquet catalog end-to-end") {
     val compiled = Engine.plan(
       TableConfig(sourceTable = "nation", targetTable = "x",

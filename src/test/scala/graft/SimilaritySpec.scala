@@ -103,6 +103,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == exact, s"missed: ${exact -- lsh}; spurious: ${lsh -- exact}")
   }
 
+  test("ivfTopK recall@5 vs bruteForceTopK is >= 0.95 at sf0.01 (high-recall params)") {
+    val e = sfEmb
+    val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nprobe = 6)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ivf).size.toDouble / truth.size
+    assert(recall >= 0.95, f"IVF recall@5 = $recall%.4f over ${truth.size} neighbor slots")
+  }
+
+  test("ivfAssignments probes exactly nprobe cells per vector, deterministically") {
+    val a1 = Similarity.ivfAssignments(sfEmb, "vec_id", "embedding", 8, 3)
+    val counts = a1.groupBy("__id").count().select(max("count"), min("count")).head()
+    assert(counts.getLong(0) == 3L && counts.getLong(1) == 3L)
+    val a2 = Similarity.ivfAssignments(sfEmb, "vec_id", "embedding", 8, 3)
+    assert(a1.select("__id", "__cid").except(a2.select("__id", "__cid")).isEmpty)
+  }
+
   test("annTopK recall@5 vs bruteForceTopK is >= 0.95 at sf0.01 (high-recall params)") {
     val e = sfEmb
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
