@@ -54,14 +54,37 @@ object MinHashBands {
       // = XxHash64Function.hash(s, StringType, 42): bytes via unsafe access
       val s = shingles.getUTF8String(j)
       val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      var i = 0
-      while (i < numPerm) {
-        val h = XXH64.hashInt(i, h1)
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
+      mix(h1, sig, numPerm)
       j += 1
     }
+    bandStrings(sig, numPerm, bands)
+  }
+
+  /** Same signature from PRE-HASHED shingles ([[ShingleHashes]] output):
+    * the first-level hash of the string path IS the shingle's byte hash,
+    * so the resulting bands are bit-identical to [[compute]] over the
+    * corresponding shingle strings (min is duplicate-insensitive). */
+  def computeFromHashes(hashes: ArrayData, numPerm: Int, bands: Int): ArrayData = {
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var j = 0
+    val n = hashes.numElements()
+    while (j < n) {
+      mix(hashes.getLong(j), sig, numPerm)
+      j += 1
+    }
+    bandStrings(sig, numPerm, bands)
+  }
+
+  private def mix(h1: Long, sig: Array[Long], numPerm: Int): Unit = {
+    var i = 0
+    while (i < numPerm) {
+      val h = XXH64.hashInt(i, h1)
+      if (h < sig(i)) sig(i) = h
+      i += 1
+    }
+  }
+
+  private def bandStrings(sig: Array[Long], numPerm: Int, bands: Int): ArrayData = {
     val rows = numPerm / bands
     val out = new Array[Any](bands)
     var b = 0
@@ -83,4 +106,29 @@ object MinHashBands {
   def minhashBands(shingles: Column, numPerm: Int, bands: Int): Column =
     GraftColumnBridge.column(
       MinHashBands(GraftColumnBridge.expression(shingles), numPerm, bands))
+
+  /** Column helper over pre-hashed shingles. */
+  def minhashBandsFromHashes(hashes: Column, numPerm: Int, bands: Int): Column =
+    GraftColumnBridge.column(
+      MinHashBandsFromHashes(GraftColumnBridge.expression(hashes), numPerm, bands))
+}
+
+/** [[MinHashBands]] over pre-hashed shingles (array<long>). */
+case class MinHashBandsFromHashes(child: Expression, numPerm: Int, bands: Int)
+  extends UnaryExpression {
+
+  require(numPerm % bands == 0, "bands must divide numPerm")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands_h"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashBands.computeFromHashes(input.asInstanceOf[ArrayData], numPerm, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashBands$$.MODULE$$.computeFromHashes($c, $numPerm, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsFromHashes =
+    copy(child = newChild)
 }

@@ -36,23 +36,60 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** (id, shingles) pairs for a document frame. */
+  /** (id, distinct shingle hashes) pairs for a document frame — the
+    * native byte-window hasher ([[graft.functions.ShingleHashes]]), not
+    * the interpreted wordShingles+xxhash64 HOF chain (values identical,
+    * ~50x cheaper, and this is the hottest kernel of every dedup here). */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("__id"),
-      TextFunctions.wordShingles(col(textCol), n).as("__sh"))
+      graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("__hs"))
 
-  /** Exact Jaccard over distinct word-n-gram shingle sets for the given
-    * candidate pairs frame (`__a`, `__b`). */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double,
+  /**
+   * Exact Jaccard over distinct word-n-gram shingle sets for the given
+   * candidate pairs frame (`__a`, `__b`).
+   *
+   * Two deliberate cost moves (shingling is an interpreted higher-order
+   * function — the most expensive per-row kernel in this module — so it
+   * must run as few times, over as few docs, as possible):
+   *  - shingles are recomputed from `docs` AFTER an id semi-join with the
+   *    candidate set, so the verify shingles only candidate docs (a tiny
+   *    fraction of the corpus), instead of inheriting a corpus-wide
+   *    shingle plan Catalyst would re-execute per join side;
+   *  - the sets are compared as xxhash64 values, not strings:
+   *    intersection/union SIZES — hence the Jaccard value — are identical
+   *    unless two distinct shingles of the same doc pair collide in 64
+   *    bits (~|sets|²/2⁶⁴ ≈ 1e-14), and the join ships 8-byte elements
+   *    instead of n-gram text.
+   */
+  private def verifyJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
+                            textCol: String, n: Int, threshold: Double,
                             aOut: String, bOut: String): DataFrame = {
-    val x = sh.select(col("__id").as("__a"), col("__sh").as("__sha"))
-    val y = sh.select(col("__id").as("__b"), col("__sh").as("__shb"))
+    val candIds = cands.select(col("__a").as("__id"))
+      .unionAll(cands.select(col("__b").as("__id"))).distinct()
+    val hashed = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .join(candIds, "__id")
+      .select(col("__id"),
+        graft.functions.ShingleHashes.shingleHashes(col("__t"), n).as("__hs"))
+    val x = hashed.select(col("__id").as("__a"), col("__hs").as("__sha"))
+    val y = hashed.select(col("__id").as("__b"), col("__hs").as("__shb"))
     cands.join(x, "__a").join(y, "__b")
       .withColumn("jaccard",
         size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
           size(array_distinct(concat(col("__sha"), col("__shb")))))
       .filter(col("jaccard") >= threshold)
       .select(col("__a").as(aOut), col("__b").as(bOut), col("jaccard"))
+  }
+
+  /** a<b candidate id pairs from a blocking frame (`__id` + key cols),
+    * as an ALIASED self-join: both join children are the identical
+    * subplan, so Spark's ReuseExchange materializes the blocking
+    * exchange ONCE instead of recomputing the upstream (shingling,
+    * hashing) per side. */
+  private def selfJoinPairs(blocks: DataFrame, keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col("x.__id") < col("y.__id")
+    blocks.alias("x").join(blocks.alias("y"), cond)
+      .select(col("x.__id").as("__a"), col("y.__id").as("__b")).distinct()
   }
 
   /**
@@ -71,17 +108,17 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, threshold: Double = 0.5,
                         dfCap: Int = 100): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, n)
-    val inv = sh.select(col("__id"), explode(col("__sh")).as("__g0"))
-      .select(col("__id"), xxhash64(col("__g0")).as("__g"))
-    val kept = inv.groupBy("__g").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= dfCap).select("__g")
-    val invK = inv.join(kept, "__g")
-    val cands = invK.select(col("__g"), col("__id").as("__a"))
-      .join(invK.select(col("__g"), col("__id").as("__b")), "__g")
-      .filter(col("__a") < col("__b"))
-      .select("__a", "__b").distinct()
-    verifyJaccard(cands, sh, threshold, "doc_a", "doc_b")
+    val inv = shingled(docs, idCol, textCol, n)
+      .select(col("__id"), explode(col("__hs")).as("__g"))
+    // df-cap as a count-over-window on the SAME shuffle the candidate
+    // join needs — not a groupBy+rejoin, which would re-execute the
+    // whole shingle explode once per join side
+    val invK = inv
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__df") <= dfCap)
+      .select("__id", "__g")
+    val cands = selfJoinPairs(invK, Seq("__g"))
+    verifyJaccard(cands, docs, idCol, textCol, n, threshold, "doc_a", "doc_b")
   }
 
   /**
@@ -101,22 +138,19 @@ object Dedup {
                       n: Int = 5, threshold: Double = 0.5,
                       numPerm: Int = 64, bands: Int = 32): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
-    val sh = shingled(docs, idCol, textCol, n)
     // signature[i] = min over shingles of xxhash64(shingle, i), then band
-    // strings — all in ONE native expression per doc
-    // (graft.functions.MinHashBands): each shingle's bytes hashed once +
-    // numPerm integer mixes, no 96M-row explode/groupBy pipeline, no
-    // projection-collapse recompute hazard (the expression is a single
-    // generator input evaluated once per row).
-    val bandRow = sh.filter(size(col("__sh")) > 0)
+    // strings — all native per doc: ShingleHashes (byte-window hashing,
+    // no shingle strings) feeding MinHashBandsFromHashes (numPerm integer
+    // mixes per shingle). Identical bands to the string formulation; no
+    // 96M-row explode/groupBy pipeline, no projection-collapse recompute
+    // hazard (single generator input evaluated once per row).
+    val bandRow = shingled(docs, idCol, textCol, n)
+      .filter(size(col("__hs")) > 0)
       .select(col("__id"),
-        posexplode(graft.functions.MinHashBands.minhashBands(col("__sh"), numPerm, bands))
-          .as(Seq("__bd", "__bs")))
-    val cands = bandRow.select(col("__bd"), col("__bs"), col("__id").as("__a"))
-      .join(bandRow.select(col("__bd"), col("__bs"), col("__id").as("__b")), Seq("__bd", "__bs"))
-      .filter(col("__a") < col("__b"))
-      .select("__a", "__b").distinct()
-    verifyJaccard(cands, sh, threshold, "doc_a", "doc_b")
+        posexplode(graft.functions.MinHashBands.minhashBandsFromHashes(
+          col("__hs"), numPerm, bands)).as(Seq("__bd", "__bs")))
+    val cands = selfJoinPairs(bandRow, Seq("__bd", "__bs"))
+    verifyJaccard(cands, docs, idCol, textCol, n, threshold, "doc_a", "doc_b")
   }
 
   /** SimHash fingerprints (63-bit) per doc, plus near-dup pairs within
@@ -144,13 +178,13 @@ object Dedup {
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(array(chunkStructs: _*)).as("__b"))
       .select(col("doc_id"), col("simhash"), col("__b.band").as("__bd"), col("__b.chunk").as("__ck"))
-    val cands = banded.select(col("__bd"), col("__ck"),
-        col("doc_id").as("doc_a"), col("simhash").as("__fa"))
-      .join(banded.select(col("__bd"), col("__ck"),
-        col("doc_id").as("doc_b"), col("simhash").as("__fb")), Seq("__bd", "__ck"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        TextFunctions.hamming(col("__fa"), col("__fb")).as("hamming")).distinct()
-    cands.filter(col("hamming") <= maxHamming)
+    // aliased self-join: one exchange, reused for both sides
+    banded.alias("x").join(banded.alias("y"),
+        col("x.__bd") === col("y.__bd") && col("x.__ck") === col("y.__ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        TextFunctions.hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

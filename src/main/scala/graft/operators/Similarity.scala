@@ -26,10 +26,14 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Left-fold dot product of two equal-length float arrays, in double. */
+  /** Left-fold dot product of two equal-length float arrays, in double —
+    * the native codegen'd expression (see [[dotP]]); bit-identical to the
+    * HOF `aggregate(zip_with(a,b,*), 0.0, +)` formulation, which Spark
+    * interprets per element (the lambda never enters codegen) and which
+    * measurably dominates any plan evaluating many dots per row (e.g.
+    * SRP bucketing: tables x planes dots per vector). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -116,36 +120,20 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
 
-  /** Deterministic pseudo-random hyperplanes: L tables x H planes x dim,
-    * from a fixed-seed PRNG (same plan every run). */
-  private def hyperplanes(tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(tables, planes, dim)(rnd.nextGaussian())
-  }
-
-  /** (table, bucket) signature columns for SRP-LSH: bucket = bit pattern of
-    * sign(dot(plane, vec)) over H planes. Returns one row per (row, table). */
+  /** (table, bucket) signature columns for SRP-LSH: bucket = bit pattern
+    * of sign(dot(plane, vec)) over H planes; hyperplanes are fixed-seed
+    * Gaussian draws (same plan every run). Returns one row per
+    * (row, table). The whole assignment is ONE native expression
+    * ([[graft.functions.SrpBucketIds]]) — tables x planes separate dot
+    * expressions blow past Janino's codegen limits and degrade to
+    * per-plane interpreted evaluation (measured 2-3x slower end-to-end). */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
-    val hp = hyperplanes(tables, planes, dim)
-    val tableStructs = (0 until tables).map { t =>
-      val bits = (0 until planes).map { p =>
-        val plane = array(hp(t)(p).map(lit): _*)
-        when(dot(col(vecCol), plane) >= 0, lit(1)).otherwise(lit(0))
-      }
-      // bucket id = fold of sign bits (H <= 30 keeps it in Int range)
-      val bucket = bits.foldLeft(lit(0))((acc, b) => acc * 2 + b)
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
-    // carry the pre-cast double vector + norm so the pair rerank never
-    // touches the float array again
+                 tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame =
     df.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("__v"),
       norm(col(vecCol)).as("__n"),
-      explode(array(tableStructs: _*)).as("__tb"))
-      .select(col("__id"), col("__v"), col("__n"),
-        col("__tb.table").as("__table"), col("__tb.bucket").as("__bucket"))
-  }
+      posexplode(graft.functions.SrpBucketIds.srpBucketIds(col(vecCol), tables, planes, dim))
+        .as(Seq("__table", "__bucket")))
 
   /** Candidate pairs from any blocking frame (`__id` + block-key cols):
     * equi-join on the keys, a<b dedup on IDS ONLY, vectors re-joined
@@ -155,10 +143,13 @@ object Similarity {
   private def candidatesFromBlocks(blocks: DataFrame, corpus: DataFrame,
                                    idCol: String, vecCol: String,
                                    keys: Seq[String]): DataFrame = {
-    val ids = blocks.select(keys.map(col) :+ col("__id").as("vec_a"): _*)
-      .join(blocks.select(keys.map(col) :+ col("__id").as("vec_b"): _*), keys)
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+    // aliased self-join on the block keys: both children are the same
+    // subplan, so ReuseExchange materializes the blocking shuffle once
+    val keyed = blocks.select(col("__id") +: keys.map(col): _*)
+    val cond = keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col("x.__id") < col("y.__id")
+    val ids = keyed.alias("x").join(keyed.alias("y"), cond)
+      .select(col("x.__id").as("vec_a"), col("y.__id").as("vec_b")).distinct()
     val a = side(corpus, idCol, vecCol, "vec_a", "__va", "__na")
     val bb = side(corpus, idCol, vecCol, "vec_b", "__vb", "__nb")
     ids.join(a, "vec_a").join(bb, "vec_b")
@@ -207,7 +198,7 @@ object Similarity {
     val scored = cents.indices.map { ci =>
       struct(
         graft.functions.VectorExpressions.dotProduct(
-          col("__v"), array(cents(ci).map(lit): _*)).as("dot"),
+          col("__v"), typedlit(cents(ci).toSeq)).as("dot"),
         lit(ci).as("cid"))
     }
     // top-nprobe cells: sort (dot, cid) structs ascending, take the tail

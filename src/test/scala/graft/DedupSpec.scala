@@ -59,6 +59,35 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L))) // identical text -> hamming 0
   }
+  test("ShingleHashes equals the declarative wordShingles+xxhash64 formulation") {
+    import graft.functions.{ShingleHashes, TextFunctions}
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val weird = Seq((9001L, ""), (9002L, "one"), (9003L, "a  b c d e f"), // double space
+      (9004L, " lead and trail "), (9005L, "x x x x x x x x")) // dup shingles
+      .toDF("doc_id", "text")
+    val docs2 = corpus.select(col("doc_id"), col("text")).unionAll(weird)
+    val native = docs2.select(col("doc_id"),
+      ShingleHashes.shingleHashes(col("text"), 5).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val declarative = docs2.select(col("doc_id"),
+      transform(TextFunctions.wordShingles(col("text"), 5), g => xxhash64(g)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(native == declarative)
+  }
+
+  test("MinHashBandsFromHashes over ShingleHashes equals the string-shingle bands") {
+    import graft.functions.{MinHashBands, ShingleHashes, TextFunctions}
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fromStrings = corpus.select(col("doc_id"),
+      MinHashBands.minhashBands(TextFunctions.wordShingles(col("text"), 5), 64, 32).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val fromHashes = corpus.select(col("doc_id"),
+      MinHashBands.minhashBandsFromHashes(
+        ShingleHashes.shingleHashes(col("text"), 5), 64, 32).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(fromHashes == fromStrings)
+  }
+
   test("MinHashBands expression equals the declarative xxhash64 formulation") {
     import graft.functions.{MinHashBands, TextFunctions}
     val df = docs.select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))

@@ -82,7 +82,12 @@ class SimilaritySpec extends AnyFunSuite {
       schema)
     val native = df.select(
       graft.functions.VectorExpressions.dotProduct(col("a"), col("b"))).collect()
-    val hof = df.select(Similarity.dot(col("a"), col("b"))).collect()
+    // the declarative HOF formulation, spelled out (Similarity.dot is native now)
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast(org.apache.spark.sql.types.DoubleType) *
+            y.cast(org.apache.spark.sql.types.DoubleType)),
+        lit(0.0), (acc, v) => acc + v)).collect()
     assert(native(0).getDouble(0) == 32.0 && hof(0).getDouble(0) == 32.0)
     // both formulations agree that bad embedding data is null, not a truncated sum
     assert(native(1).isNullAt(0) && hof(1).isNullAt(0))
