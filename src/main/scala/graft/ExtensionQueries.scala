@@ -65,6 +65,12 @@ object ExtensionQueries {
     "q_text_repetition" -> ((s, dir) =>
       det(graft.operators.TextStats.repetitionProfile(docs(s, dir), "doc_id", "text"))),
 
+    // flagship corpus-cleaning pipeline: dedup + langid + quality +
+    // repetition filter composed into one plan (operators/CorpusClean)
+    "q_corpus_clean" -> ((s, dir) =>
+      det(graft.operators.CorpusClean.clean(docs(s, dir), "doc_id", "text",
+        langs = Seq("en"), minQuality = 3, maxTopBigramRatio = 0.06))),
+
     // --- dedup ------------------------------------------------------------
 
     // byFingerprint: the graded plan shuffles 16-byte md5 keys, not raw
@@ -173,10 +179,14 @@ object ExtensionQueries {
       |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
       |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
 
-  private val langProfileSql: String = {
-    val scores = TextFunctions.LangProfiles.map { case (lang, words) =>
-      lang -> s"len(list_distinct(list_intersect(toks, [${words.map(w => s"'$w'").mkString(",")}])))"
+  /** langid score fragments over a given token-list column. */
+  private def langScores(tokCol: String): Map[String, String] =
+    TextFunctions.LangProfiles.map { case (lang, words) =>
+      lang -> s"len(list_distinct(list_intersect($tokCol, [${words.map(w => s"'$w'").mkString(",")}])))"
     }.toMap
+
+  private val langProfileSql: String = {
+    val scores = langScores("toks")
     s"""WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')) AS toks,
        |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS n_cjk FROM documents),
        |s AS (SELECT doc_id, n_cjk, ${scores("en")} AS s_en, ${scores("de")} AS s_de,
@@ -217,6 +227,45 @@ object ExtensionQueries {
          |FROM m ORDER BY doc_id $N1, n_chars $N1, n_tokens $N1, mean_tok_len $N1,
          |stopword_ratio $N1, punct_ratio $N1, quality_score $N1""".stripMargin,
     "q_text_langid" -> langProfileSql,
+    "q_corpus_clean" -> {
+      val sc = langScores("ltoks")
+      s"""WITH dq AS (SELECT doc_id, text FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+         |t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks2,
+         |  len(regexp_extract_all(text, '[^ -~]')) AS n_nonascii,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         |  list_distinct(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')) AS ltoks,
+         |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS n_cjk,
+         |  string_split(text, ' ') AS w FROM dq),
+         |m AS (SELECT doc_id, w, n_cjk, ltoks, len(toks2) AS n_tokens,
+         |  len(list_filter(toks2, x -> list_contains([$STOP_EN], x))) AS n_stop,
+         |  list_sum(list_transform(toks2, x -> length(x))) AS tok_chars,
+         |  n_punct, n_nonascii FROM t),
+         |q AS (SELECT doc_id, w, n_cjk, ltoks, n_tokens,
+         |  (CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END +
+         |   CASE WHEN CAST(tok_chars AS DOUBLE)/n_tokens BETWEEN 3 AND 12 THEN 1 ELSE 0 END +
+         |   CASE WHEN CAST(n_stop AS DOUBLE)/n_tokens BETWEEN 0.01 AND 0.6 THEN 1 ELSE 0 END +
+         |   CASE WHEN n_nonascii = 0 THEN 1 ELSE 0 END) AS quality_score FROM m),
+         |l AS (SELECT doc_id, w, n_tokens, quality_score, n_cjk,
+         |  ${sc("en")} AS s_en, ${sc("de")} AS s_de, ${sc("fr")} AS s_fr,
+         |  ${sc("es")} AS s_es FROM q),
+         |ld AS (SELECT doc_id, w, n_tokens, quality_score, CASE
+         |  WHEN n_cjk > 0 THEN 'zh'
+         |  WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+         |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS detected_lang FROM l),
+         |bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+         |  for i in generate_series(1, len(w)-1)]) AS g FROM ld),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE)/sum(c) AS top_bigram_ratio
+         |  FROM bc GROUP BY 1)
+         |SELECT ld.doc_id, n_tokens, detected_lang, quality_score, top_bigram_ratio
+         |FROM ld JOIN rep ON ld.doc_id = rep.doc_id
+         |WHERE detected_lang = 'en' AND quality_score >= 3 AND top_bigram_ratio <= 0.06
+         |ORDER BY ld.doc_id $N1, n_tokens $N1, detected_lang $N1, quality_score $N1,
+         |top_bigram_ratio $N1""".stripMargin
+    },
     "q_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
          |b AS (SELECT doc_id, CAST(len(list_distinct(w)) AS DOUBLE)/len(w) AS dwr,

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The flagship LLM-corpus cleaning pipeline: exact dedup -> language ID
+ * -> quality scoring -> repetition filtering, composed from the
+ * individual operators into ONE declarative plan (the C4/Gopher-style
+ * preprocessing recipe as a single call).
+ *
+ * Plan shape at scale: the dedup windows on the 16-byte md5 fingerprint
+ * (one shuffle), the repetition profile contributes its own
+ * doc-id-keyed aggregate (one shuffle + a join back on doc_id), and
+ * every other signal is a pure Column rewrite riding the same scan —
+ * Catalyst fuses them into the projection. Nothing touches the driver;
+ * filters push past the join to the deduped side.
+ */
+object CorpusClean {
+
+  /**
+   * @param langs              keep docs whose detected language is in this set
+   * @param minQuality         keep docs with quality_score >= this (0-4)
+   * @param maxTopBigramRatio  drop docs whose most frequent word bigram
+   *                           exceeds this share (repetitive boilerplate)
+   */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            langs: Seq[String] = Seq("en"),
+            minQuality: Int = 3,
+            maxTopBigramRatio: Double = 0.06): DataFrame = {
+    val deduped = Dedup.exactDedup(docs, textCol, idCol, byFingerprint = true)
+    val rep = TextStats.repetitionProfile(docs, idCol, textCol)
+      .select(col("doc_id").as(idCol), col("top_bigram_ratio"))
+    val quality = TextFunctions.qualityColumns(col(textCol)).toMap
+    deduped
+      .join(rep, idCol)
+      .select(
+        col(idCol).as("doc_id"),
+        quality("n_tokens").as("n_tokens"),
+        TextFunctions.detectLanguage(col(textCol)).as("detected_lang"),
+        quality("quality_score").as("quality_score"),
+        col("top_bigram_ratio"))
+      .filter(col("detected_lang").isin(langs: _*) &&
+        col("quality_score") >= minQuality &&
+        col("top_bigram_ratio") <= maxTopBigramRatio)
+  }
+}

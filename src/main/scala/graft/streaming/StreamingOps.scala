@@ -89,6 +89,27 @@ object StreamingOps {
           }
       }
 
+  /** Streaming exact dedup with WATERMARK-BOUNDED state:
+    * `dropDuplicatesWithinWatermark` collapses duplicates arriving
+    * within the watermark delay of each other and evicts a key's state
+    * once the watermark passes it — the only exact-dedup shape whose
+    * state stays bounded on an unbounded stream (a plain
+    * `dropDuplicates` grows state with every distinct key forever).
+    * `byFingerprint` dedups on md5(key) so a state entry holds 32
+    * hex chars instead of the raw document text — the streaming twin
+    * of [[graft.operators.Dedup.exactDedup]]'s fingerprint mode. */
+  def streamingExactDedup(events: DataFrame, keyCol: String, tsCol: String,
+                          watermark: String,
+                          byFingerprint: Boolean = false): DataFrame = {
+    val (keyed, key) =
+      if (byFingerprint)
+        (events.withColumn("__fp", md5(col(keyCol).cast("binary"))), "__fp")
+      else (events, keyCol)
+    keyed.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(key)
+      .drop("__fp")
+  }
+
   /** Apply a table migration config to a STREAMING source frame: the same
     * compiled plan (rename/transform/validate/lookup), incremental
     * execution. `resolve` supplies STATIC lookup dims (stream-static

@@ -78,6 +78,27 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows == Map(10L -> "ALPHA", 20L -> null))
   }
 
+  test("streamingExactDedup collapses duplicates within the watermark, fingerprint-keyed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = StreamingOps.streamingExactDedup(
+      mem.toDF().toDF("ts", "text"), "text", "ts", "10 minutes", byFingerprint = true)
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), "same doc"),
+      (ts("2024-01-01 10:01:00"), "same doc"), // dup within watermark
+      (ts("2024-01-01 10:02:00"), "other doc"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:03:00"), "same doc")) // still within watermark
+    q.processAllAvailable()
+    val texts = spark.sql("SELECT text FROM stream_dedup").collect().map(_.getString(0))
+    q.stop()
+    assert(texts.sorted.toSeq == Seq("other doc", "same doc"))
+    assert(!deduped.columns.contains("__fp")) // helper column dropped
+  }
+
   test("compileStream rejects abort rules (no pre-scan on a stream)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

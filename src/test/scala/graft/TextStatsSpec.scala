@@ -32,4 +32,19 @@ class TextStatsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("top_bigram_ratio")).toMap
     assert(out(1L) > 0.2 && out(2L) < 0.1)
   }
+
+  test("CorpusClean drops duplicates, boilerplate, wrong-language and junk docs") {
+    val good = "the house and the garden were quiet that morning and the light was very good"
+    val docs = Seq(
+      (1L, good),                                           // keeps
+      (2L, good),                                           // exact dup of 1 -> dropped
+      (3L, Seq.fill(20)("buy now buy now").mkString(" ")),  // repetitive -> dropped
+      (4L, "der hund und die katze waren nicht in dem haus und das war auch gut"), // de
+      (5L, "zz qq xx vv ww")                                // junk: low quality
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.CorpusClean.clean(docs, "doc_id", "text",
+      langs = Seq("en"), minQuality = 3, maxTopBigramRatio = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
 }
