@@ -71,6 +71,10 @@ object ExtensionQueries {
       det(graft.operators.CorpusClean.clean(docs(s, dir), "doc_id", "text",
         langs = Seq("en"), minQuality = 3, maxTopBigramRatio = 0.06))),
 
+    "q_pack_sequences" -> ((s, dir) =>
+      det(graft.operators.TextStats.packSequences(docs(s, dir), "doc_id", "text",
+        budget = 512, shards = 8))),
+
     // --- dedup ------------------------------------------------------------
 
     // byFingerprint: the graded plan shuffles 16-byte md5 keys, not raw
@@ -266,6 +270,15 @@ object ExtensionQueries {
          |ORDER BY ld.doc_id $N1, n_tokens $N1, detected_lang $N1, quality_score $N1,
          |top_bigram_ratio $N1""".stripMargin
     },
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         |  len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT doc_id, shard, CAST(floor(CAST(cum - n_tokens AS DOUBLE)/512) AS BIGINT) AS seq_id,
+         |  CAST(cum - n_tokens AS BIGINT) AS tok_offset, n_tokens
+         |FROM c ORDER BY doc_id $N1, shard $N1, seq_id $N1, tok_offset $N1, n_tokens $N1""".stripMargin,
     "q_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
          |b AS (SELECT doc_id, CAST(len(list_distinct(w)) AS DOUBLE)/len(w) AS dwr,

@@ -48,4 +48,39 @@ object TextStats {
         (max(col("__c")).cast(DoubleType) / sum(col("__c"))).as("top_bigram_ratio"),
         first(col("__dwr")).as("distinct_word_ratio"))
   }
+
+  /**
+   * Greedy contiguous sequence packing: assign documents to fixed
+   * token-budget training sequences. Docs are processed in `idCol`
+   * order within `shards` deterministic shards (`id % shards`); a doc
+   * goes into sequence floor((running_total - n_tokens) / budget) of
+   * its shard — the standard "concat and chop" packing, sharded.
+   *
+   * 100 TB design: a single global ordering would serialize the whole
+   * corpus through ONE window partition; sharding by `id % shards`
+   * keeps every window partition bounded (tokens/shard) and the plan is
+   * one shuffle on the shard key. The budget boundary splits the doc
+   * that crosses it (it starts in its offset's sequence — `tok_offset`
+   * tells the materializer where the cut falls), exactly like
+   * token-level concat-and-chop.
+   *
+   * Output: (doc_id, shard, seq_id, tok_offset, n_tokens) — tok_offset
+   * is the doc's starting token position within its shard's stream.
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Int, shards: Int = 64): DataFrame = {
+    require(budget >= 1 && shards >= 1, "budget and shards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(
+        col(idCol).as("doc_id"),
+        pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"),
+        floor((col("__cum") - col("n_tokens")) / budget).as("seq_id"),
+        (col("__cum") - col("n_tokens")).as("tok_offset"),
+        col("n_tokens"))
+  }
 }

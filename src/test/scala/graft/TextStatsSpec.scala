@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextStats
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextStatsSpec extends AnyFunSuite {
@@ -31,6 +32,38 @@ class TextStatsSpec extends AnyFunSuite {
     val out = TextStats.repetitionProfile(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("top_bigram_ratio")).toMap
     assert(out(1L) > 0.2 && out(2L) < 0.1)
+  }
+
+  test("packSequences assigns docs to token-budget sequences per shard") {
+    // one shard; docs of 4,4,4 tokens with budget 10:
+    // offsets 0,4,8 -> seq 0,0,0 ... wait 8+4 crosses: doc starts at 8 -> seq 0
+    // doc at offset 12 -> seq 1
+    val docs = Seq(
+      (0L, "a b c d"), (8L, "e f g h"), (16L, "i j k l"), (24L, "m n o p"))
+      .toDF("doc_id", "text") // all ids % 1 == 0 -> one shard
+    val out = graft.operators.TextStats.packSequences(docs, "doc_id", "text",
+      budget = 10, shards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0, 0L, 0L),   // tokens 0-3   -> seq 0
+      (8L, 0, 0L, 4L),   // tokens 4-7   -> seq 0
+      (16L, 0, 0L, 8L),  // starts at 8  -> seq 0 (crosses the boundary)
+      (24L, 0, 1L, 12L)) // starts at 12 -> seq 1
+    )
+  }
+
+  test("packSequences shards deterministically and bounds each window partition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.TextStats.packSequences(docs, "doc_id", "text",
+      budget = 256, shards = 4)
+    assert(out.select("shard").distinct().count() == 4)
+    // every doc appears exactly once, offsets strictly increase per shard
+    assert(out.count() == docs.count())
+    val bad = out.alias("a").join(out.alias("b"),
+      col("a.shard") === col("b.shard") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.tok_offset") >= col("b.tok_offset") + col("b.n_tokens"))
+    assert(bad.isEmpty)
   }
 
   test("CorpusClean drops duplicates, boilerplate, wrong-language and junk docs") {
