@@ -68,7 +68,11 @@ object SrpBucketIds {
   def compute(vec: ArrayData, tables: Int, planes: Int, dim: Int,
               seed: Long, elemIsDouble: Boolean): ArrayData = {
     val m = matrix(tables, planes, dim, seed)
-    val n = math.min(dim, vec.numElements())
+    // a mismatched vector would silently hash a PREFIX and quietly
+    // degrade recall — misconfiguration must surface, not truncate
+    require(vec.numElements() == dim,
+      s"graft_srp_buckets configured for dim=$dim but vector has ${vec.numElements()} elements")
+    val n = dim
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {

@@ -58,10 +58,13 @@ object TransformOps {
   register("to_double", (c, _) => c.cast(DoubleType))
   register("to_string", (c, _) => c.cast(StringType))
 
-  /** Snapshot of the op names `default_transform` owns, taken before any
-    * plugin install can add to the registry — scoped resolution must not
-    * let an unchained plugin's override shadow a builtin. */
-  val builtinOpNames: Set[String] = registry.keySet().asScala.toSet
+  /** Snapshot of the ops `default_transform` owns, taken before any
+    * plugin install can add to (or overwrite entries of) the registry —
+    * scoped resolution dispatches builtin names through THIS map, never
+    * the mutable registry, so an unchained plugin overriding a builtin
+    * name can neither shadow nor replace the builtin. */
+  val builtinOps: Map[String, Op] = registry.asScala.toMap
+  val builtinOpNames: Set[String] = builtinOps.keySet
 
   /**
    * The Y/N->bool op. The reference dispatches on the op string merely
@@ -127,21 +130,26 @@ object TransformOps {
    * Config-scoped op resolution (reference: pipeline.py:27-61 dispatches
    * rows through the CONFIGURED transform-plugin chain, not through
    * every registered plugin):
-   *  - `pluginOps`: ops of plugins in the table's effective chain, chain
-   *    order, first definition wins;
-   *  - `builtin`: whether `default_transform` is in the chain — it owns
-   *    the built-in ops AND the `insert:` / true-false dispatch
-   *    (plugins/default_transform.py:21-37);
+   *  - `ops`: the name->op map built by walking the chain IN ORDER with
+   *    first-definition-wins — `default_transform`'s position contributes
+   *    [[builtinOps]] at that position, so a plugin earlier in the chain
+   *    beats a builtin name and vice versa (the reference's
+   *    first-plugin-that-claims-it semantics);
+   *  - `builtinClaimed`: the names `default_transform` won — these keep
+   *    the builtin result-type rules (to_int -> long etc.);
+   *  - `builtin`: whether `default_transform` is in the chain at all — it
+   *    also owns the `insert:` / true-false / unknown-op dispatch
+   *    (plugins/default_transform.py:21-39);
    *  - `shadowed`: op names owned by registered-but-unchained plugins —
    *    these must NOT leak in via the global registry; they resolve to
    *    identity exactly like an unknown op.
    */
-  final case class Scope(pluginOps: Map[String, Op], builtin: Boolean, shadowed: Set[String]) {
+  final case class Scope(ops: Map[String, Op], builtinClaimed: Set[String],
+                         builtin: Boolean, shadowed: Set[String]) {
     def applyOp(op: String, col: Column, dt: DataType): Column = {
       val t = op.trim
-      pluginOps.get(t) match {
+      ops.get(t) match {
         case Some(f) => f(col, dt)
-        case None if builtin && builtinOpNames(t) => TransformOps(t, col, dt)
         case None if shadowed(t) => col // owning plugin not in chain: identity
         case None if builtin => TransformOps(t, col, dt) // insert:/ynbool/unknown dispatch
         case None => col // no default_transform in chain: nothing claims it
@@ -149,16 +157,13 @@ object TransformOps {
     }
     def resultTypeOf(op: String, dt: DataType): DataType = {
       val t = op.trim
-      if (pluginOps.contains(t)) dt
-      else if (builtin && builtinOpNames(t)) resultType(t, dt)
+      if (builtinClaimed(t)) resultType(t, dt)
+      else if (ops.contains(t)) dt // custom op: type statically unknown -> unchanged
       else if (shadowed(t)) dt
       else if (builtin) resultType(t, dt)
       else dt
     }
   }
-
-  /** The unscoped behavior as a Scope (global registry + fallbacks). */
-  val globalScope: Scope = Scope(Map.empty, builtin = true, Set.empty)
 
   def chainScoped(ops: Seq[String], col: Column, dt: DataType, scope: Scope): Column =
     ops.foldLeft((col, dt)) { case ((c, t), op) =>

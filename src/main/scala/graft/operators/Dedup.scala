@@ -80,17 +80,8 @@ object Dedup {
       .select(col("__a").as(aOut), col("__b").as(bOut), col("jaccard"))
   }
 
-  /** a<b candidate id pairs from a blocking frame (`__id` + key cols),
-    * as an ALIASED self-join: both join children are the identical
-    * subplan, so Spark's ReuseExchange materializes the blocking
-    * exchange ONCE instead of recomputing the upstream (shingling,
-    * hashing) per side. */
-  private def selfJoinPairs(blocks: DataFrame, keys: Seq[String]): DataFrame = {
-    val cond = keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
-      col("x.__id") < col("y.__id")
-    blocks.alias("x").join(blocks.alias("y"), cond)
-      .select(col("x.__id").as("__a"), col("y.__id").as("__b")).distinct()
-  }
+  private def selfJoinPairs(blocks: DataFrame, keys: Seq[String]): DataFrame =
+    Blocking.idPairs(blocks, keys, "__a", "__b")
 
   /**
    * Fuzzy dedup, exact flavor: candidate pairs = docs sharing at least one

@@ -143,13 +143,8 @@ object Similarity {
   private def candidatesFromBlocks(blocks: DataFrame, corpus: DataFrame,
                                    idCol: String, vecCol: String,
                                    keys: Seq[String]): DataFrame = {
-    // aliased self-join on the block keys: both children are the same
-    // subplan, so ReuseExchange materializes the blocking shuffle once
     val keyed = blocks.select(col("__id") +: keys.map(col): _*)
-    val cond = keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
-      col("x.__id") < col("y.__id")
-    val ids = keyed.alias("x").join(keyed.alias("y"), cond)
-      .select(col("x.__id").as("vec_a"), col("y.__id").as("vec_b")).distinct()
+    val ids = Blocking.idPairs(keyed, keys, "vec_a", "vec_b")
     val a = side(corpus, idCol, vecCol, "vec_a", "__va", "__na")
     val bb = side(corpus, idCol, vecCol, "vec_b", "__vb", "__nb")
     ids.join(a, "vec_a").join(bb, "vec_b")
@@ -190,7 +185,8 @@ object Similarity {
       .limit(nCentroids)
       .collect()
       .map { r =>
-        val a = r.getSeq[Float](1).map(_.toDouble).toArray
+        // accept float AND double element types, like every other entry point
+        val a = r.getSeq[Number](1).map(_.doubleValue()).toArray
         val n = math.sqrt(a.map(x => x * x).sum)
         if (n == 0) a else a.map(_ / n)
       }

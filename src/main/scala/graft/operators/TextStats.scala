@@ -27,17 +27,24 @@ import org.apache.spark.sql.types._
  */
 object TextStats {
 
-  /** Per-document repetition metrics. Requires every doc to have >= 2
-    * words (single-word docs would need a null-guard on the ratios). */
+  /** Per-document repetition metrics. Docs with fewer than 2 words have
+    * no bigrams and are absent from the output (the explode of their
+    * empty bigram array emits no rows — same as the SQL oracle's
+    * generate_series(1, 0)); the guard matters because Spark's
+    * sequence(1, 0) yields a DESCENDING [1, 0] and element_at(_, 0)
+    * throws, it does not return an empty list. */
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = split(col(textCol), " ")
     val base = docs.select(
       col(idCol).as("doc_id"),
       words.as("__w"),
       (size(array_distinct(words)).cast(DoubleType) / size(words)).as("distinct_word_ratio"))
+    val bigramArr = when(size(col("__w")) >= 2,
+      transform(sequence(lit(1), size(col("__w")) - 1),
+        i => concat_ws(" ", element_at(col("__w"), i), element_at(col("__w"), i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
     val bigrams = base.select(col("doc_id"), col("distinct_word_ratio"),
-      explode(transform(sequence(lit(1), size(col("__w")) - 1),
-        i => concat_ws(" ", element_at(col("__w"), i), element_at(col("__w"), i + 1)))).as("__g"))
+      explode(bigramArr).as("__g"))
     bigrams
       .groupBy(col("doc_id"), col("__g"))
       .agg(first(col("distinct_word_ratio")).as("__dwr"), count(lit(1)).as("__c"))

@@ -42,9 +42,17 @@ object MigrationCompiler extends Logging {
       droppedColumns: Seq[String],
       skippedObservation: Option[org.apache.spark.sql.Observation] = None) {
     def assertValid(): Unit = abortChecks.foreach(_.apply())
-    /** Valid after the frame has executed once (e.g. after the write). */
-    def skippedRows: Long =
-      skippedObservation.map(_.get("skipped_rows").asInstanceOf[Long]).getOrElse(0L)
+    /** Meaningful after the frame has executed once (e.g. after the
+      * write). Bounded-wait: metric listeners fire asynchronously right
+      * after an action, so poll briefly; returns 0 if the frame never
+      * executed instead of blocking forever (Observation.get would). */
+    def skippedRows: Long = skippedObservation.map { o =>
+      def metrics = org.apache.spark.sql.GraftColumnBridge.observationGetOrEmpty(o)
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var m = metrics
+      while (m.isEmpty && System.nanoTime() < deadline) { Thread.sleep(10); m = metrics }
+      m.get("skipped_rows").map(_.asInstanceOf[Long]).getOrElse(0L)
+    }.getOrElse(0L)
   }
 
   /**
@@ -124,14 +132,24 @@ object MigrationCompiler extends Logging {
       else global.transformPlugins ++ cfg.transformPlugins
     def transformScope(rulePlugin: Option[String]): TransformOps.Scope = {
       val names = (rulePlugin.toList ++ tableChain).distinct
-      val pluginOps = names.filterNot(_ == "default_transform")
-        .map(n => PluginRegistry.required(n, PluginRegistry.transform, "transform"))
-        .foldLeft(Map.empty[String, TransformOps.Op]) { (acc, p) =>
-          p.ops.foldLeft(acc)((a, kv) => if (a.contains(kv._1)) a else a + kv) // chain order: first wins
+      // walk the chain in order, first definition wins; default_transform
+      // contributes the builtin ops at ITS chain position
+      var builtinClaimed = Set.empty[String]
+      val ops = names.foldLeft(Map.empty[String, TransformOps.Op]) { (acc, n) =>
+        val contrib =
+          if (n == "default_transform") TransformOps.builtinOps
+          else PluginRegistry.required(n, PluginRegistry.transform, "transform").ops
+        contrib.foldLeft(acc) { (a, kv) =>
+          if (a.contains(kv._1)) a
+          else {
+            if (n == "default_transform") builtinClaimed += kv._1
+            a + kv
+          }
         }
-      TransformOps.Scope(pluginOps,
+      }
+      TransformOps.Scope(ops, builtinClaimed,
         builtin = names.contains("default_transform"),
-        shadowed = PluginRegistry.allTransformOpNames -- pluginOps.keySet)
+        shadowed = PluginRegistry.allTransformOpNames -- ops.keySet)
     }
     val projected = filtered.select(mappings.map { r =>
       val scope = transformScope(r.plugin)
@@ -264,10 +282,16 @@ object MigrationCompiler extends Logging {
       }
 
     // final skip filter: one conjunction instead of N sequential filters;
-    // the observe rides the same execution, so the skip count is free
+    // the observe rides the same execution, so the skip count is free.
+    // Observation rejects STREAMING frames (one metric per micro-batch
+    // makes no sense) — streams just filter; use a StreamingQueryListener
+    // for per-batch skip counts there.
     val skippedObs =
       if (skipFlags.isEmpty) None
-      else {
+      else if (df.isStreaming) {
+        df = df.filter(aliveSoFar)
+        None
+      } else {
         val o = org.apache.spark.sql.Observation(s"graft_skips_${cfg.targetTable}")
         df = df.observe(o, count(when(!aliveSoFar, lit(1))).as("skipped_rows"))
         df = df.filter(aliveSoFar)

@@ -38,7 +38,12 @@ final class LengthValidationPlugin extends ValidationPlugin {
   : Option[org.apache.spark.sql.Column] =
     rule.vtype match {
       case "length" =>
-        val Array(lo, hi) = rule.pattern.getOrElse("0-0").split("-", 2).map(_.trim.toInt)
+        val p = rule.pattern.getOrElse(throw new IllegalArgumentException(
+          "length validation needs pattern 'MIN-MAX'"))
+        val parts = p.split("-", 2).map(_.trim)
+        require(parts.length == 2 && parts.forall(s => s.nonEmpty && s.forall(_.isDigit)),
+          s"bad length pattern '$p' (want 'MIN-MAX')")
+        val (lo, hi) = (parts(0).toInt, parts(1).toInt)
         // null bypass matches the built-in rules: null is never a failure
         Some(value.isNull || (length(value.cast(StringType)) >= lo &&
           length(value.cast(StringType)) <= hi))

@@ -113,10 +113,13 @@ object StreamingOps {
   /** Apply a table migration config to a STREAMING source frame: the same
     * compiled plan (rename/transform/validate/lookup), incremental
     * execution. `resolve` supplies STATIC lookup dims (stream-static
-    * join). Abort-rules are rejected: a streaming job cannot pre-scan. */
+    * join); `global` carries the plugin chains, so streams dispatch
+    * validation/transform plugins exactly like the batch path.
+    * Abort-rules are rejected: a streaming job cannot pre-scan. */
   def compileStream(cfg: TableConfig, stream: DataFrame,
-                    resolve: String => Option[DataFrame]): DataFrame = {
-    val compiled = MigrationCompiler.compile(cfg, stream, resolve)
+                    resolve: String => Option[DataFrame],
+                    global: graft.config.GlobalConfig = graft.config.GlobalConfig()): DataFrame = {
+    val compiled = MigrationCompiler.compile(cfg, stream, resolve, global = global)
     require(compiled.abortChecks.isEmpty,
       "on_fail=error / on_missing=error rules are not supported on streams " +
         "(no pre-write validation pass exists); use skip/null/default actions")

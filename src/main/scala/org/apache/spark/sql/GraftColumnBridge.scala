@@ -14,4 +14,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Non-blocking observation read (`Observation.getOrEmpty` is
+    * `private[spark]`; the public `get` blocks forever on a frame that
+    * never executed). */
+  def observationGetOrEmpty(o: Observation): Map[String, Any] = o.getOrEmpty
 }

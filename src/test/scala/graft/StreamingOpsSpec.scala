@@ -99,6 +99,25 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(!deduped.columns.contains("__fp")) // helper column dropped
   }
 
+  test("compileStream dispatches the configured validation plugin chain") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.plugins.PluginRegistry.install(new graft.plugins.LengthValidationPlugin)
+    val mem = MemoryStream[(Long, String)]
+    val cfg = TableConfig(sourceTable = "s", targetTable = "t", mappings = List(
+      MappingRule(source = Some("v"), target = Some("v"), validation =
+        List(ValidationRule("length", pattern = Some("1-4"), onFail = Some("skip"))))))
+    val out = StreamingOps.compileStream(cfg, mem.toDF().toDF("id", "v"), _ => None,
+      GlobalConfig(validationPlugins = List("length_validation", "default_validation")))
+    val q = out.writeStream.format("memory").queryName("stream_chain")
+      .outputMode("append").start()
+    mem.addData((1L, "ok"), (2L, "waytoolong"))
+    q.processAllAvailable()
+    val vs = spark.sql("SELECT v FROM stream_chain").collect().map(_.getString(0))
+    q.stop()
+    assert(vs.toSeq == Seq("ok")) // plugin rule skipped the long value
+  }
+
   test("compileStream rejects abort rules (no pre-scan on a stream)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -34,6 +34,15 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(1L) > 0.2 && out(2L) < 0.1)
   }
 
+  test("repetitionProfile skips docs with fewer than two words instead of crashing") {
+    // sequence(1, 0) in Spark is DESCENDING [1, 0] and element_at(_, 0)
+    // throws — single-word docs must take the empty-bigram guard
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "two words")).toDF("doc_id", "text")
+    val out = TextStats.repetitionProfile(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L)) // bigram-less docs absent, like the SQL oracle
+  }
+
   test("packSequences assigns docs to token-budget sequences per shard") {
     // one shard; docs of 4,4,4 tokens with budget 10:
     // offsets 0,4,8 -> seq 0,0,0 ... wait 8+4 crosses: doc starts at 8 -> seq 0
