@@ -174,6 +174,27 @@ class MigrationCompilerSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("ghost_plugin"))
   }
 
+  test("chain order decides which plugin claims an op name") {
+    object UpperShadow extends graft.plugins.TransformPlugin {
+      def name = "upper_shadow"
+      def ops: Map[String, graft.functions.TransformOps.Op] =
+        Map("upper" -> ((_, _) => org.apache.spark.sql.functions.lit("CLAIMED")))
+    }
+    graft.plugins.PluginRegistry.install(UpperShadow)
+    val source = Seq("abc").toDF("v")
+    val cfg = TableConfig(sourceTable = "s", targetTable = "t",
+      mappings = List(rule("v", "v", "upper")))
+    def run(chain: List[String]): String =
+      MigrationCompiler.compile(cfg, source, noDims,
+        global = GlobalConfig(transformPlugins = chain)).dataFrame.collect().head.getString(0)
+    // plugin BEFORE default_transform: the plugin claims 'upper'
+    assert(run(List("upper_shadow", "default_transform")) == "CLAIMED")
+    // default_transform first: the builtin claims it, the override is inert
+    assert(run(List("default_transform", "upper_shadow")) == "ABC")
+    // plugin registered but NOT in the chain: builtin untouched
+    assert(run(List("default_transform")) == "ABC")
+  }
+
   test("a rule-level plugin grants that rule the plugin's ops") {
     graft.plugins.PluginRegistry.loadAndInstall("graft.plugins.NormalizeNamesPlugin")
     val source = Seq(("  A B  ", "  C D  ")).toDF("x", "y")
