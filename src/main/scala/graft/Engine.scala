@@ -68,9 +68,14 @@ object Engine extends Logging {
     * write; independent tables within a wave execute concurrently.
     * Config-named fetcher/loader plugins (table-level overriding global)
     * are honored; non-default names must be registered. */
+  /** @param quarantine optional sink for rows dropped by skip rules:
+    *   each table's rejects (target columns + a `__rejected_by` column
+    *   naming the fired flags) are written to `<table>_rejects`. Costs a
+    *   second pass over that table's upstream — opt-in. */
   def migrate(cfg: EtlConfig, catalog: Catalog, sink: Sink,
               broadcastDims: Boolean = false,
-              maxParallelTables: Int = 4): MigrationReport = {
+              maxParallelTables: Int = 4,
+              quarantine: Option[Sink] = None): MigrationReport = {
     val waves = MigrationCompiler.scheduleWaves(cfg.tables)
     // outputs of tables already migrated in THIS run, keyed by target name;
     // lookups prefer these over the source catalog (see class doc).
@@ -95,6 +100,8 @@ object Engine extends Logging {
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
       tableSink.write(t.targetTable, observed)
       tableSink.finalizeTable(t.targetTable)
+      for (q <- quarantine; rejects <- compiled.rejectedFrame)
+        q.write(s"${t.targetTable}_rejects", rejects)
       written.put(t.targetTable, tableSink.readBack(t.targetTable).getOrElse(compiled.dataFrame))
       val rows = obs.get("rows").asInstanceOf[Long]
       val skipped = compiled.skippedRows // same execution, no extra pass

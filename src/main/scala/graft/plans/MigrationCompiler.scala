@@ -40,7 +40,8 @@ object MigrationCompiler extends Logging {
       dataFrame: DataFrame,
       abortChecks: Seq[() => Unit],
       droppedColumns: Seq[String],
-      skippedObservation: Option[org.apache.spark.sql.Observation] = None) {
+      skippedObservation: Option[org.apache.spark.sql.Observation] = None,
+      rejectedFrame: Option[DataFrame] = None) {
     def assertValid(): Unit = abortChecks.foreach(_.apply())
     /** Meaningful after the frame has executed once (e.g. after the
       * write). Bounded-wait: metric listeners fire asynchronously right
@@ -286,6 +287,17 @@ object MigrationCompiler extends Logging {
     // Observation rejects STREAMING frames (one metric per micro-batch
     // makes no sense) — streams just filter; use a StreamingQueryListener
     // for per-batch skip counts there.
+    // quarantine view of the rows the skip filter is about to drop:
+    // target columns + which rule(s) fired (the reference only warn-logs
+    // them, pipeline.py:78-85; routing them to a sink makes rejects
+    // auditable). Evaluating it costs a second pass over the upstream —
+    // opt-in via Engine.migrate(quarantine=...).
+    val rejected =
+      if (skipFlags.isEmpty || df.isStreaming) None
+      else Some(df.filter(!aliveSoFar).select(
+        mappings.map(m => col(m.targetName)) :+
+          concat_ws(",", skipFlags.reverse.map(f => when(col(f), lit(f))): _*)
+            .as("__rejected_by"): _*))
     val skippedObs =
       if (skipFlags.isEmpty) None
       else if (df.isStreaming) {
@@ -311,7 +323,7 @@ object MigrationCompiler extends Logging {
     //    plugins/default_loader.py:92).
     df = df.select(mappings.map(m => col(m.targetName)): _*)
 
-    CompiledTable(cfg, df, abortChecks, dropped.map(_.sourceName), skippedObs)
+    CompiledTable(cfg, df, abortChecks, dropped.map(_.sourceName), skippedObs, rejected)
   }
 
   /**

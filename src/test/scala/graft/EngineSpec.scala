@@ -80,6 +80,22 @@ class EngineSpec extends AnyFunSuite {
     assert(report.tables.head.skippedRows == 2L)
   }
 
+  test("quarantine sink receives skipped rows with the fired rule flag") {
+    val cat = MemCatalog(Map("src" -> Seq("aa", "BAD", "cc").toDF("v")))
+    val out = java.nio.file.Files.createTempDirectory("engine_quar").toString
+    val qdir = java.nio.file.Files.createTempDirectory("engine_quar_rejects").toString
+    val cfg = EtlConfig(GlobalConfig(), List(
+      TableConfig(sourceTable = "src", targetTable = "t", mappings = List(
+        rule("v", "v").copy(validation =
+          List(ValidationRule("regex", pattern = Some("[a-z]+$"), onFail = Some("skip"))))))))
+    val report = Engine.migrate(cfg, cat, ParquetSink(out),
+      quarantine = Some(ParquetSink(qdir)))
+    assert(report.tables.head.rows == 2L)
+    val rejects = spark.read.parquet(s"$qdir/t_rejects.parquet").collect()
+    assert(rejects.map(_.getString(0)).toSeq == Seq("BAD"))
+    assert(rejects.head.getString(1).startsWith("__skip_")) // which rule fired
+  }
+
   test("plan compiles against a parquet catalog end-to-end") {
     val compiled = Engine.plan(
       TableConfig(sourceTable = "nation", targetTable = "x",
