@@ -50,8 +50,8 @@ object Engine extends Logging {
   private def scanVia(t: TableConfig, global: GlobalConfig, catalog: Catalog): (DataFrame, Boolean) =
     named(t.fetcherPlugin.orElse(Some(global.fetcherPlugin)), "default_fetcher",
       graft.plugins.PluginRegistry.fetcher, "fetcher") match {
-      case Some(f) => f.scan(catalog, t.sourceTable, t.where)
-      case None => catalog.scan(t.sourceTable, t.where)
+      case Some(f) => f.scan(catalog, t.qualifiedSource, t.where)
+      case None => catalog.scan(t.qualifiedSource, t.where)
     }
 
   /** Compile one table (no execution) — the unit the tests exercise.
@@ -85,24 +85,32 @@ object Engine extends Logging {
 
     def runTable(t: TableConfig): TableReport = {
       val t0 = System.nanoTime()
+      // target relation is schema-qualified (reference loads into
+      // {target_schema}.{target_table}, default "public" —
+      // plugins/default_loader.py + mappings/parser.py:77-133)
+      val tgt = t.qualifiedTarget
       val (source, wherePushed) = scanVia(t, cfg.global, catalog)
       val compiled = MigrationCompiler.compile(t, source, resolve,
         wherePushed = wherePushed, broadcastDims = broadcastDims, global = cfg.global)
       val tableSink = named(t.loaderPlugin.orElse(Some(cfg.global.loaderPlugin)),
         "default_loader", graft.plugins.PluginRegistry.loader, "loader")
-        .map(_.sink(Map("table" -> t.targetTable))).getOrElse(sink)
+        .map(_.sink(Map("table" -> t.targetTable, "schema" -> t.targetSchema)))
+        .getOrElse(sink)
       compiled.assertValid()
-      tableSink.preLoad(t.targetTable)
+      tableSink.preLoad(tgt)
       // row count via observe: no cache, no second pass over the data
       // (replaces the reference's per-batch count logs, pipeline.py:100).
       val obs = new org.apache.spark.sql.Observation()
       val observed = compiled.dataFrame.observe(obs,
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
-      tableSink.write(t.targetTable, observed)
-      tableSink.finalizeTable(t.targetTable)
+      tableSink.write(tgt, observed)
+      tableSink.finalizeTable(tgt)
       for (q <- quarantine; rejects <- compiled.rejectedFrame)
-        q.write(s"${t.targetTable}_rejects", rejects)
-      written.put(t.targetTable, tableSink.readBack(t.targetTable).getOrElse(compiled.dataFrame))
+        q.write(s"${tgt}_rejects", rejects)
+      // `written` stays keyed by the BARE target name: lookup rules
+      // reference tables by name exactly as the reference's per-row
+      // probes do (default_lookup.py issues unqualified SELECTs).
+      written.put(t.targetTable, tableSink.readBack(tgt).getOrElse(compiled.dataFrame))
       val rows = obs.get("rows").asInstanceOf[Long]
       val skipped = compiled.skippedRows // same execution, no extra pass
       val secs = (System.nanoTime() - t0) / 1e9

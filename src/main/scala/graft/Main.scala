@@ -87,13 +87,14 @@ object Main {
   }
 
   /** Per-table range partitioning from config (partition_column /
-    * lower_bound / upper_bound / num_partitions), keyed by SOURCE table —
+    * lower_bound / upper_bound / num_partitions), keyed by the
+    * schema-QUALIFIED source relation (the name the Engine scans by) —
     * absent bounds are min/max-probed at scan time, so a production
     * Oracle read is never the reference's single cursor
     * (connectors/oracle_connector.py:57-87). */
   private[graft] def partitioningFromConfig(cfg: EtlConfig): Map[String, JdbcPartitioning] =
     cfg.tables.flatMap(t => t.partitionColumn.map(pc =>
-      t.sourceTable -> JdbcPartitioning(pc, t.lowerBound, t.upperBound,
+      t.qualifiedSource -> JdbcPartitioning(pc, t.lowerBound, t.upperBound,
         t.numPartitions.getOrElse(32)))).toMap
 
   /** Every flag takes exactly one value. A value that itself starts with

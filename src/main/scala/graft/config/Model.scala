@@ -61,7 +61,23 @@ final case class TableConfig(
     lowerBound: Option[String] = None,
     upperBound: Option[String] = None,
     numPartitions: Option[Int] = None,
-)
+) {
+  /** Schema-qualified source relation — the reference fetches
+    * `SELECT … FROM {schema}.{table}` (plugins/default_fetcher.py:39);
+    * every scan must use this, never the bare `sourceTable`. */
+  def qualifiedSource: String =
+    sourceSchema.fold(sourceTable)(s => s"$s.$sourceTable")
+
+  /** Schema-qualified target relation. The reference's default target
+    * schema is "public" (mappings/parser.py:77-133), which is also the
+    * Postgres search-path default — so the default stays unqualified
+    * (bare writes resolve identically on Postgres, and non-Postgres
+    * sinks like Derby/parquet have no "public" namespace to break on).
+    * Any explicit non-default schema qualifies the write, the read-back
+    * and the self-lookup fixup. */
+  def qualifiedTarget: String =
+    if (targetSchema == "public") targetTable else s"$targetSchema.$targetTable"
+}
 
 final case class OracleConnectorConfig(
     clientLibDir: Option[String],

@@ -91,15 +91,23 @@ object MigrationCompiler extends Logging {
     //    the target table's schema if resolvable, else the source schema
     //    (reference: plugins/default_auto_mapping.py:18-26); any other
     //    name must be registered (fail loudly, never silently default).
+    // target-table probe for auto-mapping: try the schema-qualified
+    // relation first (the reference reads the target's columns from
+    // information_schema scoped by target_schema,
+    // connectors/postgres_connector.py:111-124), then the bare name
+    // (covers this run's own in-memory `written` outputs).
+    def targetProbe: Option[DataFrame] =
+      resolve(cfg.qualifiedTarget).orElse(
+        if (cfg.qualifiedTarget == cfg.targetTable) None else resolve(cfg.targetTable))
     val mappings0 =
       if (cfg.mappings.nonEmpty) cfg.mappings
       else global.autoMappingPlugin match {
         case "default_auto_mapping" =>
-          val tgtSchema = resolve(cfg.targetTable).map(_.schema).getOrElse(source.schema)
+          val tgtSchema = targetProbe.map(_.schema).getOrElse(source.schema)
           tgtSchema.fields.toList.map(f => MappingRule(source = Some(f.name), target = Some(f.name)))
         case n =>
           PluginRegistry.required(n, PluginRegistry.autoMapper, "auto_mapping")
-            .derive(source.schema, resolve(cfg.targetTable).map(_.schema))
+            .derive(source.schema, targetProbe.map(_.schema))
       }
 
     // 2. plan-time schema degradation (replaces the reference's ORA-00904

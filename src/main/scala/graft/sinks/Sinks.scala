@@ -24,10 +24,19 @@ trait Sink {
 /** Parquet sink for the test/bench path; overwrite == the reference's
   * truncate-then-load idempotency (plugins/default_loader.py:38-44). */
 final case class ParquetSink(dir: String, truncate: Boolean = true) extends Sink {
+  /** A parquet directory has no schema namespace: a schema-qualified
+    * target (config `target_schema` other than the "public" default)
+    * fails loudly instead of silently flattening into the table name. */
+  private def path(table: String): String = {
+    require(!table.contains('.'),
+      s"ParquetSink has no schema namespace: cannot write '$table' — " +
+        "use the default target_schema (public) or a JDBC sink")
+    s"$dir/$table.parquet"
+  }
   def write(table: String, df: DataFrame): Unit =
-    df.write.mode(if (truncate) "overwrite" else "append").parquet(s"$dir/$table.parquet")
+    df.write.mode(if (truncate) "overwrite" else "append").parquet(path(table))
   override def readBack(table: String): Option[DataFrame] =
-    Some(org.apache.spark.sql.SparkSession.active.read.parquet(s"$dir/$table.parquet"))
+    Some(org.apache.spark.sql.SparkSession.active.read.parquet(path(table)))
 }
 
 /**

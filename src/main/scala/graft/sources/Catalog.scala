@@ -33,11 +33,22 @@ trait Catalog extends (String => DataFrame) {
     }
 }
 
-/** One parquet file per table under `dir` (the driver testdata layout). */
+/** One parquet file per table under `dir` (the driver testdata layout).
+  * A parquet directory has no schema namespace, so a schema-qualified
+  * relation (config `source_schema`) FAILS LOUDLY instead of silently
+  * scanning the wrong table — run schema-bearing configs against JDBC.
+  * (`tableOpt` probes stay quiet: a qualified name simply doesn't
+  * resolve, so the auto-mapping target probe never throws.) */
 final case class ParquetCatalog(spark: SparkSession, dir: String) extends Catalog {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def table(name: String): DataFrame = {
+    require(!name.contains('.'),
+      s"ParquetCatalog has no schema namespace: cannot scan '$name' — " +
+        "remove source_schema/target_schema from the config or use a JDBC connector")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
   override def tableOpt(name: String): Option[DataFrame] =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$name.parquet")))
+    if (!name.contains('.') &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$name.parquet")))
       Some(table(name))
     else None
 }

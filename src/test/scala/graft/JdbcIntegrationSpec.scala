@@ -107,6 +107,45 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     assert(src.table("ddl_only").head().getInt(0) == 7)
   }
 
+  test("cross-schema migrate honors source_schema and target_schema from YAML") {
+    import graft.config._
+    // two non-default schemas on the live database: the migration must
+    // read x-side and land y-side, never touching the default schema
+    exec("CREATE SCHEMA xsrc")
+    exec("CREATE SCHEMA ytgt")
+    exec("CREATE TABLE xsrc.people (pid INT, pname VARCHAR(20))")
+    Seq((1, "ada"), (2, "grace"), (3, "edsger"))
+      .foreach { case (i, n) => exec(s"INSERT INTO xsrc.people VALUES ($i, '$n')") }
+
+    val tcfg = YamlConfig.tableFromYaml(
+      """source_table: people
+        |source_schema: xsrc
+        |target_table: folks
+        |target_schema: ytgt
+        |mappings:
+        |  - source: pid
+        |    target: id
+        |  - source: pname
+        |    target: name
+        |    transform: upper
+        |""".stripMargin)
+    val report = Engine.migrate(
+      EtlConfig(GlobalConfig(), List(tcfg)), src,
+      JdbcSink(url, "", "", createTableColumnTypes = Some("name VARCHAR(20)")))
+    assert(report.totalRows == 3L)
+    // landed in ytgt.folks...
+    val out = src.table("ytgt.folks").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "ADA", 2 -> "GRACE", 3 -> "EDSGER"))
+    // ...and NOT in the default schema
+    assert(src.tableOpt("folks").isEmpty, "bare-name write would ignore target_schema")
+    // a partitioned read keyed by the qualified relation also resolves
+    val qsrc = JdbcSource(spark, url, "", "",
+      partitioning = Map("xsrc.people" -> JdbcPartitioning("pid", numPartitions = 2)))
+    val (pdf, _) = qsrc.scan("xsrc.people", None)
+    assert(pdf.rdd.getNumPartitions == 2 && pdf.count() == 3)
+  }
+
   test("Engine.migrate runs end-to-end over a live JDBC source AND sink") {
     import graft.config._
     exec("CREATE TABLE src_dept (dcode VARCHAR(8), dname VARCHAR(32))")

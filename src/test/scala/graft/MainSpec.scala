@@ -88,6 +88,33 @@ class MainSpec extends AnyFunSuite {
     assert(p("big") == graft.sources.JdbcPartitioning("id", Some("0"), Some("1000"), 16))
     assert(p("probe_me") == graft.sources.JdbcPartitioning("ts", None, None, 32))
     assert(!p.contains("small"))
+    // schema-qualified source keys by the QUALIFIED relation — the name
+    // the Engine actually scans by
+    val q = Main.partitioningFromConfig(EtlConfig(GlobalConfig(), List(
+      TableConfig(sourceTable = "big", sourceSchema = Some("hr"), targetTable = "t",
+        partitionColumn = Some("id")))))
+    assert(q.contains("hr.big") && !q.contains("big"))
+  }
+
+  test("parquet catalog/sink fail loudly on schema-qualified configs") {
+    import graft.config._
+    val catalog = graft.sources.ParquetCatalog(spark, "/root/testdata/sf0.001")
+    val sink = graft.sinks.ParquetSink(
+      java.nio.file.Files.createTempDirectory("schema_fail").toString)
+    // source_schema over parquet: the scan must throw, not read the wrong file
+    val srcCfg = EtlConfig(GlobalConfig(), List(
+      TableConfig(sourceTable = "nation", sourceSchema = Some("hr"), targetTable = "out")))
+    val e1 = intercept[IllegalArgumentException] {
+      Engine.migrate(srcCfg, catalog, sink)
+    }
+    assert(e1.getMessage.contains("schema namespace"))
+    // non-default target_schema over parquet: the write must throw
+    val tgtCfg = EtlConfig(GlobalConfig(), List(
+      TableConfig(sourceTable = "nation", targetTable = "out", targetSchema = "analytics")))
+    val e2 = intercept[IllegalArgumentException] {
+      Engine.migrate(tgtCfg, catalog, sink)
+    }
+    assert(e2.getMessage.contains("schema namespace"))
   }
 
   test("parseArgs rejects flag values that look like flags and trailing valueless flags") {

@@ -120,6 +120,23 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(none.partitionColumn.isEmpty)
   }
 
+  test("schema-bearing config round-trips and qualifies relations") {
+    val t = YamlConfig.tableFromYaml(
+      """source_table: employees
+        |source_schema: hr
+        |target_table: emp
+        |target_schema: analytics
+        |""".stripMargin)
+    assert(t.sourceSchema.contains("hr") && t.targetSchema == "analytics")
+    assert(t.qualifiedSource == "hr.employees")
+    assert(t.qualifiedTarget == "analytics.emp")
+    // defaults: no source schema, target schema "public" -> bare names
+    // (the reference's parser default, mappings/parser.py:77-133)
+    val d = YamlConfig.tableFromYaml("source_table: s\ntarget_table: t\n")
+    assert(d.sourceSchema.isEmpty && d.targetSchema == "public")
+    assert(d.qualifiedSource == "s" && d.qualifiedTarget == "t")
+  }
+
   test("main config + table files load end-to-end in list order") {
     val dir = java.nio.file.Files.createTempDirectory("yamlcfg")
     val tables = dir.resolve("tables")
