@@ -70,8 +70,11 @@ object Engine extends Logging {
     * are honored; non-default names must be registered. */
   /** @param quarantine optional sink for rows dropped by skip rules:
     *   each table's rejects (target columns + a `__rejected_by` column
-    *   naming the fired flags) are written to `<table>_rejects`. Costs a
-    *   second pass over that table's upstream — opt-in. */
+    *   naming the fired flags) are written to `<table>_rejects`. The
+    *   flagged frame is persisted (MEMORY_AND_DISK) for the duration of
+    *   the table so the write and the rejects come from ONE execution —
+    *   consistent even against a live JDBC source mutating between the
+    *   two outputs. Opt-in: the cache has a real memory/disk cost. */
   def migrate(cfg: EtlConfig, catalog: Catalog, sink: Sink,
               broadcastDims: Boolean = false,
               maxParallelTables: Int = 4,
@@ -91,7 +94,8 @@ object Engine extends Logging {
       val tgt = t.qualifiedTarget
       val (source, wherePushed) = scanVia(t, cfg.global, catalog)
       val compiled = MigrationCompiler.compile(t, source, resolve,
-        wherePushed = wherePushed, broadcastDims = broadcastDims, global = cfg.global)
+        wherePushed = wherePushed, broadcastDims = broadcastDims, global = cfg.global,
+        wantRejected = quarantine.isDefined)
       val tableSink = named(t.loaderPlugin.orElse(Some(cfg.global.loaderPlugin)),
         "default_loader", graft.plugins.PluginRegistry.loader, "loader")
         .map(_.sink(Map("table" -> t.targetTable, "schema" -> t.targetSchema)))
@@ -107,6 +111,7 @@ object Engine extends Logging {
       tableSink.finalizeTable(tgt)
       for (q <- quarantine; rejects <- compiled.rejectedFrame)
         q.write(s"${tgt}_rejects", rejects)
+      compiled.unpersistCache() // release the single-execution quarantine cache
       // `written` stays keyed by the BARE target name: lookup rules
       // reference tables by name exactly as the reference's per-row
       // probes do (default_lookup.py issues unqualified SELECTs).

@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
  *
  * Usage:
  *   graft.Main <config.yaml> [--parquet-source DIR] [--parquet-target DIR]
- *              [--plugin fully.qualified.ClassName]...
+ *              [--quarantine-target DIR] [--plugin fully.qualified.ClassName]...
  *
  * Connector selection: with `--parquet-source/--parquet-target` the run is
  * file-based (tests, local runs). Otherwise the YAML `connectors` section
@@ -48,7 +48,16 @@ object Main {
       flags.get("parquet-source").flatMap(_.headOption),
       flags.get("parquet-target").flatMap(_.headOption))
 
-    val report = Engine.migrate(cfg, catalog, sink)
+    // rejects audit sink: --quarantine-target DIR overrides the YAML
+    // global `quarantine_target`; either routes each table's
+    // skip-dropped rows to `<table>_rejects` parquet in DIR (any other
+    // Sink is available programmatically via Engine.migrate).
+    val quarantine: Option[Sink] =
+      flags.get("quarantine-target").flatMap(_.headOption)
+        .orElse(cfg.global.quarantineTarget)
+        .map(dir => ParquetSink(dir))
+
+    val report = Engine.migrate(cfg, catalog, sink, quarantine = quarantine)
     report.tables.foreach(t =>
       println(f"[graft] ${t.table}%-30s ${t.rows}%10d rows  ${t.seconds}%8.2fs" +
         (if (t.skippedRows > 0) s"  skipped: ${t.skippedRows}" else "") +

@@ -102,6 +102,11 @@ final case class GlobalConfig(
     loaderPlugin: String = "default_loader",
     connectors: ConnectorsConfig = ConnectorsConfig(None, None),
     tableFiles: List[String] = Nil,
+    // engine extension (no reference equivalent — it only warn-logs
+    // skipped rows, pipeline.py:78-85): directory receiving each table's
+    // skip-rejected rows as `<table>_rejects` parquet with a
+    // `__rejected_by` column naming the fired rule(s).
+    quarantineTarget: Option[String] = None,
 ) {
   require(batchSize >= 1, "batch_size must be >= 1")
 }

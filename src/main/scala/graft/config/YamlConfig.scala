@@ -89,6 +89,7 @@ object YamlConfig {
       loaderPlugin = str(g, "loader_plugin").getOrElse("default_loader"),
       connectors = ConnectorsConfig(ora, pg),
       tableFiles = g.get("table_files").map(strList).getOrElse(Nil),
+      quarantineTarget = str(g, "quarantine_target"),
     )
   }
 

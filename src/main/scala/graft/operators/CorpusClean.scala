@@ -30,7 +30,11 @@ object CorpusClean {
             minQuality: Int = 3,
             maxTopBigramRatio: Double = 0.06): DataFrame = {
     val deduped = Dedup.exactDedup(docs, textCol, idCol, byFingerprint = true)
-    val rep = TextStats.repetitionProfile(docs, idCol, textCol)
+    // profile AFTER the dedup: the bigram explode+aggregate is the
+    // pipeline's most expensive stage, and on the duplicate-heavy corpora
+    // this pipeline exists for, profiling dropped duplicates is pure
+    // waste (the kept doc's profile is identical)
+    val rep = TextStats.repetitionProfile(deduped, idCol, textCol)
       .select(col("doc_id").as(idCol), col("top_bigram_ratio"))
     val quality = TextFunctions.qualityColumns(col(textCol)).toMap
     deduped

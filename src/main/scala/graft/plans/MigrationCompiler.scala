@@ -41,20 +41,38 @@ object MigrationCompiler extends Logging {
       abortChecks: Seq[() => Unit],
       droppedColumns: Seq[String],
       skippedObservation: Option[org.apache.spark.sql.Observation] = None,
-      rejectedFrame: Option[DataFrame] = None) {
+      rejectedFrame: Option[DataFrame] = None,
+      cached: Option[DataFrame] = None) {
     def assertValid(): Unit = abortChecks.foreach(_.apply())
     /** Meaningful after the frame has executed once (e.g. after the
       * write). Bounded-wait: metric listeners fire asynchronously right
-      * after an action, so poll briefly; returns 0 if the frame never
-      * executed instead of blocking forever (Observation.get would). */
-    def skippedRows: Long = skippedObservation.map { o =>
+      * after an action, so poll briefly; None if the metric never arrived
+      * (frame not executed / loaded driver) instead of blocking forever
+      * (Observation.get would). */
+    def skippedRowsOpt: Option[Long] = skippedObservation.flatMap { o =>
       def metrics = org.apache.spark.sql.GraftColumnBridge.observationGetOrEmpty(o)
       val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
       var m = metrics
       while (m.isEmpty && System.nanoTime() < deadline) { Thread.sleep(10); m = metrics }
-      m.get("skipped_rows").map(_.asInstanceOf[Long]).getOrElse(0L)
-    }.getOrElse(0L)
+      m.get("skipped_rows").map(_.asInstanceOf[Long])
+    }
+    /** Like [[skippedRowsOpt]] but 0 when there are no skip rules, and
+      * 0 WITH A WARNING when the metric never arrived — an unavailable
+      * metric must not masquerade as "nothing was skipped". */
+    def skippedRows: Long =
+      if (skippedObservation.isEmpty) 0L
+      else skippedRowsOpt.getOrElse {
+        MigrationCompiler.metricWarn(
+          s"[${table.targetTable}] skip-count metric not available after 5s — " +
+            "reporting 0; the frame may not have executed yet")
+        0L
+      }
+    /** Release the quarantine cache (set when the compile persisted the
+      * flagged frame so the write and the rejects ride ONE execution). */
+    def unpersistCache(): Unit = cached.foreach(_.unpersist(false))
   }
+
+  private[plans] def metricWarn(msg: String): Unit = logWarning(msg)
 
   /**
    * @param source   already-scanned source table (parquet or JDBC)
@@ -75,13 +93,21 @@ object MigrationCompiler extends Logging {
    *                the reference resolves modules by exactly these fields
    *                (core/plugin_registry.py:52-97, pipeline.py:27-61).
    */
+  /** @param wantRejected build the quarantine frame of skip-dropped rows.
+    *   Opt-in: constructing (and analyzing) that projection is pure
+    *   plan-compile overhead when no quarantine sink is configured. When
+    *   requested, the flagged frame is PERSISTED so the main write and
+    *   the rejects write ride one execution — without it, a live JDBC
+    *   source mutated between the two passes would make the rejects
+    *   diverge from the rows actually skipped in the written run. */
   def compile(
       cfg: TableConfig,
       source: DataFrame,
       resolve: String => Option[DataFrame],
       wherePushed: Boolean = false,
       broadcastDims: Boolean = false,
-      global: GlobalConfig = GlobalConfig()): CompiledTable = {
+      global: GlobalConfig = GlobalConfig(),
+      wantRejected: Boolean = false): CompiledTable = {
 
     def dim(name: String): DataFrame = resolve(name).getOrElse(
       throw new IllegalArgumentException(s"[${cfg.targetTable}] lookup table '$name' not found"))
@@ -139,7 +165,13 @@ object MigrationCompiler extends Logging {
     val tableChain =
       if (cfg.transformOverride) cfg.transformPlugins
       else global.transformPlugins ++ cfg.transformPlugins
-    def transformScope(rulePlugin: Option[String]): TransformOps.Scope = {
+    // memoized per distinct rule-level plugin (almost always just None):
+    // rebuilding the scope for every mapping rule was measurable
+    // plan-compile overhead on validation-heavy tables
+    val scopeCache = scala.collection.mutable.HashMap.empty[Option[String], TransformOps.Scope]
+    def transformScope(rulePlugin: Option[String]): TransformOps.Scope =
+      scopeCache.getOrElseUpdate(rulePlugin, buildTransformScope(rulePlugin))
+    def buildTransformScope(rulePlugin: Option[String]): TransformOps.Scope = {
       val names = (rulePlugin.toList ++ tableChain).distinct
       // walk the chain in order, first definition wins; default_transform
       // contributes the builtin ops at ITS chain position
@@ -258,7 +290,9 @@ object MigrationCompiler extends Logging {
       r.validation.foreach { vr =>
         val tgt = r.targetName
         val dt = df.schema(tgt).dataType
+        val before = df // reference identity: did the probe add helper columns?
         val ok: Column = resolveOk(global.validationPlugins, vr, tgt, dt)
+        val probeAddedCols = !(df eq before)
         flagId += 1
         ValidationCompiler.action(vr) match {
           case ValidationCompiler.NullOut =>
@@ -266,7 +300,9 @@ object MigrationCompiler extends Logging {
           case ValidationCompiler.Default(x) =>
             df = df.withColumn(tgt, when(ok, col(tgt)).otherwise(lit(x).cast(dt)))
           case ValidationCompiler.Skip =>
-            val f = s"__skip_$flagId"
+            // flag name doubles as the quarantine's __rejected_by label,
+            // so it carries the column and rule type, not just an id
+            val f = s"__skip_${flagId}_${tgt}_${vr.vtype}"
             df = df.withColumn(f, !ok)
             skipFlags ::= f
           case ValidationCompiler.Abort =>
@@ -274,8 +310,10 @@ object MigrationCompiler extends Logging {
             df = df.withColumn(f, aliveSoFar && !ok)
             abortFlags ::= f -> s"${cfg.targetTable}.$tgt ${vr.vtype}"
         }
-        // drop any probe helper column, keep the flags
-        reproject()
+        // drop probe helper columns, keep the flags — only the lookup
+        // existence probe joins columns in; re-analyzing the projection
+        // after every regex/range rule was pure plan-compile overhead
+        if (probeAddedCols) reproject()
       }
     }
 
@@ -298,14 +336,20 @@ object MigrationCompiler extends Logging {
     // quarantine view of the rows the skip filter is about to drop:
     // target columns + which rule(s) fired (the reference only warn-logs
     // them, pipeline.py:78-85; routing them to a sink makes rejects
-    // auditable). Evaluating it costs a second pass over the upstream —
-    // opt-in via Engine.migrate(quarantine=...).
-    val rejected =
-      if (skipFlags.isEmpty || df.isStreaming) None
-      else Some(df.filter(!aliveSoFar).select(
-        mappings.map(m => col(m.targetName)) :+
-          concat_ws(",", skipFlags.reverse.map(f => when(col(f), lit(f))): _*)
-            .as("__rejected_by"): _*))
+    // auditable). Opt-in (`wantRejected`): the flagged frame is persisted
+    // so the main write and the rejects write share ONE execution — no
+    // second source pass, and no divergence against a live JDBC source
+    // that mutates between passes.
+    val (rejected, cachedFrame) =
+      if (!wantRejected || skipFlags.isEmpty || df.isStreaming) (None, None)
+      else {
+        df = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (Some(df.filter(!aliveSoFar).select(
+          mappings.map(m => col(m.targetName)) :+
+            concat_ws(",", skipFlags.reverse.map(f => when(col(f), lit(f))): _*)
+              .as("__rejected_by"): _*)),
+          Some(df))
+      }
     val skippedObs =
       if (skipFlags.isEmpty) None
       else if (df.isStreaming) {
@@ -331,7 +375,7 @@ object MigrationCompiler extends Logging {
     //    plugins/default_loader.py:92).
     df = df.select(mappings.map(m => col(m.targetName)): _*)
 
-    CompiledTable(cfg, df, abortChecks, dropped.map(_.sourceName), skippedObs, rejected)
+    CompiledTable(cfg, df, abortChecks, dropped.map(_.sourceName), skippedObs, rejected, cachedFrame)
   }
 
   /**

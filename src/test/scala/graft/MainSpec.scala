@@ -96,6 +96,50 @@ class MainSpec extends AnyFunSuite {
     assert(q.contains("hr.big") && !q.contains("big"))
   }
 
+  test("quarantine_target in YAML routes skip-rejected rows to <table>_rejects") {
+    val dir = java.nio.file.Files.createTempDirectory("quar_spec")
+    val tables = dir.resolve("tables")
+    java.nio.file.Files.createDirectories(tables)
+    val qdir = java.nio.file.Files.createTempDirectory("quar_rejects").toString
+    java.nio.file.Files.writeString(dir.resolve("config.yaml"),
+      s"""global:
+         |  tables_folder: tables
+         |  quarantine_target: $qdir
+         |  table_files: [nation.yaml]
+         |""".stripMargin)
+    java.nio.file.Files.writeString(tables.resolve("nation.yaml"),
+      """source_table: nation
+        |target_table: nation_q
+        |mappings:
+        |  - source: n_nationkey
+        |    target: id
+        |  - source: n_name
+        |    target: name
+        |    validation:
+        |      - type: regex
+        |        pattern: "[A-M]"
+        |        on_fail: skip
+        |""".stripMargin)
+    val out = java.nio.file.Files.createTempDirectory("quar_out").toString
+    val report = Main.run(Array(dir.resolve("config.yaml").toString,
+      "--parquet-source", "/root/testdata/sf0.001",
+      "--parquet-target", out), spark)
+    val kept = spark.read.parquet(s"$out/nation_q.parquet")
+    val rejects = spark.read.parquet(s"$qdir/nation_q_rejects.parquet")
+    assert(kept.count() + rejects.count() == 25)
+    assert(report.tables.head.skippedRows == rejects.count())
+    // every reject names the fired rule (column + type) for the audit
+    assert(rejects.columns.contains("__rejected_by"))
+    val labels = rejects.select("__rejected_by").collect().map(_.getString(0)).distinct
+    assert(labels.forall(l => l.contains("name") && l.contains("regex")), labels.mkString(","))
+    // and the CLI flag overrides the YAML value
+    val qdir2 = java.nio.file.Files.createTempDirectory("quar_rejects2").toString
+    Main.run(Array(dir.resolve("config.yaml").toString,
+      "--parquet-source", "/root/testdata/sf0.001",
+      "--parquet-target", out, "--quarantine-target", qdir2), spark)
+    assert(spark.read.parquet(s"$qdir2/nation_q_rejects.parquet").count() == rejects.count())
+  }
+
   test("parquet catalog/sink fail loudly on schema-qualified configs") {
     import graft.config._
     val catalog = graft.sources.ParquetCatalog(spark, "/root/testdata/sf0.001")
