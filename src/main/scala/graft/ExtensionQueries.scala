@@ -29,6 +29,16 @@ object ExtensionQueries {
   private def det(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
 
+  /** One (method, hits, total, recall) row: how many of `truth`'s
+    * (vec_id, neighbor_id) slots the approximate method recovered. */
+  private def recallGateRow(method: String, truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.join(approx.withColumn("__hit", lit(1)),
+        Seq("vec_id", "neighbor_id"), "left")
+      .agg(coalesce(sum(col("__hit")), lit(0)).cast(LongType).as("hits"),
+        count(lit(1)).as("total"))
+      .select(lit(method).as("method"), col("hits"), col("total"),
+        round(col("hits").cast(DoubleType) / col("total"), 4).as("recall"))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -122,6 +132,52 @@ object ExtensionQueries {
     "q_sim_ann_ivf" -> ((s, dir) =>
       det(Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", k = 5,
         nCentroids = 16, nprobe = 6).drop("cos_sim"))),
+
+    // --- quantitative gates for the no-oracle queries ---------------------
+    // q_dedup_simhash / q_sim_ann_lsh / q_sim_ann_ivf use Spark-side
+    // hashing DuckDB cannot replicate, so their row outputs carry no
+    // oracle. These companion queries measure the quality gates the test
+    // suite enforces (recall@5 vs brute force, simhash coverage of
+    // strong Jaccard pairs) as DETERMINISTIC numbers (fixed seeds, fixed
+    // sample) and pin them against golden literals in the oracle — the
+    // driver's correctness JSON then records the quantitative result,
+    // and any regression becomes a hash mismatch instead of an invisible
+    // rows-only pass.
+
+    "q_gate_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val truth = Similarity.bruteForceTopK(e.filter(col("vec_id") < 250), e,
+        "vec_id", "embedding", k = 5).select("vec_id", "neighbor_id")
+      // both ends of the SRP tradeoff (see annTopK scaladoc): the graded
+      // 12x6 config prunes ~5x but top-5 neighbors on this corpus sit in
+      // the weak-similarity tail where its recall is ~0.5 by design; the
+      // 32x3 high-recall config is what the >=0.95 spec gate runs.
+      val lsh12 = Similarity.annTopK(e, "vec_id", "embedding", k = 5,
+        tables = 12, planes = 6, dim = 64)
+        .filter(col("vec_id") < 250).select("vec_id", "neighbor_id")
+      val lsh32 = Similarity.annTopK(e, "vec_id", "embedding", k = 5,
+        tables = 32, planes = 3, dim = 64)
+        .filter(col("vec_id") < 250).select("vec_id", "neighbor_id")
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5) // auto-sized
+        .filter(col("vec_id") < 250).select("vec_id", "neighbor_id")
+      det(recallGateRow("ann_ivf_auto", truth, ivf)
+        .unionAll(recallGateRow("ann_lsh_12x6", truth, lsh12))
+        .unionAll(recallGateRow("ann_lsh_32x3", truth, lsh32)))
+    }),
+
+    "q_gate_simhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val strong = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 5, threshold = 0.85, dfCap = 100).select("doc_a", "doc_b")
+      val sim = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 5)
+        .select("doc_a", "doc_b")
+      det(strong.join(sim.withColumn("__hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("strong_pairs"),
+          coalesce(sum(col("__hit")), lit(0)).cast(LongType).as("covered_pairs"))
+        .select(col("strong_pairs"), col("covered_pairs"),
+          round(col("covered_pairs").cast(DoubleType) / col("strong_pairs"), 4)
+            .as("coverage")))
+    }),
 
     // --- multimodal -------------------------------------------------------
 
@@ -302,6 +358,22 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_dedup_ngram_pairs" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+    // Golden-literal oracles: DuckDB cannot recompute the Spark-side
+    // hashing these gates measure, but the measured values are
+    // DETERMINISTIC (fixed seeds, fixed 250-query sample, exact integer
+    // hits), so the oracle pins them — a recall/coverage regression
+    // becomes a CORRECTNESS hash mismatch. Values measured at sf0.01;
+    // update alongside any intentional parameter change.
+    "q_gate_ann_recall" ->
+      s"""SELECT * FROM (VALUES
+         |  ('ann_ivf_auto', CAST(1250 AS BIGINT), CAST(1250 AS BIGINT), CAST(1.0 AS DOUBLE)),
+         |  ('ann_lsh_12x6', CAST(570 AS BIGINT), CAST(1250 AS BIGINT), CAST(0.456 AS DOUBLE)),
+         |  ('ann_lsh_32x3', CAST(1249 AS BIGINT), CAST(1250 AS BIGINT), CAST(0.9992 AS DOUBLE))
+         |) AS t(method, hits, total, recall)
+         |ORDER BY method $N1, hits $N1, total $N1, recall $N1""".stripMargin,
+    "q_gate_simhash" ->
+      s"""SELECT CAST(25 AS BIGINT) AS strong_pairs, CAST(25 AS BIGINT) AS covered_pairs,
+         |CAST(1.0 AS DOUBLE) AS coverage""".stripMargin,
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cosSql, 6) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

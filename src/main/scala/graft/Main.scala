@@ -88,7 +88,11 @@ object Main {
         val p = cfg.global.connectors.postgres.getOrElse(
           throw new IllegalArgumentException(
             "no target: pass --parquet-target or configure connectors.postgres"))
-        val s = JdbcSink(p.jdbcUrl, p.user, p.password, batchSize = cfg.global.batchSize)
+        // restartIdentity: the reference's default loader ALWAYS truncates
+        // with RESTART IDENTITY CASCADE (plugins/default_loader.py:38-44) —
+        // the configured-connectors path keeps that parity
+        val s = JdbcSink(p.jdbcUrl, p.user, p.password,
+          batchSize = cfg.global.batchSize, restartIdentity = true)
         s.checkConnectivity()
         s
     }

@@ -25,10 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
  * seed)` via the fixed-seed PRNG and memoized per JVM — the plan node
  * carries four scalars, not a tables*planes*dim literal.
  */
-case class SrpBucketIds(child: Expression, tables: Int, planes: Int, dim: Int, seed: Long)
+case class SrpBucketIds(child: Expression, tables: Int, planes: Int, dim: Int, seed: Long,
+                        strict: Boolean = false)
   extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = !strict || child.nullable
   override def prettyName: String = "graft_srp_buckets"
 
   // a def, not a val: the child is unresolved (NullType) at construction
@@ -40,12 +42,14 @@ case class SrpBucketIds(child: Expression, tables: Int, planes: Int, dim: Int, s
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    SrpBucketIds.compute(input.asInstanceOf[ArrayData], tables, planes, dim, seed, elemIsDouble)
+    SrpBucketIds.compute(input.asInstanceOf[ArrayData], tables, planes, dim, seed,
+      elemIsDouble, strict)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SrpBucketIds$$.MODULE$$.compute(" +
-        s"$c, $tables, $planes, $dim, ${seed}L, $elemIsDouble);")
+      s"""${ev.value} = graft.functions.SrpBucketIds$$.MODULE$$.compute(
+         |  $c, $tables, $planes, $dim, ${seed}L, $elemIsDouble, $strict);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): SrpBucketIds =
     copy(child = newChild)
@@ -66,12 +70,19 @@ object SrpBucketIds {
     })
 
   def compute(vec: ArrayData, tables: Int, planes: Int, dim: Int,
-              seed: Long, elemIsDouble: Boolean): ArrayData = {
+              seed: Long, elemIsDouble: Boolean, strict: Boolean): ArrayData = {
     val m = matrix(tables, planes, dim, seed)
-    // a mismatched vector would silently hash a PREFIX and quietly
-    // degrade recall — misconfiguration must surface, not truncate
-    require(vec.numElements() == dim,
-      s"graft_srp_buckets configured for dim=$dim but vector has ${vec.numElements()} elements")
+    // a mismatched vector must never silently hash a PREFIX (quietly
+    // degraded recall). Default contract matches the rerank side's
+    // DotProduct: the row becomes NULL and is EXCLUDED from blocking —
+    // one ragged/corrupt vector shouldn't kill an hours-long job.
+    // Strict mode (opt-in) throws instead, surfacing a systematic
+    // misconfiguration (e.g. wrong `dim` for the whole corpus) loudly.
+    if (vec.numElements() != dim) {
+      if (strict) throw new IllegalArgumentException(
+        s"graft_srp_buckets configured for dim=$dim but vector has ${vec.numElements()} elements")
+      return null
+    }
     val n = dim
     val out = new Array[Int](tables)
     var t = 0
@@ -95,9 +106,11 @@ object SrpBucketIds {
     new GenericArrayData(out)
   }
 
-  /** Column helper: array of `tables` bucket ids for `vec`. */
+  /** Column helper: array of `tables` bucket ids for `vec`. A vector
+    * whose size differs from `dim` yields NULL (excluded from blocking;
+    * the rerank's DotProduct nulls the same rows) unless `strict`. */
   def srpBucketIds(vec: Column, tables: Int, planes: Int, dim: Int,
-                   seed: Long = 42L): Column =
+                   seed: Long = 42L, strict: Boolean = false): Column =
     GraftColumnBridge.column(
-      SrpBucketIds(GraftColumnBridge.expression(vec), tables, planes, dim, seed))
+      SrpBucketIds(GraftColumnBridge.expression(vec), tables, planes, dim, seed, strict))
 }

@@ -176,13 +176,38 @@ object Similarity {
    * 256 x 64 doubles = 128 KB) broadcast as plan literals — not a
    * driver-side loop over the corpus. Assignment is a single codegen'd
    * projection; the block join carries ids only.
+   *
+   * Auto-sizing (`nCentroids <= 0`): `clamp(ceil(sqrt(N)), 16, 4096)`
+   * from one cheap count — a corpus-size-blind constant makes cells
+   * linear in N (at 100 TB, 16 cells means ~N/16-row blocking joins,
+   * i.e. no pruning at all). With `nprobe <= 0` the probe count scales
+   * with the cell count: `max(3, ceil(0.35 * nCentroids))`.
+   *
+   * Candidate-volume math (compare SRP's scaladoc): each vector lands in
+   * `nprobe` of `nCentroids` cells, so expected candidates per vector
+   * ~= N * nprobe / nCentroids (uniform case). The 0.35 auto fraction
+   * is the measured floor that keeps recall@5 >= 0.95 when similarity
+   * structure is near-RANDOM (this testdata's worst case: true top-5
+   * neighbors sit in the cosine~0.5 tail, where cell assignment is
+   * weakly correlated — see SimilaritySpec; same argument as SRP's
+   * 32x3 high-recall regime). That buys only ~3x pruning — intrinsic
+   * to certainty on random structure, NOT the expected production
+   * shape: on clustered corpora (the common embedding distribution)
+   * co-probed cells follow the data, so a small constant `nprobe`
+   * (3-8) holds the same recall with ~nCentroids/nprobe-fold pruning —
+   * pass `nprobe` explicitly when the corpus is known to cluster.
    */
   def ivfAssignments(corpus: DataFrame, idCol: String, vecCol: String,
-                     nCentroids: Int = 16, nprobe: Int = 3): DataFrame = {
+                     nCentroids: Int = 0, nprobe: Int = 0): DataFrame = {
+    val k0 =
+      if (nCentroids > 0) nCentroids
+      else math.max(16, math.min(4096,
+        math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
+    val probes0 = if (nprobe > 0) nprobe else math.max(3, math.ceil(0.35 * k0).toInt)
     val cents: Array[Array[Double]] = corpus
       .select(col(idCol).cast(StringType).as("__id"), col(vecCol).as("__v"))
       .orderBy(xxhash64(col("__id")), col("__id"))
-      .limit(nCentroids)
+      .limit(k0)
       .collect()
       .map { r =>
         // accept float AND double element types, like every other entry point
@@ -198,8 +223,8 @@ object Similarity {
         lit(ci).as("cid"))
     }
     // top-nprobe cells: sort (dot, cid) structs ascending, take the tail
-    val probes = slice(array_sort(array(scored: _*)), -math.min(nprobe, cents.length),
-      math.min(nprobe, cents.length))
+    val probes = slice(array_sort(array(scored: _*)), -math.min(probes0, cents.length),
+      math.min(probes0, cents.length))
     corpus.select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("__v"),
         norm(col(vecCol)).as("__n"))
@@ -207,17 +232,19 @@ object Similarity {
       .select(col("__id"), col("__v"), col("__n"), col("__cell.cid").as("__cid"))
   }
 
-  /** Candidate pairs from shared IVF cells (any probe). */
+  /** Candidate pairs from shared IVF cells (any probe). `nCentroids`/
+    * `nprobe` <= 0 auto-size from the corpus (see [[ivfAssignments]]). */
   def ivfCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
-                        nCentroids: Int = 16, nprobe: Int = 3): DataFrame =
+                        nCentroids: Int = 0, nprobe: Int = 0): DataFrame =
     candidatesFromBlocks(ivfAssignments(corpus, idCol, vecCol, nCentroids, nprobe),
       corpus, idCol, vecCol, Seq("__cid"))
 
   /** Approximate top-k via IVF cells + exact cosine rerank — same output
     * contract as [[annTopK]]; recall is data-dependent (cell-local), so
-    * gate it against [[bruteForceTopK]] on a sample (see SimilaritySpec). */
+    * gate it against [[bruteForceTopK]] on a sample (see SimilaritySpec).
+    * `nCentroids`/`nprobe` <= 0 auto-size from the corpus. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, nprobe: Int = 3): DataFrame =
+              nCentroids: Int = 0, nprobe: Int = 0): DataFrame =
     topKFromCandidates(ivfCandidatePairs(corpus, idCol, vecCol, nCentroids, nprobe),
       idCol, k)
 

@@ -77,12 +77,21 @@ object TextStats {
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int, shards: Int = 64): DataFrame = {
     require(budget >= 1 && shards >= 1, "budget and shards must be >= 1")
+    // integral ids shard on id % shards (stable, oracle-friendly); any
+    // other id type shards on its xxhash64 — a raw pmod on a string id
+    // yields NULL, which would silently collapse every row into ONE
+    // window partition, the exact serialization sharding exists to avoid
+    val shardKey = docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        pmod(col(idCol), lit(shards))
+      case _ => pmod(xxhash64(col(idCol)), lit(shards))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     docs.select(
         col(idCol).as("doc_id"),
-        pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+        shardKey.cast("int").as("shard"),
         graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("shard"),

@@ -73,6 +73,15 @@ object JdbcSink {
       s"illegal SQL table name: '$name'")
     name
   }
+
+  /** The identity-restarting truncate statements, preferred first with a
+    * portable fallback (reference: plugins/default_loader.py:38-44). */
+  def restartIdentityTruncateSql(table: String, cascade: Boolean): Seq[String] = {
+    val t = rawTableName(table)
+    Seq(
+      s"TRUNCATE TABLE $t RESTART IDENTITY" + (if (cascade) " CASCADE" else ""),
+      s"TRUNCATE TABLE $t")
+  }
 }
 
 final case class JdbcSink(
@@ -83,7 +92,26 @@ final case class JdbcSink(
     truncate: Boolean = true,
     cascadeTruncate: Boolean = true,
     writePartitions: Int = 0,
-    createTableColumnTypes: Option[String] = None) extends Sink {
+    createTableColumnTypes: Option[String] = None,
+    restartIdentity: Boolean = false) extends Sink {
+
+  /** Truncate-parity with the reference (`TRUNCATE … RESTART IDENTITY
+    * CASCADE`, plugins/default_loader.py:38-44): Spark's JDBC
+    * `truncate`/`cascadeTruncate` options cover CASCADE but cannot
+    * restart identity sequences, so when `restartIdentity` is on the
+    * preLoad issues the full statement through the executor. Dialects
+    * without the RESTART IDENTITY clause fall back to a plain TRUNCATE
+    * (Derby restarts identities on plain TRUNCATE anyway); a missing
+    * table — first run — is ignored, the writer will create it. */
+  override def preLoad(table: String): Unit =
+    if (truncate && restartIdentity) {
+      val stmts = JdbcSink.restartIdentityTruncateSql(table, cascadeTruncate)
+      val applied = stmts.exists { sql =>
+        try { execute(sql); true }
+        catch { case _: java.sql.SQLException => false }
+      }
+      if (!applied) () // table absent or dialect refuses TRUNCATE: writer handles it
+    }
 
   def write(table: String, df: DataFrame): Unit = {
     val out = if (writePartitions > 0) df.repartition(writePartitions) else df

@@ -131,6 +131,12 @@ final case class JdbcSource(
     (spec.lower, spec.upper) match {
       case (Some(lo), Some(hi)) => Some((lo, hi))
       case _ =>
+        // the config-supplied column name is interpolated raw into the
+        // probe SQL — validate it like JdbcSink.rawTableName does, so a
+        // typo'd/hostile config fails with a clear message here rather
+        // than a raw SQLException (or worse) at scan time
+        require(spec.column.matches("""[A-Za-z_][A-Za-z0-9_$]*"""),
+          s"illegal partition column name: '${spec.column}'")
         val c = java.sql.DriverManager.getConnection(url, user, password)
         try {
           val st = c.createStatement()

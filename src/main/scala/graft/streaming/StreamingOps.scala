@@ -43,11 +43,45 @@ object StreamingOps {
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(userId: Long, startTs: java.sql.Timestamp,
                            endTs: java.sql.Timestamp, nEvents: Int)
+  // public: Spark's encoder codegen instantiates these from generated
+  // classes, which cannot touch private members
+  final case class KeyedEvent(key: String, tsMs: Long)
+  final case class KeyedSession(key: String, startMs: Long, endMs: Long, n: Int)
 
   implicit private val eventEnc: Encoder[SessionEvent] = Encoders.product[SessionEvent]
   implicit private val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
   implicit private val sessionEnc: Encoder[Session] = Encoders.product[Session]
-  implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
+  implicit private val keyedEventEnc: Encoder[KeyedEvent] = Encoders.product[KeyedEvent]
+  implicit private val keyedSessionEnc: Encoder[KeyedSession] = Encoders.product[KeyedSession]
+  implicit private val stringEnc: Encoder[String] = Encoders.STRING
+
+  /** The per-key session state machine shared by both sessionize
+    * flavors: close on gap, or (ProcessingTimeTimeout) on silence. */
+  private def sessionMachine(gapMs: Long, timeout: GroupStateTimeout)(
+      key: String, it: Iterator[KeyedEvent],
+      state: GroupState[SessionState]): Iterator[KeyedSession] =
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(KeyedSession(key, s.start, s.last, s.n))
+    } else {
+      val evs = it.toSeq
+      val closed = Seq.newBuilder[KeyedSession]
+      var st = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0))
+      evs.sortBy(_.tsMs).foreach { e =>
+        val t = e.tsMs
+        if (st.n > 0 && t - st.last > gapMs) {
+          closed += KeyedSession(key, st.start, st.last, st.n)
+          st = SessionState(t, t, 1)
+        } else {
+          st = SessionState(math.min(st.start, t), math.max(st.last, t), st.n + 1)
+        }
+      }
+      state.update(st)
+      if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
+        state.setTimeoutDuration(gapMs)
+      closed.result().iterator
+    }
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when a later event arrives past the gap, or (with
@@ -59,35 +93,30 @@ object StreamingOps {
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
       : Dataset[Session] =
-    events.groupByKey(_.userId)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), timeout) {
-        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.last), s.n))
-          } else {
-            val evs = it.toSeq
-            val closed = Seq.newBuilder[Session]
-            var st = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0))
-            evs.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
-              if (st.n > 0 && t - st.last > gapMs) {
-                closed += Session(userId, new java.sql.Timestamp(st.start),
-                  new java.sql.Timestamp(st.last), st.n)
-                st = SessionState(t, t, 1)
-              } else {
-                st = SessionState(math.min(st.start, t), math.max(st.last, t), st.n + 1)
-              }
-            }
-            state.update(st)
-            if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
-              state.setTimeoutDuration(gapMs)
-            closed.result().iterator
-          }
-      }
+    events.map(e => KeyedEvent(e.userId.toString, e.ts.getTime))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, KeyedSession](
+        OutputMode.Append(), timeout)(sessionMachine(gapMs, timeout))
+      .map(s => Session(s.key.toLong, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), s.n))
+
+  /** Column-configurable sessionization — the streaming twin of
+    * [[graft.operators.Windowed.sessionizeBatch]]: any (keyCol, tsCol)
+    * frame, not just the fixed [[SessionEvent]] shape. The key rides the
+    * state machine as its STRING form (one state struct per key either
+    * way) and comes back as a string column; output is
+    * (keyCol, session_start, session_end, n_events). */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String, gapMs: Long,
+                 timeout: GroupStateTimeout): DataFrame =
+    events.select(col(keyCol).cast("string").as("key"),
+        unix_millis(col(tsCol).cast("timestamp")).as("tsMs")).as[KeyedEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, KeyedSession](
+        OutputMode.Append(), timeout)(sessionMachine(gapMs, timeout))
+      .select(col("key").as(keyCol),
+        timestamp_millis(col("startMs")).as("session_start"),
+        timestamp_millis(col("endMs")).as("session_end"),
+        col("n").cast("long").as("n_events"))
 
   /** Streaming exact dedup with WATERMARK-BOUNDED state:
     * `dropDuplicatesWithinWatermark` collapses duplicates arriving

@@ -101,6 +101,25 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("payload1", "payload1", "payload2"))
   }
 
+  test("restart-identity preLoad truncates via the dialect fallback and ignores missing tables") {
+    import spark.implicits._
+    val ri = sink.copy(restartIdentity = true)
+    // Derby rejects RESTART IDENTITY syntax -> preLoad must fall back to
+    // the plain TRUNCATE and still empty the table
+    ri.write("ri_tgt", Seq(("a", "1")).toDF("code", "val"))
+    ri.preLoad("ri_tgt")
+    assert(src.table("ri_tgt").count() == 0)
+    ri.preLoad("ri_absent") // first run: table not created yet — no throw
+  }
+
+  test("probeBounds rejects a non-identifier partition column before touching SQL") {
+    val bad = JdbcSource(spark, url, "", "",
+      partitioning = Map("evts" -> JdbcPartitioning("id; DROP TABLE evts")))
+    val e = intercept[IllegalArgumentException] { bad.scan("evts", None) }
+    assert(e.getMessage.contains("partition column"))
+    assert(src.table("evts").count() == 40) // nothing executed
+  }
+
   test("generic statement executor runs DDL the DataFrame writer cannot") {
     sink.execute("CREATE TABLE ddl_only (n INT)")
     sink.execute("INSERT INTO ddl_only VALUES (7)")

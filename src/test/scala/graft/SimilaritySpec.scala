@@ -94,6 +94,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(native(2).isNullAt(0) && hof(2).isNullAt(0))
   }
 
+  test("SrpBucketIds nulls ragged vectors (excluded from blocking) unless strict") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+    val schema = StructType(Seq(StructField("v", ArrayType(FloatType, containsNull = false))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Seq(1f, 2f, 3f)), Row(Seq(1f, 2f))), schema)
+    // default: the good row buckets, the ragged row is NULL — the same
+    // bad-data contract as the rerank side's DotProduct
+    val out = df.select(
+      graft.functions.SrpBucketIds.srpBucketIds(col("v"), tables = 4, planes = 2, dim = 3))
+      .collect()
+    assert(!out(0).isNullAt(0) && out(0).getSeq[Int](0).length == 4)
+    assert(out(1).isNullAt(0))
+    // and exploding the buckets drops the ragged row from blocking entirely
+    val exploded = df.select(explode(
+      graft.functions.SrpBucketIds.srpBucketIds(col("v"), 4, 2, 3))).count()
+    assert(exploded == 4)
+    // strict mode surfaces systematic misconfiguration loudly
+    val e = intercept[Exception] {
+      df.select(graft.functions.SrpBucketIds.srpBucketIds(
+        col("v"), 4, 2, dim = 3, strict = true)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("graft_srp_buckets")), messages(e).mkString(" | "))
+  }
+
   // ---- quantitative gates on the driver's "no-oracle" queries (sf0.01) ----
 
   private def sfEmb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -119,6 +146,24 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & ivf).size.toDouble / truth.size
     assert(recall >= 0.95, f"IVF recall@5 = $recall%.4f over ${truth.size} neighbor slots")
+  }
+
+  test("ivfTopK auto-sized defaults hold the recall gate at sf0.01 and sf0.1") {
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      // sampled truth (250 fixed query ids) keeps the brute-force side
+      // cheap at every SF while gating the SAME auto-derived IVF plan
+      val truth = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 250), e, "vec_id", "embedding", k = 5)
+        .select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5) // auto nCentroids/nprobe
+        .filter(col("vec_id") < 250)
+        .select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (truth & ivf).size.toDouble / truth.size
+      assert(recall >= 0.95, f"[$sf] auto-IVF recall@5 = $recall%.4f over ${truth.size} slots")
+    }
   }
 
   test("ivfAssignments probes exactly nprobe cells per vector, deterministically") {

@@ -20,4 +20,14 @@ class SinksSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { JdbcSink.rawTableName("t\"x") }
     intercept[IllegalArgumentException] { JdbcSink.rawTableName("") }
   }
+
+  test("restart-identity truncate emits the reference statement with a portable fallback") {
+    assert(JdbcSink.restartIdentityTruncateSql("emp", cascade = true) ==
+      Seq("TRUNCATE TABLE emp RESTART IDENTITY CASCADE", "TRUNCATE TABLE emp"))
+    assert(JdbcSink.restartIdentityTruncateSql("hr.emp", cascade = false) ==
+      Seq("TRUNCATE TABLE hr.emp RESTART IDENTITY", "TRUNCATE TABLE hr.emp"))
+    intercept[IllegalArgumentException] {
+      JdbcSink.restartIdentityTruncateSql("emp; DROP TABLE x", cascade = true)
+    }
+  }
 }

@@ -56,6 +56,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, "2024-01-01 00:00:00.0", "2024-01-01 00:00:30.0", 2)))
   }
 
+  test("column-configured sessionize works over a renamed, string-keyed schema") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("device", "seen_at", "kind")
+    val out = StreamingOps.sessionize(stream, "device", "seen_at", gapMs = 60000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    assert(out.columns.toSeq == Seq("device", "session_start", "session_end", "n_events"))
+    val q = out.writeStream.format("memory").queryName("col_sessions")
+      .outputMode("append").start()
+    mem.addData(
+      ("cam-a", ts("2024-01-01 00:00:00"), "ping"),
+      ("cam-a", ts("2024-01-01 00:00:30"), "ping"),
+      ("cam-a", ts("2024-01-01 00:10:00"), "ping"), // gap -> closes first session
+      ("cam-b", ts("2024-01-01 00:00:00"), "ping"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM col_sessions").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+    q.stop()
+    assert(rows.toSeq == Seq(("cam-a", "2024-01-01 00:00:00.0", "2024-01-01 00:00:30.0", 2L)))
+  }
+
   test("compileStream applies a migration config incrementally with a static lookup") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

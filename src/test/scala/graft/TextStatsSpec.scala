@@ -75,6 +75,23 @@ class TextStatsSpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("packSequences shards string ids by hash instead of collapsing to one NULL shard") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (s"doc-$i", "some words here okay")).toDF("id", "text")
+    val packed = graft.operators.TextStats.packSequences(docs, "id", "text",
+      budget = 16, shards = 8)
+    val shardRows = packed.select("shard").distinct().collect()
+    assert(shardRows.forall(!_.isNullAt(0)), "no NULL shard for string ids")
+    assert(shardRows.length > 4,
+      s"string ids must spread across shards, got ${shardRows.mkString(",")}")
+    assert(packed.count() == 200)
+    // numeric ids keep the plain modulo (the DuckDB-matchable contract)
+    val num = (0 until 20).map(i => (i.toLong, "w x y z")).toDF("id", "text")
+    val numShards = graft.operators.TextStats.packSequences(num, "id", "text", 16, 8)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0 until 20).forall(i => numShards(i.toLong) == i % 8))
+  }
+
   test("CorpusClean drops duplicates, boilerplate, wrong-language and junk docs") {
     val good = "the house and the garden were quiet that morning and the light was very good"
     val docs = Seq(
