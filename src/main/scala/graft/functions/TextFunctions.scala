@@ -133,9 +133,18 @@ object TextFunctions {
    * each token's xxhash64 bit; the sign becomes the fingerprint bit.
    * Near-duplicate docs land within small Hamming distance. 63 bits (not
    * 64) keeps the fold below Long.MaxValue so ANSI mode can't overflow.
-   * All one codegen'd expression: O(63 * n_tokens) per row, no shuffle.
+   * Delegates to the native one-pass [[Simhash63]] expression (hash each
+   * token once, 63 bit-votes per token) — the declarative formulation
+   * below is an interpreted HOF chain that re-hashes every token once per
+   * bit (VERDICT r4 #1; ~34 ms/doc). Values are identical.
    */
-  def simhash63(text: Column): Column = {
+  def simhash63(text: Column): Column = Simhash63.simhash63(text)
+
+  /** The declarative reference formulation of [[simhash63]] — O(63 *
+    * n_tokens) xxhash64 passes, interpreted lambdas. Kept ONLY as the
+    * value oracle for the native expression (TextFunctionsSpec asserts
+    * bit-identical fingerprints on every testdata doc). */
+  private[graft] def simhash63Reference(text: Column): Column = {
     val toks = whitespaceTokens(text)
     val bitVotes = transform(sequence(lit(0), lit(62)), i =>
       aggregate(toks, lit(0),

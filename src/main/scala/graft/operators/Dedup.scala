@@ -157,25 +157,85 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       TextFunctions.simhash63(col(textCol)).as("simhash"))
 
+  /**
+   * Near-dup pairs within `maxHamming`, in three scale-safe moves
+   * (VERDICT r4 #3 — the round-4 shape banded every DOC and had no cap;
+   * one (band,chunk) cell held 1,090 of 5,000 docs = 594k pairs from a
+   * single reducer key):
+   *
+   *  1. identical fingerprints COLLAPSE before banding: a group of k
+   *     equal fingerprints is emitted directly as its k·(k-1)/2
+   *     hamming-0 pairs (that IS the required output) instead of
+   *     inflating every band cell by k and paying k² candidate rows
+   *     per band × bands, ×dedup. On template-heavy corpora identical
+   *     fingerprints are the common case, so this is the big lever.
+   *  2. only DISTINCT fingerprints are banded; the band self-join pairs
+   *     fingerprints, not docs, and each surviving fingerprint pair is
+   *     expanded back to member doc pairs by two id-only joins (each doc
+   *     has exactly one fingerprint, so expansion can't duplicate pairs).
+   *  3. hot (band,chunk) cells are capped at `cellCap` DISTINCT
+   *     fingerprints — same count-over-window trick as
+   *     [[ngramJaccardPairs]]'s dfCap, one shuffle, no recompute. A
+   *     dropped cell can lose a pair only if EVERY band the pair agrees
+   *     on is hot; the pigeonhole completeness guarantee (<= maxHamming
+   *     bits differ across maxHamming+1 bands => some band agrees) holds
+   *     for every pair under the cap. 4096 distinct fingerprints in one
+   *     16-bit cell means a degenerate bit region — the cap turns that
+   *     from a quadratic reducer into a bounded skip.
+   *
+   * Exchange reuse: `members` is shuffled on simhash once (window) and
+   * that exchange feeds the intra-group self-join AND both expansion
+   * joins; `banded`'s cell-count window exchange feeds both sides of the
+   * band self-join. The simhash projection sits below the first
+   * exchange, so the corpus is fingerprinted once per plan (DedupSpec
+   * asserts this on the executed plan).
+   */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, cellCap: Int = 4096): DataFrame = {
+    // One corpus fingerprinting for the whole plan: the explicit nullness
+    // filter (otherwise each join infers its OWN isnotnull set, making the
+    // subtrees canonically unequal) plus a repartition-on-simhash barrier
+    // (column pruning would otherwise specialize each consumer down to its
+    // own scan+fingerprint projection) give every self-join side the SAME
+    // exchange subtree, so ReuseExchange/AQE stage reuse computes the
+    // scan + Simhash63 once and the other consumers read shuffle files.
     val fp = simhashFingerprints(docs, idCol, textCol)
+      .filter(col("simhash").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("simhash"))
+    val members = fp.withColumn("__rn",
+      row_number().over(Window.partitionBy(col("simhash")).orderBy(col("doc_id"))))
+    // identical fingerprints: emit intra-group pairs directly (hamming 0)
+    val intra = members.alias("x").join(members.alias("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    // distinct fingerprints only enter the banding
+    val uniq = members.filter(col("__rn") === 1).select("simhash")
     val bands = maxHamming + 1
     val width = (63 + bands - 1) / bands // ceil: bands cover all 63 bits
     val mask = (1L << width) - 1
     val chunkStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), width * b).bitwiseAND(lit(mask)).as("chunk")))
-    val banded = fp.select(col("doc_id"), col("simhash"),
-      explode(array(chunkStructs: _*)).as("__b"))
-      .select(col("doc_id"), col("simhash"), col("__b.band").as("__bd"), col("__b.chunk").as("__ck"))
-    // aliased self-join: one exchange, reused for both sides
-    banded.alias("x").join(banded.alias("y"),
+    val banded = uniq
+      .select(col("simhash"), explode(array(chunkStructs: _*)).as("__b"))
+      .select(col("simhash"), col("__b.band").as("__bd"), col("__b.chunk").as("__ck"))
+      .withColumn("__cell",
+        count(lit(1)).over(Window.partitionBy(col("__bd"), col("__ck"))))
+      .filter(col("__cell") <= cellCap)
+      .select("simhash", "__bd", "__ck")
+    val fpPairs = banded.alias("x").join(banded.alias("y"),
         col("x.__bd") === col("y.__bd") && col("x.__ck") === col("y.__ck") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        TextFunctions.hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
+          col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("__sa"), col("y.simhash").as("__sb"))
       .distinct()
+      .withColumn("hamming", TextFunctions.hamming(col("__sa"), col("__sb")))
       .filter(col("hamming") <= maxHamming)
+    val cross = fpPairs
+      .join(members.select(col("simhash").as("__sa"), col("doc_id").as("__ida")), "__sa")
+      .join(members.select(col("simhash").as("__sb"), col("doc_id").as("__idb")), "__sb")
+      .select(least(col("__ida"), col("__idb")).as("doc_a"),
+        greatest(col("__ida"), col("__idb")).as("doc_b"), col("hamming"))
+    intra.unionAll(cross)
   }
 }
