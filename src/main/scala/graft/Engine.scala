@@ -79,6 +79,16 @@ object Engine extends Logging {
               broadcastDims: Boolean = false,
               maxParallelTables: Int = 4,
               quarantine: Option[Sink] = None): MigrationReport = {
+    // `written` (and lookup rules, mirroring the reference's unqualified
+    // SELECT probes) key tables by BARE target name: two tables sharing a
+    // bare name in different schemas would silently shadow each other's
+    // output for every downstream lookup — fail at schedule time instead.
+    cfg.tables.groupBy(_.targetTable).foreach { case (name, ts) =>
+      require(ts.sizeIs <= 1,
+        s"config maps ${ts.size} tables onto target name '$name' " +
+          s"(schemas: ${ts.map(_.targetSchema).mkString(", ")}) — lookups resolve " +
+          "targets by bare name, so duplicate target_table values are ambiguous")
+    }
     val waves = MigrationCompiler.scheduleWaves(cfg.tables)
     // outputs of tables already migrated in THIS run, keyed by target name;
     // lookups prefer these over the source catalog (see class doc).
@@ -100,18 +110,26 @@ object Engine extends Logging {
         "default_loader", graft.plugins.PluginRegistry.loader, "loader")
         .map(_.sink(Map("table" -> t.targetTable, "schema" -> t.targetSchema)))
         .getOrElse(sink)
-      compiled.assertValid()
-      tableSink.preLoad(tgt)
-      // row count via observe: no cache, no second pass over the data
-      // (replaces the reference's per-batch count logs, pipeline.py:100).
+      // the quarantine cache must not outlive the table even when the
+      // abort assertion fires (it executes an aggregation over the
+      // persisted frame, populating the cache) or a write throws —
+      // released in finally, not only on the success path
       val obs = new org.apache.spark.sql.Observation()
-      val observed = compiled.dataFrame.observe(obs,
-        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
-      tableSink.write(tgt, observed)
-      tableSink.finalizeTable(tgt)
-      for (q <- quarantine; rejects <- compiled.rejectedFrame)
-        q.write(s"${tgt}_rejects", rejects)
-      compiled.unpersistCache() // release the single-execution quarantine cache
+      try {
+        compiled.assertValid()
+        tableSink.preLoad(tgt)
+        // row count via observe: no cache, no second pass over the data
+        // (replaces the reference's per-batch count logs, pipeline.py:100).
+        val observed = compiled.dataFrame.observe(obs,
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+        tableSink.write(tgt, observed)
+        tableSink.finalizeTable(tgt)
+        // the quarantine sink spells the rejects name itself: a sink
+        // without a schema namespace (ParquetSink) flattens a qualified
+        // target instead of crashing after the main write committed
+        for (q <- quarantine; rejects <- compiled.rejectedFrame)
+          q.write(q.rejectsTable(tgt), rejects)
+      } finally compiled.unpersistCache()
       // `written` stays keyed by the BARE target name: lookup rules
       // reference tables by name exactly as the reference's per-row
       // probes do (default_lookup.py issues unqualified SELECTs).

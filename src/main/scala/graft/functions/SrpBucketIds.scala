@@ -46,10 +46,19 @@ case class SrpBucketIds(child: Expression, tables: Int, planes: Int, dim: Int, s
       elemIsDouble, strict)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.SrpBucketIds$$.MODULE$$.compute(
-         |  $c, $tables, $planes, $dim, ${seed}L, $elemIsDouble, $strict);
-         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+    nullSafeCodeGen(ctx, ev, c => {
+      val call =
+        s"""${ev.value} = graft.functions.SrpBucketIds$$.MODULE$$.compute(
+           |  $c, $tables, $planes, $dim, ${seed}L, $elemIsDouble, $strict);""".stripMargin
+      // only mirror compute()'s null result into isNull when this
+      // expression is nullable: when it isn't (strict mode, non-null
+      // child), ev.isNull is the unassignable FalseLiteral and the
+      // assignment would fail Janino compilation (falling back to
+      // interpreted execution); compute() throws in strict mode instead
+      // of returning null, so the check is dead code there anyway.
+      if (nullable) call + s"\nif (${ev.value} == null) { ${ev.isNull} = true; }"
+      else call
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SrpBucketIds =
     copy(child = newChild)

@@ -301,8 +301,11 @@ object MigrationCompiler extends Logging {
             df = df.withColumn(tgt, when(ok, col(tgt)).otherwise(lit(x).cast(dt)))
           case ValidationCompiler.Skip =>
             // flag name doubles as the quarantine's __rejected_by label,
-            // so it carries the column and rule type, not just an id
-            val f = s"__skip_${flagId}_${tgt}_${vr.vtype}"
+            // so it carries the column and rule type, not just an id —
+            // sanitized: a '.' or '`' in a target column name would make
+            // later col(flag) references parse as struct access / break
+            val safe = (s: String) => s.replaceAll("[^A-Za-z0-9_]", "_")
+            val f = s"__skip_${flagId}_${safe(tgt)}_${safe(vr.vtype)}"
             df = df.withColumn(f, !ok)
             skipFlags ::= f
           case ValidationCompiler.Abort =>

@@ -19,6 +19,14 @@ trait Sink {
     * TARGET data (the reference probes the target Postgres,
     * default_lookup.py), not the pre-transform source. */
   def readBack(table: String): Option[DataFrame] = None
+
+  /** Name under which THIS sink stores the quarantine rejects of
+    * `qualifiedTarget`. Schema-capable sinks keep the qualifier so the
+    * rejects land next to their table; sinks without a schema namespace
+    * override to flatten it (ParquetSink) — the Engine must be able to
+    * route any table's rejects to any configured quarantine sink without
+    * crashing mid-migration on a name the sink can't spell. */
+  def rejectsTable(qualifiedTarget: String): String = s"${qualifiedTarget}_rejects"
 }
 
 /** Parquet sink for the test/bench path; overwrite == the reference's
@@ -37,6 +45,12 @@ final case class ParquetSink(dir: String, truncate: Boolean = true) extends Sink
     df.write.mode(if (truncate) "overwrite" else "append").parquet(path(table))
   override def readBack(table: String): Option[DataFrame] =
     Some(org.apache.spark.sql.SparkSession.active.read.parquet(path(table)))
+  /** A schema-qualified target flattens to `schema__table_rejects`: the
+    * quarantine is an audit sink, so a JDBC-target + parquet-quarantine
+    * combination with a non-default target_schema must keep working
+    * (path() would reject the dotted name). */
+  override def rejectsTable(qualifiedTarget: String): String =
+    s"${qualifiedTarget.replace(".", "__")}_rejects"
 }
 
 /**

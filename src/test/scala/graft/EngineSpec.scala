@@ -96,6 +96,43 @@ class EngineSpec extends AnyFunSuite {
     assert(rejects.head.getString(1).startsWith("__skip_")) // which rule fired
   }
 
+  test("duplicate bare target names fail at schedule time, before any write") {
+    val cat = MemCatalog(Map("src" -> Seq(1, 2).toDF("x")))
+    val out = java.nio.file.Files.createTempDirectory("engine_dup").toString
+    // lookups + the written-output map resolve by BARE target name, so
+    // two tables mapping onto 't' (different schemas) are ambiguous
+    val cfg = EtlConfig(GlobalConfig(), List(
+      TableConfig(sourceTable = "src", targetTable = "t", targetSchema = "s1",
+        mappings = List(rule("x", "x"))),
+      TableConfig(sourceTable = "src", targetTable = "t", targetSchema = "s2",
+        mappings = List(rule("x", "x")))))
+    val e = intercept[IllegalArgumentException] {
+      Engine.migrate(cfg, cat, ParquetSink(out))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(out)).findAny().isPresent,
+      "must fail before writing anything")
+  }
+
+  test("skip-flag names are sanitized for non-identifier target columns") {
+    // a '-' (or '.') in a target column name must not break the flag
+    // references the compiler builds from it (col('a.b') parses as
+    // struct access)
+    val cat = MemCatalog(Map("src" -> Seq("aa", "BAD", "cc").toDF("v")))
+    val out = java.nio.file.Files.createTempDirectory("engine_sanit").toString
+    val qdir = java.nio.file.Files.createTempDirectory("engine_sanit_rejects").toString
+    val cfg = EtlConfig(GlobalConfig(), List(
+      TableConfig(sourceTable = "src", targetTable = "t", mappings = List(
+        rule("v", "amt-usd").copy(validation =
+          List(ValidationRule("regex", pattern = Some("[a-z]+$"), onFail = Some("skip"))))))))
+    val report = Engine.migrate(cfg, cat, ParquetSink(out),
+      quarantine = Some(ParquetSink(qdir)))
+    assert(report.tables.head.rows == 2L && report.tables.head.skippedRows == 1L)
+    val rejects = spark.read.parquet(s"$qdir/t_rejects.parquet").collect()
+    assert(rejects.map(_.getString(0)).toSeq == Seq("BAD"))
+    assert(rejects.head.getString(1) == "__skip_1_amt_usd_regex")
+  }
+
   test("plan compiles against a parquet catalog end-to-end") {
     val compiled = Engine.plan(
       TableConfig(sourceTable = "nation", targetTable = "x",

@@ -165,6 +165,64 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     assert(pdf.rdd.getNumPartitions == 2 && pdf.count() == 3)
   }
 
+  test("schema-qualified JDBC target + parquet quarantine flattens the rejects name") {
+    import graft.config._
+    // a JDBC target in a non-default schema combined with a parquet
+    // quarantine: the rejects must land under a flattened name instead
+    // of crashing on the dotted table AFTER the main write committed
+    exec("CREATE SCHEMA qtgt")
+    exec("CREATE TABLE q_src (id INT, code VARCHAR(8))")
+    Seq((1, "ok"), (2, "BAD"), (3, "zz"))
+      .foreach { case (i, c) => exec(s"INSERT INTO q_src VALUES ($i, '$c')") }
+    val qdir = java.nio.file.Files.createTempDirectory("jdbc_quar").toString
+    val cfg = EtlConfig(GlobalConfig(), List(
+      TableConfig(sourceTable = "q_src", targetTable = "qrows", targetSchema = "qtgt",
+        mappings = List(
+          MappingRule(source = Some("id"), target = Some("id")),
+          MappingRule(source = Some("code"), target = Some("code"), validation =
+            List(ValidationRule("regex", pattern = Some("[a-z]+$"), onFail = Some("skip"))))))))
+    val report = Engine.migrate(cfg, src,
+      JdbcSink(url, "", "", createTableColumnTypes = Some("code VARCHAR(8)")),
+      quarantine = Some(graft.sinks.ParquetSink(qdir)))
+    assert(report.tables.head.rows == 2L && report.tables.head.skippedRows == 1L)
+    assert(src.table("qtgt.qrows").count() == 2)
+    val rejects = spark.read.parquet(s"$qdir/qtgt__qrows_rejects.parquet").collect()
+    assert(rejects.map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("dialect type-mapping matrix: decimal/timestamp/date/varchar/binary round-trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the sandbox proxy for Oracle NUMBER(p,s) / PG type quirks
+    // (reference mappings/parser.py + plugins/default_loader.py:49-74):
+    // exact numerics and temporals must survive write -> readBack with
+    // their declared precision, via the createTableColumnTypes escape
+    // hatch where the dialect default (CLOB for strings) breaks
+    val tsink = sink.copy(createTableColumnTypes = Some(
+      "amt DECIMAL(12,2), label VARCHAR(16)"))
+    val df = Seq(
+      (1, BigDecimal("1234567890.12"), java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456"),
+        java.sql.Date.valueOf("2026-01-02"), "alpha", "alpha".getBytes("UTF-8")),
+      (2, BigDecimal("-0.01"), java.sql.Timestamp.valueOf("1999-12-31 23:59:59"),
+        java.sql.Date.valueOf("1970-01-01"), "beta", Array[Byte](0, 127, -128))
+    ).toDF("id", "amt", "ts", "d", "label", "payload")
+      .withColumn("amt", col("amt").cast(DecimalType(12, 2)))
+    tsink.write("typemat", df)
+    val back = tsink.readBack("typemat").get.orderBy("id")
+    val sch = back.schema.map(f => f.name.toLowerCase -> f.dataType).toMap
+    assert(sch("amt") == DecimalType(12, 2), s"decimal mapping lost precision: ${sch("amt")}")
+    assert(sch("ts") == TimestampType && sch("d") == DateType)
+    assert(sch("label") == StringType && sch("payload") == BinaryType)
+    val rows = back.collect()
+    assert(rows(0).getDecimal(1) == new java.math.BigDecimal("1234567890.12"))
+    assert(rows(1).getDecimal(1) == new java.math.BigDecimal("-0.01"))
+    // Derby TIMESTAMP keeps sub-second precision (micros survive)
+    assert(rows(0).getTimestamp(2) == java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456"))
+    assert(rows(0).getDate(3) == java.sql.Date.valueOf("2026-01-02"))
+    assert(rows(1).getString(4) == "beta")
+    assert(rows(1).getAs[Array[Byte]](5).sameElements(Array[Byte](0, 127, -128)))
+  }
+
   test("Engine.migrate runs end-to-end over a live JDBC source AND sink") {
     import graft.config._
     exec("CREATE TABLE src_dept (dcode VARCHAR(8), dname VARCHAR(32))")

@@ -174,6 +174,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a1.select("__id", "__cid").except(a2.select("__id", "__cid")).isEmpty)
   }
 
+  test("ivfTopK on a CLUSTERED corpus: small explicit nprobe holds recall >= 0.95 with real pruning") {
+    // the production embedding shape (ivfAssignments scaladoc): corpora
+    // cluster, so co-probed cells follow the data and a small constant
+    // nprobe keeps recall at ~nCentroids/nprobe-fold pruning — unlike
+    // the near-random sf* testdata where auto-nprobe must probe ~35% of
+    // cells to be certain. 20 planted clusters, sigma small vs
+    // inter-center distance, so true top-5 neighbors are cluster-mates.
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(df.filter(col("vec_id") < 200), df,
+        "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", k = 5,
+        nCentroids = 32, nprobe = 4)
+      .filter(col("vec_id") < 200)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ivf).size.toDouble / truth.size
+    assert(recall >= 0.95, f"clustered-corpus IVF recall@5 = $recall%.4f at nprobe=4")
+    // and the candidate volume actually shrank: clustered cells keep the
+    // blocking join far below the all-pairs product (the whole point of
+    // passing a small nprobe on clustered data)
+    val candidates = Similarity.ivfCandidatePairs(df, "vec_id", "embedding",
+      nCentroids = 32, nprobe = 4).count()
+    val allPairs = 1000L * 999 / 2
+    assert(candidates < allPairs / 5,
+      s"expected >5x pruning on clustered data, got $candidates of $allPairs pairs")
+  }
+
   test("annTopK recall@5 vs bruteForceTopK is >= 0.95 at sf0.01 (high-recall params)") {
     val e = sfEmb
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
