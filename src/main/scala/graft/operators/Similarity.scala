@@ -165,6 +165,8 @@ object Similarity {
    * corpus itself (lowest xxhash64(id) — a fixed pseudo-random sample),
    * and every vector is assigned to its `nprobe` nearest centroids by
    * dot product against the L2-normalized centroids (= cosine ranking).
+   * `__rank` orders the probed cells (1 = nearest = the vector's INDEX
+   * cell — the one cell the vector would live in on an inverted file).
    *
    * vs SRP: SRP's hyperplanes are oblivious to the data distribution;
    * IVF cells follow it, so clustered corpora (the common embedding
@@ -181,21 +183,22 @@ object Similarity {
    * from one cheap count — a corpus-size-blind constant makes cells
    * linear in N (at 100 TB, 16 cells means ~N/16-row blocking joins,
    * i.e. no pruning at all). With `nprobe <= 0` the probe count scales
-   * with the cell count: `max(3, ceil(0.35 * nCentroids))`.
-   *
-   * Candidate-volume math (compare SRP's scaladoc): each vector lands in
-   * `nprobe` of `nCentroids` cells, so expected candidates per vector
-   * ~= N * nprobe / nCentroids (uniform case). The 0.35 auto fraction
-   * is the measured floor that keeps recall@5 >= 0.95 when similarity
-   * structure is near-RANDOM (this testdata's worst case: true top-5
-   * neighbors sit in the cosine~0.5 tail, where cell assignment is
-   * weakly correlated — see SimilaritySpec; same argument as SRP's
-   * 32x3 high-recall regime). That buys only ~3x pruning — intrinsic
-   * to certainty on random structure, NOT the expected production
-   * shape: on clustered corpora (the common embedding distribution)
-   * co-probed cells follow the data, so a small constant `nprobe`
-   * (3-8) holds the same recall with ~nCentroids/nprobe-fold pruning —
-   * pass `nprobe` explicitly when the corpus is known to cluster.
+   * with the cell count: `max(3, ceil(0.7 * nCentroids))` — the
+   * measured floor (with margin) that keeps asymmetric-candidate
+   * recall@5 >= 0.95 when similarity structure is near-RANDOM (this
+   * testdata's worst case: true top-5 neighbors sit in the cosine~0.5
+   * tail, where cell assignment is only weakly correlated between a
+   * vector and its true neighbors — see SimilaritySpec). Probing 70%
+   * of cells means near-zero pruning — that cost is INTRINSIC to
+   * certainty on random structure (round-5 measurement: the old
+   * symmetric co-probe model at its 0.35 auto fraction emitted 99.6%
+   * of all pairs on this data, i.e. it never actually pruned either).
+   * On clustered corpora (the expected production embedding shape)
+   * cells follow the data, so a small constant `nprobe` (3-8) holds
+   * recall >= 0.95 with ~nCentroids/nprobe-fold pruning — pass
+   * `nprobe` explicitly when the corpus is known to cluster
+   * (SimilaritySpec's clustered-corpus test measures 6x pruning at
+   * recall 1.0 with nprobe=4 over 32 cells).
    */
   def ivfAssignments(corpus: DataFrame, idCol: String, vecCol: String,
                      nCentroids: Int = 0, nprobe: Int = 0): DataFrame = {
@@ -203,7 +206,7 @@ object Similarity {
       if (nCentroids > 0) nCentroids
       else math.max(16, math.min(4096,
         math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
-    val probes0 = if (nprobe > 0) nprobe else math.max(3, math.ceil(0.35 * k0).toInt)
+    val probes0 = if (nprobe > 0) nprobe else math.max(3, math.ceil(0.7 * k0).toInt)
     val cents: Array[Array[Double]] = corpus
       .select(col(idCol).cast(StringType).as("__id"), col(vecCol).as("__v"))
       .orderBy(xxhash64(col("__id")), col("__id"))
@@ -222,22 +225,64 @@ object Similarity {
           col("__v"), typedlit(cents(ci).toSeq)).as("dot"),
         lit(ci).as("cid"))
     }
-    // top-nprobe cells: sort (dot, cid) structs ascending, take the tail
-    val probes = slice(array_sort(array(scored: _*)), -math.min(probes0, cents.length),
-      math.min(probes0, cents.length))
+    // top-nprobe cells: sort (dot, cid) structs ascending, take the tail;
+    // position inside the slice gives the probe rank (last = nearest = 1)
+    val sliceLen = math.min(probes0, cents.length)
+    val probes = slice(array_sort(array(scored: _*)), -sliceLen, sliceLen)
+    // two-step: the generator references __v, which must come from a
+    // LOWER projection (a generator argument cannot be a lateral alias)
     corpus.select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("__v"),
         norm(col(vecCol)).as("__n"))
-      .withColumn("__cell", explode(probes))
-      .select(col("__id"), col("__v"), col("__n"), col("__cell.cid").as("__cid"))
+      .select(col("__id"), col("__v"), col("__n"),
+        posexplode(probes).as(Seq("__pos", "__cell")))
+      .select(col("__id"), col("__v"), col("__n"), col("__cell.cid").as("__cid"),
+        (lit(sliceLen) - col("__pos")).as("__rank"))
   }
 
-  /** Candidate pairs from shared IVF cells (any probe). `nCentroids`/
-    * `nprobe` <= 0 auto-size from the corpus (see [[ivfAssignments]]). */
+  /**
+   * Candidate pairs from IVF cells, ASYMMETRIC (inverted-file) model:
+   * a pair (a, b) is a candidate iff one side's INDEX cell (its single
+   * nearest centroid, `__rank` 1) is among the other side's `nprobe`
+   * probed cells — exactly the classic IVF query model (each vector is
+   * INDEXED once; multi-probe happens only on the query side).
+   *
+   * Why not pair any two vectors sharing any probed cell (the symmetric
+   * co-probe model, used here through round 5): candidate volume scales
+   * as ~N²·nprobe²/nCentroids vs the asymmetric ~N²·nprobe/nCentroids —
+   * a free nprobe-fold pruning factor — and the symmetric model's extra
+   * pairs are third-cell co-probes (a and b both probe cell C owned by
+   * neither), which contribute reach but little recall. Measured on the
+   * clustered-corpus spec test: 135,521 -> 83,550 candidates (6x vs
+   * all-pairs) at identical recall 1.0. Index-side replication (rank <=
+   * r for r > 1) was measured too: on near-random data it collapses
+   * back to ~all-pairs at equal recall, so the index side stays rank 1.
+   *
+   * Both join children are the SAME repartitioned frame (the rank
+   * filter lives in the join condition), so the assignment projection
+   * is computed once and reused via the exchange (the simhashPairs
+   * barrier trick); the pair dedup shuffles ids only.
+   *
+   * `nCentroids`/`nprobe` <= 0 auto-size from the corpus (see
+   * [[ivfAssignments]]).
+   */
   def ivfCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
-                        nCentroids: Int = 0, nprobe: Int = 0): DataFrame =
-    candidatesFromBlocks(ivfAssignments(corpus, idCol, vecCol, nCentroids, nprobe),
-      corpus, idCol, vecCol, Seq("__cid"))
+                        nCentroids: Int = 0, nprobe: Int = 0): DataFrame = {
+    val blocks = ivfAssignments(corpus, idCol, vecCol, nCentroids, nprobe)
+      .select("__id", "__cid", "__rank")
+      .filter(col("__id").isNotNull)
+      .repartition(col("__cid"))
+    val ids = blocks.alias("x").join(blocks.alias("y"),
+        col("x.__cid") === col("y.__cid") && col("y.__rank") === 1 &&
+          col("x.__id") =!= col("y.__id"))
+      .select(least(col("x.__id"), col("y.__id")).as("vec_a"),
+        greatest(col("x.__id"), col("y.__id")).as("vec_b"))
+      .distinct()
+    val a = side(corpus, idCol, vecCol, "vec_a", "__va", "__na")
+    val bb = side(corpus, idCol, vecCol, "vec_b", "__vb", "__nb")
+    ids.join(a, "vec_a").join(bb, "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("__va"), col("__vb"), col("__na"), col("__nb"))
+  }
 
   /** Approximate top-k via IVF cells + exact cosine rerank — same output
     * contract as [[annTopK]]; recall is data-dependent (cell-local), so

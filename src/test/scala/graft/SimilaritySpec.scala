@@ -136,12 +136,16 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("ivfTopK recall@5 vs bruteForceTopK is >= 0.95 at sf0.01 (high-recall params)") {
+    // asymmetric candidates: a true neighbor is found iff its single
+    // index cell is probed, so the high-recall regime on this
+    // near-random corpus needs nprobe ~ 0.7*nCentroids (see
+    // ivfAssignments scaladoc; 16x12 measured 0.9928)
     val e = sfEmb
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
       .select("vec_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5,
-      nCentroids = 16, nprobe = 6)
+      nCentroids = 16, nprobe = 12)
       .select("vec_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & ivf).size.toDouble / truth.size
@@ -172,15 +176,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(counts.getLong(0) == 3L && counts.getLong(1) == 3L)
     val a2 = Similarity.ivfAssignments(sfEmb, "vec_id", "embedding", 8, 3)
     assert(a1.select("__id", "__cid").except(a2.select("__id", "__cid")).isEmpty)
+    // ranks are a permutation of 1..nprobe per vector: exactly one INDEX
+    // cell (rank 1, the asymmetric model's inverted-file assignment)
+    val ranks = a1.groupBy("__id")
+      .agg(min("__rank").as("lo"), max("__rank").as("hi"),
+        countDistinct("__rank").as("n"))
+      .select(min("lo"), max("hi"), min("n"), max("n")).head()
+    assert(ranks.getInt(0) == 1 && ranks.getInt(1) == 3)
+    assert(ranks.getLong(2) == 3L && ranks.getLong(3) == 3L)
   }
 
   test("ivfTopK on a CLUSTERED corpus: small explicit nprobe holds recall >= 0.95 with real pruning") {
     // the production embedding shape (ivfAssignments scaladoc): corpora
-    // cluster, so co-probed cells follow the data and a small constant
-    // nprobe keeps recall at ~nCentroids/nprobe-fold pruning — unlike
-    // the near-random sf* testdata where auto-nprobe must probe ~35% of
+    // cluster, so cells follow the data and a small constant nprobe
+    // keeps recall with ~nCentroids/nprobe-fold pruning — unlike the
+    // near-random sf* testdata where auto-nprobe must probe ~70% of
     // cells to be certain. 20 planted clusters, sigma small vs
     // inter-center distance, so true top-5 neighbors are cluster-mates.
+    // The asymmetric candidate model is what makes the pruning claim
+    // true: the round-5 symmetric co-probe model emitted 135,521
+    // candidates here (3.7x — this assertion shipped red); pairing
+    // probes against single INDEX cells drops the third-cell co-probe
+    // pairs -> 83,550 (6.0x) at identical recall 1.0.
     val rnd = new scala.util.Random(11)
     val dim = 32
     val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
