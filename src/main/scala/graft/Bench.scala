@@ -25,16 +25,36 @@ import java.nio.file.{Files, Paths}
  * before the row is counted — same work Verify's parquet write does,
  * minus the IO. No extra hashing is layered on top, so the timing is the
  * operator's own cost.
+ *
+ * Sort stripping (VERDICT r5 #6 / r6 #1): every query wraps its output
+ * in a deterministic global `orderBy` so the driver's row-hash oracle
+ * compare is stable. That sort is NOT the operator: its
+ * RangePartitioning bounds-sampling pass executes the child an EXTRA
+ * time, roughly doubling the measured cost of expensive projections.
+ * `force` drops the top-level global Sort before timing (Verify keeps
+ * it — the oracle needs deterministic order).
+ *
+ * Isolation flags (VERDICT r6 #1 — single-JVM bench noise):
+ *  - SPARK_GRAFT_BENCH_ONLY: comma-separated query names; only those
+ *    run (isolated measurement of one query without 53 neighbors'
+ *    GC/JIT noise);
+ *  - SPARK_GRAFT_BENCH_REPEAT=N: run each query N times, report the
+ *    MINIMUM (the standard noise floor estimator on a shared box).
  */
 object Bench {
-  /** Run df's full physical plan (all output columns materialized), return row count. */
+  /** Run df's full physical plan (all output columns materialized,
+    * top-level deterministic sort stripped), return row count. */
   private def force(df: org.apache.spark.sql.DataFrame): Long =
-    df.queryExecution.toRdd.count()
+    org.apache.spark.sql.GraftColumnBridge.withoutTopLevelSort(df)
+      .queryExecution.toRdd.count()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,16 +70,24 @@ object Bench {
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try rows(name) = force(fn(spark, sfDir))
-      catch {
-        case e: Throwable =>
-          rows(name) = -1L
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    selected.foreach { case (name, fn) =>
+      var best = Double.MaxValue
+      var ok = true
+      for (_ <- 1 to repeat if ok) {
+        val t0 = System.nanoTime()
+        try rows(name) = force(fn(spark, sfDir))
+        catch {
+          case e: Throwable =>
+            ok = false
+            rows(name) = -1L
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
-      times(name) = (System.nanoTime() - t0) / 1e9
+      times(name) = best
     }
 
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

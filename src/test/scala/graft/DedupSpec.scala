@@ -149,12 +149,29 @@ class DedupSpec extends AnyFunSuite {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 5)
     pairs.queryExecution.toRdd.count() // execute so AQE finalizes the plan
-    val plan = pairs.queryExecution.executedPlan.toString
-    val finalPlan = plan.split("Initial Plan")(0) // AQE prints initial plan after the final one
-    assert(finalPlan.contains("isFinalPlan=true"), "plan was not executed/finalized")
-    val scans = finalPlan.sliding("FileScan".length).count(_ == "FileScan")
-    assert(scans == 1, s"expected 1 FileScan in final plan, got $scans:\n$finalPlan")
-    assert(finalPlan.contains("ReusedExchange"), "fingerprint exchange was not reused")
+    // walk the FINALIZED adaptive plan tree (not its string rendering —
+    // VERDICT r6 #5): descend into materialized query stages; a
+    // ReusedExchange node is a pointer to an already-built stage, so it
+    // counts as reuse and is not descended into.
+    val adaptive = pairs.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+      case p => fail(s"expected an adaptive root plan, got ${p.getClass.getName}")
+    }
+    assert(adaptive.isFinalPlan, "plan was not executed/finalized")
+    def collectNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val deeper = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq.empty
+        case other => other.children
+      }
+      p +: deeper.flatMap(collectNodes)
+    }
+    val nodes = collectNodes(adaptive.executedPlan)
+    val scans = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    val reused = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+    assert(scans == 1, s"expected 1 FileSourceScanExec in final plan, got $scans")
+    assert(reused >= 1, "fingerprint exchange was not reused")
   }
 
   test("simhash fingerprint of identical docs is identical") {
