@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -95,20 +95,20 @@ object Dedup {
    * sets — a 64-bit collision can only add a candidate (discarded by the
    * verify) or, with probability ~(distinct shingles)^2 / 2^64, perturb
    * one df count at the cap boundary.
+   *
+   * `dropStats` surfaces cap-induced drops (see [[Blocking.idPairs]]).
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, threshold: Double = 0.5,
-                        dfCap: Int = 100): DataFrame = {
+                        dfCap: Int = 100,
+                        dropStats: Option[Observation] = None): DataFrame = {
     val inv = shingled(docs, idCol, textCol, n)
       .select(col("__id"), explode(col("__hs")).as("__g"))
-    // df-cap as a count-over-window on the SAME shuffle the candidate
-    // join needs — not a groupBy+rejoin, which would re-execute the
-    // whole shingle explode once per join side
-    val invK = inv
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__g"))))
-      .filter(col("__df") <= dfCap)
-      .select("__id", "__g")
-    val cands = selfJoinPairs(invK, Seq("__g"))
+    // df-cap inside the shared guard: a count-over-window on the SAME
+    // shuffle the candidate join needs — not a groupBy+rejoin, which
+    // would re-execute the whole shingle explode once per join side
+    val cands = Blocking.idPairs(inv, Seq("__g"), "__a", "__b",
+      maxKeyCount = Some(dfCap), dropStats = dropStats)
     verifyJaccard(cands, docs, idCol, textCol, n, threshold, "doc_a", "doc_b")
   }
 
@@ -191,7 +191,8 @@ object Dedup {
    * asserts this on the executed plan).
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, cellCap: Int = 4096): DataFrame = {
+                   maxHamming: Int = 3, cellCap: Int = 4096,
+                   dropStats: Option[Observation] = None): DataFrame = {
     // One corpus fingerprinting for the whole plan: the explicit nullness
     // filter (otherwise each join infers its OWN isnotnull set, making the
     // subtrees canonically unequal) plus a repartition-on-simhash barrier
@@ -209,26 +210,21 @@ object Dedup {
         col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(0).as("hamming"))
-    // distinct fingerprints only enter the banding
-    val uniq = members.filter(col("__rn") === 1).select("simhash")
+    // distinct fingerprints only enter the banding (as the blocking `__id`)
+    val uniq = members.filter(col("__rn") === 1).select(col("simhash").as("__id"))
     val bands = maxHamming + 1
     val width = (63 + bands - 1) / bands // ceil: bands cover all 63 bits
     val mask = (1L << width) - 1
     val chunkStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), width * b).bitwiseAND(lit(mask)).as("chunk")))
+        shiftright(col("__id"), width * b).bitwiseAND(lit(mask)).as("chunk")))
     val banded = uniq
-      .select(col("simhash"), explode(array(chunkStructs: _*)).as("__b"))
-      .select(col("simhash"), col("__b.band").as("__bd"), col("__b.chunk").as("__ck"))
-      .withColumn("__cell",
-        count(lit(1)).over(Window.partitionBy(col("__bd"), col("__ck"))))
-      .filter(col("__cell") <= cellCap)
-      .select("simhash", "__bd", "__ck")
-    val fpPairs = banded.alias("x").join(banded.alias("y"),
-        col("x.__bd") === col("y.__bd") && col("x.__ck") === col("y.__ck") &&
-          col("x.simhash") < col("y.simhash"))
-      .select(col("x.simhash").as("__sa"), col("y.simhash").as("__sb"))
-      .distinct()
+      .select(col("__id"), explode(array(chunkStructs: _*)).as("__b"))
+      .select(col("__id"), col("__b.band").as("__bd"), col("__b.chunk").as("__ck"))
+    // hot-cell cap + band self-join through the shared guard (the cell
+    // count rides the same (band,chunk) shuffle the join needs)
+    val fpPairs = Blocking.idPairs(banded, Seq("__bd", "__ck"), "__sa", "__sb",
+        maxKeyCount = Some(cellCap), dropStats = dropStats)
       .withColumn("hamming", TextFunctions.hamming(col("__sa"), col("__sb")))
       .filter(col("hamming") <= maxHamming)
     val cross = fpPairs

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -113,8 +113,9 @@ object Similarity {
    */
   def srpNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, tables: Int = 32, planes: Int = 3,
-                      dim: Int = 64): DataFrame =
-    srpCandidatePairs(corpus, idCol, vecCol, tables, planes, dim)
+                      dim: Int = 64, bucketCap: Option[Int] = None,
+                      dropStats: Option[Observation] = None): DataFrame =
+    srpCandidatePairs(corpus, idCol, vecCol, tables, planes, dim, bucketCap, dropStats)
       .withColumn("cos_sim",
         dotP(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos_sim") >= threshold)
@@ -142,20 +143,28 @@ object Similarity {
     * scale). Shared by the SRP and IVF blockers. */
   private def candidatesFromBlocks(blocks: DataFrame, corpus: DataFrame,
                                    idCol: String, vecCol: String,
-                                   keys: Seq[String]): DataFrame = {
+                                   keys: Seq[String],
+                                   maxKeyCount: Option[Int] = None,
+                                   dropStats: Option[Observation] = None): DataFrame = {
     val keyed = blocks.select(col("__id") +: keys.map(col): _*)
-    val ids = Blocking.idPairs(keyed, keys, "vec_a", "vec_b")
+    val ids = Blocking.idPairs(keyed, keys, "vec_a", "vec_b", maxKeyCount, dropStats)
     val a = side(corpus, idCol, vecCol, "vec_a", "__va", "__na")
     val bb = side(corpus, idCol, vecCol, "vec_b", "__vb", "__nb")
     ids.join(a, "vec_a").join(bb, "vec_b")
       .select(col("vec_a"), col("vec_b"), col("__va"), col("__vb"), col("__na"), col("__nb"))
   }
 
-  /** Candidate pairs from shared SRP buckets (any table). */
+  /** Candidate pairs from shared SRP buckets (any table). `bucketCap`
+    * engages the shared hot-key guard ([[Blocking.idPairs]]): a (table,
+    * bucket) cell with more members than the cap is dropped — the guard
+    * for low-plane configs where one bucket can swallow a constant
+    * fraction of the corpus; `dropStats` makes such drops observable. */
   def srpCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
-                        tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame =
+                        tables: Int = 12, planes: Int = 6, dim: Int = 64,
+                        bucketCap: Option[Int] = None,
+                        dropStats: Option[Observation] = None): DataFrame =
     candidatesFromBlocks(srpBuckets(corpus, idCol, vecCol, tables, planes, dim),
-      corpus, idCol, vecCol, Seq("__table", "__bucket"))
+      corpus, idCol, vecCol, Seq("__table", "__bucket"), bucketCap, dropStats)
 
   // ------------------------------------------------------------------- IVF
 
@@ -207,10 +216,20 @@ object Similarity {
       else math.max(16, math.min(4096,
         math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
     val probes0 = if (nprobe > 0) nprobe else math.max(3, math.ceil(0.7 * k0).toInt)
-    val cents: Array[Array[Double]] = corpus
+    // Centroid draw with DISTINCT directions: a dup-heavy corpus (IVF's
+    // own use case) would otherwise fill most centroid slots with copies
+    // of one vector — collapsing the effective cell count and coarsening
+    // every other cell past any hot-cell cap. Oversample 8x in the same
+    // deterministic hash-of-id order, dedupe on the NORMALIZED vector
+    // (scalar multiples are one direction under cosine) driver-side, keep
+    // the first k0 distinct. Bounded driver cost (<= 8*4096 vectors);
+    // identical to the plain k0 draw on a dup-free corpus, so pinned
+    // recall gates are unaffected. Corpora with > 7/8 duplication may
+    // yield fewer than k0 centroids — still correct, just coarser cells.
+    val drawn = corpus
       .select(col(idCol).cast(StringType).as("__id"), col(vecCol).as("__v"))
       .orderBy(xxhash64(col("__id")), col("__id"))
-      .limit(k0)
+      .limit(8 * k0)
       .collect()
       .map { r =>
         // accept float AND double element types, like every other entry point
@@ -218,6 +237,9 @@ object Similarity {
         val n = math.sqrt(a.map(x => x * x).sum)
         if (n == 0) a else a.map(_ / n)
       }
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+    drawn.iterator.takeWhile(_ => seen.size < k0).foreach(a => seen += a.toSeq)
+    val cents: Array[Array[Double]] = seen.iterator.map(_.toArray).toArray
     require(cents.nonEmpty, "IVF needs a non-empty corpus to draw centroids from")
     val scored = cents.indices.map { ci =>
       struct(
@@ -258,23 +280,49 @@ object Similarity {
    * r for r > 1) was measured too: on near-random data it collapses
    * back to ~all-pairs at equal recall, so the index side stays rank 1.
    *
-   * Both join children are the SAME repartitioned frame (the rank
+   * Both join children are the SAME hash-partitioned frame (the rank
    * filter lives in the join condition), so the assignment projection
    * is computed once and reused via the exchange (the simhashPairs
    * barrier trick); the pair dedup shuffles ids only.
+   *
+   * Hot-cell cap (VERDICT r6 #2 — the within-cell join is quadratic in
+   * cell membership, and clustered corpora are IVF's own stated use
+   * case): the INDEX side of each cell is truncated to its first
+   * `cellCap` members in deterministic hash-of-id order
+   * ([[Blocking.withRunningKeyCount]] — the running count rides the
+   * same per-cell shuffle the join needs, so no extra exchange and no
+   * recompute). A mega-cluster cell then emits at most
+   * probers × cellCap pairs — LINEAR in cluster size with a bounded
+   * per-prober fan-out — instead of an uncapped M² on one reducer key.
+   * Truncation (not the whole-cell drop simhash uses) is deliberate:
+   * every prober still reranks against `cellCap` representatives of its
+   * cell, so near-dup detection inside a mega-cluster degrades
+   * gracefully instead of vanishing. `dropStats` observes
+   * `dropped_index_members` / `max_cell_members` (read after execution
+   * via `GraftColumnBridge.observationGetOrEmpty`; the drop count is
+   * multiplied by how many times the blocking subplan executes — a
+   * fired/magnitude signal, while `max_cell_members` is invariant).
    *
    * `nCentroids`/`nprobe` <= 0 auto-size from the corpus (see
    * [[ivfAssignments]]).
    */
   def ivfCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
-                        nCentroids: Int = 0, nprobe: Int = 0): DataFrame = {
-    val blocks = ivfAssignments(corpus, idCol, vecCol, nCentroids, nprobe)
+                        nCentroids: Int = 0, nprobe: Int = 0,
+                        cellCap: Int = 4096,
+                        dropStats: Option[Observation] = None): DataFrame = {
+    val assigned = ivfAssignments(corpus, idCol, vecCol, nCentroids, nprobe)
       .select("__id", "__cid", "__rank")
       .filter(col("__id").isNotNull)
-      .repartition(col("__cid"))
+    val counted = Blocking.withRunningKeyCount(assigned, Seq("__cid"), "__id",
+      col("__rank") === 1, "__m")
+    val blocks = dropStats.fold(counted)(o => counted.observe(o,
+      sum(when(col("__rank") === 1 && col("__m") > cellCap, lit(1L))
+        .otherwise(lit(0L))).as("dropped_index_members"),
+      coalesce(max(when(col("__rank") === 1, col("__m"))), lit(0L))
+        .as("max_cell_members")))
     val ids = blocks.alias("x").join(blocks.alias("y"),
         col("x.__cid") === col("y.__cid") && col("y.__rank") === 1 &&
-          col("x.__id") =!= col("y.__id"))
+          col("y.__m") <= cellCap && col("x.__id") =!= col("y.__id"))
       .select(least(col("x.__id"), col("y.__id")).as("vec_a"),
         greatest(col("x.__id"), col("y.__id")).as("vec_b"))
       .distinct()
@@ -287,10 +335,13 @@ object Similarity {
   /** Approximate top-k via IVF cells + exact cosine rerank — same output
     * contract as [[annTopK]]; recall is data-dependent (cell-local), so
     * gate it against [[bruteForceTopK]] on a sample (see SimilaritySpec).
-    * `nCentroids`/`nprobe` <= 0 auto-size from the corpus. */
+    * `nCentroids`/`nprobe` <= 0 auto-size from the corpus; `cellCap`
+    * bounds hot cells (see [[ivfCandidatePairs]]). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 0, nprobe: Int = 0): DataFrame =
-    topKFromCandidates(ivfCandidatePairs(corpus, idCol, vecCol, nCentroids, nprobe),
+              nCentroids: Int = 0, nprobe: Int = 0,
+              cellCap: Int = 4096): DataFrame =
+    topKFromCandidates(
+      ivfCandidatePairs(corpus, idCol, vecCol, nCentroids, nprobe, cellCap),
       idCol, k)
 
   /** Score candidate pairs, symmetrize (each pair serves both endpoints

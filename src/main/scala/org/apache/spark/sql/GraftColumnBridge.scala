@@ -17,8 +17,32 @@ object GraftColumnBridge {
 
   /** Non-blocking observation read (`Observation.getOrEmpty` is
     * `private[spark]`; the public `get` blocks forever on a frame that
-    * never executed). */
-  def observationGetOrEmpty(o: Observation): Map[String, Any] = o.getOrEmpty
+    * never executed).
+    *
+    * Null-schema guard: when AQE's empty-relation propagation replaces
+    * the whole subtree (a query whose FINAL result is empty), Spark
+    * completes the observation promise with a schema-less row and
+    * `getOrEmpty` NPEs converting it to a map (measured: an observe →
+    * filter → self-join plan whose join output is empty loses its
+    * metrics this way even though the observe stage's shuffle ran).
+    * Return the empty map instead — callers must treat "no metrics" as
+    * "no signal", not "zero drops".
+    *
+    * Bounded retry: the metrics listener fires ASYNCHRONOUSLY after the
+    * action returns and `getOrEmpty` itself waits only ~100 ms, so on a
+    * loaded JVM a read right after `collect()` can race it. Poll up to
+    * ~3 s; a frame that never executed still returns empty (bounded,
+    * unlike the forever-blocking public `get`). */
+  def observationGetOrEmpty(o: Observation): Map[String, Any] = {
+    var left = 30
+    while (left > 0) {
+      val m = try o.getOrEmpty catch { case _: NullPointerException => return Map.empty }
+      if (m.nonEmpty) return m
+      left -= 1
+      if (left > 0) Thread.sleep(100)
+    }
+    Map.empty
+  }
 
   /** The frame without its top-level global Sort, if any (else the
     * frame unchanged). Bench uses this to time the operator rather than

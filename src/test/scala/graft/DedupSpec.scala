@@ -180,6 +180,74 @@ class DedupSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
   }
 
+  test("hot-key cap drops are observable through dropStats (ngram + simhash)") {
+    // VERDICT r6 #3: cap-induced drops must not be silent. Plant a hot
+    // key (a stop-shingle shared by all docs) and assert the counter
+    // fires when the cap trips — and stays zero when it doesn't.
+    import org.apache.spark.sql.{GraftColumnBridge, Observation}
+    // Broadcast-executed subplans do not report observed metrics (the
+    // BroadcastExchange runs its child outside the main query's metric
+    // collection) — at scale the blocking self-join is a shuffle join so
+    // this never bites, but this tiny corpus would broadcast. Disable it
+    // for the duration (caveat documented on Blocking.idPairs).
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    // "x y z" is a stop-shingle held by ALL 3 docs (df=3 > dfCap=2 ->
+    // dropped); docs 1 and 2 also share under-cap shingles so the final
+    // result is NON-empty — required, because a query whose final result
+    // is empty loses its observed metrics to AQE empty-relation
+    // propagation (see GraftColumnBridge.observationGetOrEmpty).
+    val stop = Seq(
+      (1L, "x y z a b c d"), (2L, "x y z a b c e"), (3L, "x y z g h i")
+    ).toDF("doc_id", "text")
+    val obs = new Observation("ngram_drops")
+    val pairs = Dedup.ngramJaccardPairs(stop, "doc_id", "text", n = 3,
+      threshold = 0.01, dfCap = 2, dropStats = Some(obs))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // (1,2) survives via its under-cap shared shingles; (1,3)/(2,3) share
+    // ONLY the dropped stop-shingle, so the cap semantically removed them
+    // (threshold 0.01 would have kept them had "x y z" not been dropped)
+    assert(pairs.toSet == Set((1L, 2L)), pairs.mkString(","))
+    val stats = GraftColumnBridge.observationGetOrEmpty(obs)
+    // "x y z" is held by all 3 docs -> 3 posting rows dropped (the count
+    // is multiplied by how often the blocking subplan executes, so
+    // assert the invariant floor); max_key_count is execution-invariant
+    assert(stats("dropped_rows").asInstanceOf[Long] >= 3L, stats.toString)
+    assert(stats("max_key_count").asInstanceOf[Long] == 3L, stats.toString)
+    // under-cap corpus: counter exists and reports zero drops
+    val obs2 = new Observation("ngram_nodrops")
+    Dedup.ngramJaccardPairs(stop, "doc_id", "text", n = 3,
+      threshold = 0.01, dfCap = 10, dropStats = Some(obs2)).count()
+    val stats2 = GraftColumnBridge.observationGetOrEmpty(obs2)
+    assert(stats2("dropped_rows").asInstanceOf[Long] == 0L, stats2.toString)
+    // the shared guard directly (the exact code path simhash/SRP/IVF
+    // ride): key "h" is hot (3 ids > cap 2 -> whole group dropped), key
+    // "o" survives -> pair (10,11) — exact, deterministic assertions
+    val blocks = Seq((10L, "h"), (11L, "h"), (12L, "h"),
+      (10L, "o"), (11L, "o")).toDF("__id", "k")
+    val obs3 = new Observation("guard_drops")
+    val kept = operators.Blocking.idPairs(blocks, Seq("k"), "a", "b",
+      maxKeyCount = Some(2), dropStats = Some(obs3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.toSet == Set((10L, 11L)), kept.mkString(","))
+    val stats3 = GraftColumnBridge.observationGetOrEmpty(obs3)
+    assert(stats3("dropped_rows").asInstanceOf[Long] >= 3L, stats3.toString)
+    assert(stats3("max_key_count").asInstanceOf[Long] == 3L, stats3.toString)
+    // simhash cellCap=0: every banded cell drops -> that UNION BRANCH is
+    // empty and AQE empty-relation propagation prunes its CollectMetrics
+    // even though the identical-fingerprint path keeps the result
+    // non-empty. Pins the documented no-signal case: empty map, and the
+    // semantics (identical pair survives any cap) still hold.
+    val obs4 = new Observation("simhash_nosignal")
+    val simPairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 10, cellCap = 0, dropStats = Some(obs4))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(simPairs.contains((1L, 2L)), simPairs.mkString(","))
+    assert(GraftColumnBridge.observationGetOrEmpty(obs4).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("simhashPairs covers every strong ngram-Jaccard pair at sf0.01") {
     // quantitative gate for the driver's rows-only q_dedup_simhash: every
     // near-dup pair the exact Jaccard path finds at J>=0.85 must fall

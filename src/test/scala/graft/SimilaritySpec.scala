@@ -227,6 +227,57 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected >5x pruning on clustered data, got $candidates of $allPairs pairs")
   }
 
+  test("ivfCandidatePairs caps hot cells: dup-heavy corpus is bounded, observable, rest-recall preserved") {
+    // VERDICT r6 #2: the IVF hazard case — a dup-heavy corpus. 2,000
+    // bit-identical vectors all rank the SAME cell first (equal dots,
+    // deterministic cid tie-break), forming one mega-cell; uncapped,
+    // that is ~2M pairs on one reducer key. With cellCap=64 the index
+    // side truncates to 64 representatives: candidates become linear in
+    // cluster size, the drop counter fires, and recall on the clustered
+    // REST of the corpus is untouched.
+    import org.apache.spark.sql.{GraftColumnBridge, Observation}
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val rest = (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val dup = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = rest ++ (0 until 2000).map(i => (1000L + i, dup))
+    val df = rows.toDF("vec_id", "embedding")
+    val obs = new Observation("ivf_cap")
+    val capped = Similarity.ivfCandidatePairs(df, "vec_id", "embedding",
+      nCentroids = 32, nprobe = 4, cellCap = 64, dropStats = Some(obs))
+    val nCapped = capped.count()
+    val stats = GraftColumnBridge.observationGetOrEmpty(obs)
+    // the mega-cell exists (2,000 index members) and the truncation is loud
+    assert(stats("max_cell_members").asInstanceOf[Long] >= 2000L, stats.toString)
+    assert(stats("dropped_index_members").asInstanceOf[Long] >= 2000L - 64, stats.toString)
+    // bounded: dup block contributes <= probers*cap, not members^2 — far
+    // below the ~2M all-pairs of the duplicate group alone
+    val dupAllPairs = 2000L * 1999 / 2
+    assert(nCapped < dupAllPairs / 4,
+      s"capped candidates $nCapped not bounded vs $dupAllPairs dup all-pairs")
+    // dup members still get near-dup candidates (truncation, not a drop)
+    assert(capped.filter(col("vec_a") >= 1000L && col("vec_b") >= 1000L).count() > 0)
+    // recall on the REST is preserved: same gate as the clustered test,
+    // queried on 200 non-dup vectors (dup neighbors canonicalized — any
+    // copy of the duplicate is the same answer)
+    def canon(id: Long): Long = if (id >= 1000L) -1L else id
+    val truth = Similarity.bruteForceTopK(df.filter(col("vec_id") < 200), df,
+        "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), canon(r.getLong(1)))).toSet
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", k = 5,
+        nCentroids = 32, nprobe = 4, cellCap = 64)
+      .filter(col("vec_id") < 200)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), canon(r.getLong(1)))).toSet
+    val recall = (truth & ivf).size.toDouble / truth.size
+    assert(recall >= 0.95, f"rest recall@5 = $recall%.4f under cellCap=64")
+  }
+
   test("annTopK recall@5 vs bruteForceTopK is >= 0.95 at sf0.01 (high-recall params)") {
     val e = sfEmb
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
