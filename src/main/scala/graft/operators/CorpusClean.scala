@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
  * preprocessing recipe as a single call).
  *
  * Plan shape at scale: the dedup windows on the 16-byte md5 fingerprint
- * (one shuffle), the repetition profile contributes its own
- * doc-id-keyed aggregate (one shuffle + a join back on doc_id), and
- * every other signal is a pure Column rewrite riding the same scan —
- * Catalyst fuses them into the projection. Nothing touches the driver;
- * filters push past the join to the deduped side.
+ * (ONE shuffle — the pipeline's only one), and every signal — langid,
+ * quality, and the repetition profile (the native one-pass
+ * [[graft.functions.BigramProfile]] expression; previously an explode +
+ * two aggregates + a join back, 44% of the pipeline in the round-7
+ * profile) — is a pure Column rewrite riding the same scan. Catalyst
+ * fuses them into the post-dedup projection; nothing touches the
+ * driver.
  */
 object CorpusClean {
 
@@ -30,24 +32,23 @@ object CorpusClean {
             minQuality: Int = 3,
             maxTopBigramRatio: Double = 0.06): DataFrame = {
     val deduped = Dedup.exactDedup(docs, textCol, idCol, byFingerprint = true)
-    // profile AFTER the dedup: the bigram explode+aggregate is the
-    // pipeline's most expensive stage, and on the duplicate-heavy corpora
-    // this pipeline exists for, profiling dropped duplicates is pure
-    // waste (the kept doc's profile is identical)
-    val rep = TextStats.repetitionProfile(deduped, idCol, textCol)
-      .select(col("doc_id").as(idCol), col("top_bigram_ratio"))
     val quality = TextFunctions.qualityColumns(col(textCol)).toMap
-    // langid is STAGED below the final projection (tokens + profile
-    // scores once per row — see withDetectedLanguage); the quality
-    // columns ride the same final projection as before
-    TextFunctions.withDetectedLanguage(deduped.join(rep, idCol),
-        col(textCol), "detected_lang")
+    // everything is profiled AFTER the dedup (on duplicate-heavy corpora
+    // profiling dropped duplicates is pure waste); langid is STAGED
+    // below the final projection (tokens + profile scores once per row —
+    // see withDetectedLanguage); quality and the one-pass bigram profile
+    // ride the same final projection. A doc with < 2 words has a NULL
+    // profile, so the top_bigram_ratio filter drops it — identical to
+    // the inner join against the profile's explode formulation that this
+    // projection replaced.
+    TextFunctions.withDetectedLanguage(deduped, col(textCol), "detected_lang")
+      .withColumn("__p", graft.functions.BigramProfile.bigramProfile(col(textCol)))
       .select(
         col(idCol).as("doc_id"),
         quality("n_tokens").as("n_tokens"),
         col("detected_lang"),
         quality("quality_score").as("quality_score"),
-        col("top_bigram_ratio"))
+        col("__p.top_bigram_ratio").as("top_bigram_ratio"))
       .filter(col("detected_lang").isin(langs: _*) &&
         col("quality_score") >= minQuality &&
         col("top_bigram_ratio") <= maxTopBigramRatio)

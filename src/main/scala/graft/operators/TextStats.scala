@@ -18,22 +18,39 @@ import org.apache.spark.sql.types._
  *  - top_bigram_ratio      = occurrences of the most frequent 2-gram
  *                            / |2-grams|
  *
- * 100 TB design: the per-word ratios are pure higher-order-function
- * columns (zero shuffle); the bigram mode needs a count-per-key, done
- * with explode -> two partial-aggregated groupBys on (doc, gram) then
- * (doc) — linear in corpus tokens, shuffle keyed by doc hash, no
- * skew hazard beyond document length itself. Nothing touches the
- * driver.
+ * 100 TB design: per-document stats are row-LOCAL, so the whole profile
+ * is ONE zero-shuffle codegen'd projection (the native
+ * [[graft.functions.BigramProfile]] expression — a single pass over
+ * each doc's bytes). The previous declarative formulation (kept below
+ * as the spec's value oracle) exploded one row per bigram and
+ * aggregated twice: a full-corpus shuffle of ~token-count volume that
+ * the round-7 profile measured at 44% of the corpus-clean pipeline.
  */
 object TextStats {
 
   /** Per-document repetition metrics. Docs with fewer than 2 words have
-    * no bigrams and are absent from the output (the explode of their
-    * empty bigram array emits no rows — same as the SQL oracle's
-    * generate_series(1, 0)); the guard matters because Spark's
+    * no bigrams and are absent from the output (the native expression
+    * yields NULL for them, filtered here — same as the SQL oracle's
+    * empty generate_series). Zero shuffle: one codegen'd projection. */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.BigramProfile.bigramProfile(col(textCol)).as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("doc_id"),
+        col("__p.n_bigrams").as("n_bigrams"),
+        col("__p.distinct_bigram_ratio").as("distinct_bigram_ratio"),
+        col("__p.top_bigram_ratio").as("top_bigram_ratio"),
+        col("__p.distinct_word_ratio").as("distinct_word_ratio"))
+
+  /** The declarative explode + double-aggregate formulation
+    * [[repetitionProfile]] replaced — kept as the independent value
+    * oracle (TextStatsSpec asserts row-identical output on every
+    * sf0.01 doc). The guard on sequence matters because Spark's
     * sequence(1, 0) yields a DESCENDING [1, 0] and element_at(_, 0)
     * throws, it does not return an empty list. */
-  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[graft] def repetitionProfileReference(docs: DataFrame, idCol: String,
+                                                textCol: String): DataFrame = {
     val words = split(col(textCol), " ")
     val base = docs.select(
       col(idCol).as("doc_id"),

@@ -43,6 +43,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out == Set(3L)) // bigram-less docs absent, like the SQL oracle
   }
 
+  test("native repetitionProfile equals the declarative explode formulation on every sf0.01 doc") {
+    // value oracle for the BigramProfile expression: row-identical output
+    // (exact doubles — both sides divide the same exact integer counts)
+    // on the full corpus, including multi-space runs and edge docs
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+      .unionAll(Seq((90001L, "a  b   c a  b"), (90002L, " leading two"),
+        (90003L, "trailing two "), (90004L, ""), (90005L, "solo"))
+        .toDF("doc_id", "text"))
+    val native = TextStats.repetitionProfile(docs, "doc_id", "text")
+    val ref = TextStats.repetitionProfileReference(docs, "doc_id", "text")
+    assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty,
+      "native vs reference repetition profile mismatch")
+    assert(native.count() == ref.count())
+  }
+
   test("packSequences assigns docs to token-budget sequences per shard") {
     // one shard; docs of 4,4,4 tokens with budget 10:
     // offsets 0,4,8 -> seq 0,0,0 ... wait 8+4 crosses: doc starts at 8 -> seq 0
