@@ -65,6 +65,43 @@ private[graft] object Blocking {
       .select(col("x.__id").as(aOut), col("y.__id").as(bOut)).distinct()
   }
 
+  /**
+   * Representative-capped a<b candidate pairs, for SYMMETRIC blockers
+   * whose hot keys are REAL clusters rather than noise: [[idPairs]]'
+   * `maxKeyCount` drops an over-cap key group outright (right for
+   * stop-shingles and degenerate cells, whose pairs carry no signal),
+   * but a near-dup MEGA-CLUSTER is exactly what a dedup blocker exists
+   * to find — dropping its bucket would miss the corpus's biggest
+   * duplicate group. Here the first `repCap` members of each key group
+   * (deterministic hash-of-id order) become representatives, and a pair
+   * is kept iff at least one endpoint is a representative: per-key
+   * output is <= repCap * members (LINEAR in cluster size, vs the
+   * uncapped quadratic), and every member still pairs with every
+   * representative, so the cluster stays CONNECTED for downstream
+   * collapse — it degrades to a dense star, it does not vanish.
+   *
+   * Same plan shape as [[idPairs]]: the running count rides the one
+   * window shuffle on `keys`, both join children are the identical
+   * subplan (exchange reuse), ids-only dedup. `dropStats` observes
+   * `non_rep_rows` (block rows beyond the cap — they keep their
+   * representative pairs but lose member-member pairs; subject to the
+   * same execution-count multiplication and no-signal caveats as
+   * [[idPairs]]) and `max_key_count`.
+   */
+  def idPairsWithReps(blocks: DataFrame, keys: Seq[String],
+                      aOut: String, bOut: String, repCap: Int,
+                      dropStats: Option[Observation] = None): DataFrame = {
+    val counted = withRunningKeyCount(blocks, keys, "__id", lit(true), "__m")
+    val observed = dropStats.fold(counted)(o => counted.observe(o,
+      sum(when(col("__m") > repCap, lit(1L)).otherwise(lit(0L))).as("non_rep_rows"),
+      coalesce(max(col("__m")), lit(0L)).as("max_key_count")))
+    val cond = keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col("x.__id") < col("y.__id") &&
+      (col("x.__m") <= repCap || col("y.__m") <= repCap)
+    observed.alias("x").join(observed.alias("y"), cond)
+      .select(col("x.__id").as(aOut), col("y.__id").as(bOut)).distinct()
+  }
+
   /** Per-key RUNNING count of rows matching `countWhen`, in deterministic
     * hash-of-id order: row r's value = matching rows up to and including
     * r within its key group. The truncation flavor of the skew guard —

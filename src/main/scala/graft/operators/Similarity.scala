@@ -110,6 +110,11 @@ object Similarity {
    *    fixed-seed, so recall on a given corpus is a deterministic
    *    property, not a per-run gamble (same argument as MinHash-LSH
    *    vs its exact-Jaccard oracle).
+   *
+   * `bucketCap` bounds hot buckets via representatives (see
+   * [[srpCandidatePairs]]): set it on dup-heavy corpora where one
+   * duplicate group can fill a bucket — the group's pairs degrade to a
+   * connected star instead of an uncapped quadratic join.
    */
   def srpNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, tables: Int = 32, planes: Int = 3,
@@ -144,10 +149,14 @@ object Similarity {
   private def candidatesFromBlocks(blocks: DataFrame, corpus: DataFrame,
                                    idCol: String, vecCol: String,
                                    keys: Seq[String],
-                                   maxKeyCount: Option[Int] = None,
+                                   repCap: Option[Int] = None,
                                    dropStats: Option[Observation] = None): DataFrame = {
     val keyed = blocks.select(col("__id") +: keys.map(col): _*)
-    val ids = Blocking.idPairs(keyed, keys, "vec_a", "vec_b", maxKeyCount, dropStats)
+    val ids = repCap match {
+      case Some(cap) =>
+        Blocking.idPairsWithReps(keyed, keys, "vec_a", "vec_b", cap, dropStats)
+      case None => Blocking.idPairs(keyed, keys, "vec_a", "vec_b")
+    }
     val a = side(corpus, idCol, vecCol, "vec_a", "__va", "__na")
     val bb = side(corpus, idCol, vecCol, "vec_b", "__vb", "__nb")
     ids.join(a, "vec_a").join(bb, "vec_b")
@@ -155,10 +164,15 @@ object Similarity {
   }
 
   /** Candidate pairs from shared SRP buckets (any table). `bucketCap`
-    * engages the shared hot-key guard ([[Blocking.idPairs]]): a (table,
-    * bucket) cell with more members than the cap is dropped — the guard
-    * for low-plane configs where one bucket can swallow a constant
-    * fraction of the corpus; `dropStats` makes such drops observable. */
+    * engages the REPRESENTATIVE flavor of the shared hot-key guard
+    * ([[Blocking.idPairsWithReps]]): a (table, bucket) cell beyond the
+    * cap pairs its members against the cell's first-cap representatives
+    * only — linear in cell size instead of quadratic, without losing
+    * the cluster (a hot SRP bucket on a dup-heavy corpus IS the
+    * duplicate group the blocker exists to find, so the whole-group
+    * drop `idPairs` uses for stop-shingle noise would be wrong here).
+    * `dropStats` makes cap engagement observable (`non_rep_rows`,
+    * `max_key_count`). */
   def srpCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
                         tables: Int = 12, planes: Int = 6, dim: Int = 64,
                         bucketCap: Option[Int] = None,

@@ -43,6 +43,49 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
+  test("srpNearDupPairs bucketCap bounds a planted mega-bucket while keeping the cluster connected") {
+    // a dup-heavy corpus: 300 identical vectors share every (table,
+    // bucket) cell — uncapped, that cluster alone is ~45k pairs per
+    // shared cell. With bucketCap=8 (representative mode) the output is
+    // linear in cluster size, yet EVERY member still pairs with a
+    // representative (the cluster must stay connected for dedup
+    // collapse — the semantic difference from idPairs' whole-group
+    // drop), and an unrelated near-dup pair is untouched.
+    import org.apache.spark.sql.{GraftColumnBridge, Observation}
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rnd = new scala.util.Random(23)
+      val dim = 16
+      val dup = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val a = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val b = a.map(x => x + 0.01f * rnd.nextGaussian().toFloat) // near-dup of a
+      val rows = (0 until 300).map(i => (i.toLong, dup)) ++
+        Seq((1000L, a), (1001L, b))
+      val df = rows.toDF("vec_id", "embedding")
+      val obs = new Observation("srp_cap")
+      val pairs = Similarity.srpNearDupPairs(df, "vec_id", "embedding",
+          threshold = 0.9, tables = 4, planes = 2, dim = dim,
+          bucketCap = Some(8), dropStats = Some(obs))
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // bounded: <= repCap * members-ish, far below the 44,850 all-pairs
+      val dupPairs = pairs.filter(_._2 < 300L)
+      assert(dupPairs.length <= 8 * 300,
+        s"capped mega-bucket emitted ${dupPairs.length} pairs")
+      assert(dupPairs.length < 44850 / 4)
+      // connected: every dup member appears in at least one kept pair
+      val touched = dupPairs.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(touched == (0L until 300L).toSet,
+        s"${300 - touched.size} members lost all pairs under the cap")
+      // the unrelated near-dup pair survives
+      assert(pairs.contains((1000L, 1001L)))
+      val stats = GraftColumnBridge.observationGetOrEmpty(obs)
+      assert(stats("non_rep_rows").asInstanceOf[Long] > 0L, stats.toString)
+      assert(stats("max_key_count").asInstanceOf[Long] >= 300L, stats.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("annTopK recovers planted near-duplicates (high-recall regime)") {
     val rnd = new scala.util.Random(7)
     val dim = 16
