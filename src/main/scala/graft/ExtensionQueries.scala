@@ -93,6 +93,18 @@ object ExtensionQueries {
       det(Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         n = 5, threshold = 0.5, numPerm = 64, bands = 32))),
 
+    // the full dedup DECISION, not just pairs: ngram near-dup pairs ->
+    // connected components (transitive closure — a near-dup of a
+    // near-dup is the same doc family) -> keep the min-id survivor per
+    // component plus all untouched docs. Oracle = DuckDB recursive CTE
+    // over the same pair set.
+    "q_dedup_collapse" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val p = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 5, threshold = 0.5, dfCap = 100)
+      det(Dedup.collapseNearDups(d, "doc_id", p, "doc_a", "doc_b"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       det(Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text"))),
 
@@ -272,8 +284,11 @@ object ExtensionQueries {
 
   /** shared word-5-gram blocking (df-cap 100) -> exact jaccard >= 0.5;
     * mirrors Dedup.ngramJaccardPairs / minhashLshPairs verify exactly. */
-  private val jaccardSql =
-    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+  /** The shared CTE chain computing exact word-5-gram Jaccard pairs
+    * (df-capped inverted index -> candidates -> verify), reused by the
+    * pair queries and by the collapse oracle's recursive closure. */
+  private val jaccardCte =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
       |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ') for i in generate_series(1, len(t)-4)]) AS s FROM toks),
       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
       |keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 100),
@@ -282,7 +297,10 @@ object ExtensionQueries {
       |         FROM exk a JOIN exk b ON a.g = b.g AND a.doc_id < b.doc_id),
       |j AS (SELECT doc_a, doc_b,
       |      CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)/len(list_distinct(list_concat(x.s, y.s))) AS jaccard
-      |      FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+      |      FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)""".stripMargin
+
+  private val jaccardSql =
+    s"""WITH $jaccardCte
       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST, jaccard NULLS FIRST""".stripMargin
 
@@ -410,6 +428,21 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_dedup_ngram_pairs" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+    // transitive closure of the near-dup pair graph via recursive CTE:
+    // component = min reachable id; keep each component's min plus all
+    // docs outside the pair graph
+    "q_dedup_collapse" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(id, r) AS (SELECT a, b FROM edges
+         |  UNION SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+         |WHERE d.doc_id = coalesce(comp.component, d.doc_id)
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     // Golden-literal oracles: DuckDB cannot recompute the Spark-side
     // hashing these gates measure, but the measured values are
     // DETERMINISTIC (fixed seeds, fixed 250-query sample, exact integer

@@ -234,4 +234,103 @@ object Dedup {
         greatest(col("__ida"), col("__idb")).as("doc_b"), col("hamming"))
     intra.unionAll(cross)
   }
+
+  /**
+   * Connected components over a near-dup pair graph: every fuzzy-dedup
+   * blocker in this module emits PAIRS, but a dedup decision needs
+   * CLUSTERS — a near-dup of a near-dup is the same document family,
+   * so survivors must be picked per transitive component, not per pair
+   * (pairwise keep-the-smaller both keeps and drops the middle doc of a
+   * chain a-b-c). Returns (`id`, `component`) for every vertex of the
+   * pair graph, where `component` is the MINIMUM id reachable from the
+   * vertex — deterministic, and directly usable as the canonical
+   * survivor id.
+   *
+   * Algorithm: iterative min-label propagation. Each round every vertex
+   * takes the min of its own label and its neighbors' labels (one
+   * edges-labels equi-join + a groupBy-min keyed on vertex id); stop
+   * when a round changes nothing. Rounds needed = the graph's maximum
+   * component DIAMETER, which for near-dup graphs is small by
+   * construction: blocked candidate clusters are dense (star-ish under
+   * [[Blocking.idPairsWithReps]], near-cliques from shared blocks), not
+   * long chains. `maxIter` bounds pathological inputs; hitting it
+   * throws rather than silently emitting half-merged components (the
+   * log-round alternating large-star/small-star algorithm — Kiveris et
+   * al., "Connected Components in MapReduce and Beyond" — is the
+   * upgrade path if a real corpus ever trips this).
+   *
+   * 100 TB design: state per round is one (id, label) row per vertex of
+   * the PAIR GRAPH (near-dup members only — far smaller than the
+   * corpus) shuffled on the same id key each round; `localCheckpoint`
+   * truncates the growing lineage so round N's plan does not re-execute
+   * rounds 1..N-1; the convergence check rides the same propagation
+   * aggregate as an `observe` (no second job per round).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    // undirected, deduped edge list — ids only
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    // empty pair graph: nothing to propagate (and an empty frame would
+    // lose its observed convergence metrics to AQE empty-relation
+    // propagation — see GraftColumnBridge.observationGetOrEmpty)
+    if (labels.isEmpty) return labels
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val fromNeighbors = edges.join(labels.select(col("id").as("src"),
+          col("comp")), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val obs = new Observation(s"graft_cc_round_$it")
+      val next = labels.unionAll(fromNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("new_comp"))
+      // join against the previous labels to count changes; the count is
+      // observed on the SAME execution that materializes the new state
+      val staged = next.join(labels.select(col("id"), col("comp").as("old_comp")), "id")
+        .select(col("id"), col("new_comp").as("comp"),
+          (col("new_comp") =!= col("old_comp")).as("__changed"))
+        .observe(obs, sum(when(col("__changed"), lit(1L)).otherwise(lit(0L)))
+          .as("changed"))
+        .select("id", "comp")
+        .localCheckpoint(true)
+      labels = staged
+      val changed = org.apache.spark.sql.GraftColumnBridge
+        .observationGetOrEmpty(obs).get("changed") match {
+        case Some(c: Long) => c
+        case _ => Long.MaxValue // no signal -> assume not converged
+      }
+      converged = changed == 0L
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the bound; raise maxIter or switch " +
+        "to the large-star/small-star formulation")
+    labels
+  }
+
+  /**
+   * Full fuzzy-dedup collapse: keep, per connected component of the
+   * near-dup pair graph, only the MINIMUM-id document (plus every doc
+   * with no near-dup at all). The composition every real dedup pipeline
+   * runs — pairs from any blocker above, components via
+   * [[connectedComponents]], survivors joined back against the corpus.
+   * Docs outside the pair graph are their own component (left join +
+   * coalesce — the corpus-sized side is joined exactly once).
+   */
+  def collapseNearDups(docs: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String, bCol: String,
+                       maxIter: Int = 25): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, maxIter)
+      .select(col("id").as(idCol), col("comp"))
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("comp"), col(idCol)))
+      .filter(col(idCol) === col("component"))
+      .drop("comp", "component")
+  }
 }

@@ -248,6 +248,46 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("connectedComponents merges chains, stars and islands to min-id labels") {
+    // components: chain 1-2-3-4 (diameter 3), star 10-{11,12,13},
+    // island pair 20-21; vertex 4 reaches 1 only transitively
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // empty pair graph: empty result, no convergence failure
+    assert(Dedup.connectedComponents(
+      pairs.filter(lit(false)), "doc_a", "doc_b").isEmpty)
+    // maxIter too small for the diameter: loud failure, not half-merged
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 2)
+    }
+  }
+
+  test("collapseNearDups keeps one doc per component plus all singletons") {
+    // docs 1,2,3 near-dup chain -> keep 1; docs 4,5 untouched singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.collapseNearDups(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+    // composition with a real blocker: ngram pairs at sf0.001
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 5, threshold = 0.5, dfCap = 100)
+    val collapsed = Dedup.collapseNearDups(corpus, "doc_id", p, "doc_a", "doc_b")
+    // every surviving doc is its component's min: no kept doc appears as
+    // the GREATER side of any near-dup pair with a kept lesser partner
+    val keptIds = collapsed.select("doc_id").as[Long].collect().toSet
+    val viol = p.collect().filter(r =>
+      keptIds.contains(r.getLong(0)) && keptIds.contains(r.getLong(1)))
+    assert(viol.isEmpty, s"both endpoints kept for ${viol.length} pairs")
+    assert(collapsed.count() < corpus.count())
+  }
+
   test("simhashPairs covers every strong ngram-Jaccard pair at sf0.01") {
     // quantitative gate for the driver's rows-only q_dedup_simhash: every
     // near-dup pair the exact Jaccard path finds at J>=0.85 must fall
