@@ -243,6 +243,19 @@ object ExtensionQueries {
             .as("coverage")))
     }),
 
+    // --- deterministic sampling / corpus balancing ------------------------
+    // hash-derived uniforms (md5 -> [0,1)), not rand(): reproducible
+    // across runs, partitionings AND engines — the DuckDB oracle
+    // computes the identical uniform, so the sampled sets match exactly.
+
+    "q_sample_stratified" -> ((s, dir) =>
+      det(graft.operators.Sampling.stratifiedSample(docs(s, dir),
+        "lang", "doc_id", Map("en" -> 0.3, "de" -> 1.0), default = 0.5))),
+
+    "q_sample_topk" -> ((s, dir) =>
+      det(graft.operators.Sampling.stratifiedTopK(docs(s, dir),
+        Seq("lang", "source"), "doc_id", k = 20))),
+
     // --- multimodal -------------------------------------------------------
 
     // --- batch windowing over events ------------------------------------
@@ -501,6 +514,21 @@ object ExtensionQueries {
          |count(*) AS n_events, round(sum(value), 2) AS sum_value
          |FROM events GROUP BY 1, 2
          |ORDER BY bucket $N1, event_type $N1, n_events $N1, sum_value $N1""".stripMargin,
+    // the oracle recomputes the identical md5-derived uniform: first 8
+    // hex chars as an int over 2^32 (<= 2^32 is exactly representable,
+    // division by a power of two is exact -> bit-equal doubles)
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0
+         |      < CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 1.0 ELSE 0.5 END
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_sample_topk" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY lang, source
+         |  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |             / 4294967296.0, doc_id) <= 20
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_multimodal_json" ->
       s"""SELECT event_type, count(*) AS n_events,
          |CAST(sum(json_extract(props,'$$.k')::BIGINT) AS BIGINT) AS sum_k,
