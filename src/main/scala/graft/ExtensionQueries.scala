@@ -49,9 +49,11 @@ object ExtensionQueries {
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens")))),
 
+    // staged on the native one-pass TokenProfile (the langid playbook);
+    // the declarative qualityColumns formulation is the spec's oracle
     "q_text_quality" -> ((s, dir) => {
-      val cols = TextFunctions.qualityColumns(col("text"))
-      det(docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*))
+      val (staged, cols) = TextFunctions.stagedQuality(docs(s, dir), col("text"))
+      det(staged.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*))
     }),
 
     // staged langid (VERDICT r5 #2): letter-tokens + profile scores

@@ -132,19 +132,15 @@ object TextFunctions {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
-  /** (n_chars, n_tokens, mean_tok_len, stopword_ratio, punct_ratio,
-    * quality_score) as named columns appended to `df`. The composite score
-    * (0-4) is the usual quality-filter recipe: enough tokens, sane mean
-    * token length, some-but-not-all stopwords, printable ASCII. */
-  def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val toks = whitespaceTokens(text)
-    val stopArr = array(EnStopwords.map(lit): _*)
-    val nChars = length(text).cast(LongType)
-    val nTokens = size(toks).cast(LongType)
-    val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast(LongType)
-    val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast(LongType)
-    val nNonAscii = size(regexp_extract_all(text, lit("[^ -~]"), lit(0))).cast(LongType)
+  /** The ratio/score arithmetic shared by both quality formulations:
+    * given the six COUNT columns, derive the published columns. The
+    * composite score (0-4) is the usual quality-filter recipe: enough
+    * tokens, sane mean token length, some-but-not-all stopwords,
+    * printable ASCII. */
+  private def qualityFromCounts(nChars: Column, nTokens: Column,
+                                tokChars: Column, nStop: Column,
+                                nPunct: Column, nNonAscii: Column)
+      : Seq[(String, Column)] = {
     val meanTokLen = tokChars.cast(DoubleType) / nTokens
     val stopRatio = nStop.cast(DoubleType) / nTokens
     val punctRatio = nPunct.cast(DoubleType) / nChars
@@ -157,6 +153,44 @@ object TextFunctions {
       "n_chars" -> nChars, "n_tokens" -> nTokens, "mean_tok_len" -> meanTokLen,
       "stopword_ratio" -> stopRatio, "punct_ratio" -> punctRatio,
       "quality_score" -> score)
+  }
+
+  /** (n_chars, n_tokens, mean_tok_len, stopword_ratio, punct_ratio,
+    * quality_score) as named columns — the DECLARATIVE formulation:
+    * five interpreted HOF/regex chains per row. Kept as the value
+    * oracle for the staged native path ([[stagedQuality]] /
+    * [[TokenProfile]]), which TextFunctionsSpec asserts row-identical
+    * on every sf0.01 doc; use `stagedQuality` in anything hot. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = whitespaceTokens(text)
+    val stopArr = array(EnStopwords.map(lit): _*)
+    val nChars = length(text).cast(LongType)
+    val nTokens = size(toks).cast(LongType)
+    val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast(LongType)
+    val nPunct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast(LongType)
+    val nNonAscii = size(regexp_extract_all(text, lit("[^ -~]"), lit(0))).cast(LongType)
+    qualityFromCounts(nChars, nTokens, tokChars, nStop, nPunct, nNonAscii)
+  }
+
+  /**
+   * Quality columns, STAGED on the native one-pass [[TokenProfile]]
+   * expression (the [[withDetectedLanguage]] playbook): returns `df`
+   * with a `__qp` counts struct appended — computed ONCE per row in its
+   * own projection, which CollapseProject keeps separate because the
+   * alias is referenced by several non-cheap expressions — plus the six
+   * published quality columns derived from cheap field references.
+   * Callers select the columns they need and drop `__qp`. Values are
+   * bit-identical to [[qualityColumns]].
+   */
+  def stagedQuality(df: org.apache.spark.sql.DataFrame, text: Column)
+      : (org.apache.spark.sql.DataFrame, Seq[(String, Column)]) = {
+    val base = df.columns.map(col).toIndexedSeq
+    val staged = df.select(base :+ TokenProfile.tokenProfile(text).as("__qp"): _*)
+    val p = col("__qp")
+    (staged, qualityFromCounts(
+      p.getField("n_chars"), p.getField("n_tokens"), p.getField("tok_chars"),
+      p.getField("n_stop"), p.getField("n_punct"), p.getField("n_nonascii")))
   }
 
   // --- fingerprints --------------------------------------------------------

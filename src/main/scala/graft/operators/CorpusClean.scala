@@ -32,16 +32,20 @@ object CorpusClean {
             minQuality: Int = 3,
             maxTopBigramRatio: Double = 0.06): DataFrame = {
     val deduped = Dedup.exactDedup(docs, textCol, idCol, byFingerprint = true)
-    val quality = TextFunctions.qualityColumns(col(textCol)).toMap
     // everything is profiled AFTER the dedup (on duplicate-heavy corpora
-    // profiling dropped duplicates is pure waste); langid is STAGED
-    // below the final projection (tokens + profile scores once per row —
-    // see withDetectedLanguage); quality and the one-pass bigram profile
-    // ride the same final projection. A doc with < 2 words has a NULL
+    // profiling dropped duplicates is pure waste); langid and quality
+    // are STAGED below the final projection (letter tokens + profile
+    // scores + the native token-profile counts once per row — see
+    // withDetectedLanguage / stagedQuality); the one-pass bigram profile
+    // rides the same final projection. A doc with < 2 words has a NULL
     // profile, so the top_bigram_ratio filter drops it — identical to
     // the inner join against the profile's explode formulation that this
     // projection replaced.
-    TextFunctions.withDetectedLanguage(deduped, col(textCol), "detected_lang")
+    val (staged, quality0) = TextFunctions.stagedQuality(
+      TextFunctions.withDetectedLanguage(deduped, col(textCol), "detected_lang"),
+      col(textCol))
+    val quality = quality0.toMap
+    staged
       .withColumn("__p", graft.functions.BigramProfile.bigramProfile(col(textCol)))
       .select(
         col(idCol).as("doc_id"),

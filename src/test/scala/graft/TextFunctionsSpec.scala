@@ -14,6 +14,31 @@ class TextFunctionsSpec extends AnyFunSuite {
   test("tokenCount counts \\S+ runs") {
     assert(one[Long](tokenCount(col("t")), "a  b\tc\nd") == 4L)
   }
+
+  test("staged native quality equals the declarative formulation on every sf0.01 doc") {
+    // value oracle for the one-pass TokenProfile expression: the six
+    // published columns must be row-identical (exact longs, bit-equal
+    // doubles from the same integer divisions) across the corpus plus
+    // adversarial edge docs — multi-space/tab/newline whitespace,
+    // stopwords at token boundaries, CJK + accents (multi-byte chars),
+    // control chars, punctuation runs, empty text
+    val edge = Seq(
+      (90001L, "the  a of\tand\nto in is it that for"), // all stopwords, mixed ws
+      (90002L, "木木木 já già naïve £5 ... ?!;:,."),
+      (90003L, ""), (90004L, "x"), (90005L, "the quick... brown fox!?"),
+      (90006L, "athe thea the. .the the the"),
+      (90007L, " ctrl chars")
+    ).toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text").unionAll(edge)
+    val declCols = qualityColumns(col("text"))
+    val decl = docs.select(col("doc_id") +: declCols.map { case (n, c) => c.as(n) }: _*)
+    val (staged, natCols) = stagedQuality(docs, col("text"))
+    val nat = staged.select(col("doc_id") +: natCols.map { case (n, c) => c.as(n) }: _*)
+    assert(nat.exceptAll(decl).isEmpty && decl.exceptAll(nat).isEmpty,
+      "staged native quality differs from declarative formulation")
+    assert(nat.count() == decl.count())
+  }
   test("bpeTokenCount splits letter/digit/punct runs") {
     // "Hello" "," "world" "!" "42" -> 5
     assert(one[Long](bpeTokenCount(col("t")), "Hello, world! 42") == 5L)
