@@ -291,6 +291,7 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("comp")).as("new_comp"))
       // join against the previous labels to count changes; the count is
       // observed on the SAME execution that materializes the new state
+      val prev = labels
       val staged = next.join(labels.select(col("id"), col("comp").as("old_comp")), "id")
         .select(col("id"), col("new_comp").as("comp"),
           (col("new_comp") =!= col("old_comp")).as("__changed"))
@@ -300,9 +301,16 @@ object Dedup {
         .localCheckpoint(true)
       labels = staged
       val changed = org.apache.spark.sql.GraftColumnBridge
-        .observationGetOrEmpty(obs).get("changed") match {
+        .observationGetOrEmpty(obs, maxWaitMs = 1000).get("changed") match {
         case Some(c: Long) => c
-        case _ => Long.MaxValue // no signal -> assume not converged
+        case _ =>
+          // no signal (the listener bus can drop SQL-execution events
+          // under backpressure): recount directly from the two
+          // checkpointed label states instead of assuming non-converged
+          // — otherwise an already-converged run would spin to maxIter
+          // and throw a misleading diameter error
+          labels.join(prev.select(col("id"), col("comp").as("old_comp")), "id")
+            .filter(col("comp") =!= col("old_comp")).count()
       }
       converged = changed == 0L
       it += 1
@@ -316,21 +324,34 @@ object Dedup {
 
   /**
    * Full fuzzy-dedup collapse: keep, per connected component of the
-   * near-dup pair graph, only the MINIMUM-id document (plus every doc
-   * with no near-dup at all). The composition every real dedup pipeline
-   * runs — pairs from any blocker above, components via
-   * [[connectedComponents]], survivors joined back against the corpus.
-   * Docs outside the pair graph are their own component (left join +
-   * coalesce — the corpus-sized side is joined exactly once).
+   * near-dup pair graph, only one survivor — the minimum id AMONG THE
+   * DOCS PRESENT in `docs` (plus every doc with no near-dup at all).
+   * The composition every real dedup pipeline runs — pairs from any
+   * blocker above, components via [[connectedComponents]], survivors
+   * joined back against the corpus.
+   *
+   * The survivor is re-minimized over `docs`, not taken as the
+   * component label, because `pairs` may have been computed on a
+   * SUPERSET of `docs` (the natural pipeline order: pair on the full
+   * corpus, quality-filter, then collapse) — if a component's global
+   * min-id doc was filtered out, its family must keep its smallest
+   * REMAINING doc, not silently vanish. Cost shape: the survivor
+   * aggregate runs on the SMALL side only (pair-graph members joined
+   * against an id-pruned scan of `docs`); the corpus-sized frame is
+   * touched by exactly the same one left join as before, plus a join
+   * against the tiny per-component survivor table.
    */
   def collapseNearDups(docs: DataFrame, idCol: String,
                        pairs: DataFrame, aCol: String, bCol: String,
                        maxIter: Int = 25): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol, maxIter)
       .select(col("id").as(idCol), col("comp"))
+    // min id per component among the docs ACTUALLY PRESENT
+    val survivors = comps.join(docs.select(col(idCol)), Seq(idCol))
+      .groupBy(col("comp")).agg(min(col(idCol)).as("__min_present"))
     docs.join(comps, Seq(idCol), "left")
-      .withColumn("component", coalesce(col("comp"), col(idCol)))
-      .filter(col(idCol) === col("component"))
-      .drop("comp", "component")
+      .join(survivors, Seq("comp"), "left") // null comp never matches
+      .filter(col("comp").isNull || col(idCol) === col("__min_present"))
+      .drop("comp", "__min_present")
   }
 }

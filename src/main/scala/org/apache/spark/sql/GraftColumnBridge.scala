@@ -31,10 +31,13 @@ object GraftColumnBridge {
     * Bounded retry: the metrics listener fires ASYNCHRONOUSLY after the
     * action returns and `getOrEmpty` itself waits only ~100 ms, so on a
     * loaded JVM a read right after `collect()` can race it. Poll up to
-    * ~3 s; a frame that never executed still returns empty (bounded,
-    * unlike the forever-blocking public `get`). */
-  def observationGetOrEmpty(o: Observation): Map[String, Any] = {
-    var left = 30
+    * `maxWaitMs` (default ~3 s); a frame that never executed still
+    * returns empty (bounded, unlike the forever-blocking public `get`).
+    * Callers that EXPECT a possible no-signal state (e.g. a broadcast
+    * blocking subplan, whose promise never completes) can pass a small
+    * `maxWaitMs` to avoid paying the full poll on every read. */
+  def observationGetOrEmpty(o: Observation, maxWaitMs: Long = 3000): Map[String, Any] = {
+    var left = math.max(1L, maxWaitMs / 100)
     while (left > 0) {
       val m = try o.getOrEmpty catch { case _: NullPointerException => return Map.empty }
       if (m.nonEmpty) return m

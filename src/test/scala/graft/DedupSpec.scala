@@ -274,6 +274,13 @@ class DedupSpec extends AnyFunSuite {
     val kept = Dedup.collapseNearDups(docs, "doc_id", pairs, "doc_a", "doc_b")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L, 5L))
+    // pairs computed on a SUPERSET of docs (pair -> filter -> collapse):
+    // component {1,2,3} whose min (doc 1) was filtered out must keep its
+    // smallest REMAINING member, not vanish
+    val filtered = docs.filter(col("doc_id") =!= 1L)
+    val kept2 = Dedup.collapseNearDups(filtered, "doc_id", pairs, "doc_a", "doc_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(2L, 4L, 5L), kept2.toString)
     // composition with a real blocker: ngram pairs at sf0.001
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
