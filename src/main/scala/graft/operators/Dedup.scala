@@ -268,9 +268,13 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    // undirected, deduped edge list — ids only
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // undirected, deduped edge list — ids only. The pair subplan (often
+    // an expensive blocker+verify) is materialized ONCE before the
+    // symmetrizing union, which would otherwise execute it per branch.
+    val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    val edges = p0
+      .unionAll(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
