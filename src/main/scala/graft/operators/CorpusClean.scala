@@ -30,17 +30,30 @@ object CorpusClean {
   def clean(docs: DataFrame, idCol: String, textCol: String,
             langs: Seq[String] = Seq("en"),
             minQuality: Int = 3,
-            maxTopBigramRatio: Double = 0.06): DataFrame = {
-    val deduped = Dedup.exactDedup(docs, textCol, idCol, byFingerprint = true)
-    // everything is profiled AFTER the dedup (on duplicate-heavy corpora
-    // profiling dropped duplicates is pure waste); langid and quality
-    // are STAGED below the final projection (letter tokens + profile
-    // scores + the native token-profile counts once per row — see
-    // withDetectedLanguage / stagedQuality); the one-pass bigram profile
-    // rides the same final projection. A doc with < 2 words has a NULL
-    // profile, so the top_bigram_ratio filter drops it — identical to
-    // the inner join against the profile's explode formulation that this
-    // projection replaced.
+            maxTopBigramRatio: Double = 0.06): DataFrame =
+    signalsAndFilter(Dedup.exactDedup(docs, textCol, idCol, byFingerprint = true),
+      idCol, textCol, langs, minQuality, maxTopBigramRatio)
+
+  /**
+   * The STATELESS post-dedup stage — langid + quality + repetition
+   * signals and the keep filter — shared verbatim by the batch pipeline
+   * above and its streaming twin
+   * ([[graft.streaming.StreamingOps.streamingCorpusClean]]): every
+   * signal is a pure Column projection, so it runs identically on a
+   * micro-batch. All signals are profiled AFTER the dedup (on
+   * duplicate-heavy corpora profiling dropped duplicates is pure
+   * waste); langid and quality are STAGED below the final projection
+   * (letter tokens + profile scores + the native token-profile counts
+   * once per row — see withDetectedLanguage / stagedQuality); the
+   * one-pass bigram profile rides the same final projection. A doc
+   * with < 2 words has a NULL profile, so the top_bigram_ratio filter
+   * drops it — identical to the inner join against the profile's
+   * explode formulation that this projection replaced.
+   */
+  private[graft] def signalsAndFilter(deduped: DataFrame, idCol: String,
+                                      textCol: String, langs: Seq[String],
+                                      minQuality: Int,
+                                      maxTopBigramRatio: Double): DataFrame = {
     val (staged, quality0) = TextFunctions.stagedQuality(
       TextFunctions.withDetectedLanguage(deduped, col(textCol), "detected_lang"),
       col(textCol))

@@ -139,6 +139,27 @@ object StreamingOps {
       .drop("__fp")
   }
 
+  /**
+   * Streaming twin of [[graft.operators.CorpusClean.clean]]: the same
+   * stateless langid + quality + repetition signals and keep-filter
+   * (shared code — `CorpusClean.signalsAndFilter`), with the batch
+   * md5-window dedup replaced by [[streamingExactDedup]]'s
+   * watermark-bounded `dropDuplicatesWithinWatermark` (the only
+   * exact-dedup whose state stays bounded on an unbounded stream).
+   * Semantic difference from batch, by necessity: the survivor of a
+   * duplicate group is the FIRST-ARRIVING doc inside the watermark
+   * delay, not the globally lowest id — a stream cannot know a smaller
+   * id is still coming. Output schema matches the batch pipeline.
+   */
+  def streamingCorpusClean(docs: DataFrame, idCol: String, textCol: String,
+                           tsCol: String, watermark: String,
+                           langs: Seq[String] = Seq("en"),
+                           minQuality: Int = 3,
+                           maxTopBigramRatio: Double = 0.06): DataFrame =
+    graft.operators.CorpusClean.signalsAndFilter(
+      streamingExactDedup(docs, textCol, tsCol, watermark, byFingerprint = true),
+      idCol, textCol, langs, minQuality, maxTopBigramRatio)
+
   /** Apply a table migration config to a STREAMING source frame: the same
     * compiled plan (rename/transform/validate/lookup), incremental
     * execution. `resolve` supplies STATIC lookup dims (stream-static

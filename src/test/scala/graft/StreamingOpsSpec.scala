@@ -151,4 +151,40 @@ class StreamingOpsSpec extends AnyFunSuite {
       StreamingOps.compileStream(cfg, mem.toDF().toDF("id", "v"), _ => None)
     }
   }
+
+  test("streamingCorpusClean matches the batch pipeline's decisions on a micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val good = "the house and the garden were quiet that morning and the light was very good"
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:01"), good),  // keeps
+      (2L, ts("2024-01-01 00:00:02"), good),  // dup of 1 within watermark -> dropped
+      (3L, ts("2024-01-01 00:00:03"), Seq.fill(20)("buy now buy now").mkString(" ")), // repetitive
+      (4L, ts("2024-01-01 00:00:04"),
+        "der hund und die katze waren nicht in dem haus und das war auch gut"), // de
+      (5L, ts("2024-01-01 00:00:05"), "zz qq xx vv ww")  // junk
+    )
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamingOps.streamingCorpusClean(
+      mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      watermark = "10 minutes", langs = Seq("en"), minQuality = 3,
+      maxTopBigramRatio = 0.2)
+    val q = out.writeStream.format("memory").queryName("stream_clean")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM stream_clean").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    // identical decisions to CorpusCleanSpec's batch case: only doc 1
+    // survives (first-arriving copy of the duplicate text = lowest id
+    // here, so the survivor matches batch too)
+    assert(kept == Set(1L))
+    // output schema matches the batch pipeline
+    val batch = graft.operators.CorpusClean.clean(
+      rows.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", langs = Seq("en"), minQuality = 3,
+      maxTopBigramRatio = 0.2)
+    assert(out.schema == batch.schema)
+  }
 }
