@@ -15,6 +15,33 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[Long](tokenCount(col("t")), "a  b\tc\nd") == 4L)
   }
 
+  test("stagedQuality evaluates TokenProfile exactly once per row (plan-asserted)") {
+    // the whole point of the staging: six published columns referencing
+    // the counts struct must not inline six copies of the byte-scan
+    // (CollapseProject keeps the stage because the alias is referenced
+    // by several non-cheap expressions). Walk the executed plan's
+    // expression trees and count the expression instances.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (staged, cols) = stagedQuality(docs, col("text"))
+    val out = staged.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    out.queryExecution.toRdd.count()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val deeper = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: deeper.flatMap(nodes)
+    }
+    val count = nodes(out.queryExecution.executedPlan)
+      .flatMap(_.expressions)
+      .map(_.collect { case t: graft.functions.TokenProfile => t }.size)
+      .sum
+    assert(count == 1, s"TokenProfile appears $count times in the physical plan")
+  }
+
   test("staged native quality equals the declarative formulation on every sf0.01 doc") {
     // value oracle for the one-pass TokenProfile expression: the six
     // published columns must be row-identical (exact longs, bit-equal
