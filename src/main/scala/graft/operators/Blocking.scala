@@ -80,13 +80,20 @@ private[graft] object Blocking {
    * representative, so the cluster stays CONNECTED for downstream
    * collapse — it degrades to a dense star, it does not vanish.
    *
-   * Same plan shape as [[idPairs]]: the running count rides the one
-   * window shuffle on `keys`, both join children are the identical
-   * subplan (exchange reuse), ids-only dedup. `dropStats` observes
-   * `non_rep_rows` (block rows beyond the cap — they keep their
-   * representative pairs but lose member-member pairs; subject to the
-   * same execution-count multiplication and no-signal caveats as
-   * [[idPairs]]) and `max_key_count`.
+   * Plan shape: the running count rides the one window shuffle on
+   * `keys`; the LEFT join child is pre-filtered to the representatives
+   * — NOT a residual `(x rep || y rep)` condition inside the join,
+   * which would bound only the OUTPUT while a sort-merge join still
+   * ENUMERATES all members² combinations per hot key evaluating the
+   * residual (the same quadratic-work hazard the caps exist to kill).
+   * With reps × all-members children the per-key work is repCap *
+   * members. Both children still share the window's exchange (the
+   * filters sit above it), and pairs are canonicalized least/greatest
+   * + distinct (a both-rep pair arrives from each side once).
+   * `dropStats` observes `non_rep_rows` (block rows beyond the cap —
+   * they keep their representative pairs but lose member-member pairs;
+   * subject to the same execution-count multiplication and no-signal
+   * caveats as [[idPairs]]) and `max_key_count`.
    */
   def idPairsWithReps(blocks: DataFrame, keys: Seq[String],
                       aOut: String, bOut: String, repCap: Int,
@@ -95,11 +102,12 @@ private[graft] object Blocking {
     val observed = dropStats.fold(counted)(o => counted.observe(o,
       sum(when(col("__m") > repCap, lit(1L)).otherwise(lit(0L))).as("non_rep_rows"),
       coalesce(max(col("__m")), lit(0L)).as("max_key_count")))
+    val reps = observed.filter(col("__m") <= repCap)
     val cond = keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
-      col("x.__id") < col("y.__id") &&
-      (col("x.__m") <= repCap || col("y.__m") <= repCap)
-    observed.alias("x").join(observed.alias("y"), cond)
-      .select(col("x.__id").as(aOut), col("y.__id").as(bOut)).distinct()
+      col("x.__id") =!= col("y.__id")
+    reps.alias("x").join(observed.alias("y"), cond)
+      .select(least(col("x.__id"), col("y.__id")).as(aOut),
+        greatest(col("x.__id"), col("y.__id")).as(bOut)).distinct()
   }
 
   /** Per-key RUNNING count of rows matching `countWhen`, in deterministic
