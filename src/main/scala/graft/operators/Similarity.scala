@@ -334,9 +334,17 @@ object Similarity {
         .otherwise(lit(0L))).as("dropped_index_members"),
       coalesce(max(when(col("__rank") === 1, col("__m"))), lit(0L))
         .as("max_cell_members")))
-    val ids = blocks.alias("x").join(blocks.alias("y"),
-        col("x.__cid") === col("y.__cid") && col("y.__rank") === 1 &&
-          col("y.__m") <= cellCap && col("x.__id") =!= col("y.__id"))
+    // the index side is PRE-FILTERED (rank-1, under-cap) rather than a
+    // residual condition inside the join: a residual bounds only the
+    // OUTPUT while the sort-merge join still enumerates all cell
+    // entries x entries combinations per mega-cell evaluating it — the
+    // same quadratic-work hazard the cap exists to kill. With probers x
+    // (<= cellCap reps) children the per-cell work is linear in cell
+    // size; both children still contain the same window exchange, so
+    // the assignment projection is computed once and reused.
+    val index = blocks.filter(col("__rank") === 1 && col("__m") <= cellCap)
+    val ids = blocks.alias("x").join(index.alias("y"),
+        col("x.__cid") === col("y.__cid") && col("x.__id") =!= col("y.__id"))
       .select(least(col("x.__id"), col("y.__id")).as("vec_a"),
         greatest(col("x.__id"), col("y.__id")).as("vec_b"))
       .distinct()
