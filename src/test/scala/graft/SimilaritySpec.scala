@@ -321,6 +321,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.95, f"rest recall@5 = $recall%.4f under cellCap=64")
   }
 
+  test("ivfCandidatePairs computes the assignment once: a single corpus scan in the final plan") {
+    // the index-side pre-filter must not break exchange reuse — both
+    // join children share the window's exchange, below which the
+    // (expensive) assignment projection and its corpus scan sit. If
+    // reuse broke, the finalized plan would show two parquet scans of
+    // the embeddings (plus the two scans the vector re-join legitimately
+    // adds). Tree-walk, not string-match.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val pairs = Similarity.ivfCandidatePairs(sfEmb, "vec_id", "embedding",
+      nCentroids = 16, nprobe = 4)
+    pairs.queryExecution.toRdd.count()
+    val adaptive = pairs.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a
+      case p => fail(s"expected adaptive root, got ${p.getClass.getName}")
+    }
+    def collect(p: SparkPlan): Seq[SparkPlan] = {
+      val deeper = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case _: ReusedExchangeExec => Seq.empty
+        case other => other.children
+      }
+      p +: deeper.flatMap(collect)
+    }
+    val nodes = collect(adaptive.executedPlan)
+    val scans = nodes.count(_.isInstanceOf[FileSourceScanExec])
+    val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
+    // 1 scan feeding the shared assignment exchange + 2 for the vector
+    // re-join sides (themselves subject to reuse; accept either shape)
+    assert(scans <= 3, s"blocking subplan scans the corpus repeatedly: $scans scans")
+    assert(reused >= 1, "assignment exchange was not reused across the self-join")
+  }
+
   test("annTopK recall@5 vs bruteForceTopK is >= 0.95 at sf0.01 (high-recall params)") {
     val e = sfEmb
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
