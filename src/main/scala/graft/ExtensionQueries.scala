@@ -49,6 +49,10 @@ object ExtensionQueries {
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens")))),
 
+    "q_corpus_stats" -> ((s, dir) =>
+      det(graft.operators.TextStats.corpusStats(docs(s, dir), "text",
+        Seq("lang", "source")))),
+
     // staged on the native one-pass TokenProfile (the langid playbook);
     // the declarative qualityColumns formulation is the spec's oracle
     "q_text_quality" -> ((s, dir) => {
@@ -351,6 +355,15 @@ object ExtensionQueries {
       s"""SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens,
          |len(regexp_extract_all(text, '$BPE')) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id $N1, n_tokens $N1, n_bpe_tokens $N1""".stripMargin,
+    "q_corpus_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |count(DISTINCT text) AS n_distinct_texts,
+         |CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+         |round(avg(length(text)), 6) AS avg_doc_chars
+         |FROM documents GROUP BY lang, source
+         |ORDER BY lang $N1, source $N1, n_docs $N1, n_distinct_texts $N1,
+         |total_chars $N1, total_tokens $N1, avg_doc_chars $N1""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
          |  regexp_extract_all(text, '\\S+') AS toks,
