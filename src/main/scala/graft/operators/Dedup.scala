@@ -124,10 +124,22 @@ object Dedup {
    * bands=32, rows=2 the candidate-recall at J=0.5 is 1-(1-0.25)^32
    * ≈ 0.9999 and rises steeply — near-dups at J≥0.8 are never missed
    * in practice.
+   *
+   * `repCap` engages the REPRESENTATIVE hot-key guard
+   * ([[Blocking.idPairsWithReps]]): a band bucket beyond the cap —
+   * which on a dedup-heavy corpus is a REAL near-identical family whose
+   * signatures collide in every band — pairs its members against the
+   * bucket's first-cap representatives only, keeping join work and
+   * output linear in family size while the family stays CONNECTED for
+   * [[collapseNearDups]]. (Whole-group drop, ngram's `dfCap` shape,
+   * would silently lose the corpus's biggest duplicate family — wrong
+   * here.) `None` preserves the full pair contract.
    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, threshold: Double = 0.5,
-                      numPerm: Int = 64, bands: Int = 32): DataFrame = {
+                      numPerm: Int = 64, bands: Int = 32,
+                      repCap: Option[Int] = None,
+                      dropStats: Option[Observation] = None): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     // signature[i] = min over shingles of xxhash64(shingle, i), then band
     // strings — all native per doc: ShingleHashes (byte-window hashing,
@@ -140,7 +152,11 @@ object Dedup {
       .select(col("__id"),
         posexplode(graft.functions.MinHashBands.minhashBandsFromHashes(
           col("__hs"), numPerm, bands)).as(Seq("__bd", "__bs")))
-    val cands = selfJoinPairs(bandRow, Seq("__bd", "__bs"))
+    val cands = repCap match {
+      case Some(cap) => Blocking.idPairsWithReps(bandRow, Seq("__bd", "__bs"),
+        "__a", "__b", cap, dropStats)
+      case None => selfJoinPairs(bandRow, Seq("__bd", "__bs"))
+    }
     verifyJaccard(cands, docs, idCol, textCol, n, threshold, "doc_a", "doc_b")
   }
 
@@ -189,6 +205,14 @@ object Dedup {
    * band self-join. The simhash projection sits below the first
    * exchange, so the corpus is fingerprinted once per plan (DedupSpec
    * asserts this on the executed plan).
+   *
+   * Known-quadratic-by-contract: the intra-group path of move 1 emits
+   * k·(k-1)/2 pairs for k identical fingerprints — that IS the operator's
+   * required output, so no cap applies. On corpora where exact-identical
+   * text dominates, run [[exactDedup]] FIRST (collapses those groups to
+   * one member each) and take the dedup DECISION via
+   * [[collapseNearDups]], which only needs the family connected, not
+   * the full clique.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, cellCap: Int = 4096,

@@ -248,6 +248,35 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("minhashLshPairs repCap bounds a near-identical family while keeping it connected") {
+    // 40 docs of one near-identical template family (signatures collide
+    // in every band) + one unrelated near-dup pair. repCap=4: family
+    // pairs become linear-ish (every member still reaches a
+    // representative -> family connected for collapseNearDups), the
+    // unrelated pair is untouched, and the verify step still gates on
+    // exact Jaccard.
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val fam = (0 until 40).map(i => (i.toLong, base))
+    val other = Seq(
+      (100L, "zebra yak xylophone walrus vulture toucan seal raccoon"),
+      (101L, "zebra yak xylophone walrus vulture toucan seal rabbit"))
+    val df = (fam ++ other).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", n = 5,
+        threshold = 0.5, repCap = Some(4))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val famPairs = pairs.filter(_._2 < 100L)
+    assert(famPairs.length < 40 * 39 / 2, s"family not capped: ${famPairs.length}")
+    val touched = famPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(touched == (0L until 40L).toSet, "family member lost all pairs")
+    assert(pairs.contains((100L, 101L)))
+    // and the collapse decision over the capped pairs keeps exactly one
+    val kept = Dedup.collapseNearDups(df, "doc_id",
+        Dedup.minhashLshPairs(df, "doc_id", "text", n = 5, threshold = 0.5,
+          repCap = Some(4)), "doc_a", "doc_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 100L), kept.toString)
+  }
+
   test("connectedComponents merges chains, stars and islands to min-id labels") {
     // components: chain 1-2-3-4 (diameter 3), star 10-{11,12,13},
     // island pair 20-21; vertex 4 reaches 1 only transitively
