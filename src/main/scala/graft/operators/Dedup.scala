@@ -130,10 +130,21 @@ object Dedup {
    * which on a dedup-heavy corpus is a REAL near-identical family whose
    * signatures collide in every band — pairs its members against the
    * bucket's first-cap representatives only, keeping join work and
-   * output linear in family size while the family stays CONNECTED for
-   * [[collapseNearDups]]. (Whole-group drop, ngram's `dfCap` shape,
-   * would silently lose the corpus's biggest duplicate family — wrong
-   * here.) `None` preserves the full pair contract.
+   * output linear in family size. (Whole-group drop, ngram's `dfCap`
+   * shape, would silently lose the corpus's biggest duplicate family —
+   * wrong here.) `None` preserves the full pair contract.
+   *
+   * Connectivity caveat: the representative guarantee holds for the
+   * CANDIDATE graph; the Jaccard verify still filters each member×rep
+   * pair, so a member whose similarity clears `threshold` only against
+   * non-representative members can lose all its pairs and survive
+   * [[collapseNearDups]] as a false unique. That requires a "family"
+   * whose members are NOT mutually near-dup (similarity to the cap
+   * hash-chosen reps below threshold, to some non-rep above) — border
+   * cases of a loose threshold, not the near-identical template
+   * families the cap targets. Size `repCap` generously (it bounds
+   * work, not quality) and keep `None` where exact pair completeness
+   * matters.
    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, threshold: Double = 0.5,
@@ -141,6 +152,9 @@ object Dedup {
                       repCap: Option[Int] = None,
                       dropStats: Option[Observation] = None): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
+    require(dropStats.isEmpty || repCap.isDefined,
+      "dropStats has no guard to observe without repCap — the Observation " +
+        "would never be attached and its stats would silently read empty")
     // signature[i] = min over shingles of xxhash64(shingle, i), then band
     // strings — all native per doc: ShingleHashes (byte-window hashing,
     // no shingle strings) feeding MinHashBandsFromHashes (numPerm integer
@@ -292,13 +306,17 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    // undirected, deduped edge list — ids only. The pair subplan (often
-    // an expensive blocker+verify) is materialized ONCE before the
-    // symmetrizing union, which would otherwise execute it per branch.
-    val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint(true)
-    val edges = p0
-      .unionAll(p0.select(col("dst").as("src"), col("src").as("dst")))
+    // undirected, deduped edge list — ids only. Symmetrize with a
+    // per-row generator, not a self-union: a union's branches would
+    // each execute the (often expensive) blocker+verify pair subplan,
+    // and materializing an intermediate copy first would leave a
+    // redundant pairs-sized checkpoint pinned in executor storage for
+    // the whole propagation. One pass, one checkpoint.
+    val edges = pairs
+      .select(explode(array(
+          struct(col(aCol).as("src"), col(bCol).as("dst")),
+          struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()

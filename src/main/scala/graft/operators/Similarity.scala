@@ -114,7 +114,11 @@ object Similarity {
    * `bucketCap` bounds hot buckets via representatives (see
    * [[srpCandidatePairs]]): set it on dup-heavy corpora where one
    * duplicate group can fill a bucket — the group's pairs degrade to a
-   * connected star instead of an uncapped quadratic join.
+   * connected star instead of an uncapped quadratic join. (The
+   * connectivity holds for the CANDIDATE graph; the cosine filter
+   * still applies per pair, so a member below `threshold` against
+   * every hash-chosen representative keeps no pairs — see the
+   * equivalent caveat on [[graft.operators.Dedup.minhashLshPairs]].)
    */
   def srpNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, tables: Int = 32, planes: Int = 3,

@@ -91,22 +91,6 @@ object TextStats {
    * Output: (doc_id, shard, seq_id, tok_offset, n_tokens) — tok_offset
    * is the doc's starting token position within its shard's stream.
    */
-  /** Corpus composition report — the "dataset card" aggregate a
-    * training-data pipeline publishes per stratum: document and
-    * distinct-text counts (the gap = exact-dup volume), total
-    * characters and whitespace tokens, mean document length. One
-    * partial-aggregated groupBy on the strata; token counting rides the
-    * scan projection. */
-  def corpusStats(docs: DataFrame, textCol: String,
-                  strataCols: Seq[String]): DataFrame =
-    docs.groupBy(strataCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col(textCol)).as("n_distinct_texts"),
-        sum(length(col(textCol)).cast(LongType)).as("total_chars"),
-        sum(graft.functions.TextFunctions.tokenCount(col(textCol))).as("total_tokens"),
-        round(avg(length(col(textCol)).cast(LongType)), 6).as("avg_doc_chars"))
-
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int, shards: Int = 64): DataFrame = {
     require(budget >= 1 && shards >= 1, "budget and shards must be >= 1")
@@ -132,4 +116,24 @@ object TextStats {
         (col("__cum") - col("n_tokens")).as("tok_offset"),
         col("n_tokens"))
   }
+
+  /** Corpus composition report — the "dataset card" aggregate a
+    * training-data pipeline publishes per stratum: document and
+    * distinct-text counts (the gap = exact-dup volume), total
+    * characters and whitespace tokens, mean document length. The
+    * distinct count keys on md5(text) — the distinct-aggregate rewrite
+    * shuffles its key, and 16-byte fingerprints instead of raw document
+    * bodies is the same scale rule (and the same ~2^-64 collision
+    * tradeoff) as [[Dedup.exactDedup]]'s byFingerprint mode. Two
+    * aggregate phases (the distinct rewrite), both partial-aggregated;
+    * token counting rides the scan projection. */
+  def corpusStats(docs: DataFrame, textCol: String,
+                  strataCols: Seq[String]): DataFrame =
+    docs.groupBy(strataCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol))).as("n_distinct_texts"),
+        sum(length(col(textCol)).cast(LongType)).as("total_chars"),
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol))).as("total_tokens"),
+        round(avg(length(col(textCol)).cast(LongType)), 6).as("avg_doc_chars"))
 }

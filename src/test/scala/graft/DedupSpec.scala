@@ -148,26 +148,9 @@ class DedupSpec extends AnyFunSuite {
     // other consumer reading the reused exchange.
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 5)
-    pairs.queryExecution.toRdd.count() // execute so AQE finalizes the plan
-    // walk the FINALIZED adaptive plan tree (not its string rendering —
-    // VERDICT r6 #5): descend into materialized query stages; a
-    // ReusedExchange node is a pointer to an already-built stage, so it
-    // counts as reuse and is not descended into.
-    val adaptive = pairs.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
-      case p => fail(s"expected an adaptive root plan, got ${p.getClass.getName}")
-    }
-    assert(adaptive.isFinalPlan, "plan was not executed/finalized")
-    def collectNodes(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val deeper = p match {
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq.empty
-        case other => other.children
-      }
-      p +: deeper.flatMap(collectNodes)
-    }
-    val nodes = collectNodes(adaptive.executedPlan)
+    // walk the FINALIZED plan tree via the shared helper (not its
+    // string rendering — VERDICT r6 #5)
+    val nodes = PlanWalk.executedNodes(pairs)
     val scans = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
     val reused = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
     assert(scans == 1, s"expected 1 FileSourceScanExec in final plan, got $scans")

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+
+/** The one AQE-aware executed-plan traversal shared by every spec's
+  * plan-shape assertion (VERDICT r6 #5: walk the tree, never
+  * string-match the rendering). Descends into materialized query
+  * stages; a ReusedExchange is a POINTER to an already-counted stage,
+  * so it is reported but not descended into (descending would
+  * double-count the reused subtree's scans/expressions). A plan with
+  * no exchange at all never gets an adaptive root — handled. */
+object PlanWalk {
+
+  /** All nodes of the finalized plan, adaptive or not. Call after the
+    * query has executed so AQE stages are final. */
+  def nodes(df: DataFrame): Seq[SparkPlan] = {
+    def collect(p: SparkPlan): Seq[SparkPlan] = {
+      val deeper = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: ReusedExchangeExec => Seq.empty
+        case other => other.children
+      }
+      p +: deeper.flatMap(collect)
+    }
+    collect(df.queryExecution.executedPlan)
+  }
+
+  /** Execute the frame, then return its final plan's nodes. */
+  def executedNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.queryExecution.toRdd.count()
+    nodes(df)
+  }
+
+  def shuffleCount(df: DataFrame): Int =
+    executedNodes(df).count(_.isInstanceOf[ShuffleExchangeLike])
+}

@@ -48,27 +48,8 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("fraction samplers are zero-shuffle filters (plan-asserted)") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-      df.queryExecution.toRdd.count()
-      def collect(p: SparkPlan): Seq[SparkPlan] = {
-        val deeper = p match {
-          case q: QueryStageExec => Seq(q.plan)
-          case _: ReusedExchangeExec => Seq.empty
-          case other => other.children
-        }
-        p +: deeper.flatMap(collect)
-      }
-      df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec =>
-          collect(a.executedPlan).count(_.isInstanceOf[ShuffleExchangeLike])
-        case p => collect(p).count(_.isInstanceOf[ShuffleExchangeLike])
-      }
-    }
-    assert(shuffles(Sampling.hashSample(docs, "doc_id", 0.5)) == 0)
-    assert(shuffles(Sampling.stratifiedSample(docs, "lang", "doc_id",
+    assert(PlanWalk.shuffleCount(Sampling.hashSample(docs, "doc_id", 0.5)) == 0)
+    assert(PlanWalk.shuffleCount(Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map("en" -> 0.5), default = 0.1)) == 0)
   }
 

@@ -327,26 +327,12 @@ class SimilaritySpec extends AnyFunSuite {
     // (expensive) assignment projection and its corpus scan sit. If
     // reuse broke, the finalized plan would show two parquet scans of
     // the embeddings (plus the two scans the vector re-join legitimately
-    // adds). Tree-walk, not string-match.
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // adds). Shared PlanWalk helper: tree-walk, not string-match.
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val pairs = Similarity.ivfCandidatePairs(sfEmb, "vec_id", "embedding",
       nCentroids = 16, nprobe = 4)
-    pairs.queryExecution.toRdd.count()
-    val adaptive = pairs.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a
-      case p => fail(s"expected adaptive root, got ${p.getClass.getName}")
-    }
-    def collect(p: SparkPlan): Seq[SparkPlan] = {
-      val deeper = p match {
-        case q: QueryStageExec => Seq(q.plan)
-        case _: ReusedExchangeExec => Seq.empty
-        case other => other.children
-      }
-      p +: deeper.flatMap(collect)
-    }
-    val nodes = collect(adaptive.executedPlan)
+    val nodes = PlanWalk.executedNodes(pairs)
     val scans = nodes.count(_.isInstanceOf[FileSourceScanExec])
     val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
     // 1 scan feeding the shared assignment exchange + 2 for the vector

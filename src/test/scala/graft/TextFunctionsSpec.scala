@@ -20,22 +20,11 @@ class TextFunctionsSpec extends AnyFunSuite {
     // the counts struct must not inline six copies of the byte-scan
     // (CollapseProject keeps the stage because the alias is referenced
     // by several non-cheap expressions). Walk the executed plan's
-    // expression trees and count the expression instances.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // expression trees (shared PlanWalk helper) and count instances.
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val (staged, cols) = stagedQuality(docs, col("text"))
     val out = staged.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
-    out.queryExecution.toRdd.count()
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val deeper = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      p +: deeper.flatMap(nodes)
-    }
-    val count = nodes(out.queryExecution.executedPlan)
+    val count = PlanWalk.executedNodes(out)
       .flatMap(_.expressions)
       .map(_.collect { case t: graft.functions.TokenProfile => t }.size)
       .sum

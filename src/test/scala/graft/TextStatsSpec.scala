@@ -60,35 +60,14 @@ class TextStatsSpec extends AnyFunSuite {
   }
 
   test("repetitionProfile is shuffle-free and CorpusClean shuffles exactly once (plan-asserted)") {
-    // pins the scale claims on the executed plan tree (the DedupSpec
-    // tree-walk pattern): per-doc stats ride one codegen'd projection —
-    // zero exchanges — and the whole clean pipeline's only shuffle is
-    // the md5 dedup window
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-      df.queryExecution.toRdd.count()
-      def collect(p: SparkPlan): Seq[SparkPlan] = {
-        val deeper = p match {
-          case q: QueryStageExec => Seq(q.plan)
-          case _: ReusedExchangeExec => Seq.empty
-          case other => other.children
-        }
-        p +: deeper.flatMap(collect)
-      }
-      df.queryExecution.executedPlan match {
-        // a plan with no exchange at all never gets an adaptive root —
-        // that IS the zero-shuffle case
-        case a: AdaptiveSparkPlanExec =>
-          collect(a.executedPlan).count(_.isInstanceOf[ShuffleExchangeLike])
-        case p => collect(p).count(_.isInstanceOf[ShuffleExchangeLike])
-      }
-    }
+    // pins the scale claims on the executed plan tree (shared PlanWalk
+    // helper): per-doc stats ride one codegen'd projection — zero
+    // exchanges — and the whole clean pipeline's only shuffle is the
+    // md5 dedup window
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    assert(shuffles(TextStats.repetitionProfile(docs, "doc_id", "text")) == 0,
+    assert(PlanWalk.shuffleCount(TextStats.repetitionProfile(docs, "doc_id", "text")) == 0,
       "repetitionProfile must not shuffle")
-    assert(shuffles(graft.operators.CorpusClean.clean(docs, "doc_id", "text")) == 1,
+    assert(PlanWalk.shuffleCount(graft.operators.CorpusClean.clean(docs, "doc_id", "text")) == 1,
       "CorpusClean must shuffle exactly once (the md5 dedup window)")
   }
 
