@@ -99,6 +99,23 @@ object ExtensionQueries {
       det(Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         n = 5, threshold = 0.5, numPerm = 64, bands = 32))),
 
+    // incremental (delta) dedup: docs with doc_id >= 400 are "today's
+    // batch", the rest the historical index. A new doc survives iff its
+    // exact text is absent from the index AND it has no near-dup
+    // (J >= 0.5) in the index — the asymmetric new x index joins only,
+    // never index x index.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newDocs = d.filter(col("doc_id") >= 400)
+      val old = d.filter(col("doc_id") < 400)
+      val exactKept = Dedup.exactDedupAgainst(newDocs, old, "text")
+      val nearPairs = Dedup.ngramJaccardPairsAgainst(newDocs, old,
+        "doc_id", "text", n = 5, threshold = 0.5, dfCap = 100)
+      det(exactKept.join(
+        nearPairs.select(col("doc_new").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+    }),
+
     // the full dedup DECISION, not just pairs: ngram near-dup pairs ->
     // connected components (transitive closure — a near-dup of a
     // near-dup is the same doc family) -> keep the min-id survivor per
@@ -456,6 +473,32 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_dedup_ngram_pairs" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+    // cross-set twin of jaccardCte: shingles over both sets, df-cap on
+    // the index side only, candidates new x old, exact-Jaccard verify,
+    // survivors = exact-absent AND near-dup-absent
+    "q_dedup_incremental" ->
+      s"""WITH newd AS (SELECT * FROM documents WHERE doc_id >= 400),
+         |old AS (SELECT * FROM documents WHERE doc_id < 400),
+         |shn AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ') for i in generate_series(1, len(t)-4)]) AS s
+         |        FROM (SELECT doc_id, string_split(text,' ') AS t FROM newd)),
+         |sho AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ') for i in generate_series(1, len(t)-4)]) AS s
+         |        FROM (SELECT doc_id, string_split(text,' ') AS t FROM old)),
+         |exn AS (SELECT doc_id, unnest(s) AS g FROM shn),
+         |exo AS (SELECT doc_id, unnest(s) AS g FROM sho),
+         |keep AS (SELECT g FROM exo GROUP BY g HAVING count(*) <= 100),
+         |exok AS (SELECT exo.doc_id, exo.g FROM exo JOIN keep USING (g)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+         |         FROM exn a JOIN exok b ON a.g = b.g),
+         |nd AS (SELECT DISTINCT doc_new FROM cand
+         |       JOIN shn x ON x.doc_id = cand.doc_new
+         |       JOIN sho y ON y.doc_id = cand.doc_old
+         |       WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(x.s, y.s))) >= 0.5)
+         |SELECT n.doc_id, n.text, n.lang, n.source, n.n_chars FROM newd n
+         |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE md5(o.text) = md5(n.text))
+         |  AND n.doc_id NOT IN (SELECT doc_new FROM nd)
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+
     // transitive closure of the near-dup pair graph via recursive CTE:
     // component = min reachable id; keep each component's min plus all
     // docs outside the pair graph

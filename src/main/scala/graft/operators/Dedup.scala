@@ -400,4 +400,67 @@ object Dedup {
       .filter(col("comp").isNull || col(idCol) === col("__min_present"))
       .drop("comp", "__min_present")
   }
+
+  // -------------------------------------------------- incremental (delta)
+
+  /**
+   * Incremental exact dedup — the production DELTA shape: drop every
+   * doc of `newDocs` whose exact text already exists in `corpus`,
+   * WITHOUT re-pairing the corpus with itself (a daily batch against a
+   * historical index must not pay the index × index join). One
+   * anti-join on 16-byte md5 fingerprints; the corpus side reads only
+   * `textCol` (column-pruned scan) and its distinct fingerprint set is
+   * the natural thing to persist between runs.
+   */
+  def exactDedupAgainst(newDocs: DataFrame, corpus: DataFrame,
+                        textCol: String): DataFrame =
+    newDocs
+      .withColumn("__fp", md5(col(textCol)))
+      .join(corpus.select(md5(col(textCol)).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+
+  /**
+   * Incremental near-dup pairs: (new doc, corpus doc) pairs with exact
+   * word-n-gram Jaccard >= `threshold`, blocked on shared shingle
+   * hashes — the asymmetric twin of [[ngramJaccardPairs]]. The inverted
+   * index is joined new-side × corpus-side (never corpus × corpus);
+   * `dfCap` bounds shingle document-frequency on the CORPUS side (a
+   * stop-shingle is hot there by definition — the cap rides the same
+   * count-over-window shuffle the join needs). Verify shingles only
+   * candidate docs, per side, so overlapping id spaces between the two
+   * frames cannot cross-contaminate.
+   *
+   * Output: (doc_new, doc_old, jaccard). Compose with an anti-join on
+   * `doc_new` (see `q_dedup_incremental`) for the "new docs that
+   * survive against the index" decision.
+   */
+  def ngramJaccardPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int = 5, threshold: Double = 0.5,
+                               dfCap: Int = 100): DataFrame = {
+    val newInv = shingled(newDocs, idCol, textCol, n)
+      .select(col("__id").as("__a"), explode(col("__hs")).as("__g"))
+    val oldInv = shingled(corpus, idCol, textCol, n)
+      .select(col("__id").as("__b"), explode(col("__hs")).as("__g"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__df") <= dfCap)
+      .select("__b", "__g")
+    val cands = newInv.join(oldInv, "__g").select("__a", "__b").distinct()
+    // per-side shingle verify (ids may overlap across frames)
+    val newSh = newDocs.select(col(idCol).as("__a"), col(textCol).as("__t"))
+      .join(cands.select("__a").distinct(), "__a")
+      .select(col("__a"),
+        graft.functions.ShingleHashes.shingleHashes(col("__t"), n).as("__sha"))
+    val oldSh = corpus.select(col(idCol).as("__b"), col(textCol).as("__t"))
+      .join(cands.select("__b").distinct(), "__b")
+      .select(col("__b"),
+        graft.functions.ShingleHashes.shingleHashes(col("__t"), n).as("__shb"))
+    cands.join(newSh, "__a").join(oldSh, "__b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
+          size(array_distinct(concat(col("__sha"), col("__shb")))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__a").as("doc_new"), col("__b").as("doc_old"), col("jaccard"))
+  }
 }

@@ -231,6 +231,31 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("incremental dedup drops new docs that exist in or near-dup the index") {
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup of 1
+      (12L, "moon star cloud rain snow wind storm sun")       // genuinely new
+    ).toDF("doc_id", "text")
+    val exactKept = Dedup.exactDedupAgainst(batch, index, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactKept == Set(11L, 12L))
+    val pairs = Dedup.ngramJaccardPairsAgainst(batch, index, "doc_id", "text",
+        n = 5, threshold = 0.5)
+      .select("doc_new", "doc_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L), (11L, 1L)), pairs.toString)
+    // id overlap between batch and index must not cross-contaminate
+    val clash = Seq((1L, "moon star cloud rain snow wind storm sun"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairsAgainst(clash, index, "doc_id", "text",
+      n = 5, threshold = 0.5).count() == 0)
+  }
+
   test("minhashLshPairs repCap bounds a near-identical family while keeping it connected") {
     // 40 docs of one near-identical template family (signatures collide
     // in every band) + one unrelated near-dup pair. repCap=4: family
