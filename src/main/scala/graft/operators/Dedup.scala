@@ -447,7 +447,44 @@ object Dedup {
       .filter(col("__df") <= dfCap)
       .select("__b", "__g")
     val cands = newInv.join(oldInv, "__g").select("__a", "__b").distinct()
-    // per-side shingle verify (ids may overlap across frames)
+    verifyJaccardAcross(cands, newDocs, corpus, idCol, textCol, n, threshold)
+  }
+
+  /**
+   * Incremental MinHash-LSH near-dup pairs — the sketch flavor of
+   * [[ngramJaccardPairsAgainst]]: band signatures for both sides,
+   * banding equi-join new × corpus, exact-Jaccard verify. The corpus
+   * side reduces to a constant-size (band, signature, id) table per
+   * doc — the natural PERSISTED index for repeated delta runs, where
+   * the shingle-postings flavor would rebuild a postings list linear
+   * in corpus tokens every run. Candidate recall follows the usual
+   * banding curve (1-(1-J^rows)^bands; see [[minhashLshPairs]]).
+   */
+  def minhashLshPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 5, threshold: Double = 0.5,
+                             numPerm: Int = 64, bands: Int = 32): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    def bandRow(df: DataFrame, out: String) =
+      shingled(df, idCol, textCol, n)
+        .filter(size(col("__hs")) > 0)
+        .select(col("__id").as(out),
+          posexplode(graft.functions.MinHashBands.minhashBandsFromHashes(
+            col("__hs"), numPerm, bands)).as(Seq("__bd", "__bs")))
+    val cands = bandRow(newDocs, "__a")
+      .join(bandRow(corpus, "__b"), Seq("__bd", "__bs"))
+      .select("__a", "__b").distinct()
+    verifyJaccardAcross(cands, newDocs, corpus, idCol, textCol, n, threshold)
+  }
+
+  /** Exact-Jaccard verify for CROSS-SET candidates (`__a` from
+    * `newDocs`, `__b` from `corpus`): shingles only candidate docs,
+    * joined per side, so overlapping id spaces between the two frames
+    * cannot cross-contaminate. */
+  private def verifyJaccardAcross(cands: DataFrame, newDocs: DataFrame,
+                                  corpus: DataFrame, idCol: String,
+                                  textCol: String, n: Int,
+                                  threshold: Double): DataFrame = {
     val newSh = newDocs.select(col(idCol).as("__a"), col(textCol).as("__t"))
       .join(cands.select("__a").distinct(), "__a")
       .select(col("__a"),

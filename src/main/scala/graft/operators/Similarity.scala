@@ -180,9 +180,13 @@ object Similarity {
   def srpCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
                         tables: Int = 12, planes: Int = 6, dim: Int = 64,
                         bucketCap: Option[Int] = None,
-                        dropStats: Option[Observation] = None): DataFrame =
+                        dropStats: Option[Observation] = None): DataFrame = {
+    require(dropStats.isEmpty || bucketCap.isDefined,
+      "dropStats has no guard to observe without bucketCap — the Observation " +
+        "would never be attached and its stats would silently read empty")
     candidatesFromBlocks(srpBuckets(corpus, idCol, vecCol, tables, planes, dim),
       corpus, idCol, vecCol, Seq("__table", "__bucket"), bucketCap, dropStats)
+  }
 
   // ------------------------------------------------------------------- IVF
 

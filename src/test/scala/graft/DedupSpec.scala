@@ -254,6 +254,12 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairsAgainst(clash, index, "doc_id", "text",
       n = 5, threshold = 0.5).count() == 0)
+    // sketch flavor finds the same cross-set pairs on this corpus
+    val mh = Dedup.minhashLshPairsAgainst(batch, index, "doc_id", "text",
+        n = 5, threshold = 0.5)
+      .select("doc_new", "doc_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((10L, 1L), (11L, 1L)), mh.toString)
   }
 
   test("minhashLshPairs repCap bounds a near-identical family while keeping it connected") {
