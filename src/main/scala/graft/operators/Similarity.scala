@@ -238,16 +238,24 @@ object Similarity {
       else math.max(16, math.min(4096,
         math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
     val probes0 = if (nprobe > 0) nprobe else math.max(3, math.ceil(0.7 * k0).toInt)
-    // Centroid draw with DISTINCT directions: a dup-heavy corpus (IVF's
-    // own use case) would otherwise fill most centroid slots with copies
-    // of one vector — collapsing the effective cell count and coarsening
-    // every other cell past any hot-cell cap. Oversample 8x in the same
-    // deterministic hash-of-id order, dedupe on the NORMALIZED vector
-    // (scalar multiples are one direction under cosine) driver-side, keep
-    // the first k0 distinct. Bounded driver cost (<= 8*4096 vectors);
-    // identical to the plain k0 draw on a dup-free corpus, so pinned
-    // recall gates are unaffected. Corpora with > 7/8 duplication may
-    // yield fewer than k0 centroids — still correct, just coarser cells.
+    assignToCentroids(corpus, idCol, vecCol,
+      ivfCentroids(corpus, idCol, vecCol, k0), probes0)
+  }
+
+  /** Deterministic corpus-sampled centroid draw with DISTINCT
+    * directions: a dup-heavy corpus (IVF's own use case) would
+    * otherwise fill most centroid slots with copies of one vector —
+    * collapsing the effective cell count and coarsening every other
+    * cell past any hot-cell cap. Oversample 8x in the same
+    * deterministic hash-of-id order, dedupe on the NORMALIZED vector
+    * (scalar multiples are one direction under cosine) driver-side,
+    * keep the first k0 distinct. Bounded driver cost (<= 8*4096
+    * vectors); identical to the plain k0 draw on a dup-free corpus, so
+    * pinned recall gates are unaffected. Corpora with > 7/8
+    * duplication may yield fewer than k0 centroids — still correct,
+    * just coarser cells. */
+  private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                           k0: Int): Array[Array[Double]] = {
     val drawn = corpus
       .select(col(idCol).cast(StringType).as("__id"), col(vecCol).as("__v"))
       .orderBy(xxhash64(col("__id")), col("__id"))
@@ -263,6 +271,18 @@ object Similarity {
     drawn.iterator.takeWhile(_ => seen.size < k0).foreach(a => seen += a.toSeq)
     val cents: Array[Array[Double]] = seen.iterator.map(_.toArray).toArray
     require(cents.nonEmpty, "IVF needs a non-empty corpus to draw centroids from")
+    cents
+  }
+
+  /** Assign each row of `df` to its `nprobe` nearest of the GIVEN
+    * centroids (one codegen'd projection; centroids are plan
+    * literals). Shared by self-search (centroids from the same frame)
+    * and the asymmetric query-vs-index path (both frames against the
+    * INDEX's centroids — assignments only collide in the same cell
+    * space if they score against the same centroid set). */
+  private def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+                                cents: Array[Array[Double]],
+                                nprobe: Int): DataFrame = {
     val scored = cents.indices.map { ci =>
       struct(
         graft.functions.VectorExpressions.dotProduct(
@@ -271,11 +291,11 @@ object Similarity {
     }
     // top-nprobe cells: sort (dot, cid) structs ascending, take the tail;
     // position inside the slice gives the probe rank (last = nearest = 1)
-    val sliceLen = math.min(probes0, cents.length)
+    val sliceLen = math.min(nprobe, cents.length)
     val probes = slice(array_sort(array(scored: _*)), -sliceLen, sliceLen)
     // two-step: the generator references __v, which must come from a
     // LOWER projection (a generator argument cannot be a lateral alias)
-    corpus.select(col(idCol).as("__id"),
+    df.select(col(idCol).as("__id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("__v"),
         norm(col(vecCol)).as("__n"))
       .select(col("__id"), col("__v"), col("__n"),
@@ -404,4 +424,79 @@ object Similarity {
               tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame =
     topKFromCandidates(srpCandidatePairs(corpus, idCol, vecCol, tables, planes, dim),
       idCol, k)
+
+  // ------------------------------------------- asymmetric (query vs index)
+
+  /** Directed (query -> corpus) exact-cosine rerank + per-query top-k
+    * over cross-set candidate ids — the shared tail of the asymmetric
+    * ANN variants. Candidates with equal ids are excluded, matching
+    * [[bruteForceTopK]]'s self-exclusion so recall gates compare
+    * like-for-like when `queries` is a subset of `corpus`. */
+  private def directedTopK(ids: DataFrame, queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = side(queries, idCol, vecCol, "__qid", "__vq", "__nq")
+    val c = side(corpus, idCol, vecCol, "__cid", "__vc", "__nc")
+    val w = Window.partitionBy(col("__qid")).orderBy(col("cos_sim").desc, col("__cid"))
+    ids.filter(col("__qid") =!= col("__cid"))
+      .join(q, "__qid").join(c, "__cid")
+      .withColumn("cos_sim", dotP(col("__vq"), col("__vc")) / (col("__nq") * col("__nc")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(idCol), col("__cid").as("neighbor_id"),
+        col("rank"), col("cos_sim"))
+  }
+
+  /**
+   * SRP-LSH top-k for a QUERY batch against a SEPARATE corpus — the
+   * production search shape (today's queries vs the historical index),
+   * never paying corpus × corpus. Both frames bucket under the SAME
+   * fixed-seed hyperplanes, so their buckets share one space; the
+   * blocking join is query-buckets × corpus-buckets. Recall follows the
+   * same table/plane curve as [[annTopK]].
+   */
+  def annTopKAgainst(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
+    val qb = srpBuckets(queries, idCol, vecCol, tables, planes, dim)
+      .select(col("__id").as("__qid"), col("__table"), col("__bucket"))
+    val cb = srpBuckets(corpus, idCol, vecCol, tables, planes, dim)
+      .select(col("__id").as("__cid"), col("__table"), col("__bucket"))
+    val ids = qb.join(cb, Seq("__table", "__bucket"))
+      .select("__qid", "__cid").distinct()
+    directedTopK(ids, queries, corpus, idCol, vecCol, k)
+  }
+
+  /**
+   * IVF top-k for a QUERY batch against a SEPARATE corpus — the
+   * textbook inverted-file query model made explicit: centroids are
+   * drawn from (and the index built over) the CORPUS ONLY, each corpus
+   * vector indexed in its single nearest cell (with the same
+   * running-count `cellCap` truncation as [[ivfCandidatePairs]]);
+   * queries score against the same centroid literals and probe their
+   * `nprobe` nearest cells. Join = query-probes × corpus-index, linear
+   * per cell. `nCentroids`/`nprobe` <= 0 auto-size from the CORPUS.
+   */
+  def ivfTopKAgainst(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nCentroids: Int = 0, nprobe: Int = 0,
+                     cellCap: Int = 4096): DataFrame = {
+    val k0 =
+      if (nCentroids > 0) nCentroids
+      else math.max(16, math.min(4096,
+        math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
+    val probes0 = if (nprobe > 0) nprobe else math.max(3, math.ceil(0.7 * k0).toInt)
+    val cents = ivfCentroids(corpus, idCol, vecCol, k0)
+    val index = Blocking.withRunningKeyCount(
+        assignToCentroids(corpus, idCol, vecCol, cents, 1)
+          .select(col("__id").as("__cid_id"), col("__cid")),
+        Seq("__cid"), "__cid_id", lit(true), "__m")
+      .filter(col("__m") <= cellCap)
+      .select(col("__cid_id"), col("__cid"))
+    val probes = assignToCentroids(queries, idCol, vecCol, cents, probes0)
+      .select(col("__id").as("__probe_id"), col("__cid"))
+    val ids = probes.join(index, "__cid")
+      .select(col("__probe_id").as("__qid"), col("__cid_id").as("__cid"))
+      .distinct()
+    directedTopK(ids, queries, corpus, idCol, vecCol, k)
+  }
 }

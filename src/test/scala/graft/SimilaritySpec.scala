@@ -341,6 +341,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(reused >= 1, "assignment exchange was not reused across the self-join")
   }
 
+  test("asymmetric ANN: annTopKAgainst equals self-search; ivfTopKAgainst holds clustered recall") {
+    // SRP: same fixed-seed hyperplanes => for queries ⊆ corpus the
+    // query's candidate set (corpus docs sharing a bucket) is identical
+    // to self-search's, so the outputs must be row-identical
+    val e = sfEmb
+    val queries = e.filter(col("vec_id") < 100)
+    val self = Similarity.annTopK(e, "vec_id", "embedding", k = 5,
+        tables = 12, planes = 6, dim = 64)
+      .filter(col("vec_id") < 100)
+    val against = Similarity.annTopKAgainst(queries, e, "vec_id", "embedding",
+      k = 5, tables = 12, planes = 6, dim = 64)
+    assert(against.exceptAll(self).isEmpty && self.exceptAll(against).isEmpty,
+      "annTopKAgainst differs from self-search for subset queries")
+    // IVF: forward-only (query probes x corpus index) on a clustered
+    // corpus — the production shape — must hold recall vs brute force
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q2 = corpus.filter(col("vec_id") < 200)
+    val truth = Similarity.bruteForceTopK(q2, corpus, "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKAgainst(q2, corpus, "vec_id", "embedding",
+        k = 5, nCentroids = 32, nprobe = 4)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ivf).size.toDouble / truth.size
+    assert(recall >= 0.95, f"asymmetric IVF clustered recall@5 = $recall%.4f")
+  }
+
   test("annTopK recall@5 vs bruteForceTopK is >= 0.95 at sf0.01 (high-recall params)") {
     val e = sfEmb
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
