@@ -110,6 +110,56 @@ private[graft] object Blocking {
         greatest(col("x.__id"), col("y.__id")).as(bOut)).distinct()
   }
 
+  /**
+   * Cross-set candidate id pairs — the asymmetric twin of [[idPairs]]
+   * for delta/query-vs-index blockers: `probe` rows join `index` rows
+   * on the blocking keys, emitting (probeOut, indexOut) id pairs. NO
+   * a<b dedup (the sides are distinct sets; identical ids across them
+   * are different rows).
+   *
+   * `indexKeyCap = Some(cap)` bounds the INDEX side of each key group
+   * — the skew guard every blocker needs (a hot index key otherwise
+   * emits probers × members rows through one reducer), making per-key
+   * work and output probers × cap. Two flavors, picked by `truncate`:
+   *  - `truncate = true` (default): keep the group's first `cap`
+   *    members in deterministic hash-of-id order
+   *    ([[withRunningKeyCount]]) — right when a hot index key is a
+   *    REAL template family probes must still hit (minhash/SRP
+   *    buckets, IVF cells);
+   *  - `truncate = false`: drop the whole over-cap group (full
+   *    count-over-window) — right when a hot key is NOISE whose pairs
+   *    carry no signal (stop-shingle document frequency).
+   * Either way the count rides the join's own shuffle. `dropStats`
+   * observes `dropped_index_rows` (beyond-cap rows when truncating,
+   * all rows of over-cap groups when dropping) / `max_key_count`
+   * (same execution-count and no-signal caveats as [[idPairs]]).
+   */
+  def idPairsAcross(probe: DataFrame, index: DataFrame, keys: Seq[String],
+                    probeOut: String, indexOut: String,
+                    indexKeyCap: Option[Int] = None,
+                    truncate: Boolean = true,
+                    dropStats: Option[Observation] = None): DataFrame = {
+    require(dropStats.isEmpty || indexKeyCap.isDefined,
+      "dropStats has no guard to observe without indexKeyCap — the " +
+        "Observation would never be attached and its stats would silently read empty")
+    val capped = indexKeyCap match {
+      case None => index
+      case Some(cap) =>
+        val counted =
+          if (truncate) withRunningKeyCount(index, keys, "__id", lit(true), "__m")
+          else index.withColumn("__m",
+            count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+        val observed = dropStats.fold(counted)(o => counted.observe(o,
+          sum(when(col("__m") > cap, lit(1L)).otherwise(lit(0L)))
+            .as("dropped_index_rows"),
+          coalesce(max(col("__m")), lit(0L)).as("max_key_count")))
+        observed.filter(col("__m") <= cap).drop("__m")
+    }
+    probe.alias("x").join(capped.alias("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _))
+      .select(col("x.__id").as(probeOut), col("y.__id").as(indexOut)).distinct()
+  }
+
   /** Per-key RUNNING count of rows matching `countWhen`, in deterministic
     * hash-of-id order: row r's value = matching rows up to and including
     * r within its key group. The truncation flavor of the skew guard —

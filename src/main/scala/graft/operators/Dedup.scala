@@ -72,12 +72,7 @@ object Dedup {
         graft.functions.ShingleHashes.shingleHashes(col("__t"), n).as("__hs"))
     val x = hashed.select(col("__id").as("__a"), col("__hs").as("__sha"))
     val y = hashed.select(col("__id").as("__b"), col("__hs").as("__shb"))
-    cands.join(x, "__a").join(y, "__b")
-      .withColumn("jaccard",
-        size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
-          size(array_distinct(concat(col("__sha"), col("__shb")))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("__a").as(aOut), col("__b").as(bOut), col("jaccard"))
+    jaccardScored(cands.join(x, "__a").join(y, "__b"), threshold, aOut, bOut)
   }
 
   private def selfJoinPairs(blocks: DataFrame, keys: Seq[String]): DataFrame =
@@ -438,15 +433,17 @@ object Dedup {
   def ngramJaccardPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
                                idCol: String, textCol: String,
                                n: Int = 5, threshold: Double = 0.5,
-                               dfCap: Int = 100): DataFrame = {
+                               dfCap: Int = 100,
+                               dropStats: Option[Observation] = None): DataFrame = {
     val newInv = shingled(newDocs, idCol, textCol, n)
-      .select(col("__id").as("__a"), explode(col("__hs")).as("__g"))
+      .select(col("__id"), explode(col("__hs")).as("__g"))
     val oldInv = shingled(corpus, idCol, textCol, n)
-      .select(col("__id").as("__b"), explode(col("__hs")).as("__g"))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__g"))))
-      .filter(col("__df") <= dfCap)
-      .select("__b", "__g")
-    val cands = newInv.join(oldInv, "__g").select("__a", "__b").distinct()
+      .select(col("__id"), explode(col("__hs")).as("__g"))
+    // whole-group drop (truncate = false): an over-df shingle is a
+    // STOP-shingle — noise on both sides, same semantics as the
+    // symmetric ngramJaccardPairs' dfCap and the DuckDB oracle's HAVING
+    val cands = Blocking.idPairsAcross(newInv, oldInv, Seq("__g"), "__a", "__b",
+      indexKeyCap = Some(dfCap), truncate = false, dropStats = dropStats)
     verifyJaccardAcross(cands, newDocs, corpus, idCol, textCol, n, threshold)
   }
 
@@ -459,28 +456,39 @@ object Dedup {
    * the shingle-postings flavor would rebuild a postings list linear
    * in corpus tokens every run. Candidate recall follows the usual
    * banding curve (1-(1-J^rows)^bands; see [[minhashLshPairs]]).
+   *
+   * `indexBucketCap` truncates a hot index band bucket to its first
+   * `cap` members ([[Blocking.idPairsAcross]], truncation — a hot
+   * bucket here is a REAL template family whose signatures collide in
+   * every band, and probes must still be able to hit it): join work
+   * and output stay probers × cap instead of probers × family-size on
+   * one reducer key. Post-verify caveat as on [[minhashLshPairs]]'s
+   * `repCap`.
    */
   def minhashLshPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
                              idCol: String, textCol: String,
                              n: Int = 5, threshold: Double = 0.5,
-                             numPerm: Int = 64, bands: Int = 32): DataFrame = {
+                             numPerm: Int = 64, bands: Int = 32,
+                             indexBucketCap: Option[Int] = None,
+                             dropStats: Option[Observation] = None): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
-    def bandRow(df: DataFrame, out: String) =
+    def bandRow(df: DataFrame) =
       shingled(df, idCol, textCol, n)
         .filter(size(col("__hs")) > 0)
-        .select(col("__id").as(out),
+        .select(col("__id"),
           posexplode(graft.functions.MinHashBands.minhashBandsFromHashes(
             col("__hs"), numPerm, bands)).as(Seq("__bd", "__bs")))
-    val cands = bandRow(newDocs, "__a")
-      .join(bandRow(corpus, "__b"), Seq("__bd", "__bs"))
-      .select("__a", "__b").distinct()
+    val cands = Blocking.idPairsAcross(bandRow(newDocs), bandRow(corpus),
+      Seq("__bd", "__bs"), "__a", "__b", indexBucketCap, truncate = true,
+      dropStats = dropStats)
     verifyJaccardAcross(cands, newDocs, corpus, idCol, textCol, n, threshold)
   }
 
   /** Exact-Jaccard verify for CROSS-SET candidates (`__a` from
     * `newDocs`, `__b` from `corpus`): shingles only candidate docs,
     * joined per side, so overlapping id spaces between the two frames
-    * cannot cross-contaminate. */
+    * cannot cross-contaminate. Shares [[jaccardScored]] with the
+    * symmetric verify so both paths make identical decisions. */
   private def verifyJaccardAcross(cands: DataFrame, newDocs: DataFrame,
                                   corpus: DataFrame, idCol: String,
                                   textCol: String, n: Int,
@@ -493,11 +501,20 @@ object Dedup {
       .join(cands.select("__b").distinct(), "__b")
       .select(col("__b"),
         graft.functions.ShingleHashes.shingleHashes(col("__t"), n).as("__shb"))
-    cands.join(newSh, "__a").join(oldSh, "__b")
+    jaccardScored(cands.join(newSh, "__a").join(oldSh, "__b"),
+      threshold, "doc_new", "doc_old")
+  }
+
+  /** The shared Jaccard compute/filter/rename tail of both verifies:
+    * input carries `__a`/`__b` ids and `__sha`/`__shb` shingle-hash
+    * sets; one definition so the symmetric and cross-set paths can
+    * never diverge on the dedup decision for the same pair. */
+  private def jaccardScored(withSets: DataFrame, threshold: Double,
+                            aOut: String, bOut: String): DataFrame =
+    withSets
       .withColumn("jaccard",
         size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
           size(array_distinct(concat(col("__sha"), col("__shb")))))
       .filter(col("jaccard") >= threshold)
-      .select(col("__a").as("doc_new"), col("__b").as("doc_old"), col("jaccard"))
-  }
+      .select(col("__a").as(aOut), col("__b").as(bOut), col("jaccard"))
 }

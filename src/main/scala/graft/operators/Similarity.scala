@@ -233,11 +233,7 @@ object Similarity {
    */
   def ivfAssignments(corpus: DataFrame, idCol: String, vecCol: String,
                      nCentroids: Int = 0, nprobe: Int = 0): DataFrame = {
-    val k0 =
-      if (nCentroids > 0) nCentroids
-      else math.max(16, math.min(4096,
-        math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
-    val probes0 = if (nprobe > 0) nprobe else math.max(3, math.ceil(0.7 * k0).toInt)
+    val (k0, probes0) = ivfSizing(corpus, nCentroids, nprobe)
     assignToCentroids(corpus, idCol, vecCol,
       ivfCentroids(corpus, idCol, vecCol, k0), probes0)
   }
@@ -429,15 +425,19 @@ object Similarity {
 
   /** Directed (query -> corpus) exact-cosine rerank + per-query top-k
     * over cross-set candidate ids — the shared tail of the asymmetric
-    * ANN variants. Candidates with equal ids are excluded, matching
-    * [[bruteForceTopK]]'s self-exclusion so recall gates compare
-    * like-for-like when `queries` is a subset of `corpus`. */
+    * ANN variants. `excludeSameId` governs equal-id candidates: true
+    * matches [[bruteForceTopK]]'s self-exclusion (right when `queries`
+    * is a subset of `corpus` — recall gates compare like-for-like);
+    * pass FALSE when the two frames have INDEPENDENT id spaces, where
+    * an id collision is a coincidence and dropping the pair would
+    * silently lose a true neighbor. */
   private def directedTopK(ids: DataFrame, queries: DataFrame, corpus: DataFrame,
-                           idCol: String, vecCol: String, k: Int): DataFrame = {
+                           idCol: String, vecCol: String, k: Int,
+                           excludeSameId: Boolean): DataFrame = {
     val q = side(queries, idCol, vecCol, "__qid", "__vq", "__nq")
     val c = side(corpus, idCol, vecCol, "__cid", "__vc", "__nc")
     val w = Window.partitionBy(col("__qid")).orderBy(col("cos_sim").desc, col("__cid"))
-    ids.filter(col("__qid") =!= col("__cid"))
+    (if (excludeSameId) ids.filter(col("__qid") =!= col("__cid")) else ids)
       .join(q, "__qid").join(c, "__cid")
       .withColumn("cos_sim", dotP(col("__vq"), col("__vc")) / (col("__nq") * col("__nc")))
       .withColumn("rank", row_number().over(w).cast(LongType))
@@ -452,18 +452,25 @@ object Similarity {
    * never paying corpus × corpus. Both frames bucket under the SAME
    * fixed-seed hyperplanes, so their buckets share one space; the
    * blocking join is query-buckets × corpus-buckets. Recall follows the
-   * same table/plane curve as [[annTopK]].
+   * same table/plane curve as [[annTopK]]. `indexBucketCap` truncates a
+   * hot corpus bucket to its first-cap members (the dup-heavy-corpus
+   * guard — see [[srpCandidatePairs]]'s bucketCap), `dropStats` makes
+   * the truncation observable; `excludeSameId = false` when the two
+   * frames have independent id spaces (see [[directedTopK]]).
    */
   def annTopKAgainst(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
-                     tables: Int = 12, planes: Int = 6, dim: Int = 64): DataFrame = {
+                     tables: Int = 12, planes: Int = 6, dim: Int = 64,
+                     indexBucketCap: Option[Int] = None,
+                     dropStats: Option[Observation] = None,
+                     excludeSameId: Boolean = true): DataFrame = {
     val qb = srpBuckets(queries, idCol, vecCol, tables, planes, dim)
-      .select(col("__id").as("__qid"), col("__table"), col("__bucket"))
+      .select(col("__id"), col("__table"), col("__bucket"))
     val cb = srpBuckets(corpus, idCol, vecCol, tables, planes, dim)
-      .select(col("__id").as("__cid"), col("__table"), col("__bucket"))
-    val ids = qb.join(cb, Seq("__table", "__bucket"))
-      .select("__qid", "__cid").distinct()
-    directedTopK(ids, queries, corpus, idCol, vecCol, k)
+      .select(col("__id"), col("__table"), col("__bucket"))
+    val ids = Blocking.idPairsAcross(qb, cb, Seq("__table", "__bucket"),
+      "__qid", "__cid", indexBucketCap, truncate = true, dropStats = dropStats)
+    directedTopK(ids, queries, corpus, idCol, vecCol, k, excludeSameId)
   }
 
   /**
@@ -479,24 +486,32 @@ object Similarity {
   def ivfTopKAgainst(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      nCentroids: Int = 0, nprobe: Int = 0,
-                     cellCap: Int = 4096): DataFrame = {
+                     cellCap: Int = 4096,
+                     dropStats: Option[Observation] = None,
+                     excludeSameId: Boolean = true): DataFrame = {
+    val (k0, probes0) = ivfSizing(corpus, nCentroids, nprobe)
+    val cents = ivfCentroids(corpus, idCol, vecCol, k0)
+    val index = assignToCentroids(corpus, idCol, vecCol, cents, 1)
+      .select(col("__id"), col("__cid"))
+    val probes = assignToCentroids(queries, idCol, vecCol, cents, probes0)
+      .select(col("__id"), col("__cid"))
+    // the cross-set guard truncates hot index cells (first-cap members,
+    // hash-of-id order) and makes the truncation observable — same
+    // policy as ivfCandidatePairs' cellCap
+    val ids = Blocking.idPairsAcross(probes, index, Seq("__cid"),
+      "__qid", "__cid", Some(cellCap), truncate = true, dropStats = dropStats)
+    directedTopK(ids, queries, corpus, idCol, vecCol, k, excludeSameId)
+  }
+
+  /** Auto-sizing shared by the self-search and asymmetric IVF paths —
+    * ONE definition, so the two can never diverge on the centroid/probe
+    * counts their "same centroid literals" parity relies on. */
+  private def ivfSizing(corpus: DataFrame, nCentroids: Int, nprobe: Int): (Int, Int) = {
     val k0 =
       if (nCentroids > 0) nCentroids
       else math.max(16, math.min(4096,
         math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
     val probes0 = if (nprobe > 0) nprobe else math.max(3, math.ceil(0.7 * k0).toInt)
-    val cents = ivfCentroids(corpus, idCol, vecCol, k0)
-    val index = Blocking.withRunningKeyCount(
-        assignToCentroids(corpus, idCol, vecCol, cents, 1)
-          .select(col("__id").as("__cid_id"), col("__cid")),
-        Seq("__cid"), "__cid_id", lit(true), "__m")
-      .filter(col("__m") <= cellCap)
-      .select(col("__cid_id"), col("__cid"))
-    val probes = assignToCentroids(queries, idCol, vecCol, cents, probes0)
-      .select(col("__id").as("__probe_id"), col("__cid"))
-    val ids = probes.join(index, "__cid")
-      .select(col("__probe_id").as("__qid"), col("__cid_id").as("__cid"))
-      .distinct()
-    directedTopK(ids, queries, corpus, idCol, vecCol, k)
+    (k0, probes0)
   }
 }

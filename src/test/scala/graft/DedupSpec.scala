@@ -249,11 +249,17 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_new", "doc_old").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((10L, 1L), (11L, 1L)), pairs.toString)
-    // id overlap between batch and index must not cross-contaminate
-    val clash = Seq((1L, "moon star cloud rain snow wind storm sun"))
+    // id overlap between batch and index must not cross-contaminate:
+    // new doc id 1 is a near-dup of INDEX doc 2 — a buggy verify that
+    // fetched text by id from a unioned frame would score new doc 1
+    // against index doc 1's unrelated text and emit nothing
+    val clash = Seq((1L, "one two three four five six seven nine"))
       .toDF("doc_id", "text")
-    assert(Dedup.ngramJaccardPairsAgainst(clash, index, "doc_id", "text",
-      n = 5, threshold = 0.5).count() == 0)
+    val clashPairs = Dedup.ngramJaccardPairsAgainst(clash, index, "doc_id", "text",
+        n = 5, threshold = 0.5)
+      .select("doc_new", "doc_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clashPairs == Set((1L, 2L)), clashPairs.toString)
     // sketch flavor finds the same cross-set pairs on this corpus
     val mh = Dedup.minhashLshPairsAgainst(batch, index, "doc_id", "text",
         n = 5, threshold = 0.5)
