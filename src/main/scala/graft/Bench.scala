@@ -40,6 +40,10 @@ import java.nio.file.{Files, Paths}
  *    GC/JIT noise);
  *  - SPARK_GRAFT_BENCH_REPEAT=N: run each query N times, report the
  *    MINIMUM (the standard noise floor estimator on a shared box).
+ *    DEFAULTS to 3 (VERDICT r7 #6): single-shot numbers on a 60-query
+ *    shared-JVM run carry up to 2x GC/JIT noise (q_dedup_collapse
+ *    measured 4.12 s in-bench vs 2.1 s isolated), so the recorded
+ *    bench takes the repeat floor unless explicitly overridden.
  */
 object Bench {
   /** Run df's full physical plan (all output columns materialized,
@@ -54,7 +58,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt.max(1)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -309,12 +309,42 @@ class DedupSpec extends AnyFunSuite {
     // empty pair graph: empty result, no convergence failure
     assert(Dedup.connectedComponents(
       pairs.filter(lit(false)), "doc_a", "doc_b").isEmpty)
-    // maxIter too small for the diameter: loud failure, not half-merged
+    // maxIter too small for the diameter: the alternating star fallback
+    // must still produce fully-merged components, never a half-merged
+    // result (VERDICT r7 #4 — this used to throw)
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (6L, 7L), (7L, 8L)).toDF("doc_a", "doc_b")
-    intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 2)
+    val viaFallback = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback == (1L to 8L).map(_ -> 1L).toMap)
+  }
+
+  test("long-chain graph (diameter > default maxIter) converges via alternating stars") {
+    // a 61-vertex path: min-label propagation moves the min one hop per
+    // round, so the default 25-round bound cannot close it — the
+    // diameter-independent fallback must
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps == (0L to 60L).map((_, 0L)).toSet)
+  }
+
+  test("alternating CC equals min-label propagation on random graphs") {
+    // the two formulations must agree vertex-for-vertex on arbitrary
+    // structure (dense blobs, chains, isolated pairs alike)
+    for (seed <- Seq(7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Seq.fill(250)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+        .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+      val viaLabels = Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaStars = Dedup.connectedComponentsAlternating(pairs, "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStars == viaLabels, s"seed $seed")
     }
+    // empty pair graph: empty result, no convergence failure
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsAlternating(empty, "doc_a", "doc_b").isEmpty)
   }
 
   test("collapseNearDups keeps one doc per component plus all singletons") {
