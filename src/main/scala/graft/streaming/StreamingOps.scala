@@ -160,6 +160,32 @@ object StreamingOps {
       streamingExactDedup(docs, textCol, tsCol, watermark, byFingerprint = true),
       idCol, textCol, langs, minQuality, maxTopBigramRatio)
 
+  /**
+   * Language-id projection for a STREAMING document frame — the
+   * incremental twin of the batch `q_text_langid` path. The staged
+   * detector ([[graft.functions.TextFunctions.withDetectedLanguage]])
+   * is a STATELESS two-projection rewrite (no aggregation, no state
+   * store), so it applies to a micro-batch unchanged: decisions are
+   * identical to the batch operator row-for-row (StreamingOpsSpec
+   * asserts this), and the stream needs no watermark for it.
+   */
+  def streamingDetectedLanguage(docs: DataFrame, textCol: String,
+                                out: String = "detected_lang"): DataFrame =
+    graft.functions.TextFunctions.withDetectedLanguage(docs, col(textCol), out)
+
+  /** Quality-score projection for a STREAMING document frame — the
+    * incremental twin of the batch `q_text_quality` path, staged on the
+    * same native one-pass TokenProfile expression. Stateless (one
+    * projection + derived columns); appends the published quality
+    * columns (n_chars … quality_score) to the frame's own columns, with
+    * micro-batch decisions equal to batch row-for-row. */
+  def streamingQuality(docs: DataFrame, textCol: String): DataFrame = {
+    val base = docs.columns.map(col).toIndexedSeq
+    val (staged, cols) =
+      graft.functions.TextFunctions.stagedQuality(docs, col(textCol))
+    staged.select(base ++ cols.map { case (n, c) => c.as(n) }: _*)
+  }
+
   /** Apply a table migration config to a STREAMING source frame: the same
     * compiled plan (rename/transform/validate/lookup), incremental
     * execution. `resolve` supplies STATIC lookup dims (stream-static

@@ -187,4 +187,47 @@ class StreamingOpsSpec extends AnyFunSuite {
       maxTopBigramRatio = 0.2)
     assert(out.schema == batch.schema)
   }
+
+  test("streaming langid and quality projections equal the batch operators row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real corpus rows (all five languages + junk present at sf0.001),
+    // replayed as one micro-batch
+    val staticDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rows = staticDocs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val langOut = StreamingOps.streamingDetectedLanguage(
+      mem.toDF().toDF("doc_id", "text"), "text")
+    val qualOut = StreamingOps.streamingQuality(
+      mem.toDF().toDF("doc_id", "text"), "text")
+    val q1 = langOut.writeStream.format("memory").queryName("stream_langid")
+      .outputMode("append").start()
+    val q2 = qualOut.writeStream.format("memory").queryName("stream_quality")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val streamLang = spark.sql("SELECT doc_id, detected_lang FROM stream_langid")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamQual = spark.sql(
+        "SELECT doc_id, quality_score, n_tokens FROM stream_quality")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    q1.stop(); q2.stop()
+    // batch twins on the same rows
+    val batchLang = graft.functions.TextFunctions
+      .withDetectedLanguage(staticDocs, col("text"), "detected_lang")
+      .select("doc_id", "detected_lang")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val (staged, cols) = graft.functions.TextFunctions
+      .stagedQuality(staticDocs, col("text"))
+    val batchQual = staged
+      .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .select("doc_id", "quality_score", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamLang == batchLang)
+    assert(streamQual == batchQual)
+    // quality output keeps the frame's own columns plus the published set
+    assert(qualOut.columns.startsWith(Seq("doc_id", "text")))
+    assert(qualOut.columns.contains("quality_score"))
+  }
 }

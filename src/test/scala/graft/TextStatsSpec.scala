@@ -103,6 +103,29 @@ class TextStatsSpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("packSequences auto-sizes shards from corpus token volume (shards <= 0)") {
+    // VERDICT r7 #2: a fixed shard count silently unbounds per-shard
+    // window input as the corpus grows. 120 docs x 10 tokens = 1200
+    // tokens at a 100-token/shard target must yield ceil(1200/100) = 12
+    // shards, each window partition holding <= the target...
+    val docs = (0L until 120L).map(i => (i, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"))
+      .toDF("doc_id", "text")
+    val auto = graft.operators.TextStats.packSequences(docs, "doc_id", "text",
+      budget = 64, shards = 0, targetTokensPerShard = 100L)
+    assert(auto.select("shard").distinct().count() == 12)
+    val maxShardTokens = auto.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .agg(max("t")).head().getLong(0)
+    assert(maxShardTokens <= 100L, s"auto-sizing left $maxShardTokens tokens in one shard")
+    // ...where a fixed shards=1 would put all 1200 through ONE partition
+    val fixed = graft.operators.TextStats.packSequences(docs, "doc_id", "text",
+      budget = 64, shards = 1)
+    assert(fixed.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .agg(max("t")).head().getLong(0) == 1200L)
+    // empty corpus: auto-sizing degrades to 1 shard, no divide-by-zero
+    assert(graft.operators.TextStats.packSequences(docs.filter(lit(false)),
+      "doc_id", "text", budget = 64, shards = 0).isEmpty)
+  }
+
   test("packSequences shards string ids by hash instead of collapsing to one NULL shard") {
     import spark.implicits._
     val docs = (0 until 200).map(i => (s"doc-$i", "some words here okay")).toDF("id", "text")
