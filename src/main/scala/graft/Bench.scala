@@ -66,6 +66,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.operators.CapMetrics.install(spark) // cap firings WARN-log per query
 
     // warmup: exercise codegen/shuffle machinery once, unmeasured
     try force(SparkEntry.queries("q_pipeline_e2e")(spark, sfDir))

@@ -79,6 +79,10 @@ object Engine extends Logging {
               broadcastDims: Boolean = false,
               maxParallelTables: Int = 4,
               quarantine: Option[Sink] = None): MigrationReport = {
+    // engine-level cap observability: any blocking-guard firing during
+    // this run is WARN-logged and recorded (VERDICT r7 #3)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.operators.CapMetrics.install)
     // `written` (and lookup rules, mirroring the reference's unqualified
     // SELECT probes) key tables by BARE target name: two tables sharing a
     // bare name in different schemas would silently shadow each other's

@@ -353,7 +353,7 @@ object Similarity {
       .filter(col("__id").isNotNull)
     val counted = Blocking.withRunningKeyCount(assigned, Seq("__cid"), "__id",
       col("__rank") === 1, "__m")
-    val blocks = dropStats.fold(counted)(o => counted.observe(o,
+    val blocks = Blocking.observeCap(counted, dropStats, "ivfcell", Seq(
       sum(when(col("__rank") === 1 && col("__m") > cellCap, lit(1L))
         .otherwise(lit(0L))).as("dropped_index_members"),
       coalesce(max(when(col("__rank") === 1, col("__m"))), lit(0L))
