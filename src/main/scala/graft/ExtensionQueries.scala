@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, DedupIndex, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,6 +33,18 @@ object ExtensionQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+  /** One persisted dedup index per (JVM, sf dir): built on first use by
+    * q_dedup_incremental_indexed over the historical half of the corpus
+    * (doc_id < 400 — the same split q_dedup_incremental uses live). */
+  private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def incrementalIndex(s: SparkSession, dir: String): String =
+    builtIndexes.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_dedup_index").toString
+      DedupIndex.build(docs(s, dir).filter(col("doc_id") < 400), "doc_id", "text", p,
+        n = 5, dfCap = 100, numPerm = 64, bands = 32)
+      p
+    })
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     // events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's reader
     // rejects by default; read nanos as long (ts is unused here).
@@ -111,6 +123,25 @@ object ExtensionQueries {
       val exactKept = Dedup.exactDedupAgainst(newDocs, old, "text")
       val nearPairs = Dedup.ngramJaccardPairsAgainst(newDocs, old,
         "doc_id", "text", n = 5, threshold = 0.5, dfCap = 100)
+      det(exactKept.join(
+        nearPairs.select(col("doc_new").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+    }),
+
+    // the same delta decision, run AGAINST THE PERSISTED INDEX (VERDICT
+    // r7 #1): the historical corpus is fingerprinted/shingled once into
+    // a parquet artifact (cached per JVM — repeated bench iterations
+    // measure the O(batch) delta, not the build) and the delta run
+    // touches only the new batch plus the artifact. Row-identical to
+    // q_dedup_incremental, same oracle; DedupIndexSpec pins the plan
+    // (historical docs never re-scanned or re-shingled).
+    "q_dedup_incremental_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newDocs = d.filter(col("doc_id") >= 400)
+      val path = incrementalIndex(s, dir)
+      val exactKept = DedupIndex.exactDedupAgainst(newDocs, "text", path)
+      val nearPairs = DedupIndex.ngramJaccardPairsAgainst(newDocs, "doc_id", "text",
+        path, threshold = 0.5)
       det(exactKept.join(
         nearPairs.select(col("doc_new").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti"))
@@ -367,6 +398,36 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id $N1, detected_lang $N1""".stripMargin
   }
 
+  /** Cross-set twin of jaccardCte — shingles over both sets, df-cap on
+    * the index side only, candidates new x old, exact-Jaccard verify,
+    * survivors = exact-absent AND near-dup-absent. ONE text shared by
+    * `q_dedup_incremental` (live delta) and
+    * `q_dedup_incremental_indexed` (persisted-artifact delta): the two
+    * execution paths must agree with the oracle — and so with each
+    * other — to the row. */
+  private val oracleIncrementalSql: String =
+    s"""WITH newd AS (SELECT * FROM documents WHERE doc_id >= 400),
+       |old AS (SELECT * FROM documents WHERE doc_id < 400),
+       |shn AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ') for i in generate_series(1, len(t)-4)]) AS s
+       |        FROM (SELECT doc_id, string_split(text,' ') AS t FROM newd)),
+       |sho AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ') for i in generate_series(1, len(t)-4)]) AS s
+       |        FROM (SELECT doc_id, string_split(text,' ') AS t FROM old)),
+       |exn AS (SELECT doc_id, unnest(s) AS g FROM shn),
+       |exo AS (SELECT doc_id, unnest(s) AS g FROM sho),
+       |keep AS (SELECT g FROM exo GROUP BY g HAVING count(*) <= 100),
+       |exok AS (SELECT exo.doc_id, exo.g FROM exo JOIN keep USING (g)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+       |         FROM exn a JOIN exok b ON a.g = b.g),
+       |nd AS (SELECT DISTINCT doc_new FROM cand
+       |       JOIN shn x ON x.doc_id = cand.doc_new
+       |       JOIN sho y ON y.doc_id = cand.doc_old
+       |       WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |             / len(list_distinct(list_concat(x.s, y.s))) >= 0.5)
+       |SELECT n.doc_id, n.text, n.lang, n.source, n.n_chars FROM newd n
+       |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE md5(o.text) = md5(n.text))
+       |  AND n.doc_id NOT IN (SELECT doc_new FROM nd)
+       |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_text_tokens" ->
       s"""SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens,
@@ -476,28 +537,11 @@ object ExtensionQueries {
     // cross-set twin of jaccardCte: shingles over both sets, df-cap on
     // the index side only, candidates new x old, exact-Jaccard verify,
     // survivors = exact-absent AND near-dup-absent
-    "q_dedup_incremental" ->
-      s"""WITH newd AS (SELECT * FROM documents WHERE doc_id >= 400),
-         |old AS (SELECT * FROM documents WHERE doc_id < 400),
-         |shn AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ') for i in generate_series(1, len(t)-4)]) AS s
-         |        FROM (SELECT doc_id, string_split(text,' ') AS t FROM newd)),
-         |sho AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ') for i in generate_series(1, len(t)-4)]) AS s
-         |        FROM (SELECT doc_id, string_split(text,' ') AS t FROM old)),
-         |exn AS (SELECT doc_id, unnest(s) AS g FROM shn),
-         |exo AS (SELECT doc_id, unnest(s) AS g FROM sho),
-         |keep AS (SELECT g FROM exo GROUP BY g HAVING count(*) <= 100),
-         |exok AS (SELECT exo.doc_id, exo.g FROM exo JOIN keep USING (g)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
-         |         FROM exn a JOIN exok b ON a.g = b.g),
-         |nd AS (SELECT DISTINCT doc_new FROM cand
-         |       JOIN shn x ON x.doc_id = cand.doc_new
-         |       JOIN sho y ON y.doc_id = cand.doc_old
-         |       WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-         |             / len(list_distinct(list_concat(x.s, y.s))) >= 0.5)
-         |SELECT n.doc_id, n.text, n.lang, n.source, n.n_chars FROM newd n
-         |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE md5(o.text) = md5(n.text))
-         |  AND n.doc_id NOT IN (SELECT doc_new FROM nd)
-         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_dedup_incremental" -> oracleIncrementalSql,
+
+    // the indexed delta must agree with the live delta to the row — one
+    // oracle text, two execution paths
+    "q_dedup_incremental_indexed" -> oracleIncrementalSql,
 
     // transitive closure of the near-dup pair graph via recursive CTE:
     // component = min reachable id; keep each component's min plus all

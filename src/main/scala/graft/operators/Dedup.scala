@@ -40,9 +40,23 @@ object Dedup {
     * native byte-window hasher ([[graft.functions.ShingleHashes]]), not
     * the interpreted wordShingles+xxhash64 HOF chain (values identical,
     * ~50x cheaper, and this is the hottest kernel of every dedup here). */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  private[operators] def shingled(docs: DataFrame, idCol: String, textCol: String,
+                                  n: Int): DataFrame =
     docs.select(col(idCol).as("__id"),
       graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("__hs"))
+
+  /** (id, band index, band signature) rows for a document frame — the
+    * MinHash-LSH banding kernel shared by [[minhashLshPairs]], the
+    * cross-set [[minhashLshPairsAgainst]] and [[DedupIndex]]'s
+    * persisted band table (one definition, so the probe side of an
+    * indexed delta bands EXACTLY like the index build did). */
+  private[operators] def bandRows(docs: DataFrame, idCol: String, textCol: String,
+                                  n: Int, numPerm: Int, bands: Int): DataFrame =
+    shingled(docs, idCol, textCol, n)
+      .filter(size(col("__hs")) > 0)
+      .select(col("__id"),
+        posexplode(graft.functions.MinHashBands.minhashBandsFromHashes(
+          col("__hs"), numPerm, bands)).as(Seq("__bd", "__bs")))
 
   /**
    * Exact Jaccard over distinct word-n-gram shingle sets for the given
@@ -156,11 +170,7 @@ object Dedup {
     // mixes per shingle). Identical bands to the string formulation; no
     // 96M-row explode/groupBy pipeline, no projection-collapse recompute
     // hazard (single generator input evaluated once per row).
-    val bandRow = shingled(docs, idCol, textCol, n)
-      .filter(size(col("__hs")) > 0)
-      .select(col("__id"),
-        posexplode(graft.functions.MinHashBands.minhashBandsFromHashes(
-          col("__hs"), numPerm, bands)).as(Seq("__bd", "__bs")))
+    val bandRow = bandRows(docs, idCol, textCol, n, numPerm, bands)
     val cands = repCap match {
       case Some(cap) => Blocking.idPairsWithReps(bandRow, Seq("__bd", "__bs"),
         "__a", "__b", cap, dropStats)
@@ -560,13 +570,9 @@ object Dedup {
                              indexBucketCap: Option[Int] = None,
                              dropStats: Option[Observation] = None): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
-    def bandRow(df: DataFrame) =
-      shingled(df, idCol, textCol, n)
-        .filter(size(col("__hs")) > 0)
-        .select(col("__id"),
-          posexplode(graft.functions.MinHashBands.minhashBandsFromHashes(
-            col("__hs"), numPerm, bands)).as(Seq("__bd", "__bs")))
-    val cands = Blocking.idPairsAcross(bandRow(newDocs), bandRow(corpus),
+    val cands = Blocking.idPairsAcross(
+      bandRows(newDocs, idCol, textCol, n, numPerm, bands),
+      bandRows(corpus, idCol, textCol, n, numPerm, bands),
       Seq("__bd", "__bs"), "__a", "__b", indexBucketCap, truncate = true,
       dropStats = dropStats)
     verifyJaccardAcross(cands, newDocs, corpus, idCol, textCol, n, threshold)
@@ -597,8 +603,8 @@ object Dedup {
     * input carries `__a`/`__b` ids and `__sha`/`__shb` shingle-hash
     * sets; one definition so the symmetric and cross-set paths can
     * never diverge on the dedup decision for the same pair. */
-  private def jaccardScored(withSets: DataFrame, threshold: Double,
-                            aOut: String, bOut: String): DataFrame =
+  private[operators] def jaccardScored(withSets: DataFrame, threshold: Double,
+                                       aOut: String, bOut: String): DataFrame =
     withSets
       .withColumn("jaccard",
         size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /

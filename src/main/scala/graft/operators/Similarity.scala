@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -433,9 +433,19 @@ object Similarity {
     * silently lose a true neighbor. */
   private def directedTopK(ids: DataFrame, queries: DataFrame, corpus: DataFrame,
                            idCol: String, vecCol: String, k: Int,
-                           excludeSameId: Boolean): DataFrame = {
-    val q = side(queries, idCol, vecCol, "__qid", "__vq", "__nq")
-    val c = side(corpus, idCol, vecCol, "__cid", "__vc", "__nc")
+                           excludeSameId: Boolean): DataFrame =
+    directedTopKFromSides(ids,
+      side(queries, idCol, vecCol, "__qid", "__vq", "__nq"),
+      side(corpus, idCol, vecCol, "__cid", "__vc", "__nc"),
+      idCol, k, excludeSameId)
+
+  /** The rerank tail over PREBUILT sides — shared by the live
+    * (corpus-frame) and persisted-index (vectors-artifact) asymmetric
+    * paths, so the two can never diverge on scoring or ranking.
+    * `q` = (__qid, __vq, __nq), `c` = (__cid, __vc, __nc). */
+  private def directedTopKFromSides(ids: DataFrame, q: DataFrame, c: DataFrame,
+                                    idCol: String, k: Int,
+                                    excludeSameId: Boolean): DataFrame = {
     val w = Window.partitionBy(col("__qid")).orderBy(col("cos_sim").desc, col("__cid"))
     (if (excludeSameId) ids.filter(col("__qid") =!= col("__cid")) else ids)
       .join(q, "__qid").join(c, "__cid")
@@ -501,6 +511,121 @@ object Similarity {
     val ids = Blocking.idPairsAcross(probes, index, Seq("__cid"),
       "__qid", "__cid", Some(cellCap), truncate = true, dropStats = dropStats)
     directedTopK(ids, queries, corpus, idCol, vecCol, k, excludeSameId)
+  }
+
+  // --------------------------------------------------- persisted ANN index
+
+  /** Parameters a persisted ANN index was built with ([[buildAnnIndex]]).
+    * `nCentroids` is the REQUESTED centroid count (auto-sizing derives
+    * the probe count from it exactly like the live path; the stored
+    * centroid table can be smaller on dup-heavy corpora). */
+  final case class AnnIndexParams(tables: Int, planes: Int, dim: Int, nCentroids: Int)
+
+  /**
+   * Persist the corpus-side ANN index at `path` (VERDICT r7 #1): the
+   * asymmetric search operators re-bucketed and re-assigned the FULL
+   * corpus on every query batch — at 100 TB that is the difference
+   * between O(batch) and O(corpus) per run. Artifact (all parquet):
+   *  - `meta/`        (tables, planes, dim, n_centroids);
+   *  - `vectors/`     (id, double vector, norm) — the rerank side,
+   *                   cast/normed ONCE at build;
+   *  - `srp_buckets/` (id, table, bucket) under the fixed-seed
+   *                   hyperplanes — queries bucket into the same space
+   *                   by construction;
+   *  - `centroids/`   (cid, vector) — the IVF coarse quantizer, drawn
+   *                   with the same deterministic distinct-direction
+   *                   sample as the live path;
+   *  - `assignments/` (id, cell) rank-1 inverted file.
+   * Query with [[annTopKAgainstIndex]] / [[ivfTopKAgainstIndex]] —
+   * row-identical to the live `*Against` operators over the same
+   * corpus (SimilaritySpec pins this). On a cluster, bucket
+   * `srp_buckets/` and `assignments/` by their blocking key into a
+   * metastore table and the delta join co-locates shuffle-free.
+   */
+  def buildAnnIndex(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+                    tables: Int = 12, planes: Int = 6, dim: Int = 64,
+                    nCentroids: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (k0, _) = ivfSizing(corpus, nCentroids, 1)
+    Seq((tables, planes, dim, k0)).toDF("tables", "planes", "dim", "n_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    side(corpus, idCol, vecCol, "__id", "__v", "__n")
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    srpBuckets(corpus, idCol, vecCol, tables, planes, dim)
+      .select("__id", "__table", "__bucket")
+      .write.mode("overwrite").parquet(s"$path/srp_buckets")
+    val cents = ivfCentroids(corpus, idCol, vecCol, k0)
+    cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }.toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignToCentroids(corpus, idCol, vecCol, cents, 1)
+      .select(col("__id"), col("__cid"))
+      .write.mode("overwrite").parquet(s"$path/assignments")
+  }
+
+  /** The artifact's build parameters (one-row read). */
+  def annIndexParams(spark: SparkSession, path: String): AnnIndexParams = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    AnnIndexParams(r.getAs[Int]("tables"), r.getAs[Int]("planes"),
+      r.getAs[Int]("dim"), r.getAs[Int]("n_centroids"))
+  }
+
+  private def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** The persisted rerank side, renamed for [[directedTopKFromSides]]. */
+  private def indexVectorSide(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+      .select(col("__id").as("__cid"), col("__v").as("__vc"), col("__n").as("__nc"))
+
+  /** [[annTopKAgainst]] from a persisted index: queries bucket live
+    * under the artifact's (tables, planes, dim); the corpus side is the
+    * `srp_buckets/` read and the rerank reads `vectors/` — the corpus
+    * embedding table itself is never touched. Row-identical to the
+    * live operator over the indexed corpus. */
+  def annTopKAgainstIndex(queries: DataFrame, idCol: String, vecCol: String,
+                          path: String, k: Int,
+                          indexBucketCap: Option[Int] = None,
+                          dropStats: Option[Observation] = None,
+                          excludeSameId: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val m = annIndexParams(spark, path)
+    val qb = srpBuckets(queries, idCol, vecCol, m.tables, m.planes, m.dim)
+      .select("__id", "__table", "__bucket")
+    val cb = spark.read.parquet(s"$path/srp_buckets")
+    val ids = Blocking.idPairsAcross(qb, cb, Seq("__table", "__bucket"),
+      "__qid", "__cid", indexBucketCap, truncate = true, dropStats = dropStats)
+    directedTopKFromSides(ids,
+      side(queries, idCol, vecCol, "__qid", "__vq", "__nq"),
+      indexVectorSide(spark, path), idCol, k, excludeSameId)
+  }
+
+  /** [[ivfTopKAgainst]] from a persisted index: queries score against
+    * the stored centroid literals and probe their `nprobe` nearest
+    * cells; the inverted file is the `assignments/` read (hot cells
+    * truncated at `cellCap` exactly like the live path) and the rerank
+    * reads `vectors/`. `nprobe <= 0` auto-sizes from the artifact's
+    * requested centroid count — the same formula as the live path, so
+    * the two stay row-identical. */
+  def ivfTopKAgainstIndex(queries: DataFrame, idCol: String, vecCol: String,
+                          path: String, k: Int, nprobe: Int = 0,
+                          cellCap: Int = 4096,
+                          dropStats: Option[Observation] = None,
+                          excludeSameId: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val m = annIndexParams(spark, path)
+    val cents = loadCentroids(spark, path)
+    val probes0 =
+      if (nprobe > 0) nprobe else math.max(3, math.ceil(0.7 * m.nCentroids).toInt)
+    val probes = assignToCentroids(queries, idCol, vecCol, cents, probes0)
+      .select("__id", "__cid")
+    val index = spark.read.parquet(s"$path/assignments")
+    val ids = Blocking.idPairsAcross(probes, index, Seq("__cid"),
+      "__qid", "__cid", Some(cellCap), truncate = true, dropStats = dropStats)
+    directedTopKFromSides(ids,
+      side(queries, idCol, vecCol, "__qid", "__vq", "__nq"),
+      indexVectorSide(spark, path), idCol, k, excludeSameId)
   }
 
   /** Auto-sizing shared by the self-search and asymmetric IVF paths —

@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.{Dedup, DedupIndex, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VERDICT r7 #1: the persisted-index artifacts must make delta runs
+  * O(batch) — row-identical to the live `*Against` operators, with the
+  * corpus never re-shingled / re-bucketed / re-assigned (plan-asserted:
+  * no ShingleHashes outside the new batch, no scan of the corpus
+  * parquet in the delta plan). */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val corpusPath = "/root/testdata/sf0.001/documents.parquet"
+  private lazy val docs = spark.read.parquet(corpusPath)
+  private lazy val newDocs = docs.filter(col("doc_id") >= 400)
+  private lazy val oldDocs = docs.filter(col("doc_id") < 400)
+
+  private lazy val indexPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_dedup_index").toString
+    DedupIndex.build(oldDocs, "doc_id", "text", p,
+      n = 5, dfCap = 100, numPerm = 64, bands = 32)
+    p
+  }
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("index artifact params round-trip; tables are consistent with each other") {
+    val p = DedupIndex.params(spark, indexPath)
+    assert(p == DedupIndex.Params(5, 100, 64, 32))
+    val sh = spark.read.parquet(s"$indexPath/shingles")
+    assert(sh.count() == oldDocs.count())
+    // postings never exceed the df cap, and every posting id has shingles
+    val maxDf = spark.read.parquet(s"$indexPath/postings")
+      .groupBy("__g").count().agg(max("count")).head().getLong(0)
+    assert(maxDf <= 100L)
+    assert(spark.read.parquet(s"$indexPath/fingerprints").count() ==
+      oldDocs.select(md5(col("text"))).distinct().count())
+  }
+
+  test("exact delta from the index is row-identical to the live operator") {
+    assert(rows(DedupIndex.exactDedupAgainst(newDocs, "text", indexPath)) ==
+      rows(Dedup.exactDedupAgainst(newDocs, oldDocs, "text")))
+  }
+
+  test("ngram delta from the index is row-identical to the live operator") {
+    val live = Dedup.ngramJaccardPairsAgainst(newDocs, oldDocs, "doc_id", "text",
+      n = 5, threshold = 0.5, dfCap = 100)
+    val indexed = DedupIndex.ngramJaccardPairsAgainst(newDocs, "doc_id", "text",
+      indexPath, threshold = 0.5)
+    assert(rows(indexed) == rows(live))
+    assert(indexed.count() > 0, "split corpus must actually contain cross-set near-dups")
+  }
+
+  test("minhash delta from the index is row-identical to the live operator") {
+    val live = Dedup.minhashLshPairsAgainst(newDocs, oldDocs, "doc_id", "text",
+      n = 5, threshold = 0.5, numPerm = 64, bands = 32)
+    val indexed = DedupIndex.minhashLshPairsAgainst(newDocs, "doc_id", "text",
+      indexPath, threshold = 0.5)
+    assert(rows(indexed) == rows(live))
+    // truncation flavor: same cap, same result as the live capped run
+    val liveCapped = Dedup.minhashLshPairsAgainst(newDocs, oldDocs, "doc_id", "text",
+      n = 5, threshold = 0.5, numPerm = 64, bands = 32, indexBucketCap = Some(3))
+    val indexedCapped = DedupIndex.minhashLshPairsAgainst(newDocs, "doc_id", "text",
+      indexPath, threshold = 0.5, indexBucketCap = Some(3))
+    assert(rows(indexedCapped) == rows(liveCapped))
+  }
+
+  test("delta plan never re-shingles or re-scans the corpus (O(batch), not O(corpus))") {
+    val indexed = DedupIndex.ngramJaccardPairsAgainst(newDocs, "doc_id", "text",
+      indexPath, threshold = 0.5)
+    val nodes = PlanWalk.executedNodes(indexed)
+    // the new batch IS shingled live (that is the O(batch) part)...
+    val shingleExprs = nodes.flatMap(_.expressions).flatMap(_.collect {
+      case s: graft.functions.ShingleHashes => s
+    })
+    assert(shingleExprs.nonEmpty)
+    // ...and every scan target is either the index artifact or the
+    // documents parquet (for the new batch)
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val scanned = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(p => p.contains(indexPath) || p.contains(corpusPath)),
+      s"unexpected scan targets: $scanned")
+    // every documents-parquet scan carries the new-batch pushdown
+    // (doc_id >= 400): the HISTORICAL docs are never read, so nothing
+    // can re-shingle them — the corpus shingle sets come from shingles/
+    val corpusScans = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(corpusPath)))
+    assert(corpusScans.nonEmpty)
+    assert(corpusScans.forall(_.dataFilters.exists(_.toString.contains(">= 400"))),
+      s"historical corpus rows reachable by a scan: " +
+        corpusScans.map(_.dataFilters.mkString(",")).mkString(" | "))
+  }
+
+  test("ANN index: SRP and IVF delta search row-identical to the live operators") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 40)
+    val p = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
+    Similarity.buildAnnIndex(emb, "vec_id", "embedding", p,
+      tables = 12, planes = 6, dim = 64, nCentroids = 16)
+    assert(Similarity.annIndexParams(spark, p) ==
+      Similarity.AnnIndexParams(12, 6, 64, 16))
+    val srpLive = Similarity.annTopKAgainst(queries, emb, "vec_id", "embedding",
+      k = 5, tables = 12, planes = 6, dim = 64)
+    val srpIndexed = Similarity.annTopKAgainstIndex(queries, "vec_id", "embedding",
+      p, k = 5)
+    assert(rows(srpIndexed) == rows(srpLive))
+    val ivfLive = Similarity.ivfTopKAgainst(queries, emb, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nprobe = 6)
+    val ivfIndexed = Similarity.ivfTopKAgainstIndex(queries, "vec_id", "embedding",
+      p, k = 5, nprobe = 6)
+    assert(rows(ivfIndexed) == rows(ivfLive))
+    // auto-sized probes derive from the artifact's REQUESTED centroid
+    // count with the live path's formula
+    val ivfLiveAuto = Similarity.ivfTopKAgainst(queries, emb, "vec_id", "embedding",
+      k = 5, nCentroids = 16)
+    val ivfIndexedAuto = Similarity.ivfTopKAgainstIndex(queries, "vec_id", "embedding",
+      p, k = 5)
+    assert(rows(ivfIndexedAuto) == rows(ivfLiveAuto))
+  }
+}
