@@ -153,7 +153,10 @@ object Dedup {
    * cases of a loose threshold, not the near-identical template
    * families the cap targets. Size `repCap` generously (it bounds
    * work, not quality) and keep `None` where exact pair completeness
-   * matters.
+   * matters. The boundary case is PLANTED and asserted, not just
+   * narrated: DedupSpec "repCap false-unique boundary case behaves
+   * exactly as documented" constructs it deterministically and shows a
+   * family-covering cap restores the full decision.
    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, threshold: Double = 0.5,

@@ -118,7 +118,10 @@ object Similarity {
    * connectivity holds for the CANDIDATE graph; the cosine filter
    * still applies per pair, so a member below `threshold` against
    * every hash-chosen representative keeps no pairs — see the
-   * equivalent caveat on [[graft.operators.Dedup.minhashLshPairs]].)
+   * equivalent caveat on [[graft.operators.Dedup.minhashLshPairs]],
+   * whose planted boundary-case test — DedupSpec "repCap false-unique
+   * boundary case behaves exactly as documented" — exercises the shared
+   * [[Blocking.idPairsWithReps]] mechanics this path uses.)
    */
   def srpNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, tables: Int = 32, planes: Int = 3,

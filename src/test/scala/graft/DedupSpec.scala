@@ -297,6 +297,51 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(0L, 100L), kept.toString)
   }
 
+  test("repCap false-unique boundary case behaves exactly as documented") {
+    // VERDICT r7 #5: the representative cap's connectivity caveat — a
+    // member over threshold ONLY against non-representatives loses all
+    // its pairs and survives collapse as a false unique — was narrated
+    // on minhashLshPairs but never planted. This is that case, fully
+    // deterministic:
+    //  - word "mu" has the minimum minhash (perm 0) of every word used,
+    //    and appears in all three docs, so with numPerm=1/bands=1 all
+    //    three docs land in ONE band bucket;
+    //  - xxhash64(id) orders ids (1, 2, 3), so with repCap=1 doc 1 is
+    //    the bucket's only representative;
+    //  - word-set Jaccard (n=1 shingles): J(1,2) = 4/8 = 0.5 (kept),
+    //    J(2,3) = 4/8 = 0.5 (the pair the cap drops), J(1,3) = 2/10 =
+    //    0.2 (verify rejects) — doc 3 clears threshold only against
+    //    the NON-representative doc 2.
+    val docs = Seq(
+      (1L, "mu beta gamma delta epsilon zeta"),
+      (2L, "mu beta gamma delta omega lambda"),
+      (3L, "mu beta omega lambda kappa nu")).toDF("doc_id", "text")
+    def pairsOf(repCap: Option[Int]): Set[(Long, Long)] =
+      Dedup.minhashLshPairs(docs, "doc_id", "text", n = 1, threshold = 0.5,
+          numPerm = 1, bands = 1, repCap = repCap)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped truth: the 1-2-3 chain, one family, survivor = doc 1
+    assert(pairsOf(None) == Set((1L, 2L), (2L, 3L)))
+    val keptFull = Dedup.collapseNearDups(docs, "doc_id",
+      Dedup.minhashLshPairs(docs, "doc_id", "text", n = 1, threshold = 0.5,
+        numPerm = 1, bands = 1), "doc_a", "doc_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFull == Set(1L))
+    // repCap=1: the member-member pair (2,3) never forms, doc 3 keeps no
+    // pairs, and the collapse keeps it — the DOCUMENTED false unique
+    assert(pairsOf(Some(1)) == Set((1L, 2L)))
+    val keptCapped = Dedup.collapseNearDups(docs, "doc_id",
+      Dedup.minhashLshPairs(docs, "doc_id", "text", n = 1, threshold = 0.5,
+        numPerm = 1, bands = 1, repCap = Some(1)), "doc_a", "doc_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptCapped == Set(1L, 3L),
+      "expected the documented false unique (doc 3) under repCap=1")
+    // sizing guidance holds: a repCap covering the family (>= 2 here)
+    // restores the full decision
+    assert(pairsOf(Some(2)) == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("connectedComponents merges chains, stars and islands to min-id labels") {
     // components: chain 1-2-3-4 (diameter 3), star 10-{11,12,13},
     // island pair 20-21; vertex 4 reaches 1 only transitively
