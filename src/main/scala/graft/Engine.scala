@@ -79,10 +79,6 @@ object Engine extends Logging {
               broadcastDims: Boolean = false,
               maxParallelTables: Int = 4,
               quarantine: Option[Sink] = None): MigrationReport = {
-    // engine-level cap observability: any blocking-guard firing during
-    // this run is WARN-logged and recorded (VERDICT r7 #3)
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.operators.CapMetrics.install)
     // `written` (and lookup rules, mirroring the reference's unqualified
     // SELECT probes) key tables by BARE target name: two tables sharing a
     // bare name in different schemas would silently shadow each other's
@@ -107,6 +103,11 @@ object Engine extends Logging {
       // plugins/default_loader.py + mappings/parser.py:77-133)
       val tgt = t.qualifiedTarget
       val (source, wherePushed) = scanVia(t, cfg.global, catalog)
+      // engine-level cap observability (VERDICT r7 #3): install from the
+      // source frame's OWN session — getActiveSession is thread-local
+      // and this may run on a scheduler thread that never set one.
+      // Idempotent, so per-table install is free.
+      graft.operators.CapMetrics.install(source.sparkSession)
       val compiled = MigrationCompiler.compile(t, source, resolve,
         wherePushed = wherePushed, broadcastDims = broadcastDims, global = cfg.global,
         wantRejected = quarantine.isDefined)

@@ -39,10 +39,19 @@ object ExtensionQueries {
   private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def incrementalIndex(s: SparkSession, dir: String): String =
     builtIndexes.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_dedup_index").toString
-      DedupIndex.build(docs(s, dir).filter(col("doc_id") < 400), "doc_id", "text", p,
-        n = 5, dfCap = 100, numPerm = 64, bands = 32)
-      p
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_index")
+      // artifact dies with the JVM: repeated Verify/Bench runs must not
+      // accumulate half-corpus parquet trees in the system tmp dir
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(tmp))
+          Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }))
+      DedupIndex.build(docs(s, dir).filter(col("doc_id") < 400), "doc_id", "text",
+        tmp.toString, n = 5, dfCap = 100, numPerm = 64, bands = 32)
+      tmp.toString
     })
 
   private def events(s: SparkSession, dir: String): DataFrame = {

@@ -67,6 +67,9 @@ private[graft] object Blocking {
               aOut: String, bOut: String,
               maxKeyCount: Option[Int] = None,
               dropStats: Option[Observation] = None): DataFrame = {
+    require(dropStats.isEmpty || maxKeyCount.isDefined,
+      "dropStats has no guard to observe without maxKeyCount — the " +
+        "Observation would never be attached and its stats would silently read empty")
     val capped = maxKeyCount match {
       case None => blocks
       case Some(cap) =>

@@ -59,7 +59,18 @@ object CapMetrics extends Logging {
     * guard kind) and its long-valued metric fields. */
   final case class Fired(metric: String, values: Map[String, Long])
 
+  /** Recorded-firing bound: a long-lived session on a cap-tripping
+    * corpus must not grow driver memory without limit (every firing is
+    * WARN-logged regardless; the queue keeps the MOST RECENT firings
+    * for programmatic inspection, dropping the oldest beyond the
+    * bound — [[droppedRecords]] counts the evictions). */
+  private val MaxRecorded = 1024
   private val fired = new ConcurrentLinkedQueue[Fired]()
+  private val firedCount = new AtomicLong(0L)
+  private val evicted = new AtomicLong(0L)
+
+  /** Firings evicted from the bounded record queue (never reset). */
+  def droppedRecords: Long = evicted.get()
   // identity-keyed so re-install on the same session is a no-op; weak so
   // stopped sessions do not leak through this registry
   private val installed =
@@ -85,7 +96,7 @@ object CapMetrics extends Logging {
   def drainFired(): Seq[Fired] = {
     val b = Seq.newBuilder[Fired]
     var f = fired.poll()
-    while (f != null) { b += f; f = fired.poll() }
+    while (f != null) { b += f; firedCount.decrementAndGet(); f = fired.poll() }
     b.result()
   }
 
@@ -120,6 +131,11 @@ object CapMetrics extends Logging {
           }.toMap
           if (values.exists { case (k, v) => DropFields(k) && v > 0L }) {
             fired.add(Fired(name, values))
+            if (firedCount.incrementAndGet() > MaxRecorded &&
+                fired.poll() != null) {
+              firedCount.decrementAndGet()
+              evicted.incrementAndGet()
+            }
             logWarning(s"blocking cap fired: $name " +
               values.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
                 .mkString("{", ", ", "}") +

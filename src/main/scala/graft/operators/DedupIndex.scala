@@ -78,8 +78,14 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$path/shingles")
     val sh = spark.read.parquet(s"$path/shingles")
     val inv = sh.select(col("__id"), explode(col("__hs")).as("__g"))
-    inv
+    val counted = inv
       .withColumn("__kc", count(lit(1)).over(Window.partitionBy(col("__g"))))
+    // the build-time df-cap is a cap like any other: its drops surface
+    // through the same engine-visible metrics node (CapMetrics WARN-logs
+    // a build that bakes stop-shingle drops into the artifact)
+    Blocking.observeCap(counted, None, "indexbuild_dfcap", Seq(
+        sum(when(col("__kc") > dfCap, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
+        coalesce(max(col("__kc")), lit(0L)).as("max_key_count")))
       .filter(col("__kc") <= dfCap).drop("__kc")
       .write.mode("overwrite").parquet(s"$path/postings")
     sh.filter(size(col("__hs")) > 0)

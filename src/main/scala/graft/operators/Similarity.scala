@@ -619,8 +619,7 @@ object Similarity {
     val spark = queries.sparkSession
     val m = annIndexParams(spark, path)
     val cents = loadCentroids(spark, path)
-    val probes0 =
-      if (nprobe > 0) nprobe else math.max(3, math.ceil(0.7 * m.nCentroids).toInt)
+    val probes0 = if (nprobe > 0) nprobe else autoProbes(m.nCentroids)
     val probes = assignToCentroids(queries, idCol, vecCol, cents, probes0)
       .select("__id", "__cid")
     val index = spark.read.parquet(s"$path/assignments")
@@ -639,7 +638,12 @@ object Similarity {
       if (nCentroids > 0) nCentroids
       else math.max(16, math.min(4096,
         math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
-    val probes0 = if (nprobe > 0) nprobe else math.max(3, math.ceil(0.7 * k0).toInt)
+    val probes0 = if (nprobe > 0) nprobe else autoProbes(k0)
     (k0, probes0)
   }
+
+  /** The auto-probe formula — ONE definition shared by [[ivfSizing]]
+    * (live paths) and [[ivfTopKAgainstIndex]] (persisted path), so a
+    * tuning change cannot silently break their row-identity. */
+  private def autoProbes(k0: Int): Int = math.max(3, math.ceil(0.7 * k0).toInt)
 }

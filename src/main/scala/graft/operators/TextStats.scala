@@ -108,6 +108,9 @@ object TextStats {
                     targetTokensPerShard: Long = 64L * 1024 * 1024): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     require(targetTokensPerShard >= 1, "targetTokensPerShard must be >= 1")
+    require(shards >= 1 || !docs.isStreaming,
+      "auto-sizing (shards <= 0) aggregates the corpus token volume at " +
+        "plan time, which a streaming frame cannot do — pass explicit shards")
     val nShards =
       if (shards >= 1) shards
       else {

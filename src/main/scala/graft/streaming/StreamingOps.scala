@@ -178,11 +178,16 @@ object StreamingOps {
     * same native one-pass TokenProfile expression. Stateless (one
     * projection + derived columns); appends the published quality
     * columns (n_chars … quality_score) to the frame's own columns, with
-    * micro-batch decisions equal to batch row-for-row. */
+    * micro-batch decisions equal to batch row-for-row. A frame column
+    * sharing a published name (the canonical documents schema carries
+    * its own `n_chars`) is REPLACED by the computed value — never
+    * duplicated, which would make every by-name reference downstream
+    * ambiguous. */
   def streamingQuality(docs: DataFrame, textCol: String): DataFrame = {
-    val base = docs.columns.map(col).toIndexedSeq
     val (staged, cols) =
       graft.functions.TextFunctions.stagedQuality(docs, col(textCol))
+    val published = cols.map(_._1).toSet
+    val base = docs.columns.filterNot(published).map(col).toIndexedSeq
     staged.select(base ++ cols.map { case (n, c) => c.as(n) }: _*)
   }
 

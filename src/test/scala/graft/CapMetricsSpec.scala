@@ -13,6 +13,17 @@ class CapMetricsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Listener delivery is async on the bus thread: before a NEGATIVE
+    * (nothing-fired) assertion, drain until two consecutive quiet polls
+    * so a straggler from an earlier query cannot land mid-assert. */
+  private def settleDrain(): Unit = {
+    var quiet = 0
+    while (quiet < 2) {
+      if (CapMetrics.drainFired().isEmpty) quiet += 1 else quiet = 0
+      if (quiet < 2) Thread.sleep(100L)
+    }
+  }
+
   /** Run `body` with broadcast joins disabled: a broadcast-executed
     * blocking side reports no observed metrics (caveat documented on
     * Blocking.idPairs) — at scale the blocking join is a shuffle join,
@@ -64,7 +75,7 @@ class CapMetricsSpec extends AnyFunSuite {
       val calm = ((0L until 50L).map(i => (i, s"a b c d e u$i v$i w$i x$i y$i")) ++
         Seq((9000L, "z1 z2 z3 z4 z5 z6 z7 z8"), (9001L, "z1 z2 z3 z4 z5 z6 z7 z8")))
         .toDF("doc_id", "text")
-      CapMetrics.drainFired()
+      settleDrain()
       Dedup.ngramJaccardPairs(calm, "doc_id", "text", n = 5, threshold = 0.5,
         dfCap = 100).collect()
       assert(CapMetrics.awaitFired(1000L).isEmpty,
@@ -86,7 +97,7 @@ class CapMetricsSpec extends AnyFunSuite {
       val hot = ((0L until 30L).map(i => (i, s"a b c d e u$i v$i w$i x$i y$i")) ++
         Seq((9000L, "z1 z2 z3 z4 z5 z6 z7 z8"), (9001L, "z1 z2 z3 z4 z5 z6 z7 z8")))
         .toDF("doc_id", "text")
-      CapMetrics.drainFired()
+      settleDrain()
       val obs = new org.apache.spark.sql.Observation("explicit_dropstats")
       Dedup.ngramJaccardPairs(hot, "doc_id", "text", n = 5, threshold = 0.5,
         dfCap = 10, dropStats = Some(obs)).collect()

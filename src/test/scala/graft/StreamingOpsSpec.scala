@@ -229,5 +229,12 @@ class StreamingOpsSpec extends AnyFunSuite {
     // quality output keeps the frame's own columns plus the published set
     assert(qualOut.columns.startsWith(Seq("doc_id", "text")))
     assert(qualOut.columns.contains("quality_score"))
+    // a frame column colliding with a published name (documents carries
+    // its own n_chars) is REPLACED by the computed value, not duplicated
+    // into an ambiguous pair
+    val collided = StreamingOps.streamingQuality(
+      mem.toDF().toDF("doc_id", "text").withColumn("n_chars", lit(-1L)), "text")
+    assert(collided.columns.count(_ == "n_chars") == 1)
+    assert(collided.select("n_chars").schema.nonEmpty) // resolvable by name
   }
 }
