@@ -240,22 +240,6 @@ object Similarity {
     assignToCentroids(corpus, idCol, vecCol, cents, probes0)
   }
 
-  /** Deterministic corpus-sampled centroid draw with DISTINCT
-    * directions: a dup-heavy corpus (IVF's own use case) would
-    * otherwise fill most centroid slots with copies of one vector —
-    * collapsing the effective cell count and coarsening every other
-    * cell past any hot-cell cap. Oversample 8x in the same
-    * deterministic hash-of-id order, dedupe on the NORMALIZED vector
-    * (scalar multiples are one direction under cosine) driver-side,
-    * keep the first k0 distinct. Bounded driver cost (<= 8*4096
-    * vectors); identical to the plain k0 draw on a dup-free corpus, so
-    * pinned recall gates are unaffected. Corpora with > 7/8
-    * duplication may yield fewer than k0 centroids — still correct,
-    * just coarser cells. */
-  private def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                           k0: Int): Array[Array[Double]] =
-    centroidsFromDraw(drawNormalized(corpus, idCol, vecCol, 8 * k0), k0)
-
   /** The deterministic hash-of-id-ordered NORMALIZED vector draw shared
     * by centroid selection and the quantization-tightness probe (one
     * collect serves both). Bounded driver cost: `count` <= 8 * 4096. */
@@ -273,6 +257,16 @@ object Similarity {
         if (n == 0) a else a.map(_ / n)
       }
 
+  /** Centroid selection with DISTINCT directions: a dup-heavy corpus
+    * (IVF's own use case) would otherwise fill most centroid slots
+    * with copies of one vector — collapsing the effective cell count
+    * and coarsening every other cell past any hot-cell cap. The draw
+    * oversamples 8x in deterministic hash-of-id order; dedupe on the
+    * NORMALIZED vector (scalar multiples are one direction under
+    * cosine) driver-side, keep the first k0 distinct. Identical to the
+    * plain k0 draw on a dup-free corpus, so pinned recall gates are
+    * unaffected. Corpora with > 7/8 duplication may yield fewer than
+    * k0 centroids — still correct, just coarser cells. */
   private def centroidsFromDraw(drawn: Array[Array[Double]],
                                 k0: Int): Array[Array[Double]] = {
     val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
@@ -590,15 +584,24 @@ object Similarity {
   /** Parameters a persisted ANN index was built with ([[buildAnnIndex]]).
     * `nCentroids` is the REQUESTED centroid count (auto-sizing derives
     * the probe count from it exactly like the live path; the stored
-    * centroid table can be smaller on dup-heavy corpora). */
-  final case class AnnIndexParams(tables: Int, planes: Int, dim: Int, nCentroids: Int)
+    * centroid table can be smaller on dup-heavy corpora).
+    * `tightness` is the [[quantizationTightness]] measured at BUILD
+    * time over the same sample the centroids came from — persisting
+    * the statistic (not re-measuring at query time) keeps the live and
+    * persisted auto-probe decisions identical by construction.
+    * `-1.0` = built by a pre-tightness artifact; reads as "not
+    * measured" and auto-sizing takes the worst-case floor. */
+  final case class AnnIndexParams(tables: Int, planes: Int, dim: Int,
+                                  nCentroids: Int, tightness: Double = -1.0)
 
   /**
    * Persist the corpus-side ANN index at `path` (VERDICT r7 #1): the
    * asymmetric search operators re-bucketed and re-assigned the FULL
    * corpus on every query batch — at 100 TB that is the difference
    * between O(batch) and O(corpus) per run. Artifact (all parquet):
-   *  - `meta/`        (tables, planes, dim, n_centroids);
+   *  - `meta/`        (tables, planes, dim, n_centroids, tightness —
+   *                   the build-time quantization tightness that
+   *                   drives query-time probe auto-sizing);
    *  - `vectors/`     (id, double vector, norm) — the rerank side,
    *                   cast/normed ONCE at build;
    *  - `srp_buckets/` (id, table, bucket) under the fixed-seed
@@ -620,14 +623,21 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (k0, _) = ivfSizing(corpus, nCentroids, 1)
-    Seq((tables, planes, dim, k0)).toDF("tables", "planes", "dim", "n_centroids")
+    // one draw serves centroid selection AND the build-time tightness
+    // measurement — exactly the live ivfSetup split, so the persisted
+    // auto-probe decision cannot diverge from what a live run on the
+    // same corpus would decide
+    val drawn = drawNormalized(corpus, idCol, vecCol, 8 * k0)
+    val cents = centroidsFromDraw(drawn, k0)
+    val tight = quantizationTightness(drawn, cents)
+    Seq((tables, planes, dim, k0, tight))
+      .toDF("tables", "planes", "dim", "n_centroids", "tightness")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     side(corpus, idCol, vecCol, "__id", "__v", "__n")
       .write.mode("overwrite").parquet(s"$path/vectors")
     srpBuckets(corpus, idCol, vecCol, tables, planes, dim)
       .select("__id", "__table", "__bucket")
       .write.mode("overwrite").parquet(s"$path/srp_buckets")
-    val cents = ivfCentroids(corpus, idCol, vecCol, k0)
     cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }.toDF("cid", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assignToCentroids(corpus, idCol, vecCol, cents, 1)
@@ -635,11 +645,16 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/assignments")
   }
 
-  /** The artifact's build parameters (one-row read). */
+  /** The artifact's build parameters (one-row read). Pre-tightness
+    * artifacts (no `tightness` column) read as -1.0 = not measured. */
   def annIndexParams(spark: SparkSession, path: String): AnnIndexParams = {
-    val r = spark.read.parquet(s"$path/meta").head()
+    val df = spark.read.parquet(s"$path/meta")
+    val r = df.head()
+    val tight =
+      if (df.schema.fieldNames.contains("tightness")) r.getAs[Double]("tightness")
+      else -1.0
     AnnIndexParams(r.getAs[Int]("tables"), r.getAs[Int]("planes"),
-      r.getAs[Int]("dim"), r.getAs[Int]("n_centroids"))
+      r.getAs[Int]("dim"), r.getAs[Int]("n_centroids"), tight)
   }
 
   private def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
@@ -678,8 +693,10 @@ object Similarity {
     * cells; the inverted file is the `assignments/` read (hot cells
     * truncated at `cellCap` exactly like the live path) and the rerank
     * reads `vectors/`. `nprobe <= 0` auto-sizes from the artifact's
-    * requested centroid count — the same formula as the live path, so
-    * the two stay row-identical. */
+    * requested centroid count AND its build-time tightness — the same
+    * two-arg formula as the live path reading the same statistic, so
+    * the two stay row-identical (clustered corpus ⇒ both probe the
+    * small constant; random ⇒ both take the worst-case floor). */
   def ivfTopKAgainstIndex(queries: DataFrame, idCol: String, vecCol: String,
                           path: String, k: Int, nprobe: Int = 0,
                           cellCap: Int = 4096,
@@ -688,7 +705,7 @@ object Similarity {
     val spark = queries.sparkSession
     val m = annIndexParams(spark, path)
     val cents = loadCentroids(spark, path)
-    val probes0 = if (nprobe > 0) nprobe else autoProbes(m.nCentroids)
+    val probes0 = if (nprobe > 0) nprobe else autoProbes(m.nCentroids, m.tightness)
     val probes = assignToCentroids(queries, idCol, vecCol, cents, probes0)
       .select("__id", "__cid")
     val index = spark.read.parquet(s"$path/assignments")
@@ -711,8 +728,23 @@ object Similarity {
     (k0, probes0)
   }
 
-  /** The auto-probe formula — ONE definition shared by [[ivfSizing]]
-    * (live paths) and [[ivfTopKAgainstIndex]] (persisted path), so a
-    * tuning change cannot silently break their row-identity. */
+  /** The worst-case auto-probe floor — ONE definition shared by
+    * [[ivfSizing]] (live paths) and [[ivfTopKAgainstIndex]] (persisted
+    * path), so a tuning change cannot silently break their
+    * row-identity. On near-random structure (this testdata) the
+    * nearest centroid is barely better than any other, so only a 70%
+    * probe fraction holds the pinned recall gates. */
   private def autoProbes(k0: Int): Int = math.max(3, math.ceil(0.7 * k0).toInt)
+
+  /** Tightness-aware auto-probe (VERDICT r7 #8): a corpus MEASURED
+    * clustered ([[quantizationTightness]] >= [[ClusteredTightness]])
+    * keeps near neighbors in the few nearest cells, so a small
+    * constant probe count (<= 8) holds recall at ~k0/8-fold pruning;
+    * anything else — including the `-1.0` "not measured" sentinel the
+    * explicit-nprobe paths carry — falls back to the worst-case
+    * floor. Clustering can only REDUCE the probe count (`min` with
+    * the floor), never raise it, so small-k0 behavior is unchanged. */
+  private def autoProbes(k0: Int, tightness: Double): Int =
+    if (tightness >= ClusteredTightness) math.min(8, autoProbes(k0))
+    else autoProbes(k0)
 }

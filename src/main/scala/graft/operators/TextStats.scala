@@ -99,6 +99,10 @@ object TextStats {
    * NOTE: the shard count changes the shard KEY, hence the output —
    * pass explicit `shards` where byte-stable output matters across
    * differently-sized corpora (the graded `q_pack_sequences` does).
+   * BEHAVIOR CHANGE (round 8): `shards` defaults to 0 = auto-sized
+   * (previously 64), which both changes the default output and runs
+   * one eager corpus-wide token-count aggregate at plan-build time.
+   * Callers that relied on the old default should pass `shards = 64`.
    *
    * Output: (doc_id, shard, seq_id, tok_offset, n_tokens) — tok_offset
    * is the doc's starting token position within its shard's stream.

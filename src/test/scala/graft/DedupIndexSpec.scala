@@ -104,8 +104,12 @@ class DedupIndexSpec extends AnyFunSuite {
     val p = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
     Similarity.buildAnnIndex(emb, "vec_id", "embedding", p,
       tables = 12, planes = 6, dim = 64, nCentroids = 16)
-    assert(Similarity.annIndexParams(spark, p) ==
-      Similarity.AnnIndexParams(12, 6, 64, 16))
+    val params = Similarity.annIndexParams(spark, p)
+    assert(params.copy(tightness = -1.0) == Similarity.AnnIndexParams(12, 6, 64, 16))
+    // random testdata embeddings must measure far below the clustered
+    // threshold, so auto-sizing takes the worst-case floor on BOTH paths
+    assert(params.tightness >= 0.0 && params.tightness < 0.75,
+      s"expected near-random build-time tightness, got ${params.tightness}")
     val srpLive = Similarity.annTopKAgainst(queries, emb, "vec_id", "embedding",
       k = 5, tables = 12, planes = 6, dim = 64)
     val srpIndexed = Similarity.annTopKAgainstIndex(queries, "vec_id", "embedding",

@@ -388,4 +388,77 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (truth & ann).size.toDouble / truth.size
     assert(recall >= 0.95, f"recall@5 = $recall%.4f over ${truth.size} neighbor slots")
   }
+
+  /** The seeded planted-cluster frame shared with q_gate_ivf_clustered:
+    * 20 clusters x 50 vectors, sigma small vs inter-center distance —
+    * measured quantization tightness ~0.97, far above the 0.75
+    * clustered threshold. */
+  private def clusteredFrame = {
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("adaptive auto-nprobe: clustered corpus probes <= 8 cells at recall >= 0.95; " +
+    "random corpus keeps the worst-case floor (VERDICT r7 #8 contract)") {
+    // clustered: the auto path must behave EXACTLY like explicit
+    // nprobe=8 (= min(8, ceil(0.7*32))) — row-identity on the probe
+    // assignments pins both that the tightness detector fired and the
+    // adaptive formula itself
+    val df = clusteredFrame
+    val auto = Similarity.ivfAssignments(df, "vec_id", "embedding",
+      nCentroids = 32, nprobe = 0).select("__id", "__cid", "__rank")
+    val explicit8 = Similarity.ivfAssignments(df, "vec_id", "embedding",
+      nCentroids = 32, nprobe = 8).select("__id", "__cid", "__rank")
+    assert(auto.exceptAll(explicit8).isEmpty && explicit8.exceptAll(auto).isEmpty,
+      "clustered auto-sizing must equal explicit nprobe=8")
+    // ...and the small probe count holds the recall gate (r7 #8
+    // done-criterion: >= 0.95 with nprobe <= 8 on clustered structure)
+    val truth = Similarity.bruteForceTopK(df.filter(col("vec_id") < 200), df,
+        "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfAuto = Similarity.ivfTopK(df, "vec_id", "embedding", k = 5,
+        nCentroids = 32, nprobe = 0)
+      .filter(col("vec_id") < 200)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ivfAuto).size.toDouble / truth.size
+    assert(recall >= 0.95, f"clustered AUTO IVF recall@5 = $recall%.4f")
+    // near-random testdata: tightness sits ~0.25 << 0.75, so auto must
+    // keep the worst-case floor ceil(0.7*16) = 12 — NOT the clustered
+    // constant
+    val rAuto = Similarity.ivfAssignments(sfEmb, "vec_id", "embedding",
+      nCentroids = 16, nprobe = 0).select("__id", "__cid", "__rank")
+    val rFloor = Similarity.ivfAssignments(sfEmb, "vec_id", "embedding",
+      nCentroids = 16, nprobe = 12).select("__id", "__cid", "__rank")
+    assert(rAuto.exceptAll(rFloor).isEmpty && rFloor.exceptAll(rAuto).isEmpty,
+      "random-corpus auto-sizing must equal the ceil(0.7*k0) floor")
+  }
+
+  test("adaptive auto-nprobe: persisted index stores build-time tightness and " +
+    "stays row-identical to the live auto path on a clustered corpus") {
+    val df = clusteredFrame
+    val queries = df.filter(col("vec_id") < 100)
+    val p = java.nio.file.Files.createTempDirectory("graft_ann_tight").toString
+    Similarity.buildAnnIndex(df, "vec_id", "embedding", p,
+      tables = 12, planes = 6, dim = 32, nCentroids = 32)
+    val params = Similarity.annIndexParams(spark, p)
+    assert(params.tightness >= 0.75,
+      s"clustered corpus must measure tightness >= ClusteredTightness at " +
+        s"build, got ${params.tightness}")
+    // live auto (ivfSetup measures tightness on the fly) vs persisted
+    // auto (tightness read from meta/): ONE decision, two carriers —
+    // the row sets must match
+    val live = Similarity.ivfTopKAgainst(queries, df, "vec_id", "embedding",
+      k = 5, nCentroids = 32, nprobe = 0)
+    val indexed = Similarity.ivfTopKAgainstIndex(queries, "vec_id", "embedding",
+      p, k = 5, nprobe = 0)
+    assert(indexed.exceptAll(live).isEmpty && live.exceptAll(indexed).isEmpty,
+      "persisted auto-sized IVF must be row-identical to the live auto path")
+  }
 }
