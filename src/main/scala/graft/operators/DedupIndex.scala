@@ -43,14 +43,14 @@ import org.apache.spark.sql.functions._
  * each.
  *
  * 100 TB notes: delta-run work is probe-side compute (O(batch)) plus a
- * column-pruned scan of the blocking table and an equi-join on it. On a
- * real cluster, persist `postings/` and `bands/` bucketed by their join
- * key (`CLUSTERED BY (g) / (bd, bs)` into a metastore table) and the
- * delta join co-locates against the bucketing with no index-side
- * shuffle; the parquet layout here carries the same columns, so only
- * the write call changes. Re-shingling avoidance — the dominant cost —
- * is what DedupIndexSpec pins on the plan (no ShingleHashes over
- * anything but the new batch).
+ * column-pruned scan of the blocking table and an equi-join on it.
+ * [[buildTables]] persists the same artifact as BUCKETED managed
+ * tables clustered by each table's delta-join key, and the
+ * `*AgainstTables` operators then co-locate against the bucketing with
+ * NO index-side shuffle — only the O(batch) probe side is ever
+ * exchanged (DedupIndexSpec asserts the plan). Re-shingling avoidance
+ * — the dominant cost — is what DedupIndexSpec pins on the plan (no
+ * ShingleHashes over anything but the new batch).
  *
  * Refreshing after a batch is appended to the corpus is the same
  * build over the new corpus, or an append of the batch's rows to each
@@ -62,42 +62,111 @@ object DedupIndex {
   /** Sketch parameters an artifact was built with. */
   final case class Params(n: Int, dfCap: Int, numPerm: Int, bands: Int)
 
+  /** How a build persists one artifact table: (frame, table name,
+    * bucket columns = the table's delta-join key, in-bucket sort
+    * columns). The parquet-dir writer ignores the key columns; the
+    * bucketed-table writer CLUSTERS BY them. */
+  private type TableWriter = (DataFrame, String, Seq[String], Seq[String]) => Unit
+
+  /** How delta queries read one artifact table by name. */
+  private type TableReader = String => DataFrame
+
+  private def pathReader(spark: SparkSession, path: String): TableReader =
+    name => spark.read.parquet(s"$path/$name")
+
+  private def tableReader(spark: SparkSession, prefix: String): TableReader =
+    name => spark.table(s"${prefix}_$name")
+
   /** Build the index artifact for `corpus` at `path` (overwrites). */
   def build(corpus: DataFrame, idCol: String, textCol: String, path: String,
             n: Int = 5, dfCap: Int = 100, numPerm: Int = 64,
-            bands: Int = 32): Unit = {
+            bands: Int = 32): Unit =
+    buildWith(corpus, idCol, textCol, n, dfCap, numPerm, bands,
+      write = (df, name, _, _) =>
+        df.write.mode("overwrite").parquet(s"$path/$name"),
+      writeMeta = df =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$path/meta"),
+      read = pathReader(corpus.sparkSession, path))
+
+  /**
+   * [[build]], but every artifact table is a BUCKETED managed table
+   * (`CLUSTERED BY` its delta-join key into `buckets` buckets, sorted
+   * within buckets) named `${prefix}_{meta,fingerprints,shingles,
+   * postings,bands}` — the 100 TB shape the parquet-dir layout's
+   * scaladoc promised. Spark's bucketing IS its shuffle hash
+   * partitioning, so a delta join against a bucketed table satisfies
+   * the join's required distribution from the scan alone:
+   * EnsureRequirements shuffles ONLY the O(batch) probe side, and the
+   * 100 TB index side is read in place, never exchanged
+   * (DedupIndexSpec asserts no shuffle above the index scans). The
+   * same holds for the minhash path's hot-bucket running-count window
+   * — it partitions by the same key the table is bucketed by.
+   * `buckets` should be sized so one bucket of the LARGEST table
+   * (`postings`) fits an executor core's scan budget (~128-256 MB);
+   * at 100 TB that is tens of thousands of buckets.
+   */
+  def buildTables(corpus: DataFrame, idCol: String, textCol: String,
+                  prefix: String, buckets: Int = 256,
+                  n: Int = 5, dfCap: Int = 100, numPerm: Int = 64,
+                  bands: Int = 32): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    buildWith(corpus, idCol, textCol, n, dfCap, numPerm, bands,
+      write = (df, name, bucketCols, sortCols) => {
+        val w = df.write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+          .saveAsTable(s"${prefix}_$name")
+      },
+      writeMeta = df => df.coalesce(1).write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${prefix}_meta"),
+      read = tableReader(corpus.sparkSession, prefix))
+  }
+
+  /** The one build pipeline behind both layouts — the artifact's
+    * content is writer-independent by construction. */
+  private def buildWith(corpus: DataFrame, idCol: String, textCol: String,
+                        n: Int, dfCap: Int, numPerm: Int, bands: Int,
+                        write: TableWriter, writeMeta: DataFrame => Unit,
+                        read: TableReader): Unit = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((n, dfCap, numPerm, bands)).toDF("n", "df_cap", "num_perm", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    corpus.select(md5(col(textCol)).as("fp")).distinct()
-      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    writeMeta(Seq((n, dfCap, numPerm, bands))
+      .toDF("n", "df_cap", "num_perm", "bands"))
+    write(corpus.select(md5(col(textCol)).as("fp")).distinct(),
+      "fingerprints", Seq("fp"), Seq("fp"))
     // shingle ONCE; everything else derives from the written artifact
-    Dedup.shingled(corpus, idCol, textCol, n)
-      .write.mode("overwrite").parquet(s"$path/shingles")
-    val sh = spark.read.parquet(s"$path/shingles")
+    write(Dedup.shingled(corpus, idCol, textCol, n),
+      "shingles", Seq("__id"), Seq("__id"))
+    val sh = read("shingles")
     val inv = sh.select(col("__id"), explode(col("__hs")).as("__g"))
     val counted = inv
       .withColumn("__kc", count(lit(1)).over(Window.partitionBy(col("__g"))))
     // the build-time df-cap is a cap like any other: its drops surface
     // through the same engine-visible metrics node (CapMetrics WARN-logs
     // a build that bakes stop-shingle drops into the artifact)
-    Blocking.observeCap(counted, None, "indexbuild_dfcap", Seq(
+    write(Blocking.observeCap(counted, None, "indexbuild_dfcap", Seq(
         sum(when(col("__kc") > dfCap, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
         coalesce(max(col("__kc")), lit(0L)).as("max_key_count")))
-      .filter(col("__kc") <= dfCap).drop("__kc")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    sh.filter(size(col("__hs")) > 0)
+      .filter(col("__kc") <= dfCap).drop("__kc"),
+      "postings", Seq("__g"), Seq("__g"))
+    write(sh.filter(size(col("__hs")) > 0)
       .select(col("__id"),
         posexplode(graft.functions.MinHashBands.minhashBandsFromHashes(
-          col("__hs"), numPerm, bands)).as(Seq("__bd", "__bs")))
-      .write.mode("overwrite").parquet(s"$path/bands")
+          col("__hs"), numPerm, bands)).as(Seq("__bd", "__bs"))),
+      "bands", Seq("__bd", "__bs"), Seq("__bd", "__bs"))
   }
 
   /** The artifact's build parameters (one-row read). */
-  def params(spark: SparkSession, path: String): Params = {
-    val r = spark.read.parquet(s"$path/meta").head()
+  def params(spark: SparkSession, path: String): Params =
+    paramsOf(pathReader(spark, path)("meta"))
+
+  /** [[params]] for a [[buildTables]] artifact. */
+  def paramsFromTables(spark: SparkSession, prefix: String): Params =
+    paramsOf(tableReader(spark, prefix)("meta"))
+
+  private def paramsOf(meta: DataFrame): Params = {
+    val r = meta.head()
     Params(r.getAs[Int]("n"), r.getAs[Int]("df_cap"),
       r.getAs[Int]("num_perm"), r.getAs[Int]("bands"))
   }
@@ -106,9 +175,21 @@ object DedupIndex {
     * one anti-join on md5; the corpus is never read. Row-identical to
     * the live operator over the corpus the index was built from. */
   def exactDedupAgainst(newDocs: DataFrame, textCol: String,
-                        path: String): DataFrame = {
-    val fps = newDocs.sparkSession.read.parquet(s"$path/fingerprints")
-      .select(col("fp").as("__fp"))
+                        path: String): DataFrame =
+    exactDedupFrom(newDocs, textCol,
+      pathReader(newDocs.sparkSession, path))
+
+  /** [[exactDedupAgainst]] for a [[buildTables]] artifact — the
+    * bucketed fingerprint table side of the anti-join needs no
+    * exchange. */
+  def exactDedupAgainstTables(newDocs: DataFrame, textCol: String,
+                              prefix: String): DataFrame =
+    exactDedupFrom(newDocs, textCol,
+      tableReader(newDocs.sparkSession, prefix))
+
+  private def exactDedupFrom(newDocs: DataFrame, textCol: String,
+                             read: TableReader): DataFrame = {
+    val fps = read("fingerprints").select(col("fp").as("__fp"))
     newDocs
       .withColumn("__fp", md5(col(textCol)))
       .join(fps, Seq("__fp"), "left_anti")
@@ -127,14 +208,29 @@ object DedupIndex {
    */
   def ngramJaccardPairsAgainst(newDocs: DataFrame, idCol: String, textCol: String,
                                path: String,
-                               threshold: Double = 0.5): DataFrame = {
-    val spark = newDocs.sparkSession
-    val p = params(spark, path)
+                               threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsFrom(newDocs, idCol, textCol, threshold,
+      pathReader(newDocs.sparkSession, path))
+
+  /** [[ngramJaccardPairsAgainst]] for a [[buildTables]] artifact: the
+    * candidate join reads `postings` in place against its bucketing
+    * (only the new batch's inverted rows shuffle), and the
+    * candidate-only shingle read is bucketed on `__id`. */
+  def ngramJaccardPairsAgainstTables(newDocs: DataFrame, idCol: String,
+                                     textCol: String, prefix: String,
+                                     threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsFrom(newDocs, idCol, textCol, threshold,
+      tableReader(newDocs.sparkSession, prefix))
+
+  private def ngramJaccardPairsFrom(newDocs: DataFrame, idCol: String,
+                                    textCol: String, threshold: Double,
+                                    read: TableReader): DataFrame = {
+    val p = paramsOf(read("meta"))
     val newInv = Dedup.shingled(newDocs, idCol, textCol, p.n)
       .select(col("__id"), explode(col("__hs")).as("__g"))
-    val postings = spark.read.parquet(s"$path/postings")
-    val cands = Blocking.idPairsAcross(newInv, postings, Seq("__g"), "__a", "__b")
-    verifyAgainstIndex(cands, newDocs, idCol, textCol, p.n, path, threshold)
+    val cands = Blocking.idPairsAcross(newInv, read("postings"), Seq("__g"),
+      "__a", "__b")
+    verifyAgainstIndex(cands, newDocs, idCol, textCol, p.n, threshold, read)
   }
 
   /**
@@ -150,14 +246,33 @@ object DedupIndex {
   def minhashLshPairsAgainst(newDocs: DataFrame, idCol: String, textCol: String,
                              path: String, threshold: Double = 0.5,
                              indexBucketCap: Option[Int] = None,
-                             dropStats: Option[Observation] = None): DataFrame = {
-    val spark = newDocs.sparkSession
-    val p = params(spark, path)
+                             dropStats: Option[Observation] = None): DataFrame =
+    minhashLshPairsFrom(newDocs, idCol, textCol, threshold, indexBucketCap,
+      dropStats, pathReader(newDocs.sparkSession, path))
+
+  /** [[minhashLshPairsAgainst]] for a [[buildTables]] artifact: both
+    * the hot-bucket running-count window (when `indexBucketCap` is
+    * set) and the candidate join consume the `bands` table's
+    * (`__bd`, `__bs`) bucketing directly — the index side is scanned
+    * in place, never exchanged. */
+  def minhashLshPairsAgainstTables(newDocs: DataFrame, idCol: String,
+                                   textCol: String, prefix: String,
+                                   threshold: Double = 0.5,
+                                   indexBucketCap: Option[Int] = None,
+                                   dropStats: Option[Observation] = None): DataFrame =
+    minhashLshPairsFrom(newDocs, idCol, textCol, threshold, indexBucketCap,
+      dropStats, tableReader(newDocs.sparkSession, prefix))
+
+  private def minhashLshPairsFrom(newDocs: DataFrame, idCol: String,
+                                  textCol: String, threshold: Double,
+                                  indexBucketCap: Option[Int],
+                                  dropStats: Option[Observation],
+                                  read: TableReader): DataFrame = {
+    val p = paramsOf(read("meta"))
     val qBands = Dedup.bandRows(newDocs, idCol, textCol, p.n, p.numPerm, p.bands)
-    val iBands = spark.read.parquet(s"$path/bands")
-    val cands = Blocking.idPairsAcross(qBands, iBands, Seq("__bd", "__bs"),
+    val cands = Blocking.idPairsAcross(qBands, read("bands"), Seq("__bd", "__bs"),
       "__a", "__b", indexBucketCap, truncate = true, dropStats = dropStats)
-    verifyAgainstIndex(cands, newDocs, idCol, textCol, p.n, path, threshold)
+    verifyAgainstIndex(cands, newDocs, idCol, textCol, p.n, threshold, read)
   }
 
   /** Exact-Jaccard verify for (new `__a`, corpus `__b`) candidates with
@@ -169,12 +284,13 @@ object DedupIndex {
     * dedup decision for a pair cannot diverge between paths. */
   private def verifyAgainstIndex(cands: DataFrame, newDocs: DataFrame,
                                  idCol: String, textCol: String, n: Int,
-                                 path: String, threshold: Double): DataFrame = {
+                                 threshold: Double,
+                                 read: TableReader): DataFrame = {
     val newSh = newDocs.select(col(idCol).as("__a"), col(textCol).as("__t"))
       .join(cands.select("__a").distinct(), "__a")
       .select(col("__a"),
         graft.functions.ShingleHashes.shingleHashes(col("__t"), n).as("__sha"))
-    val oldSh = newDocs.sparkSession.read.parquet(s"$path/shingles")
+    val oldSh = read("shingles")
       .select(col("__id").as("__b"), col("__hs").as("__shb"))
       .join(cands.select("__b").distinct(), "__b")
     Dedup.jaccardScored(cands.join(newSh, "__a").join(oldSh, "__b"),

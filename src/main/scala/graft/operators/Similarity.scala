@@ -613,13 +613,52 @@ object Similarity {
    *  - `assignments/` (id, cell) rank-1 inverted file.
    * Query with [[annTopKAgainstIndex]] / [[ivfTopKAgainstIndex]] —
    * row-identical to the live `*Against` operators over the same
-   * corpus (SimilaritySpec pins this). On a cluster, bucket
-   * `srp_buckets/` and `assignments/` by their blocking key into a
-   * metastore table and the delta join co-locates shuffle-free.
+   * corpus (SimilaritySpec pins this). [[buildAnnIndexTables]] writes
+   * the same artifact as BUCKETED managed tables so the delta joins
+   * co-locate shuffle-free on a cluster.
    */
   def buildAnnIndex(corpus: DataFrame, idCol: String, vecCol: String, path: String,
                     tables: Int = 12, planes: Int = 6, dim: Int = 64,
-                    nCentroids: Int = 0): Unit = {
+                    nCentroids: Int = 0): Unit =
+    buildAnnIndexWith(corpus, idCol, vecCol, tables, planes, dim, nCentroids,
+      write = (df, name, _, _) =>
+        df.write.mode("overwrite").parquet(s"$path/$name"),
+      writeSmall = (df, name) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$path/$name"))
+
+  /**
+   * [[buildAnnIndex]], but the per-row artifact tables are BUCKETED
+   * managed tables `${prefix}_{vectors,srp_buckets,assignments}`
+   * (clustered by their join key into `buckets` buckets; the one-row
+   * `meta` and driver-sized `centroids` stay plain tables). The
+   * `*AgainstIndexTables` query operators then satisfy every blocking
+   * join's required distribution from the scan alone: the O(corpus)
+   * index side — inverted file, SRP bucket table, rerank vectors — is
+   * read in place and never exchanged; only the O(batch) query side
+   * shuffles. The hot-cell running-count guard partitions by the same
+   * key the table is bucketed by, so it too rides the bucketing.
+   */
+  def buildAnnIndexTables(corpus: DataFrame, idCol: String, vecCol: String,
+                          prefix: String, buckets: Int = 256,
+                          tables: Int = 12, planes: Int = 6, dim: Int = 64,
+                          nCentroids: Int = 0): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    buildAnnIndexWith(corpus, idCol, vecCol, tables, planes, dim, nCentroids,
+      write = (df, name, bucketCols, sortCols) => {
+        val w = df.write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+          .saveAsTable(s"${prefix}_$name")
+      },
+      writeSmall = (df, name) => df.coalesce(1).write.mode("overwrite")
+        .format("parquet").saveAsTable(s"${prefix}_$name"))
+  }
+
+  /** The one ANN-index build pipeline behind both layouts. */
+  private def buildAnnIndexWith(corpus: DataFrame, idCol: String, vecCol: String,
+                                tables: Int, planes: Int, dim: Int, nCentroids: Int,
+                                write: (DataFrame, String, Seq[String], Seq[String]) => Unit,
+                                writeSmall: (DataFrame, String) => Unit): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (k0, _) = ivfSizing(corpus, nCentroids, 1)
@@ -630,25 +669,39 @@ object Similarity {
     val drawn = drawNormalized(corpus, idCol, vecCol, 8 * k0)
     val cents = centroidsFromDraw(drawn, k0)
     val tight = quantizationTightness(drawn, cents)
-    Seq((tables, planes, dim, k0, tight))
-      .toDF("tables", "planes", "dim", "n_centroids", "tightness")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    side(corpus, idCol, vecCol, "__id", "__v", "__n")
-      .write.mode("overwrite").parquet(s"$path/vectors")
-    srpBuckets(corpus, idCol, vecCol, tables, planes, dim)
-      .select("__id", "__table", "__bucket")
-      .write.mode("overwrite").parquet(s"$path/srp_buckets")
-    cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }.toDF("cid", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    assignToCentroids(corpus, idCol, vecCol, cents, 1)
-      .select(col("__id"), col("__cid"))
-      .write.mode("overwrite").parquet(s"$path/assignments")
+    writeSmall(Seq((tables, planes, dim, k0, tight))
+      .toDF("tables", "planes", "dim", "n_centroids", "tightness"), "meta")
+    write(side(corpus, idCol, vecCol, "__id", "__v", "__n"),
+      "vectors", Seq("__id"), Seq("__id"))
+    write(srpBuckets(corpus, idCol, vecCol, tables, planes, dim)
+      .select("__id", "__table", "__bucket"),
+      "srp_buckets", Seq("__table", "__bucket"), Seq("__table", "__bucket"))
+    writeSmall(cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "vec"), "centroids")
+    write(assignToCentroids(corpus, idCol, vecCol, cents, 1)
+      .select(col("__id"), col("__cid")),
+      "assignments", Seq("__cid"), Seq("__cid"))
   }
+
+  /** How the persisted-index query operators read one artifact table. */
+  private type AnnReader = String => DataFrame
+
+  private def annPathReader(spark: SparkSession, path: String): AnnReader =
+    name => spark.read.parquet(s"$path/$name")
+
+  private def annTableReader(spark: SparkSession, prefix: String): AnnReader =
+    name => spark.table(s"${prefix}_$name")
 
   /** The artifact's build parameters (one-row read). Pre-tightness
     * artifacts (no `tightness` column) read as -1.0 = not measured. */
-  def annIndexParams(spark: SparkSession, path: String): AnnIndexParams = {
-    val df = spark.read.parquet(s"$path/meta")
+  def annIndexParams(spark: SparkSession, path: String): AnnIndexParams =
+    annParamsOf(annPathReader(spark, path)("meta"))
+
+  /** [[annIndexParams]] for a [[buildAnnIndexTables]] artifact. */
+  def annIndexParamsFromTables(spark: SparkSession, prefix: String): AnnIndexParams =
+    annParamsOf(annTableReader(spark, prefix)("meta"))
+
+  private def annParamsOf(df: DataFrame): AnnIndexParams = {
     val r = df.head()
     val tight =
       if (df.schema.fieldNames.contains("tightness")) r.getAs[Double]("tightness")
@@ -657,13 +710,13 @@ object Similarity {
       r.getAs[Int]("dim"), r.getAs[Int]("n_centroids"), tight)
   }
 
-  private def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
-    spark.read.parquet(s"$path/centroids").orderBy("cid").collect()
+  private def loadCentroids(read: AnnReader): Array[Array[Double]] =
+    read("centroids").orderBy("cid").collect()
       .map(_.getSeq[Double](1).toArray)
 
   /** The persisted rerank side, renamed for [[directedTopKFromSides]]. */
-  private def indexVectorSide(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/vectors")
+  private def indexVectorSide(read: AnnReader): DataFrame =
+    read("vectors")
       .select(col("__id").as("__cid"), col("__v").as("__vc"), col("__n").as("__nc"))
 
   /** [[annTopKAgainst]] from a persisted index: queries bucket live
@@ -675,17 +728,36 @@ object Similarity {
                           path: String, k: Int,
                           indexBucketCap: Option[Int] = None,
                           dropStats: Option[Observation] = None,
-                          excludeSameId: Boolean = true): DataFrame = {
-    val spark = queries.sparkSession
-    val m = annIndexParams(spark, path)
+                          excludeSameId: Boolean = true): DataFrame =
+    annTopKAgainstIndexFrom(queries, idCol, vecCol, k, indexBucketCap,
+      dropStats, excludeSameId, annPathReader(queries.sparkSession, path))
+
+  /** [[annTopKAgainstIndex]] for a [[buildAnnIndexTables]] artifact:
+    * the SRP bucket table and the rerank vectors are consumed against
+    * their bucketing — only the query batch is exchanged. */
+  def annTopKAgainstIndexTables(queries: DataFrame, idCol: String, vecCol: String,
+                                prefix: String, k: Int,
+                                indexBucketCap: Option[Int] = None,
+                                dropStats: Option[Observation] = None,
+                                excludeSameId: Boolean = true): DataFrame =
+    annTopKAgainstIndexFrom(queries, idCol, vecCol, k, indexBucketCap,
+      dropStats, excludeSameId, annTableReader(queries.sparkSession, prefix))
+
+  private def annTopKAgainstIndexFrom(queries: DataFrame, idCol: String,
+                                      vecCol: String, k: Int,
+                                      indexBucketCap: Option[Int],
+                                      dropStats: Option[Observation],
+                                      excludeSameId: Boolean,
+                                      read: AnnReader): DataFrame = {
+    val m = annParamsOf(read("meta"))
     val qb = srpBuckets(queries, idCol, vecCol, m.tables, m.planes, m.dim)
       .select("__id", "__table", "__bucket")
-    val cb = spark.read.parquet(s"$path/srp_buckets")
-    val ids = Blocking.idPairsAcross(qb, cb, Seq("__table", "__bucket"),
+    val ids = Blocking.idPairsAcross(qb, read("srp_buckets"),
+      Seq("__table", "__bucket"),
       "__qid", "__cid", indexBucketCap, truncate = true, dropStats = dropStats)
     directedTopKFromSides(ids,
       side(queries, idCol, vecCol, "__qid", "__vq", "__nq"),
-      indexVectorSide(spark, path), idCol, k, excludeSameId)
+      indexVectorSide(read), idCol, k, excludeSameId)
   }
 
   /** [[ivfTopKAgainst]] from a persisted index: queries score against
@@ -701,19 +773,38 @@ object Similarity {
                           path: String, k: Int, nprobe: Int = 0,
                           cellCap: Int = 4096,
                           dropStats: Option[Observation] = None,
-                          excludeSameId: Boolean = true): DataFrame = {
-    val spark = queries.sparkSession
-    val m = annIndexParams(spark, path)
-    val cents = loadCentroids(spark, path)
+                          excludeSameId: Boolean = true): DataFrame =
+    ivfTopKAgainstIndexFrom(queries, idCol, vecCol, k, nprobe, cellCap,
+      dropStats, excludeSameId, annPathReader(queries.sparkSession, path))
+
+  /** [[ivfTopKAgainstIndex]] for a [[buildAnnIndexTables]] artifact:
+    * the inverted file's hot-cell guard and cell join both ride the
+    * `assignments` table's `__cid` bucketing — the index is scanned in
+    * place, never exchanged. */
+  def ivfTopKAgainstIndexTables(queries: DataFrame, idCol: String, vecCol: String,
+                                prefix: String, k: Int, nprobe: Int = 0,
+                                cellCap: Int = 4096,
+                                dropStats: Option[Observation] = None,
+                                excludeSameId: Boolean = true): DataFrame =
+    ivfTopKAgainstIndexFrom(queries, idCol, vecCol, k, nprobe, cellCap,
+      dropStats, excludeSameId, annTableReader(queries.sparkSession, prefix))
+
+  private def ivfTopKAgainstIndexFrom(queries: DataFrame, idCol: String,
+                                      vecCol: String, k: Int, nprobe: Int,
+                                      cellCap: Int,
+                                      dropStats: Option[Observation],
+                                      excludeSameId: Boolean,
+                                      read: AnnReader): DataFrame = {
+    val m = annParamsOf(read("meta"))
+    val cents = loadCentroids(read)
     val probes0 = if (nprobe > 0) nprobe else autoProbes(m.nCentroids, m.tightness)
     val probes = assignToCentroids(queries, idCol, vecCol, cents, probes0)
       .select("__id", "__cid")
-    val index = spark.read.parquet(s"$path/assignments")
-    val ids = Blocking.idPairsAcross(probes, index, Seq("__cid"),
+    val ids = Blocking.idPairsAcross(probes, read("assignments"), Seq("__cid"),
       "__qid", "__cid", Some(cellCap), truncate = true, dropStats = dropStats)
     directedTopKFromSides(ids,
       side(queries, idCol, vecCol, "__qid", "__vq", "__nq"),
-      indexVectorSide(spark, path), idCol, k, excludeSameId)
+      indexVectorSide(read), idCol, k, excludeSameId)
   }
 
   /** Auto-sizing shared by the self-search and asymmetric IVF paths —

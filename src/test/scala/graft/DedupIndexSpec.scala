@@ -69,6 +69,110 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(rows(indexedCapped) == rows(liveCapped))
   }
 
+  test("bucketed-table index: row-identical to the parquet artifact; " +
+    "index side joins shuffle-free (plan-asserted)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prefix = "graft_didx"
+    DedupIndex.buildTables(oldDocs, "doc_id", "text", prefix, buckets = 8,
+      n = 5, dfCap = 100, numPerm = 64, bands = 32)
+    assert(DedupIndex.paramsFromTables(spark, prefix) ==
+      DedupIndex.Params(5, 100, 64, 32))
+    // broadcast would erase the partitioning question entirely on these
+    // tiny test tables — pin the shuffle-based plan the 100 TB case gets
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ngramT = DedupIndex.ngramJaccardPairsAgainstTables(
+        newDocs, "doc_id", "text", prefix)
+      assert(rows(ngramT) == rows(DedupIndex.ngramJaccardPairsAgainst(
+        newDocs, "doc_id", "text", indexPath)))
+      val mhT = DedupIndex.minhashLshPairsAgainstTables(
+        newDocs, "doc_id", "text", prefix)
+      assert(rows(mhT) == rows(DedupIndex.minhashLshPairsAgainst(
+        newDocs, "doc_id", "text", indexPath)))
+      assert(rows(DedupIndex.exactDedupAgainstTables(newDocs, "text", prefix)) ==
+        rows(DedupIndex.exactDedupAgainst(newDocs, "text", indexPath)))
+      // the scale claim: the blocking join consumes the index table's
+      // bucketing in place — bucketed scan present, and the path from
+      // that scan UP TO ITS FIRST JOIN crosses no shuffle exchange
+      // (shuffles above the join are the joined result's business;
+      // only the O(batch) probe side may be exchanged before it)
+      for ((df, table) <- Seq((ngramT, s"${prefix}_postings"),
+                              (mhT, s"${prefix}_bands"))) {
+        val root = { df.queryExecution.toRdd.count(); df.queryExecution.executedPlan }
+        val nodes = PlanWalk.subtree(root)
+        val indexScans = nodes.collect {
+          case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == table) => f
+        }
+        assert(indexScans.nonEmpty, s"no scan of $table in the plan")
+        assert(indexScans.forall(_.bucketedScan), s"scan of $table not bucketed")
+        indexScans.foreach { scan =>
+          val path = PlanWalk.pathTo(root, scan)
+            .getOrElse(fail(s"scan of $table unreachable from the plan root"))
+          val belowJoin = path.reverse.takeWhile(
+            !_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+          assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeLike]),
+            s"index table $table was shuffled before its blocking join:\n" +
+              belowJoin.map(_.nodeName).mkString(" <- "))
+        }
+        assert(nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+          "expected the probe side to shuffle (bucketed join, not broadcast)")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  test("bucketed-table ANN index: row-identical to the parquet artifact; " +
+    "index side joins shuffle-free (plan-asserted)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 40)
+    val prefix = "graft_aidx"
+    val p = java.nio.file.Files.createTempDirectory("graft_ann_pq").toString
+    Similarity.buildAnnIndex(emb, "vec_id", "embedding", p,
+      tables = 12, planes = 6, dim = 64, nCentroids = 16)
+    Similarity.buildAnnIndexTables(emb, "vec_id", "embedding", prefix, buckets = 8,
+      tables = 12, planes = 6, dim = 64, nCentroids = 16)
+    assert(Similarity.annIndexParamsFromTables(spark, prefix) ==
+      Similarity.annIndexParams(spark, p))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val srpT = Similarity.annTopKAgainstIndexTables(queries, "vec_id", "embedding",
+        prefix, k = 5)
+      assert(rows(srpT) == rows(Similarity.annTopKAgainstIndex(queries, "vec_id",
+        "embedding", p, k = 5)))
+      val ivfT = Similarity.ivfTopKAgainstIndexTables(queries, "vec_id", "embedding",
+        prefix, k = 5)
+      assert(rows(ivfT) == rows(Similarity.ivfTopKAgainstIndex(queries, "vec_id",
+        "embedding", p, k = 5)))
+      // blocking-side tables are consumed against their bucketing: no
+      // exchange between an index-table scan and its first join; the
+      // running-count hot-cell guard rides the same bucketing
+      for ((df, table) <- Seq((srpT, s"${prefix}_srp_buckets"),
+                              (ivfT, s"${prefix}_assignments"),
+                              (ivfT, s"${prefix}_vectors"))) {
+        val root = { df.queryExecution.toRdd.count(); df.queryExecution.executedPlan }
+        val nodes = PlanWalk.subtree(root)
+        val indexScans = nodes.collect {
+          case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == table) => f
+        }
+        assert(indexScans.nonEmpty, s"no scan of $table in the plan")
+        assert(indexScans.forall(_.bucketedScan), s"scan of $table not bucketed")
+        indexScans.foreach { scan =>
+          val path = PlanWalk.pathTo(root, scan)
+            .getOrElse(fail(s"scan of $table unreachable from the plan root"))
+          val belowJoin = path.reverse.takeWhile(
+            !_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+          assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeLike]),
+            s"index table $table was shuffled before its join:\n" +
+              belowJoin.map(_.nodeName).mkString(" <- "))
+        }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("delta plan never re-shingles or re-scans the corpus (O(batch), not O(corpus))") {
     val indexed = DedupIndex.ngramJaccardPairsAgainst(newDocs, "doc_id", "text",
       indexPath, threshold = 0.5)

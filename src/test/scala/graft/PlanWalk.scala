@@ -14,19 +14,36 @@ import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExcha
   * no exchange at all never gets an adaptive root — handled. */
 object PlanWalk {
 
+  /** The AQE-aware subtree of one plan node (the node itself first). */
+  def subtree(p: SparkPlan): Seq[SparkPlan] = {
+    val deeper = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case other => other.children
+    }
+    p +: deeper.flatMap(subtree)
+  }
+
   /** All nodes of the finalized plan, adaptive or not. Call after the
     * query has executed so AQE stages are final. */
-  def nodes(df: DataFrame): Seq[SparkPlan] = {
-    def collect(p: SparkPlan): Seq[SparkPlan] = {
-      val deeper = p match {
+  def nodes(df: DataFrame): Seq[SparkPlan] =
+    subtree(df.queryExecution.executedPlan)
+
+  /** Root-to-target node path through the finalized (AQE-aware) tree,
+    * or None if `target` is not reachable (reference equality). */
+  def pathTo(root: SparkPlan, target: SparkPlan): Option[List[SparkPlan]] = {
+    if (root eq target) Some(List(root))
+    else {
+      val children = root match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
         case _: ReusedExchangeExec => Seq.empty
         case other => other.children
       }
-      p +: deeper.flatMap(collect)
+      children.iterator.flatMap(c => pathTo(c, target)).nextOption()
+        .map(root :: _)
     }
-    collect(df.queryExecution.executedPlan)
   }
 
   /** Execute the frame, then return its final plan's nodes. */
