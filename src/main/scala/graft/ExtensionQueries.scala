@@ -104,6 +104,24 @@ object ExtensionQueries {
       det(graft.operators.TextStats.packSequences(docs(s, dir), "doc_id", "text",
         budget = 512, shards = 8))),
 
+    // packing's dual: long docs split into overlapping context windows
+    "q_chunk_documents" -> ((s, dir) =>
+      det(graft.operators.TextStats.chunkDocuments(docs(s, dir), "doc_id", "text",
+          maxTokens = 64, overlap = 16)
+        .withColumn("chunk_id", col("chunk_id").cast(LongType)))),
+
+    // PII scrub: the testdata corpus carries no real PII, so the query
+    // plants deterministic synthetic PII (email/ip/ssn/phone derived
+    // from doc_id) and grades the redaction of text+plants — the
+    // patterns demonstrably FIRE, not just pass through
+    "q_redact_pii" -> ((s, dir) =>
+      det(docs(s, dir).select(col("doc_id"),
+        TextFunctions.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com at 10.0."),
+          pmod(col("doc_id"), lit(256)).cast(StringType),
+          lit(".7 ssn 123-45-6789 tel +14155550133"))).as("redacted")))),
+
     // --- dedup ------------------------------------------------------------
 
     // byFingerprint: the graded plan shuffles 16-byte md5 keys, not raw
@@ -537,6 +555,32 @@ object ExtensionQueries {
       s"""SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_dups
          |FROM documents GROUP BY md5(text)
          |ORDER BY fingerprint $N1, doc_id $N1, n_dups $N1""".stripMargin,
+    // same token definition (\S+ runs), same chunk arithmetic
+    // (step = 64 - 16 = 48, count = max(1, ceil((n-16)/48))), same
+    // 1-based inclusive slicing as Spark's slice(toks, i*48+1, 64)
+    "q_chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, len(toks) AS n,
+         |  GREATEST(1, CAST(ceil((len(toks) - 16) / CAST(48 AS DOUBLE)) AS BIGINT)) AS nc FROM t),
+         |e AS (SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM c)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |  array_to_string(list_slice(toks, i*48+1, i*48+64), ' ') AS chunk_text,
+         |  CAST(LEAST(64, n - i*48) AS BIGINT) AS n_tokens
+         |FROM e
+         |ORDER BY doc_id $N1, chunk_id $N1, chunk_text $N1, n_tokens $N1""".stripMargin,
+    // the oracle's regex chain is GENERATED from TextFunctions.
+    // PiiPatterns (same strings, same order, 'g' = Spark's replace-all)
+    // so the two sides cannot drift
+    "q_redact_pii" -> {
+      val planted = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.7 ssn 123-45-6789 tel +14155550133'"
+      val redacted = TextFunctions.PiiPatterns.foldLeft(planted) {
+        case (expr, (pat, repl)) => s"regexp_replace($expr, '$pat', '$repl', 'g')"
+      }
+      s"""SELECT doc_id, $redacted AS redacted FROM documents
+         |ORDER BY doc_id $N1, redacted $N1""".stripMargin
+    },
     "q_dedup_exact" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

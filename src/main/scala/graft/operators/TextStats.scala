@@ -153,6 +153,50 @@ object TextStats {
         col("n_tokens"))
   }
 
+  /**
+   * Split each document into token-window chunks of at most `maxTokens`
+   * whitespace tokens, consecutive chunks overlapping by `overlap`
+   * tokens — the context-window chunking step every RAG/embedding/
+   * training pipeline runs on long documents (packing's dual:
+   * [[packSequences]] concatenates short docs UP to a budget, this
+   * splits long docs DOWN to one).
+   *
+   * Semantics (pinned by the DuckDB oracle of `q_chunk_documents`):
+   * tokens = whitespace-split non-empty strings; chunk `i` covers
+   * tokens `[i*step, i*step + maxTokens)` with `step = maxTokens -
+   * overlap`; the chunk count is `max(1, ceil((n_tokens - overlap) /
+   * step))`, so a doc with `<= maxTokens` tokens (including an empty
+   * doc) yields exactly one chunk and no text is ever dropped.
+   *
+   * Output: (doc_id, chunk_id, chunk_text, n_tokens).
+   *
+   * 100 TB design: entirely row-local — split, `sequence`/`transform`
+   * over chunk indices, `posexplode` — ZERO shuffles, all codegen'd;
+   * output explodes at most `1/step` rows per input token, no driver
+   * participation.
+   */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val step = maxTokens - overlap
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__nc", greatest(lit(1),
+        ceil((col("__n") - lit(overlap)).cast(DoubleType) / lit(step))
+          .cast(IntegerType)))
+      .select(col("doc_id"), col("__n"),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1), i =>
+          array_join(slice(col("__toks"), i * lit(step) + 1, lit(maxTokens)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        least(lit(maxTokens), col("__n") - col("chunk_id") * lit(step))
+          .cast(LongType).as("n_tokens"))
+  }
+
   /** Corpus composition report — the "dataset card" aggregate a
     * training-data pipeline publishes per stratum: document and
     * distinct-text counts (the gap = exact-dup volume), total

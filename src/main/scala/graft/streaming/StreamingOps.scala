@@ -191,6 +191,26 @@ object StreamingOps {
     staged.select(base ++ cols.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /**
+   * Streaming delta dedup against a PERSISTED dedup index
+   * ([[graft.operators.DedupIndex.build]]): drop every streamed doc
+   * whose exact text already exists in the indexed corpus. A
+   * stream-static LEFT ANTI join — the static side is the index's
+   * 16-byte fingerprint table, re-read per micro-batch; NO state
+   * store, no watermark, and the streamed doc bodies never shuffle
+   * (only their md5 probes do). This is the production intake shape:
+   * the crawler stream lands against yesterday's index while the
+   * batch [[graft.operators.DedupIndex]] delta operators handle the
+   * near-dup flavors offline. Within-stream duplicates are NOT
+   * deduped here (the index is the only reference set) — compose with
+   * [[streamingExactDedup]] for intake-internal dups. Decisions equal
+   * the batch [[graft.operators.DedupIndex.exactDedupAgainst]]
+   * row-for-row (StreamingOpsSpec asserts this).
+   */
+  def streamingExactDedupAgainstIndex(docs: DataFrame, textCol: String,
+                                      indexPath: String): DataFrame =
+    graft.operators.DedupIndex.exactDedupAgainst(docs, textCol, indexPath)
+
   /** Apply a table migration config to a STREAMING source frame: the same
     * compiled plan (rename/transform/validate/lookup), incremental
     * execution. `resolve` supplies STATIC lookup dims (stream-static

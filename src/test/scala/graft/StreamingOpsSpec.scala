@@ -121,6 +121,37 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(!deduped.columns.contains("__fp")) // helper column dropped
   }
 
+  test("streamingExactDedupAgainstIndex drops indexed texts per micro-batch, " +
+    "decisions equal the batch delta operator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 400)
+    val p = java.nio.file.Files.createTempDirectory("graft_stream_didx").toString
+    graft.operators.DedupIndex.build(corpus, "doc_id", "text", p)
+    // a batch of: one text the index has (any indexed doc), one it doesn't
+    val known = corpus.select("text").head().getString(0)
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingExactDedupAgainstIndex(
+      mem.toDF().toDF("doc_id", "text"), "text", p)
+    val q = out.writeStream.format("memory").queryName("stream_idx_dedup")
+      .outputMode("append").start()
+    mem.addData((9001L, known), (9002L, "a genuinely novel crawl document"))
+    q.processAllAvailable()
+    mem.addData((9003L, known)) // the static index applies to EVERY batch
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM stream_idx_dedup")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(9002L), s"expected only the novel doc, got $got")
+    // batch twin on the same rows
+    val batch = graft.operators.DedupIndex.exactDedupAgainst(
+        Seq((9001L, known), (9002L, "a genuinely novel crawl document"),
+          (9003L, known)).toDF("doc_id", "text"), "text", p)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch == got)
+  }
+
   test("compileStream dispatches the configured validation plugin chain") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -122,6 +122,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(h1 == h3)
     assert(h1 >= 0 && h1 < 1000000007L) // modular range
   }
+  test("redactPii scrubs emails, ssn-like ids, ipv4s and phone numbers; " +
+    "clean text passes through byte-identical") {
+    def red(t: String): String = one[String](redactPii(col("t")), t)
+    assert(red("write to jane.doe+news@sub.example.co.uk today") ==
+      "write to <EMAIL> today")
+    assert(red("server at 192.168.0.17 and 8.8.8.8 replied") ==
+      "server at <IP> and <IP> replied")
+    assert(red("ssn 123-45-6789 on file") == "ssn <ID> on file")
+    assert(red("call +14155550133 or 415-555-0133") ==
+      "call <PHONE> or <PHONE>")
+    // order: the SSN is tagged <ID>, never half-eaten by the phone rule
+    assert(red("id 987-65-4321 tel 212-555-0100") ==
+      "id <ID> tel <PHONE>")
+    // versions, decimals, plain words survive untouched
+    val clean = "release v2.4.1 costs 12.50 at example dot com, section 3-4"
+    assert(red(clean) == clean)
+  }
+
   test("simhash63: identical equal; near-dup closer than unrelated") {
     val base = "spark window merge join the fast table scan with hash keys and rows"
     val near = base.replace("fast", "quick")

@@ -90,6 +90,56 @@ class TextStatsSpec extends AnyFunSuite {
     )
   }
 
+  test("chunkDocuments splits by token windows with overlap, hand-checked") {
+    // 10 tokens, maxTokens=4, overlap=1 -> step=3, nc=ceil((10-1)/3)=3
+    // chunks: [t0..t3], [t3..t6], [t6..t9]
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = TextStats.chunkDocuments(docs, "doc_id", "text",
+        maxTokens = 4, overlap = 1)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0, "t0 t1 t2 t3", 4L),
+      (1, "t3 t4 t5 t6", 4L),
+      (2, "t6 t7 t8 t9", 4L)))
+  }
+
+  test("chunkDocuments covers every token, overlaps correctly, and keeps " +
+    "short/empty docs as one chunk") {
+    val docs = Seq(
+      (1L, "a b c"),          // under budget -> one chunk, itself
+      (2L, ""),               // empty -> one empty chunk
+      (3L, "  \t  "),         // whitespace-only -> one empty chunk
+      (4L, (0 until 100).map(i => s"w$i").mkString(" "))) // 100 tokens
+      .toDF("doc_id", "text")
+    val out = TextStats.chunkDocuments(docs, "doc_id", "text",
+      maxTokens = 16, overlap = 4)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    assert(byDoc(1L).map(r => (r.getString(2), r.getLong(3))).toSeq ==
+      Seq(("a b c", 3L)))
+    assert(byDoc(2L).map(_.getString(2)).toSeq == Seq(""))
+    assert(byDoc(3L).map(_.getString(2)).toSeq == Seq(""))
+    // 100 tokens, step 12 -> ceil(96/12) = 8 chunks; last starts at 84
+    val big = byDoc(4L).sortBy(_.getInt(1))
+    assert(big.length == 8)
+    assert(big.last.getString(2).startsWith("w84 ") && big.last.getLong(3) == 16L)
+    // consecutive chunks share exactly `overlap` tokens
+    big.sliding(2).foreach { case Array(a, b) =>
+      val at = a.getString(2).split(" ").toSeq
+      val bt = b.getString(2).split(" ").toSeq
+      assert(at.takeRight(4) == bt.take(4))
+    }
+    // reassembly: dropping each chunk's leading overlap (after the
+    // first) reconstructs the doc exactly — nothing dropped, nothing
+    // duplicated
+    val rebuilt = (big.head.getString(2) +: big.tail.map(
+      _.getString(2).split(" ").drop(4).mkString(" "))).mkString(" ")
+    assert(rebuilt == (0 until 100).map(i => s"w$i").mkString(" "))
+    // zero-shuffle claim
+    assert(PlanWalk.shuffleCount(TextStats.chunkDocuments(
+      docs, "doc_id", "text", maxTokens = 16, overlap = 4)) == 0)
+  }
+
   test("packSequences shards deterministically and bounds each window partition") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.operators.TextStats.packSequences(docs, "doc_id", "text",
