@@ -122,6 +122,14 @@ object ExtensionQueries {
           pmod(col("doc_id"), lit(256)).cast(StringType),
           lit(".7 ssn 123-45-6789 tel +14155550133"))).as("redacted")))),
 
+    // eval-set leakage guard: docs sharing any 13-gram with the eval
+    // slice (doc_id % 97 == 0 — deterministic, SF-stable) are dropped
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(Dedup.decontaminate(d, d.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 13))
+    }),
+
     // --- dedup ------------------------------------------------------------
 
     // byFingerprint: the graded plan shuffles 16-byte md5 keys, not raw
@@ -587,6 +595,19 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_dedup_ngram_pairs" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+    // same 13-gram definition as the Spark shingles (string n-grams in
+    // the oracle vs xxhash64'd in Spark — same decisions, the hashing
+    // is injective in practice exactly like the jaccard oracles)
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+12],' ')
+         |  for i in generate_series(1, len(t)-12)]) AS s FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |eg AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0),
+         |bad AS (SELECT DISTINCT ex.doc_id FROM ex JOIN eg USING (g))
+         |SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     // cross-set twin of jaccardCte: shingles over both sets, df-cap on
     // the index side only, candidates new x old, exact-Jaccard verify,
     // survivors = exact-absent AND near-dup-absent

@@ -497,6 +497,41 @@ object Dedup {
       .drop("comp", "__min_present")
   }
 
+  // -------------------------------------------------- decontamination
+
+  /**
+   * Benchmark decontamination: drop every corpus document that shares
+   * at least one word `n`-gram with the evaluation set — the standard
+   * guard against test-set leakage into training data (the GPT-3
+   * appendix-C recipe popularized 13-gram overlap; `n` defaults to
+   * that). Returns the clean corpus with its original schema.
+   *
+   * 100 TB design: the corpus is shingled once (the dominant per-row
+   * kernel) and its shingles are checked with a LEFT SEMI join against
+   * the eval set's DISTINCT shingle hashes — with `broadcastEval`
+   * (default; eval benchmarks are thousands of docs, not billions) the
+   * probe is map-side, so the corpus-side shingle stream is NEVER
+   * shuffled. Only the matched ids (bounded by the contaminated doc
+   * count) reach a shuffle before the final anti-join. Set
+   * `broadcastEval = false` when the "eval" side is itself corpus-
+   * scale, and the semi join degrades gracefully to a shuffle join on
+   * shingle hash. Docs with fewer than `n` tokens have no shingles and
+   * are never flagged.
+   */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String, n: Int = 13,
+                    broadcastEval: Boolean = true): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val evalG = shingled(evalSet, idCol, textCol, n)
+      .select(explode(col("__hs")).as("__g")).distinct()
+    val evalSide = if (broadcastEval) broadcast(evalG) else evalG
+    val contaminated = shingled(corpus, idCol, textCol, n)
+      .select(col("__id"), explode(col("__hs")).as("__g"))
+      .join(evalSide, Seq("__g"), "left_semi")
+      .select(col("__id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------- incremental (delta)
 
   /**

@@ -435,4 +435,30 @@ class DedupSpec extends AnyFunSuite {
     assert(strong.nonEmpty, "no strong pairs at sf0.01 — gate is vacuous")
     assert((strong -- sim).isEmpty, s"simhash missed: ${strong -- sim}")
   }
+
+  test("decontaminate drops docs sharing a 13-gram with the eval set, " +
+    "boundary-exact, via a broadcast semi-join") {
+    val span = (0 until 13).map(i => s"s$i").mkString(" ")
+    val evalSet = Seq((100L, s"eval doc prefix $span")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "clean doc with its own words entirely unrelated to anything"),
+      (2L, s"copied $span trailing tokens here"),          // full 13-gram
+      (3L, "partial " + (0 until 12).map(i => s"s$i").mkString(" ")), // 12 only
+      (4L, ""))                                            // no shingles at all
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, evalSet, "doc_id", "text", n = 13)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L))
+    // survivors keep the corpus schema untouched
+    assert(out.columns.toSeq == corpus.columns.toSeq)
+    // scale shape: the eval shingle set is broadcast, so the corpus
+    // shingle stream probes map-side instead of shuffling
+    val nodes = PlanWalk.executedNodes(
+      Dedup.decontaminate(corpus, evalSet, "doc_id", "text", n = 13))
+    val semi = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semi.nonEmpty, "eval-side broadcast semi-join missing from the plan")
+  }
 }
