@@ -345,6 +345,32 @@ object ExtensionQueries {
       det(graft.operators.Sampling.stratifiedTopK(docs(s, dir),
         Seq("lang", "source"), "doc_id", k = 20))),
 
+    // weight = a quality-ish per-row score in [0,1] derived from n_chars
+    // (longer docs kept with higher probability, capped at 1)
+    "q_sample_weighted" -> ((s, dir) =>
+      det(graft.operators.Sampling.weightedSample(docs(s, dir), "doc_id",
+        least(lit(1.0), col("n_chars").cast(DoubleType) / lit(400.0))))),
+
+    "q_sample_split" -> ((s, dir) =>
+      det(graft.operators.Sampling.assignSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")))),
+
+    "q_sample_shuffle" -> ((s, dir) =>
+      det(graft.operators.Sampling.globalShuffle(docs(s, dir), "doc_id",
+        seed = 42L, shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos")))),
+
+    // --- corpus frequency statistics -------------------------------------
+
+    "q_text_vocabulary" -> ((s, dir) =>
+      det(graft.operators.TextStats.vocabulary(docs(s, dir), "text",
+        minCount = 5L))),
+
+    "q_text_logprob" -> ((s, dir) =>
+      det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
+        "doc_id", "text", minCount = 2L))),
+
     // --- multimodal -------------------------------------------------------
 
     // --- batch windowing over events ------------------------------------
@@ -705,6 +731,54 @@ object ExtensionQueries {
          |  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
          |             / 4294967296.0, doc_id) <= 20
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0
+         |      < least(1.0, greatest(0.0, CAST(n_chars AS DOUBLE) / 400.0))
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_sample_split" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    / 4294967296.0 AS uni FROM documents)
+         |SELECT doc_id, CASE WHEN uni < 0.8 THEN 'train'
+         |  WHEN uni < 0.8 + 0.1 THEN 'valid'
+         |  WHEN uni < 0.8 + 0.1 + 0.1 THEN 'test' ELSE NULL END AS split
+         |FROM u ORDER BY doc_id $N1, split $N1""".stripMargin,
+    // seeded shuffle address: uniform from md5 chars 1-8, shard from
+    // chars 9-16 (mod shards), pos = rank of (uniform, key) in shard
+    "q_sample_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, md5('42#' || CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents),
+         |a AS (SELECT doc_id,
+         |  ('0x' || substring(m, 1, 8))::BIGINT / 4294967296.0 AS uni,
+         |  CAST(('0x' || substring(m, 9, 8))::BIGINT % 8 AS INT) AS shard
+         |  FROM h)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY uni, doc_id) - 1 AS pos
+         |FROM a ORDER BY doc_id $N1, shard $N1, pos $N1""".stripMargin,
+    "q_text_vocabulary" ->
+      s"""SELECT token, count(*) AS n_occurrences
+         |FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+         |      FROM documents)
+         |GROUP BY token HAVING count(*) >= 5
+         |ORDER BY token $N1, n_occurrences $N1""".stripMargin,
+    "q_text_logprob" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+         |vocab AS (SELECT token, count(*) AS cnt FROM toks
+         |          GROUP BY token HAVING count(*) >= 2),
+         |scored AS (SELECT t.doc_id,
+         |    log10(coalesce(CAST(v.cnt AS DOUBLE), 2.0) / (SELECT total FROM tot))
+         |      AS lp
+         |  FROM toks t LEFT JOIN vocab v ON t.token = v.token),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(avg(lp), 6) AS mean_logprob FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_tokens, 0) AS n_tokens, a.mean_logprob
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id $N1, n_tokens $N1, mean_logprob $N1""".stripMargin,
     "q_multimodal_json" ->
       s"""SELECT event_type, count(*) AS n_events,
          |CAST(sum(json_extract(props,'$$.k')::BIGINT) AS BIGINT) AS sum_k,

@@ -77,4 +77,85 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /**
+   * Per-row weighted (importance) sampling: a row survives iff
+   * hashUniform(key) < its own `weight` expression, clamped to [0, 1].
+   * This is the quality-resampling step of CCNet-style pipelines —
+   * keep high-quality documents with probability ~1 and low-quality
+   * ones with a small probability proportional to their score —
+   * generalizing [[stratifiedSample]] from a per-stratum plan literal
+   * to an arbitrary per-row column (a quality score, a model score, a
+   * domain weight joined on).
+   *
+   * Same determinism contract as every sampler here: the survival test
+   * is a pure function of (key, weight), so the sampled corpus is
+   * reproducible bit-identically by any engine with md5. Zero shuffle,
+   * zero driver state — a codegen'd filter riding the scan.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
+    df.filter(hashUniform(col(keyCol)) <
+      least(lit(1.0), greatest(lit(0.0), weight.cast(DoubleType))))
+
+  /**
+   * Deterministic train/validation/test split: adds a `split` column
+   * naming the slice each row falls into. `splits` is an ordered list
+   * of (name, fraction) summing to <= 1; the hash uniform of the key is
+   * cut at the cumulative fractions (rows past the last cut get the
+   * final slice's name if the fractions sum to 1, else NULL — callers
+   * holding out a remainder can filter on it).
+   *
+   * Because membership is a pure function of the ROW KEY — not of
+   * ordering, partitioning, or a global count — the assignment is
+   * stable under corpus growth: a document keeps its slice when new
+   * data arrives, which is what makes hash-splits the standard guard
+   * against train/test leakage across dataset versions (each doc's
+   * slice can be re-derived, never re-drawn). Zero shuffle: one
+   * codegen'd CASE projection.
+   */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "fractions must be >= 0")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val u = hashUniform(col(keyCol))
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    val assigned = splits.zip(cuts).foldRight(lit(null).cast(StringType)) {
+      case (((name, _), cut), rest) => when(u < lit(cut), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /**
+   * Deterministic global shuffle for training-order randomization:
+   * assigns each row a (shard, pos) address in a pseudorandom but
+   * fully reproducible total order — shard = seeded hash mod `shards`,
+   * pos = rank of the seeded hash uniform within the shard. Reading
+   * shards in order then rows by pos visits the corpus in an order
+   * that is uncorrelated with the input order yet bit-stable across
+   * runs and engines (the md5 uniform again — `rand()`-based shuffles
+   * cannot be replayed or resumed).
+   *
+   * 100 TB design: ONE shuffle on the shard key; each window partition
+   * holds corpus/`shards` rows, so `shards` bounds per-task window
+   * state exactly like [[TextStats.packSequences]]'s sharding (size it
+   * to ~rows-per-shard × row-width ≲ executor memory). A curriculum
+   * loader streams shard files sequentially; re-shuffling between
+   * epochs is a different `seed`, not a different algorithm.
+   */
+  def globalShuffle(df: DataFrame, keyCol: String, seed: Long,
+                    shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val u = hashUniform(concat_ws("#", lit(seed), col(keyCol)))
+    val shard = pmod(conv(substring(
+        md5(concat_ws("#", lit(seed), col(keyCol).cast(StringType))), 9, 8),
+      16, 10).cast(LongType), lit(shards.toLong)).cast(IntegerType)
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("__u"), col(keyCol))
+    df.withColumn("__u", u)
+      .withColumn("__shard", shard)
+      .withColumn("pos", row_number().over(w).cast(LongType) - 1)
+      .withColumn("shard", col("__shard"))
+      .drop("__u", "__shard")
+  }
 }

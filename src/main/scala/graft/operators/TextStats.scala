@@ -197,6 +197,89 @@ object TextStats {
           .cast(LongType).as("n_tokens"))
   }
 
+  /**
+   * Corpus vocabulary: whitespace-token frequencies with a minimum
+   * count floor. The foundation for frequency-based scoring
+   * ([[unigramLogProbScore]]), tokenizer training corpora, and stopword
+   * mining.
+   *
+   * 100 TB design: explode + ONE partially-aggregated groupBy on the
+   * token — the map-side combine collapses each task's token stream to
+   * its local vocabulary before the exchange, so the shuffle volume is
+   * per-task DISTINCT tokens (Zipf-bounded), not the token stream. The
+   * `minCount` floor is applied after the global aggregate; it bounds
+   * the OUTPUT (the long tail of hapax garbage is the bulk of distinct
+   * tokens in web corpora) but costs nothing extra to compute.
+   *
+   * Output: (token, n_occurrences), `n_occurrences >= minCount`.
+   */
+  def vocabulary(docs: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    docs
+      .select(explode(
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
+
+  /**
+   * Per-document mean unigram log-probability — the cheap stand-in for
+   * the LM-perplexity quality filter of CCNet (Wenzek et al. 2020):
+   * documents whose tokens are corpus-typical score high, gibberish /
+   * boilerplate with rare or junk tokens scores low. Token probability
+   * p(w) = count(w) / total_tokens measured over `docs` itself, with a
+   * frequency floor: tokens below `minCount` occurrences fall back to
+   * p = minCount / total_tokens. Score = mean over the doc's tokens of
+   * log10 p(w); empty docs score NULL.
+   *
+   * 100 TB design: the floor is what makes this scale — the scored
+   * vocabulary keeps only tokens with count >= minCount (a small,
+   * Zipf-bounded set), so the token→frequency join can BROADCAST the
+   * vocabulary instead of shuffling the exploded token stream, and the
+   * hot-key skew of a sort-merge join on "the" never arises. Plan: one
+   * vocabulary aggregate (partial-agged), one broadcast join over the
+   * exploded tokens, one partial-agged groupBy back to doc ids. The
+   * probe side never shuffles on the token. NOTE: like
+   * [[packSequences]]' auto-sizing, the corpus token total is one EAGER
+   * single-row aggregate at plan-build time (the floor probability and
+   * the denominator are plan literals — that is what keeps the score a
+   * pure deterministic function of the corpus).
+   *
+   * Output: (doc_id, n_tokens, mean_logprob).
+   */
+  def unigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+                          minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.whitespaceTokens(col(textCol))).as("token"))
+    val vocabAgg = toks.agg(count(lit(1)).as("__total")).head()
+    val total = vocabAgg.getLong(0)
+    if (total == 0L)
+      return docs.select(col(idCol).as("doc_id"),
+        lit(0L).as("n_tokens"),
+        lit(null).cast(DoubleType).as("mean_logprob"))
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+    val floorP = minCount.toDouble / total
+    val scored = toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"),
+        log10(coalesce(col("__cnt").cast(DoubleType) / lit(total.toDouble),
+          lit(floorP))).as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lp")), 6).as("mean_logprob"))
+    // docs with zero tokens have no exploded rows: restore them with a
+    // NULL score so the output covers every input document
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("mean_logprob"))
+  }
+
   /** Corpus composition report — the "dataset card" aggregate a
     * training-data pipeline publishes per stratum: document and
     * distinct-text counts (the gap = exact-dup volume), total

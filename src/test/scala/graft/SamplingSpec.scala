@@ -73,4 +73,81 @@ class SamplingSpec extends AnyFunSuite {
       .count(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec])
     assert(limits >= 1, "expected WindowGroupLimitExec in the finalized plan")
   }
+
+  test("weightedSample keeps by per-row probability, clamped, zero-shuffle") {
+    // weight 0 drops everything, weight 1 (and clamped >1) keeps everything
+    assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).isEmpty)
+    assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count() == docs.count())
+    assert(Sampling.weightedSample(docs, "doc_id", lit(7.5)).count() == docs.count())
+    assert(Sampling.weightedSample(docs, "doc_id", lit(-3.0)).isEmpty)
+    // a constant weight is exactly hashSample at that fraction
+    val w = Sampling.weightedSample(docs, "doc_id", lit(0.3))
+      .select("doc_id").as[Long].collect().toSet
+    val h = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(w == h)
+    // per-row weights: high-weight rows survive more often than low-weight
+    val skewed = Sampling.weightedSample(docs, "doc_id",
+      when(col("lang") === "en", 0.9).otherwise(0.1))
+    val kept = skewed.groupBy(col("lang") === "en").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val tot = docs.groupBy(col("lang") === "en").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(kept(true).toDouble / tot(true) > 0.8)
+    assert(kept(false).toDouble / tot(false) < 0.2)
+    assert(PlanWalk.shuffleCount(skewed) == 0)
+  }
+
+  test("assignSplit covers every row, is growth-stable, zero-shuffle") {
+    val out = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val bypart = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(!bypart.contains(null), "fractions sum to 1 -> no NULL slice")
+    assert(math.abs(bypart("train") / n - 0.8) < 0.05)
+    assert(math.abs(bypart("valid") / n - 0.1) < 0.04)
+    assert(math.abs(bypart("test") / n - 0.1) < 0.04)
+    // growth stability: a doc's slice is identical when assigned within
+    // a subset of the corpus (no re-drawing on dataset growth)
+    val sub = Sampling.assignSplit(docs.filter(col("doc_id") < 100), "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    sub.foreach { case (id, s) => assert(full(id) == s) }
+    // under-allocated fractions leave a NULL holdout remainder
+    val hold = Sampling.assignSplit(docs, "doc_id", Seq("train" -> 0.5))
+    val nulls = hold.filter(col("split").isNull).count()
+    assert(math.abs(nulls / n - 0.5) < 0.05)
+    assert(PlanWalk.shuffleCount(out) == 0)
+  }
+
+  test("globalShuffle yields a reproducible bijective (shard, pos) order") {
+    val out = Sampling.globalShuffle(docs, "doc_id", seed = 42L, shards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.length == docs.count())
+    // bijection: addresses are unique, and pos is contiguous 0..n-1 per shard
+    assert(out.map(r => (r._2, r._3)).distinct.length == out.length)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.head == 0L && ps.last == ps.length - 1L)
+    }
+    // deterministic: identical on a second run
+    val again = Sampling.globalShuffle(docs, "doc_id", seed = 42L, shards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // a different seed produces a genuinely different permutation
+    val other = Sampling.globalShuffle(docs, "doc_id", seed = 43L, shards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val moved = out.count(r => other(r._1) != ((r._2, r._3)))
+    assert(moved > out.length / 2, s"only $moved rows moved under a new seed")
+    // shuffled order is uncorrelated with input order: the first shard
+    // positions are not simply ascending doc_ids
+    val firstShard = out.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(!firstShard.sameElements(firstShard.sorted))
+    // exactly ONE exchange (the shard partition), plan-asserted
+    assert(PlanWalk.shuffleCount(
+      Sampling.globalShuffle(docs, "doc_id", 42L, 8)) == 1)
+  }
 }

@@ -207,4 +207,49 @@ class TextStatsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L))
   }
+
+  test("vocabulary counts whitespace tokens with a minCount floor") {
+    val docs = Seq((1L, "a a  b"), (2L, "a c b"), (3L, "")).toDF("doc_id", "text")
+    val v = TextStats.vocabulary(docs, "text", minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("a" -> 3L, "b" -> 2L)) // c is a hapax, floored out
+    val all = TextStats.vocabulary(docs, "text", minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("unigramLogProbScore matches the hand formula with a rare-token floor") {
+    // corpus tokens: a a b | a c -> total 5; counts a=3 b=1 c=1;
+    // minCount=2 keeps only 'a'; floor p = 2/5
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextStats.unigramLogProbScore(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpA = math.log10(3.0 / 5); val lpFloor = math.log10(2.0 / 5)
+    assert(out(1L).getAs[Long]("n_tokens") == 3L)
+    assert(out(1L).getAs[Double]("mean_logprob") == r6((2 * lpA + lpFloor) / 3))
+    assert(out(2L).getAs[Long]("n_tokens") == 2L)
+    assert(out(2L).getAs[Double]("mean_logprob") == r6((lpA + lpFloor) / 2))
+    // empty doc is present with zero tokens and a NULL score
+    assert(out(3L).getAs[Long]("n_tokens") == 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("mean_logprob")))
+  }
+
+  test("unigramLogProbScore ranks corpus-typical text above junk and broadcasts the vocab") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val withJunk = docs.select(col("doc_id"), col("text"))
+      .union(Seq((-1L, "xq zvv qqj wvx plk mnb")).toDF("doc_id", "text"))
+    val out = TextStats.unigramLogProbScore(withJunk, "doc_id", "text")
+    val scores = out.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val junk = scores(-1L)
+    val real = scores.filter(_._1 >= 0).values.filterNot(_.isNaN)
+    val medianReal = real.toSeq.sorted.apply(real.size / 2)
+    assert(junk < medianReal, s"junk $junk should score below median $medianReal")
+    // the token->frequency join must be a broadcast (never a shuffle of
+    // the exploded token stream on the token key)
+    val bhj = PlanWalk.executedNodes(out).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 1, "expected the vocab join to broadcast")
+  }
 }
