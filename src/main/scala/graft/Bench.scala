@@ -44,6 +44,17 @@ import java.nio.file.{Files, Paths}
  *    shared-JVM run carry up to 2x GC/JIT noise (q_dedup_collapse
  *    measured 4.12 s in-bench vs 2.1 s isolated), so the recorded
  *    bench takes the repeat floor unless explicitly overridden.
+ *
+ * Inter-query GC (round 9): the repeat floor does NOT shed GC debt —
+ * a 66-query run accumulates every query's broadcasts/shuffle state
+ * until a multi-second collection lands on whichever query happens to
+ * trigger it, and then ALL of that query's repeats sit in the same
+ * dirty window (measured: q_sim_ann_lsh 27.3 s in-sequence vs 1.98 s
+ * isolated — 14x, far beyond JIT noise; non-deterministic across
+ * runs). An UNMEASURED System.gc() between queries collects each
+ * query's garbage outside every measured window (and lets Spark's
+ * ContextCleaner reap dead broadcasts), so a row prices the operator,
+ * not its neighbors' leftovers.
  */
 object Bench {
   /** Run df's full physical plan (all output columns materialized,
@@ -89,6 +100,9 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>
+      // unmeasured: pay the accumulated GC debt of the PREVIOUS queries
+      // here, not inside the next measured window
+      System.gc()
       var best = Double.MaxValue
       var ok = true
       for (_ <- 1 to repeat if ok) {
