@@ -209,6 +209,13 @@ object ExtensionQueries {
 
     // --- similarity search ------------------------------------------------
 
+    // SemDeDup-style collapse: LSH-measured like q_dedup_embedding (same
+    // 32x3 high-recall SRP parameters, same deterministic-recall
+    // argument), exact all-pairs + recursive-CTE oracle
+    "q_dedup_semantic" -> ((s, dir) =>
+      det(Similarity.semanticCollapse(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45).select(col("vec_id"), col("label")))),
+
     "q_sim_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       det(Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
@@ -318,6 +325,28 @@ object ExtensionQueries {
       det(candRow.crossJoin(recallRow))
     }),
 
+    // Seeded planted-cluster frame (SF-invariant, same construction as
+    // q_gate_ivf_clustered): spherical k-means must recover the 20
+    // planted clusters — n_clusters and majority-label purity pinned.
+    "q_gate_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val rnd = new scala.util.Random(11)
+      val dim = 32
+      val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+      val rows = (0 until 1000).map { i =>
+        val c = centers(i % 20)
+        (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val asg = Similarity.kmeans(df, "vec_id", "embedding", k = 20, iters = 3)
+        .withColumn("label", col("vec_id") % 20)
+      val purityRow = asg.groupBy("cluster", "label").count()
+        .groupBy("cluster").agg(max("count").as("__m"))
+        .agg(round(sum("__m").cast(DoubleType) / lit(1000.0), 4).as("purity"))
+      val nRow = asg.agg(countDistinct(col("cluster")).as("n_clusters"))
+      det(nRow.crossJoin(purityRow))
+    }),
+
     "q_gate_simhash" -> ((s, dir) => {
       val d = docs(s, dir)
       val strong = Dedup.ngramJaccardPairs(d, "doc_id", "text",
@@ -370,6 +399,10 @@ object ExtensionQueries {
     "q_text_logprob" -> ((s, dir) =>
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
+
+    "q_text_tfidf" -> ((s, dir) =>
+      det(graft.operators.TextStats.tfidfKeywords(docs(s, dir),
+        "doc_id", "text", k = 5, minDf = 2L))),
 
     // --- multimodal -------------------------------------------------------
 
@@ -682,6 +715,10 @@ object ExtensionQueries {
     // nprobe=4 over 32 cells prunes the clustered corpus 5.98x vs
     // all-pairs at recall 1.0 — the exact values SimilaritySpec's
     // clustered test measures.
+    // spherical k-means with farthest-first init recovers the planted
+    // 20-cluster partition exactly (measured stable across runs)
+    "q_gate_kmeans" ->
+      s"""SELECT CAST(20 AS BIGINT) AS n_clusters, CAST(1.0 AS DOUBLE) AS purity""",
     "q_gate_ivf_clustered" ->
       s"""SELECT CAST(83550 AS BIGINT) AS candidates, CAST(499500 AS BIGINT) AS all_pairs,
          |CAST(5.98 AS DOUBLE) AS pruning_factor, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
@@ -690,6 +727,20 @@ object ExtensionQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE $cosSql >= 0.45
          |ORDER BY vec_a $N1, vec_b $N1, cos_sim $N1""".stripMargin,
+    "q_dedup_semantic" ->
+      s"""WITH RECURSIVE pr AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE $cosSql >= 0.45),
+         |edges AS (SELECT va AS a, vb AS b FROM pr
+         |          UNION SELECT vb, va FROM pr),
+         |reach(id, r) AS (SELECT a, b FROM edges
+         |  UNION SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+         |SELECT v.vec_id, v.label
+         |FROM embeddings v LEFT JOIN comp ON comp.id = v.vec_id
+         |WHERE v.vec_id = coalesce(comp.component, v.vec_id)
+         |ORDER BY vec_id $N1, label $N1""".stripMargin,
     "q_sim_topk" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
@@ -731,6 +782,29 @@ object ExtensionQueries {
          |  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
          |             / 4294967296.0, doc_id) <= 20
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    // ln and double-division shapes mirror tfidfKeywords exactly; the
+    // round(6) happens BEFORE ranking on both sides so ties break the
+    // same way
+    "q_text_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+         |        FROM documents)
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS dfreq FROM tf
+         |       GROUP BY token HAVING count(*) >= 2),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf,
+         |    round(tf.tf * ln((SELECT nd FROM n) / CAST(df.dfreq AS DOUBLE)), 6)
+         |      AS score
+         |  FROM tf JOIN df ON tf.token = df.token),
+         |r AS (SELECT doc_id, token, tf, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, token) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, token, tf, score, rank FROM r WHERE rank <= 5
+         |ORDER BY doc_id $N1, token $N1, tf $N1, score $N1, rank $N1""".stripMargin,
     "q_sample_weighted" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

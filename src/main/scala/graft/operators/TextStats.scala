@@ -280,6 +280,52 @@ object TextStats {
         col("mean_logprob"))
   }
 
+  /**
+   * TF-IDF keyword extraction: the `k` highest-scoring tokens per
+   * document, score = tf × ln(N / df) with tf the token's in-document
+   * count, df its document frequency and N the corpus document count.
+   * Tokens below `minDf` documents are excluded — they are junk for
+   * keywording (hapax OCR noise scores artificially high on pure
+   * rarity) and, as in [[unigramLogProbScore]], the floor is what keeps
+   * the document-frequency table Zipf-bounded and broadcastable.
+   *
+   * 100 TB design: tf is a partial-agged groupBy on (doc, token) — the
+   * one real shuffle, keyed on the pair so hot tokens spread across
+   * partitions (no "the"-skew); df reuses the same aggregate's output
+   * (distinct doc-token pairs), partial-agged down to the df table; the
+   * df join is a BROADCAST (minDf-bounded); and the per-doc top-k rank
+   * filter sits directly on its window so WindowGroupLimit pre-trims
+   * map-side, the same pushdown [[graft.operators.Sampling.stratifiedTopK]]
+   * plan-asserts. N is one eager single-row count (plan literal, same
+   * contract as [[packSequences]] auto-sizing).
+   *
+   * Output: (doc_id, token, tf, score, rank), rank 1..k per doc by
+   * (score desc, token asc).
+   */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, minDf: Long = 2L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minDf >= 1, "minDf must be >= 1")
+    val nDocs = docs.count()
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.whitespaceTokens(col(textCol)))
+          .as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("score", round(col("tf") *
+        log(lit(nDocs.toDouble) / col("__df").cast(DoubleType)), 6))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("score"), col("rank"))
+  }
+
   /** Corpus composition report — the "dataset card" aggregate a
     * training-data pipeline publishes per stratum: document and
     * distinct-text counts (the gap = exact-dup volume), total

