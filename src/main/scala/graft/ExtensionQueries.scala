@@ -197,6 +197,21 @@ object ExtensionQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       det(Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text"))),
 
+    // 8-token windows (testdata docs run dozens of tokens; production
+    // default is the ~50 of Lee et al.)
+    "q_dedup_windows" -> ((s, dir) =>
+      det(Dedup.duplicatedWindowProfile(docs(s, dir), "doc_id", "text",
+        window = 8))),
+
+    // quality-aware collapse: same pair graph as q_dedup_collapse but
+    // the survivor is the LONGEST member (n_chars), ties to min id
+    "q_dedup_collapse_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val p = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 5, threshold = 0.5, dfCap = 100)
+      det(Dedup.collapseNearDupsBest(d, "doc_id", "n_chars", p, "doc_a", "doc_b"))
+    }),
+
     // LSH-measured / exact-oracle pattern (same as q_dedup_minhash): the
     // Spark plan is SRP bucket join + rerank (no all-pairs product); the
     // DuckDB oracle recomputes all pairs exactly. 32 tables x 3 planes
@@ -679,6 +694,37 @@ object ExtensionQueries {
     // transitive closure of the near-dup pair graph via recursive CTE:
     // component = min reachable id; keep each component's min plus all
     // docs outside the pair graph
+    "q_dedup_windows" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7],' ')
+         |       for i in generate_series(1, len(t)-7)]) AS s FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |dup AS (SELECT g FROM ex GROUP BY g HAVING count(*) >= 2),
+         |cnt AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+         |        FROM ex JOIN dup USING (g) GROUP BY ex.doc_id)
+         |SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_windows,
+         |  coalesce(cnt.dup_windows, 0) AS dup_windows,
+         |  CASE WHEN len(sh.s) > 0 THEN
+         |    round(CAST(coalesce(cnt.dup_windows, 0) AS DOUBLE) / len(sh.s), 6)
+         |  END AS dup_ratio
+         |FROM sh LEFT JOIN cnt ON cnt.doc_id = sh.doc_id
+         |ORDER BY sh.doc_id $N1, n_windows $N1, dup_windows $N1, dup_ratio $N1""".stripMargin,
+    "q_dedup_collapse_best" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(id, r) AS (SELECT a, b FROM edges
+         |  UNION SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+         |mem AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component,
+         |        d.n_chars FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+         |best AS (SELECT component, doc_id FROM mem
+         |  QUALIFY row_number() OVER (PARTITION BY component
+         |    ORDER BY n_chars DESC, doc_id) = 1)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN best ON best.doc_id = d.doc_id
+         |ORDER BY d.doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_dedup_collapse" ->
       s"""WITH RECURSIVE $jaccardCte,
          |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),

@@ -497,6 +497,46 @@ object Dedup {
       .drop("comp", "__min_present")
   }
 
+  /**
+   * Quality-aware collapse: like [[collapseNearDups]], but the survivor
+   * of each near-dup component is the member MAXIMIZING `scoreCol`
+   * (ties broken by minimum id) instead of the minimum id — "keep the
+   * best copy", the production policy when duplicates differ (keep the
+   * longest extraction, the highest quality score, the newest crawl)
+   * rather than "keep an arbitrary canonical one".
+   *
+   * Same re-restriction contract as [[collapseNearDups]]: the argmax
+   * runs over the docs PRESENT in `docs`, so pre-filtered corpora keep
+   * their best remaining member. Cost shape is identical — the argmax
+   * is a (score, id)-max aggregate on the pair-graph side (max of a
+   * (score, -id) struct: one partial-aggregated groupBy, no window over
+   * the corpus); the corpus-sized frame sees one left join plus the
+   * tiny survivor table.
+   */
+  def collapseNearDupsBest(docs: DataFrame, idCol: String, scoreCol: String,
+                           pairs: DataFrame, aCol: String, bCol: String,
+                           maxIter: Int = 25): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, maxIter)
+      .select(col("id").as(idCol), col("comp"))
+    // argmax(score, then min id) among present docs: max of a struct
+    // ordered by (score asc, negated id asc) -> its id field is the
+    // survivor. Negation needs a numeric id; cast-to-string ids would
+    // order lexicographically, so require numeric explicitly.
+    require(docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"collapseNearDupsBest needs a numeric id column, got " +
+        docs.schema(idCol).dataType.simpleString)
+    val survivors = comps
+      .join(docs.select(col(idCol), col(scoreCol).as("__score")), Seq(idCol))
+      .groupBy(col("comp"))
+      .agg(max(struct(col("__score"), (-col(idCol)).as("__negid")))
+        .as("__best"))
+      .select(col("comp"), (-col("__best.__negid")).as("__keep"))
+    docs.join(comps, Seq(idCol), "left")
+      .join(survivors, Seq("comp"), "left")
+      .filter(col("comp").isNull || col(idCol) === col("__keep"))
+      .drop("comp", "__keep")
+  }
+
   // -------------------------------------------------- decontamination
 
   /**
@@ -530,6 +570,58 @@ object Dedup {
       .join(evalSide, Seq("__g"), "left_semi")
       .select(col("__id").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Duplicated-window profile — the measurement half of substring-level
+   * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+   * Models Better": exact-substring duplication at ~50-token windows is
+   * pervasive even in "deduplicated" corpora): for every document, how
+   * many of its distinct `window`-token windows occur in at least one
+   * OTHER document. High-ratio docs are boilerplate/template content
+   * that document-level near-dedup (Jaccard over a whole doc) cannot
+   * see, because the shared substring hides inside otherwise-distinct
+   * text.
+   *
+   * Output: (doc_id, n_windows, dup_windows, dup_ratio) — every input
+   * doc present; docs with fewer than `window` tokens have 0 windows
+   * and a NULL ratio.
+   *
+   * 100 TB design: window hashes are the same zero-shuffle native
+   * [[graft.functions.ShingleHashes]] kernel the dedup family uses
+   * (64-bit hashes, never window text) — per-doc distinct, so a
+   * window's global count is its DOCUMENT frequency. One
+   * partial-aggregated groupBy on the hash builds the df table; only
+   * hashes with df >= 2 (volume bounded by the corpus's actual
+   * duplication, the same shape as [[decontaminate]]'s contaminated
+   * set) survive into the flag join; one partial-aggregated groupBy
+   * back to doc ids. No all-pairs product, no driver state; the
+   * df-table join keys are hashes, so AQE's skew split applies if one
+   * boilerplate window dominates.
+   */
+  def duplicatedWindowProfile(docs: DataFrame, idCol: String, textCol: String,
+                              window: Int = 50): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ex = shingled(docs, idCol, textCol, window)
+      .select(col("__id"), explode(col("__hs")).as("__g"))
+    val dupHashes = ex.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("__g"))
+    val dupCounts = ex.join(dupHashes, Seq("__g"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__dup"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(graft.functions.ShingleHashes.shingleHashes(col(textCol), window))
+          .cast(LongType).as("n_windows"))
+      .join(dupCounts.select(col("__id").as("doc_id"), col("__dup")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("__dup"), lit(0L)).as("dup_windows"),
+        when(col("n_windows") > 0,
+          round(coalesce(col("__dup"), lit(0L)).cast(DoubleType) /
+            col("n_windows"), 6)).as("dup_ratio"))
   }
 
   // -------------------------------------------------- incremental (delta)

@@ -461,4 +461,53 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(semi.nonEmpty, "eval-side broadcast semi-join missing from the plan")
   }
+
+  test("collapseNearDupsBest keeps the argmax-score member, ties to min id") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // one component via pairs below
+      (4L, 5L)                          // singleton
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.collapseNearDupsBest(docs, "doc_id", "score",
+      pairs, "doc_a", "doc_b").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L)) // 2 and 3 tie at 30 -> min id 2
+    // present-docs contract: with the winner filtered out beforehand,
+    // the best REMAINING member survives
+    val filtered = Dedup.collapseNearDupsBest(docs.filter($"doc_id" =!= 2L),
+      "doc_id", "score", pairs, "doc_a", "doc_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(filtered == Set(3L, 4L))
+    // string ids are rejected loudly (negation would mis-order)
+    val strDocs = Seq(("a", 1L)).toDF("doc_id", "score")
+    assertThrows[IllegalArgumentException] {
+      Dedup.collapseNearDupsBest(strDocs, "doc_id", "score", pairs, "doc_a", "doc_b")
+    }
+  }
+
+  test("duplicatedWindowProfile counts cross-doc window sharing, hand-checked") {
+    val docs = Seq(
+      (1L, "a b c"),   // 2-windows: "a b", "b c"
+      (2L, "x a b"),   // 2-windows: "x a", "a b"  -> shares "a b" with 1
+      (3L, "q r"),     // "q r" unique
+      (4L, "solo")     // too short: 0 windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedWindowProfile(docs, "doc_id", "text", window = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "every input doc present")
+    assert(out(1L).getAs[Long]("n_windows") == 2L &&
+      out(1L).getAs[Long]("dup_windows") == 1L &&
+      out(1L).getAs[Double]("dup_ratio") == 0.5)
+    assert(out(2L).getAs[Long]("dup_windows") == 1L)
+    assert(out(3L).getAs[Long]("dup_windows") == 0L &&
+      out(3L).getAs[Double]("dup_ratio") == 0.0)
+    assert(out(4L).getAs[Long]("n_windows") == 0L &&
+      out(4L).isNullAt(out(4L).fieldIndex("dup_ratio")))
+    // a window duplicated WITHIN one doc only is not cross-doc... but
+    // per-doc distinct hashing already collapses it: doc 5 repeating
+    // "m n" twice gains no dup_windows from itself
+    val within = Seq((5L, "m n m n"), (6L, "z z")).toDF("doc_id", "text")
+    val w = Dedup.duplicatedWindowProfile(within, "doc_id", "text", window = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dup_windows")).toMap
+    assert(w(5L) == 0L)
+  }
 }
