@@ -419,6 +419,10 @@ object ExtensionQueries {
       det(graft.operators.TextStats.tfidfKeywords(docs(s, dir),
         "doc_id", "text", k = 5, minDf = 2L))),
 
+    "q_corpus_lengths" -> ((s, dir) =>
+      det(graft.operators.TextStats.lengthPercentiles(docs(s, dir), "text",
+        Seq("lang"), Seq(0.5, 0.9)))),
+
     // --- multimodal -------------------------------------------------------
 
     // --- batch windowing over events ------------------------------------
@@ -828,6 +832,15 @@ object ExtensionQueries {
          |  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
          |             / 4294967296.0, doc_id) <= 20
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    // quantile_cont shares Spark percentile's (n-1)*q interpolation
+    "q_corpus_lengths" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |round(quantile_cont(len(regexp_extract_all(text, '\\S+')), 0.5), 6)
+         |  AS p50_tokens,
+         |round(quantile_cont(len(regexp_extract_all(text, '\\S+')), 0.9), 6)
+         |  AS p90_tokens
+         |FROM documents GROUP BY lang
+         |ORDER BY lang $N1, n_docs $N1, p50_tokens $N1, p90_tokens $N1""".stripMargin,
     // ln and double-division shapes mirror tfidfKeywords exactly; the
     // round(6) happens BEFORE ranking on both sides so ties break the
     // same way

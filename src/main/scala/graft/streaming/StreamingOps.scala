@@ -211,6 +211,34 @@ object StreamingOps {
                                       indexPath: String): DataFrame =
     graft.operators.DedupIndex.exactDedupAgainst(docs, textCol, indexPath)
 
+  /**
+   * Deterministic sampling / split assignment for STREAMING frames —
+   * the intake twins of [[graft.operators.Sampling.hashSample]],
+   * [[graft.operators.Sampling.weightedSample]] and
+   * [[graft.operators.Sampling.assignSplit]]. All three are pure
+   * hash-derived filters/projections (zero state, zero watermark), and
+   * because survival/slice is a function of the ROW KEY alone, a
+   * stream sampled at intake and the same rows sampled later in batch
+   * agree EXACTLY — the property that lets a pipeline downsample on
+   * ingest and still re-derive the decision offline
+   * (StreamingOpsSpec asserts batch-identity row-for-row). Delegating
+   * to the batch operators (not reimplementing) is what makes the
+   * agreement structural rather than coincidental.
+   */
+  def streamingHashSample(docs: DataFrame, keyCol: String,
+                          fraction: Double): DataFrame =
+    graft.operators.Sampling.hashSample(docs, keyCol, fraction)
+
+  /** See [[streamingHashSample]]. */
+  def streamingWeightedSample(docs: DataFrame, keyCol: String,
+                              weight: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.Sampling.weightedSample(docs, keyCol, weight)
+
+  /** See [[streamingHashSample]]. */
+  def streamingAssignSplit(docs: DataFrame, keyCol: String,
+                           splits: Seq[(String, Double)]): DataFrame =
+    graft.operators.Sampling.assignSplit(docs, keyCol, splits)
+
   /** Apply a table migration config to a STREAMING source frame: the same
     * compiled plan (rename/transform/validate/lookup), incremental
     * execution. `resolve` supplies STATIC lookup dims (stream-static

@@ -268,4 +268,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(collided.columns.count(_ == "n_chars") == 1)
     assert(collided.select("n_chars").schema.nonEmpty) // resolvable by name
   }
+
+  test("streaming samplers and split match the batch decisions row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staticDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rows = staticDocs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val weight = least(lit(1.0), length(col("text")).cast("double") / 400.0)
+    val sampled = StreamingOps.streamingWeightedSample(stream, "doc_id", weight)
+    val split = StreamingOps.streamingAssignSplit(stream, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    assert(sampled.isStreaming && split.isStreaming)
+    val q1 = sampled.writeStream.format("memory").queryName("stream_wsample")
+      .outputMode("append").start()
+    val q2 = split.writeStream.format("memory").queryName("stream_split")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val sIds = spark.sql("SELECT doc_id FROM stream_wsample")
+      .collect().map(_.getLong(0)).toSet
+    val sSplit = spark.sql("SELECT doc_id, split FROM stream_split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    q1.stop(); q2.stop()
+    val bIds = graft.operators.Sampling
+      .weightedSample(staticDocs, "doc_id", weight)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bSplit = graft.operators.Sampling
+      .assignSplit(staticDocs, "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sIds == bIds, "stream-sampled set must equal the batch decision")
+    assert(sSplit == bSplit, "stream split must equal the batch assignment")
+  }
 }
