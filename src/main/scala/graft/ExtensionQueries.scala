@@ -405,6 +405,12 @@ object ExtensionQueries {
         seed = 42L, shards = 8)
         .select(col("doc_id"), col("shard"), col("pos")))),
 
+    // "take ~2000 tokens per language", deterministic hash-first order
+    "q_sample_budget" -> ((s, dir) =>
+      det(graft.operators.Sampling.tokenBudgetSample(docs(s, dir),
+        Seq("lang"), "doc_id",
+        TextFunctions.tokenCount(col("text")), budget = 2000L))),
+
     // --- corpus frequency statistics -------------------------------------
 
     "q_text_vocabulary" -> ((s, dir) =>
@@ -890,6 +896,16 @@ object ExtensionQueries {
          |SELECT doc_id, shard,
          |  row_number() OVER (PARTITION BY shard ORDER BY uni, doc_id) - 1 AS pos
          |FROM a ORDER BY doc_id $N1, shard $N1, pos $N1""".stripMargin,
+    "q_sample_budget" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, source, n_chars,
+         |  len(regexp_extract_all(text, '\\S+')) AS sz,
+         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    / 4294967296.0 AS uni
+         |  FROM documents),
+         |c AS (SELECT *, sum(sz) OVER (PARTITION BY lang ORDER BY uni, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, text, lang, source, n_chars FROM c WHERE cum - sz < 2000
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_text_vocabulary" ->
       s"""SELECT token, count(*) AS n_occurrences
          |FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token

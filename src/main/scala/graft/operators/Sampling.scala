@@ -79,6 +79,41 @@ object Sampling {
   }
 
   /**
+   * Token-budget quota: keep, per stratum, the hash-uniform-first rows
+   * whose cumulative SIZE stays within `budget` — "take ~1B tokens per
+   * language", the curation quota that [[stratifiedTopK]]'s row-count
+   * k cannot express when document lengths vary wildly. The row that
+   * CROSSES the boundary is kept (its cumulative size minus its own is
+   * still under budget), so every stratum with any data yields at
+   * least one row and the overshoot is bounded by one document.
+   *
+   * `sizeCol` is any per-row cost expression — a token count riding
+   * the scan projection ([[graft.functions.TextFunctions.tokenCount]]),
+   * a byte length, a precomputed column. Deterministic like every
+   * sampler here: the kept set is a pure function of (keys, sizes),
+   * reproducible by the DuckDB oracle.
+   *
+   * 100 TB design: ONE shuffle (the stratum window); the running sum
+   * must order the whole stratum, so per-window state is the stratum's
+   * rows — bound it by pre-thinning with [[hashSample]]/
+   * [[stratifiedSample]] when strata are corpus-scale (sampling to a
+   * budget implies the budget is far under the stratum size; a cheap
+   * fraction filter in front keeps the window input proportional to
+   * the budget, not the corpus).
+   */
+  def tokenBudgetSample(df: DataFrame, stratumCols: Seq[String], keyCol: String,
+                        sizeCol: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(stratumCols.map(col): _*)
+      .orderBy(hashUniform(col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__sz", sizeCol.cast(LongType))
+      .withColumn("__cum", sum(col("__sz")).over(w))
+      .filter(col("__cum") - col("__sz") < budget)
+      .drop("__sz", "__cum")
+  }
+
+  /**
    * Per-row weighted (importance) sampling: a row survives iff
    * hashUniform(key) < its own `weight` expression, clamped to [0, 1].
    * This is the quality-resampling step of CCNet-style pipelines —

@@ -122,6 +122,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(PlanWalk.shuffleCount(out) == 0)
   }
 
+  test("tokenBudgetSample stays within budget + one doc, hash-first order") {
+    val budget = 2000L
+    val out = Sampling.tokenBudgetSample(docs, Seq("lang"), "doc_id",
+      graft.functions.TextFunctions.tokenCount(col("text")), budget)
+    val sizes = out.groupBy("lang")
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))).as("toks"),
+        max(graft.functions.TextFunctions.tokenCount(col("text"))).as("mx"))
+      .collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach { r =>
+      val total = r.getLong(1); val mx = r.getLong(2)
+      assert(total < budget + mx,
+        s"${r.getString(0)}: $total tokens exceeds budget+one-doc")
+    }
+    // the kept set is the hash-first prefix: every kept doc's uniform is
+    // <= every dropped doc's uniform within its stratum (prefix property)
+    val u = Sampling.hashUniform(col("doc_id"))
+    val kept = out.select(col("lang"), u.as("u")).groupBy("lang")
+      .agg(max("u").as("maxKept")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dropped = docs.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("lang"), u.as("u")).groupBy("lang")
+      .agg(min("u").as("minDropped")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    dropped.foreach { case (lang, minDrop) =>
+      assert(kept(lang) < minDrop, s"$lang: kept set is not a hash prefix")
+    }
+    // every stratum keeps at least one row, even under a tiny budget
+    val tiny = Sampling.tokenBudgetSample(docs, Seq("lang"), "doc_id",
+      graft.functions.TextFunctions.tokenCount(col("text")), 1L)
+    assert(tiny.select("lang").distinct().count() ==
+      docs.select("lang").distinct().count())
+  }
+
   test("globalShuffle yields a reproducible bijective (shard, pos) order") {
     val out = Sampling.globalShuffle(docs, "doc_id", seed = 42L, shards = 8)
       .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
