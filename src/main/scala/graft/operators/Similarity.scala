@@ -496,6 +496,26 @@ object Similarity {
   }
 
   /**
+   * Cluster-balanced sampling — the SemDeDup/DC-style curation recipe
+   * "cluster the embedding space, then take a bounded, deterministic
+   * quota from every cluster" (equalizes coverage of the data manifold
+   * instead of letting dense head clusters dominate the sample):
+   * [[kmeans]] labels composed with
+   * [[graft.operators.Sampling.stratifiedTopK]]'s hash-uniform quota on
+   * the cluster column. Returns the sampled `corpus` rows plus their
+   * `cluster` label. Scale shape: the kmeans rounds (above) + one
+   * corpus-sized equi-join on the id + the quota window's one shuffle
+   * with WindowGroupLimit map-side pre-trim.
+   */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+                            k: Int, perCluster: Int, iters: Int = 5): DataFrame = {
+    require(perCluster >= 1, "perCluster must be >= 1")
+    val labels = kmeans(corpus, idCol, vecCol, k, iters)
+    graft.operators.Sampling.stratifiedTopK(
+      corpus.join(labels, Seq(idCol)), Seq("cluster"), idCol, perCluster)
+  }
+
+  /**
    * Candidate pairs from IVF cells, ASYMMETRIC (inverted-file) model:
    * a pair (a, b) is a candidate iff one side's INDEX cell (its single
    * nearest centroid, `__rank` 1) is among the other side's `nprobe`

@@ -488,6 +488,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(asg == again)
   }
 
+  test("clusterBalancedSample takes a deterministic quota from every cluster") {
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+      k = 20, perCluster = 7, iters = 3)
+    val sizes = out.groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(sizes.length == 20 && sizes.forall(_ == 7L),
+      "exactly 7 from each of the 20 recovered clusters")
+    // balanced across the PLANTED structure too (kmeans recovers it):
+    // every planted label contributes exactly its cluster's quota
+    val byLabel = out.select("vec_id").collect().map(_.getLong(0) % 20)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(byLabel.size == 20 && byLabel.values.forall(_ == 7))
+    // deterministic
+    val again = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+      k = 20, perCluster = 7, iters = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("semanticCollapse keeps the min id per duplicate component and all singletons") {
     // graded q_dedup_semantic config at sf0.01: survivors must equal the
     // exact-pair collapse (LSH completeness already pinned above)
