@@ -91,6 +91,13 @@ object ExtensionQueries {
       .groupBy(TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups")))),
 
+    // dup groups modulo Unicode form / case / whitespace — what exact
+    // byte-equality dedup misses on real crawls
+    "q_dedup_normalized" -> ((s, dir) => det(docs(s, dir)
+      .groupBy(TextFunctions.contentFingerprint(
+        TextFunctions.normalizeForDedup(col("text"))).as("fingerprint"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups")))),
+
     "q_text_repetition" -> ((s, dir) =>
       det(graft.operators.TextStats.repetitionProfile(docs(s, dir), "doc_id", "text"))),
 
@@ -646,6 +653,15 @@ object ExtensionQueries {
     "q_text_fingerprint" ->
       s"""SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_dups
          |FROM documents GROUP BY md5(text)
+         |ORDER BY fingerprint $N1, doc_id $N1, n_dups $N1""".stripMargin,
+    // NFC + casefold + whitespace-collapse canonical form; DuckDB's
+    // regexp_replace needs the 'g' flag (Spark's is global by default)
+    "q_dedup_normalized" ->
+      s"""WITH nrm AS (SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')))
+         |    AS fingerprint FROM documents)
+         |SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_dups
+         |FROM nrm GROUP BY fingerprint
          |ORDER BY fingerprint $N1, doc_id $N1, n_dups $N1""".stripMargin,
     // same token definition (\S+ runs), same chunk arithmetic
     // (step = 64 - 16 = 48, count = max(1, ceil((n-16)/48))), same

@@ -264,4 +264,15 @@ object TextFunctions {
     PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
       regexp_replace(c, pat, repl)
     }
+
+  /** Canonical form for normalization-INVARIANT dedup: Unicode NFC
+    * (composed accents — see [[NfcNormalize]]), casefold via `lower`,
+    * every whitespace run collapsed to one space, ends trimmed. Two
+    * crawls of the same page differing only in encoding form, case or
+    * formatting whitespace then share one fingerprint — feed this to
+    * [[contentFingerprint]]/[[graft.operators.Dedup.exactDedup]] for
+    * the normalized flavor of exact dedup. Zero shuffle: one native
+    * call + three codegen'd string ops riding the scan. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(lower(NfcNormalize.nfcNormalize(text)), "\\s+", " "))
 }

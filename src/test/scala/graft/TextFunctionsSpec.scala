@@ -150,4 +150,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(ham(hBase, hNear) < ham(hBase, hFar))
     assert(hBase >= 0) // 63-bit: sign bit never set
   }
+
+  test("normalizeForDedup canonicalizes Unicode form, case and whitespace") {
+    // NFD "café" (e + combining acute) must equal NFC "café"
+    val nfd = "Café  au \t Lait"
+    val nfc = "café au lait"
+    assert(one[String](normalizeForDedup(col("t")), nfd) == nfc)
+    assert(one[String](normalizeForDedup(col("t")), " CAFÉ AU LAIT ") == nfc)
+    // already-canonical ASCII passes through untouched
+    assert(one[String](normalizeForDedup(col("t")), "plain text") == "plain text")
+    // distinct content stays distinct
+    assert(one[String](normalizeForDedup(col("t")), "cafe au lait") != nfc)
+    // fingerprints collapse across the normalization classes
+    val docs = Seq((1L, nfd), (2L, nfc.toUpperCase), (3L, "unrelated"))
+      .toDF("doc_id", "text")
+    val groups = docs
+      .groupBy(contentFingerprint(normalizeForDedup(col("text"))).as("fp"))
+      .count().collect().map(_.getLong(1)).sorted
+    assert(groups.toSeq == Seq(1L, 2L))
+  }
 }
