@@ -914,7 +914,7 @@ object ExtensionQueries {
          |FROM a ORDER BY doc_id $N1, shard $N1, pos $N1""".stripMargin,
     "q_sample_budget" ->
       s"""WITH t AS (SELECT doc_id, text, lang, source, n_chars,
-         |  len(regexp_extract_all(text, '\\S+')) AS sz,
+         |  coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS sz,
          |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
          |    / 4294967296.0 AS uni
          |  FROM documents),

@@ -107,7 +107,10 @@ object Sampling {
     val w = Window.partitionBy(stratumCols.map(col): _*)
       .orderBy(hashUniform(col(keyCol)), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn("__sz", sizeCol.cast(LongType))
+    // null size (e.g. null text) counts as 0 — kept for free — rather
+    // than the subtle alternative (NULL survival test) that silently
+    // drops exactly the null-sized rows from the sample
+    df.withColumn("__sz", coalesce(sizeCol.cast(LongType), lit(0L)))
       .withColumn("__cum", sum(col("__sz")).over(w))
       .filter(col("__cum") - col("__sz") < budget)
       .drop("__sz", "__cum")
