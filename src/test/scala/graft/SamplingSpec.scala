@@ -154,6 +154,8 @@ class SamplingSpec extends AnyFunSuite {
       graft.functions.TextFunctions.tokenCount(col("text")), 1L)
     assert(tiny.select("lang").distinct().count() ==
       docs.select("lang").distinct().count())
+    // exactly ONE exchange (the stratum window), plan-asserted
+    assert(PlanWalk.shuffleCount(out) == 1)
   }
 
   test("globalShuffle yields a reproducible bijective (shard, pos) order") {
