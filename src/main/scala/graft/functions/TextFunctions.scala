@@ -275,4 +275,11 @@ object TextFunctions {
     * call + three codegen'd string ops riding the scan. */
   def normalizeForDedup(text: Column): Column =
     trim(regexp_replace(lower(NfcNormalize.nfcNormalize(text)), "\\s+", " "))
+
+  /** Feature-hashing document vector — see [[HashingVector]]: a
+    * model-free `dim`-bucket signed token histogram, L2-normalized,
+    * that plugs a text-only corpus into the vector operators
+    * (cosine/ANN/k-means/semantic collapse). */
+  def hashingVector(text: Column, dim: Int): Column =
+    HashingVector.hashingVector(text, dim)
 }

@@ -151,6 +151,71 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(hBase >= 0) // 63-bit: sign bit never set
   }
 
+  test("HashingVector matches the declarative xxhash64 formulation exactly") {
+    // value oracle: explode tokens, Spark's own xxhash64 (seed 42 = the
+    // kernel's), signed bucket sums, L2-normalize driver-side. All
+    // intermediate values are small integers in doubles -> the native
+    // one-pass kernel must match BITWISE, doc for doc, on real corpus
+    // text (multi-space runs, unicode, empty docs included).
+    val dim = 16
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+        hashingVector(col("text"), dim).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val ref = docs.select(col("doc_id"),
+        explode_outer(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+        val acc = new Array[Double](dim)
+        rows.foreach { r =>
+          if (!r.isNullAt(1)) { // explode_outer null for token-less docs
+            val h = r.getLong(1)
+            acc((((h % dim) + dim) % dim).toInt) += (if (h < 0) -1.0 else 1.0)
+          }
+        }
+        val n = math.sqrt(acc.map(x => x * x).sum)
+        id -> (if (n > 0) acc.map(_ / n) else acc)
+      }
+    assert(native.keySet == ref.keySet)
+    native.foreach { case (id, v) =>
+      assert(v.sameElements(ref(id)), s"doc $id vectors differ")
+    }
+    // unit norm for every non-empty doc; zero vector for empty
+    native.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-12 || n == 0.0)
+    }
+  }
+
+  test("hashing vectors plug text into the vector family: exact dups collapse") {
+    // real corpus + PLANTED exact dups (the small SFs carry none): two
+    // copies of existing docs under fresh ids
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val planted = base.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 10001L).as("doc_id"), col("text"))
+    val docs = base.unionAll(planted)
+    val vecs = docs.select(col("doc_id"),
+      hashingVector(col("text"), 64).as("embedding"))
+    // identical texts -> identical vectors -> cosine 1: semanticCollapse
+    // at a high threshold must keep at most one doc per exact-dup group
+    val kept = graft.operators.Similarity
+      .semanticCollapse(vecs, "doc_id", "embedding", threshold = 0.999)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dupGroups = docs.groupBy("text").agg(
+        collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .collect().map(_.getSeq[Long](1)) // row = (text, ids, n)
+    assert(dupGroups.size >= 2, "planted dup groups missing")
+    // (a group may keep ZERO members if its component's survivor is an
+    // outside near-dup — never more than one)
+    dupGroups.foreach { ids =>
+      assert(ids.count(kept) <= 1, s"group $ids kept more than one")
+    }
+    assert(kept.size < docs.count(), "collapse must actually drop dups")
+  }
+
   test("normalizeForDedup canonicalizes Unicode form, case and whitespace") {
     // NFD "café" (e + combining acute) must equal NFC "café"
     val nfd = "Café  au \t Lait"
