@@ -19,8 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * jointly, so similar token distributions stay similar).
  *
  * One pass over the text's bytes — same whitespace byte-scan and
- * xxhash64(seed 42) token hashing as [[Simhash63]]/[[ShingleHashes]],
- * so the token definition is the module-wide `split`-compatible one.
+ * xxhash64(seed 42) token hashing as [[Simhash63]]: tokens are maximal
+ * `\S+` runs (any [\t-\r ] whitespace separates, runs collapse, no
+ * empty tokens). NOTE this is NOT [[ShingleHashes]]'s token
+ * definition — that kernel mirrors `split(text, ' ')` (0x20 only,
+ * empty tokens counted), so composing hashing vectors with
+ * shingle-based ops on tab/newline-separated text mixes two
+ * tokenizations; on single-space-separated text they agree.
  * Sign trick: bit 63 of the token hash (untouched by the bucket
  * modulus) decides +1/-1, which keeps the expected dot product of
  * UNRELATED documents at zero instead of drifting positive with

@@ -512,6 +512,14 @@ object Dedup {
    * (score, -id) struct: one partial-aggregated groupBy, no window over
    * the corpus); the corpus-sized frame sees one left join plus the
    * tiny survivor table.
+   *
+   * NULL scores order LOWEST (struct-max puts null first): a member
+   * with any non-null score always beats a null-scored one, and a
+   * component whose members are ALL null-scored falls back to min-id
+   * survival — the [[collapseNearDups]] policy. Id domain: the argmax
+   * tie-break negates the id, so ids must sit in the negation-closed
+   * range of their type (a `Long.MinValue` id would overflow; real id
+   * spaces — non-negative counters, hashes into [0, 2^63) — are fine).
    */
   def collapseNearDupsBest(docs: DataFrame, idCol: String, scoreCol: String,
                            pairs: DataFrame, aCol: String, bCol: String,

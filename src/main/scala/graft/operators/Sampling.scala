@@ -130,10 +130,18 @@ object Sampling {
    * is a pure function of (key, weight), so the sampled corpus is
    * reproducible bit-identically by any engine with md5. Zero shuffle,
    * zero driver state — a codegen'd filter riding the scan.
+   *
+   * NULL policy: a NULL weight (e.g. joined from a sparse score table
+   * with no row for this key) counts as weight 0 — the row is DROPPED,
+   * explicitly rather than via the silent NULL-comparison path
+   * (`greatest` skips NULLs, so without the coalesce the survival test
+   * itself would quietly evaluate to the same drop). Callers wanting
+   * "unscored rows survive" should `coalesce` their own default in the
+   * weight expression.
    */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
     df.filter(hashUniform(col(keyCol)) <
-      least(lit(1.0), greatest(lit(0.0), weight.cast(DoubleType))))
+      least(lit(1.0), greatest(lit(0.0), coalesce(weight.cast(DoubleType), lit(0.0)))))
 
   /**
    * Deterministic train/validation/test split: adds a `split` column

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,7 +25,7 @@ import org.apache.spark.sql.types._
  *    (table, bucket-signature); only same-bucket candidates get the
  *    exact cosine rerank. Recall is tuned by L; precision by H.
  */
-object Similarity {
+object Similarity extends Logging {
 
   /** Left-fold dot product of two equal-length float arrays, in double —
     * the native codegen'd expression (see [[dotP]]); bit-identical to the
@@ -456,12 +457,24 @@ object Similarity {
    * k·dim aggregated sums per round (256 clusters × 64 dims = 128 KB —
    * [[ivfAssignments]]'s bounded-collect contract). Iteration count is
    * a constant; there is no per-row driver work anywhere.
+   *
+   * EFFECTIVE cluster count: like [[centroidsFromDraw]]'s IVF caveat, a
+   * dup-heavy corpus can yield fewer than `k` distinct seed directions
+   * ([[farthestFirst]] stops once only duplicate directions remain —
+   * their max-cosine to a chosen seed is 1), so `cluster` may take
+   * fewer than `k` values. Still correct, just coarser; the shortfall
+   * is WARN-logged, and quota-per-cluster consumers
+   * ([[clusterBalancedSample]]) simply quota over the clusters that
+   * exist.
    */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
              k: Int, iters: Int = 5): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
     var cents = farthestFirst(drawNormalized(corpus, idCol, vecCol, 8 * k), k)
+    if (cents.length < k)
+      logWarning(s"kmeans(k=$k): only ${cents.length} distinct seed directions " +
+        "in the corpus draw — producing that many clusters instead")
     val dim = cents.head.length
     for (_ <- 1 to iters) {
       val members = assignToCentroids(corpus, idCol, vecCol, cents, 1)

@@ -96,6 +96,12 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept(true).toDouble / tot(true) > 0.8)
     assert(kept(false).toDouble / tot(false) < 0.2)
     assert(PlanWalk.shuffleCount(skewed) == 0)
+    // NULL weight = weight 0 (documented policy): dropped explicitly,
+    // same result as lit(0.0), not a silent NULL-comparison artifact
+    assert(Sampling.weightedSample(docs, "doc_id",
+      lit(null).cast("double")).isEmpty)
+    assert(Sampling.weightedSample(docs, "doc_id",
+      when(col("lang") === "zz", 1.0)).isEmpty) // CASE with no ELSE -> NULL
   }
 
   test("assignSplit covers every row, is growth-stable, zero-shuffle") {
