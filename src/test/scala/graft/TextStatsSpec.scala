@@ -273,8 +273,16 @@ class TextStatsSpec extends AnyFunSuite {
     assert(junk < medianReal, s"junk $junk should score below median $medianReal")
     // the token->frequency join must be a broadcast (never a shuffle of
     // the exploded token stream on the token key)
-    val bhj = PlanWalk.executedNodes(out).count(
+    val nodes = PlanWalk.executedNodes(out)
+    val bhj = nodes.count(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
     assert(bhj >= 1, "expected the vocab join to broadcast")
+    // the corpus is TOKENIZED ONCE (VERDICT r9 #6): vocabulary, token
+    // total and scoring all reuse the one (doc, token) aggregate's
+    // exchange, so exactly one generator executes in the finalized plan
+    val generators = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    assert(generators == 1,
+      s"expected one tokenization in the executed plan, found $generators")
   }
 }
