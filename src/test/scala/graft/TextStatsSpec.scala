@@ -235,6 +235,32 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(3L).isNullAt(out(3L).fieldIndex("mean_logprob")))
   }
 
+  test("lengthPercentiles approx sketch stays within bounds of the exact path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def byLang(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = byLang(TextStats.lengthPercentiles(docs, "text", Seq("lang")))
+    val approx = byLang(TextStats.lengthPercentiles(docs, "text", Seq("lang"),
+      approx = true))
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (lang, (nA, p50A, p90A)) =>
+      val (nE, p50E, p90E) = exact(lang)
+      assert(nA == nE)
+      // GK sketch at the default accuracy: rank error <= n/accuracy, which
+      // at sf0.01 means the sketch holds every value — the only remaining
+      // difference is interpolation (exact) vs nearest-element (sketch),
+      // bounded by one token-count step. 5% relative covers both regimes.
+      assert(math.abs(p50A - p50E) <= math.max(1.0, 0.05 * p50E),
+        s"$lang p50: approx $p50A vs exact $p50E")
+      assert(math.abs(p90A - p90E) <= math.max(1.0, 0.05 * p90E),
+        s"$lang p90: approx $p90A vs exact $p90E")
+    }
+    // same output schema either way — a dataset card can swap paths freely
+    assert(TextStats.lengthPercentiles(docs, "text", Seq("lang"), approx = true)
+      .schema == TextStats.lengthPercentiles(docs, "text", Seq("lang")).schema)
+  }
+
   test("tfidfKeywords scores tf*ln(N/df), ranks per doc, prunes map-side") {
     val docs = Seq(
       (1L, "apple banana apple"),
