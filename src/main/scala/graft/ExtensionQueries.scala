@@ -225,6 +225,13 @@ object ExtensionQueries {
       det(Dedup.duplicatedWindowProfile(docs(s, dir), "doc_id", "text",
         window = 8))),
 
+    // the REMOVAL half of substring dedup (the profile above is the
+    // measurement half): cut every duplicated 8-token window occurrence
+    // except the globally first, re-join the surviving tokens
+    "q_dedup_window_removal" -> ((s, dir) =>
+      det(Dedup.removeDuplicatedWindows(docs(s, dir), "doc_id", "text",
+        window = 8).select(col("doc_id"), col("text")))),
+
     // quality-aware collapse: same pair graph as q_dedup_collapse but
     // the survivor is the LONGEST member (n_chars), ties to min id
     "q_dedup_collapse_best" -> ((s, dir) => {
@@ -747,6 +754,32 @@ object ExtensionQueries {
          |  END AS dup_ratio
          |FROM sh LEFT JOIN cnt ON cnt.doc_id = sh.doc_id
          |ORDER BY sh.doc_id $N1, n_windows $N1, dup_windows $N1, dup_ratio $N1""".stripMargin,
+    // positional windows (struct unnest keeps 1-based start positions),
+    // occurrence count >= 2 over ALL occurrences (same-doc repeats
+    // included), canonical = first by (doc_id, pos), covered token
+    // positions removed, survivors re-joined — mirrors
+    // removeDuplicatedWindows exactly (hashes vs strings: injective in
+    // practice, same argument as the jaccard oracles)
+    "q_dedup_window_removal" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |occ AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+         |  SELECT doc_id, unnest([{'pos': i, 'g': array_to_string(t[i:i+7],' ')}
+         |    for i in generate_series(1, len(t)-7)]) AS u FROM toks)),
+         |bad AS (SELECT doc_id, pos FROM occ
+         |  QUALIFY count(*) OVER (PARTITION BY g) >= 2
+         |      AND row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) > 1),
+         |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos+7)) AS tp
+         |        FROM bad),
+         |tokpos AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest([{'pos': i, 'tok': t[i]}
+         |    for i in generate_series(1, len(t))]) AS u FROM toks)),
+         |kept AS (SELECT tp.doc_id,
+         |    array_to_string(list(tp.tok ORDER BY tp.pos), ' ') AS text
+         |  FROM tokpos tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.tp = tp.pos
+         |  WHERE cov.tp IS NULL GROUP BY tp.doc_id)
+         |SELECT d.doc_id, coalesce(k.text, '') AS text
+         |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+         |ORDER BY d.doc_id $N1, text $N1""".stripMargin,
     "q_dedup_collapse_best" ->
       s"""WITH RECURSIVE $jaccardCte,
          |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),

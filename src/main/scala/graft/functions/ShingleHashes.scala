@@ -9,8 +9,11 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Native word-n-gram shingle hasher: xxhash64 of every word n-gram of
- * `text`, distinct, in first-occurrence order — WITHOUT materializing
- * the shingle strings.
+ * `text` — distinct in first-occurrence order by default (`distinct =
+ * true`, the dedup-family blocking shape), or EVERY window in positional
+ * order (`distinct = false`: index i = the window starting at token i,
+ * the shape substring-level dedup needs to address spans) — WITHOUT
+ * materializing the shingle strings.
  *
  * Exploits that a space-joined word n-gram is a BYTE SUBSTRING of the
  * original text (tokens are the maximal runs between 0x20 bytes, and
@@ -23,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
  * plus a joined string per shingle (~0.6 ms/doc; this expression is
  * ~50x cheaper and keeps the whole scan projection in codegen).
  */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
+  extends UnaryExpression {
 
   require(n >= 1, "shingle width must be >= 1")
 
@@ -31,11 +35,11 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "graft_shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleHashes$$.MODULE$$.compute($c, $n);")
+      s"${ev.value} = graft.functions.ShingleHashes$$.MODULE$$.compute($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -43,9 +47,10 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
 object ShingleHashes {
 
-  /** Distinct window hashes in first-occurrence order. Called from both
-    * the interpreted eval and the generated code. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  /** Window hashes: distinct in first-occurrence order, or every window
+    * in positional order. Called from both the interpreted eval and the
+    * generated code. */
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val len = text.numBytes
@@ -71,20 +76,27 @@ object ShingleHashes {
       i += 1
     }
     ends(t) = len
-    val seen = new java.util.HashSet[java.lang.Long](windows * 2)
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long](windows * 2) else null
     val out = new Array[Long](windows)
     var m = 0
     var w = 0
     while (w < windows) {
       val from = starts(w)
       val h = XXH64.hashUnsafeBytes(base, off + from, ends(w + n - 1) - from, 42L)
-      if (seen.add(h)) { out(m) = h; m += 1 }
+      if (distinct) { if (seen.add(h)) { out(m) = h; m += 1 } }
+      else { out(m) = h; m += 1 }
       w += 1
     }
     new GenericArrayData(if (m == windows) out else java.util.Arrays.copyOf(out, m))
   }
 
-  /** Column helper. */
+  /** Column helper: distinct window hashes, first-occurrence order. */
   def shingleHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
+
+  /** Column helper: EVERY window hash in positional order — element i is
+    * the window starting at (0-based) token i. */
+  def shingleHashesAll(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      ShingleHashes(GraftColumnBridge.expression(text), n, distinct = false))
 }

@@ -632,6 +632,80 @@ object Dedup {
             col("n_windows"), 6)).as("dup_ratio"))
   }
 
+  /**
+   * Substring-level dedup, the REMOVAL half (VERDICT r9 #1;
+   * [[duplicatedWindowProfile]] is the measurement half): delete from
+   * every document the token spans covered by `window`-token windows
+   * that occur more than once in the corpus, keeping ONE canonical
+   * occurrence — the globally first by (doc id, position). This is Lee
+   * et al. 2022's exact-substring deduplication reshaped for Spark:
+   * document-level collapse cannot remove boilerplate that hides inside
+   * otherwise-distinct text, so the spans themselves are cut and the
+   * surviving tokens are re-joined.
+   *
+   * Semantics (pinned by `q_dedup_window_removal`'s DuckDB oracle):
+   * tokens are `split(text, ' ')` pieces ([[shingled]]'s definition);
+   * an OCCURRENCE is (doc, start position) — repeats WITHIN one doc
+   * count toward the >= 2 threshold too (unlike the profile's
+   * document-frequency, which is per-doc distinct); a token survives
+   * iff NO non-canonical duplicated occurrence covers it; output is the
+   * input schema with `textCol` replaced by the surviving tokens joined
+   * with single spaces. Overlap caveat: the canonical occurrence keeps
+   * its span only where no OTHER duplicated occurrence overlaps it —
+   * with self-overlapping repeats the kept copy can lose tokens to a
+   * neighboring cut, exactly like cutting maximal duplicated substrings
+   * would. Docs with fewer than `window` tokens have no windows and
+   * pass through byte-identical.
+   *
+   * 100 TB design: positional window hashes are the same zero-shuffle
+   * native [[graft.functions.ShingleHashes]] kernel (positional
+   * flavor), hashed once for the whole plan — the occurrence stream's
+   * (hash → count, first-occurrence) aggregate and the flag join
+   * consume the SAME exchange (explicit nullness filter keeps the
+   * subtrees canonically equal; DedupSpec pins one shingle generator on
+   * the executed plan). Only hashes with >= 2 occurrences survive into
+   * the join (volume bounded by the corpus's actual duplication, the
+   * [[duplicatedWindowProfile]] shape); covered positions collapse to
+   * one bounded array per AFFECTED doc, and the rebuild is one
+   * row-local filter+join projection against the corpus — the full
+   * text column never shuffles.
+   */
+  def removeDuplicatedWindows(docs: DataFrame, idCol: String, textCol: String,
+                              window: Int = 50): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    // one positional shingling for the whole plan: the stats aggregate
+    // and the flag join consume the SAME repartition exchange (the
+    // explicit nullness filter + repartition barrier are simhashPairs'
+    // exchange-reuse trick; the occurrence stream must shuffle on the
+    // hash for the join anyway, so the barrier adds no exchange — it
+    // only stops column pruning from specializing each consumer into
+    // its own scan+shingle projection)
+    val occ = docs.select(col(idCol).as("__id"),
+        posexplode(graft.functions.ShingleHashes.shingleHashesAll(
+          col(textCol), window)).as(Seq("__pos", "__g")))
+      .filter(col("__g").isNotNull && col("__id").isNotNull)
+      .repartition(col("__g"))
+    val dups = occ.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("__id"), col("__pos"))).as("__first"))
+      .filter(col("__cnt") >= 2)
+      .select(col("__g"), col("__first"))
+    val covered = occ.join(dups, Seq("__g"))
+      .filter(!(col("__id") === col("__first.__id") &&
+        col("__pos") === col("__first.__pos")))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(window - 1))).as("__tp"))
+      .groupBy(col("__id"))
+      .agg(collect_set(col("__tp")).as("__cov"))
+    val rebuilt = array_join(
+      filter(split(col(textCol), " "),
+        (_, i) => !array_contains(col("__cov"), i)), " ")
+    docs.join(covered.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__cov").isNull, col(textCol)).otherwise(rebuilt))
+      .drop("__cov")
+  }
+
   // -------------------------------------------------- incremental (delta)
 
   /**

@@ -510,4 +510,49 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("dup_windows")).toMap
     assert(w(5L) == 0L)
   }
+
+  test("removeDuplicatedWindows cuts every non-canonical duplicated span") {
+    val corpus = Seq(
+      (1L, "k1 k2 w x y z t1 t2"), // canonical "w x y z" occurrence (min doc)
+      (2L, "m1 m2 m3 w x y z"),    // shares the span inside distinct text
+      (3L, "u1 u2 u3 u4"),         // unique window: untouched
+      (4L, "s1 s2"),               // too short for any window: untouched
+      (5L, "")                     // empty: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedWindows(corpus, "doc_id", "text", window = 4)
+    val texts = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L) == "k1 k2 w x y z t1 t2", "canonical occurrence survives")
+    assert(texts(2L) == "m1 m2 m3", "non-canonical span cut, context kept")
+    assert(texts(3L) == "u1 u2 u3 u4")
+    assert(texts(4L) == "s1 s2")
+    assert(texts(5L) == "")
+    // schema: input columns preserved, text replaced in place
+    assert(out.columns.toSeq == corpus.columns.toSeq)
+    // the measurement half sees ~zero duplication after removal — the
+    // "dup_ratio ≈ 0 on the cleaned corpus" contract
+    val reprofiled = Dedup.duplicatedWindowProfile(out, "doc_id", "text", window = 4)
+      .agg(sum(col("dup_windows"))).head().getLong(0)
+    assert(reprofiled == 0L)
+  }
+
+  test("removeDuplicatedWindows removes within-doc repeats and shingles once") {
+    // occurrence count (not document frequency): a doc repeating its own
+    // window loses every repeat past the first
+    val corpus = Seq((1L, "r r r"), (2L, "p q")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedWindows(corpus, "doc_id", "text", window = 2)
+    val texts = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L) == "r", "second 'r r' occurrence (tokens 1-2) cut")
+    assert(texts(2L) == "p q")
+    // the corpus is shingled ONCE per plan: stats aggregate and flag
+    // join share the repartition exchange
+    val big = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val cleaned = Dedup.removeDuplicatedWindows(big, "doc_id", "text", window = 8)
+    val shingleGens = PlanWalk.executedNodes(cleaned).count {
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        g.generator.find(_.isInstanceOf[graft.functions.ShingleHashes]).isDefined
+      case _ => false
+    }
+    assert(shingleGens == 1,
+      s"expected one shingle generator in the executed plan, found $shingleGens")
+  }
 }
