@@ -54,6 +54,30 @@ object ExtensionQueries {
       tmp.toString
     })
 
+  /** The APPEND-built twin of [[incrementalIndex]]: the same historical
+    * corpus (doc_id < 400) reaches the artifact in two installments —
+    * build over doc_id < 300, then [[DedupIndex.append]] of [300, 400).
+    * Queried by q_dedup_index_append with the SAME oracle as the
+    * one-shot index: append must be query-identical to rebuild. */
+  private val appendedIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def appendedIndex(s: SparkSession, dir: String): String =
+    appendedIndexes.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_index_app")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(tmp))
+          Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }))
+      val d = docs(s, dir)
+      DedupIndex.build(d.filter(col("doc_id") < 300), "doc_id", "text",
+        tmp.toString, n = 5, dfCap = 100, numPerm = 64, bands = 32)
+      DedupIndex.append(d.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "doc_id", "text", tmp.toString)
+      tmp.toString
+    })
+
   /** Seeded planted-cluster frame (20 clusters x 50 vectors, sigma small
     * vs inter-center distance, seed 11) — deterministic and SF-invariant,
     * shared by the clustered-structure gates and the bench-visible
@@ -196,6 +220,24 @@ object ExtensionQueries {
       val d = docs(s, dir)
       val newDocs = d.filter(col("doc_id") >= 400)
       val path = incrementalIndex(s, dir)
+      val exactKept = DedupIndex.exactDedupAgainst(newDocs, "text", path)
+      val nearPairs = DedupIndex.ngramJaccardPairsAgainst(newDocs, "doc_id", "text",
+        path, threshold = 0.5)
+      det(exactKept.join(
+        nearPairs.select(col("doc_new").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+    }),
+
+    // the production refresh loop (VERDICT r9 #2): the index reaches
+    // doc_id < 400 via build(< 300) + append([300, 400)) instead of one
+    // build — then the SAME delta decision as q_dedup_incremental_indexed
+    // against the same oracle, so append-vs-rebuild equivalence is
+    // GRADED, not just spec'd (no shingle crosses the df-cap on this
+    // corpus, so the documented cap-crossing divergence cannot engage)
+    "q_dedup_index_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newDocs = d.filter(col("doc_id") >= 400)
+      val path = appendedIndex(s, dir)
       val exactKept = DedupIndex.exactDedupAgainst(newDocs, "text", path)
       val nearPairs = DedupIndex.ngramJaccardPairsAgainst(newDocs, "doc_id", "text",
         path, threshold = 0.5)
@@ -735,6 +777,10 @@ object ExtensionQueries {
     // the indexed delta must agree with the live delta to the row — one
     // oracle text, two execution paths
     "q_dedup_incremental_indexed" -> oracleIncrementalSql,
+
+    // ...and the APPEND-built index must agree with both: one oracle
+    // text, three execution paths (live, one-shot index, build+append)
+    "q_dedup_index_append" -> oracleIncrementalSql,
 
     // transitive closure of the near-dup pair graph via recursive CTE:
     // component = min reachable id; keep each component's min plus all

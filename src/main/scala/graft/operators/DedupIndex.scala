@@ -157,6 +157,83 @@ object DedupIndex {
       "bands", Seq("__bd", "__bs"), Seq("__bd", "__bs"))
   }
 
+  /**
+   * APPEND a new batch to a [[build]] artifact (VERDICT r9 #2) — the
+   * production delta loop's second half: dedup the batch against the
+   * index, then add the survivors TO the index, without re-shingling
+   * the historical corpus (a one-shot rebuild pays O(corpus) every
+   * refresh, which defeats the index's O(batch) promise over time).
+   * Work here is O(batch) compute plus one column-pruned, hash-keyed
+   * count over the stored postings (the df-cap check below): the
+   * corpus text is never read.
+   *
+   * Per table (sketch parameters come FROM the artifact, so appended
+   * rows live in the same hash/band space by construction):
+   *  - `fingerprints/`: the batch's distinct md5s are appended as-is —
+   *    overlap with stored fingerprints is harmless (the exact-delta
+   *    anti-join is set-semantics), so append == rebuild QUERY-WISE
+   *    (DedupIndexSpec proves row-identity);
+   *  - `shingles/` and `bands/`: per-doc rows, appended (batch shingled
+   *    ONCE into a bounded localCheckpoint; both derive from it) —
+   *    append == rebuild exactly;
+   *  - `postings/`: batch inverted rows whose hash's COMBINED count
+   *    (stored postings + batch) stays within the artifact's df-cap.
+   *    The cap is thus re-derived incrementally, with two documented
+   *    divergences from a fresh build over the union — both bounded,
+   *    both candidate-side only (the Jaccard verify is unchanged):
+   *    (1) a hash CROSSING the cap at append time keeps its stored
+   *    rows (a rebuild would drop the whole group → appended candidates
+   *    are a superset); (2) a hash dropped AT BUILD reads stored-count
+   *    0 (its postings are gone), so a small batch re-admits up to
+   *    cap batch-side rows of a historic stop-shingle. When no hash
+   *    crosses the cap — the overwhelmingly common case — append ==
+   *    rebuild exactly (spec-pinned). Cap drops surface through the
+   *    same engine-visible metrics node as the build's.
+   *
+   * Contract: batch ids must be disjoint from indexed ids (the same
+   * assumption every `*Against` delta operator makes); run the dedup
+   * DECISION first and append only survivors. Bucketed [[buildTables]]
+   * artifacts: append the same five frames with `saveAsTable` in
+   * append mode against the identical bucket spec — not wrapped here
+   * because Spark requires the caller to restate the spec.
+   */
+  def append(newDocs: DataFrame, idCol: String, textCol: String,
+             path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val read = pathReader(spark, path)
+    val p = paramsOf(read("meta"))
+    def appendTo(df: DataFrame, name: String): Unit =
+      df.write.mode("append").parquet(s"$path/$name")
+    appendTo(newDocs.select(md5(col(textCol)).as("fp")).distinct(), "fingerprints")
+    // shingle the batch ONCE (bounded: the batch is the delta); all
+    // three derived tables read this checkpoint, like build's
+    // write-then-read-back trick
+    val sh = Dedup.shingled(newDocs, idCol, textCol, p.n).localCheckpoint(true)
+    appendTo(sh, "shingles")
+    val batchInv = sh.select(col("__id"), explode(col("__hs")).as("__g"))
+    val batchCnt = batchInv.groupBy(col("__g")).agg(count(lit(1)).as("__bc"))
+    // stored df per batch hash: a pruned, semi-joined count of the
+    // postings table — hashes absent from the batch are never counted
+    val storedCnt = read("postings")
+      .join(batchCnt.select("__g"), Seq("__g"), "left_semi")
+      .groupBy(col("__g")).agg(count(lit(1)).as("__sc"))
+    val counted = batchInv.join(
+      batchCnt.join(storedCnt, Seq("__g"), "left")
+        .select(col("__g"),
+          (col("__bc") + coalesce(col("__sc"), lit(0L))).as("__kc")),
+      Seq("__g"))
+    appendTo(Blocking.observeCap(counted, None, "indexappend_dfcap", Seq(
+        sum(when(col("__kc") > p.dfCap, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        coalesce(max(col("__kc")), lit(0L)).as("max_key_count")))
+      .filter(col("__kc") <= p.dfCap).drop("__kc"), "postings")
+    appendTo(sh.filter(size(col("__hs")) > 0)
+      .select(col("__id"),
+        posexplode(graft.functions.MinHashBands.minhashBandsFromHashes(
+          col("__hs"), p.numPerm, p.bands)).as(Seq("__bd", "__bs"))),
+      "bands")
+  }
+
   /** The artifact's build parameters (one-row read). */
   def params(spark: SparkSession, path: String): Params =
     paramsOf(pathReader(spark, path)("meta"))

@@ -844,6 +844,42 @@ object Similarity extends Logging {
       "assignments", Seq("__cid"), Seq("__cid"))
   }
 
+  /**
+   * APPEND a new vector batch to a [[buildAnnIndex]] artifact (VERDICT
+   * r9 #2's ANN half): the batch is bucketed under the artifact's
+   * fixed-seed hyperplanes and assigned to the EXISTING centroids —
+   * O(batch) work, the indexed corpus is never re-read. `meta/` and
+   * `centroids/` are untouched: the build-time quantization tightness
+   * keeps driving query-time probe auto-sizing, so append cannot flip
+   * a probe decision.
+   *
+   * Exactness: the SRP path of an appended index is QUERY-IDENTICAL to
+   * a fresh build over the union (hyperplanes are fixed-seed, vector
+   * rows are per-doc — SimilaritySpec proves row-identity). The IVF
+   * path carries documented QUANTIZATION DRIFT instead: a rebuild
+   * would re-draw centroids (and re-measure tightness) from the grown
+   * corpus, while append quantizes new mass against the old draw — the
+   * standard IVF-append tradeoff. Cells stay correct (every vector is
+   * findable in its nearest OLD cell; the probe model is unchanged)
+   * but drift coarsens them as the appended distribution diverges from
+   * the build's; rebuild periodically, batch-to-index ratio permitting.
+   *
+   * Contract: batch ids disjoint from indexed ids (the `*AgainstIndex`
+   * operators' standing assumption).
+   */
+  def appendAnnIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit = {
+    val read = annPathReader(newVecs.sparkSession, path)
+    val m = annParamsOf(read("meta"))
+    def appendTo(df: DataFrame, name: String): Unit =
+      df.write.mode("append").parquet(s"$path/$name")
+    appendTo(side(newVecs, idCol, vecCol, "__id", "__v", "__n"), "vectors")
+    appendTo(srpBuckets(newVecs, idCol, vecCol, m.tables, m.planes, m.dim)
+      .select("__id", "__table", "__bucket"), "srp_buckets")
+    appendTo(assignToCentroids(newVecs, idCol, vecCol, loadCentroids(read), 1)
+      .select(col("__id"), col("__cid")), "assignments")
+  }
+
   /** How the persisted-index query operators read one artifact table. */
   private type AnnReader = String => DataFrame
 

@@ -202,6 +202,71 @@ class DedupIndexSpec extends AnyFunSuite {
         corpusScans.map(_.dataFilters.mkString(",")).mkString(" | "))
   }
 
+  test("append(build(A), B) is query-identical to build(A union B)") {
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val appended = java.nio.file.Files.createTempDirectory("graft_didx_app").toString
+    DedupIndex.build(a, "doc_id", "text", appended,
+      n = 5, dfCap = 100, numPerm = 64, bands = 32)
+    DedupIndex.append(b, "doc_id", "text", appended)
+    // the rebuilt reference over A ∪ B is the suite's standing indexPath
+    // (built over docs < 400); params must survive the append untouched
+    assert(DedupIndex.params(spark, appended) ==
+      DedupIndex.params(spark, indexPath))
+    // all three delta flavors, row-identical between append and rebuild
+    assert(rows(DedupIndex.exactDedupAgainst(newDocs, "text", appended)) ==
+      rows(DedupIndex.exactDedupAgainst(newDocs, "text", indexPath)))
+    val mhApp = DedupIndex.minhashLshPairsAgainst(newDocs, "doc_id", "text",
+      appended, threshold = 0.5)
+    assert(rows(mhApp) == rows(DedupIndex.minhashLshPairsAgainst(
+      newDocs, "doc_id", "text", indexPath, threshold = 0.5)))
+    assert(mhApp.count() > 0, "the split must actually exercise near-dup pairs")
+    // ngram too: no shingle crosses the df-cap on this corpus (max df 2),
+    // so the documented cap-crossing divergence cannot engage and the
+    // appended postings equal a fresh build's
+    assert(rows(DedupIndex.ngramJaccardPairsAgainst(newDocs, "doc_id", "text",
+      appended, threshold = 0.5)) ==
+      rows(DedupIndex.ngramJaccardPairsAgainst(newDocs, "doc_id", "text",
+        indexPath, threshold = 0.5)))
+    // the fingerprint table stays set-equivalent (append allows physical
+    // duplicates across batches; the anti-join cannot see them)
+    assert(spark.read.parquet(s"$appended/fingerprints").distinct().count() ==
+      spark.read.parquet(s"$indexPath/fingerprints").count())
+  }
+
+  test("ANN append: SRP row-identical to rebuild; IVF finds appended vectors; " +
+    "tightness kept from build") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.filter(col("vec_id") < 400)
+    val b = emb.filter(col("vec_id") >= 400)
+    val queries = emb.filter(col("vec_id") < 40)
+    val appended = java.nio.file.Files.createTempDirectory("graft_ann_app").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ann_reb").toString
+    Similarity.buildAnnIndex(a, "vec_id", "embedding", appended,
+      tables = 12, planes = 6, dim = 64, nCentroids = 16)
+    val builtParams = Similarity.annIndexParams(spark, appended)
+    Similarity.appendAnnIndex(b, "vec_id", "embedding", appended)
+    Similarity.buildAnnIndex(emb, "vec_id", "embedding", rebuilt,
+      tables = 12, planes = 6, dim = 64, nCentroids = 16)
+    // meta (incl. build-time tightness) untouched by the append: probe
+    // auto-sizing decisions cannot flip
+    assert(Similarity.annIndexParams(spark, appended) == builtParams)
+    // SRP path: fixed-seed hyperplanes + per-row tables make the
+    // appended artifact QUERY-IDENTICAL to a fresh build over the union
+    assert(rows(Similarity.annTopKAgainstIndex(queries, "vec_id", "embedding",
+      appended, k = 5)) ==
+      rows(Similarity.annTopKAgainstIndex(queries, "vec_id", "embedding",
+        rebuilt, k = 5)))
+    // IVF path: every appended vector is indexed (assigned to an
+    // EXISTING cell) and reachable by search — quantization drift vs a
+    // re-drawn rebuild is the documented tradeoff, not row-identity
+    assert(spark.read.parquet(s"$appended/assignments").count() == emb.count())
+    val ivfHits = Similarity.ivfTopKAgainstIndex(queries, "vec_id", "embedding",
+      appended, k = 5)
+    assert(ivfHits.filter(col("neighbor_id") >= 400).count() > 0,
+      "appended vectors must be findable through the inverted file")
+  }
+
   test("ANN index: SRP and IVF delta search row-identical to the live operators") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 40)
