@@ -212,6 +212,49 @@ object StreamingOps {
     graft.operators.DedupIndex.exactDedupAgainst(docs, textCol, indexPath)
 
   /**
+   * Streaming MinHash-LSH near-dup delta against a PERSISTED dedup
+   * index (VERDICT r9 #3 — the sketch twin of
+   * [[streamingExactDedupAgainstIndex]]): per micro-batch, keep only
+   * docs with NO near-dup (exact word-n-gram Jaccard >= `threshold`
+   * among the banding candidates) in the indexed corpus, and hand the
+   * survivors to `sink`.
+   *
+   * Shape: a foreachBatch STAGE, not a continuous plan — the near-dup
+   * machinery is per-batch relational in two ways a streaming plan
+   * cannot express: candidate pairs dedup with a `distinct` that must
+   * be scoped to THIS batch (streaming `dropDuplicates` is cross-batch
+   * state — wrong semantics AND unbounded), and the Jaccard verify
+   * joins the batch to itself through the candidate id sets (a
+   * stream-stream self-join). foreachBatch is Spark's own answer for
+   * exactly this: each micro-batch is a batch frame, so the stage
+   * DELEGATES to [[graft.operators.DedupIndex.minhashLshPairsAgainst]]
+   * unchanged — batch-equality is structural, not coincidental (the
+   * sampler-twin argument; StreamingOpsSpec asserts per-batch
+   * row-identity). Wire with
+   * `stream.writeStream.foreachBatch(stage).start()`.
+   *
+   * Scale shape per batch: identical to the batch delta — O(batch)
+   * probe compute against the bands/shingles artifacts, the indexed
+   * corpus never re-shingled; `indexBucketCap` truncates hot index
+   * buckets exactly like the batch path. Within-stream duplicates are
+   * not deduped here (the index is the only reference set) — compose
+   * with [[streamingExactDedup]] upstream, and
+   * [[graft.operators.DedupIndex.append]] the accumulated survivors to
+   * the artifact between streaming sessions to close the intake loop.
+   */
+  def minhashDedupAgainstIndexBatches(idCol: String, textCol: String,
+                                      indexPath: String,
+                                      threshold: Double = 0.5,
+                                      indexBucketCap: Option[Int] = None)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val pairs = graft.operators.DedupIndex.minhashLshPairsAgainst(
+        batch, idCol, textCol, indexPath, threshold, indexBucketCap)
+      sink(batch.join(pairs.select(col("doc_new").as(idCol)).distinct(),
+        Seq(idCol), "left_anti"), batchId)
+    }
+
+  /**
    * Deterministic sampling / split assignment for STREAMING frames —
    * the intake twins of [[graft.operators.Sampling.hashSample]],
    * [[graft.operators.Sampling.weightedSample]] and

@@ -152,6 +152,50 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("minhashDedupAgainstIndexBatches: per-batch decisions equal the batch " +
+    "delta operator row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val p = java.nio.file.Files.createTempDirectory("graft_stream_mhidx").toString
+    graft.operators.DedupIndex.build(corpus, "doc_id", "text", p)
+    // two micro-batches of real new docs (the suite's standing split has
+    // genuine cross-set near-dups, so the delta actually drops rows)
+    val newRows = docs.filter(col("doc_id") >= 400)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (batch1, batch2) = newRows.splitAt(newRows.length / 2)
+    val got = scala.collection.concurrent.TrieMap[Long, Set[Long]]()
+    val stage = StreamingOps.minhashDedupAgainstIndexBatches(
+      "doc_id", "text", p, threshold = 0.5) { (survivors, id) =>
+      got(id) = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(stage).start()
+    mem.addData(batch1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(batch2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch twin per micro-batch: same frames, same index, same decision
+    def batchDecision(rows: Array[(Long, String)]): Set[Long] = {
+      val frame = rows.toSeq.toDF("doc_id", "text")
+      val pairs = graft.operators.DedupIndex.minhashLshPairsAgainst(
+        frame, "doc_id", "text", p, threshold = 0.5)
+      frame.join(pairs.select(col("doc_new").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == batchDecision(batch1))
+    assert(got(1L) == batchDecision(batch2))
+    // the delta must actually fire on this split, or the test is vacuous
+    assert(got(0L).size + got(1L).size < newRows.length,
+      "expected at least one near-dup drop across the micro-batches")
+  }
+
   test("compileStream dispatches the configured validation plugin chain") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
