@@ -146,6 +146,35 @@ object ExtensionQueries {
       det(graft.operators.CorpusClean.clean(docs(s, dir), "doc_id", "text",
         langs = Seq("en"), minQuality = 3, maxTopBigramRatio = 0.06))),
 
+    // the WHOLE pretrain data pipeline in one composition (VERDICT r9
+    // #7): clean -> near-dedup collapse (pairs on the RAW corpus, the
+    // natural order collapseNearDups' re-restriction contract exists
+    // for) -> decontaminate vs the eval slice -> train split -> per-lang
+    // token budget -> sequence packing. The 100x-scale smoke test for
+    // cross-operator plan pathologies; TextStatsSpec bounds the final
+    // plan's exchange count. Output = packed training-sequence
+    // addresses.
+    "q_pipeline_pretrain" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cleaned = graft.operators.CorpusClean.clean(d, "doc_id", "text",
+        langs = Seq("en"), minQuality = 3, maxTopBigramRatio = 0.06)
+      val cleanedDocs = d.join(cleaned.select("doc_id"), Seq("doc_id"), "left_semi")
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 5, threshold = 0.5, dfCap = 100)
+      val surv = Dedup.collapseNearDups(cleanedDocs, "doc_id", pairs,
+        "doc_a", "doc_b")
+      val decon = Dedup.decontaminate(surv,
+        d.filter(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text", n = 13)
+      val train = graft.operators.Sampling.assignSplit(decon, "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train")
+      val sampled = graft.operators.Sampling.tokenBudgetSample(train,
+        Seq("lang"), "doc_id", TextFunctions.tokenCount(col("text")),
+        budget = 2000L)
+      det(graft.operators.TextStats.packSequences(sampled, "doc_id", "text",
+        budget = 512, shards = 4))
+    }),
+
     "q_pack_sequences" -> ((s, dir) =>
       det(graft.operators.TextStats.packSequences(docs(s, dir), "doc_id", "text",
         budget = 512, shards = 8))),
@@ -585,6 +614,48 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id $N1, detected_lang $N1""".stripMargin
   }
 
+  /** The corpus-clean CTE chain (md5 dedup -> quality -> langid ->
+    * repetition), shared by the q_corpus_clean oracle and the pretrain
+    * pipeline composition's — cleaned docs are `ld JOIN rep` rows
+    * passing [[cleanKeep]]. */
+  private val cleanCtes: String = {
+    val sc = langScores("ltoks")
+    s"""dq AS (SELECT doc_id, text FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks2,
+       |  len(regexp_extract_all(text, '[^ -~]')) AS n_nonascii,
+       |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |  list_distinct(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')) AS ltoks,
+       |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS n_cjk,
+       |  string_split(text, ' ') AS w FROM dq),
+       |m AS (SELECT doc_id, w, n_cjk, ltoks, len(toks2) AS n_tokens,
+       |  len(list_filter(toks2, x -> list_contains([$STOP_EN], x))) AS n_stop,
+       |  list_sum(list_transform(toks2, x -> length(x))) AS tok_chars,
+       |  n_punct, n_nonascii FROM t),
+       |q AS (SELECT doc_id, w, n_cjk, ltoks, n_tokens,
+       |  (CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END +
+       |   CASE WHEN CAST(tok_chars AS DOUBLE)/n_tokens BETWEEN 3 AND 12 THEN 1 ELSE 0 END +
+       |   CASE WHEN CAST(n_stop AS DOUBLE)/n_tokens BETWEEN 0.01 AND 0.6 THEN 1 ELSE 0 END +
+       |   CASE WHEN n_nonascii = 0 THEN 1 ELSE 0 END) AS quality_score FROM m),
+       |l AS (SELECT doc_id, w, n_tokens, quality_score, n_cjk,
+       |  ${sc("en")} AS s_en, ${sc("de")} AS s_de, ${sc("fr")} AS s_fr,
+       |  ${sc("es")} AS s_es FROM q),
+       |ld AS (SELECT doc_id, w, n_tokens, quality_score, CASE
+       |  WHEN n_cjk > 0 THEN 'zh'
+       |  WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+       |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS detected_lang FROM l),
+       |bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+       |  for i in generate_series(1, len(w)-1)]) AS g FROM ld),
+       |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE)/sum(c) AS top_bigram_ratio
+       |  FROM bc GROUP BY 1)""".stripMargin
+  }
+
+  private val cleanKeep =
+    "detected_lang = 'en' AND quality_score >= 3 AND top_bigram_ratio <= 0.06"
+
   /** Cross-set twin of jaccardCte — shingles over both sets, df-cap on
     * the index side only, candidates new x old, exact-Jaccard verify,
     * survivors = exact-absent AND near-dup-absent. ONE text shared by
@@ -650,45 +721,13 @@ object ExtensionQueries {
          |FROM m ORDER BY doc_id $N1, n_chars $N1, n_tokens $N1, mean_tok_len $N1,
          |stopword_ratio $N1, punct_ratio $N1, quality_score $N1""".stripMargin,
     "q_text_langid" -> langProfileSql,
-    "q_corpus_clean" -> {
-      val sc = langScores("ltoks")
-      s"""WITH dq AS (SELECT doc_id, text FROM documents
-         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-         |t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks2,
-         |  len(regexp_extract_all(text, '[^ -~]')) AS n_nonascii,
-         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-         |  list_distinct(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')) AS ltoks,
-         |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS n_cjk,
-         |  string_split(text, ' ') AS w FROM dq),
-         |m AS (SELECT doc_id, w, n_cjk, ltoks, len(toks2) AS n_tokens,
-         |  len(list_filter(toks2, x -> list_contains([$STOP_EN], x))) AS n_stop,
-         |  list_sum(list_transform(toks2, x -> length(x))) AS tok_chars,
-         |  n_punct, n_nonascii FROM t),
-         |q AS (SELECT doc_id, w, n_cjk, ltoks, n_tokens,
-         |  (CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END +
-         |   CASE WHEN CAST(tok_chars AS DOUBLE)/n_tokens BETWEEN 3 AND 12 THEN 1 ELSE 0 END +
-         |   CASE WHEN CAST(n_stop AS DOUBLE)/n_tokens BETWEEN 0.01 AND 0.6 THEN 1 ELSE 0 END +
-         |   CASE WHEN n_nonascii = 0 THEN 1 ELSE 0 END) AS quality_score FROM m),
-         |l AS (SELECT doc_id, w, n_tokens, quality_score, n_cjk,
-         |  ${sc("en")} AS s_en, ${sc("de")} AS s_de, ${sc("fr")} AS s_fr,
-         |  ${sc("es")} AS s_es FROM q),
-         |ld AS (SELECT doc_id, w, n_tokens, quality_score, CASE
-         |  WHEN n_cjk > 0 THEN 'zh'
-         |  WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
-         |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-         |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-         |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS detected_lang FROM l),
-         |bg AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
-         |  for i in generate_series(1, len(w)-1)]) AS g FROM ld),
-         |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
-         |rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE)/sum(c) AS top_bigram_ratio
-         |  FROM bc GROUP BY 1)
+    "q_corpus_clean" ->
+      s"""WITH $cleanCtes
          |SELECT ld.doc_id, n_tokens, detected_lang, quality_score, top_bigram_ratio
          |FROM ld JOIN rep ON ld.doc_id = rep.doc_id
-         |WHERE detected_lang = 'en' AND quality_score >= 3 AND top_bigram_ratio <= 0.06
+         |WHERE $cleanKeep
          |ORDER BY ld.doc_id $N1, n_tokens $N1, detected_lang $N1, quality_score $N1,
-         |top_bigram_ratio $N1""".stripMargin
-    },
+         |top_bigram_ratio $N1""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
          |  len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents),
@@ -781,6 +820,56 @@ object ExtensionQueries {
     // ...and the APPEND-built index must agree with both: one oracle
     // text, three execution paths (live, one-shot index, build+append)
     "q_dedup_index_append" -> oracleIncrementalSql,
+
+    // the whole pretrain pipeline, composed from the SAME oracle
+    // fragments its stages grade against individually: clean CTEs ->
+    // full-corpus jaccard closure restricted to cleaned membership ->
+    // 13-gram decontamination -> hash split -> per-lang token budget ->
+    // packing arithmetic (all parameters mirror the Spark composition)
+    "q_pipeline_pretrain" ->
+      s"""WITH RECURSIVE $cleanCtes,
+         |cleanids AS (SELECT ld.doc_id FROM ld JOIN rep ON ld.doc_id = rep.doc_id
+         |  WHERE $cleanKeep),
+         |$jaccardCte,
+         |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(id, r) AS (SELECT a, b FROM edges
+         |  UNION SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+         |mem AS (SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS component
+         |        FROM cleanids c LEFT JOIN comp ON comp.id = c.doc_id),
+         |surv AS (SELECT doc_id FROM mem
+         |  QUALIFY row_number() OVER (PARTITION BY component ORDER BY doc_id) = 1),
+         |toks13 AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sh13 AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+12],' ')
+         |  for i in generate_series(1, len(t)-12)]) AS s FROM toks13),
+         |ex13 AS (SELECT doc_id, unnest(s) AS g FROM sh13),
+         |eg13 AS (SELECT DISTINCT g FROM ex13 WHERE doc_id % 97 = 0),
+         |bad13 AS (SELECT DISTINCT ex13.doc_id FROM ex13 JOIN eg13 USING (g)),
+         |train AS (SELECT doc_id FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad13)
+         |    AND ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |        / 4294967296.0 < 0.8),
+         |tb AS (SELECT d.doc_id, d.lang,
+         |    coalesce(len(regexp_extract_all(d.text, '\\S+')), 0) AS sz,
+         |    ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0 AS uni
+         |  FROM documents d JOIN train USING (doc_id)),
+         |cb AS (SELECT *, sum(sz) OVER (PARTITION BY lang ORDER BY uni, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM tb),
+         |samp AS (SELECT doc_id FROM cb WHERE cum - sz < 2000),
+         |pk AS (SELECT d.doc_id, CAST(d.doc_id % 4 AS INT) AS shard,
+         |    len(regexp_extract_all(d.text, '\\S+')) AS n_tokens
+         |  FROM documents d JOIN samp USING (doc_id)),
+         |pc AS (SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM pk)
+         |SELECT doc_id, shard,
+         |  CAST(floor(CAST(cum - n_tokens AS DOUBLE)/512) AS BIGINT) AS seq_id,
+         |  CAST(cum - n_tokens AS BIGINT) AS tok_offset, n_tokens
+         |FROM pc ORDER BY doc_id $N1, shard $N1, seq_id $N1, tok_offset $N1,
+         |n_tokens $N1""".stripMargin,
 
     // transitive closure of the near-dup pair graph via recursive CTE:
     // component = min reachable id; keep each component's min plus all

@@ -235,6 +235,26 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(3L).isNullAt(out(3L).fieldIndex("mean_logprob")))
   }
 
+  test("pretrain pipeline composition: one plan, bounded exchange count") {
+    // clean -> collapse -> decontaminate -> split -> budget -> pack in a
+    // single composed plan: the 100x-scale smoke test for cross-operator
+    // plan pathologies. The exchange bound catches a recomputed subtree
+    // (every stage doubling would blow it); measured 12 at sf0.001
+    // (collapse joins + decontaminate semi/anti + the two windows + the
+    // deterministic output sort).
+    val out = ExtensionQueries.queries("q_pipeline_pretrain")(
+      spark, "/root/testdata/sf0.001")
+    val nodes = PlanWalk.executedNodes(out)
+    val shuffles = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles <= 14, s"pretrain composition plan has $shuffles exchanges")
+    assert(out.count() > 0, "the composed pipeline must yield training sequences")
+    // packed sequence addresses stay within the token budget arithmetic:
+    // every sequence id is consistent with its offset and the 512 budget
+    val bad = out.filter(col("seq_id") =!= floor(col("tok_offset") / 512)).count()
+    assert(bad == 0L)
+  }
+
   test("lengthPercentiles approx sketch stays within bounds of the exact path") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     def byLang(df: org.apache.spark.sql.DataFrame) = df.collect()
