@@ -205,6 +205,15 @@ object ExtensionQueries {
         "doc_id", "text", n = 13))
     }),
 
+    // the audit twin: WHICH corpus doc shares HOW MANY distinct
+    // 13-grams with WHICH eval doc — what governance reviews before the
+    // drop above is executed
+    "q_decontaminate_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(Dedup.contaminationReport(d, d.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 13))
+    }),
+
     // --- dedup ------------------------------------------------------------
 
     // byFingerprint: the graded plan shuffles 16-byte md5 keys, not raw
@@ -811,6 +820,17 @@ object ExtensionQueries {
     // cross-set twin of jaccardCte: shingles over both sets, df-cap on
     // the index side only, candidates new x old, exact-Jaccard verify,
     // survivors = exact-absent AND near-dup-absent
+    // per-doc DISTINCT 13-gram lists on both sides (mirrors shingled's
+    // distinct hashing), pair count = distinct shared grams
+    "q_decontaminate_report" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+12],' ')
+         |  for i in generate_series(1, len(t)-12)]) AS s FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |eg AS (SELECT doc_id AS eval_id, g FROM ex WHERE doc_id % 97 = 0)
+         |SELECT ex.doc_id, eg.eval_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+         |FROM ex JOIN eg USING (g) GROUP BY ex.doc_id, eg.eval_id
+         |ORDER BY ex.doc_id $N1, eval_id $N1, n_shared_grams $N1""".stripMargin,
     "q_dedup_incremental" -> oracleIncrementalSql,
 
     // the indexed delta must agree with the live delta to the row — one

@@ -581,6 +581,42 @@ object Dedup {
   }
 
   /**
+   * Contamination AUDIT — the report twin of [[decontaminate]]: every
+   * (corpus doc, eval doc) pair sharing at least one word `n`-gram,
+   * with the count of DISTINCT shared n-grams. [[decontaminate]]
+   * answers "what do I drop"; this answers "why, and against which
+   * benchmark doc" — the audit trail eval governance wants reviewed
+   * before training data is deleted (a 1-gram-overlap doc and a
+   * 40-gram near-copy of an eval item are different conversations).
+   *
+   * Output: (doc_id, eval_id, n_shared_grams) — only contaminated
+   * pairs appear. An eval doc contained in the corpus reports itself
+   * (all its windows shared), which is exactly what the audit should
+   * surface.
+   *
+   * 100 TB design: same shape as [[decontaminate]] — the corpus is
+   * shingled once (per-doc distinct hashes, so the count is distinct
+   * grams by construction) and probed against the eval side's exploded
+   * (eval doc, gram) rows, broadcast by default; the per-pair groupBy
+   * is partially aggregated and its volume is bounded by the actual
+   * contamination, not the corpus. Set `broadcastEval = false` for a
+   * corpus-scale eval side.
+   */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+                          idCol: String, textCol: String, n: Int = 13,
+                          broadcastEval: Boolean = true): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val evalG = shingled(evalSet, idCol, textCol, n)
+      .select(col("__id").as("eval_id"), explode(col("__hs")).as("__g"))
+    val evalSide = if (broadcastEval) broadcast(evalG) else evalG
+    shingled(corpus, idCol, textCol, n)
+      .select(col("__id").as("doc_id"), explode(col("__hs")).as("__g"))
+      .join(evalSide, Seq("__g"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /**
    * Duplicated-window profile — the measurement half of substring-level
    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
    * Models Better": exact-substring duplication at ~50-token windows is

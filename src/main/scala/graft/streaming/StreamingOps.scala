@@ -255,6 +255,27 @@ object StreamingOps {
     }
 
   /**
+   * Streaming benchmark decontamination — the intake twin of
+   * [[graft.operators.Dedup.decontaminate]]: per micro-batch, drop
+   * every streamed doc sharing a word `n`-gram with the (static) eval
+   * set, handing survivors to `sink`. A foreachBatch stage for the
+   * same reason as [[minhashDedupAgainstIndexBatches]]: the
+   * contaminated-id set is `distinct`-scoped to THIS batch and the
+   * final anti-join joins the batch to itself through it — per-batch
+   * relational shapes a continuous plan cannot express. Each
+   * micro-batch delegates to the batch operator unchanged
+   * (batch-equality is structural; StreamingOpsSpec asserts per-batch
+   * row-identity). The eval side is broadcast per batch — thousands of
+   * benchmark docs, not corpus-scale.
+   */
+  def decontaminateBatches(idCol: String, textCol: String,
+                           evalSet: DataFrame, n: Int = 13)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      sink(graft.operators.Dedup.decontaminate(batch, evalSet, idCol, textCol, n),
+        batchId)
+
+  /**
    * Deterministic sampling / split assignment for STREAMING frames —
    * the intake twins of [[graft.operators.Sampling.hashSample]],
    * [[graft.operators.Sampling.weightedSample]] and

@@ -511,6 +511,24 @@ class DedupSpec extends AnyFunSuite {
     assert(w(5L) == 0L)
   }
 
+  test("contaminationReport counts distinct shared n-grams per (doc, eval) pair") {
+    val corpus = Seq(
+      (1L, "a b c d e"),   // shares 3-grams "a b c","b c d","c d e" with eval 10
+      (2L, "x y z"),       // clean
+      (3L, "b c d q r")    // shares "b c d" with eval 10
+    ).toDF("doc_id", "text")
+    val eval = Seq((10L, "a a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, eval, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 10L) -> 3L, (3L, 10L) -> 1L))
+    // drop set of decontaminate == the report's distinct doc ids (the
+    // audit and the action must name the same documents)
+    val dropped = corpus.select("doc_id").exceptAll(
+      Dedup.decontaminate(corpus, eval, "doc_id", "text", n = 3).select("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == out.keySet.map(_._1))
+  }
+
   test("removeDuplicatedWindows cuts every non-canonical duplicated span") {
     val corpus = Seq(
       (1L, "k1 k2 w x y z t1 t2"), // canonical "w x y z" occurrence (min doc)

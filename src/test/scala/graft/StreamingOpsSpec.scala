@@ -196,6 +196,39 @@ class StreamingOpsSpec extends AnyFunSuite {
       "expected at least one near-dup drop across the micro-batches")
   }
 
+  test("decontaminateBatches: per-batch decisions equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select("doc_id", "text")
+    val newRows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (batch1, batch2) = newRows.splitAt(newRows.length / 2)
+    val got = scala.collection.concurrent.TrieMap[Long, Set[Long]]()
+    val stage = StreamingOps.decontaminateBatches("doc_id", "text", eval, n = 13) {
+      (survivors, id) =>
+        got(id) = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(stage).start()
+    mem.addData(batch1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(batch2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def batchDecision(rows: Array[(Long, String)]): Set[Long] =
+      graft.operators.Dedup.decontaminate(rows.toSeq.toDF("doc_id", "text"),
+          eval, "doc_id", "text", n = 13)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == batchDecision(batch1))
+    assert(got(1L) == batchDecision(batch2))
+    assert(got(0L).size + got(1L).size < newRows.length,
+      "decontamination must actually drop rows on this corpus")
+  }
+
   test("compileStream dispatches the configured validation plugin chain") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

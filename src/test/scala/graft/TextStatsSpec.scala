@@ -235,6 +235,35 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(3L).isNullAt(out(3L).fieldIndex("mean_logprob")))
   }
 
+  test("corpusStats approx sketch bounds distinct-count error, drops a phase") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def byLang(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = byLang(TextStats.corpusStats(docs, "text", Seq("lang")))
+    val approx = byLang(TextStats.corpusStats(docs, "text", Seq("lang"),
+      approx = true))
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (lang, a) =>
+      val e = exact(lang)
+      // non-sketched columns are bit-identical
+      for (c <- Seq("n_docs", "total_chars", "total_tokens", "avg_doc_chars"))
+        assert(a.getAs[Any](c) == e.getAs[Any](c), s"$lang.$c")
+      // HLL++ at default rsd 0.05: allow 3 sigma
+      val (av, ev) = (a.getAs[Long]("n_distinct_texts").toDouble,
+        e.getAs[Long]("n_distinct_texts").toDouble)
+      assert(math.abs(av - ev) <= math.max(1.0, 0.15 * ev),
+        s"$lang distinct: approx $av vs exact $ev")
+    }
+    // the sketch path runs in ONE aggregate pass: the exact path's
+    // distinct-rewrite needs two exchanges, the sketch exactly one
+    val exactShuffles = PlanWalk.shuffleCount(
+      TextStats.corpusStats(docs, "text", Seq("lang")))
+    val approxShuffles = PlanWalk.shuffleCount(
+      TextStats.corpusStats(docs, "text", Seq("lang"), approx = true))
+    assert(approxShuffles < exactShuffles,
+      s"sketch path should drop an aggregate phase ($approxShuffles vs $exactShuffles)")
+  }
+
   test("pretrain pipeline composition: one plan, bounded exchange count") {
     // clean -> collapse -> decontaminate -> split -> budget -> pack in a
     // single composed plan: the 100x-scale smoke test for cross-operator
