@@ -312,6 +312,20 @@ object ExtensionQueries {
       det(Dedup.removeDuplicatedWindows(docs(s, dir), "doc_id", "text",
         window = 8).select(col("doc_id"), col("text")))),
 
+    // CCNet-style line (paragraph) dedup: the corpus has no newlines,
+    // so the query PLANTS deterministic boilerplate lines (a per-source
+    // footer, a mod-7 signature — the nav-menu/cookie-banner shape) and
+    // grades their removal; only each line's globally-first occurrence
+    // survives
+    "q_dedup_lines" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text", concat_ws("\n",
+        col("text"),
+        concat(lit("footer "), col("source")),
+        concat(lit("sig "), pmod(col("doc_id"), lit(7)).cast(StringType))))
+      det(Dedup.removeDuplicatedLines(planted, "doc_id", "text")
+        .select(col("doc_id"), col("text")))
+    }),
+
     // quality-aware collapse: same pair graph as q_dedup_collapse but
     // the survivor is the LONGEST member (n_chars), ties to min id
     "q_dedup_collapse_best" -> ((s, dir) => {
@@ -909,6 +923,29 @@ object ExtensionQueries {
          |  END AS dup_ratio
          |FROM sh LEFT JOIN cnt ON cnt.doc_id = sh.doc_id
          |ORDER BY sh.doc_id $N1, n_windows $N1, dup_windows $N1, dup_ratio $N1""".stripMargin,
+    // same planted construction, line-positional struct unnest, blank
+    // lines excluded from dedup, first occurrence by (doc_id, pos)
+    // survives, survivors re-joined with newlines — mirrors
+    // removeDuplicatedLines exactly (line strings here vs xxhash64 in
+    // Spark: injective in practice, the standing argument)
+    "q_dedup_lines" ->
+      s"""WITH planted AS (SELECT doc_id, text || chr(10) || 'footer ' || source ||
+         |    chr(10) || 'sig ' || CAST(doc_id % 7 AS VARCHAR) AS text FROM documents),
+         |toks AS (SELECT doc_id, string_split(text, chr(10)) AS t FROM planted),
+         |linepos AS (SELECT doc_id, u.pos AS pos, u.l AS l FROM (
+         |  SELECT doc_id, unnest([{'pos': i, 'l': t[i]}
+         |    for i in generate_series(1, len(t))]) AS u FROM toks)),
+         |occ AS (SELECT doc_id, pos, l FROM linepos WHERE trim(l) != ''),
+         |bad AS (SELECT doc_id, pos FROM occ
+         |  QUALIFY count(*) OVER (PARTITION BY l) >= 2
+         |      AND row_number() OVER (PARTITION BY l ORDER BY doc_id, pos) > 1),
+         |kept AS (SELECT lp.doc_id,
+         |    array_to_string(list(lp.l ORDER BY lp.pos), chr(10)) AS text
+         |  FROM linepos lp LEFT JOIN bad ON bad.doc_id = lp.doc_id AND bad.pos = lp.pos
+         |  WHERE bad.pos IS NULL GROUP BY lp.doc_id)
+         |SELECT p.doc_id, coalesce(k.text, '') AS text
+         |FROM planted p LEFT JOIN kept k ON k.doc_id = p.doc_id
+         |ORDER BY p.doc_id $N1, text $N1""".stripMargin,
     // positional windows (struct unnest keeps 1-based start positions),
     // occurrence count >= 2 over ALL occurrences (same-doc repeats
     // included), canonical = first by (doc_id, pos), covered token

@@ -742,6 +742,57 @@ object Dedup {
       .drop("__cov")
   }
 
+  /**
+   * Line-level (paragraph) dedup — CCNet's preprocessing step (Wenzek
+   * et al. 2020 dedup hashed paragraphs before anything else; crawl
+   * boilerplate — nav menus, cookie banners, footers — repeats
+   * VERBATIM as whole lines across pages, where token-window dedup is
+   * overkill and doc-level dedup is blind): delete every duplicated
+   * non-empty line occurrence except the globally first (by doc id,
+   * line index), re-joining survivors with newlines.
+   *
+   * Semantics (pinned by `q_dedup_lines`' oracle): lines are
+   * `split(text, '\n')` pieces; a line participates in dedup iff its
+   * TRIM is non-empty (blank separator lines always survive —
+   * dropping "the empty line past the first in the corpus" is never
+   * what anyone means); occurrence counting includes within-doc
+   * repeats; the survivor is the minimum (doc id, position). Output =
+   * input schema with `textCol` rebuilt.
+   *
+   * The [[removeDuplicatedWindows]] sibling without the overlap
+   * machinery (lines cannot overlap, so no span arithmetic): one
+   * repartition exchange on the line hash feeding the stats aggregate
+   * AND the flag join (the corpus is line-hashed once per plan), drop
+   * volume bounded by actual duplication, rebuild row-local — 8-byte
+   * xxhash64 keys shuffle, never line text.
+   */
+  def removeDuplicatedLines(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val occ = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__l")))
+      .filter(trim(col("__l")) =!= "")
+      .select(col("__id"), col("__pos"), xxhash64(col("__l")).as("__g"))
+      .filter(col("__g").isNotNull && col("__id").isNotNull)
+      .repartition(col("__g"))
+    val dups = occ.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("__id"), col("__pos"))).as("__first"))
+      .filter(col("__cnt") >= 2)
+      .select(col("__g"), col("__first"))
+    val removed = occ.join(dups, Seq("__g"))
+      .filter(!(col("__id") === col("__first.__id") &&
+        col("__pos") === col("__first.__pos")))
+      .groupBy(col("__id"))
+      .agg(collect_set(col("__pos")).as("__rm"))
+    val rebuilt = array_join(
+      filter(split(col(textCol), "\n"),
+        (_, i) => !array_contains(col("__rm"), i)), "\n")
+    docs.join(removed.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__rm").isNull, col(textCol)).otherwise(rebuilt))
+      .drop("__rm")
+  }
+
   // -------------------------------------------------- incremental (delta)
 
   /**

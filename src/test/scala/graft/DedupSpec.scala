@@ -553,6 +553,26 @@ class DedupSpec extends AnyFunSuite {
     assert(reprofiled == 0L)
   }
 
+  test("removeDuplicatedLines drops non-first duplicated lines, keeps blanks") {
+    val corpus = Seq(
+      (1L, "alpha\nfooter line\nbody one"),
+      (2L, "beta\nfooter line\n\nbody two\nfooter line"),
+      (3L, "gamma")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedLines(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha\nfooter line\nbody one",
+      "globally first occurrence survives")
+    assert(out(2L) == "beta\n\nbody two",
+      "both later occurrences cut (within-doc repeat too); blank line kept")
+    assert(out(3L) == "gamma")
+    // idempotent: a deduped corpus has no duplicated lines left
+    val again = Dedup.removeDuplicatedLines(
+      Dedup.removeDuplicatedLines(corpus, "doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
   test("removeDuplicatedWindows removes within-doc repeats and shingles once") {
     // occurrence count (not document frequency): a doc repeating its own
     // window loses every repeat past the first
