@@ -515,6 +515,14 @@ object ExtensionQueries {
       det(graft.operators.Sampling.weightedSample(docs(s, dir), "doc_id",
         least(lit(1.0), col("n_chars").cast(DoubleType) / lit(400.0))))),
 
+    // "make the kept corpus 50% en / 30% de / 20% fr": fractions are
+    // COMPUTED from the target shares and the per-lang counts (largest
+    // achievable size), then the usual deterministic hash filter; es/zh
+    // rows drop (the target defines the mix)
+    "q_sample_rebalance" -> ((s, dir) =>
+      det(graft.operators.Sampling.rebalanceMixture(docs(s, dir),
+        "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)))),
+
     "q_sample_split" -> ((s, dir) =>
       det(graft.operators.Sampling.assignSplit(docs(s, dir), "doc_id",
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
@@ -1129,6 +1137,24 @@ object ExtensionQueries {
          |      / 4294967296.0
          |      < least(1.0, greatest(0.0, CAST(n_chars AS DOUBLE) / 400.0))
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    // the oracle recomputes the identical fraction arithmetic in DOUBLE
+    // (explicit casts — DuckDB's bare 0.5 literal is DECIMAL): n_max =
+    // min(cnt/share), frac = least(1, n_max*share/cnt), then the same
+    // md5 uniform as every sampler
+    "q_sample_rebalance" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents
+         |  WHERE lang IN ('en','de','fr') GROUP BY lang),
+         |tgt AS (SELECT * FROM (VALUES
+         |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.3 AS DOUBLE)),
+         |  ('fr', CAST(0.2 AS DOUBLE))) t(lang, share)),
+         |nm AS (SELECT min(cnt / share) AS n FROM c JOIN tgt USING (lang)),
+         |f AS (SELECT c.lang, least(1.0, (SELECT n FROM nm) * share / cnt) AS frac
+         |      FROM c JOIN tgt USING (lang))
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN f ON d.lang = f.lang
+         |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0 < f.frac
+         |ORDER BY d.doc_id $N1, text $N1, d.lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_sample_split" ->
       s"""WITH u AS (SELECT doc_id,
          |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -60,6 +60,51 @@ object Sampling {
   }
 
   /**
+   * Mixture REBALANCING — [[stratifiedSample]] with the fractions
+   * COMPUTED from a target composition: downsample strata so the
+   * result's mix matches `targets` (stratum -> relative share) at the
+   * largest size the data allows. The curation directive "make the
+   * corpus 50% web / 30% books / 20% code" arrives as shares, not
+   * per-stratum fractions — the arithmetic in between is this
+   * operator: N_max = min over targeted strata of count_s / share_s
+   * (the largest total for which no stratum runs out), and
+   * fraction_s = scale · N_max · share_s / count_s. Rows of strata
+   * absent from `targets` are dropped (the target defines the mix);
+   * target strata absent from the data are ignored (nothing to
+   * sample). Shares are RELATIVE (they need not sum to 1).
+   *
+   * Expected kept sizes are fraction·count — hash sampling is
+   * per-row independent, so realized composition converges to the
+   * target with stratum size (same contract as [[stratifiedSample]];
+   * use [[stratifiedTopK]]/[[tokenBudgetSample]] for exact quotas).
+   *
+   * 100 TB design: one EAGER per-stratum count (output rows = distinct
+   * strata — a plan-literal contract like `tfidfKeywords`' N), then a
+   * pure zero-shuffle filter: the fraction lookup is a literal CASE,
+   * survival the usual md5 uniform — deterministic, engine-reproducible
+   * (the DuckDB oracle recomputes the identical fractions).
+   */
+  def rebalanceMixture(df: DataFrame, stratumCol: String, keyCol: String,
+                       targets: Map[String, Double],
+                       scale: Double = 1.0): DataFrame = {
+    require(targets.nonEmpty, "need at least one target share")
+    require(targets.values.forall(_ > 0), "target shares must be > 0")
+    require(scale > 0 && scale <= 1.0, "scale must be in (0, 1]")
+    val counts = df.filter(col(stratumCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targets.filter { case (s, _) => counts.contains(s) }
+    if (present.isEmpty) return df.filter(lit(false))
+    val nMax = present.map { case (s, share) => counts(s) / share }.min
+    val fractions = present.map { case (s, share) =>
+      s -> math.min(1.0, scale * nMax * share / counts(s))
+    }
+    stratifiedSample(df.filter(col(stratumCol).isin(present.keys.toSeq: _*)),
+      stratumCol, keyCol, fractions, default = 0.0)
+  }
+
+  /**
    * Exact per-stratum quota: the `k` rows of each stratum with the
    * smallest hash uniform (deterministic order, ties broken by the key
    * itself). One shuffle on the strata; the `row_number <= k` filter

@@ -104,6 +104,38 @@ class SamplingSpec extends AnyFunSuite {
       when(col("lang") === "zz", 1.0)).isEmpty) // CASE with no ELSE -> NULL
   }
 
+  test("rebalanceMixture computes fractions from target shares and counts") {
+    // strata: en 100 rows, de 50 rows -> targets 50/50:
+    // n_max = min(100/0.5, 50/0.5) = 100; frac_en = 0.5, frac_de = 1.0
+    val rows = (0 until 100).map(i => (i.toLong, "en")) ++
+      (100 until 150).map(i => (i.toLong, "de")) ++
+      (150 until 160).map(i => (i.toLong, "zz")) // untargeted: dropped
+    val df = rows.toDF("doc_id", "lang")
+    val out = Sampling.rebalanceMixture(df, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.5))
+    val kept = out.collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(!kept.exists(_._2 == "zz"), "untargeted strata are dropped")
+    assert(kept.count(_._2 == "de") == 50, "frac 1.0 keeps the whole stratum")
+    val en = kept.count(_._2 == "en")
+    assert(en > 30 && en < 70, s"~half of en expected, got $en")
+    // frac_en must equal stratifiedSample at the computed 0.5 exactly
+    val direct = Sampling.stratifiedSample(df.filter(col("lang") === "en"),
+      "lang", "doc_id", Map("en" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_._2 == "en").map(_._1).toSet == direct)
+    // deterministic; scale shrinks proportionally
+    assert(Sampling.rebalanceMixture(df, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.5)).collect().map(_.getLong(0)).toSet ==
+      kept.map(_._1).toSet)
+    val half = Sampling.rebalanceMixture(df, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.5), scale = 0.5)
+    assert(half.count() < out.count())
+    // a target stratum absent from the data is ignored, not a crash
+    val noFr = Sampling.rebalanceMixture(df, "lang", "doc_id",
+      Map("en" -> 0.5, "fr" -> 0.5))
+    assert(noFr.select("lang").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("en"))
+  }
+
   test("assignSplit covers every row, is growth-stable, zero-shuffle") {
     val out = Sampling.assignSplit(docs, "doc_id",
       Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
