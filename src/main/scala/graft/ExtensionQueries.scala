@@ -549,6 +549,10 @@ object ExtensionQueries {
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
 
+    "q_text_logprob_bigram" -> ((s, dir) =>
+      det(graft.operators.TextStats.bigramLogProbScore(docs(s, dir),
+        "doc_id", "text", minCount = 2L))),
+
     "q_text_tfidf" -> ((s, dir) =>
       det(graft.operators.TextStats.tfidfKeywords(docs(s, dir),
         "doc_id", "text", k = 5, minDf = 2L))),
@@ -1207,6 +1211,27 @@ object ExtensionQueries {
          |  coalesce(a.n_tokens, 0) AS n_tokens, a.mean_logprob
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id $N1, n_tokens $N1, mean_logprob $N1""".stripMargin,
+    // P(w2|w1) = c2/c1 for bigrams with c2 >= 2, floor 2/total_bigrams
+    // otherwise; double casts mirror the Spark arithmetic exactly
+    "q_text_logprob_bigram" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+         |  FROM documents),
+         |b AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+         |  SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+         |    for i in generate_series(1, len(t)-1)]) AS u FROM toks)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+         |tot AS (SELECT count(*) AS total FROM b),
+         |v AS (SELECT c2.w1, c2.w2, log10(CAST(c2.c2 AS DOUBLE) / c1.c1) AS lp
+         |      FROM c2 JOIN c1 USING (w1) WHERE c2.c2 >= 2),
+         |scored AS (SELECT b.doc_id,
+         |    coalesce(v.lp, log10(CAST(2 AS DOUBLE) / (SELECT total FROM tot))) AS lp
+         |  FROM b LEFT JOIN v ON b.w1 = v.w1 AND b.w2 = v.w2),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    round(avg(lp), 6) AS mean_logprob FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.mean_logprob
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id $N1, n_bigrams $N1, mean_logprob $N1""".stripMargin,
     "q_multimodal_json" ->
       s"""SELECT event_type, count(*) AS n_events,
          |CAST(sum(json_extract(props,'$$.k')::BIGINT) AS BIGINT) AS sum_k,

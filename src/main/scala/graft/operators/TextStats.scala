@@ -288,6 +288,67 @@ object TextStats {
   }
 
   /**
+   * Per-document mean BIGRAM conditional log-probability — the
+   * next-order sibling of [[unigramLogProbScore]] (KenLM-style quality
+   * filters score with n-gram conditionals; a doc whose word PAIRS are
+   * corpus-typical reads as fluent text, while shuffled-word salad
+   * scores high on unigrams but collapses here). P(w2|w1) =
+   * count(w1 w2) / count(w1 ·) over `docs` itself; bigrams below
+   * `minCount` occurrences fall back to the floor
+   * p = minCount / total_bigrams (the unigram operator's floor rule,
+   * one order up). Score = mean over the doc's bigram occurrences of
+   * log10 P; docs with < 2 tokens score NULL.
+   *
+   * 100 TB design: same discipline as the unigram path — the corpus
+   * bigram stream is materialized ONCE as a (doc, w1, w2)-count
+   * aggregate every consumer reuses (conditional table, left counts,
+   * total, scoring; explicit nullness filter keeps the subtrees
+   * canonically equal); the scored conditional table keeps only
+   * bigrams with count >= minCount (Zipf-bounded, broadcastable, left
+   * counts semi-restricted to its w1 set), so the probe never
+   * shuffles on a hot bigram; the total is a 1-row broadcast side.
+   *
+   * Output: (doc_id, n_bigrams, mean_logprob).
+   */
+  def bigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+                         minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = graft.functions.TextFunctions.whitespaceTokens(col(textCol))
+    val bigramArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast(ArrayType(StructType(Seq(
+        StructField("w1", StringType), StructField("w2", StringType))))))
+    val docBg = docs.select(col(idCol).as("doc_id"), explode(bigramArr).as("__b"))
+      .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .filter(col("doc_id").isNotNull && col("w1").isNotNull && col("w2").isNotNull)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__n"))
+    val c2 = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("__n")).as("__c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
+    val vocab = c2.filter(col("__c2") >= minCount)
+      .join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        log10(col("__c2").cast(DoubleType) / col("__c1")).as("__lp"))
+    val total = docBg.agg(sum(col("__n")).as("__total"))
+    val scored = docBg
+      .join(broadcast(vocab), Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("__n"),
+        coalesce(col("__lp"),
+          log10(lit(minCount).cast(DoubleType) / col("__total"))).as("__lp2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        round(sum(col("__lp2") * col("__n")) / sum(col("__n")), 6)
+          .as("mean_logprob"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_logprob"))
+  }
+
+  /**
    * TF-IDF keyword extraction: the `k` highest-scoring tokens per
    * document, score = tf × ln(N / df) with tf the token's in-document
    * count, df its document frequency and N the corpus document count.

@@ -310,6 +310,40 @@ class TextStatsSpec extends AnyFunSuite {
       .schema == TextStats.lengthPercentiles(docs, "text", Seq("lang")).schema)
   }
 
+  test("bigramLogProbScore matches the hand formula; one bigram materialization") {
+    // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,b) -> c2(a,b)=3, c2(b,a)=1,
+    // c1(a)=3, total=4; minCount=2 keeps (a,b): lp = log10(3/3) = 0;
+    // floor = log10(2/4)
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextStats.bigramLogProbScore(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val floor = math.log10(2.0 / 4)
+    assert(out(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(out(1L).getAs[Double]("mean_logprob") == r6(floor / 3))
+    assert(out(2L).getAs[Long]("n_bigrams") == 1L)
+    assert(out(2L).getAs[Double]("mean_logprob") == 0.0)
+    assert(out(3L).getAs[Long]("n_bigrams") == 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("mean_logprob")))
+    // fluent corpus text outranks shuffled word salad made of the SAME
+    // common tokens (where the unigram score cannot discriminate)
+    val big = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val withSalad = big.select(col("doc_id"), col("text"))
+      .union(Seq((-1L, "table the of scan and agg to row the value")).toDF("doc_id", "text"))
+    val scores = TextStats.bigramLogProbScore(withSalad, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val real = scores.filter(_._1 >= 0).values.filterNot(_.isNaN)
+    assert(scores(-1L) < real.toSeq.sorted.apply(real.size / 2),
+      "word salad must score below the median document")
+    // the corpus bigram stream materializes once (exchange reuse)
+    val generators = PlanWalk.executedNodes(
+      TextStats.bigramLogProbScore(big, "doc_id", "text")).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    assert(generators == 1,
+      s"expected one bigram generator in the executed plan, found $generators")
+  }
+
   test("tfidfKeywords scores tf*ln(N/df), ranks per doc, prunes map-side") {
     val docs = Seq(
       (1L, "apple banana apple"),
