@@ -553,6 +553,15 @@ object ExtensionQueries {
       det(graft.operators.TextStats.bigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
 
+    // CCNet's head/middle/tail split: unigram LM score -> percentile
+    // terciles (bucket 0 = least corpus-typical). Empty docs (NULL
+    // score) get a NULL bucket.
+    "q_sample_ppl_buckets" -> ((s, dir) => {
+      val scored = graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
+        "doc_id", "text", minCount = 2L)
+      det(graft.operators.Sampling.percentileBuckets(scored, "mean_logprob", 3))
+    }),
+
     "q_text_tfidf" -> ((s, dir) =>
       det(graft.operators.TextStats.tfidfKeywords(docs(s, dir),
         "doc_id", "text", k = 5, minDf = 2L))),
@@ -1211,6 +1220,34 @@ object ExtensionQueries {
          |  coalesce(a.n_tokens, 0) AS n_tokens, a.mean_logprob
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id $N1, n_tokens $N1, mean_logprob $N1""".stripMargin,
+    // the q_text_logprob score chain + round-6 quantile_cont cuts (the
+    // same (n-1)*q interpolation as Spark's percentile) + the CASE
+    // bucketing; cut fractions cast to DOUBLE to mirror Scala's 1.0/3
+    "q_sample_ppl_buckets" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+         |vocab AS (SELECT token, count(*) AS cnt FROM toks
+         |          GROUP BY token HAVING count(*) >= 2),
+         |scored AS (SELECT t.doc_id,
+         |    log10(coalesce(CAST(v.cnt AS DOUBLE), 2.0) / (SELECT total FROM tot))
+         |      AS lp
+         |  FROM toks t LEFT JOIN vocab v ON t.token = v.token),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(avg(lp), 6) AS mean_logprob FROM scored GROUP BY doc_id),
+         |outp AS (SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |    a.mean_logprob FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+         |cuts AS (SELECT
+         |    round(quantile_cont(mean_logprob, CAST(1 AS DOUBLE)/3), 6) AS c1,
+         |    round(quantile_cont(mean_logprob, CAST(2 AS DOUBLE)/3), 6) AS c2
+         |  FROM outp)
+         |SELECT o.doc_id, o.n_tokens, o.mean_logprob,
+         |  CAST(CASE WHEN o.mean_logprob IS NULL THEN NULL
+         |    WHEN o.mean_logprob <= (SELECT c1 FROM cuts) THEN 0
+         |    WHEN o.mean_logprob <= (SELECT c2 FROM cuts) THEN 1
+         |    ELSE 2 END AS INT) AS bucket
+         |FROM outp o
+         |ORDER BY o.doc_id $N1, n_tokens $N1, mean_logprob $N1, bucket $N1""".stripMargin,
     // P(w2|w1) = c2/c1 for bigrams with c2 >= 2, floor 2/total_bigrams
     // otherwise; double casts mirror the Spark arithmetic exactly
     "q_text_logprob_bigram" ->

@@ -218,6 +218,40 @@ object Sampling {
   }
 
   /**
+   * Percentile bucketing — CCNet's head/middle/tail split one operator
+   * up: assign each row the index (0-based, 0 = lowest scores) of the
+   * equal-mass percentile bucket its `scoreCol` falls into. CCNet
+   * splits the corpus into perplexity terciles and trains on the head;
+   * composed with [[graft.operators.TextStats.unigramLogProbScore]] /
+   * `bigramLogProbScore` this is that split for any score.
+   *
+   * The cuts are the EXACT interpolated percentiles (one eager 1-row
+   * aggregate — the plan-literal contract of `tfidfKeywords`' N),
+   * ROUNDED to 6 decimals so an external engine recomputes identical
+   * cut values (the graded scores are themselves round-6, so the
+   * comparisons are deterministic); bucket = first cut the score does
+   * not exceed — a zero-shuffle codegen'd CASE. NULL scores get a NULL
+   * bucket (they carry no rank). Not a global `ntile` window, which
+   * would serialize the corpus through one partition.
+   */
+  def percentileBuckets(df: DataFrame, scoreCol: String, nBuckets: Int,
+                        out: String = "bucket"): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cutsRow = df.agg(
+      percentile(col(scoreCol).cast(DoubleType), array(ps.map(lit): _*))).head()
+    if (cutsRow.isNullAt(0)) // no non-null scores anywhere
+      return df.withColumn(out, lit(null).cast(IntegerType))
+    val cuts = cutsRow.getSeq[Double](0)
+      .map(c => BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val s = col(scoreCol).cast(DoubleType)
+    val bucket = cuts.zipWithIndex.foldRight(lit(nBuckets - 1): Column) {
+      case ((cut, i), rest) => when(s <= lit(cut), lit(i)).otherwise(rest)
+    }
+    df.withColumn(out, when(s.isNull, lit(null)).otherwise(bucket).cast(IntegerType))
+  }
+
+  /**
    * Deterministic global shuffle for training-order randomization:
    * assigns each row a (shard, pos) address in a pseudorandom but
    * fully reproducible total order — shard = seeded hash mod `shards`,

@@ -104,6 +104,26 @@ class SamplingSpec extends AnyFunSuite {
       when(col("lang") === "zz", 1.0)).isEmpty) // CASE with no ELSE -> NULL
   }
 
+  test("percentileBuckets assigns equal-mass buckets, NULL scores excluded") {
+    val df = ((1 to 9).map(i => (i.toLong, Some(i.toDouble))) :+
+      (10L, Option.empty[Double])).toDF("id", "score")
+    val out = Sampling.percentileBuckets(df, "score", 3)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    // cuts at the 1/3 and 2/3 interpolated percentiles of 1..9:
+    // c1 = 3.666667, c2 = 6.333333 -> 1-3 | 4-6 | 7-9
+    assert((1 to 3).forall(i => got(i.toLong) == 0))
+    assert((4 to 6).forall(i => got(i.toLong) == 1))
+    assert((7 to 9).forall(i => got(i.toLong) == 2))
+    assert(got(10L) == -1, "NULL score gets a NULL bucket")
+    // zero-shuffle: the bucketing itself is a literal CASE projection
+    assert(PlanWalk.shuffleCount(out) == 0)
+    // an all-NULL score column yields all-NULL buckets, no crash
+    val empty = Sampling.percentileBuckets(
+      Seq((1L, Option.empty[Double])).toDF("id", "score"), "score", 3)
+    assert(empty.collect().forall(_.isNullAt(2)))
+  }
+
   test("rebalanceMixture computes fractions from target shares and counts") {
     // strata: en 100 rows, de 50 rows -> targets 50/50:
     // n_max = min(100/0.5, 50/0.5) = 100; frac_en = 0.5, frac_de = 1.0
