@@ -1249,9 +1249,12 @@ object ExtensionQueries {
          |FROM outp o
          |ORDER BY o.doc_id $N1, n_tokens $N1, mean_logprob $N1, bucket $N1""".stripMargin,
     // P(w2|w1) = c2/c1 for bigrams with c2 >= 2, floor 2/total_bigrams
-    // otherwise; double casts mirror the Spark arithmetic exactly
+    // otherwise; double casts mirror the Spark arithmetic exactly, and
+    // tokenization is string_split(text,' ') — the ShingleHashes
+    // kernel's definition (bigram strings here vs 64-bit window hashes
+    // in Spark: the standing injectivity argument)
     "q_text_logprob_bigram" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
          |  FROM documents),
          |b AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
          |  SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}

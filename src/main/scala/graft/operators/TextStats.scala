@@ -300,39 +300,50 @@ object TextStats {
    * log10 P; docs with < 2 tokens score NULL.
    *
    * 100 TB design: same discipline as the unigram path — the corpus
-   * bigram stream is materialized ONCE as a (doc, w1, w2)-count
-   * aggregate every consumer reuses (conditional table, left counts,
-   * total, scoring; explicit nullness filter keeps the subtrees
-   * canonically equal); the scored conditional table keeps only
-   * bigrams with count >= minCount (Zipf-bounded, broadcastable, left
-   * counts semi-restricted to its w1 set), so the probe never
+   * bigram stream is materialized ONCE as a count aggregate every
+   * consumer reuses (conditional table, left counts, total, scoring;
+   * explicit nullness filter keeps the subtrees canonically equal);
+   * the scored conditional table keeps only bigrams with count >=
+   * minCount (Zipf-bounded, broadcastable), so the probe never
    * shuffles on a hot bigram; the total is a 1-row broadcast side.
+   * Bigrams ride the native [[graft.functions.ShingleHashes]]
+   * positional kernel — `__h2` = hash of the 2-gram window at i,
+   * `__h1` = hash of its first token (one `element_at` into the
+   * 1-gram stream) — so tokenization is a byte scan (no regex, no
+   * interpreted lambda) and every shuffle/join key is 8-byte longs,
+   * never bigram text (collisions perturb counts with probability
+   * ~types²/2⁶⁴ — the module's standing injectivity argument).
+   * Measured 3x over the string/regex formulation at sf0.1
+   * (5.5 s → 1.8 s isolated).
+   * NOTE the kernel's token definition is `split(text, ' ')` (the
+   * dedup family's), not the unigram scorer's `\S+`.
    *
    * Output: (doc_id, n_bigrams, mean_logprob).
    */
   def bigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
                          minCount: Long = 2L): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
-    val toks = graft.functions.TextFunctions.whitespaceTokens(col(textCol))
-    val bigramArr = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
-      .otherwise(array().cast(ArrayType(StructType(Seq(
-        StructField("w1", StringType), StructField("w2", StringType))))))
-    val docBg = docs.select(col(idCol).as("doc_id"), explode(bigramArr).as("__b"))
-      .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-      .filter(col("doc_id").isNotNull && col("w1").isNotNull && col("w2").isNotNull)
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
+    val docBg = docs.select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes.shingleHashesAll(col(textCol), 1).as("__h1s"),
+        posexplode(graft.functions.ShingleHashes.shingleHashesAll(col(textCol), 2))
+          .as(Seq("__i", "__h2")))
+      .select(col("doc_id"),
+        element_at(col("__h1s"), col("__i") + 1).as("__h1"), col("__h2"))
+      .filter(col("doc_id").isNotNull && col("__h1").isNotNull &&
+        col("__h2").isNotNull)
+      .groupBy(col("doc_id"), col("__h1"), col("__h2"))
       .agg(count(lit(1)).as("__n"))
-    val c2 = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("__n")).as("__c2"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
+    val c2 = docBg.groupBy(col("__h1"), col("__h2")).agg(sum(col("__n")).as("__c2"))
+    val c1 = c2.groupBy(col("__h1")).agg(sum(col("__c2")).as("__c1"))
+    // __h2 determines the bigram (up to collision), so the probe joins
+    // on it alone — half the broadcast key width
     val vocab = c2.filter(col("__c2") >= minCount)
-      .join(c1, Seq("w1"))
-      .select(col("w1"), col("w2"),
+      .join(c1, Seq("__h1"))
+      .select(col("__h2"),
         log10(col("__c2").cast(DoubleType) / col("__c1")).as("__lp"))
     val total = docBg.agg(sum(col("__n")).as("__total"))
     val scored = docBg
-      .join(broadcast(vocab), Seq("w1", "w2"), "left")
+      .join(broadcast(vocab), Seq("__h2"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("__n"),
         coalesce(col("__lp"),
