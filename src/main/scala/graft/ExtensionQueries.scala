@@ -179,6 +179,13 @@ object ExtensionQueries {
       det(graft.operators.TextStats.packSequences(docs(s, dir), "doc_id", "text",
         budget = 512, shards = 8))),
 
+    // the addresses above, MATERIALIZED: one row per training sequence
+    // with its actual token text (docs split token-exactly at budget
+    // boundaries; every sequence <= 512 tokens)
+    "q_pack_materialize" -> ((s, dir) =>
+      det(graft.operators.TextStats.materializePackedSequences(docs(s, dir),
+        "doc_id", "text", budget = 512, shards = 8))),
+
     // packing's dual: long docs split into overlapping context windows
     "q_chunk_documents" -> ((s, dir) =>
       det(graft.operators.TextStats.chunkDocuments(docs(s, dir), "doc_id", "text",
@@ -781,6 +788,31 @@ object ExtensionQueries {
          |SELECT doc_id, shard, CAST(floor(CAST(cum - n_tokens AS DOUBLE)/512) AS BIGINT) AS seq_id,
          |  CAST(cum - n_tokens AS BIGINT) AS tok_offset, n_tokens
          |FROM c ORDER BY doc_id $N1, shard $N1, seq_id $N1, tok_offset $N1, n_tokens $N1""".stripMargin,
+    // same shard/offset arithmetic as q_pack_sequences, then per-doc
+    // sequence spans (pure arithmetic on tok_offset), piece reassembly
+    // ordered by stream offset; /512.0 division is exact (power of two)
+    "q_pack_materialize" ->
+      s"""WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |c AS (SELECT doc_id, shard, toks, len(toks) AS n,
+         |    sum(len(toks)) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - len(toks) AS off FROM t),
+         |e AS (SELECT shard, off, n, toks,
+         |    unnest(generate_series(CAST(floor(off/512.0) AS BIGINT),
+         |                           CAST(floor((off + n - 1)/512.0) AS BIGINT)))
+         |      AS seq_id
+         |  FROM c WHERE n > 0),
+         |p AS (SELECT shard, seq_id,
+         |    off + GREATEST(0, seq_id*512 - off) AS poff,
+         |    array_to_string(toks[CAST(GREATEST(0, seq_id*512 - off) + 1 AS BIGINT) :
+         |                         CAST(LEAST(n, (seq_id+1)*512 - off) AS BIGINT)],
+         |      ' ') AS piece,
+         |    LEAST(n, (seq_id+1)*512 - off) - GREATEST(0, seq_id*512 - off) AS pn
+         |  FROM e)
+         |SELECT shard, seq_id, string_agg(piece, ' ' ORDER BY poff) AS text,
+         |  CAST(sum(pn) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM p GROUP BY shard, seq_id
+         |ORDER BY shard $N1, seq_id $N1, text $N1, n_tokens $N1, n_docs $N1""".stripMargin,
     "q_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
          |b AS (SELECT doc_id, CAST(len(list_distinct(w)) AS DOUBLE)/len(w) AS dwr,

@@ -154,6 +154,64 @@ object TextStats {
   }
 
   /**
+   * MATERIALIZE the packed training sequences [[packSequences]]
+   * addresses: one output row per (shard, sequence) with the actual
+   * token text — the file a training loader reads, not just the
+   * address book. Concat-and-chop semantics, token-exact: each shard's
+   * docs concatenate in id order into a token stream chopped every
+   * `budget` tokens, so a doc crossing a boundary SPLITS across the
+   * two sequences (its `tok_offset` says where the cut falls — the
+   * same arithmetic as the address query).
+   *
+   * Output: (shard, seq_id, text, n_tokens, n_docs) — `n_tokens` <=
+   * budget always, the last sequence of a shard may run short;
+   * `n_docs` counts docs CONTRIBUTING tokens (empty docs occupy no
+   * tokens and appear only in the address output).
+   *
+   * 100 TB design: the naive materialization (collect each shard's
+   * stream, chop) would hold targetTokensPerShard (~64M tokens) in one
+   * row; instead each doc row-locally EXPLODES into its per-sequence
+   * spans (first/last sequence and slice bounds are pure arithmetic on
+   * `tok_offset` from the address join), so the one groupBy on
+   * (shard, seq_id) assembles rows bounded by `budget` tokens — the
+   * shuffle moves each token once and no row ever exceeds a sequence.
+   * Piece order within a sequence is restored by an in-row
+   * `array_sort` on (offset, piece) structs, not a window.
+   */
+  def materializePackedSequences(docs: DataFrame, idCol: String, textCol: String,
+                                 budget: Int, shards: Int = 0,
+                                 targetTokensPerShard: Long = 64L * 1024 * 1024)
+      : DataFrame = {
+    val packed = packSequences(docs, idCol, textCol, budget, shards,
+        targetTokensPerShard)
+      .drop("seq_id") // the doc's STARTING sequence; spans are recomputed
+    val withToks = packed.filter(col("n_tokens") > 0)
+      .join(docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol)).as("__toks")),
+        Seq("doc_id"))
+    val firstSeq = floor(col("tok_offset") / budget).cast(LongType)
+    val lastSeq = floor((col("tok_offset") + col("n_tokens") - 1) / budget)
+      .cast(LongType)
+    val start = greatest(lit(0L), col("seq_id") * budget - col("tok_offset"))
+    val end = least(col("n_tokens"), (col("seq_id") + 1) * budget - col("tok_offset"))
+    withToks
+      .select(col("shard"), col("tok_offset"), col("n_tokens"), col("__toks"),
+        explode(sequence(firstSeq, lastSeq)).as("seq_id"))
+      .select(col("shard"), col("seq_id"),
+        (col("tok_offset") + start).as("__poff"),
+        array_join(slice(col("__toks"), (start + 1).cast(IntegerType),
+          (end - start).cast(IntegerType)), " ").as("__piece"),
+        (end - start).as("__pn"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__poff"), col("__piece")))),
+          x => x.getField("__piece")), " ").as("text"),
+        sum(col("__pn")).as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /**
    * Split each document into token-window chunks of at most `maxTokens`
    * whitespace tokens, consecutive chunks overlapping by `overlap`
    * tokens — the context-window chunking step every RAG/embedding/

@@ -310,6 +310,30 @@ class TextStatsSpec extends AnyFunSuite {
       .schema == TextStats.lengthPercentiles(docs, "text", Seq("lang")).schema)
   }
 
+  test("materializePackedSequences chops shard streams token-exactly") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextStats.materializePackedSequences(docs, "doc_id", "text",
+        budget = 4, shards = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // stream: a b c | d e f | g  -> chop every 4: [a b c d] [e f g];
+    // doc 2 splits across the boundary; the empty doc contributes nothing
+    assert(out == Map(
+      (0, 0L) -> (("a b c d", 4L, 2L)),
+      (0, 1L) -> (("e f g", 3L, 2L))))
+    // corpus-level conservation at a realistic size: every token lands in
+    // exactly one sequence, none exceeds the budget
+    val big = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val mat = TextStats.materializePackedSequences(big, "doc_id", "text",
+      budget = 512, shards = 8)
+    val agg = mat.agg(sum("n_tokens"), max("n_tokens")).head()
+    val corpusTokens = big.agg(sum(
+      graft.functions.TextFunctions.tokenCount(col("text")))).head().getLong(0)
+    assert(agg.getLong(0) == corpusTokens, "token conservation")
+    assert(agg.getLong(1) <= 512L, "no sequence over budget")
+  }
+
   test("bigramLogProbScore matches the hand formula; one bigram materialization") {
     // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,b) -> c2(a,b)=3, c2(b,a)=1,
     // c1(a)=3, total=4; minCount=2 keeps (a,b): lp = log10(3/3) = 0;
