@@ -361,6 +361,13 @@ object ExtensionQueries {
       det(Similarity.semanticCollapse(emb(s, dir), "vec_id", "embedding",
         threshold = 0.45).select(col("vec_id"), col("label")))),
 
+    // per-label embedding centroids (drift/cluster profiling), flattened
+    // to (label, dim, value) scalars for the row-hash oracle
+    "q_emb_centroids" -> ((s, dir) =>
+      det(Similarity.meanVectors(emb(s, dir), Seq("label"), "embedding")
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("dim", "value"))))),
+
     "q_sim_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       det(Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
@@ -1103,6 +1110,17 @@ object ExtensionQueries {
          |FROM embeddings v LEFT JOIN comp ON comp.id = v.vec_id
          |WHERE v.vec_id = coalesce(comp.component, v.vec_id)
          |ORDER BY vec_id $N1, label $N1""".stripMargin,
+    // zipped unnest + generate_subscripts (0-based in Spark's posexplode
+    // -> i-1 here); per-dim avg rounded to 6 like the Spark side
+    "q_emb_centroids" ->
+      s"""WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |m AS (SELECT label, i, round(avg(x), 6) AS v, count(*) AS c
+         |      FROM e GROUP BY label, i),
+         |n AS (SELECT label, CAST(max(c) AS BIGINT) AS n_vectors FROM m GROUP BY label)
+         |SELECT m.label, n.n_vectors, CAST(m.i - 1 AS INT) AS dim, m.v AS value
+         |FROM m JOIN n ON n.label = m.label
+         |ORDER BY m.label $N1, n_vectors $N1, dim $N1, value $N1""".stripMargin,
     "q_sim_topk" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id

@@ -90,6 +90,9 @@ object Sampling {
     require(targets.nonEmpty, "need at least one target share")
     require(targets.values.forall(_ > 0), "target shares must be > 0")
     require(scale > 0 && scale <= 1.0, "scale must be in (0, 1]")
+    require(df.schema(stratumCol).dataType == StringType,
+      s"rebalanceMixture needs a string stratum column (targets are keyed " +
+        s"by string), got ${df.schema(stratumCol).dataType.simpleString}")
     val counts = df.filter(col(stratumCol).isin(targets.keys.toSeq: _*))
       .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
       .collect()

@@ -509,6 +509,52 @@ object Similarity extends Logging {
   }
 
   /**
+   * Per-group embedding centroids: the element-wise mean of each
+   * group's vectors — the profiling/monitoring aggregate behind
+   * per-source drift dashboards, per-cluster summaries after
+   * [[kmeans]], and nearest-centroid routing of new corpora.
+   * `normalize = true` L2-normalizes each mean (the spherical mean
+   * DIRECTION, the quantity [[kmeans]] iterates on). Means are rounded
+   * to 6 decimals BEFORE any normalization so an external engine
+   * reproduces them bit-for-bit.
+   *
+   * Output: (groupCols…, centroid: array<double>, n_vectors) —
+   * `n_vectors` counts vectors contributing to the widest dimension
+   * (on a well-formed corpus, simply the group size; ragged vectors
+   * average per-dimension over the vectors that have it).
+   *
+   * 100 TB design: the [[kmeans]] centroid-update shape WITHOUT the
+   * driver collect — posexplode to (group, dim, component), one
+   * partially-aggregated groupBy on (group, dim) (the shuffle moves
+   * groups·dim rows per task, not the corpus), one groupBy back to the
+   * group with an in-row `array_sort` reassembly (never a window).
+   */
+  def meanVectors(df: DataFrame, groupCols: Seq[String], vecCol: String,
+                  normalize: Boolean = false): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val g = groupCols.map(col)
+    val perDim = df
+      .select(g :+ posexplode(transform(col(vecCol), x => x.cast(DoubleType)))
+        .as(Seq("__i", "__x")): _*)
+      .groupBy(g :+ col("__i"): _*)
+      .agg(round(avg(col("__x")), 6).as("__m"), count(lit(1)).as("__c"))
+    val assembled = perDim
+      .groupBy(g: _*)
+      .agg(
+        transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
+          x => x.getField("__m")).as("centroid"),
+        max(col("__c")).as("n_vectors"))
+    if (!normalize) assembled
+    else {
+      val n = sqrt(graft.functions.VectorExpressions.dotProduct(
+        col("centroid"), col("centroid")))
+      assembled.withColumn("centroid",
+        when(n > 0, transform(col("centroid"), x => x / n))
+          .otherwise(col("centroid")))
+    }
+  }
+
+  /**
    * Cluster-balanced sampling — the SemDeDup/DC-style curation recipe
    * "cluster the embedding space, then take a bounded, deterministic
    * quota from every cluster" (equalizes coverage of the data manifold

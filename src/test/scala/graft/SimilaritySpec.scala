@@ -488,6 +488,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(asg == again)
   }
 
+  test("meanVectors averages element-wise per group; normalize gives unit means") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1f, 0f), "a"), (2L, Seq(3f, 2f), "a"),
+      (3L, Seq(0f, 4f), "b")).toDF("id", "v", "g")
+    val out = Similarity.meanVectors(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(out("a") == (Seq(2.0, 1.0), 2L))
+    assert(out("b") == (Seq(0.0, 4.0), 1L))
+    val unit = Similarity.meanVectors(df, Seq("g"), "v", normalize = true)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val na = math.sqrt(2.0 * 2.0 + 1.0)
+    assert(unit("a") == Seq(2.0 / na, 1.0 / na))
+    assert(unit("b") == Seq(0.0, 1.0))
+    // zero vectors stay zero (no division), like the cosine guards
+    val z = Similarity.meanVectors(
+      Seq((1L, Seq(0f, 0f), "z")).toDF("id", "v", "g"), Seq("g"), "v",
+      normalize = true).collect()
+    assert(z.head.getSeq[Double](1) == Seq(0.0, 0.0))
+  }
+
   test("clusterBalancedSample takes a deterministic quota from every cluster") {
     val rnd = new scala.util.Random(11)
     val dim = 32
