@@ -368,6 +368,18 @@ object ExtensionQueries {
         .select(col("label"), col("n_vectors"),
           posexplode(col("centroid")).as(Seq("dim", "value"))))),
 
+    // nearest-centroid routing against those centroids: each vector
+    // labeled with its most-similar per-label mean (exact oracle —
+    // argmax over the cross product on the DuckDB side; a codegen'd
+    // plan-literal projection on the Spark side)
+    "q_emb_route" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.meanVectors(e, Seq("label"), "embedding")
+      det(Similarity.nearestCentroid(e, "embedding", cents, "label", "centroid")
+        .select(col("vec_id"), col("nearest"),
+          round(col("cos_sim"), 6).as("cos_sim")))
+    }),
+
     "q_sim_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       det(Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
@@ -1121,6 +1133,21 @@ object ExtensionQueries {
          |SELECT m.label, n.n_vectors, CAST(m.i - 1 AS INT) AS dim, m.v AS value
          |FROM m JOIN n ON n.label = m.label
          |ORDER BY m.label $N1, n_vectors $N1, dim $N1, value $N1""".stripMargin,
+    // centroids from the same per-(label, dim) round-6 means, cosine in
+    // the cosSql double shape, argmax ties to the lowest centroid id
+    "q_emb_route" ->
+      s"""WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         |    generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |m AS (SELECT label, i, round(avg(x), 6) AS v FROM e GROUP BY label, i),
+         |cent AS (SELECT label AS cid, list(v ORDER BY i) AS c FROM m GROUP BY label),
+         |s AS (SELECT a.vec_id, cent.cid,
+         |    list_dot_product(a.embedding::DOUBLE[], cent.c) /
+         |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         |       sqrt(list_dot_product(cent.c, cent.c))) AS cos
+         |  FROM embeddings a CROSS JOIN cent)
+         |SELECT vec_id, cid AS nearest, round(cos, 6) AS cos_sim FROM s
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1
+         |ORDER BY vec_id $N1, nearest $N1, cos_sim $N1""".stripMargin,
     "q_sim_topk" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id

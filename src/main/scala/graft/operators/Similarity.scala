@@ -555,6 +555,64 @@ object Similarity extends Logging {
   }
 
   /**
+   * Nearest-centroid routing: label each row of `df` with the id of
+   * the [[meanVectors]]-style centroid it is most cosine-similar to —
+   * nearest-centroid classification (route new documents to the
+   * closest source/cluster profile, assign a fresh corpus to an
+   * existing clustering without re-running [[kmeans]]). Ties break
+   * toward the centroid earliest in id order; zero-norm vectors (no
+   * direction) route to NULL.
+   *
+   * Output: `df`'s rows + (`out` = centroid id, `cos_sim`).
+   *
+   * 100 TB design: the centroid frame is collected driver-side —
+   * BOUNDED by contract (one row per group; `maxCentroids` guards the
+   * collect like the IVF cap) — and scoring is ONE codegen'd
+   * projection against plan literals, the [[kmeans]] assignment shape;
+   * the only join is a broadcast of the tiny (idx → id) table that
+   * restores the centroid id in its original type. The corpus never
+   * shuffles.
+   */
+  def nearestCentroid(df: DataFrame, vecCol: String,
+                      centroids: DataFrame, centroidIdCol: String,
+                      centroidVecCol: String, out: String = "nearest",
+                      maxCentroids: Int = 4096): DataFrame = {
+    val rows = centroids.select(col(centroidIdCol), col(centroidVecCol))
+      .orderBy(col(centroidIdCol)).collect()
+    require(rows.nonEmpty, "need at least one centroid")
+    require(rows.length <= maxCentroids,
+      s"${rows.length} centroids exceed maxCentroids=$maxCentroids — a " +
+        "centroid frame is one bounded row per group by contract")
+    val cents = rows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    require(norms.forall(_ > 0), "zero-norm centroid has no direction to route to")
+    // (cos, -idx) structs: array_sort's max = highest cosine, ties to
+    // the LOWEST idx (= earliest centroid id)
+    val scored = cents.indices.map { i =>
+      struct(
+        (graft.functions.VectorExpressions.dotProduct(col("__v"),
+          typedlit(cents(i).toSeq)) / (col("__n") * lit(norms(i)))).as("cos"),
+        lit(-i).as("negidx"))
+    }
+    val best = element_at(array_sort(array(scored: _*)), -1)
+    val spark = df.sparkSession
+    val idxToId = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.get(0)) }.toSeq, 1),
+      StructType(Seq(StructField("__bi", IntegerType, nullable = false),
+        centroids.schema(centroidIdCol).copy(name = out))))
+    df
+      .withColumn("__v", transform(col(vecCol), x => x.cast(DoubleType)))
+      .withColumn("__n", norm(col(vecCol)))
+      .withColumn("__best", when(col("__n") > 0, best))
+      .withColumn("__bi", (-col("__best.negidx")).cast(IntegerType))
+      .withColumn("cos_sim", col("__best.cos"))
+      .join(broadcast(idxToId), Seq("__bi"), "left")
+      .drop("__v", "__n", "__best", "__bi")
+  }
+
+  /**
    * Cluster-balanced sampling — the SemDeDup/DC-style curation recipe
    * "cluster the embedding space, then take a bounded, deterministic
    * quota from every cluster" (equalizes coverage of the data manifold

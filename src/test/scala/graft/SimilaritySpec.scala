@@ -510,6 +510,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(z.head.getSeq[Double](1) == Seq(0.0, 0.0))
   }
 
+  test("nearestCentroid routes by cosine, ties to earliest id, NULL for zero") {
+    import spark.implicits._
+    val cents = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val vecs = Seq(
+      (1L, Seq(0.9f, 0.1f)),  // -> 10
+      (2L, Seq(0.1f, 0.9f)),  // -> 20
+      (3L, Seq(0.5f, 0.5f)),  // exact tie -> earliest id (10)
+      (4L, Seq(0f, 0f))       // zero norm -> NULL
+    ).toDF("vec_id", "v")
+    val out = Similarity.nearestCentroid(vecs, "v", cents, "cid", "cvec")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("nearest"))) -1L
+         else r.getLong(r.fieldIndex("nearest")))).toMap
+    assert(out == Map(1L -> 10L, 2L -> 20L, 3L -> 10L, 4L -> -1L))
+    // the corpus never shuffles: plan-literal scoring + one broadcast
+    val routed = Similarity.nearestCentroid(vecs, "v", cents, "cid", "cvec")
+    assert(PlanWalk.shuffleCount(routed) == 0)
+  }
+
   test("clusterBalancedSample takes a deterministic quota from every cluster") {
     val rnd = new scala.util.Random(11)
     val dim = 32
