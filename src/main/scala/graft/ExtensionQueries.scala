@@ -565,6 +565,13 @@ object ExtensionQueries {
         Seq("lang"), "doc_id",
         TextFunctions.tokenCount(col("text")), budget = 2000L))),
 
+    // per-language budgets ("3000 en, 1000 de, drop the rest") — the
+    // non-uniform curation directive as one call
+    "q_sample_budget_map" -> ((s, dir) =>
+      det(graft.operators.Sampling.tokenBudgetSampleBy(docs(s, dir),
+        "lang", "doc_id", TextFunctions.tokenCount(col("text")),
+        Map("en" -> 3000L, "de" -> 1000L)))),
+
     // --- corpus frequency statistics -------------------------------------
 
     "q_text_vocabulary" -> ((s, dir) =>
@@ -1265,6 +1272,20 @@ object ExtensionQueries {
          |SELECT doc_id, shard,
          |  row_number() OVER (PARTITION BY shard ORDER BY uni, doc_id) - 1 AS pos
          |FROM a ORDER BY doc_id $N1, shard $N1, pos $N1""".stripMargin,
+    // CASE-budget twin of q_sample_budget: unlisted langs budget 0
+    // (cum - sz < 0 never holds, the stratum drops)
+    "q_sample_budget_map" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, source, n_chars,
+         |  coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS sz,
+         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    / 4294967296.0 AS uni
+         |  FROM documents),
+         |c AS (SELECT *, sum(sz) OVER (PARTITION BY lang ORDER BY uni, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, text, lang, source, n_chars FROM c
+         |WHERE cum - sz < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1000
+         |                 ELSE 0 END
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_sample_budget" ->
       s"""WITH t AS (SELECT doc_id, text, lang, source, n_chars,
          |  coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS sz,

@@ -165,6 +165,34 @@ object Sampling {
   }
 
   /**
+   * [[tokenBudgetSample]] with PER-STRATUM budgets — the real curation
+   * directive is rarely uniform ("2B English tokens, 500M German, drop
+   * the rest"): `budgets` maps stratum value -> token budget, `default`
+   * applies to unlisted strata (its default 0 DROPS them — the mixture
+   * contract of [[rebalanceMixture]]; pass a positive default to keep a
+   * floor instead). Same single-shuffle window, same hash-first
+   * deterministic order, same crossing-row semantics; the budget lookup
+   * is a plan-literal CASE like [[stratifiedSample]]'s fractions.
+   */
+  def tokenBudgetSampleBy(df: DataFrame, stratumCol: String, keyCol: String,
+                          sizeCol: Column, budgets: Map[String, Long],
+                          default: Long = 0L): DataFrame = {
+    require(budgets.nonEmpty, "need at least one stratum budget")
+    require(budgets.values.forall(_ >= 0) && default >= 0,
+      "budgets must be >= 0")
+    val budget = budgets.foldLeft(lit(default)) { case (acc, (value, b)) =>
+      when(col(stratumCol) === lit(value), lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashUniform(col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__sz", coalesce(sizeCol.cast(LongType), lit(0L)))
+      .withColumn("__cum", sum(col("__sz")).over(w))
+      .filter(col("__cum") - col("__sz") < budget)
+      .drop("__sz", "__cum")
+  }
+
+  /**
    * Per-row weighted (importance) sampling: a row survives iff
    * hashUniform(key) < its own `weight` expression, clamped to [0, 1].
    * This is the quality-resampling step of CCNet-style pipelines —

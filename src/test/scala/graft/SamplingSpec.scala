@@ -104,6 +104,31 @@ class SamplingSpec extends AnyFunSuite {
       when(col("lang") === "zz", 1.0)).isEmpty) // CASE with no ELSE -> NULL
   }
 
+  test("tokenBudgetSampleBy applies per-stratum budgets, default drops") {
+    val rows = (1 to 10).map(i => (i.toLong, "en", 10L)) ++
+      (11 to 20).map(i => (i.toLong, "de", 10L)) ++
+      (21 to 25).map(i => (i.toLong, "zz", 10L))
+    val df = rows.toDF("doc_id", "lang", "toks")
+    val out = Sampling.tokenBudgetSampleBy(df, "lang", "doc_id", col("toks"),
+      Map("en" -> 35L, "de" -> 100L))
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: 3 rows under 35, the crossing 4th kept; de: all fit; zz dropped
+    assert(kept == Map("en" -> 4L, "de" -> 10L))
+    // a positive default keeps a floor from unlisted strata
+    val floored = Sampling.tokenBudgetSampleBy(df, "lang", "doc_id", col("toks"),
+      Map("en" -> 35L), default = 5L)
+    val byLang = floored.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zz") == 1L && byLang("de") == 1L, "crossing row per stratum")
+    // uniform map equals the uniform-budget operator exactly
+    val uni = Sampling.tokenBudgetSample(df, Seq("lang"), "doc_id",
+      col("toks"), budget = 35L).collect().map(_.getLong(0)).toSet
+    val mapped = Sampling.tokenBudgetSampleBy(df, "lang", "doc_id", col("toks"),
+      Map("en" -> 35L, "de" -> 35L, "zz" -> 35L)).collect().map(_.getLong(0)).toSet
+    assert(uni == mapped)
+  }
+
   test("percentileBuckets assigns equal-mass buckets, NULL scores excluded") {
     val df = ((1 to 9).map(i => (i.toLong, Some(i.toDouble))) :+
       (10L, Option.empty[Double])).toDF("id", "score")
