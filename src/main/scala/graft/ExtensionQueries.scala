@@ -237,6 +237,14 @@ object ExtensionQueries {
       det(Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         n = 5, threshold = 0.5, numPerm = 64, bands = 32))),
 
+    // text-side similarity SEARCH (the document twin of q_sim_topk):
+    // top-5 most Jaccard-similar corpus docs for each query doc
+    "q_jaccard_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(Dedup.jaccardTopK(d.filter(col("doc_id") < 20), d,
+        "doc_id", "text", k = 5))
+    }),
+
     // incremental (delta) dedup: docs with doc_id >= 400 are "today's
     // batch", the rest the historical index. A new doc survives iff its
     // exact text is absent from the index AND it has no near-dup
@@ -897,6 +905,23 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_dedup_ngram_pairs" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+    // full cross-product rank for the query slice: exact because every
+    // blocked candidate has jaccard > 0 and no shingle df exceeds the
+    // cap on this corpus (max df 2 — see q_dedup_index_append notes)
+    "q_jaccard_topk" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ')
+         |  for i in generate_series(1, len(t)-4)]) AS s FROM toks),
+         |p AS (SELECT q.doc_id, c.doc_id AS neighbor_id,
+         |    CAST(len(list_intersect(q.s, c.s)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(q.s, c.s))) AS jaccard
+         |  FROM sh q JOIN sh c ON c.doc_id != q.doc_id WHERE q.doc_id < 20),
+         |r AS (SELECT doc_id, neighbor_id, jaccard,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM p WHERE jaccard > 0)
+         |SELECT doc_id, neighbor_id, jaccard, rank FROM r WHERE rank <= 5
+         |ORDER BY doc_id $N1, neighbor_id $N1, jaccard $N1, rank $N1""".stripMargin,
     // same 13-gram definition as the Spark shingles (string n-grams in
     // the oracle vs xxhash64'd in Spark — same decisions, the hashing
     // is injective in practice exactly like the jaccard oracles)

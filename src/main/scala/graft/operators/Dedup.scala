@@ -581,6 +581,52 @@ object Dedup {
   }
 
   /**
+   * Jaccard top-k TEXT similarity search — the document-side twin of
+   * [[Similarity.bruteForceTopK]]: for each row of `queries`, the `k`
+   * corpus docs with the highest exact word-n-gram Jaccard, candidates
+   * from the shared-shingle inverted index (df-capped, whole-group
+   * drop: a stop-shingle is noise for ranking exactly as for dedup).
+   * Near-dup retrieval, "more like this", and cluster seeding over
+   * text-only corpora without an embedding model.
+   *
+   * Output: (doc_id, neighbor_id, jaccard, rank), rank 1..k by
+   * (jaccard desc, neighbor id); query docs sharing no under-cap
+   * shingle with anything (including docs shorter than `n` tokens)
+   * return no rows — a candidate always has jaccard > 0, so the
+   * blocked search is EXACT for any pair whose shared shingles are not
+   * all over the cap (the `q_jaccard_topk` oracle ranks the full cross
+   * product).
+   *
+   * 100 TB design: the [[ngramJaccardPairsAgainst]] shapes — query
+   * inverted rows × df-capped corpus postings, verify shingles only
+   * candidate docs — plus a per-query rank filter sitting directly on
+   * its window so WindowGroupLimit pre-trims map-side (the
+   * [[Sampling.stratifiedTopK]] pushdown).
+   */
+  def jaccardTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  textCol: String, k: Int, n: Int = 5, dfCap: Int = 100,
+                  excludeSameId: Boolean = true,
+                  dropStats: Option[Observation] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qInv = shingled(queries, idCol, textCol, n)
+      .select(col("__id"), explode(col("__hs")).as("__g"))
+    val cInv = shingled(corpus, idCol, textCol, n)
+      .select(col("__id"), explode(col("__hs")).as("__g"))
+    val cands0 = Blocking.idPairsAcross(qInv, cInv, Seq("__g"), "__a", "__b",
+      indexKeyCap = Some(dfCap), truncate = false, dropStats = dropStats)
+    val cands = if (excludeSameId) cands0.filter(col("__a") =!= col("__b"))
+                else cands0
+    val scored = verifyJaccardAcross(cands, queries, corpus, idCol, textCol,
+      n, threshold = 0.0)
+    val w = Window.partitionBy(col("doc_new"))
+      .orderBy(col("jaccard").desc, col("doc_old"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("doc_new").as("doc_id"), col("doc_old").as("neighbor_id"),
+        col("jaccard"), col("rank"))
+  }
+
+  /**
    * Contamination AUDIT — the report twin of [[decontaminate]]: every
    * (corpus doc, eval doc) pair sharing at least one word `n`-gram,
    * with the count of DISTINCT shared n-grams. [[decontaminate]]

@@ -511,6 +511,26 @@ class DedupSpec extends AnyFunSuite {
     assert(w(5L) == 0L)
   }
 
+  test("jaccardTopK ranks corpus docs by exact Jaccard per query") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"), // 3-gram jaccard vs 1: 3/5 = 0.6
+      (3L, "a b c d x y"), // 2/6 = 0.333...
+      (4L, "z1 z2 z3 z4")  // nothing shared: absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.jaccardTopK(corpus.filter(col("doc_id") === 1), corpus,
+        "doc_id", "text", k = 5, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3.0 / 5, 1L),
+      (1L, 3L, 2.0 / 6, 2L)))
+    // k truncates; self is excluded by default
+    val k1 = Dedup.jaccardTopK(corpus.filter(col("doc_id") === 1), corpus,
+      "doc_id", "text", k = 1, n = 3).collect()
+    assert(k1.length == 1 && k1.head.getLong(1) == 2L)
+    assert(!out.exists(_._2 == 1L))
+  }
+
   test("contaminationReport counts distinct shared n-grams per (doc, eval) pair") {
     val corpus = Seq(
       (1L, "a b c d e"),   // shares 3-grams "a b c","b c d","c d e" with eval 10
