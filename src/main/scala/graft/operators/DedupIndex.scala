@@ -196,6 +196,14 @@ object DedupIndex {
    * artifacts: append the same five frames with `saveAsTable` in
    * append mode against the identical bucket spec — not wrapped here
    * because Spark requires the caller to restate the spec.
+   *
+   * NOT atomic across the four tables: a crash mid-append leaves a
+   * partially-grown artifact, and RE-RUNNING the same batch duplicates
+   * its rows — harmless for `fingerprints/` (anti-join set semantics)
+   * but duplicated `shingles/` rows multiply a candidate pair through
+   * the verify join (the graded delta queries are robust — they
+   * `distinct()` the drop set — but raw pair outputs are not). After a
+   * failed append, rebuild, or clear the batch's rows before retrying.
    */
   def append(newDocs: DataFrame, idCol: String, textCol: String,
              path: String): Unit = {
