@@ -33,15 +33,15 @@ object ExtensionQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
-  /** One persisted dedup index per (JVM, sf dir): built on first use by
-    * q_dedup_incremental_indexed over the historical half of the corpus
-    * (doc_id < 400 — the same split q_dedup_incremental uses live). */
-  private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def incrementalIndex(s: SparkSession, dir: String): String =
-    builtIndexes.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_index")
-      // artifact dies with the JVM: repeated Verify/Bench runs must not
-      // accumulate half-corpus parquet trees in the system tmp dir
+  /** One temp parquet artifact per (JVM, sf dir), built on first use
+    * and deleted at JVM exit — repeated Verify/Bench runs must not
+    * accumulate half-corpus parquet trees in the system tmp dir. The
+    * ONE cache/cleanup implementation behind every per-dir artifact. */
+  private def cachedTmpArtifact(cache: java.util.concurrent.ConcurrentHashMap[String, String],
+                                prefix: String, dir: String)(
+      build: String => Unit): String =
+    cache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory(prefix)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         import java.nio.file.{Files, Path}
         import java.util.Comparator
@@ -49,10 +49,19 @@ object ExtensionQueries {
           Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
             .forEach(p => Files.deleteIfExists(p))
       }))
-      DedupIndex.build(docs(s, dir).filter(col("doc_id") < 400), "doc_id", "text",
-        tmp.toString, n = 5, dfCap = 100, numPerm = 64, bands = 32)
+      build(tmp.toString)
       tmp.toString
     })
+
+  /** One persisted dedup index per (JVM, sf dir): built on first use by
+    * q_dedup_incremental_indexed over the historical half of the corpus
+    * (doc_id < 400 — the same split q_dedup_incremental uses live). */
+  private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def incrementalIndex(s: SparkSession, dir: String): String =
+    cachedTmpArtifact(builtIndexes, "graft_dedup_index", dir) { path =>
+      DedupIndex.build(docs(s, dir).filter(col("doc_id") < 400), "doc_id", "text",
+        path, n = 5, dfCap = 100, numPerm = 64, bands = 32)
+    }
 
   /** The APPEND-built twin of [[incrementalIndex]]: the same historical
     * corpus (doc_id < 400) reaches the artifact in two installments —
@@ -61,22 +70,13 @@ object ExtensionQueries {
     * one-shot index: append must be query-identical to rebuild. */
   private val appendedIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def appendedIndex(s: SparkSession, dir: String): String =
-    appendedIndexes.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_index_app")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        if (Files.exists(tmp))
-          Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-      }))
+    cachedTmpArtifact(appendedIndexes, "graft_dedup_index_app", dir) { path =>
       val d = docs(s, dir)
       DedupIndex.build(d.filter(col("doc_id") < 300), "doc_id", "text",
-        tmp.toString, n = 5, dfCap = 100, numPerm = 64, bands = 32)
+        path, n = 5, dfCap = 100, numPerm = 64, bands = 32)
       DedupIndex.append(d.filter(col("doc_id") >= 300 && col("doc_id") < 400),
-        "doc_id", "text", tmp.toString)
-      tmp.toString
-    })
+        "doc_id", "text", path)
+    }
 
   /** Seeded planted-cluster frame (20 clusters x 50 vectors, sigma small
     * vs inter-center distance, seed 11) — deterministic and SF-invariant,
@@ -333,10 +333,11 @@ object ExtensionQueries {
     // grades their removal; only each line's globally-first occurrence
     // survives
     "q_dedup_lines" -> ((s, dir) => {
-      val planted = docs(s, dir).withColumn("text", concat_ws("\n",
-        col("text"),
-        concat(lit("footer "), col("source")),
-        concat(lit("sig "), pmod(col("doc_id"), lit(7)).cast(StringType))))
+      // concat, not concat_ws: NULL text/source must propagate exactly
+      // like the oracle's || operator, not be silently skipped
+      val planted = docs(s, dir).withColumn("text", concat(
+        col("text"), lit("\nfooter "), col("source"),
+        lit("\nsig "), pmod(col("doc_id"), lit(7)).cast(StringType)))
       det(Dedup.removeDuplicatedLines(planted, "doc_id", "text")
         .select(col("doc_id"), col("text")))
     }),
@@ -1047,7 +1048,8 @@ object ExtensionQueries {
          |    array_to_string(list(lp.l ORDER BY lp.pos), chr(10)) AS text
          |  FROM linepos lp LEFT JOIN bad ON bad.doc_id = lp.doc_id AND bad.pos = lp.pos
          |  WHERE bad.pos IS NULL GROUP BY lp.doc_id)
-         |SELECT p.doc_id, coalesce(k.text, '') AS text
+         |SELECT p.doc_id,
+         |  CASE WHEN p.text IS NULL THEN NULL ELSE coalesce(k.text, '') END AS text
          |FROM planted p LEFT JOIN kept k ON k.doc_id = p.doc_id
          |ORDER BY p.doc_id $N1, text $N1""".stripMargin,
     // positional windows (struct unnest keeps 1-based start positions),

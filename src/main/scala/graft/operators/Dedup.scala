@@ -767,25 +767,50 @@ object Dedup {
           col(textCol), window)).as(Seq("__pos", "__g")))
       .filter(col("__g").isNotNull && col("__id").isNotNull)
       .repartition(col("__g"))
+    val covered = nonCanonicalOccurrences(occ)
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(window - 1))).as("__tp"))
+    rebuildWithoutPositions(docs, idCol, textCol, covered, " ")
+  }
+
+  /** The non-canonical occurrences of duplicated keys — the shared
+    * detection core of [[removeDuplicatedWindows]] and
+    * [[removeDuplicatedLines]]: from an (__id, __pos, __g) occurrence
+    * frame (pre-repartitioned on `__g`, so the stats aggregate and the
+    * flag join here consume ONE exchange), the (__id, __pos) rows whose
+    * key occurs at least twice and which are NOT the globally-first
+    * (minimum (__id, __pos)) occurrence. One definition, so the two
+    * removal flavors can never diverge on the survivor rule. */
+  private def nonCanonicalOccurrences(occ: DataFrame): DataFrame = {
     val dups = occ.groupBy(col("__g"))
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col("__id"), col("__pos"))).as("__first"))
       .filter(col("__cnt") >= 2)
       .select(col("__g"), col("__first"))
-    val covered = occ.join(dups, Seq("__g"))
+    occ.join(dups, Seq("__g"))
       .filter(!(col("__id") === col("__first.__id") &&
         col("__pos") === col("__first.__pos")))
-      .select(col("__id"),
-        explode(sequence(col("__pos"), col("__pos") + lit(window - 1))).as("__tp"))
-      .groupBy(col("__id"))
-      .agg(collect_set(col("__tp")).as("__cov"))
+      .select(col("__id"), col("__pos"))
+  }
+
+  /** The shared rebuild tail of the removal flavors: drop the
+    * (`__id`, `__tp`) positions from each doc's `delimiter`-split
+    * pieces and re-join — a bounded per-affected-doc position set, one
+    * id join, row-local reassembly; untouched docs pass through
+    * byte-identical (NULL position set keeps the original text,
+    * including NULL text). */
+  private def rebuildWithoutPositions(docs: DataFrame, idCol: String,
+                                      textCol: String, removedPos: DataFrame,
+                                      delimiter: String): DataFrame = {
+    val removed = removedPos.groupBy(col("__id"))
+      .agg(collect_set(col("__tp")).as("__rm"))
     val rebuilt = array_join(
-      filter(split(col(textCol), " "),
-        (_, i) => !array_contains(col("__cov"), i)), " ")
-    docs.join(covered.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      filter(split(col(textCol), delimiter),
+        (_, i) => !array_contains(col("__rm"), i)), delimiter)
+    docs.join(removed.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .withColumn(textCol,
-        when(col("__cov").isNull, col(textCol)).otherwise(rebuilt))
-      .drop("__cov")
+        when(col("__rm").isNull, col(textCol)).otherwise(rebuilt))
+      .drop("__rm")
   }
 
   /**
@@ -820,23 +845,9 @@ object Dedup {
       .select(col("__id"), col("__pos"), xxhash64(col("__l")).as("__g"))
       .filter(col("__g").isNotNull && col("__id").isNotNull)
       .repartition(col("__g"))
-    val dups = occ.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__cnt"),
-        min(struct(col("__id"), col("__pos"))).as("__first"))
-      .filter(col("__cnt") >= 2)
-      .select(col("__g"), col("__first"))
-    val removed = occ.join(dups, Seq("__g"))
-      .filter(!(col("__id") === col("__first.__id") &&
-        col("__pos") === col("__first.__pos")))
-      .groupBy(col("__id"))
-      .agg(collect_set(col("__pos")).as("__rm"))
-    val rebuilt = array_join(
-      filter(split(col(textCol), "\n"),
-        (_, i) => !array_contains(col("__rm"), i)), "\n")
-    docs.join(removed.withColumnRenamed("__id", idCol), Seq(idCol), "left")
-      .withColumn(textCol,
-        when(col("__rm").isNull, col(textCol)).otherwise(rebuilt))
-      .drop("__rm")
+    val removed = nonCanonicalOccurrences(occ)
+      .select(col("__id"), col("__pos").as("__tp"))
+    rebuildWithoutPositions(docs, idCol, textCol, removed, "\n")
   }
 
   // -------------------------------------------------- incremental (delta)

@@ -152,12 +152,22 @@ object Sampling {
   def tokenBudgetSample(df: DataFrame, stratumCols: Seq[String], keyCol: String,
                         sizeCol: Column, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    budgetWindowFilter(df, stratumCols, keyCol, sizeCol, lit(budget))
+  }
+
+  /** The one cumulative-budget kernel behind [[tokenBudgetSample]] and
+    * [[tokenBudgetSampleBy]] — hash-first stratum window, null sizes
+    * kept at zero cost, the crossing row kept — so the two budget
+    * flavors can never diverge on the quota semantics. Null size (e.g.
+    * null text) counts as 0 — kept for free — rather than the subtle
+    * alternative (NULL survival test) that silently drops exactly the
+    * null-sized rows from the sample. */
+  private def budgetWindowFilter(df: DataFrame, stratumCols: Seq[String],
+                                 keyCol: String, sizeCol: Column,
+                                 budget: Column): DataFrame = {
     val w = Window.partitionBy(stratumCols.map(col): _*)
       .orderBy(hashUniform(col(keyCol)), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    // null size (e.g. null text) counts as 0 — kept for free — rather
-    // than the subtle alternative (NULL survival test) that silently
-    // drops exactly the null-sized rows from the sample
     df.withColumn("__sz", coalesce(sizeCol.cast(LongType), lit(0L)))
       .withColumn("__cum", sum(col("__sz")).over(w))
       .filter(col("__cum") - col("__sz") < budget)
@@ -183,13 +193,7 @@ object Sampling {
     val budget = budgets.foldLeft(lit(default)) { case (acc, (value, b)) =>
       when(col(stratumCol) === lit(value), lit(b)).otherwise(acc)
     }
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(hashUniform(col(keyCol)), col(keyCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn("__sz", coalesce(sizeCol.cast(LongType), lit(0L)))
-      .withColumn("__cum", sum(col("__sz")).over(w))
-      .filter(col("__cum") - col("__sz") < budget)
-      .drop("__sz", "__cum")
+    budgetWindowFilter(df, Seq(stratumCol), keyCol, sizeCol, budget)
   }
 
   /**

@@ -561,7 +561,11 @@ object Similarity extends Logging {
    * closest source/cluster profile, assign a fresh corpus to an
    * existing clustering without re-running [[kmeans]]). Ties break
    * toward the centroid earliest in id order; zero-norm vectors (no
-   * direction) route to NULL.
+   * direction) route to NULL, and zero-norm CENTROIDS — which
+   * [[meanVectors]] legitimately produces when a group's vectors
+   * cancel — are SKIPPED with a WARN (only an all-zero centroid frame
+   * is refused), so the documented meanVectors → nearestCentroid
+   * composition never aborts on one degenerate group.
    *
    * Output: `df`'s rows + (`out` = centroid id, `cos_sim`).
    *
@@ -577,15 +581,26 @@ object Similarity extends Logging {
                       centroids: DataFrame, centroidIdCol: String,
                       centroidVecCol: String, out: String = "nearest",
                       maxCentroids: Int = 4096): DataFrame = {
-    val rows = centroids.select(col(centroidIdCol), col(centroidVecCol))
+    val allRows = centroids.select(col(centroidIdCol), col(centroidVecCol))
       .orderBy(col(centroidIdCol)).collect()
-    require(rows.nonEmpty, "need at least one centroid")
-    require(rows.length <= maxCentroids,
-      s"${rows.length} centroids exceed maxCentroids=$maxCentroids — a " +
+    require(allRows.nonEmpty, "need at least one centroid")
+    require(allRows.length <= maxCentroids,
+      s"${allRows.length} centroids exceed maxCentroids=$maxCentroids — a " +
         "centroid frame is one bounded row per group by contract")
+    // a zero-norm centroid has no direction to route TO — and
+    // meanVectors legitimately produces one when a group's vectors
+    // cancel. Skip it (WARN) rather than abort the whole routing job;
+    // only an all-zero frame is refused.
+    val (rows, zeroRows) = allRows.partition { r =>
+      r.getSeq[Number](1).exists(_.doubleValue() != 0.0)
+    }
+    if (zeroRows.nonEmpty)
+      logWarning(s"nearestCentroid: skipping ${zeroRows.length} zero-norm " +
+        s"centroid(s) (ids ${zeroRows.map(_.get(0)).mkString(", ")}) — no " +
+        "direction to route to")
+    require(rows.nonEmpty, "every centroid is zero-norm — nothing to route to")
     val cents = rows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
     val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    require(norms.forall(_ > 0), "zero-norm centroid has no direction to route to")
     // (cos, -idx) structs: array_sort's max = highest cosine, ties to
     // the LOWEST idx (= earliest centroid id)
     val scored = cents.indices.map { i =>

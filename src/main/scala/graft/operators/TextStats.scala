@@ -362,8 +362,13 @@ object TextStats {
    * consumer reuses (conditional table, left counts, total, scoring;
    * explicit nullness filter keeps the subtrees canonically equal);
    * the scored conditional table keeps only bigrams with count >=
-   * minCount (Zipf-bounded, broadcastable), so the probe never
-   * shuffles on a hot bigram; the total is a 1-row broadcast side.
+   * minCount and the total is a 1-row broadcast side. UNLIKE the
+   * unigram vocabulary, bigram TYPES grow near-linearly with the
+   * corpus (minCount only trims the singleton tail), so the default
+   * broadcast of the conditional table has a real size ceiling —
+   * `broadcastVocab = false` swaps the probe to a shuffle join on the
+   * 8-byte window hash (uniform keys, AQE-splittable), the corpus-
+   * scale path; or raise `minCount`, which bounds the table directly.
    * Bigrams ride the native [[graft.functions.ShingleHashes]]
    * positional kernel — `__h2` = hash of the 2-gram window at i,
    * `__h1` = hash of its first token (one `element_at` into the
@@ -379,7 +384,8 @@ object TextStats {
    * Output: (doc_id, n_bigrams, mean_logprob).
    */
   def bigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
-                         minCount: Long = 2L): DataFrame = {
+                         minCount: Long = 2L,
+                         broadcastVocab: Boolean = true): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     val docBg = docs.select(col(idCol).as("doc_id"),
         graft.functions.ShingleHashes.shingleHashesAll(col(textCol), 1).as("__h1s"),
@@ -401,7 +407,7 @@ object TextStats {
         log10(col("__c2").cast(DoubleType) / col("__c1")).as("__lp"))
     val total = docBg.agg(sum(col("__n")).as("__total"))
     val scored = docBg
-      .join(broadcast(vocab), Seq("__h2"), "left")
+      .join(if (broadcastVocab) broadcast(vocab) else vocab, Seq("__h2"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("__n"),
         coalesce(col("__lp"),

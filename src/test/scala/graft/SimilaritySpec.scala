@@ -528,6 +528,21 @@ class SimilaritySpec extends AnyFunSuite {
     // the corpus never shuffles: plan-literal scoring + one broadcast
     val routed = Similarity.nearestCentroid(vecs, "v", cents, "cid", "cvec")
     assert(PlanWalk.shuffleCount(routed) == 0)
+    // a zero-norm centroid (meanVectors can produce one when a group's
+    // vectors cancel) is SKIPPED, not a job abort — the composition
+    // meanVectors -> nearestCentroid survives a degenerate group
+    val withZero = cents.unionAll(Seq((5L, Seq(0.0, 0.0))).toDF("cid", "cvec"))
+    val skipped = Similarity.nearestCentroid(vecs, "v", withZero, "cid", "cvec")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("nearest"))) -1L
+         else r.getLong(r.fieldIndex("nearest")))).toMap
+    assert(skipped == out, "routing unchanged with the zero centroid skipped")
+    // ...but an ALL-zero frame is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearestCentroid(vecs, "v",
+        Seq((5L, Seq(0.0, 0.0))).toDF("cid", "cvec"), "cid", "cvec")
+    }
+    assert(e.getMessage.contains("zero-norm"))
   }
 
   test("clusterBalancedSample takes a deterministic quota from every cluster") {
