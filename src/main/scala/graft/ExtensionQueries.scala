@@ -608,6 +608,20 @@ object ExtensionQueries {
       det(graft.operators.TextStats.tfidfKeywords(docs(s, dir),
         "doc_id", "text", k = 5, minDf = 2L))),
 
+    // dataset-card phrase table: top-5 word bigrams per language
+    "q_text_top_ngrams" -> ((s, dir) =>
+      det(graft.operators.TextStats.topNgrams(docs(s, dir), "text",
+        n = 2, k = 5, strataCols = Seq("lang")))),
+
+    // BM25 retrieval: the first 3 documents as their own queries
+    "q_text_bm25" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qs = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+      det(graft.operators.TextStats.bm25TopK(d, "doc_id", "text",
+        qs, "query_id", "query_text", k = 10))
+    }),
+
     "q_corpus_lengths" -> ((s, dir) =>
       det(graft.operators.TextStats.lengthPercentiles(docs(s, dir), "text",
         Seq("lang"), Seq(0.5, 0.9)))),
@@ -1255,6 +1269,57 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT doc_id, token, tf, score, rank FROM r WHERE rank <= 5
          |ORDER BY doc_id $N1, token $N1, tf $N1, score $N1, rank $N1""".stripMargin,
+    // word-bigram occurrences (every position, not per-doc distinct),
+    // rank per language by (count desc, gram asc)
+    "q_text_top_ngrams" ->
+      s"""WITH toks AS (SELECT lang, regexp_extract_all(text, '\\S+') AS t
+         |  FROM documents),
+         |g AS (SELECT lang, unnest([array_to_string(t[i:i+1], ' ')
+         |  for i in generate_series(1, len(t)-1)]) AS ngram FROM toks),
+         |c AS (SELECT lang, ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+         |  FROM g GROUP BY lang, ngram),
+         |r AS (SELECT lang, ngram, n_occurrences,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY n_occurrences DESC, ngram) AS BIGINT) AS rank
+         |  FROM c)
+         |SELECT lang, ngram, n_occurrences, rank FROM r WHERE rank <= 5
+         |ORDER BY lang $N1, ngram $N1, n_occurrences $N1, rank $N1""".stripMargin,
+    // same BM25 arithmetic SHAPE as the Spark side (left-assoc, same
+    // double casts); round(score, 6) before ranking is the cross-engine
+    // equalizer for the per-term double sums. Lens excludes token-less
+    // docs exactly like the Spark side's (doc,token)-aggregate-derived
+    // lengths; k1=1.2, b=0.75 -> the folded constants 2.2 / 0.25 / 0.75
+    "q_text_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+         |  GROUP BY doc_id, token),
+         |lens AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+         |st AS (SELECT CAST(sum(dl) AS DOUBLE) AS tot,
+         |  CAST(count(*) AS DOUBLE) AS nd FROM lens),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |q AS (SELECT doc_id AS query_id,
+         |    unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS token
+         |  FROM documents WHERE doc_id < 3),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY token),
+         |m AS (SELECT q.query_id, tf.doc_id,
+         |    ln(((SELECT n FROM n) - dfq.df + CAST(0.5 AS DOUBLE))
+         |        / (dfq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+         |      (tf.tf * CAST(2.2 AS DOUBLE)) /
+         |      (tf.tf + CAST(1.2 AS DOUBLE) *
+         |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * lens.dl
+         |          / ((SELECT tot FROM st) / (SELECT nd FROM st)))) AS ts
+         |  FROM tf JOIN q USING (token) JOIN dfq ON tf.token = dfq.token
+         |  JOIN lens ON lens.doc_id = tf.doc_id),
+         |sc AS (SELECT query_id, doc_id, round(sum(ts), 6) AS score
+         |  FROM m GROUP BY query_id, doc_id),
+         |r AS (SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc)
+         |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id $N1, doc_id $N1, score $N1, rank $N1""".stripMargin,
     "q_sample_weighted" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -506,6 +506,136 @@ object TextStats {
         }: _*)
   }
 
+  /**
+   * Per-stratum top-k most frequent word n-grams — the dataset-card
+   * table ("most common phrases per language") and the raw material for
+   * boilerplate mining: an n-gram that tops this list across many
+   * sources is navigation chrome, not content. Tokens are whitespace
+   * (`\S+`) words; every position contributes (occurrences, not
+   * per-doc distinct), so the counts are corpus frequencies.
+   *
+   * 100 TB design: explode + ONE partially-aggregated groupBy on
+   * (strata, gram) — per-task streams collapse to their local distinct
+   * grams before the exchange (Zipf-bounded for small n; for n >= 2
+   * types grow near-linearly, the [[bigramLogProbScore]] caveat — the
+   * output cap is `k` either way). The per-stratum rank filter sits
+   * directly on its window so WindowGroupLimit pre-trims each map task
+   * to k rows per stratum before the final exchange (the
+   * [[Sampling.stratifiedTopK]] pushdown). With NO strata a window
+   * would serialize the corpus vocabulary through one partition —
+   * that path instead runs `orderBy(...).limit(k)`
+   * (TakeOrderedAndProject: per-partition partial top-k, no full sort)
+   * and ranks the surviving <= k rows.
+   *
+   * Output: (strataCols..., ngram, n_occurrences, rank), rank 1..k per
+   * stratum by (count desc, ngram asc).
+   */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int,
+                strataCols: Seq[String] = Nil): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val toks = graft.functions.TextFunctions.whitespaceTokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val counted = docs
+      .select(strataCols.map(col) :+ explode(grams).as("ngram"): _*)
+      .groupBy((strataCols :+ "ngram").map(col): _*)
+      .agg(count(lit(1)).as("n_occurrences"))
+    if (strataCols.nonEmpty) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(strataCols.map(col): _*)
+        .orderBy(col("n_occurrences").desc, col("ngram"))
+      counted
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= k)
+    } else {
+      // TakeOrderedAndProject bounds the sort; the window then ranks
+      // only the k survivors (single tiny partition, not the vocabulary)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occurrences").desc, col("ngram"))
+      counted.orderBy(col("n_occurrences").desc, col("ngram")).limit(k)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+    }
+  }
+
+  /**
+   * BM25 top-k document search (Robertson/Spärck Jones; the Lucene
+   * `k1`/`b` parametrization with the +1-smoothed IDF, so scores are
+   * always positive): for each query, the `k` highest-scoring documents
+   * under score(d,q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+   * over the query's DISTINCT whitespace tokens t. The retrieval
+   * operator the TF-IDF keyword table ([[tfidfKeywords]]) is the
+   * per-document half of — this one answers "which documents match this
+   * query", the e-discovery / eval-set-mining primitive.
+   *
+   * 100 TB design: the corpus is tokenized ONCE — the (doc, token)
+   * count aggregate is the shared subtree (the [[unigramLogProbScore]]
+   * ReuseExchange discipline, explicit nullness filter included) that
+   * feeds document lengths, document frequencies, and the match stream.
+   * Everything query-sided is BROADCAST by construction: the distinct
+   * query-term table, the df table (computed ONLY for query terms — a
+   * semi-join bounds it by the query vocabulary, never the corpus
+   * vocabulary), and the 1-row (N, avgdl) stats frame. The only
+   * corpus-scale shuffles are the (doc, token) aggregate itself and the
+   * per-doc length reaggregation of it; the match stream after the
+   * query-term join is bounded by the query terms' postings. The
+   * per-query rank filter sits on its window for the WindowGroupLimit
+   * map-side trim. Scores are rounded to 6 decimals BEFORE ranking so
+   * rank is reproducible across engines (double-sum order).
+   *
+   * Output: (queryIdCol, doc_id, score, rank), rank 1..k per query by
+   * (score desc, doc_id asc); only documents sharing at least one term
+   * with the query appear.
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(k1 >= 0, "k1 must be >= 0")
+    require(b >= 0 && b <= 1, "b must be in [0,1]")
+    val nDocs = docs.count()
+    val docTok = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.whitespaceTokens(col(textCol)))
+          .as("token"))
+      .filter(col("doc_id").isNotNull && col("token").isNotNull)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // per-doc lengths re-aggregate the SAME subtree (sum tf == |d| by
+    // construction: one tokenization per plan)
+    val lens = docTok.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = lens.agg(sum(col("dl")).cast(DoubleType).as("__tot"),
+      count(lit(1)).cast(DoubleType).as("__nd"))
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.whitespaceTokens(col(queryTextCol))))
+        .as("token"))
+    // df ONLY for query terms: semi-join keeps the table query-bounded
+    val dfTab = docTok
+      .join(broadcast(qTerms.select(col("token")).distinct()), Seq("token"),
+        "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val matched = docTok
+      .join(broadcast(qTerms.join(dfTab, Seq("token"))), Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats)) // one row: corpus token total + size
+      .select(col("query_id"), col("doc_id"),
+        (log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / (col("__tot") / col("__nd")))))
+          .as("__term_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    matched
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("__term_score")), 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
   /** Corpus composition report — the "dataset card" aggregate a
     * training-data pipeline publishes per stratum: document and
     * distinct-text counts (the gap = exact-dup volume), total

@@ -418,4 +418,55 @@ class TextStatsSpec extends AnyFunSuite {
     assert(generators == 1,
       s"expected one tokenization in the executed plan, found $generators")
   }
+
+  test("topNgrams counts positional occurrences, ranks per stratum and globally") {
+    val docs = Seq(
+      ("en", "a b a b a"), // bigrams: "a b" x2, "b a" x2
+      ("en", "a b"),       // "a b" x1 -> en: "a b" 3, "b a" 2
+      ("de", "x y"),       // de: "x y" 1
+      ("de", "z")          // too short: no bigrams
+    ).toDF("lang", "text")
+    val strat = TextStats.topNgrams(docs, "text", n = 2, k = 1,
+        strataCols = Seq("lang"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(strat("en") == ("a b", 3L))
+    assert(strat("de") == ("x y", 1L))
+    // global path (no strata): TakeOrdered bounds the sort, ranks survive
+    val global = TextStats.topNgrams(docs, "text", n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(global.toSeq == Seq(("a b", 3L, 1L), ("b a", 2L, 2L)))
+    // the stratified rank must engage the WindowGroupLimit map-side trim
+    val limits = PlanWalk.executedNodes(
+        TextStats.topNgrams(docs, "text", n = 2, k = 1, strataCols = Seq("lang")))
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec])
+    assert(limits >= 1, "expected WindowGroupLimitExec in the stratified plan")
+  }
+
+  test("bm25TopK ranks term-matched docs with hand-checked scores") {
+    // corpus: d1 has both query terms, d2 one, d3 none (never output)
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple date elder fig"),
+      (3L, "grape kiwi")).toDF("doc_id", "text")
+    val qs = Seq((10L, "apple banana")).toDF("qid", "qtext")
+    val out = TextStats.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext",
+      k = 10).collect().map(r => r.getLong(1) -> r).toMap
+    assert(!out.contains(3L), "doc sharing no term must be absent")
+    assert(out(1L).getAs[Long]("rank") == 1L && out(2L).getAs[Long]("rank") == 2L)
+    // hand-check: N=3, avgdl=3, dl1=3 -> tf term = 2.2/(1+1.2*(0.25+0.75*1))
+    val idf1 = math.log((3.0 - 1 + 0.5) / (1 + 0.5) + 1.0) // df=1 (banana)
+    val idf2 = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1.0) // df=2 (apple)
+    val t1 = 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getAs[Double]("score") == r6(idf1 * t1 + idf2 * t1))
+    // scale shape: query-side joins broadcast; rank trims map-side
+    val nodes = PlanWalk.executedNodes(
+      TextStats.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 2))
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 2,
+      "expected broadcast query-term and stats joins")
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]) >= 1,
+      "expected WindowGroupLimitExec for the per-query rank")
+  }
 }
