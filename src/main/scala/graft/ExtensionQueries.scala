@@ -517,6 +517,28 @@ object ExtensionQueries {
       det(nRow.crossJoin(purityRow))
     }),
 
+    // Seeded separable two-blob frame (SF-invariant, the kmeans-gate
+    // construction): deterministic full-batch logistic GD must recover
+    // the planted concept EXACTLY — the margin is comfortable, so
+    // double-sum order cannot flip a decision. Accuracy pinned at 1.0.
+    "q_gate_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val rnd = new scala.util.Random(7)
+      val dim = 64
+      val mu = Array.fill(dim)(rnd.nextGaussian())
+      val data = (0 until 600).map { i =>
+        val y = i % 2
+        val x = Array.tabulate(dim)(d =>
+          ((if (y == 1) mu(d) else -mu(d)) * 0.5 + 0.25 * rnd.nextGaussian()).toFloat)
+        (i.toLong, x, y)
+      }.toDF("id", "vec", "label")
+      val m = graft.operators.Classifier.trainLogReg(data, "vec", "label",
+        iters = 10, lr = 4.0)
+      det(graft.operators.Classifier.withScore(data, "vec", m)
+        .agg(round(avg((col("pred") === col("label")).cast(DoubleType)), 6)
+          .as("accuracy")))
+    }),
+
     "q_gate_simhash" -> ((s, dir) => {
       val d = docs(s, dir)
       val strong = Dedup.ngramJaccardPairs(d, "doc_id", "text",
@@ -607,6 +629,21 @@ object ExtensionQueries {
     "q_text_tfidf" -> ((s, dir) =>
       det(graft.operators.TextStats.tfidfKeywords(docs(s, dir),
         "doc_id", "text", k = 5, minDf = 2L))),
+
+    // planted markup wraps the real text; the oracle plants the SAME
+    // string and strips with a regexp_replace chain GENERATED from
+    // TextFunctions.MarkupPatterns (the q_redact_pii no-drift trick)
+    "q_text_strip_markup" -> ((s, dir) => {
+      val planted = concat(lit("<div class=\"x\"> <!-- c --> "), col("text"),
+        lit(" </div><br/>a &amp; b &lt;t&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"))
+      det(docs(s, dir).select(col("doc_id"),
+        TextFunctions.stripMarkup(planted).as("clean")))
+    }),
+
+    // C4-style banned-phrase filtering (case-insensitive substring)
+    "q_filter_blocklist" -> ((s, dir) =>
+      det(graft.operators.CorpusClean.blocklistFilter(docs(s, dir), "text",
+        Seq("spark window", "slow merge")))),
 
     // dataset-card phrase table: top-5 word bigrams per language
     "q_text_top_ngrams" -> ((s, dir) =>
@@ -1148,6 +1185,9 @@ object ExtensionQueries {
     // 20-cluster partition exactly (measured stable across runs)
     "q_gate_kmeans" ->
       s"""SELECT CAST(20 AS BIGINT) AS n_clusters, CAST(1.0 AS DOUBLE) AS purity""",
+    // logistic GD recovers the planted separable concept exactly
+    "q_gate_classifier" ->
+      s"""SELECT CAST(1.0 AS DOUBLE) AS accuracy""",
     "q_gate_ivf_clustered" ->
       s"""SELECT CAST(83550 AS BIGINT) AS candidates, CAST(499500 AS BIGINT) AS all_pairs,
          |CAST(5.98 AS DOUBLE) AS pruning_factor, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
@@ -1269,6 +1309,24 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT doc_id, token, tf, score, rank FROM r WHERE rank <= 5
          |ORDER BY doc_id $N1, token $N1, tf $N1, score $N1, rank $N1""".stripMargin,
+    // the strip chain is GENERATED from MarkupPatterns — same patterns,
+    // same order, 'g' = Spark's replace-all
+    "q_text_strip_markup" -> {
+      val planted = """'<div class="x"> <!-- c --> ' || text || """ +
+        """' </div><br/>a &amp; b &lt;t&gt; &quot;q&quot; &#39;s&#39;&nbsp;end'"""
+      val stripped = TextFunctions.MarkupPatterns.foldLeft(planted) {
+        case (e, (pat, repl)) =>
+          s"regexp_replace($e, '${pat.replace("'", "''")}', " +
+            s"'${repl.replace("'", "''")}', 'g')"
+      }
+      s"""SELECT doc_id, trim($stripped) AS clean FROM documents
+         |ORDER BY doc_id $N1, clean $N1""".stripMargin
+    },
+    "q_filter_blocklist" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE NOT (contains(lower(text), 'spark window')
+         |        OR contains(lower(text), 'slow merge'))
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     // word-bigram occurrences (every position, not per-doc distinct),
     // rank per language by (count desc, gram asc)
     "q_text_top_ngrams" ->

@@ -265,6 +265,38 @@ object TextFunctions {
       regexp_replace(c, pat, repl)
     }
 
+  /** The (pattern, replacement) chain behind [[stripMarkup]], in
+    * application order: tags/comment delimiters become spaces, then the
+    * five entities HTML-escapes most (`&amp;` LAST, so `&amp;lt;`
+    * correctly decodes to the literal text "&lt;", not "<" — the
+    * standard single-pass decode order), then whitespace runs collapse.
+    * Public so the `q_text_strip_markup` oracle GENERATES its
+    * `regexp_replace` chain from this same list — the two sides cannot
+    * drift. */
+  val MarkupPatterns: Seq[(String, String)] = Seq(
+    ("<[^>]*>", " "),
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+    ("\\s+", " "))
+
+  /** Strip HTML/XML markup from crawled text: drop tags, decode the
+    * common entities, collapse the whitespace the removed tags leave
+    * behind — the boilerplate-stripping floor every web-corpus pipeline
+    * runs before quality scoring (a trafilatura-class extractor is
+    * content ANALYSIS; this is the engine-side canonical cleanup). A
+    * chain of codegen'd `regexp_replace`es: per-row, zero shuffle,
+    * whole-stage codegen — the [[redactPii]] execution shape. NOT an
+    * HTML parser: script/style BODIES survive (only their tags go),
+    * malformed `<` without `>` passes through — documented floor. */
+  def stripMarkup(text: Column): Column =
+    trim(MarkupPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    })
+
   /** Canonical form for normalization-INVARIANT dedup: Unicode NFC
     * (composed accents — see [[NfcNormalize]]), casefold via `lower`,
     * every whitespace run collapsed to one space, ends trimmed. Two

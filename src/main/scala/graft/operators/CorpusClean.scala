@@ -35,6 +35,31 @@ object CorpusClean {
       idCol, textCol, langs, minQuality, maxTopBigramRatio)
 
   /**
+   * Blocklist (banned-phrase) filtering — the C4-style wordlist pass:
+   * drop documents whose text contains ANY of `phrases` as a
+   * case-insensitive substring. `keepMatches = true` inverts the filter
+   * (returns the dropped set — the audit view a curation run reviews
+   * before committing to a list).
+   *
+   * 100 TB design: the list compiles to ONE codegen'd boolean chain of
+   * `contains` over the lowercased text (subexpression elimination
+   * computes `lower(text)` once) — per-row, zero shuffle, no join, and
+   * short-circuiting on the first hit. This shape is right for the
+   * typical curated list (10²–10³ phrases); a 10⁵-phrase list wants a
+   * token-level broadcast semi-join or an Aho-Corasick UDF instead —
+   * at that size prefer exploding tokens against a broadcast term set
+   * ([[Dedup.decontaminate]]'s shape with n = 1).
+   */
+  def blocklistFilter(docs: DataFrame, textCol: String, phrases: Seq[String],
+                      keepMatches: Boolean = false): DataFrame = {
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    val lowered = lower(col(textCol))
+    val hit = phrases.map(p => lowered.contains(p.toLowerCase))
+      .reduce(_ || _)
+    docs.filter(if (keepMatches) hit else !hit)
+  }
+
+  /**
    * The STATELESS post-dedup stage — langid + quality + repetition
    * signals and the keep filter — shared verbatim by the batch pipeline
    * above and its streaming twin

@@ -234,4 +234,41 @@ class TextFunctionsSpec extends AnyFunSuite {
       .count().collect().map(_.getLong(1)).sorted
     assert(groups.toSeq == Seq(1L, 2L))
   }
+
+  test("stripMarkup drops tags, decodes entities once, collapses whitespace") {
+    assert(one[String](stripMarkup(col("t")),
+      "<div class=\"x\"><p>Hello <b>world</b></p></div>") == "Hello world")
+    // single-pass decode: &amp;lt; is the literal TEXT "&lt;", not "<"
+    assert(one[String](stripMarkup(col("t")), "a &amp;lt; b") == "a &lt; b")
+    assert(one[String](stripMarkup(col("t")),
+      "x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; y") ==
+      "x <tag> \"q\" 's' & y")
+    // comments go with the tag pattern; nbsp becomes plain space
+    assert(one[String](stripMarkup(col("t")),
+      "a <!-- hidden --> b&nbsp;c") == "a b c")
+    // documented floor: script BODIES survive, only their tags go
+    assert(one[String](stripMarkup(col("t")),
+      "<script>var x=1;</script> text") == "var x=1; text")
+    // markup-free text passes through (modulo whitespace collapse)
+    assert(one[String](stripMarkup(col("t")), "plain  text") == "plain text")
+  }
+
+  test("blocklistFilter drops any-phrase matches case-insensitively; audit inverts") {
+    val docs = Seq(
+      (1L, "totally fine text"),
+      (2L, "contains a Banned Phrase here"),
+      (3L, "BANNED PHRASE at the start"),
+      (4L, "another bad thing entirely")).toDF("doc_id", "text")
+    val kept = graft.operators.CorpusClean.blocklistFilter(docs, "text",
+      Seq("banned phrase", "bad thing")).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L))
+    val dropped = graft.operators.CorpusClean.blocklistFilter(docs, "text",
+      Seq("banned phrase", "bad thing"), keepMatches = true).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(dropped.toSeq == Seq(2L, 3L, 4L))
+    // zero-shuffle: the list compiles to a codegen'd filter
+    assert(PlanWalk.shuffleCount(graft.operators.CorpusClean.blocklistFilter(
+      docs, "text", Seq("banned phrase"))) == 0)
+  }
 }
