@@ -424,6 +424,19 @@ object ExtensionQueries {
       det(Similarity.ivfTopK(plantedClusters(s), "vec_id", "embedding", k = 5)
         .drop("cos_sim"))),
 
+    // product-quantization search: the corpus compressed to m=8 codebook
+    // codes (8 bytes/vector vs 256 for the raw floats), queries scored
+    // asymmetrically against the reconstruction. Rows-only (the codebook
+    // comes from the Spark-side hash-ordered draw DuckDB cannot
+    // replicate); quality pinned by q_gate_pq and the SimilaritySpec
+    // exact-recovery test (PQ == brute force when the codebook is exact).
+    "q_sim_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = Similarity.trainPq(e, "vec_id", "embedding", m = 8, numCodes = 16)
+      det(Similarity.pqTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", model, k = 5).drop("pq_score"))
+    }),
+
     // --- quantitative gates for the no-oracle queries ---------------------
     // q_dedup_simhash / q_sim_ann_lsh / q_sim_ann_ivf use Spark-side
     // hashing DuckDB cannot replicate, so their row outputs carry no
@@ -501,6 +514,23 @@ object ExtensionQueries {
           round(lit(allPairs).cast(DoubleType) / col("candidates"), 2)
             .as("pruning_factor"))
       det(candRow.crossJoin(recallRow))
+    }),
+
+    // PQ compression quality as a GRADED number (SF-invariant planted
+    // frame): every top-5 neighbor returned from the 32x compressed
+    // representation must sit in the query's planted cluster — the
+    // coarse-structure claim ADC scoring makes (within-cluster fine
+    // ordering is quantized away by design; the exact-recovery spec in
+    // SimilaritySpec covers the fine-grained contract).
+    "q_gate_pq" -> ((s, dir) => {
+      val df = plantedClusters(s)
+      val model = Similarity.trainPq(df, "vec_id", "embedding",
+        m = 8, numCodes = 16)
+      val pq = Similarity.pqTopK(df.filter(col("vec_id") < 200), df,
+        "vec_id", "embedding", model, k = 5)
+      det(pq.agg(count(lit(1)).cast(LongType).as("pairs"),
+        round(avg(when(col("neighbor_id") % 20 === col("vec_id") % 20, 1.0)
+          .otherwise(0.0)), 4).as("cluster_purity")))
     }),
 
     // Seeded planted-cluster frame (SF-invariant, same construction as
@@ -1185,6 +1215,10 @@ object ExtensionQueries {
     // 20-cluster partition exactly (measured stable across runs)
     "q_gate_kmeans" ->
       s"""SELECT CAST(20 AS BIGINT) AS n_clusters, CAST(1.0 AS DOUBLE) AS purity""",
+    // PQ (m=8, 16 codes) on the planted frame: all 200x5 compressed
+    // neighbors in the correct cluster (measured; SF-invariant frame)
+    "q_gate_pq" ->
+      s"""SELECT CAST(1000 AS BIGINT) AS pairs, CAST(1.0 AS DOUBLE) AS cluster_purity""",
     // logistic GD recovers the planted separable concept exactly
     "q_gate_classifier" ->
       s"""SELECT CAST(1.0 AS DOUBLE) AS accuracy""",

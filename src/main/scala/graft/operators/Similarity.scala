@@ -1154,4 +1154,186 @@ object Similarity extends Logging {
   private def autoProbes(k0: Int, tightness: Double): Int =
     if (tightness >= ClusteredTightness) math.min(8, autoProbes(k0))
     else autoProbes(k0)
+
+  // ------------------------------------------------------------ product
+  // quantization (Jégou et al. 2011, "Product Quantization for Nearest
+  // Neighbor Search"): the vector-COMPRESSION half of ANN. IVF/SRP prune
+  // CANDIDATES; PQ shrinks what each candidate costs — dim doubles
+  // become m small codes (m bytes at k <= 256), a 32-64x memory cut that
+  // decides whether a 100 TB embedding corpus's scoring set fits
+  // executor memory at all. Scoring is asymmetric (ADC): the query stays
+  // exact, the corpus side is reconstructed subspace-by-subspace from
+  // the codebook, so the approximation error enters once, not twice.
+
+  /** PQ codebook: `centroids(s)(c)` is sub-centroid `c` of subspace `s`
+    * (each of length `subdim`); trained on NORMALIZED vectors, so codes
+    * approximate direction (cosine), not raw magnitude. */
+  final case class PqModel(subdim: Int, centroids: Array[Array[Array[Double]]]) {
+    require(centroids.nonEmpty && centroids.forall(_.nonEmpty), "empty codebook")
+    def m: Int = centroids.length
+    def numCodes: Int = centroids(0).length
+    def dim: Int = m * subdim
+  }
+
+  /**
+   * Train a PQ codebook: split the (normalized) vector into `m`
+   * subspaces of `dim/m` components, run deterministic Euclidean Lloyd
+   * (farthest-first init, fixed `iters`) per subspace over a
+   * hash-drawn corpus sample. Sample-based training is the standard
+   * practice (FAISS trains on ~10⁵-10⁶ of the corpus): the codebook is
+   * a quantization grid, not a model that needs every row. Driver cost
+   * is `sampleSize · dim` doubles (2048 × 64 = 1 MB) and the Lloyd
+   * loops run on that local sample — the [[drawNormalized]]
+   * bounded-collect contract, no corpus-scale driver work.
+   */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, numCodes: Int = 16, sampleSize: Int = 2048,
+              iters: Int = 10): PqModel = {
+    require(m >= 1, "m must be >= 1")
+    require(numCodes >= 2, "numCodes must be >= 2")
+    require(iters >= 1, "iters must be >= 1")
+    val draw = drawNormalized(corpus, idCol, vecCol, sampleSize)
+    require(draw.nonEmpty, "corpus is empty")
+    val dim = draw.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val subdim = dim / m
+    val centroids = Array.tabulate(m) { s =>
+      val subs = draw.map(_.slice(s * subdim, (s + 1) * subdim))
+      lloydLocal(subs, numCodes, iters)
+    }
+    PqModel(subdim, centroids)
+  }
+
+  /** Deterministic local Lloyd on an in-memory sample: farthest-first
+    * init by Euclidean distance, `iters` assign/update rounds, empty
+    * cells keep their centroid. Plain Scala on the driver's bounded
+    * sample — not a distributed path. */
+  private def lloydLocal(points: Array[Array[Double]], k: Int,
+                         iters: Int): Array[Array[Double]] = {
+    val dim = points.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // farthest-first: start at point 0, repeatedly add the point whose
+    // min distance to chosen centers is largest (deterministic; stops
+    // early when only zero-distance duplicates remain)
+    val chosen = scala.collection.mutable.ArrayBuffer(points(0))
+    while (chosen.length < math.min(k, points.length)) {
+      var best = -1; var bestD = 0.0
+      var i = 0
+      while (i < points.length) {
+        val dMin = chosen.iterator.map(c => d2(points(i), c)).min
+        if (dMin > bestD) { bestD = dMin; best = i }
+        i += 1
+      }
+      if (best < 0) return chosen.toArray // only duplicates left
+      chosen += points(best)
+    }
+    var cents = chosen.toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(Array.fill(dim)(0.0))
+      val counts = Array.fill(cents.length)(0L)
+      points.foreach { p =>
+        var best = 0; var bestD = d2(p, cents(0)); var c = 1
+        while (c < cents.length) {
+          val dd = d2(p, cents(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /**
+   * Encode a vector column to its PQ codes (`array<int>`, length `m`):
+   * per subspace, the index of the nearest sub-centroid by Euclidean
+   * distance on the NORMALIZED vector (argmax of 2·x·c − ‖c‖², the
+   * expanded form — ‖x‖² is constant per subspace and cancels). One
+   * codegen'd projection against codebook plan-literals — the
+   * [[kmeans]] assignment shape, zero shuffle, rides the scan. The
+   * codes column IS the compressed corpus representation: persist it
+   * (m bytes/vector at numCodes <= 256) instead of the raw floats.
+   * Zero vectors (no direction) encode arbitrarily but consistently;
+   * exclude them upstream as the cosine ops do.
+   */
+  def pqEncodeColumn(vec: Column, model: PqModel): Column = {
+    val vd = transform(vec, x => x.cast(DoubleType))
+    val n = norm(vec)
+    val vnorm = transform(vd, x => when(n > 0, x / n).otherwise(lit(0.0)))
+    val codes = (0 until model.m).map { s =>
+      val sub = slice(vnorm, s * model.subdim + 1, model.subdim)
+      val scored = array(model.centroids(s).indices.map { c =>
+        val cent = model.centroids(s)(c)
+        val c2 = cent.map(x => x * x).sum
+        struct(
+          (graft.functions.VectorExpressions.dotProduct(sub, typedlit(cent.toSeq))
+            * 2.0 - lit(c2)).as("s"),
+          lit(c).as("c"))
+      }: _*)
+      // max (score, code) struct = last after ascending sort; per-subspace
+      // length (farthest-first may stop short of numCodes on a dup-heavy
+      // subspace sample, and subspaces can differ)
+      element_at(array_sort(scored), model.centroids(s).length).getField("c")
+    }
+    array(codes: _*)
+  }
+
+  /**
+   * Approximate top-k cosine search over the PQ-compressed corpus
+   * (asymmetric distance): score(q, d) = q̂ · reconstruction(codes(d))
+   * — the query exact, the corpus reconstructed per subspace via
+   * codebook plan-literals. Output: (idCol of queries, neighbor_id,
+   * rank, pq_score), rank by (score desc, neighbor asc), score rounded
+   * to 6 decimals before ranking (cross-engine rank stability).
+   *
+   * 100 TB design: the corpus side touches ONLY the codes column
+   * (encode once with [[pqEncodeColumn]], persist, never re-read the
+   * floats); queries broadcast like [[bruteForceTopK]]; scoring is m
+   * element_at lookups + m subdim-length dots per pair, all codegen'd;
+   * the per-query rank trims map-side (WindowGroupLimit). This is
+   * compression, not candidate pruning — compose with IVF/SRP blocking
+   * for the full IVF-PQ shape when the corpus also needs pruning.
+   */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, model: PqModel, k: Int,
+             codesCol: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = broadcast(queries.select(col(idCol).as("__qid"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("__qv0"),
+        norm(col(vecCol)).as("__qn"))
+      .select(col("__qid"),
+        transform(col("__qv0"),
+          x => when(col("__qn") > 0, x / col("__qn")).otherwise(lit(0.0)))
+          .as("__qv")))
+    val c = codesCol match {
+      case Some(cc) => corpus.select(col(idCol).as("neighbor_id"),
+        col(cc).as("__codes"))
+      case None => corpus.select(col(idCol).as("neighbor_id"),
+        pqEncodeColumn(col(vecCol), model).as("__codes"))
+    }
+    val score = (0 until model.m).map { s =>
+      val table = typedlit(model.centroids(s).map(_.toSeq).toSeq)
+      graft.functions.VectorExpressions.dotProduct(
+        slice(col("__qv"), s * model.subdim + 1, model.subdim),
+        element_at(table, element_at(col("__codes"), s + 1) + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("pq_score").desc, col("neighbor_id"))
+    q.join(c, col("__qid") =!= col("neighbor_id"))
+      .withColumn("pq_score", round(score, 6))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"),
+        col("pq_score"))
+  }
 }

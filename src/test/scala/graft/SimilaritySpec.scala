@@ -586,4 +586,68 @@ class SimilaritySpec extends AnyFunSuite {
     val n = sfEmb.count()
     assert(got.size < n, "sf0.01 embeddings contain planted near-dups")
   }
+
+  test("PQ: exact codebook recovery makes pqTopK row-identical to brute force") {
+    // 16-dim vectors assembled from 8 distinct UNIT 4-dim sub-vectors per
+    // subspace: the full norm is constant (sqrt(4)), so global
+    // normalization preserves the 8-distinct-values structure per
+    // subspace; farthest-first picks all 8 (duplicates are distance 0)
+    // and Lloyd's update maps each cell back onto its exact value —
+    // reconstruction is EXACT, so the asymmetric PQ score equals the
+    // exact cosine and the top-k (ranks, ties, scores) must match brute
+    // force bit-for-bit after the shared 6-decimal rounding.
+    val rnd = new scala.util.Random(7)
+    val units = Array.fill(4, 8) {
+      val v = Array.fill(4)(rnd.nextGaussian())
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nn).toFloat)
+    }
+    val df = (0 until 400).map { i =>
+      (i.toLong, (0 until 4).flatMap(s => units(s)((i * 31 + s * 7) % 8)).toArray)
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.trainPq(df, "vec_id", "embedding",
+      m = 4, numCodes = 8, sampleSize = 512, iters = 3)
+    assert(model.m == 4 && model.subdim == 4)
+    val q = df.filter(col("vec_id") < 50)
+    val pq = Similarity.pqTopK(q, df, "vec_id", "embedding", model, k = 3)
+    val bf = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", k = 3)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+    assert(pq.count() == 150)
+    assert(pq.select(col("vec_id"), col("neighbor_id"), col("rank"), col("pq_score"))
+      .exceptAll(bf).isEmpty &&
+      bf.exceptAll(pq.select(col("vec_id"), col("neighbor_id"), col("rank"),
+        col("pq_score"))).isEmpty,
+      "exact-codebook PQ must reproduce brute-force top-k exactly")
+  }
+
+  test("PQ: pre-encoded codes column is row-identical to inline encoding; training deterministic") {
+    val df = clusteredFrame
+    val m1 = Similarity.trainPq(df, "vec_id", "embedding", m = 8, numCodes = 16)
+    val m2 = Similarity.trainPq(df, "vec_id", "embedding", m = 8, numCodes = 16)
+    assert(m1.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      m2.centroids.map(_.map(_.toSeq).toSeq).toSeq,
+      "PQ training must be deterministic (hash-ordered draw, seedless Lloyd)")
+    val coded = df.withColumn("__pq", Similarity.pqEncodeColumn(col("embedding"), m1))
+    val q = df.filter(col("vec_id") < 100)
+    val inline = Similarity.pqTopK(q, df, "vec_id", "embedding", m1, k = 5)
+    val pre = Similarity.pqTopK(q, coded, "vec_id", "embedding", m1, k = 5,
+      codesCol = Some("__pq"))
+    assert(inline.exceptAll(pre).isEmpty && pre.exceptAll(inline).isEmpty,
+      "persisted-codes path must be row-identical to inline encoding")
+  }
+
+  test("PQ: on the planted clustered corpus, compressed top-5 stays inside the true cluster") {
+    // the compression claim: ADC scoring preserves COARSE structure.
+    // Within-cluster fine ordering is quantized away by design (cluster
+    // members share codes), so the gate is cluster membership of the
+    // returned neighbors, not exact-rank recall.
+    val df = clusteredFrame
+    val model = Similarity.trainPq(df, "vec_id", "embedding", m = 8, numCodes = 16)
+    val pq = Similarity.pqTopK(df.filter(col("vec_id") < 200), df,
+      "vec_id", "embedding", model, k = 5)
+    val purity = pq.agg(avg(when(col("neighbor_id") % 20 === col("vec_id") % 20, 1.0)
+      .otherwise(0.0))).collect().head.getDouble(0)
+    info(f"PQ clustered top-5 cluster purity = $purity%.4f")
+    assert(purity >= 0.99, f"PQ top-5 must stay in the planted cluster, got $purity%.4f")
+  }
 }
