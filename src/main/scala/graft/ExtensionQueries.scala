@@ -437,6 +437,17 @@ object ExtensionQueries {
         "vec_id", "embedding", model, k = 5).drop("pq_score"))
     }),
 
+    // the composed IVF-PQ shape (candidate pruning + compressed rerank)
+    // on the same query batch — rows-only like the other ANN rows;
+    // quality pinned by q_gate_ivfpq and the SimilaritySpec
+    // exact-codebook equality test.
+    "q_sim_pq_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = Similarity.trainPq(e, "vec_id", "embedding", m = 8, numCodes = 16)
+      det(Similarity.ivfPqTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", model, k = 5).drop("pq_score"))
+    }),
+
     // --- quantitative gates for the no-oracle queries ---------------------
     // q_dedup_simhash / q_sim_ann_lsh / q_sim_ann_ivf use Spark-side
     // hashing DuckDB cannot replicate, so their row outputs carry no
@@ -529,6 +540,20 @@ object ExtensionQueries {
       val pq = Similarity.pqTopK(df.filter(col("vec_id") < 200), df,
         "vec_id", "embedding", model, k = 5)
       det(pq.agg(count(lit(1)).cast(LongType).as("pairs"),
+        round(avg(when(col("neighbor_id") % 20 === col("vec_id") % 20, 1.0)
+          .otherwise(0.0)), 4).as("cluster_purity")))
+    }),
+
+    // the composed IVF-PQ path on the same planted frame: the adaptive
+    // probe engages (tightness ~0.97 => nprobe <= 8 — real pruning) and
+    // the compressed rerank must still return same-cluster neighbors.
+    "q_gate_ivfpq" -> ((s, dir) => {
+      val df = plantedClusters(s)
+      val model = Similarity.trainPq(df, "vec_id", "embedding",
+        m = 8, numCodes = 16)
+      val res = Similarity.ivfPqTopK(df.filter(col("vec_id") < 200), df,
+        "vec_id", "embedding", model, k = 5)
+      det(res.agg(count(lit(1)).cast(LongType).as("pairs"),
         round(avg(when(col("neighbor_id") % 20 === col("vec_id") % 20, 1.0)
           .otherwise(0.0)), 4).as("cluster_purity")))
     }),
@@ -1218,6 +1243,10 @@ object ExtensionQueries {
     // PQ (m=8, 16 codes) on the planted frame: all 200x5 compressed
     // neighbors in the correct cluster (measured; SF-invariant frame)
     "q_gate_pq" ->
+      s"""SELECT CAST(1000 AS BIGINT) AS pairs, CAST(1.0 AS DOUBLE) AS cluster_purity""",
+    // composed IVF-PQ on the same frame: adaptive nprobe <= 8 pruning,
+    // purity intact (measured; SF-invariant frame)
+    "q_gate_ivfpq" ->
       s"""SELECT CAST(1000 AS BIGINT) AS pairs, CAST(1.0 AS DOUBLE) AS cluster_purity""",
     // logistic GD recovers the planted separable concept exactly
     "q_gate_classifier" ->

@@ -1308,32 +1308,93 @@ object Similarity extends Logging {
              vecCol: String, model: PqModel, k: Int,
              codesCol: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val q = broadcast(queries.select(col(idCol).as("__qid"),
-        transform(col(vecCol), x => x.cast(DoubleType)).as("__qv0"),
-        norm(col(vecCol)).as("__qn"))
-      .select(col("__qid"),
-        transform(col("__qv0"),
-          x => when(col("__qn") > 0, x / col("__qn")).otherwise(lit(0.0)))
-          .as("__qv")))
-    val c = codesCol match {
-      case Some(cc) => corpus.select(col(idCol).as("neighbor_id"),
-        col(cc).as("__codes"))
-      case None => corpus.select(col(idCol).as("neighbor_id"),
-        pqEncodeColumn(col(vecCol), model).as("__codes"))
-    }
-    val score = (0 until model.m).map { s =>
-      val table = typedlit(model.centroids(s).map(_.toSeq).toSeq)
-      graft.functions.VectorExpressions.dotProduct(
-        slice(col("__qv"), s * model.subdim + 1, model.subdim),
-        element_at(table, element_at(col("__codes"), s + 1) + 1))
-    }.reduce(_ + _)
+    val q = broadcast(normalizedSide(queries, idCol, "__qid", vecCol, "__qv"))
+    val c = pqCodesSide(corpus, idCol, "neighbor_id", vecCol, model, codesCol)
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("pq_score").desc, col("neighbor_id"))
     q.join(c, col("__qid") =!= col("neighbor_id"))
-      .withColumn("pq_score", round(score, 6))
+      .withColumn("pq_score", round(adcScore(col("__qv"), col("__codes"), model), 6))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"),
         col("pq_score"))
+  }
+
+  /** (idAs, unit-normalized double vector) projection — the query side
+    * of the ADC kernels. Zero vectors map to the zero vector. */
+  private def normalizedSide(df: DataFrame, idCol: String, idAs: String,
+                             vecCol: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("__v0"),
+        norm(col(vecCol)).as("__n0"))
+      .select(col(idAs),
+        transform(col("__v0"),
+          x => when(col("__n0") > 0, x / col("__n0")).otherwise(lit(0.0)))
+          .as(vecAs))
+
+  /** (idAs, PQ codes) corpus side: the pre-encoded column when the
+    * caller persisted one, else inline encoding riding the scan. */
+  private def pqCodesSide(corpus: DataFrame, idCol: String, idAs: String,
+                          vecCol: String, model: PqModel,
+                          codesCol: Option[String]): DataFrame =
+    codesCol match {
+      case Some(cc) => corpus.select(col(idCol).as(idAs), col(cc).as("__codes"))
+      case None => corpus.select(col(idCol).as(idAs),
+        pqEncodeColumn(col(vecCol), model).as("__codes"))
+    }
+
+  /** The asymmetric-distance score: exact normalized query dotted with
+    * the per-subspace codebook reconstruction of the codes column —
+    * m plan-literal table lookups + m subdim-length dots, codegen'd. */
+  private def adcScore(qv: Column, codes: Column, model: PqModel): Column =
+    (0 until model.m).map { s =>
+      val table = typedlit(model.centroids(s).map(_.toSeq).toSeq)
+      graft.functions.VectorExpressions.dotProduct(
+        slice(qv, s * model.subdim + 1, model.subdim),
+        element_at(table, element_at(codes, s + 1) + 1))
+    }.reduce(_ + _)
+
+  /**
+   * IVF-PQ: inverted-file candidate pruning composed with PQ-compressed
+   * rerank — the standard billion-scale ANN shape (Jégou et al. 2011
+   * §V). The corpus is indexed once in its nearest cell; queries probe
+   * their `nprobe` nearest cells (auto-sized from corpus tightness when
+   * `nprobe <= 0`, like [[ivfTopKAgainst]]); candidates are scored with
+   * [[adcScore]] against the codes column instead of the exact-cosine
+   * rerank — the scoring join never touches the corpus floats.
+   *
+   * 100 TB design: pass `codesCol` (encode once with [[pqEncodeColumn]],
+   * persist codes alongside the inverted-file assignment) and the
+   * query-time corpus reads are the assignment pairs plus m bytes of
+   * codes per candidate — the raw vectors are needed only at index
+   * build. Cell volume is `cellCap`-bounded (truncation observable via
+   * `dropStats`); the rank trims map-side (WindowGroupLimit).
+   * `excludeSameId` as in [[directedTopK]].
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, model: PqModel, k: Int,
+                nCentroids: Int = 0, nprobe: Int = 0, cellCap: Int = 4096,
+                codesCol: Option[String] = None,
+                dropStats: Option[Observation] = None,
+                excludeSameId: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val (cents, probes0, _) = ivfSetup(corpus, idCol, vecCol, nCentroids, nprobe)
+    val index = assignToCentroids(corpus, idCol, vecCol, cents, 1)
+      .select(col("__id"), col("__cid"))
+    val probes = assignToCentroids(queries, idCol, vecCol, cents, probes0)
+      .select(col("__id"), col("__cid"))
+    val ids = Blocking.idPairsAcross(probes, index, Seq("__cid"),
+      "__qid", "__cid", Some(cellCap), truncate = true, dropStats = dropStats)
+    val q = normalizedSide(queries, idCol, "__qid", vecCol, "__qv")
+    val c = pqCodesSide(corpus, idCol, "__cid", vecCol, model, codesCol)
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("pq_score").desc, col("__cid"))
+    (if (excludeSameId) ids.filter(col("__qid") =!= col("__cid")) else ids)
+      .join(q, "__qid").join(c, "__cid")
+      .withColumn("pq_score", round(adcScore(col("__qv"), col("__codes"), model), 6))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(idCol), col("__cid").as("neighbor_id"),
+        col("rank"), col("pq_score"))
   }
 }

@@ -636,6 +636,44 @@ class SimilaritySpec extends AnyFunSuite {
       "persisted-codes path must be row-identical to inline encoding")
   }
 
+  test("IVF-PQ: all-cells probe with an exact codebook equals brute force; " +
+    "clustered auto config keeps cluster purity with real pruning") {
+    // exact-recovery frame (same construction as the pqTopK test): with
+    // every cell probed the candidate set is complete and ADC is exact,
+    // so the composed operator must reproduce brute force bit-for-bit.
+    val rnd = new scala.util.Random(7)
+    val units = Array.fill(4, 8) {
+      val v = Array.fill(4)(rnd.nextGaussian())
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nn).toFloat)
+    }
+    val df = (0 until 400).map { i =>
+      (i.toLong, (0 until 4).flatMap(s => units(s)((i * 31 + s * 7) % 8)).toArray)
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.trainPq(df, "vec_id", "embedding",
+      m = 4, numCodes = 8, sampleSize = 512, iters = 3)
+    val q = df.filter(col("vec_id") < 50)
+    val full = Similarity.ivfPqTopK(q, df, "vec_id", "embedding", model, k = 3,
+      nCentroids = 8, nprobe = 8, cellCap = 1 << 20)
+    val bf = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", k = 3)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+    assert(full.exceptAll(bf).isEmpty && bf.exceptAll(full).isEmpty,
+      "all-cells IVF-PQ with an exact codebook must equal brute force")
+
+    // clustered frame, auto-sized: the adaptive probe path engages
+    // (tightness ~0.97 => nprobe <= 8 of ~32 cells — REAL pruning) and
+    // the compressed rerank still returns same-cluster neighbors only
+    val cf = clusteredFrame
+    val cm = Similarity.trainPq(cf, "vec_id", "embedding", m = 8, numCodes = 16)
+    val res = Similarity.ivfPqTopK(cf.filter(col("vec_id") < 200), cf,
+      "vec_id", "embedding", cm, k = 5)
+    val purity = res.agg(avg(when(col("neighbor_id") % 20 === col("vec_id") % 20, 1.0)
+      .otherwise(0.0))).collect().head.getDouble(0)
+    info(f"IVF-PQ clustered top-5 cluster purity = $purity%.4f")
+    assert(purity >= 0.99, f"IVF-PQ top-5 must stay in the planted cluster, got $purity%.4f")
+    assert(res.count() == 1000L)
+  }
+
   test("PQ: on the planted clustered corpus, compressed top-5 stays inside the true cluster") {
     // the compression claim: ADC scoring preserves COARSE structure.
     // Within-cluster fine ordering is quantized away by design (cluster
