@@ -437,6 +437,15 @@ object ExtensionQueries {
         "vec_id", "embedding", model, k = 5).drop("pq_score"))
     }),
 
+    // int8 scalar quantization search: plain deterministic arithmetic
+    // (floor-based round, renormalized reconstruction), so unlike the
+    // PQ/SRP rows this compressed search has an EXACT DuckDB oracle.
+    "q_sim_sq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      det(Similarity.sqTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5))
+    }),
+
     // the composed IVF-PQ shape (candidate pruning + compressed rerank)
     // on the same query batch — rows-only like the other ANN rows;
     // quality pinned by q_gate_ivfpq and the SimilaritySpec
@@ -1299,6 +1308,23 @@ object ExtensionQueries {
          |SELECT vec_id, cid AS nearest, round(cos, 6) AS cos_sim FROM s
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1
          |ORDER BY vec_id $N1, nearest $N1, cos_sim $N1""".stripMargin,
+    // int8 scalar quantization replayed exactly: floor(x/n*127+0.5) is
+    // the same double op both sides; the fold-ordered dots match
+    // list_dot_product bit-for-bit; rank on the ROUNDED score.
+    "q_sim_sq" ->
+      s"""WITH nq AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |cc AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |    x -> floor(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 127.0 + 0.5)) AS codes
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id, c.vec_id AS neighbor_id,
+         |   round(list_dot_product(q.qv, c.codes) / sqrt(list_dot_product(c.codes, c.codes)), 6) AS sq_score
+         |   FROM nq q JOIN cc c ON c.vec_id != q.vec_id),
+         |r AS (SELECT vec_id, neighbor_id, sq_score, row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY sq_score DESC, neighbor_id) AS rank FROM p)
+         |SELECT vec_id, neighbor_id, rank, sq_score FROM r WHERE rank <= 5
+         |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1, sq_score $N1""".stripMargin,
     "q_sim_topk" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id

@@ -674,6 +674,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.count() == 1000L)
   }
 
+  test("int8 scalar quantization: bounded score error, codes within byte range, " +
+    "persisted-codes path row-identical, clustered purity holds") {
+    val df = clusteredFrame
+    // score error vs exact cosine bounded well inside the sqrt(dim)/254
+    // worst case on real (non-adversarial) directions
+    val q = df.filter(col("vec_id") < 200)
+    val sq = Similarity.sqTopK(q, df, "vec_id", "embedding", k = 5)
+    val exact = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", k = 5)
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"))
+    val err = sq.join(exact, Seq("vec_id", "neighbor_id"))
+      .agg(max(abs(col("sq_score") - col("cos_sim")))).collect().head.getDouble(0)
+    info(f"max |sq_score - cos| over returned pairs = $err%.5f")
+    assert(err <= 0.02, f"int8 quantization score error too large: $err%.5f")
+    // purity: quantization must not leak neighbors across planted clusters
+    val purity = sq.agg(avg(when(col("neighbor_id") % 20 === col("vec_id") % 20, 1.0)
+      .otherwise(0.0))).collect().head.getDouble(0)
+    assert(purity >= 0.99, f"int8 top-5 must stay in the planted cluster, got $purity%.4f")
+    // persisted codes: byte-ranged, and the codesCol path is row-identical
+    val coded = df.withColumn("__sq", Similarity.sqEncodeColumn(col("embedding")))
+    val rng = coded.select(explode(col("__sq")).as("c"))
+      .agg(min("c"), max("c")).collect().head
+    assert(rng.getByte(0) >= -127 && rng.getByte(1) <= 127)
+    val pre = Similarity.sqTopK(q, coded, "vec_id", "embedding", k = 5,
+      codesCol = Some("__sq"))
+    assert(sq.exceptAll(pre).isEmpty && pre.exceptAll(sq).isEmpty,
+      "persisted-codes path must be row-identical to inline encoding")
+  }
+
   test("PQ: on the planted clustered corpus, compressed top-5 stays inside the true cluster") {
     // the compression claim: ADC scoring preserves COARSE structure.
     // Within-cluster fine ordering is quantized away by design (cluster
