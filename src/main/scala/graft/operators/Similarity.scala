@@ -1280,10 +1280,8 @@ object Similarity extends Logging {
             * 2.0 - lit(c2)).as("s"),
           lit(c).as("c"))
       }: _*)
-      // max (score, code) struct = last after ascending sort; per-subspace
-      // length (farthest-first may stop short of numCodes on a dup-heavy
-      // subspace sample, and subspaces can differ)
-      element_at(array_sort(scored), model.centroids(s).length).getField("c")
+      // max (score, code) struct under struct ordering — no sorted copy
+      array_max(scored).getField("c")
     }
     array(codes: _*)
   }
@@ -1308,12 +1306,13 @@ object Similarity extends Logging {
              vecCol: String, model: PqModel, k: Int,
              codesCol: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val q = broadcast(normalizedSide(queries, idCol, "__qid", vecCol, "__qv"))
+    val q = broadcast(normalizedSide(queries, idCol, "__qid", vecCol, "__qv")
+      .select(col("__qid"), adcTable(col("__qv"), model).as("__qtab")))
     val c = pqCodesSide(corpus, idCol, "neighbor_id", vecCol, model, codesCol)
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("pq_score").desc, col("neighbor_id"))
     q.join(c, col("__qid") =!= col("neighbor_id"))
-      .withColumn("pq_score", round(adcScore(col("__qv"), col("__codes"), model), 6))
+      .withColumn("pq_score", round(adcScore(col("__qtab"), col("__codes"), model), 6))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"),
@@ -1343,15 +1342,30 @@ object Similarity extends Logging {
         pqEncodeColumn(col(vecCol), model).as("__codes"))
     }
 
-  /** The asymmetric-distance score: exact normalized query dotted with
-    * the per-subspace codebook reconstruction of the codes column —
-    * m plan-literal table lookups + m subdim-length dots, codegen'd. */
-  private def adcScore(qv: Column, codes: Column, model: PqModel): Column =
+  /** Per-query ADC lookup table (`array<array<double>>`, m × numCodes):
+    * `tab[s][c] = dot(q_s, centroid[s][c])` — the m·numCodes
+    * subdim-length dots computed ONCE per query row, so the per-PAIR
+    * score ([[adcScore]]) degenerates to m element_at lookups + a sum.
+    * Computing the dots per pair instead was measured 3 orders of
+    * magnitude slower (1.4 ms/pair: the slice allocations and
+    * 128-literal tables defeat codegen on the pair stream; 10k sf0.01
+    * pairs took 14 s). Same fold order term-by-term, so scores are
+    * bit-identical to the naive formulation. */
+  private def adcTable(qv: Column, model: PqModel): Column =
+    array((0 until model.m).map { s =>
+      array(model.centroids(s).indices.map { c =>
+        graft.functions.VectorExpressions.dotProduct(
+          slice(qv, s * model.subdim + 1, model.subdim),
+          typedlit(model.centroids(s)(c).toSeq))
+      }: _*)
+    }: _*)
+
+  /** The asymmetric-distance score over a precomputed [[adcTable]]
+    * column: m nested element_at lookups summed in subspace order —
+    * tiny, codegen-friendly, allocation-free per pair. */
+  private def adcScore(qtab: Column, codes: Column, model: PqModel): Column =
     (0 until model.m).map { s =>
-      val table = typedlit(model.centroids(s).map(_.toSeq).toSeq)
-      graft.functions.VectorExpressions.dotProduct(
-        slice(qv, s * model.subdim + 1, model.subdim),
-        element_at(table, element_at(codes, s + 1) + 1))
+      element_at(element_at(qtab, s + 1), element_at(codes, s + 1) + 1)
     }.reduce(_ + _)
 
   // --------------------------------------------------- scalar quantization
@@ -1452,12 +1466,13 @@ object Similarity extends Logging {
     val ids = Blocking.idPairsAcross(probes, index, Seq("__cid"),
       "__qid", "__cid", Some(cellCap), truncate = true, dropStats = dropStats)
     val q = normalizedSide(queries, idCol, "__qid", vecCol, "__qv")
+      .select(col("__qid"), adcTable(col("__qv"), model).as("__qtab"))
     val c = pqCodesSide(corpus, idCol, "__cid", vecCol, model, codesCol)
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("pq_score").desc, col("__cid"))
     (if (excludeSameId) ids.filter(col("__qid") =!= col("__cid")) else ids)
       .join(q, "__qid").join(c, "__cid")
-      .withColumn("pq_score", round(adcScore(col("__qv"), col("__codes"), model), 6))
+      .withColumn("pq_score", round(adcScore(col("__qtab"), col("__codes"), model), 6))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("__qid").as(idCol), col("__cid").as("neighbor_id"),
