@@ -120,6 +120,12 @@ object ExtensionQueries {
       det(staged.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*))
     }),
 
+    // Gopher document-shape rules (word/line heuristics; the composite
+    // quality score's complement) — one zero-shuffle projection
+    "q_text_gopher" -> ((s, dir) =>
+      det(graft.operators.TextStats.gopherQualityFlags(docs(s, dir),
+        "doc_id", "text"))),
+
     // staged langid (VERDICT r5 #2): letter-tokens + profile scores
     // computed once per row, not once per when-branch
     "q_text_langid" -> ((s, dir) => det(
@@ -901,6 +907,46 @@ object ExtensionQueries {
          |FROM documents GROUP BY lang, source
          |ORDER BY lang $N1, source $N1, n_docs $N1, n_distinct_texts $N1,
          |total_chars $N1, total_tokens $N1, avg_doc_chars $N1""".stripMargin,
+    // Gopher rules replayed: same \\S+ word scan, chr(10) line split,
+    // space-trim, partial-match regexes, and CASE-guarded thresholds
+    "q_text_gopher" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words,
+         |   str_split(text, chr(10)) AS lines,
+         |   len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym
+         | FROM documents),
+         |m AS (SELECT doc_id,
+         |   len(words) AS n_words,
+         |   CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)/len(words) AS mean_word_len,
+         |   CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)/len(words) AS frac_alpha_words,
+         |   CAST(n_sym AS DOUBLE)/len(words) AS symbol_word_ratio,
+         |   CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)/len(lines) AS frac_bullet_lines,
+         |   CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)/len(lines) AS frac_ellipsis_lines,
+         |   len(list_distinct(list_intersect(list_transform(words, x -> lower(x)), [$STOP_EN]))) AS n_stopwords
+         | FROM w),
+         |f AS (SELECT *,
+         |   CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS pass_word_count,
+         |   CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS pass_mean_word_len,
+         |   CASE WHEN symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END AS pass_symbol_ratio,
+         |   CASE WHEN frac_bullet_lines <= 0.9 THEN 1 ELSE 0 END AS pass_bullet_lines,
+         |   CASE WHEN frac_ellipsis_lines <= 0.3 THEN 1 ELSE 0 END AS pass_ellipsis_lines,
+         |   CASE WHEN frac_alpha_words >= 0.8 THEN 1 ELSE 0 END AS pass_alpha_words,
+         |   CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS pass_stopwords
+         | FROM m),
+         |g AS (SELECT *,
+         |   7 - pass_word_count - pass_mean_word_len - pass_symbol_ratio
+         |     - pass_bullet_lines - pass_ellipsis_lines - pass_alpha_words
+         |     - pass_stopwords AS n_rules_failed FROM f)
+         |SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+         |  symbol_word_ratio, frac_bullet_lines, frac_ellipsis_lines,
+         |  n_stopwords, pass_word_count, pass_mean_word_len,
+         |  pass_symbol_ratio, pass_bullet_lines, pass_ellipsis_lines,
+         |  pass_alpha_words, pass_stopwords, n_rules_failed,
+         |  CASE WHEN n_rules_failed = 0 THEN 1 ELSE 0 END AS pass
+         |FROM g
+         |ORDER BY doc_id $N1, n_words $N1, mean_word_len $N1,
+         |  frac_alpha_words $N1, symbol_word_ratio $N1,
+         |  frac_bullet_lines $N1, frac_ellipsis_lines $N1,
+         |  n_stopwords $N1""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
          |  regexp_extract_all(text, '\\S+') AS toks,

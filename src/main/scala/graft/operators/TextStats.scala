@@ -669,4 +669,59 @@ object TextStats {
         sum(graft.functions.TextFunctions.tokenCount(col(textCol))).as("total_tokens"),
         round(avg(length(col(textCol)).cast(LongType)), 6).as("avg_doc_chars"))
   }
+
+  /**
+   * Gopher-style document-shape quality rules (Rae et al. 2021 §A1.1.2
+   * — the ruleset FineWeb/RefinedWeb descend from): the WORD- and
+   * LINE-shape heuristics [[graft.functions.TextFunctions.qualityColumns]]'
+   * composite score does not cover. Per doc: word count in [minWords,
+   * maxWords], mean word length in [3, 10], symbol-to-word ratio
+   * (# / ellipsis) <= 0.1, bullet-started lines <= 90%, ellipsis-ended
+   * lines <= 30%, words-with-an-alphabetic-char >= 80%, and >= 2
+   * distinct English stopwords present. Output: the raw metrics, one
+   * 0/1 flag per rule, `n_rules_failed`, and the conjunction `pass` —
+   * callers filter on `pass` (or keep the flags for audit strata).
+   * Null-metric docs (0 words) fail the affected rules, matching a
+   * CASE-guarded SQL replay.
+   *
+   * 100 TB design: every metric is row-local — ONE zero-shuffle
+   * codegen'd projection over the scan, same discipline as
+   * [[repetitionProfile]]. Words via the `\\S+` scan shared with the
+   * quality/token oracles; no UDFs.
+   */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                         minWords: Long = 50L,
+                         maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val words = regexp_extract_all(t, lit("\\S+"), lit(0))
+    val stopArr = array(graft.functions.TextFunctions.EnStopwords.map(lit): _*)
+    val lines = split(t, "\n")
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(words).cast(LongType).as("n_words"),
+      (aggregate(words, lit(0L), (a, w) => a + length(w)).cast(DoubleType) /
+        size(words)).as("mean_word_len"),
+      (size(filter(words, w => w.rlike("[A-Za-z]"))).cast(DoubleType) /
+        size(words)).as("frac_alpha_words"),
+      (size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0))).cast(DoubleType) /
+        size(words)).as("symbol_word_ratio"),
+      (size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast(DoubleType) /
+        size(lines)).as("frac_bullet_lines"),
+      (size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast(DoubleType) /
+        size(lines)).as("frac_ellipsis_lines"),
+      size(array_intersect(array_distinct(transform(words, w => lower(w))), stopArr))
+        .cast(LongType).as("n_stopwords"))
+    val flags = Seq(
+      "pass_word_count" -> col("n_words").between(minWords, maxWords),
+      "pass_mean_word_len" -> col("mean_word_len").between(3.0, 10.0),
+      "pass_symbol_ratio" -> (col("symbol_word_ratio") <= 0.1),
+      "pass_bullet_lines" -> (col("frac_bullet_lines") <= 0.9),
+      "pass_ellipsis_lines" -> (col("frac_ellipsis_lines") <= 0.3),
+      "pass_alpha_words" -> (col("frac_alpha_words") >= 0.8),
+      "pass_stopwords" -> (col("n_stopwords") >= 2))
+    val withFlags = base.select(col("*") +:
+      flags.map { case (n, c) => when(c, 1).otherwise(0).as(n) }: _*)
+    withFlags.select(col("*"),
+      flags.map(f => lit(1) - col(f._1)).reduce(_ + _).as("n_rules_failed"))
+      .withColumn("pass", when(col("n_rules_failed") === 0, 1).otherwise(0))
+  }
 }

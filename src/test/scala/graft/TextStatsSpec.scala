@@ -469,4 +469,33 @@ class TextStatsSpec extends AnyFunSuite {
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]) >= 1,
       "expected WindowGroupLimitExec for the per-query rank")
   }
+
+  test("gopherQualityFlags: each rule trips on its planted violation and a clean doc passes") {
+    val good = (("the quick brown fox jumps over a lazy dog and then runs " * 6)
+      .trim + ".")                                   // 72 words, stopwords, alpha
+    val bullets = (1 to 10).map(i => s"- item number $i of the list").mkString("\n")
+    val symbols = ("the code is " + ("# " * 20)).trim // 23 words, 20 '#'
+    val short = "too few words here"
+    val ellipsis = (1 to 10).map(i => s"the line $i trails off...").mkString("\n")
+    val numeric = (("1 2 3 4 5 6 7 8 9 10 " * 6) + "the a of").trim // 63 words, 3/63 alpha
+    val df = Seq((1L, good), (2L, bullets), (3L, symbols), (4L, short),
+      (5L, ellipsis), (6L, numeric)).toDF("doc_id", "text")
+    val out = TextStats.gopherQualityFlags(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, n: String): Int = out(id).getAs[Int](n)
+    assert(flag(1L, "pass") == 1 && out(1L).getAs[Int]("n_rules_failed") == 0,
+      "clean doc must pass all rules")
+    assert(flag(2L, "pass_bullet_lines") == 0, "all-bullet doc must trip the bullet rule")
+    assert(flag(3L, "pass_symbol_ratio") == 0, "hash-heavy doc must trip the symbol rule")
+    assert(flag(4L, "pass_word_count") == 0, "4-word doc must trip the word-count rule")
+    assert(flag(5L, "pass_ellipsis_lines") == 0, "ellipsis-ended lines must trip the rule")
+    assert(flag(6L, "pass_alpha_words") == 0, "digit-word doc must trip the alpha rule")
+    // rules are independent: the bullet doc still passes the symbol rule
+    assert(flag(2L, "pass_symbol_ratio") == 1)
+    // zero shuffle: one projection over the scan
+    val nodes = PlanWalk.executedNodes(TextStats.gopherQualityFlags(df, "doc_id", "text"))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "gopherQualityFlags must be zero-shuffle")
+  }
 }
