@@ -126,6 +126,16 @@ object ExtensionQueries {
       det(graft.operators.TextStats.gopherQualityFlags(docs(s, dir),
         "doc_id", "text"))),
 
+    // filter-funnel audit: per-stage survival under cumulative
+    // conjunction, ONE aggregation pass over the corpus
+    "q_filter_funnel" -> ((s, dir) =>
+      det(graft.operators.CorpusClean.filterFunnel(docs(s, dir), Seq(
+        "min_length" -> (length(col("text")) >= 200),
+        "lang_en" -> (col("lang") === "en"),
+        "word_count" -> (size(regexp_extract_all(col("text"), lit("\\S+"),
+          lit(0))) >= 30),
+        "no_boilerplate" -> !col("text").contains("lorem ipsum"))))),
+
     // staged langid (VERDICT r5 #2): letter-tokens + profile scores
     // computed once per row, not once per when-branch
     "q_text_langid" -> ((s, dir) => det(
@@ -907,6 +917,33 @@ object ExtensionQueries {
          |FROM documents GROUP BY lang, source
          |ORDER BY lang $N1, source $N1, n_docs $N1, n_distinct_texts $N1,
          |total_chars $N1, total_tokens $N1, avg_doc_chars $N1""".stripMargin,
+    // funnel replayed: cumulative CASE sums over one scan, then the
+    // single aggregate row unioned into per-stage rows
+    "q_filter_funnel" ->
+      s"""WITH f AS (SELECT
+         |   (length(text) >= 200) AS c1,
+         |   (length(text) >= 200 AND lang = 'en') AS c2,
+         |   (length(text) >= 200 AND lang = 'en'
+         |     AND len(regexp_extract_all(text, '\\S+')) >= 30) AS c3,
+         |   (length(text) >= 200 AND lang = 'en'
+         |     AND len(regexp_extract_all(text, '\\S+')) >= 30
+         |     AND NOT contains(text, 'lorem ipsum')) AS c4
+         | FROM documents),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+         |   CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |   CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |   CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |   CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+         | FROM f),
+         |s AS (SELECT CAST(1 AS BIGINT) AS stage_index, 'min_length' AS stage, n0 AS n_in, n1 AS n_out FROM a
+         | UNION ALL SELECT 2, 'lang_en', n1, n2 FROM a
+         | UNION ALL SELECT 3, 'word_count', n2, n3 FROM a
+         | UNION ALL SELECT 4, 'no_boilerplate', n3, n4 FROM a)
+         |SELECT stage_index, stage, n_in, n_out, n_in - n_out AS n_dropped,
+         |  round(CAST(n_in - n_out AS DOUBLE) / n_in, 6) AS drop_rate
+         |FROM s
+         |ORDER BY stage_index $N1, stage $N1, n_in $N1, n_out $N1,
+         |  n_dropped $N1, drop_rate $N1""".stripMargin,
     // Gopher rules replayed: same \\S+ word scan, chr(10) line split,
     // space-trim, partial-match regexes, and CASE-guarded thresholds
     "q_text_gopher" ->

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /**
  * The flagship LLM-corpus cleaning pipeline: exact dedup -> language ID
@@ -94,5 +95,45 @@ object CorpusClean {
       .filter(col("detected_lang").isin(langs: _*) &&
         col("quality_score") >= minQuality &&
         col("top_bigram_ratio") <= maxTopBigramRatio)
+  }
+
+  /**
+   * Filter-funnel audit: for an ORDERED chain of named filter stages,
+   * the per-stage survival counts under cumulative conjunction — the
+   * "where did my corpus go" report every curation pipeline needs
+   * before committing to a recipe. Output one row per stage:
+   * (stage_index, stage, n_in, n_out, n_dropped, drop_rate), where
+   * `n_in` of stage i is `n_out` of stage i-1 (stage 1's n_in is the
+   * corpus size). A NULL stage condition counts as a drop (documents
+   * with NULL metrics do not survive a filter on them — matching
+   * [[clean]]'s conjunction semantics).
+   *
+   * 100 TB design: ONE pass — every cumulative conjunction becomes a
+   * conditional-sum aggregate over the same scan (partial aggregation
+   * collapses each task to one row), then the single aggregated row
+   * explodes into the per-stage report. Running the stages one at a
+   * time would scan the corpus |stages| times for the same numbers.
+   */
+  def filterFunnel(docs: DataFrame,
+                   stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val cum = stages.scanLeft(lit(true)) {
+      case (acc, (_, c)) => acc && coalesce(c, lit(false))
+    }.tail
+    val counts = count(lit(1)).cast(LongType).as("__n0") +:
+      cum.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__n${i + 1}")
+      }
+    val row = docs.agg(counts.head, counts.tail: _*)
+    val stageStructs = stages.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).cast(LongType).as("stage_index"), lit(name).as("stage"),
+        col(s"__n$i").as("n_in"), col(s"__n${i + 1}").as("n_out"))
+    }
+    row.select(explode(array(stageStructs: _*)).as("__s"))
+      .select(col("__s.stage_index"), col("__s.stage"),
+        col("__s.n_in"), col("__s.n_out"),
+        (col("__s.n_in") - col("__s.n_out")).as("n_dropped"),
+        round((col("__s.n_in") - col("__s.n_out")).cast(DoubleType) /
+          col("__s.n_in"), 6).as("drop_rate"))
   }
 }

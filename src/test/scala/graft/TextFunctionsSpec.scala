@@ -271,4 +271,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(PlanWalk.shuffleCount(graft.operators.CorpusClean.blocklistFilter(
       docs, "text", Seq("banned phrase"))) == 0)
   }
+
+  test("filterFunnel: cumulative per-stage survival in one pass; NULL condition drops") {
+    val docs = Seq(
+      (1L, "aaaa", Some("en")),   // survives s1 only
+      (2L, "aaaa", Some("de")),   // survives s1 only
+      (3L, "aaaaaaaa", Some("en")), // survives all
+      (4L, "aa", Some("en")),     // dropped at s1
+      (5L, "aaaaaaaa", None)      // NULL lang: dropped at s2
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.operators.CorpusClean.filterFunnel(docs, Seq(
+        "min_len" -> (length(col("text")) >= 4),
+        "lang_en" -> (col("lang") === "en"),
+        "long" -> (length(col("text")) >= 8)))
+      .orderBy("stage_index").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("min_len", 5L, 4L), ("lang_en", 4L, 2L), ("long", 2L, 1L)))
+    assert(out(0).getDouble(5) == 0.2) // 1 of 5 dropped
+    // one pass: a single aggregate pair (partial+final), one exchange
+    assert(PlanWalk.shuffleCount(graft.operators.CorpusClean.filterFunnel(docs,
+      Seq("a" -> (length(col("text")) >= 4), "b" -> (col("lang") === "en")))) <= 1,
+      "funnel must be one aggregation pass, not one scan per stage")
+  }
 }
