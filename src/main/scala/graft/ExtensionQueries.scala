@@ -93,6 +93,34 @@ object ExtensionQueries {
     }.toDF("vec_id", "embedding")
   }
 
+  /** Seeded planted-subspace frame for the PCA gate (shared construction
+    * with PcaSpec): 2000 x 64-dim vectors with variance 9 along u1 and 4
+    * along orthonormal u2, isotropic noise 0.05 — deterministic and
+    * SF-invariant. Returns (frame, u1, u2). */
+  private def plantedSubspace(s: SparkSession): (DataFrame, Array[Double], Array[Double]) = {
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val dim = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val u1 = unit()
+    val raw2 = unit()
+    val d12 = raw2.zip(u1).map { case (a, b) => a * b }.sum
+    val o2 = raw2.zip(u1).map { case (a, b) => a - d12 * b }
+    val n2 = math.sqrt(o2.map(x => x * x).sum)
+    val u2 = o2.map(_ / n2)
+    val rows = (0 until 2000).map { i =>
+      val a = 3.0 * rnd.nextGaussian()
+      val b = 2.0 * rnd.nextGaussian()
+      (i.toLong, Array.tabulate(dim)(k =>
+        (a * u1(k) + b * u2(k) + 0.05 * rnd.nextGaussian()).toFloat))
+    }
+    (rows.toDF("vec_id", "embedding"), u1, u2)
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     // events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's reader
     // rejects by default; read nanos as long (ts is unused here).
@@ -451,6 +479,38 @@ object ExtensionQueries {
       val model = Similarity.trainPq(e, "vec_id", "embedding", m = 8, numCodes = 16)
       det(Similarity.pqTopK(e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", model, k = 5).drop("pq_score"))
+    }),
+
+    // PCA projection of the embeddings corpus (d=8, driver-trained
+    // basis, plan-literal projection) — rows-only (the power-iteration
+    // eigensolve has no DuckDB twin); recovery pinned by q_gate_pca.
+    "q_emb_pca" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = graft.operators.Pca.trainPca(e, "vec_id", "embedding", d = 8)
+      det(e.select(col("vec_id"),
+          posexplode(graft.operators.Pca.pcaProjectColumn(col("embedding"), model))
+            .as(Seq("component", "value")))
+        .select(col("vec_id"), col("component"), round(col("value"), 6).as("value")))
+    }),
+
+    // PCA recovery as a GRADED number: on the seeded planted-subspace
+    // frame (variance 9/4 along two orthonormal hidden axes, noise
+    // 0.05 — SF-invariant), the top-2 components must align with the
+    // planted axes and explain the measured variance share. Values
+    // byte-stable across runs (measured 3x identical to 6 decimals).
+    "q_gate_pca" -> ((s, dir) => {
+      import s.implicits._
+      val (df, u1, u2) = plantedSubspace(s)
+      val m = graft.operators.Pca.trainPca(df, "vec_id", "embedding", d = 2)
+      def cosAbs(a: Array[Double], b: Array[Double]): Double =
+        math.abs(a.zip(b).map { case (x, y) => x * y }.sum) /
+          (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      det(Seq((cosAbs(m.components(0), u1), cosAbs(m.components(1), u2),
+          m.explainedVarianceRatio))
+        .toDF("align1", "align2", "evr")
+        .select(round(col("align1"), 3).as("align1"),
+          round(col("align2"), 3).as("align2"),
+          round(col("evr"), 4).as("evr")))
     }),
 
     // int8 scalar quantization search: plain deterministic arithmetic
@@ -1332,6 +1392,11 @@ object ExtensionQueries {
     // 20-cluster partition exactly (measured stable across runs)
     "q_gate_kmeans" ->
       s"""SELECT CAST(20 AS BIGINT) AS n_clusters, CAST(1.0 AS DOUBLE) AS purity""",
+    // PCA on the planted-subspace frame: axis alignment 1.0 / 1.0 at 3
+    // decimals, explained variance 0.9884 (measured, byte-stable runs)
+    "q_gate_pca" ->
+      s"""SELECT CAST(1.0 AS DOUBLE) AS align1, CAST(1.0 AS DOUBLE) AS align2,
+         |CAST(0.9884 AS DOUBLE) AS evr""".stripMargin,
     // PQ (m=8, 16 codes) on the planted frame: all 200x5 compressed
     // neighbors in the correct cluster (measured; SF-invariant frame)
     "q_gate_pq" ->
