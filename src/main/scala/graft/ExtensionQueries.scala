@@ -265,6 +265,15 @@ object ExtensionQueries {
         "doc_id", "text", n = 13))
     }),
 
+    // dataset-card cross-corpus overlap: two overlapping slices
+    // (doc_id < 300 vs >= 200) so shared grams / overlapping docs are
+    // guaranteed nonzero at every sf
+    "q_corpus_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(Dedup.corpusOverlap(d.filter(col("doc_id") < 300),
+        d.filter(col("doc_id") >= 200), "doc_id", "text", n = 5))
+    }),
+
     // --- dedup ------------------------------------------------------------
 
     // byFingerprint: the graded plan shuffles 16-byte md5 keys, not raw
@@ -1208,6 +1217,32 @@ object ExtensionQueries {
          |SELECT ex.doc_id, eg.eval_id, CAST(count(*) AS BIGINT) AS n_shared_grams
          |FROM ex JOIN eg USING (g) GROUP BY ex.doc_id, eg.eval_id
          |ORDER BY ex.doc_id $N1, eval_id $N1, n_shared_grams $N1""".stripMargin,
+    // gram counts are over DISTINCT n-gram STRINGS (the Spark side
+    // counts distinct 64-bit hashes — equal modulo ~2^-64 collisions);
+    // BIGINT / BIGINT is float division in both engines, round(x,6)
+    // equalizes
+    "q_corpus_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ')
+         |  for i in generate_series(1, len(t)-4)]) AS s FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |ga AS (SELECT doc_id, g FROM ex WHERE doc_id < 300),
+         |gb AS (SELECT DISTINCT g FROM ex WHERE doc_id >= 200),
+         |da AS (SELECT DISTINCT g FROM ga),
+         |c AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM da) AS grams_a,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM gb) AS grams_b,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM da JOIN gb USING (g)) AS shared_grams,
+         |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM ga JOIN gb USING (g)) AS docs_a_overlap,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id < 300) AS docs_a)
+         |SELECT grams_a, grams_b, shared_grams,
+         |  round(shared_grams / (grams_a + grams_b - shared_grams), 6) AS gram_jaccard,
+         |  round(shared_grams / grams_a, 6) AS containment_a,
+         |  round(shared_grams / grams_b, 6) AS containment_b,
+         |  docs_a, docs_a_overlap,
+         |  round(docs_a_overlap / docs_a, 6) AS doc_overlap_rate_a
+         |FROM c""".stripMargin,
+
     "q_dedup_incremental" -> oracleIncrementalSql,
 
     // the indexed delta must agree with the live delta to the row — one

@@ -663,6 +663,63 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus n-gram overlap — the dataset-card number answering
+   * "how much of corpus A already lives in corpus B?" before mixing,
+   * deduplicating across sources, or reporting train/pretrain overlap
+   * (the measurement [[decontaminate]] acts on, corpus-vs-corpus
+   * instead of corpus-vs-eval). One row:
+   *
+   *  - `grams_a` / `grams_b` / `shared_grams`: DISTINCT word-`n`-gram
+   *    counts per side and in the intersection;
+   *  - `gram_jaccard`, `containment_a` (share of A's grams also in B),
+   *    `containment_b`: the shared count normalized three ways;
+   *  - `docs_a`, `docs_a_overlap`, `doc_overlap_rate_a`: how many A
+   *    documents carry at least one shared gram (swap the arguments
+   *    for the B-side doc attribution).
+   *
+   * Ratios are `round(x, 6)` doubles; an empty side yields NULL ratios
+   * (double 0/0). Docs with fewer than `n` tokens contribute no grams.
+   *
+   * 100 TB design: gram ledgers are 64-bit [[graft.functions.ShingleHashes]]
+   * hashes, never gram text — the side tag rides a union into ONE
+   * partially-aggregated groupBy on the hash (a gram appearing a
+   * million times collapses map-side before the exchange), and the
+   * single-row totals partial-agg to one row per task. Doc attribution
+   * is the [[decontaminate]] semi-join shape keyed on hashes. Each side
+   * is shingled twice (gram ledger + doc pass) — persist the inputs to
+   * avoid the 2×, or accept it: the kernel is scan-local CPU, no extra
+   * shuffle. Cross joins are 1-row × 1-row only.
+   */
+  def corpusOverlap(a: DataFrame, b: DataFrame, idCol: String, textCol: String,
+                    n: Int = 13): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val ga = shingled(a, idCol, textCol, n)
+      .select(col("__id"), explode(col("__hs")).as("__g"))
+    val gb = shingled(b, idCol, textCol, n)
+      .select(explode(col("__hs")).as("__g"))
+    val tagged = ga.select(col("__g"), lit(1L).as("__ina"), lit(0L).as("__inb"))
+      .unionByName(gb.select(col("__g"), lit(0L).as("__ina"), lit(1L).as("__inb")))
+    val gramStats = tagged.groupBy(col("__g"))
+      .agg(max(col("__ina")).as("__ina"), max(col("__inb")).as("__inb"))
+      .agg(sum(col("__ina")).as("grams_a"), sum(col("__inb")).as("grams_b"),
+           sum(col("__ina") * col("__inb")).as("shared_grams"))
+    val overlapDocs = ga.join(gb.distinct(), Seq("__g"), "left_semi")
+      .select(col("__id")).distinct()
+      .agg(count(lit(1)).as("docs_a_overlap"))
+    val docsA = a.agg(count(lit(1)).as("docs_a"))
+    gramStats.crossJoin(overlapDocs).crossJoin(docsA)
+      .select(
+        col("grams_a"), col("grams_b"), col("shared_grams"),
+        round(col("shared_grams") /
+          (col("grams_a") + col("grams_b") - col("shared_grams")), 6)
+          .as("gram_jaccard"),
+        round(col("shared_grams") / col("grams_a"), 6).as("containment_a"),
+        round(col("shared_grams") / col("grams_b"), 6).as("containment_b"),
+        col("docs_a"), col("docs_a_overlap"),
+        round(col("docs_a_overlap") / col("docs_a"), 6).as("doc_overlap_rate_a"))
+  }
+
+  /**
    * Duplicated-window profile — the measurement half of substring-level
    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
    * Models Better": exact-substring duplication at ~50-token windows is

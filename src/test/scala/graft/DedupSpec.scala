@@ -462,6 +462,38 @@ class DedupSpec extends AnyFunSuite {
     assert(semi.nonEmpty, "eval-side broadcast semi-join missing from the plan")
   }
 
+  test("corpusOverlap reports gram ledger, containments, and doc attribution") {
+    // A bigrams: {a b, b c, c d, d e}; B bigrams: {a b, b x, p q, q r}
+    // shared = {a b} -> jaccard 1/7, containment 1/4 each side;
+    // only A doc 1 carries a shared gram -> rate 1/2
+    val a = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    val b = Seq((10L, "a b x"), (11L, "p q r")).toDF("doc_id", "text")
+    val row = Dedup.corpusOverlap(a, b, "doc_id", "text", n = 2).collect().head
+    assert(row.getAs[Long]("grams_a") == 4L)
+    assert(row.getAs[Long]("grams_b") == 4L)
+    assert(row.getAs[Long]("shared_grams") == 1L)
+    assert(row.getAs[Double]("gram_jaccard") == 0.142857)
+    assert(row.getAs[Double]("containment_a") == 0.25)
+    assert(row.getAs[Double]("containment_b") == 0.25)
+    assert(row.getAs[Long]("docs_a") == 2L)
+    assert(row.getAs[Long]("docs_a_overlap") == 1L)
+    assert(row.getAs[Double]("doc_overlap_rate_a") == 0.5)
+    // swapped arguments attribute the B side: only doc 10 overlaps
+    val swapped = Dedup.corpusOverlap(b, a, "doc_id", "text", n = 2).collect().head
+    assert(swapped.getAs[Long]("docs_a_overlap") == 1L)
+    assert(swapped.getAs[Long]("shared_grams") == 1L)
+  }
+  test("corpusOverlap against an empty side yields zero counts, null 0/0 ratios") {
+    val a = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val row = Dedup.corpusOverlap(a, empty, "doc_id", "text", n = 2).collect().head
+    assert(row.getAs[Long]("grams_b") == 0L)
+    assert(row.getAs[Long]("shared_grams") == 0L)
+    assert(row.getAs[Double]("gram_jaccard") == 0.0)
+    assert(row.isNullAt(row.fieldIndex("containment_b"))) // 0/0
+    assert(row.getAs[Long]("docs_a_overlap") == 0L)
+  }
+
   test("collapseNearDupsBest keeps the argmax-score member, ties to min id") {
     val docs = Seq(
       (1L, 10L), (2L, 30L), (3L, 30L), // one component via pairs below
