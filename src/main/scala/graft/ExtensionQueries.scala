@@ -274,6 +274,10 @@ object ExtensionQueries {
         d.filter(col("doc_id") >= 200), "doc_id", "text", n = 5))
     }),
 
+    // the grouped matrix twin: which SOURCE pairs share 5-grams
+    "q_corpus_overlap_matrix" -> ((s, dir) =>
+      det(Dedup.corpusOverlapMatrix(docs(s, dir), "text", "source", n = 5))),
+
     // --- dedup ------------------------------------------------------------
 
     // byFingerprint: the graded plan shuffles 16-byte md5 keys, not raw
@@ -1242,6 +1246,23 @@ object ExtensionQueries {
          |  docs_a, docs_a_overlap,
          |  round(docs_a_overlap / docs_a, 6) AS doc_overlap_rate_a
          |FROM c""".stripMargin,
+
+    "q_corpus_overlap_matrix" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ')
+         |  for i in generate_series(1, len(t)-4)]) AS s FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |gs AS (SELECT DISTINCT d.source AS grp, e.g FROM ex e JOIN documents d USING (doc_id)),
+         |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS grams FROM gs GROUP BY grp),
+         |pr AS (SELECT a.grp AS group_a, b.grp AS group_b,
+         |         CAST(count(*) AS BIGINT) AS shared_grams
+         |       FROM gs a JOIN gs b USING (g) WHERE a.grp < b.grp GROUP BY 1, 2)
+         |SELECT group_a, group_b, ta.grams AS grams_a, tb.grams AS grams_b,
+         |  shared_grams,
+         |  round(shared_grams / (ta.grams + tb.grams - shared_grams), 6) AS gram_jaccard
+         |FROM pr JOIN tot ta ON pr.group_a = ta.grp JOIN tot tb ON pr.group_b = tb.grp
+         |ORDER BY group_a $N1, group_b $N1, grams_a $N1, grams_b $N1,
+         |  shared_grams $N1, gram_jaccard $N1""".stripMargin,
 
     "q_dedup_incremental" -> oracleIncrementalSql,
 

@@ -720,6 +720,51 @@ object Dedup {
   }
 
   /**
+   * Pairwise overlap MATRIX across the corpus's own slices — the
+   * grouped generalization of [[corpusOverlap]]: for every pair of
+   * `groupCol` values (sources, dumps, mixture components) sharing at
+   * least one distinct word-`n`-gram, the shared-gram count and its
+   * Jaccard against each side's gram total. The dataset-card table a
+   * mixture designer reads before weighting sources ("is src3 just
+   * src7 re-crawled?"). Pairs sharing nothing are absent; `group_a <
+   * group_b` (binary string order), one row per unordered pair. Rows
+   * with a NULL group are dropped.
+   *
+   * 100 TB design: ONE shuffle of (64-bit gram hash) with a map-side
+   * partial `collect_set(group)` bounded by the group count G — the
+   * per-gram row that reaches the exchange carries at most G entries
+   * no matter how many billion times the gram occurs. Pair expansion
+   * is G² per gram WORST case (a gram in every slice), partially
+   * re-aggregated map-side into the tiny G² matrix before its own
+   * exchange; per-group totals ride the same per-gram ledger and
+   * broadcast-join back onto the pairs. Designed for G up to the
+   * thousands (G² matrix rows, KBs), not millions.
+   */
+  def corpusOverlapMatrix(docs: DataFrame, textCol: String, groupCol: String,
+                          n: Int = 13): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val ex = docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__grp"),
+        explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n)).as("__g"))
+    val perGram = ex.groupBy(col("__g")).agg(collect_set(col("__grp")).as("__grps"))
+    val pairs = perGram
+      .select(explode(col("__grps")).as("__a"), col("__grps"))
+      .select(col("__a"), explode(col("__grps")).as("__b"))
+      .filter(col("__a") < col("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("shared_grams"))
+    val totals = perGram.select(explode(col("__grps")).as("__grp"))
+      .groupBy(col("__grp")).agg(count(lit(1)).as("__grams"))
+    pairs
+      .join(broadcast(totals.select(col("__grp").as("__a"), col("__grams").as("grams_a"))), Seq("__a"))
+      .join(broadcast(totals.select(col("__grp").as("__b"), col("__grams").as("grams_b"))), Seq("__b"))
+      .select(col("__a").as("group_a"), col("__b").as("group_b"),
+        col("grams_a"), col("grams_b"), col("shared_grams"),
+        round(col("shared_grams") /
+          (col("grams_a") + col("grams_b") - col("shared_grams")), 6)
+          .as("gram_jaccard"))
+  }
+
+  /**
    * Duplicated-window profile — the measurement half of substring-level
    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
    * Models Better": exact-substring duplication at ~50-token windows is

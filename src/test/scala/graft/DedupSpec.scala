@@ -494,6 +494,25 @@ class DedupSpec extends AnyFunSuite {
     assert(row.getAs[Long]("docs_a_overlap") == 0L)
   }
 
+  test("corpusOverlapMatrix emits one row per overlapping group pair") {
+    // s1 bigrams {a b, b c, c d}; s2 {a b, b c, x y}; s3 {p q, q r}
+    // s1^s2 share {a b, b c}; s3 overlaps nothing -> absent
+    val d = Seq(
+      (1L, "a b c d", "s1"),
+      (2L, "a b c", "s2"), (3L, "x y", "s2"),
+      (4L, "p q r", "s3"),
+      (5L, "zz", null.asInstanceOf[String])) // null group dropped
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.corpusOverlapMatrix(d, "text", "source", n = 2).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("group_a") == "s1" && r.getAs[String]("group_b") == "s2")
+    assert(r.getAs[Long]("grams_a") == 3L)
+    assert(r.getAs[Long]("grams_b") == 3L)
+    assert(r.getAs[Long]("shared_grams") == 2L)
+    assert(r.getAs[Double]("gram_jaccard") == 0.5) // 2 / (3+3-2)
+  }
+
   test("collapseNearDupsBest keeps the argmax-score member, ties to min id") {
     val docs = Seq(
       (1L, 10L), (2L, 30L), (3L, 30L), // one component via pairs below
