@@ -738,6 +738,18 @@ object ExtensionQueries {
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split")))),
 
+    // leakage-safe twin: near-dup families (the q_dedup_collapse pair
+    // graph) hash their component min id, so a family never straddles
+    // train/valid/test
+    "q_sample_split_leaksafe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val p = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 5, threshold = 0.5, dfCap = 100)
+      det(graft.operators.Sampling.assignSplitLeakSafe(d, "doc_id", p,
+        "doc_a", "doc_b", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")))
+    }),
+
     "q_sample_shuffle" -> ((s, dir) =>
       det(graft.operators.Sampling.globalShuffle(docs(s, dir), "doc_id",
         seed = 42L, shards = 8)
@@ -1695,6 +1707,23 @@ object ExtensionQueries {
          |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |      / 4294967296.0 < f.frac
          |ORDER BY d.doc_id $N1, text $N1, d.lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_sample_split_leaksafe" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(id, r) AS (SELECT a, b FROM edges
+         |  UNION SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+         |u AS (SELECT d.doc_id,
+         |  ('0x' || substring(md5(CAST(coalesce(comp.component, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+         |    / 4294967296.0 AS uni
+         |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id)
+         |SELECT doc_id, CASE WHEN uni < 0.8 THEN 'train'
+         |  WHEN uni < 0.8 + 0.1 THEN 'valid'
+         |  WHEN uni < 0.8 + 0.1 + 0.1 THEN 'test' ELSE NULL END AS split
+         |FROM u ORDER BY doc_id $N1, split $N1""".stripMargin,
+
     "q_sample_split" ->
       s"""WITH u AS (SELECT doc_id,
          |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -253,6 +253,38 @@ object Sampling {
   }
 
   /**
+   * Leakage-safe split: [[assignSplit]] keyed on each row's near-dup
+   * COMPONENT representative instead of its own key. A plain hash
+   * split sends two near-duplicate documents to different slices
+   * ~P(not same slice) of the time, quietly leaking eval items into
+   * training (the contamination [[Dedup.decontaminate]] guards against,
+   * self-inflicted at split time); here every member of a connected
+   * near-dup component hashes the component's min id, so a whole
+   * duplicate family lands in ONE slice. `pairs` is any near-dup pair
+   * frame (`Dedup.ngramJaccardPairs`, minhash, SemDeDup...) over the
+   * same ids; rows absent from `pairs` are singletons and hash their
+   * own key. Same growth-stability contract as [[assignSplit]]: a
+   * component keeps its slice when new data arrives, unless new edges
+   * MERGE two components (then the merged family re-draws together —
+   * the conservative direction: families never straddle).
+   *
+   * 100 TB design: component labels come from the iterative min-label
+   * propagation ([[Dedup.connectedComponents]] — pair-frame-bounded,
+   * checkpointed), the label join is one shuffle bounded by the docs
+   * that HAVE a near-dup (AQE broadcasts it when small), and the split
+   * itself stays a zero-shuffle codegen'd projection.
+   */
+  def assignSplitLeakSafe(df: DataFrame, keyCol: String, pairs: DataFrame,
+                          aCol: String, bCol: String,
+                          splits: Seq[(String, Double)]): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(keyCol), col("comp").as("__rep"))
+    val keyed = df.join(comps, Seq(keyCol), "left")
+      .withColumn("__skey", coalesce(col("__rep"), col(keyCol)))
+    assignSplit(keyed, "__skey", splits).drop("__rep", "__skey")
+  }
+
+  /**
    * Percentile bucketing — CCNet's head/middle/tail split one operator
    * up: assign each row the index (0-based, 0 = lowest scores) of the
    * equal-mass percentile bucket its `scoreCol` falls into. CCNet

@@ -205,6 +205,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(PlanWalk.shuffleCount(out) == 0)
   }
 
+  test("assignSplitLeakSafe keeps a near-dup family in one slice") {
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val d = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b") // family {1,2,3}
+    val m = Sampling.assignSplitLeakSafe(d, "doc_id", pairs, "doc_a", "doc_b",
+      splits).select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m(1L) == m(2L) && m(2L) == m(3L), "family straddles slices")
+    // the family draws as its min id; singletons draw as themselves
+    val plain = Sampling.assignSplit(d, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m(1L) == plain(1L))
+    assert(m(4L) == plain(4L))
+    // output shape matches assignSplit: input columns + split only
+    assert(Sampling.assignSplitLeakSafe(d, "doc_id", pairs, "doc_a", "doc_b",
+      splits).columns.toSeq == Seq("doc_id", "split"))
+  }
+
   test("tokenBudgetSample stays within budget + one doc, hash-first order") {
     val budget = 2000L
     val out = Sampling.tokenBudgetSample(docs, Seq("lang"), "doc_id",
