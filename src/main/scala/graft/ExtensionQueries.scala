@@ -420,6 +420,17 @@ object ExtensionQueries {
 
     // --- similarity search ------------------------------------------------
 
+    // embedding-space decontamination: drop corpus vectors within
+    // cos 0.45 of the eval slice (vec_id % 97) — same measured-vs-exact
+    // 32x3 contract as q_dedup_embedding
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      det(Similarity.semanticDecontaminate(e,
+        e.filter(pmod(col("vec_id"), lit(97)) === 0),
+        "vec_id", "embedding", 0.45, tables = 32, planes = 3, dim = 64)
+        .select(col("vec_id"), col("label")))
+    }),
+
     // SemDeDup-style collapse: LSH-measured like q_dedup_embedding (same
     // 32x3 high-recall SRP parameters, same deterministic-recall
     // argument), exact all-pairs + recursive-CTE oracle
@@ -1484,6 +1495,13 @@ object ExtensionQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE $cosSql >= 0.45
          |ORDER BY vec_a $N1, vec_b $N1, cos_sim $N1""".stripMargin,
+    "q_decontaminate_semantic" ->
+      s"""WITH bad AS (SELECT DISTINCT a.vec_id
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id % 97 = 0
+         |  WHERE $cosSql >= 0.45)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+         |ORDER BY vec_id $N1, label $N1""".stripMargin,
     "q_dedup_semantic" ->
       s"""WITH RECURSIVE pr AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb

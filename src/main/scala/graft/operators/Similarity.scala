@@ -159,6 +159,48 @@ object Similarity extends Logging {
     graft.operators.Dedup.collapseNearDups(corpus, idCol, pairs, "vec_a", "vec_b")
   }
 
+  /**
+   * Semantic decontamination — the embedding-space twin of
+   * [[graft.operators.Dedup.decontaminate]]: drop every corpus row
+   * whose vector is within cosine `threshold` of ANY eval-set vector.
+   * Paraphrased eval items share no 13-gram with their training-set
+   * leak, but they do share a neighborhood in embedding space — this is
+   * the guard for that (run it alongside, not instead of, the n-gram
+   * one). Returns the surviving corpus rows with their original schema;
+   * an eval row present in the corpus removes itself (cosine 1.0).
+   *
+   * Recall contract is [[srpNearDupPairs]]'s, cross-set: both sides
+   * bucket under the SAME fixed-seed hyperplanes, so a (corpus, eval)
+   * pair at cosine c is caught with prob 1-(1-p^planes)^tables — the
+   * defaults are the high-recall 32x3 regime the measured-vs-exact
+   * `q_dedup_embedding` contract pins at threshold 0.45.
+   *
+   * 100 TB design: candidates come from the (table, bucket) equi-join
+   * of corpus buckets against EVAL buckets — volume scales with the
+   * eval set (thousands of rows), never corpus², and the join carries
+   * ids only ([[candidatesFromBlocks]]' discipline); vectors re-join
+   * per candidate, the cosine rerank filters, and one id-keyed
+   * anti-join (bounded by the contaminated count) produces survivors.
+   */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String, threshold: Double,
+                            tables: Int = 32, planes: Int = 3,
+                            dim: Int = 64): DataFrame = {
+    val cb = srpBuckets(corpus, idCol, vecCol, tables, planes, dim)
+      .select(col("__id").as("__cid"), col("__table"), col("__bucket"))
+    val eb = srpBuckets(evalSet, idCol, vecCol, tables, planes, dim)
+      .select(col("__id").as("__eid"), col("__table"), col("__bucket"))
+    val candIds = cb.join(eb, Seq("__table", "__bucket"))
+      .select(col("__cid"), col("__eid")).distinct()
+    val c = side(corpus, idCol, vecCol, "__cid", "__vc", "__nc")
+    val e = side(evalSet, idCol, vecCol, "__eid", "__ve", "__ne")
+    val flagged = candIds.join(c, "__cid").join(e, "__eid")
+      .filter(dotP(col("__vc"), col("__ve")) / (col("__nc") * col("__ne"))
+        >= threshold)
+      .select(col("__cid").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** (table, bucket) signature columns for SRP-LSH: bucket = bit pattern
     * of sign(dot(plane, vec)) over H planes; hyperplanes are fixed-seed
     * Gaussian draws (same plan every run). Returns one row per

@@ -587,6 +587,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size < n, "sf0.01 embeddings contain planted near-dups")
   }
 
+  test("semanticDecontaminate equals the exact cross-set cosine decision at sf0.01") {
+    val evalIds = sfEmb.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactPairs = Similarity.cosineNearDupPairs(sfEmb, "vec_id", "embedding", 0.45)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // flagged = every eval id (cos-1.0 self-match) plus any corpus id
+    // exact-paired with an eval id at >= 0.45
+    val flagged = evalIds ++
+      exactPairs.collect { case (a, b) if evalIds(b) => a } ++
+      exactPairs.collect { case (a, b) if evalIds(a) => b }
+    val expected = sfEmb.select("vec_id").collect().map(_.getLong(0)).toSet -- flagged
+    val got = Similarity.semanticDecontaminate(sfEmb,
+        sfEmb.filter(pmod(col("vec_id"), lit(97)) === 0),
+        "vec_id", "embedding", 0.45)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(expected.size < sfEmb.count(), "gate is vacuous — nothing flagged")
+  }
+
   test("PQ: exact codebook recovery makes pqTopK row-identical to brute force") {
     // 16-dim vectors assembled from 8 distinct UNIT 4-dim sub-vectors per
     // subspace: the full norm is constant (sqrt(4)), so global
