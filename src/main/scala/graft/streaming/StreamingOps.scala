@@ -275,6 +275,21 @@ object StreamingOps {
       sink(graft.operators.Dedup.decontaminate(batch, evalSet, idCol, textCol, n),
         batchId)
 
+  /** The embedding-space twin of [[decontaminateBatches]]: each
+    * micro-batch drops rows within cosine `threshold` of the static
+    * eval set via [[graft.operators.Similarity.semanticDecontaminate]]
+    * — stream-batch × static-eval joins only, no state, decisions
+    * equal the batch operator row-for-row on the same rows (the
+    * hyperplanes are fixed-seed, so bucketing is run-independent). */
+  def semanticDecontaminateBatches(idCol: String, vecCol: String,
+                                   evalSet: DataFrame, threshold: Double,
+                                   tables: Int = 32, planes: Int = 3,
+                                   dim: Int = 64)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      sink(graft.operators.Similarity.semanticDecontaminate(batch, evalSet,
+        idCol, vecCol, threshold, tables, planes, dim), batchId)
+
   /**
    * Deterministic sampling / split assignment for STREAMING frames —
    * the intake twins of [[graft.operators.Sampling.hashSample]],

@@ -229,6 +229,40 @@ class StreamingOpsSpec extends AnyFunSuite {
       "decontamination must actually drop rows on this corpus")
   }
 
+  test("semanticDecontaminateBatches: per-batch decisions equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val eval = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select("vec_id", "embedding")
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val (batch1, batch2) = rows.splitAt(rows.length / 2)
+    val got = scala.collection.concurrent.TrieMap[Long, Set[Long]]()
+    val stage = StreamingOps.semanticDecontaminateBatches("vec_id", "embedding",
+      eval, threshold = 0.45) { (survivors, id) =>
+        got(id) = survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(stage).start()
+    mem.addData(batch1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(batch2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def batchDecision(rs: Array[(Long, Seq[Float])]): Set[Long] =
+      graft.operators.Similarity.semanticDecontaminate(
+          rs.toSeq.toDF("vec_id", "embedding"), eval,
+          "vec_id", "embedding", 0.45)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == batchDecision(batch1))
+    assert(got(1L) == batchDecision(batch2))
+    assert(got(0L).size + got(1L).size < rows.length,
+      "semantic decontamination must actually drop rows on this corpus")
+  }
+
   test("compileStream dispatches the configured validation plugin chain") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
