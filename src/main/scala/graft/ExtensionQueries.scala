@@ -463,6 +463,15 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 5).drop("cos_sim"))
     }),
 
+    // contrastive hard negatives: top-5 most-similar DIFFERENT-label
+    // corpus vectors per query
+    "q_sim_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      det(Similarity.hardNegatives(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", "label", k = 5)
+        .withColumn("cos_sim", round(col("cos_sim"), 6)))
+    }),
+
     "q_sim_ann_lsh" -> ((s, dir) =>
       det(Similarity.annTopK(emb(s, dir), "vec_id", "embedding", k = 5,
         tables = 12, planes = 6, dim = 64).drop("cos_sim"))),
@@ -1559,6 +1568,16 @@ object ExtensionQueries {
          |  (PARTITION BY vec_id ORDER BY sq_score DESC, neighbor_id) AS rank FROM p)
          |SELECT vec_id, neighbor_id, rank, sq_score FROM r WHERE rank <= 5
          |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1, sq_score $N1""".stripMargin,
+    "q_sim_hard_negatives" ->
+      s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
+         |  FROM embeddings a JOIN embeddings b ON b.label != a.label
+         |  WHERE a.vec_id < 20),
+         |r AS (SELECT vec_id, neighbor_id, cos, row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM p)
+         |SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+         |FROM r WHERE rank <= 5
+         |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1, cos_sim $N1""".stripMargin,
+
     "q_sim_topk" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id

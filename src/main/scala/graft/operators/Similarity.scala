@@ -79,6 +79,45 @@ object Similarity extends Logging {
       .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"), col("cos_sim"))
   }
 
+  /**
+   * Hard-negative mining for contrastive training: for each query row,
+   * the `k` most cosine-similar corpus rows whose `labelCol` DIFFERS
+   * from the query's — the "looks like a match but isn't" examples a
+   * bi-encoder trains against (labels are positive groups: paired
+   * passages, clusters, source families). Same-label rows are excluded
+   * BEFORE ranking, so the k slots all go to true negatives. Rows with
+   * a NULL label mine nothing and are mined by nobody (null != x is
+   * never true) — intentional: an unlabeled row has no well-defined
+   * positive set. Output: (idCol, neighbor_id, rank, cos_sim), rank
+   * 1..k by (cosine desc, neighbor id).
+   *
+   * Exact [[bruteForceTopK]] shape — query side broadcast, corpus
+   * scanned once, WindowGroupLimit pre-trims per-task; for corpus-scale
+   * query sides, generate candidates with [[annTopKAgainst]] /
+   * [[ivfTopKAgainst]] at inflated k and post-filter labels (mining
+   * tolerates approximate negatives; it does not tolerate an all-pairs
+   * join).
+   */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = broadcast(queries.select(col(idCol).as("__qid"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("__qv"),
+      norm(col(vecCol)).as("__qn"), col(labelCol).as("__ql")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("__cv"),
+      norm(col(vecCol)).as("__cn"), col(labelCol).as("__cl"))
+    val scored = q.join(c, col("__ql") =!= col("__cl"))
+      .withColumn("cos_sim",
+        dotP(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"),
+        col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all corpus pairs with
     * cosine >= threshold. Exact (self-join) flavor — the verify baseline;
     * use [[srpNearDupPairs]] as the scale path. */

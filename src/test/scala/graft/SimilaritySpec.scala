@@ -587,6 +587,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size < n, "sf0.01 embeddings contain planted near-dups")
   }
 
+  test("hardNegatives excludes same-label rows and ranks true negatives by cosine") {
+    // query (1,0) label 1: its exact copy shares the label (excluded);
+    // negatives rank (0.9,0.1) over (0,1); null-label row never appears
+    val queries = Seq((1L, Seq(1f, 0f), Option(1)))
+      .toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (10L, Seq(1f, 0f), Option(1)),    // same label — excluded despite cos 1.0
+      (11L, Seq(0.9f, 0.1f), Option(2)),
+      (12L, Seq(0f, 1f), Option(2)),
+      (13L, Seq(1f, 0f), Option.empty[Int])) // null label — never mined
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(queries, corpus, "vec_id", "embedding",
+        "label", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    assert(got.toSeq == Seq((11L, 1L), (12L, 2L)))
+    // null-label QUERY mines nothing
+    val nullQ = Seq((2L, Seq(1f, 0f), Option.empty[Int]))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(nullQ, corpus, "vec_id", "embedding",
+      "label", k = 2).isEmpty)
+  }
+
   test("semanticDecontaminate equals the exact cross-set cosine decision at sf0.01") {
     val evalIds = sfEmb.filter(pmod(col("vec_id"), lit(97)) === 0)
       .select("vec_id").collect().map(_.getLong(0)).toSet
