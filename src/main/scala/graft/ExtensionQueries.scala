@@ -753,6 +753,12 @@ object ExtensionQueries {
       det(graft.operators.Sampling.rebalanceMixture(docs(s, dir),
         "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)))),
 
+    // α = 0.5 temperature sampling over languages: tempered shares
+    // derived from the corpus itself, not hand-specified
+    "q_sample_temperature" -> ((s, dir) =>
+      det(graft.operators.Sampling.temperatureSample(docs(s, dir),
+        "lang", "doc_id", alpha = 0.5))),
+
     "q_sample_split" -> ((s, dir) =>
       det(graft.operators.Sampling.assignSplit(docs(s, dir), "doc_id",
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
@@ -1744,6 +1750,25 @@ object ExtensionQueries {
          |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |      / 4294967296.0 < f.frac
          |ORDER BY d.doc_id $N1, text $N1, d.lang $N1, source $N1, n_chars $N1""".stripMargin,
+    // mirrors the operator's driver arithmetic shape-for-shape:
+    // share = cnt^0.5 / Σ cnt^0.5, nMax = min(cnt/share),
+    // frac = floor(least(1, nMax*share/cnt)*1e9)/1e9 (the operator's
+    // documented 1e-9 quantization makes the cut engine-stable)
+    "q_sample_temperature" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY lang),
+         |w AS (SELECT lang, cnt, power(cnt, CAST(0.5 AS DOUBLE)) AS wt FROM c),
+         |t AS (SELECT lang, cnt, wt / (SELECT sum(wt) FROM w) AS share FROM w),
+         |nm AS (SELECT min(cnt / share) AS n FROM t),
+         |f AS (SELECT lang,
+         |  floor(least(CAST(1.0 AS DOUBLE), (SELECT n FROM nm) * share / cnt) * 1e9) / 1e9 AS frac
+         |  FROM t)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN f ON d.lang = f.lang
+         |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      / 4294967296.0 < f.frac
+         |ORDER BY d.doc_id $N1, text $N1, d.lang $N1, source $N1, n_chars $N1""".stripMargin,
+
     "q_sample_split_leaksafe" ->
       s"""WITH RECURSIVE $jaccardCte,
          |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),

@@ -108,6 +108,51 @@ object Sampling {
   }
 
   /**
+   * Temperature (α) sampling — the multilingual mixture recipe
+   * (mBERT/XLM-R/mT5): target shares are derived FROM the corpus as
+   * `count^α / Σ count^α` instead of hand-specified, flattening the
+   * size distribution toward uniform as α → 0 (α = 1 keeps natural
+   * proportions; ~0.3–0.7 is the published range). The smallest
+   * stratum is kept whole (fraction = `scale`); larger strata are
+   * hash-downsampled toward their tempered share. NULL strata are
+   * dropped. Delegates to the [[stratifiedSample]] filter, so
+   * survival is the usual md5-uniform — deterministic and
+   * engine-reproducible.
+   *
+   * Fractions are quantized to 1e-9 before filtering: share arithmetic
+   * runs in driver doubles (`pow`, an unordered sum), and quantizing
+   * makes the cut a stable contract across engines/libm versions
+   * rather than a last-ULP coin flip on rows whose uniform grazes the
+   * boundary.
+   *
+   * 100 TB design: identical to [[rebalanceMixture]] — one eager
+   * per-stratum count (rows = distinct strata), then a zero-shuffle
+   * codegen'd CASE + hash filter.
+   */
+  def temperatureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                        alpha: Double, scale: Double = 1.0): DataFrame = {
+    require(alpha > 0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(scale > 0 && scale <= 1.0, "scale must be in (0, 1]")
+    require(df.schema(stratumCol).dataType == StringType,
+      s"temperatureSample needs a string stratum column, got " +
+        df.schema(stratumCol).dataType.simpleString)
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    if (counts.isEmpty) return df.filter(lit(false))
+    val wts = counts.map { case (s, n) => s -> math.pow(n, alpha) }
+    val wsum = wts.values.sum
+    val shares = wts.map { case (s, w) => s -> w / wsum }
+    val nMax = shares.map { case (s, share) => counts(s) / share }.min
+    val fractions = shares.map { case (s, share) =>
+      s -> math.floor(math.min(1.0, scale * nMax * share / counts(s)) * 1e9) / 1e9
+    }
+    stratifiedSample(df.filter(col(stratumCol).isNotNull),
+      stratumCol, keyCol, fractions, default = 0.0)
+  }
+
+  /**
    * Exact per-stratum quota: the `k` rows of each stratum with the
    * smallest hash uniform (deterministic order, ties broken by the key
    * itself). One shuffle on the strata; the `row_number <= k` filter

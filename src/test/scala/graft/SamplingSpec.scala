@@ -205,6 +205,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(PlanWalk.shuffleCount(out) == 0)
   }
 
+  test("temperatureSample keeps the smallest stratum whole, flattens toward uniform") {
+    val df = ((1 to 9).map(i => (i.toLong, "big")) :+ (100L, "small"))
+      .toDF("doc_id", "lang")
+    // α = 1: natural proportions — every stratum's fraction is 1
+    assert(Sampling.temperatureSample(df, "lang", "doc_id", alpha = 1.0)
+      .count() == 10L)
+    // α = 0.5: shares (0.75, 0.25), nMax = 4 → big keeps 1/3, small all
+    val out = Sampling.temperatureSample(df, "lang", "doc_id", alpha = 0.5)
+    val by = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.getOrElse("small", 0L) == 1L, "smallest stratum must be kept whole")
+    assert(by("big") < 9L, "big stratum must be downsampled")
+    // deterministic re-run
+    assert(Sampling.temperatureSample(df, "lang", "doc_id", alpha = 0.5)
+      .count() == out.count())
+    // null strata dropped
+    val withNull = df.unionByName(Seq((200L, null.asInstanceOf[String]))
+      .toDF("doc_id", "lang"))
+    assert(Sampling.temperatureSample(withNull, "lang", "doc_id", alpha = 0.5)
+      .filter(col("lang").isNull).count() == 0L)
+  }
+
   test("assignSplitLeakSafe keeps a near-dup family in one slice") {
     val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
     val d = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
