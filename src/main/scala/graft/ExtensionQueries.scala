@@ -399,6 +399,16 @@ object ExtensionQueries {
         .select(col("doc_id"), col("text")))
     }),
 
+    // collapse PROVENANCE: per survivor, the family size and the exact
+    // ids removed in its favor — the audit/lineage record of the
+    // q_dedup_collapse decision (same pair graph, same survivors)
+    "q_dedup_lineage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val p = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 5, threshold = 0.5, dfCap = 100)
+      det(Dedup.collapseLineage(d, "doc_id", p, "doc_a", "doc_b"))
+    }),
+
     // quality-aware collapse: same pair graph as q_dedup_collapse but
     // the survivor is the LONGEST member (n_chars), ties to min id
     "q_dedup_collapse_best" -> ((s, dir) => {
@@ -1430,6 +1440,25 @@ object ExtensionQueries {
          |SELECT d.doc_id, coalesce(k.text, '') AS text
          |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
          |ORDER BY d.doc_id $N1, text $N1""".stripMargin,
+    "q_dedup_lineage" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(id, r) AS (SELECT a, b FROM edges
+         |  UNION SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+         |mem AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+         |        FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+         |st AS (SELECT component, min(doc_id) AS survivor_id,
+         |       CAST(count(*) AS BIGINT) AS n_members FROM mem GROUP BY component)
+         |SELECT st.survivor_id, st.n_members,
+         |  coalesce(string_agg(CASE WHEN m.doc_id <> st.survivor_id
+         |    THEN CAST(m.doc_id AS VARCHAR) END, ',' ORDER BY m.doc_id), '')
+         |    AS removed_ids
+         |FROM st JOIN mem m ON m.component = st.component
+         |GROUP BY st.survivor_id, st.n_members
+         |ORDER BY survivor_id $N1, n_members $N1, removed_ids $N1""".stripMargin,
     "q_dedup_collapse_best" ->
       s"""WITH RECURSIVE $jaccardCte,
          |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),

@@ -545,6 +545,47 @@ object Dedup {
       .drop("comp", "__keep")
   }
 
+  /**
+   * Collapse PROVENANCE: the audit record of a [[collapseNearDups]]
+   * decision — per surviving document, how many members its near-dup
+   * family had and exactly which ids were removed in its favor. Data
+   * governance needs this lineage (takedown requests, license audits,
+   * "why did doc X disappear?") and ablation studies need the family
+   * sizes; the collapse itself throws both away.
+   *
+   * Output: one row per SURVIVOR — `(survivor_id, n_members,
+   * removed_ids)` — where `removed_ids` is the comma-joined ascending
+   * list of absorbed ids (empty string for untouched docs, whose
+   * `n_members` is 1). Same re-restriction contract as
+   * [[collapseNearDups]]: families and survivors are computed over the
+   * ids PRESENT in `docs`, so `filter(n_members > 1)` of this output
+   * names exactly the rows [[collapseNearDups]] would keep-or-drop.
+   *
+   * 100 TB design: the per-family `collect_list` is bounded by the
+   * family size, which every upstream blocker already caps (df-capped
+   * candidates, cellCap buckets) — the same bound [[connectedComponents]]
+   * itself relies on; the corpus-sized frame is touched by exactly one
+   * left join. A pathological mega-family would surface through the
+   * blocker's cap metrics long before this aggregate sees it.
+   */
+  def collapseLineage(docs: DataFrame, idCol: String,
+                      pairs: DataFrame, aCol: String, bCol: String,
+                      maxIter: Int = 25): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, maxIter)
+      .select(col("id").as(idCol), col("comp"))
+    docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("__comp"))
+      .groupBy(col("__comp"))
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_members"),
+        sort_array(collect_list(col(idCol))).as("__ids"))
+      .select(col("survivor_id"), col("n_members"),
+        array_join(transform(
+          filter(col("__ids"), x => x =!= col("survivor_id")),
+          x => x.cast(StringType)), ",").as("removed_ids"))
+  }
+
   // -------------------------------------------------- decontamination
 
   /**

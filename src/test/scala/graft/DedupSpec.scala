@@ -419,6 +419,28 @@ class DedupSpec extends AnyFunSuite {
     assert(collapsed.count() < corpus.count())
   }
 
+  test("collapseLineage records family sizes and removed ids") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val lin = Dedup.collapseLineage(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(lin == Set((1L, 3L, "2,3"), (4L, 1L, ""), (5L, 1L, "")), lin.toString)
+    // re-restriction contract: with doc 1 filtered out, doc 2 inherits
+    // the family and reports only the members still present
+    val lin2 = Dedup.collapseLineage(docs.filter(col("doc_id") =!= 1L),
+        "doc_id", pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(lin2 == Set((2L, 2L, "3"), (4L, 1L, ""), (5L, 1L, "")), lin2.toString)
+    // lineage survivors == collapseNearDups survivors on a real blocker
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 5, threshold = 0.5, dfCap = 100)
+    val fromLineage = Dedup.collapseLineage(corpus, "doc_id", p, "doc_a", "doc_b")
+      .select("survivor_id").as[Long].collect().toSet
+    val fromCollapse = Dedup.collapseNearDups(corpus, "doc_id", p, "doc_a", "doc_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fromLineage == fromCollapse)
+  }
+
   test("simhashPairs covers every strong ngram-Jaccard pair at sf0.01") {
     // quantitative gate for the driver's rows-only q_dedup_simhash: every
     // near-dup pair the exact Jaccard path finds at J>=0.85 must fall
