@@ -810,6 +810,23 @@ object ExtensionQueries {
       det(graft.operators.TextStats.vocabulary(docs(s, dir), "text",
         minCount = 5L))),
 
+    // tokenizer-sizing card: minimal vocab covering 50/90/99% of the
+    // corpus token mass (exact integer thresholds, count-histogram plan)
+    "q_text_vocab_coverage" -> ((s, dir) =>
+      det(graft.operators.TextStats.vocabCoverage(docs(s, dir), "text",
+        Seq(50, 90, 99)))),
+
+    // BPE trainer's first-iteration merge table: adjacent char pairs
+    // inside tokens, occurrence-weighted, exploded from the VOCABULARY
+    "q_text_bpe_pairs" -> ((s, dir) =>
+      det(graft.operators.TextStats.bpePairCounts(docs(s, dir), "text",
+        minCount = 10L))),
+
+    // corpus-adaptive stopword list: tokens in >= 50% of documents
+    "q_text_stopwords" -> ((s, dir) =>
+      det(graft.operators.TextStats.stopwords(docs(s, dir), "doc_id", "text",
+        minDocPct = 50))),
+
     "q_text_logprob" -> ((s, dir) =>
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
@@ -1865,6 +1882,41 @@ object ExtensionQueries {
          |      FROM documents)
          |GROUP BY token HAVING count(*) >= 5
          |ORDER BY token $N1, n_occurrences $N1""".stripMargin,
+    // token-level formulation (rank every distinct token, min rank
+    // crossing the integer threshold): equals the Spark side's
+    // count-histogram arithmetic exactly — tokens sharing a count are
+    // interchangeable, so min(rk) and min(cum) land on the same prefix
+    "q_text_vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+         |              FROM documents),
+         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+         |r AS (SELECT cnt, token,
+         |        row_number() OVER (ORDER BY cnt DESC, token) AS rk,
+         |        sum(cnt) OVER (ORDER BY cnt DESC, token
+         |                       ROWS UNBOUNDED PRECEDING) AS cum FROM v)
+         |SELECT p.pct AS coverage_pct, CAST(min(rk) AS BIGINT) AS vocab_size,
+         |       CAST(min(cum) AS BIGINT) AS covered_occurrences
+         |FROM r, t, (VALUES (50),(90),(99)) p(pct)
+         |WHERE 100*cum >= p.pct*total
+         |GROUP BY p.pct
+         |ORDER BY coverage_pct $N1, vocab_size $N1, covered_occurrences $N1""".stripMargin,
+    "q_text_bpe_pairs" ->
+      s"""WITH toks AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+         |              FROM documents),
+         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+         |p AS (SELECT substring(token, unnest(range(1, length(token))), 2) AS pair,
+         |             cnt FROM v WHERE length(token) > 1)
+         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+         |FROM p GROUP BY pair HAVING sum(cnt) >= 10
+         |ORDER BY pair $N1, n_occurrences $N1""".stripMargin,
+    "q_text_stopwords" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id,
+         |      unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents)
+         |SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+         |FROM dt, n GROUP BY token, ndocs HAVING 100*count(*) >= 50*ndocs
+         |ORDER BY token $N1, df_docs $N1""".stripMargin,
     "q_text_logprob" ->
       s"""WITH toks AS (SELECT doc_id,
          |    unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents),

@@ -282,6 +282,139 @@ object TextStats {
   }
 
   /**
+   * Vocabulary coverage curve — the tokenizer-sizing card: for each
+   * requested coverage percentage, the MINIMAL number of distinct
+   * tokens (taken most-frequent-first, ties broken by token ascending)
+   * whose occurrences cover at least that share of the corpus token
+   * mass, plus the occurrences that minimal prefix actually covers.
+   * "How big must a vocabulary be to cover 99% of running tokens" is
+   * the first question every tokenizer/embedding-table budget answers.
+   *
+   * Exact integer semantics (no FP thresholds): a k-token prefix covers
+   * `pct` iff `100 * cum_count >= pct * total_count` — all Long
+   * arithmetic, so the answer is bit-stable at any corpus size.
+   *
+   * 100 TB design: NO token-level global sort. The corpus collapses to
+   * per-token counts (the Zipf-bounded, map-side-combined shuffle of
+   * [[vocabulary]]), then to one row PER DISTINCT COUNT VALUE — a
+   * count histogram with at most O(sqrt(total_tokens)) rows (the sum
+   * of d distinct positive counts is >= d(d+1)/2) — and the cumulative
+   * window runs over that tiny single-partition frame. Greedy
+   * most-frequent-first selection is optimal and tokens sharing a
+   * count are interchangeable, so the minimal k and its covered mass
+   * are reconstructed ARITHMETICALLY from the crossing histogram row:
+   * full groups above it plus `ceil` of the partial slice, integer DIV
+   * throughout. The total is a 1-row broadcast side of the same plan.
+   *
+   * Output: `(coverage_pct, vocab_size, covered_occurrences)`, one row
+   * per requested percentage (empty corpus => empty output).
+   */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    coveragePcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(coveragePcts.nonEmpty && coveragePcts.forall(p => p >= 1 && p <= 100),
+      "coveragePcts must be in [1, 100]")
+    val vocab = vocabulary(docs, textCol)
+    val hist = vocab.groupBy(col("n_occurrences").as("__cnt"))
+      .agg(count(lit(1)).as("__sz"))
+      .withColumn("__mass", col("__cnt") * col("__sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__cnt").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val total = vocab.agg(sum(col("n_occurrences")).as("__total"))
+    hist
+      .withColumn("__cum_sz", sum(col("__sz")).over(w))
+      .withColumn("__cum_mass", sum(col("__mass")).over(w))
+      .crossJoin(broadcast(total)) // one row: corpus token mass
+      .select(explode(array(coveragePcts.map(lit): _*)).as("coverage_pct"),
+        col("__cnt"), col("__sz"), col("__mass"),
+        col("__cum_sz"), col("__cum_mass"), col("__total"))
+      // groups satisfying the coverage; the crossing group is the one
+      // with the smallest cumulative mass among them
+      .filter(lit(100L) * col("__cum_mass") >=
+        col("coverage_pct").cast(LongType) * col("__total"))
+      .groupBy(col("coverage_pct"))
+      .agg(min(struct(col("__cum_mass"), col("__cum_sz"), col("__sz"),
+        col("__mass"), col("__cnt"), col("__total"))).as("__x"))
+      // within the crossing group, the partial slice m = ceil of the
+      // still-missing mass over the group's per-token count — Long DIV
+      .withColumn("__prev100", lit(100L) * (col("__x.__cum_mass") - col("__x.__mass")))
+      .withColumn("__np", col("coverage_pct").cast(LongType) * col("__x.__total"))
+      .withColumn("__step", lit(100L) * col("__x.__cnt"))
+      .withColumn("__m", expr("(__np - __prev100 + __step - 1) DIV __step"))
+      .select(col("coverage_pct"),
+        (col("__x.__cum_sz") - col("__x.__sz") + col("__m")).as("vocab_size"),
+        (col("__x.__cum_mass") - col("__x.__mass") + col("__m") * col("__x.__cnt"))
+          .as("covered_occurrences"))
+  }
+
+  /**
+   * BPE merge-candidate pair counts: corpus-wide frequencies of
+   * adjacent CHARACTER pairs inside whitespace tokens, occurrence-
+   * weighted — the scoring table a byte-pair-encoding tokenizer
+   * trainer reads on its first merge iteration (Sennrich et al. 2016,
+   * "Neural Machine Translation of Rare Words with Subword Units"),
+   * and the raw material for subword-vocabulary design studies.
+   *
+   * 100 TB design: the corpus first collapses to its VOCABULARY — the
+   * Zipf-bounded `(token, count)` frame of [[vocabulary]], map-side
+   * combined — and pairs explode from DISTINCT tokens only, weighted
+   * by their counts: the character-pair stream is proportional to
+   * distinct-token bytes, not corpus bytes (exactly how reference BPE
+   * trainers iterate a word-frequency dict, not the raw text). The
+   * pair aggregate is itself map-side combined into the ~alphabet²
+   * keyspace. `minCount` bounds the output tail.
+   *
+   * Output: `(pair, n_occurrences)` with `n_occurrences >= minCount`;
+   * single-character tokens contribute no pairs.
+   */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+                    minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    vocabulary(docs, textCol)
+      .filter(length(col("token")) > 1)
+      .select(explode(transform(
+        sequence(lit(1), length(col("token")) - 1),
+        i => col("token").substr(i, lit(2)))).as("pair"),
+        col("n_occurrences"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n_occurrences")).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
+
+  /**
+   * Stopword mining: tokens present in at least `minDocPct` percent of
+   * the corpus' documents, by DISTINCT document frequency — the
+   * corpus-adaptive stopword list that quality scoring and keyword
+   * extraction want (a fixed English list is wrong for every other
+   * language; df-based mining is self-calibrating). Threshold is exact
+   * integer arithmetic: `100 * df >= minDocPct * n_docs`.
+   *
+   * 100 TB design: the `(doc, token)` distinct collapses map-side
+   * before its exchange (each task's contribution is its local
+   * distinct pairs), the token aggregate is Zipf-bounded, and the
+   * document count is a 1-row broadcast side — no corpus-sized frame
+   * crosses the wire. Rows with NULL text count toward `n_docs` (they
+   * are documents; they just contain no tokens), matching a `count(*)`
+   * oracle.
+   *
+   * Output: `(token, df_docs)`.
+   */
+  def stopwords(docs: DataFrame, idCol: String, textCol: String,
+                minDocPct: Int = 50): DataFrame = {
+    require(minDocPct >= 1 && minDocPct <= 100, "minDocPct must be in [1, 100]")
+    val n = docs.agg(count(lit(1)).as("__ndocs"))
+    docs.select(col(idCol).as("__doc"),
+        explode(graft.functions.TextFunctions.whitespaceTokens(col(textCol))).as("token"))
+      .distinct()
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_docs"))
+      .crossJoin(broadcast(n))
+      .filter(lit(100L) * col("df_docs") >=
+        lit(minDocPct.toLong) * col("__ndocs"))
+      .select(col("token"), col("df_docs"))
+  }
+
+  /**
    * Per-document mean unigram log-probability — the cheap stand-in for
    * the LM-perplexity quality filter of CCNet (Wenzek et al. 2020):
    * documents whose tokens are corpus-typical score high, gibberish /

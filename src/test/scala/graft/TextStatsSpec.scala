@@ -218,6 +218,47 @@ class TextStatsSpec extends AnyFunSuite {
     assert(all == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("vocabCoverage reconstructs the minimal prefix from the count histogram") {
+    // counts: a=4 b=2 c=1 d=1, total 8
+    val docs = Seq((1L, "a a a a b b c d")).toDF("doc_id", "text")
+    val out = TextStats.vocabCoverage(docs, "text", Seq(50, 90, 99))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 50%: 'a' alone (4/8 exactly); 90%/99%: all four tokens (7/8 < both)
+    assert(out == Map(50 -> ((1L, 4L)), 90 -> ((4L, 8L)), 99 -> ((4L, 8L))),
+      out.toString)
+    // crossing INSIDE a count group: b and c interchangeable at cnt 2
+    // counts: a=4 b=2 c=2, total 8; 75% -> needs cum 6 -> a + one of {b,c}
+    val docs2 = Seq((1L, "a a a a b b c c")).toDF("doc_id", "text")
+    val out2 = TextStats.vocabCoverage(docs2, "text", Seq(75))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out2 == Map(75 -> ((2L, 6L))), out2.toString)
+  }
+
+  test("bpePairCounts weights adjacent char pairs by token occurrences") {
+    // vocab: "ab" x2, "abc" x1 -> pairs ab: 2+1=3, bc: 1
+    val docs = Seq((1L, "ab abc"), (2L, "ab")).toDF("doc_id", "text")
+    val all = TextStats.bpePairCounts(docs, "text", minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("ab" -> 3L, "bc" -> 1L), all.toString)
+    // minCount floors the tail; single-char tokens contribute nothing
+    val floored = TextStats.bpePairCounts(docs, "text", minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(floored == Map("ab" -> 3L))
+  }
+
+  test("stopwords mines tokens by distinct-document frequency") {
+    val docs = Seq((1L, "x y"), (2L, "x z"), (3L, "x x"), (4L, null))
+      .toDF("doc_id", "text")
+    // x in 3 of 4 docs (75%); repeated occurrences count once
+    val at50 = TextStats.stopwords(docs, "doc_id", "text", minDocPct = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(at50 == Map("x" -> 3L), at50.toString)
+    assert(TextStats.stopwords(docs, "doc_id", "text", minDocPct = 75)
+      .count() == 1L) // 100*3 >= 75*4 exactly
+    assert(TextStats.stopwords(docs, "doc_id", "text", minDocPct = 80)
+      .count() == 0L) // null-text doc still counts toward n_docs
+  }
+
   test("unigramLogProbScore matches the hand formula with a rare-token floor") {
     // corpus tokens: a a b | a c -> total 5; counts a=3 b=1 c=1;
     // minCount=2 keeps only 'a'; floor p = 2/5
