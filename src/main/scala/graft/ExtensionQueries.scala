@@ -78,6 +78,22 @@ object ExtensionQueries {
         "doc_id", "text", path)
     }
 
+  /** The COMPACTED twin of [[appendedIndex]]: same build+append history,
+    * then [[DedupIndex.compact]] rewrites every table (postings
+    * re-capped from stored shingles, per-row tables de-duplicated).
+    * Queried by q_dedup_index_compact with the same oracle again: the
+    * maintenance run must not move a single delta decision. */
+  private val compactedIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactedIndex(s: SparkSession, dir: String): String =
+    cachedTmpArtifact(compactedIndexes, "graft_dedup_index_cmp", dir) { path =>
+      val d = docs(s, dir)
+      DedupIndex.build(d.filter(col("doc_id") < 300), "doc_id", "text",
+        path, n = 5, dfCap = 100, numPerm = 64, bands = 32)
+      DedupIndex.append(d.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "doc_id", "text", path)
+      DedupIndex.compact(s, path)
+    }
+
   /** Seeded planted-cluster frame (20 clusters x 50 vectors, sigma small
     * vs inter-center distance, seed 11) — deterministic and SF-invariant,
     * shared by the clustered-structure gates and the bench-visible
@@ -348,6 +364,21 @@ object ExtensionQueries {
       val d = docs(s, dir)
       val newDocs = d.filter(col("doc_id") >= 400)
       val path = appendedIndex(s, dir)
+      val exactKept = DedupIndex.exactDedupAgainst(newDocs, "text", path)
+      val nearPairs = DedupIndex.ngramJaccardPairsAgainst(newDocs, "doc_id", "text",
+        path, threshold = 0.5)
+      det(exactKept.join(
+        nearPairs.select(col("doc_new").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+    }),
+
+    // maintenance run: the same delta decision against the COMPACTED
+    // build+append artifact — compact (postings re-capped from stored
+    // shingles, per-row tables distinct'd) must not move any decision
+    "q_dedup_index_compact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newDocs = d.filter(col("doc_id") >= 400)
+      val path = compactedIndex(s, dir)
       val exactKept = DedupIndex.exactDedupAgainst(newDocs, "text", path)
       val nearPairs = DedupIndex.ngramJaccardPairsAgainst(newDocs, "doc_id", "text",
         path, threshold = 0.5)
@@ -1338,6 +1369,7 @@ object ExtensionQueries {
     // ...and the APPEND-built index must agree with both: one oracle
     // text, three execution paths (live, one-shot index, build+append)
     "q_dedup_index_append" -> oracleIncrementalSql,
+    "q_dedup_index_compact" -> oracleIncrementalSql,
 
     // the whole pretrain pipeline, composed from the SAME oracle
     // fragments its stages grade against individually: clean CTEs ->

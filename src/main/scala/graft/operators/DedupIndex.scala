@@ -242,6 +242,61 @@ object DedupIndex {
       "bands")
   }
 
+  /**
+   * COMPACT a [[build]]+[[append]] parquet-dir artifact back to exact
+   * fresh-[[build]] semantics — the maintenance run that closes BOTH
+   * documented [[append]] divergences and heals a retried half-failed
+   * append:
+   *  - `postings/` is re-derived from the stored shingle set with the
+   *    build's whole-group df-cap, so a hash that CROSSED the cap
+   *    through appends loses its stored rows, and a build-dropped
+   *    stop-shingle re-admitted by a small batch is re-dropped;
+   *  - `fingerprints/` is de-duplicated (append allows physical
+   *    duplicates across batches);
+   *  - `shingles/` / `bands/` keep one row per (doc) / (doc, band) —
+   *    duplicates only exist after an append was re-run post-crash.
+   * After compact, every delta query is row-identical to one against a
+   * fresh build over the union corpus (spec-pinned, including a
+   * planted cap crossing).
+   *
+   * Cost shape: NO text is re-read and nothing is re-shingled — the
+   * expensive kernel ran at build/append time; this is one pass over
+   * `shingles/` (postings re-count) plus per-table distincts. Each
+   * table is rewritten through a temp directory and swapped in with a
+   * filesystem rename (atomic per table on HDFS-like stores); the
+   * artifact should not serve queries mid-compact. Run it on the cadence
+   * cap drift warrants — the `indexcompact_dfcap` metrics node reports
+   * how many postings rows the re-applied cap dropped.
+   */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val read = pathReader(spark, path)
+    val p = paramsOf(read("meta"))
+    def swapIn(df: DataFrame, name: String): Unit = {
+      val tmp = s"$path/${name}__compact_tmp"
+      df.write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
+      fs.delete(dst, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+        s"compact: rename $tmp -> $dst failed")
+    }
+    swapIn(read("fingerprints").distinct(), "fingerprints")
+    swapIn(read("shingles").dropDuplicates("__id"), "shingles")
+    swapIn(read("bands").dropDuplicates("__id", "__bd"), "bands")
+    // postings from the HEALED shingle table (read back post-swap),
+    // with the build's whole-group cap — identical derivation to
+    // buildWith's, metrics node name aside
+    val inv = read("shingles").select(col("__id"), explode(col("__hs")).as("__g"))
+    val counted = inv
+      .withColumn("__kc", count(lit(1)).over(Window.partitionBy(col("__g"))))
+    swapIn(Blocking.observeCap(counted, None, "indexcompact_dfcap", Seq(
+        sum(when(col("__kc") > p.dfCap, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        coalesce(max(col("__kc")), lit(0L)).as("max_key_count")))
+      .filter(col("__kc") <= p.dfCap).drop("__kc"), "postings")
+  }
+
   /** The artifact's build parameters (one-row read). */
   def params(spark: SparkSession, path: String): Params =
     paramsOf(pathReader(spark, path)("meta"))

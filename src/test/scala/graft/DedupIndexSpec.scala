@@ -234,6 +234,45 @@ class DedupIndexSpec extends AnyFunSuite {
       spark.read.parquet(s"$indexPath/fingerprints").count())
   }
 
+  test("compact restores fresh-build semantics after cap crossings and retried appends") {
+    val sess = spark
+    import sess.implicits._
+    // bigram "alpha beta" df: 2 at build (== cap, kept), 3 after the
+    // append (> cap) — the documented crossing where appended postings
+    // keep their stored rows and diverge from a fresh build
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "alpha beta eta theta")).toDF("doc_id", "text")
+    val probe = Seq((10L, "alpha beta gamma iota")).toDF("doc_id", "text")
+    val appended = java.nio.file.Files.createTempDirectory("graft_didx_cmp_a").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_didx_cmp_r").toString
+    DedupIndex.build(a, "doc_id", "text", appended,
+      n = 2, dfCap = 2, numPerm = 16, bands = 8)
+    DedupIndex.append(b, "doc_id", "text", appended)
+    DedupIndex.append(b, "doc_id", "text", appended) // crash-retried append
+    DedupIndex.build(a.unionAll(b), "doc_id", "text", rebuilt,
+      n = 2, dfCap = 2, numPerm = 16, bands = 8)
+    def cand(path: String) = rows(DedupIndex.ngramJaccardPairsAgainst(
+      probe, "doc_id", "text", path, threshold = 0.0))
+    // pre-compact: candidate SUPERSET via the crossed shingle's stored rows
+    assert(cand(appended) != cand(rebuilt))
+    DedupIndex.compact(spark, appended)
+    assert(DedupIndex.params(spark, appended) ==
+      DedupIndex.params(spark, rebuilt))
+    // post-compact: every delta flavor row-identical to the fresh build
+    assert(cand(appended) == cand(rebuilt))
+    assert(rows(DedupIndex.exactDedupAgainst(probe, "text", appended)) ==
+      rows(DedupIndex.exactDedupAgainst(probe, "text", rebuilt)))
+    assert(rows(DedupIndex.minhashLshPairsAgainst(probe, "doc_id", "text",
+      appended, threshold = 0.0)) ==
+      rows(DedupIndex.minhashLshPairsAgainst(probe, "doc_id", "text",
+        rebuilt, threshold = 0.0)))
+    // the retried append's duplicate rows are physically healed too
+    for (t <- Seq("fingerprints", "shingles", "bands", "postings"))
+      assert(spark.read.parquet(s"$appended/$t").count() ==
+        spark.read.parquet(s"$rebuilt/$t").count(), t)
+  }
+
   test("ANN append: SRP row-identical to rebuild; IVF finds appended vectors; " +
     "tightness kept from build") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
