@@ -513,6 +513,17 @@ object ExtensionQueries {
         .withColumn("cos_sim", round(col("cos_sim"), 6)))
     }),
 
+    // margin-based bitext mining: the label-parity split plays the two
+    // languages; candidates = union of both directions' top-4, pairs
+    // with ratio margin >= 1.05 mined (src side bounded like q_sim_topk)
+    "q_sim_bitext" -> ((s, dir) => {
+      val e = emb(s, dir)
+      det(Similarity.minedBitextPairs(
+        e.filter(pmod(col("label"), lit(2)) === 0 && col("vec_id") < 50),
+        e.filter(pmod(col("label"), lit(2)) === 1),
+        "vec_id", "embedding", k = 4, marginThreshold = 1.05))
+    }),
+
     "q_sim_ann_lsh" -> ((s, dir) =>
       det(Similarity.annTopK(emb(s, dir), "vec_id", "embedding", k = 5,
         tables = 12, planes = 6, dim = 64).drop("cos_sim"))),
@@ -1662,6 +1673,29 @@ object ExtensionQueries {
          |FROM r WHERE rank <= 5
          |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1, cos_sim $N1""".stripMargin,
 
+    "q_sim_bitext" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE label % 2 = 0 AND vec_id < 50),
+         |t AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+         |p AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id, $cosSql AS cos
+         |      FROM s a CROSS JOIN t b),
+         |f AS (SELECT *, row_number() OVER
+         |      (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rk FROM p),
+         |bk AS (SELECT *, row_number() OVER
+         |      (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rk FROM p),
+         |ms AS (SELECT src_id, round(sum(cos)/4, 6) AS m FROM f
+         |       WHERE rk <= 4 GROUP BY src_id),
+         |mt AS (SELECT tgt_id, round(sum(cos)/4, 6) AS m FROM bk
+         |       WHERE rk <= 4 GROUP BY tgt_id),
+         |cand AS (SELECT src_id, tgt_id, cos FROM f WHERE rk <= 4
+         |         UNION SELECT src_id, tgt_id, cos FROM bk WHERE rk <= 4),
+         |sc AS (SELECT c.src_id, c.tgt_id, c.cos,
+         |         2*c.cos/(ms.m + mt.m) AS margin
+         |       FROM cand c JOIN ms USING (src_id) JOIN mt USING (tgt_id))
+         |SELECT src_id, tgt_id, round(cos, 6) AS cos_sim,
+         |       round(margin, 6) AS margin
+         |FROM sc WHERE margin >= 1.05
+         |ORDER BY src_id $N1, tgt_id $N1, cos_sim $N1, margin $N1""".stripMargin,
     "q_sim_topk" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id

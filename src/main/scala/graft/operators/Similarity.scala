@@ -118,6 +118,60 @@ object Similarity extends Logging {
         col("cos_sim"))
   }
 
+  /**
+   * Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+   * Parallel Corpus Mining with Multilingual Sentence Embeddings"): the
+   * translated-pair miner behind every multilingual pretrain/MT corpus.
+   * Raw cosine is miscalibrated across embedding-space density (hub
+   * vectors look close to everything); the RATIO MARGIN fixes it —
+   * `margin(x,y) = 2*cos(x,y) / (meanK(x -> tgt) + meanK(y -> src))`,
+   * cosine normalized by both endpoints' average similarity to their
+   * own k nearest neighbors. Candidates are the UNION of forward
+   * (src->tgt) and backward (tgt->src) top-k lists; pairs with margin
+   * >= `marginThreshold` (> 1 means "closer than your neighborhoods
+   * predict") are mined.
+   *
+   * Determinism: top-k ties break by neighbor id; the k-neighbor means
+   * round to 6 decimals (the repo's aggregate-mean equalizer), so the
+   * margin — a single IEEE division over bit-stable operands — grades
+   * exactly against a DuckDB oracle.
+   *
+   * 100 TB design: same discipline as [[bruteForceTopK]] — the SMALLER
+   * language side broadcasts and the pair stream is scored with the
+   * native dot kernel, per-pair work is one indexed dot (sides
+   * pre-projected once). For two corpus-scale sides, generate both
+   * top-k lists with [[annTopKAgainstIndex]] at inflated k and feed a
+   * margin post-filter — mining tolerates approximate neighborhoods;
+   * it does not tolerate an all-pairs join.
+   *
+   * Output: `(src_id, tgt_id, cos_sim, margin)` (both rounded to 6).
+   */
+  def minedBitextPairs(src: DataFrame, tgt: DataFrame, idCol: String,
+                       vecCol: String, k: Int = 4,
+                       marginThreshold: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val s = broadcast(side(src, idCol, vecCol, "src_id", "__sv", "__sn"))
+    val t = side(tgt, idCol, vecCol, "tgt_id", "__tv", "__tn")
+    val scored = s.join(t)
+      .withColumn("__cos", dotP(col("__sv"), col("__tv")) / (col("__sn") * col("__tn")))
+      .select(col("src_id"), col("tgt_id"), col("__cos"))
+    val wF = Window.partitionBy(col("src_id")).orderBy(col("__cos").desc, col("tgt_id"))
+    val wB = Window.partitionBy(col("tgt_id")).orderBy(col("__cos").desc, col("src_id"))
+    val fwd = scored.withColumn("__rk", row_number().over(wF)).filter(col("__rk") <= k)
+    val bwd = scored.withColumn("__rk", row_number().over(wB)).filter(col("__rk") <= k)
+    val meanS = fwd.groupBy(col("src_id"))
+      .agg(round(sum(col("__cos")) / k, 6).as("__ms"))
+    val meanT = bwd.groupBy(col("tgt_id"))
+      .agg(round(sum(col("__cos")) / k, 6).as("__mt"))
+    fwd.drop("__rk").unionAll(bwd.drop("__rk")).distinct()
+      .join(meanS, Seq("src_id"))
+      .join(meanT, Seq("tgt_id"))
+      .withColumn("__margin", lit(2.0) * col("__cos") / (col("__ms") + col("__mt")))
+      .filter(col("__margin") >= marginThreshold)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("__cos"), 6).as("cos_sim"), round(col("__margin"), 6).as("margin"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all corpus pairs with
     * cosine >= threshold. Exact (self-join) flavor — the verify baseline;
     * use [[srpNearDupPairs]] as the scale path. */

@@ -744,6 +744,26 @@ class SimilaritySpec extends AnyFunSuite {
       "persisted-codes path must be row-identical to inline encoding")
   }
 
+  test("minedBitextPairs computes the hand-checked ratio margins") {
+    // k=2 means: a1/a2 -> (1 + cos45)/2 ~ 0.853553; b1/b2 -> 0.5;
+    // b3 -> cos45 ~ 0.707107. True matches (a1,b1), (a2,b2) get margin
+    // 2/(0.853553+0.5) ~ 1.4776; the hub b3's best margin is ~0.906
+    val src = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Array(1f, 0f)), (11L, Array(0f, 1f)),
+      (12L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val mined = Similarity.minedBitextPairs(src, tgt, "vec_id", "embedding",
+        k = 2, marginThreshold = 1.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(mined.keySet == Set((1L, 10L), (2L, 11L)), mined.toString)
+    assert(mined.values.forall { case (c, m) =>
+      c == 1.0 && m > 1.47 && m < 1.49 }, mined.toString)
+    // raising the threshold above the match margin mines nothing
+    assert(Similarity.minedBitextPairs(src, tgt, "vec_id", "embedding",
+      k = 2, marginThreshold = 1.5).count() == 0L)
+  }
+
   test("PQ: on the planted clustered corpus, compressed top-5 stays inside the true cluster") {
     // the compression claim: ADC scoring preserves COARSE structure.
     // Within-cluster fine ordering is quantized away by design (cluster
