@@ -197,6 +197,23 @@ object ExtensionQueries {
         TextFunctions.normalizeForDedup(col("text"))).as("fingerprint"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups")))),
 
+    // the AGGRESSIVE normalization flavor: punctuation stripped, digits
+    // collapsed — recrawl timestamps/counters stop splitting families
+    "q_dedup_aggressive" -> ((s, dir) => det(docs(s, dir)
+      .groupBy(TextFunctions.contentFingerprint(
+        TextFunctions.normalizeAggressive(col("text"))).as("fingerprint"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups")))),
+
+    // per-source dedup-rate card: how much of each source the near-dup
+    // collapse removes — the curation dashboard row that says WHERE the
+    // duplication lives (same pair graph as q_dedup_collapse)
+    "q_dedup_rates_by_source" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val p = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 5, threshold = 0.5, dfCap = 100)
+      det(Dedup.dedupRatesBy(d, "doc_id", "source", p, "doc_a", "doc_b"))
+    }),
+
     "q_text_repetition" -> ((s, dir) =>
       det(graft.operators.TextStats.repetitionProfile(docs(s, dir), "doc_id", "text"))),
 
@@ -1252,6 +1269,37 @@ object ExtensionQueries {
          |SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_dups
          |FROM nrm GROUP BY fingerprint
          |ORDER BY fingerprint $N1, doc_id $N1, n_dups $N1""".stripMargin,
+    "q_dedup_aggressive" ->
+      s"""WITH nrm AS (SELECT doc_id,
+         |  md5(trim(regexp_replace(regexp_replace(regexp_replace(
+         |    lower(nfc_normalize(text)),
+         |    '[!-/:-@\\[-`{-~]', ' ', 'g'), '[0-9]', '0', 'g'),
+         |    '\\s+', ' ', 'g'))) AS fingerprint FROM documents)
+         |SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_dups
+         |FROM nrm GROUP BY fingerprint
+         |ORDER BY fingerprint $N1, doc_id $N1, n_dups $N1""".stripMargin,
+    "q_dedup_rates_by_source" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(id, r) AS (SELECT a, b FROM edges
+         |  UNION SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+         |kept AS (SELECT d.doc_id FROM documents d
+         |         LEFT JOIN comp ON comp.id = d.doc_id
+         |         WHERE d.doc_id = coalesce(comp.component, d.doc_id))
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  round(CAST(sum(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS dup_rate
+         |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+         |GROUP BY d.source
+         |ORDER BY source $N1, n_docs $N1, n_kept $N1, n_removed $N1,
+         |  dup_rate $N1""".stripMargin,
     // same token definition (\S+ runs), same chunk arithmetic
     // (step = 64 - 16 = 48, count = max(1, ceil((n-16)/48))), same
     // 1-based inclusive slicing as Spark's slice(toks, i*48+1, 64)

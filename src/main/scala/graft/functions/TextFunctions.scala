@@ -308,6 +308,25 @@ object TextFunctions {
   def normalizeForDedup(text: Column): Column =
     trim(regexp_replace(lower(NfcNormalize.nfcNormalize(text)), "\\s+", " "))
 
+  /** AGGRESSIVE canonical form for near-boilerplate dedup — the CCNet/
+    * Gopher-style normalization that also erases the cosmetic edits
+    * recrawls make: [[normalizeForDedup]] plus ASCII punctuation
+    * stripped to spaces and every digit collapsed to `0` (timestamps,
+    * view counts and ids stop distinguishing copies). Unicode LETTERS
+    * are untouched, so non-Latin text keeps its content; explicit
+    * ASCII ranges (not `\\p{Punct}` classes) keep the Java and RE2
+    * (DuckDB) regex engines agreeing. Same execution shape as
+    * [[normalizeForDedup]]: codegen'd chain riding the scan, zero
+    * shuffle. More collisions by design — use for boilerplate families,
+    * not content-addressed storage. */
+  def normalizeAggressive(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(NfcNormalize.nfcNormalize(text)),
+          "[!-/:-@\\[-`{-~]", " "),
+        "[0-9]", "0"),
+      "\\s+", " "))
+
   /** Feature-hashing document vector — see [[HashingVector]]: a
     * model-free `dim`-bucket signed token histogram, L2-normalized,
     * that plugs a text-only corpus into the vector operators

@@ -586,6 +586,34 @@ object Dedup {
           x => x.cast(StringType)), ",").as("removed_ids"))
   }
 
+  /**
+   * Per-stratum dedup-rate card: how much of each stratum (source,
+   * language, crawl snapshot) the near-dup collapse removes — the
+   * curation dashboard that locates WHERE the duplication lives before
+   * anyone decides what to drop. One row per stratum: total docs, docs
+   * [[collapseNearDups]] keeps, docs removed, and the removed share
+   * (rounded to 6, the repo's FP equalizer).
+   *
+   * 100 TB design: the collapse decision is computed once (same plan
+   * as [[collapseNearDups]]); the card itself is one join of the kept
+   * ids against an id+stratum projection of the corpus and a stratum
+   * aggregate — cardinality = number of strata.
+   */
+  def dedupRatesBy(docs: DataFrame, idCol: String, stratumCol: String,
+                   pairs: DataFrame, aCol: String, bCol: String,
+                   maxIter: Int = 25): DataFrame = {
+    val kept = collapseNearDups(docs, idCol, pairs, aCol, bCol, maxIter)
+      .select(col(idCol), lit(1L).as("__kept"))
+    docs.select(col(idCol), col(stratumCol))
+      .join(kept, Seq(idCol), "left")
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__kept"), lit(0L))).as("n_kept"))
+      .withColumn("n_removed", col("n_docs") - col("n_kept"))
+      .withColumn("dup_rate",
+        round(col("n_removed").cast(DoubleType) / col("n_docs"), 6))
+  }
+
   // -------------------------------------------------- decontamination
 
   /**

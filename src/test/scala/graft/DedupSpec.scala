@@ -441,6 +441,19 @@ class DedupSpec extends AnyFunSuite {
     assert(fromLineage == fromCollapse)
   }
 
+  test("dedupRatesBy reports per-stratum removal shares") {
+    val strat = Seq((1L, "s1"), (2L, "s1"), (3L, "s2"), (4L, "s2"), (5L, "s2"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    // kept = {1, 4, 5}: s1 loses doc 2 (1/2), s2 loses doc 3 (1/3)
+    val rates = Dedup.dedupRatesBy(strat, "doc_id", "source",
+        pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rates == Map("s1" -> ((2L, 1L, 1L, 0.5)),
+      "s2" -> ((3L, 2L, 1L, 0.333333))), rates.toString)
+  }
+
   test("simhashPairs covers every strong ngram-Jaccard pair at sf0.01") {
     // quantitative gate for the driver's rows-only q_dedup_simhash: every
     // near-dup pair the exact Jaccard path finds at J>=0.85 must fall

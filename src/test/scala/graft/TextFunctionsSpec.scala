@@ -216,6 +216,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(kept.size < docs.count(), "collapse must actually drop dups")
   }
 
+  test("normalizeAggressive erases punctuation and digit cosmetics, keeps letters") {
+    assert(one[String](normalizeAggressive(col("t")),
+      "Hello, World! 2024 visits: 1,234") == "hello world 0000 visits 0 000")
+    // two recrawls differing only in timestamps/punctuation share a form
+    val a = one[String](normalizeAggressive(col("t")), "Posted 2024-01-02. Hello!")
+    val b = one[String](normalizeAggressive(col("t")), "Posted 1999/12/31 - Hello")
+    assert(a == b && a == "posted 0000 00 00 hello", s"$a / $b")
+    // non-Latin letters survive the ASCII punctuation strip
+    assert(one[String](normalizeAggressive(col("t")), "中文 text. 中文") == "中文 text 中文")
+  }
+
   test("normalizeForDedup canonicalizes Unicode form, case and whitespace") {
     // NFD "café" (e + combining acute) must equal NFC "café"
     val nfd = "Café  au \t Lait"
