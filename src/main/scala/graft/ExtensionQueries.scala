@@ -890,6 +890,17 @@ object ExtensionQueries {
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
 
+    // the CCNet shape: frequencies trained on a TRUSTED reference
+    // (sources src0/src1 play Wikipedia), the whole corpus scored
+    // against them — not against itself
+    "q_text_logprob_ref" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(graft.operators.TextStats.unigramLogProbScoreAgainst(d,
+        "doc_id", "text",
+        d.filter(col("source").isin("src0", "src1")), "text",
+        minCount = 2L))
+    }),
+
     "q_text_logprob_bigram" -> ((s, dir) =>
       det(graft.operators.TextStats.bigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
@@ -2037,6 +2048,24 @@ object ExtensionQueries {
          |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
          |vocab AS (SELECT token, count(*) AS cnt FROM toks
          |          GROUP BY token HAVING count(*) >= 2),
+         |scored AS (SELECT t.doc_id,
+         |    log10(coalesce(CAST(v.cnt AS DOUBLE), 2.0) / (SELECT total FROM tot))
+         |      AS lp
+         |  FROM toks t LEFT JOIN vocab v ON t.token = v.token),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(avg(lp), 6) AS mean_logprob FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_tokens, 0) AS n_tokens, a.mean_logprob
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id $N1, n_tokens $N1, mean_logprob $N1""".stripMargin,
+    "q_text_logprob_ref" ->
+      s"""WITH rt AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+         |            FROM documents WHERE source IN ('src0', 'src1')),
+         |rv AS (SELECT token, count(*) AS cnt FROM rt GROUP BY token),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM rv),
+         |vocab AS (SELECT token, cnt FROM rv WHERE cnt >= 2),
+         |toks AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents),
          |scored AS (SELECT t.doc_id,
          |    log10(coalesce(CAST(v.cnt AS DOUBLE), 2.0) / (SELECT total FROM tot))
          |      AS lp

@@ -479,6 +479,58 @@ object TextStats {
   }
 
   /**
+   * [[unigramLogProbScore]] against an EXTERNAL reference corpus — the
+   * actual CCNet recipe (Wenzek et al. 2020 train their LM on
+   * Wikipedia and score Common Crawl with it; self-corpus scoring
+   * drifts toward whatever the crawl already is, reference scoring
+   * measures distance from a TRUSTED distribution). Token frequencies
+   * and the total come from `ref`; `docs` is scored with the same
+   * floor rule (tokens unseen or below `minCount` in the reference
+   * fall back to p = minCount / total_ref). Score = mean log10 p over
+   * the doc's tokens; empty docs score NULL, zero-token docs are kept.
+   *
+   * 100 TB design: the reference corpus is the SMALL side by
+   * construction (a curated LM corpus, not the crawl) — its floored
+   * vocabulary and 1-row total broadcast, so the crawl-sized
+   * (doc, token)-count stream joins map-side and never shuffles on hot
+   * tokens; the crawl is tokenized once (one exploded aggregate, the
+   * [[unigramLogProbScore]] discipline). An empty reference yields
+   * NULL scores (log of NULL total), not an error — filter upstream.
+   *
+   * Output: (doc_id, n_tokens, mean_logprob).
+   */
+  def unigramLogProbScoreAgainst(docs: DataFrame, idCol: String, textCol: String,
+                                 ref: DataFrame, refTextCol: String,
+                                 minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val refTok = ref.select(explode(
+        graft.functions.TextFunctions.whitespaceTokens(col(refTextCol))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("__cnt"))
+    val vocab = refTok.filter(col("__cnt") >= minCount)
+    val total = refTok.agg(sum(col("__cnt")).as("__total"))
+    val docTok = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.whitespaceTokens(col(textCol))).as("token"))
+      .filter(col("doc_id").isNotNull && col("token").isNotNull)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("__n"))
+    val scored = docTok
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(total)) // one row: reference token mass
+      .select(col("doc_id"), col("__n"),
+        log10(coalesce(col("__cnt"), lit(minCount)).cast(DoubleType) /
+          col("__total").cast(DoubleType)).as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__n")).as("n_tokens"),
+        round(sum(col("__lp") * col("__n")) / sum(col("__n")), 6)
+          .as("mean_logprob"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("mean_logprob"))
+  }
+
+  /**
    * Per-document mean BIGRAM conditional log-probability — the
    * next-order sibling of [[unigramLogProbScore]] (KenLM-style quality
    * filters score with n-gram conditionals; a doc whose word PAIRS are

@@ -259,6 +259,24 @@ class TextStatsSpec extends AnyFunSuite {
       .count() == 0L) // null-text doc still counts toward n_docs
   }
 
+  test("unigramLogProbScoreAgainst scores with the REFERENCE corpus frequencies") {
+    // reference tokens: a a b | a c -> total 5, vocab (minCount=2) = {a: 3}
+    val ref = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b"), (11L, "z"), (12L, "a a z"), (13L, ""))
+      .toDF("doc_id", "text")
+    val out = TextStats.unigramLogProbScoreAgainst(docs, "doc_id", "text",
+      ref, "text", minCount = 2L).collect().map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpA = math.log10(3.0 / 5); val lpFloor = math.log10(2.0 / 5)
+    assert(out(10L).getAs[Long]("n_tokens") == 2L)
+    assert(out(10L).getAs[Double]("mean_logprob") == r6((lpA + lpFloor) / 2))
+    // token unseen in the reference floors, b (ref count 1 < minCount) floors too
+    assert(out(11L).getAs[Double]("mean_logprob") == r6(lpFloor))
+    assert(out(12L).getAs[Double]("mean_logprob") == r6((2 * lpA + lpFloor) / 3))
+    assert(out(13L).getAs[Long]("n_tokens") == 0L &&
+      out(13L).isNullAt(out(13L).fieldIndex("mean_logprob")))
+  }
+
   test("unigramLogProbScore matches the hand formula with a rare-token floor") {
     // corpus tokens: a a b | a c -> total 5; counts a=3 b=1 c=1;
     // minCount=2 keeps only 'a'; floor p = 2/5
