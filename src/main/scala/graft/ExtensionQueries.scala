@@ -419,6 +419,12 @@ object ExtensionQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       det(Dedup.simhashFingerprints(docs(s, dir), "doc_id", "text"))),
 
+    // MOSS winnowing: per-window minimum 5-gram md5, the local
+    // fingerprint sketch (any shared >= 8-token run shares a print)
+    "q_dedup_winnow" -> ((s, dir) =>
+      det(Dedup.winnowingFingerprints(docs(s, dir), "doc_id", "text",
+        k = 5, window = 4))),
+
     // 8-token windows (testdata docs run dozens of tokens; production
     // default is the ~50 of Lee et al.)
     "q_dedup_windows" -> ((s, dir) =>
@@ -1559,6 +1565,22 @@ object ExtensionQueries {
          |SELECT d.doc_id, coalesce(k.text, '') AS text
          |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
          |ORDER BY d.doc_id $N1, text $N1""".stripMargin,
+    // same \S+ tokens, 1-based inclusive slices, md5-hex lexicographic
+    // minima as the Spark side; short docs (>= k tokens, < window
+    // grams) take the min over all grams via the greatest(1, ...) floor
+    "q_dedup_winnow" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+         |              FROM documents),
+         |g AS (SELECT doc_id,
+         |        [md5(array_to_string(t[i:i+4], ' '))
+         |         for i in generate_series(1, len(t)-4)] AS gs
+         |      FROM toks WHERE len(t) >= 5),
+         |w AS (SELECT doc_id,
+         |        [list_min(gs[i:i+3])
+         |         for i in generate_series(1, greatest(1, len(gs)-3))] AS fps
+         |      FROM g)
+         |SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM w
+         |ORDER BY doc_id $N1, fingerprint $N1""".stripMargin,
     "q_dedup_lineage" ->
       s"""WITH RECURSIVE $jaccardCte,
          |pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),

@@ -45,6 +45,49 @@ object Dedup {
     docs.select(col(idCol).as("__id"),
       graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("__hs"))
 
+  /**
+   * Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+   * MOSS sketch): per document, the set of selected word-`k`-gram
+   * fingerprints where each sliding window of `window` consecutive
+   * grams contributes its MINIMUM gram hash. The guarantee that makes
+   * it the standard local plagiarism/reuse detector: any two documents
+   * sharing a run of at least `window + k - 1` tokens share at least
+   * one fingerprint, while the sketch keeps only ~2/(window+1) of the
+   * grams. Grams hash as md5 hex of the space-joined tokens (`\S+`
+   * runs), minima are lexicographic — an external oracle can replay
+   * the whole selection.
+   *
+   * Short-doc floor: a doc with at least `k` tokens but fewer than
+   * `window` grams contributes the single minimum over all its grams;
+   * a doc with fewer than `k` tokens has no grams and produces no
+   * rows.
+   *
+   * 100 TB design: entirely ROW-LOCAL — tokenize, gram, window-min and
+   * per-doc `array_distinct` all ride the scan (one projection, zero
+   * shuffle; the distinct runs on the row's own array, so no global
+   * exchange dedups fingerprints). Downstream joins on `fingerprint`
+   * carry ~2/(window+1) of the gram volume.
+   *
+   * Output: `(doc_id, fingerprint)`, distinct per doc.
+   */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, window: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(window >= 1, "window must be >= 1")
+    val toks = TextFunctions.whitespaceTokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("__t"))
+      .withColumn("__ng", size(col("__t")) - lit(k - 1))
+      .filter(col("__ng") >= 1)
+      .withColumn("__g", transform(sequence(lit(0), col("__ng") - 1),
+        i => md5(array_join(slice(col("__t"), i + 1, lit(k)), " "))))
+      .withColumn("__nw", greatest(lit(1), col("__ng") - lit(window - 1)))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), col("__nw") - 1),
+          i => array_min(slice(col("__g"), i + 1, lit(window))))))
+          .as("fingerprint"))
+  }
+
   /** (id, band index, band signature) rows for a document frame — the
     * MinHash-LSH banding kernel shared by [[minhashLshPairs]], the
     * cross-set [[minhashLshPairsAgainst]] and [[DedupIndex]]'s

@@ -441,6 +441,27 @@ class DedupSpec extends AnyFunSuite {
     assert(fromLineage == fromCollapse)
   }
 
+  test("winnowingFingerprints: shared w+k-1 token runs share a fingerprint") {
+    val run = "one two three four five six seven eight" // w+k-1 = 8 tokens
+    val d = Seq(
+      (1L, s"prefix alpha beta $run suffix gamma"),
+      (2L, s"$run completely different tail words here"),
+      (3L, "nothing in common with the others at all"),
+      (4L, "tiny doc"), // < k tokens -> no grams -> no fingerprints
+      (5L, "exactly five tokens right here") // 1 gram -> short-doc floor
+    ).toDF("doc_id", "text")
+    val byDoc = Dedup.winnowingFingerprints(d, "doc_id", "text",
+        k = 5, window = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "guarantee violated")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).size == 1)
+    // the sketch is actually sparse: doc 1 has 13 tokens -> 9 grams
+    assert(byDoc(1L).size < 9, byDoc(1L).size.toString)
+  }
+
   test("dedupRatesBy reports per-stratum removal shares") {
     val strat = Seq((1L, "s1"), (2L, "s1"), (3L, "s2"), (4L, "s2"), (5L, "s2"))
       .toDF("doc_id", "source")
