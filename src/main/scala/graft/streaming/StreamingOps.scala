@@ -318,6 +318,46 @@ object StreamingOps {
                            splits: Seq[(String, Double)]): DataFrame =
     graft.operators.Sampling.assignSplit(docs, keyCol, splits)
 
+  /**
+   * Stateless streaming quality scoring against a FROZEN reference LM —
+   * [[graft.operators.TextStats.unigramLogProbScoreAgainst]]'s intake
+   * twin. The reference corpus collapses ONCE at stream setup to a
+   * plan-literal token -> log10-prob map (its floored vocabulary is
+   * Zipf-bounded and broadcastable by construction; the driver holds it
+   * exactly once, before the stream starts), and every streamed doc
+   * scores ROW-LOCALLY with a fold over its own tokens — no state
+   * store, no watermark, no shuffle, so the stage composes with any
+   * intake pipeline. The batch operator aggregates count-weighted
+   * while this fold runs in token order; both round to 6 decimals (the
+   * repo's FP contract) and the spec pins row-for-row agreement.
+   * Output: input columns + (n_tokens, mean_logprob).
+   */
+  def streamingScoreAgainstReference(docs: DataFrame, idCol: String, textCol: String,
+                                     ref: DataFrame, refTextCol: String,
+                                     minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    import graft.functions.TextFunctions
+    val refTok = ref.select(explode(
+        TextFunctions.whitespaceTokens(col(refTextCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__cnt"))
+    val total = refTok.agg(coalesce(sum(col("__cnt")), lit(0L)).as("t"))
+      .head().getLong(0).toDouble
+    require(total > 0, "reference corpus has no tokens")
+    val kept = refTok.filter(col("__cnt") >= minCount).collect()
+    val lpFloor = math.log10(minCount.toDouble / total)
+    val lpMap = map_from_arrays(
+      typedlit(kept.map(_.getString(0)).toSeq),
+      typedlit(kept.map(r => math.log10(r.getLong(1).toDouble / total)).toSeq))
+    val toks = TextFunctions.whitespaceTokens(col(textCol))
+    docs
+      .withColumn("n_tokens",
+        coalesce(size(toks).cast("long"), lit(0L)))
+      .withColumn("mean_logprob", when(col("n_tokens") > 0,
+        round(aggregate(toks, lit(0.0), (acc, t) =>
+          acc + coalesce(element_at(lpMap, t), lit(lpFloor))) /
+          col("n_tokens"), 6)))
+  }
+
   /** Apply a table migration config to a STREAMING source frame: the same
     * compiled plan (rename/transform/validate/lookup), incremental
     * execution. `resolve` supplies STATIC lookup dims (stream-static

@@ -415,4 +415,42 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(sIds == bIds, "stream-sampled set must equal the batch decision")
     assert(sSplit == bSplit, "stream split must equal the batch assignment")
   }
+
+  test("streaming reference-LM scoring is stateless and equals the batch scores") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staticDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val ref = staticDocs.filter(col("doc_id") < 100)
+    val rows = staticDocs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val scored = StreamingOps.streamingScoreAgainstReference(stream,
+      "doc_id", "text", ref, "text", minCount = 2L)
+    assert(scored.isStreaming, "must stay a streaming frame (stateless stage)")
+    val q = scored.select("doc_id", "n_tokens", "mean_logprob")
+      .writeStream.format("memory").queryName("stream_refscore")
+      .outputMode("append").start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, n_tokens, mean_logprob FROM stream_refscore")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    q.stop()
+    val want = graft.operators.TextStats.unigramLogProbScoreAgainst(
+        staticDocs, "doc_id", "text", ref, "text", minCount = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got.keySet == want.keySet)
+    // count-weighted batch sum vs token-order streaming fold: both
+    // round to 6 — agree within one ulp of the rounding grid
+    want.foreach { case (id, (n, lp)) =>
+      val (gn, glp) = got(id)
+      assert(gn == n, s"doc $id n_tokens")
+      (lp, glp) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 1e-6, s"doc $id: batch $a vs stream $b")
+        case (x, y) => assert(x == y, s"doc $id null mismatch")
+      }
+    }
+  }
 }
