@@ -289,6 +289,15 @@ object ExtensionQueries {
         "doc_id", "text", n = 13))
     }),
 
+    // same leakage guard through the Bloom-prefilter path: identical
+    // output contract (the exact confirm removes Bloom false
+    // positives), graded against the SAME oracle as q_decontaminate
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(Dedup.decontaminateBloom(d, d.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 13))
+    }),
+
     // the audit twin: WHICH corpus doc shares HOW MANY distinct
     // 13-grams with WHICH eval doc — what governance reviews before the
     // drop above is executed
@@ -1117,6 +1126,20 @@ object ExtensionQueries {
        |  AND n.doc_id NOT IN (SELECT doc_new FROM nd)
        |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin
 
+  /** ONE oracle text shared by `q_decontaminate` (broadcast semi join)
+    * and `q_decontaminate_bloom` (Bloom prefilter + exact confirm):
+    * the two execution paths are output-identical by contract. */
+  private val oracleDecontaminateSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+12],' ')
+       |  for i in generate_series(1, len(t)-12)]) AS s FROM toks),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |eg AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0),
+       |bad AS (SELECT DISTINCT ex.doc_id FROM ex JOIN eg USING (g))
+       |SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_text_tokens" ->
       s"""SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens,
@@ -1368,17 +1391,11 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, neighbor_id $N1, jaccard $N1, rank $N1""".stripMargin,
     // same 13-gram definition as the Spark shingles (string n-grams in
     // the oracle vs xxhash64'd in Spark — same decisions, the hashing
-    // is injective in practice exactly like the jaccard oracles)
-    "q_decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+12],' ')
-         |  for i in generate_series(1, len(t)-12)]) AS s FROM toks),
-         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |eg AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0),
-         |bad AS (SELECT DISTINCT ex.doc_id FROM ex JOIN eg USING (g))
-         |SELECT doc_id, text, lang, source, n_chars FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
-         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    // is injective in practice exactly like the jaccard oracles);
+    // the bloom variant is output-identical by contract (exact confirm
+    // removes Bloom false positives), so it shares the oracle
+    "q_decontaminate" -> oracleDecontaminateSql,
+    "q_decontaminate_bloom" -> oracleDecontaminateSql,
     // cross-set twin of jaccardCte: shingles over both sets, df-cap on
     // the index side only, candidates new x old, exact-Jaccard verify,
     // survivors = exact-absent AND near-dup-absent

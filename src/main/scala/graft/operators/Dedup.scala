@@ -693,6 +693,59 @@ object Dedup {
   }
 
   /**
+   * Bloom-prefiltered decontamination — byte-identical output to
+   * [[decontaminate]], built for the regime where the eval side is too
+   * big to broadcast as a HASH relation. A hash relation over 100 M
+   * distinct 13-gram hashes is multiple GB per executor; the Bloom
+   * filter over the same keys at ~16 bits/key is ~200 MB — and at the
+   * default 8 MB cap still prunes ~99 % of the corpus stream for eval
+   * sets of a few million grams. The pipeline: (1) ONE aggregate over
+   * the eval shingle hashes builds a Bloom filter (Spark's native
+   * `BloomFilterAggregate` — partial-aggregated, merged by OR, a
+   * single `numBits/8`-byte artifact on the driver, same footprint
+   * class as k-means centroids); (2) the corpus shingle stream is
+   * filtered map-side by `might_contain` (a plan literal — no join, no
+   * shuffle, rides the scan inside codegen); (3) only the ~fpp-thin
+   * survivor stream pays the exact semi join against the real eval
+   * grams, which removes the Bloom's false positives. No false
+   * negatives exist (a Bloom never drops a member), so the result is
+   * EXACTLY [[decontaminate]]'s — the same oracle grades both.
+   *
+   * `bitsPerGram` sizes the filter (16 → fpp ≈ 4·10⁻⁴). The
+   * eval-gram count is measured with one count() over the (small) eval
+   * side; Spark clamps the filter to
+   * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (64 M bits =
+   * 8 MB default) — past the clamp the fpp degrades and the exact
+   * confirm absorbs it (correctness unaffected; raise the conf for
+   * 100 M-gram eval sets). An empty eval side returns the corpus
+   * unchanged.
+   */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, n: Int = 13,
+                         bitsPerGram: Int = 16): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(bitsPerGram >= 1, "bitsPerGram must be >= 1")
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val evalG = shingled(evalSet, idCol, textCol, n)
+      .select(explode(col("__hs")).as("__g")).distinct()
+    val nGrams = evalG.count()
+    if (nGrams == 0L) return corpus
+    val bloomAgg = column(new BloomFilterAggregate(expression(col("__g")),
+      expression(lit(nGrams)), expression(lit(nGrams * bitsPerGram.toLong)))
+      .toAggregateExpression())
+    val bloom = evalG.agg(bloomAgg.as("__bf")).head.getAs[Array[Byte]](0)
+    val pre = shingled(corpus, idCol, textCol, n)
+      .select(col("__id"), explode(col("__hs")).as("__g"))
+      .filter(column(BloomFilterMightContain(
+        expression(lit(bloom)), expression(col("__g")))))
+    val contaminated = pre.join(evalG, Seq("__g"), "left_semi")
+      .select(col("__id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Jaccard top-k TEXT similarity search — the document-side twin of
    * [[Similarity.bruteForceTopK]]: for each row of `queries`, the `k`
    * corpus docs with the highest exact word-n-gram Jaccard, candidates

@@ -518,6 +518,32 @@ class DedupSpec extends AnyFunSuite {
     assert(semi.nonEmpty, "eval-side broadcast semi-join missing from the plan")
   }
 
+  test("decontaminateBloom is row-identical to decontaminate and prunes " +
+    "the corpus stream map-side (no join for the prefilter)") {
+    val span = (0 until 13).map(i => s"s$i").mkString(" ")
+    val evalSet = Seq((100L, s"eval doc prefix $span")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "clean doc with its own words entirely unrelated to anything"),
+      (2L, s"copied $span trailing tokens here"),
+      (3L, "partial " + (0 until 12).map(i => s"s$i").mkString(" ")),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, evalSet, "doc_id", "text", n = 13)
+    val bloom = Dedup.decontaminateBloom(corpus, evalSet, "doc_id", "text", n = 13)
+    assert(bloom.orderBy("doc_id").collect().toSeq ==
+      exact.orderBy("doc_id").collect().toSeq)
+    // the prefilter is a FILTER on a plan-literal bloom, not a join:
+    // exactly the confirm semi-join + the final anti-join appear
+    val joins = PlanWalk.executedNodes(bloom).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType
+    }
+    assert(joins.count(_ == org.apache.spark.sql.catalyst.plans.LeftSemi) == 1)
+    // empty eval side: corpus unchanged
+    val none = Dedup.decontaminateBloom(corpus, evalSet.filter(lit(false)),
+      "doc_id", "text", n = 13)
+    assert(none.count() == 4)
+  }
+
   test("corpusOverlap reports gram ledger, containments, and doc attribution") {
     // A bigrams: {a b, b c, c d, d e}; B bigrams: {a b, b x, p q, q r}
     // shared = {a b} -> jaccard 1/7, containment 1/4 each side;
