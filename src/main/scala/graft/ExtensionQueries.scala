@@ -138,10 +138,16 @@ object ExtensionQueries {
   }
 
   private def events(s: SparkSession, dir: String): DataFrame = {
-    // events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's reader
-    // rejects by default; read nanos as long (ts is unused here).
+    // events.ts has shipped as both INT64 TIMESTAMP(NANOS) (read as long via
+    // the legacy flag) and plain timestamp[us]; normalize to TimestampType
+    // here so every consumer matches the oracle's CAST(ts AS TIMESTAMP).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -970,18 +976,12 @@ object ExtensionQueries {
 
     // --- batch windowing over events ------------------------------------
 
-    "q_events_sessionize" -> ((s, dir) => {
-      val ev = events(s, dir).withColumn("ts",
-        timestamp_micros(expr("ts div 1000"))) // nanos-long -> micros
-      det(graft.operators.Windowed.sessionizeBatch(ev, "user_id", "ts",
-        gapSeconds = 7200, tieBreakCol = Some("event_id")))
-    }),
+    "q_events_sessionize" -> ((s, dir) =>
+      det(graft.operators.Windowed.sessionizeBatch(events(s, dir), "user_id", "ts",
+        gapSeconds = 7200, tieBreakCol = Some("event_id")))),
 
-    "q_events_hourly" -> ((s, dir) => {
-      val ev = events(s, dir).withColumn("ts",
-        timestamp_micros(expr("ts div 1000")))
-      det(graft.operators.Windowed.timeBucketAgg(ev, "ts", "event_type", "value", "hour"))
-    }),
+    "q_events_hourly" -> ((s, dir) =>
+      det(graft.operators.Windowed.timeBucketAgg(events(s, dir), "ts", "event_type", "value", "hour"))),
 
     "q_multimodal_json" -> ((s, dir) => {
       val parsed = Multimodal.parseJson(events(s, dir), "props",

@@ -25,7 +25,16 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          // Still write a marker result so the query shows up in the
+          // driver's report as a loud mismatch (schema __verify_error vs
+          // the oracle's) instead of silently vanishing from coverage.
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          try {
+            import spark.implicits._
+            Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+              .toDF("__verify_error")
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case _: Throwable => () }
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
