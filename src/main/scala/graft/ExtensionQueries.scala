@@ -287,6 +287,25 @@ object ExtensionQueries {
           pmod(col("doc_id"), lit(256)).cast(StringType),
           lit(".7 ssn 123-45-6789 tel +14155550133"))).as("redacted")))),
 
+    // PII audit card: per-doc per-type match counts over the same
+    // planted synthetic PII as q_redact_pii, counted along the same
+    // progressive chain the redaction applies
+    "q_pii_report" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@example.com at 10.0."),
+        pmod(col("doc_id"), lit(256)).cast(StringType),
+        lit(".7 ssn 123-45-6789 tel +14155550133"))
+      det(docs(s, dir).select(col("doc_id") +:
+        TextFunctions.piiCounts(planted).map { case (n, c) => c.as(n) }: _*))
+    }),
+
+    // tokenizer fertility card: subword tokens per word and bytes per
+    // subword token, per language
+    "q_text_fertility" -> ((s, dir) =>
+      det(graft.operators.TextStats.fertilityStats(docs(s, dir), "text",
+        Seq("lang")))),
+
     // eval-set leakage guard: docs sharing any 13-gram with the eval
     // slice (doc_id % 97 == 0 — deterministic, SF-stable) are dropped
     "q_decontaminate" -> ((s, dir) => {
@@ -1366,6 +1385,40 @@ object ExtensionQueries {
       s"""SELECT doc_id, $redacted AS redacted FROM documents
          |ORDER BY doc_id $N1, redacted $N1""".stripMargin
     },
+    // counts generated from the same PiiPatterns chain: pattern i is
+    // counted on the text with patterns 1..i-1 already replaced
+    "q_pii_report" -> {
+      val planted = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.7 ssn 123-45-6789 tel +14155550133'"
+      val labels = TextFunctions.PiiCountLabels
+      val (counts, _) = labels.zip(TextFunctions.PiiPatterns).foldLeft(
+        (Seq.empty[String], planted)) {
+        case ((acc, cur), (label, (pat, repl))) =>
+          (acc :+ s"CAST(len(regexp_extract_all($cur, '$pat')) AS BIGINT) AS $label",
+            s"regexp_replace($cur, '$pat', '$repl', 'g')")
+      }
+      s"""SELECT doc_id, ${counts.mkString(",\n")} FROM documents
+         |ORDER BY doc_id $N1, ${labels.map(l => s"$l $N1").mkString(", ")}""".stripMargin
+    },
+    "q_text_fertility" ->
+      s"""WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         |      AS total_words,
+         |    CAST(sum(len(regexp_extract_all(text, '$BPE'))) AS BIGINT)
+         |      AS total_bpe_tokens,
+         |    CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+         |  FROM documents GROUP BY lang)
+         |SELECT lang, n_docs, total_words, total_bpe_tokens, total_bytes,
+         |  CASE WHEN total_words > 0
+         |    THEN round(CAST(total_bpe_tokens AS DOUBLE) / total_words, 6)
+         |  END AS fertility,
+         |  CASE WHEN total_bpe_tokens > 0
+         |    THEN round(CAST(total_bytes AS DOUBLE) / total_bpe_tokens, 6)
+         |  END AS bytes_per_token
+         |FROM a
+         |ORDER BY lang $N1, n_docs $N1, total_words $N1, total_bpe_tokens $N1,
+         |total_bytes $N1, fertility $N1, bytes_per_token $N1""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

@@ -265,6 +265,26 @@ object TextFunctions {
       regexp_replace(c, pat, repl)
     }
 
+  /** Per-type PII match counts — the audit card behind [[redactPii]]:
+    * how much the redaction pass would touch, per document, before
+    * anything is destroyed. Counts follow the SAME progressive chain as
+    * the redaction (pattern i is counted on the text with patterns
+    * 1..i-1 already replaced), so a match is attributed to exactly one
+    * type — an SSN's digits can never also count as a phone number.
+    * One zero-shuffle codegen'd projection; the `q_pii_report` oracle
+    * generates its chain from this same pattern list. Labels align
+    * 1:1 with [[PiiPatterns]]. */
+  val PiiCountLabels: Seq[String] = Seq("n_emails", "n_ids", "n_ips", "n_phones")
+
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiCountLabels.zip(PiiPatterns).foldLeft(
+      (Seq.empty[(String, Column)], text)) {
+      case ((acc, cur), (label, (pat, repl))) =>
+        (acc :+ (label ->
+          size(regexp_extract_all(cur, lit(pat), lit(0))).cast(LongType)),
+          regexp_replace(cur, pat, repl))
+    }._1
+
   /** The (pattern, replacement) chain behind [[stripMarkup]], in
     * application order: tags/comment delimiters become spaces, then the
     * five entities HTML-escapes most (`&amp;` LAST, so `&amp;lt;`

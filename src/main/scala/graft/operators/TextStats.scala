@@ -855,6 +855,37 @@ object TextStats {
         round(avg(length(col(textCol)).cast(LongType)), 6).as("avg_doc_chars"))
   }
 
+  /** Tokenizer fertility card — per stratum (typically language):
+    * subword tokens per whitespace word and UTF-8 bytes per subword
+    * token, the two numbers every multilingual tokenizer design
+    * evaluates (high fertility = the language pays more sequence
+    * length per word; the BLOOM/XLM-R tokenizer analyses report
+    * exactly this table). Word counts use the `\\S+` scan, subword
+    * counts the BPE-ish `bpeTokenCount` segmentation — both row-local,
+    * so the whole card is ONE partially-aggregated groupBy whose
+    * shuffle carries `strata` rows; counting rides the scan.
+    * Degenerate strata (zero words / zero subwords) yield NULL ratios
+    * rather than dividing by zero. */
+  def fertilityStats(docs: DataFrame, textCol: String,
+                     strataCols: Seq[String]): DataFrame =
+    docs.groupBy(strataCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol)))
+          .as("total_words"),
+        sum(graft.functions.TextFunctions.bpeTokenCount(col(textCol)))
+          .as("total_bpe_tokens"),
+        sum(octet_length(col(textCol)).cast(LongType)).as("total_bytes"))
+      .select((strataCols.map(col) ++ Seq(
+        col("n_docs"), col("total_words"), col("total_bpe_tokens"),
+        col("total_bytes"),
+        when(col("total_words") > 0,
+          round(col("total_bpe_tokens").cast(DoubleType) /
+            col("total_words"), 6)).as("fertility"),
+        when(col("total_bpe_tokens") > 0,
+          round(col("total_bytes").cast(DoubleType) /
+            col("total_bpe_tokens"), 6)).as("bytes_per_token"))): _*)
+
   /**
    * Gopher-style document-shape quality rules (Rae et al. 2021 §A1.1.2
    * — the ruleset FineWeb/RefinedWeb descend from): the WORD- and

@@ -140,6 +140,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(red(clean) == clean)
   }
 
+  test("piiCounts attributes each match to exactly one type, along the " +
+    "redaction chain") {
+    def counts(t: String): Map[String, Long] = {
+      val df = Seq(t).toDF("t")
+      val row = df.select(piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+        .collect().head
+      PiiCountLabels.map(l => l -> row.getAs[Long](l)).toMap
+    }
+    assert(counts("a@b.com and c@d.org, ssn 123-45-6789, 10.0.0.1, +12025550199") ==
+      Map("n_emails" -> 2L, "n_ids" -> 1L, "n_ips" -> 1L, "n_phones" -> 1L))
+    // the SSN counts as an ID only — the phone rule never sees its digits
+    assert(counts("987-65-4321")("n_phones") == 0L)
+    assert(counts("987-65-4321")("n_ids") == 1L)
+    // an IP inside an email's domain counts as part of the email, not an IP
+    assert(counts("root@10.1.2.3.example.com") ==
+      Map("n_emails" -> 1L, "n_ids" -> 0L, "n_ips" -> 0L, "n_phones" -> 0L))
+    assert(counts("no pii here").values.sum == 0L)
+  }
+
   test("simhash63: identical equal; near-dup closer than unrelated") {
     val base = "spark window merge join the fast table scan with hash keys and rows"
     val near = base.replace("fast", "quick")

@@ -557,4 +557,31 @@ class TextStatsSpec extends AnyFunSuite {
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
       "gopherQualityFlags must be zero-shuffle")
   }
+
+  test("fertilityStats computes hand-checked ratios and NULLs degenerate strata") {
+    // "don't stop" -> words 2; bpe tokens: don|'|t|stop = 4; bytes 10
+    // "résumé ok" -> words 2; bpe: résumé is non-ascii punct-class chars?
+    //   [A-Za-z]+ matches "r" "sum" — é is neither letter-class nor digit:
+    //   r|é|sum|é|ok = 5; utf-8 bytes = 6+2 + 1 + 2 = 11
+    val docs = Seq(
+      ("en", "don't stop"),
+      ("fr", "résumé ok"),
+      ("xx", "")).toDF("lang", "text")
+    val out = TextStats.fertilityStats(docs, "text", Seq("lang"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("total_words") == 2L)
+    assert(en.getAs[Long]("total_bpe_tokens") == 4L)
+    assert(en.getAs[Long]("total_bytes") == 10L)
+    assert(en.getAs[Double]("fertility") == 2.0)
+    assert(en.getAs[Double]("bytes_per_token") == 2.5)
+    val fr = out("fr")
+    assert(fr.getAs[Long]("total_bpe_tokens") == 5L)
+    assert(fr.getAs[Long]("total_bytes") == 11L)
+    // empty stratum: zero words/tokens -> NULL ratios, not a crash
+    val xx = out("xx")
+    assert(xx.getAs[Long]("total_words") == 0L)
+    assert(xx.isNullAt(xx.fieldIndex("fertility")))
+    assert(xx.isNullAt(xx.fieldIndex("bytes_per_token")))
+  }
 }
