@@ -945,6 +945,29 @@ object ExtensionQueries {
       det(graft.operators.TextStats.bigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
 
+    // stupid-backoff trigram LM (Brants et al. 2007): 0.4 penalty per
+    // backoff level, floors at the unigram model
+    "q_text_logprob_trigram" -> ((s, dir) =>
+      det(graft.operators.TextStats.trigramLogProbScore(docs(s, dir),
+        "doc_id", "text", minCount = 2L))),
+
+    // DSIR importance score: hashed-ngram likelihood ratio between the
+    // trusted slice (src0/src1 play the target) and the corpus itself
+    "q_text_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(graft.operators.TextStats.dsirScore(d, "doc_id", "text",
+        d.filter(col("source").isin("src0", "src1")), "text",
+        numBuckets = 1024))
+    }),
+
+    // per-source distribution shift vs the trusted slice: OOV rate,
+    // KL divergence, cross-entropy over the floored reference vocab
+    "q_text_divergence" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(graft.operators.TextStats.vocabDivergence(d, "text", Seq("source"),
+        d.filter(col("source").isin("src0", "src1")), "text", minCount = 2L))
+    }),
+
     // CCNet's head/middle/tail split: unigram LM score -> percentile
     // terciles (bucket 0 = least corpus-typical). Empty docs (NULL
     // score) get a NULL bucket.
@@ -2220,6 +2243,114 @@ object ExtensionQueries {
          |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.mean_logprob
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id $N1, n_bigrams $N1, mean_logprob $N1""".stripMargin,
+    // stupid backoff replayed on n-gram STRINGS (space-joined tokens
+    // are injective: tokens cannot contain the separator) vs Spark's
+    // 64-bit window hashes — the standing injectivity argument; the
+    // CASE mirrors the Spark arithmetic parenthesization exactly
+    "q_text_logprob_trigram" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |tri AS (SELECT doc_id, u.g AS g, u.ctx AS ctx, u.bb AS bb,
+         |    u.w2 AS w2, u.w3 AS w3 FROM (
+         |  SELECT doc_id, unnest([{'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2],
+         |      'ctx': t[i] || ' ' || t[i+1], 'bb': t[i+1] || ' ' || t[i+2],
+         |      'w2': t[i+1], 'w3': t[i+2]}
+         |    for i in generate_series(1, len(t)-2)]) AS u FROM toks)),
+         |bi AS (SELECT unnest([t[i] || ' ' || t[i+1]
+         |    for i in generate_series(1, len(t)-1)]) AS g FROM toks),
+         |uni AS (SELECT unnest(t) AS g FROM toks),
+         |c3 AS (SELECT g, count(*) AS c FROM tri GROUP BY g HAVING count(*) >= 2),
+         |c2 AS (SELECT g, count(*) AS c FROM bi GROUP BY g HAVING count(*) >= 2),
+         |c1 AS (SELECT g, count(*) AS c FROM uni GROUP BY g HAVING count(*) >= 2),
+         |tot AS (SELECT count(*) AS total FROM uni),
+         |scored AS (SELECT tri.doc_id,
+         |    CASE WHEN v3.c IS NOT NULL THEN log10(CAST(v3.c AS DOUBLE) / vc.c)
+         |      WHEN vb.c IS NOT NULL THEN log10((0.4 * CAST(vb.c AS DOUBLE)) / u2.c)
+         |      ELSE log10((0.16 * CAST(coalesce(u3.c, 2) AS DOUBLE))
+         |                 / (SELECT total FROM tot))
+         |    END AS lp
+         |  FROM tri LEFT JOIN c3 v3 ON tri.g = v3.g
+         |    LEFT JOIN c2 vc ON tri.ctx = vc.g
+         |    LEFT JOIN c2 vb ON tri.bb = vb.g
+         |    LEFT JOIN c1 u2 ON tri.w2 = u2.g
+         |    LEFT JOIN c1 u3 ON tri.w3 = u3.g),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |    round(avg(lp), 6) AS mean_logprob FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams, a.mean_logprob
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id $N1, n_trigrams $N1, mean_logprob $N1""".stripMargin,
+    // the md5 bucket hash is replayed bit-exactly: first 8 hex chars as
+    // an unsigned 32-bit int, mod the bucket count
+    "q_text_dsir" ->
+      s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(t) AS gram FROM dt
+         |  UNION ALL
+         |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+         |    for i in generate_series(1, len(t)-1)]) AS gram FROM dt),
+         |gb AS (SELECT doc_id,
+         |    ('0x' || substring(md5(gram), 1, 8))::BIGINT % 1024 AS b FROM g),
+         |tt AS (SELECT string_split(text, ' ') AS t FROM documents
+         |       WHERE source IN ('src0', 'src1')),
+         |tg AS (SELECT unnest(t) AS gram FROM tt
+         |  UNION ALL
+         |  SELECT unnest([t[i] || ' ' || t[i+1]
+         |    for i in generate_series(1, len(t)-1)]) AS gram FROM tt),
+         |tb AS (SELECT ('0x' || substring(md5(gram), 1, 8))::BIGINT % 1024 AS b
+         |       FROM tg),
+         |p AS (SELECT b, count(*) AS pc FROM tb GROUP BY b),
+         |pt AS (SELECT count(*) AS ptot FROM tb),
+         |q AS (SELECT b, count(*) AS qc FROM gb GROUP BY b),
+         |qt AS (SELECT count(*) AS qtot FROM gb),
+         |scored AS (SELECT gb.doc_id,
+         |    log10(CAST(coalesce(p.pc, 0) + 1 AS DOUBLE)
+         |          / ((SELECT ptot FROM pt) + 1024))
+         |  - log10(CAST(coalesce(q.qc, 0) + 1 AS DOUBLE)
+         |          / ((SELECT qtot FROM qt) + 1024)) AS lr
+         |  FROM gb LEFT JOIN p USING (b) LEFT JOIN q USING (b)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    round(sum(lr), 6) AS dsir_logratio FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams, a.dsir_logratio
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id $N1, n_grams $N1, dsir_logratio $N1""".stripMargin,
+    "q_text_divergence" ->
+      s"""WITH rt AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+         |            FROM documents WHERE source IN ('src0', 'src1')),
+         |rv AS (SELECT token, count(*) AS rc FROM rt GROUP BY token),
+         |vocab AS (SELECT token, rc FROM rv WHERE rc >= 2),
+         |st AS (SELECT (SELECT sum(rc) FROM rv) AS rtot,
+         |              (SELECT count(*) FROM vocab) AS v,
+         |              (SELECT coalesce(sum(rc), 0) FROM vocab) AS vmass),
+         |st2 AS (SELECT rtot - vmass AS oovmass,
+         |               CAST(rtot + v + 1 AS DOUBLE) AS qden FROM st),
+         |gt AS (SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS token
+         |       FROM documents),
+         |gc AS (SELECT source, token, count(*) AS gcnt FROM gt GROUP BY source, token),
+         |tot AS (SELECT source, sum(gcnt) AS gtot FROM gc GROUP BY source),
+         |vt AS (SELECT g.source, sum(g.gcnt) AS voctok,
+         |    sum((CAST(g.gcnt AS DOUBLE) / t.gtot) *
+         |        log10((CAST(g.gcnt AS DOUBLE) / t.gtot) /
+         |              (CAST(v.rc + 1 AS DOUBLE) / (SELECT qden FROM st2)))) AS klv,
+         |    sum(-(CAST(g.gcnt AS DOUBLE) / t.gtot) *
+         |        log10(CAST(v.rc + 1 AS DOUBLE) / (SELECT qden FROM st2))) AS cev
+         |  FROM gc g JOIN vocab v USING (token) JOIN tot t USING (source)
+         |  GROUP BY g.source),
+         |fin AS (SELECT t.source, t.gtot,
+         |    t.gtot - coalesce(vt.voctok, 0) AS goov,
+         |    coalesce(vt.klv, 0) AS klv, coalesce(vt.cev, 0) AS cev
+         |  FROM tot t LEFT JOIN vt ON t.source = vt.source)
+         |SELECT source, CAST(gtot AS BIGINT) AS n_tokens,
+         |  round(CAST(goov AS DOUBLE) / gtot, 6) AS oov_rate,
+         |  round(klv + CASE WHEN goov > 0 THEN (CAST(goov AS DOUBLE) / gtot) *
+         |      log10((CAST(goov AS DOUBLE) / gtot) /
+         |            (CAST((SELECT oovmass FROM st2) + 1 AS DOUBLE)
+         |             / (SELECT qden FROM st2)))
+         |    ELSE 0 END, 6) AS kl_divergence,
+         |  round(cev + CASE WHEN goov > 0 THEN -(CAST(goov AS DOUBLE) / gtot) *
+         |      log10(CAST((SELECT oovmass FROM st2) + 1 AS DOUBLE)
+         |            / (SELECT qden FROM st2))
+         |    ELSE 0 END, 6) AS cross_entropy
+         |FROM fin
+         |ORDER BY source $N1, n_tokens $N1, oov_rate $N1, kl_divergence $N1,
+         |cross_entropy $N1""".stripMargin,
     "q_multimodal_json" ->
       s"""SELECT event_type, count(*) AS n_events,
          |CAST(sum(json_extract(props,'$$.k')::BIGINT) AS BIGINT) AS sum_k,

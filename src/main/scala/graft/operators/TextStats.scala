@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -606,6 +606,258 @@ object TextStats {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("mean_logprob"))
+  }
+
+  /**
+   * Per-document mean TRIGRAM log-probability with STUPID BACKOFF
+   * (Brants et al. 2007, "Large Language Models in Machine
+   * Translation" — the web-scale n-gram smoothing: no discounting, a
+   * fixed 0.4 penalty per backoff level, designed precisely for
+   * distributed count tables). Per trigram occurrence (w1 w2 w3):
+   *
+   *   - count(w1 w2 w3) >= minCount: log10(c3 / c2(w1 w2))
+   *   - else count(w2 w3) >= minCount: log10(0.4 * c2(w2 w3) / c1(w2))
+   *   - else: log10(0.16 * max(c1(w3), minCount) / total_tokens)
+   *
+   * Score = mean over the doc's trigram occurrences; docs with < 3
+   * tokens score NULL.
+   *
+   * 100 TB design: the [[bigramLogProbScore]] discipline one order up —
+   * the corpus trigram/bigram/unigram streams each materialize ONCE as
+   * count aggregates (ReuseExchange'd across their consumers), the
+   * scored tables keep only entries with count >= minCount (the floor
+   * is what bounds them) and broadcast; the per-occurrence probe is
+   * five broadcast left joins on 8-byte window hashes from the native
+   * [[graft.functions.ShingleHashes]] positional kernel (trigram hash at
+   * i, context/backoff bigram hashes at i/i+1, unigram hashes at
+   * i+1/i+2 — one byte scan per order, no n-gram strings on the wire;
+   * the module's standing injectivity argument). Trigram TYPES grow
+   * near-linearly with corpus size: as with the bigram operator,
+   * `broadcastVocab = false` swaps the probes to shuffle joins on the
+   * hash (uniform keys, AQE-splittable) — the corpus-scale path — or
+   * raise `minCount`, which bounds the tables directly.
+   * NOTE the kernel's token definition is `split(text, ' ')`.
+   *
+   * Output: (doc_id, n_trigrams, mean_logprob).
+   */
+  def trigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+                          minCount: Long = 2L,
+                          broadcastVocab: Boolean = true): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val sh = graft.functions.ShingleHashes
+    // per-occurrence probe frame: trigram + its positional companions
+    val docTri = docs.select(col(idCol).as("doc_id"),
+        sh.shingleHashesAll(col(textCol), 1).as("__h1s"),
+        sh.shingleHashesAll(col(textCol), 2).as("__h2s"),
+        posexplode(sh.shingleHashesAll(col(textCol), 3)).as(Seq("__i", "__h3")))
+      .select(col("doc_id"), col("__h3"),
+        element_at(col("__h2s"), col("__i") + 1).as("__ctx"),
+        element_at(col("__h2s"), col("__i") + 2).as("__bb"),
+        element_at(col("__h1s"), col("__i") + 2).as("__w2"),
+        element_at(col("__h1s"), col("__i") + 3).as("__w3"))
+      .filter(col("doc_id").isNotNull && col("__h3").isNotNull)
+      .groupBy(col("doc_id"), col("__h3"), col("__ctx"), col("__bb"),
+        col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__n"))
+    // raw corpus count tables, one explode each, floored to broadcast
+    def counts(n: Int, out: String): DataFrame = docs
+      .select(explode(sh.shingleHashesAll(col(textCol), n)).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(count(lit(1)).as(out))
+    val c1All = counts(1, "__c1")
+    val v3 = counts(3, "__c3").filter(col("__c3") >= minCount)
+    val v2 = counts(2, "__c2").filter(col("__c2") >= minCount)
+    val v1 = c1All.filter(col("__c1") >= minCount)
+    val total = c1All.agg(sum(col("__c1")).as("__total"))
+    def side(df: DataFrame): DataFrame =
+      if (broadcastVocab) broadcast(df) else df
+    val D = DoubleType
+    val scored = docTri
+      .join(side(v3), col("__h3") === v3("__h"), "left")
+      .join(side(v2.select(col("__h").as("__hc"), col("__c2").as("__c2ctx"))),
+        col("__ctx") === col("__hc"), "left")
+      .join(side(v2.select(col("__h").as("__hb"), col("__c2").as("__c2bb"))),
+        col("__bb") === col("__hb"), "left")
+      .join(side(v1.select(col("__h").as("__hw2"), col("__c1").as("__c1w2"))),
+        col("__w2") === col("__hw2"), "left")
+      .join(side(v1.select(col("__h").as("__hw3"), col("__c1").as("__c1w3"))),
+        col("__w3") === col("__hw3"), "left")
+      .crossJoin(broadcast(total)) // one row: corpus token count
+      .select(col("doc_id"), col("__n"),
+        when(col("__c3").isNotNull,
+          log10(col("__c3").cast(D) / col("__c2ctx")))
+        .when(col("__c2bb").isNotNull,
+          log10(lit(0.4) * col("__c2bb").cast(D) / col("__c1w2")))
+        .otherwise(log10(lit(0.16) *
+          coalesce(col("__c1w3"), lit(minCount)).cast(D) / col("__total")))
+        .as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__n")).as("n_trigrams"),
+        round(sum(col("__lp") * col("__n")) / sum(col("__n")), 6)
+          .as("mean_logprob"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("mean_logprob"))
+  }
+
+  /**
+   * DSIR importance score (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): per-document
+   * log-likelihood ratio between a TARGET distribution (the data you
+   * want more of — quality reference text) and the RAW distribution
+   * (the corpus being scored), both modeled as bag-of-hashed-n-gram
+   * unigram models. Features are word unigrams + bigrams hashed into
+   * `numBuckets` buckets; bucket probabilities are Laplace-smoothed
+   * ((count + 1) / (total + numBuckets)). Score(doc) = sum over the
+   * doc's gram occurrences of log10 p_target(bucket) −
+   * log10 p_raw(bucket); documents that "look like" the target score
+   * high. Select with [[Sampling.weightedSample]] /
+   * [[Sampling.percentileBuckets]] over the score downstream.
+   *
+   * 100 TB design: hashed features are the whole point — BOTH model
+   * tables have at most `numBuckets` rows no matter how large either
+   * corpus is, so they always broadcast and the crawl-sized gram
+   * stream never shuffles on a model key; the corpus gram stream
+   * materializes once as a (doc, bucket)-count aggregate that the raw
+   * model reuses (ReuseExchange — the [[unigramLogProbScore]]
+   * discipline). The bucket hash is md5-derived (stable across
+   * engines, exactly replayable by the DuckDB oracle). An empty
+   * target yields NULL scores — filter upstream.
+   *
+   * Output: (doc_id, n_grams, dsir_logratio); zero-gram docs keep
+   * n_grams = 0 with a NULL score.
+   */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                target: DataFrame, targetTextCol: String,
+                numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    val D = DoubleType
+    def bucketOf(gram: Column): Column =
+      conv(substring(md5(gram), 1, 8), 16, 10).cast(LongType) % numBuckets
+    def gramsOf(t: Column): Column = {
+      val toks = split(t, " ")
+      val bi = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      concat(toks, bi)
+    }
+    val docBucket = docs.select(col(idCol).as("doc_id"),
+        explode(gramsOf(col(textCol))).as("__gram"))
+      .filter(col("doc_id").isNotNull && col("__gram").isNotNull)
+      .select(col("doc_id"), bucketOf(col("__gram")).as("__b"))
+      .groupBy(col("doc_id"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val raw = docBucket.groupBy(col("__b")).agg(sum(col("__n")).as("__qc"))
+    val rawTot = docBucket.agg(sum(col("__n")).as("__qtot"))
+    val tgtBucket = target.select(explode(gramsOf(col(targetTextCol))).as("__gram"))
+      .filter(col("__gram").isNotNull)
+      .select(bucketOf(col("__gram")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__pc"))
+    val tgtTot = tgtBucket.agg(sum(col("__pc")).as("__ptot"))
+    val scored = docBucket
+      .join(broadcast(tgtBucket), Seq("__b"), "left")
+      .join(broadcast(raw), Seq("__b"), "left")
+      .crossJoin(broadcast(tgtTot))
+      .crossJoin(broadcast(rawTot)) // two 1-row sides: the model masses
+      .select(col("doc_id"), col("__n"),
+        (log10((coalesce(col("__pc"), lit(0L)) + 1).cast(D) /
+           (col("__ptot") + numBuckets)) -
+         log10((coalesce(col("__qc"), lit(0L)) + 1).cast(D) /
+           (col("__qtot") + numBuckets))).as("__lr"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__n")).as("n_grams"),
+        round(sum(col("__lr") * col("__n")), 6).as("dsir_logratio"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("dsir_logratio"))
+  }
+
+  /**
+   * Corpus-vs-reference vocabulary divergence — the dataset-card
+   * number for "how far is each stratum's token distribution from the
+   * reference" (domain-mixing diagnostics; the distribution-shift
+   * check run before reweighting a source, cf. the DoReMi/DSIR
+   * framing). Distributions are over the reference's `minCount`-floored
+   * vocabulary plus one OOV bucket holding everything else. Per
+   * stratum: token count, OOV rate, KL(P_stratum || Q_ref) and cross-
+   * entropy H(P, Q), both in log10. Q is Laplace-smoothed over
+   * vocab + OOV ((count + 1) / (ref_total + |vocab| + 1)) so no
+   * stratum token has q = 0; P is the stratum's empirical distribution
+   * (zero-probability terms drop from both sums). Strata with no
+   * tokens at all have no distribution and are absent from the output.
+   *
+   * 100 TB design: the floored reference vocabulary broadcasts (the
+   * [[unigramLogProbScoreAgainst]] contract); the stratum token stream
+   * partial-aggregates to (stratum, token) counts — its one real
+   * shuffle, keyed on the pair so hot tokens spread — and everything
+   * after is strata-cardinality arithmetic against 1-row broadcast
+   * model scalars.
+   *
+   * Output: (strata..., n_tokens, oov_rate, kl_divergence,
+   * cross_entropy).
+   */
+  def vocabDivergence(docs: DataFrame, textCol: String,
+                      strataCols: Seq[String],
+                      ref: DataFrame, refTextCol: String,
+                      minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(strataCols.nonEmpty, "strataCols must be non-empty")
+    val D = DoubleType
+    val refTok = ref.select(explode(
+        graft.functions.TextFunctions.whitespaceTokens(col(refTextCol))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("__rc"))
+    val vocab = refTok.filter(col("__rc") >= minCount)
+    // one broadcast row of model scalars: ref mass, vocab size+mass
+    val refStats = refTok.agg(sum(col("__rc")).as("__rtot"))
+      .crossJoin(vocab.agg(count(lit(1)).as("__v"),
+        coalesce(sum(col("__rc")), lit(0L)).as("__vmass")))
+      .select(col("__rtot"), col("__v"),
+        (col("__rtot") - col("__vmass")).as("__oovmass"),
+        (col("__rtot") + col("__v") + 1).cast(D).as("__qden"))
+    val grpTok = docs.select(strataCols.map(col) :+
+        explode(graft.functions.TextFunctions.whitespaceTokens(col(textCol)))
+          .as("token"): _*)
+      .filter(col("token").isNotNull)
+      .groupBy(strataCols.map(col) :+ col("token"): _*)
+      .agg(count(lit(1)).as("__gc"))
+    val totals = grpTok.groupBy(strataCols.map(col): _*)
+      .agg(sum(col("__gc")).as("__gtot"))
+    // in-vocab per-token terms, aggregated per stratum
+    val vocTerms = grpTok
+      .join(broadcast(vocab), Seq("token"))
+      .join(broadcast(totals), strataCols)
+      .crossJoin(broadcast(refStats))
+      .select(strataCols.map(col) :+ col("__gc") :+
+        (col("__gc").cast(D) / col("__gtot")).as("__p") :+
+        ((col("__rc") + 1).cast(D) / col("__qden")).as("__q"): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(sum(col("__gc")).as("__voctok"),
+        sum(col("__p") * log10(col("__p") / col("__q"))).as("__klv"),
+        sum(-col("__p") * log10(col("__q"))).as("__cev"))
+    totals
+      .join(vocTerms, strataCols, "left")
+      .crossJoin(broadcast(refStats))
+      .select(strataCols.map(col) :+ col("__gtot") :+
+        (col("__gtot") - coalesce(col("__voctok"), lit(0L))).as("__goov") :+
+        coalesce(col("__klv"), lit(0.0)).as("__klv2") :+
+        coalesce(col("__cev"), lit(0.0)).as("__cev2") :+
+        ((col("__oovmass") + 1).cast(D) / col("__qden")).as("__qoov"): _*)
+      .select(strataCols.map(col) :+
+        col("__gtot").as("n_tokens") :+
+        round(col("__goov").cast(D) / col("__gtot"), 6).as("oov_rate") :+
+        round(col("__klv2") + when(col("__goov") > 0,
+          (col("__goov").cast(D) / col("__gtot")) *
+            log10((col("__goov").cast(D) / col("__gtot")) / col("__qoov")))
+          .otherwise(lit(0.0)), 6).as("kl_divergence") :+
+        round(col("__cev2") + when(col("__goov") > 0,
+          -(col("__goov").cast(D) / col("__gtot")) * log10(col("__qoov")))
+          .otherwise(lit(0.0)), 6).as("cross_entropy"): _*)
   }
 
   /**

@@ -558,6 +558,83 @@ class TextStatsSpec extends AnyFunSuite {
       "gopherQualityFlags must be zero-shuffle")
   }
 
+  test("trigramLogProbScore: each backoff level fires with hand-checked values") {
+    // corpus: A has frequent trigrams; D's trigram+backoff-bigram+w3 are
+    // all rare (unigram-floor branch); G's trigram is rare but its
+    // backoff bigram "n o" is frequent (0.4-penalty bigram branch)
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // trigrams: abc x3, bca x2, cab x2
+      (2L, "x y q"),             // unique trigram, unique bigrams
+      (3L, "x y"), (4L, "x y"),
+      (5L, "m n o"),             // mno x1 but "n o" total x3
+      (6L, "n o"), (7L, "n o")).toDF("doc_id", "text")
+    val out = TextStats.trigramLogProbScore(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 3 x log10(3/3) + 2 x log10(2/3) + 2 x log10(2/2) over 7
+    val exp1 = BigDecimal(2.0 * math.log10(2.0 / 3) / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getAs[Long]("n_trigrams") == 7L)
+    assert(out(1L).getAs[Double]("mean_logprob") == exp1)
+    // doc 2: c3(x y q)=1 < 2, c2(y q)=1 < 2, c1(q)=1 < 2 -> floor:
+    // log10(0.16 * minCount / total_unigrams); total = 9+3+2+2+3+2+2 = 23
+    val exp2 = BigDecimal(math.log10(0.16 * 2 / 23.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L).getAs[Double]("mean_logprob") == exp2)
+    // doc 5: c3(m n o)=1 < 2 but c2(n o)=3 >= 2, c1(n)=3:
+    // log10(0.4 * 3 / 3) = log10(0.4)
+    val exp5 = BigDecimal(math.log10(0.4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(5L).getAs[Double]("mean_logprob") == exp5)
+    // sub-3-token docs: kept, zero trigrams, NULL score
+    assert(out(3L).getAs[Long]("n_trigrams") == 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("mean_logprob")))
+  }
+
+  test("dsirScore: self-target scores exactly zero; target-like text wins") {
+    val corpus = Seq(
+      (1L, "the model trains on curated text data"),
+      (2L, "the model learns from curated text"),
+      (3L, "buy cheap pills online casino bonus"),
+      (4L, "casino bonus spins buy cheap pills")).toDF("doc_id", "text")
+    // target == raw corpus -> p and q are the SAME model -> ratio 0
+    val self = TextStats.dsirScore(corpus, "doc_id", "text", corpus, "text")
+      .collect()
+    assert(self.forall(_.getAs[Double]("dsir_logratio") == 0.0))
+    // a curated-text target pushes curated docs above spam docs
+    val target = Seq("the model trains on curated text",
+      "curated text data trains the model").toDF("text")
+    val scored = TextStats.dsirScore(corpus, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dsir_logratio")).toMap
+    assert(Seq(1L, 2L).map(scored).min > Seq(3L, 4L).map(scored).max)
+    // deterministic across runs
+    val again = TextStats.dsirScore(corpus, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dsir_logratio")).toMap
+    assert(scored == again)
+  }
+
+  test("vocabDivergence matches the hand formula incl. the OOV bucket") {
+    // ref: a x2, b x1 -> vocab {a: 2, b: 1} at minCount=1; rtot=3, V=2,
+    // oovmass=0, qden=6; q(a)=.5, q(b)=1/3, q(oov)=1/6
+    val ref = Seq("a a b").toDF("text")
+    val docs = Seq(("s1", "a a b"), ("s2", "c c c")).toDF("src", "text")
+    val out = TextStats.vocabDivergence(docs, "text", Seq("src"), ref, "text",
+      minCount = 1L).collect().map(r => r.getString(0) -> r).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = out("s1") // same distribution as ref: only smoothing gap
+    assert(s1.getAs[Long]("n_tokens") == 3L)
+    assert(s1.getAs[Double]("oov_rate") == 0.0)
+    assert(s1.getAs[Double]("kl_divergence") ==
+      r6(2.0 / 3 * math.log10((2.0 / 3) / 0.5) +
+         1.0 / 3 * math.log10((1.0 / 3) / (1.0 / 3))))
+    assert(s1.getAs[Double]("cross_entropy") ==
+      r6(-(2.0 / 3) * math.log10(0.5) - 1.0 / 3 * math.log10(1.0 / 3)))
+    val s2 = out("s2") // fully OOV stratum
+    assert(s2.getAs[Double]("oov_rate") == 1.0)
+    assert(s2.getAs[Double]("kl_divergence") == r6(math.log10(6.0)))
+    assert(s2.getAs[Double]("cross_entropy") == r6(math.log10(6.0)))
+  }
+
   test("fertilityStats computes hand-checked ratios and NULLs degenerate strata") {
     // "don't stop" -> words 2; bpe tokens: don|'|t|stop = 4; bytes 10
     // "résumé ok" -> words 2; bpe: résumé is non-ascii punct-class chars?
