@@ -926,6 +926,25 @@ object ExtensionQueries {
       det(graft.operators.TextStats.stopwords(docs(s, dir), "doc_id", "text",
         minDocPct = 50))),
 
+    // BPE TRAINING on the classic planted word-frequency example —
+    // the merge sequence is fully determined by hand arithmetic (the
+    // oracle pins it as VALUES), incl. a tie broken by pair order
+    "q_text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+        Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+      val planted = Seq(words.mkString(" ")).toDF("text")
+      val m = graft.operators.TextStats.trainBpe(planted, "text", numMerges = 5)
+      val rows = m.zipWithIndex.map { case ((l, r, n), i) => (i + 1L, l, r, n) }
+      det(rows.toDF("merge_rank", "lhs", "rhs", "n_occurrences"))
+    }),
+
+    // BPE ENCODE with a fixed merge list over the real corpus; the
+    // oracle's replace chain is generated from the same list
+    "q_text_bpe_encode" -> ((s, dir) =>
+      det(graft.operators.TextStats.applyBpe(docs(s, dir), "doc_id", "text",
+        BpeFixtureMerges))),
+
     "q_text_logprob" -> ((s, dir) =>
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
@@ -1044,6 +1063,12 @@ object ExtensionQueries {
   // ------------------------------------------------------------- oracle SQL
 
   private val N1 = "NULLS FIRST"
+  /** Fixed merge list behind q_text_bpe_encode — common English merges;
+    * the oracle's replace chain is GENERATED from this same list so the
+    * two sides cannot drift. */
+  private val BpeFixtureMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"))
   private val BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   private val STOP_EN = TextFunctions.EnStopwords.map(w => s"'$w'").mkString(",")
 
@@ -2150,6 +2175,35 @@ object ExtensionQueries {
          |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
          |FROM p GROUP BY pair HAVING sum(cnt) >= 10
          |ORDER BY pair $N1, n_occurrences $N1""".stripMargin,
+    // merge sequence determined by hand arithmetic on the planted
+    // word-frequency table (hug:10 pug:5 pun:12 bun:4 hugs:5), the
+    // rank-5 tie (p+ug vs hug+s, both 5) broken by pair ascending
+    "q_text_bpe_merges" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), 'u', 'g', CAST(20 AS BIGINT)),
+         |  (CAST(2 AS BIGINT), 'u', 'n', CAST(16 AS BIGINT)),
+         |  (CAST(3 AS BIGINT), 'h', 'ug', CAST(15 AS BIGINT)),
+         |  (CAST(4 AS BIGINT), 'p', 'un', CAST(12 AS BIGINT)),
+         |  (CAST(5 AS BIGINT), 'hug', 's', CAST(5 AS BIGINT)))
+         |  AS t(merge_rank, lhs, rhs, n_occurrences)
+         |ORDER BY merge_rank $N1, lhs $N1, rhs $N1, n_occurrences $N1""".stripMargin,
+    // encode replayed: chars joined with chr(1), then the replace chain
+    // generated from BpeFixtureMerges in training order
+    "q_text_bpe_encode" -> {
+      val base = "rtrim(regexp_replace(tok, '(.)', '\\1' || chr(1), 'g'), chr(1))"
+      val folded = BpeFixtureMerges.foldLeft(base) { case (e, (l, r)) =>
+        s"replace($e, '$l' || chr(1) || '$r', '$l$r')"
+      }
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+         |enc AS (SELECT doc_id, len(string_split($folded, chr(1))) AS ns FROM toks),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(ns) AS BIGINT) AS n_subwords FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_subwords, 0) AS n_subwords
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id $N1, n_tokens $N1, n_subwords $N1""".stripMargin
+    },
     "q_text_stopwords" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id,
          |      unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents),

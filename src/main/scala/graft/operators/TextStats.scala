@@ -382,6 +382,100 @@ object TextStats {
   }
 
   /**
+   * BPE tokenizer TRAINING (Sennrich et al. 2016): the iterative merge
+   * loop [[bpePairCounts]] is the first step of — repeatedly merge the
+   * most frequent adjacent symbol pair (ties broken by pair ascending,
+   * so training is deterministic), applied left-to-right non-overlapping
+   * within each word, until `numMerges` merges are chosen or no pair
+   * reaches `minPairCount`. Exactly the reference trainers' algorithm,
+   * at exactly their representation: the WORD-FREQUENCY table, never
+   * the corpus.
+   *
+   * 100 TB design: the corpus collapses once to its Zipf-bounded
+   * vocabulary (cached — it is iterated `numMerges` times); each
+   * iteration is one map-side-combined pair aggregate over distinct
+   * tokens plus a ONE-ROW argmax collect (the [[graft.operators.Similarity]]
+   * kmeans contract: driver state = the merge list, ~bytes per merge),
+   * and the merge application is a codegen'd literal `replace` on the
+   * separator-joined symbol string — token text never leaves the
+   * executors. Symbol boundaries use U+0001 (cannot occur inside
+   * `\\S+` tokens). Char splitting is code-POINT based on both the
+   * Java and RE2 side (Java's zero-width split cannot break surrogate
+   * pairs), so the DuckDB replay agrees on non-BMP text.
+   *
+   * Returns the ordered merge list (left symbol, right symbol, pair
+   * occurrences at selection time).
+   */
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
+               minCount: Long = 1L,
+               minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    val SEP = "\u0001"
+    val vocab0 = vocabulary(docs, textCol, minCount)
+      .select(array_join(split(col("token"), ""), SEP).as("__s"),
+        col("n_occurrences").as("__cnt"))
+      .cache()
+    try {
+      var cur = vocab0
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var done = false
+      while (!done && merges.size < numMerges) {
+        val syms = split(col("__s"), SEP)
+        val pairs = when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), lit(SEP), element_at(syms, i + 1))))
+          .otherwise(array().cast(ArrayType(StringType)))
+        val top = cur.select(explode(pairs).as("__p"), col("__cnt"))
+          .groupBy(col("__p")).agg(sum(col("__cnt")).as("__n"))
+          .orderBy(col("__n").desc, col("__p"))
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getLong(1) < minPairCount) done = true
+        else {
+          val parts = top(0).getString(0).split(SEP)
+          val (l, r) = (parts(0), parts(1))
+          merges += ((l, r, top(0).getLong(1)))
+          cur = cur.withColumn("__s",
+            replace(col("__s"), lit(l + SEP + r), lit(l + r)))
+        }
+      }
+      merges.toSeq
+    } finally { vocab0.unpersist(); () }
+  }
+
+  /**
+   * Apply a trained BPE merge list ([[trainBpe]], or any fixed merge
+   * table) to a corpus and report per-document subword counts — the
+   * "how many tokens will this doc cost under MY tokenizer" column
+   * that budget sampling ([[graft.operators.Sampling.tokenBudgetSample]])
+   * and sequence packing ([[packSequences]]) want, measured with the
+   * real segmentation instead of the `\\S+` proxy. Merges apply in
+   * training order, left-to-right non-overlapping per word — reference
+   * BPE encode semantics.
+   *
+   * 100 TB design: entirely row-local — the merge list compiles into a
+   * chain of codegen'd literal `replace` calls inside one projection;
+   * zero shuffle, no UDF, rides the scan.
+   *
+   * Output: (doc_id, n_tokens, n_subwords).
+   */
+  def applyBpe(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val SEP = "\u0001"
+    val toks = graft.functions.TextFunctions.whitespaceTokens(col(textCol))
+    val perTok = transform(toks, tok => {
+      val folded = merges.foldLeft(array_join(split(tok, ""), SEP)) {
+        case (s, (l, r)) => replace(s, lit(l + SEP + r), lit(l + r))
+      }
+      size(split(folded, SEP)).cast(LongType)
+    })
+    docs.select(col(idCol).as("doc_id"),
+      size(toks).cast(LongType).as("n_tokens"),
+      aggregate(perTok, lit(0L), (a, x) => a + x).as("n_subwords"))
+  }
+
+  /**
    * Stopword mining: tokens present in at least `minDocPct` percent of
    * the corpus' documents, by DISTINCT document frequency — the
    * corpus-adaptive stopword list that quality scoring and keyword

@@ -635,6 +635,38 @@ class TextStatsSpec extends AnyFunSuite {
     assert(s2.getAs[Double]("cross_entropy") == r6(math.log10(6.0)))
   }
 
+  test("trainBpe recovers the classic merge sequence, ties broken by pair order") {
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+    val planted = Seq(words.mkString(" ")).toDF("text")
+    val m = TextStats.trainBpe(planted, "text", numMerges = 5)
+    assert(m == Seq(("u", "g", 20L), ("u", "n", 16L), ("h", "ug", 15L),
+      ("p", "un", 12L), ("hug", "s", 5L)))
+    // asking for more merges than the corpus supports stops at the
+    // minPairCount floor instead of looping
+    val m10 = TextStats.trainBpe(planted, "text", numMerges = 50)
+    assert(m10.size < 50 && m10.take(5) == m)
+    assert(m10.forall(_._3 >= 2L))
+  }
+
+  test("applyBpe segments left-to-right non-overlapping in training order") {
+    val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"), ("p", "un"), ("hug", "s"))
+    val docs = Seq((1L, "hugs pun bug"), (2L, ""), (3L, "aaa")).toDF("doc_id", "text")
+    val out = TextStats.applyBpe(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // hugs -> hug+s -> hugs (1); pun -> p+un -> pun (1); bug -> b|ug (2)
+    assert(out(1L).getAs[Long]("n_tokens") == 3L)
+    assert(out(1L).getAs[Long]("n_subwords") == 4L)
+    assert(out(2L).getAs[Long]("n_subwords") == 0L)
+    // no merge applies -> one subword per char
+    assert(out(3L).getAs[Long]("n_subwords") == 3L)
+    // left-to-right non-overlap: "aaa" under (a,a) merges the FIRST
+    // pair only -> [aa, a] = 2 subwords
+    val out2 = TextStats.applyBpe(docs, "doc_id", "text", Seq(("a", "a")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_subwords")).toMap
+    assert(out2(3L) == 2L)
+  }
+
   test("fertilityStats computes hand-checked ratios and NULLs degenerate strata") {
     // "don't stop" -> words 2; bpe tokens: don|'|t|stop = 4; bytes 10
     // "résumé ok" -> words 2; bpe: résumé is non-ascii punct-class chars?
