@@ -903,6 +903,12 @@ object ExtensionQueries {
         "lang", "doc_id", TextFunctions.tokenCount(col("text")),
         Map("en" -> 3000L, "de" -> 1000L)))),
 
+    // multi-epoch mixing table: temperature shares over per-source
+    // token mass -> epoch counts capped at 3, vs a 100k-token budget
+    "q_sample_epoch_plan" -> ((s, dir) =>
+      det(graft.operators.Sampling.epochPlan(docs(s, dir), "text", "source",
+        budgetTokens = 100000L, alpha = 0.5, maxEpochs = 3.0))),
+
     // --- corpus frequency statistics -------------------------------------
 
     "q_text_vocabulary" -> ((s, dir) =>
@@ -2141,6 +2147,26 @@ object ExtensionQueries {
          |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
          |SELECT doc_id, text, lang, source, n_chars FROM c WHERE cum - sz < 2000
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_sample_epoch_plan" ->
+      s"""WITH a AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         |      AS avail_tokens
+         |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+         |t AS (SELECT sum(pow(CAST(avail_tokens AS DOUBLE), 0.5)) AS wsum
+         |      FROM a WHERE avail_tokens > 0),
+         |b AS (SELECT stratum, n_docs, avail_tokens,
+         |    CASE WHEN avail_tokens > 0
+         |      THEN pow(CAST(avail_tokens AS DOUBLE), 0.5) / (SELECT wsum FROM t)
+         |      ELSE 0 END AS share FROM a),
+         |c AS (SELECT *, CASE WHEN avail_tokens > 0
+         |      THEN least(3.0, (100000 * share) / avail_tokens) END AS epochs
+         |  FROM b)
+         |SELECT stratum, n_docs, avail_tokens, round(share, 6) AS share,
+         |  round(epochs, 6) AS epochs,
+         |  round(epochs * avail_tokens, 6) AS planned_tokens
+         |FROM c
+         |ORDER BY stratum $N1, n_docs $N1, avail_tokens $N1, share $N1,
+         |epochs $N1, planned_tokens $N1""".stripMargin,
     "q_text_vocabulary" ->
       s"""SELECT token, count(*) AS n_occurrences
          |FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token

@@ -380,6 +380,59 @@ object Sampling {
    * loader streams shard files sequentially; re-shuffling between
    * epochs is a different `seed`, not a different algorithm.
    */
+  /**
+   * Multi-epoch mixture PLAN — the data-mixing table a pretraining run
+   * publishes before it starts (the LLaMA/GPT-style "source, share,
+   * epochs" table): given a total token budget, assign each stratum a
+   * temperature-weighted share (share ∝ available_tokens^alpha — alpha
+   * = 1 is proportional/single-epoch mixing, alpha < 1 upweights small
+   * high-quality sources exactly like [[temperatureSample]]) and
+   * convert it to an epoch count over the stratum's available tokens,
+   * capped at `maxEpochs` (repeating data beyond a few epochs hurts —
+   * the cap is the Muennighoff et al. 2023 "data-constrained scaling"
+   * guidance). `planned_tokens` = epochs × available: the cap means a
+   * plan may land under budget — callers redistribute or accept.
+   *
+   * This is a PLAN, not a sampler: feed `epochs` ≥ 1 strata to
+   * repetition/packing and < 1 strata to [[tokenBudgetSampleBy]] with
+   * `planned_tokens` as the per-stratum budget map.
+   *
+   * 100 TB design: one partially-aggregated groupBy to
+   * strata-cardinality rows; the share normalizer is a 1-row broadcast
+   * side; everything after is per-stratum arithmetic. NULL strata are
+   * excluded (they are not a plannable source).
+   *
+   * Output: (stratum, n_docs, avail_tokens, share, epochs,
+   * planned_tokens); token-less strata keep share 0 and NULL epochs.
+   */
+  def epochPlan(docs: DataFrame, textCol: String, stratumCol: String,
+                budgetTokens: Long, alpha: Double = 1.0,
+                maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(alpha > 0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val D = DoubleType
+    val avail = docs.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol)))
+          .as("avail_tokens"))
+    val wsum = avail.filter(col("avail_tokens") > 0)
+      .agg(sum(pow(col("avail_tokens").cast(D), alpha)).as("__wsum"))
+    val share = when(col("avail_tokens") > 0,
+      pow(col("avail_tokens").cast(D), alpha) / col("__wsum"))
+      .otherwise(lit(0.0))
+    avail.crossJoin(broadcast(wsum)) // one row: the share normalizer
+      .withColumn("__share", share)
+      .withColumn("__epochs", when(col("avail_tokens") > 0,
+        least(lit(maxEpochs),
+          (lit(budgetTokens) * col("__share")) / col("avail_tokens"))))
+      .select(col("stratum"), col("n_docs"), col("avail_tokens"),
+        round(col("__share"), 6).as("share"),
+        round(col("__epochs"), 6).as("epochs"),
+        round(col("__epochs") * col("avail_tokens"), 6).as("planned_tokens"))
+  }
+
   def globalShuffle(df: DataFrame, keyCol: String, seed: Long,
                     shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.config.TableConfig
 import graft.plans.MigrationCompiler
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -357,6 +357,70 @@ object StreamingOps {
           acc + coalesce(element_at(lpMap, t), lit(lpFloor))) /
           col("n_tokens"), 6)))
   }
+
+  /**
+   * Stateless streaming DSIR importance scoring —
+   * [[graft.operators.TextStats.dsirScore]]'s intake twin, with BOTH
+   * models frozen at stream setup (the batch operator models "raw"
+   * from the scored corpus itself; a stream cannot, so `raw` names the
+   * STATIC corpus snapshot the raw model freezes from — pass the same
+   * frame the batch run scored and the decisions agree row-for-row,
+   * which the spec pins). The two hashed-n-gram models collapse to at
+   * most `numBuckets` plan-literal map entries each — bounded by
+   * construction, the DSIR property — and every streamed doc scores
+   * ROW-LOCALLY with a fold over its own grams: no state store, no
+   * watermark, no shuffle.
+   * Output: input columns + (n_grams, dsir_logratio).
+   */
+  def streamingDsirScore(docs: DataFrame, idCol: String, textCol: String,
+                         target: DataFrame, targetTextCol: String,
+                         raw: DataFrame, rawTextCol: String,
+                         numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    def bucketOf(g: Column): Column =
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % numBuckets
+    def gramsOf(t: Column): Column = {
+      val toks = split(t, " ")
+      val bi = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      concat(toks, bi)
+    }
+    def model(df: DataFrame, tcol: String): (Map[Long, Long], Long) = {
+      val rows = df.select(explode(gramsOf(col(tcol))).as("__g"))
+        .select(bucketOf(col("__g")).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__c")).collect()
+      (rows.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        rows.map(_.getLong(1)).sum)
+    }
+    val (pc, ptot) = model(target, targetTextCol)
+    require(ptot > 0, "target corpus has no grams")
+    val (qc, qtot) = model(raw, rawTextCol)
+    require(qtot > 0, "raw reference corpus has no grams")
+    def lp(c: Long, tot: Long): Double =
+      math.log10((c + 1).toDouble / (tot + numBuckets))
+    val buckets = (pc.keySet ++ qc.keySet).toSeq.sorted
+    val lrMap = map_from_arrays(
+      typedlit(buckets),
+      typedlit(buckets.map(b =>
+        lp(pc.getOrElse(b, 0L), ptot) - lp(qc.getOrElse(b, 0L), qtot))))
+    val lrFloor = lp(0, ptot) - lp(0, qtot)
+    val grams = gramsOf(col(textCol))
+    docs
+      .withColumn("n_grams", coalesce(size(grams).cast("long"), lit(0L)))
+      .withColumn("dsir_logratio", when(col("n_grams") > 0,
+        round(aggregate(grams, lit(0.0), (acc, g) =>
+          acc + coalesce(element_at(lrMap, bucketOf(g)), lit(lrFloor))), 6)))
+  }
+
+  /** [[graft.operators.TextStats.applyBpe]] on a stream: the merge
+    * chain is row-local (a codegen'd literal replace chain), so the
+    * batch operator IS streaming-safe — this wrapper exists for
+    * discoverability and pins the contract with a spec. */
+  def streamingApplyBpe(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame =
+    graft.operators.TextStats.applyBpe(docs, idCol, textCol, merges)
 
   /** Apply a table migration config to a STREAMING source frame: the same
     * compiled plan (rename/transform/validate/lookup), incremental

@@ -308,4 +308,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(PlanWalk.shuffleCount(
       Sampling.globalShuffle(docs, "doc_id", 42L, 8)) == 1)
   }
+
+  test("epochPlan: temperature shares, the epoch cap, and degenerate strata") {
+    // A: 100 tokens, B: 400 -> alpha .5 weights 10/20 -> shares 1/3, 2/3
+    // budget 600: A target 200 -> 2.0 epochs (capped at 2.0 exactly),
+    // B target 400 -> 1.0 epoch; C has no tokens -> share 0, NULL epochs
+    val docs = Seq(
+      ("A", Seq.fill(100)("w").mkString(" ")),
+      ("B", Seq.fill(400)("w").mkString(" ")),
+      ("C", "")).toDF("src", "text")
+    val out = Sampling.epochPlan(docs, "text", "src",
+        budgetTokens = 600L, alpha = 0.5, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("avail_tokens") == 100L)
+    assert(out("A").getAs[Double]("share") == 0.333333)
+    assert(out("A").getAs[Double]("epochs") == 2.0)
+    assert(out("A").getAs[Double]("planned_tokens") == 200.0)
+    assert(out("B").getAs[Double]("share") == 0.666667)
+    assert(out("B").getAs[Double]("epochs") == 1.0)
+    assert(out("B").getAs[Double]("planned_tokens") == 400.0)
+    assert(out("C").getAs[Double]("share") == 0.0)
+    assert(out("C").isNullAt(out("C").fieldIndex("epochs")))
+    // the cap binds: a huge budget cannot push any stratum past maxEpochs
+    val capped = Sampling.epochPlan(docs, "text", "src",
+        budgetTokens = 1000000L, alpha = 0.5, maxEpochs = 3.0)
+      .collect().flatMap(r => Option(r.getAs[java.lang.Double]("epochs")))
+    assert(capped.forall(_ == 3.0))
+  }
 }

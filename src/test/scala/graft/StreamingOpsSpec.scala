@@ -453,4 +453,64 @@ class StreamingOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming DSIR scoring with frozen models equals the batch scores") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staticDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val target = staticDocs.filter(col("doc_id") < 100)
+    val rows = staticDocs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // raw model frozen from the SAME static snapshot the batch run
+    // scores -> decisions must agree
+    val scored = StreamingOps.streamingDsirScore(stream, "doc_id", "text",
+      target, "text", staticDocs, "text", numBuckets = 256)
+    assert(scored.isStreaming, "must stay a streaming frame (stateless stage)")
+    val q = scored.select("doc_id", "n_grams", "dsir_logratio")
+      .writeStream.format("memory").queryName("stream_dsir")
+      .outputMode("append").start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, n_grams, dsir_logratio FROM stream_dsir")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    q.stop()
+    val want = graft.operators.TextStats.dsirScore(staticDocs, "doc_id", "text",
+        target, "text", numBuckets = 256)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, (n, lr)) =>
+      val (gn, glr) = got(id)
+      assert(gn == n, s"doc $id n_grams")
+      (lr, glr) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 1e-6, s"doc $id: batch $a vs stream $b")
+        case (x, y) => assert(x == y, s"doc $id null mismatch")
+      }
+    }
+  }
+
+  test("streaming BPE encode equals the batch segmentation row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staticDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
+    val rows = staticDocs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingApplyBpe(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_bpe")
+      .outputMode("append").start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, n_tokens, n_subwords FROM stream_bpe")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val want = graft.operators.TextStats.applyBpe(staticDocs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
 }
