@@ -838,10 +838,17 @@ object TextStats {
         .otherwise(array().cast(ArrayType(StringType)))
       concat(toks, bi)
     }
+    // the explicit __b nullness filter (always true: the bucket of a
+    // non-null gram is non-null) keeps every consumer's subtree
+    // canonically EQUAL — without it the left joins infer
+    // isnotnull(__b) on the model branches only and ReuseExchange
+    // stops firing, re-scanning the corpus per consumer (the
+    // unigramLogProbScore trick, one hop downstream)
     val docBucket = docs.select(col(idCol).as("doc_id"),
         explode(gramsOf(col(textCol))).as("__gram"))
       .filter(col("doc_id").isNotNull && col("__gram").isNotNull)
       .select(col("doc_id"), bucketOf(col("__gram")).as("__b"))
+      .filter(col("__b").isNotNull)
       .groupBy(col("doc_id"), col("__b"))
       .agg(count(lit(1)).as("__n"))
     val raw = docBucket.groupBy(col("__b")).agg(sum(col("__n")).as("__qc"))
@@ -849,6 +856,7 @@ object TextStats {
     val tgtBucket = target.select(explode(gramsOf(col(targetTextCol))).as("__gram"))
       .filter(col("__gram").isNotNull)
       .select(bucketOf(col("__gram")).as("__b"))
+      .filter(col("__b").isNotNull)
       .groupBy(col("__b")).agg(count(lit(1)).as("__pc"))
     val tgtTot = tgtBucket.agg(sum(col("__pc")).as("__ptot"))
     val scored = docBucket
