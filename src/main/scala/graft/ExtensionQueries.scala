@@ -314,6 +314,15 @@ object ExtensionQueries {
         "doc_id", "text", n = 13))
     }),
 
+    // surgical variant: cut only the eval-overlapping 8-token windows,
+    // keep the rest of the document
+    "q_decontaminate_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(Dedup.scrubContaminatedWindows(d,
+        d.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 8).select(col("doc_id"), col("text")))
+    }),
+
     // same leakage guard through the Bloom-prefilter path: identical
     // output contract (the exact confirm removes Bloom false
     // positives), graded against the SAME oracle as q_decontaminate
@@ -1502,6 +1511,31 @@ object ExtensionQueries {
     // the bloom variant is output-identical by contract (exact confirm
     // removes Bloom false positives), so it shares the oracle
     "q_decontaminate" -> oracleDecontaminateSql,
+    // windows whose 8-gram appears anywhere in the eval slice are cut;
+    // the rebuild tail is q_dedup_window_removal's
+    "q_decontaminate_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |ev AS (SELECT DISTINCT u AS g FROM (
+         |  SELECT unnest([array_to_string(t[i:i+7],' ')
+         |    for i in generate_series(1, len(t)-7)]) AS u
+         |  FROM toks WHERE doc_id % 97 = 0)),
+         |occ AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+         |  SELECT doc_id, unnest([{'pos': i, 'g': array_to_string(t[i:i+7],' ')}
+         |    for i in generate_series(1, len(t)-7)]) AS u FROM toks)),
+         |bad AS (SELECT occ.doc_id, occ.pos FROM occ
+         |        WHERE occ.g IN (SELECT g FROM ev)),
+         |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos+7)) AS tp
+         |        FROM bad),
+         |tokpos AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest([{'pos': i, 'tok': t[i]}
+         |    for i in generate_series(1, len(t))]) AS u FROM toks)),
+         |kept AS (SELECT tp.doc_id,
+         |    array_to_string(list(tp.tok ORDER BY tp.pos), ' ') AS text
+         |  FROM tokpos tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.tp = tp.pos
+         |  WHERE cov.tp IS NULL GROUP BY tp.doc_id)
+         |SELECT d.doc_id, coalesce(k.text, '') AS text
+         |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+         |ORDER BY d.doc_id $N1, text $N1""".stripMargin,
     "q_decontaminate_bloom" -> oracleDecontaminateSql,
     // cross-set twin of jaccardCte: shingles over both sets, df-cap on
     // the index side only, candidates new x old, exact-Jaccard verify,

@@ -693,6 +693,48 @@ object Dedup {
   }
 
   /**
+   * SURGICAL decontamination — [[decontaminate]]'s span-level sibling:
+   * instead of DROPPING every document that shares an `n`-gram with
+   * the evaluation set, cut only the overlapping token windows and
+   * keep the rest of the document (the open-data decontamination
+   * variant popularized by FLAN/Dolma-style pipelines: a 10k-token
+   * document should not die for one quoted benchmark sentence).
+   * Every corpus token covered by ANY eval-matching window is removed;
+   * untouched documents pass through byte-identical. Token definition
+   * is the dedup family's `split(text, ' ')`.
+   *
+   * 100 TB design: the corpus is shingled once positionally (the
+   * [[removeDuplicatedWindows]] kernel); the eval membership probe is
+   * a LEFT SEMI against the eval set's DISTINCT shingle hashes,
+   * broadcast by default ([[decontaminate]]'s contract — eval
+   * benchmarks are small; `broadcastEval = false` degrades to a
+   * shuffle join on the 8-byte hash), so the corpus shingle stream is
+   * never shuffled on the default path. Covered-position volume is
+   * bounded by actual contamination; the rebuild is row-local.
+   *
+   * Output: the corpus with `textCol` rebuilt (fully-contaminated
+   * docs become empty strings — filter downstream if dropping is
+   * wanted; that composition equals [[decontaminate]] only for docs
+   * whose every token sits under a matching window).
+   */
+  def scrubContaminatedWindows(corpus: DataFrame, evalSet: DataFrame,
+                               idCol: String, textCol: String, n: Int = 13,
+                               broadcastEval: Boolean = true): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val evalG = shingled(evalSet, idCol, textCol, n)
+      .select(explode(col("__hs")).as("__g")).distinct()
+    val evalSide = if (broadcastEval) broadcast(evalG) else evalG
+    val covered = corpus.select(col(idCol).as("__id"),
+        posexplode(graft.functions.ShingleHashes.shingleHashesAll(
+          col(textCol), n)).as(Seq("__pos", "__g")))
+      .filter(col("__g").isNotNull && col("__id").isNotNull)
+      .join(evalSide, Seq("__g"), "left_semi")
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__tp"))
+    rebuildWithoutPositions(corpus, idCol, textCol, covered, " ")
+  }
+
+  /**
    * Bloom-prefiltered decontamination — byte-identical output to
    * [[decontaminate]], built for the regime where the eval side is too
    * big to broadcast as a HASH relation. A hash relation over 100 M

@@ -746,4 +746,26 @@ class DedupSpec extends AnyFunSuite {
     assert(shingleGens == 1,
       s"expected one shingle generator in the executed plan, found $shingleGens")
   }
+
+  test("scrubContaminatedWindows cuts only eval-overlapping spans") {
+    val evalDoc = "q1 q2 q3 q4" // one 4-gram in the eval set
+    val docs = Seq(
+      (1L, s"a b c $evalDoc d e f"), // quoted benchmark inside prose
+      (2L, "a b c d e f g h"),       // untouched
+      (3L, evalDoc),                 // fully contaminated
+      (4L, s"$evalDoc tail1 tail2")).toDF("doc_id", "text")
+    val eval = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val out = Dedup.scrubContaminatedWindows(docs, eval, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d e f", "only the quoted window is cut")
+    assert(out(2L) == "a b c d e f g h", "clean doc passes byte-identical")
+    assert(out(3L) == "", "fully-contaminated doc becomes empty")
+    assert(out(4L) == "tail1 tail2")
+    // the planted corpus is clean afterwards: whole-doc decontamination
+    // against the same eval set now drops nothing non-empty
+    val scrubbed = Dedup.scrubContaminatedWindows(docs, eval, "doc_id", "text", n = 4)
+    val survivors = Dedup.decontaminate(scrubbed, eval, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 3L, 4L))
+  }
 }
