@@ -306,6 +306,14 @@ object ExtensionQueries {
       det(graft.operators.TextStats.fertilityStats(docs(s, dir), "text",
         Seq("lang")))),
 
+    // per-language z-scores of two length signals — the signal-fusion
+    // normalization step
+    "q_text_zscore" -> ((s, dir) =>
+      det(graft.operators.TextStats.zscoreSignals(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        Seq("n_chars", "n_tokens"), Seq("lang")))),
+
     // eval-set leakage guard: docs sharing any 13-gram with the eval
     // slice (doc_id % 97 == 0 — deterministic, SF-stable) are dropped
     "q_decontaminate" -> ((s, dir) => {
@@ -1464,6 +1472,21 @@ object ExtensionQueries {
       s"""SELECT doc_id, ${counts.mkString(",\n")} FROM documents
          |ORDER BY doc_id $N1, ${labels.map(l => s"$l $N1").mkString(", ")}""".stripMargin
     },
+    "q_text_zscore" ->
+      s"""WITH b AS (SELECT doc_id, lang, n_chars,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (SELECT lang, avg(n_chars) AS m1, stddev_samp(n_chars) AS s1,
+         |    avg(n_tokens) AS m2, stddev_samp(n_tokens) AS s2
+         |  FROM b GROUP BY lang)
+         |SELECT b.doc_id, b.lang, b.n_chars, b.n_tokens,
+         |  CASE WHEN s.s1 > 0 THEN round((b.n_chars - s.m1) / s.s1, 6) END
+         |    AS n_chars_z,
+         |  CASE WHEN s.s2 > 0 THEN round((b.n_tokens - s.m2) / s.s2, 6) END
+         |    AS n_tokens_z
+         |FROM b JOIN s USING (lang)
+         |ORDER BY b.doc_id $N1, b.lang $N1, b.n_chars $N1, b.n_tokens $N1,
+         |n_chars_z $N1, n_tokens_z $N1""".stripMargin,
     "q_text_fertility" ->
       s"""WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)

@@ -1209,6 +1209,41 @@ object TextStats {
         round(avg(length(col(textCol)).cast(LongType)), 6).as("avg_doc_chars"))
   }
 
+  /**
+   * Per-stratum z-score normalization of quality signals — the fusion
+   * step before combining heterogeneous scores (length, LM log-prob,
+   * classifier margin) into one filter: each signal is standardized
+   * within its stratum ((x − mean) / sample-stddev), so "2σ below the
+   * ENGLISH length mean" and "2σ below the CODE length mean" become
+   * the same number (FineWeb-Edu-style ensembling wants exactly this).
+   * Signals whose stratum has zero variance (or a single row) yield
+   * NULL — there is no scale to normalize by.
+   *
+   * 100 TB design: per-stratum moments via one partially-aggregated
+   * groupBy to strata-cardinality rows, broadcast back — NO window
+   * over the stratum (a window would sort each stratum's full row
+   * set); the normalization itself is a zero-shuffle projection.
+   * `byCols` empty = global normalization (1-row broadcast).
+   *
+   * Output: input columns + one `<col>_z` per signal, round-6.
+   */
+  def zscoreSignals(df: DataFrame, cols: Seq[String],
+                    byCols: Seq[String] = Nil): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap(c => Seq(
+      avg(col(c)).as(s"__m_$c"), stddev_samp(col(c)).as(s"__s_$c")))
+    val stats =
+      if (byCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(byCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val joined =
+      if (byCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), byCols)
+    cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${c}_z", when(col(s"__s_$c") > 0,
+        round((col(c) - col(s"__m_$c")) / col(s"__s_$c"), 6)))
+    }.drop(cols.flatMap(c => Seq(s"__m_$c", s"__s_$c")): _*)
+  }
+
   /** Tokenizer fertility card — per stratum (typically language):
     * subword tokens per whitespace word and UTF-8 bytes per subword
     * token, the two numbers every multilingual tokenizer design

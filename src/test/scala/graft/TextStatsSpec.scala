@@ -635,6 +635,31 @@ class TextStatsSpec extends AnyFunSuite {
     assert(s2.getAs[Double]("cross_entropy") == r6(math.log10(6.0)))
   }
 
+  test("zscoreSignals standardizes per stratum and NULLs zero-variance strata") {
+    val df = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L),  // mean 2, sample stddev 1
+      ("B", 7L),                        // single row: no variance
+      ("C", 5L), ("C", 5L)              // constant: stddev 0
+    ).toDF("src", "x")
+    val out = TextStats.zscoreSignals(df, Seq("x"), Seq("src"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("A", 1L)) == Some(-1.0))
+    assert(out(("A", 2L)) == Some(0.0))
+    assert(out(("A", 3L)) == Some(1.0))
+    assert(out(("B", 7L)) == None)
+    assert(out(("C", 5L)) == None)
+    // global mode: one 1-row broadcast, same formula over all rows
+    val g = TextStats.zscoreSignals(df.select("x"), Seq("x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val xs = Seq(1L, 2L, 3L, 7L, 5L, 5L).map(_.toDouble)
+    val m = xs.sum / xs.size
+    val sd = math.sqrt(xs.map(v => (v - m) * (v - m)).sum / (xs.size - 1))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g(1L) == r6((1 - m) / sd) && g(7L) == r6((7 - m) / sd))
+  }
+
   test("trainBpe recovers the classic merge sequence, ties broken by pair order") {
     val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
       Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
