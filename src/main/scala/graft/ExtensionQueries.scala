@@ -94,6 +94,17 @@ object ExtensionQueries {
       DedupIndex.compact(s, path)
     }
 
+  /** One JSONL export of the documents table per (JVM, sf dir) —
+    * gzip-compressed in 4 shards (the splittability note in
+    * [[graft.sources.TextCorpus]]). Queried by q_corpus_jsonl_roundtrip:
+    * the read-back must be row-identical to the parquet original. */
+  private val jsonlExports = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonlExport(s: SparkSession, dir: String): String =
+    cachedTmpArtifact(jsonlExports, "graft_corpus_jsonl", dir) { path =>
+      graft.sources.TextCorpus.writeJsonl(docs(s, dir), path,
+        compression = Some("gzip"), partitions = 4)
+    }
+
   /** Seeded planted-cluster frame (20 clusters x 50 vectors, sigma small
     * vs inter-center distance, seed 11) — deterministic and SF-invariant,
     * shared by the clustered-structure gates and the bench-visible
@@ -286,6 +297,16 @@ object ExtensionQueries {
           lit("@example.com at 10.0."),
           pmod(col("doc_id"), lit(256)).cast(StringType),
           lit(".7 ssn 123-45-6789 tel +14155550133"))).as("redacted")))),
+
+    // JSONL interchange round-trip: documents exported as gzip'd JSONL
+    // shards, read back with the explicit schema — row-identical to
+    // the parquet original (the oracle just reads the original)
+    "q_corpus_jsonl_roundtrip" -> ((s, dir) => {
+      val schema = docs(s, dir).schema
+      det(graft.sources.TextCorpus.readJsonl(s, jsonlExport(s, dir), schema)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")))
+    }),
 
     // PII audit card: per-doc per-type match counts over the same
     // planted synthetic PII as q_redact_pii, counted along the same
@@ -1472,6 +1493,9 @@ object ExtensionQueries {
       s"""SELECT doc_id, ${counts.mkString(",\n")} FROM documents
          |ORDER BY doc_id $N1, ${labels.map(l => s"$l $N1").mkString(", ")}""".stripMargin
     },
+    "q_corpus_jsonl_roundtrip" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_text_zscore" ->
       s"""WITH b AS (SELECT doc_id, lang, n_chars,
          |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens

@@ -275,6 +275,20 @@ object StreamingOps {
       sink(graft.operators.Dedup.decontaminate(batch, evalSet, idCol, textCol, n),
         batchId)
 
+  /** The surgical sibling of [[decontaminateBatches]]: per micro-batch,
+    * CUT the eval-overlapping token windows instead of dropping docs
+    * ([[graft.operators.Dedup.scrubContaminatedWindows]]). A
+    * foreachBatch stage because the rebuild joins the batch to its own
+    * covered-position aggregate; the scrub itself only consults the
+    * STATIC eval set, so per-batch decisions equal the batch operator
+    * row-for-row (spec-pinned). */
+  def scrubContaminatedWindowsBatches(idCol: String, textCol: String,
+                                      evalSet: DataFrame, n: Int = 13)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      sink(graft.operators.Dedup.scrubContaminatedWindows(batch, evalSet,
+        idCol, textCol, n), batchId)
+
   /** The embedding-space twin of [[decontaminateBatches]]: each
     * micro-batch drops rows within cosine `threshold` of the static
     * eval set via [[graft.operators.Similarity.semanticDecontaminate]]

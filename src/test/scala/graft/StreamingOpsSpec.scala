@@ -229,6 +229,43 @@ class StreamingOpsSpec extends AnyFunSuite {
       "decontamination must actually drop rows on this corpus")
   }
 
+  test("scrubContaminatedWindowsBatches: per-batch rebuilds equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select("doc_id", "text")
+    val newRows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (batch1, batch2) = newRows.splitAt(newRows.length / 2)
+    val got = scala.collection.concurrent.TrieMap[Long, Map[Long, String]]()
+    val stage = StreamingOps.scrubContaminatedWindowsBatches(
+        "doc_id", "text", eval, n = 8) { (scrubbed, id) =>
+      got(id) = scrubbed.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(stage).start()
+    mem.addData(batch1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(batch2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def batchDecision(rows: Array[(Long, String)]): Map[Long, String] =
+      graft.operators.Dedup.scrubContaminatedWindows(
+          rows.toSeq.toDF("doc_id", "text"), eval, "doc_id", "text", n = 8)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == batchDecision(batch1))
+    assert(got(1L) == batchDecision(batch2))
+    // the eval slice streams through too and is scrubbed to empty
+    val evalIds = eval.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(evalIds.forall(id => (got(0L) ++ got(1L))(id) == ""),
+      "eval members must be fully scrubbed")
+  }
+
   test("semanticDecontaminateBatches: per-batch decisions equal the batch operator") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
