@@ -327,6 +327,34 @@ object ExtensionQueries {
       det(graft.operators.TextStats.fertilityStats(docs(s, dir), "text",
         Seq("lang")))),
 
+    // writing-system histogram: the corpus is ASCII-heavy, so the
+    // query plants a deterministic multi-script suffix (the
+    // q_redact_pii trick) — every class demonstrably FIRES
+    "q_text_scripts" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" тест καλά اختبار परीक्षा 测试 테스트 テスト"))
+      det(docs(s, dir).select(col("doc_id") +:
+        TextFunctions.scriptCounts(planted).map { case (n, c) => c.as(n) }: _*))
+    }),
+
+    // zlib compressibility: boilerplate compresses far better than
+    // prose; DEFLATE length has no DuckDB replay, so the gate pins the
+    // planted ordering and bounds (the SimHash rows-only contract)
+    "q_gate_zlib" -> ((s, dir) => {
+      import s.implicits._
+      val rep = Seq.fill(50)("click here to subscribe now").mkString(" ")
+      val prose = "the quick brown fox jumps over the lazy dog while " +
+        "autumn leaves drift slowly past the quiet river and distant " +
+        "hills fade into evening mist before the first stars appear"
+      val frame = Seq(("rep", rep), ("prose", prose)).toDF("kind", "text")
+      val r = frame.select(col("kind"),
+          graft.functions.ZlibSignal.compressionRatio(col("text")).as("ratio"))
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      val ok = r("rep") < 0.2 && r("prose") > 0.3 && r("rep") < r("prose") &&
+        r.values.forall(v => v > 0 && v < 1.5)
+      Seq((if (ok) 1 else 0)).toDF("ok")
+    }),
+
     // per-language z-scores of two length signals — the signal-fusion
     // normalization step
     "q_text_zscore" -> ((s, dir) =>
@@ -1496,6 +1524,18 @@ object ExtensionQueries {
     "q_corpus_jsonl_roundtrip" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    // counts generated from the same ScriptRanges list over the same
+    // planted multi-script suffix
+    "q_text_scripts" -> {
+      val planted = "text || ' тест καλά اختبار परीक्षा 测试 테스트 テスト'"
+      val labels = TextFunctions.ScriptRanges.map(_._1)
+      val counts = TextFunctions.ScriptRanges.map { case (label, cls) =>
+        s"CAST(len(regexp_extract_all($planted, '$cls')) AS BIGINT) AS $label"
+      }
+      s"""SELECT doc_id, ${counts.mkString(",\n")} FROM documents
+         |ORDER BY doc_id $N1, ${labels.map(l => s"$l $N1").mkString(", ")}""".stripMargin
+    },
+    "q_gate_zlib" -> "SELECT CAST(1 AS INT) AS ok",
     "q_text_zscore" ->
       s"""WITH b AS (SELECT doc_id, lang, n_chars,
          |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens

@@ -285,6 +285,33 @@ object TextFunctions {
           regexp_replace(cur, pat, repl))
     }._1
 
+  /** Unicode script ranges behind [[scriptCounts]] — explicit BMP
+    * codepoint classes (not `\\p{Script=...}` names, whose spelling
+    * differs between Java and RE2), so the IDENTICAL strings run in
+    * both engines and the `q_text_scripts` oracle is generated from
+    * this list. Astral-plane scripts (CJK extension B+) are outside
+    * the ranges — documented boundary, not a bug. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "n_latin" -> "[A-Za-zÀ-ɏ]",
+    "n_cyrillic" -> "[Ѐ-ӿ]",
+    "n_greek" -> "[Ͱ-Ͽ]",
+    "n_arabic" -> "[؀-ۿ]",
+    "n_devanagari" -> "[ऀ-ॿ]",
+    "n_cjk" -> "[一-鿿]",
+    "n_hangul" -> "[가-힯]",
+    "n_kana" -> "[぀-ヿ]")
+
+  /** Per-script character counts — the writing-system histogram that
+    * complements [[detectLanguage]] (stopword profiles cannot tell
+    * Russian from Bulgarian, but they also cannot tell EITHER from
+    * mojibake; script counts catch mixed-script spam, encoding damage
+    * and CJK/Latin code-switching). One codegen'd projection, zero
+    * shuffle. */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    ScriptRanges.map { case (n, cls) =>
+      n -> size(regexp_extract_all(text, lit(cls), lit(0))).cast(LongType)
+    }
+
   /** The (pattern, replacement) chain behind [[stripMarkup]], in
     * application order: tags/comment delimiters become spaces, then the
     * five entities HTML-escapes most (`&amp;` LAST, so `&amp;lt;`

@@ -159,6 +159,47 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(counts("no pii here").values.sum == 0L)
   }
 
+  test("scriptCounts fires per writing system and zeroes the rest") {
+    def counts(t: String): Map[String, Long] = {
+      val df = Seq(t).toDF("t")
+      val row = df.select(scriptCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+        .collect().head
+      ScriptRanges.map(_._1).map(l => l -> row.getAs[Long](l)).toMap
+    }
+    val ascii = counts("plain english 123")
+    assert(ascii("n_latin") == 12L)
+    assert(ascii.filterNot(_._1 == "n_latin").values.forall(_ == 0L))
+    val ru = counts("привет мир")
+    assert(ru("n_cyrillic") == 9L && ru("n_latin") == 0L)
+    val zh = counts("你好世界 hello")
+    assert(zh("n_cjk") == 4L && zh("n_latin") == 5L)
+    val mixed = counts("καλά 한글 テスト परीक्षा اختبار")
+    assert(mixed("n_greek") == 4L && mixed("n_hangul") == 2L &&
+      mixed("n_kana") == 3L && mixed("n_arabic") == 6L)
+    assert(mixed("n_devanagari") == 7L) // incl. combining marks in the block
+  }
+
+  test("zlib compressionRatio: boilerplate below prose, deterministic, bounded") {
+    import graft.functions.ZlibSignal
+    def ratio(t: String): Option[Double] = {
+      val r = Seq(t).toDF("t")
+        .select(ZlibSignal.compressionRatio(col("t")).as("r")).collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val rep = Seq.fill(50)("click here to subscribe now").mkString(" ")
+    val prose = "the quick brown fox jumps over the lazy dog while autumn " +
+      "leaves drift slowly past the quiet river and distant hills fade away"
+    assert(ratio(rep).get < 0.2, s"boilerplate ${ratio(rep)}")
+    assert(ratio(prose).get > 0.3 && ratio(prose).get < 1.5)
+    assert(ratio(rep).get < ratio(prose).get)
+    assert(ratio(rep) == ratio(rep), "deterministic")
+    // empty doc: no ratio (the zlib header would dominate); length still > 0
+    assert(ratio("") == None)
+    val len = Seq("").toDF("t")
+      .select(ZlibSignal.deflateLength(col("t")).as("l")).collect().head.getLong(0)
+    assert(len > 0L)
+  }
+
   test("simhash63: identical equal; near-dup closer than unrelated") {
     val base = "spark window merge join the fast table scan with hash keys and rows"
     val near = base.replace("fast", "quick")
