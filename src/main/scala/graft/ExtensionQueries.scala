@@ -969,6 +969,25 @@ object ExtensionQueries {
         "lang", "doc_id", TextFunctions.tokenCount(col("text")),
         Map("en" -> 3000L, "de" -> 1000L)))),
 
+    // sentence segmentation with the pinned [^.!?]+[.!?]+ boundary
+    // rule; the corpus carries no terminators, so the query PLANTS
+    // deterministic sentence punctuation (the q_redact_pii trick) —
+    // the splitter demonstrably fires on every doc
+    "q_text_sentences" -> ((s, dir) =>
+      det(graft.operators.TextStats.splitSentences(
+        docs(s, dir).withColumn("text", concat(col("text"),
+          lit(". Planted one! Planted"), col("doc_id").cast(StringType),
+          lit("? tail without terminator"))),
+        "doc_id", "text"))),
+
+    // curriculum order: hash shards, within-shard order by n_chars
+    // (easy = short first)
+    "q_sample_curriculum" -> ((s, dir) =>
+      det(graft.operators.Sampling.curriculumOrder(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", seed = 42L, shards = 8)
+        .select(col("doc_id"), col("n_chars"), col("shard"), col("pos")))),
+
     // multi-epoch mixing table: temperature shares over per-source
     // token mass -> epoch counts capped at 3, vs a 100k-token budget
     "q_sample_epoch_plan" -> ((s, dir) =>
@@ -2268,6 +2287,29 @@ object ExtensionQueries {
          |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
          |SELECT doc_id, text, lang, source, n_chars FROM c WHERE cum - sz < 2000
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_text_sentences" ->
+      s"""WITH ss AS (SELECT doc_id, regexp_extract_all(
+         |      text || '. Planted one! Planted' || CAST(doc_id AS VARCHAR)
+         |           || '? tail without terminator',
+         |      '[^.!?]+[.!?]+') AS s FROM documents),
+         |u AS (SELECT doc_id, unnest([{'i': i, 's': s[i]}
+         |    for i in generate_series(1, len(s))]) AS u FROM ss)
+         |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS sent_idx,
+         |  trim(u.s) AS sentence,
+         |  CAST(len(regexp_extract_all(trim(u.s), '\\S+')) AS BIGINT) AS n_tokens
+         |FROM u
+         |ORDER BY doc_id $N1, sent_idx $N1, sentence $N1, n_tokens $N1""".stripMargin,
+    // the md5 shard replay of q_sample_shuffle, ordered by the score
+    // (NULLS FIRST = Spark's ascending default) instead of the uniform
+    "q_sample_curriculum" ->
+      s"""WITH a AS (SELECT doc_id, n_chars,
+         |  CAST(('0x' || substring(md5('42#' || CAST(doc_id AS VARCHAR)), 9, 8))
+         |    ::BIGINT % 8 AS INT) AS shard
+         |  FROM documents)
+         |SELECT doc_id, n_chars, shard,
+         |  row_number() OVER (PARTITION BY shard
+         |    ORDER BY n_chars NULLS FIRST, doc_id) - 1 AS pos
+         |FROM a ORDER BY doc_id $N1, n_chars $N1, shard $N1, pos $N1""".stripMargin,
     "q_sample_epoch_plan" ->
       s"""WITH a AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)

@@ -433,6 +433,39 @@ object Sampling {
         round(col("__epochs") * col("avail_tokens"), 6).as("planned_tokens"))
   }
 
+  /**
+   * Curriculum ordering — [[globalShuffle]]'s score-driven sibling:
+   * rows land in the same seeded hash shard, but WITHIN a shard the
+   * training order is (score ascending, key) instead of a random
+   * permutation — feed an easiness/difficulty score (LM log-prob,
+   * length, classifier margin) and the loader streams each shard
+   * easy-to-hard (curriculum learning's standard schedule; reverse by
+   * negating the score upstream). Sharding stays hash-random so every
+   * shard spans the full difficulty range at equal quantiles —
+   * difficulty-SORTED sharding would make shard 0 all-easy, which is a
+   * mixing pathology, not a curriculum. NULL scores sort first
+   * (Spark's ascending default; the oracle pins it).
+   *
+   * 100 TB design: identical shape to [[globalShuffle]] — one shuffle
+   * (the shard partition), per-shard window state bounded by shard
+   * size, deterministic for fixed (seed, shards).
+   *
+   * Output: input columns + (shard, pos).
+   */
+  def curriculumOrder(df: DataFrame, keyCol: String, scoreCol: String,
+                      seed: Long, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val shard = pmod(conv(substring(
+        md5(concat_ws("#", lit(seed), col(keyCol).cast(StringType))), 9, 8),
+      16, 10).cast(LongType), lit(shards.toLong)).cast(IntegerType)
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col(scoreCol).asc, col(keyCol))
+    df.withColumn("__shard", shard)
+      .withColumn("pos", row_number().over(w).cast(LongType) - 1)
+      .withColumn("shard", col("__shard"))
+      .drop("__shard")
+  }
+
   def globalShuffle(df: DataFrame, keyCol: String, seed: Long,
                     shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")

@@ -1210,6 +1210,31 @@ object TextStats {
   }
 
   /**
+   * Sentence segmentation — explode each document into its sentences
+   * with a deterministic, engine-portable boundary rule: a sentence is
+   * a maximal run of non-terminator characters followed by a run of
+   * `.!?` (the `[^.!?]+[.!?]+` extraction — RE2-safe, no lookbehind,
+   * so the DuckDB oracle runs the IDENTICAL pattern). A trailing
+   * fragment with no terminal punctuation is not a sentence and is
+   * dropped — the rule is pinned by the oracle, not a claim of
+   * linguistic perfection (abbreviation-aware splitting needs models
+   * this engine does not ship). Sentences are trimmed; per-sentence
+   * token counts ride along for downstream chunking/packing.
+   *
+   * 100 TB design: one row-local explode off the scan, zero shuffle.
+   *
+   * Output: (doc_id, sent_idx, sentence, n_tokens), sent_idx 0-based
+   * in document order; terminator-less docs contribute no rows.
+   */
+  def splitSentences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]+"), lit(0)))
+          .as(Seq("sent_idx", "__s")))
+      .select(col("doc_id"), col("sent_idx").cast(LongType).as("sent_idx"),
+        trim(col("__s")).as("sentence"),
+        graft.functions.TextFunctions.tokenCount(trim(col("__s"))).as("n_tokens"))
+
+  /**
    * Per-stratum z-score normalization of quality signals — the fusion
    * step before combining heterogeneous scores (length, LM log-prob,
    * classifier margin) into one filter: each signal is standardized

@@ -309,6 +309,31 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.globalShuffle(docs, "doc_id", 42L, 8)) == 1)
   }
 
+  test("curriculumOrder: same shards as globalShuffle, score-sorted within") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "n_chars")
+    val cur = Sampling.curriculumOrder(docs, "doc_id", "n_chars",
+        seed = 42L, shards = 8)
+      .select("doc_id", "n_chars", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // shard assignment is EXACTLY globalShuffle's (same seeded hash)
+    val shuf = Sampling.globalShuffle(docs, "doc_id", seed = 42L, shards = 8)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cur.forall { case (id, _, sh, _) => shuf(id) == sh })
+    // within every shard, pos follows (n_chars asc, doc_id) exactly
+    cur.groupBy(_._3).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._4)
+      assert(byPos.map(_._4).toSeq == byPos.indices.map(_.toLong).toSeq)
+      val resorted = rows.sortBy(r => (r._2, r._1))
+      assert(byPos.map(_._1).toSeq == resorted.map(_._1).toSeq,
+        "within-shard order must be (score, key)")
+    }
+    // one exchange: the shard partition (globalShuffle's plan contract)
+    assert(PlanWalk.shuffleCount(Sampling.curriculumOrder(
+      docs, "doc_id", "n_chars", 42L, 8)) == 1)
+  }
+
   test("epochPlan: temperature shares, the epoch cap, and degenerate strata") {
     // A: 100 tokens, B: 400 -> alpha .5 weights 10/20 -> shares 1/3, 2/3
     // budget 600: A target 200 -> 2.0 epochs (capped at 2.0 exactly),

@@ -635,6 +635,25 @@ class TextStatsSpec extends AnyFunSuite {
     assert(s2.getAs[Double]("cross_entropy") == r6(math.log10(6.0)))
   }
 
+  test("splitSentences applies the pinned boundary rule") {
+    val docs = Seq(
+      (1L, "First sentence. Second one! A third? trailing fragment"),
+      (2L, "no terminators at all"),
+      (3L, "Ellipsis wins... next.")).toDF("doc_id", "text")
+    val out = TextStats.splitSentences(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(out((1L, 0L)) == ("First sentence.", 2L))
+    assert(out((1L, 1L)) == ("Second one!", 2L))
+    assert(out((1L, 2L)) == ("A third?", 2L))
+    // the trailing fragment is dropped; doc 2 contributes nothing
+    assert(!out.keySet.exists(_ == (1L, 3L)))
+    assert(!out.keySet.exists(_._1 == 2L))
+    // a terminator RUN stays attached to its sentence
+    assert(out((3L, 0L)) == ("Ellipsis wins...", 2L))
+    assert(out((3L, 1L)) == ("next.", 1L))
+  }
+
   test("zscoreSignals standardizes per stratum and NULLs zero-variance strata") {
     val df = Seq(
       ("A", 1L), ("A", 2L), ("A", 3L),  // mean 2, sample stddev 1
