@@ -352,7 +352,7 @@ object ExtensionQueries {
         .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
       val ok = r("rep") < 0.2 && r("prose") > 0.3 && r("rep") < r("prose") &&
         r.values.forall(v => v > 0 && v < 1.5)
-      Seq((if (ok) 1 else 0)).toDF("ok")
+      det(Seq((if (ok) 1 else 0)).toDF("ok"))
     }),
 
     // per-language z-scores of two length signals — the signal-fusion
