@@ -2134,8 +2134,11 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     // word-bigram occurrences (every position, not per-doc distinct),
     // rank per language by (count desc, gram asc)
+    // string_split(text,' ') — the ShingleHashes kernel's token
+    // definition (bigram strings here vs 64-bit window hashes in
+    // Spark: the standing injectivity argument)
     "q_text_top_ngrams" ->
-      s"""WITH toks AS (SELECT lang, regexp_extract_all(text, '\\S+') AS t
+      s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS t
          |  FROM documents),
          |g AS (SELECT lang, unnest([array_to_string(t[i:i+1], ' ')
          |  for i in generate_series(1, len(t)-1)]) AS ngram FROM toks),

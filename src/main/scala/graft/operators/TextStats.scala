@@ -1049,22 +1049,26 @@ object TextStats {
    * Per-stratum top-k most frequent word n-grams — the dataset-card
    * table ("most common phrases per language") and the raw material for
    * boilerplate mining: an n-gram that tops this list across many
-   * sources is navigation chrome, not content. Tokens are whitespace
-   * (`\S+`) words; every position contributes (occurrences, not
-   * per-doc distinct), so the counts are corpus frequencies.
+   * sources is navigation chrome, not content. Every position
+   * contributes (occurrences, not per-doc distinct), so the counts are
+   * corpus frequencies. Token definition is the
+   * [[graft.functions.ShingleHashes]] kernel's `split(text, ' ')`.
    *
-   * 100 TB design: explode + ONE partially-aggregated groupBy on
-   * (strata, gram) — per-task streams collapse to their local distinct
-   * grams before the exchange (Zipf-bounded for small n; for n >= 2
-   * types grow near-linearly, the [[bigramLogProbScore]] caveat — the
-   * output cap is `k` either way). The per-stratum rank filter sits
-   * directly on its window so WindowGroupLimit pre-trims each map task
-   * to k rows per stratum before the final exchange (the
-   * [[Sampling.stratifiedTopK]] pushdown). With NO strata a window
-   * would serialize the corpus vocabulary through one partition —
-   * that path instead runs `orderBy(...).limit(k)`
-   * (TakeOrderedAndProject: per-partition partial top-k, no full sort)
-   * and ranks the surviving <= k rows.
+   * 100 TB design (the [[bigramLogProbScore]] hash rewrite, applied to
+   * ranking): counting NEVER touches n-gram text — the corpus explodes
+   * to 8-byte positional window hashes (one native byte scan, no
+   * interpreted lambda building strings) and aggregates on
+   * (strata, hash), so the count shuffle moves longs, not phrases.
+   * Candidate selection uses `rank() <= k` on count alone (no
+   * tie-break column needed — rank() keeps ALL boundary ties, a
+   * superset of the answer; WindowGroupLimit pre-trims map-side).
+   * Winner STRINGS are then recovered in a second scan whose
+   * (hash, position) stream is filtered MAP-SIDE by the broadcast
+   * candidate set before any string is built — string construction and
+   * the final exact (count desc, ngram asc) rank touch only ~k rows
+   * per stratum. Window-hash collisions merge counts with probability
+   * ~types²/2⁶⁴ (the module's standing injectivity argument); the
+   * recovered string per hash is min() for determinism.
    *
    * Output: (strataCols..., ngram, n_occurrences, rank), rank 1..k per
    * stratum by (count desc, ngram asc).
@@ -1073,30 +1077,36 @@ object TextStats {
                 strataCols: Seq[String] = Nil): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(k >= 1, "k must be >= 1")
-    val toks = graft.functions.TextFunctions.whitespaceTokens(col(textCol))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
+    val sh = graft.functions.ShingleHashes
+    val sc = strataCols.map(col)
     val counted = docs
-      .select(strataCols.map(col) :+ explode(grams).as("ngram"): _*)
-      .groupBy((strataCols :+ "ngram").map(col): _*)
+      .select(sc :+ explode(sh.shingleHashesAll(col(textCol), n)).as("__h"): _*)
+      .filter(col("__h").isNotNull)
+      .groupBy(sc :+ col("__h"): _*)
       .agg(count(lit(1)).as("n_occurrences"))
-    if (strataCols.nonEmpty) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(strataCols.map(col): _*)
-        .orderBy(col("n_occurrences").desc, col("ngram"))
-      counted
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= k)
-    } else {
-      // TakeOrderedAndProject bounds the sort; the window then ranks
-      // only the k survivors (single tiny partition, not the vocabulary)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n_occurrences").desc, col("ngram"))
-      counted.orderBy(col("n_occurrences").desc, col("ngram")).limit(k)
-        .withColumn("rank", row_number().over(w).cast(LongType))
-    }
+    val wCand = org.apache.spark.sql.expressions.Window
+      .partitionBy(sc: _*).orderBy(col("n_occurrences").desc)
+    val candidates = counted
+      .withColumn("__cr", rank().over(wCand))
+      .filter(col("__cr") <= k)
+      .drop("__cr")
+    val rec = docs
+      .select(sc ++ Seq(split(col(textCol), " ").as("__t"),
+        posexplode(sh.shingleHashesAll(col(textCol), n))
+          .as(Seq("__i", "__h"))): _*)
+      .join(broadcast(candidates.select(sc :+ col("__h"): _*)),
+        strataCols :+ "__h")
+      .select(sc :+ col("__h") :+
+        concat_ws(" ", slice(col("__t"), col("__i") + 1, lit(n))).as("__ng"): _*)
+      .groupBy(sc :+ col("__h"): _*)
+      .agg(min(col("__ng")).as("ngram"))
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy(sc: _*)
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+    candidates.join(rec, strataCols :+ "__h")
+      .withColumn("rank", row_number().over(wFinal).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(sc :+ col("ngram") :+ col("n_occurrences") :+ col("rank"): _*)
   }
 
   /**
