@@ -612,6 +612,50 @@ class TextStatsSpec extends AnyFunSuite {
     assert(scored == again)
   }
 
+  test("dsirScore materializes the corpus gram stream once (plan-asserted)") {
+    // the r11 ReuseExchange fix: without the explicit bucket nullness
+    // filter, the raw-model branch re-explodes the corpus — 3 Generate
+    // nodes instead of 2 (docs grams once, target grams once)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = docs.filter(col("source").isin("src0", "src1"))
+    val out = TextStats.dsirScore(docs, "doc_id", "text", target, "text",
+      numBuckets = 256)
+    val gens = PlanWalk.executedNodes(out)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    assert(gens == 2, s"expected 2 gram explodes (corpus + target), found $gens")
+  }
+
+  test("trigramLogProbScore materializes each n-gram stream once (plan-asserted)") {
+    // 4 Generate nodes: the positional probe + one per corpus count
+    // table (trigram/bigram/unigram); the unigram total reuses c1's
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextStats.trigramLogProbScore(docs, "doc_id", "text")
+    val gens = PlanWalk.executedNodes(out)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    assert(gens == 4, s"expected 4 shingle explodes, found $gens")
+  }
+
+  test("topNgrams never shuffles n-gram strings (plan-asserted)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextStats.topNgrams(docs, "text", n = 2, k = 5, Seq("lang"))
+    val nodes = PlanWalk.executedNodes(out)
+    // every shuffle key must be long/stratum-typed — no StringType key
+    // that could be an n-gram (the count shuffle rides 8-byte hashes;
+    // strings appear only after the broadcast candidate filter)
+    val shuffles = nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.nonEmpty)
+    val ngramKeyed = shuffles.exists(_.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.exists(e =>
+          e.dataType == org.apache.spark.sql.types.StringType &&
+            e.references.exists(_.name.contains("ngram")))
+      case _ => false
+    })
+    assert(!ngramKeyed, "no shuffle may be keyed on n-gram text")
+  }
+
   test("vocabDivergence matches the hand formula incl. the OOV bucket") {
     // ref: a x2, b x1 -> vocab {a: 2, b: 1} at minCount=1; rtot=3, V=2,
     // oovmass=0, qden=6; q(a)=.5, q(b)=1/3, q(oov)=1/6
