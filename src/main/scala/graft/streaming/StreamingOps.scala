@@ -428,6 +428,39 @@ object StreamingOps {
           acc + coalesce(element_at(lrMap, bucketOf(g)), lit(lrFloor))), 6)))
   }
 
+  /**
+   * Watermarked trending-token counts — the live-corpus monitoring
+   * twin of [[windowedEventCounts]] over TEXT: per tumbling `window`
+   * of event time, how often each token arrived (the intake dashboard
+   * behind "what is the crawl suddenly full of" — spam bursts,
+   * boilerplate storms and scraper loops surface here first, hours
+   * before a batch dedup run would see them). Tokens below `minCount`
+   * in a window are suppressed (the Zipf tail is noise at dashboard
+   * granularity and the filter bounds sink volume).
+   *
+   * 100 TB design: the ONE stateful stage is the windowed count —
+   * partial-aggregated per micro-batch, state keyed on
+   * (window, token) and bounded by the watermark horizon × per-window
+   * distinct tokens; the explode is stateless and rides intake. Late
+   * rows beyond `watermark` are dropped by contract.
+   *
+   * Output: (window_start, window_end, token, n_occurrences).
+   */
+  def streamingTrendingTokens(docs: DataFrame, tsCol: String, textCol: String,
+                              window: String, watermark: String,
+                              minCount: Long = 1L): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol))).as("token"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("token"), col("n_occurrences"))
+
   /** [[graft.operators.TextStats.applyBpe]] on a stream: the merge
     * chain is row-local (a codegen'd literal replace chain), so the
     * batch operator IS streaming-safe — this wrapper exists for

@@ -529,6 +529,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingTrendingTokens counts tokens per window with the minCount floor") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "text")
+    val out = StreamingOps.streamingTrendingTokens(stream, "ts", "text",
+      window = "10 minutes", watermark = "5 minutes", minCount = 2L)
+    val q = out.writeStream.format("memory").queryName("trending")
+      .outputMode("complete").start()
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "spam spam quality"),
+      (ts("2024-01-01 00:02:00"), "spam text"),
+      (ts("2024-01-01 00:11:00"), "spam once"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM trending").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3))).toSet
+    q.stop()
+    // window 1: spam x3 survives the floor; quality/text (x1) suppressed
+    // window 2: spam x1 suppressed too
+    assert(rows == Set(("2024-01-01 00:00:00.0", "spam", 3L)))
+  }
+
   test("streaming BPE encode equals the batch segmentation row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
