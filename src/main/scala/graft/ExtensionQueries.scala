@@ -980,6 +980,16 @@ object ExtensionQueries {
           lit("? tail without terminator"))),
         "doc_id", "text"))),
 
+    // inference-style length-bucketed batches: 4 hash shards, buckets
+    // at 200/400/600 chars, 16 rows per batch, similar lengths together
+    "q_sample_length_batches" -> ((s, dir) =>
+      det(graft.operators.Sampling.lengthBucketBatches(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", edges = Seq(200L, 400L, 600L), batchSize = 16,
+        seed = 7L, shards = 4)
+        .select(col("doc_id"), col("n_chars"), col("bucket"), col("shard"),
+          col("batch_idx")))),
+
     // curriculum order: hash shards, within-shard order by n_chars
     // (easy = short first)
     "q_sample_curriculum" -> ((s, dir) =>
@@ -2302,6 +2312,20 @@ object ExtensionQueries {
          |  CAST(len(regexp_extract_all(trim(u.s), '\\S+')) AS BIGINT) AS n_tokens
          |FROM u
          |ORDER BY doc_id $N1, sent_idx $N1, sentence $N1, n_tokens $N1""".stripMargin,
+    "q_sample_length_batches" ->
+      s"""WITH a AS (SELECT doc_id, n_chars,
+         |  (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END +
+         |   CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END +
+         |   CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END) AS bucket,
+         |  CAST(('0x' || substring(md5('7#' || CAST(doc_id AS VARCHAR)), 9, 8))
+         |    ::BIGINT % 4 AS INT) AS shard
+         |  FROM documents)
+         |SELECT doc_id, n_chars, bucket, shard,
+         |  CAST(floor((row_number() OVER (PARTITION BY shard, bucket
+         |    ORDER BY n_chars, doc_id) - 1) / 16.0) AS BIGINT) AS batch_idx
+         |FROM a
+         |ORDER BY doc_id $N1, n_chars $N1, bucket $N1, shard $N1,
+         |batch_idx $N1""".stripMargin,
     // the md5 shard replay of q_sample_shuffle, ordered by the score
     // (NULLS FIRST = Spark's ascending default) instead of the uniform
     "q_sample_curriculum" ->

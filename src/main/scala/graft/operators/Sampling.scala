@@ -466,6 +466,49 @@ object Sampling {
       .drop("__shard")
   }
 
+  /**
+   * Length-bucketed batch assignment — the inference-serving twin of
+   * [[graft.operators.TextStats.packSequences]]: group rows of similar
+   * length into fixed-size batches so per-batch padding (every
+   * sequence pads to its batch max) stays small — the vLLM/continuous-
+   * batching prep step, and the classic bucketed-batching recipe for
+   * evaluation sweeps. `edges` define the buckets (bucket = number of
+   * edges <= length); within a (shard, bucket) rows order by
+   * (length, key) — adjacent lengths batch together, which is the
+   * whole point — and batch_idx advances every `batchSize` rows.
+   *
+   * 100 TB design: the [[globalShuffle]] sharding contract — a seeded
+   * hash shard bounds every window's state (a global per-bucket
+   * numbering would serialize each bucket through one partition); one
+   * exchange on (shard, bucket). NULL lengths group under a NULL
+   * bucket (batched together — filter upstream if they should drop).
+   *
+   * Output: input columns + (bucket, shard, batch_idx).
+   */
+  def lengthBucketBatches(df: DataFrame, keyCol: String, lenCol: String,
+                          edges: Seq[Long], batchSize: Int,
+                          seed: Long, shards: Int): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      "edges must be non-empty and ascending")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val bucket = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(lenCol) >= e, 1).otherwise(0)
+    }
+    val shard = pmod(conv(substring(
+        md5(concat_ws("#", lit(seed), col(keyCol).cast(StringType))), 9, 8),
+      16, 10).cast(LongType), lit(shards.toLong)).cast(IntegerType)
+    val w = Window.partitionBy(col("__shard"), col("bucket"))
+      .orderBy(col(lenCol), col(keyCol))
+    df.withColumn("bucket", bucket)
+      .withColumn("__shard", shard)
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - 1) / lit(batchSize.toDouble))
+          .cast(LongType))
+      .withColumn("shard", col("__shard"))
+      .drop("__shard")
+  }
+
   def globalShuffle(df: DataFrame, keyCol: String, seed: Long,
                     shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")

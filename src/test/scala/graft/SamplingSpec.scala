@@ -334,6 +334,39 @@ class SamplingSpec extends AnyFunSuite {
       docs, "doc_id", "n_chars", 42L, 8)) == 1)
   }
 
+  test("lengthBucketBatches groups similar lengths, fills batches in order") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "n_chars")
+    val out = Sampling.lengthBucketBatches(docs, "doc_id", "n_chars",
+        edges = Seq(200L, 400L), batchSize = 4, seed = 7L, shards = 2)
+      .select("doc_id", "n_chars", "bucket", "shard", "batch_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4)))
+    // bucket boundaries honored
+    out.foreach { case (_, len, bucket, _, _) =>
+      val want = (if (len >= 200) 1 else 0) + (if (len >= 400) 1 else 0)
+      assert(bucket == want)
+    }
+    // within each (shard, bucket): batches of <= 4, filled in length
+    // order — every row of batch i is <= every row of batch i+1
+    out.groupBy(r => (r._4, r._3)).foreach { case (_, rows) =>
+      rows.groupBy(_._5).foreach { case (_, b) => assert(b.size <= 4) }
+      val byBatch = rows.groupBy(_._5).toSeq.sortBy(_._1)
+      byBatch.sliding(2).foreach {
+        case Seq((_, lo), (_, hi)) =>
+          assert(lo.map(_._2).max <= hi.map(_._2).min,
+            "batches must partition the length order")
+        case _ => ()
+      }
+      // all batches except possibly the last are FULL
+      val sizes = byBatch.map(_._2.size)
+      assert(sizes.dropRight(1).forall(_ == 4))
+    }
+    // deterministic + one exchange (the (shard, bucket) partition)
+    assert(PlanWalk.shuffleCount(Sampling.lengthBucketBatches(
+      docs, "doc_id", "n_chars", Seq(200L, 400L), 4, 7L, 2)) == 1)
+  }
+
   test("epochPlan: temperature shares, the epoch cap, and degenerate strata") {
     // A: 100 tokens, B: 400 -> alpha .5 weights 10/20 -> shares 1/3, 2/3
     // budget 600: A target 200 -> 2.0 epochs (capped at 2.0 exactly),
