@@ -435,6 +435,23 @@ object ExtensionQueries {
         "doc_id", "text", k = 5))
     }),
 
+    // hybrid retrieval: BM25 and Jaccard top-10 lists for the same 3
+    // queries, fused with reciprocal-rank fusion (rrfK = 60)
+    "q_sim_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qs = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+      val bm = graft.operators.TextStats.bm25TopK(d, "doc_id", "text",
+          qs, "query_id", "query_text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val jc = Dedup.jaccardTopK(d.filter(col("doc_id") < 3), d,
+          "doc_id", "text", k = 10)
+        .select(col("doc_id").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      det(Similarity.reciprocalRankFusion(Seq(bm, jc),
+        "query_id", "doc_id", "rank", k = 10))
+    }),
+
     // incremental (delta) dedup: docs with doc_id >= 400 are "today's
     // batch", the rest the historical index. A new doc survives iff its
     // exact text is absent from the index AND it has no near-dup
@@ -2196,6 +2213,62 @@ object ExtensionQueries {
          |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc)
          |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
          |ORDER BY query_id $N1, doc_id $N1, score $N1, rank $N1""".stripMargin,
+    // the bm25 and jaccard oracle bodies composed, then the RRF
+    // arithmetic: 1/(60+rank) summed per (query, doc), round-6 before
+    // the fused rank (<= 2 summands -> order-stable)
+    "q_sim_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+         |  GROUP BY doc_id, token),
+         |lens AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+         |st AS (SELECT CAST(sum(dl) AS DOUBLE) AS tot,
+         |  CAST(count(*) AS DOUBLE) AS nd FROM lens),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |q AS (SELECT doc_id AS query_id,
+         |    unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS token
+         |  FROM documents WHERE doc_id < 3),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY token),
+         |m AS (SELECT q.query_id, tf.doc_id,
+         |    ln(((SELECT n FROM n) - dfq.df + CAST(0.5 AS DOUBLE))
+         |        / (dfq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+         |      (tf.tf * CAST(2.2 AS DOUBLE)) /
+         |      (tf.tf + CAST(1.2 AS DOUBLE) *
+         |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * lens.dl
+         |          / ((SELECT tot FROM st) / (SELECT nd FROM st)))) AS ts
+         |  FROM tf JOIN q USING (token) JOIN dfq ON tf.token = dfq.token
+         |  JOIN lens ON lens.doc_id = tf.doc_id),
+         |sc AS (SELECT query_id, doc_id, round(sum(ts), 6) AS score
+         |  FROM m GROUP BY query_id, doc_id),
+         |r1 AS (SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc),
+         |jtoks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4],' ')
+         |  for i in generate_series(1, len(t)-4)]) AS s FROM jtoks),
+         |p AS (SELECT q.doc_id, c.doc_id AS neighbor_id,
+         |    CAST(len(list_intersect(q.s, c.s)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(q.s, c.s))) AS jaccard
+         |  FROM sh q JOIN sh c ON c.doc_id != q.doc_id WHERE q.doc_id < 3),
+         |r2 AS (SELECT doc_id AS query_id, neighbor_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM p WHERE jaccard > 0),
+         |u AS (SELECT query_id, doc_id,
+         |    CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM r1 WHERE rank <= 10
+         |  UNION ALL SELECT query_id, doc_id,
+         |    CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM r2 WHERE rank <= 10),
+         |f AS (SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score,
+         |    CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY query_id, doc_id),
+         |fr AS (SELECT query_id, doc_id, rrf_score, n_lists,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM f)
+         |SELECT query_id, doc_id, rrf_score, n_lists, rank FROM fr
+         |WHERE rank <= 10
+         |ORDER BY query_id $N1, doc_id $N1, rrf_score $N1, n_lists $N1,
+         |rank $N1""".stripMargin,
     "q_sample_weighted" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

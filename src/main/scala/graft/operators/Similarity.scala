@@ -98,6 +98,44 @@ object Similarity extends Logging {
    * tolerates approximate negatives; it does not tolerate an all-pairs
    * join).
    */
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+   * standard hybrid-retrieval combiner: given N ranked lists for the
+   * same query set (lexical BM25, set-overlap Jaccard, dense cosine —
+   * any mix; RRF is score-scale-free, which is why it beats score
+   * interpolation across heterogeneous retrievers), each (query, doc)
+   * pair scores Σ over the lists containing it of 1/(rrfK + rank),
+   * and the fused top-k re-ranks on that. Scores round to 6 decimals
+   * BEFORE ranking (with ≤ N ≈ 2-4 terms the sum is order-stable, so
+   * the rank is engine-reproducible).
+   *
+   * 100 TB design: the inputs are ALREADY top-k-bounded per query —
+   * fusion touches queries × k × N rows regardless of corpus size; one
+   * small (query, doc) aggregate and a per-query window whose rank
+   * filter sits on it for the WindowGroupLimit map-side trim.
+   *
+   * Output: (query_id, doc_id, rrf_score, n_lists, rank), rank 1..k
+   * per query by (rrf_score desc, doc_id asc).
+   */
+  def reciprocalRankFusion(ranked: Seq[DataFrame], queryIdCol: String,
+                           docIdCol: String, rankCol: String, k: Int,
+                           rrfK: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "ranked lists must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    require(rrfK >= 0, "rrfK must be >= 0")
+    val unioned = ranked.map(_.select(col(queryIdCol).as("query_id"),
+        col(docIdCol).as("doc_id"),
+        (lit(1.0) / (lit(rrfK) + col(rankCol))).as("__c")))
+      .reduce(_ unionAll _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    unioned.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("__c")), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

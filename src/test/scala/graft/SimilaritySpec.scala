@@ -778,4 +778,25 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"PQ clustered top-5 cluster purity = $purity%.4f")
     assert(purity >= 0.99, f"PQ top-5 must stay in the planted cluster, got $purity%.4f")
   }
+
+  test("reciprocalRankFusion matches the hand formula, ranks and cuts") {
+    import spark.implicits._
+    // rrfK = 0 for readable numbers: d2 = 1/2 + 1/1 = 1.5, d1 = 1,
+    // d3 = 1/2, d4 = 1/2 (tie with d3 -> doc_id order)
+    val l1 = Seq((1L, "d1", 1L), (1L, "d2", 2L), (1L, "d3", 2L))
+      .toDF("q", "d", "rank")
+    val l2 = Seq((1L, "d2", 1L), (1L, "d4", 2L), (2L, "d9", 1L))
+      .toDF("q", "d", "rank")
+    val out = Similarity.reciprocalRankFusion(Seq(l1, l2), "q", "d", "rank",
+        k = 3, rrfK = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, "d2")) == (1.5, 2L, 1L))
+    assert(out((1L, "d1")) == (1.0, 1L, 2L))
+    assert(out((1L, "d3")) == (0.5, 1L, 3L))
+    // d4 ties d3 at 0.5 but loses the doc-id tie-break and the k = 3 cut
+    assert(!out.contains((1L, "d4")))
+    // each query ranks independently
+    assert(out((2L, "d9")) == (1.0, 1L, 1L))
+  }
 }
