@@ -94,6 +94,17 @@ object ExtensionQueries {
       DedupIndex.compact(s, path)
     }
 
+  /** documents plus planted exact duplicates: every doc_id % 50 == 0
+    * row re-enters TWICE under offset ids (+1e6, +2e6), giving those
+    * texts exactly 3 copies — shared by q_dedup_cap (cap 2 drops the
+    * third) and q_dedup_softweights (weight 1/3). */
+  private def plantedDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val dup = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+    d.unionAll(dup.withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionAll(dup.withColumn("doc_id", col("doc_id") + 2000000L))
+  }
+
   /** One JSONL export of the documents table per (JVM, sf dir) —
     * gzip-compressed in 4 shards (the splittability note in
     * [[graft.sources.TextCorpus]]). Queried by q_corpus_jsonl_roundtrip:
@@ -418,6 +429,19 @@ object ExtensionQueries {
     // PARTITION BY text oracle stays exact.
     "q_dedup_exact" -> ((s, dir) =>
       det(Dedup.exactDedup(docs(s, dir), "text", "doc_id", byFingerprint = true))),
+
+    // the synthetic corpus has no EXACT dup texts, so these two PLANT
+    // them (docs with doc_id % 50 == 0 re-enter twice under offset
+    // ids) — the cap and the weights demonstrably fire
+    "q_dedup_cap" -> ((s, dir) =>
+      det(Dedup.capDuplicates(plantedDups(s, dir), "text", "doc_id",
+        maxCopies = 2, byFingerprint = true))),
+
+    // soft dedup: keep everything, weight duplicated mass down by 1/n
+    "q_dedup_softweights" -> ((s, dir) =>
+      det(Dedup.duplicationWeights(plantedDups(s, dir), "text",
+          byFingerprint = true)
+        .select(col("doc_id"), col("n_copies"), col("weight")))),
 
     "q_dedup_ngram_pairs" -> ((s, dir) =>
       det(Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
@@ -1619,6 +1643,27 @@ object ExtensionQueries {
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_dedup_cap" ->
+      s"""WITH d AS (SELECT * FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
+         |    FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL SELECT doc_id + 2000000, text, lang, source, n_chars
+         |    FROM documents WHERE doc_id % 50 = 0)
+         |SELECT doc_id, text, lang, source, n_chars FROM d
+         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) <= 2
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_dedup_softweights" ->
+      s"""WITH d AS (SELECT * FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
+         |    FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL SELECT doc_id + 2000000, text, lang, source, n_chars
+         |    FROM documents WHERE doc_id % 50 = 0)
+         |SELECT doc_id, CAST(count(*) OVER (PARTITION BY text) AS BIGINT)
+         |    AS n_copies,
+         |  round(CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY text), 6)
+         |    AS weight
+         |FROM d
+         |ORDER BY doc_id $N1, n_copies $N1, weight $N1""".stripMargin,
     "q_dedup_ngram_pairs" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
     // full cross-product rank for the query slice: exact because every

@@ -36,6 +36,50 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /**
+   * Duplicate CAPPING — [[exactDedup]]'s "keep up to N copies" relaxation:
+   * when the token budget allows repeating data, a few copies of a
+   * duplicated document are worth more than zero extra copies
+   * (Muennighoff et al. 2023: up to ~4 epochs of repeated data is
+   * nearly as good as fresh; SlimPajama-style pipelines cap rather than
+   * annihilate). Keeps the first `maxCopies` occurrences (by
+   * `orderCol`) of each key — `maxCopies = 1` IS [[exactDedup]].
+   * Same 16-byte-fingerprint shuffle contract (`byFingerprint`).
+   */
+  def capDuplicates(df: DataFrame, keyCol: String, orderCol: String,
+                    maxCopies: Int,
+                    byFingerprint: Boolean = false): DataFrame = {
+    require(maxCopies >= 1, s"maxCopies must be >= 1, got $maxCopies")
+    val key = if (byFingerprint) md5(col(keyCol)) else col(keyCol)
+    val w = Window.partitionBy(key).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxCopies).drop("__rn")
+  }
+
+  /**
+   * SOFT dedup — keep every row but attach a down-weight instead of
+   * dropping (the OLMo-2-style soft deduplication: the loss/sampling
+   * weight of a document duplicated n times is 1/n, so the corpus
+   * keeps its diversity while duplicated mass stops dominating
+   * gradients; feed the weight to
+   * [[graft.operators.Sampling.weightedSample]] or a loss-weighting
+   * column). Adds `n_copies` (occurrences of the key in `df`) and
+   * `weight` = round(1/n_copies, 6).
+   *
+   * 100 TB design: one unordered window COUNT partitioned on the
+   * 16-byte fingerprint ([[exactDedup]]'s shuffle key contract) — no
+   * sort inside the partition (no order spec), no join, no second
+   * scan.
+   */
+  def duplicationWeights(df: DataFrame, keyCol: String,
+                         byFingerprint: Boolean = false): DataFrame = {
+    val key = if (byFingerprint) md5(col(keyCol)) else col(keyCol)
+    val w = Window.partitionBy(key)
+    df.withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("weight",
+        round(lit(1.0) / col("n_copies"), 6))
+  }
+
   /** (id, distinct shingle hashes) pairs for a document frame — the
     * native byte-window hasher ([[graft.functions.ShingleHashes]]), not
     * the interpreted wordShingles+xxhash64 HOF chain (values identical,

@@ -747,6 +747,30 @@ class DedupSpec extends AnyFunSuite {
       s"expected one shingle generator in the executed plan, found $shingleGens")
   }
 
+  test("capDuplicates keeps the first N copies; duplicationWeights weights 1/n") {
+    val docs = Seq(
+      (1L, "alpha"), (2L, "alpha"), (3L, "alpha"), (4L, "alpha"),
+      (5L, "beta"), (6L, "gamma")).toDF("doc_id", "text")
+    val capped = Dedup.capDuplicates(docs, "text", "doc_id",
+        maxCopies = 2, byFingerprint = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == Set(1L, 2L, 5L, 6L), "first 2 alphas + singletons")
+    // maxCopies = 1 degenerates to exactDedup
+    val one = Dedup.capDuplicates(docs, "text", "doc_id", 1, byFingerprint = true)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Dedup.exactDedup(docs, "text", "doc_id", byFingerprint = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == exact)
+    val weights = Dedup.duplicationWeights(docs, "text", byFingerprint = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Double]("weight")))).toMap
+    assert(weights(1L) == (4L, 0.25) && weights(4L) == (4L, 0.25))
+    assert(weights(5L) == (1L, 1.0) && weights(6L) == (1L, 1.0))
+    // every row survives; total weighted mass = distinct texts
+    assert(weights.size == 6)
+    assert(math.abs(weights.values.map(_._2).sum - 3.0) < 1e-9)
+  }
+
   test("scrubContaminatedWindows cuts only eval-overlapping spans") {
     val evalDoc = "q1 q2 q3 q4" // one 4-gram in the eval set
     val docs = Seq(
