@@ -338,6 +338,12 @@ object ExtensionQueries {
       det(graft.operators.TextStats.fertilityStats(docs(s, dir), "text",
         Seq("lang")))),
 
+    // lexical stopword removal with the built-in English list; the
+    // oracle's IN-list is generated from the same Seq
+    "q_text_remove_stopwords" -> ((s, dir) =>
+      det(graft.operators.CorpusClean.removeStopwords(docs(s, dir), "text")
+        .select(col("doc_id"), col("text")))),
+
     // writing-system histogram: the corpus is ASCII-heavy, so the
     // query plants a deterministic multi-script suffix (the
     // q_redact_pii trick) — every class demonstrably FIRES
@@ -1594,6 +1600,11 @@ object ExtensionQueries {
     "q_corpus_jsonl_roundtrip" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_text_remove_stopwords" ->
+      s"""SELECT doc_id, array_to_string(list_filter(string_split(text, ' '),
+         |  t -> NOT lower(t) IN ($STOP_EN)), ' ') AS text
+         |FROM documents
+         |ORDER BY doc_id $N1, text $N1""".stripMargin,
     // counts generated from the same ScriptRanges list over the same
     // planted multi-script suffix
     "q_text_scripts" -> {

@@ -61,6 +61,27 @@ object CorpusClean {
   }
 
   /**
+   * Stopword removal — rebuild `textCol` without the given stopword
+   * list (case-insensitive token match, tokens = `split(text, ' ')`):
+   * classic lexical preprocessing for retrieval indexes and keyword
+   * statistics. The list is a plan literal (mine one with
+   * [[graft.operators.TextStats.stopwords]] and pass it in — a
+   * corpus-adaptive list stays bounded by construction). Entirely
+   * row-local: one codegen'd filter-and-rejoin projection, zero
+   * shuffle. Empty-after-removal docs become empty strings; NULL text
+   * stays NULL.
+   */
+  def removeStopwords(docs: DataFrame, textCol: String,
+                      stopwords: Seq[String] =
+                        graft.functions.TextFunctions.EnStopwords): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val stopArr = array(stopwords.map(w => lit(w.toLowerCase)): _*)
+    docs.withColumn(textCol,
+      array_join(filter(split(col(textCol), " "),
+        t => !array_contains(stopArr, lower(t))), " "))
+  }
+
+  /**
    * The STATELESS post-dedup stage — langid + quality + repetition
    * signals and the keep filter — shared verbatim by the batch pipeline
    * above and its streaming twin

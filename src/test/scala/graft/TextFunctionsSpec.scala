@@ -324,6 +324,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[String](stripMarkup(col("t")), "plain  text") == "plain text")
   }
 
+  test("removeStopwords rebuilds text without listed tokens, case-insensitive") {
+    val docs = Seq(
+      (1L, "The cat is ON the mat"), // The/the/is removed, ON kept (not listed)
+      (2L, "the a of"),              // everything removed -> empty string
+      (3L, "keep everything here")).toDF("doc_id", "text")
+    val out = graft.operators.CorpusClean.removeStopwords(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "cat ON mat")
+    assert(out(2L) == "")
+    assert(out(3L) == "keep everything here")
+    // zero shuffle: one row-local projection
+    assert(PlanWalk.shuffleCount(
+      graft.operators.CorpusClean.removeStopwords(docs, "text")) == 0)
+  }
+
   test("blocklistFilter drops any-phrase matches case-insensitively; audit inverts") {
     val docs = Seq(
       (1L, "totally fine text"),
