@@ -338,6 +338,13 @@ object ExtensionQueries {
       det(graft.operators.TextStats.fertilityStats(docs(s, dir), "text",
         Seq("lang")))),
 
+    // deterministic 20% word dropout (contrastive positive views),
+    // replayed by the oracle's per-position md5 uniforms
+    "q_text_word_dropout" -> ((s, dir) =>
+      det(graft.operators.TextStats.augmentWordDropout(docs(s, dir),
+          "doc_id", "text", rate = 0.2, seed = 11L)
+        .select(col("doc_id"), col("text")))),
+
     // lexical stopword removal with the built-in English list; the
     // oracle's IN-list is generated from the same Seq
     "q_text_remove_stopwords" -> ((s, dir) =>
@@ -1604,6 +1611,17 @@ object ExtensionQueries {
       s"""SELECT doc_id, array_to_string(list_filter(string_split(text, ' '),
          |  t -> NOT lower(t) IN ($STOP_EN)), ' ') AS text
          |FROM documents
+         |ORDER BY doc_id $N1, text $N1""".stripMargin,
+    // Spark's 0-based lambda index replayed as i-1 on DuckDB's 1-based
+    // positions; same md5-uniform arithmetic as the sampling oracles
+    "q_text_word_dropout" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |SELECT doc_id, array_to_string([t[i]
+         |    for i in generate_series(1, len(t))
+         |    if ('0x' || substring(md5('11#' || CAST(doc_id AS VARCHAR) || '#'
+         |        || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+         |      >= 0.2], ' ') AS text
+         |FROM t
          |ORDER BY doc_id $N1, text $N1""".stripMargin,
     // counts generated from the same ScriptRanges list over the same
     // planted multi-script suffix

@@ -1220,6 +1220,33 @@ object TextStats {
   }
 
   /**
+   * Deterministic word-dropout augmentation — the contrastive-training
+   * positive generator (SimCSE-style token dropout: a document and its
+   * dropped-out variant form a positive pair): token at position i
+   * survives iff the md5 uniform of (seed, doc id, i) clears `rate`.
+   * HASH-derived, not RNG-derived (the [[graft.operators.Sampling]]
+   * module's contract): the same (seed, id) always drops the same
+   * positions, so pairs can be re-materialized bit-identically and an
+   * external oracle replays the decision. Different seeds give
+   * independent views of the same doc (multi-view contrastive).
+   *
+   * 100 TB design: entirely row-local — one codegen'd
+   * filter-and-rejoin projection, zero shuffle, rides the scan.
+   * Tokens are `split(text, ' ')`; NULL text stays NULL.
+   *
+   * Output: input columns with `textCol` rebuilt.
+   */
+  def augmentWordDropout(docs: DataFrame, idCol: String, textCol: String,
+                         rate: Double, seed: Long): DataFrame = {
+    require(rate >= 0 && rate < 1, s"rate must be in [0, 1), got $rate")
+    val kept = filter(split(col(textCol), " "), (_, i) =>
+      conv(substring(md5(concat_ws("#", lit(seed), col(idCol).cast(StringType),
+        i.cast(StringType))), 1, 8), 16, 10).cast(DoubleType) /
+        lit(4294967296.0) >= rate)
+    docs.withColumn(textCol, array_join(kept, " "))
+  }
+
+  /**
    * Sentence segmentation — explode each document into its sentences
    * with a deterministic, engine-portable boundary rule: a sentence is
    * a maximal run of non-terminator characters followed by a run of

@@ -679,6 +679,29 @@ class TextStatsSpec extends AnyFunSuite {
     assert(s2.getAs[Double]("cross_entropy") == r6(math.log10(6.0)))
   }
 
+  test("augmentWordDropout is deterministic, seed-sensitive, rate-calibrated") {
+    val docs = (1L to 50L).map(i => (i, Seq.fill(40)("w").zipWithIndex
+      .map { case (w, j) => s"$w$j" }.mkString(" "))).toDF("doc_id", "text")
+    def run(seed: Long) = TextStats.augmentWordDropout(docs, "doc_id", "text",
+        rate = 0.25, seed = seed)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = run(11L)
+    assert(a == run(11L), "same seed must reproduce the same views")
+    val b = run(12L)
+    assert(a != b, "a new seed must give a different view")
+    // survivors keep their relative order and are a subsequence
+    val toks = a(1L).split(" ").filter(_.nonEmpty)
+    assert(toks.map(_.drop(1).toInt).sameElements(
+      toks.map(_.drop(1).toInt).sorted))
+    // dropout rate lands near 25% over 2000 tokens
+    val surv = a.values.map(_.split(" ").count(_.nonEmpty)).sum
+    assert(surv > 1300 && surv < 1700, s"survivors $surv of 2000")
+    // rate 0 is the identity
+    val id = TextStats.augmentWordDropout(docs, "doc_id", "text", 0.0, 11L)
+      .collect().map(r => r.getString(1))
+    assert(id.sameElements(docs.collect().map(_.getString(1))))
+  }
+
   test("splitSentences applies the pinned boundary rule") {
     val docs = Seq(
       (1L, "First sentence. Second one! A third? trailing fragment"),
