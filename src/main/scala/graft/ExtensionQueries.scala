@@ -338,6 +338,15 @@ object ExtensionQueries {
       det(graft.operators.TextStats.fertilityStats(docs(s, dir), "text",
         Seq("lang")))),
 
+    // closed-vocabulary rewrite: tokens below the minCount-5 floor
+    // become <unk>
+    "q_text_apply_vocab" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v = graft.operators.TextStats.vocabulary(d, "text", minCount = 5L)
+      det(graft.operators.TextStats.applyVocabulary(d, "doc_id", "text", v)
+        .select(col("doc_id"), col("text")))
+    }),
+
     // deterministic 20% word dropout (contrastive positive views),
     // replayed by the oracle's per-position md5 uniforms
     "q_text_word_dropout" -> ((s, dir) =>
@@ -1612,6 +1621,25 @@ object ExtensionQueries {
          |  t -> NOT lower(t) IN ($STOP_EN)), ' ') AS text
          |FROM documents
          |ORDER BY doc_id $N1, text $N1""".stripMargin,
+    // vocab tokens = \S+ runs (the vocabulary operator's definition),
+    // positions = string_split (the rewrite's) — both replayed
+    "q_text_apply_vocab" ->
+      s"""WITH v AS (SELECT token FROM (
+         |    SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+         |    FROM documents) GROUP BY token HAVING count(*) >= 5),
+         |tp AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest([{'i': i, 'tok': t[i]}
+         |      for i in generate_series(1, len(t))]) AS u
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |        WHERE length(text) > 0))),
+         |m AS (SELECT tp.doc_id, tp.i,
+         |    CASE WHEN v.token IS NOT NULL THEN tp.tok ELSE '<unk>' END AS tok
+         |  FROM tp LEFT JOIN v ON tp.tok = v.token),
+         |k AS (SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS text
+         |  FROM m GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(k.text, d.text) AS text
+         |FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id
+         |ORDER BY d.doc_id $N1, text $N1""".stripMargin,
     // Spark's 0-based lambda index replayed as i-1 on DuckDB's 1-based
     // positions; same md5-uniform arithmetic as the sampling oracles
     "q_text_word_dropout" ->

@@ -1220,6 +1220,44 @@ object TextStats {
   }
 
   /**
+   * Vocabulary application — replace every token OUTSIDE a vocabulary
+   * with an `unk` marker (classic closed-vocabulary LM preprocessing,
+   * and the text-side twin of [[vocabulary]]'s minCount floor: mine
+   * the vocab with [[vocabulary]], then rewrite the corpus against
+   * it). Tokens are `split(text, ' ')`; empty docs pass through
+   * unchanged.
+   *
+   * 100 TB design: the vocabulary BROADCASTS (minCount-floored =
+   * Zipf-bounded, the [[unigramLogProbScore]] contract), so the
+   * positional token stream joins map-side; the one real shuffle is
+   * the per-doc regroup (keyed on doc id, no hot keys), and the
+   * rebuild is an ordered array_sort inside the aggregate — no window
+   * over the corpus.
+   *
+   * Output: input columns with `textCol` rebuilt.
+   */
+  def applyVocabulary(docs: DataFrame, idCol: String, textCol: String,
+                      vocab: DataFrame, tokenCol: String = "token",
+                      unk: String = "<unk>"): DataFrame = {
+    val tokPos = docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__i", "__tok")))
+    val marked = tokPos
+      .join(broadcast(vocab.select(col(tokenCol).as("__tok")).distinct()
+        .withColumn("__in", lit(1))), Seq("__tok"), "left")
+      .select(col("__id"), col("__i"),
+        when(col("__in").isNotNull, col("__tok")).otherwise(lit(unk)).as("__out"))
+    val rebuilt = marked.groupBy(col("__id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__i"), col("__out")))),
+        x => x.getField("__out")), " ").as("__text"))
+    docs.join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__text"), col(textCol)))
+      .drop("__text")
+  }
+
+  /**
    * Deterministic word-dropout augmentation — the contrastive-training
    * positive generator (SimCSE-style token dropout: a document and its
    * dropped-out variant form a positive pair): token at position i

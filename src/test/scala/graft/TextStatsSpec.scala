@@ -679,6 +679,23 @@ class TextStatsSpec extends AnyFunSuite {
     assert(s2.getAs[Double]("cross_entropy") == r6(math.log10(6.0)))
   }
 
+  test("applyVocabulary rewrites out-of-vocab tokens to <unk>, keeps order") {
+    val docs = Seq(
+      (1L, "the cat sat on the rare mat"),
+      (2L, ""),                     // empty doc passes through unchanged
+      (3L, "zz yy xx")).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat", "on", "mat").toDF("token")
+    val out = TextStats.applyVocabulary(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "the cat <unk> on the <unk> mat")
+    assert(out(2L) == "")
+    assert(out(3L) == "<unk> <unk> <unk>")
+    // custom marker
+    val custom = TextStats.applyVocabulary(docs, "doc_id", "text", vocab,
+        unk = "[OOV]").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(custom(3L) == "[OOV] [OOV] [OOV]")
+  }
+
   test("augmentWordDropout is deterministic, seed-sensitive, rate-calibrated") {
     val docs = (1L to 50L).map(i => (i, Seq.fill(40)("w").zipWithIndex
       .map { case (w, j) => s"$w$j" }.mkString(" "))).toDF("doc_id", "text")
