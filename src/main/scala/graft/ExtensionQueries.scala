@@ -338,6 +338,18 @@ object ExtensionQueries {
       det(graft.operators.TextStats.fertilityStats(docs(s, dir), "text",
         Seq("lang")))),
 
+    // the one-plan dataset DATASHEET: composition/lengths/fertility
+    // cards joined per language — the publishable per-stratum summary
+    "q_dataset_card" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val stats = graft.operators.TextStats.corpusStats(d, "text", Seq("lang"))
+      val lens = graft.operators.TextStats.lengthPercentiles(d, "text",
+        Seq("lang"), Seq(0.5, 0.9)).drop("n_docs")
+      val fert = graft.operators.TextStats.fertilityStats(d, "text", Seq("lang"))
+        .drop("n_docs", "total_words")
+      det(stats.join(lens, Seq("lang")).join(fert, Seq("lang")))
+    }),
+
     // closed-vocabulary rewrite: tokens below the minCount-5 floor
     // become <unk>
     "q_text_apply_vocab" -> ((s, dir) => {
@@ -1678,6 +1690,42 @@ object ExtensionQueries {
          |FROM b JOIN s USING (lang)
          |ORDER BY b.doc_id $N1, b.lang $N1, b.n_chars $N1, b.n_tokens $N1,
          |n_chars_z $N1, n_tokens_z $N1""".stripMargin,
+    // the three card bodies joined on lang (each body is its own
+    // graded oracle's text)
+    "q_dataset_card" ->
+      s"""WITH cs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    count(DISTINCT text) AS n_distinct_texts,
+         |    CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         |      AS total_tokens,
+         |    round(avg(length(text)), 6) AS avg_doc_chars
+         |  FROM documents GROUP BY lang),
+         |lp AS (SELECT lang,
+         |    round(quantile_cont(len(regexp_extract_all(text, '\\S+')), 0.5), 6)
+         |      AS p50_tokens,
+         |    round(quantile_cont(len(regexp_extract_all(text, '\\S+')), 0.9), 6)
+         |      AS p90_tokens
+         |  FROM documents GROUP BY lang),
+         |ft AS (SELECT lang,
+         |    CAST(sum(len(regexp_extract_all(text, '$BPE'))) AS BIGINT)
+         |      AS total_bpe_tokens,
+         |    CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+         |    CASE WHEN sum(len(regexp_extract_all(text, '\\S+'))) > 0
+         |      THEN round(CAST(sum(len(regexp_extract_all(text, '$BPE')))
+         |          AS DOUBLE) / sum(len(regexp_extract_all(text, '\\S+'))), 6)
+         |    END AS fertility,
+         |    CASE WHEN sum(len(regexp_extract_all(text, '$BPE'))) > 0
+         |      THEN round(CAST(sum(strlen(text)) AS DOUBLE)
+         |          / sum(len(regexp_extract_all(text, '$BPE'))), 6)
+         |    END AS bytes_per_token
+         |  FROM documents GROUP BY lang)
+         |SELECT cs.*, lp.p50_tokens, lp.p90_tokens, ft.total_bpe_tokens,
+         |  ft.total_bytes, ft.fertility, ft.bytes_per_token
+         |FROM cs JOIN lp USING (lang) JOIN ft USING (lang)
+         |ORDER BY lang $N1, n_docs $N1, n_distinct_texts $N1, total_chars $N1,
+         |total_tokens $N1, avg_doc_chars $N1, p50_tokens $N1, p90_tokens $N1,
+         |total_bpe_tokens $N1, total_bytes $N1, fertility $N1,
+         |bytes_per_token $N1""".stripMargin,
     "q_text_fertility" ->
       s"""WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
