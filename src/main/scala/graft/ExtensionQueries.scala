@@ -677,6 +677,16 @@ object ExtensionQueries {
       det(Similarity.semanticCollapse(emb(s, dir), "vec_id", "embedding",
         threshold = 0.45).select(col("vec_id"), col("label")))),
 
+    // frozen logistic scoring of the embedding corpus with plan-literal
+    // weights — the deployment half of the trainable classifier, with
+    // an exact arithmetic oracle
+    "q_emb_score" -> ((s, dir) => {
+      val model = graft.operators.Classifier.LogRegModel(
+        EmbScoreWeights.toArray, EmbScoreBias)
+      det(graft.operators.Classifier.withScore(emb(s, dir), "embedding", model)
+        .select(col("vec_id"), round(col("score"), 6).as("score"), col("pred")))
+    }),
+
     // per-label embedding centroids (drift/cluster profiling), flattened
     // to (label, dim, value) scalars for the row-hash oracle
     "q_emb_centroids" -> ((s, dir) =>
@@ -1239,6 +1249,11 @@ object ExtensionQueries {
   // ------------------------------------------------------------- oracle SQL
 
   private val N1 = "NULLS FIRST"
+  /** Fixed 64-dim weights + bias for q_emb_score — the oracle's literal
+    * array is GENERATED from this same Seq. */
+  private val EmbScoreWeights: Seq[Double] =
+    (0 until 64).map(j => ((j % 7) - 3) / 10.0)
+  private val EmbScoreBias = 0.1
   /** Fixed merge list behind q_text_bpe_encode — common English merges;
     * the oracle's replace chain is GENERATED from this same list so the
     * two sides cannot drift. */
@@ -2144,6 +2159,19 @@ object ExtensionQueries {
          |ORDER BY vec_id $N1, label $N1""".stripMargin,
     // zipped unnest + generate_subscripts (0-based in Spark's posexplode
     // -> i-1 here); per-dim avg rounded to 6 like the Spark side
+    // sigmoid(dot + bias) with the weight array generated from the
+    // same fixture; pred from the RAW score, round-6 published
+    "q_emb_score" -> {
+      val ws = EmbScoreWeights.map(w => s"CAST($w AS DOUBLE)").mkString(", ")
+      s"""WITH sc AS (SELECT vec_id,
+         |  CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+         |    exp(-(list_dot_product(embedding, [$ws])
+         |          + CAST($EmbScoreBias AS DOUBLE)))) AS s
+         |  FROM embeddings)
+         |SELECT vec_id, round(s, 6) AS score, CAST(s >= 0.5 AS INT) AS pred
+         |FROM sc
+         |ORDER BY vec_id $N1, score $N1, pred $N1""".stripMargin
+    },
     "q_emb_centroids" ->
       s"""WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS x,
          |    generate_subscripts(embedding, 1) AS i FROM embeddings),
