@@ -116,6 +116,13 @@ object ExtensionQueries {
         compression = Some("gzip"), partitions = 4)
     }
 
+  /** CSV twin of [[jsonlExport]] (quoted/escaped, 4 plain shards). */
+  private val csvExports = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def csvExport(s: SparkSession, dir: String): String =
+    cachedTmpArtifact(csvExports, "graft_corpus_csv", dir) { path =>
+      graft.sources.TextCorpus.writeCsv(docs(s, dir), path, partitions = 4)
+    }
+
   /** Seeded planted-cluster frame (20 clusters x 50 vectors, sigma small
     * vs inter-center distance, seed 11) — deterministic and SF-invariant,
     * shared by the clustered-structure gates and the bench-visible
@@ -315,6 +322,14 @@ object ExtensionQueries {
     "q_corpus_jsonl_roundtrip" -> ((s, dir) => {
       val schema = docs(s, dir).schema
       det(graft.sources.TextCorpus.readJsonl(s, jsonlExport(s, dir), schema)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")))
+    }),
+
+    // CSV interchange round-trip, same contract as the JSONL one
+    "q_corpus_csv_roundtrip" -> ((s, dir) => {
+      val schema = docs(s, dir).schema
+      det(graft.sources.TextCorpus.readCsv(s, csvExport(s, dir), schema)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars")))
     }),
@@ -1641,6 +1656,9 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, ${labels.map(l => s"$l $N1").mkString(", ")}""".stripMargin
     },
     "q_corpus_jsonl_roundtrip" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_corpus_csv_roundtrip" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_text_remove_stopwords" ->

@@ -47,4 +47,54 @@ object TextCorpus {
     val w = out.write.mode("overwrite")
     compression.fold(w)(c => w.option("compression", c)).json(path)
   }
+
+  /** CSV/TSV corpus read — same contract as [[readJsonl]] (explicit
+    * schema, FAILFAST default). `multiLine = true` is REQUIRED when
+    * text fields can contain newlines (quoted-field records then span
+    * lines) — but a multiLine CSV file is not line-splittable, so at
+    * corpus scale prefer many files or JSONL, where escaping keeps one
+    * record per line. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ",",
+              multiLine: Boolean = true,
+              mode: String = "FAILFAST"): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header).option("sep", delimiter)
+      .option("multiLine", multiLine).option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .option("mode", mode)
+      .csv(path)
+
+  /** CSV corpus write; Spark quotes/escapes fields with delimiters,
+    * quotes or newlines. Same `partitions` contract as [[writeJsonl]]. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               delimiter: String = ",",
+               compression: Option[String] = None,
+               partitions: Int = 0): Unit = {
+    val out = if (partitions > 0) df.repartition(partitions) else df
+    val w = out.write.mode("overwrite")
+      .option("header", header).option("sep", delimiter)
+      .option("escape", "\"")
+      // the WRITER trims field whitespace by default — corpus text is
+      // not whitespace-normalizable by a storage layer
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+    compression.fold(w)(c => w.option("compression", c)).csv(path)
+  }
+
+  /** Hive-layout partitioned parquet export (`path/col=value/...`) —
+    * the storage layout that makes stratum-filtered reads FREE:
+    * a query filtering on a partition column prunes whole directories
+    * at planning time (PartitionFilters in the scan — the spec asserts
+    * it), so "read only lang=en" never lists, opens, or decodes any
+    * other stratum's bytes. Partition by LOW-cardinality columns only
+    * (lang, source, split); partitioning by a high-cardinality key
+    * produces a million tiny files — the classic small-files
+    * pathology. */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

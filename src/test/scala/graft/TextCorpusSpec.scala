@@ -36,6 +36,41 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(shards.length == 2)
   }
 
+  test("csv round-trip is row-identical incl. quotes, delimiters and newlines") {
+    val docs = Seq(
+      (1L, "plain text", "en"),
+      (2L, "comma, quote \" and\nnewline", "en"),
+      (3L, "tab\tand trailing space ", "fr")).toDF("doc_id", "text", "lang")
+    val path = tmpDir("graft_csv_rt")
+    TextCorpus.writeCsv(docs, path, partitions = 2)
+    val back = TextCorpus.readCsv(spark, path, docs.schema)
+    val a = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val b = back.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(a == b)
+  }
+
+  test("partitioned parquet export prunes non-matching strata at plan time") {
+    val docs = Seq(
+      (1L, "aa", "en"), (2L, "bb", "en"), (3L, "cc", "de"), (4L, "dd", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val path = tmpDir("graft_part")
+    TextCorpus.writePartitionedParquet(docs, path, Seq("lang"))
+    // hive layout on disk
+    assert(new java.io.File(path, "lang=en").isDirectory)
+    val filtered = spark.read.parquet(path).filter(col("lang") === "en")
+    assert(filtered.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the scan must carry a partition filter and touch ONLY lang=en files
+    val scan = PlanWalk.executedNodes(filtered).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "partition filter must reach the scan")
+    val files = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files).map(_.getPath.toString)
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+      s"pruned listing must touch only lang=en, got $files")
+  }
+
   test("FAILFAST read throws on a corrupt line; PERMISSIVE salvages the rest") {
     val path = tmpDir("graft_jsonl_bad")
     java.nio.file.Files.writeString(
