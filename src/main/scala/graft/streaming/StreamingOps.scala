@@ -461,6 +461,34 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col("token"), col("n_occurrences"))
 
+  /**
+   * Windowed quality-drift monitor — [[streamingTrendingTokens]]' DOC-
+   * level sibling: per event-time tumbling window, document count,
+   * mean composite quality score and mean token count. THE intake
+   * health dashboard: a scraper change or an upstream encoding break
+   * shows up as a step in mean quality long before any batch audit.
+   * Same shape: one watermark-bounded stateful aggregate; the quality
+   * signals are the row-local [[graft.functions.TextFunctions]]
+   * projections, so they ride intake.
+   * Output: (window_start, window_end, n_docs, avg_quality,
+   * avg_tokens), round-6.
+   */
+  def streamingQualityByWindow(docs: DataFrame, tsCol: String, textCol: String,
+                               window: String, watermark: String): DataFrame = {
+    val cols = graft.functions.TextFunctions.qualityColumns(col(textCol)).toMap
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), cols("quality_score").as("__q"),
+        cols("n_tokens").as("__n"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__q")), 6).as("avg_quality"),
+        round(avg(col("__n")), 6).as("avg_tokens"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_docs"), col("avg_quality"), col("avg_tokens"))
+  }
+
   /** [[graft.operators.TextStats.applyBpe]] on a stream: the merge
     * chain is row-local (a codegen'd literal replace chain), so the
     * batch operator IS streaming-safe — this wrapper exists for

@@ -552,6 +552,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows == Set(("2024-01-01 00:00:00.0", "spam", 3L)))
   }
 
+  test("streamingQualityByWindow aggregates doc quality per window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingOps.streamingQualityByWindow(
+      mem.toDF().toDF("ts", "text"), "ts", "text",
+      window = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("qwin")
+      .outputMode("complete").start()
+    val textA = "the quick brown fox jumps over a lazy dog and then it runs"
+    val textB = "x"
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), textA),
+      (ts("2024-01-01 00:02:00"), textB),
+      (ts("2024-01-01 00:11:00"), textA))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM qwin").collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    q.stop()
+    // window 1 averages the two docs; window 2 is textA alone — its
+    // per-doc values must equal the batch projection's
+    val qa = Seq(textA).toDF("text").select(
+        graft.functions.TextFunctions.qualityColumns(col("text")).toMap
+          .apply("quality_score").cast("double").as("q"),
+        graft.functions.TextFunctions.qualityColumns(col("text")).toMap
+          .apply("n_tokens").cast("double").as("n"))
+      .collect().head
+    assert(rows("2024-01-01 00:00:00.0")._1 == 2L)
+    assert(rows("2024-01-01 00:10:00.0") == ((1L, qa.getDouble(0), qa.getDouble(1))))
+  }
+
   test("streaming BPE encode equals the batch segmentation row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
