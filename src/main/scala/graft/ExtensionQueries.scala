@@ -2672,16 +2672,21 @@ object ExtensionQueries {
          |  (CAST(5 AS BIGINT), 'hug', 's', CAST(5 AS BIGINT)))
          |  AS t(merge_rank, lhs, rhs, n_occurrences)
          |ORDER BY merge_rank $N1, lhs $N1, rhs $N1, n_occurrences $N1""".stripMargin,
-    // encode replayed: chars joined with chr(1), then the replace chain
-    // generated from BpeFixtureMerges in training order
+    // encode replayed on the SAME paired-sentinel symbol encoding as
+    // applyBpe: each char wrapped chr(1)..chr(2), merge (l,r) replaces
+    // chr(1) l chr(2) chr(1) r chr(2) -> chr(1) lr chr(2) in training
+    // order; symbol count = count of open sentinels
     "q_text_bpe_encode" -> {
-      val base = "rtrim(regexp_replace(tok, '(.)', '\\1' || chr(1), 'g'), chr(1))"
+      val base = "regexp_replace(tok, '(.)', chr(1) || '\\1' || chr(2), 'g')"
       val folded = BpeFixtureMerges.foldLeft(base) { case (e, (l, r)) =>
-        s"replace($e, '$l' || chr(1) || '$r', '$l$r')"
+        s"replace($e, chr(1) || '$l' || chr(2) || chr(1) || '$r' || chr(2)," +
+          s" chr(1) || '$l$r' || chr(2))"
       }
       s"""WITH toks AS (SELECT doc_id,
          |    unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
-         |enc AS (SELECT doc_id, len(string_split($folded, chr(1))) AS ns FROM toks),
+         |fld AS (SELECT doc_id, $folded AS f FROM toks),
+         |enc AS (SELECT doc_id,
+         |    len(f) - len(replace(f, chr(1), '')) AS ns FROM fld),
          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |    CAST(sum(ns) AS BIGINT) AS n_subwords FROM enc GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,

@@ -397,11 +397,23 @@ object TextStats {
    * tokens plus a ONE-ROW argmax collect (the [[graft.operators.Similarity]]
    * kmeans contract: driver state = the merge list, ~bytes per merge),
    * and the merge application is a codegen'd literal `replace` on the
-   * separator-joined symbol string — token text never leaves the
-   * executors. Symbol boundaries use U+0001 (cannot occur inside
-   * `\\S+` tokens). Char splitting is code-POINT based on both the
-   * Java and RE2 side (Java's zero-width split cannot break surrogate
-   * pairs), so the DuckDB replay agrees on non-BMP text.
+   * sentinel-delimited symbol string — token text never leaves the
+   * executors. Each symbol is stored as `U+0001 sym U+0002` (paired
+   * open/close sentinels; neither occurs in `\\S+` tokens of sane
+   * text). The PAIR of sentinels is what makes a plain `replace`
+   * implement exact BPE merge semantics: the pattern for merging
+   * `(l, r)` requires the open sentinel immediately before `l`, so it
+   * cannot match a suffix of a larger preceding symbol (merge `(e,r)`
+   * no longer fires inside `[o,the,r]`), and adjacent matches share no
+   * characters, so left-to-right non-overlapping scanning still merges
+   * runs like `[a,a,a,a]` into `[aa,aa]` — a single SHARED separator
+   * gets one of those two properties but never both. Char splitting is
+   * code-POINT based on both the Java and RE2 side (Java's zero-width
+   * split cannot break surrogate pairs), so the DuckDB replay agrees
+   * on non-BMP text. Every 16 merges the working frame is
+   * `localCheckpoint`ed so plan lineage (and per-iteration analysis +
+   * replay work) stays constant instead of growing linearly in the
+   * merge count.
    *
    * Returns the ordered merge list (left symbol, right symbol, pair
    * occurrences at selection time).
@@ -411,9 +423,12 @@ object TextStats {
                minPairCount: Long = 2L): Seq[(String, String, Long)] = {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(minPairCount >= 1, "minPairCount must be >= 1")
-    val SEP = "\u0001"
+    val OPEN = "\u0001"
+    val CLOSE = "\u0002"
+    val checkpointEvery = 16
     val vocab0 = vocabulary(docs, textCol, minCount)
-      .select(array_join(split(col("token"), ""), SEP).as("__s"),
+      .select(array_join(transform(split(col("token"), ""),
+          c => concat(lit(OPEN), c, lit(CLOSE))), "").as("__s"),
         col("n_occurrences").as("__cnt"))
       .cache()
     try {
@@ -421,10 +436,12 @@ object TextStats {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       var done = false
       while (!done && merges.size < numMerges) {
-        val syms = split(col("__s"), SEP)
+        // strip the outermost sentinels, then split on close+open seams
+        val syms = split(
+          col("__s").substr(lit(2), length(col("__s")) - 2), CLOSE + OPEN)
         val pairs = when(size(syms) >= 2,
           transform(sequence(lit(1), size(syms) - 1),
-            i => concat(element_at(syms, i), lit(SEP), element_at(syms, i + 1))))
+            i => concat(element_at(syms, i), lit(OPEN), element_at(syms, i + 1))))
           .otherwise(array().cast(ArrayType(StringType)))
         val top = cur.select(explode(pairs).as("__p"), col("__cnt"))
           .groupBy(col("__p")).agg(sum(col("__cnt")).as("__n"))
@@ -432,11 +449,13 @@ object TextStats {
           .limit(1).collect()
         if (top.isEmpty || top(0).getLong(1) < minPairCount) done = true
         else {
-          val parts = top(0).getString(0).split(SEP)
+          val parts = top(0).getString(0).split(OPEN)
           val (l, r) = (parts(0), parts(1))
           merges += ((l, r, top(0).getLong(1)))
           cur = cur.withColumn("__s",
-            replace(col("__s"), lit(l + SEP + r), lit(l + r)))
+            replace(col("__s"), lit(OPEN + l + CLOSE + OPEN + r + CLOSE),
+              lit(OPEN + l + r + CLOSE)))
+          if (merges.size % checkpointEvery == 0) cur = cur.localCheckpoint()
         }
       }
       merges.toSeq
@@ -451,7 +470,9 @@ object TextStats {
    * and sequence packing ([[packSequences]]) want, measured with the
    * real segmentation instead of the `\\S+` proxy. Merges apply in
    * training order, left-to-right non-overlapping per word — reference
-   * BPE encode semantics.
+   * BPE encode semantics, on the same paired-sentinel symbol encoding
+   * as [[trainBpe]] (see there for why BOTH sentinels are required for
+   * correctness).
    *
    * 100 TB design: entirely row-local — the merge list compiles into a
    * chain of codegen'd literal `replace` calls inside one projection;
@@ -462,13 +483,19 @@ object TextStats {
   def applyBpe(docs: DataFrame, idCol: String, textCol: String,
                merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
-    val SEP = "\u0001"
+    val OPEN = "\u0001"
+    val CLOSE = "\u0002"
     val toks = graft.functions.TextFunctions.whitespaceTokens(col(textCol))
     val perTok = transform(toks, tok => {
-      val folded = merges.foldLeft(array_join(split(tok, ""), SEP)) {
-        case (s, (l, r)) => replace(s, lit(l + SEP + r), lit(l + r))
+      val base = array_join(transform(split(tok, ""),
+        c => concat(lit(OPEN), c, lit(CLOSE))), "")
+      val folded = merges.foldLeft(base) {
+        case (s, (l, r)) =>
+          replace(s, lit(OPEN + l + CLOSE + OPEN + r + CLOSE),
+            lit(OPEN + l + r + CLOSE))
       }
-      size(split(folded, SEP)).cast(LongType)
+      // one symbol per open sentinel; counting beats re-splitting
+      (length(folded) - length(translate(folded, OPEN, ""))).cast(LongType)
     })
     docs.select(col(idCol).as("doc_id"),
       size(toks).cast(LongType).as("n_tokens"),

@@ -795,6 +795,43 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out2(3L) == 2L)
   }
 
+  test("applyBpe merges anchor on symbol boundaries, not raw substrings") {
+    // 'other' under (t,h),(th,e),(e,r): o|t|h|e|r -> o|th|e|r -> o|the|r;
+    // merge (e,r) must NOT fire on the 'e' that is the SUFFIX of 'the'
+    // (an unanchored substring replace yields [o,ther] = 2 — the bug this
+    // spec pins). Reference BPE gives [o,the,r] = 3.
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"))
+    val docs = Seq((1L, "other"), (2L, "her there aaaa")).toDF("doc_id", "text")
+    val out = TextStats.applyBpe(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_subwords")).toMap
+    assert(out(1L) == 3L, s"'other' must segment [o,the,r], got ${out(1L)} subwords")
+    // her: h|e|r -> (no th) -> e+r fires on a TRUE (e,r) symbol pair -> h|er = 2
+    // there: t|h|e|r|e -> th|e|r|e -> the|r|e -> 'e,r' pair absent now -> 3
+    // aaaa: untouched by these merges -> 4;  2 + 3 + 4 = 9
+    assert(out(2L) == 9L, s"expected her=2 there=3 aaaa=4, total 9, got ${out(2L)}")
+    // runs still merge non-overlapping left-to-right under paired sentinels
+    val runs = TextStats.applyBpe(Seq((1L, "aaaa aaaaa")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq(("a", "a")))
+      .collect().map(r => r.getAs[Long]("n_subwords")).head
+    // aaaa -> [aa,aa] = 2; aaaaa -> [aa,aa,a] = 3
+    assert(runs == 5L, s"run merging must stay non-overlapping, got $runs")
+  }
+
+  test("trainBpe does not count or merge pairs across symbol boundaries") {
+    // vocab: 'othe' x3, 'er' x2.  Symbols after no merges: o|t|h|e x3, e|r x2.
+    // TRUE pair counts: (o,t)=3 (t,h)=3 (h,e)=3 (e,r)=2.  An unanchored
+    // counter ALSO sees (e,r) inside... nothing here yet, but after
+    // merging, 'othe' ends in symbol 'e' only as part of larger symbols.
+    val words = Seq.fill(3)("othe") ++ Seq.fill(2)("er")
+    val planted = Seq(words.mkString(" ")).toDF("text")
+    val m = TextStats.trainBpe(planted, "text", numMerges = 4, minPairCount = 2L)
+    // rank1: count-3 three-way tie (h,e),(o,t),(t,h) -> pair ascending: (h,e)
+    // then o|t|he x3, e|r x2: (o,t)=3,(t,he)=3,(e,r)=2 -> (o,t)
+    // then ot|he x3: (ot,he)=3,(e,r)=2 -> (ot,he)
+    // then othe x3, e|r x2: only (e,r)=2 — and it must NOT touch 'othe'
+    assert(m == Seq(("h", "e", 3L), ("o", "t", 3L), ("ot", "he", 3L), ("e", "r", 2L)), m.toString)
+  }
+
   test("fertilityStats computes hand-checked ratios and NULLs degenerate strata") {
     // "don't stop" -> words 2; bpe tokens: don|'|t|stop = 4; bytes 10
     // "résumé ok" -> words 2; bpe: résumé is non-ascii punct-class chars?
