@@ -1720,7 +1720,7 @@ object ExtensionQueries {
          |    AS n_chars_z,
          |  CASE WHEN s.s2 > 0 THEN round((b.n_tokens - s.m2) / s.s2, 6) END
          |    AS n_tokens_z
-         |FROM b JOIN s USING (lang)
+         |FROM b LEFT JOIN s USING (lang)
          |ORDER BY b.doc_id $N1, b.lang $N1, b.n_chars $N1, b.n_tokens $N1,
          |n_chars_z $N1, n_tokens_z $N1""".stripMargin,
     // the three card bodies joined on lang (each body is its own
@@ -2583,9 +2583,10 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, sent_idx $N1, sentence $N1, n_tokens $N1""".stripMargin,
     "q_sample_length_batches" ->
       s"""WITH a AS (SELECT doc_id, n_chars,
+         |  CASE WHEN n_chars IS NULL THEN NULL ELSE
          |  (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END +
          |   CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END +
-         |   CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END) AS bucket,
+         |   CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END) END AS bucket,
          |  CAST(('0x' || substring(md5('7#' || CAST(doc_id AS VARCHAR)), 9, 8))
          |    ::BIGINT % 4 AS INT) AS shard
          |  FROM documents)

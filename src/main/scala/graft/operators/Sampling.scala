@@ -364,23 +364,6 @@ object Sampling {
   }
 
   /**
-   * Deterministic global shuffle for training-order randomization:
-   * assigns each row a (shard, pos) address in a pseudorandom but
-   * fully reproducible total order — shard = seeded hash mod `shards`,
-   * pos = rank of the seeded hash uniform within the shard. Reading
-   * shards in order then rows by pos visits the corpus in an order
-   * that is uncorrelated with the input order yet bit-stable across
-   * runs and engines (the md5 uniform again — `rand()`-based shuffles
-   * cannot be replayed or resumed).
-   *
-   * 100 TB design: ONE shuffle on the shard key; each window partition
-   * holds corpus/`shards` rows, so `shards` bounds per-task window
-   * state exactly like [[TextStats.packSequences]]'s sharding (size it
-   * to ~rows-per-shard × row-width ≲ executor memory). A curriculum
-   * loader streams shard files sequentially; re-shuffling between
-   * epochs is a different `seed`, not a different algorithm.
-   */
-  /**
    * Multi-epoch mixture PLAN — the data-mixing table a pretraining run
    * publishes before it starts (the LLaMA/GPT-style "source, share,
    * epochs" table): given a total token budget, assign each stratum a
@@ -492,9 +475,13 @@ object Sampling {
       "edges must be non-empty and ascending")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    val bucket = edges.foldLeft(lit(0)) { (acc, e) =>
-      acc + when(col(lenCol) >= e, 1).otherwise(0)
-    }
+    // NULL lengths really do land in a NULL bucket (window partitionBy
+    // groups them together), not silently in bucket 0 with the shortest.
+    val bucket = when(col(lenCol).isNotNull,
+      edges.foldLeft(lit(0)) { (acc, e) =>
+        acc + when(col(lenCol) >= e, 1).otherwise(0)
+      })
+
     val shard = pmod(conv(substring(
         md5(concat_ws("#", lit(seed), col(keyCol).cast(StringType))), 9, 8),
       16, 10).cast(LongType), lit(shards.toLong)).cast(IntegerType)
@@ -509,6 +496,23 @@ object Sampling {
       .drop("__shard")
   }
 
+  /**
+   * Deterministic global shuffle for training-order randomization:
+   * assigns each row a (shard, pos) address in a pseudorandom but
+   * fully reproducible total order — shard = seeded hash mod `shards`,
+   * pos = rank of the seeded hash uniform within the shard. Reading
+   * shards in order then rows by pos visits the corpus in an order
+   * that is uncorrelated with the input order yet bit-stable across
+   * runs and engines (the md5 uniform again — `rand()`-based shuffles
+   * cannot be replayed or resumed).
+   *
+   * 100 TB design: ONE shuffle on the shard key; each window partition
+   * holds corpus/`shards` rows, so `shards` bounds per-task window
+   * state exactly like [[TextStats.packSequences]]'s sharding (size it
+   * to ~rows-per-shard × row-width ≲ executor memory). A curriculum
+   * loader streams shard files sequentially; re-shuffling between
+   * epochs is a different `seed`, not a different algorithm.
+   */
   def globalShuffle(df: DataFrame, keyCol: String, seed: Long,
                     shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")

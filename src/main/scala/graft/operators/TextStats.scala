@@ -1362,9 +1362,12 @@ object TextStats {
     val stats =
       if (byCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(byCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // LEFT join: rows whose stratum column is NULL (no matching stats
+    // group under equi-join semantics) are PRESERVED with NULL z-scores
+    // — the contract is row preservation, not silent exclusion.
     val joined =
       if (byCols.isEmpty) df.crossJoin(broadcast(stats))
-      else df.join(broadcast(stats), byCols)
+      else df.join(broadcast(stats), byCols, "left")
     cols.foldLeft(joined) { (d, c) =>
       d.withColumn(s"${c}_z", when(col(s"__s_$c") > 0,
         round((col(c) - col(s"__m_$c")) / col(s"__s_$c"), 6)))

@@ -367,6 +367,20 @@ class SamplingSpec extends AnyFunSuite {
       docs, "doc_id", "n_chars", Seq(200L, 400L), 4, 7L, 2)) == 1)
   }
 
+  test("lengthBucketBatches sends NULL lengths to a NULL bucket, not bucket 0") {
+    val df = Seq((1L, Some(100L)), (2L, None), (3L, Some(50L)), (4L, None))
+      .toDF("doc_id", "n_chars")
+    val out = Sampling.lengthBucketBatches(df, "doc_id", "n_chars",
+        edges = Seq(200L), batchSize = 2, seed = 7L, shards = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("bucket"))) None
+         else Some(r.getInt(r.fieldIndex("bucket"))))).toMap
+    assert(out(1L) == Some(0) && out(3L) == Some(0),
+      "short non-null lengths belong in bucket 0")
+    assert(out(2L) == None && out(4L) == None,
+      "NULL lengths must carry a NULL bucket (batched together, not with shorts)")
+  }
+
   test("epochPlan: temperature shares, the epoch cap, and degenerate strata") {
     // A: 100 tokens, B: 400 -> alpha .5 weights 10/20 -> shares 1/3, 2/3
     // budget 600: A target 200 -> 2.0 epochs (capped at 2.0 exactly),

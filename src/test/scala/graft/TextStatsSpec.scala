@@ -763,6 +763,17 @@ class TextStatsSpec extends AnyFunSuite {
     assert(g(1L) == r6((1 - m) / sd) && g(7L) == r6((7 - m) / sd))
   }
 
+  test("zscoreSignals preserves NULL-stratum rows with NULL z-scores") {
+    val df = Seq((Some("A"), 1L), (Some("A"), 3L), (None, 2L))
+      .toDF("src", "x")
+    val out = TextStats.zscoreSignals(df, Seq("x"), Seq("src"))
+      .collect()
+    assert(out.length == 3, "NULL-stratum rows must not be dropped")
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(nullRow.fieldIndex("x_z")),
+      "NULL stratum carries NULL z, never another stratum's moments")
+  }
+
   test("trainBpe recovers the classic merge sequence, ties broken by pair order") {
     val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
       Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
