@@ -987,6 +987,38 @@ object ExtensionQueries {
           .as("accuracy")))
     }),
 
+    // GATE for trainTextClassifier (the FineWeb-Edu-style quality
+    // filter for corpora WITHOUT embeddings): a planted separable TEXT
+    // concept — label-1 docs draw from an "educational" vocabulary,
+    // label-0 docs from a disjoint "spam" vocabulary — must be
+    // recovered EXACTLY by hashed-bag-of-words logistic GD. Word pools
+    // are disjoint so the 256-bucket feature space separates linearly
+    // with a wide margin; deterministic construction (seeded PRNG)
+    // makes the 1.0 accuracy bit-stable.
+    "q_gate_textclf" -> ((s, dir) => {
+      import s.implicits._
+      val rnd = new scala.util.Random(11)
+      val edu = Vector("theorem", "analysis", "experiment", "hypothesis",
+        "literature", "equation", "synthesis", "derivative", "molecule",
+        "photosynthesis", "archaeology", "geometry")
+      val spam = Vector("winner", "click", "free", "prize", "casino",
+        "discount", "viagra", "lottery", "urgent", "congratulations",
+        "bonus", "unsubscribe")
+      val data = (0 until 400).map { i =>
+        val y = i % 2
+        val pool = if (y == 1) edu else spam
+        val words = Seq.fill(12)(pool(rnd.nextInt(pool.size)))
+        (i.toLong, words.mkString(" "), y)
+      }.toDF("id", "text", "label")
+      val m = graft.operators.Classifier.trainTextClassifier(
+        data, "text", "label", dim = 256, iters = 15, lr = 2.0)
+      val feats = data.withColumn("__f",
+        graft.functions.TextFunctions.hashingVector(col("text"), 256))
+      det(graft.operators.Classifier.withScore(feats, "__f", m)
+        .agg(round(avg((col("pred") === col("label")).cast(DoubleType)), 6)
+          .as("accuracy")))
+    }),
+
     "q_gate_simhash" -> ((s, dir) => {
       val d = docs(s, dir)
       val strong = Dedup.ngramJaccardPairs(d, "doc_id", "text",
@@ -2146,6 +2178,9 @@ object ExtensionQueries {
     // logistic GD recovers the planted separable concept exactly
     "q_gate_classifier" ->
       s"""SELECT CAST(1.0 AS DOUBLE) AS accuracy""",
+    // hashed-text logistic GD recovers the planted vocab split exactly
+    "q_gate_textclf" ->
+      s"""SELECT CAST(1.0 AS DOUBLE) AS accuracy""",
     "q_gate_ivf_clustered" ->
       s"""SELECT CAST(83550 AS BIGINT) AS candidates, CAST(499500 AS BIGINT) AS all_pairs,
          |CAST(5.98 AS DOUBLE) AS pruning_factor, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,
@@ -2387,14 +2422,13 @@ object ExtensionQueries {
          |lens AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
          |st AS (SELECT CAST(sum(dl) AS DOUBLE) AS tot,
          |  CAST(count(*) AS DOUBLE) AS nd FROM lens),
-         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
          |q AS (SELECT doc_id AS query_id,
          |    unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS token
          |  FROM documents WHERE doc_id < 3),
          |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
          |  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY token),
          |m AS (SELECT q.query_id, tf.doc_id,
-         |    ln(((SELECT n FROM n) - dfq.df + CAST(0.5 AS DOUBLE))
+         |    ln(((SELECT nd FROM st) - dfq.df + CAST(0.5 AS DOUBLE))
          |        / (dfq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
          |      (tf.tf * CAST(2.2 AS DOUBLE)) /
          |      (tf.tf + CAST(1.2 AS DOUBLE) *
@@ -2421,14 +2455,13 @@ object ExtensionQueries {
          |lens AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
          |st AS (SELECT CAST(sum(dl) AS DOUBLE) AS tot,
          |  CAST(count(*) AS DOUBLE) AS nd FROM lens),
-         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
          |q AS (SELECT doc_id AS query_id,
          |    unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS token
          |  FROM documents WHERE doc_id < 3),
          |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
          |  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY token),
          |m AS (SELECT q.query_id, tf.doc_id,
-         |    ln(((SELECT n FROM n) - dfq.df + CAST(0.5 AS DOUBLE))
+         |    ln(((SELECT nd FROM st) - dfq.df + CAST(0.5 AS DOUBLE))
          |        / (dfq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
          |      (tf.tf * CAST(2.2 AS DOUBLE)) /
          |      (tf.tf + CAST(1.2 AS DOUBLE) *

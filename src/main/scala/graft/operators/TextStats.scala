@@ -1153,7 +1153,11 @@ object TextStats {
    * Everything query-sided is BROADCAST by construction: the distinct
    * query-term table, the df table (computed ONLY for query terms — a
    * semi-join bounds it by the query vocabulary, never the corpus
-   * vocabulary), and the 1-row (N, avgdl) stats frame. The only
+   * vocabulary), and the 1-row (N, avgdl) stats frame — N here is the
+   * count of documents with at least one token, computed INSIDE that
+   * frame, so building the plan launches zero eager jobs (an earlier
+   * revision ran a driver-side `docs.count()` at plan-build time: one
+   * whole avoidable corpus scan). The only
    * corpus-scale shuffles are the (doc, token) aggregate itself and the
    * per-doc length reaggregation of it; the match stream after the
    * query-term join is bounded by the query terms' postings. The
@@ -1171,7 +1175,6 @@ object TextStats {
     require(k >= 1, "k must be >= 1")
     require(k1 >= 0, "k1 must be >= 0")
     require(b >= 0 && b <= 1, "b must be in [0,1]")
-    val nDocs = docs.count()
     val docTok = docs.select(col(idCol).as("doc_id"),
         explode(graft.functions.TextFunctions.whitespaceTokens(col(textCol)))
           .as("token"))
@@ -1197,7 +1200,7 @@ object TextStats {
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(stats)) // one row: corpus token total + size
       .select(col("query_id"), col("doc_id"),
-        (log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (log((col("__nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl") / (col("__tot") / col("__nd")))))

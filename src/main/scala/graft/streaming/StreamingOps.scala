@@ -344,12 +344,21 @@ object StreamingOps {
    * intake pipeline. The batch operator aggregates count-weighted
    * while this fold runs in token order; both round to 6 decimals (the
    * repo's FP contract) and the spec pins row-for-row agreement.
+   *
+   * `maxVocab` makes the driver-side bound EXPLICIT: the floored
+   * vocabulary must fit in the plan as a literal map, and on a 100 TB
+   * REFERENCE corpus even a minCount floor can leave millions of
+   * entries — the collect fails fast with the measured size instead of
+   * silently assembling a multi-GB broadcast plan. Raise it (or
+   * pre-floor the reference harder) deliberately, not by accident.
    * Output: input columns + (n_tokens, mean_logprob).
    */
   def streamingScoreAgainstReference(docs: DataFrame, idCol: String, textCol: String,
                                      ref: DataFrame, refTextCol: String,
-                                     minCount: Long = 2L): DataFrame = {
+                                     minCount: Long = 2L,
+                                     maxVocab: Int = 2000000): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
+    require(maxVocab >= 1, "maxVocab must be >= 1")
     import graft.functions.TextFunctions
     val refTok = ref.select(explode(
         TextFunctions.whitespaceTokens(col(refTextCol))).as("token"))
@@ -357,7 +366,14 @@ object StreamingOps {
     val total = refTok.agg(coalesce(sum(col("__cnt")), lit(0L)).as("t"))
       .head().getLong(0).toDouble
     require(total > 0, "reference corpus has no tokens")
-    val kept = refTok.filter(col("__cnt") >= minCount).collect()
+    // limit(maxVocab+1) bounds the driver assembly itself: if the
+    // floored vocab overflows we fail fast having pulled at most one
+    // extra row, in the SAME single pass that fetches the model.
+    val kept = refTok.filter(col("__cnt") >= minCount)
+      .limit(maxVocab + 1).collect()
+    require(kept.length <= maxVocab,
+      s"floored reference vocabulary exceeds maxVocab=$maxVocab; " +
+        "raise minCount (pre-floor the reference) or maxVocab explicitly")
     val lpFloor = math.log10(minCount.toDouble / total)
     val lpMap = map_from_arrays(
       typedlit(kept.map(_.getString(0)).toSeq),

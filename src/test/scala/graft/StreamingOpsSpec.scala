@@ -491,6 +491,22 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingScoreAgainstReference enforces the explicit maxVocab bound") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = Seq("aa aa bb bb cc cc dd dd").toDF("text") // 4 floored entries
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.streamingScoreAgainstReference(stream, "doc_id", "text",
+        ref, "text", minCount = 2L, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+    // at the bound it builds fine
+    StreamingOps.streamingScoreAgainstReference(stream, "doc_id", "text",
+      ref, "text", minCount = 2L, maxVocab = 4)
+  }
+
   test("streaming DSIR scoring with frozen models equals the batch scores") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -527,6 +527,13 @@ class TextStatsSpec extends AnyFunSuite {
     assert(nodes.count(
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]) >= 1,
       "expected WindowGroupLimitExec for the per-query rank")
+    // building the frame must launch NO eager job (N lives in the
+    // broadcast stats frame, not a driver-side docs.count())
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    TextStats.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 2)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore,
+      s"plan construction ran ${jobsAfter - jobsBefore} eager job(s)")
   }
 
   test("gopherQualityFlags: each rule trips on its planted violation and a clean doc passes") {
