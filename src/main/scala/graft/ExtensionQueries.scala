@@ -1291,6 +1291,27 @@ object ExtensionQueries {
       val meta = Multimodal.binaryMeta(col("__bin"))
       det(withBin.select(col("doc_id") +: meta.map { case (n, c) => c.as(n) }: _*))
     }),
+
+    // codec-free image header parse over planted byte fixtures — the
+    // filter-by-resolution surface for multimodal curation. Fixture
+    // bytes are hand-assembled headers (hex below); the oracle pins the
+    // hand-decoded VALUES. Covers: full PNG/JPEG(marker walk past a
+    // COM segment)/GIF/BMP headers, a truncated PNG (format resolves,
+    // dims NULL), and an unrecognized payload (NULL row).
+    "q_multimodal_dims" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = Seq(
+        (1L, "89504E470D0A1A0A0000000D4948445200000320" + "00000258"), // png 800x600
+        (2L, "FFD8FFFE00046869FFC00011" + "0803000400"),               // jpeg 1024x768
+        (3L, "474946383961" + "4001C800"),                             // gif 320x200
+        (4L, "424D000000000000000000000000" + "2800000040000000" + "30000000"), // bmp 64x48
+        (5L, "89504E470D0A1A0A"),                                      // truncated png
+        (6L, "DEADBEEF")                                               // not an image
+      ).toDF("img_id", "hex")
+      val parsed = Multimodal.withImageMeta(
+        fixtures.select(col("img_id"), unhex(col("hex")).as("payload")), "payload")
+      det(parsed.select(col("img_id"), col("format"), col("width"), col("height")))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2939,5 +2960,16 @@ object ExtensionQueries {
       s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,
          |TRY_CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS BIGINT) AS first_byte
          |FROM documents ORDER BY doc_id $N1, n_bytes $N1, content_md5 $N1, first_byte $N1""".stripMargin,
+    // hand-decoded header fields of the planted fixtures
+    "q_multimodal_dims" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), 'png',  CAST(800 AS INT),  CAST(600 AS INT)),
+         |  (CAST(2 AS BIGINT), 'jpeg', CAST(1024 AS INT), CAST(768 AS INT)),
+         |  (CAST(3 AS BIGINT), 'gif',  CAST(320 AS INT),  CAST(200 AS INT)),
+         |  (CAST(4 AS BIGINT), 'bmp',  CAST(64 AS INT),   CAST(48 AS INT)),
+         |  (CAST(5 AS BIGINT), 'png',  CAST(NULL AS INT), CAST(NULL AS INT)),
+         |  (CAST(6 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT)))
+         |  AS t(img_id, format, width, height)
+         |ORDER BY img_id $N1, format $N1, width $N1, height $N1""".stripMargin,
   )
 }

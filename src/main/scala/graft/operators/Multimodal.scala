@@ -44,6 +44,19 @@ object Multimodal {
       conv(substring(hex(bin), 1, 2), 16, 10).cast(LongType))
   )
 
+  /** `df` plus (format, width, height) parsed codec-free from the
+    * binary column's header bytes ([[graft.functions.ImageHeaders]]) —
+    * the filter-by-resolution / per-format-card surface that needs no
+    * decode. One native codegen'd expression, expanded once via a
+    * struct column; row-local, rides the scan. */
+  def withImageMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__meta",
+        graft.functions.ImageHeaders.imageHeaderMeta(col(binCol)))
+      .withColumn("format", col("__meta.format"))
+      .withColumn("width", col("__meta.width"))
+      .withColumn("height", col("__meta.height"))
+      .drop("__meta")
+
   // --- decode pipeline (typed) --------------------------------------------
 
   /** One media payload in flight. */

@@ -78,4 +78,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0).nBytes == 2L && out(1).nBytes == 4L)
     assert(out(1).kind == "video" && out(1).nFrames >= 1)
   }
+
+  private def dims(hexes: (Long, String)*): Map[Long, (Option[String], Option[Int], Option[Int])] = {
+    import spark.implicits._
+    Multimodal.withImageMeta(
+        hexes.toSeq.toDF("id", "hex")
+          .select(col("id"), unhex(col("hex")).as("payload")), "payload")
+      .select("id", "format", "width", "height")
+      .collect().map { r =>
+        def o[T](i: Int): Option[T] =
+          if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[T])
+        r.getLong(0) -> ((o[String](1), o[Int](2), o[Int](3)))
+      }.toMap
+  }
+
+  test("image header parse: the four formats, hand-assembled headers") {
+    val out = dims(
+      1L -> "89504E470D0A1A0A0000000D494844520000032000000258", // png 800x600
+      2L -> "FFD8FFC000110803000400",                           // jpeg SOF0 direct
+      3L -> "47494638376110012000",                             // GIF87a 272x32
+      4L -> "424D0000000000000000000000002800000040000000D0FFFFFF") // bmp 64, h=-48
+    assert(out(1L) == ((Some("png"), Some(800), Some(600))))
+    assert(out(2L) == ((Some("jpeg"), Some(1024), Some(768))))
+    assert(out(3L) == ((Some("gif"), Some(272), Some(32))))
+    // negative BMP height = top-down row order; dimension is |h|
+    assert(out(4L) == ((Some("bmp"), Some(64), Some(48))))
+  }
+
+  test("image header parse: jpeg marker walk skips segments, fill bytes, restarts") {
+    val out = dims(
+      // COM then APP0 then fill-FF + SOF2 (progressive): must walk to it
+      1L -> ("FFD8" + "FFFE0004AAAA" + "FFE00004BBBB" + "FFFF" + "FFC2001108" + "00100020"),
+      // SOS before any SOF: format only
+      2L -> ("FFD8" + "FFDA0002"),
+      // structural corruption (segment does not start with FF): format only
+      3L -> ("FFD8" + "00C0001108" + "00100020"),
+      // segment length < 2 is corrupt: format only
+      4L -> ("FFD8" + "FFFE0001"))
+    assert(out(1L) == ((Some("jpeg"), Some(32), Some(16))))
+    assert(out(2L) == ((Some("jpeg"), None, None)))
+    assert(out(3L) == ((Some("jpeg"), None, None)))
+    assert(out(4L) == ((Some("jpeg"), None, None)))
+  }
+
+  test("image header parse: truncation and non-image payloads degrade cleanly") {
+    val out = dims(
+      1L -> "89504E470D0A1A0A",              // png magic only
+      2L -> "89504E470D0A1A0A0000000D49444154000003200000025800", // first chunk not IHDR
+      3L -> "474946383961",                  // gif magic only
+      4L -> "424D00",                        // bmp magic only
+      5L -> "DEADBEEF",                      // unknown -> NULL row
+      6L -> "")                              // empty -> NULL row
+    assert(out(1L) == ((Some("png"), None, None)))
+    assert(out(2L) == ((Some("png"), None, None)))
+    assert(out(3L) == ((Some("gif"), None, None)))
+    assert(out(4L) == ((Some("bmp"), None, None)))
+    assert(out(5L) == ((None, None, None)))
+    assert(out(6L) == ((None, None, None)))
+  }
 }
