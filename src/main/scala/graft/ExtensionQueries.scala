@@ -1292,6 +1292,26 @@ object ExtensionQueries {
       det(withBin.select(col("doc_id") +: meta.map { case (n, c) => c.as(n) }: _*))
     }),
 
+    // release packaging: shard the corpus by an explicit key, write the
+    // JSONL release + manifest, and grade the manifest's (shard,
+    // n_rows, n_files) half — byte sizes and md5s are content-level
+    // (spec-verified by re-read), but the shard/count structure is
+    // exactly DuckDB-expressible
+    "q_corpus_release" -> ((s, dir) => {
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_release_q").getAbsolutePath
+      val d = docs(s, dir)
+        .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("int"))
+        .select(col("doc_id"), col("text"), col("shard"))
+      val man = graft.sources.TextCorpus.writeRelease(d, tmp,
+        partitionCols = Seq("shard"), orderCols = Seq("doc_id"))
+      det(man
+        .withColumn("shard",
+          regexp_extract(col("path"), "shard=(\\d+)", 1).cast(LongType))
+        .groupBy(col("shard"))
+        .agg(sum(col("n_rows")).as("n_rows"), count(lit(1)).as("n_files")))
+    }),
+
     // codec-free image header parse over planted byte fixtures — the
     // filter-by-resolution surface for multimodal curation. Fixture
     // bytes are hand-assembled headers (hex below); the oracle pins the
@@ -2960,6 +2980,13 @@ object ExtensionQueries {
       s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,
          |TRY_CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS BIGINT) AS first_byte
          |FROM documents ORDER BY doc_id $N1, n_bytes $N1, content_md5 $N1, first_byte $N1""".stripMargin,
+    // the release manifest's structural half: rows per shard, one file
+    // per shard value (each partition value lands in exactly one task)
+    "q_corpus_release" ->
+      s"""SELECT doc_id % 4 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+         |CAST(1 AS BIGINT) AS n_files
+         |FROM documents GROUP BY 1
+         |ORDER BY shard $N1, n_rows $N1, n_files $N1""".stripMargin,
     // hand-decoded header fields of the planted fixtures
     "q_multimodal_dims" ->
       s"""SELECT * FROM (VALUES

@@ -97,4 +97,99 @@ object TextCorpus {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
+
+  /**
+   * Training-data RELEASE: JSONL shards plus the verification manifest
+   * a release consumer checks against — the Dolma-style artifact. Per
+   * shard file the manifest records (relative path, row count, byte
+   * size, content md5); `_release.json` carries the run provenance
+   * (caller blob + schema + totals). Both live under `path` with
+   * underscore names, which every Spark reader ignores, so the release
+   * directory reads back as a plain JSONL corpus.
+   *
+   * Layout determinism: when `partitionCols` is set, shards are
+   * `partitionCols`-hash-repartitioned (each partition value lands in
+   * exactly ONE task → one file per directory) and sorted within
+   * partitions by `partitionCols ++ orderCols` — with a total
+   * `orderCols` order the shard BYTES (hence the manifest md5) are
+   * bit-stable across runs, which is what makes the manifest a real
+   * reproducibility contract rather than a description of one run.
+   *
+   * 100 TB design: the manifest is computed DISTRIBUTED by re-reading
+   * what was written — a text read counts rows per file, a binaryFile
+   * read hashes each shard (one task per file; shard size is bounded
+   * by the partitioning you chose, exactly the quantity that must fit
+   * a task anyway) — joined per-file, never collected to the driver;
+   * the manifest write is a coalesce(1) of file-count-many rows. Use
+   * `partitionCols` on LOW-cardinality columns only (the
+   * [[writePartitionedParquet]] warning applies verbatim).
+   *
+   * Returns the manifest frame: (path, n_rows, n_bytes, content_md5).
+   */
+  def writeRelease(df: DataFrame, path: String,
+                   partitionCols: Seq[String] = Nil,
+                   orderCols: Seq[String] = Nil,
+                   compression: Option[String] = None,
+                   provenance: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val arranged =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+          .sortWithinPartitions((partitionCols ++ orderCols).map(col): _*)
+      else if (orderCols.nonEmpty) df.sortWithinPartitions(orderCols.map(col): _*)
+      else df
+    val w = arranged.write.mode("overwrite")
+    val wc = compression.fold(w)(c => w.option("compression", c))
+    (if (partitionCols.nonEmpty) wc.partitionBy(partitionCols: _*) else wc)
+      .json(path)
+
+    // relative path = file URI minus the base directory prefix. The two
+    // listings disagree on URI spelling (input_file_name: "file:///x",
+    // binaryFile: "file:/x"), so normalize the scheme first — the join
+    // key must be identical on both sides.
+    val baseAbs = new java.io.File(path).getAbsolutePath.stripSuffix("/")
+    def rel(c: org.apache.spark.sql.Column) =
+      regexp_replace(
+        regexp_replace(c, "^file:/+", "/"),
+        java.util.regex.Pattern.quote(baseAbs) + "/?", "")
+
+    val rowsPerFile = spark.read.format("text").load(path)
+      .select(rel(input_file_name()).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_rows"))
+    val bytesPerFile = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(path)
+      .select(rel(col("path")).as("path"),
+        col("length").as("n_bytes"), md5(col("content")).as("content_md5"))
+    // computed ONCE (each consumption would re-hash every shard), then
+    // the tiny written manifest is what totals and the caller read
+    bytesPerFile.join(rowsPerFile, Seq("path"))
+      .select("path", "n_rows", "n_bytes", "content_md5")
+      .coalesce(1).write.mode("overwrite").json(s"$path/_manifest")
+    val manifest = spark.read
+      .schema("path STRING, n_rows BIGINT, n_bytes BIGINT, content_md5 STRING")
+      .json(s"$path/_manifest")
+      .select("path", "n_rows", "n_bytes", "content_md5")
+
+    val totals = manifest.agg(count(lit(1)).as("f"),
+      coalesce(sum(col("n_rows")), lit(0L)).as("r"),
+      coalesce(sum(col("n_bytes")), lit(0L)).as("b")).head()
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val prov = (provenance ++ Map(
+      "format" -> ("jsonl" + compression.fold("")("+" + _)),
+      "n_files" -> totals.getLong(0).toString,
+      "n_rows" -> totals.getLong(1).toString,
+      "n_bytes" -> totals.getLong(2).toString))
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${js(k)}: ${js(v)}" }
+      .mkString("{", ", ", s", ${js("schema")}: ${js(df.schema.json)}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_release.json"), prov)
+    manifest
+  }
 }
