@@ -109,9 +109,12 @@ object TextStats {
    */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int, shards: Int = 0,
-                    targetTokensPerShard: Long = 64L * 1024 * 1024): DataFrame = {
+                    targetTokensPerShard: Long = 64L * 1024 * 1024,
+                    strategy: String = "chop"): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     require(targetTokensPerShard >= 1, "targetTokensPerShard must be >= 1")
+    require(strategy == "chop" || strategy == "ffd",
+      s"strategy must be chop or ffd, got $strategy")
     require(shards >= 1 || !docs.isStreaming,
       "auto-sizing (shards <= 0) aggregates the corpus token volume at " +
         "plan time, which a streaming frame cannot do — pass explicit shards")
@@ -124,7 +127,8 @@ object TextStats {
         math.max(1L, math.min(1L << 20,
           (total + targetTokensPerShard - 1) / targetTokensPerShard)).toInt
       }
-    packSequencesSized(docs, idCol, textCol, budget, nShards)
+    if (strategy == "ffd") packSequencesFfd(docs, idCol, textCol, budget, nShards)
+    else packSequencesSized(docs, idCol, textCol, budget, nShards)
   }
 
   /** The fixed-shard-count packing kernel shared by both sizing modes. */
@@ -151,6 +155,119 @@ object TextStats {
         floor((col("__cum") - col("n_tokens")) / budget).as("seq_id"),
         (col("__cum") - col("n_tokens")).as("tok_offset"),
         col("n_tokens"))
+  }
+
+  /**
+   * First-fit-decreasing NO-SPLIT packing (`strategy = "ffd"`): each
+   * document goes WHOLE into the first sequence of its shard with
+   * enough remaining budget, documents considered in decreasing token
+   * order — the classic FFD bin packing (≤ 11/9·OPT + 6/9 bins). Use
+   * it where document boundaries must survive packing (SFT examples,
+   * contrastive pairs); the default chop strategy splits boundary
+   * docs and never pads, so "chop" wins for plain pretraining but
+   * destroys example integrity. Oversized docs (n_tokens > budget)
+   * get a dedicated sequence each; empty docs place like any other
+   * (need 0 — first sequence always fits).
+   *
+   * Output: the [[packSequences]] contract, with tok_offset = the
+   * doc's starting token within its (never-overflowing) sequence;
+   * docs within a sequence are laid out in id order.
+   *
+   * 100 TB design: FFD is inherently stateful per shard, so this is
+   * the repo's one legitimate `flatMapGroups`: per-shard state is
+   * (doc_id, n_tokens) pairs — tokens/targetTokensPerShard docs, a
+   * few MB — NOT the text; the shuffle moves 16-byte rows once. The
+   * first-fit scan uses a max-segment-tree over bin capacities
+   * (leftmost bin with remaining >= need in O(log bins)), so a shard
+   * packs in O(docs · log bins), not the O(docs · bins) of a naive
+   * scan (2e9 ops at 128k docs / 16k bins — measured pathological).
+   */
+  private def packSequencesFfd(docs: DataFrame, idCol: String, textCol: String,
+                               budget: Int, shards: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val shardKey = docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        pmod(col(idCol), lit(shards))
+      case _ => pmod(xxhash64(col(idCol)), lit(shards))
+    }
+    val idType = docs.schema(idCol).dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val projected = docs.select(
+      col(idCol).as("doc_id"),
+      shardKey.cast("int").as("shard"),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", idType),
+      StructField("shard", IntegerType, nullable = false),
+      StructField("seq_id", LongType, nullable = false),
+      StructField("tok_offset", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false)))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    projected.groupByKey(_.getInt(1))(Encoders.scalaInt)
+      .flatMapGroups { (shard: Int, it: Iterator[Row]) =>
+        val ds = it.map(r => (r.get(0), r.getLong(2))).toArray
+        def idCmp(a: Any, b: Any): Int =
+          if (integralId) java.lang.Long.compare(
+            a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+          else String.valueOf(a).compareTo(String.valueOf(b))
+        // decreasing tokens, id ascending for determinism
+        val ordered = ds.sorted(new Ordering[(Any, Long)] {
+          def compare(x: (Any, Long), y: (Any, Long)): Int = {
+            val c = java.lang.Long.compare(y._2, x._2)
+            if (c != 0) c else idCmp(x._1, y._1)
+          }
+        })
+        val cap = ordered.length
+        // max-segment-tree over bin remaining capacities
+        var size = 1
+        while (size < math.max(1, cap)) size *= 2
+        val tree = Array.fill(2 * size)(-1L)
+        var nBins = 0
+        def update(i: Int, v: Long): Unit = {
+          var k = i + size; tree(k) = v; k /= 2
+          while (k >= 1) { tree(k) = math.max(tree(2 * k), tree(2 * k + 1)); k /= 2 }
+        }
+        // leftmost leaf with value >= need, or -1
+        def firstFit(need: Long): Int = {
+          if (tree(1) < need) -1
+          else {
+            var k = 1
+            while (k < size) k = if (tree(2 * k) >= need) 2 * k else 2 * k + 1
+            k - size
+          }
+        }
+        val binOf = new Array[Int](ordered.length)
+        var d = 0
+        while (d < ordered.length) {
+          val need = ordered(d)._2
+          // oversized: dedicated sequence, capacity poisoned so even
+          // zero-token docs never join it
+          if (need > budget) { binOf(d) = nBins; update(nBins, -1L); nBins += 1 }
+          else {
+            val b = firstFit(need)
+            if (b >= 0 && b < nBins) { binOf(d) = b; update(b, tree(b + size) - need) }
+            else { binOf(d) = nBins; update(nBins, budget - need); nBins += 1 }
+          }
+          d += 1
+        }
+        // within each bin: id order, cumulative offsets
+        ordered.indices.groupBy(binOf)
+          .iterator.flatMap { case (bin, idxs) =>
+            val inIdOrder = idxs.sorted(new Ordering[Int] {
+              def compare(a: Int, b: Int): Int = idCmp(ordered(a)._1, ordered(b)._1)
+            })
+            var off = 0L
+            inIdOrder.iterator.map { i =>
+              val (id, n) = ordered(i)
+              val r = Row(id, shard, bin.toLong, off, n)
+              off += n
+              r
+            }
+          }
+      }
   }
 
   /**

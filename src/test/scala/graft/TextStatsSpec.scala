@@ -140,6 +140,67 @@ class TextStatsSpec extends AnyFunSuite {
       docs, "doc_id", "text", maxTokens = 16, overlap = 4)) == 0)
   }
 
+  test("packSequences ffd: no-split first-fit-decreasing beats greedy padding") {
+    import graft.operators.TextStats
+    // planted sizes (budget 10): chop-free packing comparison
+    val sizes = Seq(9, 8, 2, 1, 6, 4)
+    val docs = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextStats.packSequences(docs, "doc_id", "text",
+        budget = 10, shards = 1, strategy = "ffd")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // token conservation: every doc exactly once, sizes intact
+    assert(out.map(_._1).sorted.toSeq == (0L until 6L).toSeq)
+    assert(out.map(r => r._1 -> r._5).toMap ==
+      sizes.zipWithIndex.map { case (n, i) => i.toLong -> n.toLong }.toMap)
+    // NO doc splits and NO sequence overflows
+    val byBin = out.groupBy(_._3)
+    byBin.values.foreach { rows =>
+      assert(rows.map(_._5).sum <= 10L, "sequence over budget")
+      // offsets are a contiguous id-ordered layout
+      val inOrder = rows.sortBy(_._1)
+      var off = 0L
+      inOrder.foreach { r => assert(r._4 == off, s"offset gap in $rows"); off += r._5 }
+    }
+    // FFD packs [9,8,2,1,6,4] into 3 full bins (waste 0); greedy
+    // next-fit in id order needs 4 bins with waste 10
+    assert(byBin.size == 3, s"FFD must reach the optimal 3 bins, got ${byBin.size}")
+    def greedyNextFitBins(xs: Seq[Int], budget: Int): Seq[Int] = {
+      var bins = List.empty[Int]
+      xs.foreach { n =>
+        bins match {
+          case h :: t if h + n <= budget => bins = (h + n) :: t
+          case _ => bins = n :: bins
+        }
+      }
+      bins
+    }
+    val greedyWaste = greedyNextFitBins(sizes, 10).map(10 - _).sum
+    val ffdWaste = byBin.values.map(rows => 10L - rows.map(_._5).sum).sum
+    assert(ffdWaste < greedyWaste,
+      s"ffd waste $ffdWaste must beat greedy $greedyWaste")
+  }
+
+  test("packSequences ffd: oversized docs isolate; empty docs still place") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      (0L, Seq.fill(25)("w").mkString(" ")), // oversized (budget 10)
+      (1L, ""),                              // empty
+      (2L, Seq.fill(10)("w").mkString(" "))  // exactly full
+    ).toDF("doc_id", "text")
+    val out = TextStats.packSequences(docs, "doc_id", "text",
+        budget = 10, shards = 1, strategy = "ffd")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(out(0L)._2 == 25L)
+    // the oversized doc's sequence contains ONLY it — even the empty
+    // doc (need 0) must not join a poisoned bin
+    val binOfOversized = out(0L)._1
+    assert(out.count { case (_, (b, _)) => b == binOfOversized } == 1)
+    assert(out.contains(1L), "empty doc still gets an address")
+  }
+
   test("packSequences shards deterministically and bounds each window partition") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.operators.TextStats.packSequences(docs, "doc_id", "text",
