@@ -1019,6 +1019,48 @@ object ExtensionQueries {
           .as("accuracy")))
     }),
 
+    // GATE for trainLangid (the char-n-gram fastText-shaped language
+    // ID): a planted 4-language frame of SHORT stopword-free text —
+    // the regime where detectLanguage's stopword profiles are blind
+    // (profile accuracy pinned well below 1) but byte n-grams are
+    // unmistakable (ß/ü↔de, ç/œ↔fr, ñ↔es, th/gh↔en). Trained
+    // one-vs-rest heads must recover the language EXACTLY; seeded
+    // construction + sorted labels make both numbers bit-stable.
+    "q_gate_langid" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Seq(
+        "de" -> Vector("straße", "gemütlich", "schön", "zwischen", "mädchen",
+          "größe", "übung", "müde", "fröhlich", "grüßen"),
+        "en" -> Vector("through", "thought", "knight", "bright", "world",
+          "children", "strength", "weather", "brought", "enough"),
+        "es" -> Vector("niño", "mañana", "corazón", "pequeño", "señor",
+          "año", "música", "montaña", "sueño", "español"),
+        "fr" -> Vector("château", "déjà", "français", "œuvre", "garçon",
+          "être", "forêt", "leçon", "début", "noël"))
+      def frame(perLang: Int, wordsPerDoc: Int, seed: Int) = {
+        val rnd = new scala.util.Random(seed)
+        vocab.flatMap { case (lang, ws) =>
+          (0 until perLang).map { i =>
+            (s"${lang}_$i",
+              Seq.fill(wordsPerDoc)(ws(rnd.nextInt(ws.size))).mkString(" "),
+              lang)
+          }
+        }.toDF("doc_id", "text", "lang")
+      }
+      val train = frame(50, 6, 3).cache()
+      val eval = frame(25, 2, 17) // 2-word docs: too short for profiles
+      val m = graft.operators.Classifier.trainLangid(train, "text", "lang",
+        dim = 512, nLo = 1, nHi = 3, iters = 20, lr = 4.0)
+      val trained = graft.operators.Classifier.withLangid(eval, "text", m)
+        .agg(round(avg((col("lang_pred") === col("lang")).cast(DoubleType)), 6)
+          .as("accuracy"))
+      val profile = TextFunctions
+        .withDetectedLanguage(eval, col("text"), "__p")
+        .agg(round(avg((col("__p") === col("lang")).cast(DoubleType)), 6)
+          .as("profile_accuracy"))
+      det(trained.crossJoin(profile))
+    }),
+
     "q_gate_simhash" -> ((s, dir) => {
       val d = docs(s, dir)
       val strong = Dedup.ngramJaccardPairs(d, "doc_id", "text",
@@ -2222,6 +2264,12 @@ object ExtensionQueries {
     // hashed-text logistic GD recovers the planted vocab split exactly
     "q_gate_textclf" ->
       s"""SELECT CAST(1.0 AS DOUBLE) AS accuracy""",
+    // char-n-gram one-vs-rest langid recovers the language EXACTLY on
+    // 2-word stopword-free eval docs where the profile path scores 0.0
+    // (every doc falls through to "unknown") — the pinned pair IS the
+    // short-text upgrade claim
+    "q_gate_langid" ->
+      s"""SELECT CAST(1.0 AS DOUBLE) AS accuracy, CAST(0.0 AS DOUBLE) AS profile_accuracy""",
     "q_gate_ivf_clustered" ->
       s"""SELECT CAST(83550 AS BIGINT) AS candidates, CAST(499500 AS BIGINT) AS all_pairs,
          |CAST(5.98 AS DOUBLE) AS pruning_factor, CAST(1.0 AS DOUBLE) AS recall""".stripMargin,

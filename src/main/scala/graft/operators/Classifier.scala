@@ -117,4 +117,79 @@ object Classifier extends Logging {
         graft.functions.TextFunctions.hashingVector(col(textCol), dim).as("__f"),
         col(labelCol)),
       "__f", labelCol, iters, lr)
+
+  /**
+   * Trained language-ID model: one logistic head per label over the
+   * shared char-n-gram feature space ([[graft.functions.CharNgramVector]]).
+   * `labels` is sorted, so training and argmax tie-breaking are
+   * deterministic regardless of partitioning.
+   */
+  final case class LangidModel(labels: IndexedSeq[String],
+                               heads: IndexedSeq[LogRegModel],
+                               dim: Int, nLo: Int, nHi: Int) {
+    require(labels.nonEmpty && labels.size == heads.size,
+      "labels and heads must align and be non-empty")
+  }
+
+  /**
+   * Char-n-gram langid — the TRAINED upgrade over
+   * [[graft.functions.TextFunctions.detectLanguage]]'s stopword
+   * profiles, which are weak on short or morphology-rich text (a
+   * 3-word German query may contain zero stopwords; byte trigrams of
+   * "straße" are unmistakable). fastText-langid shape: hash byte
+   * n-grams (`nLo..nHi`) to `dim` signed buckets, train one-vs-rest
+   * logistic heads on a labeled frame, predict by margin argmax.
+   *
+   * Labels are the DISTINCT values of `labelCol` — a bounded collect
+   * (the number of languages, not the corpus). Training runs
+   * `labels.size` independent [[trainLogReg]] loops over the same
+   * feature frame; at corpus scale persist
+   * `docs.select(charNgramVector(text), label)` first so the n-gram
+   * hashing runs once, not labels×iters times.
+   */
+  def trainLangid(docs: DataFrame, textCol: String, labelCol: String,
+                  dim: Int = 512, nLo: Int = 1, nHi: Int = 3,
+                  iters: Int = 30, lr: Double = 2.0): LangidModel = {
+    val feats = docs.select(
+        graft.functions.CharNgramVector.charNgramVector(
+          col(textCol), dim, nLo, nHi).as("__f"),
+        col(labelCol).cast(StringType).as("__lang"))
+      .filter(col("__lang").isNotNull)
+    val labels = feats.select("__lang").distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    require(labels.size >= 2, "need at least two labels to train langid")
+    val heads = labels.map { l =>
+      trainLogReg(
+        feats.withColumn("__y", (col("__lang") === l).cast(IntegerType)),
+        "__f", "__y", iters, lr)
+    }
+    LangidModel(labels, heads, dim, nLo, nHi)
+  }
+
+  /**
+   * `df` plus `out` = predicted language for `text` — a zero-shuffle
+   * STAGED projection (the [[graft.functions.TextFunctions.withDetectedLanguage]]
+   * plan shape): bottom stage computes the char-n-gram vector ONCE,
+   * middle stage the per-head margin array (weights as plan literals),
+   * top stage `element_at(labels, array_position(arr, array_max(arr)))`
+   * — argmax with first-of-sorted-labels tie-breaking (sigmoid is
+   * monotone, so margin argmax = probability argmax). NULL text → NULL
+   * prediction; empty text (zero vector) → bias argmax.
+   */
+  def withLangid(df: DataFrame, textCol: String, model: LangidModel,
+                 out: String = "lang_pred"): DataFrame = {
+    val base = df.columns.map(col).toIndexedSeq
+    val staged = df.select(base :+
+      graft.functions.CharNgramVector.charNgramVector(
+        col(textCol), model.dim, model.nLo, model.nHi).as("__lid_f"): _*)
+    val margins = model.heads.map { h =>
+      graft.functions.VectorExpressions.dotProduct(
+        col("__lid_f"), typedlit(h.weights.toSeq)) + lit(h.bias)
+    }
+    val withArr = staged.select(base :+ array(margins: _*).as("__lid_m"): _*)
+    withArr.select(base :+ element_at(
+      typedlit(model.labels),
+      array_position(col("__lid_m"), array_max(col("__lid_m"))).cast(IntegerType))
+      .as(out): _*)
+  }
 }
