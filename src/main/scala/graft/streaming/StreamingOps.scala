@@ -173,6 +173,25 @@ object StreamingOps {
                                 out: String = "detected_lang"): DataFrame =
     graft.functions.TextFunctions.withDetectedLanguage(docs, col(textCol), out)
 
+  /**
+   * TRAINED langid over a streaming frame — the incremental twin of
+   * [[graft.operators.Classifier.withLangid]], for intake pipelines
+   * whose language mix the stopword profiles can't resolve (short
+   * queries, morphology-rich text). The model is trained OFFLINE on a
+   * batch corpus ([[graft.operators.Classifier.trainLangid]]) and
+   * frozen into the stream's plan as weight literals — the
+   * [[streamingScoreAgainstReference]] / [[streamingDsirScore]]
+   * frozen-model contract: a stateless staged projection (char-n-gram
+   * vector → margin array → argmax), no state store, no watermark, and
+   * micro-batch predictions equal the batch operator row-for-row
+   * (StreamingOpsSpec asserts this). Retraining = restart the query
+   * with a new model, exactly like the other frozen-model stages.
+   */
+  def streamingLangid(docs: DataFrame, textCol: String,
+                      model: graft.operators.Classifier.LangidModel,
+                      out: String = "lang_pred"): DataFrame =
+    graft.operators.Classifier.withLangid(docs, textCol, model, out)
+
   /** Quality-score projection for a STREAMING document frame — the
     * incremental twin of the batch `q_text_quality` path, staged on the
     * same native one-pass TokenProfile expression. Stateless (one

@@ -622,4 +622,42 @@ class StreamingOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("streaming trained langid with a frozen model equals the batch predictions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // train OFFLINE on a planted batch frame (the Classifier contract)
+    val vocab = Seq(
+      "de" -> Vector("straße", "gemütlich", "schön", "mädchen", "übung"),
+      "en" -> Vector("through", "thought", "bright", "children", "enough"),
+      "fr" -> Vector("château", "déjà", "français", "garçon", "forêt"))
+    val rnd = new scala.util.Random(13)
+    val train = vocab.flatMap { case (lang, ws) =>
+      (0 until 30).map(i => (s"${lang}_$i",
+        Seq.fill(5)(ws(rnd.nextInt(ws.size))).mkString(" "), lang))
+    }.toDF("doc_id", "text", "lang")
+    val m = graft.operators.Classifier.trainLangid(train, "text", "lang",
+      dim = 256, nLo = 1, nHi = 3, iters = 10, lr = 4.0)
+    val evalRows = vocab.flatMap { case (lang, ws) =>
+      (0 until 8).map(i => (s"e_${lang}_$i",
+        Seq.fill(2)(ws(rnd.nextInt(ws.size))).mkString(" ")))
+    }
+    val mem = MemoryStream[(String, String)]
+    val out = StreamingOps.streamingLangid(
+      mem.toDF().toDF("doc_id", "text"), "text", m)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_langid_trained")
+      .outputMode("append").start()
+    mem.addData(evalRows: _*); q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, lang_pred FROM stream_langid_trained")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    val want = graft.operators.Classifier.withLangid(
+        evalRows.toDF("doc_id", "text"), "text", m)
+      .select("doc_id", "lang_pred")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want, "frozen-model stream must equal batch row-for-row")
+    assert(got.forall { case (id, pred) => id.startsWith(s"e_${pred}_") },
+      "the planted orthography must be recovered even on 2-word docs")
+  }
 }
