@@ -830,6 +830,17 @@ object ExtensionQueries {
         "vec_id", "embedding", k = 5))
     }),
 
+    // 1-bit binary quantization: the pure-Hamming rank is integer
+    // arithmetic end to end (32-bit sign words, xor + popcount), so —
+    // like q_sim_sq and unlike the randomized-projection rows — DuckDB
+    // replays it bit-exactly and the query is hash-matched. The
+    // exact-rerank two-stage is spec-gated (brute-force set recovery).
+    "q_sim_bq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      det(Similarity.bqTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5))
+    }),
+
     // the composed IVF-PQ shape (candidate pruning + compressed rerank)
     // on the same query batch — rows-only like the other ANN rows;
     // quality pinned by q_gate_ivfpq and the SimilaritySpec
@@ -2355,6 +2366,25 @@ object ExtensionQueries {
          |  (PARTITION BY vec_id ORDER BY sq_score DESC, neighbor_id) AS rank FROM p)
          |SELECT vec_id, neighbor_id, rank, sq_score FROM r WHERE rank <= 5
          |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1, sq_score $N1""".stripMargin,
+    // replay of bqEncodeColumn (32-bit sign words via exact 2^j sums) +
+    // bqHamming (xor/bit_count) — all-integer arithmetic both engines
+    // execute identically
+    "q_sim_bq" ->
+      s"""WITH enc AS (SELECT vec_id,
+         |    list_transform(range(0, CAST(ceil(len(embedding) / 32.0) AS INT)), w ->
+         |      CAST(list_sum(list_transform(range(0, 32), j ->
+         |        CASE WHEN 32*w + j < len(embedding) AND embedding[32*w + j + 1] > 0
+         |             THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)) AS bits
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, len(q.bits) + 1), i ->
+         |      bit_count(xor(q.bits[i], c.bits[i])))) AS BIGINT) AS hamming
+         |  FROM enc q JOIN enc c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 20),
+         |r AS (SELECT vec_id, neighbor_id, hamming, row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY hamming, neighbor_id) AS rank FROM p)
+         |SELECT vec_id, neighbor_id, rank, hamming FROM r WHERE rank <= 5
+         |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1, hamming $N1""".stripMargin,
     "q_sim_hard_negatives" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON b.label != a.label

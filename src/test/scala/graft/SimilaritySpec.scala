@@ -799,4 +799,59 @@ class SimilaritySpec extends AnyFunSuite {
     // each query ranks independently
     assert(out((2L, "d9")) == (1.0, 1L, 1L))
   }
+
+  test("BQ: bqEncodeColumn packs sign bits into 32-bit words, hand-checked") {
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 0.0f, 0.5f)),          // bits 0,3 -> 1+8
+      (2L, Array.tabulate(33)(i => if (i == 31 || i == 32) 1.0f else -1.0f)),
+      (3L, Array.empty[Float])
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        Similarity.bqEncodeColumn(col("embedding")).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(9L), s"bits 0 and 3 -> 9, got ${out(1L)}")
+    // dim 31 -> bit 31 of word 0 (2^31, no sign wrap); dim 32 -> bit 0 of word 1
+    assert(out(2L) == Seq(2147483648L, 1L), s"got ${out(2L)}")
+    assert(out(3L).isEmpty, "empty vector -> empty code array")
+    // zero is NOT positive: all-zero vector encodes to all-zero words
+    val z = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.bqEncodeColumn(col("embedding")).as("b"))
+      .head().getSeq[Long](0)
+    assert(z == Seq(0L))
+  }
+
+  test("BQ: rerank covering the whole corpus is row-identical to brute force; " +
+    "persisted codes equal inline; Hamming top-5 stays in the true cluster") {
+    val df = clusteredFrame.cache()
+    val queries = df.filter(col("vec_id") < 20)
+    // rerank = k*rerank >= corpus size => exact-cosine rank of ALL pairs
+    // bq_score rounds to 6 decimals before ranking (the sqTopK/pqTopK
+    // determinism convention) while bruteForceTopK ranks unrounded, so
+    // pairs tied at the 6th decimal may swap adjacent ranks — compare
+    // the top-5 NEIGHBOR SETS (exact) rather than rank-for-rank
+    val reranked = Similarity.bqTopK(queries, df, "vec_id", "embedding",
+        k = 5, rerank = 200)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reranked == truth,
+      "full-coverage rerank must recover the exact brute-force top-5 sets")
+    // persisted codes column = inline encoding, row-identical
+    val withCodes = df.withColumn("codes",
+      Similarity.bqEncodeColumn(col("embedding")))
+    val inline = Similarity.bqTopK(queries, df, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val persisted = Similarity.bqTopK(queries, withCodes, "vec_id", "embedding",
+        k = 5, codesCol = Some("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inline == persisted)
+    // pure-Hamming top-5 purity on the planted clusters: every neighbor
+    // shares the query's cluster (the PQ-gate contract at 1-bit)
+    val pure = Similarity.bqTopK(queries, df, "vec_id", "embedding", k = 5)
+      .filter(col("neighbor_id") % 20 === col("vec_id") % 20).count()
+    assert(pure == 100L, s"expected all 20x5 Hamming neighbors in-cluster, got $pure")
+    df.unpersist()
+  }
 }
