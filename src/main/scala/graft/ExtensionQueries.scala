@@ -1301,6 +1301,20 @@ object ExtensionQueries {
       det(graft.operators.CorpusClean.blocklistFilter(docs(s, dir), "text",
         Seq("spark window", "slow merge")))),
 
+    // line-wise correction (RefinedWeb line filters): plant one
+    // violation per rule on every doc — a SHOUTING line, a digit dump,
+    // a boilerplate line (raw form differs from the list entry by case
+    // and padding), a fragment — and keep the doc with those lines cut
+    "q_filter_lines" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text", concat(
+        col("text"),
+        lit("\nBUY NOW CLICK HERE\n12345 67890 424242\n  Sign In  \nok\nclosing paragraph for document "),
+        col("doc_id").cast(StringType)))
+      det(graft.operators.CorpusClean.filterLines(planted, "text")
+        .select(col("doc_id"), col("text"), col("n_lines"),
+          col("n_lines_kept"), col("removed_char_share")))
+    }),
+
     // dataset-card phrase table: top-5 word bigrams per language
     "q_text_top_ngrams" -> ((s, dir) =>
       det(graft.operators.TextStats.topNgrams(docs(s, dir), "text",
@@ -2509,6 +2523,41 @@ object ExtensionQueries {
          |WHERE NOT (contains(lower(text), 'spark window')
          |        OR contains(lower(text), 'slow merge'))
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    // full replay of filterLines' rule chain (ASCII classes, double
+    // ratios, boilerplate IN-list GENERATED from the same Seq)
+    "q_filter_lines" -> {
+      val boiler = graft.operators.CorpusClean.DefaultBoilerplateLines
+        .map(p => s"'${p.toLowerCase}'").mkString(", ")
+      s"""WITH planted AS (SELECT doc_id,
+         |  text || chr(10) || 'BUY NOW CLICK HERE' || chr(10) || '12345 67890 424242'
+         |    || chr(10) || '  Sign In  ' || chr(10) || 'ok'
+         |    || chr(10) || 'closing paragraph for document ' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM planted),
+         |k AS (SELECT doc_id, lines,
+         |  list_filter(lines, x ->
+         |    len(trim(x)) >= 5
+         |    AND NOT (len(regexp_extract_all(x, '[A-Za-z]')) > 0
+         |         AND CAST(len(regexp_extract_all(x, '[A-Z]')) AS DOUBLE)
+         |             / len(regexp_extract_all(x, '[A-Za-z]')) > 0.6)
+         |    AND NOT (len(x) > 0
+         |         AND CAST(len(regexp_extract_all(x, '[0-9]')) AS DOUBLE) / len(x) > 0.5)
+         |    AND NOT list_contains([$boiler], lower(trim(x)))) AS kept
+         |  FROM l),
+         |s AS (SELECT doc_id,
+         |  array_to_string(kept, chr(10)) AS text,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         |  CASE WHEN COALESCE(list_sum(list_transform(lines, x -> len(x))), 0) > 0
+         |    THEN round(CAST(COALESCE(list_sum(list_transform(lines, x -> len(x))), 0)
+         |         - COALESCE(list_sum(list_transform(kept, x -> len(x))), 0) AS DOUBLE)
+         |         / COALESCE(list_sum(list_transform(lines, x -> len(x))), 0), 6)
+         |    ELSE 0.0 END AS removed_char_share
+         |  FROM k)
+         |SELECT doc_id, text, n_lines, n_lines_kept, removed_char_share FROM s
+         |WHERE removed_char_share <= 0.5
+         |ORDER BY doc_id $N1, text $N1, n_lines $N1, n_lines_kept $N1, removed_char_share $N1""".stripMargin
+    },
     // word-bigram occurrences (every position, not per-doc distinct),
     // rank per language by (count desc, gram asc)
     // string_split(text,' ') — the ShingleHashes kernel's token

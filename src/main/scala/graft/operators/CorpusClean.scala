@@ -81,6 +81,90 @@ object CorpusClean {
         t => !array_contains(stopArr, lower(t))), " "))
   }
 
+  /** Full-line (after-trim, lowercased) web furniture removed by
+    * [[filterLines]]'s boilerplate rule — the curated-list shape: a
+    * plan literal, not a join. */
+  val DefaultBoilerplateLines: Seq[String] = Seq(
+    "sign in", "log in", "sign up", "click here", "read more",
+    "advertisement", "accept cookies", "subscribe to our newsletter",
+    "share this article", "all rights reserved", "terms of service",
+    "privacy policy", "skip to content", "leave a comment")
+
+  /**
+   * Line-wise document CORRECTION — the RefinedWeb §4.3 / C4 line
+   * filter: instead of dropping a whole document for boilerplate it
+   * contains, drop the offending LINES and keep the document, then
+   * drop the document only when the corrections removed more than
+   * `maxRemovedShare` of its characters (a doc that was mostly
+   * furniture has no salvageable prose). A line is removed when ANY of:
+   *
+   *  - trimmed length < `minLineChars` (blank/fragment lines);
+   *  - uppercase share of its ASCII letters > `maxUpperRatio`
+   *    (SHOUTING headers/menus);
+   *  - digit share of its characters > `maxDigitRatio` (id dumps,
+   *    tables of numbers);
+   *  - its trimmed lowercase form IS a `boilerplate` entry (full-line
+   *    match — substring matching is [[blocklistFilter]]'s job).
+   *
+   * ASCII-only classes keep Java and RE2/DuckDB agreeing (the
+   * [[graft.functions.TextFunctions.normalizeAggressive]] precedent);
+   * ratios are plain double divisions the oracle replays bit-exactly.
+   * Output: input columns with `textCol` rebuilt (kept lines rejoined
+   * with \n) plus `n_lines`, `n_lines_kept`, `removed_char_share`
+   * (rounded 6, over untrimmed line lengths). NULL text passes
+   * through: share 0, NULL line counts, text stays NULL.
+   *
+   * 100 TB design: entirely row-local — one split + HOF filter +
+   * two HOF sums per row, all codegen'd riding the scan; zero
+   * shuffle, no join (the boilerplate list and thresholds are plan
+   * literals). Compose BEFORE [[clean]]'s quality signals so scores
+   * see the corrected text.
+   */
+  def filterLines(docs: DataFrame, textCol: String,
+                  minLineChars: Int = 5, maxUpperRatio: Double = 0.6,
+                  maxDigitRatio: Double = 0.5,
+                  boilerplate: Seq[String] = DefaultBoilerplateLines,
+                  maxRemovedShare: Double = 0.5): DataFrame = {
+    require(minLineChars >= 1, "minLineChars must be >= 1")
+    require(maxUpperRatio > 0 && maxUpperRatio <= 1, "maxUpperRatio in (0,1]")
+    require(maxDigitRatio > 0 && maxDigitRatio <= 1, "maxDigitRatio in (0,1]")
+    require(maxRemovedShare >= 0 && maxRemovedShare <= 1, "maxRemovedShare in [0,1]")
+    require(boilerplate.nonEmpty, "boilerplate must be non-empty")
+    val boilerArr = array(boilerplate.map(p => lit(p.toLowerCase)): _*)
+    def cnt(l: org.apache.spark.sql.Column, cls: String) =
+      size(regexp_extract_all(l, lit(cls), lit(0)))
+    def keep(l: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val letters = cnt(l, "[A-Za-z]")
+      (length(trim(l)) >= minLineChars) &&
+        !(letters > 0 &&
+          cnt(l, "[A-Z]").cast(DoubleType) / letters > maxUpperRatio) &&
+        !(length(l) > 0 &&
+          cnt(l, "[0-9]").cast(DoubleType) / length(l) > maxDigitRatio) &&
+        !array_contains(boilerArr, lower(trim(l)))
+    }
+    val staged = docs
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__kept", filter(col("__lines"), keep(_)))
+      .withColumn("__tot",
+        aggregate(col("__lines"), lit(0L), (a, x) => a + length(x)))
+      .withColumn("__keptc",
+        aggregate(col("__kept"), lit(0L), (a, x) => a + length(x)))
+    val share = when(col("__tot") > 0,
+      (col("__tot") - col("__keptc")).cast(DoubleType) / col("__tot"))
+      .otherwise(lit(0.0))
+    staged
+      .withColumn(textCol,
+        when(col("__lines").isNotNull, array_join(col("__kept"), "\n")))
+      // explicit NULL guard: with ANSI off, legacy size(NULL) is -1
+      .withColumn("n_lines", when(col("__lines").isNotNull,
+        size(col("__lines")).cast(LongType)))
+      .withColumn("n_lines_kept", when(col("__kept").isNotNull,
+        size(col("__kept")).cast(LongType)))
+      .withColumn("removed_char_share", round(share, 6))
+      .filter(col("removed_char_share") <= maxRemovedShare)
+      .drop("__lines", "__kept", "__tot", "__keptc")
+  }
+
   /**
    * The STATELESS post-dedup stage — langid + quality + repetition
    * signals and the keep filter — shared verbatim by the batch pipeline

@@ -379,4 +379,38 @@ class TextFunctionsSpec extends AnyFunSuite {
       Seq("a" -> (length(col("text")) >= 4), "b" -> (col("lang") === "en")))) <= 1,
       "funnel must be one aggregation pass, not one scan per stage")
   }
+
+  test("filterLines: each line rule trips on its planted violation; doc-level share drop") {
+    import spark.implicits._
+    val prose = "this is a perfectly reasonable paragraph of running text"
+    val docs = Seq(
+      // one violation per rule, sandwiched in prose
+      (1L, s"$prose\nBUY NOW CLICK HERE\n12345 67890 424242\n  Sign In  \nok\n$prose"),
+      (2L, prose),                       // clean: byte-identical passthrough
+      (3L, "SHOUT ME\n999 111"),         // everything removed -> share 1.0 -> doc dropped
+      (4L, null.asInstanceOf[String])    // NULL text passes through untouched
+    ).toDF("doc_id", "text")
+    val out = graft.operators.CorpusClean.filterLines(docs, "text")
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(3L), "all-furniture doc must drop on removed_char_share")
+    assert(rows(1L).getString(1) == s"$prose\n$prose",
+      "upper-ratio, digit-ratio, boilerplate and short lines must all be removed")
+    assert(rows(1L).getAs[Long]("n_lines") == 6L &&
+      rows(1L).getAs[Long]("n_lines_kept") == 2L)
+    assert(rows(2L).getString(1) == prose && rows(2L).getAs[Double]("removed_char_share") == 0.0)
+    assert(rows(4L).isNullAt(1) && rows(4L).isNullAt(rows(4L).fieldIndex("n_lines")) &&
+      rows(4L).getAs[Double]("removed_char_share") == 0.0,
+      "NULL text: NULL text/counts, share 0, row kept")
+    // mixed-case prose survives the upper rule; "  Sign In  " trims+lowers
+    // to the boilerplate entry even though its raw form differs
+    // idempotence: corrected text has no removable lines left
+    val again = graft.operators.CorpusClean.filterLines(out.drop(
+      "n_lines", "n_lines_kept", "removed_char_share"), "text")
+    assert(again.filter(col("doc_id") === 1L).head().getString(1) == s"$prose\n$prose")
+    // row-local: zero shuffle, no join
+    val nodes = PlanWalk.executedNodes(graft.operators.CorpusClean.filterLines(docs, "text"))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "filterLines must not shuffle")
+  }
 }
