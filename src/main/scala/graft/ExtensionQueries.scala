@@ -702,6 +702,19 @@ object ExtensionQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"), col("pred")))
     }),
 
+    // reliability report over the frozen-scorer output: bin the
+    // round-6 scores (the floor() cliff needs the pre-round — see
+    // calibrationReport scaladoc) against the parity label
+    "q_clf_calibration" -> ((s, dir) => {
+      val model = graft.operators.Classifier.LogRegModel(
+        EmbScoreWeights.toArray, EmbScoreBias)
+      val scored = graft.operators.Classifier.withScore(emb(s, dir), "embedding", model)
+        .select(round(col("score"), 6).as("score"),
+          (col("label") % 2).as("target"))
+      det(graft.operators.Classifier.calibrationReport(scored, "score", "target",
+        bins = 10))
+    }),
+
     // per-label embedding centroids (drift/cluster profiling), flattened
     // to (label, dim, value) scalars for the row-hash oracle
     "q_emb_centroids" -> ((s, dir) =>
@@ -1061,7 +1074,7 @@ object ExtensionQueries {
       val train = frame(50, 6, 3).cache()
       val eval = frame(25, 2, 17) // 2-word docs: too short for profiles
       val m = graft.operators.Classifier.trainLangid(train, "text", "lang",
-        dim = 512, nLo = 1, nHi = 3, iters = 20, lr = 4.0)
+        dim = 128, nLo = 1, nHi = 3, iters = 8, lr = 6.0)
       val trained = graft.operators.Classifier.withLangid(eval, "text", m)
         .agg(round(avg((col("lang_pred") === col("lang")).cast(DoubleType)), 6)
           .as("accuracy"))
@@ -1319,6 +1332,11 @@ object ExtensionQueries {
     "q_text_top_ngrams" -> ((s, dir) =>
       det(graft.operators.TextStats.topNgrams(docs(s, dir), "text",
         n = 2, k = 5, strataCols = Seq("lang")))),
+
+    // phrase mining: top-20 adjacent pairs by PMI, minCount 5 floor
+    "q_text_collocations" -> ((s, dir) =>
+      det(graft.operators.TextStats.collocations(docs(s, dir), "text",
+        minCount = 5, k = 20))),
 
     // BM25 retrieval: the first 3 documents as their own queries
     "q_text_bm25" -> ((s, dir) => {
@@ -2339,6 +2357,23 @@ object ExtensionQueries {
          |FROM sc
          |ORDER BY vec_id $N1, score $N1, pred $N1""".stripMargin
     },
+    // same sigmoid replay as q_emb_score, round-6 BEFORE the bin floor
+    "q_clf_calibration" -> {
+      val ws = EmbScoreWeights.map(w => s"CAST($w AS DOUBLE)").mkString(", ")
+      s"""WITH sc AS (SELECT
+         |  round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+         |    exp(-(list_dot_product(embedding, [$ws])
+         |          + CAST($EmbScoreBias AS DOUBLE)))), 6) AS score,
+         |  label % 2 AS target
+         |  FROM embeddings)
+         |SELECT CAST(least(9, floor(score * 10)) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(score), 6) AS mean_score,
+         |  round(avg(CAST(target AS DOUBLE)), 6) AS observed_rate,
+         |  round(avg(score) - avg(CAST(target AS DOUBLE)), 6) AS gap
+         |FROM sc GROUP BY 1
+         |ORDER BY bin $N1, n $N1, mean_score $N1, observed_rate $N1, gap $N1""".stripMargin
+    },
     "q_emb_centroids" ->
       s"""WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS x,
          |    generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -2576,6 +2611,33 @@ object ExtensionQueries {
          |  FROM c)
          |SELECT lang, ngram, n_occurrences, rank FROM r WHERE rank <= 5
          |ORDER BY lang $N1, ngram $N1, n_occurrences $N1, rank $N1""".stripMargin,
+    // PMI replay: string pair/unigram counts (the standing injectivity
+    // argument vs Spark's 8-byte window hashes), pre-floor totals,
+    // round-6 before ranking
+    "q_text_collocations" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         |u AS (SELECT unnest(t) AS w FROM toks),
+         |c1 AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+         |n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c1),
+         |g AS (SELECT unnest([array_to_string(t[i:i+1], ' ')
+         |  for i in generate_series(1, len(t)-1)]) AS ng FROM toks),
+         |n2 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM g),
+         |c2 AS (SELECT ng, count(*) AS c2 FROM g GROUP BY ng
+         |  HAVING count(*) >= 5),
+         |p AS (SELECT split_part(c2.ng, ' ', 1) AS w1,
+         |    split_part(c2.ng, ' ', 2) AS w2,
+         |    CAST(c2.c2 AS BIGINT) AS n_pair,
+         |    round(log10((CAST(c2.c2 AS DOUBLE) / n2.n) /
+         |      ((CAST(a.c AS DOUBLE) / n1.n) * (CAST(b.c AS DOUBLE) / n1.n))), 6) AS pmi
+         |  FROM c2
+         |  JOIN c1 a ON a.w = split_part(c2.ng, ' ', 1)
+         |  JOIN c1 b ON b.w = split_part(c2.ng, ' ', 2)
+         |  CROSS JOIN n1 CROSS JOIN n2),
+         |r AS (SELECT w1, w2, n_pair, pmi,
+         |    CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rank
+         |  FROM p)
+         |SELECT w1, w2, n_pair, pmi, rank FROM r WHERE rank <= 20
+         |ORDER BY w1 $N1, w2 $N1, n_pair $N1, pmi $N1, rank $N1""".stripMargin,
     // same BM25 arithmetic SHAPE as the Spark side (left-assoc, same
     // double casts); round(score, 6) before ranking is the cross-engine
     // equalizer for the per-term double sums. Lens excludes token-less

