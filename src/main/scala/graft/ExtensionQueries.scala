@@ -1314,6 +1314,17 @@ object ExtensionQueries {
       det(graft.operators.CorpusClean.blocklistFilter(docs(s, dir), "text",
         Seq("spark window", "slow merge")))),
 
+    // encoding-damage signal: every doc planted with one hit per
+    // mojibake family; hits + per-char rate published
+    "q_text_mojibake" -> ((s, dir) => {
+      val planted = docs(s, dir)
+        .withColumn("text", concat(col("text"), lit(MojibakeSuffix)))
+      val hits = graft.functions.TextFunctions.mojibakeHits(col("text"))
+      det(planted.select(col("doc_id"), hits.as("mojibake_hits"),
+        round(hits.cast(DoubleType) / length(col("text")), 6)
+          .as("hits_per_char")))
+    }),
+
     // line-wise correction (RefinedWeb line filters): plant one
     // violation per rule on every doc — a SHOUTING line, a digit dump,
     // a boilerplate line (raw form differs from the list entry by case
@@ -1422,6 +1433,11 @@ object ExtensionQueries {
   // ------------------------------------------------------------- oracle SQL
 
   private val N1 = "NULLS FIRST"
+  /** Planted encoding-damage suffix for q_text_mojibake — one hit per
+    * artifact family (Ã-pair, â€ punctuation, BOM-as-text); the oracle
+    * embeds this same constant so the two sides cannot drift. */
+  private val MojibakeSuffix =
+    " cafÃ© donâ€™t ï»¿x"
   /** Fixed 64-dim weights + bias for q_emb_score — the oracle's literal
     * array is GENERATED from this same Seq. */
   private val EmbScoreWeights: Seq[Double] =
@@ -2558,6 +2574,20 @@ object ExtensionQueries {
          |WHERE NOT (contains(lower(text), 'spark window')
          |        OR contains(lower(text), 'slow merge'))
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    // pattern + planted suffix both GENERATED from the shared constants
+    "q_text_mojibake" ->
+      s"""WITH planted AS (SELECT doc_id, text || '$MojibakeSuffix' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${graft.functions.TextFunctions.MojibakePattern}')) AS BIGINT)
+         |    AS mojibake_hits,
+         |  round(CAST(len(regexp_extract_all(text,
+         |    '${graft.functions.TextFunctions.MojibakePattern}')) AS DOUBLE)
+         |    / len(text), 6) AS hits_per_char
+         |FROM planted
+         |ORDER BY doc_id $N1, mojibake_hits $N1, hits_per_char $N1""".stripMargin,
+
     // full replay of filterLines' rule chain (ASCII classes, double
     // ratios, boilerplate IN-list GENERATED from the same Seq)
     "q_filter_lines" -> {

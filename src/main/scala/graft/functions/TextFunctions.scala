@@ -312,6 +312,30 @@ object TextFunctions {
       n -> size(regexp_extract_all(text, lit(cls), lit(0))).cast(LongType)
     }
 
+  /** The UTF-8-decoded-as-Windows-1252 artifact alternation behind
+    * [[mojibakeHits]]. Four non-overlapping families, literal BMP chars
+    * only (identical semantics in Java regex and RE2; the oracle is
+    * GENERATED from this constant):
+    *  - `Ã` + high Latin-1 char — 2-byte UTF-8 sequences (é→Ã©, ü→Ã¼)
+    *  - `â€` — the 3-byte punctuation family (’→â€™, “→â€œ, …→â€¦)
+    *  - `Â` + NBSP-range char — stray C2 prefixes (NBSP→Â +  )
+    *  - `ï»¿` — a UTF-8 BOM decoded as text
+    */
+  val MojibakePattern: String =
+    "\u00c3[\u0080-\u00ff]|\u00e2\u20ac|\u00c2[\u00a0-\u00ff]|\u00ef\u00bb\u00bf"
+
+  /**
+   * Mojibake (encoding-damage) hit count — the curation signal for
+   * double-encoded text: each match is a character sequence that is
+   * vanishingly rare in CORRECT text but is exactly what a UTF-8 byte
+   * sequence looks like after a wrong Windows-1252 decode. Threshold
+   * per length (the graded query publishes hits and hits/char) to
+   * route docs to a re-decode pass or the reject pile. One codegen'd
+   * projection, zero shuffle; NULL text → NULL.
+   */
+  def mojibakeHits(text: Column): Column =
+    size(regexp_extract_all(text, lit(MojibakePattern), lit(0))).cast(LongType)
+
   /** The (pattern, replacement) chain behind [[stripMarkup]], in
     * application order: tags/comment delimiters become spaces, then the
     * five entities HTML-escapes most (`&amp;` LAST, so `&amp;lt;`

@@ -192,6 +192,25 @@ object StreamingOps {
                       out: String = "lang_pred"): DataFrame =
     graft.operators.Classifier.withLangid(docs, textCol, model, out)
 
+  /**
+   * Line-wise correction for a STREAMING intake — the incremental twin
+   * of [[graft.operators.CorpusClean.filterLines]]: the rule chain is a
+   * row-local HOF projection + filter (thresholds and the boilerplate
+   * list are plan literals), so it applies to a micro-batch unchanged —
+   * stateless, no watermark, decisions equal the batch operator
+   * row-for-row (StreamingOpsSpec asserts this). Run it BEFORE
+   * [[streamingQuality]]/[[streamingCorpusClean]] so quality signals
+   * see the corrected text, mirroring the batch composition order.
+   */
+  def streamingFilterLines(docs: DataFrame, textCol: String,
+                           minLineChars: Int = 5, maxUpperRatio: Double = 0.6,
+                           maxDigitRatio: Double = 0.5,
+                           boilerplate: Seq[String] =
+                             graft.operators.CorpusClean.DefaultBoilerplateLines,
+                           maxRemovedShare: Double = 0.5): DataFrame =
+    graft.operators.CorpusClean.filterLines(docs, textCol, minLineChars,
+      maxUpperRatio, maxDigitRatio, boilerplate, maxRemovedShare)
+
   /** Quality-score projection for a STREAMING document frame — the
     * incremental twin of the batch `q_text_quality` path, staged on the
     * same native one-pass TokenProfile expression. Stateless (one

@@ -660,4 +660,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.forall { case (id, pred) => id.startsWith(s"e_${pred}_") },
       "the planted orthography must be recovered even on 2-word docs")
   }
+
+  test("streaming line-wise correction equals the batch filterLines row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prose = "a perfectly reasonable paragraph of running text here"
+    val rows = Seq(
+      (1L, s"$prose\nBUY NOW CLICK HERE\n$prose"),
+      (2L, s"$prose\n12345 67890\n  Privacy Policy  "),
+      (3L, "SHOUTING ONLY\n404 404 404"), // fully removed -> doc dropped
+      (4L, prose))
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingFilterLines(
+      mem.toDF().toDF("doc_id", "text"), "text")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_filter_lines")
+      .outputMode("append").start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    val got = spark.sql(
+        "SELECT doc_id, text, n_lines_kept FROM stream_filter_lines")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    val want = graft.operators.CorpusClean.filterLines(
+        rows.toDF("doc_id", "text"), "text")
+      .select("doc_id", "text", "n_lines_kept")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, "micro-batch corrections must equal batch row-for-row")
+    assert(!got.exists(_._1 == 3L), "all-furniture doc dropped in the stream too")
+  }
 }

@@ -380,6 +380,23 @@ class TextFunctionsSpec extends AnyFunSuite {
       "funnel must be one aggregation pass, not one scan per stage")
   }
 
+  test("mojibakeHits counts each artifact family once, clean text zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "café naïve résumé"),          // CORRECT accents: 0
+      (2L, "cafÃ©"),                                // Ã© : 1
+      (3L, "donâ€™t donâ€œ"),   // two â€ families: 2
+      (4L, "ï»¿head"),                         // decoded BOM: 1
+      (5L, "AÂ B"),                                 // Â+NBSP: 1
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.functions.TextFunctions.mojibakeHits(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L, 6L -> -1L))
+  }
+
   test("filterLines: each line rule trips on its planted violation; doc-level share drop") {
     import spark.implicits._
     val prose = "this is a perfectly reasonable paragraph of running text"
