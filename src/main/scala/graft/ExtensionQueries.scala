@@ -643,6 +643,11 @@ object ExtensionQueries {
         .select(col("doc_id"), col("text")))
     }),
 
+    // threshold-sweep planning card over the standard pair mining
+    "q_dedup_sweep" -> ((s, dir) =>
+      det(Dedup.dedupThresholdSweep(docs(s, dir), "doc_id", "text",
+        n = 5, thresholds = Seq(0.5, 0.7, 0.85)))),
+
     // collapse PROVENANCE: per survivor, the family size and the exact
     // ids removed in its favor — the audit/lineage record of the
     // q_dedup_collapse decision (same pair graph, same survivors)
@@ -1978,6 +1983,26 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, n_copies $N1, weight $N1""".stripMargin,
     "q_dedup_ngram_pairs" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+    // the sweep card over the same pair CTE: per-threshold conditional
+    // counts + distinct-doc counts, corpus denominator
+    "q_dedup_sweep" ->
+      s"""WITH $jaccardCte,
+         |p AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
+         |st AS (SELECT doc_a AS d, jaccard FROM p
+         |       UNION ALL SELECT doc_b, jaccard FROM p),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+         |t(threshold) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
+         |                        (CAST(0.85 AS DOUBLE)))
+         |SELECT t.threshold,
+         |  CAST((SELECT count(*) FROM p WHERE jaccard >= t.threshold) AS BIGINT)
+         |    AS n_pairs,
+         |  CAST((SELECT count(DISTINCT d) FROM st WHERE jaccard >= t.threshold)
+         |    AS BIGINT) AS n_docs_in_pairs,
+         |  round((SELECT count(DISTINCT d) FROM st WHERE jaccard >= t.threshold)
+         |    / nd.n, 6) AS pct_docs_in_pairs
+         |FROM t CROSS JOIN nd
+         |ORDER BY threshold $N1, n_pairs $N1, n_docs_in_pairs $N1,
+         |  pct_docs_in_pairs $N1""".stripMargin,
     // full cross-product rank for the query slice: exact because every
     // blocked candidate has jaccard > 0 and no shingle df exceeds the
     // cap on this corpus (max df 2 — see q_dedup_index_append notes)

@@ -701,6 +701,58 @@ object Dedup {
         round(col("n_removed").cast(DoubleType) / col("n_docs"), 6))
   }
 
+  /**
+   * Dedup threshold-sweep planning card: before committing a corpus to
+   * a Jaccard threshold, the sensitivity question — "how much MORE
+   * would 0.7 remove than 0.85?" — answered in ONE pair computation.
+   * Pairs are mined once at `min(thresholds)` (a pair above a higher
+   * threshold is necessarily above a lower one, so the single mining
+   * pass contains every sweep point) and each requested threshold gets
+   * (n_pairs, n_docs_in_pairs, pct_docs_in_pairs) from conditional
+   * aggregates over that one pair set. `n_docs_in_pairs` counts docs
+   * touching ≥ 1 qualifying pair — the upper bound on removals (the
+   * exact removal count needs per-threshold connected components;
+   * [[dedupRatesBy]] prices ONE chosen threshold exactly, this card
+   * compares MANY cheaply).
+   *
+   * 100 TB design: the expensive part is [[ngramJaccardPairs]], run
+   * once with its df-capped inverted index; the sweep itself is one
+   * aggregate over the (pairs × 2) stacked id stream — ≤ |thresholds|
+   * distinct-count branches (Expand) over a pair table that dedup
+   * viability already requires be FAR smaller than the corpus, then a
+   * |thresholds|-row explode. Corpus size enters only as a 1-row
+   * countDistinct frame.
+   */
+  def dedupThresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5,
+                          thresholds: Seq[Double] = Seq(0.5, 0.7, 0.85),
+                          dfCap: Int = 100): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(thresholds.forall(t => t > 0 && t <= 1), "thresholds in (0,1]")
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, thresholds.min, dfCap)
+    val total = docs.agg(countDistinct(col(idCol)).as("__nd"))
+    val stacked = pairs.select(col("jaccard"),
+      explode(array(col("doc_a"), col("doc_b"))).as("__d"))
+    val sorted = thresholds.sorted
+    val aggs = sorted.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"__p$i"),
+        countDistinct(when(col("jaccard") >= t, col("__d"))).as(s"__u$i"))
+    }
+    val row = stacked.agg(aggs.head, aggs.tail: _*).crossJoin(broadcast(total))
+    val entries = sorted.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"),
+        // every pair contributed exactly two stacked rows; empty pair
+        // set => NULL sum => 0
+        (coalesce(col(s"__p$i"), lit(0L)) / 2).cast(LongType).as("n_pairs"),
+        col(s"__u$i").as("n_docs_in_pairs"),
+        round(col(s"__u$i").cast(DoubleType) / col("__nd"), 6)
+          .as("pct_docs_in_pairs"))
+    }
+    row.select(explode(array(entries: _*)).as("__s"))
+      .select(col("__s.threshold"), col("__s.n_pairs"),
+        col("__s.n_docs_in_pairs"), col("__s.pct_docs_in_pairs"))
+  }
+
   // -------------------------------------------------- decontamination
 
   /**

@@ -792,4 +792,28 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(survivors == Set(1L, 2L, 3L, 4L))
   }
+
+  test("dedupThresholdSweep: one mining pass prices every threshold; empty corpus zeros") {
+    import spark.implicits._
+    // d1=d2 (J=1.0); d3 extends d1 by one token (J=6/7~0.857);
+    // d4 shares one shingle with d1/d2 (J=1/11~0.09, below every sweep point)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "a b c d e f g h i j k"), (4L, "a b c d e x y z w v")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupThresholdSweep(docs, "doc_id", "text",
+        n = 5, thresholds = Seq(0.9, 0.5))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(0.5, 0.9))
+    assert(out(0.5) == ((3L, 3L, 0.75)),
+      "at 0.5: pairs (1,2)(1,3)(2,3), docs 1-3 of 4")
+    assert(out(0.9) == ((1L, 2L, 0.5)), "at 0.9 only the identical pair")
+    // no qualifying pairs at all: zero counts, not NULLs
+    val none = Dedup.dedupThresholdSweep(docs.filter(col("doc_id").isin(1L, 4L)),
+        "doc_id", "text", n = 5, thresholds = Seq(0.5))
+      .collect()
+    assert(none.length == 1 && none(0).getLong(1) == 0L &&
+      none(0).getLong(2) == 0L && none(0).getDouble(3) == 0.0)
+  }
 }
