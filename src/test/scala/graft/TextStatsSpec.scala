@@ -967,4 +967,29 @@ class TextStatsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSet
     assert(cut == Set(("francisco", "has", 1L), ("san", "francisco", 2L)))
   }
+
+  test("collocations plan: hash-keyed count shuffles, WindowGroupLimit rank") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val nodes = PlanWalk.executedNodes(
+      TextStats.collocations(docs, "text", minCount = 3, k = 10))
+    // the PMI rank must trim map-side
+    assert(nodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowGroupLimitExec]) >= 1,
+      "expected WindowGroupLimitExec for the PMI rank")
+    // the floored pair table probes the unigram counts via broadcast
+    assert(nodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 2,
+      "expected broadcast joins for both unigram probes")
+    // the topNgrams discipline: no count shuffle keyed on word strings
+    val shuffles = nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    val wordKeyed = shuffles.exists(_.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.exists(_.dataType ==
+          org.apache.spark.sql.types.StringType)
+      case _ => false
+    })
+    assert(!wordKeyed, "no shuffle may be keyed on token text")
+  }
 }
