@@ -648,6 +648,15 @@ object ExtensionQueries {
       det(Dedup.dedupThresholdSweep(docs(s, dir), "doc_id", "text",
         n = 5, thresholds = Seq(0.5, 0.7, 0.85)))),
 
+    // asymmetric containment pairs (quote-inclusion dedup)
+    "q_dedup_containment" -> ((s, dir) =>
+      det(Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.8))),
+
+    // exactly-N deterministic global sample (TakeOrderedAndProject)
+    "q_sample_exact_n" -> ((s, dir) =>
+      det(graft.operators.Sampling.exactNSample(docs(s, dir), "doc_id", 100))),
+
     // collapse PROVENANCE: per survivor, the family size and the exact
     // ids removed in its favor — the audit/lineage record of the
     // q_dedup_collapse decision (same pair graph, same survivors)
@@ -1983,6 +1992,35 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, n_copies $N1, weight $N1""".stripMargin,
     "q_dedup_ngram_pairs" -> jaccardSql,
     "q_dedup_minhash" -> jaccardSql,
+    // asymmetric containment over the same candidate CTE: one row per
+    // qualifying direction, threshold on the UNROUNDED ratio
+    "q_dedup_containment" ->
+      s"""WITH $jaccardCte,
+         |w AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) AS i,
+         |    len(x.s) AS ca, len(y.s) AS cb
+         |  FROM cand JOIN sh x ON x.doc_id = doc_a
+         |            JOIN sh y ON y.doc_id = doc_b),
+         |dirs AS (
+         |  SELECT doc_a AS doc_contained, doc_b AS doc_container,
+         |    round(i / ca, 6) AS containment FROM w
+         |  WHERE ca > 0 AND i / ca >= 0.8
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, round(i / cb, 6) FROM w
+         |  WHERE cb > 0 AND i / cb >= 0.8)
+         |SELECT doc_contained, doc_container, containment FROM dirs
+         |ORDER BY doc_contained $N1, doc_container $N1, containment $N1""".stripMargin,
+
+    // md5-uniform order + key tie-break, LIMIT N — the oracle replays
+    // TakeOrderedAndProject's selection exactly
+    "q_sample_exact_n" ->
+      s"""WITH s AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    / 4294967296.0, doc_id
+         |  LIMIT 100)
+         |SELECT * FROM s
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+
     // the sweep card over the same pair CTE: per-threshold conditional
     // counts + distinct-doc counts, corpus denominator
     "q_dedup_sweep" ->

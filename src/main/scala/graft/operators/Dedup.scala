@@ -209,6 +209,55 @@ object Dedup {
   }
 
   /**
+   * CONTAINMENT pairs — the asymmetric complement of
+   * [[ngramJaccardPairs]]: containment(A→B) = |S(A)∩S(B)| / |S(A)|,
+   * the share of A's shingles that B also has. Jaccard MISSES
+   * subsumption by construction — a short doc quoted verbatim inside a
+   * long one has containment 1.0 but Jaccard |A|/|B|, far below any
+   * dedup threshold (the DedupSpec case: J = 0.25, containment 1.0) —
+   * and quote-inclusion is exactly how boilerplate, press-release and
+   * syndication duplication presents. Output: one row per qualifying
+   * DIRECTION, (doc_contained, doc_container, containment ≥ threshold,
+   * round 6); a mutually-contained pair (exact dup) yields both rows.
+   *
+   * 100 TB design: identical shape to [[ngramJaccardPairs]] — the SAME
+   * df-capped inverted index generates candidates (a contained doc
+   * shares every one of its shingles with its container, so any
+   * under-cap shared shingle surfaces the pair), and only the pair
+   * tail differs. Same caps, same drop observability.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, threshold: Double = 0.8,
+                       dfCap: Int = 100,
+                       dropStats: Option[Observation] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
+    val inv = shingled(docs, idCol, textCol, n)
+      .select(col("__id"), explode(col("__hs")).as("__g"))
+    val cands = Blocking.idPairs(inv, Seq("__g"), "__a", "__b",
+      maxKeyCount = Some(dfCap), dropStats = dropStats)
+    val candIds = cands.select(col("__a").as("__id"))
+      .unionAll(cands.select(col("__b").as("__id"))).distinct()
+    val hashed = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .join(candIds, "__id")
+      .select(col("__id"),
+        graft.functions.ShingleHashes.shingleHashes(col("__t"), n).as("__hs"))
+    val withSets = cands
+      .join(hashed.select(col("__id").as("__a"), col("__hs").as("__sha")), "__a")
+      .join(hashed.select(col("__id").as("__b"), col("__hs").as("__shb")), "__b")
+      .select(col("__a"), col("__b"),
+        size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType)
+          .as("__i"),
+        size(col("__sha")).as("__ca"), size(col("__shb")).as("__cb"))
+    val aInB = withSets.filter(col("__ca") > 0 && col("__i") / col("__ca") >= threshold)
+      .select(col("__a").as("doc_contained"), col("__b").as("doc_container"),
+        round(col("__i") / col("__ca"), 6).as("containment"))
+    val bInA = withSets.filter(col("__cb") > 0 && col("__i") / col("__cb") >= threshold)
+      .select(col("__b").as("doc_contained"), col("__a").as("doc_container"),
+        round(col("__i") / col("__cb"), 6).as("containment"))
+    aInB.unionAll(bInA)
+  }
+
+  /**
    * Fuzzy dedup, sketch flavor: MinHash signatures + LSH banding.
    * numPerm minhashes (xxhash64 seeded by permutation index), split into
    * `bands` bands of numPerm/bands rows; docs sharing any band signature

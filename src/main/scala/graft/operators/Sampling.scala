@@ -42,6 +42,26 @@ object Sampling {
   }
 
   /**
+   * EXACTLY-N global deterministic sample — what [[hashSample]]'s
+   * fraction cannot promise ("give me exactly 10k eval docs"): the N
+   * rows with the smallest seeded md5 uniform (ties by key), a pure
+   * function of the key set — reproducible across runs, partitionings
+   * and engines, and STABLE UNDER CORPUS GROWTH in expectation (a row's
+   * selection depends only on how many keys hash below it).
+   *
+   * 100 TB design: `orderBy(uniform, key).limit(n)` compiles to
+   * TakeOrderedAndProject — each task keeps a local N-row heap and the
+   * driver merges task heads. No global sort, no single-partition
+   * window, no shuffle of the corpus; driver memory is N rows (keep N
+   * sample-sized; a million-row N wants [[hashSample]] + a trim
+   * instead).
+   */
+  def exactNSample(df: DataFrame, keyCol: String, nRows: Int): DataFrame = {
+    require(nRows >= 1, s"nRows must be >= 1, got $nRows")
+    df.orderBy(hashUniform(col(keyCol)), col(keyCol)).limit(nRows)
+  }
+
+  /**
    * Mixture reweighting: keep a per-stratum fraction of rows (strata
    * value -> fraction, `default` for unlisted strata). The balancing
    * operator for language/source mixes — still a pure zero-shuffle

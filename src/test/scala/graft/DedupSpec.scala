@@ -793,6 +793,27 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 2L, 3L, 4L))
   }
 
+  test("containmentPairs catches subsumption that Jaccard misses; both directions for exact dups") {
+    import spark.implicits._
+    // d1 (6 tokens -> 2 shingles) quoted verbatim inside d2 (10 tokens
+    // -> 6 shingles): containment(d1->d2) = 1.0 but J = 2/6 = 0.333
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d e f z w"),
+      (3L, "p q r s t u"), (4L, "p q r s t u") // exact dup pair
+    ).toDF("doc_id", "text")
+    val jacc = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacc.contains((1L, 2L)), "Jaccard at 0.5 must miss the quoted doc")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0, "quoted doc fully contained in its container")
+    assert(!out.contains((2L, 1L)), "the container is NOT contained (2/6 < 0.8)")
+    assert(out((3L, 4L)) == 1.0 && out((4L, 3L)) == 1.0,
+      "exact dups contain each other: both direction rows")
+  }
+
   test("dedupThresholdSweep: one mining pass prices every threshold; empty corpus zeros") {
     import spark.implicits._
     // d1=d2 (J=1.0); d3 extends d1 by one token (J=6/7~0.857);

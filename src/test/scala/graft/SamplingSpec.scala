@@ -407,4 +407,29 @@ class SamplingSpec extends AnyFunSuite {
       .collect().flatMap(r => Option(r.getAs[java.lang.Double]("epochs")))
     assert(capped.forall(_ == 3.0))
   }
+
+  test("exactNSample: exactly N, deterministic, TakeOrdered plan (no sort/window)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s1 = graft.operators.Sampling.exactNSample(docs, "doc_id", 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = graft.operators.Sampling.exactNSample(docs, "doc_id", 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1.length == 7 && s1 == s2, "exactly N, bit-stable across runs")
+    // growth consistency: the 5-sample is a prefix of the 7-sample's order
+    val s3 = graft.operators.Sampling.exactNSample(docs, "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1.toSet), "smaller N must be a subset of larger N")
+    // N >= corpus: everything
+    val all = graft.operators.Sampling.exactNSample(docs, "doc_id", 1000000)
+      .count()
+    assert(all == docs.count())
+    // scale shape: TakeOrderedAndProject, never a global Sort or Window
+    val nodes = PlanWalk.executedNodes(
+      graft.operators.Sampling.exactNSample(docs, "doc_id", 7))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "expected TakeOrderedAndProject")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "must not globally sort the corpus")
+  }
 }
