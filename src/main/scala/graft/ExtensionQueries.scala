@@ -1442,6 +1442,30 @@ object ExtensionQueries {
         fixtures.select(col("img_id"), unhex(col("hex")).as("payload")), "payload")
       det(parsed.select(col("img_id"), col("format"), col("width"), col("height")))
     }),
+
+    // codec-free AUDIO headers: hand-built WAV (8 kHz mono 16-bit,
+    // 16 data bytes -> 1 ms) and FLAC (44.1 kHz stereo 16-bit,
+    // 44100 samples -> 1000 ms) fixtures, plus truncated/garbage
+    "q_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val wav = "52494646" + "34000000" + "57415645" + // RIFF/WAVE
+        "666D7420" + "10000000" +                      // fmt , 16 bytes
+        "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+        "64617461" + "10000000" + "00" * 16            // data, 16 bytes
+      val flac = "664C6143" + "80000022" +             // fLaC, STREAMINFO(34)
+        "1000" + "1000" + "000000" + "000000" +
+        "0AC442F0" + "0000AC44" + "00" * 16
+      val fixtures = Seq(
+        (1L, wav),
+        (2L, flac),
+        (3L, "52494646" + "00000000" + "57415645"),    // truncated wav
+        (4L, "00FFEE")                                 // not audio
+      ).toDF("clip_id", "hex")
+      val parsed = Multimodal.withAudioMeta(
+        fixtures.select(col("clip_id"), unhex(col("hex")).as("payload")), "payload")
+      det(parsed.select(col("clip_id"), col("format"), col("sample_rate"),
+        col("channels"), col("bits_per_sample"), col("duration_ms")))
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3280,5 +3304,19 @@ object ExtensionQueries {
          |  (CAST(6 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT)))
          |  AS t(img_id, format, width, height)
          |ORDER BY img_id $N1, format $N1, width $N1, height $N1""".stripMargin,
+    // hand-decoded header fields of the planted audio fixtures
+    "q_multimodal_audio" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), 'wav',  CAST(8000 AS INT),  CAST(1 AS INT),
+         |   CAST(16 AS INT), CAST(1 AS BIGINT)),
+         |  (CAST(2 AS BIGINT), 'flac', CAST(44100 AS INT), CAST(2 AS INT),
+         |   CAST(16 AS INT), CAST(1000 AS BIGINT)),
+         |  (CAST(3 AS BIGINT), 'wav',  CAST(NULL AS INT),  CAST(NULL AS INT),
+         |   CAST(NULL AS INT), CAST(NULL AS BIGINT)),
+         |  (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+         |   CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT)))
+         |  AS t(clip_id, format, sample_rate, channels, bits_per_sample, duration_ms)
+         |ORDER BY clip_id $N1, format $N1, sample_rate $N1, channels $N1,
+         |  bits_per_sample $N1, duration_ms $N1""".stripMargin,
   )
 }

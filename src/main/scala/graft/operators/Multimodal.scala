@@ -57,6 +57,21 @@ object Multimodal {
       .withColumn("height", col("__meta.height"))
       .drop("__meta")
 
+  /** `df` plus (format, sample_rate, channels, bits_per_sample,
+    * duration_ms) parsed codec-free from the binary column's header
+    * bytes ([[graft.functions.AudioHeaders]]: WAV RIFF chunk walk,
+    * FLAC STREAMINFO bit unpack) — the filter-by-rate/duration surface
+    * for audio curation. Same shape as [[withImageMeta]]. */
+  def withAudioMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__meta",
+        graft.functions.AudioHeaders.audioHeaderMeta(col(binCol)))
+      .withColumn("format", col("__meta.format"))
+      .withColumn("sample_rate", col("__meta.sample_rate"))
+      .withColumn("channels", col("__meta.channels"))
+      .withColumn("bits_per_sample", col("__meta.bits_per_sample"))
+      .withColumn("duration_ms", col("__meta.duration_ms"))
+      .drop("__meta")
+
   // --- decode pipeline (typed) --------------------------------------------
 
   /** One media payload in flight. */

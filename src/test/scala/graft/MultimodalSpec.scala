@@ -136,4 +136,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(5L) == ((None, None, None)))
     assert(out(6L) == ((None, None, None)))
   }
+
+  private def audio(hexes: (Long, String)*)
+      : Map[Long, (Option[String], Option[Int], Option[Int], Option[Int], Option[Long])] = {
+    import spark.implicits._
+    Multimodal.withAudioMeta(
+        hexes.toSeq.toDF("id", "hex")
+          .select(col("id"), unhex(col("hex")).as("payload")), "payload")
+      .select("id", "format", "sample_rate", "channels", "bits_per_sample",
+        "duration_ms")
+      .collect().map { r =>
+        def o[T](i: Int): Option[T] =
+          if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[T])
+        r.getLong(0) ->
+          ((o[String](1), o[Int](2), o[Int](3), o[Int](4), o[Long](5)))
+      }.toMap
+  }
+
+  test("audio header parse: WAV chunk walk and FLAC STREAMINFO bit unpack") {
+    val wav = "52494646" + "34000000" + "57415645" +
+      "666D7420" + "10000000" +
+      "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+      "64617461" + "10000000" + "00" * 16
+    // same WAV but with a LIST chunk (odd size 3 -> pad byte) BEFORE fmt:
+    // the walk must skip it, including the alignment pad
+    val wavSkip = "52494646" + "3F000000" + "57415645" +
+      "4C495354" + "03000000" + "AABBCC" + "00" + // LIST, 3 bytes + pad
+      "666D7420" + "10000000" +
+      "0100" + "0200" + "80BB0000" + "00EE0200" + "0400" + "1000" +
+      "64617461" + "40000000" + "00" * 64          // 64 bytes, stereo -> 16 samples
+    val flac = "664C6143" + "80000022" +
+      "1000" + "1000" + "000000" + "000000" +
+      "0AC442F0" + "0000AC44" + "00" * 16
+    val out = audio(1L -> wav, 2L -> wavSkip, 3L -> flac,
+      4L -> ("52494646" + "00000000" + "57415645"), // wav, no chunks
+      5L -> "664C6143",                             // flac magic only
+      6L -> "00FFEE")                               // not audio
+    assert(out(1L) == ((Some("wav"), Some(8000), Some(1), Some(16), Some(1L))))
+    // 48 kHz stereo 16-bit, 64 data bytes -> 16 samples -> 0 ms (floor)
+    assert(out(2L) == ((Some("wav"), Some(48000), Some(2), Some(16), Some(0L))))
+    assert(out(3L) == ((Some("flac"), Some(44100), Some(2), Some(16), Some(1000L))))
+    assert(out(4L) == ((Some("wav"), None, None, None, None)))
+    assert(out(5L) == ((Some("flac"), None, None, None, None)))
+    assert(out(6L) == ((None, None, None, None, None)))
+  }
 }
