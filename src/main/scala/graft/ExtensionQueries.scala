@@ -653,6 +653,18 @@ object ExtensionQueries {
       det(Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
         n = 5, threshold = 0.8))),
 
+    // version diff: v2 drops every 97th doc, edits every 31st, adds 20
+    "q_corpus_diff" -> ((s, dir) => {
+      val old = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = old.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 31 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      det(Dedup.corpusDiff(old, v2, "doc_id", "text"))
+    }),
+
     // exactly-N deterministic global sample (TakeOrderedAndProject)
     "q_sample_exact_n" -> ((s, dir) =>
       det(graft.operators.Sampling.exactNSample(docs(s, dir), "doc_id", 100))),
@@ -2034,6 +2046,25 @@ object ExtensionQueries {
          |  WHERE cb > 0 AND i / cb >= 0.8)
          |SELECT doc_contained, doc_container, containment FROM dirs
          |ORDER BY doc_contained $N1, doc_container $N1, containment $N1""".stripMargin,
+
+    // full-outer fingerprint compare; null-safe equality mirrors <=>
+    "q_corpus_diff" ->
+      s"""WITH old AS (SELECT doc_id, text FROM documents),
+         |new AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 97 != 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+         |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN md5(o.text) = md5(n.text)
+         |            OR (o.text IS NULL AND n.text IS NULL) THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+         |SELECT doc_id, status FROM j
+         |ORDER BY doc_id $N1, status $N1""".stripMargin,
 
     // md5-uniform order + key tie-break, LIMIT N — the oracle replays
     // TakeOrderedAndProject's selection exactly

@@ -37,6 +37,42 @@ object Dedup {
   }
 
   /**
+   * Corpus version DIFF — the dataset-release comparison: classify
+   * every document id across two corpus versions as `added` (new
+   * only), `removed` (old only), `changed` (both, content fingerprint
+   * differs) or `unchanged`. The answer to "what actually moved
+   * between v2 and v3" that a release manifest
+   * ([[graft.sources.TextCorpus.writeRelease]]) records at shard
+   * granularity and this operator pins at document granularity —
+   * feeding changelogs, incremental re-embedding ("re-process added ∪
+   * changed only") and regression triage. Output: (idCol, status);
+   * `.groupBy("status").count()` is the release card.
+   *
+   * NULL-text rows are PRESENT rows (presence tracked separately from
+   * the md5 fingerprint; fingerprints compare null-safely), so a doc
+   * whose text became NULL classifies as `changed`, not `added`.
+   *
+   * 100 TB design: each side collapses to (id, 16-byte fingerprint)
+   * riding its scan; ONE full-outer shuffle on the id joins them —
+   * fingerprint width, not document width — and the status projection
+   * is row-local. Ids are assumed unique per version (the release
+   * contract); run [[exactDedup]] first when they are not.
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), lit(1).as("__po"),
+      md5(col(textCol)).as("__fo"))
+    val n = newDocs.select(col(idCol), lit(1).as("__pn"),
+      md5(col(textCol)).as("__fn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
+          .when(col("__fo") <=> col("__fn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /**
    * Duplicate CAPPING — [[exactDedup]]'s "keep up to N copies" relaxation:
    * when the token budget allows repeating data, a few copies of a
    * duplicated document are worth more than zero extra copies

@@ -793,6 +793,22 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 2L, 3L, 4L))
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged; NULL text is presence") {
+    import spark.implicits._
+    val old = Seq((1L, "same"), (2L, "old text"), (3L, "gone"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "new text"), (4L, "fresh"),
+      (5L, "was null")).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed"))
+    // identity diff: everything unchanged
+    val idem = Dedup.corpusDiff(old, old, "doc_id", "text")
+      .filter(col("status") =!= "unchanged").count()
+    assert(idem == 0, "diff of a corpus with itself must be all-unchanged")
+  }
+
   test("containmentPairs catches subsumption that Jaccard misses; both directions for exact dups") {
     import spark.implicits._
     // d1 (6 tokens -> 2 shingles) quoted verbatim inside d2 (10 tokens
