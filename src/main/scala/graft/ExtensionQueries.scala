@@ -1340,6 +1340,14 @@ object ExtensionQueries {
       det(graft.operators.CorpusClean.blocklistFilter(docs(s, dir), "text",
         Seq("spark window", "slow merge")))),
 
+    // PSI drift between the full corpus and its English slice over the
+    // n_chars signal, base-quantile bins
+    "q_text_psi" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(graft.operators.TextStats.psiReport(
+        d, d.filter(col("lang") === "en"), "n_chars", nBins = 10))
+    }),
+
     // encoding-damage signal: every doc planted with one hit per
     // mojibake family; hits + per-char rate published
     "q_text_mojibake" -> ((s, dir) => {
@@ -2692,6 +2700,38 @@ object ExtensionQueries {
          |WHERE NOT (contains(lower(text), 'spark window')
          |        OR contains(lower(text), 'slow merge'))
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    // exact base quantiles (quantile_cont = Spark percentile), CASE-sum
+    // binning, Laplace-smoothed shares — all-double arithmetic
+    "q_text_psi" -> {
+      val caseSum = (1 to 9)
+        .map(i => s"(CASE WHEN v > es[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      val pb = "((CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 0.5 * 10))"
+      val pc = "((CAST(n_cand AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 0.5 * 10))"
+      s"""WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+         |  WHERE n_chars IS NOT NULL),
+         |c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+         |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+         |e AS (SELECT quantile_cont(v,
+         |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS es FROM b),
+         |bb AS (SELECT CAST($caseSum AS BIGINT) AS bin FROM b CROSS JOIN e),
+         |cc AS (SELECT CAST($caseSum AS BIGINT) AS bin FROM c CROSS JOIN e),
+         |nb AS (SELECT bin, count(*) AS n FROM bb GROUP BY bin),
+         |nc AS (SELECT bin, count(*) AS n FROM cc GROUP BY bin),
+         |bins AS (SELECT unnest(range(0, 10)) AS bin),
+         |j AS (SELECT bins.bin, CAST(coalesce(nb.n, 0) AS BIGINT) AS n_base,
+         |        CAST(coalesce(nc.n, 0) AS BIGINT) AS n_cand
+         |      FROM bins LEFT JOIN nb ON nb.bin = bins.bin
+         |                LEFT JOIN nc ON nc.bin = bins.bin),
+         |t AS (SELECT sum(n_base) AS tb, sum(n_cand) AS tc FROM j)
+         |SELECT bin, n_base, n_cand,
+         |  round($pb, 6) AS base_share,
+         |  round($pc, 6) AS cand_share,
+         |  round(($pc - $pb) * ln($pc / $pb), 6) AS psi
+         |FROM j CROSS JOIN t
+         |ORDER BY bin $N1, n_base $N1, n_cand $N1, base_share $N1,
+         |  cand_share $N1, psi $N1""".stripMargin
+    },
+
     // pattern + planted suffix both GENERATED from the shared constants
     "q_text_mojibake" ->
       s"""WITH planted AS (SELECT doc_id, text || '$MojibakeSuffix' AS text

@@ -1190,6 +1190,63 @@ object TextStats {
   }
 
   /**
+   * Population-stability-index (PSI) drift report — the standard
+   * ML-ops answer to "did this signal's distribution move between two
+   * corpus versions / sources": bin the signal by the BASE corpus's
+   * exact quantiles (equal-mass bins by construction), compare the two
+   * corpora's per-bin shares, psi_i = (p_cand − p_base)·ln(p_cand /
+   * p_base). Σ psi_i < 0.1 is the conventional "no action" line, > 0.25
+   * "investigate". Shares are Laplace-smoothed ((n + 0.5) / (N +
+   * 0.5·bins)) so an empty bin contributes a finite, engine-replayable
+   * term instead of ±∞. Values equal to an edge fall LOW (bin = count
+   * of edges strictly below the value); NULL signals are excluded from
+   * both sides.
+   *
+   * 100 TB design: the edge vector is ONE exact-percentile aggregate
+   * over the base (nBins−1 doubles collected — the kmeans-centroid
+   * bounded-collect convention), after which binning is a zero-shuffle
+   * CASE-sum projection with edge literals and each side collapses to
+   * ≤ nBins count rows; the report assembly is bins-scale arithmetic.
+   *
+   * Output: (bin, n_base, n_cand, base_share, cand_share, psi) —
+   * one row per bin 0..nBins−1 (absent bins report 0 counts);
+   * Σ psi is the headline number.
+   */
+  def psiReport(base: DataFrame, cand: DataFrame, signalCol: String,
+                nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val D = DoubleType
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val edgeRow = base.filter(col(signalCol).isNotNull)
+      .agg(percentile(col(signalCol).cast(D), array(ps.map(lit): _*)).as("__e"))
+      .head()
+    require(!edgeRow.isNullAt(0), "base corpus has no non-null signal values")
+    val edges = edgeRow.getSeq[Double](0)
+    val binExpr = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(signalCol).cast(D) > lit(e), 1).otherwise(0)
+    }.cast(LongType).as("bin")
+    def counts(df: DataFrame, as: String) =
+      df.filter(col(signalCol).isNotNull).select(binExpr)
+        .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val bins = base.sparkSession.range(nBins).select(col("id").as("bin"))
+    val joined = bins
+      .join(counts(base, "__nb"), Seq("bin"), "left")
+      .join(counts(cand, "__nc"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__nb"), lit(0L)).as("n_base"),
+        coalesce(col("__nc"), lit(0L)).as("n_cand"))
+    val tot = joined.agg(sum(col("n_base")).as("__tb"),
+      sum(col("n_cand")).as("__tc"))
+    val pb = (col("n_base").cast(D) + lit(0.5)) /
+      (col("__tb").cast(D) + lit(0.5) * nBins)
+    val pc = (col("n_cand").cast(D) + lit(0.5)) /
+      (col("__tc").cast(D) + lit(0.5) * nBins)
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_base"), col("n_cand"),
+        round(pb, 6).as("base_share"), round(pc, 6).as("cand_share"),
+        round((pc - pb) * log(pc / pb), 6).as("psi"))
+  }
+
+  /**
    * Per-stratum top-k most frequent word n-grams — the dataset-card
    * table ("most common phrases per language") and the raw material for
    * boilerplate mining: an n-gram that tops this list across many

@@ -968,6 +968,29 @@ class TextStatsSpec extends AnyFunSuite {
     assert(cut == Set(("francisco", "has", 1L), ("san", "francisco", 2L)))
   }
 
+  test("psiReport: hand-computed Laplace shares and psi; identity drift is zero") {
+    import spark.implicits._
+    val base = (1 to 10).map(v => (v.toLong, v.toDouble)).toDF("id", "sig")
+    val shifted = Seq(8.0, 9.0, 10.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "sig")
+    // nBins=2: edge = median 5.5; base 5/5, cand 0/3
+    val out = TextStats.psiReport(base, shifted, "sig", nBins = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(0L) == ((5L, 0L, r6(-0.375 * math.log(0.25)))))
+    assert(out(1L) == ((5L, 3L, r6(0.375 * math.log(1.75)))))
+    // identical corpora: psi exactly zero in every bin
+    val zero = TextStats.psiReport(base, base, "sig", nBins = 5)
+      .agg(sum(abs(col("psi")))).head().getDouble(0)
+    assert(zero == 0.0, "identity drift must be zero")
+    // NULL signals excluded, not binned
+    val nullFrame = spark.sql("SELECT CAST(99 AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS sig")
+    val counted = TextStats.psiReport(base, base.unionByName(nullFrame), "sig",
+      nBins = 2).agg(sum(col("n_cand"))).head().getLong(0)
+    assert(counted == 10L, "NULL signal rows must not be binned")
+  }
+
   test("collocations plan: hash-keyed count shuffles, WindowGroupLimit rank") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val nodes = PlanWalk.executedNodes(
