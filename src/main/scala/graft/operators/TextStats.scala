@@ -1247,6 +1247,38 @@ object TextStats {
   }
 
   /**
+   * Freeze a PSI baseline from a batch corpus: the quantile edge
+   * vector plus the base corpus's Laplace-smoothed per-bin shares —
+   * the (nBins−1) + nBins doubles a monitoring job
+   * ([[graft.streaming.StreamingOps.streamingPsiByWindow]]) carries as
+   * plan literals. Same edge/bin/smoothing arithmetic as [[psiReport]]
+   * (shared definition would drift otherwise: this calls the same
+   * binning shape). Bounded collect: ≤ 2·nBins doubles.
+   */
+  def psiBaseModel(base: DataFrame, signalCol: String,
+                   nBins: Int = 10): (Seq[Double], Seq[Double]) = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val D = DoubleType
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val edgeRow = base.filter(col(signalCol).isNotNull)
+      .agg(percentile(col(signalCol).cast(D), array(ps.map(lit): _*)).as("__e"))
+      .head()
+    require(!edgeRow.isNullAt(0), "base corpus has no non-null signal values")
+    val edges = edgeRow.getSeq[Double](0).toIndexedSeq
+    val binExpr = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(signalCol).cast(D) > lit(e), 1).otherwise(0)
+    }
+    val countCols = (0 until nBins).map(b =>
+      sum(when(binExpr === b, 1L).otherwise(0L)).as(s"__n$b"))
+    val row = base.filter(col(signalCol).isNotNull)
+      .agg(countCols.head, countCols.tail: _*).head()
+    val counts = (0 until nBins).map(b => row.getLong(b).toDouble)
+    val total = counts.sum
+    val shares = counts.map(n => (n + 0.5) / (total + 0.5 * nBins))
+    (edges, shares)
+  }
+
+  /**
    * Per-stratum top-k most frequent word n-grams — the dataset-card
    * table ("most common phrases per language") and the raw material for
    * boilerplate mining: an n-gram that tops this list across many

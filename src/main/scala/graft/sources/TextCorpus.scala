@@ -192,4 +192,63 @@ object TextCorpus {
       java.nio.file.Paths.get(path, "_release.json"), prov)
     manifest
   }
+
+  /**
+   * Verify a release against its manifest — the CONSUMER half of
+   * [[writeRelease]]'s contract: re-count and re-hash every shard on
+   * disk, full-outer join against `_manifest`, and report per shard
+   * whether rows, bytes and content hash still match. Detects
+   * truncated copies, bit rot, post-release edits, and shards
+   * added/removed outside the release process (`status` = `missing` /
+   * `unexpected` — those survive the outer join with one side NULL).
+   *
+   * Output: (path, status, rows_ok, bytes_ok, hash_ok) with status
+   * `ok` | `mismatch` | `missing` (in manifest, not on disk) |
+   * `unexpected` (on disk, not in manifest);
+   * `.filter($"status" =!= "ok")` empty ⇒ the release is intact.
+   *
+   * 100 TB design: one binaryFile scan (hashing streams shard bytes
+   * through executors — never the driver) + one text-count scan,
+   * joined against the tiny manifest; verification parallelism is the
+   * shard count, exactly like the write.
+   */
+  def verifyRelease(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val baseAbs = new java.io.File(path).getAbsolutePath.stripSuffix("/")
+    def rel(c: org.apache.spark.sql.Column) =
+      regexp_replace(
+        regexp_replace(c, "^file:/+", "/"),
+        java.util.regex.Pattern.quote(baseAbs) + "/?", "")
+    val manifest = spark.read
+      .schema("path STRING, n_rows BIGINT, n_bytes BIGINT, content_md5 STRING")
+      .json(s"$path/_manifest")
+      .select(col("path"), col("n_rows").as("__mr"),
+        col("n_bytes").as("__mb"), col("content_md5").as("__mh"))
+    // ignoreMissingFiles: a shard deleted between listing and scan (or
+    // present in a stale session file-status cache) must surface as a
+    // `missing` VERDICT, not crash the verification mid-scan
+    val rowsPerFile = spark.read.format("text")
+      .option("ignoreMissingFiles", "true").load(path)
+      .select(rel(input_file_name()).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("__ar"))
+    val bytesPerFile = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("ignoreMissingFiles", "true").load(path)
+      .select(rel(col("path")).as("path"),
+        col("length").as("__ab"), md5(col("content")).as("__ah"))
+      // the manifest dir itself is not release payload
+      .filter(!col("path").startsWith("_manifest/"))
+    val actual = bytesPerFile.join(rowsPerFile, Seq("path"), "left")
+    manifest.join(actual, Seq("path"), "full_outer")
+      .select(col("path"),
+        when(col("__mr").isNull, lit("unexpected"))
+          .when(col("__ah").isNull, lit("missing"))
+          .when(col("__mr") === col("__ar") && col("__mb") === col("__ab") &&
+            col("__mh") === col("__ah"), lit("ok"))
+          .otherwise(lit("mismatch")).as("status"),
+        (col("__mr") <=> col("__ar")).as("rows_ok"),
+        (col("__mb") <=> col("__ab")).as("bytes_ok"),
+        (col("__mh") <=> col("__ah")).as("hash_ok"))
+  }
 }

@@ -543,6 +543,51 @@ object StreamingOps {
         col("n_docs"), col("avg_quality"), col("avg_tokens"))
   }
 
+  /**
+   * Windowed PSI drift monitor — the live-intake twin of
+   * [[graft.operators.TextStats.psiReport]]: the baseline (quantile
+   * edges + Laplace-smoothed base shares, frozen offline via
+   * [[graft.operators.TextStats.psiBaseModel]]) rides the plan as
+   * literals; each event-time window aggregates its per-bin candidate
+   * counts as nBins conditional sums inside ONE watermarked
+   * aggregation (a per-bin groupBy would need a second stateful
+   * aggregate for the window total), then the per-window PSI is
+   * row-local arithmetic over those counts. Alert on `psi` > 0.25 —
+   * the batch report's conventional line. Re-baselining = restart with
+   * a new frozen model, like every frozen-model stage here.
+   *
+   * Output per window: (window_start, window_end, n_docs, psi).
+   */
+  def streamingPsiByWindow(docs: DataFrame, tsCol: String, signalCol: String,
+                           edges: Seq[Double], baseShares: Seq[Double],
+                           window: String, watermark: String): DataFrame = {
+    require(edges.nonEmpty && baseShares.size == edges.size + 1,
+      "baseShares must have edges.size + 1 entries (one per bin)")
+    val nBins = baseShares.size
+    val D = org.apache.spark.sql.types.DoubleType
+    val binExpr = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(signalCol).cast(D) > lit(e), 1).otherwise(0)
+    }
+    val countCols = (0 until nBins).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"__n$b"))
+    val agged = docs
+      .filter(col(signalCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), binExpr.as("__bin"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(countCols.head, countCols.tail: _*)
+    val total = (0 until nBins).map(b => col(s"__n$b")).reduce(_ + _)
+    val psi = (0 until nBins).map { b =>
+      val pc = (col(s"__n$b").cast(D) + lit(0.5)) /
+        (col("__t").cast(D) + lit(0.5) * nBins)
+      (pc - lit(baseShares(b))) * log(pc / lit(baseShares(b)))
+    }.reduce(_ + _)
+    agged.withColumn("__t", total)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("__t").as("n_docs"), round(psi, 6).as("psi"))
+  }
+
   /** [[graft.operators.TextStats.applyBpe]] on a stream: the merge
     * chain is row-local (a codegen'd literal replace chain), so the
     * batch operator IS streaming-safe — this wrapper exists for

@@ -661,6 +661,40 @@ class StreamingOpsSpec extends AnyFunSuite {
       "the planted orthography must be recovered even on 2-word docs")
   }
 
+  test("streamingPsiByWindow: frozen baseline, per-window psi matches the hand formula") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 10).map(v => (v.toLong, v.toDouble)).toDF("id", "sig")
+    val (edges, shares) = graft.operators.TextStats.psiBaseModel(base, "sig", nBins = 2)
+    assert(edges == Seq(5.5) && shares == Seq(0.5, 0.5))
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // window 1: the base distribution (psi 0); window 2: drifted high
+    val rows = (1 to 10).map(v => (ts(0), v.toDouble)) ++
+      Seq(8.0, 9.0, 10.0).map(v => (ts(10), v))
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val out = StreamingOps.streamingPsiByWindow(
+      mem.toDF().toDF("ts", "sig"), "ts", "sig", edges, shares,
+      window = "10 minutes", watermark = "0 seconds")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_psi")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    // advance the watermark past both windows so they close and emit
+    mem.addData((ts(59), 1.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT window_start, n_docs, psi FROM stream_psi")
+      .collect().map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    q.stop()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("2024-01-01 00:00:00.0") == ((10L, 0.0)),
+      "base-distribution window must show zero drift")
+    val expected = r6((0.125 - 0.5) * math.log(0.125 / 0.5) +
+      (0.875 - 0.5) * math.log(0.875 / 0.5))
+    assert(got("2024-01-01 00:10:00.0") == ((3L, expected)),
+      "drifted window must match the hand-computed psi")
+  }
+
   test("streaming line-wise correction equals the batch filterLines row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -141,4 +141,41 @@ class TextCorpusSpec extends AnyFunSuite {
     val man1 = man.map { case (k, (_, _, h)) => k.split("/")(0) -> h }
     assert(man2 == man1, "shard content hashes must be reproducible across runs")
   }
+
+  test("verifyRelease: intact release all-ok; tampering, deletion and additions detected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_verify").toString
+    val df = (0L until 60L).map(i => (i, s"row $i", (i % 2).toInt))
+      .toDF("doc_id", "text", "shard")
+    TextCorpus.writeRelease(df, dir,
+      partitionCols = Seq("shard"), orderCols = Seq("doc_id"))
+    def statuses() = TextCorpus.verifyRelease(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val clean = statuses()
+    assert(clean.size == 2 && clean.values.forall(_ == "ok"),
+      s"fresh release must verify clean, got $clean")
+    // tamper: append a byte to one shard -> mismatch (bytes + hash, rows intact).
+    // Drop the Hadoop local-FS .crc sidecar first: it would reject the
+    // tampered bytes at read time (object stores have no sidecars)
+    val victim = clean.keys.head
+    val vf = java.nio.file.Paths.get(dir, victim)
+    java.nio.file.Files.deleteIfExists(
+      vf.getParent.resolve("." + vf.getFileName.toString + ".crc"))
+    java.nio.file.Files.write(vf, "x".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    val tampered = TextCorpus.verifyRelease(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(tampered(victim)._1 == "mismatch")
+    // the appended byte after the final newline is a new (partial) line,
+    // so rows, bytes and hash ALL fail
+    assert(!tampered(victim)._2 && !tampered(victim)._3 && !tampered(victim)._4)
+    // an unexpected extra file surfaces; a deleted shard reports missing
+    val extra = java.nio.file.Paths.get(dir, "rogue.json")
+    java.nio.file.Files.write(extra, "{\"doc_id\":999}\n".getBytes)
+    java.nio.file.Files.delete(vf)
+    val after = statuses()
+    assert(after("rogue.json") == "unexpected")
+    assert(after(victim) == "missing")
+  }
 }
