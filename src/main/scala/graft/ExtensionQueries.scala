@@ -1340,6 +1340,11 @@ object ExtensionQueries {
       det(graft.operators.CorpusClean.blocklistFilter(docs(s, dir), "text",
         Seq("spark window", "slow merge")))),
 
+    // join-skew pre-flight: hottest (lang, source) groups with shares
+    "q_skew_card" -> ((s, dir) =>
+      det(graft.operators.Diagnostics.keySkewCard(docs(s, dir),
+        Seq("lang", "source"), k = 10))),
+
     // PSI drift between the full corpus and its English slice over the
     // n_chars signal, base-quantile bins
     "q_text_psi" -> ((s, dir) => {
@@ -2700,6 +2705,19 @@ object ExtensionQueries {
          |WHERE NOT (contains(lower(text), 'spark window')
          |        OR contains(lower(text), 'slow merge'))
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    // hottest key groups: count + share + deterministic rank
+    "q_skew_card" ->
+      s"""WITH c AS (SELECT lang, source, count(*) AS n_rows FROM documents
+         |  GROUP BY lang, source),
+         |t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM c),
+         |r AS (SELECT lang, source, CAST(n_rows AS BIGINT) AS n_rows,
+         |    round(n_rows / t.total, 6) AS share,
+         |    CAST(row_number() OVER (ORDER BY n_rows DESC,
+         |      lang NULLS FIRST, source NULLS FIRST) AS BIGINT) AS rank
+         |  FROM c CROSS JOIN t)
+         |SELECT lang, source, n_rows, share, rank FROM r WHERE rank <= 10
+         |ORDER BY lang $N1, source $N1, n_rows $N1, share $N1, rank $N1""".stripMargin,
+
     // exact base quantiles (quantile_cont = Spark percentile), CASE-sum
     // binning, Laplace-smoothed shares — all-double arithmetic
     "q_text_psi" -> {

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * Pre-flight data diagnostics — the questions an engineer asks BEFORE
+ * launching a corpus-scale job, answered as cheap cards.
+ */
+object Diagnostics {
+
+  /**
+   * Join/groupBy skew pre-flight: the top-k hottest key groups with
+   * their row share — "will this shuffle key melt one executor". A key
+   * holding >1% of a 100 TB corpus means one task gets >1 TB; this
+   * card is how you decide between a plain join, a broadcast, salting,
+   * or the [[Blocking]]-style caps BEFORE paying for the failed run.
+   * NULL keys rank like any other group (an all-NULL join key is the
+   * most common real-world skew bomb).
+   *
+   * 100 TB design: one partially-aggregated groupBy on the key (the
+   * same shuffle the real job would do, but collapsed map-side to
+   * distinct-key volume), a 1-row total frame broadcast back, and the
+   * top-k rank trims map-side via WindowGroupLimit. Output:
+   * (keyCols..., n_rows, share, rank), rank 1..k by (count desc,
+   * keys asc).
+   */
+  def keySkewCard(df: DataFrame, keyCols: Seq[String], k: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    val keys = keyCols.map(col)
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__total"))
+    val w = Window.orderBy(col("n_rows").desc +:
+      keyCols.map(c => col(c).asc_nulls_first): _*)
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n_rows").cast(DoubleType) / col("__total"), 6))
+      // filter BEFORE the Long cast: InferWindowGroupLimit matches the
+      // raw rank filter, and the map-side trim is the whole point here
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast(LongType))
+      .select(keys ++ Seq(col("n_rows"), col("share"), col("rank")): _*)
+  }
+}
