@@ -287,6 +287,41 @@ object ExtensionQueries {
         budget = 512, shards = 4))
     }),
 
+    // the SAME pretrain pipeline, built from YAML by CurationCompiler —
+    // pinned hash-identical to q_pipeline_pretrain (same oracle text):
+    // the config surface can never drift from the programmatic one
+    "q_pipeline_config" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val yaml =
+        """curation:
+          |  id_col: doc_id
+          |  text_col: text
+          |  stages:
+          |    - op: quality_filter
+          |      langs: [en]
+          |      min_quality: 3
+          |      max_top_bigram_ratio: 0.06
+          |    - op: dedup_collapse
+          |      ngram: 5
+          |      threshold: 0.5
+          |      df_cap: 100
+          |    - op: decontaminate
+          |      eval: holdout
+          |      ngram: 13
+          |    - op: split
+          |      weights: {train: 0.8, valid: 0.1, test: 0.1}
+          |      keep: train
+          |    - op: token_budget
+          |      strata: [lang]
+          |      budget_tokens: 2000
+          |    - op: pack
+          |      budget: 512
+          |      shards: 4
+          |""".stripMargin
+      det(graft.plans.CurationCompiler.compileYaml(yaml, d,
+        Map("holdout" -> d.filter(pmod(col("doc_id"), lit(97)) === 0))))
+    }),
+
     "q_pack_sequences" -> ((s, dir) =>
       det(graft.operators.TextStats.packSequences(docs(s, dir), "doc_id", "text",
         budget = 512, shards = 8))),
@@ -1650,7 +1685,7 @@ object ExtensionQueries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
        |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q_text_tokens" ->
       s"""SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens,
          |len(regexp_extract_all(text, '$BPE')) AS n_bpe_tokens
@@ -3408,4 +3443,9 @@ object ExtensionQueries {
          |ORDER BY clip_id $N1, format $N1, sample_rate $N1, channels $N1,
          |  bits_per_sample $N1, duration_ms $N1""".stripMargin,
   )
+
+  // the config-compiled pipeline must be bit-identical to the
+  // hand-composed one: SAME oracle text, two construction paths
+  val oracleSql: Map[String, String] = oracleSqlBase
+    .updated("q_pipeline_config", oracleSqlBase("q_pipeline_pretrain"))
 }

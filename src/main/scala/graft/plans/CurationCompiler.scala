@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.config._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Compile a [[graft.config.CurationConfig]] into ONE composed plan
+ * over the extension operators — the [[MigrationCompiler]] discipline
+ * for the LLM-curation surface: the config IS the logical plan, every
+ * stage a declarative rewrite of the running frame, Catalyst sees the
+ * whole chain. The compiled pipeline is pinned hash-identical to the
+ * hand-composed `q_pipeline_pretrain` by the `q_pipeline_config`
+ * graded query (same oracle text — one oracle, two construction
+ * paths), so the config path can never drift from the programmatic
+ * one.
+ *
+ * Frame contract: every stage maps a documents frame (id, text, + any
+ * extra columns, all preserved) to a documents frame — except the
+ * terminal `pack` stage, which returns packed-sequence addresses
+ * (enforced last at config construction).
+ *
+ * 100 TB notes: [[DedupCollapseStage]] mines pairs from the PIPELINE
+ * INPUT (see its scaladoc); quality filtering applies as a semi-join
+ * against the signal frame so the corpus columns never funnel through
+ * the signal projection; `eval` frames resolve from a caller-supplied
+ * map exactly like [[MigrationCompiler]]'s lookup resolution.
+ */
+object CurationCompiler {
+
+  def compile(cfg: CurationConfig, docs: DataFrame,
+              resolve: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val id = cfg.idCol
+    val text = cfg.textCol
+    cfg.stages.foldLeft(docs) { (cur, stage) =>
+      stage match {
+        case FilterLinesStage(minChars, upper, digit, removed) =>
+          graft.operators.CorpusClean.filterLines(cur, text, minChars,
+              upper, digit, maxRemovedShare = removed)
+            .drop("n_lines", "n_lines_kept", "removed_char_share")
+        case StripMarkupStage() =>
+          cur.withColumn(text,
+            graft.functions.TextFunctions.stripMarkup(col(text)))
+        case QualityFilterStage(langs, minQ, maxBigram) =>
+          val kept = graft.operators.CorpusClean.clean(cur, id, text,
+            langs, minQ, maxBigram)
+          cur.join(kept.select(col("doc_id").as(id)), Seq(id), "left_semi")
+        case DedupExactStage() =>
+          graft.operators.Dedup.exactDedup(cur, text, id, byFingerprint = true)
+        case DedupCollapseStage(n, threshold, dfCap) =>
+          val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, id, text,
+            n, threshold, dfCap)
+          graft.operators.Dedup.collapseNearDups(cur, id, pairs,
+            "doc_a", "doc_b")
+        case DecontaminateStage(evalName, n) =>
+          val eval = resolve.getOrElse(evalName, throw new IllegalArgumentException(
+            s"decontaminate stage references unresolved eval frame '$evalName'"))
+          graft.operators.Dedup.decontaminate(cur, eval, id, text, n)
+        case SplitStage(weights, keep) =>
+          val split = graft.operators.Sampling.assignSplit(cur, id, weights)
+          keep.fold(split)(s => split.filter(col("split") === s).drop("split"))
+        case TokenBudgetStage(strata, budget) =>
+          graft.operators.Sampling.tokenBudgetSample(cur, strata, id,
+            graft.functions.TextFunctions.tokenCount(col(text)), budget)
+        case PackStage(budget, shards) =>
+          graft.operators.TextStats.packSequences(cur, id, text, budget, shards)
+      }
+    }
+  }
+
+  /** YAML string → compiled plan, in one call. */
+  def compileYaml(yaml: String, docs: DataFrame,
+                  resolve: Map[String, DataFrame] = Map.empty): DataFrame =
+    compile(CurationConfig.fromYaml(yaml), docs, resolve)
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.config._
+import graft.plans.CurationCompiler
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationCompilerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fromYaml parses stages in order with operator defaults") {
+    val cfg = CurationConfig.fromYaml(
+      """curation:
+        |  id_col: id
+        |  text_col: body
+        |  stages:
+        |    - op: filter_lines
+        |    - op: quality_filter
+        |      langs: [en, de]
+        |    - op: dedup_collapse
+        |      threshold: 0.7
+        |    - op: split
+        |      weights: {train: 0.9, test: 0.1}
+        |""".stripMargin)
+    assert(cfg.idCol == "id" && cfg.textCol == "body")
+    assert(cfg.stages == Seq(
+      FilterLinesStage(5, 0.6, 0.5, 0.5),
+      QualityFilterStage(Seq("en", "de"), 3, 0.06),
+      DedupCollapseStage(5, 0.7, 100),
+      SplitStage(Seq("train" -> 0.9, "test" -> 0.1), None)))
+  }
+
+  test("config validation: unknown op, pack not last, unresolved eval") {
+    def cfg(stages: String) = CurationConfig.fromYaml(
+      s"curation:\n  stages:\n$stages")
+    intercept[IllegalArgumentException](cfg("    - op: frobnicate\n"))
+    intercept[IllegalArgumentException](
+      cfg("    - op: pack\n    - op: dedup_exact\n"))
+    val decon = cfg("    - op: decontaminate\n      eval: missing_frame\n")
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      CurationCompiler.compile(decon, docs).collect())
+  }
+
+  test("stage chaining: line correction feeds exact dedup in one plan") {
+    val docs = Seq(
+      (1L, "real prose line here\nBUY NOW CLICK HERE"),
+      (2L, "real prose line here"), // = doc 1 after correction
+      (3L, "different content entirely")
+    ).toDF("doc_id", "text")
+    val out = CurationCompiler.compileYaml(
+      """curation:
+        |  stages:
+        |    - op: filter_lines
+        |    - op: dedup_exact
+        |""".stripMargin, docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L),
+      "docs 1 and 2 become identical after line correction; first id survives")
+  }
+
+  test("compiled YAML pipeline is row-identical to the hand-composed pretrain pipeline") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val yaml =
+      """curation:
+        |  stages:
+        |    - op: quality_filter
+        |      langs: [en]
+        |    - op: dedup_collapse
+        |    - op: decontaminate
+        |      eval: holdout
+        |    - op: split
+        |      weights: {train: 0.8, valid: 0.1, test: 0.1}
+        |      keep: train
+        |    - op: token_budget
+        |      strata: [lang]
+        |      budget_tokens: 2000
+        |    - op: pack
+        |      budget: 512
+        |      shards: 4
+        |""".stripMargin
+    val holdout = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val fromConfig = CurationCompiler.compileYaml(yaml, d,
+      Map("holdout" -> holdout)).collect().map(_.toString).sorted
+    // the q_pipeline_pretrain composition, hand-built
+    val cleaned = graft.operators.CorpusClean.clean(d, "doc_id", "text",
+      Seq("en"), 3, 0.06)
+    val cleanedDocs = d.join(cleaned.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      n = 5, threshold = 0.5, dfCap = 100)
+    val surv = graft.operators.Dedup.collapseNearDups(cleanedDocs, "doc_id",
+      pairs, "doc_a", "doc_b")
+    val decon = graft.operators.Dedup.decontaminate(surv, holdout,
+      "doc_id", "text", n = 13)
+    val train = graft.operators.Sampling.assignSplit(decon, "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .filter(col("split") === "train").drop("split")
+    val sampled = graft.operators.Sampling.tokenBudgetSample(train,
+      Seq("lang"), "doc_id",
+      graft.functions.TextFunctions.tokenCount(col("text")), budget = 2000L)
+    val byHand = graft.operators.TextStats.packSequences(sampled, "doc_id",
+      "text", budget = 512, shards = 4).collect().map(_.toString).sorted
+    assert(fromConfig.sameElements(byHand),
+      "the config path must reproduce the programmatic pipeline exactly")
+  }
+}
