@@ -51,6 +51,13 @@ final case class SplitStage(weights: Seq[(String, Double)],
   * token counts. */
 final case class TokenBudgetStage(strata: Seq[String],
                                   budgetTokens: Long) extends CurationStage
+/** [[graft.operators.CorpusClean.blocklistFilter]]. */
+final case class BlocklistStage(phrases: Seq[String]) extends CurationStage
+/** [[graft.operators.CorpusClean.removeStopwords]]. */
+final case class RemoveStopwordsStage(stopwords: Option[Seq[String]]) extends CurationStage
+/** Drop docs whose [[graft.functions.TextFunctions.mojibakeHits]] per
+  * character exceed the threshold (encoding-damage reject pile). */
+final case class MojibakeFilterStage(maxHitsPerChar: Double) extends CurationStage
 /** [[graft.operators.TextStats.packSequences]] — TERMINAL (changes the
   * schema to packed-sequence addresses), must be the last stage. */
 final case class PackStage(budget: Int, shards: Int) extends CurationStage
@@ -134,6 +141,16 @@ object CurationConfig {
         m.get("budget_tokens").map(_.toString.toLong).getOrElse(
           throw new IllegalArgumentException(
             "token_budget stage needs budget_tokens")))
+      case "blocklist" => BlocklistStage(
+        strSeq(m, "phrases", Nil) match {
+          case Nil => throw new IllegalArgumentException(
+            "blocklist stage needs a phrases list")
+          case ps => ps
+        })
+      case "remove_stopwords" => RemoveStopwordsStage(
+        m.get("stopwords").map(_ => strSeq(m, "stopwords", Nil)))
+      case "mojibake_filter" => MojibakeFilterStage(
+        dbl(m, "max_hits_per_char", 0.001))
       case "pack" => PackStage(int(m, "budget", 512), int(m, "shards", 0))
       case other => throw new IllegalArgumentException(s"unknown curation op: '$other'")
     }

@@ -62,6 +62,16 @@ object CurationCompiler {
         case TokenBudgetStage(strata, budget) =>
           graft.operators.Sampling.tokenBudgetSample(cur, strata, id,
             graft.functions.TextFunctions.tokenCount(col(text)), budget)
+        case BlocklistStage(phrases) =>
+          graft.operators.CorpusClean.blocklistFilter(cur, text, phrases)
+        case RemoveStopwordsStage(words) =>
+          words.fold(graft.operators.CorpusClean.removeStopwords(cur, text))(
+            ws => graft.operators.CorpusClean.removeStopwords(cur, text, ws))
+        case MojibakeFilterStage(maxPerChar) =>
+          cur.filter(
+            graft.functions.TextFunctions.mojibakeHits(col(text))
+              .cast(org.apache.spark.sql.types.DoubleType) /
+              length(col(text)) <= maxPerChar)
         case PackStage(budget, shards) =>
           graft.operators.TextStats.packSequences(cur, id, text, budget, shards)
       }

@@ -43,6 +43,29 @@ class CurationCompilerSpec extends AnyFunSuite {
       CurationCompiler.compile(decon, docs).collect())
   }
 
+  test("blocklist, stopword and mojibake stages compile and filter correctly") {
+    val docs = Seq(
+      (1L, "the winner gets a free prize today"),
+      (2L, "a normal document about the weather"),
+      (3L, "damaged cafÃ© donâ€™t text")
+    ).toDF("doc_id", "text")
+    val out = CurationCompiler.compileYaml(
+      """curation:
+        |  stages:
+        |    - op: mojibake_filter
+        |      max_hits_per_char: 0.01
+        |    - op: blocklist
+        |      phrases: [free prize]
+        |    - op: remove_stopwords
+        |      stopwords: [the, a]
+        |""".stripMargin, docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(2L),
+      "mojibake doc and blocklisted doc must both drop")
+    assert(out(2L) == "normal document about weather",
+      "stopwords removed from the surviving doc")
+  }
+
   test("stage chaining: line correction feeds exact dedup in one plan") {
     val docs = Seq(
       (1L, "real prose line here\nBUY NOW CLICK HERE"),
