@@ -688,6 +688,12 @@ object ExtensionQueries {
       det(Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
         n = 5, threshold = 0.8))),
 
+    // containment collapse: keep containers, mutual keeps min id
+    "q_dedup_drop_contained" -> ((s, dir) =>
+      det(Dedup.dropContained(docs(s, dir), "doc_id", "text",
+          n = 5, threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("source")))),
+
     // version diff: v2 drops every 97th doc, edits every 31st, adds 20
     "q_corpus_diff" -> ((s, dir) => {
       val old = docs(s, dir).select(col("doc_id"), col("text"))
@@ -2094,6 +2100,28 @@ object ExtensionQueries {
          |  WHERE cb > 0 AND i / cb >= 0.8)
          |SELECT doc_contained, doc_container, containment FROM dirs
          |ORDER BY doc_contained $N1, doc_container $N1, containment $N1""".stripMargin,
+
+    // containment decision rule over the same candidate CTE: drop every
+    // contained doc unless mutually contained with a LARGER id
+    "q_dedup_drop_contained" ->
+      s"""WITH $jaccardCte,
+         |w AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) AS i,
+         |    len(x.s) AS ca, len(y.s) AS cb
+         |  FROM cand JOIN sh x ON x.doc_id = doc_a
+         |            JOIN sh y ON y.doc_id = doc_b),
+         |dirs AS (
+         |  SELECT doc_a AS doc_contained, doc_b AS doc_container FROM w
+         |  WHERE ca > 0 AND i / ca >= 0.8
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM w WHERE cb > 0 AND i / cb >= 0.8),
+         |drops AS (SELECT DISTINCT d.doc_contained AS id FROM dirs d
+         |  LEFT JOIN dirs r ON r.doc_contained = d.doc_container
+         |                  AND r.doc_container = d.doc_contained
+         |  WHERE r.doc_contained IS NULL OR d.doc_contained > d.doc_container)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM drops)
+         |ORDER BY doc_id $N1, lang $N1, source $N1""".stripMargin,
 
     // full-outer fingerprint compare; null-safe equality mirrors <=>
     "q_corpus_diff" ->

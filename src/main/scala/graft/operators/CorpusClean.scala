@@ -166,6 +166,35 @@ object CorpusClean {
   }
 
   /**
+   * Row-PRESERVING quality filter — [[clean]]'s signal conjunction
+   * (langid ∈ langs, quality ≥ minQuality, top-bigram ≤ max) applied
+   * as a filter that keeps the frame's own columns, WITHOUT the exact
+   * dedup [[clean]] bundles. Entirely stateless (staged projections +
+   * one filter, zero shuffle), which is what makes it legal inside a
+   * streaming micro-batch — the quality half of
+   * [[graft.plans.CurationCompiler.compileStreaming]]'s
+   * `quality_filter` stage. Decisions equal [[clean]]'s on a deduped
+   * frame (spec-pinned).
+   */
+  def qualityFilterKeep(docs: DataFrame, textCol: String,
+                        langs: Seq[String] = Seq("en"),
+                        minQuality: Int = 3,
+                        maxTopBigramRatio: Double = 0.06): DataFrame = {
+    val base = docs.columns.map(col).toIndexedSeq
+    val (staged, quality0) = TextFunctions.stagedQuality(
+      TextFunctions.withDetectedLanguage(docs, col(textCol), "__qf_lang"),
+      col(textCol))
+    val quality = quality0.toMap
+    staged
+      .withColumn("__qf_p",
+        graft.functions.BigramProfile.bigramProfile(col(textCol)))
+      .filter(col("__qf_lang").isin(langs: _*) &&
+        quality("quality_score") >= minQuality &&
+        col("__qf_p.top_bigram_ratio") <= maxTopBigramRatio)
+      .select(base: _*)
+  }
+
+  /**
    * The STATELESS post-dedup stage — langid + quality + repetition
    * signals and the keep filter — shared verbatim by the batch pipeline
    * above and its streaming twin

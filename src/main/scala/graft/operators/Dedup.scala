@@ -294,6 +294,36 @@ object Dedup {
   }
 
   /**
+   * Containment-driven COLLAPSE — the decision rule on top of
+   * [[containmentPairs]]: drop every document whose shingles are
+   * (≥ threshold) contained in another document, keeping the CONTAINER
+   * (the copy with more content — the opposite of the min-id
+   * convention, deliberately: when a press release is quoted inside an
+   * article, the article is the keeper). Mutual containment
+   * (near-identical docs) keeps the smaller id. Non-iterative by
+   * design: X dropped for ⊑ Y stays dropped even if Y is itself
+   * dropped for ⊑ Z — shingle containment chains mean X's content is
+   * (approximately) inside Z too, and a single pass over the pair
+   * table beats a fixpoint loop at corpus scale.
+   *
+   * 100 TB design: [[containmentPairs]]' cost plus one distinct over
+   * the drop ids and one anti-join — nothing beyond the pair mining.
+   */
+  def dropContained(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, threshold: Double = 0.9,
+                    dfCap: Int = 100): DataFrame = {
+    val dirs = containmentPairs(docs, idCol, textCol, n, threshold, dfCap)
+      .select(col("doc_contained").as("__x"), col("doc_container").as("__y"))
+    val reverse = dirs.select(col("__x").as("__ry"), col("__y").as("__rx"))
+    val drops = dirs
+      .join(reverse.withColumn("__mutual", lit(1)),
+        col("__x") === col("__rx") && col("__y") === col("__ry"), "left")
+      .filter(col("__mutual").isNull || col("__x") > col("__y"))
+      .select(col("__x").as(idCol)).distinct()
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Fuzzy dedup, sketch flavor: MinHash signatures + LSH banding.
    * numPerm minhashes (xxhash64 seeded by permutation index), split into
    * `bands` bands of numPerm/bands rows; docs sharing any band signature

@@ -82,4 +82,73 @@ object CurationCompiler {
   def compileYaml(yaml: String, docs: DataFrame,
                   resolve: Map[String, DataFrame] = Map.empty): DataFrame =
     compile(CurationConfig.fromYaml(yaml), docs, resolve)
+
+  /**
+   * Compile the SAME curation config against a STREAMING frame — the
+   * [[graft.streaming.StreamingOps.compileStream]] discipline for the
+   * curation surface. Stages compile per their streaming legality:
+   *
+   *  - row-local stages (filter_lines, strip_markup, blocklist,
+   *    remove_stopwords, mojibake_filter, split) apply unchanged —
+   *    stateless projections/filters are micro-batch-safe as-is;
+   *  - `quality_filter` becomes watermark-bounded exact dedup
+   *    ([[graft.streaming.StreamingOps.streamingExactDedup]] — the
+   *    batch stage's dedup half needs state) followed by the
+   *    row-preserving stateless signal filter
+   *    ([[graft.operators.CorpusClean.qualityFilterKeep]]);
+   *  - `dedup_exact` becomes the watermark-bounded streaming dedup;
+   *  - `decontaminate` is a stream-static broadcast semi-join —
+   *    streaming-safe as-is;
+   *  - `dedup_collapse`, `token_budget` and `pack` are REJECTED with
+   *    the reason: corpus-global pair mining, per-stratum cumulative
+   *    budgets and packed-sequence assembly all need the whole corpus,
+   *    not a micro-batch — run them in the batch compaction pass.
+   */
+  def compileStreaming(cfg: CurationConfig, stream: DataFrame,
+                       tsCol: String, watermark: String,
+                       resolve: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val id = cfg.idCol
+    val text = cfg.textCol
+    cfg.stages.foldLeft(stream) { (cur, stage) =>
+      stage match {
+        case FilterLinesStage(minChars, upper, digit, removed) =>
+          graft.operators.CorpusClean.filterLines(cur, text, minChars,
+              upper, digit, maxRemovedShare = removed)
+            .drop("n_lines", "n_lines_kept", "removed_char_share")
+        case StripMarkupStage() =>
+          cur.withColumn(text,
+            graft.functions.TextFunctions.stripMarkup(col(text)))
+        case BlocklistStage(phrases) =>
+          graft.operators.CorpusClean.blocklistFilter(cur, text, phrases)
+        case RemoveStopwordsStage(words) =>
+          words.fold(graft.operators.CorpusClean.removeStopwords(cur, text))(
+            ws => graft.operators.CorpusClean.removeStopwords(cur, text, ws))
+        case MojibakeFilterStage(maxPerChar) =>
+          cur.filter(
+            graft.functions.TextFunctions.mojibakeHits(col(text))
+              .cast(org.apache.spark.sql.types.DoubleType) /
+              length(col(text)) <= maxPerChar)
+        case QualityFilterStage(langs, minQ, maxBigram) =>
+          graft.operators.CorpusClean.qualityFilterKeep(
+            graft.streaming.StreamingOps.streamingExactDedup(cur, text,
+              tsCol, watermark, byFingerprint = true),
+            text, langs, minQ, maxBigram)
+        case DedupExactStage() =>
+          graft.streaming.StreamingOps.streamingExactDedup(cur, text,
+            tsCol, watermark, byFingerprint = true)
+        case DecontaminateStage(evalName, n) =>
+          val eval = resolve.getOrElse(evalName, throw new IllegalArgumentException(
+            s"decontaminate stage references unresolved eval frame '$evalName'"))
+          graft.operators.Dedup.decontaminate(cur, eval, id, text, n)
+        case SplitStage(weights, keep) =>
+          val split = graft.operators.Sampling.assignSplit(cur, id, weights)
+          keep.fold(split)(s => split.filter(col("split") === s).drop("split"))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"stage $other needs the whole corpus (pair mining / cumulative " +
+              "budgets / sequence assembly) and cannot run on a micro-batch; " +
+              "run it in the batch compaction pass")
+      }
+    }
+  }
 }

@@ -83,6 +83,62 @@ class CurationCompilerSpec extends AnyFunSuite {
       "docs 1 and 2 become identical after line correction; first id survives")
   }
 
+  test("qualityFilterKeep preserves columns and matches clean's decisions on a deduped frame") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val deduped = graft.operators.Dedup.exactDedup(d, "text", "doc_id",
+      byFingerprint = true)
+    val viaKeep = graft.operators.CorpusClean.qualityFilterKeep(deduped, "text",
+      Seq("en"), 3, 0.06)
+    assert(viaKeep.columns.toSeq == d.columns.toSeq, "frame columns preserved")
+    val keepIds = viaKeep.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cleanIds = graft.operators.CorpusClean.clean(d, "doc_id", "text",
+        Seq("en"), 3, 0.06)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepIds == cleanIds, "same keep decisions as the bundled clean()")
+  }
+
+  test("compileStreaming: stateless stages equal batch row-for-row; corpus-global stages rejected") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val yaml =
+      """curation:
+        |  stages:
+        |    - op: filter_lines
+        |    - op: blocklist
+        |      phrases: [free prize]
+        |    - op: split
+        |      weights: {train: 0.8, test: 0.2}
+        |      keep: train
+        |""".stripMargin
+    val prose = "a perfectly reasonable paragraph of running text here"
+    val rows = (1L to 40L).map { i =>
+      val body = if (i % 7 == 0) s"$prose\nwin a free prize" else s"$prose $i"
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), i, body)
+    }
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val cfg = CurationConfig.fromYaml(yaml)
+    val out = CurationCompiler.compileStreaming(cfg,
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_curation")
+      .outputMode("append").start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM stream_curation")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    val want = CurationCompiler.compile(cfg,
+        rows.toDF("ts", "doc_id", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, "streaming curation must equal the batch compile")
+    // corpus-global stages are rejected with a reason
+    val packCfg = CurationConfig.fromYaml(
+      "curation:\n  stages:\n    - op: pack\n")
+    intercept[UnsupportedOperationException](
+      CurationCompiler.compileStreaming(packCfg,
+        mem.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes"))
+  }
+
   test("compiled YAML pipeline is row-identical to the hand-composed pretrain pipeline") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val yaml =

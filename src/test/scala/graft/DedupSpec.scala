@@ -830,6 +830,19 @@ class DedupSpec extends AnyFunSuite {
       "exact dups contain each other: both direction rows")
   }
 
+  test("dropContained keeps containers; mutual containment keeps the min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),                  // contained in 2 -> dropped
+      (2L, "x y a b c d e f z w"),          // the container -> kept
+      (3L, "p q r s t u"), (4L, "p q r s t u"), // mutual: keep min id 3
+      (5L, "totally unrelated text here now")   // untouched
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(docs, "doc_id", "text", n = 5, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 5L))
+  }
+
   test("dedupThresholdSweep: one mining pass prices every threshold; empty corpus zeros") {
     import spark.implicits._
     // d1=d2 (J=1.0); d3 extends d1 by one token (J=6/7~0.857);
