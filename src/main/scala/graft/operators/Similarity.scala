@@ -1627,7 +1627,9 @@ object Similarity extends Logging {
     when(size(vec) > 0,
       transform(sequence(lit(0), nWords - 1), w =>
         aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
-          val x = element_at(vec, (w * 32 + j + 1).cast(IntegerType))
+          // get() (0-based) returns NULL past the end under ANSI too,
+          // where element_at would throw on the tail word's absent dims
+          val x = get(vec, (w * 32 + j).cast(IntegerType))
           // 2^j is exact in double for j <= 31; NULL/absent tail -> 0
           acc + when(coalesce(x > 0, lit(false)),
             pow(lit(2.0), j).cast(LongType)).otherwise(lit(0L))
