@@ -60,6 +60,9 @@ object AudioHeaders {
     StructField("bits_per_sample", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
+  // byte readers mirror ImageHeaders' — le32 deliberately widened to
+  // Long here because RIFF chunk sizes are UNSIGNED u32 and must never
+  // truncate negative (the chunk-walk termination proof relies on it)
   private def u(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def le16(b: Array[Byte], i: Int): Int = u(b, i) | (u(b, i + 1) << 8)
   private def le32(b: Array[Byte], i: Int): Long =
@@ -92,26 +95,30 @@ object AudioHeaders {
     * (audioFormat, channels, sampleRate, …, bitsPerSample) little-
     * endian; `data`'s size + the fmt fields give the duration. */
   private def parseWav(b: Array[Byte]): InternalRow = {
-    val n = b.length
-    var i = 12
+    val n = b.length.toLong
+    // Long cursor + Long chunk sizes: le32 is unsigned [0, 2^32), so the
+    // step 8 + size + pad is always >= 8 and the walk provably
+    // terminates — a crafted size like 0xFFFFFFF8 must not truncate to
+    // a negative Int and stall the cursor (a one-row infinite loop
+    // would hang the whole executor task)
+    var i = 12L
     var rate = -1L
     var ch = -1
     var bits = -1
     var dataBytes = -1L
     while (i + 8 <= n && (rate < 0 || dataBytes < 0)) {
-      val size = le32(b, i + 4)
-      if (size < 0) return fmtOnly("wav")
-      if (tag(b, i, "fmt ")) {
+      val at = i.toInt // safe: i + 8 <= n <= Int.MaxValue
+      val size = le32(b, at + 4)
+      if (tag(b, at, "fmt ")) {
         if (i + 8 + 16 > n) return fmtOnly("wav")
-        ch = le16(b, i + 10)
-        rate = le32(b, i + 12)
-        bits = le16(b, i + 22)
-      } else if (tag(b, i, "data")) {
+        ch = le16(b, at + 10)
+        rate = le32(b, at + 12)
+        bits = le16(b, at + 22)
+      } else if (tag(b, at, "data")) {
         dataBytes = size
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
-      if (i < 0) return fmtOnly("wav") // overflow on a corrupt size
+      i += 8L + size + (size & 1L)
     }
     if (rate <= 0 || ch <= 0 || bits <= 0) return fmtOnly("wav")
     val durMs =

@@ -110,13 +110,23 @@ object ImageHeaders {
     row("gif", le16(b, 6), le16(b, 8))
   }
 
-  /** BMP: DIB width/height as little-endian i32 at offsets 18/22;
-    * height may be negative (top-down rows) — dimension is its
-    * magnitude. */
+  /** BMP: the DIB header SIZE at offset 14 selects the layout — the
+    * legacy 12-byte BITMAPCOREHEADER stores u16 dims at offsets 18/20,
+    * every later header (BITMAPINFOHEADER 40+) i32 dims at 18/22
+    * (height may be negative = top-down rows; dimension is its
+    * magnitude). Reading the i32 layout on a core-header file would
+    * return confident garbage (width||height bytes fused), so the
+    * size is validated first; unknown sizes degrade to format-only. */
   private def parseBmp(b: Array[Byte]): InternalRow = {
     if (b.length < 26) return fmtOnly("bmp")
-    val h = le32(b, 22)
-    row("bmp", le32(b, 18), if (h == Int.MinValue) -1 else math.abs(h))
+    le32(b, 14) match {
+      case 12 =>
+        row("bmp", le16(b, 18), le16(b, 20))
+      case dib if dib >= 40 =>
+        val h = le32(b, 22)
+        row("bmp", le32(b, 18), if (h == Int.MinValue) -1 else math.abs(h))
+      case _ => fmtOnly("bmp")
+    }
   }
 
   /** JPEG: walk the marker segment list from offset 2 until the first

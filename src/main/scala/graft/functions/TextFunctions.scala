@@ -334,7 +334,10 @@ object TextFunctions {
    * projection, zero shuffle; NULL text → NULL.
    */
   def mojibakeHits(text: Column): Column =
-    size(regexp_extract_all(text, lit(MojibakePattern), lit(0))).cast(LongType)
+    // explicit NULL guard: with ANSI off, legacy size(NULL) is -1 —
+    // the documented contract is NULL text -> NULL hits
+    when(text.isNotNull,
+      size(regexp_extract_all(text, lit(MojibakePattern), lit(0))).cast(LongType))
 
   /** The (pattern, replacement) chain behind [[stripMarkup]], in
     * application order: tags/comment delimiters become spaces, then the

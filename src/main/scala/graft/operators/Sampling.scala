@@ -58,7 +58,11 @@ object Sampling {
    */
   def exactNSample(df: DataFrame, keyCol: String, nRows: Int): DataFrame = {
     require(nRows >= 1, s"nRows must be >= 1, got $nRows")
-    df.orderBy(hashUniform(col(keyCol)), col(keyCol)).limit(nRows)
+    // NULL keys have no uniform (md5(NULL) = NULL) and engines disagree
+    // on NULL sort placement (Spark NULLS FIRST vs DuckDB NULLS LAST
+    // ascending) — they are EXCLUDED, not given free slots at the head
+    df.filter(col(keyCol).isNotNull)
+      .orderBy(hashUniform(col(keyCol)), col(keyCol)).limit(nRows)
   }
 
   /**

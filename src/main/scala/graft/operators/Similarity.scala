@@ -1669,18 +1669,28 @@ object Similarity extends Logging {
              codesCol: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rerank >= 0, "rerank must be >= 0 (0 = pure Hamming rank)")
+    // NULL/empty vectors encode to NULL/empty code arrays; left in, a
+    // zip_with against them null-pads, hamming goes NULL, and NULLS
+    // FIRST would rank the garbage row as EVERY query's top neighbor —
+    // exclude degenerate sides up front (the zero-norm-guard convention)
+    def nonDegenerate(bits: org.apache.spark.sql.Column) =
+      bits.isNotNull && size(bits) > 0
     val q = broadcast(queries.select(col(idCol).as("__qid"),
-      bqEncodeColumn(col(vecCol)).as("__qbits")))
-    val c = codesCol match {
+        bqEncodeColumn(col(vecCol)).as("__qbits"))
+      .filter(nonDegenerate(col("__qbits"))))
+    val c = (codesCol match {
       case Some(cc) => corpus.select(col(idCol).as("neighbor_id"),
         col(cc).as("__cbits"))
       case None => corpus.select(col(idCol).as("neighbor_id"),
         bqEncodeColumn(col(vecCol)).as("__cbits"))
-    }
+    }).filter(nonDegenerate(col("__cbits")))
     val wH = Window.partitionBy(col("__qid"))
       .orderBy(col("hamming").asc, col("neighbor_id"))
     val hammingRanked = q.join(c, col("__qid") =!= col("neighbor_id"))
       .withColumn("hamming", bqHamming(col("__qbits"), col("__cbits")))
+      // dimension-mismatched pairs (different-width code arrays) also
+      // null out; they must not outrank real neighbors either
+      .filter(col("hamming").isNotNull)
       .withColumn("rank", row_number().over(wH).cast(LongType))
     if (rerank == 0)
       hammingRanked.filter(col("rank") <= k)

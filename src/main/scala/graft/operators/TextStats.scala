@@ -195,10 +195,16 @@ object TextStats {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    // NULL-safe inputs: a NULL id's shard key is NULL (getInt would
+    // NPE in the group key) -> route to shard 0; NULL text's legacy
+    // tokenCount is -1, which as a packing `need` would GROW a bin's
+    // capacity and drive offsets negative -> clamp to 0 (a NULL doc
+    // occupies no tokens)
     val projected = docs.select(
       col(idCol).as("doc_id"),
-      shardKey.cast("int").as("shard"),
-      graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      coalesce(shardKey, lit(0)).cast("int").as("shard"),
+      greatest(lit(0L),
+        graft.functions.TextFunctions.tokenCount(col(textCol))).as("n_tokens"))
     val outSchema = StructType(Seq(
       StructField("doc_id", idType),
       StructField("shard", IntegerType, nullable = false),
@@ -210,7 +216,10 @@ object TextStats {
       .flatMapGroups { (shard: Int, it: Iterator[Row]) =>
         val ds = it.map(r => (r.get(0), r.getLong(2))).toArray
         def idCmp(a: Any, b: Any): Int =
-          if (integralId) java.lang.Long.compare(
+          if (a == null && b == null) 0
+          else if (a == null) -1 // NULL ids sort first, deterministically
+          else if (b == null) 1
+          else if (integralId) java.lang.Long.compare(
             a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
           else String.valueOf(a).compareTo(String.valueOf(b))
         // decreasing tokens, id ascending for determinism
@@ -1444,7 +1453,12 @@ object TextStats {
    * count of documents with at least one token, computed INSIDE that
    * frame, so building the plan launches zero eager jobs (an earlier
    * revision ran a driver-side `docs.count()` at plan-build time: one
-   * whole avoidable corpus scan). The only
+   * whole avoidable corpus scan). NOTE this N definition is a
+   * DELIBERATE semantic: empty/NULL-text docs can never match a query,
+   * so they are not part of the retrievable collection and do not
+   * inflate the IDF denominator (the earlier all-rows count gave
+   * marginally different scores on corpora with empty docs — the r12
+   * oracle pins the current definition). The only
    * corpus-scale shuffles are the (doc, token) aggregate itself and the
    * per-doc length reaggregation of it; the match stream after the
    * query-term join is bounded by the query terms' postings. The

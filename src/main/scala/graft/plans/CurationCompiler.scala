@@ -28,19 +28,51 @@ import org.apache.spark.sql.functions._
  */
 object CurationCompiler {
 
+  /** The ROW-LOCAL stage arms shared verbatim by [[compile]] and
+    * [[compileStreaming]] — one definition, so the "stream equals
+    * batch row-for-row" contract cannot drift arm by arm. Returns
+    * None for stages that are not row-local. */
+  private def rowLocalStage(cur: DataFrame, stage: CurationStage,
+                            id: String, text: String,
+                            resolve: Map[String, DataFrame]): Option[DataFrame] =
+    stage match {
+      case FilterLinesStage(minChars, upper, digit, removed) =>
+        Some(graft.operators.CorpusClean.filterLines(cur, text, minChars,
+            upper, digit, maxRemovedShare = removed)
+          .drop("n_lines", "n_lines_kept", "removed_char_share"))
+      case StripMarkupStage() =>
+        Some(cur.withColumn(text,
+          graft.functions.TextFunctions.stripMarkup(col(text))))
+      case BlocklistStage(phrases) =>
+        Some(graft.operators.CorpusClean.blocklistFilter(cur, text, phrases))
+      case RemoveStopwordsStage(words) =>
+        Some(words.fold(graft.operators.CorpusClean.removeStopwords(cur, text))(
+          ws => graft.operators.CorpusClean.removeStopwords(cur, text, ws)))
+      case MojibakeFilterStage(maxPerChar) =>
+        // NULL/empty text has no measurable damage ratio — KEEP the row
+        // (the filterLines NULL-passthrough convention; dropping here
+        // would silently contradict the stages that preserve NULL text)
+        val ratio = graft.functions.TextFunctions.mojibakeHits(col(text))
+          .cast(org.apache.spark.sql.types.DoubleType) / length(col(text))
+        Some(cur.filter(coalesce(ratio <= maxPerChar, lit(true))))
+      case DecontaminateStage(evalName, n) =>
+        val eval = resolve.getOrElse(evalName, throw new IllegalArgumentException(
+          s"decontaminate stage references unresolved eval frame '$evalName'"))
+        // static eval side: a stream-static broadcast semi-join, legal
+        // in both compilers
+        Some(graft.operators.Dedup.decontaminate(cur, eval, id, text, n))
+      case SplitStage(weights, keep) =>
+        val split = graft.operators.Sampling.assignSplit(cur, id, weights)
+        Some(keep.fold(split)(s => split.filter(col("split") === s).drop("split")))
+      case _ => None
+    }
+
   def compile(cfg: CurationConfig, docs: DataFrame,
               resolve: Map[String, DataFrame] = Map.empty): DataFrame = {
     val id = cfg.idCol
     val text = cfg.textCol
     cfg.stages.foldLeft(docs) { (cur, stage) =>
-      stage match {
-        case FilterLinesStage(minChars, upper, digit, removed) =>
-          graft.operators.CorpusClean.filterLines(cur, text, minChars,
-              upper, digit, maxRemovedShare = removed)
-            .drop("n_lines", "n_lines_kept", "removed_char_share")
-        case StripMarkupStage() =>
-          cur.withColumn(text,
-            graft.functions.TextFunctions.stripMarkup(col(text)))
+      rowLocalStage(cur, stage, id, text, resolve).getOrElse(stage match {
         case QualityFilterStage(langs, minQ, maxBigram) =>
           val kept = graft.operators.CorpusClean.clean(cur, id, text,
             langs, minQ, maxBigram)
@@ -52,29 +84,13 @@ object CurationCompiler {
             n, threshold, dfCap)
           graft.operators.Dedup.collapseNearDups(cur, id, pairs,
             "doc_a", "doc_b")
-        case DecontaminateStage(evalName, n) =>
-          val eval = resolve.getOrElse(evalName, throw new IllegalArgumentException(
-            s"decontaminate stage references unresolved eval frame '$evalName'"))
-          graft.operators.Dedup.decontaminate(cur, eval, id, text, n)
-        case SplitStage(weights, keep) =>
-          val split = graft.operators.Sampling.assignSplit(cur, id, weights)
-          keep.fold(split)(s => split.filter(col("split") === s).drop("split"))
         case TokenBudgetStage(strata, budget) =>
           graft.operators.Sampling.tokenBudgetSample(cur, strata, id,
             graft.functions.TextFunctions.tokenCount(col(text)), budget)
-        case BlocklistStage(phrases) =>
-          graft.operators.CorpusClean.blocklistFilter(cur, text, phrases)
-        case RemoveStopwordsStage(words) =>
-          words.fold(graft.operators.CorpusClean.removeStopwords(cur, text))(
-            ws => graft.operators.CorpusClean.removeStopwords(cur, text, ws))
-        case MojibakeFilterStage(maxPerChar) =>
-          cur.filter(
-            graft.functions.TextFunctions.mojibakeHits(col(text))
-              .cast(org.apache.spark.sql.types.DoubleType) /
-              length(col(text)) <= maxPerChar)
         case PackStage(budget, shards) =>
           graft.operators.TextStats.packSequences(cur, id, text, budget, shards)
-      }
+        case other => throw new IllegalStateException(s"unhandled stage $other")
+      })
     }
   }
 
@@ -89,16 +105,17 @@ object CurationCompiler {
    * curation surface. Stages compile per their streaming legality:
    *
    *  - row-local stages (filter_lines, strip_markup, blocklist,
-   *    remove_stopwords, mojibake_filter, split) apply unchanged —
-   *    stateless projections/filters are micro-batch-safe as-is;
+   *    remove_stopwords, mojibake_filter, split, stream-static
+   *    decontaminate) compile through the SHARED [[rowLocalStage]]
+   *    arms — stateless projections/filters are micro-batch-safe
+   *    as-is, and sharing the definition keeps stream and batch
+   *    decisions identical by construction;
    *  - `quality_filter` becomes watermark-bounded exact dedup
    *    ([[graft.streaming.StreamingOps.streamingExactDedup]] — the
    *    batch stage's dedup half needs state) followed by the
    *    row-preserving stateless signal filter
    *    ([[graft.operators.CorpusClean.qualityFilterKeep]]);
    *  - `dedup_exact` becomes the watermark-bounded streaming dedup;
-   *  - `decontaminate` is a stream-static broadcast semi-join —
-   *    streaming-safe as-is;
    *  - `dedup_collapse`, `token_budget` and `pack` are REJECTED with
    *    the reason: corpus-global pair mining, per-stratum cumulative
    *    budgets and packed-sequence assembly all need the whole corpus,
@@ -110,24 +127,7 @@ object CurationCompiler {
     val id = cfg.idCol
     val text = cfg.textCol
     cfg.stages.foldLeft(stream) { (cur, stage) =>
-      stage match {
-        case FilterLinesStage(minChars, upper, digit, removed) =>
-          graft.operators.CorpusClean.filterLines(cur, text, minChars,
-              upper, digit, maxRemovedShare = removed)
-            .drop("n_lines", "n_lines_kept", "removed_char_share")
-        case StripMarkupStage() =>
-          cur.withColumn(text,
-            graft.functions.TextFunctions.stripMarkup(col(text)))
-        case BlocklistStage(phrases) =>
-          graft.operators.CorpusClean.blocklistFilter(cur, text, phrases)
-        case RemoveStopwordsStage(words) =>
-          words.fold(graft.operators.CorpusClean.removeStopwords(cur, text))(
-            ws => graft.operators.CorpusClean.removeStopwords(cur, text, ws))
-        case MojibakeFilterStage(maxPerChar) =>
-          cur.filter(
-            graft.functions.TextFunctions.mojibakeHits(col(text))
-              .cast(org.apache.spark.sql.types.DoubleType) /
-              length(col(text)) <= maxPerChar)
+      rowLocalStage(cur, stage, id, text, resolve).getOrElse(stage match {
         case QualityFilterStage(langs, minQ, maxBigram) =>
           graft.operators.CorpusClean.qualityFilterKeep(
             graft.streaming.StreamingOps.streamingExactDedup(cur, text,
@@ -136,19 +136,12 @@ object CurationCompiler {
         case DedupExactStage() =>
           graft.streaming.StreamingOps.streamingExactDedup(cur, text,
             tsCol, watermark, byFingerprint = true)
-        case DecontaminateStage(evalName, n) =>
-          val eval = resolve.getOrElse(evalName, throw new IllegalArgumentException(
-            s"decontaminate stage references unresolved eval frame '$evalName'"))
-          graft.operators.Dedup.decontaminate(cur, eval, id, text, n)
-        case SplitStage(weights, keep) =>
-          val split = graft.operators.Sampling.assignSplit(cur, id, weights)
-          keep.fold(split)(s => split.filter(col("split") === s).drop("split"))
         case other =>
           throw new UnsupportedOperationException(
             s"stage $other needs the whole corpus (pair mining / cumulative " +
               "budgets / sequence assembly) and cannot run on a micro-batch; " +
               "run it in the batch compaction pass")
-      }
+      })
     }
   }
 }

@@ -47,7 +47,8 @@ class CurationCompilerSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "the winner gets a free prize today"),
       (2L, "a normal document about the weather"),
-      (3L, "damaged cafÃ© donâ€™t text")
+      (3L, "damaged cafÃ© donâ€™t text"),
+      (4L, null.asInstanceOf[String]) // NULL text survives mojibake_filter
     ).toDF("doc_id", "text")
     val out = CurationCompiler.compileYaml(
       """curation:
@@ -61,9 +62,18 @@ class CurationCompilerSpec extends AnyFunSuite {
         |""".stripMargin, docs)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out.keySet == Set(2L),
-      "mojibake doc and blocklisted doc must both drop")
+      "mojibake doc and blocklisted doc must both drop " +
+        "(NULL text drops at the blocklist stage: contains(NULL) is NULL)")
     assert(out(2L) == "normal document about weather",
       "stopwords removed from the surviving doc")
+    // mojibake_filter ALONE preserves NULL and empty text (the
+    // filterLines NULL-passthrough convention — no measurable ratio)
+    val nullSafe = CurationCompiler.compileYaml(
+      "curation:\n  stages:\n    - op: mojibake_filter\n",
+      docs.unionByName(Seq((5L, "")).toDF("doc_id", "text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nullSafe == Set(1L, 2L, 4L, 5L),
+      "only the damaged doc drops; NULL and empty text pass through")
   }
 
   test("stage chaining: line correction feeds exact dedup in one plan") {

@@ -180,4 +180,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(5L) == ((Some("flac"), None, None, None, None)))
     assert(out(6L) == ((None, None, None, None, None)))
   }
+
+  test("audio header parse: crafted chunk sizes terminate (no executor hang)") {
+    // chunk size 0xFFFFFFF8 would step the cursor by 8 + (-8) = 0 if
+    // truncated to Int — the Long walk must terminate with format-only
+    val out = audio(
+      1L -> ("52494646" + "00000000" + "57415645" + "4A554E4B" + "F8FFFFFF"),
+      2L -> ("52494646" + "00000000" + "57415645" + "4A554E4B" + "FFFFFFFF"))
+    assert(out(1L) == ((Some("wav"), None, None, None, None)))
+    assert(out(2L) == ((Some("wav"), None, None, None, None)))
+  }
+
+  test("bmp header: legacy 12-byte core header u16 dims; unknown DIB size degrades") {
+    val out = dims(
+      // BITMAPCOREHEADER: size 12, width 100 (u16 LE), height 50 (u16 LE)
+      1L -> ("424D000000000000000000000000" + "0C000000" + "6400" + "3200" + "01001800"),
+      // nonsense DIB size 20: format only, never fused-garbage dims
+      2L -> ("424D000000000000000000000000" + "14000000" + "6400000032000000"))
+    assert(out(1L) == ((Some("bmp"), Some(100), Some(50))))
+    assert(out(2L) == ((Some("bmp"), None, None)))
+  }
 }

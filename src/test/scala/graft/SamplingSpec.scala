@@ -423,6 +423,13 @@ class SamplingSpec extends AnyFunSuite {
     val all = graft.operators.Sampling.exactNSample(docs, "doc_id", 1000000)
       .count()
     assert(all == docs.count())
+    // NULL keys have no uniform and must not squat sample slots
+    val withNulls = docs.select(
+      when(col("doc_id") < 3, lit(null)).otherwise(col("doc_id")).as("doc_id"))
+    val sampled = graft.operators.Sampling.exactNSample(withNulls, "doc_id", 5)
+      .collect()
+    assert(sampled.length == 5 && sampled.forall(!_.isNullAt(0)),
+      "NULL keys are excluded, not ranked first")
     // scale shape: TakeOrderedAndProject, never a global Sort or Window
     val nodes = PlanWalk.executedNodes(
       graft.operators.Sampling.exactNSample(docs, "doc_id", 7))

@@ -852,6 +852,14 @@ class SimilaritySpec extends AnyFunSuite {
     val pure = Similarity.bqTopK(queries, df, "vec_id", "embedding", k = 5)
       .filter(col("neighbor_id") % 20 === col("vec_id") % 20).count()
     assert(pure == 100L, s"expected all 20x5 Hamming neighbors in-cluster, got $pure")
+    // a NULL/empty-embedding corpus row must NOT claim rank 1 of every
+    // query via a NULL hamming (NULLS FIRST) — degenerate rows excluded
+    val polluted = df.unionByName(Seq(
+        (9998L, null.asInstanceOf[Array[Float]]),
+        (9999L, Array.empty[Float])).toDF("vec_id", "embedding"))
+    val tops = Similarity.bqTopK(queries, polluted, "vec_id", "embedding", k = 5)
+      .filter(col("neighbor_id") >= 9998L).count()
+    assert(tops == 0L, "degenerate vectors must never appear as neighbors")
     df.unpersist()
   }
 }

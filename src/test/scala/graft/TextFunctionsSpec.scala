@@ -390,11 +390,13 @@ class TextFunctionsSpec extends AnyFunSuite {
       (5L, "AÂ B"),                                 // Â+NBSP: 1
       (6L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
-    val out = df.select(col("doc_id"),
+    val rows = df.select(col("doc_id"),
         graft.functions.TextFunctions.mojibakeHits(col("text")).as("h"))
-      .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L, 6L -> -1L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // NULL text -> actually NULL (NOT legacy size's -1) — pin the type
+    assert(rows(6L).isNullAt(1), "NULL text must yield NULL hits")
+    val out = rows.collect { case (id, r) if !r.isNullAt(1) => id -> r.getLong(1) }
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
   }
 
   test("filterLines: each line rule trips on its planted violation; doc-level share drop") {

@@ -201,6 +201,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out.contains(1L), "empty doc still gets an address")
   }
 
+  test("packSequences ffd: NULL id and NULL text neither crash nor corrupt offsets") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      (java.lang.Long.valueOf(7L), "a b c"),
+      (null.asInstanceOf[java.lang.Long], "x y"),     // NULL id -> shard 0
+      (java.lang.Long.valueOf(9L), null.asInstanceOf[String]) // NULL text -> 0 tokens
+    ).toDF("doc_id", "text")
+    val out = TextStats.packSequences(docs, "doc_id", "text",
+        budget = 10, shards = 2, strategy = "ffd").collect()
+    assert(out.length == 3, "all rows addressed, none crashed away")
+    assert(out.forall(r => r.getLong(3) >= 0L && r.getLong(4) >= 0L),
+      "offsets and token counts must never go negative")
+    val nullText = out.find(r => !r.isNullAt(0) && r.getLong(0) == 9L).get
+    assert(nullText.getLong(4) == 0L, "NULL text packs as zero tokens")
+  }
+
   test("packSequences shards deterministically and bounds each window partition") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = graft.operators.TextStats.packSequences(docs, "doc_id", "text",
