@@ -181,6 +181,11 @@ object ExtensionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // product-analytics retention triangle over the event log
+    "q_events_retention" -> ((s, dir) =>
+      det(graft.operators.Windowed.retentionCohorts(events(s, dir),
+        "user_id", "ts", unit = "week"))),
+
     // --- text analysis ----------------------------------------------------
 
     "q_text_tokens" -> ((s, dir) => det(docs(s, dir).select(
@@ -781,6 +786,14 @@ object ExtensionQueries {
       det(graft.operators.Classifier.calibrationReport(scored, "score", "target",
         bins = 10))
     }),
+
+    // Matryoshka truncation: 64 -> 16 dims renormalized, flattened to
+    // (vec_id, dim, value) scalars for the row-hash oracle
+    "q_emb_truncate" -> ((s, dir) =>
+      det(emb(s, dir).select(col("vec_id"),
+          Similarity.truncateEmbedding(col("embedding"), 16).as("__t"))
+        .select(col("vec_id"), posexplode(col("__t")).as(Seq("dim", "value")))
+        .select(col("vec_id"), col("dim"), round(col("value"), 6).as("value")))),
 
     // per-label embedding centroids (drift/cluster profiling), flattened
     // to (label, dim, value) scalars for the row-hash oracle
@@ -2584,6 +2597,18 @@ object ExtensionQueries {
          |FROM sc GROUP BY 1
          |ORDER BY bin $N1, n $N1, mean_score $N1, observed_rate $N1, gap $N1""".stripMargin
     },
+    // prefix slice + L2 renormalize, per-element rows
+    "q_emb_truncate" ->
+      s"""WITH p AS (SELECT vec_id, (embedding[1:16])::DOUBLE[] AS pre
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, pre,
+         |  sqrt(list_dot_product(pre, pre)) AS nn FROM p),
+         |s AS (SELECT vec_id,
+         |  unnest(list_transform(pre, x ->
+         |    round(CASE WHEN nn > 0 THEN x / nn ELSE 0.0 END, 6))) AS value,
+         |  generate_subscripts(pre, 1) - 1 AS dim FROM n)
+         |SELECT vec_id, CAST(dim AS INT) AS dim, value FROM s
+         |ORDER BY vec_id $N1, dim $N1, value $N1""".stripMargin,
     "q_emb_centroids" ->
       s"""WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS x,
          |    generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -2703,6 +2728,25 @@ object ExtensionQueries {
          |count(*) AS n_events, round(sum(value), 2) AS sum_value
          |FROM events GROUP BY 1, 2
          |ORDER BY bucket $N1, event_type $N1, n_events $N1, sum_value $N1""".stripMargin,
+    // cohort = first-seen week, index = whole weeks since (both engines
+    // truncate weeks to Monday; epoch arithmetic on truncated stamps)
+    "q_events_retention" ->
+      s"""WITH a AS (SELECT DISTINCT user_id AS u,
+         |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS b
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |f AS (SELECT u, min(b) AS c FROM a GROUP BY u),
+         |cs AS (SELECT c AS cohort, count(*) AS cohort_size FROM f GROUP BY c),
+         |m AS (SELECT f.c AS cohort,
+         |    CAST(floor((epoch(a.b) - epoch(f.c)) / 604800) AS BIGINT) AS period_index,
+         |    count(DISTINCT a.u) AS n_active
+         |  FROM a JOIN f USING (u) GROUP BY 1, 2)
+         |SELECT m.cohort, m.period_index, CAST(m.n_active AS BIGINT) AS n_active,
+         |  CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+         |  round(CAST(m.n_active AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE), 6)
+         |    AS retention_rate
+         |FROM m JOIN cs ON cs.cohort = m.cohort
+         |ORDER BY m.cohort $N1, period_index $N1, n_active $N1, cohort_size $N1,
+         |  retention_rate $N1""".stripMargin,
     // the oracle recomputes the identical md5-derived uniform: first 8
     // hex chars as an int over 2^32 (<= 2^32 is exactly representable,
     // division by a power of two is exact -> bit-equal doubles)

@@ -40,6 +40,26 @@ object Similarity extends Logging {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /**
+   * Matryoshka truncation (Kusupati et al. 2022: MRL-trained models
+   * pack their signal into the leading dimensions, so a prefix slice +
+   * renormalize is a valid lower-cost embedding): keep the first
+   * `dims` components, L2-renormalized. The memory/speed dial for the
+   * whole vector family — truncate to 64 of 768 dims and every
+   * downstream cosine/ANN/kmeans/PQ call pays 1/12 the arithmetic and
+   * storage. Zero-norm prefixes (all leading zeros) renormalize to the
+   * zero vector (excluded downstream by the standing zero-norm
+   * guards); NULL in → NULL out; vectors shorter than `dims` keep
+   * their own length (slice semantics — no padding is invented).
+   * Row-local, zero shuffle, rides the scan.
+   */
+  def truncateEmbedding(vec: Column, dims: Int): Column = {
+    require(dims >= 1, "dims must be >= 1")
+    val pre = slice(transform(vec, x => x.cast(DoubleType)), 1, dims)
+    val n = sqrt(graft.functions.VectorExpressions.dotProduct(pre, pre))
+    transform(pre, x => when(n > 0, x / n).otherwise(lit(0.0)))
+  }
+
   /** Dot product for the PAIR hot path: a native codegen'd Catalyst
     * expression ([[graft.functions.DotProduct]]) — HOF formulations
     * (zip_with/aggregate) interpret the lambda per element and allocate

@@ -49,4 +49,55 @@ object Windowed {
       .groupBy(date_trunc(unit, col(tsCol)).as("bucket"), col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col(valueCol)), 2).as("sum_value"))
+
+  /**
+   * Retention cohort matrix — the classic product-analytics triangle:
+   * users grouped by their FIRST-seen period (cohort), each cell
+   * counting how many of a cohort's users were active `period_index`
+   * periods later. `date_trunc(unit)` bucketing (SQL-portable like
+   * [[timeBucketAgg]]); `period_index` = whole `unit`s between the
+   * activity bucket and the cohort bucket, so index 0 is the cohort's
+   * own period and `n_active / cohort_size` is the retention rate the
+   * dashboard plots. NULL users/timestamps are excluded (no cohort to
+   * belong to).
+   *
+   * 100 TB design: events collapse to DISTINCT (user, bucket) pairs
+   * first (one shuffle — per-user activity periods, NOT per-event
+   * rows), the per-user min-bucket rides a second aggregate of that
+   * already-collapsed frame, and the matrix is a groupBy over
+   * (cohort, index) — output is periods², not data-sized. No window
+   * function, no per-user row materialization.
+   *
+   * Output: (cohort, period_index, n_active, cohort_size,
+   * retention_rate round 6), rows only for cells with activity.
+   */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       unit: String = "week"): DataFrame = {
+    val active = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        date_trunc(unit, col(tsCol)).as("__b"))
+      .distinct()
+    val firstSeen = active.groupBy(col("__u")).agg(min(col("__b")).as("__c"))
+    val cohortSizes = firstSeen.groupBy(col("__c").as("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val idx = unit.toLowerCase match {
+      // month lengths vary: index by calendar months, not a fixed divisor
+      case "month" => (months_between(col("__b"), col("__c"))).cast("long")
+      case "week" => floor((col("__b").cast("long") - col("__c").cast("long")) /
+        lit(7L * 24 * 3600)).cast("long")
+      case "day" => floor((col("__b").cast("long") - col("__c").cast("long")) /
+        lit(24L * 3600)).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"unit must be day/week/month, got '$other'")
+    }
+    active.join(firstSeen, Seq("__u"))
+      .groupBy(col("__c").as("cohort"), idx.as("period_index"))
+      .agg(countDistinct(col("__u")).as("n_active"))
+      .join(cohortSizes, Seq("cohort"))
+      .select(col("cohort"), col("period_index"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention_rate"))
+  }
 }

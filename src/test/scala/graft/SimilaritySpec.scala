@@ -800,6 +800,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out((2L, "d9")) == (1.0, 1L, 1L))
   }
 
+  test("truncateEmbedding: prefix slice + renormalize, degenerate inputs, cluster signal kept") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 9.0f, 9.0f)),  // prefix (3,4) -> (0.6, 0.8)
+      (2L, Array(0.0f, 0.0f, 5.0f, 5.0f)),  // zero prefix -> zero vector
+      (3L, Array(1.0f)),                    // shorter than dims: kept as-is
+      (4L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        Similarity.truncateEmbedding(col("embedding"), 2).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(out(1L) == Seq(0.6, 0.8))
+    assert(out(2L) == Seq(0.0, 0.0), "zero-norm prefix stays the zero vector")
+    assert(out(3L) == Seq(1.0), "short vectors keep their own length")
+    assert(out(4L) == null)
+    // MRL premise on the planted clustered frame: top-5 neighbors from
+    // the 8-dim truncation still mostly share the query's true cluster
+    val full = clusteredFrame.cache()
+    val trunc = full.select(col("vec_id"),
+      Similarity.truncateEmbedding(col("embedding"), 8).as("embedding"))
+    val pure = Similarity.bruteForceTopK(
+        trunc.filter(col("vec_id") < 20), trunc, "vec_id", "embedding", k = 5)
+      .filter(col("neighbor_id") % 20 === col("vec_id") % 20).count()
+    assert(pure >= 90L, s"expected >=90 of 100 in-cluster at 8 of 32 dims, got $pure")
+    full.unpersist()
+  }
+
   test("BQ: bqEncodeColumn packs sign bits into 32-bit words, hand-checked") {
     val df = Seq(
       (1L, Array(1.0f, -1.0f, 0.0f, 0.5f)),          // bits 0,3 -> 1+8

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Windowed
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WindowedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("retentionCohorts: hand-built triangle, distinct-period counting, NULL exclusion") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // weeks (Mon): W0 = 2024-01-01, W1 = 2024-01-08, W2 = 2024-01-15
+    val events = Seq[(Option[Long], java.sql.Timestamp)](
+      // user 1: joins W0, active W0 twice (counts once), W1, W2
+      (Some(1L), ts("2024-01-01 10:00:00")), (Some(1L), ts("2024-01-03 10:00:00")),
+      (Some(1L), ts("2024-01-09 10:00:00")), (Some(1L), ts("2024-01-16 10:00:00")),
+      // user 2: joins W0, active W0 only
+      (Some(2L), ts("2024-01-02 10:00:00")),
+      // user 3: joins W1, active W1 and W2
+      (Some(3L), ts("2024-01-08 10:00:00")), (Some(3L), ts("2024-01-15 10:00:00")),
+      // NULL user excluded entirely
+      (None, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Windowed.retentionCohorts(events, "user_id", "ts", "week")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // cohort W0 = users {1, 2}; W1 = {3}
+    assert(out(("2024-01-01", 0L)) == ((2L, 2L, 1.0)), "index 0 is the whole cohort")
+    assert(out(("2024-01-01", 1L)) == ((1L, 2L, 0.5)), "user 1 retained in W1")
+    assert(out(("2024-01-01", 2L)) == ((1L, 2L, 0.5)))
+    assert(out(("2024-01-08", 0L)) == ((1L, 1L, 1.0)))
+    assert(out(("2024-01-08", 1L)) == ((1L, 1L, 1.0)))
+    assert(out.size == 5, "only cells with activity; NULL user contributes nowhere")
+  }
+
+  test("retentionCohorts rejects unknown units") {
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+    intercept[IllegalArgumentException](
+      Windowed.retentionCohorts(df, "user_id", "ts", "fortnight"))
+  }
+}
