@@ -1123,6 +1123,38 @@ object ExtensionQueries {
           .as("accuracy")))
     }),
 
+    // unigram-LM Viterbi encode over a FIXTURE piece table on planted
+    // strings — hand-computed segmentations pinned as VALUES
+    "q_text_unigram_encode" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Seq("the" -> -1.0, "cat" -> -1.2, "at" -> -1.5,
+        "c" -> -2.0, "t" -> -2.0, "h" -> -2.0, "e" -> -2.0, "a" -> -2.0)
+      val planted = Seq((1L, "the cat"), (2L, "that"), (3L, "zz"), (4L, ""))
+        .toDF("doc_id", "text")
+      det(graft.operators.TextStats.applyUnigramLm(planted, "doc_id", "text",
+        vocab))
+    }),
+
+    // GATE for trainUnigramLm: the planted {aaaa,bbbb,ab} corpus where
+    // Viterbi-EM provably converges to pieces {aaaa, bbbb, a, b} (the
+    // "ab" seed loses its own word to [a,b] in the first E-step) —
+    // vocab size, probability mass and fertility pinned
+    "q_gate_unigram" -> ((s, dir) => {
+      import s.implicits._
+      val docs = (Seq.fill(50)("aaaa") ++ Seq.fill(50)("bbbb") ++
+        Seq.fill(20)("ab")).zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val pieces = graft.operators.TextStats.trainUnigramLm(docs, "text",
+        vocabSize = 8, seedSize = 32, iters = 3, minCount = 2, maxPieceLen = 4)
+      val mass = pieces.map { case (_, lp) => math.pow(10, lp) }.sum
+      val fert = graft.operators.TextStats
+        .applyUnigramLm(docs, "doc_id", "text", pieces)
+      det(fert.agg(
+        round(avg(col("pieces_per_token")), 6).as("mean_fertility"))
+        .select(lit(pieces.size).as("n_pieces"),
+          round(lit(mass), 6).as("prob_mass"), col("mean_fertility")))
+    }),
+
     // GATE for trainLangid (the char-n-gram fastText-shaped language
     // ID): a planted 4-language frame of SHORT stopword-free text —
     // the regime where detectLanguage's stopword profiles are blind
@@ -2530,6 +2562,24 @@ object ExtensionQueries {
     // hashed-text logistic GD recovers the planted vocab split exactly
     "q_gate_textclf" ->
       s"""SELECT CAST(1.0 AS DOUBLE) AS accuracy""",
+    // hand-computed Viterbi segmentations of the planted strings
+    "q_text_unigram_encode" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+         |   CAST(1.0 AS DOUBLE)),
+         |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT),
+         |   CAST(3.0 AS DOUBLE)),
+         |  (CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+         |   CAST(2.0 AS DOUBLE)),
+         |  (CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |   CAST(NULL AS DOUBLE)))
+         |  AS t(doc_id, n_tokens, n_pieces, pieces_per_token)
+         |ORDER BY doc_id $N1, n_tokens $N1, n_pieces $N1, pieces_per_token $N1""".stripMargin,
+    // EM converges to {aaaa, bbbb, a, b}: 4 pieces, full mass, fertility
+    // (50*1 + 50*1 + 20*2) / 120 = 1.166667
+    "q_gate_unigram" ->
+      s"""SELECT CAST(4 AS INT) AS n_pieces, CAST(1.0 AS DOUBLE) AS prob_mass,
+         |CAST(1.166667 AS DOUBLE) AS mean_fertility""".stripMargin,
     // char-n-gram one-vs-rest langid recovers the language EXACTLY on
     // 2-word stopword-free eval docs where the profile path scores 0.0
     // (every doc falls through to "unknown") — the pinned pair IS the

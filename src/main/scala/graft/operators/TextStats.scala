@@ -629,6 +629,127 @@ object TextStats {
   }
 
   /**
+   * Unigram-LM tokenizer TRAINING (SentencePiece's default algorithm,
+   * Kudo 2018, Viterbi-EM simplification): learn a piece table
+   * (subword, log10 prob) maximizing corpus likelihood under the
+   * unigram segmentation model — [[trainBpe]]'s probabilistic sibling
+   * and the other half of the practical tokenizer-training family.
+   *
+   *  1. the corpus collapses to the minCount-floored DISTINCT-WORD
+   *     frequency table (the [[trainBpe]] representation — every later
+   *     pass works at vocabulary scale, never corpus scale);
+   *  2. seed pieces = the `seedSize` highest-frequency word substrings
+   *     (≤ `maxPieceLen` chars, occurrence-weighted) plus every single
+   *     character (coverage guarantee);
+   *  3. Viterbi-EM iterations: segment each distinct word under the
+   *     current table ([[graft.functions.UnigramSegment]] — the same
+   *     native kernel inference uses, so train and apply can never
+   *     disagree), E-counts = word-frequency-weighted INTEGER piece
+   *     counts (one partially-aggregated groupBy, one bounded collect —
+   *     ≤ current table size, the kmeans-centroid convention), M-step
+   *     re-normalizes to log10 probs; unused non-character pieces drop
+   *     each round;
+   *  4. prune to the `vocabSize` most probable pieces, single
+   *     characters always retained (any string stays segmentable).
+   *
+   * Deterministic: integer E-counts, (count desc, piece asc)
+   * tie-breaks, fixed iteration count. Returns (piece, log10 prob)
+   * sorted by (prob desc, piece asc).
+   */
+  def trainUnigramLm(docs: DataFrame, textCol: String,
+                     vocabSize: Int = 512, seedSize: Int = 2048,
+                     iters: Int = 3, minCount: Long = 2L,
+                     maxPieceLen: Int = 8): Seq[(String, Double)] = {
+    require(vocabSize >= 2, "vocabSize must be >= 2")
+    require(seedSize >= vocabSize, "seedSize must be >= vocabSize")
+    require(iters >= 1, "iters must be >= 1")
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    val words = docs
+      .select(explode(
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .persist()
+    try {
+      require(words.limit(1).count() > 0,
+        "no words at or above minCount — nothing to train on")
+      // occurrence-weighted substring counts (declarative double loop).
+      // NOTE sequence(1, 0) is NOT empty in Spark — it DESCENDS to
+      // [1, 0] — so lengths longer than the word must be guarded with
+      // an explicit empty array, or short words count their own
+      // (position-0/negative) substrings several times over and
+      // spurious seeds survive EM (caught by the q_gate_unigram pin)
+      val emptyArr = array().cast(ArrayType(StringType))
+      val subs = flatten(transform(sequence(lit(1), lit(maxPieceLen)), l =>
+        when(length(col("__w")) >= l,
+          transform(sequence(lit(1), length(col("__w")) - l + 1),
+            i => substring(col("__w"), i, l)))
+          .otherwise(emptyArr)))
+      val seedCounts = words
+        .select(explode(subs).as("__p"), col("__n"))
+        .filter(length(col("__p")) >= 1)
+        .groupBy(col("__p")).agg(sum(col("__n")).as("__c"))
+        .persist()
+      val chars = seedCounts.filter(length(col("__p")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val multis = seedCounts.filter(length(col("__p")) > 1)
+        .orderBy(col("__c").desc, col("__p")).limit(seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      seedCounts.unpersist()
+      def normalize(counts: Seq[(String, Long)]): Seq[(String, Double)] = {
+        val total = counts.map(_._2).sum.toDouble
+        counts.map { case (p, c) => p -> math.log10(c / total) }
+      }
+      var pieces = normalize((chars ++ multis).toSeq)
+      for (_ <- 1 to iters) {
+        val eCounts = words
+          .select(explode(graft.functions.UnigramSegment.unigramSegment(
+            col("__w"), pieces)).as("__p"), col("__n"))
+          .groupBy(col("__p")).agg(sum(col("__n")).as("__c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // chars keep a floor count of 1 so coverage never vanishes;
+        // unused multi-char pieces drop
+        val next = pieces.flatMap { case (p, _) =>
+          val c = eCounts.getOrElse(p, 0L)
+          if (p.length == 1) Some(p -> math.max(1L, c))
+          else if (c > 0) Some(p -> c)
+          else None
+        }
+        pieces = normalize(next)
+      }
+      val (charPieces, multiPieces) = pieces.partition(_._1.length == 1)
+      val keep = charPieces ++ multiPieces
+        .sortBy { case (p, lp) => (-lp, p) }
+        .take(math.max(0, vocabSize - charPieces.size))
+      keep.sortBy { case (p, lp) => (-lp, p) }
+    } finally words.unpersist()
+  }
+
+  /**
+   * Apply a unigram-LM piece table: per doc, tokenize on whitespace
+   * (the standing token definition) and Viterbi-segment each token
+   * with the SAME native kernel training used. Row-local, zero
+   * shuffle; the piece table is a codegen reference object.
+   *
+   * Output: (doc_id, n_tokens, n_pieces, pieces_per_token round 6 —
+   * the fertility number that prices a tokenizer).
+   */
+  def applyUnigramLm(docs: DataFrame, idCol: String, textCol: String,
+                     pieces: Seq[(String, Double)],
+                     unkLogProb: Double = -12.0): DataFrame = {
+    val toks = graft.functions.TextFunctions.whitespaceTokens(col(textCol))
+    val perTok = transform(toks, t => size(
+      graft.functions.UnigramSegment.unigramSegment(t, pieces, unkLogProb))
+      .cast(LongType))
+    docs.select(col(idCol).as("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        aggregate(perTok, lit(0L), (a, x) => a + x).as("n_pieces"))
+      .withColumn("pieces_per_token",
+        when(col("n_tokens") > 0,
+          round(col("n_pieces").cast(DoubleType) / col("n_tokens"), 6)))
+  }
+
+  /**
    * Stopword mining: tokens present in at least `minDocPct` percent of
    * the corpus' documents, by DISTINCT document frequency — the
    * corpus-adaptive stopword list that quality scoring and keyword

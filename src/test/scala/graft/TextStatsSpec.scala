@@ -984,6 +984,53 @@ class TextStatsSpec extends AnyFunSuite {
     assert(cut == Set(("francisco", "has", 1L), ("san", "francisco", 2L)))
   }
 
+  test("UnigramSegment: max-score Viterbi, longest-match ties, unk fallback") {
+    import graft.functions.UnigramSegment.unigramSegment
+    val vocab = Seq("abc" -> -1.5, "ab" -> -1.0, "a" -> -2.0, "b" -> -2.0,
+      "c" -> -2.0)
+    val df = Seq((1L, "abc"), (2L, "abab"), (3L, "xa"), (4L, "")).toDF("id", "t")
+    val out = df.select(col("id"), unigramSegment(col("t"), vocab).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // [abc] = -1.5 beats [ab,c] = -3.0 and [a,b,c] = -6.0
+    assert(out(1L) == Seq("abc"))
+    assert(out(2L) == Seq("ab", "ab"))
+    // x is unknown -> unk single-char fallback, then known "a"
+    assert(out(3L) == Seq("x", "a"))
+    assert(out(4L) == Seq.empty)
+    // tie: [ab] = -2.0 vs [a,b] = -4.0 no tie; force one: equal scores
+    val tieVocab = Seq("ab" -> -4.0, "a" -> -2.0, "b" -> -2.0)
+    val tie = Seq((1L, "ab")).toDF("id", "t")
+      .select(unigramSegment(col("t"), tieVocab).as("p"))
+      .head().getSeq[String](0)
+    assert(tie == Seq("ab"), "equal-score segmentations prefer the longer piece")
+  }
+
+  test("trainUnigramLm learns planted multi-char pieces; fertility beats chars; deterministic") {
+    import spark.implicits._
+    val docs = (Seq.fill(50)("aaaa") ++ Seq.fill(50)("bbbb") ++
+      Seq.fill(20)("ab")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val pieces = TextStats.trainUnigramLm(docs, "text",
+      vocabSize = 8, seedSize = 32, iters = 3, minCount = 2, maxPieceLen = 4)
+    val byPiece = pieces.toMap
+    assert(byPiece.contains("aaaa") && byPiece.contains("bbbb"),
+      s"planted whole-word pieces must be learned, got ${pieces.map(_._1)}")
+    assert(byPiece.contains("a") && byPiece.contains("b"),
+      "single chars always retained for coverage")
+    assert(pieces.size <= 8)
+    // probabilities normalize
+    val mass = pieces.map { case (_, lp) => math.pow(10, lp) }.sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"prob mass $mass")
+    // fertility: whole-word pieces segment the corpus near 1 piece/token
+    val fert = TextStats.applyUnigramLm(docs, "doc_id", "text", pieces)
+      .agg(avg(col("pieces_per_token"))).head().getDouble(0)
+    assert(fert < 1.5, s"learned pieces must beat char segmentation, got $fert")
+    // deterministic across runs
+    val again = TextStats.trainUnigramLm(docs, "text",
+      vocabSize = 8, seedSize = 32, iters = 3, minCount = 2, maxPieceLen = 4)
+    assert(pieces == again)
+  }
+
   test("psiReport: hand-computed Laplace shares and psi; identity drift is zero") {
     import spark.implicits._
     val base = (1 to 10).map(v => (v.toLong, v.toDouble)).toDF("id", "sig")
