@@ -596,6 +596,17 @@ object StreamingOps {
                         merges: Seq[(String, String)]): DataFrame =
     graft.operators.TextStats.applyBpe(docs, idCol, textCol, merges)
 
+  /** [[graft.operators.TextStats.applyUnigramLm]] on a stream: the
+    * Viterbi kernel is row-local with the piece table frozen as a
+    * codegen reference object (train offline, restart to re-tokenize —
+    * the frozen-model contract), so the batch operator is
+    * streaming-safe as-is. */
+  def streamingApplyUnigramLm(docs: DataFrame, idCol: String, textCol: String,
+                              pieces: Seq[(String, Double)],
+                              unkLogProb: Double = -12.0): DataFrame =
+    graft.operators.TextStats.applyUnigramLm(docs, idCol, textCol,
+      pieces, unkLogProb)
+
   /** Apply a table migration config to a STREAMING source frame: the same
     * compiled plan (rename/transform/validate/lookup), incremental
     * execution. `resolve` supplies STATIC lookup dims (stream-static

@@ -623,6 +623,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming unigram encode with a frozen piece table equals batch row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vocab = Seq("the" -> -1.0, "cat" -> -1.2, "at" -> -1.5,
+      "c" -> -2.0, "a" -> -2.0, "t" -> -2.0)
+    val rows = Seq((1L, "the cat"), (2L, "that cat"), (3L, "zz"))
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingApplyUnigramLm(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", vocab)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_unigram")
+      .outputMode("append").start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, n_tokens, n_pieces FROM stream_unigram")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val want = graft.operators.TextStats.applyUnigramLm(
+        rows.toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .select("doc_id", "n_tokens", "n_pieces")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("streaming trained langid with a frozen model equals the batch predictions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
