@@ -2779,7 +2779,8 @@ object ExtensionQueries {
          |FROM events GROUP BY 1, 2
          |ORDER BY bucket $N1, event_type $N1, n_events $N1, sum_value $N1""".stripMargin,
     // cohort = first-seen week, index = whole weeks since (both engines
-    // truncate weeks to Monday; epoch arithmetic on truncated stamps)
+    // truncate weeks to Monday; CALENDAR day-diff arithmetic — the
+    // DST-immune formulation the operator uses)
     "q_events_retention" ->
       s"""WITH a AS (SELECT DISTINCT user_id AS u,
          |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS b
@@ -2787,7 +2788,8 @@ object ExtensionQueries {
          |f AS (SELECT u, min(b) AS c FROM a GROUP BY u),
          |cs AS (SELECT c AS cohort, count(*) AS cohort_size FROM f GROUP BY c),
          |m AS (SELECT f.c AS cohort,
-         |    CAST(floor((epoch(a.b) - epoch(f.c)) / 604800) AS BIGINT) AS period_index,
+         |    CAST(floor(date_diff('day', CAST(f.c AS DATE), CAST(a.b AS DATE))
+         |      / 7.0) AS BIGINT) AS period_index,
          |    count(DISTINCT a.u) AS n_active
          |  FROM a JOIN f USING (u) GROUP BY 1, 2)
          |SELECT m.cohort, m.period_index, CAST(m.n_active AS BIGINT) AS n_active,

@@ -69,27 +69,43 @@ object UnigramSegment {
       val s = text.toString
       val n = s.length
       if (n == 0) return new GenericArrayData(Array.empty[Any])
+      // surrogate-pair integrity: a boundary between a high and its low
+      // surrogate would emit unpaired halves that UTF8String encodes as
+      // '?' — such positions are invalid DP states, and the unk
+      // fallback covers a whole CODE POINT (1 or 2 units)
+      def boundaryOk(k: Int): Boolean =
+        k <= 0 || k >= n ||
+          !(Character.isHighSurrogate(s.charAt(k - 1)) &&
+            Character.isLowSurrogate(s.charAt(k)))
       val score = Array.fill(n + 1)(Double.NegativeInfinity)
       val back = new Array[Int](n + 1)
       score(0) = 0.0
       var i = 1
       while (i <= n) {
-        // j ascending = longest piece first; strict > keeps the first
-        // (longest) candidate on score ties
-        var j = math.max(0, i - maxLen)
-        while (j < i) {
-          if (score(j) != Double.NegativeInfinity) {
-            val lpBoxed = map.get(s.substring(j, i))
-            val lp =
-              if (lpBoxed != null) lpBoxed.doubleValue
-              else if (i - j == 1) unkLogProb
-              else Double.NegativeInfinity
-            if (lp != Double.NegativeInfinity) {
-              val cand = score(j) + lp
-              if (cand > score(i)) { score(i) = cand; back(i) = j }
+        if (boundaryOk(i)) {
+          // j ascending = longest piece first; strict > keeps the first
+          // (longest) candidate on score ties. Scan at least 2 back so
+          // the surrogate-PAIR unk fallback stays reachable even when
+          // every table piece is a single unit
+          var j = math.max(0, i - math.max(maxLen, 2))
+          while (j < i) {
+            if (score(j) != Double.NegativeInfinity) {
+              val len = i - j
+              val isCodePoint = len == 1 ||
+                (len == 2 && Character.isHighSurrogate(s.charAt(j)) &&
+                  Character.isLowSurrogate(s.charAt(j + 1)))
+              val lpBoxed = map.get(s.substring(j, i))
+              val lp =
+                if (lpBoxed != null) lpBoxed.doubleValue
+                else if (isCodePoint) unkLogProb
+                else Double.NegativeInfinity
+              if (lp != Double.NegativeInfinity) {
+                val cand = score(j) + lp
+                if (cand > score(i)) { score(i) = cand; back(i) = j }
+              }
             }
+            j += 1
           }
-          j += 1
         }
         i += 1
       }

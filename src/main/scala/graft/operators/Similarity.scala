@@ -55,9 +55,19 @@ object Similarity extends Logging {
    */
   def truncateEmbedding(vec: Column, dims: Int): Column = {
     require(dims >= 1, "dims must be >= 1")
+    // BIND the prefix and its norm once per row: ArrayTransform
+    // evaluates its lambda tree per ELEMENT, so referencing the raw
+    // norm expression from inside the division lambda would recompute
+    // the O(dims) dot product dims times (O(dims²)/row). zip_with over
+    // a single-element struct array is the Column-level staging trick:
+    // the lambda sees pre/n as BOUND variables, read per element, not
+    // re-derived.
     val pre = slice(transform(vec, x => x.cast(DoubleType)), 1, dims)
     val n = sqrt(graft.functions.VectorExpressions.dotProduct(pre, pre))
-    transform(pre, x => when(n > 0, x / n).otherwise(lit(0.0)))
+    val bound = transform(array(struct(pre.as("p"), n.as("n"))), s =>
+      transform(s.getField("p"), x =>
+        when(s.getField("n") > 0, x / s.getField("n")).otherwise(lit(0.0))))
+    element_at(bound, 1)
   }
 
   /** Dot product for the PAIR hot path: a native codegen'd Catalyst

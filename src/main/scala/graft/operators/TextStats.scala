@@ -708,16 +708,22 @@ object TextStats {
           .groupBy(col("__p")).agg(sum(col("__n")).as("__c"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         // chars keep a floor count of 1 so coverage never vanishes;
-        // unused multi-char pieces drop
+        // unused multi-char pieces drop. "Char" = one CODE POINT —
+        // Spark's length() (used by the seed split) counts code
+        // points, so an astral char is 1 there but 2 in String.length;
+        // classifying by code units here would silently strip its
+        // coverage floor
+        def isChar(p: String): Boolean = p.codePointCount(0, p.length) == 1
         val next = pieces.flatMap { case (p, _) =>
           val c = eCounts.getOrElse(p, 0L)
-          if (p.length == 1) Some(p -> math.max(1L, c))
+          if (isChar(p)) Some(p -> math.max(1L, c))
           else if (c > 0) Some(p -> c)
           else None
         }
         pieces = normalize(next)
       }
-      val (charPieces, multiPieces) = pieces.partition(_._1.length == 1)
+      val (charPieces, multiPieces) =
+        pieces.partition { case (p, _) => p.codePointCount(0, p.length) == 1 }
       val keep = charPieces ++ multiPieces
         .sortBy { case (p, lp) => (-lp, p) }
         .take(math.max(0, vocabSize - charPieces.size))

@@ -81,13 +81,14 @@ object Windowed {
     val firstSeen = active.groupBy(col("__u")).agg(min(col("__b")).as("__c"))
     val cohortSizes = firstSeen.groupBy(col("__c").as("cohort"))
       .agg(count(lit(1)).as("cohort_size"))
+    // CALENDAR arithmetic for every unit — a fixed-seconds divisor
+    // misbuckets across DST transitions in non-UTC session timezones
+    // (a 7-day-minus-1-hour "week" floors to index 0); datediff on the
+    // truncated DATES is DST-immune like months_between
     val idx = unit.toLowerCase match {
-      // month lengths vary: index by calendar months, not a fixed divisor
       case "month" => (months_between(col("__b"), col("__c"))).cast("long")
-      case "week" => floor((col("__b").cast("long") - col("__c").cast("long")) /
-        lit(7L * 24 * 3600)).cast("long")
-      case "day" => floor((col("__b").cast("long") - col("__c").cast("long")) /
-        lit(24L * 3600)).cast("long")
+      case "week" => floor(datediff(col("__b"), col("__c")) / 7).cast("long")
+      case "day" => datediff(col("__b"), col("__c")).cast("long")
       case other => throw new IllegalArgumentException(
         s"unit must be day/week/month, got '$other'")
     }

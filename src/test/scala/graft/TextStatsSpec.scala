@@ -1003,6 +1003,14 @@ class TextStatsSpec extends AnyFunSuite {
       .select(unigramSegment(col("t"), tieVocab).as("p"))
       .head().getSeq[String](0)
     assert(tie == Seq("ab"), "equal-score segmentations prefer the longer piece")
+    // astral-plane chars: the unk fallback must cover the WHOLE
+    // surrogate pair — splitting it would emit unpaired halves ('?')
+    val emoji = "😀" // U+1F600
+    val astral = Seq((1L, s"a${emoji}b")).toDF("id", "t")
+      .select(unigramSegment(col("t"), vocab).as("p"))
+      .head().getSeq[String](0)
+    assert(astral == Seq("a", emoji, "b"),
+      s"surrogate pair must stay one unk piece, got $astral")
   }
 
   test("trainUnigramLm learns planted multi-char pieces; fertility beats chars; deterministic") {

@@ -34,6 +34,25 @@ class WindowedSpec extends AnyFunSuite {
     assert(out.size == 5, "only cells with activity; NULL user contributes nowhere")
   }
 
+  test("retentionCohorts week index survives a DST transition (calendar arithmetic)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // US DST starts 2024-03-10: the week of Mar 11 begins 7d-1h of
+      // wall-clock seconds after the week of Mar 4 — a fixed 604800 s
+      // divisor would floor that to index 0
+      val events = Seq(
+        (1L, ts("2024-03-04 12:00:00")),
+        (1L, ts("2024-03-11 12:00:00"))
+      ).toDF("user_id", "ts")
+      val idx = Windowed.retentionCohorts(events, "user_id", "ts", "week")
+        .select("period_index").collect().map(_.getLong(0)).toSet
+      assert(idx == Set(0L, 1L),
+        s"the DST-shortened week must still index as 1, got $idx")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("retentionCohorts rejects unknown units") {
     val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("user_id", "ts")
