@@ -33,6 +33,26 @@ object ExtensionQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Deterministic SFT-shaped conversations derived from `documents`:
+    * whitespace tokens chunked 6-per-turn, roles alternating
+    * user/assistant — same construction as the oracle's `cv` CTE
+    * ([[chatCte]]), so the chat operators are graded on a
+    * DuckDB-replayable `array<struct<role,content>>` column. */
+  private def chatFrame(s: SparkSession, dir: String): DataFrame = {
+    val convType = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val toks = TextFunctions.whitespaceTokens(col("text"))
+    docs(s, dir).select(col("doc_id"),
+      when(size(toks) > 0,
+        transform(
+          sequence(lit(0), ceil(size(toks) / lit(6.0)).cast(IntegerType) - 1),
+          i => struct(
+            when(pmod(i, lit(2)) === 0, lit("user")).otherwise(lit("assistant"))
+              .as("role"),
+            array_join(slice(toks, i * lit(6) + 1, lit(6)), " ").as("content"))))
+        .otherwise(array().cast(convType)).as("conv"))
+  }
   /** One temp parquet artifact per (JVM, sf dir), built on first use
     * and deleted at JVM exit — repeated Verify/Bench runs must not
     * accumulate half-corpus parquet trees in the system tmp dir. The
@@ -1577,6 +1597,40 @@ object ExtensionQueries {
       det(parsed.select(col("clip_id"), col("format"), col("sample_rate"),
         col("channels"), col("bits_per_sample"), col("duration_ms")))
     }),
+
+    // ---- chat / SFT conversation operators (graft.operators.Chat) over
+    // deterministic conversations derived from documents (chatFrame /
+    // the oracle's cv CTE — same construction on both sides)
+
+    // structural validation flags, one boolean per check
+    "q_chat_validate" -> ((s, dir) =>
+      det(graft.operators.Chat.validateChat(chatFrame(s, dir), "conv")
+        .select(col("doc_id"), col("chat_ok"), col("starts_user"),
+          col("alternates"), col("ends_assistant"), col("has_empty_turn"),
+          col("has_bad_role")))),
+
+    // ChatML-shaped template flattening — the string the tokenizer sees
+    "q_chat_render" -> ((s, dir) =>
+      det(graft.operators.Chat.renderChat(chatFrame(s, dir), "conv")
+        .select(col("doc_id"), col("rendered")))),
+
+    // per-conversation turn/token accounting by role
+    "q_chat_stats" -> ((s, dir) =>
+      det(graft.operators.Chat.chatStats(chatFrame(s, dir), "conv")
+        .select(col("doc_id"), col("n_turns"), col("n_user_turns"),
+          col("n_assistant_turns"), col("n_user_tokens"),
+          col("n_assistant_tokens"), col("max_turn_tokens")))),
+
+    // loss-mask spans: half-open token ranges per turn, row-local fold
+    "q_chat_spans" -> ((s, dir) =>
+      det(graft.operators.Chat.chatTokenSpans(chatFrame(s, dir),
+        "doc_id", "conv"))),
+
+    // assistant-response dedup: lowest doc_id per normalized answer set
+    "q_chat_dedup" -> ((s, dir) =>
+      det(graft.operators.Chat.dedupByAssistant(chatFrame(s, dir),
+        "doc_id", "conv")
+        .select(col("doc_id"), col("n_copies")))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1600,6 +1654,20 @@ object ExtensionQueries {
     ("e", "r"), ("o", "n"), ("r", "e"))
   private val BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   private val STOP_EN = TextFunctions.EnStopwords.map(w => s"'$w'").mkString(",")
+
+  /** The conversation-construction CTE shared by every q_chat_* oracle
+    * — MUST mirror [[chatFrame]] exactly (6-token chunks, alternating
+    * user/assistant), or the graded chat operators drift from their
+    * oracles at the fixture layer instead of the operator layer. */
+  private val chatCte =
+    """d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      |      FROM documents),
+      |cv AS (SELECT doc_id, list_transform(
+      |    range(0, CAST(ceil(len(toks)/6.0) AS BIGINT)),
+      |    i -> struct_pack(
+      |      role := CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+      |      content := array_to_string(toks[i*6+1 : i*6+6], ' '))) AS turns
+      |  FROM d)""".stripMargin
 
   /** shared word-5-gram blocking (df-cap 100) -> exact jaccard >= 0.5;
     * mirrors Dedup.ngramJaccardPairs / minhashLshPairs verify exactly. */
@@ -3566,6 +3634,89 @@ object ExtensionQueries {
          |  AS t(clip_id, format, sample_rate, channels, bits_per_sample, duration_ms)
          |ORDER BY clip_id $N1, format $N1, sample_rate $N1, channels $N1,
          |  bits_per_sample $N1, duration_ms $N1""".stripMargin,
+
+    // ---- chat / SFT oracles: the cv CTE mirrors chatFrame, the list
+    // lambdas mirror the operator's higher-order functions one-to-one
+    "q_chat_validate" ->
+      s"""WITH $chatCte,
+         |ns AS (SELECT doc_id, turns,
+         |    list_filter(turns, t -> t.role <> 'system') AS nsl FROM cv),
+         |f AS (SELECT doc_id,
+         |    COALESCE(nsl[1].role = 'user', FALSE) AS starts_user,
+         |    len(list_filter(range(1, len(nsl)),
+         |      i -> nsl[i].role = nsl[i+1].role)) = 0 AS alternates,
+         |    COALESCE(turns[len(turns)].role = 'assistant', FALSE)
+         |      AS ends_assistant,
+         |    len(list_filter(turns, t -> trim(t.content) = '')) > 0
+         |      AS has_empty_turn,
+         |    len(list_filter(turns,
+         |      t -> t.role NOT IN ('system','user','assistant'))) > 0
+         |      AS has_bad_role,
+         |    len(turns) > 0 AS nonempty
+         |  FROM ns)
+         |SELECT doc_id,
+         |  nonempty AND starts_user AND alternates AND ends_assistant
+         |    AND NOT has_empty_turn AND NOT has_bad_role AS chat_ok,
+         |  starts_user, alternates, ends_assistant, has_empty_turn,
+         |  has_bad_role
+         |FROM f
+         |ORDER BY doc_id $N1, chat_ok $N1, starts_user $N1, alternates $N1,
+         |  ends_assistant $N1, has_empty_turn $N1, has_bad_role $N1""".stripMargin,
+    "q_chat_render" ->
+      s"""WITH $chatCte
+         |SELECT doc_id, array_to_string(list_transform(turns,
+         |    t -> '<|' || t.role || '|>' || chr(10) || t.content ||
+         |         '<|end|>' || chr(10)), '') AS rendered
+         |FROM cv
+         |ORDER BY doc_id $N1, rendered $N1""".stripMargin,
+    "q_chat_stats" ->
+      s"""WITH $chatCte
+         |SELECT doc_id,
+         |  CAST(len(turns) AS BIGINT) AS n_turns,
+         |  CAST(len(list_filter(turns, t -> t.role = 'user')) AS BIGINT)
+         |    AS n_user_turns,
+         |  CAST(len(list_filter(turns, t -> t.role = 'assistant')) AS BIGINT)
+         |    AS n_assistant_turns,
+         |  CAST(COALESCE(list_sum(list_transform(
+         |      list_filter(turns, t -> t.role = 'user'),
+         |      t -> len(regexp_extract_all(t.content, '\\S+')))), 0) AS BIGINT)
+         |    AS n_user_tokens,
+         |  CAST(COALESCE(list_sum(list_transform(
+         |      list_filter(turns, t -> t.role = 'assistant'),
+         |      t -> len(regexp_extract_all(t.content, '\\S+')))), 0) AS BIGINT)
+         |    AS n_assistant_tokens,
+         |  CAST(list_max(list_transform(turns,
+         |      t -> len(regexp_extract_all(t.content, '\\S+')))) AS BIGINT)
+         |    AS max_turn_tokens
+         |FROM cv
+         |ORDER BY doc_id $N1, n_turns $N1, n_user_turns $N1,
+         |  n_assistant_turns $N1, n_user_tokens $N1, n_assistant_tokens $N1,
+         |  max_turn_tokens $N1""".stripMargin,
+    "q_chat_spans" ->
+      s"""WITH $chatCte,
+         |ex AS (SELECT doc_id, unnest(list_transform(range(1, len(turns)+1),
+         |    i -> struct_pack(idx := i - 1, role := turns[i].role,
+         |      n := CAST(len(regexp_extract_all(turns[i].content, '\\S+'))
+         |           AS BIGINT)))) AS t
+         |  FROM cv)
+         |SELECT doc_id, t.idx AS turn_idx, t.role AS role,
+         |  t.n AS n_turn_tokens,
+         |  COALESCE(sum(t.n) OVER (PARTITION BY doc_id ORDER BY t.idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS start_tok,
+         |  sum(t.n) OVER (PARTITION BY doc_id ORDER BY t.idx) AS end_tok
+         |FROM ex
+         |ORDER BY doc_id $N1, turn_idx $N1, role $N1, n_turn_tokens $N1,
+         |  start_tok $N1, end_tok $N1""".stripMargin,
+    "q_chat_dedup" ->
+      s"""WITH $chatCte,
+         |fp AS (SELECT doc_id, trim(regexp_replace(lower(array_to_string(
+         |    list_transform(list_filter(turns, t -> t.role = 'assistant'),
+         |      t -> t.content), ' ')), '\\s+', ' ', 'g')) AS k FROM cv)
+         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies
+         |FROM fp GROUP BY k
+         |ORDER BY doc_id $N1, n_copies $N1""".stripMargin,
   )
 
   // the config-compiled pipeline must be bit-identical to the

@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Chat / SFT conversation operators — the post-training half of a
+ * training-data pipeline. Pretraining operators treat a document as
+ * one text blob; instruction-tuning data is an ordered list of role
+ * -tagged turns (`array<struct<role:string, content:string>>`), and
+ * its curation needs turn-STRUCTURE-aware operators: schema
+ * validation (alternation, role vocabulary, empty turns), template
+ * rendering (the tokenizer sees ONE string), per-role token
+ * accounting (assistant tokens are the ones that carry loss),
+ * loss-mask span computation, and assistant-response dedup (the
+ * "same answer to paraphrased prompts" failure mode exact doc-level
+ * dedup misses).
+ *
+ * Reference scope: the reference engine (row-at-a-time ETL,
+ * /root/reference/engine/migrator.py) has no conversation concept;
+ * this family extends the engine toward LLM post-training data, per
+ * the build brief.
+ *
+ * 100 TB design: every operator here is a ROW-LOCAL projection built
+ * from codegen'd higher-order functions (`transform` / `filter` /
+ * `exists` / `aggregate`) over the turn array — zero shuffle, no
+ * UDFs, rides the scan. The one exception is [[dedupByAssistant]],
+ * which shuffles 16-byte fingerprints (the [[Dedup.exactDedup]]
+ * contract), never turn text.
+ */
+object Chat {
+
+  private val RoleVocab = Seq("system", "user", "assistant")
+
+  private def turnTokens(t: Column): Column =
+    TextFunctions.tokenCount(t.getField("content"))
+
+  /**
+   * Structural validation of a conversation column. Each check is its
+   * own boolean column (a curation funnel wants per-check rates, not
+   * one opaque verdict), plus the conjunction `chat_ok`:
+   *
+   *  - `starts_user`: first non-`system` turn has role `user` (a
+   *    leading system prompt is allowed);
+   *  - `alternates`: no two consecutive non-`system` turns share a
+   *    role;
+   *  - `ends_assistant`: last turn is an `assistant` turn (a trailing
+   *    user turn has no supervision target);
+   *  - `has_empty_turn`: any turn whose content is blank;
+   *  - `has_bad_role`: any role outside {system, user, assistant};
+   *  - `chat_ok`: non-empty ∧ starts_user ∧ alternates ∧
+   *    ends_assistant ∧ ¬has_empty_turn ∧ ¬has_bad_role.
+   *
+   * Empty conversations: starts_user/ends_assistant false, alternates
+   * vacuously true, chat_ok false.
+   *
+   * 100 TB design: zero-shuffle row-local projection; every check is
+   * a codegen'd higher-order function over the turn array.
+   */
+  def validateChat(df: DataFrame, convCol: String): DataFrame = {
+    val conv = col(convCol)
+    val nonSys = filter(conv, t => t.getField("role") =!= "system")
+    val startsUser = coalesce(
+      element_at(nonSys, 1).getField("role") === "user", lit(false))
+    // zip each non-system turn with its successor (zip_with pads the
+    // shorter side with null -> null comparison, which `exists`
+    // treats as not-true); any equal-role pair breaks alternation
+    val alternates = coalesce(!exists(
+      zip_with(nonSys, slice(nonSys, lit(2), size(nonSys)),
+        (a, b) => a.getField("role") === b.getField("role")),
+      x => x), lit(true))
+    val endsAssistant = coalesce(
+      element_at(conv, -1).getField("role") === "assistant", lit(false))
+    val hasEmpty = coalesce(
+      exists(conv, t => length(trim(t.getField("content"))) === 0), lit(false))
+    val hasBadRole = coalesce(
+      exists(conv, t => !t.getField("role").isin(RoleVocab: _*)), lit(false))
+    df.withColumn("starts_user", startsUser)
+      .withColumn("alternates", alternates)
+      .withColumn("ends_assistant", endsAssistant)
+      .withColumn("has_empty_turn", hasEmpty)
+      .withColumn("has_bad_role", hasBadRole)
+      .withColumn("chat_ok",
+        coalesce(size(conv) > 0, lit(false)) && startsUser && alternates &&
+          endsAssistant && !hasEmpty && !hasBadRole)
+  }
+
+  /**
+   * Render a conversation to the single string the tokenizer consumes
+   * — a ChatML-shaped template: each turn becomes
+   * `<|role|>\n` + content + `<|end|>\n`, concatenated in order. The
+   * exact token spelling is a tokenizer-contract detail; the operator
+   * contract is deterministic order-preserving flattening.
+   *
+   * 100 TB design: zero-shuffle projection (`transform` +
+   * `array_join`); rendered text is born on the executor that read
+   * the row.
+   */
+  def renderChat(df: DataFrame, convCol: String,
+                 outCol: String = "rendered"): DataFrame =
+    df.withColumn(outCol, array_join(
+      transform(col(convCol), t =>
+        concat(lit("<|"), t.getField("role"), lit("|>\n"),
+          t.getField("content"), lit("<|end|>\n"))), ""))
+
+  /**
+   * Per-conversation accounting card: turn counts and token counts by
+   * role, plus the longest single turn — the columns SFT length
+   * filtering, packing ([[TextStats.packSequences]] on the rendered
+   * string), and "assistant tokens carry the loss" budget math read.
+   *
+   * Output: input + (n_turns, n_user_turns, n_assistant_turns,
+   * n_user_tokens, n_assistant_tokens, max_turn_tokens). Token counts
+   * use the `\S+` scan ([[TextFunctions.tokenCount]]);
+   * `max_turn_tokens` is NULL for an empty conversation.
+   *
+   * 100 TB design: zero-shuffle row-local projection; one pass over
+   * the turn array per statistic, all codegen'd.
+   */
+  def chatStats(df: DataFrame, convCol: String): DataFrame = {
+    val conv = col(convCol)
+    def roleCount(role: String): Column =
+      size(filter(conv, t => t.getField("role") === role)).cast(LongType)
+    def roleTokens(role: String): Column =
+      aggregate(filter(conv, t => t.getField("role") === role), lit(0L),
+        (acc, t) => acc + turnTokens(t))
+    df.withColumn("n_turns", size(conv).cast(LongType))
+      .withColumn("n_user_turns", roleCount("user"))
+      .withColumn("n_assistant_turns", roleCount("assistant"))
+      .withColumn("n_user_tokens", roleTokens("user"))
+      .withColumn("n_assistant_tokens", roleTokens("assistant"))
+      .withColumn("max_turn_tokens", array_max(transform(conv, turnTokens(_))))
+  }
+
+  /**
+   * Loss-mask spans: for each turn, its [start_tok, end_tok) range in
+   * the token stream of the concatenated conversation — the mask a
+   * trainer applies so only assistant spans contribute loss after
+   * [[renderChat]] + tokenize-and-pack. Offsets count `\S+` tokens of
+   * turn CONTENT only (template tokens are a tokenizer-side constant
+   * per turn and are excluded by contract).
+   *
+   * Output: one row per turn — (id, turn_idx, role, n_turn_tokens,
+   * start_tok, end_tok), turn_idx 0-based in conversation order.
+   *
+   * 100 TB design: the running offsets are computed ROW-LOCALLY with
+   * a single `aggregate` fold carrying (offset, spans) — NO window
+   * over exploded turns (that would shuffle the corpus on id and sort
+   * each conversation's rows); the explode happens after spans are
+   * final, so the shuffle-free projection emits finished rows.
+   */
+  def chatTokenSpans(df: DataFrame, idCol: String, convCol: String): DataFrame = {
+    val spanType = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("n_turn_tokens", LongType),
+      StructField("start_tok", LongType), StructField("end_tok", LongType))))
+    val spans = aggregate(col(convCol),
+      struct(lit(0L).as("off"), lit(null).cast(spanType).as("sp")),
+      (acc, t) => {
+        val n = turnTokens(t)
+        val off = acc.getField("off")
+        struct((off + n).as("off"),
+          concat(coalesce(acc.getField("sp"), array().cast(spanType)),
+            array(struct(t.getField("role").as("role"), n.as("n_turn_tokens"),
+              off.as("start_tok"), (off + n).as("end_tok"))).cast(spanType))
+            .as("sp"))
+      },
+      acc => coalesce(acc.getField("sp"), array().cast(spanType)))
+    df.select(col(idCol), posexplode(spans).as(Seq("turn_idx", "__t")))
+      .select(col(idCol), col("turn_idx").cast(LongType).as("turn_idx"),
+        col("__t.role").as("role"),
+        col("__t.n_turn_tokens").as("n_turn_tokens"),
+        col("__t.start_tok").as("start_tok"),
+        col("__t.end_tok").as("end_tok"))
+  }
+
+  /**
+   * Assistant-response dedup: conversations whose NORMALIZED
+   * assistant turns (lowercased, whitespace-collapsed, concatenated
+   * in order) are identical keep only the lowest-id exemplar — the
+   * SFT near-dup mode doc-level dedup misses, because paraphrased
+   * prompts wrap the same answer. Returns kept rows with `n_copies`
+   * (family size, ≥ 1).
+   *
+   * 100 TB design: the group key leaving the executor is a 16-byte
+   * `sha2` fingerprint of the normalized assistant text, never the
+   * text itself ([[Dedup]]'s fingerprint-shuffle contract); one
+   * partially-aggregated groupBy + one fingerprint-keyed semi join.
+   */
+  def dedupByAssistant(df: DataFrame, idCol: String, convCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(array_join(
+      transform(filter(col(convCol), t => t.getField("role") === "assistant"),
+        t => t.getField("content")), " ")), "\\s+", " "))
+    val withFp = df.withColumn("__fp", sha2(norm, 256))
+    val winners = withFp.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("n_copies"))
+    withFp.join(winners,
+        withFp("__fp") === winners("__fp") && col(idCol) === col("__keep"))
+      .select(df.columns.map(col) :+ col("n_copies"): _*)
+  }
+}

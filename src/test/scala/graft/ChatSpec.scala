@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.Chat
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChatSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val convType = ArrayType(StructType(Seq(
+    StructField("role", StringType), StructField("content", StringType))))
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("conv", convType)))
+
+  private def conv(turns: (String, String)*): Seq[Row] =
+    turns.map { case (r, c) => Row(r, c) }
+
+  private def frame(rows: (Long, Seq[Row])*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, c) => Row(i, c) }),
+      schema)
+
+  private lazy val planted = frame(
+    1L -> conv("user" -> "hi there", "assistant" -> "hello friend"),
+    2L -> conv("system" -> "be terse", "user" -> "hi", "assistant" -> "yo"),
+    3L -> conv("assistant" -> "i speak first"),               // bad start
+    4L -> conv("user" -> "a", "user" -> "b", "assistant" -> "c"), // nonalternating
+    5L -> conv("user" -> "q", "assistant" -> "ans", "user" -> "thanks"), // bad end
+    6L -> conv("user" -> "q", "assistant" -> "   "),          // empty turn
+    7L -> conv("user" -> "q", "tool" -> "x", "assistant" -> "a"), // bad role
+    8L -> Seq.empty[Row])                                     // empty conv
+
+  test("validateChat flags each structural defect independently") {
+    val v = Chat.validateChat(planted, "conv")
+      .select("id", "chat_ok", "starts_user", "alternates",
+        "ends_assistant", "has_empty_turn", "has_bad_role")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(v(1L) == ((true, true, true, true, false, false)))
+    assert(v(2L) == ((true, true, true, true, false, false)),
+      "leading system prompt is allowed")
+    assert(!v(3L)._1 && !v(3L)._2, "assistant-first fails starts_user")
+    assert(!v(4L)._1 && !v(4L)._3, "user,user breaks alternation")
+    assert(!v(5L)._1 && !v(5L)._4, "trailing user turn fails ends_assistant")
+    assert(!v(6L)._1 && v(6L)._5, "blank content flags has_empty_turn")
+    assert(!v(7L)._1 && v(7L)._6, "role 'tool' flags has_bad_role")
+    assert(v(8L) == ((false, false, true, false, false, false)),
+      "empty conversation: vacuous alternation, everything else fails")
+  }
+
+  test("renderChat flattens in order with the ChatML-shaped template") {
+    val r = Chat.renderChat(planted.filter(col("id") === 2), "conv")
+      .select("rendered").collect()(0).getString(0)
+    assert(r ==
+      "<|system|>\nbe terse<|end|>\n<|user|>\nhi<|end|>\n<|assistant|>\nyo<|end|>\n")
+    val empty = Chat.renderChat(planted.filter(col("id") === 8), "conv")
+      .select("rendered").collect()(0).getString(0)
+    assert(empty == "")
+  }
+
+  test("chatStats counts turns and tokens by role") {
+    val s = Chat.chatStats(planted.filter(col("id") === 2), "conv")
+      .select("n_turns", "n_user_turns", "n_assistant_turns",
+        "n_user_tokens", "n_assistant_tokens", "max_turn_tokens")
+      .collect()(0)
+    assert(s.getLong(0) == 3 && s.getLong(1) == 1 && s.getLong(2) == 1)
+    assert(s.getLong(3) == 1 && s.getLong(4) == 1)
+    assert(s.getLong(5) == 2, "system 'be terse' is the longest turn")
+    val e = Chat.chatStats(planted.filter(col("id") === 8), "conv")
+      .select("n_turns", "max_turn_tokens").collect()(0)
+    assert(e.getLong(0) == 0 && e.isNullAt(1),
+      "empty conversation: zero turns, NULL max")
+  }
+
+  test("chatTokenSpans assigns contiguous half-open token ranges") {
+    val rows = Chat.chatTokenSpans(
+      planted.filter(col("id") === 1), "id", "conv")
+      .orderBy("turn_idx").collect()
+    assert(rows.map(r => (r.getLong(1), r.getString(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))).toSeq == Seq(
+      (0L, "user", 2L, 0L, 2L), (1L, "assistant", 2L, 2L, 4L)))
+    // spans tile the stream: each start equals the previous end, and
+    // the final end is the total content token count
+    val multi = frame(9L -> conv("user" -> "one two three",
+      "assistant" -> "four", "user" -> "five six", "assistant" -> "seven"))
+    val sp = Chat.chatTokenSpans(multi, "id", "conv")
+      .orderBy("turn_idx").collect()
+      .map(r => (r.getLong(4), r.getLong(5)))
+    assert(sp.head._1 == 0L && sp.last._2 == 7L)
+    assert(sp.sliding(2).forall(w => w.size < 2 || w(0)._2 == w(1)._1))
+    // empty conversation contributes no rows
+    assert(Chat.chatTokenSpans(planted.filter(col("id") === 8), "id", "conv")
+      .isEmpty)
+  }
+
+  test("dedupByAssistant keeps the lowest id per normalized answer set") {
+    val d = frame(
+      1L -> conv("user" -> "how do i sort", "assistant" -> "Use  Merge   Sort"),
+      2L -> conv("user" -> "what's a fast sort algo?",
+        "assistant" -> "use merge sort"),   // same answer, different prompt
+      3L -> conv("user" -> "x", "assistant" -> "different answer"),
+      4L -> conv("user" -> "y", "assistant" -> "use merge",
+        "assistant" -> "sort"))            // same concat after normalization
+    val kept = Chat.dedupByAssistant(d, "id", "conv")
+      .select("id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(1L -> 3L, 3L -> 1L),
+      s"1,2,4 share one normalized answer; got $kept")
+  }
+
+  test("chat operators are zero-shuffle projections (scale contract)") {
+    val v = Chat.validateChat(planted, "conv")
+    val r = Chat.renderChat(planted, "conv")
+    val s = Chat.chatStats(planted, "conv")
+    val sp = Chat.chatTokenSpans(planted, "id", "conv")
+    for ((df, name) <- Seq(v -> "validateChat", r -> "renderChat",
+      s -> "chatStats", sp -> "chatTokenSpans")) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name must not shuffle, plan:\n$plan")
+    }
+  }
+}
