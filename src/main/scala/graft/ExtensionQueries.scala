@@ -1631,6 +1631,21 @@ object ExtensionQueries {
       det(graft.operators.Chat.dedupByAssistant(chatFrame(s, dir),
         "doc_id", "conv")
         .select(col("doc_id"), col("n_copies")))),
+
+    // exact token-boundary phrase search (overlap-counting), zero-shuffle
+    "q_text_phrase" -> ((s, dir) =>
+      det(graft.operators.TextStats.phraseSearch(docs(s, dir),
+        "doc_id", "text", "fast merge"))),
+
+    // WFQ weighted interleave: en:de:fr = 4:2:1, unlisted langs drop;
+    // every prefix of the (interleave_key, lang, doc_id) order holds
+    // the strata in ~4:2:1 proportion
+    "q_sample_interleave" -> ((s, dir) =>
+      det(graft.operators.Sampling.interleaveByMixture(docs(s, dir),
+        "lang", "doc_id", Map("en" -> 4.0, "de" -> 2.0, "fr" -> 1.0),
+        seed = 42L, shards = 8)
+        .select(col("doc_id"), col("lang"), col("stratum_rank"),
+          col("interleave_key")))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3717,6 +3732,39 @@ object ExtensionQueries {
          |  CAST(count(*) AS BIGINT) AS n_copies
          |FROM fp GROUP BY k
          |ORDER BY doc_id $N1, n_copies $N1""".stripMargin,
+    // sliding token-window compare, overlap-counting — same window
+    // definition as the operator (range is empty when len(toks) < 2)
+    "q_text_phrase" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(list_filter(range(1, len(toks) - 2 + 2),
+         |      i -> array_to_string(toks[i:i+1], ' ') = 'fast merge'))
+         |      AS BIGINT) AS n_matches
+         |  FROM t WHERE len(toks) >= 2)
+         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+         |ORDER BY doc_id $N1, n_matches $N1""".stripMargin,
+    // the md5 shard/uniform replay of q_sample_shuffle, ranked within
+    // each stratum by (shard, uniform, key) — exactly the operator's
+    // sharded-rank decomposition — then the WFQ virtual finish time
+    "q_sample_interleave" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    md5('42#' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         |a AS (SELECT doc_id, lang,
+         |    ('0x' || substring(m, 1, 8))::BIGINT / 4294967296.0 AS uni,
+         |    CAST(('0x' || substring(m, 9, 8))::BIGINT % 8 AS INT) AS shard,
+         |    CASE lang WHEN 'en' THEN 4.0 WHEN 'de' THEN 2.0
+         |      WHEN 'fr' THEN 1.0 ELSE 0.0 END AS w
+         |  FROM h),
+         |r AS (SELECT doc_id, lang, w,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY shard, uni, doc_id) - 1 AS BIGINT) AS sr
+         |  FROM a WHERE w > 0)
+         |SELECT doc_id, lang, sr AS stratum_rank,
+         |  (CAST(sr AS DOUBLE) + 0.5) / w AS interleave_key
+         |FROM r
+         |ORDER BY doc_id $N1, lang $N1, stratum_rank $N1,
+         |  interleave_key $N1""".stripMargin,
   )
 
   // the config-compiled pipeline must be bit-identical to the

@@ -552,4 +552,64 @@ object Sampling {
       .withColumn("shard", col("__shard"))
       .drop("__u", "__shard")
   }
+
+  /**
+   * Deterministic weighted INTERLEAVE of strata into one training
+   * order — the "read 4 web docs per book doc per code doc" schedule a
+   * multi-corpus pretraining run consumes. Each stratum's rows are
+   * first put in a seeded pseudorandom within-stratum order, then
+   * assigned a weighted-fair-queueing virtual finish time
+   * `interleave_key = (stratum_rank + 0.5) / weight` — sorting the
+   * output by (interleave_key, stratum, key) yields a total order in
+   * which every prefix contains strata in proportion to their weights
+   * (the WFQ property), degrading gracefully when a stratum runs out.
+   * Rows of strata not in `weights` get `default`; weight <= 0 drops
+   * the stratum. All-integer ranks + one IEEE division: bit-stable
+   * across runs AND engines (no `ln`/`pow`, whose libm rounding
+   * differs), resumable mid-stream at any virtual time.
+   *
+   * 100 TB design: NO per-stratum global window (that would serialize
+   * each stratum through one task). The exact within-stratum rank
+   * decomposes into a seeded-hash SHARD rank plus a per-(stratum,
+   * shard) offset: ranks come from windows over (stratum, shard) —
+   * per-task state is stratum/`shards`-bounded, the [[globalShuffle]]
+   * contract — and offsets from an exclusive prefix sum over the
+   * (strata × shards)-row count frame, broadcast back. One data
+   * shuffle total; the within-stratum order is (shard, uniform, key),
+   * every component of which is hash-derived and engine-replayable.
+   *
+   * Output: input columns + (stratum_rank, interleave_key).
+   */
+  def interleaveByMixture(df: DataFrame, stratumCol: String, keyCol: String,
+                          weights: Map[String, Double], seed: Long,
+                          shards: Int = 64,
+                          default: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "need at least one stratum weight")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val w = weights.foldLeft(lit(default)) { case (acc, (value, x)) =>
+      when(col(stratumCol) === lit(value), lit(x)).otherwise(acc)
+    }
+    val m = md5(concat_ws("#", lit(seed), col(keyCol).cast(StringType)))
+    val shard = pmod(conv(substring(m, 9, 8), 16, 10).cast(LongType),
+      lit(shards.toLong)).cast(IntegerType)
+    val u = conv(substring(m, 1, 8), 16, 10).cast(DoubleType) / lit(4294967296.0)
+    val kept = df.withColumn("__w", w).filter(col("__w") > 0)
+      .withColumn("__shard", shard).withColumn("__u", u)
+    val localW = Window.partitionBy(col(stratumCol), col("__shard"))
+      .orderBy(col("__u"), col(keyCol))
+    val offsets = kept.groupBy(col(stratumCol).as("__st"), col("__shard").as("__sh"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.partitionBy(col("__st")).orderBy(col("__sh"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    kept
+      .withColumn("__r", row_number().over(localW).cast(LongType) - 1)
+      .join(broadcast(offsets),
+        col(stratumCol) === col("__st") && col("__shard") === col("__sh"))
+      .withColumn("stratum_rank", col("__off") + col("__r"))
+      .withColumn("interleave_key",
+        (col("stratum_rank").cast(DoubleType) + lit(0.5)) / col("__w"))
+      .drop("__w", "__shard", "__u", "__r", "__st", "__sh", "__off")
+  }
 }

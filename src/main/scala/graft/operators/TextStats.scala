@@ -1597,6 +1597,45 @@ object TextStats {
    * (score desc, doc_id asc); only documents sharing at least one term
    * with the query appear.
    */
+  /**
+   * Exact token-boundary phrase search: documents containing the
+   * query phrase as a CONSECUTIVE whitespace-token run, with the
+   * (overlap-counting) occurrence count — the "find every document
+   * containing this exact sentence" primitive decontamination
+   * spot-checks, attribution lookups, and corpus forensics reach for
+   * first. Token-boundary semantics, not substring: "able par" never
+   * matches "table part", and "fast merge" will not match inside
+   * "breakfast merged" — LIKE '%...%' gets both wrong.
+   *
+   * 100 TB design: one ZERO-SHUFFLE codegen'd projection over the
+   * scan — the sliding-window compare (`filter` over an index
+   * `sequence`, `slice` + `array_join` against the phrase literal) is
+   * row-local, so cost is a single corpus read regardless of phrase
+   * length; the output filter prunes non-matching docs before
+   * anything leaves the executor. For REPEATED phrase workloads over
+   * a static corpus, build the n-gram postings of [[DedupIndex]] /
+   * [[graft.functions.ShingleHashes]] once and probe it instead —
+   * this operator is the one-shot/streaming-friendly path.
+   *
+   * Output: (id, n_matches), n_matches >= 1 (overlapping occurrences
+   * all count; non-matching docs are dropped).
+   */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").filter(_.nonEmpty)
+    require(words.nonEmpty, "phrase must contain at least one token")
+    val n = words.length
+    val target = words.mkString(" ")
+    val toks = graft.functions.TextFunctions.whitespaceTokens(col(textCol))
+    val matches = when(size(toks) >= n,
+      size(filter(sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " ") === lit(target)))
+        .cast(LongType))
+      .otherwise(lit(0L))
+    docs.select(col(idCol), matches.as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -439,4 +439,46 @@ class SamplingSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
       "must not globally sort the corpus")
   }
+
+  test("interleaveByMixture: WFQ prefix proportions, determinism, sharded ranks") {
+    val weights = Map("en" -> 4.0, "de" -> 2.0, "fr" -> 1.0)
+    val out = graft.operators.Sampling.interleaveByMixture(
+      docs, "lang", "doc_id", weights, seed = 42L, shards = 8)
+    val rows = out.select("doc_id", "lang", "stratum_rank", "interleave_key")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // unlisted strata (es, zh) drop
+    assert(rows.forall(r => weights.contains(r._2)))
+    // stratum_rank is a within-stratum permutation 0..n-1
+    for ((lang, g) <- rows.groupBy(_._2))
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq,
+        s"ranks of $lang must be a 0-based permutation")
+    // WFQ: in the key-sorted order, each prefix holds strata ~w-proportional
+    // (until a stratum is exhausted) — check the first 140 rows: en:de:fr
+    // should be near 4:2:1 = 80:40:20
+    val order = rows.sortBy(r => (r._4, r._2, r._1)).take(140)
+    val mix = order.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(mix("en") - 80) <= 8 && math.abs(mix("de") - 40) <= 8 &&
+      math.abs(mix("fr") - 20) <= 8, s"prefix mix $mix far from 4:2:1")
+    // deterministic across runs
+    val again = graft.operators.Sampling.interleaveByMixture(
+      docs, "lang", "doc_id", weights, seed = 42L, shards = 8)
+      .select("doc_id", "interleave_key").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rows.forall(r => again(r._1) == r._4))
+    // scale shape: every window partitions on (stratum, shard) — never
+    // on the stratum alone (that would serialize a stratum into one task)
+    // on the stratum alone: the corpus-side row_number window (the one
+    // computing __r) must carry the shard in its partition spec — the
+    // only single-column window allowed is the strata×shards-row
+    // offsets frame (partitioned by __st)
+    val winSpecs = PlanWalk.executedNodes(out).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(winSpecs.exists(s => s.length == 2 && s.exists(_.contains("__shard"))),
+      s"corpus-side window must partition on (stratum, __shard), got $winSpecs")
+    assert(winSpecs.forall(s => s.length == 2 || s.exists(_.contains("__st"))),
+      s"no corpus window may partition on the stratum alone, got $winSpecs")
+  }
 }

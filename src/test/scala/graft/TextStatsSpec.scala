@@ -1086,4 +1086,33 @@ class TextStatsSpec extends AnyFunSuite {
     })
     assert(!wordKeyed, "no shuffle may be keyed on token text")
   }
+
+  test("phraseSearch: token boundaries, overlap counting, zero shuffle") {
+    val docs = Seq(
+      (1L, "the cat sat on the cat sat mat"),  // "cat sat" twice
+      (2L, "concatenate satellites"),          // substring, NOT a token match
+      (3L, "cat sat"),                         // exact doc == phrase
+      (4L, "cat  \t sat"),                     // any whitespace run splits
+      (5L, "a a a a"),                         // overlapping "a a" -> 3
+      (6L, "cat"),                             // shorter than the phrase
+      (7L, "sat cat")                          // right words, wrong order
+    ).toDF("doc_id", "text")
+    val out = TextStats.phraseSearch(docs, "doc_id", "text", "cat sat")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L), s"got $out")
+    val ov = TextStats.phraseSearch(docs, "doc_id", "text", "a a")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ov == Map(5L -> 3L), "overlapping occurrences all count")
+    // phrase normalization: interior whitespace runs collapse
+    val norm = TextStats.phraseSearch(docs, "doc_id", "text", "  cat \n sat ")
+      .collect().map(_.getLong(0)).toSet
+    assert(norm == Set(1L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      TextStats.phraseSearch(docs, "doc_id", "text", "   ")
+    }
+    // scale shape: a pure filter+projection over the scan — no exchange
+    val plan = TextStats.phraseSearch(docs, "doc_id", "text", "cat sat")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"phraseSearch must not shuffle:\n$plan")
+  }
 }
