@@ -1637,6 +1637,32 @@ object ExtensionQueries {
       det(graft.operators.TextStats.phraseSearch(docs(s, dir),
         "doc_id", "text", "fast merge"))),
 
+    // Misra-Gries heavy hitters: sketchK=64 >= the corpus vocabulary
+    // (31), so the sketch is provably exact and the DuckDB exact top-10
+    // grades it; the approximate regime is pinned by q_gate_topk_sketch
+    "q_text_topk_sketch" -> ((s, dir) =>
+      det(graft.operators.TextStats.approxTopTokens(docs(s, dir), "text",
+        sketchK = 64, topM = 10))),
+
+    // guarantee gate for the APPROXIMATE regime (k=8 < 31 distinct):
+    // every token with true count > n/(k+1) must appear in the sketch,
+    // and every sketch count must sit within [true - n/(k+1), true]
+    "q_gate_topk_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val exact = graft.operators.TextStats.vocabulary(docs(s, dir), "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = exact.values.sum
+      val k = 8
+      val err = n / (k + 1)
+      val sk = graft.operators.TextStats.approxTopTokens(docs(s, dir), "text",
+        sketchK = k, topM = k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mustHave = exact.filter(_._2 > err).keySet
+      val ok = mustHave.subsetOf(sk.keySet) &&
+        sk.forall { case (t, c) => c <= exact(t) && c >= exact(t) - err }
+      det(Seq(if (ok) 1 else 0).toDF("ok"))
+    }),
+
     // WFQ weighted interleave: en:de:fr = 4:2:1, unlisted langs drop;
     // every prefix of the (interleave_key, lang, doc_id) order holds
     // the strata in ~4:2:1 proportion
@@ -3744,6 +3770,15 @@ object ExtensionQueries {
          |  FROM t WHERE len(toks) >= 2)
          |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
          |ORDER BY doc_id $N1, n_matches $N1""".stripMargin,
+    // the sketch is exact at k=64 >= 31 distinct tokens, so the oracle
+    // is the plain exact top-10 by (count desc, token asc)
+    "q_text_topk_sketch" ->
+      s"""WITH v AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS count_min
+         |  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+         |        FROM documents) GROUP BY tok)
+         |SELECT token, count_min FROM v
+         |ORDER BY count_min DESC, token LIMIT 10""".stripMargin,
+    "q_gate_topk_sketch" -> "SELECT CAST(1 AS INT) AS ok",
     // the md5 shard/uniform replay of q_sample_shuffle, ranked within
     // each stratum by (shard, uniform, key) — exactly the operator's
     // sharded-rank decomposition — then the WFQ virtual finish time
