@@ -1637,6 +1637,21 @@ object ExtensionQueries {
       det(graft.operators.TextStats.phraseSearch(docs(s, dir),
         "doc_id", "text", "fast merge"))),
 
+    // within-doc duplicate-line removal over multi-line docs built
+    // from 2-word chunks (construction mirrored in the oracle)
+    "q_clean_dedup_lines" -> ((s, dir) => {
+      val toks = TextFunctions.whitespaceTokens(col("text"))
+      val ml = docs(s, dir).select(col("doc_id"),
+        when(size(toks) > 0, array_join(
+          transform(
+            sequence(lit(0), ceil(size(toks) / lit(2.0)).cast(IntegerType) - 1),
+            i => array_join(slice(toks, i * lit(2) + 1, lit(2)), " ")), "\n"))
+          .otherwise(lit("")).as("text"))
+      det(graft.operators.CorpusClean.dedupLinesWithinDoc(ml, "text")
+        .select(col("doc_id"), col("text"), col("n_lines"),
+          col("n_dup_lines_removed")))
+    }),
+
     // Misra-Gries heavy hitters: sketchK=64 >= the corpus vocabulary
     // (31), so the sketch is provably exact and the DuckDB exact top-10
     // grades it; the approximate regime is pinned by q_gate_topk_sketch
@@ -3770,6 +3785,31 @@ object ExtensionQueries {
          |  FROM t WHERE len(toks) >= 2)
          |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
          |ORDER BY doc_id $N1, n_matches $N1""".stripMargin,
+    // first-occurrence line keep (blank lines exempt), 2-word-chunk
+    // multi-line construction mirrored from the Spark side
+    "q_clean_dedup_lines" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+         |  FROM documents),
+         |ml AS (SELECT doc_id, array_to_string(list_transform(
+         |    range(0, CAST(ceil(len(toks)/2.0) AS BIGINT)),
+         |    i -> array_to_string(toks[i*2+1 : i*2+2], ' ')), chr(10)) AS text
+         |  FROM t),
+         |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM ml),
+         |n AS (SELECT doc_id, lines, list_transform(lines,
+         |    x -> trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))) AS normed
+         |  FROM l),
+         |k AS (SELECT doc_id, lines, list_filter(range(1, len(lines)+1),
+         |    i -> normed[i] = '' OR list_position(normed, normed[i]) = i)
+         |    AS kept
+         |  FROM n)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(kept, i -> lines[i]), chr(10))
+         |    AS text,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_dup_lines_removed
+         |FROM k
+         |ORDER BY doc_id $N1, text $N1, n_lines $N1,
+         |  n_dup_lines_removed $N1""".stripMargin,
     // the sketch is exact at k=64 >= 31 distinct tokens, so the oracle
     // is the plain exact top-10 by (count desc, token asc)
     "q_text_topk_sketch" ->

@@ -166,6 +166,47 @@ object CorpusClean {
   }
 
   /**
+   * WITHIN-document duplicate-line removal — the RefinedWeb/CCNet
+   * intra-doc step [[filterLines]]'s rule filters don't do: keep only
+   * the FIRST occurrence of each line, compared on a normalized form
+   * (lowercased, whitespace-collapsed, trimmed), so navigation chrome
+   * and repeated boilerplate inside one page collapse while paragraph
+   * structure survives. Blank lines are never deduped (they are
+   * layout, not content). Line = `\n` split, consistent with
+   * [[filterLines]].
+   *
+   * Output: input columns with `textCol` rebuilt from the kept lines
+   * plus `n_lines` and `n_dup_lines_removed`. NULL text passes
+   * through (NULL counts, text stays NULL).
+   *
+   * 100 TB design: entirely row-local — one split + HOF index filter
+   * (`array_position(normed, normed[i]) == i`, first-occurrence test)
+   * riding the scan; zero shuffle. CROSS-document line dedup is
+   * [[Dedup.dedupLines]] — this is its cheap intra-doc complement,
+   * composed before it so cross-doc statistics are not inflated by
+   * within-doc repeats.
+   */
+  def dedupLinesWithinDoc(docs: DataFrame, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val normed = transform(lines,
+      l => trim(regexp_replace(lower(l), "\\s+", " ")))
+    val keptIdx = filter(sequence(lit(1), size(lines)), i =>
+      element_at(normed, i) === "" ||
+        array_position(normed, element_at(normed, i)) === i)
+    docs
+      .withColumn("__lines", when(col(textCol).isNotNull, lines))
+      .withColumn("__kept", when(col(textCol).isNotNull, keptIdx))
+      .withColumn("n_lines", when(col("__lines").isNotNull,
+        size(col("__lines")).cast(LongType)))
+      .withColumn("n_dup_lines_removed", when(col("__kept").isNotNull,
+        (size(col("__lines")) - size(col("__kept"))).cast(LongType)))
+      .withColumn(textCol, when(col("__lines").isNotNull,
+        array_join(transform(col("__kept"),
+          i => element_at(col("__lines"), i)), "\n")))
+      .drop("__lines", "__kept")
+  }
+
+  /**
    * Row-PRESERVING quality filter — [[clean]]'s signal conjunction
    * (langid ∈ langs, quality ≥ minQuality, top-bigram ≤ max) applied
    * as a filter that keeps the frame's own columns, WITHOUT the exact

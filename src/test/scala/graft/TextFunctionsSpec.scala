@@ -432,4 +432,34 @@ class TextFunctionsSpec extends AnyFunSuite {
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
       "filterLines must not shuffle")
   }
+
+  test("dedupLinesWithinDoc keeps first occurrences, spares blanks, row-local") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Home | About\ncontent one\nHome | About\ncontent two\nhome |  about"),
+      (2L, "a\n\nb\n\nc"),          // blank lines never dedup
+      (3L, "unique one\nunique two"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.operators.CorpusClean.dedupLinesWithinDoc(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // normalized compare: case + interior whitespace runs fold together
+    assert(out(1L).getString(1) == "Home | About\ncontent one\ncontent two",
+      s"got ${out(1L).getString(1)}")
+    assert(out(1L).getAs[Long]("n_lines") == 5L &&
+      out(1L).getAs[Long]("n_dup_lines_removed") == 2L)
+    assert(out(2L).getString(1) == "a\n\nb\n\nc" &&
+      out(2L).getAs[Long]("n_dup_lines_removed") == 0L,
+      "blank lines are layout, not dupes")
+    assert(out(3L).getString(1) == "unique one\nunique two")
+    assert(out(4L).isNullAt(1) &&
+      out(4L).isNullAt(out(4L).fieldIndex("n_lines")),
+      "NULL text passes through")
+    // scale shape: zero shuffle
+    val nodes = PlanWalk.executedNodes(
+      graft.operators.CorpusClean.dedupLinesWithinDoc(docs, "text"))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "dedupLinesWithinDoc must not shuffle")
+  }
 }
