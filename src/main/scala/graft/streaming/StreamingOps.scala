@@ -211,6 +211,30 @@ object StreamingOps {
     graft.operators.CorpusClean.filterLines(docs, textCol, minLineChars,
       maxUpperRatio, maxDigitRatio, boilerplate, maxRemovedShare)
 
+  /**
+   * Chat/SFT intake validation + accounting for a STREAMING
+   * conversation frame — the incremental twin of
+   * [[graft.operators.Chat.validateChat]] + [[graft.operators.Chat.chatStats]]
+   * (and optionally [[graft.operators.Chat.renderChat]] when `render`):
+   * every check and statistic is a row-local higher-order-function
+   * projection over the turn array, so the micro-batch plan is the
+   * batch plan unchanged — stateless, no state store, no watermark,
+   * decisions equal batch row-for-row (StreamingOpsSpec asserts
+   * this). The SFT intake recipe: validate → filter `chat_ok` →
+   * stats-based length filtering → render for the tokenizer,
+   * entirely inside one streaming projection. Cross-conversation
+   * assistant-response dedup is NOT stateless — route that through
+   * [[streamingExactDedup]] on the rendered/normalized string with a
+   * watermark, or the persisted-index batch path.
+   */
+  def streamingChatIntake(convs: DataFrame, convCol: String,
+                          render: Boolean = false): DataFrame = {
+    val validated = graft.operators.Chat.chatStats(
+      graft.operators.Chat.validateChat(convs, convCol), convCol)
+    if (render) graft.operators.Chat.renderChat(validated, convCol)
+    else validated
+  }
+
   /** Quality-score projection for a STREAMING document frame — the
     * incremental twin of the batch `q_text_quality` path, staged on the
     * same native one-pass TokenProfile expression. Stateless (one

@@ -745,4 +745,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == want, "micro-batch corrections must equal batch row-for-row")
     assert(!got.exists(_._1 == 3L), "all-furniture doc dropped in the stream too")
   }
+
+  test("streaming chat intake equals batch validate+stats+render row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // conversations arrive as (id, rendered-ish packed string) and are
+    // rebuilt into turn arrays inside the stream — a stateless projection
+    val rows = Seq(
+      (1L, "user|hi there;assistant|hello friend"),
+      (2L, "user|question;user|again;assistant|answer"), // nonalternating
+      (3L, "assistant|i go first"),                      // bad start
+      (4L, "user|q;assistant|"))                         // empty turn
+    def toConv(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("conv", transform(split(col("packed"), ";"), t =>
+        struct(split(t, "\\|").getItem(0).as("role"),
+          coalesce(split(t, "\\|").getItem(1), lit("")).as("content"))))
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingChatIntake(
+      toConv(mem.toDF().toDF("id", "packed")), "conv", render = true)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_chat")
+      .outputMode("append").start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    val cols = Seq("id", "chat_ok", "n_turns", "n_assistant_tokens", "rendered")
+    val got = spark.sql(s"SELECT ${cols.mkString(",")} FROM stream_chat")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val want = StreamingOps.streamingChatIntake(
+        toConv(rows.toDF("id", "packed")), "conv", render = true)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(got == want, "micro-batch chat intake must equal batch row-for-row")
+    val okById = spark.sql("SELECT id, chat_ok FROM stream_chat").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(okById == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
 }
