@@ -1637,6 +1637,13 @@ object ExtensionQueries {
       det(graft.operators.TextStats.phraseSearch(docs(s, dir),
         "doc_id", "text", "fast merge"))),
 
+    // multi-phrase search: one scan, broadcast phrase table, counts
+    // only for matched (doc, phrase) pairs; mixed phrase lengths
+    "q_text_phrase_many" -> ((s, dir) =>
+      det(graft.operators.TextStats.phraseSearchMany(docs(s, dir),
+        "doc_id", "text",
+        Seq("fast merge", "hash join", "the line sort")))),
+
     // within-doc duplicate-line removal over multi-line docs built
     // from 2-word chunks (construction mirrored in the oracle)
     "q_clean_dedup_lines" -> ((s, dir) => {
@@ -3785,6 +3792,19 @@ object ExtensionQueries {
          |  FROM t WHERE len(toks) >= 2)
          |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
          |ORDER BY doc_id $N1, n_matches $N1""".stripMargin,
+    // per-phrase sliding-window counts over a VALUES phrase table
+    "q_text_phrase_many" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+         |  FROM documents),
+         |p AS (SELECT * FROM (VALUES ('fast merge', 2), ('hash join', 2),
+         |    ('the line sort', 3)) AS v(phrase, n)),
+         |m AS (SELECT doc_id, phrase,
+         |    CAST(len(list_filter(range(1, len(toks) - n + 2),
+         |      i -> array_to_string(toks[i:i+n-1], ' ') = phrase))
+         |      AS BIGINT) AS n_matches
+         |  FROM t, p WHERE len(toks) >= n)
+         |SELECT doc_id, phrase, n_matches FROM m WHERE n_matches > 0
+         |ORDER BY doc_id $N1, phrase $N1, n_matches $N1""".stripMargin,
     // first-occurrence line keep (blank lines exempt), 2-word-chunk
     // multi-line construction mirrored from the Spark side
     "q_clean_dedup_lines" ->

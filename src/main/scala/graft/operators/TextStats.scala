@@ -1671,6 +1671,47 @@ object TextStats {
       .filter(col("n_matches") > 0)
   }
 
+  /**
+   * Multi-phrase search — [[phraseSearch]] for a whole phrase LIST in
+   * ONE corpus pass (attribution batches, decontamination spot-check
+   * lists, brand/PII phrase inventories). Same token-boundary,
+   * overlap-counting semantics per phrase.
+   *
+   * 100 TB design: the corpus is scanned ONCE regardless of phrase
+   * count — every distinct phrase LENGTH contributes its sliding
+   * windows to one flattened row-local array (a codegen'd HOF
+   * projection, no per-length scan union), the explode stream is
+   * immediately filtered by a BROADCAST join against the phrase table
+   * (non-matching windows die map-side, before any exchange), and the
+   * only shuffle is the (id, phrase) count over ACTUAL MATCHES —
+   * bounded by true occurrences, not by corpus tokens. P phrases cost
+   * one scan + O(L · distinct lengths) window builds per doc.
+   *
+   * Output: (id, phrase, n_matches), matched (id, phrase) pairs only;
+   * phrases are whitespace-normalized and deduplicated first.
+   */
+  def phraseSearchMany(docs: DataFrame, idCol: String, textCol: String,
+                       phrases: Seq[String]): DataFrame = {
+    val normed = phrases.map(_.trim.split("\\s+").filter(_.nonEmpty))
+      .filter(_.nonEmpty).map(_.mkString(" ")).distinct
+    require(normed.nonEmpty, "need at least one non-blank phrase")
+    val lens = normed.map(_.split(" ").length).distinct.sorted
+    val toks = graft.functions.TextFunctions.whitespaceTokens(col(textCol))
+    val emptyArr = array().cast(ArrayType(StringType))
+    val windows = flatten(array(lens.map(n =>
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(emptyArr)): _*))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val phraseDf = normed.toDF("phrase")
+    docs.select(col(idCol), explode(windows).as("__w"))
+      .join(broadcast(phraseDf), col("__w") === col("phrase"))
+      .groupBy(col(idCol), col("phrase"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {

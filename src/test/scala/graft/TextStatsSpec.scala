@@ -1115,4 +1115,30 @@ class TextStatsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"phraseSearch must not shuffle:\n$plan")
   }
+
+  test("phraseSearchMany: mixed lengths, one scan, broadcast probe") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a cat sat and a dog ran over the mat"),
+      (3L, "dog ran dog ran dog"),
+      (4L, "nothing to see")
+    ).toDF("doc_id", "text")
+    val out = TextStats.phraseSearchMany(docs, "doc_id", "text",
+      Seq("cat sat", "dog ran", "the mat", "over the mat", "cat sat"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (1L, "cat sat") -> 1L, (1L, "the mat") -> 1L,
+      (2L, "cat sat") -> 1L, (2L, "dog ran") -> 1L,
+      (2L, "the mat") -> 1L, (2L, "over the mat") -> 1L,
+      (3L, "dog ran") -> 2L), s"got $out")
+    val nodes = PlanWalk.executedNodes(TextStats.phraseSearchMany(
+      docs, "doc_id", "text", Seq("cat sat", "over the mat")))
+    // one corpus-side explode (no per-length scan union), broadcast join
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]) == 1,
+      "exactly one explode over the single flattened window array")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "phrase table must broadcast")
+  }
 }
