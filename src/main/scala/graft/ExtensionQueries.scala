@@ -39,11 +39,11 @@ object ExtensionQueries {
     * user/assistant — same construction as the oracle's `cv` CTE
     * ([[chatCte]]), so the chat operators are graded on a
     * DuckDB-replayable `array<struct<role,content>>` column. */
-  private def chatFrame(s: SparkSession, dir: String): DataFrame = {
+  private def chatFromDocs(d: DataFrame): DataFrame = {
     val convType = ArrayType(StructType(Seq(
       StructField("role", StringType), StructField("content", StringType))))
     val toks = TextFunctions.whitespaceTokens(col("text"))
-    docs(s, dir).select(col("doc_id"),
+    d.select(col("doc_id"),
       when(size(toks) > 0,
         transform(
           sequence(lit(0), ceil(size(toks) / lit(6.0)).cast(IntegerType) - 1),
@@ -53,6 +53,8 @@ object ExtensionQueries {
             array_join(slice(toks, i * lit(6) + 1, lit(6)), " ").as("content"))))
         .otherwise(array().cast(convType)).as("conv"))
   }
+  private def chatFrame(s: SparkSession, dir: String): DataFrame =
+    chatFromDocs(docs(s, dir))
   /** One temp parquet artifact per (JVM, sf dir), built on first use
     * and deleted at JVM exit — repeated Verify/Bench runs must not
     * accumulate half-corpus parquet trees in the system tmp dir. The
@@ -1632,6 +1634,35 @@ object ExtensionQueries {
         "doc_id", "conv")
         .select(col("doc_id"), col("n_copies")))),
 
+    // round-trip: parse(render(conv)) re-graded through the SAME stats
+    // oracle as q_chat_stats — one oracle, two construction paths, so
+    // parseChat is pinned as renderChat's exact inverse
+    "q_chat_roundtrip" -> ((s, dir) => {
+      val rendered = graft.operators.Chat.renderChat(chatFrame(s, dir), "conv")
+        .select(col("doc_id"), col("rendered"))
+      val parsed = graft.operators.Chat.parseChat(rendered, "rendered")
+      det(graft.operators.Chat.chatStats(parsed, "conv")
+        .select(col("doc_id"), col("n_turns"), col("n_user_turns"),
+          col("n_assistant_turns"), col("n_user_tokens"),
+          col("n_assistant_tokens"), col("max_turn_tokens")))
+    }),
+
+    // turn-level PII redaction inside conversations (mapTurnContent +
+    // redactPii), rendered; PII planted like q_redact_pii so the
+    // patterns demonstrably fire inside turn content
+    "q_chat_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com at 10.0."),
+          pmod(col("doc_id"), lit(256)).cast(StringType),
+          lit(".7 ssn 123-45-6789 tel +14155550133")).as("text"))
+      det(graft.operators.Chat.renderChat(
+        graft.operators.Chat.mapTurnContent(chatFromDocs(planted), "conv",
+          TextFunctions.redactPii),
+        "conv").select(col("doc_id"), col("rendered")))
+    }),
+
     // exact token-boundary phrase search (overlap-counting), zero-shuffle
     "q_text_phrase" -> ((s, dir) =>
       det(graft.operators.TextStats.phraseSearch(docs(s, dir),
@@ -1722,8 +1753,8 @@ object ExtensionQueries {
     * — MUST mirror [[chatFrame]] exactly (6-token chunks, alternating
     * user/assistant), or the graded chat operators drift from their
     * oracles at the fixture layer instead of the operator layer. */
-  private val chatCte =
-    """d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  private def chatCteOver(textSql: String): String =
+    s"""d AS (SELECT doc_id, regexp_extract_all($textSql, '\\S+') AS toks
       |      FROM documents),
       |cv AS (SELECT doc_id, list_transform(
       |    range(0, CAST(ceil(len(toks)/6.0) AS BIGINT)),
@@ -1731,6 +1762,7 @@ object ExtensionQueries {
       |      role := CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
       |      content := array_to_string(toks[i*6+1 : i*6+6], ' '))) AS turns
       |  FROM d)""".stripMargin
+  private val chatCte = chatCteOver("text")
 
   /** shared word-5-gram blocking (df-cap 100) -> exact jaccard >= 0.5;
     * mirrors Dedup.ngramJaccardPairs / minhashLshPairs verify exactly. */
@@ -3792,6 +3824,24 @@ object ExtensionQueries {
          |  FROM t WHERE len(toks) >= 2)
          |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
          |ORDER BY doc_id $N1, n_matches $N1""".stripMargin,
+    // the q_redact_pii planted-PII text run through the conversation
+    // construction, with the SAME PiiPatterns chain applied inside the
+    // render lambda — pattern chain and plants generated from the
+    // shared constants, so the two sides cannot drift
+    "q_chat_redact" -> {
+      val planted = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.7 ssn 123-45-6789 tel +14155550133'"
+      val redacted = TextFunctions.PiiPatterns.foldLeft("t.content") {
+        case (expr, (pat, repl)) => s"regexp_replace($expr, '$pat', '$repl', 'g')"
+      }
+      s"""WITH ${chatCteOver(planted)}
+         |SELECT doc_id, array_to_string(list_transform(turns,
+         |    t -> '<|' || t.role || '|>' || chr(10) || $redacted ||
+         |         '<|end|>' || chr(10)), '') AS rendered
+         |FROM cv
+         |ORDER BY doc_id $N1, rendered $N1""".stripMargin
+    },
     // per-phrase sliding-window counts over a VALUES phrase table
     "q_text_phrase_many" ->
       s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
@@ -3866,4 +3916,7 @@ object ExtensionQueries {
   // hand-composed one: SAME oracle text, two construction paths
   val oracleSql: Map[String, String] = oracleSqlBase
     .updated("q_pipeline_config", oracleSqlBase("q_pipeline_pretrain"))
+    // parse(render(conv)) must grade identically to the direct stats
+    // path: one oracle, two construction paths
+    .updated("q_chat_roundtrip", oracleSqlBase("q_chat_stats"))
 }

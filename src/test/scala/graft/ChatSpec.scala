@@ -111,6 +111,33 @@ class ChatSpec extends AnyFunSuite {
       s"1,2,4 share one normalized answer; got $kept")
   }
 
+  test("parseChat inverts renderChat within the template contract") {
+    val multi = frame(
+      1L -> conv("system" -> "be terse", "user" -> "hi\nthere",
+        "assistant" -> "multi\nline answer"),
+      2L -> conv("user" -> "q", "assistant" -> "a"),
+      3L -> Seq.empty[Row])
+    val roundTripped = Chat.parseChat(
+      Chat.renderChat(multi, "conv").select(col("id"), col("rendered")),
+      "rendered")
+      .select("id", "conv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Row](1).map(t =>
+        (t.getString(0), t.getString(1)))).toMap
+    val original = multi.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Row](1).map(t =>
+        (t.getString(0), t.getString(1)))).toMap
+    assert(roundTripped == original,
+      "parse(render(x)) must equal x, including multi-line content")
+  }
+
+  test("mapTurnContent transforms content, preserves roles and order") {
+    val d = frame(1L -> conv("user" -> "Hello World", "assistant" -> "OK"))
+    val out = Chat.mapTurnContent(d, "conv", c => lower(c))
+      .select("conv").collect()(0).getSeq[Row](0)
+      .map(t => (t.getString(0), t.getString(1)))
+    assert(out == Seq(("user", "hello world"), ("assistant", "ok")))
+  }
+
   test("chat operators are zero-shuffle projections (scale contract)") {
     val v = Chat.validateChat(planted, "conv")
     val r = Chat.renderChat(planted, "conv")
