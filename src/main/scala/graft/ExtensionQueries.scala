@@ -1697,6 +1697,11 @@ object ExtensionQueries {
       det(graft.operators.TextStats.approxTopTokens(docs(s, dir), "text",
         sketchK = 64, topM = 10))),
 
+    // per-language sketch, exact at k=64 >= vocab: top-5 tokens per lang
+    "q_text_topk_by_lang" -> ((s, dir) =>
+      det(graft.operators.TextStats.approxTopTokensBy(docs(s, dir), "text",
+        Seq("lang"), sketchK = 64, topM = 5))),
+
     // guarantee gate for the APPROXIMATE regime (k=8 < 31 distinct):
     // every token with true count > n/(k+1) must appear in the sketch,
     // and every sketch count must sit within [true - n/(k+1), true]
@@ -3889,6 +3894,17 @@ object ExtensionQueries {
          |SELECT token, count_min FROM v
          |ORDER BY count_min DESC, token LIMIT 10""".stripMargin,
     "q_gate_topk_sketch" -> "SELECT CAST(1 AS INT) AS ok",
+    // per-lang exact top-5 (k >= per-stratum vocab), rank by (count
+    // desc, token asc) inside each language
+    "q_text_topk_by_lang" ->
+      s"""WITH v AS (SELECT lang, tok AS token,
+         |    CAST(count(*) AS BIGINT) AS count_min
+         |  FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS tok
+         |        FROM documents) GROUP BY lang, tok),
+         |r AS (SELECT lang, token, count_min, row_number() OVER (
+         |    PARTITION BY lang ORDER BY count_min DESC, token) AS rk FROM v)
+         |SELECT lang, token, count_min FROM r WHERE rk <= 5
+         |ORDER BY lang $N1, token $N1, count_min $N1""".stripMargin,
     // the md5 shard/uniform replay of q_sample_shuffle, ranked within
     // each stratum by (shard, uniform, key) — exactly the operator's
     // sharded-rank decomposition — then the WFQ virtual finish time

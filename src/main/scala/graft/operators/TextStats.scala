@@ -1598,6 +1598,40 @@ object TextStats {
    * with the query appear.
    */
   /**
+   * Per-stratum [[approxTopTokens]]: one Misra–Gries sketch per group
+   * (language, source, time bucket…) in a single aggregation — the
+   * "top URLs per domain / top tokens per language" card at
+   * constant memory per (task, stratum). Same guarantee per stratum.
+   *
+   * 100 TB design: identical to [[approxTopTokens]] but the partial
+   * aggregation is keyed on the strata — shuffle volume is
+   * strata × sketchK entries, and skewed strata cost O(sketchK)
+   * memory regardless of their token volume (an exact per-stratum
+   * top-k would buffer each stratum's full distinct vocabulary).
+   *
+   * Output: strata columns + (token, count_min), `topM` rows per
+   * stratum by (count desc, token asc).
+   */
+  def approxTopTokensBy(docs: DataFrame, textCol: String,
+                        strataCols: Seq[String],
+                        sketchK: Int, topM: Int): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(topM >= 1 && topM <= sketchK,
+      s"need 1 <= topM <= sketchK, got topM=$topM sketchK=$sketchK")
+    docs
+      .select(strataCols.map(col) :+ explode(
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol)))
+        .as("token"): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.TopKSketch.sketch(col("token"), sketchK).as("__sk"))
+      .select(strataCols.map(col) :+
+        posexplode(col("__sk")).as(Seq("__i", "__e")): _*)
+      .filter(col("__i") < topM)
+      .select(strataCols.map(col) :+ col("__e.item").as("token") :+
+        col("__e.count_min").as("count_min"): _*)
+  }
+
+  /**
    * Exact token-boundary phrase search: documents containing the
    * query phrase as a CONSECUTIVE whitespace-token run, with the
    * (overlap-counting) occurrence count — the "find every document

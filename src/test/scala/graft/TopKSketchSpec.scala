@@ -42,6 +42,21 @@ class TopKSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("approxTopTokensBy sketches per stratum independently") {
+    val docs = Seq(
+      (1L, "en", "cat cat cat dog"),
+      (2L, "en", "cat dog bird"),
+      (3L, "de", "hund hund katze"),
+      (4L, "de", "katze katze katze hund")
+    ).toDF("doc_id", "lang", "text").repartition(5)
+    val out = TextStats.approxTopTokensBy(docs, "text", Seq("lang"),
+      sketchK = 16, topM = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("en", "cat", 4L), ("en", "dog", 2L),
+      ("de", "katze", 4L), ("de", "hund", 3L)), s"got $out")
+  }
+
   test("NULL items are ignored and the aggregate partially combines") {
     val docs = Seq(Some("x x y"), None, Some("x")).toDF("text")
     val out = TextStats.approxTopTokens(docs, "text", sketchK = 8, topM = 2)
