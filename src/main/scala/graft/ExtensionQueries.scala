@@ -42,16 +42,19 @@ object ExtensionQueries {
   private def chatFromDocs(d: DataFrame): DataFrame = {
     val convType = ArrayType(StructType(Seq(
       StructField("role", StringType), StructField("content", StringType))))
-    val toks = TextFunctions.whitespaceTokens(col("text"))
-    d.select(col("doc_id"),
-      when(size(toks) > 0,
-        transform(
-          sequence(lit(0), ceil(size(toks) / lit(6.0)).cast(IntegerType) - 1),
-          i => struct(
-            when(pmod(i, lit(2)) === 0, lit("user")).otherwise(lit("assistant"))
-              .as("role"),
-            array_join(slice(toks, i * lit(6) + 1, lit(6)), " ").as("content"))))
-        .otherwise(array().cast(convType)).as("conv"))
+    // staged token column: the chunk lambda gets no CSE, an inline
+    // regex split would re-tokenize the text once per turn
+    val toks = col("__toks")
+    d.withColumn("__toks", TextFunctions.whitespaceTokens(col("text")))
+      .select(col("doc_id"),
+        when(size(toks) > 0,
+          transform(
+            sequence(lit(0), ceil(size(toks) / lit(6.0)).cast(IntegerType) - 1),
+            i => struct(
+              when(pmod(i, lit(2)) === 0, lit("user")).otherwise(lit("assistant"))
+                .as("role"),
+              array_join(slice(toks, i * lit(6) + 1, lit(6)), " ").as("content"))))
+          .otherwise(array().cast(convType)).as("conv"))
   }
   private def chatFrame(s: SparkSession, dir: String): DataFrame =
     chatFromDocs(docs(s, dir))
@@ -1696,6 +1699,11 @@ object ExtensionQueries {
     "q_text_topk_sketch" -> ((s, dir) =>
       det(graft.operators.TextStats.approxTopTokens(docs(s, dir), "text",
         sketchK = 64, topM = 10))),
+
+    // embedding geometry card: norm stats + anisotropy, one row
+    "q_emb_geometry" -> ((s, dir) =>
+      det(graft.operators.Similarity.embeddingGeometryCard(
+        emb(s, dir), "embedding"))),
 
     // per-language sketch, exact at k=64 >= vocab: top-5 tokens per lang
     "q_text_topk_by_lang" -> ((s, dir) =>
@@ -3894,6 +3902,27 @@ object ExtensionQueries {
          |SELECT token, count_min FROM v
          |ORDER BY count_min DESC, token LIMIT 10""".stripMargin,
     "q_gate_topk_sketch" -> "SELECT CAST(1 AS INT) AS ok",
+    // norm stats + per-dim means (round-6 staging mirrored), anisotropy
+    "q_emb_geometry" ->
+      s"""WITH v AS (SELECT round(sqrt(list_sum(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS n
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |    round(avg(n), 6) AS mean_norm,
+         |    round(stddev_samp(n), 6) AS std_norm,
+         |    min(n) AS min_norm, max(n) AS max_norm FROM v),
+         |d AS (SELECT generate_subscripts(embedding, 1) AS i,
+         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |m AS (SELECT i, round(avg(x), 6) AS mv FROM d GROUP BY i),
+         |mn AS (SELECT round(sqrt(sum(mv*mv)), 6) AS mean_vec_norm FROM m)
+         |SELECT s.n_vectors, s.mean_norm, s.std_norm, s.min_norm, s.max_norm,
+         |  mn.mean_vec_norm,
+         |  CASE WHEN s.mean_norm > 0
+         |    THEN round(mn.mean_vec_norm / s.mean_norm, 6) END AS anisotropy
+         |FROM s, mn
+         |ORDER BY n_vectors $N1, mean_norm $N1, std_norm $N1, min_norm $N1,
+         |  max_norm $N1, mean_vec_norm $N1, anisotropy $N1""".stripMargin,
     // per-lang exact top-5 (k >= per-stratum vocab), rank by (count
     // desc, token asc) inside each language
     "q_text_topk_by_lang" ->

@@ -732,6 +732,48 @@ object Similarity extends Logging {
    * groups·dim rows per task, not the corpus), one groupBy back to the
    * group with an in-row `array_sort` reassembly (never a window).
    */
+  /**
+   * Embedding GEOMETRY card — the health check run before trusting any
+   * cosine-based operator on a vector corpus: per-vector L2 norm
+   * statistics (mean/std/min/max — degenerate zero or wildly varying
+   * norms break cosine assumptions), the norm of the MEAN vector, and
+   * `anisotropy = ||mean_vec|| / mean ||v||` — the Ethayarajh-style
+   * "common direction" share: ~0 for a well-spread embedding space,
+   * →1 when all vectors collapse toward one direction (and ANN recall,
+   * clustering and semantic dedup quietly degrade).
+   *
+   * Rounding discipline ([[meanVectors]] precedent): per-vector norms
+   * and per-dimension means round to 6 BEFORE the downstream
+   * aggregates, so the DuckDB oracle replays the card bit-exactly.
+   *
+   * 100 TB design: two bounded aggregations — norm stats collapse the
+   * corpus to ONE row (map-side combined), the mean vector to `dim`
+   * rows via the posexplode groupBy — joined by a 1-row broadcast.
+   * Nothing driver-side, nothing corpus-scale after the combines.
+   *
+   * Output: one row — (n_vectors, mean_norm, std_norm, min_norm,
+   * max_norm, mean_vec_norm, anisotropy); NULL vectors are excluded.
+   */
+  def embeddingGeometryCard(df: DataFrame, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast(DoubleType))
+    val norm = round(sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)), 6)
+    val present = df.filter(col(vecCol).isNotNull)
+    val stats = present.select(norm.as("__n"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("__n")), 6).as("mean_norm"),
+        round(stddev_samp(col("__n")), 6).as("std_norm"),
+        min(col("__n")).as("min_norm"),
+        max(col("__n")).as("max_norm"))
+    val mvn = present
+      .select(posexplode(v).as(Seq("__i", "__x")))
+      .groupBy(col("__i")).agg(round(avg(col("__x")), 6).as("__m"))
+      .agg(round(sqrt(sum(col("__m") * col("__m"))), 6).as("mean_vec_norm"))
+    stats.crossJoin(broadcast(mvn))
+      .withColumn("anisotropy",
+        when(col("mean_norm") > 0,
+          round(col("mean_vec_norm") / col("mean_norm"), 6)))
+  }
+
   def meanVectors(df: DataFrame, groupCols: Seq[String], vecCol: String,
                   normalize: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "need at least one grouping column")

@@ -889,4 +889,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(tops == 0L, "degenerate vectors must never appear as neighbors")
     df.unpersist()
   }
+
+  test("embeddingGeometryCard: hand-checked norms and anisotropy extremes") {
+    import spark.implicits._
+    // two antipodal unit vectors: mean vector = 0 -> anisotropy 0
+    val spread = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val r1 = Similarity.embeddingGeometryCard(spread, "embedding").collect()(0)
+    assert(r1.getAs[Long]("n_vectors") == 2, "NULL vectors excluded")
+    assert(r1.getAs[Double]("mean_norm") == 1.0 &&
+      r1.getAs[Double]("std_norm") == 0.0)
+    assert(r1.getAs[Double]("mean_vec_norm") == 0.0 &&
+      r1.getAs[Double]("anisotropy") == 0.0)
+    // two identical vectors: fully collapsed -> anisotropy 1
+    val collapsed = Seq(
+      (1L, Array(3.0f, 4.0f)), (2L, Array(3.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val r2 = Similarity.embeddingGeometryCard(collapsed, "embedding").collect()(0)
+    assert(r2.getAs[Double]("mean_norm") == 5.0 &&
+      r2.getAs[Double]("min_norm") == 5.0 && r2.getAs[Double]("max_norm") == 5.0)
+    assert(r2.getAs[Double]("anisotropy") == 1.0)
+  }
 }
