@@ -1681,8 +1681,10 @@ object ExtensionQueries {
     // within-doc duplicate-line removal over multi-line docs built
     // from 2-word chunks (construction mirrored in the oracle)
     "q_clean_dedup_lines" -> ((s, dir) => {
-      val toks = TextFunctions.whitespaceTokens(col("text"))
-      val ml = docs(s, dir).select(col("doc_id"),
+      val toks = col("__toks") // staged: no CSE inside the chunk lambda
+      val ml = docs(s, dir)
+        .withColumn("__toks", TextFunctions.whitespaceTokens(col("text")))
+        .select(col("doc_id"),
         when(size(toks) > 0, array_join(
           transform(
             sequence(lit(0), ceil(size(toks) / lit(2.0)).cast(IntegerType) - 1),
