@@ -1666,6 +1666,24 @@ object ExtensionQueries {
         "conv").select(col("doc_id"), col("rendered")))
     }),
 
+    // chat dataset DATASHEET: per-language conversation statistics —
+    // the publishable SFT-corpus summary card (chatStats collapsed by
+    // stratum; assistant share = the loss-carrying token fraction)
+    "q_chat_datasheet" -> ((s, dir) => {
+      val withLang = chatFromDocs(docs(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      val stats = graft.operators.Chat.chatStats(withLang, "conv")
+      det(stats.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_convs"),
+        sum(col("n_turns")).as("total_turns"),
+        round(avg(col("n_turns")), 6).as("avg_turns"),
+        sum(col("n_user_tokens")).as("total_user_tokens"),
+        sum(col("n_assistant_tokens")).as("total_assistant_tokens"),
+        round(sum(col("n_assistant_tokens")).cast(DoubleType) /
+          (sum(col("n_user_tokens")) + sum(col("n_assistant_tokens"))), 6)
+          .as("assistant_token_share")))
+    }),
+
     // exact token-boundary phrase search (overlap-counting), zero-shuffle
     "q_text_phrase" -> ((s, dir) =>
       det(graft.operators.TextStats.phraseSearch(docs(s, dir),
@@ -3857,6 +3875,40 @@ object ExtensionQueries {
          |FROM cv
          |ORDER BY doc_id $N1, rendered $N1""".stripMargin
     },
+    // cv CTE + lang carried through; list-lambda stats collapsed per
+    // language (same per-turn token definition as q_chat_stats)
+    "q_chat_datasheet" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |cv AS (SELECT doc_id, lang, list_transform(
+         |    range(0, CAST(ceil(len(toks)/6.0) AS BIGINT)),
+         |    i -> struct_pack(
+         |      role := CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+         |      content := array_to_string(toks[i*6+1 : i*6+6], ' '))) AS turns
+         |  FROM d),
+         |st AS (SELECT doc_id, lang,
+         |    CAST(len(turns) AS BIGINT) AS n_turns,
+         |    CAST(COALESCE(list_sum(list_transform(
+         |        list_filter(turns, t -> t.role = 'user'),
+         |        t -> len(regexp_extract_all(t.content, '\\S+')))), 0)
+         |      AS BIGINT) AS n_user_tokens,
+         |    CAST(COALESCE(list_sum(list_transform(
+         |        list_filter(turns, t -> t.role = 'assistant'),
+         |        t -> len(regexp_extract_all(t.content, '\\S+')))), 0)
+         |      AS BIGINT) AS n_assistant_tokens
+         |  FROM cv)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_convs,
+         |  CAST(sum(n_turns) AS BIGINT) AS total_turns,
+         |  round(avg(n_turns), 6) AS avg_turns,
+         |  CAST(sum(n_user_tokens) AS BIGINT) AS total_user_tokens,
+         |  CAST(sum(n_assistant_tokens) AS BIGINT) AS total_assistant_tokens,
+         |  round(CAST(sum(n_assistant_tokens) AS DOUBLE) /
+         |    (sum(n_user_tokens) + sum(n_assistant_tokens)), 6)
+         |    AS assistant_token_share
+         |FROM st GROUP BY lang
+         |ORDER BY lang $N1, n_convs $N1, total_turns $N1, avg_turns $N1,
+         |  total_user_tokens $N1, total_assistant_tokens $N1,
+         |  assistant_token_share $N1""".stripMargin,
     // per-phrase sliding-window counts over a VALUES phrase table
     "q_text_phrase_many" ->
       s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
