@@ -211,6 +211,12 @@ object ExtensionQueries {
       det(graft.operators.Windowed.retentionCohorts(events(s, dir),
         "user_id", "ts", unit = "week"))),
 
+    // ordered funnel: view -> click -> purchase, each step at-or-after
+    // the user's previous-step time
+    "q_events_funnel" -> ((s, dir) =>
+      det(graft.operators.Windowed.funnel(events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")))),
+
     // --- text analysis ----------------------------------------------------
 
     "q_text_tokens" -> ((s, dir) => det(docs(s, dir).select(
@@ -2974,6 +2980,33 @@ object ExtensionQueries {
          |count(*) AS n_events, round(sum(value), 2) AS sum_value
          |FROM events GROUP BY 1, 2
          |ORDER BY bucket $N1, event_type $N1, n_events $N1, sum_value $N1""".stripMargin,
+    // per-step min-ts chains (>= admits same-timestamp chains), then
+    // lag/first over the steps-row card
+    "q_events_funnel" ->
+      s"""WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |  JOIN s0 ON e.user_id = s0.user_id
+         |  WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY e.user_id),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+         |  GROUP BY e.user_id),
+         |c AS (SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+         |    CAST(count(*) AS BIGINT) AS n_users FROM s0
+         |  UNION ALL SELECT 1, 'click', count(*) FROM s1
+         |  UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
+         |SELECT step_idx, step, n_users,
+         |  CASE WHEN lag(n_users) OVER (ORDER BY step_idx) > 0
+         |    THEN round(CAST(n_users AS DOUBLE) /
+         |      lag(n_users) OVER (ORDER BY step_idx), 6) END AS conv_from_prev,
+         |  CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+         |    THEN round(CAST(n_users AS DOUBLE) /
+         |      first_value(n_users) OVER (ORDER BY step_idx), 6) END
+         |    AS conv_from_first
+         |FROM c
+         |ORDER BY step_idx $N1, step $N1, n_users $N1, conv_from_prev $N1,
+         |  conv_from_first $N1""".stripMargin,
     // cohort = first-seen week, index = whole weeks since (both engines
     // truncate weeks to Monday; CALENDAR day-diff arithmetic — the
     // DST-immune formulation the operator uses)

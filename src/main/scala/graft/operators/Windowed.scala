@@ -101,4 +101,62 @@ object Windowed {
         round(col("n_active").cast("double") / col("cohort_size"), 6)
           .as("retention_rate"))
   }
+
+  /**
+   * Ordered FUNNEL analysis — [[retentionCohorts]]' sibling on the
+   * product-analytics side: how many users completed step 1, then
+   * step 2 at-or-after their step-1 time, then step 3 at-or-after
+   * that, … A user reaches step i at `t_i = min ts of a steps(i)
+   * event with ts >= t_{i-1}` (>= admits same-timestamp chains —
+   * deterministic, and batch logs legitimately carry equal
+   * timestamps).
+   *
+   * Output: one row per step — (step_idx, step, n_users,
+   * conv_from_prev, conv_from_first), conversions round-6;
+   * `conv_from_prev` is NULL on the first step and whenever the
+   * previous step had no users (`conv_from_first` is 1.0 on the first
+   * step by construction).
+   *
+   * 100 TB design: one min-aggregation + one user-keyed join PER STEP
+   * over the TYPE-FILTERED event slice (the filter rides the scan, so
+   * each step touches only its own event type's stream — never the
+   * full log twice); the per-step user frames are user-cardinality;
+   * the final card is a steps-row frame, where the single-partition
+   * lag window is free. No collect_list of per-user event histories —
+   * a skewed power user costs nothing.
+   */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val frames = scala.collection.mutable.ArrayBuffer(reached)
+    for (s <- steps.tail) {
+      val prev = reached.select(col(userCol), col("__t").as("__prev"))
+      reached = events.filter(col(typeCol) === s)
+        .join(prev, userCol)
+        .filter(col(tsCol) >= col("__prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      frames += reached
+    }
+    val card = frames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).cast("long").as("step_idx"),
+          lit(steps(i)).as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+    // steps-row frame: the unpartitioned window is a few rows, fine
+    val w = Window.orderBy(col("step_idx"))
+    card
+      .withColumn("__p", lag(col("n_users"), 1).over(w))
+      .withColumn("__f", first(col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        when(col("__p") > 0,
+          round(col("n_users").cast("double") / col("__p"), 6))
+          .as("conv_from_prev"),
+        when(col("__f") > 0,
+          round(col("n_users").cast("double") / col("__f"), 6))
+          .as("conv_from_first"))
+  }
 }

@@ -59,4 +59,33 @@ class WindowedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Windowed.retentionCohorts(df, "user_id", "ts", "fortnight"))
   }
+
+  test("funnel: ordered step chains, same-ts admits, out-of-order excluded") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 00:0$s:00")
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, t("1"), "view"), (1L, t("2"), "click"), (1L, t("3"), "purchase"),
+      // user 2: purchase BEFORE click -> stops at click
+      (2L, t("1"), "view"), (2L, t("3"), "click"), (2L, t("2"), "purchase"),
+      // user 3: view only
+      (3L, t("1"), "view"),
+      // user 4: same-timestamp chain counts (>=)
+      (4L, t("5"), "view"), (4L, t("5"), "click"), (4L, t("5"), "purchase"),
+      // user 5: clicks without ever viewing -> not in the funnel at all
+      (5L, t("1"), "click"), (5L, t("2"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Windowed.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("view", 4L), ("click", 3L), ("purchase", 2L)))
+    assert(out(0).isNullAt(3) && out(0).getDouble(4) == 1.0,
+      "first step: NULL conv_from_prev, 1.0 conv_from_first")
+    assert(out(1).getDouble(3) == 0.75 && out(2).getDouble(4) == 0.5)
+    // a later re-view does NOT resurrect an out-of-order purchase:
+    // user 2's purchase at t2 predates their click at t3 forever
+    assert(out(2).getLong(2) == 2L)
+    intercept[IllegalArgumentException](
+      Windowed.funnel(ev, "user_id", "ts", "event_type", Seq("view", "view")))
+  }
 }
