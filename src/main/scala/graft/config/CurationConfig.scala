@@ -58,6 +58,10 @@ final case class RemoveStopwordsStage(stopwords: Option[Seq[String]]) extends Cu
 /** Drop docs whose [[graft.functions.TextFunctions.mojibakeHits]] per
   * character exceed the threshold (encoding-damage reject pile). */
 final case class MojibakeFilterStage(maxHitsPerChar: Double) extends CurationStage
+/** [[graft.operators.CorpusClean.dedupLinesWithinDoc]] — intra-doc
+  * duplicate-line removal (row-local; drops the count columns so the
+  * stage keeps the documents-frame contract). */
+final case class DedupLinesWithinDocStage() extends CurationStage
 /** [[graft.operators.TextStats.packSequences]] — TERMINAL (changes the
   * schema to packed-sequence addresses), must be the last stage. */
 final case class PackStage(budget: Int, shards: Int) extends CurationStage
@@ -151,6 +155,7 @@ object CurationConfig {
         m.get("stopwords").map(_ => strSeq(m, "stopwords", Nil)))
       case "mojibake_filter" => MojibakeFilterStage(
         dbl(m, "max_hits_per_char", 0.001))
+      case "dedup_lines_within_doc" => DedupLinesWithinDocStage()
       case "pack" => PackStage(int(m, "budget", 512), int(m, "shards", 0))
       case other => throw new IllegalArgumentException(s"unknown curation op: '$other'")
     }

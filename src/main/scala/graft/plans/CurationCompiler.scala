@@ -55,6 +55,9 @@ object CurationCompiler {
         val ratio = graft.functions.TextFunctions.mojibakeHits(col(text))
           .cast(org.apache.spark.sql.types.DoubleType) / length(col(text))
         Some(cur.filter(coalesce(ratio <= maxPerChar, lit(true))))
+      case DedupLinesWithinDocStage() =>
+        Some(graft.operators.CorpusClean.dedupLinesWithinDoc(cur, text)
+          .drop("n_lines", "n_dup_lines_removed"))
       case DecontaminateStage(evalName, n) =>
         val eval = resolve.getOrElse(evalName, throw new IllegalArgumentException(
           s"decontaminate stage references unresolved eval frame '$evalName'"))

@@ -76,6 +76,35 @@ class CurationCompilerSpec extends AnyFunSuite {
       "only the damaged doc drops; NULL and empty text pass through")
   }
 
+  test("dedup_lines_within_doc stage compiles, batch and streaming alike") {
+    val docs = Seq(
+      (1L, "repeated line\ncontent a\nrepeated line\ncontent b"),
+      (2L, "unique one\nunique two")
+    ).toDF("doc_id", "text")
+    val yaml = "curation:\n  stages:\n    - op: dedup_lines_within_doc\n"
+    val out = CurationCompiler.compileYaml(yaml, docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "repeated line\ncontent a\ncontent b")
+    assert(out(2L) == "unique one\nunique two")
+    assert(CurationCompiler.compileYaml(yaml, docs).columns.toSeq ==
+      Seq("doc_id", "text"), "stage keeps the documents-frame contract")
+    // streaming compile accepts it (row-local) and matches batch
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val sOut = CurationCompiler.compileStreaming(
+      graft.config.CurationConfig.fromYaml(yaml),
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "0 seconds")
+    assert(sOut.isStreaming)
+    val q = sOut.writeStream.format("memory").queryName("cur_dl")
+      .outputMode("append").start()
+    mem.addData((1L, "repeated line\ncontent a\nrepeated line\ncontent b"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT text FROM cur_dl").collect()(0).getString(0)
+    q.stop()
+    assert(got == "repeated line\ncontent a\ncontent b")
+  }
+
   test("stage chaining: line correction feeds exact dedup in one plan") {
     val docs = Seq(
       (1L, "real prose line here\nBUY NOW CLICK HERE"),
