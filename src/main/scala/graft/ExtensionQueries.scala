@@ -1672,6 +1672,15 @@ object ExtensionQueries {
         "conv").select(col("doc_id"), col("rendered")))
     }),
 
+    // n-gram novelty vs a reference slice (doc_id % 7 == 0): the
+    // reference's own docs score 0, unseen material scores toward 1
+    "q_text_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(graft.operators.TextStats.ngramNovelty(
+        d, d.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text", n = 8))
+    }),
+
     // chat dataset DATASHEET: per-language conversation statistics —
     // the publishable SFT-corpus summary card (chatStats collapsed by
     // stratum; assistant share = the loss-carrying token fraction)
@@ -3908,6 +3917,28 @@ object ExtensionQueries {
          |FROM cv
          |ORDER BY doc_id $N1, rendered $N1""".stripMargin
     },
+    // distinct md5 gram fingerprints both sides, left join, per-doc share
+    "q_text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+         |  FROM documents),
+         |dg AS (SELECT DISTINCT doc_id, md5(g) AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(1, len(toks) - 8 + 2),
+         |      i -> array_to_string(toks[i:i+7], ' '))) AS g
+         |    FROM t WHERE len(toks) >= 8)),
+         |rg AS (SELECT DISTINCT md5(g) AS h FROM (
+         |    SELECT unnest(list_transform(
+         |      range(1, len(toks) - 8 + 2),
+         |      i -> array_to_string(toks[i:i+7], ' '))) AS g
+         |    FROM t WHERE doc_id % 7 = 0 AND len(toks) >= 8)),
+         |j AS (SELECT dg.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN rg.h IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+         |  FROM dg LEFT JOIN rg ON dg.h = rg.h GROUP BY dg.doc_id)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_known AS BIGINT) AS n_known,
+         |  round(1.0 - CAST(n_known AS DOUBLE) / n_grams, 6) AS novelty
+         |FROM j
+         |ORDER BY doc_id $N1, n_grams $N1, n_known $N1, novelty $N1""".stripMargin,
     // cv CTE + lang carried through; list-lambda stats collapsed per
     // language (same per-turn token definition as q_chat_stats)
     "q_chat_datasheet" ->

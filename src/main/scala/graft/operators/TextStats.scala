@@ -1720,6 +1720,56 @@ object TextStats {
   }
 
   /**
+   * N-gram NOVELTY score — per document, the share of its DISTINCT
+   * word n-grams absent from a reference corpus: the "how much new
+   * information does this doc add" data-selection signal (novelty ~0
+   * = the reference already covers it → deprioritize; the scoring
+   * complement of [[Dedup.decontaminate]]'s hard drop and the per-DOC
+   * refinement of [[Dedup.corpusOverlap]]'s corpus-level cards).
+   *
+   * Gram identity travels as `md5(gram)` — fixed 32-char keys, the
+   * [[Dedup.exactDedup]] fingerprint convention, so the DuckDB oracle
+   * replays the join exactly; both engines hash identically, so even
+   * a collision (≈2^-64) changes neither side's result relative to
+   * the other.
+   *
+   * 100 TB design: both corpora collapse to DISTINCT gram
+   * fingerprints (map-side combined) before the ONE fingerprint-keyed
+   * left join; the doc side re-aggregates to one row per doc. Window
+   * strings are built from a STAGED token column (no per-probe
+   * re-tokenize — the lambda-CSE discipline), and nothing driver-side
+   * at any size. If the reference is small, AQE broadcasts the join
+   * side automatically.
+   *
+   * Output: (id, n_grams, n_known, novelty) — novelty round-6 in
+   * [0,1]; docs with fewer than `n` tokens have no grams and emit no
+   * row (no gram evidence either way — filter upstream if they need
+   * a default).
+   */
+  def ngramNovelty(docs: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def gramHashes(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val toks = col("__toks")
+      df.withColumn("__toks",
+          graft.functions.TextFunctions.whitespaceTokens(col(textCol)))
+        .filter(size(col("__toks")) >= n)
+        .select(cols :+ explode(transform(
+          sequence(lit(1), size(toks) - n + 1),
+          i => md5(array_join(slice(toks, i, lit(n)), " ")))).as("__h"): _*)
+    }
+    val dg = gramHashes(docs, Seq(col(idCol))).distinct()
+    val rg = gramHashes(ref, Nil).distinct().withColumn("__known", lit(1L))
+    dg.join(rg, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__known"), lit(0L))).as("n_known"))
+      .select(col(idCol), col("n_grams"), col("n_known"),
+        round(lit(1.0) - col("n_known").cast(DoubleType) / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
+  /**
    * Multi-phrase search — [[phraseSearch]] for a whole phrase LIST in
    * ONE corpus pass (attribution batches, decontamination spot-check
    * lists, brand/PII phrase inventories). Same token-boundary,

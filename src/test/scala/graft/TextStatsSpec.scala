@@ -1116,6 +1116,30 @@ class TextStatsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"phraseSearch must not shuffle:\n$plan")
   }
 
+  test("ngramNovelty: 0 for covered docs, 1 for unseen, partial overlap exact") {
+    val ref = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d e f"),         // identical: novelty 0
+      (2L, "x y z w v u"),         // disjoint: novelty 1
+      (3L, "a b c d e f g"),       // 5 trigram... n=3: grams abc..efg
+      (4L, "a b")                  // shorter than n: no row
+    ).toDF("doc_id", "text")
+    val out = TextStats.ngramNovelty(docs, ref, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 4L, 0.0)))
+    assert(out(2L) == ((4L, 0L, 1.0)))
+    // doc 3: 5 trigrams, 4 known ("e f g" is new) -> novelty 0.2
+    assert(out(3L) == ((5L, 4L, 0.2)))
+    assert(!out.contains(4L), "docs with < n tokens emit no row")
+    // duplicate grams inside one doc count once (DISTINCT semantics)
+    val rep = Seq((9L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val r9 = TextStats.ngramNovelty(rep, ref, "doc_id", "text", n = 3)
+      .collect()(0)
+    assert(r9.getLong(1) == 3L && r9.getLong(2) == 1L,
+      "7 positions but 3 distinct trigrams (abc bca cab); only abc known")
+  }
+
   test("phraseSearchMany: mixed lengths, one scan, broadcast probe") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
