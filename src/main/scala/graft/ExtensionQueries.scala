@@ -217,6 +217,11 @@ object ExtensionQueries {
       det(graft.operators.Windowed.funnel(events(s, dir),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase")))),
 
+    // one-row session engagement card over the 2h-gap sessionization
+    "q_events_session_stats" -> ((s, dir) =>
+      det(graft.operators.Windowed.sessionStats(events(s, dir),
+        "user_id", "ts", gapSeconds = 7200, tieBreakCol = Some("event_id")))),
+
     // --- text analysis ----------------------------------------------------
 
     "q_text_tokens" -> ((s, dir) => det(docs(s, dir).select(
@@ -2989,6 +2994,34 @@ object ExtensionQueries {
          |count(*) AS n_events, round(sum(value), 2) AS sum_value
          |FROM events GROUP BY 1, 2
          |ORDER BY bucket $N1, event_type $N1, n_events $N1, sum_value $N1""".stripMargin,
+    // the sessionize CTE chain + one aggregate; durations via epoch()
+    // (fractional seconds — matches Spark's timestamp->double cast)
+    "q_events_session_stats" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+         |  FROM events),
+         |l AS (SELECT user_id, ts, event_id,
+         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM e),
+         |f AS (SELECT user_id, ts, event_id,
+         |   CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 7200
+         |        THEN 1 ELSE 0 END AS nw FROM l),
+         |s AS (SELECT user_id, ts,
+         |   sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         |  FROM f),
+         |g AS (SELECT count(*) AS n_events,
+         |   epoch(max(ts)) - epoch(min(ts)) AS dur
+         |  FROM s GROUP BY user_id, sid)
+         |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bounce_sessions,
+         |  round(avg(n_events), 6) AS avg_events,
+         |  round(avg(dur), 6) AS avg_duration_sec,
+         |  round(quantile_cont(dur, 0.5), 6) AS p50_duration_sec,
+         |  round(max(dur), 6) AS max_duration_sec
+         |FROM g
+         |ORDER BY n_sessions $N1, n_bounce_sessions $N1, avg_events $N1,
+         |  avg_duration_sec $N1, p50_duration_sec $N1,
+         |  max_duration_sec $N1""".stripMargin,
     // per-step min-ts chains (>= admits same-timestamp chains), then
     // lag/first over the steps-row card
     "q_events_funnel" ->

@@ -41,6 +41,37 @@ object Windowed {
       .drop("__sid")
   }
 
+  /**
+   * Session STATISTICS card — the corpus-level summary over
+   * [[sessionizeBatch]]'s output: session count, bounce share
+   * (single-event sessions), mean/median/max duration and mean depth
+   * — the engagement dashboard row. Durations in seconds with
+   * fractional microseconds (timestamp→double, exact in both
+   * engines); means and the exact linear-interpolated median round-6
+   * ([[graft.operators.TextStats.lengthPercentiles]] convention).
+   *
+   * 100 TB design: [[sessionizeBatch]]'s one user-keyed shuffle, then
+   * ONE map-side-combined global aggregate to a single row. The
+   * median uses Spark's exact `percentile` over session durations —
+   * sessions-cardinality input, already far below event scale; swap
+   * in `percentile_approx` upstream if even that is too much.
+   */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   gapSeconds: Long,
+                   tieBreakCol: Option[String] = None): DataFrame = {
+    val dur = col("session_end").cast("double") -
+      col("session_start").cast("double")
+    sessionizeBatch(events, userCol, tsCol, gapSeconds, tieBreakCol)
+      .select(col("n_events"), dur.as("__dur"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .as("n_bounce_sessions"),
+        round(avg(col("n_events")), 6).as("avg_events"),
+        round(avg(col("__dur")), 6).as("avg_duration_sec"),
+        round(expr("percentile(__dur, 0.5)"), 6).as("p50_duration_sec"),
+        round(max(col("__dur")), 6).as("max_duration_sec"))
+  }
+
   /** Tumbling time-bucket aggregation: count + sum per (bucket, key).
     * `bucket` uses date_trunc so the bucketing is SQL-portable. */
   def timeBucketAgg(events: DataFrame, tsCol: String, keyCol: String,

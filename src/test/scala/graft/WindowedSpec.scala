@@ -60,6 +60,25 @@ class WindowedSpec extends AnyFunSuite {
       Windowed.retentionCohorts(df, "user_id", "ts", "fortnight"))
   }
 
+  test("sessionStats: hand-computed card over a planted session layout") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: one 2-event session (120s), then a gap > 300s, then a bounce
+      (1L, t(0), 10L), (1L, t(2), 11L), (1L, t(10), 12L),
+      // user 2: single bounce session
+      (2L, t(0), 20L)
+    ).toDF("user_id", "ts", "event_id")
+    val r = Windowed.sessionStats(ev, "user_id", "ts", gapSeconds = 300,
+      tieBreakCol = Some("event_id")).collect()(0)
+    assert(r.getAs[Long]("n_sessions") == 3 &&
+      r.getAs[Long]("n_bounce_sessions") == 2)
+    assert(r.getAs[Double]("avg_events") == round6(4.0 / 3))
+    assert(r.getAs[Double]("avg_duration_sec") == 40.0 &&
+      r.getAs[Double]("p50_duration_sec") == 0.0 &&
+      r.getAs[Double]("max_duration_sec") == 120.0)
+  }
+  private def round6(x: Double) = math.rint(x * 1e6) / 1e6
+
   test("funnel: ordered step chains, same-ts admits, out-of-order excluded") {
     def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 00:0$s:00")
     val ev = Seq(
