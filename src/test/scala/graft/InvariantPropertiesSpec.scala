@@ -95,4 +95,76 @@ class InvariantPropertiesSpec extends AnyFunSuite {
     assert(c1.forall { case (k, n) => c2(k) <= n },
       "extending the merge list can only merge more")
   }
+
+  test("phraseSearch counts equal a naive driver-side scan on adversarial text") {
+    import graft.operators.TextStats
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (phrase <- Seq("a", "a b", "é é", "same same")) {
+      val got = TextStats.phraseSearch(df, "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val words = phrase.split("\\s+").toSeq
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val c = toks.sliding(words.length).count(_ == words)
+        if (c > 0 && toks.length >= words.length) Some(i.toLong -> c.toLong)
+        else None
+      }.toMap
+      assert(got == want, s"phrase '$phrase'")
+    }
+  }
+
+  test("ngramNovelty is bounded, 0 against self, 1 against nothing") {
+    import graft.operators.TextStats
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val self = TextStats.ngramNovelty(df, df, "doc_id", "text", n = 2)
+      .collect()
+    assert(self.forall(_.getDouble(3) == 0.0), "self-reference: novelty 0")
+    val empty = df.filter(lit(false))
+    val none = TextStats.ngramNovelty(df, empty, "doc_id", "text", n = 2)
+      .collect()
+    assert(none.forall(_.getDouble(3) == 1.0), "empty reference: novelty 1")
+    assert(self.forall(r => r.getLong(2) <= r.getLong(1)),
+      "known grams never exceed total grams")
+  }
+
+  test("Misra-Gries sketch: counts never exceed truth; heavy items survive") {
+    import graft.operators.TextStats
+    // adversarial token stream from the generator corpus
+    val df = texts.toDF("text")
+    val truth = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = truth.values.sum
+    for (k <- Seq(2, 4, 16)) {
+      val sk = TextStats.approxTopTokens(df, "text", sketchK = k, topM = k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val err = n / (k + 1)
+      sk.foreach { case (t, c) =>
+        assert(c <= truth(t) && c >= truth(t) - err,
+          s"k=$k token '$t': stored $c, true ${truth(t)}, bound $err")
+      }
+      truth.filter(_._2 > err).keys.foreach(t =>
+        assert(sk.contains(t), s"k=$k: heavy '$t' must survive"))
+    }
+  }
+
+  test("interleaveByMixture emits every weighted row exactly once with a total order") {
+    import graft.operators.Sampling
+    val df = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, if (i % 3 == 0) "x" else if (i % 3 == 1) "y" else "z")
+    }.toDF("doc_id", "lang")
+    val out = Sampling.interleaveByMixture(df, "lang", "doc_id",
+      Map("x" -> 3.0, "y" -> 1.0), seed = 7L, shards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("stratum_rank"), r.getAs[Double]("interleave_key")))
+    val in = df.filter(col("lang").isin("x", "y"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == in && out.length == in.size,
+      "row-preserving on weighted strata, z dropped")
+    // keys are distinct within a stratum and monotone in rank
+    for ((_, g) <- out.groupBy(_._2))
+      assert(g.sortBy(_._3).map(_._4).sliding(2)
+        .forall(w => w.size < 2 || w(0) < w(1)))
+  }
 }
