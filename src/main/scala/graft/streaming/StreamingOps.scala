@@ -540,6 +540,40 @@ object StreamingOps {
         col("token"), col("n_occurrences"))
 
   /**
+   * SKETCHED trending tokens — [[streamingTrendingTokens]] with the
+   * Misra–Gries aggregate ([[graft.functions.MisraGries]]) instead of
+   * the exact per-(window, token) count. The exact variant's state is
+   * one row PER DISTINCT TOKEN per open window — Zipf-bounded for
+   * natural-language tokens but corpus-scale for URL/id-like keys;
+   * here the state store holds ONE O(sketchK) sketch buffer per open
+   * window, whatever the key cardinality. The n/(k+1) guarantee is
+   * per window (n = that window's token count).
+   *
+   * Output per CLOSED window: (window_start, window_end, token,
+   * count_min), the first `topM` sketch entries by (count desc,
+   * token asc).
+   */
+  def streamingTrendingTokensSketch(docs: DataFrame, tsCol: String,
+                                    textCol: String, window: String,
+                                    watermark: String, sketchK: Int,
+                                    topM: Int): DataFrame = {
+    require(topM >= 1 && topM <= sketchK,
+      s"need 1 <= topM <= sketchK, got topM=$topM sketchK=$sketchK")
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol))).as("token"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(graft.functions.TopKSketch.sketch(col("token"), sketchK).as("__sk"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        posexplode(col("__sk")).as(Seq("__i", "__e")))
+      .filter(col("__i") < topM)
+      .select(col("window_start"), col("window_end"),
+        col("__e.item").as("token"), col("__e.count_min").as("count_min"))
+  }
+
+  /**
    * Windowed quality-drift monitor — [[streamingTrendingTokens]]' DOC-
    * level sibling: per event-time tumbling window, document count,
    * mean composite quality score and mean token count. THE intake

@@ -568,6 +568,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows == Set(("2024-01-01 00:00:00.0", "spam", 3L)))
   }
 
+  test("streamingTrendingTokensSketch equals exact windowed counts when k >= vocab") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingOps.streamingTrendingTokensSketch(
+      mem.toDF().toDF("ts", "text"), "ts", "text",
+      window = "10 minutes", watermark = "5 minutes", sketchK = 16, topM = 2)
+    val q = out.writeStream.format("memory").queryName("trending_sk")
+      .outputMode("complete").start()
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "spam spam quality"),
+      (ts("2024-01-01 00:02:00"), "spam text"),
+      (ts("2024-01-01 00:11:00"), "once upon once"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM trending_sk").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3))).toSet
+    q.stop()
+    // k >= per-window vocab: the sketch is exact; top-2 per window by
+    // (count desc, token asc)
+    assert(rows == Set(
+      ("2024-01-01 00:00:00.0", "spam", 3L),
+      ("2024-01-01 00:00:00.0", "quality", 1L),
+      ("2024-01-01 00:10:00.0", "once", 2L),
+      ("2024-01-01 00:10:00.0", "upon", 1L)), s"got $rows")
+  }
+
   test("streamingQualityByWindow aggregates doc quality per window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
