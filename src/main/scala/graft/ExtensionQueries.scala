@@ -217,6 +217,11 @@ object ExtensionQueries {
       det(graft.operators.Windowed.funnel(events(s, dir),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase")))),
 
+    // conversion latency between adjacent funnel steps
+    "q_events_funnel_timings" -> ((s, dir) =>
+      det(graft.operators.Windowed.funnelTimings(events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")))),
+
     // one-row session engagement card over the 2h-gap sessionization
     "q_events_session_stats" -> ((s, dir) =>
       det(graft.operators.Windowed.sessionStats(events(s, dir),
@@ -2994,6 +2999,32 @@ object ExtensionQueries {
          |count(*) AS n_events, round(sum(value), 2) AS sum_value
          |FROM events GROUP BY 1, 2
          |ORDER BY bucket $N1, event_type $N1, n_events $N1, sum_value $N1""".stripMargin,
+    // same step CTE chain; per-pair join + latency aggregate
+    "q_events_funnel_timings" ->
+      s"""WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |  JOIN s0 ON e.user_id = s0.user_id
+         |  WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY e.user_id),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+         |  GROUP BY e.user_id),
+         |p0 AS (SELECT epoch(s1.t) - epoch(s0.t) AS dt FROM s0
+         |  JOIN s1 ON s0.user_id = s1.user_id),
+         |p1 AS (SELECT epoch(s2.t) - epoch(s1.t) AS dt FROM s1
+         |  JOIN s2 ON s1.user_id = s2.user_id),
+         |c AS (SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS from_step,
+         |    'click' AS to_step, CAST(count(*) AS BIGINT) AS n_users,
+         |    round(avg(dt), 6) AS avg_sec,
+         |    round(quantile_cont(dt, 0.5), 6) AS p50_sec,
+         |    round(max(dt), 6) AS max_sec FROM p0
+         |  UNION ALL SELECT 1, 'click', 'purchase', count(*),
+         |    round(avg(dt), 6), round(quantile_cont(dt, 0.5), 6),
+         |    round(max(dt), 6) FROM p1)
+         |SELECT * FROM c
+         |ORDER BY step_idx $N1, from_step $N1, to_step $N1, n_users $N1,
+         |  avg_sec $N1, p50_sec $N1, max_sec $N1""".stripMargin,
     // the sessionize CTE chain + one aggregate; durations via epoch()
     // (fractional seconds — matches Spark's timestamp->double cast)
     "q_events_session_stats" ->

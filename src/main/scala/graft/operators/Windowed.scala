@@ -156,8 +156,11 @@ object Windowed {
    * lag window is free. No collect_list of per-user event histories —
    * a skewed power user costs nothing.
    */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+  /** The per-step reached frames (user, __t = step completion time)
+    * shared by [[funnel]] and [[funnelTimings]]. */
+  private def funnelStepFrames(events: DataFrame, userCol: String,
+                               tsCol: String, typeCol: String,
+                               steps: Seq[String]): Seq[DataFrame] = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct == steps, "funnel steps must be distinct")
     var reached = events.filter(col(typeCol) === steps.head)
@@ -171,6 +174,12 @@ object Windowed {
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
       frames += reached
     }
+    frames.toSeq
+  }
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    val frames = funnelStepFrames(events, userCol, tsCol, typeCol, steps)
     val card = frames.zipWithIndex.map { case (f, i) =>
       f.agg(count(lit(1)).as("n_users"))
         .select(lit(i).cast("long").as("step_idx"),
@@ -189,5 +198,41 @@ object Windowed {
         when(col("__f") > 0,
           round(col("n_users").cast("double") / col("__f"), 6))
           .as("conv_from_first"))
+  }
+
+  /**
+   * Funnel conversion LATENCY — [[funnel]]'s time dimension: for each
+   * adjacent step pair, how long converting users took (their
+   * step-(i+1) completion time minus their step-i completion time,
+   * ≥ 0 by the chain construction). Mean/median/max in seconds with
+   * fractional microseconds, round-6 ([[sessionStats]] conventions;
+   * the median is exact interpolated `percentile` at
+   * converted-users cardinality).
+   *
+   * Output: one row per adjacent pair — (step_idx, from_step,
+   * to_step, n_users, avg_sec, p50_sec, max_sec); a pair no user
+   * converted through reports n_users 0 with NULL timings.
+   *
+   * 100 TB design: the [[funnel]] chain's frames (user-cardinality)
+   * joined pairwise on the user key, then ONE bounded aggregate per
+   * pair — never the raw event log twice.
+   */
+  def funnelTimings(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "need at least two funnel steps for timings")
+    val frames = funnelStepFrames(events, userCol, tsCol, typeCol, steps)
+    frames.zip(frames.tail).zipWithIndex.map { case ((a, b), i) =>
+      a.select(col(userCol), col("__t").as("__ta"))
+        .join(b.select(col(userCol), col("__t").as("__tb")), userCol)
+        .select((col("__tb").cast("double") - col("__ta").cast("double"))
+          .as("__dt"))
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("__dt")), 6).as("avg_sec"),
+          round(expr("percentile(__dt, 0.5)"), 6).as("p50_sec"),
+          round(max(col("__dt")), 6).as("max_sec"))
+        .select(lit(i).cast("long").as("step_idx"),
+          lit(steps(i)).as("from_step"), lit(steps(i + 1)).as("to_step"),
+          col("n_users"), col("avg_sec"), col("p50_sec"), col("max_sec"))
+    }.reduce(_ unionAll _)
   }
 }

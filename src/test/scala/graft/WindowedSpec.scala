@@ -107,4 +107,23 @@ class WindowedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Windowed.funnel(ev, "user_id", "ts", "event_type", Seq("view", "view")))
   }
+
+  test("funnelTimings: adjacent-pair latencies over converting users only") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(1), "click"), (1L, t(5), "purchase"),
+      (2L, t(0), "view"), (2L, t(3), "click"),  // no purchase
+      (3L, t(0), "view")                        // view only
+    ).toDF("user_id", "ts", "event_type")
+    val out = Windowed.funnelTimings(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).orderBy("step_idx").collect()
+    // view->click: users 1 (60s) and 2 (180s); click->purchase: user 1 (240s)
+    assert(out(0).getLong(3) == 2 && out(0).getDouble(4) == 120.0 &&
+      out(0).getDouble(5) == 120.0 && out(0).getDouble(6) == 180.0)
+    assert(out(1).getLong(3) == 1 && out(1).getDouble(4) == 240.0)
+    // a dead pair reports 0 users with NULL timings
+    val dead = Windowed.funnelTimings(ev, "user_id", "ts", "event_type",
+      Seq("purchase", "error")).collect()(0)
+    assert(dead.getLong(3) == 0 && dead.isNullAt(4))
+  }
 }
