@@ -1682,6 +1682,16 @@ object ExtensionQueries {
         "conv").select(col("doc_id"), col("rendered")))
     }),
 
+    // sample-fidelity: PSI of a 30% hash sample vs the corpus on two
+    // length signals — a correct uniform sample reads ~0
+    "q_sample_fidelity" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("n_tokens",
+        TextFunctions.tokenCount(col("text")))
+      det(graft.operators.TextStats.sampleFidelity(
+        d, graft.operators.Sampling.hashSample(d, "doc_id", 0.3),
+        Seq("n_chars", "n_tokens")))
+    }),
+
     // n-gram novelty vs a reference slice (doc_id % 7 == 0): the
     // reference's own docs score 0, unseen material scores toward 1
     "q_text_novelty" -> ((s, dir) => {
@@ -3980,6 +3990,46 @@ object ExtensionQueries {
          |         '<|end|>' || chr(10)), '') AS rendered
          |FROM cv
          |ORDER BY doc_id $N1, rendered $N1""".stripMargin
+    },
+    // per signal: the q_text_psi skeleton with cand = the 30% md5 hash
+    // sample, summed over bins; generated per signal from one template
+    "q_sample_fidelity" -> {
+      val caseSum = (1 to 9)
+        .map(i => s"(CASE WHEN v > es[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      val pb = "((CAST(n_base AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 0.5 * 10))"
+      val pc = "((CAST(n_cand AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 0.5 * 10))"
+      def one(sig: String, expr: String) =
+        s"""SELECT '$sig' AS signal, n_corpus, n_sample,
+           |  round(CAST(n_sample AS DOUBLE) / n_corpus, 6) AS sample_rate, psi
+           |FROM (
+           |WITH b AS (SELECT CAST($expr AS DOUBLE) AS v FROM documents
+           |  WHERE $expr IS NOT NULL),
+           |c AS (SELECT CAST($expr AS DOUBLE) AS v FROM documents
+           |  WHERE $expr IS NOT NULL AND
+           |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |      / 4294967296.0 < 0.3),
+           |e AS (SELECT quantile_cont(v,
+           |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS es FROM b),
+           |bb AS (SELECT CAST($caseSum AS BIGINT) AS bin FROM b CROSS JOIN e),
+           |cc AS (SELECT CAST($caseSum AS BIGINT) AS bin FROM c CROSS JOIN e),
+           |nb AS (SELECT bin, count(*) AS n FROM bb GROUP BY bin),
+           |nc AS (SELECT bin, count(*) AS n FROM cc GROUP BY bin),
+           |bins AS (SELECT unnest(range(0, 10)) AS bin),
+           |j AS (SELECT bins.bin, CAST(coalesce(nb.n, 0) AS BIGINT) AS n_base,
+           |        CAST(coalesce(nc.n, 0) AS BIGINT) AS n_cand
+           |      FROM bins LEFT JOIN nb ON nb.bin = bins.bin
+           |                LEFT JOIN nc ON nc.bin = bins.bin),
+           |t AS (SELECT sum(n_base) AS tb, sum(n_cand) AS tc FROM j)
+           |SELECT CAST(max(tb) AS BIGINT) AS n_corpus,
+           |  CAST(max(tc) AS BIGINT) AS n_sample,
+           |  round(sum(round(($pc - $pb) * ln($pc / $pb), 6)), 6) AS psi
+           |FROM j CROSS JOIN t)""".stripMargin
+      val tok = "len(regexp_extract_all(text, '\\S+'))"
+      s"""${one("n_chars", "n_chars")}
+         |UNION ALL
+         |${one("n_tokens", tok)}
+         |ORDER BY signal $N1, n_corpus $N1, n_sample $N1, sample_rate $N1,
+         |  psi $N1""".stripMargin
     },
     // distinct md5 gram fingerprints both sides, left join, per-doc share
     "q_text_novelty" ->

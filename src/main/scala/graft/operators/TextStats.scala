@@ -1720,6 +1720,40 @@ object TextStats {
   }
 
   /**
+   * Sample FIDELITY report — "did my downsample preserve the corpus?"
+   * One row per signal column: the summed [[psiReport]] PSI between
+   * corpus and sample plus the realized sampling rate. The
+   * check-your-work step after [[Sampling]] operations: a correct
+   * uniform hash sample shows PSI ≈ 0 on every signal; a biased
+   * sample (length-correlated survivorship, a skewed stratum cap)
+   * shows up as PSI on exactly the signals it distorted. Standard
+   * reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken.
+   *
+   * 100 TB design: per signal, [[psiReport]]'s cost — one bounded
+   * exact-percentile collect for the edge vector + two zero-shuffle
+   * CASE-sum binnings; the summed card is a nBins-row aggregate.
+   * Rows with a NULL signal are excluded per signal (the psiReport
+   * contract), so `n_corpus`/`n_sample` are per-signal counts.
+   *
+   * Output: (signal, n_corpus, n_sample, sample_rate, psi), rates and
+   * PSI round-6.
+   */
+  def sampleFidelity(corpus: DataFrame, sample: DataFrame,
+                     signals: Seq[String], nBins: Int = 10): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal column")
+    signals.map { s =>
+      psiReport(corpus, sample, s, nBins)
+        .agg(sum(col("n_base")).as("n_corpus"),
+          sum(col("n_cand")).as("n_sample"),
+          round(sum(col("psi")), 6).as("psi"))
+        .select(lit(s).as("signal"), col("n_corpus"), col("n_sample"),
+          round(col("n_sample").cast(DoubleType) / col("n_corpus"), 6)
+            .as("sample_rate"),
+          col("psi"))
+    }.reduce(_ unionAll _)
+  }
+
+  /**
    * N-gram NOVELTY score — per document, the share of its DISTINCT
    * word n-grams absent from a reference corpus: the "how much new
    * information does this doc add" data-selection signal (novelty ~0

@@ -1116,6 +1116,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"phraseSearch must not shuffle:\n$plan")
   }
 
+  test("sampleFidelity: near-zero PSI for a uniform sample, large for a biased one") {
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      (col("id") % 100).as("len"))
+    val uniform = graft.operators.Sampling.hashSample(docs, "doc_id", 0.4)
+    val fair = TextStats.sampleFidelity(docs, uniform, Seq("len"))
+      .collect()(0)
+    assert(fair.getString(0) == "len")
+    assert(math.abs(fair.getDouble(3) - 0.4) < 0.05, "realized rate near 0.4")
+    assert(fair.getDouble(4) < 0.05, s"uniform sample PSI ~0, got ${fair.getDouble(4)}")
+    // a length-biased sample (only short docs survive) must light up
+    val biased = docs.filter(col("len") < 30)
+    val bad = TextStats.sampleFidelity(docs, biased, Seq("len")).collect()(0)
+    assert(bad.getDouble(4) > 0.25, s"biased sample PSI must exceed 0.25, got ${bad.getDouble(4)}")
+  }
+
   test("ngramNovelty: 0 for covered docs, 1 for unseen, partial overlap exact") {
     val ref = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
     val docs = Seq(
