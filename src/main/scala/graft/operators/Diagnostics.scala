@@ -45,4 +45,60 @@ object Diagnostics {
       .withColumn("rank", col("rank").cast(LongType))
       .select(keys ++ Seq(col("n_rows"), col("share"), col("rank")): _*)
   }
+
+  /**
+   * Plan-shape card: the scale-discipline audit every graded operator
+   * in this repo gets in its spec ("how many exchanges, did the join
+   * broadcast, is the scan pruned"), operationalized for ANY query —
+   * run it on a pipeline before launching it at corpus scale and read
+   * the shuffle/scan/codegen shape off one row.
+   *
+   * Counted on the OPTIMIZED physical plan (Catalyst's final answer,
+   * not the naive translation). This inspects the plan only — nothing
+   * executes; AQE runtime re-planning (skew splits, dynamic broadcast
+   * promotion) can further improve the executed shape but never adds
+   * exchanges beyond what is counted here.
+   *
+   * Output: one row — (n_shuffle_exchanges, n_broadcast_exchanges,
+   * n_broadcast_joins, n_sortmerge_joins, n_scans, n_generates,
+   * n_wholestage_spans, n_sorts).
+   */
+  def planCard(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution._
+    val plan = df.queryExecution.executedPlan
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val subqueries = p.expressions.flatMap(_.collect {
+        case sq: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          sq.plan match { case s: SparkPlan => all(s); case _ => Nil }
+      }.flatten)
+      // AQE wraps the real tree: descend through the adaptive root and
+      // materialized stages; a ReusedExchange points at an
+      // already-counted stage (descending would double-count it)
+      val deeper = p match {
+        case a: adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: adaptive.QueryStageExec => Seq(q.plan)
+        case _: exchange.ReusedExchangeExec => Seq.empty
+        case other => other.children
+      }
+      p +: (deeper.flatMap(all) ++ subqueries)
+    }
+    val nodes = all(plan)
+    def n(pred: SparkPlan => Boolean): Long = nodes.count(pred).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((
+      n(_.isInstanceOf[exchange.ShuffleExchangeLike]),
+      n(_.isInstanceOf[exchange.BroadcastExchangeLike]),
+      n(p => p.isInstanceOf[joins.BroadcastHashJoinExec] ||
+        p.isInstanceOf[joins.BroadcastNestedLoopJoinExec]),
+      n(_.isInstanceOf[joins.SortMergeJoinExec]),
+      n(p => p.isInstanceOf[FileSourceScanExec] ||
+        p.nodeName.contains("Scan")),
+      n(_.isInstanceOf[GenerateExec]),
+      n(_.isInstanceOf[WholeStageCodegenExec]),
+      n(_.isInstanceOf[SortExec])))
+      .toDF("n_shuffle_exchanges", "n_broadcast_exchanges",
+        "n_broadcast_joins", "n_sortmerge_joins", "n_scans", "n_generates",
+        "n_wholestage_spans", "n_sorts")
+  }
 }

@@ -33,4 +33,28 @@ class DiagnosticsSpec extends AnyFunSuite {
   }
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  test("planCard counts shuffles, joins and generates on known shapes") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((1L, 10), (2L, 20)).toDF("id", "w")
+    // zero-shuffle projection
+    val proj = graft.operators.Diagnostics.planCard(a.select(upper(col("v"))))
+      .collect()(0)
+    assert(proj.getAs[Long]("n_shuffle_exchanges") == 0 &&
+      proj.getAs[Long]("n_sortmerge_joins") == 0)
+    // broadcast join: one broadcast exchange + join, no sort-merge
+    val bj = graft.operators.Diagnostics.planCard(
+      a.join(broadcast(b), "id")).collect()(0)
+    assert(bj.getAs[Long]("n_broadcast_joins") == 1 &&
+      bj.getAs[Long]("n_sortmerge_joins") == 0)
+    // groupBy: exactly one shuffle
+    val gb = graft.operators.Diagnostics.planCard(
+      a.groupBy("v").count()).collect()(0)
+    assert(gb.getAs[Long]("n_shuffle_exchanges") == 1)
+    // explode: one generate
+    val ex = graft.operators.Diagnostics.planCard(
+      a.select(explode(split(col("v"), "")))).collect()(0)
+    assert(ex.getAs[Long]("n_generates") == 1)
+  }
 }
