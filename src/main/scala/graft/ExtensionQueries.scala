@@ -3952,6 +3952,8 @@ object ExtensionQueries {
          |FROM ex
          |ORDER BY doc_id $N1, turn_idx $N1, role $N1, n_turn_tokens $N1,
          |  start_tok $N1, end_tok $N1""".stripMargin,
+    // empty normalized answers (no assistant turns) carry no dedup
+    // evidence: all kept, n_copies 1 — mirrored from the operator
     "q_chat_dedup" ->
       s"""WITH $chatCte,
          |fp AS (SELECT doc_id, trim(regexp_replace(lower(array_to_string(
@@ -3959,7 +3961,10 @@ object ExtensionQueries {
          |      t -> t.content), ' ')), '\\s+', ' ', 'g')) AS k FROM cv)
          |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
          |  CAST(count(*) AS BIGINT) AS n_copies
-         |FROM fp GROUP BY k
+         |FROM fp WHERE k <> '' GROUP BY k
+         |UNION ALL
+         |SELECT CAST(doc_id AS BIGINT), CAST(1 AS BIGINT)
+         |FROM fp WHERE k = ''
          |ORDER BY doc_id $N1, n_copies $N1""".stripMargin,
     // sliding token-window compare, overlap-counting — same window
     // definition as the operator (range is empty when len(toks) < 2)

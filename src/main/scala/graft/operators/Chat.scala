@@ -219,7 +219,11 @@ object Chat {
    * in order) are identical keep only the lowest-id exemplar — the
    * SFT near-dup mode doc-level dedup misses, because paraphrased
    * prompts wrap the same answer. Returns kept rows with `n_copies`
-   * (family size, ≥ 1).
+   * (family size, ≥ 1). Conversations with NO assistant content
+   * (empty normalized answer) carry no dedup evidence and are all
+   * KEPT with `n_copies` 1 — collapsing them to one exemplar would
+   * delete unrelated rows (the blank-line exemption of
+   * [[CorpusClean.dedupLinesWithinDoc]], same reasoning).
    *
    * 100 TB design: the group key leaving the executor is a 16-byte
    * `sha2` fingerprint of the normalized assistant text, never the
@@ -230,11 +234,17 @@ object Chat {
     val norm = trim(regexp_replace(lower(array_join(
       transform(filter(col(convCol), t => t.getField("role") === "assistant"),
         t => t.getField("content")), " ")), "\\s+", " "))
-    val withFp = df.withColumn("__fp", sha2(norm, 256))
-    val winners = withFp.groupBy(col("__fp"))
+    // no-assistant rows: NULL fingerprint -> never group together (the
+    // null-safe join below keeps them out of every family)
+    val withFp = df.withColumn("__fp",
+      when(norm =!= "", sha2(norm, 256)))
+    val winners = withFp.filter(col("__fp").isNotNull).groupBy(col("__fp"))
       .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("n_copies"))
-    withFp.join(winners,
+    val deduped = withFp.join(winners,
         withFp("__fp") === winners("__fp") && col(idCol) === col("__keep"))
       .select(df.columns.map(col) :+ col("n_copies"): _*)
+    val exempt = withFp.filter(col("__fp").isNull)
+      .select(df.columns.map(col) :+ lit(1L).as("n_copies"): _*)
+    deduped.unionAll(exempt)
   }
 }

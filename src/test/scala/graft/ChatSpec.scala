@@ -109,6 +109,17 @@ class ChatSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kept == Map(1L -> 3L, 3L -> 1L),
       s"1,2,4 share one normalized answer; got $kept")
+    // conversations with NO assistant content carry no dedup evidence:
+    // every one survives (collapsing them would delete unrelated rows)
+    val noAnswer = frame(
+      10L -> conv("user" -> "first question"),
+      11L -> conv("user" -> "different question"),
+      12L -> conv("user" -> "q", "assistant" -> "   "))
+    val kept2 = Chat.dedupByAssistant(noAnswer, "id", "conv")
+      .select("id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept2 == Map(10L -> 1L, 11L -> 1L, 12L -> 1L),
+      s"assistant-less conversations must all survive; got $kept2")
   }
 
   test("parseChat inverts renderChat within the template contract") {
