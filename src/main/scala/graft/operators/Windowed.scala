@@ -215,7 +215,9 @@ object Windowed {
    *
    * 100 TB design: the [[funnel]] chain's frames (user-cardinality)
    * joined pairwise on the user key, then ONE bounded aggregate per
-   * pair — never the raw event log twice.
+   * pair. The event log is read once per STEP with the type filter
+   * pushed to the scan (the funnel chain's cost, shared here) — the
+   * pairwise latency math itself never touches the raw log.
    */
   def funnelTimings(events: DataFrame, userCol: String, tsCol: String,
                     typeCol: String, steps: Seq[String]): DataFrame = {
