@@ -34,6 +34,17 @@ object Chat {
 
   private val RoleVocab = Seq("system", "user", "assistant")
 
+  /** The normalized assistant-answer string [[dedupByAssistant]] and
+    * its streaming twin fingerprint on: assistant turn contents joined
+    * on a SPACE (a turn boundary is whitespace, so "use merge"+"sort"
+    * across two turns equals "use merge sort" in one), lowercased,
+    * whitespace-collapsed, trimmed. Shared so batch and stream
+    * decisions cannot drift. */
+  private[graft] def assistantNorm(convCol: String): Column =
+    trim(regexp_replace(lower(array_join(
+      transform(filter(col(convCol), t => t.getField("role") === "assistant"),
+        t => t.getField("content")), " ")), "\\s+", " "))
+
   private def turnTokens(t: Column): Column =
     TextFunctions.tokenCount(t.getField("content"))
 
@@ -231,9 +242,7 @@ object Chat {
    * partially-aggregated groupBy + one fingerprint-keyed semi join.
    */
   def dedupByAssistant(df: DataFrame, idCol: String, convCol: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(array_join(
-      transform(filter(col(convCol), t => t.getField("role") === "assistant"),
-        t => t.getField("content")), " ")), "\\s+", " "))
+    val norm = assistantNorm(convCol)
     // no-assistant rows: NULL fingerprint -> never group together. ONE
     // left join (an equi-join on a NULL key matches nothing, so exempt
     // rows pass with NULL winners) — not a union of two branches,

@@ -235,6 +235,31 @@ object StreamingOps {
     else validated
   }
 
+  /**
+   * Streaming twin of [[graft.operators.Chat.dedupByAssistant]]: the
+   * same normalized-assistant-answer fingerprint (shared definition —
+   * `Chat.assistantNorm` — so decisions cannot drift), deduplicated
+   * with the watermark-bounded `dropDuplicatesWithinWatermark` state.
+   * Semantic differences from batch, both by necessity:
+   * first-ARRIVING exemplar survives (not lowest id — the
+   * [[streamingCorpusClean]] caveat) and no `n_copies` column (the
+   * family is never assembled on an unbounded stream). Assistant-less
+   * conversations keep the batch exemption: their dedup key falls
+   * back to the row's own id, so they never collide with anything.
+   */
+  def streamingChatDedup(convs: DataFrame, idCol: String, convCol: String,
+                         tsCol: String, watermark: String): DataFrame = {
+    val norm = graft.operators.Chat.assistantNorm(convCol)
+    convs
+      .withColumn("__norm", norm)
+      .withColumn("__fp", coalesce(
+        when(col("__norm") =!= "", sha2(col("__norm"), 256)),
+        concat(lit("__noans#"), col(idCol).cast("string"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__norm", "__fp")
+  }
+
   /** Quality-score projection for a STREAMING document frame — the
     * incremental twin of the batch `q_text_quality` path, staged on the
     * same native one-pass TokenProfile expression. Stateless (one

@@ -568,6 +568,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows == Set(("2024-01-01 00:00:00.0", "spam", 3L)))
   }
 
+  test("streamingChatDedup drops repeated answers, exempts assistant-less rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    def toConv(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("conv", transform(split(col("packed"), ";"), t =>
+        struct(split(t, "\\|").getItem(0).as("role"),
+          coalesce(split(t, "\\|").getItem(1), lit("")).as("content"))))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamingOps.streamingChatDedup(
+      toConv(mem.toDF().toDF("id", "ts", "packed")), "id", "conv",
+      "ts", "10 minutes")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("chat_dedup_s")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 00:01:00"), "user|how to sort;assistant|Use  Merge Sort"),
+      (2L, ts("2024-01-01 00:02:00"), "user|fast sort?;assistant|use merge sort"),
+      (3L, ts("2024-01-01 00:03:00"), "user|other;assistant|different"),
+      (4L, ts("2024-01-01 00:04:00"), "user|no answer yet"),
+      (5L, ts("2024-01-01 00:05:00"), "user|also unanswered"))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT id FROM chat_dedup_s").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L, 3L, 4L, 5L),
+      s"2 duplicates 1's normalized answer; 4 and 5 are exempt; got $kept")
+  }
+
   test("streamingTrendingTokensSketch equals exact windowed counts when k >= vocab") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
