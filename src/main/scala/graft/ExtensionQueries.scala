@@ -1682,6 +1682,19 @@ object ExtensionQueries {
         "conv").select(col("doc_id"), col("rendered")))
     }),
 
+    // one-plan chat SFT pipeline: validate -> keep chat_ok -> dedup
+    // assistant answers -> render for the tokenizer. The chat-family
+    // cross-operator pathology smoke test (the q_pipeline_pretrain
+    // discipline): four operators, ONE composed plan
+    "q_pipeline_chat" -> ((s, dir) => {
+      val ok = graft.operators.Chat.validateChat(chatFrame(s, dir), "conv")
+        .filter(col("chat_ok"))
+        .select(col("doc_id"), col("conv"))
+      val deduped = graft.operators.Chat.dedupByAssistant(ok, "doc_id", "conv")
+      det(graft.operators.Chat.renderChat(deduped, "conv")
+        .select(col("doc_id"), col("rendered"), col("n_copies")))
+    }),
+
     // sample-fidelity: PSI of a 30% hash sample vs the corpus on two
     // length signals — a correct uniform sample reads ~0
     "q_sample_fidelity" -> ((s, dir) => {
@@ -3996,6 +4009,34 @@ object ExtensionQueries {
          |FROM cv
          |ORDER BY doc_id $N1, rendered $N1""".stripMargin
     },
+    // the validate, dedup and render oracle fragments composed in
+    // sequence — same list-lambda bodies as their standalone oracles
+    "q_pipeline_chat" ->
+      s"""WITH $chatCte,
+         |ns AS (SELECT doc_id, turns,
+         |    list_filter(turns, t -> t.role <> 'system') AS nsl FROM cv),
+         |okf AS (SELECT doc_id, turns FROM ns
+         |  WHERE len(turns) > 0
+         |    AND COALESCE(nsl[1].role = 'user', FALSE)
+         |    AND len(list_filter(range(1, len(nsl)),
+         |      i -> nsl[i].role = nsl[i+1].role)) = 0
+         |    AND COALESCE(turns[len(turns)].role = 'assistant', FALSE)
+         |    AND NOT len(list_filter(turns, t -> trim(t.content) = '')) > 0
+         |    AND NOT len(list_filter(turns,
+         |      t -> t.role NOT IN ('system','user','assistant'))) > 0),
+         |fp AS (SELECT doc_id, turns, trim(regexp_replace(lower(
+         |    array_to_string(list_transform(
+         |      list_filter(turns, t -> t.role = 'assistant'),
+         |      t -> t.content), ' ')), '\\s+', ' ', 'g')) AS k FROM okf),
+         |kept AS (SELECT min(doc_id) AS doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_copies
+         |  FROM fp WHERE k <> '' GROUP BY k
+         |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM fp WHERE k = '')
+         |SELECT f.doc_id, array_to_string(list_transform(f.turns,
+         |    t -> '<|' || t.role || '|>' || chr(10) || t.content ||
+         |         '<|end|>' || chr(10)), '') AS rendered, kept.n_copies
+         |FROM fp f JOIN kept ON f.doc_id = kept.doc_id
+         |ORDER BY f.doc_id $N1, rendered $N1, n_copies $N1""".stripMargin,
     // per signal: the q_text_psi skeleton with cand = the 30% md5 hash
     // sample, summed over bins; generated per signal from one template
     "q_sample_fidelity" -> {

@@ -149,6 +149,16 @@ class ChatSpec extends AnyFunSuite {
     assert(out == Seq(("user", "hello world"), ("assistant", "ok")))
   }
 
+  test("chat pipeline (validate -> filter -> dedup -> render) has a bounded plan") {
+    val ok = Chat.validateChat(planted, "conv").filter(col("chat_ok"))
+      .select(col("id"), col("conv"))
+    val out = Chat.renderChat(Chat.dedupByAssistant(ok, "id", "conv"), "conv")
+    assert(out.count() >= 1)
+    val card = graft.operators.Diagnostics.planCard(out).collect()(0)
+    assert(card.getAs[Long]("n_shuffle_exchanges") <= 3,
+      s"four chat operators must compose into one bounded plan, got $card")
+  }
+
   test("chat operators are zero-shuffle projections (scale contract)") {
     val v = Chat.validateChat(planted, "conv")
     val r = Chat.renderChat(planted, "conv")
