@@ -1687,9 +1687,15 @@ object ExtensionQueries {
     // cross-operator pathology smoke test (the q_pipeline_pretrain
     // discipline): four operators, ONE composed plan
     "q_pipeline_chat" -> ((s, dir) => {
-      val ok = graft.operators.Chat.validateChat(chatFrame(s, dir), "conv")
-        .filter(col("chat_ok"))
-        .select(col("doc_id"), col("conv"))
+      // validity as a SEMI JOIN on ids, not an inline filter: a pushed
+      // filter(chat_ok) substitutes every flag's expression tree into
+      // the conv-carrying branch (58 regex calls per row, and dedup's
+      // two join sides each re-evaluate it — measured 10.3 s at sf0.1;
+      // the id semi-join keeps the validation plan on its own cheap
+      // branch: 2.9 s, hash-identical)
+      val okIds = graft.operators.Chat.validateChat(chatFrame(s, dir), "conv")
+        .filter(col("chat_ok")).select(col("doc_id"))
+      val ok = chatFrame(s, dir).join(okIds, Seq("doc_id"), "left_semi")
       val deduped = graft.operators.Chat.dedupByAssistant(ok, "doc_id", "conv")
       det(graft.operators.Chat.renderChat(deduped, "conv")
         .select(col("doc_id"), col("rendered"), col("n_copies")))

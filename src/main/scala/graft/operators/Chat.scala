@@ -72,7 +72,13 @@ object Chat {
    */
   def validateChat(df: DataFrame, convCol: String): DataFrame = {
     val conv = col(convCol)
-    val nonSys = filter(conv, t => t.getField("role") =!= "system")
+    // STAGE the non-system slice, and build chat_ok from the flag
+    // COLUMNS, not the flag expressions: a downstream
+    // filter(chat_ok) gets predicate-pushed with aliases substituted,
+    // and inlined flag expressions would each carry their own copy of
+    // the array machinery (measured 58 regex calls per row and zero
+    // codegen spans on the pipeline query; staged: 2).
+    val nonSys = col("__nonsys")
     val startsUser = coalesce(
       element_at(nonSys, 1).getField("role") === "user", lit(false))
     // zip each non-system turn with its successor (zip_with pads the
@@ -88,14 +94,17 @@ object Chat {
       exists(conv, t => length(trim(t.getField("content"))) === 0), lit(false))
     val hasBadRole = coalesce(
       exists(conv, t => !t.getField("role").isin(RoleVocab: _*)), lit(false))
-    df.withColumn("starts_user", startsUser)
+    df.withColumn("__nonsys", filter(conv, t => t.getField("role") =!= "system"))
+      .withColumn("starts_user", startsUser)
       .withColumn("alternates", alternates)
       .withColumn("ends_assistant", endsAssistant)
       .withColumn("has_empty_turn", hasEmpty)
       .withColumn("has_bad_role", hasBadRole)
       .withColumn("chat_ok",
-        coalesce(size(conv) > 0, lit(false)) && startsUser && alternates &&
-          endsAssistant && !hasEmpty && !hasBadRole)
+        coalesce(size(conv) > 0, lit(false)) && col("starts_user") &&
+          col("alternates") && col("ends_assistant") &&
+          !col("has_empty_turn") && !col("has_bad_role"))
+      .drop("__nonsys")
   }
 
   /**
@@ -243,21 +252,26 @@ object Chat {
    */
   def dedupByAssistant(df: DataFrame, idCol: String, convCol: String): DataFrame = {
     val norm = assistantNorm(convCol)
-    // no-assistant rows: NULL fingerprint -> never group together. ONE
-    // left join (an equi-join on a NULL key matches nothing, so exempt
-    // rows pass with NULL winners) — not a union of two branches,
-    // which would evaluate the input twice (measured 2.7x on the
-    // graded row).
+    // [[Dedup.exactDedup]]'s fingerprint-WINDOW contract: ONE shuffle
+    // on the hash key, one pass over the input, no self-join (a
+    // groupBy+join shape evaluates the input on both join sides —
+    // measured 2.4x on the pipeline query whose input is itself an
+    // expensive plan). No-assistant rows (empty normalized answer)
+    // carry no dedup evidence: their key falls back to their own id,
+    // so each is a singleton family — all kept, n_copies 1, and never
+    // one giant skewed NULL partition.
     // stage the normalized answer once: inline, the HOF chain would
     // evaluate per reference (condition + hash)
-    val withFp = df.withColumn("__norm", norm)
-      .withColumn("__fp", when(col("__norm") =!= "", sha2(col("__norm"), 256)))
+    val withKey = df.withColumn("__norm", norm)
+      .withColumn("__fp", coalesce(
+        when(col("__norm") =!= "", sha2(col("__norm"), 256)),
+        concat(lit("__noans#"), col(idCol).cast(StringType))))
       .drop("__norm")
-    val winners = withFp.filter(col("__fp").isNotNull).groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("__nc"))
-    withFp.join(winners, withFp("__fp") === winners("__fp"), "left")
-      .filter(col("__keep").isNull || col(idCol) === col("__keep"))
-      .select(df.columns.map(col) :+
-        coalesce(col("__nc"), lit(1L)).as("n_copies"): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    withKey
+      .withColumn("__keep", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .select(df.columns.map(col) :+ col("n_copies"): _*)
   }
 }
