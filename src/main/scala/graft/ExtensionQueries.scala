@@ -1701,6 +1701,14 @@ object ExtensionQueries {
         .select(col("doc_id"), col("rendered"), col("n_copies")))
     }),
 
+    // sequence-length distribution on power-of-two buckets
+    "q_text_length_hist" -> ((s, dir) =>
+      det(graft.operators.TextStats.lengthHistogram(docs(s, dir), "text"))),
+
+    // exact-duplicate family-size histogram
+    "q_dedup_family_sizes" -> ((s, dir) =>
+      det(graft.operators.Dedup.duplicateFamilySizes(docs(s, dir), "text"))),
+
     // sample-fidelity: PSI of a 30% hash sample vs the corpus on two
     // length signals — a correct uniform sample reads ~0
     "q_sample_fidelity" -> ((s, dir) => {
@@ -4043,6 +4051,34 @@ object ExtensionQueries {
          |         '<|end|>' || chr(10)), '') AS rendered, kept.n_copies
          |FROM fp f JOIN kept ON f.doc_id = kept.doc_id
          |ORDER BY f.doc_id $N1, rendered $N1, n_copies $N1""".stripMargin,
+    // exact integer log2 bucketing replayed with the same power chain
+    "q_text_length_hist" ->
+      s"""WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\\S+'))
+         |    AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT CASE WHEN n = 0 THEN -1
+         |    ELSE CAST(floor(log2(n)) AS BIGINT) END AS bucket FROM t),
+         |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM b GROUP BY bucket),
+         |tt AS (SELECT sum(n_docs) AS tot FROM c)
+         |SELECT bucket,
+         |  CASE WHEN bucket >= 0 THEN CAST(power(2, bucket) AS BIGINT)
+         |    ELSE 0 END AS bucket_lo,
+         |  n_docs, round(CAST(n_docs AS DOUBLE) / tot, 6) AS share
+         |FROM c CROSS JOIN tt
+         |ORDER BY bucket $N1, bucket_lo $N1, n_docs $N1, share $N1""".stripMargin,
+    "q_dedup_family_sizes" ->
+      s"""WITH f AS (SELECT md5(text) AS fp, CAST(count(*) AS BIGINT)
+         |    AS family_size FROM documents WHERE text IS NOT NULL
+         |  GROUP BY md5(text)),
+         |h AS (SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
+         |    CAST(family_size * count(*) AS BIGINT) AS n_docs
+         |  FROM f GROUP BY family_size),
+         |t AS (SELECT sum(n_docs) AS tot FROM h)
+         |SELECT family_size, n_families, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) / tot, 6) AS doc_share
+         |FROM h CROSS JOIN t
+         |ORDER BY family_size $N1, n_families $N1, n_docs $N1,
+         |  doc_share $N1""".stripMargin,
     // per signal: the q_text_psi skeleton with cand = the 30% md5 hash
     // sample, summed over bins; generated per signal from one template
     "q_sample_fidelity" -> {

@@ -37,6 +37,37 @@ object Dedup {
   }
 
   /**
+   * Duplicate FAMILY-SIZE histogram: how many exact-duplicate
+   * families have 1, 2, 3… members — the "is duplication a few huge
+   * clusters or a long tail" shape that decides between
+   * [[capDuplicates]] (tail) and hard [[exactDedup]] (clusters), and
+   * the headline chart of every corpus-duplication writeup. A family
+   * is an exact-content group ([[exactDedup]]'s md5 fingerprint).
+   *
+   * 100 TB design: fingerprint groupBy (map-side combined, 16-byte
+   * keys) → family sizes → ONE second map-side-combined aggregate to
+   * ≤ max-family-size rows; shares divide against a broadcast 1-row
+   * total. Nothing driver-side.
+   *
+   * Output: (family_size, n_families, n_docs, doc_share) — doc_share
+   * = this size's docs over all docs, round-6; sizes ascending with
+   * no gaps filled.
+   */
+  def duplicateFamilySizes(df: DataFrame, textCol: String): DataFrame = {
+    val fams = df.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("__fp"))
+      .agg(count(lit(1)).as("family_size"))
+    val hist = fams.groupBy(col("family_size"))
+      .agg(count(lit(1)).as("n_families"))
+      .withColumn("n_docs", col("family_size") * col("n_families"))
+    val total = hist.agg(sum(col("n_docs")).as("__t"))
+    hist.crossJoin(broadcast(total))
+      .select(col("family_size"), col("n_families"), col("n_docs"),
+        round(col("n_docs").cast(org.apache.spark.sql.types.DoubleType) /
+          col("__t"), 6).as("doc_share"))
+  }
+
+  /**
    * Corpus version DIFF — the dataset-release comparison: classify
    * every document id across two corpus versions as `added` (new
    * only), `removed` (old only), `changed` (both, content fingerprint

@@ -1720,6 +1720,41 @@ object TextStats {
   }
 
   /**
+   * Token-length HISTOGRAM on power-of-two buckets — the
+   * sequence-length distribution card packing budgets and
+   * max-sequence-length choices are read off of (how much of the
+   * corpus exceeds 2^k tokens = how much a length-2^k context
+   * truncates). Bucket = floor(log2(n_tokens)) with 0-token docs in
+   * bucket -1; exact integer bucketing (compare against powers, no
+   * floating log), so the oracle replays bit-exactly.
+   *
+   * 100 TB design: one zero-shuffle projection (token count +
+   * CASE-sum bucket) into ONE map-side-combined aggregate of ≤ ~64
+   * buckets; the share division runs against a broadcast 1-row total.
+   *
+   * Output: (bucket, bucket_lo, n_docs, share) — bucket_lo = 2^bucket
+   * (0 for the empty bucket), share round-6, buckets with no docs
+   * absent.
+   */
+  def lengthHistogram(docs: DataFrame, textCol: String): DataFrame = {
+    val n = graft.functions.TextFunctions.tokenCount(col(textCol))
+    // floor(log2) as a power-compare chain: exact for any Long
+    val bucket = (0 to 62).foldLeft(lit(-1L)) { (acc, k) =>
+      when(n >= lit(1L << k), lit(k.toLong)).otherwise(acc)
+    }
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__t"))
+    val bucketLo = (0 to 62).foldLeft(lit(0L)) { (acc, k) =>
+      when(col("bucket") === k, lit(1L << k)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"), bucketLo.as("bucket_lo"), col("n_docs"),
+        round(col("n_docs").cast(DoubleType) / col("__t"), 6).as("share"))
+  }
+
+  /**
    * Sample FIDELITY report — "did my downsample preserve the corpus?"
    * One row per signal column: the summed [[psiReport]] PSI between
    * corpus and sample plus the realized sampling rate. The

@@ -1116,6 +1116,40 @@ class TextStatsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"phraseSearch must not shuffle:\n$plan")
   }
 
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  test("lengthHistogram: exact power-of-two buckets incl. empty and boundary docs") {
+    val docs = Seq(
+      (1L, ""),                       // 0 tokens -> bucket -1
+      (2L, "a"),                      // 1 -> bucket 0
+      (3L, "a b"),                    // 2 -> bucket 1 (boundary)
+      (4L, "a b c"),                  // 3 -> bucket 1
+      (5L, "a b c d"),                // 4 -> bucket 2 (boundary)
+      (6L, (1 to 7).map(_ => "w").mkString(" ")), // 7 -> bucket 2
+      (7L, null.asInstanceOf[String]) // NULL excluded
+    ).toDF("doc_id", "text")
+    val out = TextStats.lengthHistogram(docs, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out == Map(
+      -1L -> ((0L, 1L, round6(1.0 / 6))),
+      0L -> ((1L, 1L, round6(1.0 / 6))),
+      1L -> ((2L, 2L, round6(2.0 / 6))),
+      2L -> ((4L, 2L, round6(2.0 / 6)))), s"got $out")
+  }
+
+  test("duplicateFamilySizes: hand-planted family shape") {
+    val docs = (Seq.fill(3)("triple") ++ Seq.fill(2)("pair a") ++
+      Seq.fill(2)("pair b") ++ Seq("solo x", "solo y", "solo z"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.operators.Dedup.duplicateFamilySizes(docs, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out == Map(
+      1L -> ((3L, 3L, 0.3)), 2L -> ((2L, 4L, 0.4)), 3L -> ((1L, 3L, 0.3))),
+      s"got $out")
+  }
+
   test("sampleFidelity: near-zero PSI for a uniform sample, large for a biased one") {
     val docs = spark.range(2000).select(col("id").as("doc_id"),
       (col("id") % 100).as("len"))
