@@ -1787,6 +1787,11 @@ object ExtensionQueries {
       det(graft.operators.Similarity.embeddingGeometryCard(
         emb(s, dir), "embedding"))),
 
+    // n-gram sketch, exact at k=2048 >= ~930 distinct bigrams: top-10
+    "q_text_topk_ngrams" -> ((s, dir) =>
+      det(graft.operators.TextStats.approxTopNgrams(docs(s, dir), "text",
+        n = 2, sketchK = 2048, topM = 10))),
+
     // per-language sketch, exact at k=64 >= vocab: top-5 tokens per lang
     "q_text_topk_by_lang" -> ((s, dir) =>
       det(graft.operators.TextStats.approxTopTokensBy(docs(s, dir), "text",
@@ -4222,6 +4227,17 @@ object ExtensionQueries {
          |SELECT token, count_min FROM v
          |ORDER BY count_min DESC, token LIMIT 10""".stripMargin,
     "q_gate_topk_sketch" -> "SELECT CAST(1 AS INT) AS ok",
+    // exact top-10 bigrams (k >= distinct bigrams makes the sketch exact)
+    "q_text_topk_ngrams" ->
+      s"""WITH t AS (SELECT regexp_extract_all(text, '\\S+') AS toks
+         |  FROM documents),
+         |g AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+         |  FROM t WHERE len(toks) >= 2),
+         |v AS (SELECT ngram, CAST(count(*) AS BIGINT) AS count_min
+         |  FROM g GROUP BY ngram)
+         |SELECT ngram, count_min FROM v
+         |ORDER BY count_min DESC, ngram LIMIT 10""".stripMargin,
     // norm stats + per-dim means (round-6 staging mirrored), anisotropy
     "q_emb_geometry" ->
       s"""WITH v AS (SELECT round(sqrt(list_sum(list_transform(embedding,

@@ -1598,6 +1598,41 @@ object TextStats {
    * with the query appear.
    */
   /**
+   * [[approxTopTokens]] over word N-GRAMS — the regime the sketch
+   * exists for: distinct n-grams grow with corpus size (not
+   * Zipf-bounded like unigrams), so even [[topNgrams]]' hash-keyed
+   * exact count shuffles a corpus-scale key space; the sketch's
+   * shuffle stays at k entries per task whatever n or the corpus
+   * size. Same per-item guarantee.
+   *
+   * 100 TB design: the n-gram strings are built row-locally from a
+   * STAGED token column (the lambda-CSE discipline) and feed straight
+   * into the partial sketch — no distinct-key aggregate ever
+   * materializes.
+   *
+   * Output: (ngram, count_min), first `topM` by (count desc, ngram
+   * asc); docs shorter than `n` contribute nothing.
+   */
+  def approxTopNgrams(docs: DataFrame, textCol: String, n: Int,
+                      sketchK: Int, topM: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(topM >= 1 && topM <= sketchK,
+      s"need 1 <= topM <= sketchK, got topM=$topM sketchK=$sketchK")
+    val toks = col("__toks")
+    docs
+      .withColumn("__toks",
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(explode(transform(sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " "))).as("ngram"))
+      .agg(graft.functions.TopKSketch.sketch(col("ngram"), sketchK).as("__sk"))
+      .select(posexplode(col("__sk")).as(Seq("__i", "__e")))
+      .filter(col("__i") < topM)
+      .select(col("__e.item").as("ngram"),
+        col("__e.count_min").as("count_min"))
+  }
+
+  /**
    * Per-stratum [[approxTopTokens]]: one Misra–Gries sketch per group
    * (language, source, time bucket…) in a single aggregation — the
    * "top URLs per domain / top tokens per language" card at

@@ -57,6 +57,19 @@ class TopKSketchSpec extends AnyFunSuite {
       ("de", "katze", 4L), ("de", "hund", 3L)), s"got $out")
   }
 
+  test("approxTopNgrams sketches bigram heavy hitters exactly when k suffices") {
+    val docs = Seq(
+      (1L, "the cat sat on the cat"),
+      (2L, "the cat ran"),
+      (3L, "solo")                       // shorter than n: contributes nothing
+    ).toDF("doc_id", "text").repartition(3)
+    val out = TextStats.approxTopNgrams(docs, "text", n = 2,
+      sketchK = 64, topM = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("the cat", 3L), ("cat ran", 1L)),
+      s"top-2 by (count desc, ngram asc); got ${out.toSeq}")
+  }
+
   test("NULL items are ignored and the aggregate partially combines") {
     val docs = Seq(Some("x x y"), None, Some("x")).toDF("text")
     val out = TextStats.approxTopTokens(docs, "text", sketchK = 8, topM = 2)
