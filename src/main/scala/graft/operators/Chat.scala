@@ -27,8 +27,8 @@ import org.apache.spark.sql.types._
  * from codegen'd higher-order functions (`transform` / `filter` /
  * `exists` / `aggregate`) over the turn array — zero shuffle, no
  * UDFs, rides the scan. The one exception is [[dedupByAssistant]],
- * which shuffles 16-byte fingerprints (the [[Dedup.exactDedup]]
- * contract), never turn text.
+ * which shuffles sha2 fingerprints on the [[Dedup.exactDedup]]
+ * fingerprint-window contract — never turn text.
  */
 object Chat {
 
@@ -45,8 +45,10 @@ object Chat {
       transform(filter(col(convCol), t => t.getField("role") === "assistant"),
         t => t.getField("content")), " ")), "\\s+", " "))
 
+  // NULL content counts as empty (0 tokens) — the raw tokenCount(NULL)
+  // would surface legacy size(NULL) = -1 and corrupt every sum
   private def turnTokens(t: Column): Column =
-    TextFunctions.tokenCount(t.getField("content"))
+    TextFunctions.tokenCount(coalesce(t.getField("content"), lit("")))
 
   /**
    * Structural validation of a conversation column. Each check is its
@@ -90,8 +92,12 @@ object Chat {
       x => x), lit(true))
     val endsAssistant = coalesce(
       element_at(conv, -1).getField("role") === "assistant", lit(false))
+    // NULL content is as empty as "" (the bare length comparison would
+    // yield NULL and slip past `exists`)
     val hasEmpty = coalesce(
-      exists(conv, t => length(trim(t.getField("content"))) === 0), lit(false))
+      exists(conv, t =>
+        length(trim(coalesce(t.getField("content"), lit("")))) === 0),
+      lit(false))
     val hasBadRole = coalesce(
       exists(conv, t => !t.getField("role").isin(RoleVocab: _*)), lit(false))
     df.withColumn("__nonsys", filter(conv, t => t.getField("role") =!= "system"))
@@ -245,10 +251,10 @@ object Chat {
    * delete unrelated rows (the blank-line exemption of
    * [[CorpusClean.dedupLinesWithinDoc]], same reasoning).
    *
-   * 100 TB design: the group key leaving the executor is a 16-byte
-   * `sha2` fingerprint of the normalized assistant text, never the
-   * text itself ([[Dedup]]'s fingerprint-shuffle contract); one
-   * partially-aggregated groupBy + one fingerprint-keyed semi join.
+   * 100 TB design: the key leaving the executor is a `sha2`
+   * fingerprint of the normalized assistant text, never the text
+   * itself ([[Dedup]]'s fingerprint-shuffle contract); ONE shuffle,
+   * one pass — the fingerprint-window shape, see the body comment.
    */
   def dedupByAssistant(df: DataFrame, idCol: String, convCol: String): DataFrame = {
     val norm = assistantNorm(convCol)

@@ -51,6 +51,17 @@ class ChatSpec extends AnyFunSuite {
       "empty conversation: vacuous alternation, everything else fails")
   }
 
+  test("NULL turn content counts as empty: flagged, zero tokens") {
+    val withNull = frame(1L -> Seq(Row("user", "hi"), Row("assistant", null)))
+    val v = Chat.validateChat(withNull, "conv").collect()(0)
+    assert(v.getAs[Boolean]("has_empty_turn") && !v.getAs[Boolean]("chat_ok"),
+      "NULL content must flag has_empty_turn, not slip past the check")
+    val s = Chat.chatStats(withNull, "conv").collect()(0)
+    assert(s.getAs[Long]("n_assistant_tokens") == 0L &&
+      s.getAs[Long]("n_user_tokens") == 1L,
+      "NULL content is 0 tokens, never legacy size(NULL) = -1")
+  }
+
   test("renderChat flattens in order with the ChatML-shaped template") {
     val r = Chat.renderChat(planted.filter(col("id") === 2), "conv")
       .select("rendered").collect()(0).getString(0)
