@@ -1701,6 +1701,11 @@ object ExtensionQueries {
         .select(col("doc_id"), col("rendered"), col("n_copies")))
     }),
 
+    // Heaps-law vocabulary growth at four corpus checkpoints
+    "q_text_vocab_growth" -> ((s, dir) =>
+      det(graft.operators.TextStats.vocabGrowthCurve(docs(s, dir),
+        "doc_id", "text", Seq(10L, 50L, 200L, 500L)))),
+
     // sequence-length distribution on power-of-two buckets
     "q_text_length_hist" -> ((s, dir) =>
       det(graft.operators.TextStats.lengthHistogram(docs(s, dir), "text"))),
@@ -4056,6 +4061,17 @@ object ExtensionQueries {
          |         '<|end|>' || chr(10)), '') AS rendered, kept.n_copies
          |FROM fp f JOIN kept ON f.doc_id = kept.doc_id
          |ORDER BY f.doc_id $N1, rendered $N1, n_copies $N1""".stripMargin,
+    // per-token first-appearance id, conditional sums per checkpoint
+    "q_text_vocab_growth" ->
+      s"""WITH f AS (SELECT tok, min(doc_id) AS first_id FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+         |    FROM documents) GROUP BY tok)
+         |SELECT CAST(c AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN first_id < c THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS vocab_size
+         |FROM f CROSS JOIN (SELECT unnest([10, 50, 200, 500]) AS c)
+         |GROUP BY c
+         |ORDER BY n_docs $N1, vocab_size $N1""".stripMargin,
     // exact integer log2 bucketing replayed with the same power chain
     "q_text_length_hist" ->
       s"""WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\\S+'))

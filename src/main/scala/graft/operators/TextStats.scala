@@ -1755,6 +1755,42 @@ object TextStats {
   }
 
   /**
+   * Vocabulary GROWTH curve (Heaps' law card): distinct tokens seen
+   * after the first N documents, for a list of checkpoints — "is the
+   * vocabulary saturating or still growing", the curve tokenizer
+   * sizing and more-data-worth-it decisions read. Document order is
+   * ascending `idCol` (any stable id works; growth shape, not
+   * causality, is the point).
+   *
+   * 100 TB design: NOT one distinct-count per checkpoint (C corpus
+   * scans) — the corpus collapses ONCE to each token's FIRST
+   * appearance id (a map-side-combined min aggregate at vocabulary
+   * cardinality), and every checkpoint is a conditional sum over that
+   * Zipf-bounded frame: one scan, one shuffle, C answered together.
+   *
+   * Output: (n_docs, vocab_size) per checkpoint — n_docs is the
+   * checkpoint's RANK CUT (docs with id < checkpoint id may be fewer
+   * if ids are sparse; pass dense ids for exact doc counts).
+   */
+  def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
+                       checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted &&
+      checkpoints.forall(_ > 0), "checkpoints must be positive ascending")
+    val first = docs
+      .select(col(idCol).cast(LongType).as("__id"), explode(
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol)))
+        .as("token"))
+      .groupBy(col("token")).agg(min(col("__id")).as("__first"))
+    val sums = checkpoints.map(c =>
+      sum(when(col("__first") < c, 1L).otherwise(0L)).as(s"__c$c"))
+    val row = first.agg(sums.head, sums.tail: _*)
+    row.select(explode(array(checkpoints.map(c =>
+        struct(lit(c).as("n_docs"), col(s"__c$c").as("vocab_size"))): _*))
+        .as("__x"))
+      .select(col("__x.n_docs"), col("__x.vocab_size"))
+  }
+
+  /**
    * Token-length HISTOGRAM on power-of-two buckets — the
    * sequence-length distribution card packing budgets and
    * max-sequence-length choices are read off of (how much of the

@@ -1138,6 +1138,25 @@ class TextStatsSpec extends AnyFunSuite {
       2L -> ((4L, 2L, round6(2.0 / 6)))), s"got $out")
   }
 
+  test("vocabGrowthCurve: monotone, exact at hand-checked checkpoints, one scan") {
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "b c"),  // after 2 docs: {a,b,c}
+      (3L, "d"), (4L, "a d e")                // after 4: +d; after 5: +e
+    ).toDF("doc_id", "text")
+    val out = TextStats.vocabGrowthCurve(docs, "doc_id", "text",
+      Seq(2L, 4L, 5L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 3L, 4L -> 4L, 5L -> 5L), s"got $out")
+    // one scan, one shuffle: the checkpoints share the first-id frame
+    val nodes = PlanWalk.executedNodes(
+      TextStats.vocabGrowthCurve(docs, "doc_id", "text", Seq(2L, 4L)))
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) <= 2,
+      "all checkpoints must ride one first-appearance aggregate")
+    intercept[IllegalArgumentException](
+      TextStats.vocabGrowthCurve(docs, "doc_id", "text", Seq(5L, 2L)))
+  }
+
   test("duplicateFamilySizes: hand-planted family shape") {
     val docs = (Seq.fill(3)("triple") ++ Seq.fill(2)("pair a") ++
       Seq.fill(2)("pair b") ++ Seq("solo x", "solo y", "solo z"))
