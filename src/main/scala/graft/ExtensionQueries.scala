@@ -3982,10 +3982,11 @@ object ExtensionQueries {
          |  FROM cv)
          |SELECT doc_id, t.idx AS turn_idx, t.role AS role,
          |  t.n AS n_turn_tokens,
-         |  COALESCE(sum(t.n) OVER (PARTITION BY doc_id ORDER BY t.idx
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  CAST(COALESCE(sum(t.n) OVER (PARTITION BY doc_id ORDER BY t.idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |    AS start_tok,
-         |  sum(t.n) OVER (PARTITION BY doc_id ORDER BY t.idx) AS end_tok
+         |  CAST(sum(t.n) OVER (PARTITION BY doc_id ORDER BY t.idx) AS BIGINT)
+         |    AS end_tok
          |FROM ex
          |ORDER BY doc_id $N1, turn_idx $N1, role $N1, n_turn_tokens $N1,
          |  start_tok $N1, end_tok $N1""".stripMargin,

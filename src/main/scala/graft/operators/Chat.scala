@@ -118,7 +118,11 @@ object Chat {
    * — a ChatML-shaped template: each turn becomes
    * `<|role|>\n` + content + `<|end|>\n`, concatenated in order. The
    * exact token spelling is a tokenizer-contract detail; the operator
-   * contract is deterministic order-preserving flattening.
+   * contract is deterministic order-preserving flattening. NULL
+   * role/content render as empty (the chat family's NULL-as-empty
+   * convention — validateChat/chatStats/chatTokenSpans all treat NULL
+   * content as ""), so a NULL-content turn keeps its role marker and
+   * stays aligned with the span the token-span operator emits for it.
    *
    * 100 TB design: zero-shuffle projection (`transform` +
    * `array_join`); rendered text is born on the executor that read
@@ -128,8 +132,9 @@ object Chat {
                  outCol: String = "rendered"): DataFrame =
     df.withColumn(outCol, array_join(
       transform(col(convCol), t =>
-        concat(lit("<|"), t.getField("role"), lit("|>\n"),
-          t.getField("content"), lit("<|end|>\n"))), ""))
+        concat(lit("<|"), coalesce(t.getField("role"), lit("")),
+          lit("|>\n"), coalesce(t.getField("content"), lit("")),
+          lit("<|end|>\n"))), ""))
 
   /**
    * Parse a [[renderChat]]-rendered string back into the turn array —
@@ -257,6 +262,14 @@ object Chat {
    * one pass — the fingerprint-window shape, see the body comment.
    */
   def dedupByAssistant(df: DataFrame, idCol: String, convCol: String): DataFrame = {
+    // Precondition: idCol is a unique row id — the keep rule is
+    // "row whose id is the family minimum", so duplicate ids would
+    // retain every row carrying the minimal id. (All graft sources
+    // provide one: doc_id / a monotonic id.) n_copies is an output
+    // column this operator owns; refuse to silently clobber an input
+    // column of the same name.
+    require(!df.columns.contains("n_copies"),
+      "dedupByAssistant emits n_copies; rename or drop the input column first")
     val norm = assistantNorm(convCol)
     // [[Dedup.exactDedup]]'s fingerprint-WINDOW contract: ONE shuffle
     // on the hash key, one pass over the input, no self-join (a

@@ -29,13 +29,23 @@ import org.apache.spark.sql.functions._
  */
 object ModelStore {
 
-  private val Schema = "part string, idx bigint, str_a string, str_b string, num double"
+  // num_i carries integer payloads losslessly (merge counts above 2^53
+  // would silently round through the double num column); num stays the
+  // float slot. Old artifacts without num_i read it as NULL — loaders
+  // fall back to num for those.
+  private val Schema =
+    "part string, idx bigint, str_a string, str_b string, num double, num_i bigint"
 
   private def write(spark: SparkSession,
                     rows: Seq[(String, Long, String, String, Double)],
-                    path: String): Unit = {
+                    path: String): Unit =
+    writeI(spark, rows.map { case (p, i, a, b, n) => (p, i, a, b, n, null) }, path)
+
+  private def writeI(spark: SparkSession,
+                     rows: Seq[(String, Long, String, String, Double, java.lang.Long)],
+                     path: String): Unit = {
     import spark.implicits._
-    rows.toDF("part", "idx", "str_a", "str_b", "num")
+    rows.toDF("part", "idx", "str_a", "str_b", "num", "num_i")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -46,12 +56,13 @@ object ModelStore {
   /** Persist a BPE merge list (training order is the semantics). */
   def saveMerges(spark: SparkSession, merges: Seq[(String, String, Long)],
                  path: String): Unit =
-    write(spark, merges.zipWithIndex.map { case ((l, r, n), i) =>
-      ("merge", i.toLong, l, r, n.toDouble) }, path)
+    writeI(spark, merges.zipWithIndex.map { case ((l, r, n), i) =>
+      ("merge", i.toLong, l, r, n.toDouble, java.lang.Long.valueOf(n)) }, path)
 
   def loadMerges(spark: SparkSession, path: String): Seq[(String, String, Long)] =
     read(spark, path, "merge").collect()
-      .map(r => (r.getString(2), r.getString(3), r.getDouble(4).toLong)).toSeq
+      .map(r => (r.getString(2), r.getString(3),
+        if (r.isNullAt(5)) r.getDouble(4).toLong else r.getLong(5))).toSeq
 
   /** Persist a unigram-LM piece table (piece, log10 prob). */
   def savePieces(spark: SparkSession, pieces: Seq[(String, Double)],

@@ -60,6 +60,24 @@ class ChatSpec extends AnyFunSuite {
     assert(s.getAs[Long]("n_assistant_tokens") == 0L &&
       s.getAs[Long]("n_user_tokens") == 1L,
       "NULL content is 0 tokens, never legacy size(NULL) = -1")
+    // render keeps the turn (role marker + empty body) so the rendered
+    // text stays aligned with the span chatTokenSpans emits for it —
+    // concat's NULL propagation + array_join's NULL-skip used to drop
+    // the whole turn
+    val r = Chat.renderChat(withNull, "conv")
+      .select("rendered").collect()(0).getString(0)
+    assert(r == "<|user|>\nhi<|end|>\n<|assistant|>\n<|end|>\n",
+      "NULL content renders as an empty turn, not a vanished one")
+    val spans = Chat.chatTokenSpans(withNull, "id", "conv").collect()
+    assert(spans.length == 2 && spans(1).getAs[Long]("n_turn_tokens") == 0L,
+      "span row for the NULL-content turn still exists and is empty")
+  }
+
+  test("dedupByAssistant refuses an input that already has n_copies") {
+    val withCol = planted.withColumn("n_copies", lit(7))
+    intercept[IllegalArgumentException] {
+      Chat.dedupByAssistant(withCol, "id", "conv")
+    }
   }
 
   test("renderChat flattens in order with the ChatML-shaped template") {

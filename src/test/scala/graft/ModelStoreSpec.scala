@@ -18,6 +18,16 @@ class ModelStoreSpec extends AnyFunSuite {
       "order IS the semantics — must survive the round-trip")
   }
 
+  test("merge counts above 2^53 round-trip losslessly via the bigint slot") {
+    // 2^53 + 1 is the first long a double cannot represent — the old
+    // double-typed num column silently rounded it to 2^53
+    val big = (1L << 53) + 1L
+    val merges = Seq(("a", "b", big), ("ab", "c", Long.MaxValue))
+    val p = tmp("graft_ms_merges_big")
+    ModelStore.saveMerges(spark, merges, p)
+    assert(ModelStore.loadMerges(spark, p) == merges)
+  }
+
   test("unigram pieces round-trip including negative log-probs") {
     val pieces = Seq(("aaaa", -0.30103), ("bbbb", -0.30103),
       ("a", -1.69897), ("b", -1.69897))

@@ -16,8 +16,33 @@ for t in ("region nation customer supplier part orders lineitem events "
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
 
+def kind(col):
+    """Canonical type class per column — the driver's hash is
+    representation-sensitive (e.g. DuckDB widens uncast sum() to HUGEINT,
+    which pandas fetches as float64/object while Spark writes int64), so
+    str()-canonicalizing values alone is blind to that failure class.
+    Object columns are sniffed by first non-null value: Spark parquet
+    via pandas yields datetime.date objects where DuckDB yields
+    datetime64 — same logical type, different pandas container."""
+    s = str(col.dtype)
+    if "int" in s: return "int"
+    if "float" in s or "double" in s: return "float"
+    if "bool" in s: return "bool"
+    if "datetime" in s: return "date"
+    nn = col.dropna()
+    if len(nn):
+        v = nn.iloc[0]
+        t = type(v).__name__
+        if t in ("date", "Timestamp", "datetime"): return "date"
+        if t in ("int", "int64"): return "int"
+        if t in ("float", "float64", "Decimal"): return "float"
+        if t == "bool": return "bool"
+        if isinstance(v, (list, tuple)) or "ndarray" in t: return "list"
+    return "obj"
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    tsig = [kind(df[c]) if len(df) else "any" for c in df.columns]
     rows = []
     for row in df.itertuples(index=False):
         cells = []
@@ -35,7 +60,7 @@ def canon(df):
         rows.append("|".join(cells))
     rows.sort()
     return (sorted(df.columns), len(rows),
-            hashlib.md5("\n".join(rows).encode()).hexdigest())
+            hashlib.md5("\n".join(rows).encode()).hexdigest(), tsig)
 
 todo = names or sorted(oracle.keys())
 fails = 0
@@ -50,14 +75,17 @@ for name in todo:
         odf = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         print(f"{name}: ORACLE ERROR {e}"); fails += 1; continue
-    sc, sn, sh = canon(spark_df)
-    oc, on, oh = canon(odf)
-    ok = (sc == oc, sn == on, sh == oh)
+    sc, sn, sh, st = canon(spark_df)
+    oc, on, oh, ot = canon(odf)
+    ok = (sc == oc, sn == on, sh == oh, st == ot)
     if all(ok):
         print(f"{name}: PASS ({sn} rows)")
     else:
         fails += 1
-        print(f"{name}: FAIL cols={ok[0]} rows={ok[1]}({sn}/{on}) hash={ok[2]}")
+        print(f"{name}: FAIL cols={ok[0]} rows={ok[1]}({sn}/{on}) "
+              f"hash={ok[2]} types={ok[3]}")
         if not ok[0]:
             print(f"  spark cols: {sc}\n  oracle cols: {oc}")
+        if not ok[3]:
+            print(f"  spark types: {st}\n  oracle types: {ot}")
 sys.exit(1 if fails else 0)
