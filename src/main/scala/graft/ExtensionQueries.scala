@@ -34,6 +34,25 @@ object ExtensionQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Driver-side fixture builder: encode a w×h image through the JDK's
+    * own `ImageIO` writer so the decode query exercises REAL container
+    * bytes. Lossless formats only (png/bmp/gif with palette-exact
+    * colors) — the graded oracle pins exact pixel statistics. */
+  private def encodeImg(fmt: String, w: Int, h: Int,
+                        px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, px(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic SFT-shaped conversations derived from `documents`:
     * whitespace tokens chunked 6-per-turn, roles alternating
     * user/assistant — same construction as the oracle's `cv` CTE
@@ -1617,6 +1636,42 @@ object ExtensionQueries {
         fixtures.select(col("clip_id"), unhex(col("hex")).as("payload")), "payload")
       det(parsed.select(col("clip_id"), col("format"), col("sample_rate"),
         col("channels"), col("bits_per_sample"), col("duration_ms")))
+    }),
+
+    // REAL image decode (JDK ImageIO) cross-checked against the
+    // independent codec-free header parsers — two implementations of
+    // (width, height), one pinned oracle. Fixtures are genuine
+    // PNG/BMP/GIF containers encoded driver-side with known pixels
+    // (lossless + palette-exact colors), so the 8-dim pixel summary is
+    // exactly hand-computable; the garbage payload pins the
+    // degrade-to-zero contract next to the header parser's NULLs.
+    "q_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val png = encodeImg("png", 8, 5, (_, _) => 0xFF0000)       // solid red
+      val bmp = encodeImg("bmp", 6, 4,                           // black/white
+        (_, y) => if (y < 2) 0x000000 else 0xFFFFFF)
+      val gif = encodeImg("gif", 3, 7, (_, _) => 0xFFFFFF)       // solid white
+      val fixtures = Seq(
+        (1L, png), (2L, bmp), (3L, gif),
+        (4L, Array(0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte)))       // not an image
+        .toDF("img_id", "payload")
+      val hdr = Multimodal.withImageMeta(fixtures, "payload")
+        .select(col("img_id"), col("format"),
+          col("width").as("w_hdr"), col("height").as("h_hdr"))
+      val dec = Multimodal.decodeBatch(
+        fixtures.select(col("img_id").as("id"), lit("image").as("kind"),
+          col("payload").as("bytes")),
+        () => new Multimodal.ImageIoDecoder()).toDF()
+        .select(col("id").as("img_id"),
+          col("width").as("w_dec"), col("height").as("h_dec"),
+          col("nFrames").as("n_frames"),
+          round(get(col("feature"), lit(0)).cast(DoubleType), 6).as("mean_r"),
+          round(get(col("feature"), lit(1)).cast(DoubleType), 6).as("mean_g"),
+          round(get(col("feature"), lit(2)).cast(DoubleType), 6).as("mean_b"),
+          round(get(col("feature"), lit(3)).cast(DoubleType), 6).as("mean_gray"),
+          round(get(col("feature"), lit(4)).cast(DoubleType), 6).as("min_gray"),
+          round(get(col("feature"), lit(5)).cast(DoubleType), 6).as("max_gray"))
+      det(hdr.join(dec, "img_id"))
     }),
 
     // ---- chat / SFT conversation operators (graft.operators.Chat) over
@@ -3915,6 +3970,34 @@ object ExtensionQueries {
          |  AS t(clip_id, format, sample_rate, channels, bits_per_sample, duration_ms)
          |ORDER BY clip_id $N1, format $N1, sample_rate $N1, channels $N1,
          |  bits_per_sample $N1, duration_ms $N1""".stripMargin,
+    // hand-computed expectations for the real ImageIO decode: solid red
+    // 8x5 png (mean gray = 1/3 exactly in the float pipeline -> .333333),
+    // half-black/half-white 6x4 bmp (all means 0.5, gray spans [0,1]),
+    // solid white 3x7 gif, and the degrade-to-zero garbage row
+    "q_multimodal_decode" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), 'png', CAST(8 AS INT), CAST(5 AS INT),
+         |   CAST(8 AS INT), CAST(5 AS INT), CAST(1 AS INT),
+         |   CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         |   CAST(0.333333 AS DOUBLE), CAST(0.333333 AS DOUBLE),
+         |   CAST(0.333333 AS DOUBLE)),
+         |  (CAST(2 AS BIGINT), 'bmp', CAST(6 AS INT), CAST(4 AS INT),
+         |   CAST(6 AS INT), CAST(4 AS INT), CAST(1 AS INT),
+         |   CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE),
+         |   CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+         |  (CAST(3 AS BIGINT), 'gif', CAST(3 AS INT), CAST(7 AS INT),
+         |   CAST(3 AS INT), CAST(7 AS INT), CAST(1 AS INT),
+         |   CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+         |   CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+         |  (CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+         |   CAST(NULL AS INT), CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+         |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)))
+         |  AS t(img_id, format, w_hdr, h_hdr, w_dec, h_dec, n_frames,
+         |       mean_r, mean_g, mean_b, mean_gray, min_gray, max_gray)
+         |ORDER BY img_id $N1, format $N1, w_hdr $N1, h_hdr $N1, w_dec $N1,
+         |  h_dec $N1, n_frames $N1, mean_r $N1, mean_g $N1, mean_b $N1,
+         |  mean_gray $N1, min_gray $N1, max_gray $N1""".stripMargin,
 
     // ---- chat / SFT oracles: the cv CTE mirrors chatFrame, the list
     // lambdas mirror the operator's higher-order functions one-to-one

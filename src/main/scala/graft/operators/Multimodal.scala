@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
  * opaque binary payloads with typed metadata, and the decode/feature
  * pipeline plumbing for image/audio/video columns.
  *
- * The actual media decode (JPEG/PNG/WAV codecs) is NOT implementable in
- * this container — no imaging libraries ship with it — so the decoder
- * behind [[decodeBatch]] is a clearly-marked deterministic STUB
- * ([[StubMediaDecoder]]): the Spark-side plumbing (schema, typed
- * Dataset, mapPartitions batch shape, bounded partitions) is real and
- * tested; swap the decoder for a JNI/codec-backed one in production.
+ * The image decode path is REAL: [[ImageIoDecoder]] uses the JDK's own
+ * `javax.imageio` (PNG/JPEG/GIF/BMP, zero external dependencies) and is
+ * graded against the independent codec-free header parsers — two
+ * implementations, one oracle. Payload kinds the JDK cannot decode
+ * (video containers, exotic codecs) degrade to the clearly-marked
+ * deterministic [[StubMediaDecoder]] fallback or to zero dims; swap in
+ * a JNI/codec-backed [[MediaDecoder]] for those in production.
  *
  * 100 TB design:
  *  - binary payloads stay opaque end-to-end; metadata (length, hash,
@@ -87,12 +88,102 @@ object Multimodal {
     def decode(row: MediaRow): DecodedMedia
   }
 
+  /**
+   * Real JDK-only image decoder: `javax.imageio` ships in the JDK and
+   * decodes PNG/JPEG/GIF/BMP with zero external dependencies — no
+   * codec libraries needed. One instance per partition (the
+   * [[decodeBatch]] SPI contract), so reader lookup and the
+   * disk-cache opt-out happen once per task, not per row.
+   *
+   * Output contract:
+   *  - `width`/`height`: the decoded raster's dimensions — a second,
+   *    independent implementation of what the codec-free header
+   *    parsers ([[withImageMeta]]) compute, so the two cross-check;
+   *  - `nFrames`: the container's image count (animated GIF frames;
+   *    1 for single-image formats), so [[sampleFrames]] is meaningful
+   *    for animated payloads;
+   *  - `feature`: an 8-dim pixel summary in [0,1] —
+   *    [meanR, meanG, meanB, meanGray, minGray, maxGray,
+   *     width/4096, height/4096] — exact for lossless formats, the
+   *    decode-then-embed slot's deterministic stand-in (a production
+   *    pipeline swaps the summary for a model embedding; the decode
+   *    itself is real);
+   *  - undecodable payloads (truncated, not an image, or a kind the
+   *    JDK has no reader for) go to `fallback` when provided, else
+   *    degrade to zero dims / zero frames / empty feature — the same
+   *    clean-degrade convention as the header parsers' NULLs.
+   *
+   * 100 TB design: decode is row-local inside mapPartitions — no
+   * shuffle, no driver involvement; `ImageIO.setUseCache(false)`
+   * keeps the JDK from spilling every blob to a temp file (the
+   * default disk cache would turn a CPU-bound decode into task-local
+   * disk I/O at scale).
+   */
+  final class ImageIoDecoder(fallback: Option[MediaDecoder] = None)
+      extends MediaDecoder {
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+
+    ImageIO.setUseCache(false)
+
+    private def degrade(row: MediaRow): DecodedMedia =
+      fallback.map(_.decode(row)).getOrElse(
+        DecodedMedia(row.id, row.kind, row.bytes.length.toLong,
+          width = 0, height = 0, nFrames = 0, feature = Array.empty[Float]))
+
+    override def decode(row: MediaRow): DecodedMedia = {
+      val iis =
+        try ImageIO.createImageInputStream(new ByteArrayInputStream(row.bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (iis == null) return degrade(row)
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return degrade(row)
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val img = reader.read(0)
+          if (img == null) return degrade(row)
+          val nFrames =
+            try math.max(1, reader.getNumImages(true))
+            catch { case scala.util.control.NonFatal(_) => 1 }
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var minG = 255.0; var maxG = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+              sr += r; sg += g; sb += b
+              val gray = (r + g + b) / 3.0 / 255.0
+              if (gray < minG) minG = gray
+              if (gray > maxG) maxG = gray
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          DecodedMedia(row.id, row.kind, row.bytes.length.toLong, w, h, nFrames,
+            Array(
+              (sr.toDouble / n / 255.0).toFloat, (sg.toDouble / n / 255.0).toFloat,
+              (sb.toDouble / n / 255.0).toFloat,
+              ((sr + sg + sb).toDouble / (3.0 * n) / 255.0).toFloat,
+              minG.toFloat, maxG.toFloat, w / 4096f, h / 4096f))
+        } finally reader.dispose()
+      } catch {
+        case scala.util.control.NonFatal(_) => degrade(row)
+      } finally iis.close()
+    }
+  }
+
   /** STUB decoder — deterministic fake: dimensions/features derived from
-    * the byte content so tests are stable. Replace with a codec-backed
-    * implementation in production (??? marks the real-decode slot). */
+    * the byte content so tests are stable. Kept as the no-codec FALLBACK
+    * for payload kinds the JDK cannot decode (video containers, exotic
+    * formats) — the real path is [[ImageIoDecoder]]. */
   final class StubMediaDecoder extends MediaDecoder {
     override def decode(row: MediaRow): DecodedMedia = {
-      // real implementation: val img = ImageIO.read(...) — unavailable here
       val b = row.bytes
       val h = b.foldLeft(17L)((acc, x) => acc * 31 + (x & 0xFF))
       DecodedMedia(

@@ -46,6 +46,89 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a1.width != b.width || a1.height != b.height)
     assert(a1.width > 0 && a1.height > 0 && a1.feature.length == 8)
   }
+  // --- real ImageIO decode path -------------------------------------------
+
+  private def encodeImg(fmt: String, w: Int, h: Int,
+                        px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes real PNG/BMP/GIF pixels exactly") {
+    val dec = new Multimodal.ImageIoDecoder()
+    val red = dec.decode(Multimodal.MediaRow(1, "image",
+      encodeImg("png", 8, 5, (_, _) => 0xFF0000)))
+    assert(red.width == 8 && red.height == 5 && red.nFrames == 1)
+    assert(red.feature(0) == 1f && red.feature(1) == 0f && red.feature(2) == 0f)
+    assert(math.abs(red.feature(3) - 1f / 3f) < 1e-6, "gray of pure red is 1/3")
+    val bw = dec.decode(Multimodal.MediaRow(2, "image",
+      encodeImg("bmp", 6, 4, (_, y) => if (y < 2) 0x000000 else 0xFFFFFF)))
+    assert(bw.width == 6 && bw.height == 4)
+    assert(bw.feature(0) == 0.5f && bw.feature(3) == 0.5f)
+    assert(bw.feature(4) == 0f && bw.feature(5) == 1f, "gray spans [0,1]")
+    val white = dec.decode(Multimodal.MediaRow(3, "image",
+      encodeImg("gif", 3, 7, (_, _) => 0xFFFFFF)))
+    assert(white.width == 3 && white.height == 7)
+    assert(white.feature.take(6).forall(_ == 1f), "white survives GIF palette")
+  }
+
+  test("ImageIoDecoder dims agree with the independent header parsers") {
+    // two implementations, same answer: the codec-free byte parser and
+    // the real JDK raster decode
+    val fixtures = Seq(
+      "png" -> encodeImg("png", 21, 13, (x, y) => (x * 7 + y) << 8),
+      "bmp" -> encodeImg("bmp", 9, 17, (_, _) => 0x123456),
+      "gif" -> encodeImg("gif", 5, 6, (_, _) => 0x000000),
+      "jpeg" -> encodeImg("jpg", 32, 24, (_, _) => 0x808080))
+    val dec = new Multimodal.ImageIoDecoder()
+    fixtures.zipWithIndex.foreach { case ((fmt, bytes), i) =>
+      val hexed = bytes.map("%02X".format(_)).mkString
+      val hdr = dims(i.toLong -> hexed)(i.toLong)
+      val d = dec.decode(Multimodal.MediaRow(i.toLong, "image", bytes))
+      assert(hdr._1.contains(if (fmt == "jpg") "jpeg" else fmt), s"$fmt header format")
+      assert(hdr._2.contains(d.width) && hdr._3.contains(d.height),
+        s"$fmt: header ${hdr._2}x${hdr._3} vs decode ${d.width}x${d.height}")
+    }
+  }
+
+  test("ImageIoDecoder JPEG decode: exact dims, approximate pixels") {
+    // JPEG is lossy — dims are exact, means only approximate
+    val d = new Multimodal.ImageIoDecoder().decode(Multimodal.MediaRow(
+      1, "image", encodeImg("jpg", 16, 12, (_, _) => 0xC08040)))
+    assert(d.width == 16 && d.height == 12)
+    assert(math.abs(d.feature(0) - 0xC0 / 255f) < 0.05 &&
+      math.abs(d.feature(1) - 0x80 / 255f) < 0.05 &&
+      math.abs(d.feature(2) - 0x40 / 255f) < 0.05)
+  }
+
+  test("ImageIoDecoder degrades cleanly and honors the fallback") {
+    val garbage = Multimodal.MediaRow(9, "image", Array[Byte](1, 2, 3, 4))
+    val bare = new Multimodal.ImageIoDecoder().decode(garbage)
+    assert(bare.width == 0 && bare.height == 0 && bare.nFrames == 0 &&
+      bare.feature.isEmpty && bare.nBytes == 4L)
+    val viaStub = new Multimodal.ImageIoDecoder(
+      Some(new Multimodal.StubMediaDecoder)).decode(garbage)
+    assert(viaStub.width > 0, "fallback decoder handles what ImageIO cannot")
+    // truncated real container: header parser resolves format, decode degrades
+    val png = encodeImg("png", 4, 4, (_, _) => 0xFF0000)
+    val trunc = new Multimodal.ImageIoDecoder().decode(
+      Multimodal.MediaRow(10, "image", png.take(12)))
+    assert(trunc.width == 0 && trunc.height == 0)
+  }
+
+  test("decodeBatch with ImageIoDecoder is distributed and row-local") {
+    val png = encodeImg("png", 8, 5, (_, _) => 0xFF0000)
+    val rows = (1L to 20L).map(i => (i, "image", png))
+    val df = spark.createDataFrame(rows).toDF("id", "kind", "bytes")
+    val out = Multimodal.decodeBatch(df, () => new Multimodal.ImageIoDecoder(),
+      partitions = 4).collect()
+    assert(out.length == 20 && out.forall(d => d.width == 8 && d.height == 5))
+  }
+
   test("resize preserves aspect ratio and never upscales") {
     import spark.implicits._
     val ds = Seq(
