@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, DedupIndex, Multimodal, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -77,6 +77,37 @@ object ExtensionQueries {
   }
   private def chatFrame(s: SparkSession, dir: String): DataFrame =
     chatFromDocs(docs(s, dir))
+
+  /** Deterministic preference pairs derived from [[chatFrame]]
+    * conversations (mirrored 1:1 by the oracles' `pf`/`pr` CTEs):
+    * prompt = every turn but the last, chosen = the last turn's
+    * content, rejected = chosen with word order reversed — except
+    * every 17th doc, whose rejected EQUALS chosen (a planted
+    * distinct-pair violation; single-word responses violate it
+    * naturally). Keeps every non-empty conversation, so the
+    * validation flags vary with conversation parity (odd-length
+    * conversations end on a user turn → prompt_ends_user false). */
+  private def pairFrame(s: SparkSession, dir: String): DataFrame =
+    chatFrame(s, dir).filter(size(col("conv")) >= 1)
+      .select(col("doc_id"),
+        slice(col("conv"), lit(1), size(col("conv")) - 1).as("prompt"),
+        element_at(col("conv"), -1).getField("content").as("chosen"))
+      .withColumn("rejected",
+        when(pmod(col("doc_id"), lit(17)) === 0, col("chosen"))
+          .otherwise(array_join(reverse(split(col("chosen"), " ")), " ")))
+
+  /** The VALID slice of [[pairFrame]] the dedup/split queries run on:
+    * conversations that actually END on an assistant turn (even
+    * length), so chosen is a real response. */
+  private def validPairFrame(s: SparkSession, dir: String): DataFrame =
+    chatFrame(s, dir)
+      .filter(size(col("conv")) >= 2 &&
+        element_at(col("conv"), -1).getField("role") === "assistant")
+      .select(col("doc_id"),
+        slice(col("conv"), lit(1), size(col("conv")) - 1).as("prompt"),
+        element_at(col("conv"), -1).getField("content").as("chosen"))
+      .withColumn("rejected",
+        array_join(reverse(split(col("chosen"), " ")), " "))
   /** One temp parquet artifact per (JVM, sf dir), built on first use
     * and deleted at JVM exit — repeated Verify/Bench runs must not
     * accumulate half-corpus parquet trees in the system tmp dir. The
@@ -1805,6 +1836,76 @@ object ExtensionQueries {
           (sum(col("n_user_tokens")) + sum(col("n_assistant_tokens"))), 6)
           .as("assistant_token_share")))
     }),
+
+    // ---- preference-pair (DPO/RLHF) operators (graft.operators
+    // .Preference) over deterministic pairs derived from chat
+    // conversations (pairFrame / the oracles' pf+pr CTEs — same
+    // construction on both sides)
+
+    // structural validation flags, one boolean per check; odd-length
+    // conversations (user-final) and the planted rejected==chosen
+    // docs exercise the false branches
+    "q_pref_validate" -> ((s, dir) =>
+      det(graft.operators.Preference.validatePairs(pairFrame(s, dir),
+        "prompt", "chosen", "rejected")
+        .select(col("doc_id"), col("has_prompt"), col("prompt_starts_user"),
+          col("prompt_ends_user"), col("nonempty_chosen"),
+          col("nonempty_rejected"), col("distinct_pair"), col("pair_ok")))),
+
+    // conversation-form pairs: shared-prefix + distinct-final checks
+    // over hand-planted two-sided transcripts (oracle pins VALUES)
+    "q_pref_validate_convs" -> ((s, dir) => {
+      val convType = ArrayType(StructType(Seq(
+        StructField("role", StringType), StructField("content", StringType))))
+      val schema = StructType(Seq(StructField("pair_id", LongType),
+        StructField("chosen_conv", convType),
+        StructField("rejected_conv", convType)))
+      def t(r: String, c: String) = Row(r, c)
+      val rows = Seq(
+        // proper pair: shared prefix, different finals
+        Row(1L, Seq(t("user", "q1"), t("assistant", "good answer")),
+          Seq(t("user", "q1"), t("assistant", "bad answer"))),
+        // tampered prompt turn -> shares_prefix false
+        Row(2L, Seq(t("user", "q2"), t("assistant", "a")),
+          Seq(t("user", "q2 edited"), t("assistant", "b"))),
+        // identical finals (modulo case/whitespace) -> distinct false
+        Row(3L, Seq(t("user", "q3"), t("assistant", "Same  Text")),
+          Seq(t("user", "q3"), t("assistant", "same text"))),
+        // different lengths -> shares_prefix false
+        Row(4L, Seq(t("user", "q4"), t("assistant", "a")),
+          Seq(t("system", "s"), t("user", "q4"), t("assistant", "b"))),
+        // single-turn sides share the EMPTY prefix
+        Row(5L, Seq(t("assistant", "yes")), Seq(t("assistant", "no"))),
+        // one side empty -> both checks false
+        Row(6L, Seq(t("user", "q6"), t("assistant", "a")), Seq.empty[Row]))
+      val df = s.createDataFrame(s.sparkContext.parallelize(rows), schema)
+      det(graft.operators.Preference.validatePairConvs(df,
+        "chosen_conv", "rejected_conv")
+        .select(col("pair_id"), col("shares_prefix"), col("distinct_final"),
+          col("pair_conv_ok")))
+    }),
+
+    // (prompt, chosen)-fingerprint dedup: lowest doc_id per family.
+    // Every 10th pair is planted again under id+10000 ("same prompt,
+    // same winner sampled twice") so the collapse path is actually
+    // exercised, not just the singleton identity
+    "q_pref_dedup" -> ((s, dir) => {
+      val base = validPairFrame(s, dir)
+      val resampled = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      det(graft.operators.Preference.dedupPairs(base.unionAll(resampled),
+        "doc_id", "prompt", "chosen")
+        .select(col("doc_id"), col("n_copies")))
+    }),
+
+    // prompt-level leak-safe split: same prompt -> same slice, pure
+    // function of the normalized prompt key (hashUniform replayed in
+    // the oracle via md5)
+    "q_pref_split" -> ((s, dir) =>
+      det(graft.operators.Preference.splitPairsLeakSafe(
+        validPairFrame(s, dir), "prompt",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")))),
 
     // exact token-boundary phrase search (overlap-counting), zero-shuffle
     "q_text_phrase" -> ((s, dir) =>
@@ -4280,6 +4381,95 @@ object ExtensionQueries {
          |ORDER BY lang $N1, n_convs $N1, total_turns $N1, avg_turns $N1,
          |  total_user_tokens $N1, total_assistant_tokens $N1,
          |  assistant_token_share $N1""".stripMargin,
+
+    // ---- preference-pair oracles: pf/pr CTEs mirror pairFrame, the
+    // word-reversal comprehension mirrors reverse(split(chosen,' '))
+    "q_pref_validate" ->
+      s"""WITH $chatCte,
+         |pf AS (SELECT doc_id, turns[1:len(turns)-1] AS prompt,
+         |    turns[len(turns)].content AS chosen
+         |  FROM cv WHERE len(turns) >= 1),
+         |tk AS (SELECT doc_id, prompt, chosen,
+         |    string_split(chosen, ' ') AS ct FROM pf),
+         |pr AS (SELECT doc_id, prompt, chosen,
+         |    CASE WHEN doc_id % 17 = 0 THEN chosen
+         |    ELSE array_to_string([ct[i]
+         |      for i in generate_series(len(ct), 1, -1)], ' ') END AS rejected
+         |  FROM tk),
+         |fl AS (SELECT doc_id,
+         |    len(prompt) > 0 AS has_prompt,
+         |    COALESCE(list_filter(prompt,
+         |      t -> t.role != 'system')[1].role = 'user', false)
+         |      AS prompt_starts_user,
+         |    COALESCE(prompt[len(prompt)].role = 'user', false)
+         |      AS prompt_ends_user,
+         |    trim(regexp_replace(lower(chosen), '\\s+', ' ', 'g')) != ''
+         |      AS nonempty_chosen,
+         |    trim(regexp_replace(lower(rejected), '\\s+', ' ', 'g')) != ''
+         |      AS nonempty_rejected,
+         |    trim(regexp_replace(lower(chosen), '\\s+', ' ', 'g')) !=
+         |      trim(regexp_replace(lower(rejected), '\\s+', ' ', 'g'))
+         |      AS distinct_pair
+         |  FROM pr)
+         |SELECT doc_id, has_prompt, prompt_starts_user, prompt_ends_user,
+         |  nonempty_chosen, nonempty_rejected, distinct_pair,
+         |  (has_prompt AND prompt_starts_user AND prompt_ends_user AND
+         |   nonempty_chosen AND nonempty_rejected AND distinct_pair)
+         |    AS pair_ok
+         |FROM fl
+         |ORDER BY doc_id $N1, has_prompt $N1, prompt_starts_user $N1,
+         |  prompt_ends_user $N1, nonempty_chosen $N1, nonempty_rejected $N1,
+         |  distinct_pair $N1, pair_ok $N1""".stripMargin,
+    // hand-decoded expectations for the planted two-sided transcripts
+    "q_pref_validate_convs" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), true,  true,  true),
+         |  (CAST(2 AS BIGINT), false, true,  false),
+         |  (CAST(3 AS BIGINT), true,  false, false),
+         |  (CAST(4 AS BIGINT), false, true,  false),
+         |  (CAST(5 AS BIGINT), true,  true,  true),
+         |  (CAST(6 AS BIGINT), false, false, false))
+         |  AS t(pair_id, shares_prefix, distinct_final, pair_conv_ok)
+         |ORDER BY pair_id $N1, shares_prefix $N1, distinct_final $N1,
+         |  pair_conv_ok $N1""".stripMargin,
+    // (prompt, chosen) fingerprint families over the VALID pair slice;
+    // grouping by the rendered key replays grouping by its sha2
+    "q_pref_dedup" ->
+      s"""WITH $chatCte,
+         |pf0 AS (SELECT doc_id, turns[1:len(turns)-1] AS prompt,
+         |    turns[len(turns)].content AS chosen
+         |  FROM cv WHERE len(turns) >= 2
+         |    AND turns[len(turns)].role = 'assistant'),
+         |pf AS (SELECT * FROM pf0 UNION ALL
+         |  SELECT doc_id + 10000, prompt, chosen FROM pf0
+         |  WHERE doc_id % 10 = 0),
+         |fp AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(array_to_string(list_transform(prompt,
+         |      t -> t.role || ':' || t.content), chr(10))), '\\s+', ' ', 'g'))
+         |    || chr(1) ||
+         |    trim(regexp_replace(lower(chosen), '\\s+', ' ', 'g')) AS k
+         |  FROM pf)
+         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies
+         |FROM fp GROUP BY k
+         |ORDER BY doc_id $N1, n_copies $N1""".stripMargin,
+    // hashUniform over the normalized prompt render, same cuts as
+    // q_sample_split
+    "q_pref_split" ->
+      s"""WITH $chatCte,
+         |pf AS (SELECT doc_id, turns[1:len(turns)-1] AS prompt
+         |  FROM cv WHERE len(turns) >= 2
+         |    AND turns[len(turns)].role = 'assistant'),
+         |u AS (SELECT doc_id,
+         |    ('0x' || substring(md5(
+         |      trim(regexp_replace(lower(array_to_string(list_transform(prompt,
+         |        t -> t.role || ':' || t.content), chr(10))), '\\s+', ' ', 'g'))
+         |    ), 1, 8))::BIGINT / 4294967296.0 AS uni
+         |  FROM pf)
+         |SELECT doc_id, CASE WHEN uni < 0.8 THEN 'train'
+         |  WHEN uni < 0.8 + 0.1 THEN 'valid'
+         |  WHEN uni < 0.8 + 0.1 + 0.1 THEN 'test' ELSE NULL END AS split
+         |FROM u ORDER BY doc_id $N1, split $N1""".stripMargin,
     // per-phrase sliding-window counts over a VALUES phrase table
     "q_text_phrase_many" ->
       s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
