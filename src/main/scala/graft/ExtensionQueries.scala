@@ -1907,6 +1907,30 @@ object ExtensionQueries {
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split")))),
 
+    // conversation-level decontamination: drop every conversation
+    // whose content stream shares a 13-gram with the eval slice
+    // (doc_id % 97 — the decontamination family's convention)
+    "q_chat_decontaminate" -> ((s, dir) => {
+      val ev = docs(s, dir).filter(pmod(col("doc_id"), lit(97)) === 0)
+      det(graft.operators.Chat.decontaminateChat(chatFrame(s, dir),
+        "doc_id", "conv", ev, "doc_id", "text", n = 13)
+        .select(col("doc_id"), size(col("conv")).cast(LongType).as("n_turns")))
+    }),
+
+    // surgical per-turn scrub: cut eval-overlapping 4-token windows
+    // INSIDE turns (4 fits the 6-token turn construction; 13 never
+    // would), keep roles/order; graded per turn
+    "q_chat_scrub" -> ((s, dir) => {
+      val ev = docs(s, dir).filter(pmod(col("doc_id"), lit(97)) === 0)
+      val scr = graft.operators.Chat.scrubChatTurns(chatFrame(s, dir),
+        "doc_id", "conv", ev, "doc_id", "text", n = 4)
+      det(scr.select(col("doc_id"),
+          posexplode(col("conv")).as(Seq("turn_idx", "t")))
+        .select(col("doc_id"), col("turn_idx").cast(LongType).as("turn_idx"),
+          col("t").getField("role").as("role"),
+          col("t").getField("content").as("content")))
+    }),
+
     // exact token-boundary phrase search (overlap-counting), zero-shuffle
     "q_text_phrase" -> ((s, dir) =>
       det(graft.operators.TextStats.phraseSearch(docs(s, dir),
@@ -4470,6 +4494,58 @@ object ExtensionQueries {
          |  WHEN uni < 0.8 + 0.1 THEN 'valid'
          |  WHEN uni < 0.8 + 0.1 + 0.1 THEN 'test' ELSE NULL END AS split
          |FROM u ORDER BY doc_id $N1, split $N1""".stripMargin,
+    // conversation content stream (turn contents space-joined) vs the
+    // eval slice's raw-text 13-grams — q_decontaminate's recipe on the
+    // chat data model
+    "q_chat_decontaminate" ->
+      s"""WITH $chatCte,
+         |fl AS (SELECT doc_id, array_to_string(list_transform(turns,
+         |    t -> t.content), ' ') AS flat,
+         |  CAST(len(turns) AS BIGINT) AS n_turns FROM cv),
+         |ct AS (SELECT doc_id, n_turns, string_split(flat, ' ') AS t FROM fl),
+         |cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+12],' ')
+         |    for i in generate_series(1, len(t)-12)])) AS g FROM ct),
+         |ev AS (SELECT DISTINCT unnest([array_to_string(et[i:i+12],' ')
+         |    for i in generate_series(1, len(et)-12)]) AS g
+         |  FROM (SELECT string_split(text,' ') AS et FROM documents
+         |        WHERE doc_id % 97 = 0)),
+         |bad AS (SELECT DISTINCT cg.doc_id FROM cg
+         |        WHERE cg.g IN (SELECT g FROM ev))
+         |SELECT doc_id, n_turns FROM ct
+         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id $N1, n_turns $N1""".stripMargin,
+    // per-turn q_decontaminate_scrub: turn = containment unit, 4-gram
+    // windows, 1-based positions mirrored throughout
+    "q_chat_scrub" ->
+      s"""WITH $chatCte,
+         |tn AS (SELECT doc_id, unnest(list_transform(range(1, len(turns)+1),
+         |    i -> struct_pack(ti := i - 1, role := turns[i].role,
+         |      t := string_split(turns[i].content, ' ')))) AS u
+         |  FROM cv),
+         |tt AS (SELECT doc_id, u.ti AS ti, u.role AS role, u.t AS t FROM tn),
+         |ev AS (SELECT DISTINCT unnest([array_to_string(et[i:i+3],' ')
+         |    for i in generate_series(1, len(et)-3)]) AS g
+         |  FROM (SELECT string_split(text,' ') AS et FROM documents
+         |        WHERE doc_id % 97 = 0)),
+         |occ AS (SELECT doc_id, ti, unnest([{'pos': i,
+         |      'g': array_to_string(t[i:i+3],' ')}
+         |    for i in generate_series(1, len(t)-3)]) AS u FROM tt),
+         |bad AS (SELECT doc_id, ti, u.pos AS pos FROM occ
+         |        WHERE u.g IN (SELECT g FROM ev)),
+         |cov AS (SELECT DISTINCT doc_id, ti,
+         |    unnest(generate_series(pos, pos+3)) AS tp FROM bad),
+         |tokpos AS (SELECT doc_id, ti, u.pos AS pos, u.tok AS tok FROM (
+         |  SELECT doc_id, ti, unnest([{'pos': i, 'tok': t[i]}
+         |    for i in generate_series(1, len(t))]) AS u FROM tt)),
+         |kept AS (SELECT tp.doc_id, tp.ti,
+         |    array_to_string(list(tp.tok ORDER BY tp.pos), ' ') AS content
+         |  FROM tokpos tp LEFT JOIN cov ON cov.doc_id = tp.doc_id
+         |    AND cov.ti = tp.ti AND cov.tp = tp.pos
+         |  WHERE cov.tp IS NULL GROUP BY tp.doc_id, tp.ti)
+         |SELECT t.doc_id, CAST(t.ti AS BIGINT) AS turn_idx, t.role AS role,
+         |  coalesce(k.content, '') AS content
+         |FROM tt t LEFT JOIN kept k ON k.doc_id = t.doc_id AND k.ti = t.ti
+         |ORDER BY t.doc_id $N1, turn_idx $N1, role $N1, content $N1""".stripMargin,
     // per-phrase sliding-window counts over a VALUES phrase table
     "q_text_phrase_many" ->
       s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks

@@ -293,4 +293,85 @@ object Chat {
       .filter(col(idCol) === col("__keep"))
       .select(df.columns.map(col) :+ col("n_copies"): _*)
   }
+
+  /**
+   * Conversation-level benchmark decontamination — [[Dedup
+   * .decontaminate]] composed over the chat data model: drop every
+   * conversation whose CONTENT stream (turn contents joined on
+   * spaces — template tokens deliberately excluded, they would break
+   * token n-gram alignment) shares a word `n`-gram with the
+   * evaluation set. The GPT-3 appendix-C recipe (13-gram default)
+   * applied where post-training data actually leaks benchmarks:
+   * inside assistant answers.
+   *
+   * 100 TB design: inherits [[Dedup.decontaminate]]'s shape — one
+   * corpus shingling, broadcast eval membership by default (the
+   * corpus-side gram stream is never shuffled), anti-join bounded by
+   * the contaminated count. The flatten is a zero-shuffle row-local
+   * projection.
+   */
+  def decontaminateChat(df: DataFrame, idCol: String, convCol: String,
+                        evalSet: DataFrame, evalIdCol: String,
+                        evalTextCol: String, n: Int = 13,
+                        broadcastEval: Boolean = true): DataFrame = {
+    val flat = df.withColumn("__flat",
+      array_join(transform(col(convCol),
+        t => coalesce(t.getField("content"), lit(""))), " "))
+    val ev = evalSet.select(col(evalIdCol).as(idCol),
+      col(evalTextCol).as("__flat"))
+    Dedup.decontaminate(flat, ev, idCol, "__flat", n, broadcastEval)
+      .drop("__flat")
+  }
+
+  /**
+   * SURGICAL conversation decontamination — [[Dedup
+   * .scrubContaminatedWindows]] applied PER TURN: cut only the
+   * eval-overlapping token windows inside each turn's content, keep
+   * the conversation (an 8-turn dialogue should not die for one
+   * quoted benchmark sentence — [[decontaminateChat]]'s span-level
+   * sibling, same relationship as drop-vs-scrub on documents). Roles,
+   * turn order, and untouched turns are preserved byte-identical;
+   * fully-contaminated turns become empty-content turns (filter with
+   * [[validateChat]]'s `has_empty_turn` downstream if dropping is
+   * wanted). Windows never span turn boundaries — a turn is the
+   * containment unit, exactly like a document in the text-level
+   * operator.
+   *
+   * Precondition: `idCol` is unique per row (turn addressing is
+   * `id#turnIdx`).
+   *
+   * 100 TB design: explode to turns (row-local, no shuffle), then the
+   * text-level scrub's contract — broadcast eval membership, covered
+   * positions bounded by actual contamination, one rebuild exchange on
+   * the composite turn id — plus one reassembly shuffle on `idCol`.
+   * Turn rows carry only (id, index, role, content): the conversation
+   * array is never shuffled whole.
+   */
+  def scrubChatTurns(df: DataFrame, idCol: String, convCol: String,
+                     evalSet: DataFrame, evalIdCol: String,
+                     evalTextCol: String, n: Int = 13,
+                     broadcastEval: Boolean = true): DataFrame = {
+    val convType = df.schema(convCol).dataType
+    val turns = df
+      .select(col(idCol), posexplode(col(convCol)).as(Seq("__ti", "__t")))
+      .select(col(idCol), col("__ti"),
+        col("__t").getField("role").as("__role"),
+        coalesce(col("__t").getField("content"), lit("")).as("__content"))
+      .withColumn("__tid",
+        concat(col(idCol).cast(StringType), lit("#"), col("__ti")))
+    val ev = evalSet.select(col(evalIdCol).cast(StringType).as("__tid"),
+      col(evalTextCol).as("__content"))
+    val scrubbed = Dedup.scrubContaminatedWindows(
+      turns, ev, "__tid", "__content", n, broadcastEval)
+    val rebuilt = scrubbed.groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__ti"),
+          col("__role").as("role"), col("__content").as("content")))),
+        x => struct(x.getField("role").as("role"),
+          x.getField("content").as("content"))).as(convCol))
+    df.drop(convCol).join(rebuilt, Seq(idCol), "left")
+      .withColumn(convCol,
+        coalesce(col(convCol), array().cast(convType)))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -73,6 +73,39 @@ class ChatSpec extends AnyFunSuite {
       "span row for the NULL-content turn still exists and is empty")
   }
 
+  test("decontaminateChat drops conversations sharing an n-gram with eval") {
+    import spark.implicits._
+    val convs = frame(
+      1L -> conv("user" -> "the quick brown fox", "assistant" -> "jumps over dogs"),
+      2L -> conv("user" -> "totally unrelated words", "assistant" -> "none shared"),
+      // the eval 3-gram spans a TURN boundary in the flattened stream
+      3L -> conv("user" -> "ends with the quick", "assistant" -> "brown fox starts"))
+    val eval_ = Seq((100L, "we saw the quick brown fox yesterday")).toDF("eid", "etext")
+    val kept = Chat.decontaminateChat(convs, "id", "conv", eval_, "eid", "etext", n = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L),
+      "doc 1 shares 'the quick brown'; doc 3 shares it ACROSS turns")
+  }
+
+  test("scrubChatTurns cuts eval windows inside turns, preserves the rest") {
+    import spark.implicits._
+    val convs = frame(
+      1L -> conv("user" -> "please quote the secret eval answer here",
+        "assistant" -> "sure thing boss"),
+      2L -> conv("user" -> "clean question", "assistant" -> "clean answer"),
+      8L -> Seq.empty[Row])
+    val eval_ = Seq((1L, "the secret eval answer")).toDF("eid", "etext")
+    val out = Chat.scrubChatTurns(convs, "id", "conv", eval_, "eid", "etext", n = 4)
+      .select("id", "conv").collect().map(r => r.getLong(0) ->
+        r.getSeq[Row](1).map(t => (t.getString(0), t.getString(1)))).toMap
+    assert(out(1L) == Seq("user" -> "please quote here",
+      "assistant" -> "sure thing boss"),
+      "only the covered window is cut; roles and order survive")
+    assert(out(2L) == Seq("user" -> "clean question",
+      "assistant" -> "clean answer"), "untouched turns are byte-identical")
+    assert(out(8L).isEmpty, "empty conversations pass through as empty")
+  }
+
   test("dedupByAssistant refuses an input that already has n_copies") {
     val withCol = planted.withColumn("n_copies", lit(7))
     intercept[IllegalArgumentException] {
