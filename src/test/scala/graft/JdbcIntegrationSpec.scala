@@ -62,6 +62,38 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     assert(dfw.rdd.getNumPartitions == 4)
   }
 
+  test("probed bounds split rows across partitions without loss or overlap") {
+    // the 100 TB claim behind JdbcPartitioning: the probe must yield
+    // bounds that actually spread the table — ids 0..39 over 4 range
+    // partitions means 10 rows in each, 40 exactly once in total
+    val (df, _) = src.scan("evts", None)
+    // Spark's stride arithmetic is near-balanced, not exact — the
+    // contract is every partition non-empty and none dominating
+    val perPart = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.length == 4 && perPart.forall(n => n > 0 && n <= 20),
+      s"probed bounds must spread the scan, got ${perPart.toSeq}")
+    assert(df.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (0 until 40), "range partitioning must neither lose nor duplicate rows")
+  }
+
+  test("degenerate bounds: empty configured table falls back to one partition") {
+    exec("CREATE TABLE evts_empty (id INT, label VARCHAR(20))")
+    val s2 = JdbcSource(spark, url, "", "",
+      partitioning = Map("evts_empty" -> JdbcPartitioning("id", numPartitions = 4)))
+    val (df, _) = s2.scan("evts_empty", None)
+    assert(df.rdd.getNumPartitions == 1 && df.count() == 0,
+      "probeBounds returns None on an empty relation; the scan must not split")
+  }
+
+  test("degenerate bounds: single-valued partition column still reads every row") {
+    exec("CREATE TABLE evts_const (id INT, label VARCHAR(20))")
+    (0 until 7).foreach(i => exec(s"INSERT INTO evts_const VALUES (5, 'r$i')"))
+    val s2 = JdbcSource(spark, url, "", "",
+      partitioning = Map("evts_const" -> JdbcPartitioning("id", numPartitions = 4)))
+    val (df, _) = s2.scan("evts_const", None)
+    assert(df.count() == 7, "lo == hi bounds must not drop rows")
+  }
+
   test("unconfigured tables fall back to a single-partition read") {
     exec("CREATE TABLE small (id INT)")
     exec("INSERT INTO small VALUES (1)")
