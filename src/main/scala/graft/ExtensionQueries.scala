@@ -1931,6 +1931,25 @@ object ExtensionQueries {
           col("t").getField("content").as("content")))
     }),
 
+    // mergeable quantile sketch (native TypedImperativeAggregate),
+    // graded in its EXACT regime: capacity >= any per-lang group, so
+    // the rank-definition quantiles are provably exact (the k >= vocab
+    // contract of the top-k sketch rows). Probabilities are
+    // binary-exact so ceil(p*n) is engine-identical.
+    "q_text_length_quantiles" -> ((s, dir) => {
+      val probs = Seq(0.0, 0.25, 0.5, 0.75, 0.875, 1.0)
+      val d = docs(s, dir).select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast(DoubleType).as("__n"))
+      val agged = d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.functions.QuantileSketch.quantiles(col("__n"), 1 << 17, probs)
+            .as("__q"))
+      det(agged.select(col("lang"), col("n_docs"),
+        col("__q")(0).as("q_min"), col("__q")(1).as("q25"),
+        col("__q")(2).as("q50"), col("__q")(3).as("q75"),
+        col("__q")(4).as("q875"), col("__q")(5).as("q_max")))
+    }),
+
     // exact token-boundary phrase search (overlap-counting), zero-shuffle
     "q_text_phrase" -> ((s, dir) =>
       det(graft.operators.TextStats.phraseSearch(docs(s, dir),
@@ -4494,6 +4513,31 @@ object ExtensionQueries {
          |  WHEN uni < 0.8 + 0.1 THEN 'valid'
          |  WHEN uni < 0.8 + 0.1 + 0.1 THEN 'test' ELSE NULL END AS split
          |FROM u ORDER BY doc_id $N1, split $N1""".stripMargin,
+    // rank-definition quantiles replayed with a row_number window:
+    // q_p = the value at sorted position max(1, ceil(p*n)) per lang
+    "q_text_length_quantiles" ->
+      s"""WITH t AS (SELECT lang,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS v
+         |  FROM documents),
+         |r AS (SELECT lang, v,
+         |    row_number() OVER (PARTITION BY lang ORDER BY v) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n FROM t)
+         |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+         |  min(CASE WHEN rk = greatest(1, CAST(ceil(0.0::DOUBLE * n) AS BIGINT))
+         |    THEN v END) AS q_min,
+         |  min(CASE WHEN rk = greatest(1, CAST(ceil(0.25::DOUBLE * n) AS BIGINT))
+         |    THEN v END) AS q25,
+         |  min(CASE WHEN rk = greatest(1, CAST(ceil(0.5::DOUBLE * n) AS BIGINT))
+         |    THEN v END) AS q50,
+         |  min(CASE WHEN rk = greatest(1, CAST(ceil(0.75::DOUBLE * n) AS BIGINT))
+         |    THEN v END) AS q75,
+         |  min(CASE WHEN rk = greatest(1, CAST(ceil(0.875::DOUBLE * n) AS BIGINT))
+         |    THEN v END) AS q875,
+         |  min(CASE WHEN rk = greatest(1, CAST(ceil(1.0::DOUBLE * n) AS BIGINT))
+         |    THEN v END) AS q_max
+         |FROM r GROUP BY lang
+         |ORDER BY lang $N1, n_docs $N1, q_min $N1, q25 $N1, q50 $N1,
+         |  q75 $N1, q875 $N1, q_max $N1""".stripMargin,
     // conversation content stream (turn contents space-joined) vs the
     // eval slice's raw-text 13-grams — q_decontaminate's recipe on the
     // chat data model

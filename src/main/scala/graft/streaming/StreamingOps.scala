@@ -627,6 +627,43 @@ object StreamingOps {
   }
 
   /**
+   * Windowed quantile monitor — per event-time tumbling window, the
+   * requested percentile cuts of any numeric signal, computed by the
+   * mergeable [[graft.functions.QuantileSketch]] aggregate inside ONE
+   * watermark-bounded stateful aggregation. This is the cut-side
+   * capability the PSI monitor ([[streamingPsiByWindow]]) cannot
+   * provide itself: its bin edges are FROZEN offline, so a shifting
+   * distribution needs this card to see WHERE the mass moved (and to
+   * derive fresh edges for a re-baseline) — per-window percentiles
+   * were previously batch-only because Spark's GK percentile cannot
+   * run in update-mode streaming state the way a typed mergeable
+   * summary can.
+   *
+   * State per open window: one `capacity`-bounded summary (KB-scale),
+   * never the window's rows; exact whenever a window holds fewer than
+   * `capacity` events ([[graft.functions.QuantileSketchAgg]]'s
+   * contract), smoothly approximate past it.
+   *
+   * Output per window: (window_start, window_end, n_docs, q) where q
+   * is `array<double>` aligned with `probs`.
+   */
+  def streamingQuantilesByWindow(docs: DataFrame, tsCol: String,
+                                 signalCol: String, probs: Seq[Double],
+                                 capacity: Int, window: String,
+                                 watermark: String): DataFrame =
+    docs
+      .filter(col(signalCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(signalCol).cast(
+        org.apache.spark.sql.types.DoubleType).as("__v"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.QuantileSketch.quantiles(col("__v"), capacity, probs)
+          .as("q"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_docs"), col("q"))
+
+  /**
    * Windowed PSI drift monitor — the live-intake twin of
    * [[graft.operators.TextStats.psiReport]]: the baseline (quantile
    * edges + Laplace-smoothed base shares, frozen offline via

@@ -624,6 +624,32 @@ class StreamingOpsSpec extends AnyFunSuite {
       ("2024-01-01 00:10:00.0", "upon", 1L)), s"got $rows")
   }
 
+  test("streamingQuantilesByWindow: per-window cuts exact below capacity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val out = StreamingOps.streamingQuantilesByWindow(
+      mem.toDF().toDF("ts", "len"), "ts", "len",
+      probs = Seq(0.5, 1.0), capacity = 64,
+      window = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("quantwin")
+      .outputMode("complete").start()
+    // window 1: 1..9 -> p50 = 5, max = 9; window 2: 10,20 -> p50 = 10
+    mem.addData((1 to 9).map(i =>
+      (ts(s"2024-01-01 00:0$i:00"), i.toDouble)): _*)
+    mem.addData((ts("2024-01-01 00:11:00"), 10.0),
+      (ts("2024-01-01 00:12:00"), 20.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM quantwin").collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(2), r.getSeq[Double](3)))).toMap
+    q.stop()
+    assert(rows("2024-01-01 00:00:00.0") == ((9L, Seq(5.0, 9.0))),
+      "below-capacity window must produce EXACT rank quantiles")
+    assert(rows("2024-01-01 00:10:00.0") == ((2L, Seq(10.0, 20.0))))
+  }
+
   test("streamingQualityByWindow aggregates doc quality per window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
