@@ -1898,6 +1898,26 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_copies")))
     }),
 
+    // best-of-N construction: 3 deterministic scored responses per
+    // prompt (k0 and k2 tie by construction mod 13, k1 = k0+3 mod 13,
+    // so wrap-around flips which side wins — both tie-break paths and
+    // both orderings exercised); duplicate docs merge into one family
+    "q_pref_pairs_from_scored" -> ((s, dir) => {
+      val base = validPairFrame(s, dir)
+      val resp = base.select(col("doc_id"), col("prompt"), posexplode(array(
+          col("chosen"),
+          array_join(reverse(split(col("chosen"), " ")), " "),
+          concat(col("chosen"), lit(" indeed")))).as(Seq("k", "resp")))
+        .withColumn("resp_id", col("doc_id") * 4 + col("k"))
+        .withColumn("score", pmod(
+          TextFunctions.tokenCount(col("resp")) * 7 + col("k") * 3,
+          lit(13)).cast(DoubleType))
+      det(graft.operators.Preference.pairsFromScored(resp,
+        "resp_id", "prompt", "resp", "score")
+        .select(col("pair_id"), col("chosen"), col("rejected"),
+          col("chosen_score"), col("rejected_score"), col("n_candidates")))
+    }),
+
     // prompt-level leak-safe split: same prompt -> same slice, pure
     // function of the normalized prompt key (hashUniform replayed in
     // the oracle via md5)
@@ -4496,6 +4516,49 @@ object ExtensionQueries {
          |  CAST(count(*) AS BIGINT) AS n_copies
          |FROM fp GROUP BY k
          |ORDER BY doc_id $N1, n_copies $N1""".stripMargin,
+    // best-of-N replay: window row_numbers pin both tie-break rules
+    // (score desc/asc, id asc), families on the normalized prompt key
+    "q_pref_pairs_from_scored" ->
+      s"""WITH $chatCte,
+         |pf AS (SELECT doc_id, turns[1:len(turns)-1] AS prompt,
+         |    turns[len(turns)].content AS chosen
+         |  FROM cv WHERE len(turns) >= 2
+         |    AND turns[len(turns)].role = 'assistant'),
+         |tk AS (SELECT doc_id, prompt, chosen,
+         |    string_split(chosen, ' ') AS ct FROM pf),
+         |rs AS (SELECT doc_id, prompt, k,
+         |    CASE WHEN k = 0 THEN chosen
+         |      WHEN k = 1 THEN array_to_string([ct[i]
+         |        for i in generate_series(len(ct), 1, -1)], ' ')
+         |      ELSE chosen || ' indeed' END AS resp
+         |  FROM tk, (VALUES (0), (1), (2)) ks(k)),
+         |sc AS (SELECT doc_id * 4 + k AS resp_id,
+         |    trim(regexp_replace(lower(array_to_string(list_transform(prompt,
+         |      t -> t.role || ':' || t.content), chr(10))), '\\s+', ' ', 'g'))
+         |      AS pk,
+         |    resp,
+         |    CAST((len(regexp_extract_all(resp, '\\S+')) * 7 + k * 3) % 13
+         |      AS DOUBLE) AS score
+         |  FROM rs),
+         |rk AS (SELECT *,
+         |    row_number() OVER (PARTITION BY pk
+         |      ORDER BY score DESC, resp_id ASC) AS rbest,
+         |    row_number() OVER (PARTITION BY pk
+         |      ORDER BY score ASC, resp_id ASC) AS rworst,
+         |    count(*) OVER (PARTITION BY pk) AS nc,
+         |    max(score) OVER (PARTITION BY pk) AS mx,
+         |    min(score) OVER (PARTITION BY pk) AS mn,
+         |    min(resp_id) OVER (PARTITION BY pk) AS pid
+         |  FROM sc)
+         |SELECT CAST(pid AS BIGINT) AS pair_id,
+         |  min(CASE WHEN rbest = 1 THEN resp END) AS chosen,
+         |  min(CASE WHEN rworst = 1 THEN resp END) AS rejected,
+         |  min(mx) AS chosen_score, min(mn) AS rejected_score,
+         |  CAST(min(nc) AS BIGINT) AS n_candidates
+         |FROM rk GROUP BY pk, pid
+         |HAVING min(nc) >= 2 AND min(mx) > min(mn)
+         |ORDER BY pair_id $N1, chosen $N1, rejected $N1, chosen_score $N1,
+         |  rejected_score $N1, n_candidates $N1""".stripMargin,
     // hashUniform over the normalized prompt render, same cuts as
     // q_sample_split
     "q_pref_split" ->

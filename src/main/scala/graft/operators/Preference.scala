@@ -177,6 +177,50 @@ object Preference {
   }
 
   /**
+   * Best-of-N pair construction — the standard RLHF/DPO data step:
+   * given reward-SCORED responses (one row per (prompt, response,
+   * score) sample), emit ONE preference pair per prompt family:
+   * chosen = the highest-scored response, rejected = the lowest. The
+   * inverse direction of [[validatePairs]]: this BUILDS the pairs the
+   * rest of the family curates.
+   *
+   * Determinism contract (what the oracle replays): prompts group by
+   * the [[promptNorm]] canon; both sides break score ties on the
+   * LOWEST response id; families with fewer than 2 responses or zero
+   * score separation (max == min — no preference signal) emit
+   * nothing, so chosen and rejected are never the same row. (Two
+   * DIFFERENT rows with equal text and different scores can still
+   * pair — [[validatePairs]]' `distinct_pair` is the downstream
+   * filter for that.) `pair_id` is the family's minimum response id.
+   *
+   * Output: (pair_id, prompt, chosen, rejected, chosen_score,
+   * rejected_score, n_candidates).
+   *
+   * 100 TB design: ONE shuffle — a groupBy on the normalized prompt
+   * key with min_by/max_by aggregates (no window, no self-join; the
+   * per-family state is O(1) whatever N is). Prompt text rides the
+   * aggregate once via min_by, not once per response.
+   */
+  def pairsFromScored(df: DataFrame, idCol: String, promptCol: String,
+                      respCol: String, scoreCol: String): DataFrame = {
+    val id = col(idCol)
+    val score = col(scoreCol).cast(DoubleType)
+    val keyed = df.withColumn("__pk", promptNorm(promptCol))
+    keyed.groupBy(col("__pk"))
+      .agg(
+        min(id).as("pair_id"),
+        min_by(col(promptCol), id).as("prompt"),
+        max_by(col(respCol), struct(score, -id)).as("chosen"),
+        min_by(col(respCol), struct(score, id)).as("rejected"),
+        max(score).as("chosen_score"),
+        min(score).as("rejected_score"),
+        count(lit(1)).as("n_candidates"))
+      .filter(col("n_candidates") >= 2 &&
+        col("chosen_score") > col("rejected_score"))
+      .drop("__pk")
+  }
+
+  /**
    * Prompt-level leak-safe split: [[Sampling.assignSplit]] keyed on
    * the normalized prompt render, so every pair sharing a prompt —
    * however many (chosen, rejected) samples were drawn from it —

@@ -103,6 +103,37 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("pairsFromScored: best vs worst per prompt, deterministic ties") {
+    val scoredSchema = StructType(Seq(
+      StructField("rid", LongType), StructField("prompt", convType),
+      StructField("resp", StringType), StructField("score", DoubleType)))
+    val p1 = Seq(t("user", "q1")); val p2 = Seq(t("user", "q2"))
+    val p3 = Seq(t("user", "q3")); val p4 = Seq(t("user", "q4"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      // p1: clear best/worst plus a top-score TIE -> lowest id wins
+      Row(1L, p1, "tied-a", 9.0), Row(2L, p1, "tied-b", 9.0),
+      Row(3L, p1, "worst", 1.0),
+      // p2: zero separation -> no pair
+      Row(4L, p2, "same", 5.0), Row(5L, p2, "also", 5.0),
+      // p3: single response -> no pair
+      Row(6L, p3, "alone", 7.0),
+      // p4: worst-side tie -> lowest id wins there too
+      Row(7L, p4, "best", 8.0),
+      Row(8L, p4, "low-a", 2.0), Row(9L, p4, "low-b", 2.0))), scoredSchema)
+    val got = Preference.pairsFromScored(df, "rid", "prompt", "resp", "score")
+      .select("pair_id", "chosen", "rejected", "chosen_score",
+        "rejected_score", "n_candidates")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5)))).toMap
+    assert(got.keySet == Set(1L, 7L),
+      "no-separation and singleton families emit nothing")
+    assert(got(1L) == (("tied-a", "worst", 9.0, 1.0, 3L)),
+      "top-score tie goes to the lowest response id")
+    assert(got(7L) == (("best", "low-a", 8.0, 2.0, 3L)),
+      "bottom-score tie goes to the lowest response id")
+  }
+
   test("splitPairsLeakSafe sends all pairs of a prompt to one slice") {
     val rows = (1L to 40L).map { i =>
       val promptId = (i % 10).toString // 10 prompts, 4 pairs each
