@@ -96,6 +96,22 @@ object ExtensionQueries {
         when(pmod(col("doc_id"), lit(17)) === 0, col("chosen"))
           .otherwise(array_join(reverse(split(col("chosen"), " ")), " ")))
 
+  /** Three deterministic reward-scored responses per valid pair —
+    * the best-of-N fixture shared by the pairsFromScored queries
+    * (mirrored by their rs/sc oracle CTEs): k0 = chosen, k1 = word
+    * reversal, k2 = chosen + " indeed"; score = (tokens·7 + 3k) mod
+    * 13, so k0 and k2 tie and the wrap-around flips which side wins. */
+  private def scoredRespFrame(s: SparkSession, dir: String): DataFrame =
+    validPairFrame(s, dir)
+      .select(col("doc_id"), col("prompt"), posexplode(array(
+        col("chosen"),
+        array_join(reverse(split(col("chosen"), " ")), " "),
+        concat(col("chosen"), lit(" indeed")))).as(Seq("k", "resp")))
+      .withColumn("resp_id", col("doc_id") * 4 + col("k"))
+      .withColumn("score", pmod(
+        TextFunctions.tokenCount(col("resp")) * 7 + col("k") * 3,
+        lit(13)).cast(DoubleType))
+
   /** The VALID slice of [[pairFrame]] the dedup/split queries run on:
     * conversations that actually END on an assistant turn (even
     * length), so chosen is a real response. */
@@ -1837,6 +1853,27 @@ object ExtensionQueries {
           .as("assistant_token_share")))
     }),
 
+    // cross-format image dedup on the decoded-raster aHash: the same
+    // picture as PNG, BMP and GIF collapses into one family (byte md5
+    // never could); a different picture and an undecodable payload
+    // stay singletons. Palette-exact pixels keep GIF lossless.
+    "q_multimodal_dedup_phash" -> ((s, dir) => {
+      import s.implicits._
+      def topBottom(w: Int, h: Int) =
+        (_: Int, y: Int) => if (y < h / 2) 0x000000 else 0xFFFFFF
+      def leftRight(w: Int, h: Int) =
+        (x: Int, _: Int) => if (x < w / 2) 0x000000 else 0xFFFFFF
+      val fixtures = Seq(
+        (1L, encodeImg("png", 8, 8, topBottom(8, 8))),
+        (2L, encodeImg("bmp", 8, 8, topBottom(8, 8))),   // same pixels
+        (3L, encodeImg("bmp", 8, 8, leftRight(8, 8))),   // different picture
+        (4L, Array(0x00, 0x11, 0x22).map(_.toByte)),     // undecodable
+        (5L, encodeImg("gif", 8, 8, topBottom(8, 8))))   // same pixels again
+        .toDF("img_id", "payload")
+      det(Multimodal.dedupByPerceptualHash(fixtures, "img_id", "payload")
+        .select(col("img_id"), col("n_copies")))
+    }),
+
     // ---- preference-pair (DPO/RLHF) operators (graft.operators
     // .Preference) over deterministic pairs derived from chat
     // conversations (pairFrame / the oracles' pf+pr CTEs — same
@@ -1902,20 +1939,24 @@ object ExtensionQueries {
     // prompt (k0 and k2 tie by construction mod 13, k1 = k0+3 mod 13,
     // so wrap-around flips which side wins — both tie-break paths and
     // both orderings exercised); duplicate docs merge into one family
-    "q_pref_pairs_from_scored" -> ((s, dir) => {
-      val base = validPairFrame(s, dir)
-      val resp = base.select(col("doc_id"), col("prompt"), posexplode(array(
-          col("chosen"),
-          array_join(reverse(split(col("chosen"), " ")), " "),
-          concat(col("chosen"), lit(" indeed")))).as(Seq("k", "resp")))
-        .withColumn("resp_id", col("doc_id") * 4 + col("k"))
-        .withColumn("score", pmod(
-          TextFunctions.tokenCount(col("resp")) * 7 + col("k") * 3,
-          lit(13)).cast(DoubleType))
-      det(graft.operators.Preference.pairsFromScored(resp,
+    "q_pref_pairs_from_scored" -> ((s, dir) =>
+      det(graft.operators.Preference.pairsFromScored(scoredRespFrame(s, dir),
         "resp_id", "prompt", "resp", "score")
         .select(col("pair_id"), col("chosen"), col("rejected"),
-          col("chosen_score"), col("rejected_score"), col("n_candidates")))
+          col("chosen_score"), col("rejected_score"), col("n_candidates")))),
+
+    // composition row: reward-margin distribution of the constructed
+    // pairs through the quantile sketch (exact regime) — the DPO
+    // dataset-health card ("how much preference signal is there")
+    "q_pref_margin_quantiles" -> ((s, dir) => {
+      val pairs = graft.operators.Preference.pairsFromScored(
+        scoredRespFrame(s, dir), "resp_id", "prompt", "resp", "score")
+      det(pairs.agg(count(lit(1)).as("n_pairs"),
+        graft.functions.QuantileSketch.quantiles(
+          col("chosen_score") - col("rejected_score"), 1 << 17,
+          Seq(0.0, 0.5, 1.0)).as("__q"))
+        .select(col("n_pairs"), col("__q")(0).as("margin_min"),
+          col("__q")(1).as("margin_p50"), col("__q")(2).as("margin_max")))
     }),
 
     // prompt-level leak-safe split: same prompt -> same slice, pure
@@ -4445,6 +4486,16 @@ object ExtensionQueries {
          |  total_user_tokens $N1, total_assistant_tokens $N1,
          |  assistant_token_share $N1""".stripMargin,
 
+    // hand-decided dedup families: {1,2,5} share pixels, 3 differs,
+    // 4 never decodes
+    "q_multimodal_dedup_phash" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+         |  (CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+         |  (CAST(4 AS BIGINT), CAST(1 AS BIGINT)))
+         |  AS t(img_id, n_copies)
+         |ORDER BY img_id $N1, n_copies $N1""".stripMargin,
+
     // ---- preference-pair oracles: pf/pr CTEs mirror pairFrame, the
     // word-reversal comprehension mirrors reverse(split(chosen,' '))
     "q_pref_validate" ->
@@ -4559,6 +4610,42 @@ object ExtensionQueries {
          |HAVING min(nc) >= 2 AND min(mx) > min(mn)
          |ORDER BY pair_id $N1, chosen $N1, rejected $N1, chosen_score $N1,
          |  rejected_score $N1, n_candidates $N1""".stripMargin,
+    // margins = per-family (max - min) score; rank-definition
+    // quantiles over them (the q_text_length_quantiles replay)
+    "q_pref_margin_quantiles" ->
+      s"""WITH $chatCte,
+         |pf AS (SELECT doc_id, turns[1:len(turns)-1] AS prompt,
+         |    turns[len(turns)].content AS chosen
+         |  FROM cv WHERE len(turns) >= 2
+         |    AND turns[len(turns)].role = 'assistant'),
+         |tk AS (SELECT doc_id, prompt, chosen,
+         |    string_split(chosen, ' ') AS ct FROM pf),
+         |rs AS (SELECT doc_id, prompt, k,
+         |    CASE WHEN k = 0 THEN chosen
+         |      WHEN k = 1 THEN array_to_string([ct[i]
+         |        for i in generate_series(len(ct), 1, -1)], ' ')
+         |      ELSE chosen || ' indeed' END AS resp
+         |  FROM tk, (VALUES (0), (1), (2)) ks(k)),
+         |sc AS (SELECT
+         |    trim(regexp_replace(lower(array_to_string(list_transform(prompt,
+         |      t -> t.role || ':' || t.content), chr(10))), '\\s+', ' ', 'g'))
+         |      AS pk,
+         |    CAST((len(regexp_extract_all(resp, '\\S+')) * 7 + k * 3) % 13
+         |      AS DOUBLE) AS score
+         |  FROM rs),
+         |ag AS (SELECT pk, count(*) AS nc, max(score) AS mx, min(score) AS mn
+         |  FROM sc GROUP BY pk),
+         |m AS (SELECT mx - mn AS margin FROM ag WHERE nc >= 2 AND mx > mn),
+         |r AS (SELECT margin, row_number() OVER (ORDER BY margin) AS rk,
+         |    count(*) OVER () AS nn FROM m)
+         |SELECT CAST(min(nn) AS BIGINT) AS n_pairs,
+         |  min(CASE WHEN rk = greatest(1, CAST(ceil(0.0::DOUBLE * nn) AS BIGINT))
+         |    THEN margin END) AS margin_min,
+         |  min(CASE WHEN rk = greatest(1, CAST(ceil(0.5::DOUBLE * nn) AS BIGINT))
+         |    THEN margin END) AS margin_p50,
+         |  min(CASE WHEN rk = greatest(1, CAST(ceil(1.0::DOUBLE * nn) AS BIGINT))
+         |    THEN margin END) AS margin_max
+         |FROM r""".stripMargin,
     // hashUniform over the normalized prompt render, same cuts as
     // q_sample_split
     "q_pref_split" ->

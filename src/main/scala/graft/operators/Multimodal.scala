@@ -212,6 +212,114 @@ object Multimodal {
       }
   }
 
+  /** (id, perceptual hash) — hash NULL when the payload didn't decode. */
+  final case class HashedMedia(id: Long, phash: Option[Long])
+
+  /**
+   * 64-bit average-hash (aHash) over the DECODED raster — the
+   * cross-format image fingerprint: the same picture saved as PNG,
+   * BMP or GIF decodes to the same pixels and hashes identically,
+   * which byte-level md5 can never see. Block-average the grayscale
+   * image to an 8×8 grid (integer block sums — no resampling library,
+   * no floats until the mean), then bit k = block k brighter than the
+   * grid mean. Hamming distance between hashes approximates visual
+   * distance; re-encodes are distance 0, small edits a few bits
+   * (spec-pinned).
+   *
+   * Returns None for undecodable payloads — callers fall back to the
+   * byte-level identity ([[binaryMeta]]'s md5) or to an id-keyed
+   * singleton family, never a shared NULL bucket.
+   */
+  private[graft] def averageHash(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val bx = math.min(7, x * 8 / w)
+        val p = img.getRGB(x, y)
+        val gray = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+        sums(by * 8 + bx) += gray
+        counts(by * 8 + bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // images narrower than 8px leave some blocks empty: treat an
+    // empty block as its row-average would — simplest consistent rule
+    // is block mean 0 (pure black); the grid mean divides by filled
+    // blocks only so tiny images still hash stably
+    val means = Array.tabulate(64)(i =>
+      if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+    val filled = counts.count(_ > 0)
+    val gridMean = means.sum / math.max(1, filled)
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0 && means(i) > gridMean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** `df` plus a 64-bit perceptual hash column decoded per partition
+    * ([[ImageIoDecoder]]'s JDK-only decode; NULL when undecodable).
+    *
+    * 100 TB design: mapPartitions keeps codec init per task; only
+    * (id, hash) leaves the decode — the binary payload is read once
+    * and never shuffled. Join the 8-byte hash back by id for the full
+    * row. */
+  def withPerceptualHash(df: DataFrame, idCol: String,
+                         binCol: String): Dataset[HashedMedia] = {
+    implicit val enc: Encoder[HashedMedia] = Encoders.product[HashedMedia]
+    df.select(col(idCol).cast(LongType).as("id"), lit("image").as("kind"),
+        col(binCol).as("bytes"))
+      .as[MediaRow](mediaRowEnc)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { row =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          HashedMedia(row.id, Option(img).map(averageHash))
+        }
+      }
+  }
+
+  /**
+   * Cross-format exact-pixel image dedup: keep the lowest-id exemplar
+   * per perceptual-hash family, annotate with `n_copies` — the
+   * [[graft.operators.Dedup.exactDedup]] fingerprint-window contract
+   * on the 8-byte aHash. Undecodable payloads are singleton families
+   * (id-keyed fallback, never one skewed NULL bucket). For NEAR-dup
+   * (Hamming ≤ t) compose the hash with the SimHash banding machinery
+   * instead; this operator is the distance-0 fast path.
+   *
+   * 100 TB design: decode once per payload (mapPartitions), then ONE
+   * shuffle of (id, 8-byte hash) — the image bytes never shuffle; the
+   * final id join is AQE-broadcast when the survivor set is small.
+   */
+  def dedupByPerceptualHash(df: DataFrame, idCol: String,
+                            binCol: String): DataFrame = {
+    require(!df.columns.contains("n_copies"),
+      "dedupByPerceptualHash emits n_copies; rename the input column first")
+    val hashed = withPerceptualHash(df, idCol, binCol).toDF()
+      .select(col("id").as(idCol),
+        coalesce(col("phash").cast(StringType),
+          concat(lit("__nodecode#"), col("id").cast(StringType))).as("__fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    val decided = hashed
+      .withColumn("__keep", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .select(col(idCol), col("n_copies"))
+    df.join(decided, Seq(idCol), "inner")
+      .select(df.columns.map(col) :+ col("n_copies"): _*)
+  }
+
   /** One sampled video frame. */
   final case class FrameSample(id: Long, frameIdx: Int, feature: Array[Float])
 

@@ -129,6 +129,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 20 && out.forall(d => d.width == 8 && d.height == 5))
   }
 
+  test("averageHash: hand-computable 8x8 blocks, format-invariant") {
+    // top-black/bottom-white 8x8: blocks are the pixels; bottom 32
+    // blocks exceed the grid mean -> bits 32..63
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (y < 4) 0x000000 else 0xFFFFFF)
+    assert(Multimodal.averageHash(img) == 0xFFFFFFFF00000000L)
+    // the same pixels through three containers hash identically
+    import spark.implicits._
+    def px(x: Int, y: Int) = if (y < 4) 0x000000 else 0xFFFFFF
+    val df = Seq(
+      (1L, encodeImg("png", 8, 8, px)), (2L, encodeImg("bmp", 8, 8, px)),
+      (3L, encodeImg("gif", 8, 8, px)),
+      (4L, Array[Byte](1, 2, 3))).toDF("id", "bin")
+    val got = Multimodal.withPerceptualHash(df, "id", "bin")
+      .collect().map(h => h.id -> h.phash).toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L) &&
+      got(1L).contains(0xFFFFFFFF00000000L))
+    assert(got(4L).isEmpty, "undecodable payloads hash to None")
+  }
+
+  test("averageHash: small edits move few bits, different pictures many") {
+    def hashOf(px: (Int, Int) => Int): Long = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, px(x, y))
+      Multimodal.averageHash(img)
+    }
+    val base = hashOf((x, y) => if (y < 32) 0x000000 else 0xFFFFFF)
+    // flip a 3x3 corner patch: no 8x8 block's mean crosses the grid mean
+    val edited = hashOf((x, y) =>
+      if (x < 3 && y < 3) 0xFFFFFF
+      else if (y < 32) 0x000000 else 0xFFFFFF)
+    val other = hashOf((x, y) => if (x < 32) 0x000000 else 0xFFFFFF)
+    assert(java.lang.Long.bitCount(base ^ edited) <= 2,
+      "a tiny edit is perceptually near")
+    assert(java.lang.Long.bitCount(base ^ other) >= 16,
+      "a different composition is perceptually far")
+  }
+
+  test("dedupByPerceptualHash collapses re-encodes, keeps lowest id") {
+    import spark.implicits._
+    def px(x: Int, y: Int) = if ((x + y) % 2 == 0) 0x000000 else 0xFFFFFF
+    val df = Seq(
+      (10L, encodeImg("png", 16, 16, px)),
+      (11L, encodeImg("bmp", 16, 16, px)),
+      (12L, Array[Byte](9, 9)),
+      (13L, Array[Byte](8, 8))).toDF("img_id", "payload")
+    val got = Multimodal.dedupByPerceptualHash(df, "img_id", "payload")
+      .select("img_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 2L, 12L -> 1L, 13L -> 1L),
+      "re-encodes collapse; undecodables stay singletons, never one bucket")
+  }
+
   test("resize preserves aspect ratio and never upscales") {
     import spark.implicits._
     val ds = Seq(
