@@ -1935,6 +1935,15 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_copies")))
     }),
 
+    // per-pair token accounting + context-fit flags (maxLen 20 sits
+    // inside the corpus length distribution so both fit branches fire)
+    "q_pref_stats" -> ((s, dir) =>
+      det(graft.operators.Preference.pairStats(pairFrame(s, dir),
+        "prompt", "chosen", "rejected", maxLen = 20)
+        .select(col("doc_id"), col("n_prompt_tokens"), col("n_chosen_tokens"),
+          col("n_rejected_tokens"), col("fits_chosen"), col("fits_rejected"),
+          col("fits_pair"), col("len_ratio")))),
+
     // best-of-N construction: 3 deterministic scored responses per
     // prompt (k0 and k2 tie by construction mod 13, k1 = k0+3 mod 13,
     // so wrap-around flips which side wins — both tie-break paths and
@@ -4567,6 +4576,41 @@ object ExtensionQueries {
          |  CAST(count(*) AS BIGINT) AS n_copies
          |FROM fp GROUP BY k
          |ORDER BY doc_id $N1, n_copies $N1""".stripMargin,
+    // list-lambda token sums mirror the aggregate fold; ratio NULL
+    // when rejected is empty
+    "q_pref_stats" ->
+      s"""WITH $chatCte,
+         |pf AS (SELECT doc_id, turns[1:len(turns)-1] AS prompt,
+         |    turns[len(turns)].content AS chosen
+         |  FROM cv WHERE len(turns) >= 1),
+         |tk AS (SELECT doc_id, prompt, chosen,
+         |    string_split(chosen, ' ') AS ct FROM pf),
+         |pr AS (SELECT doc_id, prompt, chosen,
+         |    CASE WHEN doc_id % 17 = 0 THEN chosen
+         |    ELSE array_to_string([ct[i]
+         |      for i in generate_series(len(ct), 1, -1)], ' ') END AS rejected
+         |  FROM tk),
+         |st AS (SELECT doc_id,
+         |    CAST(COALESCE(list_sum(list_transform(prompt,
+         |      t -> len(regexp_extract_all(t.content, '\\S+')))), 0) AS BIGINT)
+         |      AS n_prompt_tokens,
+         |    CAST(len(regexp_extract_all(chosen, '\\S+')) AS BIGINT)
+         |      AS n_chosen_tokens,
+         |    CAST(len(regexp_extract_all(rejected, '\\S+')) AS BIGINT)
+         |      AS n_rejected_tokens
+         |  FROM pr)
+         |SELECT doc_id, n_prompt_tokens, n_chosen_tokens, n_rejected_tokens,
+         |  n_prompt_tokens + n_chosen_tokens <= 20 AS fits_chosen,
+         |  n_prompt_tokens + n_rejected_tokens <= 20 AS fits_rejected,
+         |  (n_prompt_tokens + n_chosen_tokens <= 20 AND
+         |   n_prompt_tokens + n_rejected_tokens <= 20) AS fits_pair,
+         |  CASE WHEN n_rejected_tokens > 0 THEN
+         |    round(CAST(n_chosen_tokens AS DOUBLE) / n_rejected_tokens, 6)
+         |  END AS len_ratio
+         |FROM st
+         |ORDER BY doc_id $N1, n_prompt_tokens $N1, n_chosen_tokens $N1,
+         |  n_rejected_tokens $N1, fits_chosen $N1, fits_rejected $N1,
+         |  fits_pair $N1, len_ratio $N1""".stripMargin,
     // best-of-N replay: window row_numbers pin both tie-break rules
     // (score desc/asc, id asc), families on the normalized prompt key
     "q_pref_pairs_from_scored" ->

@@ -177,6 +177,44 @@ object Preference {
   }
 
   /**
+   * Per-pair token accounting — the [[Chat.chatStats]] sibling for
+   * preference rows, the columns DPO length filtering and batch
+   * packing read: prompt/chosen/rejected token counts (`\S+` scan,
+   * NULL-as-empty), whether each SIDE (prompt + response) fits a
+   * `maxLen`-token training context, and the chosen/rejected length
+   * ratio (NULL when rejected is empty — a ratio against nothing is
+   * not 0). A pair whose two sides straddle `maxLen` is worse than
+   * one that fits or one that doesn't: the truncated side silently
+   * changes the comparison the model learns from — `fits_pair` is the
+   * conjunction to filter on.
+   *
+   * 100 TB design: zero-shuffle row-local projection, one aggregate
+   * fold over the prompt turns, codegen'd scans for the responses.
+   */
+  def pairStats(df: DataFrame, promptCol: String, chosenCol: String,
+                rejectedCol: String, maxLen: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    def turnTokens(t: Column): Column =
+      TextFunctions.tokenCount(coalesce(t.getField("content"), lit("")))
+    df.withColumn("n_prompt_tokens",
+        coalesce(aggregate(col(promptCol), lit(0L),
+          (acc, t) => acc + turnTokens(t)), lit(0L)))
+      .withColumn("n_chosen_tokens",
+        TextFunctions.tokenCount(coalesce(col(chosenCol), lit(""))))
+      .withColumn("n_rejected_tokens",
+        TextFunctions.tokenCount(coalesce(col(rejectedCol), lit(""))))
+      .withColumn("fits_chosen",
+        col("n_prompt_tokens") + col("n_chosen_tokens") <= maxLen)
+      .withColumn("fits_rejected",
+        col("n_prompt_tokens") + col("n_rejected_tokens") <= maxLen)
+      .withColumn("fits_pair", col("fits_chosen") && col("fits_rejected"))
+      .withColumn("len_ratio",
+        when(col("n_rejected_tokens") > 0,
+          round(col("n_chosen_tokens").cast(DoubleType) /
+            col("n_rejected_tokens"), 6)))
+  }
+
+  /**
    * Best-of-N pair construction — the standard RLHF/DPO data step:
    * given reward-SCORED responses (one row per (prompt, response,
    * score) sample), emit ONE preference pair per prompt family:

@@ -626,6 +626,21 @@ object StreamingOps {
         col("n_docs"), col("avg_quality"), col("avg_tokens"))
   }
 
+  /** [[graft.operators.Preference.validatePairs]] +
+    * [[graft.operators.Preference.pairStats]] on a stream: both are
+    * row-local codegen'd projections, so the batch operators ARE
+    * streaming-safe — the [[streamingChatIntake]] pattern for
+    * preference-pair intake (validate, account, filter at the door);
+    * the wrapper exists for discoverability and pins the contract
+    * with a spec. */
+  def streamingPairIntake(pairs: DataFrame, promptCol: String,
+                          chosenCol: String, rejectedCol: String,
+                          maxLen: Int): DataFrame =
+    graft.operators.Preference.pairStats(
+      graft.operators.Preference.validatePairs(
+        pairs, promptCol, chosenCol, rejectedCol),
+      promptCol, chosenCol, rejectedCol, maxLen)
+
   /**
    * Windowed quantile monitor — per event-time tumbling window, the
    * requested percentile cuts of any numeric signal, computed by the

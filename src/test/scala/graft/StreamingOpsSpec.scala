@@ -861,4 +861,45 @@ class StreamingOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(okById == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
   }
+
+  test("streaming pair intake equals batch validate+stats row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // pairs arrive as (id, packed prompt, chosen, rejected); the prompt
+    // is rebuilt into a turn array inside the stream (stateless)
+    val rows = Seq(
+      (1L, "user|what sorts fastest", "merge sort", "bubble sort"),
+      (2L, "user|same answer twice", "tie", "tie"),          // no signal
+      (3L, "assistant|i ask you", "a", "b"),                 // bad prompt
+      (4L, "user|long ratio", "one two three four", ""))     // empty rejected
+    def toPairs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("prompt", transform(split(col("packed"), ";"), t =>
+        struct(split(t, "\\|").getItem(0).as("role"),
+          coalesce(split(t, "\\|").getItem(1), lit("")).as("content"))))
+    val mem = MemoryStream[(Long, String, String, String)]
+    val out = StreamingOps.streamingPairIntake(
+      toPairs(mem.toDF().toDF("id", "packed", "chosen", "rejected")),
+      "prompt", "chosen", "rejected", maxLen = 6)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_pairs")
+      .outputMode("append").start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    val cols = Seq("id", "pair_ok", "n_prompt_tokens", "n_chosen_tokens",
+      "fits_pair", "len_ratio")
+    val got = spark.sql(s"SELECT ${cols.mkString(",")} FROM stream_pairs")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val want = StreamingOps.streamingPairIntake(
+        toPairs(rows.toDF("id", "packed", "chosen", "rejected")),
+        "prompt", "chosen", "rejected", maxLen = 6)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(got == want, "micro-batch pair intake must equal batch row-for-row")
+    val okById = spark.sql("SELECT id, pair_ok, len_ratio FROM stream_pairs")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    assert(okById(1L) == ((true, 1.0)), "2 chosen tokens over 2 rejected")
+    assert(okById(2L)._1 == false, "equal pair carries no signal")
+    assert(okById(3L)._1 == false, "assistant-final prompt is not awaiting")
+    assert(okById(4L) == ((false, null)), "empty rejected: invalid, NULL ratio")
+  }
 }
