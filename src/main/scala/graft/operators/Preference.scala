@@ -241,6 +241,12 @@ object Preference {
    */
   def pairsFromScored(df: DataFrame, idCol: String, promptCol: String,
                       respCol: String, scoreCol: String): DataFrame = {
+    // the chosen-side tie-break negates the id inside an ordering
+    // struct — only meaningful for numeric ids; fail at plan time,
+    // not with an AnalysisException deep in the aggregate
+    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"pairsFromScored needs a numeric response id, " +
+        s"got ${df.schema(idCol).dataType.simpleString} for '$idCol'")
     val id = col(idCol)
     val score = col(scoreCol).cast(DoubleType)
     val keyed = df.withColumn("__pk", promptNorm(promptCol))
