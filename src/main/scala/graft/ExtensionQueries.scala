@@ -1874,6 +1874,27 @@ object ExtensionQueries {
         .select(col("img_id"), col("n_copies")))
     }),
 
+    // perceptual NEAR-dup pairs: a re-encode pairs at distance 0, a
+    // single fully-flipped 8x8 block moves EXACTLY one hash bit
+    // (grid mean shifts but no other block crosses it), a different
+    // composition shares no band and never becomes a candidate
+    "q_multimodal_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      def topBottom(x: Int, y: Int) = if (y < 32) 0x000000 else 0xFFFFFF
+      def blockFlip(x: Int, y: Int) =
+        if (x < 8 && y < 8) 0xFFFFFF else topBottom(x, y)
+      def leftRight(x: Int, y: Int) = if (x < 32) 0x000000 else 0xFFFFFF
+      val fixtures = Seq(
+        (1L, encodeImg("png", 64, 64, topBottom)),
+        (2L, encodeImg("bmp", 64, 64, topBottom)),   // re-encode: h 0
+        (3L, encodeImg("png", 64, 64, blockFlip)),   // one block: h 1
+        (4L, encodeImg("png", 64, 64, leftRight)),   // far: h 32
+        (5L, Array(0x01, 0x02).map(_.toByte)))       // undecodable
+        .toDF("img_id", "payload")
+      det(Multimodal.phashNearDupPairs(fixtures, "img_id", "payload",
+        maxHamming = 3))
+    }),
+
     // ---- preference-pair (DPO/RLHF) operators (graft.operators
     // .Preference) over deterministic pairs derived from chat
     // conversations (pairFrame / the oracles' pf+pr CTEs — same
@@ -4495,6 +4516,15 @@ object ExtensionQueries {
          |  total_user_tokens $N1, total_assistant_tokens $N1,
          |  assistant_token_share $N1""".stripMargin,
 
+    // hand-decided near-dup pairs: the hamming values are derived in
+    // MultimodalSpec from the same pixel constructions
+    "q_multimodal_phash_pairs" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 0),
+         |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), 1),
+         |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), 1))
+         |  AS t(doc_a, doc_b, hamming)
+         |ORDER BY doc_a $N1, doc_b $N1, hamming $N1""".stripMargin,
     // hand-decided dedup families: {1,2,5} share pixels, 3 differs,
     // 4 never decodes
     "q_multimodal_dedup_phash" ->

