@@ -167,4 +167,52 @@ class InvariantPropertiesSpec extends AnyFunSuite {
       assert(g.sortBy(_._3).map(_._4).sliding(2)
         .forall(w => w.size < 2 || w(0) < w(1)))
   }
+
+  test("quantile sketch: rank error bounded and order-preserving at every capacity") {
+    import graft.functions.QuantileSketch
+    val probs = Seq(0.1, 0.5, 0.9)
+    val n = 20000
+    // seeded permutation of 0..n-1: value distance IS rank distance
+    val xs = samples(Gen.chooseNum(0, 1 << 30), n)
+      .zipWithIndex.sortBy(_._1).map(_._2.toDouble)
+    val sorted = (0 until n).map(_.toDouble)
+    def exact(p: Double) = sorted(math.max(1, math.ceil(p * n).toLong).toInt - 1)
+    for (cap <- Seq(64, 256, 1024)) {
+      val got = spark.sparkContext.parallelize(xs, 8).toDF("v")
+        .agg(QuantileSketch.quantiles(col("v"), cap, probs))
+        .collect()(0).getSeq[Double](0)
+      // monotone in p; within the observed range; rank error shrinks
+      // with capacity (loose 4x-theory bound keeps the test stable)
+      assert(got.sliding(2).forall(w => w.size < 2 || w(0) <= w(1)),
+        s"cap=$cap non-monotone: $got")
+      assert(got.forall(v => v >= 0.0 && v <= n - 1))
+      probs.zip(got).foreach { case (p, v) =>
+        assert(math.abs(v - exact(p)) <= (4.0 * n) / cap,
+          s"cap=$cap p=$p: $v vs ${exact(p)}")
+      }
+    }
+  }
+
+  test("averageHash: invariant to lossless re-encode on generated images") {
+    import graft.operators.Multimodal
+    val rng = new scala.util.Random(42)
+    (0 until 20).foreach { i =>
+      val (w, h) = (1 + rng.nextInt(40), 1 + rng.nextInt(40))
+      val px = Array.fill(w * h)(rng.nextInt(1 << 24))
+      def img() = {
+        val m = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) m.setRGB(x, y, px(y * w + x))
+        m
+      }
+      val direct = Multimodal.averageHash(img())
+      // through the PNG container (lossless): identical raster -> identical hash
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img(), "png", bos)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(Multimodal.averageHash(back) == direct,
+        s"case $i (${w}x$h): png round-trip changed the hash")
+    }
+  }
 }
