@@ -207,6 +207,17 @@ object ExtensionQueries {
         compression = Some("gzip"), partitions = 4)
     }
 
+  /** Chat-corpus JSONL export: NESTED `array<struct<role,content>>`
+    * rows through the same interchange path — conversations arrive as
+    * JSONL in practice, and the round-trip query pins that the nested
+    * schema survives the format byte-exactly. */
+  private val chatJsonlExports = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def chatJsonlExport(s: SparkSession, dir: String): String =
+    cachedTmpArtifact(chatJsonlExports, "graft_chat_jsonl", dir) { path =>
+      graft.sources.TextCorpus.writeJsonl(chatFrame(s, dir), path,
+        compression = Some("gzip"), partitions = 2)
+    }
+
   /** CSV twin of [[jsonlExport]] (quoted/escaped, 4 plain shards). */
   private val csvExports = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def csvExport(s: SparkSession, dir: String): String =
@@ -471,6 +482,20 @@ object ExtensionQueries {
       det(graft.sources.TextCorpus.readJsonl(s, jsonlExport(s, dir), schema)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars")))
+    }),
+
+    // NESTED interchange: conversations written to gzip JSONL and read
+    // back with the explicit array<struct> schema, then graded through
+    // the SAME stats oracle as q_chat_stats — one oracle, two
+    // construction paths, so the nested round-trip is pinned exactly
+    "q_chat_jsonl_roundtrip" -> ((s, dir) => {
+      val schema = chatFrame(s, dir).schema
+      val back = graft.sources.TextCorpus.readJsonl(s,
+        chatJsonlExport(s, dir), schema)
+      det(graft.operators.Chat.chatStats(back, "conv")
+        .select(col("doc_id"), col("n_turns"), col("n_user_turns"),
+          col("n_assistant_turns"), col("n_user_tokens"),
+          col("n_assistant_tokens"), col("max_turn_tokens")))
     }),
 
     // CSV interchange round-trip, same contract as the JSONL one
@@ -4934,4 +4959,7 @@ object ExtensionQueries {
     // parse(render(conv)) must grade identically to the direct stats
     // path: one oracle, two construction paths
     .updated("q_chat_roundtrip", oracleSqlBase("q_chat_stats"))
+    // gzip-JSONL nested interchange must grade identically too — the
+    // third construction path through the same stats oracle
+    .updated("q_chat_jsonl_roundtrip", oracleSqlBase("q_chat_stats"))
 }

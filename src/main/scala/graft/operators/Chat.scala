@@ -62,9 +62,22 @@ object Chat {
    *  - `ends_assistant`: last turn is an `assistant` turn (a trailing
    *    user turn has no supervision target);
    *  - `has_empty_turn`: any turn whose content is blank;
-   *  - `has_bad_role`: any role outside {system, user, assistant};
+   *  - `has_bad_role`: any role outside {system, user, assistant} ∪
+   *    `extraRoles`;
    *  - `chat_ok`: non-empty ∧ starts_user ∧ alternates ∧
    *    ends_assistant ∧ ¬has_empty_turn ∧ ¬has_bad_role.
+   *
+   * `extraRoles` admits additional roles — `Seq("tool")` for
+   * function-calling transcripts is the common case. Extra roles
+   * join the vocabulary and stay IN the alternation sequence, where
+   * they naturally occupy the non-assistant slot: `user, assistant,
+   * tool, assistant` has no equal-role adjacency and validates, while
+   * two back-to-back assistant turns still flag. (Two consecutive
+   * `tool` turns — parallel tool results — also flag; flatten them
+   * into one turn upstream if that shape is legal for the template.)
+   * Extra-role turns remain subject to the empty-content check. The
+   * default (no extras) is the classic three-role contract,
+   * unchanged.
    *
    * Empty conversations: starts_user/ends_assistant false, alternates
    * vacuously true, chat_ok false.
@@ -72,8 +85,10 @@ object Chat {
    * 100 TB design: zero-shuffle row-local projection; every check is
    * a codegen'd higher-order function over the turn array.
    */
-  def validateChat(df: DataFrame, convCol: String): DataFrame = {
+  def validateChat(df: DataFrame, convCol: String,
+                   extraRoles: Seq[String] = Nil): DataFrame = {
     val conv = col(convCol)
+    val vocab = RoleVocab ++ extraRoles
     // STAGE the non-system slice, and build chat_ok from the flag
     // COLUMNS, not the flag expressions: a downstream
     // filter(chat_ok) gets predicate-pushed with aliases substituted,
@@ -99,7 +114,7 @@ object Chat {
         length(trim(coalesce(t.getField("content"), lit("")))) === 0),
       lit(false))
     val hasBadRole = coalesce(
-      exists(conv, t => !t.getField("role").isin(RoleVocab: _*)), lit(false))
+      exists(conv, t => !t.getField("role").isin(vocab: _*)), lit(false))
     df.withColumn("__nonsys", filter(conv, t => t.getField("role") =!= "system"))
       .withColumn("starts_user", startsUser)
       .withColumn("alternates", alternates)

@@ -51,6 +51,35 @@ class ChatSpec extends AnyFunSuite {
       "empty conversation: vacuous alternation, everything else fails")
   }
 
+  test("extraRoles admits tool turns as out-of-band (function calling)") {
+    val toolConv = frame(1L -> conv("user" -> "weather in oslo?",
+      "assistant" -> "calling weather()", "tool" -> "{\"temp\": 4}",
+      "assistant" -> "it is 4 degrees"))
+    // classic contract: tool is a bad role
+    val strict = Chat.validateChat(toolConv, "conv").collect()(0)
+    assert(strict.getAs[Boolean]("has_bad_role") &&
+      !strict.getAs[Boolean]("chat_ok"))
+    // with the extra role: tool joins the vocabulary and occupies the
+    // non-assistant alternation slot — user,assistant,tool,assistant
+    // has no equal-role adjacency
+    val tool = Chat.validateChat(toolConv, "conv", extraRoles = Seq("tool"))
+      .collect()(0)
+    assert(!tool.getAs[Boolean]("has_bad_role") &&
+      tool.getAs[Boolean]("alternates") && tool.getAs[Boolean]("chat_ok"),
+      "a tool-call transcript is valid under the extended vocabulary")
+    // back-to-back assistant turns still flag under the extension
+    val broken = frame(3L -> conv("user" -> "q", "assistant" -> "a1",
+      "assistant" -> "a2"))
+    assert(!Chat.validateChat(broken, "conv", extraRoles = Seq("tool"))
+      .collect()(0).getAs[Boolean]("alternates"))
+    val emptyTool = frame(2L -> conv("user" -> "q",
+      "assistant" -> "call", "tool" -> "  ", "assistant" -> "a"))
+    val et = Chat.validateChat(emptyTool, "conv", extraRoles = Seq("tool"))
+      .collect()(0)
+    assert(et.getAs[Boolean]("has_empty_turn") && !et.getAs[Boolean]("chat_ok"),
+      "an empty tool result is still an empty turn")
+  }
+
   test("NULL turn content counts as empty: flagged, zero tokens") {
     val withNull = frame(1L -> Seq(Row("user", "hi"), Row("assistant", null)))
     val v = Chat.validateChat(withNull, "conv").collect()(0)
