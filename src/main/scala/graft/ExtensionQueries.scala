@@ -1828,6 +1828,23 @@ object ExtensionQueries {
         .select(col("doc_id"), col("rendered"), col("n_copies")))
     }),
 
+    // the YAML-configured twin of q_pipeline_chat: SAME oracle text,
+    // two construction paths — the chat config surface cannot drift
+    // from the programmatic pipeline
+    "q_pipeline_chat_config" -> ((s, dir) => {
+      val yaml =
+        """chat_curation:
+          |  id_col: doc_id
+          |  conv_col: conv
+          |  stages:
+          |    - {op: validate_filter}
+          |    - {op: dedup_assistant, keep_copies: true}
+          |    - {op: render}
+          |""".stripMargin
+      det(graft.plans.CurationCompiler.compileChatYaml(yaml, chatFrame(s, dir))
+        .select(col("doc_id"), col("rendered"), col("n_copies")))
+    }),
+
     // Heaps-law vocabulary growth at four corpus checkpoints
     "q_text_vocab_growth" -> ((s, dir) =>
       det(graft.operators.TextStats.vocabGrowthCurve(docs(s, dir),
@@ -4962,4 +4979,7 @@ object ExtensionQueries {
     // gzip-JSONL nested interchange must grade identically too — the
     // third construction path through the same stats oracle
     .updated("q_chat_jsonl_roundtrip", oracleSqlBase("q_chat_stats"))
+    // the YAML-compiled chat pipeline must be bit-identical to the
+    // hand-composed one: SAME oracle text, two construction paths
+    .updated("q_pipeline_chat_config", oracleSqlBase("q_pipeline_chat"))
 }

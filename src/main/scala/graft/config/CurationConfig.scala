@@ -160,3 +160,106 @@ object CurationConfig {
       case other => throw new IllegalArgumentException(s"unknown curation op: '$other'")
     }
 }
+
+// ---- chat (SFT conversation) curation recipe ------------------------------
+
+/** A stage in a CHAT curation recipe — the config surface for the
+  * [[graft.operators.Chat]] family, compiled by
+  * [[graft.plans.CurationCompiler.compileChat]]. Frame contract: every
+  * stage maps a conversations frame (id, conv `array<struct<role,
+  * content>>`, extra columns preserved) to a conversations frame;
+  * [[ChatRenderStage]] ADDS the `rendered` column and must be last. */
+sealed trait ChatStage
+/** [[graft.operators.Chat.validateChat]] + keep `chat_ok` rows — via
+  * the id SEMI-JOIN discipline (an inline filter would push every
+  * flag's expression tree into the conv-carrying branch — the
+  * q_pipeline_chat pathology). */
+final case class ChatValidateFilterStage(extraRoles: Seq[String]) extends ChatStage
+/** [[graft.operators.Chat.mapTurnContent]] with
+  * [[graft.functions.TextFunctions.redactPii]] inside every turn. */
+final case class ChatRedactStage() extends ChatStage
+/** [[graft.operators.Chat.dedupByAssistant]]; `keepCopies` keeps the
+  * `n_copies` family-size column, else it is dropped to preserve the
+  * frame contract. */
+final case class ChatDedupAssistantStage(keepCopies: Boolean) extends ChatStage
+/** [[graft.operators.Chat.decontaminateChat]] against a named eval
+  * frame (resolved like the document pipeline's eval frames; the eval
+  * frame's id/text column names are part of the stage). */
+final case class ChatDecontaminateStage(eval: String, ngram: Int,
+                                        evalIdCol: String,
+                                        evalTextCol: String) extends ChatStage
+/** [[graft.operators.Chat.scrubChatTurns]] — the surgical per-turn
+  * variant of [[ChatDecontaminateStage]]. */
+final case class ChatScrubStage(eval: String, ngram: Int,
+                                evalIdCol: String,
+                                evalTextCol: String) extends ChatStage
+/** [[graft.operators.Chat.renderChat]] — TERMINAL (adds `rendered`). */
+final case class ChatRenderStage() extends ChatStage
+
+final case class ChatCurationConfig(idCol: String, convCol: String,
+                                    stages: Seq[ChatStage]) {
+  require(stages.nonEmpty, "chat curation config needs at least one stage")
+  require(!stages.dropRight(1).exists(_.isInstanceOf[ChatRenderStage]),
+    "render adds the output column and must be the LAST stage")
+}
+
+object ChatCurationConfig {
+  import scala.jdk.CollectionConverters._
+  import org.yaml.snakeyaml.Yaml
+
+  /** Parse a chat curation config from a YAML string. Root key
+    * `chat_curation` (or the document root): `id_col` (default
+    * doc_id), `conv_col` (default conv), `stages` list of `{op: ...}`
+    * mappings — ops: validate_filter, redact, dedup_assistant,
+    * decontaminate, scrub, render. */
+  def fromYaml(yaml: String): ChatCurationConfig = {
+    val root0 = new Yaml().load[Object](yaml)
+    require(root0 != null, "empty chat curation config")
+    val root = root0.asInstanceOf[java.util.Map[String, Object]].asScala
+    val cur = root.get("chat_curation")
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+      .getOrElse(root)
+    val idCol = cur.getOrElse("id_col", "doc_id").toString
+    val convCol = cur.getOrElse("conv_col", "conv").toString
+    val stageList = cur.get("stages") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq
+      case _ => throw new IllegalArgumentException(
+        "chat curation config needs a stages list")
+    }
+    val stages = stageList.map {
+      case m: java.util.Map[_, _] =>
+        parseStage(m.asInstanceOf[java.util.Map[String, Object]].asScala.toMap)
+      case other =>
+        throw new IllegalArgumentException(s"stage must be a mapping, got: $other")
+    }
+    ChatCurationConfig(idCol, convCol, stages)
+  }
+
+  private def parseStage(m: Map[String, Object]): ChatStage = {
+    def str(k: String, d: String): String = m.get(k).map(_.toString).getOrElse(d)
+    def int(k: String, d: Int): Int = m.get(k).map(_.toString.toInt).getOrElse(d)
+    def evalName: String = m.get("eval").map(_.toString).getOrElse(
+      throw new IllegalArgumentException(
+        s"${str("op", "?")} stage needs an 'eval' frame name"))
+    str("op", "") match {
+      case "validate_filter" => ChatValidateFilterStage(
+        m.get("extra_roles") match {
+          case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
+          case Some(s) => Seq(s.toString)
+          case None => Nil
+        })
+      case "redact" => ChatRedactStage()
+      case "dedup_assistant" => ChatDedupAssistantStage(
+        m.get("keep_copies").exists(_.toString.toBoolean))
+      case "decontaminate" => ChatDecontaminateStage(evalName,
+        int("ngram", 13), str("eval_id_col", "doc_id"),
+        str("eval_text_col", "text"))
+      case "scrub" => ChatScrubStage(evalName,
+        int("ngram", 13), str("eval_id_col", "doc_id"),
+        str("eval_text_col", "text"))
+      case "render" => ChatRenderStage()
+      case other => throw new IllegalArgumentException(
+        s"unknown chat curation op: '$other'")
+    }
+  }
+}

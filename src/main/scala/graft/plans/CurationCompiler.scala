@@ -147,4 +147,114 @@ object CurationCompiler {
       })
     }
   }
+
+  /**
+   * Compile a [[graft.config.ChatCurationConfig]] into ONE composed
+   * plan over the [[graft.operators.Chat]] family — the config
+   * surface for SFT-conversation curation, pinned hash-identical to
+   * the hand-composed `q_pipeline_chat` by the `q_pipeline_chat_config`
+   * graded query (same oracle text — one oracle, two construction
+   * paths, exactly the `q_pipeline_config` discipline).
+   *
+   * Frame contract: every stage maps a conversations frame (id,
+   * conv, extra columns preserved) to a conversations frame; `render`
+   * adds the `rendered` column and is enforced terminal at config
+   * construction. Eval frames resolve from the caller-supplied map
+   * like the document pipeline's.
+   */
+  def compileChat(cfg: ChatCurationConfig, convs: DataFrame,
+                  resolve: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val id = cfg.idCol
+    val conv = cfg.convCol
+    def eval(name: String): DataFrame =
+      resolve.getOrElse(name, throw new IllegalArgumentException(
+        s"chat stage references unresolved eval frame '$name'"))
+    cfg.stages.foldLeft(convs) { (cur, stage) =>
+      stage match {
+        case ChatValidateFilterStage(extraRoles) =>
+          // validity as an id SEMI-JOIN, never an inline filter — the
+          // pushed filter(chat_ok) alias-substitution pathology (see
+          // q_pipeline_chat's audit: 10.3 s -> 2.9 s, hash-identical)
+          val okIds = graft.operators.Chat
+            .validateChat(cur, conv, extraRoles)
+            .filter(col("chat_ok")).select(col(id))
+          cur.join(okIds, Seq(id), "left_semi")
+        case ChatRedactStage() =>
+          graft.operators.Chat.mapTurnContent(cur, conv,
+            graft.functions.TextFunctions.redactPii)
+        case ChatDedupAssistantStage(keepCopies) =>
+          val d = graft.operators.Chat.dedupByAssistant(cur, id, conv)
+          if (keepCopies) d else d.drop("n_copies")
+        case ChatDecontaminateStage(name, n, eid, etext) =>
+          graft.operators.Chat.decontaminateChat(cur, id, conv,
+            eval(name), eid, etext, n)
+        case ChatScrubStage(name, n, eid, etext) =>
+          graft.operators.Chat.scrubChatTurns(cur, id, conv,
+            eval(name), eid, etext, n)
+        case ChatRenderStage() =>
+          graft.operators.Chat.renderChat(cur, conv)
+      }
+    }
+  }
+
+  /** YAML string → compiled chat plan, in one call. */
+  def compileChatYaml(yaml: String, convs: DataFrame,
+                      resolve: Map[String, DataFrame] = Map.empty): DataFrame =
+    compileChat(ChatCurationConfig.fromYaml(yaml), convs, resolve)
+
+  /**
+   * Compile the SAME chat curation config against a STREAMING frame —
+   * [[compileStreaming]]'s discipline for the chat surface:
+   *
+   *  - `validate_filter`, `redact`, `render` are row-local HOF
+   *    projections and compile as-is (validate filters INLINE here:
+   *    the batch semi-join would be a stream-stream join, and on a
+   *    micro-batch the alias-substitution pathology the semi-join
+   *    guards against is bounded by the batch);
+   *  - `decontaminate` is a stream-static broadcast semi/anti join —
+   *    legal as-is;
+   *  - `dedup_assistant` becomes the watermark-bounded
+   *    [[graft.streaming.StreamingOps.streamingChatDedup]] (same
+   *    `assistantNorm` fingerprint as the batch operator; no
+   *    `n_copies` on a stream — the family size is unknowable before
+   *    the watermark closes);
+   *  - `scrub` is REJECTED with the reason: its covered-position
+   *    aggregate feeding a join back onto the same stream is a
+   *    stream-stream join after an aggregation — run the surgical
+   *    pass in the batch compaction instead.
+   */
+  def compileStreamingChat(cfg: ChatCurationConfig, stream: DataFrame,
+                           tsCol: String, watermark: String,
+                           resolve: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val id = cfg.idCol
+    val conv = cfg.convCol
+    def eval(name: String): DataFrame =
+      resolve.getOrElse(name, throw new IllegalArgumentException(
+        s"chat stage references unresolved eval frame '$name'"))
+    cfg.stages.foldLeft(stream) { (cur, stage) =>
+      stage match {
+        case ChatValidateFilterStage(extraRoles) =>
+          graft.operators.Chat.validateChat(cur, conv, extraRoles)
+            .filter(col("chat_ok"))
+            .drop("chat_ok", "starts_user", "alternates", "ends_assistant",
+              "has_empty_turn", "has_bad_role")
+        case ChatRedactStage() =>
+          graft.operators.Chat.mapTurnContent(cur, conv,
+            graft.functions.TextFunctions.redactPii)
+        case ChatDedupAssistantStage(_) =>
+          graft.streaming.StreamingOps.streamingChatDedup(
+            cur, id, conv, tsCol, watermark)
+        case ChatDecontaminateStage(name, n, eid, etext) =>
+          graft.operators.Chat.decontaminateChat(cur, id, conv,
+            eval(name), eid, etext, n)
+        case ChatRenderStage() =>
+          graft.operators.Chat.renderChat(cur, conv)
+        case other: ChatScrubStage =>
+          throw new UnsupportedOperationException(
+            s"stage $other joins a covered-position aggregate back onto the " +
+              "same stream (stream-stream join after aggregation); run the " +
+              "surgical scrub in the batch compaction pass")
+      }
+    }
+  }
 }

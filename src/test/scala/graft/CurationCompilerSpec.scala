@@ -222,4 +222,109 @@ class CurationCompilerSpec extends AnyFunSuite {
     assert(fromConfig.sameElements(byHand),
       "the config path must reproduce the programmatic pipeline exactly")
   }
+
+  test("chat config: parse, defaults, render-not-last and unknown-op rejection") {
+    val cfg = ChatCurationConfig.fromYaml(
+      """chat_curation:
+        |  id_col: cid
+        |  stages:
+        |    - {op: validate_filter, extra_roles: [tool]}
+        |    - {op: redact}
+        |    - {op: dedup_assistant, keep_copies: true}
+        |    - {op: decontaminate, eval: holdout, ngram: 8}
+        |    - {op: scrub, eval: holdout}
+        |    - {op: render}
+        |""".stripMargin)
+    assert(cfg.idCol == "cid" && cfg.convCol == "conv")
+    assert(cfg.stages == Seq(
+      ChatValidateFilterStage(Seq("tool")), ChatRedactStage(),
+      ChatDedupAssistantStage(keepCopies = true),
+      ChatDecontaminateStage("holdout", 8, "doc_id", "text"),
+      ChatScrubStage("holdout", 13, "doc_id", "text"), ChatRenderStage()))
+    intercept[IllegalArgumentException] {
+      ChatCurationConfig.fromYaml(
+        "stages:\n  - {op: render}\n  - {op: redact}\n")
+    }
+    intercept[IllegalArgumentException] {
+      ChatCurationConfig.fromYaml("stages:\n  - {op: explode_conversation}\n")
+    }
+    intercept[IllegalArgumentException] {
+      ChatCurationConfig.fromYaml("stages:\n  - {op: scrub}\n")
+    }
+  }
+
+  test("chat config pipeline compiles end-to-end with eval resolution") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val convType = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("conv", convType)))
+    def conv(ts: (String, String)*) = ts.map { case (r, c) => Row(r, c) }
+    val convs = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, conv("user" -> "tell me the secret benchmark answer please now",
+        "assistant" -> "the secret answer is forty two exactly")),
+      Row(2L, conv("user" -> "a clean question", "assistant" -> "a clean answer")),
+      Row(3L, conv("assistant" -> "starts wrong")))), schema)
+    val eval_ = Seq((9L, "the secret answer is forty two")).toDF("doc_id", "text")
+    val out = CurationCompiler.compileChatYaml(
+      """stages:
+        |  - {op: validate_filter}
+        |  - {op: scrub, eval: holdout, ngram: 4}
+        |  - {op: render}
+        |""".stripMargin,
+      convs, resolve = Map("holdout" -> eval_))
+      .select("doc_id", "rendered").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L), "invalid conversation filtered")
+    assert(!out(1L).contains("secret answer is forty two") &&
+      out(1L).contains("exactly"),
+      "eval window scrubbed inside the turn, rest of the turn kept")
+    assert(out(2L).contains("a clean answer"), "untouched turns intact")
+    intercept[IllegalArgumentException] {
+      CurationCompiler.compileChatYaml(
+        "stages:\n  - {op: decontaminate, eval: missing}\n", convs)
+    }
+  }
+
+  test("chat streaming compile: row-local stages run, dedup is watermarked, scrub rejected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    def toConv(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("conv", transform(split(col("packed"), ";"), t =>
+        struct(split(t, "\\|").getItem(0).as("role"),
+          coalesce(split(t, "\\|").getItem(1), lit("")).as("content"))))
+    val cfg = ChatCurationConfig.fromYaml(
+      """stages:
+        |  - {op: validate_filter}
+        |  - {op: dedup_assistant}
+        |  - {op: render}
+        |""".stripMargin)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = CurationCompiler.compileStreamingChat(cfg,
+      toConv(mem.toDF().toDF("doc_id", "ts", "packed")), "ts", "10 minutes")
+      .select("doc_id", "rendered")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_chat_cfg")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 00:01:00"), "user|hi there;assistant|same answer"),
+      (2L, ts("2024-01-01 00:02:00"), "user|hello again;assistant|same answer"),
+      (3L, ts("2024-01-01 00:03:00"), "assistant|starts wrong"),
+      (4L, ts("2024-01-01 00:04:00"), "user|other;assistant|different answer"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM stream_chat_cfg").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(1L, 4L),
+      "invalid conv filtered, duplicate answer dropped within watermark")
+    intercept[UnsupportedOperationException] {
+      CurationCompiler.compileStreamingChat(
+        ChatCurationConfig.fromYaml(
+          "stages:\n  - {op: scrub, eval: holdout}\n"),
+        toConv(mem.toDF().toDF("doc_id", "ts", "packed")), "ts", "10 minutes",
+        resolve = Map("holdout" -> Seq((1L, "x")).toDF("doc_id", "text")))
+    }
+  }
 }
