@@ -1916,6 +1916,51 @@ object ExtensionQueries {
         .select(col("img_id"), col("n_copies")))
     }),
 
+    // mixed-modality classification: one projection triages image,
+    // audio and unrecognized payloads with modality-appropriate
+    // header fields (the other family's columns NULL)
+    "q_multimodal_classify" -> ((s, dir) => {
+      import s.implicits._
+      val wav = "52494646" + "34000000" + "57415645" +
+        "666D7420" + "10000000" +
+        "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+        "64617461" + "10000000" + "00" * 16
+      val fixtures = Seq(
+        (1L, "89504E470D0A1A0A0000000D4948445200000320" + "00000258"), // png
+        (2L, wav),                                                     // wav
+        (3L, "DEADBEEF"),                                              // neither
+        (4L, "89504E470D0A1A0A"))                                      // trunc png
+        .toDF("media_id", "hex")
+      det(Multimodal.withMediaMeta(
+        fixtures.select(col("media_id"), unhex(col("hex")).as("payload")),
+        "payload")
+        .select(col("media_id"), col("modality"), col("format"),
+          col("width"), col("height"), col("sample_rate"), col("channels"),
+          col("duration_ms"), col("n_bytes")))
+    }),
+
+    // near-dup image FAMILY collapse: phash pairs -> connected
+    // components -> keep the lowest id per family (the text-side
+    // collapseNearDups composed over the image fingerprint)
+    "q_multimodal_collapse" -> ((s, dir) => {
+      import s.implicits._
+      def topBottom(x: Int, y: Int) = if (y < 32) 0x000000 else 0xFFFFFF
+      def blockFlip(x: Int, y: Int) =
+        if (x < 8 && y < 8) 0xFFFFFF else topBottom(x, y)
+      def leftRight(x: Int, y: Int) = if (x < 32) 0x000000 else 0xFFFFFF
+      val fixtures = Seq(
+        (1L, encodeImg("png", 64, 64, topBottom)),
+        (2L, encodeImg("bmp", 64, 64, topBottom)),
+        (3L, encodeImg("png", 64, 64, blockFlip)),
+        (4L, encodeImg("png", 64, 64, leftRight)),
+        (5L, Array(0x01, 0x02).map(_.toByte)))
+        .toDF("img_id", "payload")
+      val pairs = Multimodal.phashNearDupPairs(fixtures, "img_id", "payload",
+        maxHamming = 3)
+      det(Dedup.collapseNearDups(fixtures, "img_id", pairs, "doc_a", "doc_b")
+        .select(col("img_id")))
+    }),
+
     // perceptual NEAR-dup pairs: a re-encode pairs at distance 0, a
     // single fully-flipped 8x8 block moves EXACTLY one hash bit
     // (grid mean shifts but no other block crosses it), a different
@@ -4558,6 +4603,31 @@ object ExtensionQueries {
          |  total_user_tokens $N1, total_assistant_tokens $N1,
          |  assistant_token_share $N1""".stripMargin,
 
+    // hand-decoded classification card for the planted mixed payloads
+    "q_multimodal_classify" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), 'image', 'png', CAST(800 AS INT),
+         |   CAST(600 AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+         |   CAST(NULL AS BIGINT), CAST(24 AS BIGINT)),
+         |  (CAST(2 AS BIGINT), 'audio', 'wav', CAST(NULL AS INT),
+         |   CAST(NULL AS INT), CAST(8000 AS INT), CAST(1 AS INT),
+         |   CAST(1 AS BIGINT), CAST(60 AS BIGINT)),
+         |  (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         |   CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+         |   CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(4 AS BIGINT)),
+         |  (CAST(4 AS BIGINT), 'image', 'png', CAST(NULL AS INT),
+         |   CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+         |   CAST(NULL AS BIGINT), CAST(8 AS BIGINT)))
+         |  AS t(media_id, modality, format, width, height, sample_rate,
+         |       channels, duration_ms, n_bytes)
+         |ORDER BY media_id $N1, modality $N1, format $N1, width $N1,
+         |  height $N1, sample_rate $N1, channels $N1, duration_ms $N1,
+         |  n_bytes $N1""".stripMargin,
+    // family {1,2,3} collapses to its min id; 4 and 5 are singletons
+    "q_multimodal_collapse" ->
+      s"""SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(4 AS BIGINT)),
+         |  (CAST(5 AS BIGINT))) AS t(img_id)
+         |ORDER BY img_id $N1""".stripMargin,
     // hand-decided near-dup pairs: the hamming values are derived in
     // MultimodalSpec from the same pixel constructions
     "q_multimodal_phash_pairs" ->

@@ -73,6 +73,39 @@ object Multimodal {
       .withColumn("duration_ms", col("__meta.duration_ms"))
       .drop("__meta")
 
+  /**
+   * One-projection MEDIA CLASSIFICATION card for mixed-modality
+   * intake (images and audio blobs arriving on one binary column —
+   * the shape a crawl or upload stream actually has): modality
+   * (`image` / `audio` / NULL for unrecognized), the detected
+   * format, the modality-appropriate header fields (dims for images,
+   * rate/channels/duration for audio; the other family's columns
+   * NULL), plus [[binaryMeta]]'s byte length and content md5.
+   *
+   * 100 TB design: zero-shuffle row-local projection — both header
+   * parsers are native codegen'd byte expressions over the SAME
+   * binary value, staged once each via struct columns; classification
+   * rides the scan, no decode, no UDF.
+   */
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__img",
+        graft.functions.ImageHeaders.imageHeaderMeta(col(binCol)))
+      .withColumn("__aud",
+        graft.functions.AudioHeaders.audioHeaderMeta(col(binCol)))
+      .withColumn("modality",
+        when(col("__img.format").isNotNull, "image")
+          .when(col("__aud.format").isNotNull, "audio"))
+      .withColumn("format",
+        coalesce(col("__img.format"), col("__aud.format")))
+      .withColumn("width", col("__img.width"))
+      .withColumn("height", col("__img.height"))
+      .withColumn("sample_rate", col("__aud.sample_rate"))
+      .withColumn("channels", col("__aud.channels"))
+      .withColumn("duration_ms", col("__aud.duration_ms"))
+      .withColumn("n_bytes", length(col(binCol)).cast(LongType))
+      .withColumn("content_md5", md5(col(binCol)))
+      .drop("__img", "__aud")
+
   // --- decode pipeline (typed) --------------------------------------------
 
   /** One media payload in flight. */

@@ -626,6 +626,15 @@ object StreamingOps {
         col("n_docs"), col("avg_quality"), col("avg_tokens"))
   }
 
+  /** [[graft.operators.Multimodal.withMediaMeta]] on a stream: the
+    * classification card is a row-local codegen'd byte projection, so
+    * the batch operator IS streaming-safe — media intake triage
+    * (modality/format/dims/rate/bytes) at the door, no decode. The
+    * wrapper exists for discoverability and pins the contract with a
+    * spec. */
+  def streamingMediaIntake(media: DataFrame, binCol: String): DataFrame =
+    graft.operators.Multimodal.withMediaMeta(media, binCol)
+
   /** [[graft.operators.Preference.validatePairs]] +
     * [[graft.operators.Preference.pairStats]] on a stream: both are
     * row-local codegen'd projections, so the batch operators ARE

@@ -862,6 +862,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(okById == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
   }
 
+  test("streaming media intake classifies payloads per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val png = "89504E470D0A1A0A0000000D4948445200000320" + "00000258"
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingMediaIntake(
+      mem.toDF().toDF("media_id", "hex")
+        .select(col("media_id"), unhex(col("hex")).as("payload")), "payload")
+      .select("media_id", "modality", "format", "width", "n_bytes")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_media")
+      .outputMode("append").start()
+    mem.addData((1L, png), (2L, "DEADBEEF"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM stream_media").collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) null else r.getString(1)),
+        (if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    q.stop()
+    assert(got(1L) == (("image", "png")) && got(2L) == ((null, null)),
+      "triage at the door: modality/format per micro-batch, no decode")
+  }
+
   test("streaming pair intake equals batch validate+stats row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
