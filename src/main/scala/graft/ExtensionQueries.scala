@@ -1961,6 +1961,28 @@ object ExtensionQueries {
         .select(col("img_id")))
     }),
 
+    // incremental image dedup against the persisted phash index: the
+    // indexed picture's BMP re-encode is a duplicate (cross-format
+    // identity), the new picture and the undecodable payload survive
+    "q_multimodal_dedup_indexed" -> ((s, dir) => {
+      import s.implicits._
+      def topBottom(x: Int, y: Int) = if (y < 32) 0x000000 else 0xFFFFFF
+      def leftRight(x: Int, y: Int) = if (x < 32) 0x000000 else 0xFFFFFF
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_phash_idx_q").getAbsolutePath
+      Multimodal.buildPhashIndex(
+        Seq((100L, encodeImg("png", 64, 64, topBottom)))
+          .toDF("img_id", "payload"),
+        "img_id", "payload", tmp)
+      val batch = Seq(
+        (1L, encodeImg("bmp", 64, 64, topBottom)),   // re-encode of indexed
+        (2L, encodeImg("png", 64, 64, leftRight)),   // genuinely new
+        (3L, Array(0x05, 0x06).map(_.toByte)))       // undecodable: kept
+        .toDF("img_id", "payload")
+      det(Multimodal.phashDedupAgainstIndex(batch, "img_id", "payload", tmp)
+        .select(col("img_id")))
+    }),
+
     // perceptual NEAR-dup pairs: a re-encode pairs at distance 0, a
     // single fully-flipped 8x8 block moves EXACTLY one hash bit
     // (grid mean shifts but no other block crosses it), a different
@@ -4623,6 +4645,12 @@ object ExtensionQueries {
          |ORDER BY media_id $N1, modality $N1, format $N1, width $N1,
          |  height $N1, sample_rate $N1, channels $N1, duration_ms $N1,
          |  n_bytes $N1""".stripMargin,
+    // hand-decided: re-encode of the indexed picture dropped, the new
+    // picture and the no-evidence payload kept
+    "q_multimodal_dedup_indexed" ->
+      s"""SELECT * FROM (VALUES (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT)))
+         |  AS t(img_id)
+         |ORDER BY img_id $N1""".stripMargin,
     // family {1,2,3} collapses to its min id; 4 and 5 are singletons
     "q_multimodal_collapse" ->
       s"""SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(4 AS BIGINT)),

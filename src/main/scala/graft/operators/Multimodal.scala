@@ -377,6 +377,58 @@ object Multimodal {
         .select(col("id").as("doc_id"), col("phash").as("simhash")),
       bits = 64, maxHamming = maxHamming, cellCap = cellCap)
 
+  /**
+   * Persist the corpus's perceptual hashes as a parquet artifact —
+   * the [[DedupIndex]] pattern for images: the historical corpus is
+   * DECODED ONCE at build time; every later batch pays only its own
+   * O(batch) decode plus an 8-byte-key join against the artifact,
+   * never a re-decode of the history. Undecodable payloads carry no
+   * identity and are not indexed.
+   */
+  def buildPhashIndex(media: DataFrame, idCol: String, binCol: String,
+                      path: String): Unit =
+    withPerceptualHash(media, idCol, binCol).toDF()
+      .filter(col("phash").isNotNull)
+      .select(col("id"), col("phash"))
+      .write.mode("overwrite").parquet(path)
+
+  /** O(batch) index refresh: decode and append ONLY the new batch's
+    * hashes (parquet append — no rewrite of the history). Run after
+    * the batch's own dedup decision, like [[DedupIndex.append]]. */
+  def appendPhashIndex(newMedia: DataFrame, idCol: String, binCol: String,
+                       path: String): Unit =
+    withPerceptualHash(newMedia, idCol, binCol).toDF()
+      .filter(col("phash").isNotNull)
+      .select(col("id"), col("phash"))
+      .write.mode("append").parquet(path)
+
+  /**
+   * Incremental image dedup: drop every new payload whose decoded
+   * raster already exists in the index (exact phash membership — the
+   * cross-format identity, so a re-encode of an indexed picture is a
+   * duplicate however its bytes changed). Undecodable payloads carry
+   * no dedup evidence and are KEPT — the id-fallback convention of
+   * the dedup family.
+   *
+   * 100 TB design: the history side is the (id, 8-byte hash) artifact
+   * — never re-decoded, never carrying pixels; the batch is decoded
+   * once into hashes and the membership probe joins 8-byte keys
+   * (AQE broadcasts whichever side is small). The final anti-join is
+   * id-keyed and bounded by the duplicate count. The batch's binary
+   * column is scanned twice (hash subtree + output subtree) — column
+   * -pruned parquet reads; the decode itself runs once.
+   */
+  def phashDedupAgainstIndex(newMedia: DataFrame, idCol: String,
+                             binCol: String, path: String): DataFrame = {
+    val idx = newMedia.sparkSession.read.parquet(path)
+      .select(col("phash")).distinct()
+    val dupIds = withPerceptualHash(newMedia, idCol, binCol).toDF()
+      .filter(col("phash").isNotNull)
+      .join(idx, Seq("phash"), "left_semi")
+      .select(col("id").as(idCol))
+    newMedia.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** One sampled video frame. */
   final case class FrameSample(id: Long, frameIdx: Int, feature: Array[Float])
 

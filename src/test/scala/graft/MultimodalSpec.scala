@@ -204,6 +204,36 @@ class MultimodalSpec extends AnyFunSuite {
       "re-encode at 0, block flip at 1; far composition and garbage never pair")
   }
 
+  test("phash index: build, dedup-against, O(batch) append") {
+    import spark.implicits._
+    def solid(c: Int) = (_: Int, _: Int) => c
+    def split_(x: Int, y: Int) = if (y < 8) 0x000000 else 0xFFFFFF
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_phash_idx").resolve("idx").toString
+    Multimodal.buildPhashIndex(
+      Seq((1L, encodeImg("png", 16, 16, split_))).toDF("id", "bin"),
+      "id", "bin", path)
+    val batch = Seq(
+      (10L, encodeImg("gif", 16, 16, split_)),          // dup of indexed
+      (11L, encodeImg("png", 16, 16, (x, _) =>          // new picture
+        if (x < 8) 0x000000 else 0xFFFFFF)),
+      (12L, Array[Byte](7, 7)))                         // no evidence: kept
+      .toDF("id", "bin")
+    val kept = Multimodal.phashDedupAgainstIndex(batch, "id", "bin", path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L),
+      "cross-format re-encode of indexed picture drops; new + undecodable keep")
+    // append only the batch's survivors; the appended picture now dedups
+    Multimodal.appendPhashIndex(
+      batch.filter(col("id") === 11L), "id", "bin", path)
+    val kept2 = Multimodal.phashDedupAgainstIndex(
+      Seq((20L, encodeImg("bmp", 16, 16, (x, _) =>
+        if (x < 8) 0x000000 else 0xFFFFFF))).toDF("id", "bin"),
+      "id", "bin", path)
+      .select("id").collect()
+    assert(kept2.isEmpty, "appended hash is live without any index rewrite")
+  }
+
   test("dedupByPerceptualHash collapses re-encodes, keeps lowest id") {
     import spark.implicits._
     def px(x: Int, y: Int) = if ((x + y) % 2 == 0) 0x000000 else 0xFFFFFF
