@@ -1961,6 +1961,33 @@ object ExtensionQueries {
         .select(col("img_id")))
     }),
 
+    // audio CONTENT dedup on the PCM envelope fingerprint: the same
+    // samples behind different container bytes (a trailing LIST/INFO
+    // chunk) collapse — invisible to byte md5; different audio and
+    // undecodable payloads stay singletons
+    "q_multimodal_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val hdr = "52494646" + "FFFFFF00" + "57415645" +
+        "666D7420" + "10000000" +
+        "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+        "64617461" + "80000000" // 128 data bytes = 64 16-bit samples
+      val quietLoud = "0010" * 32 + "0070" * 32  // LE 0x1000 then 0x7000
+      val alternate = "00100070" * 32
+      val flac = "664C6143" + "80000022" + "1000" + "1000" + "000000" +
+        "000000" + "0AC442F0" + "0000AC44" + "00" * 16
+      val fixtures = Seq(
+        (1L, hdr + quietLoud),
+        (2L, hdr + quietLoud + "4C495354" + "04000000" + "494E464F"),
+        (3L, hdr + alternate),
+        (4L, flac),
+        (5L, "0BAD"))
+        .toDF("clip_id", "hex")
+      det(Multimodal.dedupByAudioFingerprint(
+        fixtures.select(col("clip_id"), unhex(col("hex")).as("payload")),
+        "clip_id", "payload")
+        .select(col("clip_id"), col("n_copies")))
+    }),
+
     // incremental image dedup against the persisted phash index: the
     // indexed picture's BMP re-encode is a duplicate (cross-format
     // identity), the new picture and the undecodable payload survive
@@ -4645,6 +4672,16 @@ object ExtensionQueries {
          |ORDER BY media_id $N1, modality $N1, format $N1, width $N1,
          |  height $N1, sample_rate $N1, channels $N1, duration_ms $N1,
          |  n_bytes $N1""".stripMargin,
+    // hand-decided envelope families: {1,2} share samples, 3 differs,
+    // 4 and 5 never decode
+    "q_multimodal_audio_dedup" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+         |  (CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+         |  (CAST(4 AS BIGINT), CAST(1 AS BIGINT)),
+         |  (CAST(5 AS BIGINT), CAST(1 AS BIGINT)))
+         |  AS t(clip_id, n_copies)
+         |ORDER BY clip_id $N1, n_copies $N1""".stripMargin,
     // hand-decided: re-encode of the indexed picture dropped, the new
     // picture and the no-evidence payload kept
     "q_multimodal_dedup_indexed" ->

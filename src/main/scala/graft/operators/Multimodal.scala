@@ -339,18 +339,8 @@ object Multimodal {
                             binCol: String): DataFrame = {
     require(!df.columns.contains("n_copies"),
       "dedupByPerceptualHash emits n_copies; rename the input column first")
-    val hashed = withPerceptualHash(df, idCol, binCol).toDF()
-      .select(col("id").as(idCol),
-        coalesce(col("phash").cast(StringType),
-          concat(lit("__nodecode#"), col("id").cast(StringType))).as("__fp"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
-    val decided = hashed
-      .withColumn("__keep", min(col(idCol)).over(w))
-      .withColumn("n_copies", count(lit(1)).over(w))
-      .filter(col(idCol) === col("__keep"))
-      .select(col(idCol), col("n_copies"))
-    df.join(decided, Seq(idCol), "inner")
-      .select(df.columns.map(col) :+ col("n_copies"): _*)
+    dedupByHashFrame(df, idCol,
+      withPerceptualHash(df, idCol, binCol).toDF(), "__nodecode#")
   }
 
   /**
@@ -376,6 +366,125 @@ object Multimodal {
       withPerceptualHash(df, idCol, binCol).toDF()
         .select(col("id").as("doc_id"), col("phash").as("simhash")),
       bits = 64, maxHamming = maxHamming, cellCap = cellCap)
+
+  /**
+   * Decode the 16-bit PCM sample stream out of a WAV payload — a real
+   * byte-level decode with zero dependencies (RIFF chunk walk with
+   * pad-byte alignment, the [[graft.functions.AudioHeaders]] layout,
+   * then little-endian sample extraction from the `data` chunk). None
+   * for anything that is not uncompressed 16-bit PCM WAV (compressed
+   * codecs need external libraries — they degrade like non-JDK image
+   * formats do). Truncated data chunks yield the samples actually
+   * present.
+   */
+  private[graft] def wavPcmSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null || bytes.length < 12) return None
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    def u32(off: Int): Long = (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+      ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var pcm16 = false
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val sz = u32(off + 4)
+      if (sz < 0 || sz > Int.MaxValue) return None
+      if (id == "fmt " && off + 8 + 16 <= bytes.length)
+        pcm16 = u16(off + 8) == 1 && u16(off + 8 + 14) == 16
+      if (id == "data" && dataOff < 0) {
+        dataOff = off + 8
+        dataLen = math.min(sz.toInt, math.max(0, bytes.length - dataOff))
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (!pcm16 || dataOff < 0 || dataLen < 2) None
+    else Some(Array.tabulate(dataLen / 2) { i =>
+      val lo = bytes(dataOff + 2 * i) & 0xFF
+      val hi = bytes(dataOff + 2 * i + 1)
+      (hi << 8) | lo // sign-extended 16-bit sample
+    })
+  }
+
+  /**
+   * 64-bit energy-envelope hash over a PCM sample stream — the AUDIO
+   * sibling of [[averageHash]]: split the stream into 64 equal
+   * windows, window energy = mean |sample|, bit k = window k louder
+   * than the stream mean. The CONTENT identity byte md5 cannot see:
+   * the same samples behind different container metadata (an added
+   * LIST/INFO chunk, a sloppy RIFF size) hash identically; different
+   * recordings differ. Streams shorter than 64 samples leave the
+   * tail windows empty (bit 0, the [[averageHash]] convention).
+   */
+  private[graft] def envelopeHash(samples: Array[Int]): Long = {
+    val n = samples.length
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val w = math.min(63, (i.toLong * 64 / n).toInt)
+      sums(w) += math.abs(samples(i))
+      counts(w) += 1
+      i += 1
+    }
+    val means = Array.tabulate(64)(w =>
+      if (counts(w) == 0) 0.0 else sums(w).toDouble / counts(w))
+    val filled = counts.count(_ > 0)
+    val streamMean = means.sum / math.max(1, filled)
+    var bits = 0L
+    var w = 0
+    while (w < 64) {
+      if (counts(w) > 0 && means(w) > streamMean) bits |= (1L << w)
+      w += 1
+    }
+    bits
+  }
+
+  /** `(id, afp)` — the audio content fingerprint per payload; NULL
+    * when the payload is not decodable 16-bit PCM WAV. Same shape and
+    * scale contract as [[withPerceptualHash]]: row-local decode, only
+    * (id, 8-byte hash) leaves the scan. */
+  def withAudioFingerprint(df: DataFrame, idCol: String,
+                           binCol: String): Dataset[HashedMedia] = {
+    implicit val enc: Encoder[HashedMedia] = Encoders.product[HashedMedia]
+    df.select(col(idCol).cast(LongType).as("id"), lit("audio").as("kind"),
+        col(binCol).as("bytes"))
+      .as[MediaRow](mediaRowEnc)
+      .mapPartitions(_.map(row =>
+        HashedMedia(row.id, wavPcmSamples(row.bytes).map(envelopeHash))))
+  }
+
+  /** Audio twin of [[dedupByPerceptualHash]]: keep the lowest-id
+    * exemplar per envelope-fingerprint family with `n_copies`;
+    * payloads without a decodable PCM stream are id-keyed singleton
+    * families. Same ONE-shuffle fingerprint-window contract. */
+  def dedupByAudioFingerprint(df: DataFrame, idCol: String,
+                              binCol: String): DataFrame = {
+    require(!df.columns.contains("n_copies"),
+      "dedupByAudioFingerprint emits n_copies; rename the input column first")
+    dedupByHashFrame(df, idCol,
+      withAudioFingerprint(df, idCol, binCol).toDF(), "__noaudio#")
+  }
+
+  /** The shared fingerprint-window dedup tail behind the image and
+    * audio hash dedups: `hashed` is `(id, phash nullable)`. */
+  private def dedupByHashFrame(df: DataFrame, idCol: String,
+                               hashed: DataFrame, fallbackTag: String): DataFrame = {
+    val keyed = hashed.select(col("id").as(idCol),
+      coalesce(col("phash").cast(StringType),
+        concat(lit(fallbackTag), col("id").cast(StringType))).as("__fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    val decided = keyed
+      .withColumn("__keep", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .select(col(idCol), col("n_copies"))
+    df.join(decided, Seq(idCol), "inner")
+      .select(df.columns.map(col) :+ col("n_copies"): _*)
+  }
 
   /**
    * Persist the corpus's perceptual hashes as a parquet artifact —

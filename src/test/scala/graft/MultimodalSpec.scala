@@ -204,6 +204,45 @@ class MultimodalSpec extends AnyFunSuite {
       "re-encode at 0, block flip at 1; far composition and garbage never pair")
   }
 
+  test("wavPcmSamples decodes 16-bit LE samples; rejects non-PCM") {
+    def hex2bytes(h: String) = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val hdr = "52494646" + "FFFFFF00" + "57415645" + "666D7420" + "10000000" +
+      "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+      "64617461" + "08000000"
+    // samples 0x1000, -0x1000 (0xF000 sign-extended), 0x7FFF, 0x8000(min)
+    val wav = hex2bytes(hdr + "0010" + "00F0" + "FF7F" + "0080")
+    val got = Multimodal.wavPcmSamples(wav)
+    assert(got.exists(_.sameElements(Array(0x1000, -0x1000, 0x7FFF, -0x8000))),
+      s"got ${got.map(_.toSeq)}")
+    assert(Multimodal.wavPcmSamples(hex2bytes("0BAD")).isEmpty)
+    assert(Multimodal.wavPcmSamples(
+      hex2bytes("664C6143" + "80000022" + "00" * 34)).isEmpty, "flac is not pcm")
+    // 8-bit PCM (bits=0x08) rejected: only 16-bit streams fingerprint
+    val wav8 = hex2bytes(hdr.replace("0200" + "1000", "0100" + "0800") +
+      "00112233")
+    assert(Multimodal.wavPcmSamples(wav8).isEmpty)
+  }
+
+  test("envelopeHash: hand-computable windows, container-metadata invariant") {
+    // 64 samples: quiet half then loud half -> bits 32..63, the same
+    // grid shape as the image hash
+    val samples = Array.fill(32)(0x1000) ++ Array.fill(32)(0x7000)
+    assert(Multimodal.envelopeHash(samples) == 0xFFFFFFFF00000000L)
+    // negative samples carry the same energy as positive
+    assert(Multimodal.envelopeHash(samples.map(-_)) == 0xFFFFFFFF00000000L)
+    // the fingerprint sees through container bytes the md5 cannot:
+    // identical samples + a trailing LIST chunk hash identically
+    def hex2bytes(h: String) = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val hdr = "52494646" + "FFFFFF00" + "57415645" + "666D7420" + "10000000" +
+      "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+      "64617461" + "80000000"
+    val body = "0010" * 32 + "0070" * 32
+    val a = Multimodal.wavPcmSamples(hex2bytes(hdr + body)).get
+    val b = Multimodal.wavPcmSamples(
+      hex2bytes(hdr + body + "4C495354" + "04000000" + "494E464F")).get
+    assert(Multimodal.envelopeHash(a) == Multimodal.envelopeHash(b))
+  }
+
   test("phash index: build, dedup-against, O(batch) append") {
     import spark.implicits._
     def solid(c: Int) = (_: Int, _: Int) => c
