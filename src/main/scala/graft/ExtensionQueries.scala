@@ -218,6 +218,14 @@ object ExtensionQueries {
         compression = Some("gzip"), partitions = 2)
     }
 
+  /** ORC twin of [[jsonlExport]] (zstd, 4 shards). */
+  private val orcExports = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def orcExport(s: SparkSession, dir: String): String =
+    cachedTmpArtifact(orcExports, "graft_corpus_orc", dir) { path =>
+      graft.sources.TextCorpus.writeOrc(docs(s, dir), path,
+        compression = Some("zstd"), partitions = 4)
+    }
+
   /** CSV twin of [[jsonlExport]] (quoted/escaped, 4 plain shards). */
   private val csvExports = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def csvExport(s: SparkSession, dir: String): String =
@@ -496,6 +504,15 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_turns"), col("n_user_turns"),
           col("n_assistant_turns"), col("n_user_tokens"),
           col("n_assistant_tokens"), col("max_turn_tokens")))
+    }),
+
+    // ORC interchange round-trip (zstd) — the Hive-ecosystem format,
+    // bundled with Spark; same contract as the JSONL one
+    "q_corpus_orc_roundtrip" -> ((s, dir) => {
+      val schema = docs(s, dir).schema
+      det(graft.sources.TextCorpus.readOrc(s, orcExport(s, dir), schema)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")))
     }),
 
     // CSV interchange round-trip, same contract as the JSONL one
@@ -2676,6 +2693,9 @@ object ExtensionQueries {
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_corpus_csv_roundtrip" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    "q_corpus_orc_roundtrip" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
     "q_text_remove_stopwords" ->

@@ -68,6 +68,25 @@ object TextCorpus {
 
   /** CSV corpus write; Spark quotes/escapes fields with delimiters,
     * quotes or newlines. Same `partitions` contract as [[writeJsonl]]. */
+  /** ORC corpus read — Spark bundles the ORC reader, so this is the
+    * zero-extra-dependency interchange with Hive-ecosystem consumers;
+    * same explicit-schema contract as [[readJsonl]] (nested
+    * conversation schemas included — ORC is a typed columnar format,
+    * no parse mode applies). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC corpus write; `compression`: snappy (Spark's default), zlib,
+    * lzo, zstd, or none. Same shard-bounding contract as
+    * [[writeJsonl]]. */
+  def writeOrc(df: DataFrame, path: String,
+               compression: Option[String] = None,
+               partitions: Int = 0): Unit = {
+    val out = if (partitions > 0) df.repartition(partitions) else df
+    val w = out.write.mode("overwrite")
+    compression.fold(w)(c => w.option("compression", c)).orc(path)
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
                delimiter: String = ",",
                compression: Option[String] = None,

@@ -36,6 +36,29 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(shards.length == 2)
   }
 
+  test("orc round-trip is row-identical incl. NESTED conversation columns") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val convType = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("conv", convType)))
+    val rows = Seq(
+      Row(1L, "plain", Seq(Row("user", "hi\nthere"), Row("assistant", "résumé 😀"))),
+      Row(2L, null, Seq.empty[Row]),
+      Row(3L, "", null))
+    val docs = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val path = tmpDir("graft_orc_rt")
+    TextCorpus.writeOrc(docs, path, compression = Some("zstd"), partitions = 2)
+    val back = TextCorpus.readOrc(spark, path, schema)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getSeq[Row](2)).map(_.map(t =>
+          (t.getString(0), t.getString(1))).toList))).toSet
+    assert(canon(back) == canon(docs),
+      "ORC must carry the nested array<struct> byte-exactly")
+  }
+
   test("csv round-trip is row-identical incl. quotes, delimiters and newlines") {
     val docs = Seq(
       (1L, "plain text", "en"),
