@@ -218,6 +218,25 @@ object ExtensionQueries {
         compression = Some("gzip"), partitions = 2)
     }
 
+  /** ISO-BMFF box as hex: u32-BE size + 4cc type + payload — the
+    * hand-assembled-header discipline (q_multimodal_dims) for MP4
+    * fixtures, shared with MultimodalSpec's derivations. */
+  private def mp4Box(tp: String, payloadHex: String): String =
+    f"${8 + payloadHex.length / 2}%08X" +
+      tp.map(c => f"${c.toInt}%02X").mkString + payloadHex
+  /** Minimal valid-enough MP4: ftyp(isom) + moov{mvhd v0 ts=1000
+    * dur=2500, video trak 320x240, audio trak 0x0}. */
+  private def mp4Fixture: String = {
+    val mvhd = "00000000" + "00000000" + "00000000" +
+      "000003E8" + "000009C4" + "00" * 80
+    val tkhdVideo = "00" * 76 + "01400000" + "00F00000"
+    val tkhdAudio = "00" * 76 + "00000000" + "00000000"
+    mp4Box("ftyp", "69736F6D" + "00000200") +
+      mp4Box("moov", mp4Box("mvhd", mvhd) +
+        mp4Box("trak", mp4Box("tkhd", tkhdVideo)) +
+        mp4Box("trak", mp4Box("tkhd", tkhdAudio)))
+  }
+
   /** ORC twin of [[jsonlExport]] (zstd, 4 shards). */
   private val orcExports = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def orcExport(s: SparkSession, dir: String): String =
@@ -1933,9 +1952,25 @@ object ExtensionQueries {
         .select(col("img_id"), col("n_copies")))
     }),
 
+    // codec-free MP4 box walk: dims from the first nonzero tkhd,
+    // duration from mvhd, track count; truncated and garbage degrade
+    "q_multimodal_video" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = Seq(
+        (1L, mp4Fixture),
+        (2L, mp4Box("ftyp", "69736F6D" + "00000200")), // no moov
+        (3L, "00000000"))                               // not a container
+        .toDF("vid_id", "hex")
+      det(Multimodal.withVideoMeta(
+        fixtures.select(col("vid_id"), unhex(col("hex")).as("payload")),
+        "payload")
+        .select(col("vid_id"), col("format"), col("width"), col("height"),
+          col("duration_ms"), col("n_tracks")))
+    }),
+
     // mixed-modality classification: one projection triages image,
-    // audio and unrecognized payloads with modality-appropriate
-    // header fields (the other family's columns NULL)
+    // audio, video and unrecognized payloads with modality-appropriate
+    // header fields (the other families' columns NULL)
     "q_multimodal_classify" -> ((s, dir) => {
       import s.implicits._
       val wav = "52494646" + "34000000" + "57415645" +
@@ -1946,14 +1981,15 @@ object ExtensionQueries {
         (1L, "89504E470D0A1A0A0000000D4948445200000320" + "00000258"), // png
         (2L, wav),                                                     // wav
         (3L, "DEADBEEF"),                                              // neither
-        (4L, "89504E470D0A1A0A"))                                      // trunc png
+        (4L, "89504E470D0A1A0A"),                                      // trunc png
+        (5L, mp4Fixture))                                              // mp4
         .toDF("media_id", "hex")
       det(Multimodal.withMediaMeta(
         fixtures.select(col("media_id"), unhex(col("hex")).as("payload")),
         "payload")
         .select(col("media_id"), col("modality"), col("format"),
           col("width"), col("height"), col("sample_rate"), col("channels"),
-          col("duration_ms"), col("n_bytes")))
+          col("duration_ms"), col("n_tracks"), col("n_bytes")))
     }),
 
     // near-dup image FAMILY collapse: phash pairs -> connected
@@ -4672,26 +4708,43 @@ object ExtensionQueries {
          |  total_user_tokens $N1, total_assistant_tokens $N1,
          |  assistant_token_share $N1""".stripMargin,
 
+    // hand-decoded MP4 box walk: 320x240 video track + 0x0 audio
+    // track, mvhd 2500/1000s -> 2500 ms
+    "q_multimodal_video" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), 'mp4', CAST(320 AS INT), CAST(240 AS INT),
+         |   CAST(2500 AS BIGINT), CAST(2 AS INT)),
+         |  (CAST(2 AS BIGINT), 'mp4', CAST(NULL AS INT), CAST(NULL AS INT),
+         |   CAST(NULL AS BIGINT), CAST(NULL AS INT)),
+         |  (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+         |   CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS INT)))
+         |  AS t(vid_id, format, width, height, duration_ms, n_tracks)
+         |ORDER BY vid_id $N1, format $N1, width $N1, height $N1,
+         |  duration_ms $N1, n_tracks $N1""".stripMargin,
     // hand-decoded classification card for the planted mixed payloads
     "q_multimodal_classify" ->
       s"""SELECT * FROM (VALUES
          |  (CAST(1 AS BIGINT), 'image', 'png', CAST(800 AS INT),
          |   CAST(600 AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
-         |   CAST(NULL AS BIGINT), CAST(24 AS BIGINT)),
+         |   CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(24 AS BIGINT)),
          |  (CAST(2 AS BIGINT), 'audio', 'wav', CAST(NULL AS INT),
          |   CAST(NULL AS INT), CAST(8000 AS INT), CAST(1 AS INT),
-         |   CAST(1 AS BIGINT), CAST(60 AS BIGINT)),
+         |   CAST(1 AS BIGINT), CAST(NULL AS INT), CAST(60 AS BIGINT)),
          |  (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
          |   CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
-         |   CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(4 AS BIGINT)),
+         |   CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
+         |   CAST(4 AS BIGINT)),
          |  (CAST(4 AS BIGINT), 'image', 'png', CAST(NULL AS INT),
          |   CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
-         |   CAST(NULL AS BIGINT), CAST(8 AS BIGINT)))
+         |   CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(8 AS BIGINT)),
+         |  (CAST(5 AS BIGINT), 'video', 'mp4', CAST(320 AS INT),
+         |   CAST(240 AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+         |   CAST(2500 AS BIGINT), CAST(2 AS INT), CAST(332 AS BIGINT)))
          |  AS t(media_id, modality, format, width, height, sample_rate,
-         |       channels, duration_ms, n_bytes)
+         |       channels, duration_ms, n_tracks, n_bytes)
          |ORDER BY media_id $N1, modality $N1, format $N1, width $N1,
          |  height $N1, sample_rate $N1, channels $N1, duration_ms $N1,
-         |  n_bytes $N1""".stripMargin,
+         |  n_tracks $N1, n_bytes $N1""".stripMargin,
     // hand-decided envelope families: {1,2} share samples, 3 differs,
     // 4 and 5 never decode
     "q_multimodal_audio_dedup" ->

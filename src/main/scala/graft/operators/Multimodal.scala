@@ -73,38 +73,60 @@ object Multimodal {
       .withColumn("duration_ms", col("__meta.duration_ms"))
       .drop("__meta")
 
+  /** `df` plus (format, width, height, duration_ms, n_tracks) parsed
+    * codec-free from an MP4 container's box headers
+    * ([[graft.functions.VideoHeaders]]: ftyp/moov/mvhd/tkhd walk) —
+    * the filter-by-duration/resolution surface for video curation.
+    * Same shape as [[withImageMeta]]/[[withAudioMeta]]. */
+  def withVideoMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__meta",
+        graft.functions.VideoHeaders.videoHeaderMeta(col(binCol)))
+      .withColumn("format", col("__meta.format"))
+      .withColumn("width", col("__meta.width"))
+      .withColumn("height", col("__meta.height"))
+      .withColumn("duration_ms", col("__meta.duration_ms"))
+      .withColumn("n_tracks", col("__meta.n_tracks"))
+      .drop("__meta")
+
   /**
    * One-projection MEDIA CLASSIFICATION card for mixed-modality
-   * intake (images and audio blobs arriving on one binary column —
-   * the shape a crawl or upload stream actually has): modality
-   * (`image` / `audio` / NULL for unrecognized), the detected
-   * format, the modality-appropriate header fields (dims for images,
-   * rate/channels/duration for audio; the other family's columns
-   * NULL), plus [[binaryMeta]]'s byte length and content md5.
+   * intake (image, audio and video blobs arriving on one binary
+   * column — the shape a crawl or upload stream actually has):
+   * modality (`image` / `audio` / `video` / NULL for unrecognized),
+   * the detected format, the modality-appropriate header fields
+   * (dims for images AND videos, rate/channels for audio,
+   * duration for audio AND videos, track count for videos; the other
+   * families' columns NULL), plus [[binaryMeta]]'s byte length and
+   * content md5.
    *
-   * 100 TB design: zero-shuffle row-local projection — both header
-   * parsers are native codegen'd byte expressions over the SAME
-   * binary value, staged once each via struct columns; classification
-   * rides the scan, no decode, no UDF.
+   * 100 TB design: zero-shuffle row-local projection — all three
+   * header parsers are native codegen'd byte expressions over the
+   * SAME binary value, staged once each via struct columns;
+   * classification rides the scan, no decode, no UDF.
    */
   def withMediaMeta(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("__img",
         graft.functions.ImageHeaders.imageHeaderMeta(col(binCol)))
       .withColumn("__aud",
         graft.functions.AudioHeaders.audioHeaderMeta(col(binCol)))
+      .withColumn("__vid",
+        graft.functions.VideoHeaders.videoHeaderMeta(col(binCol)))
       .withColumn("modality",
         when(col("__img.format").isNotNull, "image")
-          .when(col("__aud.format").isNotNull, "audio"))
-      .withColumn("format",
-        coalesce(col("__img.format"), col("__aud.format")))
-      .withColumn("width", col("__img.width"))
-      .withColumn("height", col("__img.height"))
+          .when(col("__aud.format").isNotNull, "audio")
+          .when(col("__vid.format").isNotNull, "video"))
+      .withColumn("format", coalesce(
+        col("__img.format"), col("__aud.format"), col("__vid.format")))
+      .withColumn("width", coalesce(col("__img.width"), col("__vid.width")))
+      .withColumn("height", coalesce(col("__img.height"), col("__vid.height")))
       .withColumn("sample_rate", col("__aud.sample_rate"))
       .withColumn("channels", col("__aud.channels"))
-      .withColumn("duration_ms", col("__aud.duration_ms"))
+      .withColumn("duration_ms",
+        coalesce(col("__aud.duration_ms"), col("__vid.duration_ms")))
+      .withColumn("n_tracks", col("__vid.n_tracks"))
       .withColumn("n_bytes", length(col(binCol)).cast(LongType))
       .withColumn("content_md5", md5(col(binCol)))
-      .drop("__img", "__aud")
+      .drop("__img", "__aud", "__vid")
 
   // --- decode pipeline (typed) --------------------------------------------
 

@@ -204,6 +204,47 @@ class MultimodalSpec extends AnyFunSuite {
       "re-encode at 0, block flip at 1; far composition and garbage never pair")
   }
 
+  test("video header parse: mp4 box walk, v1 mvhd, largesize, crafted sizes") {
+    import spark.implicits._
+    def box(tp: String, payload: String): String =
+      f"${8 + payload.length / 2}%08X" +
+        tp.map(c => f"${c.toInt}%02X").mkString + payload
+    val ftyp = box("ftyp", "69736F6D" + "00000200")
+    val tkhdV = "00" * 76 + "05000000" + "02D00000" // 1280x720
+    val mvhdV1 = "01000000" + "00" * 16 +           // v1: 8+8 creation/mod
+      "00000258" +                                   // timescale 600
+      "0000000000000E10"                             // duration 3600 -> 6000ms
+    def parse(hex: String) = {
+      val r = Multimodal.withVideoMeta(
+        Seq((1L, hex)).toDF("id", "hex")
+          .select(col("id"), unhex(col("hex")).as("p")), "p")
+        .select("format", "width", "height", "duration_ms", "n_tracks")
+        .collect()(0)
+      (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getInt(4))
+    }
+    assert(parse(ftyp + box("moov", box("mvhd", mvhdV1) +
+      box("trak", box("tkhd", tkhdV)))) == (("mp4", 1280, 6000L, 1)),
+      "v1 mvhd: 64-bit duration over timescale 600")
+    // audio track FIRST (0x0 dims): the first NONZERO pair wins
+    val tkhdA = "00" * 76 + "00000000" + "00000000"
+    assert(parse(ftyp + box("moov", box("mvhd", mvhdV1) +
+      box("trak", box("tkhd", tkhdA)) + box("trak", box("tkhd", tkhdV))))
+      ._2 == 1280)
+    // 64-bit largesize box wrapping moov
+    val inner = box("mvhd", mvhdV1)
+    val largeMoov = "00000001" + "6D6F6F76" +
+      f"${16 + inner.length / 2}%016X" + inner
+    assert(parse(ftyp + largeMoov)._3 == 6000L, "largesize header walks")
+    // crafted sizes must terminate, not hang: size < header, size 0 tail
+    assert(parse(ftyp + "00000003" + "6D6F6F76") == (("mp4", null, null, null)))
+    assert(parse(ftyp + "00000000" + "6D6F6F76" + inner)._3 == 6000L,
+      "size-0 box extends to EOF")
+    assert(parse("00000000") == ((null, null, null, null)), "not a container")
+  }
+
   test("wavPcmSamples decodes 16-bit LE samples; rejects non-PCM") {
     def hex2bytes(h: String) = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     val hdr = "52494646" + "FFFFFF00" + "57415645" + "666D7420" + "10000000" +
