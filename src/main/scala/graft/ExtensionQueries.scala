@@ -237,6 +237,34 @@ object ExtensionQueries {
         mp4Box("trak", mp4Box("tkhd", tkhdAudio)))
   }
 
+  private def leHex(v: Long, bytes: Int): String =
+    (0 until bytes).map(k => f"${(v >> (8 * k)) & 0xFF}%02X").mkString
+  /** Minimal AVI: RIFF `AVI ` + LIST hdrl{avih} — 40 µs/frame × 250
+    * frames = 10000 ms, 2 streams, 640×480. */
+  private def aviFixture: String = {
+    val avih = leHex(40000, 4) + leHex(0, 4) + leHex(0, 4) + leHex(0, 4) +
+      leHex(250, 4) + leHex(0, 4) + leHex(2, 4) + leHex(0, 4) +
+      leHex(640, 4) + leHex(480, 4)
+    val hdrl = "6864726C" + "61766968" + leHex(avih.length / 2, 4) + avih
+    val list = "4C495354" + leHex(hdrl.length / 2, 4) + hdrl
+    "52494646" + leHex(4 + list.length / 2, 4) + "41564920" + list
+  }
+  /** EBML element: raw id hex + 1-byte size varint + payload. */
+  private def eb(idHex: String, payloadHex: String): String = {
+    val n = payloadHex.length / 2
+    require(n < 127, "fixture elements use 1-byte sizes")
+    idHex + f"${0x80 | n}%02X" + payloadHex
+  }
+  /** Minimal WebM: EBML{DocType webm} + Segment{Info{scale 1 ms,
+    * float duration 12000 ticks}, Tracks{video 1920×1080, audio}}. */
+  private def webmFixture: String =
+    eb("1A45DFA3", eb("4282", "7765626D")) +
+      eb("18538067",
+        eb("1549A966", eb("2AD7B1", "0F4240") + eb("4489", "463B8000")) +
+          eb("1654AE6B",
+            eb("AE", eb("E0", eb("B0", "0780") + eb("BA", "0438"))) +
+              eb("AE", "")))
+
   /** ORC twin of [[jsonlExport]] (zstd, 4 shards). */
   private val orcExports = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def orcExport(s: SparkSession, dir: String): String =
@@ -1959,7 +1987,9 @@ object ExtensionQueries {
       val fixtures = Seq(
         (1L, mp4Fixture),
         (2L, mp4Box("ftyp", "69736F6D" + "00000200")), // no moov
-        (3L, "00000000"))                               // not a container
+        (3L, "00000000"),                               // not a container
+        (4L, aviFixture),
+        (5L, webmFixture))
         .toDF("vid_id", "hex")
       det(Multimodal.withVideoMeta(
         fixtures.select(col("vid_id"), unhex(col("hex")).as("payload")),
@@ -4717,7 +4747,11 @@ object ExtensionQueries {
          |  (CAST(2 AS BIGINT), 'mp4', CAST(NULL AS INT), CAST(NULL AS INT),
          |   CAST(NULL AS BIGINT), CAST(NULL AS INT)),
          |  (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INT),
-         |   CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS INT)))
+         |   CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS INT)),
+         |  (CAST(4 AS BIGINT), 'avi', CAST(640 AS INT), CAST(480 AS INT),
+         |   CAST(10000 AS BIGINT), CAST(2 AS INT)),
+         |  (CAST(5 AS BIGINT), 'webm', CAST(1920 AS INT), CAST(1080 AS INT),
+         |   CAST(12000 AS BIGINT), CAST(2 AS INT)))
          |  AS t(vid_id, format, width, height, duration_ms, n_tracks)
          |ORDER BY vid_id $N1, format $N1, width $N1, height $N1,
          |  duration_ms $N1, n_tracks $N1""".stripMargin,

@@ -74,10 +74,11 @@ object Multimodal {
       .drop("__meta")
 
   /** `df` plus (format, width, height, duration_ms, n_tracks) parsed
-    * codec-free from an MP4 container's box headers
-    * ([[graft.functions.VideoHeaders]]: ftyp/moov/mvhd/tkhd walk) —
-    * the filter-by-duration/resolution surface for video curation.
-    * Same shape as [[withImageMeta]]/[[withAudioMeta]]. */
+    * codec-free from video container headers
+    * ([[graft.functions.VideoHeaders]]: MP4 box walk, AVI RIFF
+    * header, Matroska/WebM EBML walk) — the filter-by-duration/
+    * resolution surface for video curation. Same shape as
+    * [[withImageMeta]]/[[withAudioMeta]]. */
   def withVideoMeta(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("__meta",
         graft.functions.VideoHeaders.videoHeaderMeta(col(binCol)))

@@ -245,6 +245,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parse("00000000") == ((null, null, null, null)), "not a container")
   }
 
+  test("video header parse: AVI and WebM/Matroska, adversarial EBML") {
+    import spark.implicits._
+    def parse(hex: String) = {
+      val r = Multimodal.withVideoMeta(
+        Seq((1L, hex)).toDF("id", "hex")
+          .select(col("id"), unhex(col("hex")).as("p")), "p")
+        .select("format", "width", "height", "duration_ms", "n_tracks")
+        .collect()(0)
+      (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getInt(4))
+    }
+    def le(v: Long, n: Int) = (0 until n).map(k => f"${(v >> (8 * k)) & 0xFF}%02X").mkString
+    def eb(id: String, p: String) = id + f"${0x80 | (p.length / 2)}%02X" + p
+    // AVI: 33367 us/frame x 300 frames = 10010 ms (integer floor)
+    val avih = le(33367, 4) + le(0, 4) * 3 + le(300, 4) + le(0, 4) +
+      le(1, 4) + le(0, 4) + le(320, 4) + le(200, 4)
+    val hdrl = "6864726C" + "61766968" + le(avih.length / 2, 4) + avih
+    val avi = "52494646" + le(4 + 8 + hdrl.length / 2, 4) + "41564920" +
+      "4C495354" + le(hdrl.length / 2, 4) + hdrl
+    assert(parse(avi) == (("avi", 320, 10010L, 1)))
+    // truncated AVI (no hdrl): format resolves, fields degrade
+    assert(parse("52494646" + "00000000" + "41564920") ==
+      (("avi", null, null, null)))
+    // Matroska without a webm DocType reads as mkv; UNKNOWN-SIZE
+    // Segment (all-ones varint) extends to EOF
+    val mkv = eb("1A45DFA3", eb("4282", "6D6174726F736B61")) + // "matroska"
+      "18538067" + "FF" + // unknown-size Segment
+      eb("1549A966", eb("2AD7B1", "0F4240") + eb("4489", "447A0000")) + // 1000.0
+      eb("1654AE6B", eb("AE", eb("E0", eb("B0", "0280") + eb("BA", "01E0"))))
+    assert(parse(mkv) == (("mkv", 640, 1000L, 1)))
+    // truncated / zero-byte varints terminate instead of hanging
+    assert(parse("1A45DFA3" + "00") == (("mkv", null, null, null)))
+    assert(parse("1A45DFA3" + "84" + "42") == (("mkv", null, null, null)))
+  }
+
   test("wavPcmSamples decodes 16-bit LE samples; rejects non-PCM") {
     def hex2bytes(h: String) = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     val hdr = "52494646" + "FFFFFF00" + "57415645" + "666D7420" + "10000000" +
