@@ -1980,6 +1980,29 @@ object ExtensionQueries {
         .select(col("img_id"), col("n_copies")))
     }),
 
+    // duration-budget curation for audio: the token-budget sampler
+    // driven by HEADER-derived duration_ms ("keep ~10 ms of wav per
+    // format"), deterministic md5-first order; flac has no budget
+    // entry and drops entirely
+    "q_multimodal_budget" -> ((s, dir) => {
+      import s.implicits._
+      def wav(dataBytes: Int): String =
+        "52494646" + leHex(36L + dataBytes, 4) + "57415645" +
+          "666D7420" + "10000000" +
+          "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+          "64617461" + leHex(dataBytes.toLong, 4) + "00" * dataBytes
+      val flac = "664C6143" + "80000022" + "1000" + "1000" + "000000" +
+        "000000" + "0AC442F0" + "0000AC44" + "00" * 16
+      val fixtures = ((1L to 6L).map(k => (k, wav(16 * k.toInt))) :+
+        (7L, flac)).toDF("clip_id", "hex")
+      val meta = Multimodal.withAudioMeta(
+        fixtures.select(col("clip_id"), unhex(col("hex")).as("payload")),
+        "payload").filter(col("format").isNotNull)
+      det(graft.operators.Sampling.tokenBudgetSampleBy(meta, "format",
+        "clip_id", col("duration_ms"), Map("wav" -> 10L))
+        .select(col("clip_id"), col("format"), col("duration_ms")))
+    }),
+
     // codec-free MP4 box walk: dims from the first nonzero tkhd,
     // duration from mvhd, track count; truncated and garbage degrade
     "q_multimodal_video" -> ((s, dir) => {
@@ -4738,6 +4761,23 @@ object ExtensionQueries {
          |  total_user_tokens $N1, total_assistant_tokens $N1,
          |  assistant_token_share $N1""".stripMargin,
 
+    // header-pinned durations (k ms per wav) + the md5-first
+    // cumulative-budget replay of q_sample_budget_map
+    "q_multimodal_budget" ->
+      s"""WITH t AS (SELECT * FROM (VALUES
+         |    (1, 'wav', 1), (2, 'wav', 2), (3, 'wav', 3), (4, 'wav', 4),
+         |    (5, 'wav', 5), (6, 'wav', 6), (7, 'flac', 1000))
+         |    v(clip_id, format, duration_ms)),
+         |h AS (SELECT *,
+         |  ('0x' || substring(md5(CAST(clip_id AS VARCHAR)), 1, 8))::BIGINT
+         |    / 4294967296.0 AS uni FROM t),
+         |c AS (SELECT *, sum(duration_ms) OVER (PARTITION BY format
+         |      ORDER BY uni, clip_id ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+         |SELECT CAST(clip_id AS BIGINT) AS clip_id, format,
+         |  CAST(duration_ms AS BIGINT) AS duration_ms
+         |FROM c
+         |WHERE cum - duration_ms < CASE format WHEN 'wav' THEN 10 ELSE 0 END
+         |ORDER BY clip_id $N1, format $N1, duration_ms $N1""".stripMargin,
     // hand-decoded MP4 box walk: 320x240 video track + 0x0 audio
     // track, mvhd 2500/1000s -> 2500 ms
     "q_multimodal_video" ->
