@@ -336,6 +336,19 @@ object ExtensionQueries {
     }
   }
 
+  /** As-of fixture sides shared by the three q_events_asof* queries:
+    * left = clicks; right = views pre-aggregated to UNIQUE (user, ts)
+    * via max_by(value, event_id), so the as-of match is deterministic
+    * without relying on tie-break order (the oracle's ASOF JOIN has
+    * no tie contract for duplicate right keys). */
+  private def asofClicks(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+  private def asofViews(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(expr("max_by(value, event_id)").as("view_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // product-analytics retention triangle over the event log
@@ -358,6 +371,41 @@ object ExtensionQueries {
     "q_events_session_stats" -> ((s, dir) =>
       det(graft.operators.Windowed.sessionStats(events(s, dir),
         "user_id", "ts", gapSeconds = 7200, tieBreakCol = Some("event_id")))),
+
+    // point-in-time enrichment: each click carries the user's most
+    // recent view value (as-of backward join — one shuffle, no join
+    // node; DuckDB's NATIVE ASOF JOIN is the independent oracle)
+    "q_events_asof" -> ((s, dir) =>
+      det(graft.operators.Temporal.asofJoin(
+        asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
+        Seq("view_value")))),
+
+    // the forward direction: next view at-or-after each click
+    "q_events_asof_forward" -> ((s, dir) =>
+      det(graft.operators.Temporal.asofJoin(
+        asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
+        Seq("view_value"), direction = "forward"))),
+
+    // backward with a 1-day staleness bound: older matches null out
+    "q_events_asof_tolerance" -> ((s, dir) =>
+      det(graft.operators.Temporal.asofJoin(
+        asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
+        Seq("view_value"), toleranceSeconds = Some(86400.0)))),
+
+    // interval containment via bucketized blocking: purchases landing
+    // inside the user's 1-day-gap VIEW sessions (equi-join on the
+    // 1-day time bucket + user, exact filter after — no nested loop)
+    "q_events_range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val sessions = graft.operators.Windowed.sessionizeBatch(
+        e.filter(col("event_type") === "view"), "user_id", "ts",
+        gapSeconds = 86400, tieBreakCol = Some("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      det(graft.operators.Temporal.rangeJoin(purchases, sessions,
+        "ts", "session_start", "session_end", bucketWidth = 86400.0,
+        keyCol = Some("user_id")))
+    }),
 
     // --- text analysis ----------------------------------------------------
 
@@ -3635,6 +3683,75 @@ object ExtensionQueries {
          |ORDER BY n_sessions $N1, n_bounce_sessions $N1, avg_events $N1,
          |  avg_duration_sec $N1, p50_duration_sec $N1,
          |  max_duration_sec $N1""".stripMargin,
+    // DuckDB's NATIVE ASOF JOIN as the independent implementation
+    // (the engine's union+window plan never materializes a join);
+    // right side unique per (user, ts) so the match is deterministic
+    "q_events_asof" ->
+      s"""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events WHERE event_type = 'click'),
+         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |   arg_max(value, event_id) AS view_value
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         |SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts, v.view_value
+         |FROM c ASOF LEFT JOIN v
+         |  ON c.user_id = v.user_id AND c.ts >= v.ts
+         |ORDER BY event_id $N1, c.user_id $N1, c.ts $N1, asof_ts $N1,
+         |  view_value $N1""".stripMargin,
+    "q_events_asof_forward" ->
+      s"""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events WHERE event_type = 'click'),
+         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |   arg_max(value, event_id) AS view_value
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         |SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts, v.view_value
+         |FROM c ASOF LEFT JOIN v
+         |  ON c.user_id = v.user_id AND c.ts <= v.ts
+         |ORDER BY event_id $N1, c.user_id $N1, c.ts $N1, asof_ts $N1,
+         |  view_value $N1""".stripMargin,
+    // staleness bound applied AFTER the asof match (epoch() doubles =
+    // micros/1e6 in both engines — the comparison is IEEE-exact)
+    "q_events_asof_tolerance" ->
+      s"""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events WHERE event_type = 'click'),
+         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |   arg_max(value, event_id) AS view_value
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |m AS (SELECT c.event_id, c.user_id, c.ts, v.ts AS vts, v.view_value
+         |  FROM c ASOF LEFT JOIN v
+         |    ON c.user_id = v.user_id AND c.ts >= v.ts)
+         |SELECT event_id, user_id, ts,
+         |  CASE WHEN epoch(ts) - epoch(vts) <= 86400.0 THEN vts END AS asof_ts,
+         |  CASE WHEN epoch(ts) - epoch(vts) <= 86400.0 THEN view_value END
+         |    AS view_value
+         |FROM m
+         |ORDER BY event_id $N1, user_id $N1, ts $N1, asof_ts $N1,
+         |  view_value $N1""".stripMargin,
+    // the q_events_sessionize CTE chain (1-day gap, views only) +
+    // a plain containment join — DuckDB plans IEJoin, the engine
+    // plans the bucketized equi-join; same pairs either way
+    "q_events_range_join" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+         |  FROM events WHERE event_type = 'view'),
+         |l AS (SELECT user_id, ts, event_id,
+         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM e),
+         |f AS (SELECT user_id, ts, event_id,
+         |   CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 86400
+         |        THEN 1 ELSE 0 END AS nw FROM l),
+         |s AS (SELECT user_id, ts,
+         |   sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         |  FROM f),
+         |iv AS (SELECT user_id, min(ts) AS session_start,
+         |   max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+         |  FROM s GROUP BY user_id, sid),
+         |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id, p.ts, iv.session_start,
+         |  iv.session_end, iv.n_events
+         |FROM p JOIN iv ON p.user_id = iv.user_id
+         |  AND p.ts BETWEEN iv.session_start AND iv.session_end
+         |ORDER BY event_id $N1, p.user_id $N1, ts $N1, session_start $N1,
+         |  session_end $N1, n_events $N1""".stripMargin,
     // per-step min-ts chains (>= admits same-timestamp chains), then
     // lag/first over the steps-row card
     "q_events_funnel" ->

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal joins Spark lacks natively: the AS-OF join (point-in-time
+ * enrichment — each left row picks the nearest right row at-or-before
+ * / at-or-after its timestamp per key) and the RANGE (interval
+ * containment) join via bucketized blocking. Reference behavior: the
+ * reference engine has no temporal surface at all; these are the
+ * event-log operators a training-data pipeline needs for
+ * feature-at-time-of-label extraction and log-to-session attribution
+ * (kdb's `aj`, pandas' `merge_asof`, Flink's temporal table join).
+ *
+ * 100 TB design — why NOT a join: the naive plan (equi-join on key +
+ * ts inequality, then argmax per left row) shuffles both sides AND
+ * explodes each left row by its full right-history before the
+ * aggregate collapses it — quadratic in per-key history. The plan
+ * here is the sort-merge formulation: tag the two sides, UNION them
+ * (no shuffle), ONE hash-partition by key, and resolve each left row
+ * with a running `last(right_payload, ignoreNulls)` over the
+ * (ts, side, tie) sort — O(n log n) per key in the partition sort,
+ * O(1) running state per row, zero row amplification, exactly one
+ * exchange in the whole plan. Forward direction reuses the same
+ * running frame over the REVERSED sort instead of an
+ * unbounded-following frame (Spark recomputes those per-row — O(n²)).
+ * Skewed keys land on one task like any per-key window; the scale-out
+ * for monster keys is range-partitioning (key, ts-bucket) with a
+ * boundary-carry pass, which this operator's union layout supports
+ * but does not need at per-user event cardinalities.
+ */
+object Temporal {
+
+  /**
+   * As-of join: enrich each `left` row with `payloadCols` from the
+   * `right` row sharing `keyCol` whose `tsCol` is the closest
+   * at-or-before (`direction = "backward"`) or at-or-after
+   * (`"forward"`) the left row's `tsCol`. Equal timestamps match
+   * (>= / <= semantics, like DuckDB's `ASOF JOIN` and pandas'
+   * `merge_asof(allow_exact_matches=True)`).
+   *
+   * Output: every `left` column, then `asof_ts` (the matched right
+   * timestamp) and `payloadCols` — all NULL when no right row
+   * qualifies (left-outer semantics). `toleranceSeconds` additionally
+   * nulls matches farther than the tolerance (inclusive bound),
+   * applied row-locally after the window resolution.
+   *
+   * Determinism with duplicate right timestamps: among right rows
+   * tied on (key, ts), backward keeps the one with the LARGEST
+   * `rightTieCol`, forward the SMALLEST; pass a unique tie column (or
+   * pre-aggregate the right side to unique (key, ts)) for a
+   * deterministic result. NULL keys/timestamps never match on either
+   * side (SQL join semantics): such left rows pass through with NULL
+   * payload, such right rows are dropped.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, payloadCols: Seq[String],
+               direction: String = "backward",
+               toleranceSeconds: Option[Double] = None,
+               rightTieCol: Option[String] = None): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one right payload column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward/forward, got '$direction'")
+    val leftCols = left.columns.toSeq
+    (payloadCols :+ "asof_ts").foreach(c => require(!leftCols.contains(c),
+      s"output column '$c' clashes with a left column"))
+
+    // Unified row: (__k, __ts, __side, __tie, __l left-struct, __r
+    // right-payload-struct). Struct packing dodges name collisions
+    // between the sides; the NULL literal on the opposite side needs
+    // the peer's struct type, taken from a zero-cost schema probe.
+    val rPayload = struct(
+      (col(tsCol).cast("timestamp").as("__rts") +: payloadCols.map(col)): _*)
+    val rTie = rightTieCol.map(col).getOrElse(lit(0L)).cast("double")
+    val rTagged = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).cast("timestamp").as("__ts"),
+        lit(0).as("__side"), rTie.as("__tie"), rPayload.as("__r"))
+    val lStructT = left.select(struct(leftCols.map(col): _*).as("s"))
+      .schema("s").dataType
+    val rStructT = rTagged.schema("__r").dataType
+    val lTagged = left.select(col(keyCol).as("__k"),
+      col(tsCol).cast("timestamp").as("__ts"), lit(1).as("__side"),
+      lit(null).cast("double").as("__tie"),
+      struct(leftCols.map(col): _*).as("__l"), lit(null).cast(rStructT).as("__r"))
+    val u = lTagged
+      .unionByName(rTagged.withColumn("__l", lit(null).cast(lStructT)))
+
+    // Backward: ascending ts, right (side 0) before left at equal ts
+    // so >= matches include it; ties keep the LAST right row = max tie.
+    // Forward: the same running frame over the reversed sort.
+    val ord = direction match {
+      case "backward" => Seq(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      case _ => Seq(col("__ts").desc, col("__side").asc, col("__tie").desc)
+    }
+    val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      // NULL left key/ts rows sort unpredictably inside the window
+      // (desc puts NULL ts last — AFTER every right row); force the
+      // no-match contract for them here
+      .withColumn("__m", when(col("__k").isNotNull && col("__ts").isNotNull,
+        col("__m")))
+    val bounded = toleranceSeconds match {
+      case Some(t) =>
+        val dt = if (direction == "backward")
+          col("__ts").cast("double") - col("__m.__rts").cast("double")
+        else col("__m.__rts").cast("double") - col("__ts").cast("double")
+        matched.withColumn("__m", when(dt <= t, col("__m")))
+      case None => matched
+    }
+    bounded.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        (col("__m.__rts").as("asof_ts") +:
+          payloadCols.map(p => col(s"__m.$p").as(p))): _*)
+  }
+
+  /**
+   * Range (interval containment) join: match each `points` row to
+   * every `intervals` row with `startCol <= pointCol <= endCol`
+   * (inclusive both ends), optionally also equi-keyed on
+   * `keyCol`. Inner-join semantics: unmatched points drop out.
+   *
+   * 100 TB design — bucketized blocking instead of a theta-join:
+   * Spark plans a raw inequality join as BroadcastNestedLoop (or a
+   * cartesian) — O(|P|·|I|) compares. Here every interval explodes
+   * into the fixed-width buckets it overlaps (`sequence` over
+   * `floor(start/W)..floor(end/W)` — short arrays when `bucketWidth`
+   * is chosen near the typical interval length), points map to
+   * exactly ONE bucket, and the pair generation is a hash equi-join
+   * on (bucket [, key]) followed by the exact containment filter.
+   * Cost: O(|P| + |I|·spans + candidate pairs) with a plain shuffle
+   * join — no nested loop anywhere. Long outlier intervals only
+   * widen their own explosion (bounded by `maxSpans`, which fails
+   * fast rather than silently exploding); candidate duplication is
+   * impossible because a point lives in one bucket only.
+   */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, startCol: String, endCol: String,
+                bucketWidth: Double, keyCol: Option[String] = None,
+                maxSpans: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pBucket = floor(col(pointCol).cast("double") / bucketWidth)
+    val iLo = floor(col(startCol).cast("double") / bucketWidth)
+    val iHi = floor(col(endCol).cast("double") / bucketWidth)
+    // the guard rides INSIDE the bucket expression (a dropped side
+    // column would be pruned by Catalyst and never fire)
+    val hiGuarded = when(iHi - iLo >= maxSpans,
+      raise_error(concat(lit(s"rangeJoin: interval spans >= $maxSpans " +
+        s"buckets at width $bucketWidth; widen bucketWidth — "),
+        col(startCol).cast("string"), lit(".."), col(endCol).cast("string")))
+        .cast("long"))
+      .otherwise(iHi.cast("long"))
+    val iTagged = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .withColumn("__b", explode(sequence(iLo.cast("long"), hiGuarded)))
+    val pTagged = points.filter(col(pointCol).isNotNull)
+      .withColumn("__b", pBucket.cast("long"))
+    val joinKeys = "__b" +: keyCol.toSeq
+    pTagged.join(iTagged, joinKeys, "inner")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__b")
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100.0, 1L),
+    (1L, ts("2024-01-01 10:00:05"), 101.0, 2L),
+    (1L, ts("2024-01-01 10:00:10"), 102.0, 3L),
+    (2L, ts("2024-01-01 10:00:03"), 200.0, 4L)
+  ).toDF("k", "ts", "px", "qid")
+
+  private lazy val trades = Seq(
+    (1L, ts("2024-01-01 10:00:04"), "a"), // after 10:00:00 quote
+    (1L, ts("2024-01-01 10:00:05"), "b"), // exactly at the 101 quote
+    (1L, ts("2024-01-01 10:00:30"), "c"), // long after the last quote
+    (2L, ts("2024-01-01 10:00:00"), "d"), // before any key-2 quote
+    (3L, ts("2024-01-01 10:00:00"), "e") // key with no quotes at all
+  ).toDF("k", "ts", "tid")
+
+  test("asofJoin backward: nearest at-or-before per key, left-outer") {
+    val out = Temporal.asofJoin(trades, quotes, "k", "ts", Seq("px"))
+      .collect().map(r => r.getString(2) ->
+        (Option(r.getTimestamp(3)).map(_.toString), Option(r.get(4)))).toMap
+    assert(out("a") == ((Some("2024-01-01 10:00:00.0"), Some(100.0))))
+    assert(out("b") == ((Some("2024-01-01 10:00:05.0"), Some(101.0))),
+      "equal timestamps match (>= semantics)")
+    assert(out("c") == ((Some("2024-01-01 10:00:10.0"), Some(102.0))))
+    assert(out("d") == ((None, None)), "no quote at-or-before")
+    assert(out("e") == ((None, None)), "key never quoted")
+    assert(out.size == 5, "every left row survives")
+  }
+
+  test("asofJoin forward: nearest at-or-after") {
+    val out = Temporal.asofJoin(trades, quotes, "k", "ts", Seq("px"),
+      direction = "forward")
+      .collect().map(r => r.getString(2) -> Option(r.get(4))).toMap
+    assert(out("a") == Some(101.0), "10:00:04 -> next quote 10:00:05")
+    assert(out("b") == Some(101.0), "equal ts matches forward too")
+    assert(out("c") == None, "nothing after 10:00:30")
+    assert(out("d") == Some(200.0))
+    assert(out("e") == None)
+  }
+
+  test("asofJoin tolerance nulls far matches (inclusive bound)") {
+    val out = Temporal.asofJoin(trades, quotes, "k", "ts", Seq("px"),
+      toleranceSeconds = Some(5.0))
+      .collect().map(r => r.getString(2) -> Option(r.get(4))).toMap
+    assert(out("a") == Some(100.0), "4 s back, inside")
+    assert(out("b") == Some(101.0), "0 s back: tolerance is inclusive")
+    assert(out("c") == None, "20 s back, outside")
+  }
+
+  test("asofJoin duplicate right timestamps: backward max tie, forward min tie") {
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 1.0, 10L),
+      (1L, ts("2024-01-01 10:00:00"), 2.0, 20L)).toDF("k", "ts", "v", "rid")
+    val leftRow = Seq((1L, ts("2024-01-01 10:00:01"), "x")).toDF("k", "ts", "tid")
+    val back = Temporal.asofJoin(leftRow, right, "k", "ts", Seq("v"),
+      rightTieCol = Some("rid")).select("v").as[Double].head()
+    assert(back == 2.0, "backward keeps the largest tie at equal ts")
+    val fRow = Seq((1L, ts("2024-01-01 09:59:59"), "x")).toDF("k", "ts", "tid")
+    val fwd = Temporal.asofJoin(fRow, right, "k", "ts", Seq("v"),
+      direction = "forward", rightTieCol = Some("rid"))
+      .select("v").as[Double].head()
+    assert(fwd == 1.0, "forward keeps the smallest tie at equal ts")
+  }
+
+  test("asofJoin NULL left key/ts never match; NULL right rows dropped") {
+    val left = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:06")), "ok"),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:06")), "nullkey"),
+      (Option(1L), Option.empty[java.sql.Timestamp], "nullts")
+    ).toDF("k", "ts", "tid")
+    val right = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), 1.0),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), 9.0),
+      (Option(1L), Option.empty[java.sql.Timestamp], 9.0)
+    ).toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.get(4))).toMap
+    assert(out("ok") == Some(1.0))
+    assert(out("nullkey") == None)
+    assert(out("nullts") == None)
+    // forward direction: a NULL-ts left row sorts after every right
+    // row under desc order — the guard must still null it
+    val fwd = Temporal.asofJoin(left, right, "k", "ts", Seq("v"),
+      direction = "forward")
+      .collect().map(r => r.getString(2) -> Option(r.get(4))).toMap
+    assert(fwd("nullts") == None)
+  }
+
+  test("asofJoin plan: exactly ONE shuffle, no join node") {
+    val df = Temporal.asofJoin(trades, quotes, "k", "ts", Seq("px"))
+    assert(PlanWalk.shuffleCount(df) == 1,
+      "union + one key-partitioned window — a join-based plan would shuffle twice")
+    val joins = PlanWalk.nodes(df).count(n =>
+      n.nodeName.toLowerCase.contains("join"))
+    assert(joins == 0, "no join operator anywhere in the as-of plan")
+  }
+
+  test("rangeJoin: containment matches, inclusive bounds, no duplicates") {
+    val points = Seq((1L, 5.0, "p5"), (1L, 10.0, "p10"), (1L, 25.0, "p25"),
+      (2L, 5.0, "q5")).toDF("k", "x", "pid")
+    val intervals = Seq((1L, 0.0, 10.0, "i_a"), (1L, 10.0, 20.0, "i_b"),
+      (2L, 100.0, 200.0, "i_c")).toDF("k", "lo", "hi", "iid")
+    val out = Temporal.rangeJoin(points, intervals, "x", "lo", "hi",
+      bucketWidth = 4.0, keyCol = Some("k"))
+      .select("pid", "iid").as[(String, String)].collect().toSet
+    assert(out == Set(("p5", "i_a"), ("p10", "i_a"), ("p10", "i_b")),
+      "both inclusive ends; p25 unmatched; q5 outside key-2's interval")
+  }
+
+  test("rangeJoin: no equi-key, empty/inverted intervals dropped, NULL point dropped") {
+    val points = Seq((Option(3.0), "a"), (Option.empty[Double], "b"))
+      .toDF("x", "pid")
+    val intervals = Seq((2.0, 4.0, "ok"), (9.0, 1.0, "inverted"))
+      .toDF("lo", "hi", "iid")
+    val out = Temporal.rangeJoin(points, intervals, "x", "lo", "hi", 1.0)
+      .select("pid", "iid").as[(String, String)].collect().toSet
+    assert(out == Set(("a", "ok")))
+  }
+
+  test("rangeJoin: maxSpans guard fires on an exploding interval") {
+    val points = Seq((1.0, "p")).toDF("x", "pid")
+    val intervals = Seq((0.0, 1e9, "huge")).toDF("lo", "hi", "iid")
+    val e = intercept[Exception] {
+      Temporal.rangeJoin(points, intervals, "x", "lo", "hi", 1.0,
+        maxSpans = 100).collect()
+    }
+    assert(e.getMessage.contains("rangeJoin") ||
+      Option(e.getCause).exists(_.getMessage.contains("rangeJoin")))
+  }
+
+  test("rangeJoin plan: hash equi-join on the bucket, no nested loop") {
+    val points = Seq((1L, 5.0, "p")).toDF("k", "x", "pid")
+    val intervals = Seq((1L, 0.0, 10.0, "i")).toDF("k", "lo", "hi", "iid")
+    val df = Temporal.rangeJoin(points, intervals, "x", "lo", "hi", 4.0,
+      keyCol = Some("k"))
+    df.collect()
+    val names = PlanWalk.nodes(df).map(_.nodeName.toLowerCase)
+    assert(!names.exists(n => n.contains("nestedloop") || n.contains("cartesian")),
+      s"bucketized blocking must plan an equi-join, got: ${names.mkString(", ")}")
+  }
+}
