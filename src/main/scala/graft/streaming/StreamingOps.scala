@@ -118,6 +118,91 @@ object StreamingOps {
         timestamp_millis(col("endMs")).as("session_end"),
         col("n").cast("long").as("n_events"))
 
+  // streaming as-of enrichment state machine shapes (public for
+  // Spark's encoder codegen, same reason as KeyedEvent above)
+  final case class AsofIn(key: String, tsMs: Long, side: Int, id: Long,
+                          value: Double)
+  final case class AsofRight(tsMs: Long, value: Double)
+  final case class AsofState(buf: Seq[AsofRight])
+  final case class AsofOut(key: String, id: Long, tsMs: Long,
+                           asofTsMs: Option[Long], value: Option[Double])
+  implicit private val asofInEnc: Encoder[AsofIn] = Encoders.product[AsofIn]
+  implicit private val asofStateEnc: Encoder[AsofState] = Encoders.product[AsofState]
+  implicit private val asofOutEnc: Encoder[AsofOut] = Encoders.product[AsofOut]
+
+  /** Per-key as-of state: a time-sorted bounded buffer of right rows;
+    * each micro-batch is resolved in (ts, side) order so the batch
+    * semantics of [[graft.operators.Temporal.asofJoin]] (backward,
+    * equal-ts matches, max-tie on duplicates) hold whenever arrival
+    * order respects event time. */
+  private def asofMachine(toleranceMs: Option[Long], maxBuffer: Int)(
+      key: String, it: Iterator[AsofIn],
+      state: GroupState[AsofState]): Iterator[AsofOut] = {
+    var buf = state.getOption.map(_.buf.toVector).getOrElse(Vector.empty)
+    val out = Seq.newBuilder[AsofOut]
+    it.toSeq.sortBy(e => (e.tsMs, e.side, e.id)).foreach { e =>
+      if (e.side == 0) {
+        val idx = buf.indexWhere(_.tsMs > e.tsMs)
+        val ins =
+          if (idx < 0) buf :+ AsofRight(e.tsMs, e.value)
+          else (buf.take(idx) :+ AsofRight(e.tsMs, e.value)) ++ buf.drop(idx)
+        buf = if (ins.length > maxBuffer) ins.drop(ins.length - maxBuffer) else ins
+      } else {
+        val m = buf.filter(r => r.tsMs <= e.tsMs &&
+          toleranceMs.forall(t => e.tsMs - r.tsMs <= t)).lastOption
+        out += AsofOut(key, e.id, e.tsMs, m.map(_.tsMs), m.map(_.value))
+      }
+    }
+    state.update(AsofState(buf))
+    out.result().iterator
+  }
+
+  /**
+   * Streaming twin of [[graft.operators.Temporal.asofJoin]] (backward
+   * direction): enrich each `left` row with the latest `right` value
+   * at-or-before its timestamp for the same key — the live
+   * feature-at-time-of-label join (quote-at-trade, last-profile-at-
+   * event). Both sides stream; per-key state is a time-sorted buffer
+   * of the most recent `maxBuffer` right rows (out-of-order arrivals
+   * WITHIN a micro-batch are resolved exactly like the batch
+   * operator; a right row arriving in a LATER batch than a left row
+   * it would have matched is missed — the inherent stream-enrichment
+   * contract). `toleranceMs` bounds match staleness like the batch
+   * tolerance. NULL keys/timestamps are dropped on both sides.
+   *
+   * Output: (keyCol as string, idCol, tsCol, asof_ts, valueCol) —
+   * asof_ts/value NULL when nothing qualifies.
+   *
+   * 100 TB design: one shuffle per side into the shared key
+   * partitioning; state is O(maxBuffer) per ACTIVE key and
+   * per-partition local. Production queries should pass
+   * ProcessingTimeTimeout so idle keys evict (NoTimeout is for
+   * deterministic tests, like [[sessionize]]).
+   */
+  def streamingAsofEnrich(left: DataFrame, right: DataFrame,
+                          keyCol: String, tsCol: String, idCol: String,
+                          valueCol: String,
+                          toleranceMs: Option[Long] = None,
+                          maxBuffer: Int = 1024): DataFrame = {
+    def side(df: DataFrame, s: Int, id: Column, v: Column): DataFrame = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_millis(col(tsCol).cast("timestamp")).as("tsMs"),
+        lit(s).as("side"), id.cast("long").as("id"),
+        v.cast("double").as("value"))
+    val l = side(left, 1, col(idCol), lit(0.0))
+    val r = side(right, 0, lit(0L), col(valueCol))
+    l.unionByName(r).as[AsofIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        asofMachine(toleranceMs, maxBuffer))
+      .select(col("key").as(keyCol), col("id").as(idCol),
+        timestamp_millis(col("tsMs")).as(tsCol),
+        timestamp_millis(col("asofTsMs")).as("asof_ts"),
+        col("value").as(valueCol))
+  }
+
   /** Streaming exact dedup with WATERMARK-BOUNDED state:
     * `dropDuplicatesWithinWatermark` collapses duplicates arriving
     * within the watermark delay of each other and evicts a key's state

@@ -924,4 +924,69 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(okById(3L)._1 == false, "assistant-final prompt is not awaiting")
     assert(okById(4L) == ((false, null)), "empty rejected: invalid, NULL ratio")
   }
+
+  test("streamingAsofEnrich: in-batch backward match, tolerance, cross-batch state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)] // key, ts, id
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Double)] // key, ts, value
+    val out = StreamingOps.streamingAsofEnrich(
+      lMem.toDF().toDF("k", "ts", "id"), rMem.toDF().toDF("k", "ts", "v"),
+      "k", "ts", "id", "v", toleranceMs = Some(60000L))
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    // batch 1: two quotes + three trades (out of order within the batch)
+    rMem.addData((1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 00:00:30"), 11.0))
+    lMem.addData((1L, ts("2024-01-01 00:00:40"), 100L), // -> 11.0
+      (1L, ts("2024-01-01 00:00:10"), 101L), // earlier trade -> 10.0
+      (1L, ts("2024-01-01 00:05:00"), 102L)) // 4.5 min stale -> NULL
+    q.processAllAvailable()
+    // batch 2: state carries the 00:00:30 quote forward
+    lMem.addData((1L, ts("2024-01-01 00:01:00"), 103L))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id, v FROM asof_stream").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    q.stop()
+    assert(got(100L) == Some(11.0))
+    assert(got(101L) == Some(10.0), "within-batch out-of-order resolved by sort")
+    assert(got(102L) == None, "beyond the 60 s tolerance")
+    assert(got(103L) == Some(11.0), "right state persists across micro-batches")
+  }
+
+  test("streamingAsofEnrich single-batch run equals batch asofJoin on real events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(expr("max_by(value, event_id)").as("v"))
+    val want = graft.operators.Temporal
+      .asofJoin(clicks, views, "user_id", "ts", Seq("v"))
+      .collect().map(r => r.getLong(2) ->
+        ((Option(r.getTimestamp(3)).map(_.getTime), Option(r.get(4))))).toMap
+
+    val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = StreamingOps.streamingAsofEnrich(
+      lMem.toDF().toDF("k", "ts", "id"), rMem.toDF().toDF("k", "ts", "v"),
+      "k", "ts", "id", "v")
+    val q = out.writeStream.format("memory").queryName("asof_parity")
+      .outputMode("append").start()
+    rMem.addData(views.collect().toSeq
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))): _*)
+    lMem.addData(clicks.collect().toSeq
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))): _*)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id, asof_ts, v FROM asof_parity").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)).map(_.getTime), Option(r.get(2))))).toMap
+    q.stop()
+    assert(got.size == want.size)
+    assert(got == want,
+      "one-batch streaming as-of must equal the batch operator exactly")
+  }
 }
