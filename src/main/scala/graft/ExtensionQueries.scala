@@ -2367,6 +2367,49 @@ object ExtensionQueries {
       det(graft.operators.TextStats.approxTopTokens(docs(s, dir), "text",
         sketchK = 64, topM = 10))),
 
+    // cardinality sketch, EXACT in the sparse regime (capacity >=
+    // per-lang vocab): per-lang distinct tokens — the third classic
+    // mergeable summary after top-k and quantiles
+    "q_text_distinct_by_lang" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("lang"),
+        explode(TextFunctions.whitespaceTokens(col("text"))).as("tok"))
+      det(toks.groupBy(col("lang"))
+        .agg(graft.functions.CardinalitySketch.sketch(col("tok")).as("__sk"))
+        .select(col("lang"),
+          graft.functions.CardinalitySketch.estimate(col("__sk"))
+            .as("n_distinct_tokens"),
+          graft.functions.CardinalitySketch.isExact(col("__sk"))
+            .as("exact")))
+    }),
+
+    // incremental cardinality: one sketch PER SOURCE, then a second
+    // aggregate merges the sketch BYTES — the whole-corpus distinct
+    // count without re-touching the data (sparse union stays exact)
+    "q_text_distinct_incremental" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("source"),
+        explode(TextFunctions.whitespaceTokens(col("text"))).as("tok"))
+      val perSource = toks.groupBy(col("source"))
+        .agg(graft.functions.CardinalitySketch.sketch(col("tok")).as("__sk"))
+      det(perSource
+        .agg(count(lit(1)).as("n_sources"),
+          graft.functions.CardinalitySketch.merge(col("__sk")).as("__m"))
+        .select(col("n_sources"),
+          graft.functions.CardinalitySketch.estimate(col("__m"))
+            .as("n_distinct_tokens"),
+          graft.functions.CardinalitySketch.isExact(col("__m"))
+            .as("exact")))
+    }),
+
+    // DENSE-regime accuracy gate: doc_id cardinality forced past the
+    // sparse capacity (p=12 registers), estimate within 5% of truth
+    "q_gate_hll" -> ((s, dir) =>
+      det(docs(s, dir).agg(
+        countDistinct(col("doc_id")).as("__truth"),
+        graft.functions.CardinalitySketch.distinctCount(col("doc_id"),
+          p = 12, sparseCap = 64).as("__est"))
+        .select((abs(col("__est") - col("__truth")) <=
+          col("__truth") * 0.05).cast("int").as("ok")))),
+
     // embedding geometry card: norm stats + anisotropy, one row
     "q_emb_geometry" -> ((s, dir) =>
       det(graft.operators.Similarity.embeddingGeometryCard(
@@ -5302,6 +5345,25 @@ object ExtensionQueries {
          |SELECT token, count_min FROM v
          |ORDER BY count_min DESC, token LIMIT 10""".stripMargin,
     "q_gate_topk_sketch" -> "SELECT CAST(1 AS INT) AS ok",
+    "q_gate_hll" -> "SELECT CAST(1 AS INT) AS ok",
+    // the sketch's sparse regime is exact-by-construction, so plain
+    // count(DISTINCT) is the oracle (same \\S+ tokenization)
+    "q_text_distinct_by_lang" ->
+      s"""SELECT lang, CAST(count(DISTINCT token) AS BIGINT)
+         |    AS n_distinct_tokens, true AS exact
+         |FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS token
+         |      FROM documents)
+         |GROUP BY lang
+         |ORDER BY lang $N1, n_distinct_tokens $N1, exact $N1""".stripMargin,
+    "q_text_distinct_incremental" ->
+      s"""WITH toks AS (SELECT source,
+         |   unnest(regexp_extract_all(text, '\\S+')) AS token
+         |  FROM documents)
+         |SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+         |  true AS exact
+         |FROM toks
+         |ORDER BY n_sources $N1, n_distinct_tokens $N1, exact $N1""".stripMargin,
     // exact top-10 bigrams (k >= distinct bigrams makes the sketch exact)
     "q_text_topk_ngrams" ->
       s"""WITH t AS (SELECT regexp_extract_all(text, '\\S+') AS toks

@@ -772,6 +772,34 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("n_docs"), col("q"))
 
+  /** Per-window DISTINCT counts via the mergeable cardinality sketch
+    * ([[graft.functions.CardinalitySketch]]): streaming state per
+    * window is one sketch (O(sparseCap) bytes, exact until the
+    * window's distinct count exceeds it, classic-HLL after), where
+    * `approx_count_distinct` would work too but could never persist
+    * or later re-merge the per-window sketches — the sketch BYTES are
+    * emitted alongside the estimate so a downstream batch can
+    * `CardinalitySketch.merge` windows into days without replay.
+    * Output: (window_start, window_end, n_items, n_distinct, exact,
+    * sketch). */
+  def streamingDistinctByWindow(docs: DataFrame, tsCol: String,
+                                itemCol: String, window: String,
+                                watermark: String, p: Int = 12,
+                                sparseCap: Int = 1 << 18): DataFrame =
+    docs
+      .filter(col(itemCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.CardinalitySketch.sketch(col(itemCol), p, sparseCap)
+          .as("sketch"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_items"),
+        graft.functions.CardinalitySketch.estimate(col("sketch"))
+          .as("n_distinct"),
+        graft.functions.CardinalitySketch.isExact(col("sketch")).as("exact"),
+        col("sketch"))
+
   /**
    * Windowed PSI drift monitor — the live-intake twin of
    * [[graft.operators.TextStats.psiReport]]: the baseline (quantile

@@ -925,6 +925,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(okById(4L) == ((false, null)), "empty rejected: invalid, NULL ratio")
   }
 
+  test("streamingDistinctByWindow: exact sparse counts per window, mergeable bytes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingOps.streamingDistinctByWindow(
+      mem.toDF().toDF("ts", "item"), "ts", "item", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("win_distinct")
+      .outputMode("complete").start()
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "a"), (ts("2024-01-01 00:02:00"), "b"),
+      (ts("2024-01-01 00:03:00"), "a"), (ts("2024-01-01 00:11:00"), "a"),
+      (ts("2024-01-01 00:12:00"), "c"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT window_start, n_items, n_distinct, exact FROM win_distinct")
+      .collect().map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // the per-window sketch BYTES merge downstream without replay
+    val total = spark.sql("SELECT sketch FROM win_distinct")
+      .agg(graft.functions.CardinalitySketch.estimate(
+        graft.functions.CardinalitySketch.merge(col("sketch"))))
+      .head().getLong(0)
+    q.stop()
+    assert(rows("2024-01-01 00:00:00.0") == ((3L, 2L, true)))
+    assert(rows("2024-01-01 00:10:00.0") == ((2L, 2L, true)))
+    assert(total == 3L, "merged window sketches give the global distinct count")
+  }
+
   test("streamingAsofEnrich: in-batch backward match, tolerance, cross-batch state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
