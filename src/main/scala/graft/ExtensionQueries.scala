@@ -392,6 +392,21 @@ object ExtensionQueries {
         asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
         Seq("view_value"), toleranceSeconds = Some(86400.0)))),
 
+    // nearest on either side (ties backward): both windows share one
+    // key exchange; the oracle composes DuckDB's two ASOF directions
+    "q_events_asof_nearest" -> ((s, dir) =>
+      det(graft.operators.Temporal.asofJoin(
+        asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
+        Seq("view_value"), direction = "nearest"))),
+
+    // the zero-fact-shuffle broadcast variant: SAME oracle text as
+    // q_events_asof — one oracle, two execution paths (the
+    // decontaminate-Bloom convention)
+    "q_events_asof_broadcast" -> ((s, dir) =>
+      det(graft.operators.Temporal.asofJoinBroadcast(
+        asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
+        Seq("view_value")))),
+
     // interval containment via bucketized blocking: purchases landing
     // inside the user's 1-day-gap VIEW sessions (equi-join on the
     // 1-day time bucket + user, exact filter after — no nested loop)
@@ -2458,6 +2473,20 @@ object ExtensionQueries {
   // ------------------------------------------------------------- oracle SQL
 
   private val N1 = "NULLS FIRST"
+
+  /** Shared by q_events_asof and q_events_asof_broadcast (one oracle,
+    * two execution paths). */
+  private lazy val AsofBackwardOracle: String =
+    s"""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events WHERE event_type = 'click'),
+       |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |   arg_max(value, event_id) AS view_value
+       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+       |SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts, v.view_value
+       |FROM c ASOF LEFT JOIN v
+       |  ON c.user_id = v.user_id AND c.ts >= v.ts
+       |ORDER BY event_id $N1, c.user_id $N1, c.ts $N1, asof_ts $N1,
+       |  view_value $N1""".stripMargin
   /** Planted encoding-damage suffix for q_text_mojibake — one hit per
     * artifact family (Ã-pair, â€ punctuation, BOM-as-text); the oracle
     * embeds this same constant so the two sides cannot drift. */
@@ -3728,17 +3757,36 @@ object ExtensionQueries {
          |  max_duration_sec $N1""".stripMargin,
     // DuckDB's NATIVE ASOF JOIN as the independent implementation
     // (the engine's union+window plan never materializes a join);
-    // right side unique per (user, ts) so the match is deterministic
-    "q_events_asof" ->
+    // right side unique per (user, ts) so the match is deterministic.
+    // Same text graded twice: window plan + broadcast plan.
+    "q_events_asof" -> AsofBackwardOracle,
+    "q_events_asof_broadcast" -> AsofBackwardOracle,
+    // both ASOF directions composed, closer side picked row-locally
+    // (epoch doubles; distance ties -> backward, like the engine)
+    "q_events_asof_nearest" ->
       s"""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
          |  FROM events WHERE event_type = 'click'),
          |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
          |   arg_max(value, event_id) AS view_value
-         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
-         |SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts, v.view_value
-         |FROM c ASOF LEFT JOIN v
-         |  ON c.user_id = v.user_id AND c.ts >= v.ts
-         |ORDER BY event_id $N1, c.user_id $N1, c.ts $N1, asof_ts $N1,
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |b AS (SELECT c.event_id, v.ts AS bts, v.view_value AS bval
+         |  FROM c ASOF LEFT JOIN v
+         |    ON c.user_id = v.user_id AND c.ts >= v.ts),
+         |f AS (SELECT c.event_id, v.ts AS fts, v.view_value AS fval
+         |  FROM c ASOF LEFT JOIN v
+         |    ON c.user_id = v.user_id AND c.ts <= v.ts)
+         |SELECT c.event_id, c.user_id, c.ts,
+         |  CASE WHEN bts IS NULL THEN fts
+         |       WHEN fts IS NULL THEN bts
+         |       WHEN epoch(c.ts) - epoch(bts) <= epoch(fts) - epoch(c.ts)
+         |         THEN bts ELSE fts END AS asof_ts,
+         |  CASE WHEN bts IS NULL THEN fval
+         |       WHEN fts IS NULL THEN bval
+         |       WHEN epoch(c.ts) - epoch(bts) <= epoch(fts) - epoch(c.ts)
+         |         THEN bval ELSE fval END AS view_value
+         |FROM c JOIN b ON c.event_id = b.event_id
+         |       JOIN f ON c.event_id = f.event_id
+         |ORDER BY c.event_id $N1, c.user_id $N1, c.ts $N1, asof_ts $N1,
          |  view_value $N1""".stripMargin,
     "q_events_asof_forward" ->
       s"""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -36,8 +36,9 @@ object Temporal {
   /**
    * As-of join: enrich each `left` row with `payloadCols` from the
    * `right` row sharing `keyCol` whose `tsCol` is the closest
-   * at-or-before (`direction = "backward"`) or at-or-after
-   * (`"forward"`) the left row's `tsCol`. Equal timestamps match
+   * at-or-before (`direction = "backward"`), at-or-after
+   * (`"forward"`), or on either side (`"nearest"`, backward on
+   * distance ties) of the left row's `tsCol`. Equal timestamps match
    * (>= / <= semantics, like DuckDB's `ASOF JOIN` and pandas'
    * `merge_asof(allow_exact_matches=True)`).
    *
@@ -61,8 +62,8 @@ object Temporal {
                toleranceSeconds: Option[Double] = None,
                rightTieCol: Option[String] = None): DataFrame = {
     require(payloadCols.nonEmpty, "need at least one right payload column")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward/forward, got '$direction'")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward/forward/nearest, got '$direction'")
     val leftCols = left.columns.toSeq
     (payloadCols :+ "asof_ts").foreach(c => require(!leftCols.contains(c),
       s"output column '$c' clashes with a left column"))
@@ -90,31 +91,101 @@ object Temporal {
 
     // Backward: ascending ts, right (side 0) before left at equal ts
     // so >= matches include it; ties keep the LAST right row = max tie.
-    // Forward: the same running frame over the reversed sort.
-    val ord = direction match {
-      case "backward" => Seq(col("__ts").asc, col("__side").asc, col("__tie").asc)
-      case _ => Seq(col("__ts").desc, col("__side").asc, col("__tie").desc)
-    }
-    val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
+    // Forward: the same running frame over the reversed sort. Nearest:
+    // both windows over the SAME key partitioning (one exchange, two
+    // in-partition sorts), then a row-local pick of the closer side
+    // (tolerance nulls each side first; ties go backward).
+    val wB = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = u
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      // NULL left key/ts rows sort unpredictably inside the window
-      // (desc puts NULL ts last — AFTER every right row); force the
-      // no-match contract for them here
-      .withColumn("__m", when(col("__k").isNotNull && col("__ts").isNotNull,
-        col("__m")))
-    val bounded = toleranceSeconds match {
-      case Some(t) =>
-        val dt = if (direction == "backward")
-          col("__ts").cast("double") - col("__m.__rts").cast("double")
-        else col("__m.__rts").cast("double") - col("__ts").cast("double")
-        matched.withColumn("__m", when(dt <= t, col("__m")))
-      case None => matched
+    val wF = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").desc, col("__side").asc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL left key/ts rows sort unpredictably inside the window
+    // (desc puts NULL ts last — AFTER every right row); the __ok guard
+    // forces the no-match contract for them
+    val ok = col("__k").isNotNull && col("__ts").isNotNull
+    def dtBack(m: Column) = col("__ts").cast("double") - m.getField("__rts").cast("double")
+    def dtFwd(m: Column) = m.getField("__rts").cast("double") - col("__ts").cast("double")
+    def bounded(m: Column, dt: Column => Column): Column =
+      toleranceSeconds match {
+        case Some(t) => when(dt(m) <= t, m)
+        case None => m
+      }
+    val matched = direction match {
+      case "backward" => u
+        .withColumn("__m", last(col("__r"), ignoreNulls = true).over(wB))
+        .filter(col("__side") === 1)
+        .withColumn("__m", bounded(when(ok, col("__m")), dtBack))
+      case "forward" => u
+        .withColumn("__m", last(col("__r"), ignoreNulls = true).over(wF))
+        .filter(col("__side") === 1)
+        .withColumn("__m", bounded(when(ok, col("__m")), dtFwd))
+      case _ => u
+        .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(wB))
+        .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(wF))
+        .filter(col("__side") === 1)
+        .withColumn("__mb", bounded(when(ok, col("__mb")), dtBack))
+        .withColumn("__mf", bounded(when(ok, col("__mf")), dtFwd))
+        .withColumn("__m",
+          when(col("__mb").isNull, col("__mf"))
+            .when(col("__mf").isNull, col("__mb"))
+            .when(dtBack(col("__mb")) <= dtFwd(col("__mf")), col("__mb"))
+            .otherwise(col("__mf")))
     }
-    bounded.select(
+    matched.select(
       leftCols.map(c => col(s"__l.$c").as(c)) ++
+        (col("__m.__rts").as("asof_ts") +:
+          payloadCols.map(p => col(s"__m.$p").as(p))): _*)
+  }
+
+  /**
+   * Broadcast as-of join — the zero-fact-shuffle variant of
+   * [[asofJoin]] (backward direction) for when the right side is a
+   * DIMENSION HISTORY that fits in a broadcast (price books, config
+   * versions, profile snapshots: thousands of keys × bounded history,
+   * not another fact stream). The right side collapses to one
+   * time-sorted `array<struct<ts, payload…>>` per key (its own small
+   * shuffle), broadcasts, and each left row resolves ROW-LOCALLY —
+   * an array filter + last-element pick. The 100 TB fact stream is
+   * never shuffled, never sorted: at scale this is the difference
+   * between a map-only stage and repartitioning the whole log.
+   * Same matching semantics as [[asofJoin]] backward (>= inclusive,
+   * tolerance nulls stale matches); with duplicate right (key, ts)
+   * rows the tie falls to the payload struct order — pre-aggregate
+   * the right side to unique (key, ts) for a deterministic result.
+   */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame, keyCol: String,
+                        tsCol: String, payloadCols: Seq[String],
+                        toleranceSeconds: Option[Double] = None): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one right payload column")
+    val leftCols = left.columns.toSeq
+    (payloadCols :+ "asof_ts").foreach(c => require(!leftCols.contains(c),
+      s"output column '$c' clashes with a left column"))
+    val hist = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).cast("timestamp").as("__rts") +: payloadCols.map(col): _*)))
+        .as("__hist"))
+    val lt = col(tsCol).cast("timestamp")
+    val joined = left.join(
+      broadcast(hist.withColumnRenamed(keyCol, "__hk")),
+      left(keyCol) === col("__hk"), "left")
+    val inTol: Column => Column = toleranceSeconds match {
+      case Some(t) => x => lt.cast("double") - x.getField("__rts").cast("double") <= t
+      case None => _ => lit(true)
+    }
+    // stage the filtered array: HOF lambdas get no CSE, so size()+get()
+    // over an unstaged `cand` would run the filter twice per row
+    val staged = joined.withColumn("__cand",
+      filter(col("__hist"), x => x.getField("__rts") <= lt && inTol(x)))
+    // get() is NULL-safe where element_at(-1) throws under ANSI; an
+    // empty candidate array yields index -1 -> NULL match
+    staged
+      .withColumn("__m",
+        get(col("__cand"), (size(col("__cand")) - 1).cast("int")))
+      .select(leftCols.map(col) ++
         (col("__m.__rts").as("asof_ts") +:
           payloadCols.map(p => col(s"__m.$p").as(p))): _*)
   }

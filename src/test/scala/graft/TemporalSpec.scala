@@ -96,6 +96,61 @@ class TemporalSpec extends AnyFunSuite {
     assert(fwd("nullts") == None)
   }
 
+  test("asofJoin nearest: closer side wins, ties go backward, tolerance per side") {
+    val out = Temporal.asofJoin(trades, quotes, "k", "ts", Seq("px"),
+      direction = "nearest")
+      .collect().map(r => r.getString(2) -> Option(r.get(4))).toMap
+    assert(out("a") == Some(101.0), "10:00:04: back 4 s vs fwd 1 s -> forward")
+    assert(out("b") == Some(101.0), "exact hit either way")
+    assert(out("c") == Some(102.0), "nothing forward -> backward")
+    assert(out("d") == Some(200.0), "nothing backward -> forward")
+    assert(out("e") == None)
+    // equidistant: 10:00:02.5 is 2.5 s from both key-1 quotes -> backward
+    val mid = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:02.5"), "m"))
+      .toDF("k", "ts", "tid")
+    val tie = Temporal.asofJoin(mid, quotes, "k", "ts", Seq("px"),
+      direction = "nearest").select("px").as[Double].head()
+    assert(tie == 100.0, "distance tie resolves backward")
+    // tolerance nulls each side BEFORE the pick: out-of-tol backward
+    // must not shadow an in-tol forward
+    val lateTrade = Seq((2L, ts("2024-01-01 10:00:01"), "x")).toDF("k", "ts", "tid")
+    val tol = Temporal.asofJoin(lateTrade, quotes, "k", "ts", Seq("px"),
+      direction = "nearest", toleranceSeconds = Some(2.0))
+      .select("px").as[Double].head()
+    assert(tol == 200.0, "backward none, forward 2 s away inside tolerance")
+  }
+
+  test("asofJoinBroadcast equals the window asofJoin on real events (both tolerances)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(expr("max_by(value, event_id)").as("v"))
+    for (tol <- Seq(None, Some(86400.0))) {
+      val want = Temporal.asofJoin(clicks, views, "user_id", "ts", Seq("v"),
+        toleranceSeconds = tol).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(3)), Option(r.get(4)))))
+        .toMap
+      val got = Temporal.asofJoinBroadcast(clicks, views, "user_id", "ts",
+        Seq("v"), toleranceSeconds = tol).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(3)), Option(r.get(4)))))
+        .toMap
+      assert(got == want, s"broadcast variant must match the window plan (tol=$tol)")
+    }
+  }
+
+  test("asofJoinBroadcast plan: broadcast join, fact side never shuffles") {
+    val df = Temporal.asofJoinBroadcast(trades, quotes, "k", "ts", Seq("px"))
+    df.collect()
+    val nodes = PlanWalk.nodes(df)
+    assert(nodes.exists(_.nodeName.toLowerCase.contains("broadcasthashjoin")),
+      "dimension history must broadcast")
+    assert(PlanWalk.shuffleCount(df) == 1,
+      "only the small right-side aggregation shuffles; the fact side is map-only")
+  }
+
   test("asofJoin plan: exactly ONE shuffle, no join node") {
     val df = Temporal.asofJoin(trades, quotes, "k", "ts", Seq("px"))
     assert(PlanWalk.shuffleCount(df) == 1,
