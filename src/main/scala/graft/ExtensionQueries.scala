@@ -407,6 +407,13 @@ object ExtensionQueries {
         asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
         Seq("view_value")))),
 
+    // SCD2 build: the user's event-type episode history — same-ts
+    // dups resolved by max event_id, unchanged repeats collapsed,
+    // half-open [valid_from, valid_to) intervals + version counter
+    "q_events_scd2" -> ((s, dir) =>
+      det(graft.operators.Temporal.changeIntervals(events(s, dir),
+        "user_id", "ts", "event_type", tieCol = Some("event_id")))),
+
     // interval containment via bucketized blocking: purchases landing
     // inside the user's 1-day-gap VIEW sessions (equi-join on the
     // 1-day time bucket + user, exact filter after — no nested loop)
@@ -3817,6 +3824,27 @@ object ExtensionQueries {
          |FROM m
          |ORDER BY event_id $N1, user_id $N1, ts $N1, asof_ts $N1,
          |  view_value $N1""".stripMargin,
+    // arg_max same-ts dedup, IS DISTINCT FROM change filter, lead +
+    // row_number over the episode frame — the lag/lead SCD2 canon
+    "q_events_scd2" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |   arg_max(event_type, event_id) AS v
+         |  FROM events GROUP BY 1, 2),
+         |c AS (SELECT user_id, ts, v,
+         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts,
+         |   lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+         |  FROM e),
+         |k AS (SELECT user_id, ts AS valid_from, v FROM c
+         |  WHERE pts IS NULL OR v IS DISTINCT FROM pv)
+         |SELECT user_id, valid_from,
+         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         |    AS valid_to,
+         |  v AS event_type,
+         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from)
+         |    AS BIGINT) AS version
+         |FROM k
+         |ORDER BY user_id $N1, valid_from $N1, valid_to $N1, event_type $N1,
+         |  version $N1""".stripMargin,
     // the q_events_sessionize CTE chain (1-day gap, views only) +
     // a plain containment join — DuckDB plans IEJoin, the engine
     // plans the bucketized equi-join; same pairs either way

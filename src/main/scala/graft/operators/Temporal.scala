@@ -191,6 +191,54 @@ object Temporal {
   }
 
   /**
+   * Change-interval (SCD-type-2) builder: turn an append-only change
+   * LOG into validity INTERVALS — one row per (key, value episode)
+   * with `valid_from` (inclusive), `valid_to` (exclusive start of the
+   * next episode; NULL while current) and a per-key `version`
+   * counter. Same-timestamp duplicates keep the `tieCol`-largest row
+   * first; consecutive rows repeating the same value COLLAPSE into
+   * one episode (NULL-safe comparison), so re-emitted unchanged
+   * snapshots don't mint spurious versions. The inverse view of
+   * [[asofJoin]]: enriching a point against the log backward equals
+   * membership in the episode interval built here (spec-pinned).
+   *
+   * 100 TB design: ONE key-partitioned shuffle. The same-ts dedup is
+   * deliberately a WINDOW pass, not a groupBy — an aggregate on
+   * (key, ts) would hash-partition on both columns and force a second
+   * exchange before the key-partitioned episode windows; here dedup
+   * (keep the last row of each ts run), the lag-based change filter,
+   * the lead/valid_to and the version counter all ride one
+   * exchange + one (ts, tie) sort (plan-asserted in the spec).
+   * Output cardinality is episodes, not log rows.
+   */
+  def changeIntervals(log: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String,
+                      tieCol: Option[String] = None): DataFrame = {
+    val tie = tieCol.map(col).getOrElse(lit(0L))
+    val base = log
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol).cast("timestamp").as("valid_from"),
+        col(valueCol), tie.as("__tie"))
+    val wTie = Window.partitionBy(col(keyCol))
+      .orderBy(col("valid_from"), col("__tie"))
+    // later specs order by valid_from alone — a PREFIX of this sort,
+    // so no re-sort and no re-shuffle
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    base
+      .withColumn("__nts", lead(col("valid_from"), 1).over(wTie))
+      .filter(col("__nts").isNull || col("__nts") =!= col("valid_from"))
+      .withColumn("__pv", lag(col(valueCol), 1).over(w))
+      .withColumn("__keep",
+        lag(col("valid_from"), 1).over(w).isNull ||
+          !(col(valueCol) <=> col("__pv")))
+      .filter(col("__keep"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("valid_from"), col("valid_to"),
+        col(valueCol), col("version"))
+  }
+
+  /**
    * Range (interval containment) join: match each `points` row to
    * every `intervals` row with `startCol <= pointCol <= endCol`
    * (inclusive both ends), optionally also equi-keyed on

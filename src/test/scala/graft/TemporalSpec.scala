@@ -160,6 +160,63 @@ class TemporalSpec extends AnyFunSuite {
     assert(joins == 0, "no join operator anywhere in the as-of plan")
   }
 
+  test("changeIntervals: episodes collapse repeats, version counts, open tail") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "bronze", 1L),
+      (1L, ts("2024-01-02 00:00:00"), "bronze", 2L), // unchanged -> collapses
+      (1L, ts("2024-01-03 00:00:00"), "silver", 3L),
+      (1L, ts("2024-01-05 00:00:00"), "bronze", 4L), // back again = NEW episode
+      // same-ts duplicate: tie 6 wins over tie 5
+      (2L, ts("2024-01-01 00:00:00"), "gold", 5L),
+      (2L, ts("2024-01-01 00:00:00"), "plat", 6L)
+    ).toDF("k", "ts", "v", "tie")
+    val out = Temporal.changeIntervals(log, "k", "ts", "v",
+      tieCol = Some("tie"))
+      .collect().map(r => (r.getLong(0), r.getLong(4)) ->
+        ((r.getTimestamp(1).toString.take(10),
+          Option(r.getTimestamp(2)).map(_.toString.take(10)), r.getString(3))))
+      .toMap
+    assert(out((1L, 1L)) == (("2024-01-01", Some("2024-01-03"), "bronze")),
+      "day-2 repeat collapses into episode 1")
+    assert(out((1L, 2L)) == (("2024-01-03", Some("2024-01-05"), "silver")))
+    assert(out((1L, 3L)) == (("2024-01-05", None, "bronze")),
+      "returning value mints a new version; current episode is open")
+    assert(out((2L, 1L)) == (("2024-01-01", None, "plat")),
+      "same-ts duplicate resolved by max tie")
+    assert(out.size == 4)
+  }
+
+  test("changeIntervals is the inverse view of backward asofJoin") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val episodes = Temporal.changeIntervals(e, "user_id", "ts", "event_type",
+      tieCol = Some("event_id"))
+    // every event, asof-joined backward against the episode STARTS,
+    // must land in the episode whose interval contains it
+    val starts = episodes.select(col("user_id"), col("valid_from").as("ts"),
+      col("event_type").as("ep_value"))
+    val probe = e.select(col("event_id"), col("user_id"), col("ts"))
+    val viaAsof = Temporal.asofJoin(probe, starts, "user_id", "ts",
+      Seq("ep_value"))
+    val bad = viaAsof.join(episodes,
+      viaAsof("user_id") === episodes("user_id") &&
+        viaAsof("asof_ts") === episodes("valid_from"))
+      .filter(!(col("ep_value") <=> col("event_type")) ||
+        col("ts") < col("valid_from") ||
+        (col("valid_to").isNotNull && col("ts") >= col("valid_to")))
+    assert(bad.count() == 0,
+      "asof-backward value must equal the containing episode's value")
+  }
+
+  test("changeIntervals plan: one shuffle feeds dedup, lag, lead and version") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val df = Temporal.changeIntervals(e, "user_id", "ts", "event_type",
+      tieCol = Some("event_id"))
+    assert(PlanWalk.shuffleCount(df) == 1,
+      "aggregate + three window passes must share the user_id exchange")
+  }
+
   test("rangeJoin: containment matches, inclusive bounds, no duplicates") {
     val points = Seq((1L, 5.0, "p5"), (1L, 10.0, "p10"), (1L, 25.0, "p25"),
       (2L, 5.0, "q5")).toDF("k", "x", "pid")
