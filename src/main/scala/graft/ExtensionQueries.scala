@@ -2422,6 +2422,25 @@ object ExtensionQueries {
             .as("exact")))
     }),
 
+    // frequency sketch bounds, graded: the top-20 tokens' CMS
+    // estimates sit in [true, true + eps*N] — deterministic for the
+    // fixed seed, so the boolean column is stable, and the exact
+    // counts ride along for the oracle
+    "q_text_freq_bounds" -> ((s, dir) => {
+      val toks = docs(s, dir).select(
+        explode(TextFunctions.whitespaceTokens(col("text"))).as("tok"))
+      val sk = toks.agg(
+        graft.functions.FrequencySketch.sketch(col("tok")).as("__sk"),
+        count(lit(1)).as("__n"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("tok").asc).limit(20)
+      det(top.crossJoin(broadcast(sk)).select(col("tok"), col("n_true"),
+        graft.functions.FrequencySketch.estimate(col("__sk"), col("tok"))
+          .between(col("n_true"),
+            col("n_true") + ceil(col("__n") * lit(1e-3)))
+          .as("within_bounds")))
+    }),
+
     // DENSE-regime accuracy gate: doc_id cardinality forced past the
     // sparse capacity (p=12 registers), estimate within 5% of truth
     "q_gate_hll" -> ((s, dir) =>
@@ -5424,6 +5443,15 @@ object ExtensionQueries {
     "q_gate_hll" -> "SELECT CAST(1 AS INT) AS ok",
     // the sketch's sparse regime is exact-by-construction, so plain
     // count(DISTINCT) is the oracle (same \\S+ tokenization)
+    // CMS never undercounts and the fixed-seed overcount bound is
+    // deterministic on this corpus -> the boolean is a constant true
+    "q_text_freq_bounds" ->
+      s"""WITH toks AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+         |  FROM documents),
+         |t AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_true FROM toks
+         |      GROUP BY tok ORDER BY n_true DESC, tok LIMIT 20)
+         |SELECT tok, n_true, true AS within_bounds FROM t
+         |ORDER BY tok $N1, n_true $N1, within_bounds $N1""".stripMargin,
     "q_text_distinct_by_lang" ->
       s"""SELECT lang, CAST(count(DISTINCT token) AS BIGINT)
          |    AS n_distinct_tokens, true AS exact
