@@ -1761,6 +1761,20 @@ object ExtensionQueries {
       det(graft.operators.Windowed.sessionizeBatch(events(s, dir), "user_id", "ts",
         gapSeconds = 7200, tieBreakCol = Some("event_id")))),
 
+    // Spark's native session_window grouping — SAME oracle text as
+    // q_events_sessionize (one oracle, two execution paths); the
+    // session merge happens inside the partial aggregate, which the
+    // lag plan cannot do
+    "q_events_sessionize_native" -> ((s, dir) =>
+      det(graft.operators.Windowed.sessionizeNative(events(s, dir),
+        "user_id", "ts", gapSeconds = 7200))),
+
+    // LOCF resample: each user's unique-(user, ts) view values onto a
+    // daily grid spanning [trunc(min), trunc(max)] per user
+    "q_events_resample" -> ((s, dir) =>
+      det(graft.operators.Temporal.resampleLocf(asofViews(s, dir),
+        "user_id", "ts", Seq("view_value"), unit = "day"))),
+
     "q_events_hourly" -> ((s, dir) =>
       det(graft.operators.Windowed.timeBucketAgg(events(s, dir), "ts", "event_type", "value", "hour"))),
 
@@ -2499,6 +2513,22 @@ object ExtensionQueries {
   // ------------------------------------------------------------- oracle SQL
 
   private val N1 = "NULLS FIRST"
+
+  /** Shared by q_events_sessionize and q_events_sessionize_native
+    * (one oracle, two execution paths). */
+  private lazy val SessionizeOracle: String =
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+       |l AS (SELECT user_id, ts, event_id,
+       |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+       |f AS (SELECT user_id, ts, event_id,
+       |   CASE WHEN prev IS NULL OR extract(epoch FROM ts) - extract(epoch FROM prev) > 7200
+       |        THEN 1 ELSE 0 END AS nw FROM l),
+       |s AS (SELECT user_id, ts,
+       |   sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM f)
+       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       |       count(*) AS n_events
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id $N1, session_start $N1, session_end $N1, n_events $N1""".stripMargin
 
   /** Shared by q_events_asof and q_events_asof_broadcast (one oracle,
     * two execution paths). */
@@ -3709,19 +3739,11 @@ object ExtensionQueries {
          |  (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM p)
          |SELECT vec_id, neighbor_id, rank FROM r WHERE rank <= 5
          |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1""".stripMargin,
-    "q_events_sessionize" ->
-      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
-         |l AS (SELECT user_id, ts, event_id,
-         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
-         |f AS (SELECT user_id, ts, event_id,
-         |   CASE WHEN prev IS NULL OR extract(epoch FROM ts) - extract(epoch FROM prev) > 7200
-         |        THEN 1 ELSE 0 END AS nw FROM l),
-         |s AS (SELECT user_id, ts,
-         |   sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM f)
-         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-         |       count(*) AS n_events
-         |FROM s GROUP BY user_id, sid
-         |ORDER BY user_id $N1, session_start $N1, session_end $N1, n_events $N1""".stripMargin,
+    // same text graded twice: the two-window lag plan AND Spark's
+    // native session_window grouping (+1us gap reconciling strict
+    // overlap with the <= rule)
+    "q_events_sessionize" -> SessionizeOracle,
+    "q_events_sessionize_native" -> SessionizeOracle,
     "q_events_hourly" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
          |count(*) AS n_events, round(sum(value), 2) AS sum_value
@@ -3843,6 +3865,23 @@ object ExtensionQueries {
          |FROM m
          |ORDER BY event_id $N1, user_id $N1, ts $N1, asof_ts $N1,
          |  view_value $N1""".stripMargin,
+    // generate_series daily grid per user + DuckDB's native ASOF for
+    // the forward fill — the composition the engine builds from
+    // sequence-explode + the union/window as-of
+    "q_events_resample" ->
+      s"""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |   arg_max(value, event_id) AS view_value
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |b AS (SELECT user_id, date_trunc('day', min(ts)) AS lo,
+         |   date_trunc('day', max(ts)) AS hi
+         |  FROM v GROUP BY user_id),
+         |g AS (SELECT user_id,
+         |   unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS grid_ts
+         |  FROM b)
+         |SELECT g.user_id, g.grid_ts, v.ts AS asof_ts, v.view_value
+         |FROM g ASOF LEFT JOIN v
+         |  ON g.user_id = v.user_id AND g.grid_ts >= v.ts
+         |ORDER BY g.user_id $N1, grid_ts $N1, asof_ts $N1, view_value $N1""".stripMargin,
     // arg_max same-ts dedup, IS DISTINCT FROM change filter, lead +
     // row_number over the episode frame — the lag/lead SCD2 canon
     "q_events_scd2" ->

@@ -140,6 +140,39 @@ object Temporal {
   }
 
   /**
+   * Resample-with-forward-fill (LOCF): regularize an irregular
+   * per-key series onto a `unit` grid (day/hour/minute), each grid
+   * point carrying the last observation at-or-before it — the
+   * feature-store export shape (daily snapshots from an event log).
+   * The grid spans `[trunc(min ts), trunc(max ts)]` per key; the
+   * first grid point precedes the first observation whenever
+   * truncation rounds down, and reports NULL (no fabricated fill).
+   * Output: (keyCol, grid_ts, asof_ts, payloadCols…).
+   *
+   * Pure composition: a per-key min/max aggregate + `sequence`
+   * explode builds the grid (output is grid-sized, not log-sized),
+   * then [[asofJoin]] backward resolves each point — two key-keyed
+   * shuffles total, no join node, grid cardinality bounded by
+   * span/unit per key.
+   */
+  def resampleLocf(log: DataFrame, keyCol: String, tsCol: String,
+                   payloadCols: Seq[String], unit: String,
+                   rightTieCol: Option[String] = None): DataFrame = {
+    require(Set("day", "hour", "minute")(unit.toLowerCase),
+      s"unit must be day/hour/minute, got '$unit'")
+    val grid = log
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(date_trunc(unit, min(col(tsCol).cast("timestamp"))).as("__lo"),
+        date_trunc(unit, max(col(tsCol).cast("timestamp"))).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"),
+          expr(s"interval 1 $unit"))).as("grid_ts"))
+    asofJoin(grid, log.withColumnRenamed(tsCol, "grid_ts"), keyCol,
+      "grid_ts", payloadCols, rightTieCol = rightTieCol)
+  }
+
+  /**
    * Broadcast as-of join — the zero-fact-shuffle variant of
    * [[asofJoin]] (backward direction) for when the right side is a
    * DIMENSION HISTORY that fits in a broadcast (price books, config

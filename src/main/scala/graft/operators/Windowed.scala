@@ -42,6 +42,33 @@ object Windowed {
   }
 
   /**
+   * [[sessionizeBatch]] through Spark's NATIVE `session_window`
+   * grouping — same output contract, second execution path (the
+   * engine's session merge instead of the two-window lag plan).
+   * Semantics note: `session_window` merges events whose windows
+   * OVERLAP, i.e. gap strictly less than the duration, while the lag
+   * plan keeps a session alive at `diff <= gapSeconds`; at
+   * microsecond timestamp granularity `gapSeconds*1e6 + 1`
+   * microseconds makes the strict rule coincide with `<=` exactly.
+   *
+   * 100 TB design: one shuffle on the user key like the lag plan;
+   * Spark's session aggregation merges windows inside the partial
+   * aggregate (map-side combine of adjacent sessions), which the
+   * window-function plan cannot do — at extreme per-key event counts
+   * this path aggregates before the exchange.
+   */
+  def sessionizeNative(events: DataFrame, userCol: String, tsCol: String,
+                       gapSeconds: Long): DataFrame =
+    events
+      .groupBy(col(userCol),
+        session_window(col(tsCol), s"${gapSeconds * 1000000L + 1} microseconds"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col(userCol), col("session_start"), col("session_end"),
+        col("n_events"))
+
+  /**
    * Session STATISTICS card — the corpus-level summary over
    * [[sessionizeBatch]]'s output: session count, bounce share
    * (single-event sessions), mean/median/max duration and mean depth

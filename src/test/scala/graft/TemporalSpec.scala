@@ -217,6 +217,24 @@ class TemporalSpec extends AnyFunSuite {
       "aggregate + three window passes must share the user_id exchange")
   }
 
+  test("resampleLocf: daily grid, forward fill, NULL before first observation") {
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-03 09:00:00"), 3.0),
+      (2L, ts("2024-01-01 00:00:00"), 9.0) // exactly ON the grid point
+    ).toDF("k", "ts", "v")
+    val out = Temporal.resampleLocf(log, "k", "ts", Seq("v"), "day")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString.take(10)) ->
+        Option(r.get(3))).toMap
+    assert(out((1L, "2024-01-01")) == None,
+      "grid point 00:00 precedes the 10:00 first observation")
+    assert(out((1L, "2024-01-02")) == Some(1.0), "carried forward")
+    assert(out((1L, "2024-01-03")) == Some(1.0),
+      "grid 2024-01-03 00:00 precedes the 09:00 observation — still 1.0")
+    assert(out((2L, "2024-01-01")) == Some(9.0), "on-grid observation matches")
+    assert(out.size == 4)
+  }
+
   test("rangeJoin: containment matches, inclusive bounds, no duplicates") {
     val points = Seq((1L, 5.0, "p5"), (1L, 10.0, "p10"), (1L, 25.0, "p25"),
       (2L, 5.0, "q5")).toDF("k", "x", "pid")

@@ -126,4 +126,31 @@ class WindowedSpec extends AnyFunSuite {
       Seq("purchase", "error")).collect()(0)
     assert(dead.getLong(3) == 0 && dead.isNullAt(4))
   }
+
+  test("sessionizeNative equals the lag plan on real events, incl. the <= boundary") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the boundary case the +1us gap exists for: diff EXACTLY the gap
+    // stays one session under the lag plan's <= rule
+    val edge = Seq((1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:00:10")), // diff == 10 s gap -> same session
+      (1L, ts("2024-01-01 00:00:21"))) // diff 11 s -> new session
+      .toDF("user_id", "ts")
+    val nat = Windowed.sessionizeNative(edge, "user_id", "ts", 10)
+      .collect().map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3))).toSet
+    assert(nat == Set(
+      ("2024-01-01 00:00:00.0", "2024-01-01 00:00:10.0", 2L),
+      ("2024-01-01 00:00:21.0", "2024-01-01 00:00:21.0", 1L)))
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val want = Windowed.sessionizeBatch(e, "user_id", "ts", 7200,
+      tieBreakCol = Some("event_id"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    val got = Windowed.sessionizeNative(e, "user_id", "ts", 7200)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(got == want, "native session_window must equal the lag plan exactly")
+  }
 }
