@@ -1775,6 +1775,12 @@ object ExtensionQueries {
       det(graft.operators.Temporal.resampleLocf(asofViews(s, dir),
         "user_id", "ts", Seq("view_value"), unit = "day"))),
 
+    // 1-day windows hopping every 6 h: each event lands in 4
+    // epoch-aligned windows, expanded row-locally before ONE shuffle
+    "q_events_sliding" -> ((s, dir) =>
+      det(graft.operators.Windowed.slidingWindowAgg(events(s, dir),
+        "ts", "event_type", "value", width = "1 day", slide = "6 hours"))),
+
     "q_events_hourly" -> ((s, dir) =>
       det(graft.operators.Windowed.timeBucketAgg(events(s, dir), "ts", "event_type", "value", "hour"))),
 
@@ -3744,6 +3750,24 @@ object ExtensionQueries {
     // overlap with the <= rule)
     "q_events_sessionize" -> SessionizeOracle,
     "q_events_sessionize_native" -> SessionizeOracle,
+    // epoch-aligned hop membership reproduced with integer epoch
+    // arithmetic: starts are the slide multiples in (ts-width, ts]
+    "q_events_sliding" ->
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+         |  FROM events),
+         |x AS (SELECT event_type, value, unnest(generate_series(
+         |   make_timestamp((CAST(floor((epoch(ts) - 86400) / 21600)
+         |     AS BIGINT) + 1) * 21600 * 1000000),
+         |   make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT)
+         |     * 21600 * 1000000),
+         |   INTERVAL 21600 SECOND)) AS window_start FROM e)
+         |SELECT window_start,
+         |  window_start + INTERVAL 86400 SECOND AS window_end,
+         |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  round(sum(value), 2) AS sum_value
+         |FROM x GROUP BY window_start, event_type
+         |ORDER BY window_start $N1, window_end $N1, event_type $N1,
+         |  n_events $N1, sum_value $N1""".stripMargin,
     "q_events_hourly" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
          |count(*) AS n_events, round(sum(value), 2) AS sum_value

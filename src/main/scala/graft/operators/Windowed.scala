@@ -99,6 +99,26 @@ object Windowed {
         round(max(col("__dur")), 6).as("max_duration_sec"))
   }
 
+  /**
+   * SLIDING (hopping) window aggregation — [[timeBucketAgg]]'s
+   * overlapping sibling: every event lands in `width/slide`
+   * epoch-aligned windows (`window(ts, width, slide)`, end exclusive),
+   * count + sum per (window, key). Spark expands the window
+   * membership row-locally before ONE aggregate shuffle — the
+   * amplification factor is exactly `width/slide`, paid map-side.
+   * Output: (window_start, window_end, keyCol, n_events, sum_value).
+   */
+  def slidingWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+                       valueCol: String, width: String,
+                       slide: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width, slide), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol),
+        col("n_events"), col("sum_value"))
+
   /** Tumbling time-bucket aggregation: count + sum per (bucket, key).
     * `bucket` uses date_trunc so the bucketing is SQL-portable. */
   def timeBucketAgg(events: DataFrame, tsCol: String, keyCol: String,

@@ -203,6 +203,43 @@ object StreamingOps {
         col("value").as(valueCol))
   }
 
+  /**
+   * Watermarked STREAM-STREAM interval join — Spark's native
+   * stream-stream join machinery, which none of the other streaming
+   * operators exercise (they are stream-static or stateful-single-
+   * stream): each left event pairs with same-key right events whose
+   * timestamp lies in `[left.ts - beforeSeconds, left.ts +
+   * afterSeconds]` (inclusive both ends; the attribution join —
+   * "views within an hour of the click", both sides live).
+   *
+   * State stays BOUNDED because both sides carry the watermark and
+   * the join condition bounds each side's timestamp by the other's:
+   * Spark derives per-side state eviction from exactly this
+   * (watermark + time-range) pair — an equi-only stream-stream join
+   * would keep every row forever. Late rows beyond the watermark
+   * drop; inner semantics (left rows with no partner emit nothing).
+   * Column contract: both sides carry `keyCol`; timestamp columns
+   * must differ; right's key is dropped from the output.
+   */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+                            keyCol: String, leftTsCol: String,
+                            rightTsCol: String, beforeSeconds: Long,
+                            afterSeconds: Long,
+                            watermark: String): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      "left and right timestamp columns must have distinct names")
+    require(beforeSeconds >= 0 && afterSeconds >= 0,
+      "interval bounds must be non-negative")
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTsCol) >= l(leftTsCol) - expr(s"interval $beforeSeconds seconds") &&
+        r(rightTsCol) <= l(leftTsCol) + expr(s"interval $afterSeconds seconds"),
+      "inner")
+      .drop(r(keyCol))
+  }
+
   /** Streaming exact dedup with WATERMARK-BOUNDED state:
     * `dropDuplicatesWithinWatermark` collapses duplicates arriving
     * within the watermark delay of each other and evicts a key's state

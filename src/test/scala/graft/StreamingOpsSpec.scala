@@ -925,6 +925,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(okById(4L) == ((false, null)), "empty rejected: invalid, NULL ratio")
   }
 
+  test("streamingIntervalJoin: stream-stream pairs inside the window, cross-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cMem = MemoryStream[(Long, java.sql.Timestamp, Long)] // clicks
+    val vMem = MemoryStream[(Long, java.sql.Timestamp, Long)] // views
+    val out = StreamingOps.streamingIntervalJoin(
+      cMem.toDF().toDF("k", "cts", "cid"), vMem.toDF().toDF("k", "vts", "vid"),
+      "k", "cts", "vts", beforeSeconds = 3600, afterSeconds = 0,
+      watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    vMem.addData((1L, ts("2024-01-01 10:00:00"), 100L), // 30 min before -> in
+      (1L, ts("2024-01-01 08:00:00"), 101L), // 2.5 h before -> out
+      (2L, ts("2024-01-01 10:00:00"), 102L)) // other key
+    cMem.addData((1L, ts("2024-01-01 10:30:00"), 1L))
+    q.processAllAvailable()
+    // a right row arriving in a LATER batch still joins (buffered state)
+    vMem.addData((1L, ts("2024-01-01 10:30:00"), 103L)) // exactly at -> in
+    q.processAllAvailable()
+    val got = spark.sql("SELECT cid, vid FROM ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((1L, 100L), (1L, 103L)),
+      "only same-key views within [cts-1h, cts] pair up; state spans batches")
+  }
+
   test("streamingDistinctByWindow: exact sparse counts per window, mergeable bytes") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
