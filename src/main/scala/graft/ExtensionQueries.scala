@@ -2442,6 +2442,15 @@ object ExtensionQueries {
             .as("exact")))
     }),
 
+    // z-order (Morton) interleave for layout clustering, graded on
+    // the raw bit math over lineitem's two key columns (low 16 bits
+    // each; the writer path is spec-gated on per-file range tightness)
+    "q_layout_zorder" -> ((s, dir) =>
+      det(s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.functions.ZOrder.interleave(
+            Seq(col("l_orderkey"), col("l_partkey")), 16).as("z")))),
+
     // frequency sketch bounds, graded: the top-20 tokens' CMS
     // estimates sit in [true, true + eps*N] — deterministic for the
     // fixed seed, so the boolean column is stable, and the exact
@@ -5506,6 +5515,17 @@ object ExtensionQueries {
     "q_gate_hll" -> "SELECT CAST(1 AS INT) AS ok",
     // the sketch's sparse regime is exact-by-construction, so plain
     // count(DISTINCT) is the oracle (same \\S+ tokenization)
+    // the same 32 shift/mask/or terms, generated: bit j of column i
+    // lands at position j*2+i
+    "q_layout_zorder" -> {
+      val terms = (for { j <- 0 until 16; i <- 0 until 2 } yield {
+        val c = if (i == 0) "l_orderkey" else "l_partkey"
+        s"((($c >> $j) & 1) << ${j * 2 + i})"
+      }).mkString(" | ")
+      s"""SELECT l_orderkey, l_partkey, CAST($terms AS BIGINT) AS z
+         |FROM lineitem
+         |ORDER BY l_orderkey $N1, l_partkey $N1, z $N1""".stripMargin
+    },
     // CMS never undercounts and the fixed-seed overcount bound is
     // deterministic on this corpus -> the boolean is a constant true
     "q_text_freq_bounds" ->
