@@ -407,6 +407,14 @@ object ExtensionQueries {
         asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
         Seq("view_value")))),
 
+    // the THIRD execution path: the custom LogicalPlan + Strategy +
+    // SparkPlan (AsofJoinExec — co-partitioned two-pointer merge),
+    // graded on the same oracle text again
+    "q_events_asof_exec" -> ((s, dir) =>
+      det(graft.plans.GraftExtensions.asofJoinExec(
+        asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
+        Seq("view_value")))),
+
     // SCD2 build: the user's event-type episode history — same-ts
     // dups resolved by max event_id, unchanged repeats collapsed,
     // half-open [valid_from, valid_to) intervals + version counter
@@ -3842,6 +3850,7 @@ object ExtensionQueries {
     // Same text graded twice: window plan + broadcast plan.
     "q_events_asof" -> AsofBackwardOracle,
     "q_events_asof_broadcast" -> AsofBackwardOracle,
+    "q_events_asof_exec" -> AsofBackwardOracle,
     // both ASOF directions composed, closer side picked row-locally
     // (epoch doubles; distance ties -> backward, like the engine)
     "q_events_asof_nearest" ->

@@ -1,0 +1,208 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.TimestampType
+
+/**
+ * The as-of join as a FIRST-CLASS PLAN NODE — the (c) rung of the
+ * custom-operator ladder (custom `LogicalPlan` + `SparkStrategy` +
+ * `SparkPlan`, registered through `SparkSessionExtensions` /
+ * `spark.experimental.extraStrategies`): where
+ * [[graft.operators.Temporal.asofJoin]] ENCODES the operator into
+ * union+window primitives, this module gives the planner the operator
+ * itself and supplies the physical algorithm Spark would need anyway:
+ * a co-partitioned, co-sorted streaming MERGE.
+ *
+ * Physical contract ([[AsofJoinExec]]): each child requires
+ * `ClusteredDistribution` on its key and `(key, ts)` ascending
+ * ordering — EnsureRequirements inserts compatible hash exchanges and
+ * sorts exactly like a SortMergeJoin — then `zipPartitions` walks the
+ * two sorted streams with TWO POINTERS and O(1) state per key (the
+ * last qualifying right payload): no buffering of either side, no row
+ * amplification, no struct packing/null-padding of the union plan.
+ * vs the window encoding: same single logical shuffle per side, but
+ * the merge never materializes per-partition window state, and the
+ * fact stream's rows flow straight through one projection.
+ *
+ * Semantics match [[graft.operators.Temporal.asofJoin]] backward:
+ * >= inclusive, optional staleness tolerance, NULL left key/ts →
+ * NULL match, NULL right key/ts dropped. Deterministic when the
+ * right side is unique per (key, ts) (same contract); among
+ * duplicates the latest in (key, ts, arrival) order wins.
+ */
+case class AsofJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute],
+    outAttrs: Seq[Attribute],
+    toleranceSeconds: Option[Double]) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsofJoinExec(
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute],
+    outAttrs: Seq[Attribute],
+    toleranceSeconds: Option[Double],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOutput = left.output
+    val rOutput = right.output
+    val lKeyE = BindReferences.bindReference(leftKey: org.apache.spark.sql.catalyst.expressions.Expression, lOutput)
+    val lTsE = BindReferences.bindReference(leftTs: org.apache.spark.sql.catalyst.expressions.Expression, lOutput)
+    val rKeyE = BindReferences.bindReference(rightKey: org.apache.spark.sql.catalyst.expressions.Expression, rOutput)
+    val rTsE = BindReferences.bindReference(rightTs: org.apache.spark.sql.catalyst.expressions.Expression, rOutput)
+    val matchExprs = (rightTs +: payload).map(a =>
+      BindReferences.bindReference(a: org.apache.spark.sql.catalyst.expressions.Expression, rOutput))
+    val keyType = leftKey.dataType
+    val outTypes = output.map(_.dataType).toArray
+    val tolMicros = toleranceSeconds.map(t => (t * 1e6).toLong)
+    val matchWidth = payload.size + 1
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val matchProj = UnsafeProjection.create(matchExprs)
+      val outProj = UnsafeProjection.create(outTypes)
+      val joined = new JoinedRow
+      val nullMatch = new GenericInternalRow(matchWidth)
+
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var heldKey: Any = null
+      var heldTs: Long = 0L
+      var held: UnsafeRow = null
+
+      // consume right rows while they are at-or-before (lk, lt),
+      // retaining the LATEST qualifying payload for lk
+      def advance(lk: Any, lt: Long): Unit = {
+        var cont = true
+        while (cont && rRow != null) {
+          val rk = rKeyE.eval(rRow)
+          val rt = rTsE.eval(rRow)
+          if (rk == null || rt == null) {
+            rRow = if (rIter.hasNext) rIter.next() else null
+          } else {
+            val c = keyOrd.compare(rk, lk)
+            if (c < 0 || (c == 0 && rt.asInstanceOf[Long] <= lt)) {
+              if (c == 0) {
+                held = matchProj(rRow).copy()
+                heldKey = InternalRow.copyValue(rk)
+                heldTs = rt.asInstanceOf[Long]
+              }
+              rRow = if (rIter.hasNext) rIter.next() else null
+            } else cont = false
+          }
+        }
+      }
+
+      lIter.map { lRow =>
+        val lk = lKeyE.eval(lRow)
+        val lt = lTsE.eval(lRow)
+        var m: InternalRow = nullMatch
+        if (lk != null && lt != null) {
+          if (held != null && keyOrd.compare(heldKey, lk) != 0) held = null
+          advance(lk, lt.asInstanceOf[Long])
+          if (held != null &&
+            tolMicros.forall(t => lt.asInstanceOf[Long] - heldTs <= t)) m = held
+        }
+        outProj(joined(lRow, m))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinNode]] into [[AsofJoinExec]]. */
+class AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsofJoinNode =>
+      AsofJoinExec(n.leftKey, n.leftTs, n.rightKey, n.rightTs, n.payload,
+        n.outAttrs, n.toleranceSeconds,
+        planLater(n.left), planLater(n.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` registration
+  * point; [[GraftExtensions.ensure]] injects the same strategy into an
+  * already-running session via the public experimental hook. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => new AsofJoinStrategy)
+}
+
+object GraftExtensions {
+  def ensure(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsofJoinStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new AsofJoinStrategy
+  }
+
+  /** Build the as-of join through the CUSTOM PLAN NODE (see
+    * [[AsofJoinNode]]); same API shape and semantics as
+    * [[graft.operators.Temporal.asofJoin]] backward. */
+  def asofJoinExec(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, payloadCols: Seq[String],
+                   toleranceSeconds: Option[Double] = None): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one right payload column")
+    val spark = left.sparkSession
+    ensure(spark)
+    val lp = left.queryExecution.analyzed
+    // Re-alias the right side through a fresh Project so its exprIds
+    // can never collide with the left's (both sides often derive from
+    // the same scan — the analyzer's DeduplicateRelations would then
+    // rewrite the child under this node without being able to remap a
+    // custom node's expression fields)
+    val rp0 = right.queryExecution.analyzed
+    val rp: LogicalPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rp0.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"$side side has no column '$n'"))
+    val (lk, lt) = (attr(lp, keyCol, "left"), attr(lp, tsCol, "left"))
+    val (rk, rt) = (attr(rp, keyCol, "right"), attr(rp, tsCol, "right"))
+    require(lt.dataType == TimestampType && rt.dataType == TimestampType,
+      s"'$tsCol' must be TIMESTAMP on both sides (cast upstream), got " +
+        s"${lt.dataType}/${rt.dataType}")
+    require(lk.dataType == rk.dataType,
+      s"key '$keyCol' types differ: ${lk.dataType} vs ${rk.dataType}")
+    val pay = payloadCols.map(attr(rp, _, "right"))
+    val leftNames = lp.output.map(_.name).toSet
+    (payloadCols :+ "asof_ts").foreach(c => require(!leftNames.contains(c),
+      s"output column '$c' clashes with a left column"))
+    val outAttrs = AttributeReference("asof_ts", TimestampType)() +:
+      pay.map(a => AttributeReference(a.name, a.dataType)())
+    org.apache.spark.sql.GraftColumnBridge.dataFrame(spark,
+      AsofJoinNode(lp, rp, lk, lt, rk, rt, pay, outAttrs, toleranceSeconds))
+  }
+}

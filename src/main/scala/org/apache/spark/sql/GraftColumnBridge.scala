@@ -62,4 +62,19 @@ object GraftColumnBridge {
           df.sparkSession.asInstanceOf[classic.SparkSession], s.child)
       case _ => df
     }
+
+  /** DataFrame over an arbitrary (already-resolved) logical plan —
+    * how graft's custom plan nodes (e.g. graft.plans.AsofJoinNode)
+    * enter the public Dataset API (`classic.Dataset.ofRows` is
+    * `private[sql]`, hence the bridge). */
+  def dataFrame(spark: SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Dataset[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Read back the planner strategies an extensions registrar
+    * injected (`buildPlannerStrategies` is `private[sql]`) — lets the
+    * suite assert the `spark.sql.extensions` registration path. */
+  def plannerStrategies(ext: SparkSessionExtensions,
+                        spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Temporal
+import graft.plans.{AsofJoinExec, GraftExtensions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsofJoinPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def sides() = {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(expr("max_by(value, event_id)").as("v"))
+    (clicks, views)
+  }
+
+  test("custom-node as-of equals the window encoding on real events (both tolerances)") {
+    val (clicks, views) = sides()
+    for (tol <- Seq(None, Some(86400.0))) {
+      val want = Temporal.asofJoin(clicks, views, "user_id", "ts", Seq("v"),
+        toleranceSeconds = tol).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(3)), Option(r.get(4)))))
+        .toMap
+      val got = GraftExtensions.asofJoinExec(clicks, views, "user_id", "ts",
+        Seq("v"), toleranceSeconds = tol).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(3)), Option(r.get(4)))))
+        .toMap
+      assert(got == want, s"AsofJoinExec must match the window plan (tol=$tol)")
+    }
+  }
+
+  test("plan shape: AsofJoinExec node, co-partitioning exchanges, sorted children") {
+    // plain (non-pre-aggregated) sides show the canonical shape: one
+    // hash exchange per side, exactly like a sort-merge join
+    val trades = Seq((1L, ts("2024-01-01 10:00:04"), 1L))
+      .toDF("k", "ts", "id")
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 5.0))
+      .toDF("k", "ts", "v")
+    val df = GraftExtensions.asofJoinExec(trades, quotes, "k", "ts", Seq("v"))
+    df.collect()
+    val nodes = PlanWalk.nodes(df)
+    assert(nodes.exists(_.isInstanceOf[AsofJoinExec]),
+      "the strategy must plan the custom physical node")
+    assert(PlanWalk.shuffleCount(df) == 2,
+      "one hash exchange per side, like a sort-merge join")
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("window")),
+      "the custom plan replaces the window encoding entirely")
+  }
+
+  test("NULL contract and tie behavior match the window operator") {
+    val left = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:06")), 1L),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:06")), 2L),
+      (Option(1L), Option.empty[java.sql.Timestamp], 3L),
+      (Option(7L), Option(ts("2024-01-01 10:00:06")), 4L) // key never on right
+    ).toDF("k", "ts", "id")
+    val right = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), 1.0),
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), 2.0), // dup ts: last wins
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), 9.0),
+      (Option(1L), Option.empty[java.sql.Timestamp], 9.0)
+    ).toDF("k", "ts", "v")
+    val out = GraftExtensions.asofJoinExec(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
+    assert(out(1L) == Some(2.0), "latest duplicate-(key,ts) right row wins")
+    assert(out(2L) == None, "NULL left key never matches")
+    assert(out(3L) == None, "NULL left ts never matches")
+    assert(out(4L) == None, "unseen key is left-outer NULL")
+  }
+
+  test("SparkSessionExtensions registration injects the planner strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions()(ext)
+    val strategies = org.apache.spark.sql.GraftColumnBridge
+      .plannerStrategies(ext, spark)
+    assert(strategies.exists(_.isInstanceOf[graft.plans.AsofJoinStrategy]),
+      "spark.sql.extensions=graft.plans.GraftExtensions must register the strategy")
+  }
+
+  test("ensure() is idempotent on the experimental hook") {
+    GraftExtensions.ensure(spark)
+    GraftExtensions.ensure(spark)
+    assert(spark.experimental.extraStrategies
+      .count(_.isInstanceOf[graft.plans.AsofJoinStrategy]) == 1)
+  }
+}
