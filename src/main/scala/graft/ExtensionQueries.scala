@@ -354,7 +354,7 @@ object ExtensionQueries {
     // product-analytics retention triangle over the event log
     "q_events_retention" -> ((s, dir) =>
       det(graft.operators.Windowed.retentionCohorts(events(s, dir),
-        "user_id", "ts", unit = "week"))),
+        "user_id", "ts", unit = "hour"))),
 
     // ordered funnel: view -> click -> purchase, each step at-or-after
     // the user's previous-step time
@@ -1783,6 +1783,17 @@ object ExtensionQueries {
       det(graft.operators.Temporal.resampleLocf(asofViews(s, dir),
         "user_id", "ts", Seq("view_value"), unit = "day"))),
 
+    // 5-row moving stats per user in (ts, event_id) order
+    "q_events_rolling" -> ((s, dir) =>
+      det(graft.operators.Windowed.rollingAgg(events(s, dir),
+        "user_id", "ts", "value", nRows = 5, tieBreakCol = "event_id"))),
+
+    // new vs cumulative users per hour (first-seen trick: running
+    // DISTINCT without a distinct-state window)
+    "q_events_cumulative_users" -> ((s, dir) =>
+      det(graft.operators.Windowed.cumulativeNewKeys(events(s, dir),
+        "user_id", "ts", unit = "hour"))),
+
     // 1-day windows hopping every 6 h: each event lands in 4
     // epoch-aligned windows, expanded row-locally before ONE shuffle
     "q_events_sliding" -> ((s, dir) =>
@@ -2449,6 +2460,12 @@ object ExtensionQueries {
           graft.functions.CardinalitySketch.isExact(col("__m"))
             .as("exact")))
     }),
+
+    // lexical diversity card per lang: TTR + unigram Shannon entropy
+    // (closed form, no probability pass) + perplexity
+    "q_text_diversity" -> ((s, dir) =>
+      det(graft.operators.TextStats.diversityCard(docs(s, dir), "text",
+        Seq("lang")))),
 
     // z-order (Morton) interleave for layout clustering, graded on
     // the raw bit math over lineitem's two key columns (low 16 bits
@@ -3767,6 +3784,34 @@ object ExtensionQueries {
     // overlap with the <= rule)
     "q_events_sessionize" -> SessionizeOracle,
     "q_events_sessionize_native" -> SessionizeOracle,
+    "q_events_rolling" ->
+      s"""SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+         |  round(avg(value) OVER w, 6) AS roll_avg,
+         |  min(value) OVER w AS roll_min,
+         |  max(value) OVER w AS roll_max,
+         |  CAST(count(value) OVER w AS BIGINT) AS roll_n
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id
+         |  ORDER BY CAST(ts AS TIMESTAMP), event_id
+         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id $N1, ts $N1, event_id $N1, value $N1,
+         |  roll_avg $N1, roll_min $N1, roll_max $N1, roll_n $N1""".stripMargin,
+    // running sum over the bucket-cardinality card; CAST the window
+    // sum (DuckDB widens sum(BIGINT) OVER to HUGEINT — the
+    // q_chat_spans class)
+    "q_events_cumulative_users" ->
+      s"""WITH f AS (SELECT user_id,
+         |   min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bucket
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY user_id),
+         |n AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM f GROUP BY bucket)
+         |SELECT bucket, n_new,
+         |  CAST(sum(n_new) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_cumulative
+         |FROM n
+         |ORDER BY bucket $N1, n_new $N1, n_cumulative $N1""".stripMargin,
     // epoch-aligned hop membership reproduced with integer epoch
     // arithmetic: starts are the slide multiples in (ts-width, ts]
     "q_events_sliding" ->
@@ -5524,6 +5569,23 @@ object ExtensionQueries {
     "q_gate_hll" -> "SELECT CAST(1 AS INT) AS ok",
     // the sketch's sparse regime is exact-by-construction, so plain
     // count(DISTINCT) is the oracle (same \\S+ tokenization)
+    // H = log2(T) - sum(c*log2 c)/T over per-(lang, token) counts;
+    // output sums CAST to BIGINT (HUGEINT trap), doubles round-6
+    "q_text_diversity" ->
+      s"""WITH t AS (SELECT lang,
+         |   unnest(regexp_extract_all(text, '\\S+')) AS tok
+         |  FROM documents),
+         |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS type_token_ratio,
+         |  round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 6)
+         |    AS entropy_bits,
+         |  round(pow(2.0, log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt)), 6)
+         |    AS perplexity
+         |FROM c GROUP BY lang
+         |ORDER BY lang $N1, n_tokens $N1, n_types $N1, type_token_ratio $N1,
+         |  entropy_bits $N1, perplexity $N1""".stripMargin,
     // the same 32 shift/mask/or terms, generated: bit j of column i
     // lands at position j*2+i
     "q_layout_zorder" -> {

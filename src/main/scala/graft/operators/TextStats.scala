@@ -2252,4 +2252,37 @@ object TextStats {
       flags.map(f => lit(1) - col(f._1)).reduce(_ + _).as("n_rules_failed"))
       .withColumn("pass", when(col("n_rules_failed") === 0, 1).otherwise(0))
   }
+
+  /**
+   * Lexical DIVERSITY card per group: token/type counts,
+   * type–token ratio, and unigram Shannon entropy in bits (with its
+   * perplexity) — the corpus-mix dashboard row next to the
+   * cross-entropy/KL divergence family. Entropy uses the closed form
+   * `H = log2(T) − (Σ c·log2 c)/T` over the per-group token counts,
+   * so it needs NO second pass to form probabilities: one
+   * (group, token) count shuffle, then one bounded per-group
+   * aggregate. round-6 doubles ([[lengthPercentiles]] convention).
+   */
+  def diversityCard(docs: DataFrame, textCol: String,
+                    byCols: Seq[String]): DataFrame = {
+    require(byCols.nonEmpty, "need at least one grouping column")
+    val counts = docs
+      .select(byCols.map(col) :+ explode(
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol)))
+        .as("__tok"): _*)
+      .groupBy(byCols.map(col) :+ col("__tok"): _*)
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(byCols.map(col): _*)
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c").cast("double") * log2(col("__c"))).as("__s"))
+      .select(byCols.map(col) ++ Seq(
+        col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        round(log2(col("n_tokens")) - col("__s") / col("n_tokens"), 6)
+          .as("entropy_bits"),
+        round(pow(lit(2.0), log2(col("n_tokens")) - col("__s") / col("n_tokens")), 6)
+          .as("perplexity")): _*)
+  }
 }

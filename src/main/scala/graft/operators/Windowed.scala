@@ -119,6 +119,47 @@ object Windowed {
         col("window.end").as("window_end"), col(keyCol),
         col("n_events"), col("sum_value"))
 
+  /**
+   * Rolling ROW-frame aggregates per key: stats over the last
+   * `nRows` rows (inclusive of the current one) in (ts, tie) order —
+   * the moving-average family. `roll_n < nRows` at the head of each
+   * key marks a partial frame rather than padding it. One key
+   * shuffle; all four aggregates share the single frame scan.
+   */
+  def rollingAgg(events: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, nRows: Int,
+                 tieBreakCol: String): DataFrame = {
+    require(nRows >= 1, "nRows must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieBreakCol))
+      .rowsBetween(-(nRows - 1).toLong, Window.currentRow)
+    events.select(col(keyCol), col(tsCol), col(tieBreakCol), col(valueCol),
+      round(avg(col(valueCol)).over(w), 6).as("roll_avg"),
+      min(col(valueCol)).over(w).as("roll_min"),
+      max(col(valueCol)).over(w).as("roll_max"),
+      count(col(valueCol)).over(w).as("roll_n"))
+  }
+
+  /**
+   * Cumulative-adoption card: per `unit` bucket, how many keys were
+   * seen for the FIRST time, and the running total — "new vs
+   * cumulative users per day". Two bounded aggregates (per-key first
+   * bucket, then per-bucket counts); the running sum rides a
+   * single-partition window over the BUCKET-cardinality card frame,
+   * where it is free.
+   */
+  def cumulativeNewKeys(events: DataFrame, keyCol: String, tsCol: String,
+                        unit: String): DataFrame = {
+    val firstSeen = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(date_trunc(unit, col(tsCol))).as("bucket"))
+    firstSeen.groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+      .withColumn("n_cumulative",
+        sum(col("n_new")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Tumbling time-bucket aggregation: count + sum per (bucket, key).
     * `bucket` uses date_trunc so the bucketing is SQL-portable. */
   def timeBucketAgg(events: DataFrame, tsCol: String, keyCol: String,

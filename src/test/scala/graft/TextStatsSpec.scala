@@ -1233,4 +1233,19 @@ class TextStatsSpec extends AnyFunSuite {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       "phrase table must broadcast")
   }
+
+  test("diversityCard: hand-computed entropy, TTR and perplexity") {
+    val docs = Seq(("en", "a a b"), ("de", "x y")).toDF("lang", "text")
+    val out = TextStats.diversityCard(docs, "text", Seq("lang"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // en: T=3, counts {a:2, b:1}: H = log2(3) - (2*log2 2 + 1*log2 1)/3
+    val hEn = math.log(3) / math.log(2) - 2.0 / 3.0
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("en") == ((3L, 2L, 0.666667, r6(hEn), r6(math.pow(2, hEn)))))
+    // de: two singletons: H = 1 bit, perplexity 2
+    assert(out("de") == ((2L, 2L, 1.0, 1.0, 2.0)))
+  }
 }

@@ -127,6 +127,42 @@ class WindowedSpec extends AnyFunSuite {
     assert(dead.getLong(3) == 0 && dead.isNullAt(4))
   }
 
+  test("rollingAgg: partial head frames, 3-row stats in (ts, tie) order") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, 10.0),
+      (1L, ts("2024-01-01 00:00:02"), 2L, 20.0),
+      (1L, ts("2024-01-01 00:00:03"), 3L, 60.0),
+      (1L, ts("2024-01-01 00:00:04"), 4L, 20.0),
+      (2L, ts("2024-01-01 00:00:01"), 5L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Windowed.rollingAgg(ev, "user_id", "ts", "value", nRows = 3,
+      tieBreakCol = "event_id")
+      .collect().map(r => r.getLong(2) ->
+        ((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))).toMap
+    assert(out(1L) == ((10.0, 10.0, 10.0, 1L)), "head frame is partial, not padded")
+    assert(out(2L) == ((15.0, 10.0, 20.0, 2L)))
+    assert(out(3L) == ((30.0, 10.0, 60.0, 3L)))
+    assert(out(4L) == ((round6((20.0 + 60.0 + 20.0) / 3), 20.0, 60.0, 3L)),
+      "frame slides: the first row fell out")
+    assert(out(5L) == ((7.0, 7.0, 7.0, 1L)), "keys never mix")
+  }
+
+  test("cumulativeNewKeys: first-seen buckets, running total, NULLs excluded") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00"))), // u1 first day 1
+      (Option(1L), Option(ts("2024-01-03 10:00:00"))), // later activity ignored
+      (Option(2L), Option(ts("2024-01-01 11:00:00"))), // u2 first day 1
+      (Option(3L), Option(ts("2024-01-03 09:00:00"))), // u3 first day 3
+      (Option.empty[Long], Option(ts("2024-01-01 09:00:00")))
+    ).toDF("user_id", "ts")
+    val out = Windowed.cumulativeNewKeys(ev, "user_id", "ts", "day")
+      .collect().map(r => r.getTimestamp(0).toString.take(10) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("2024-01-01" -> ((2L, 2L)), "2024-01-03" -> ((1L, 3L))))
+  }
+
   test("sessionizeNative equals the lag plan on real events, incl. the <= boundary") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // the boundary case the +1us gap exists for: diff EXACTLY the gap
