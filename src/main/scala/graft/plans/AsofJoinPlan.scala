@@ -141,13 +141,113 @@ case class AsofJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsofJoinNode]] into [[AsofJoinExec]]. */
+/**
+ * Broadcast physical variant of the as-of join — the fact side NEVER
+ * shuffles or sorts: the (small) right side is collected, grouped
+ * into per-key time-sorted history arrays, broadcast, and each left
+ * row resolves with a BINARY SEARCH over its key's history. The
+ * physical twin of [[graft.operators.Temporal.asofJoinBroadcast]]'s
+ * DataFrame encoding, minus its per-row array filter (O(log h) here
+ * vs O(h) there). Chosen by [[AsofJoinStrategy]] cost-based, exactly
+ * like Spark picks BroadcastHashJoin over SortMergeJoin.
+ */
+case class AsofBroadcastExec(
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute],
+    outAttrs: Seq[Attribute],
+    toleranceSeconds: Option[Double],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val rOutput = right.output
+    val rKeyE = BindReferences.bindReference(
+      rightKey: org.apache.spark.sql.catalyst.expressions.Expression, rOutput)
+    val rTsE = BindReferences.bindReference(
+      rightTs: org.apache.spark.sql.catalyst.expressions.Expression, rOutput)
+    val matchExprs = (rightTs +: payload).map(a => BindReferences.bindReference(
+      a: org.apache.spark.sql.catalyst.expressions.Expression, rOutput))
+    val matchProj = UnsafeProjection.create(matchExprs)
+    // driver-side build: key -> histories sorted by ts (stable sort,
+    // so duplicate (key, ts) rows keep arrival order and the binary
+    // search's right-most pick matches the merge exec's "latest wins")
+    val hist: Map[Any, (Array[Long], Array[UnsafeRow])] =
+      right.executeCollect().iterator.flatMap { row =>
+        val k = rKeyE.eval(row)
+        val t = rTsE.eval(row)
+        if (k == null || t == null) Iterator.empty
+        else Iterator((InternalRow.copyValue(k),
+          t.asInstanceOf[Long], matchProj(row).copy()))
+      }.toArray.groupBy(_._1).map { case (k, rows) =>
+        val sorted = rows.sortBy(_._2)
+        (k, (sorted.map(_._2), sorted.map(_._3)))
+      }
+    val bc = sparkContext.broadcast(hist)
+
+    val lOutput = left.output
+    val lKeyE = BindReferences.bindReference(
+      leftKey: org.apache.spark.sql.catalyst.expressions.Expression, lOutput)
+    val lTsE = BindReferences.bindReference(
+      leftTs: org.apache.spark.sql.catalyst.expressions.Expression, lOutput)
+    val outTypes = output.map(_.dataType).toArray
+    val tolMicros = toleranceSeconds.map(t => (t * 1e6).toLong)
+    val matchWidth = payload.size + 1
+
+    left.execute().mapPartitions { lIter =>
+      val outProj = UnsafeProjection.create(outTypes)
+      val joined = new JoinedRow
+      val nullMatch = new GenericInternalRow(matchWidth)
+      val h = bc.value
+      lIter.map { lRow =>
+        val lk = lKeyE.eval(lRow)
+        val lt = lTsE.eval(lRow)
+        var m: InternalRow = nullMatch
+        if (lk != null && lt != null) h.get(lk).foreach { case (tss, rows) =>
+          // right-most index with tss(i) <= lt
+          var lo = 0
+          var hi = tss.length - 1
+          var found = -1
+          val ltv = lt.asInstanceOf[Long]
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tss(mid) <= ltv) { found = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (found >= 0 && tolMicros.forall(t => ltv - tss(found) <= t))
+            m = rows(found)
+        }
+        outProj(joined(lRow, m))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofBroadcastExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinNode]] COST-BASED: a right side whose stats fit
+  * under `spark.sql.autoBroadcastJoinThreshold` gets the broadcast
+  * binary-search exec (fact side untouched); otherwise the
+  * co-partitioned two-pointer merge — the same decision shape as
+  * Spark's BroadcastHashJoin vs SortMergeJoin. */
 class AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsofJoinNode =>
-      AsofJoinExec(n.leftKey, n.leftTs, n.rightKey, n.rightTs, n.payload,
-        n.outAttrs, n.toleranceSeconds,
-        planLater(n.left), planLater(n.right)) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && n.right.stats.sizeInBytes <= threshold)
+          AsofBroadcastExec(n.leftKey, n.leftTs, n.rightKey, n.rightTs,
+            n.payload, n.outAttrs, n.toleranceSeconds,
+            planLater(n.left), planLater(n.right))
+        else
+          AsofJoinExec(n.leftKey, n.leftTs, n.rightKey, n.rightTs, n.payload,
+            n.outAttrs, n.toleranceSeconds,
+            planLater(n.left), planLater(n.right))
+      exec :: Nil
     case _ => Nil
   }
 }

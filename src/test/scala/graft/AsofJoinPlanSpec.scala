@@ -22,37 +22,67 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     (clicks, views)
   }
 
-  test("custom-node as-of equals the window encoding on real events (both tolerances)") {
+  /** Run `body` with spark.sql.autoBroadcastJoinThreshold set. */
+  private def withThreshold[T](v: String)(body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, v)
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("custom-node as-of equals the window encoding on real events (both paths, both tolerances)") {
     val (clicks, views) = sides()
     for (tol <- Seq(None, Some(86400.0))) {
       val want = Temporal.asofJoin(clicks, views, "user_id", "ts", Seq("v"),
         toleranceSeconds = tol).collect()
         .map(r => r.getLong(0) -> ((Option(r.getTimestamp(3)), Option(r.get(4)))))
         .toMap
-      val got = GraftExtensions.asofJoinExec(clicks, views, "user_id", "ts",
-        Seq("v"), toleranceSeconds = tol).collect()
-        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(3)), Option(r.get(4)))))
-        .toMap
-      assert(got == want, s"AsofJoinExec must match the window plan (tol=$tol)")
+      for (threshold <- Seq("-1", "10485760")) withThreshold(threshold) {
+        val got = GraftExtensions.asofJoinExec(clicks, views, "user_id", "ts",
+          Seq("v"), toleranceSeconds = tol).collect()
+          .map(r => r.getLong(0) -> ((Option(r.getTimestamp(3)), Option(r.get(4)))))
+          .toMap
+        assert(got == want,
+          s"custom-node as-of must match the window plan (tol=$tol, thr=$threshold)")
+      }
     }
   }
 
-  test("plan shape: AsofJoinExec node, co-partitioning exchanges, sorted children") {
-    // plain (non-pre-aggregated) sides show the canonical shape: one
-    // hash exchange per side, exactly like a sort-merge join
-    val trades = Seq((1L, ts("2024-01-01 10:00:04"), 1L))
-      .toDF("k", "ts", "id")
-    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 5.0))
-      .toDF("k", "ts", "v")
+  test("plan shape: merge exec when broadcast is off — co-partitioning exchanges") {
+    withThreshold("-1") {
+      // plain (non-pre-aggregated) sides show the canonical shape: one
+      // hash exchange per side, exactly like a sort-merge join
+      val trades = Seq((1L, ts("2024-01-01 10:00:04"), 1L))
+        .toDF("k", "ts", "id")
+      val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 5.0))
+        .toDF("k", "ts", "v")
+      val df = GraftExtensions.asofJoinExec(trades, quotes, "k", "ts", Seq("v"))
+      df.collect()
+      val nodes = PlanWalk.nodes(df)
+      assert(nodes.exists(_.isInstanceOf[AsofJoinExec]),
+        "the strategy must plan the custom physical node")
+      assert(PlanWalk.shuffleCount(df) == 2,
+        "one hash exchange per side, like a sort-merge join")
+      assert(!nodes.exists(_.nodeName.toLowerCase.contains("window")),
+        "the custom plan replaces the window encoding entirely")
+    }
+  }
+
+  test("cost-based pick: small right side plans AsofBroadcastExec, fact side unshuffled") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:04"), 1L),
+      (1L, ts("2024-01-01 09:00:00"), 2L)).toDF("k", "ts", "id")
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 5.0),
+      (1L, ts("2024-01-01 10:00:00"), 6.0), // dup ts: latest arrival wins
+      (2L, ts("2024-01-01 10:00:00"), 7.0)).toDF("k", "ts", "v")
     val df = GraftExtensions.asofJoinExec(trades, quotes, "k", "ts", Seq("v"))
-    df.collect()
+    val rows = df.collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
     val nodes = PlanWalk.nodes(df)
-    assert(nodes.exists(_.isInstanceOf[AsofJoinExec]),
-      "the strategy must plan the custom physical node")
-    assert(PlanWalk.shuffleCount(df) == 2,
-      "one hash exchange per side, like a sort-merge join")
-    assert(!nodes.exists(_.nodeName.toLowerCase.contains("window")),
-      "the custom plan replaces the window encoding entirely")
+    assert(nodes.exists(_.isInstanceOf[graft.plans.AsofBroadcastExec]),
+      "a 3-row right side sits under the default 10MB threshold")
+    assert(PlanWalk.shuffleCount(df) == 0,
+      "neither side shuffles on the broadcast path")
+    assert(rows(1L) == Some(6.0), "binary search picks the latest duplicate")
+    assert(rows(2L) == None)
   }
 
   test("NULL contract and tie behavior match the window operator") {
