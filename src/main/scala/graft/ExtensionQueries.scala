@@ -354,7 +354,7 @@ object ExtensionQueries {
     // product-analytics retention triangle over the event log
     "q_events_retention" -> ((s, dir) =>
       det(graft.operators.Windowed.retentionCohorts(events(s, dir),
-        "user_id", "ts", unit = "hour"))),
+        "user_id", "ts", unit = "week"))),
 
     // ordered funnel: view -> click -> purchase, each step at-or-after
     // the user's previous-step time
