@@ -1783,6 +1783,23 @@ object ExtensionQueries {
       det(graft.operators.Temporal.resampleLocf(asofViews(s, dir),
         "user_id", "ts", Seq("view_value"), unit = "day"))),
 
+    // per-user behavioral feature vector: one count column per event
+    // type (explicit value list — no distinct-collect, fixed schema)
+    "q_events_pivot" -> ((s, dir) =>
+      det(graft.operators.Windowed.pivotCounts(events(s, dir),
+        "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view")))),
+
+    // the inverse reshaping: melt the pivot back to long format
+    // (zero cells kept — the melt is row-local, no shuffle added)
+    "q_events_unpivot" -> ((s, dir) =>
+      det(graft.operators.Windowed.unpivotCounts(
+        graft.operators.Windowed.pivotCounts(events(s, dir),
+          "user_id", "event_type",
+          Seq("click", "error", "purchase", "signup", "view")),
+        "user_id", Seq("click", "error", "purchase", "signup", "view"),
+        "event_type", "n_events"))),
+
     // 5-row moving stats per user in (ts, event_id) order
     "q_events_rolling" -> ((s, dir) =>
       det(graft.operators.Windowed.rollingAgg(events(s, dir),
@@ -3784,6 +3801,29 @@ object ExtensionQueries {
     // overlap with the <= rule)
     "q_events_sessionize" -> SessionizeOracle,
     "q_events_sessionize_native" -> SessionizeOracle,
+    "q_events_pivot" ->
+      s"""SELECT user_id,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         |FROM events GROUP BY user_id
+         |ORDER BY user_id $N1, click $N1, error $N1, purchase $N1,
+         |  signup $N1, view $N1""".stripMargin,
+    // the melt keeps zero cells: users x the 5 literal types,
+    // left-joined counts, zero-coalesced
+    "q_events_unpivot" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |t AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+         |   'view']) AS event_type),
+         |c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT u.user_id, t.event_type,
+         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+         |FROM u CROSS JOIN t
+         |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+         |ORDER BY u.user_id $N1, t.event_type $N1, n_events $N1""".stripMargin,
     "q_events_rolling" ->
       s"""SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
          |  round(avg(value) OVER w, 6) AS roll_avg,

@@ -160,6 +160,30 @@ object Windowed {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /**
+   * Wide per-key FEATURE VECTOR via pivot: one row per key, one
+   * count column per `values` entry (zero-filled). The values list
+   * is REQUIRED: an unlisted pivot makes Spark run a distinct-collect
+   * over the pivot column first — unbounded at 100 TB — and pins the
+   * output schema to the data; listing them keeps the plan one
+   * aggregate with a fixed schema.
+   */
+  def pivotCounts(events: DataFrame, keyCol: String, pivotCol: String,
+                  values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivot values must be listed explicitly")
+    events.groupBy(col(keyCol))
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      .na.fill(0L, values)
+  }
+
+  /** Inverse reshaping: melt the wide [[pivotCounts]] frame back to
+    * (key, varName, valName) long format — Spark's `unpivot`, which
+    * expands row-locally (no shuffle). */
+  def unpivotCounts(wide: DataFrame, keyCol: String, values: Seq[String],
+                    varName: String, valName: String): DataFrame =
+    wide.unpivot(Array(col(keyCol)), values.map(col).toArray, varName, valName)
+
   /** Tumbling time-bucket aggregation: count + sum per (bucket, key).
     * `bucket` uses date_trunc so the bucketing is SQL-portable. */
   def timeBucketAgg(events: DataFrame, tsCol: String, keyCol: String,

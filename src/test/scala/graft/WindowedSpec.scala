@@ -163,6 +163,21 @@ class WindowedSpec extends AnyFunSuite {
     assert(out == Map("2024-01-01" -> ((2L, 2L)), "2024-01-03" -> ((1L, 3L))))
   }
 
+  test("pivotCounts zero-fills and unpivot inverts it exactly") {
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"))
+      .toDF("user_id", "event_type")
+    val wide = Windowed.pivotCounts(ev, "user_id", "event_type", Seq("a", "b", "c"))
+    val w = wide.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(w(1L) == ((2L, 1L, 0L)) && w(2L) == ((0L, 1L, 0L)),
+      "absent combinations zero-fill, unlisted values drop")
+    val long = Windowed.unpivotCounts(wide, "user_id", Seq("a", "b", "c"),
+      "event_type", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(long.size == 6 && long((1L, "a")) == 2L && long((2L, "c")) == 0L,
+      "melt keeps every (key, value) cell including zeros")
+  }
+
   test("sessionizeNative equals the lag plan on real events, incl. the <= boundary") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // the boundary case the +1us gap exists for: diff EXACTLY the gap
