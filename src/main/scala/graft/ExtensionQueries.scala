@@ -415,6 +415,12 @@ object ExtensionQueries {
         asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
         Seq("view_value")))),
 
+    // time-weighted mean of each user's value series (step-function
+    // integral; plain avg is wrong under irregular sampling)
+    "q_events_twa" -> ((s, dir) =>
+      det(graft.operators.Temporal.timeWeightedAvg(events(s, dir),
+        "user_id", "ts", "value", tieCol = "event_id"))),
+
     // SCD2 build: the user's event-type episode history — same-ts
     // dups resolved by max event_id, unchanged repeats collapsed,
     // half-open [valid_from, valid_to) intervals + version counter
@@ -4009,6 +4015,22 @@ object ExtensionQueries {
          |FROM g ASOF LEFT JOIN v
          |  ON g.user_id = v.user_id AND g.grid_ts >= v.ts
          |ORDER BY g.user_id $N1, grid_ts $N1, asof_ts $N1, view_value $N1""".stripMargin,
+    // lead-duration weights; last point carries none; 0/0 -> NULL
+    "q_events_twa" ->
+      s"""WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |   event_id
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND value IS NOT NULL),
+         |d AS (SELECT user_id, value,
+         |   epoch(lead(ts) OVER (PARTITION BY user_id
+         |     ORDER BY ts, event_id)) - epoch(ts) AS dur
+         |  FROM l)
+         |SELECT user_id, round(sum(value * dur) / sum(dur), 6) AS twa,
+         |  round(sum(dur), 6) AS span_sec,
+         |  CAST(count(*) AS BIGINT) AS n_points
+         |FROM d GROUP BY user_id
+         |ORDER BY user_id $N1, twa $N1, span_sec $N1, n_points $N1""".stripMargin,
     // arg_max same-ts dedup, IS DISTINCT FROM change filter, lead +
     // row_number over the episode frame — the lag/lead SCD2 canon
     "q_events_scd2" ->

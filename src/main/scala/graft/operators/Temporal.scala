@@ -140,6 +140,41 @@ object Temporal {
   }
 
   /**
+   * Time-weighted average per key: each observation's value is
+   * weighted by how long it REMAINED CURRENT (until the next
+   * observation), the step-function integral the plain `avg` gets
+   * wrong whenever sampling is irregular (a sensor that reports
+   * often while idle drags the unweighted mean). The last
+   * observation has no successor and carries no weight; keys with a
+   * single observation report NULL twa over a NULL span. Same-ts
+   * duplicates self-eliminate (zero duration) with the max-`tieCol`
+   * row spanning forward — consistent with [[changeIntervals]], and
+   * value-collapse-invariant: computing over the SCD2 episodes gives
+   * the same number (spec-pinned).
+   *
+   * Output: (keyCol, twa, span_sec, n_points), round-6 doubles.
+   * 100 TB design: one key shuffle; the lead window and the final
+   * aggregate share it.
+   */
+  def timeWeightedAvg(log: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).cast("timestamp"), col(tieCol))
+    log
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .withColumn("__dur",
+        lead(col(tsCol).cast("timestamp"), 1).over(w).cast("double") -
+          col(tsCol).cast("timestamp").cast("double"))
+      .groupBy(col(keyCol))
+      .agg(
+        round(sum(col(valueCol) * col("__dur")) / sum(col("__dur")), 6)
+          .as("twa"),
+        round(sum(col("__dur")), 6).as("span_sec"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /**
    * Resample-with-forward-fill (LOCF): regularize an irregular
    * per-key series onto a `unit` grid (day/hour/minute), each grid
    * point carrying the last observation at-or-before it — the

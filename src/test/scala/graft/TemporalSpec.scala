@@ -217,6 +217,40 @@ class TemporalSpec extends AnyFunSuite {
       "aggregate + three window passes must share the user_id exchange")
   }
 
+  test("timeWeightedAvg: step-function integral, single-point NULL, collapse invariance") {
+    val log = Seq(
+      // key 1: v=10 for 10 s, then v=40 for 30 s -> twa = (100+1200)/40
+      (1L, ts("2024-01-01 00:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 00:00:10"), 40.0, 2L),
+      (1L, ts("2024-01-01 00:00:40"), 7.0, 3L), // last point: no weight
+      (2L, ts("2024-01-01 00:00:00"), 99.0, 4L) // single point
+    ).toDF("k", "ts", "v", "tie")
+    val out = Temporal.timeWeightedAvg(log, "k", "ts", "v", "tie")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getLong(3)))).toMap
+    assert(out(1L) == ((Some(32.5), Some(40.0), 3L)))
+    assert(out(2L) == ((None, None, 1L)), "no span, NULL twa")
+    // collapse invariance: repeating the current value changes nothing
+    val withRepeat = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 00:00:05"), 10.0, 9L), // redundant re-report
+      (1L, ts("2024-01-01 00:00:10"), 40.0, 2L),
+      (1L, ts("2024-01-01 00:00:40"), 7.0, 3L)
+    ).toDF("k", "ts", "v", "tie")
+    val r = Temporal.timeWeightedAvg(withRepeat, "k", "ts", "v", "tie")
+      .filter(col("k") === 1L).head()
+    assert(r.getDouble(1) == 32.5 && r.getDouble(2) == 40.0,
+      "episode collapse (changeIntervals semantics) preserves the integral")
+    // same-ts duplicate: zero duration, max tie spans forward
+    val dup = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0, 1L),
+      (1L, ts("2024-01-01 00:00:00"), 3.0, 2L),
+      (1L, ts("2024-01-01 00:00:10"), 5.0, 3L)
+    ).toDF("k", "ts", "v", "tie")
+    val d = Temporal.timeWeightedAvg(dup, "k", "ts", "v", "tie").head()
+    assert(d.getDouble(1) == 3.0, "the max-tie duplicate carries the span")
+  }
+
   test("resampleLocf: daily grid, forward fill, NULL before first observation") {
     val log = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
