@@ -1789,6 +1789,22 @@ object ExtensionQueries {
       det(graft.operators.Temporal.resampleLocf(asofViews(s, dir),
         "user_id", "ts", Seq("view_value"), unit = "day"))),
 
+    // k-anonymity suppression on the (event_type, hour) quasi-key:
+    // only rows in groups of >= 5 survive, group_size rides along
+    "q_privacy_kanon" -> ((s, dir) =>
+      det(graft.operators.Sampling.suppressSmallGroups(
+        events(s, dir).select(col("event_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("hour")),
+        Seq("event_type", "hour"), k = 5))),
+
+    // Spark 4 VARIANT ingestion: parse the semi-structured props
+    // column once, extract a typed path (schema-on-read without a
+    // declared struct — the from_json twin for open schemas)
+    "q_events_variant" -> ((s, dir) =>
+      det(events(s, dir).select(col("event_id"),
+        try_variant_get(parse_json(col("props")), "$.k", "int")
+          .as("k_val")))),
+
     // per-user behavioral feature vector: one count column per event
     // type (explicit value list — no distinct-collect, fixed schema)
     "q_events_pivot" -> ((s, dir) =>
@@ -3807,6 +3823,24 @@ object ExtensionQueries {
     // overlap with the <= rule)
     "q_events_sessionize" -> SessionizeOracle,
     "q_events_sessionize_native" -> SessionizeOracle,
+    // the same window count + floor filter (a JOIN-back formulation
+    // would drop NULL quasi groups — they ARE groups under k-anon)
+    "q_privacy_kanon" ->
+      s"""WITH g AS (SELECT event_id, event_type,
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |   CAST(count(*) OVER (PARTITION BY event_type,
+         |     date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+         |     AS group_size
+         |  FROM events)
+         |SELECT event_id, event_type, hour, group_size FROM g
+         |WHERE group_size >= 5
+         |ORDER BY event_id $N1, event_type $N1, hour $N1,
+         |  group_size $N1""".stripMargin,
+    "q_events_variant" ->
+      s"""SELECT event_id,
+         |  CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k_val
+         |FROM events
+         |ORDER BY event_id $N1, k_val $N1""".stripMargin,
     "q_events_pivot" ->
       s"""SELECT user_id,
          |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

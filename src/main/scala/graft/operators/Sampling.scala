@@ -612,4 +612,27 @@ object Sampling {
         (col("stratum_rank").cast(DoubleType) + lit(0.5)) / col("__w"))
       .drop("__w", "__shard", "__u", "__r", "__st", "__sh", "__off")
   }
+
+  /**
+   * k-ANONYMITY suppression — the tabular-privacy primitive next to
+   * the text-level PII redaction: keep only rows whose
+   * quasi-identifier combination is shared by at least `k` rows, so
+   * no released row is attributable to fewer than k individuals
+   * (Sweeney 2002). Small groups are DROPPED (suppression), not
+   * generalized — generalization hierarchies are a policy input this
+   * engine does not invent. `group_size` rides along so downstream
+   * audits can verify the floor.
+   *
+   * 100 TB design: ONE quasi-key window count (no join back — a join
+   * on the quasi columns would both re-shuffle and silently drop
+   * NULL-valued quasi groups, which ARE groups under k-anonymity).
+   */
+  def suppressSmallGroups(df: DataFrame, quasiCols: Seq[String],
+                          k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("group_size", count(lit(1)).over(w))
+      .filter(col("group_size") >= k)
+  }
 }

@@ -481,4 +481,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(winSpecs.forall(s => s.length == 2 || s.exists(_.contains("__st"))),
       s"no corpus window may partition on the stratum alone, got $winSpecs")
   }
+
+  test("suppressSmallGroups: k floor, NULL quasi values form a real group") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, Some("a")), // group of 3
+      (4L, Some("b")), // singleton -> suppressed
+      (5L, None), (6L, None), (7L, None) // NULL group of 3 SURVIVES
+    ).toDF("id", "q")
+    val out = Sampling.suppressSmallGroups(rows, Seq("q"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L, 6L, 7L),
+      "the singleton is suppressed; the NULL group counts as a group")
+    assert(out.values.forall(_ == 3L))
+  }
 }
