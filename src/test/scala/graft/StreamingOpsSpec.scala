@@ -925,6 +925,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(okById(4L) == ((false, null)), "empty rejected: invalid, NULL ratio")
   }
 
+  test("batch asofJoinBroadcast runs UNCHANGED as a stream-static enrichment") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static dimension history; streaming fact side — the broadcast
+    // as-of is stateless (broadcast join + row-local array pick), so
+    // the same operator code compiles to a stream-static plan
+    val hist = Seq((1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 01:00:00"), 20.0)).toDF("k", "ts", "v")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = graft.operators.Temporal.asofJoinBroadcast(
+      mem.toDF().toDF("k", "ts", "id"), hist, "k", "ts", Seq("v"))
+    val q = out.writeStream.format("memory").queryName("asof_static")
+      .outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 00:30:00"), 1L),
+      (1L, ts("2024-01-01 02:00:00"), 2L),
+      (2L, ts("2024-01-01 02:00:00"), 3L))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id, v FROM asof_static").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    q.stop()
+    assert(got == Map(1L -> Some(10.0), 2L -> Some(20.0), 3L -> None))
+  }
+
   test("streamingIntervalJoin: stream-stream pairs inside the window, cross-batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
