@@ -1789,6 +1789,22 @@ object ExtensionQueries {
       det(graft.operators.Temporal.resampleLocf(asofViews(s, dir),
         "user_id", "ts", Seq("view_value"), unit = "day"))),
 
+    // OHLC decimation per (event_type, hour): endpoint picks via
+    // min_by/max_by on a packed (micros, tie) struct — one aggregate,
+    // no window pass
+    "q_events_ohlc" -> ((s, dir) =>
+      det(graft.operators.Windowed.ohlcAgg(events(s, dir),
+        "event_type", "ts", "value", unit = "hour",
+        tieBreakCol = "event_id"))),
+
+    // OLAP ROLLUP subtotals over (event_type, day): every prefix
+    // level in ONE aggregate shuffle, ANSI NULL markers
+    "q_events_rollup" -> ((s, dir) =>
+      det(graft.operators.Windowed.rollupAgg(
+        events(s, dir).select(col("event_type"),
+          date_trunc("day", col("ts")).as("day"), col("value")),
+        Seq("event_type", "day"), "value"))),
+
     // k-anonymity suppression on the (event_type, hour) quasi-key:
     // only rows in groups of >= 5 survive, group_size rides along
     "q_privacy_kanon" -> ((s, dir) =>
@@ -3823,6 +3839,37 @@ object ExtensionQueries {
     // overlap with the <= rule)
     "q_events_sessionize" -> SessionizeOracle,
     "q_events_sessionize_native" -> SessionizeOracle,
+    // endpoints via full-frame first/last windows (all rows in a
+    // group agree, min/max collapses them) — composite arg_min
+    // ordering is not portable, the window formulation is
+    "q_events_ohlc" ->
+      s"""WITH e AS (SELECT event_type,
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, value,
+         |   CAST(ts AS TIMESTAMP) AS tts, event_id FROM events),
+         |w AS (SELECT event_type, bucket, value,
+         |   first_value(value) OVER (PARTITION BY event_type, bucket
+         |     ORDER BY tts, event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |     AS o,
+         |   last_value(value) OVER (PARTITION BY event_type, bucket
+         |     ORDER BY tts, event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |     AS c
+         |  FROM e)
+         |SELECT event_type, bucket, min(o) AS open, max(value) AS high,
+         |  min(value) AS low, min(c) AS close,
+         |  CAST(count(*) AS BIGINT) AS n_points
+         |FROM w GROUP BY event_type, bucket
+         |ORDER BY event_type $N1, bucket $N1, open $N1, high $N1, low $N1,
+         |  close $N1, n_points $N1""".stripMargin,
+    "q_events_rollup" ->
+      s"""SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  round(sum(value), 2) AS sum_value
+         |FROM events
+         |GROUP BY ROLLUP(event_type, day)
+         |ORDER BY event_type $N1, day $N1, n_events $N1,
+         |  sum_value $N1""".stripMargin,
     // the same window count + floor filter (a JOIN-back formulation
     // would drop NULL quasi groups — they ARE groups under k-anon)
     "q_privacy_kanon" ->

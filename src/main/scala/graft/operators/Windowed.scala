@@ -184,6 +184,43 @@ object Windowed {
                     varName: String, valName: String): DataFrame =
     wide.unpivot(Array(col(keyCol)), values.map(col).toArray, varName, valName)
 
+  /**
+   * OHLC (open/high/low/close) bucket aggregation — the standard
+   * series-decimation shape for telemetry and market data: per
+   * (key, `unit` bucket), the first and last value in (ts, tie)
+   * order plus min/max and count. `min_by`/`max_by` on a packed
+   * (epoch-micros, tie) struct pick the endpoints inside ONE
+   * map-side-combined aggregate — no window pass, no second shuffle.
+   */
+  def ohlcAgg(events: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String, unit: String,
+              tieBreakCol: String): DataFrame = {
+    val ord = struct(unix_micros(col(tsCol).cast("timestamp")),
+      col(tieBreakCol))
+    events
+      .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /**
+   * ROLLUP subtotal card: counts + sums at every prefix level of the
+   * grouping columns (the OLAP drill-down shape — (a, b), (a), ()).
+   * Spark expands the grouping sets BEFORE one aggregate shuffle;
+   * subtotal rows carry NULL in the rolled-up columns, exactly the
+   * ANSI contract DuckDB replays.
+   */
+  def rollupAgg(events: DataFrame, groupCols: Seq[String],
+                valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    events.rollup(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+  }
+
   /** Tumbling time-bucket aggregation: count + sum per (bucket, key).
     * `bucket` uses date_trunc so the bucketing is SQL-portable. */
   def timeBucketAgg(events: DataFrame, tsCol: String, keyCol: String,

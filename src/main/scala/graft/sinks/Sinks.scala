@@ -171,6 +171,60 @@ final case class JdbcSink(
     } finally c.close()
   }
 
+  /**
+   * Keyed UPSERT — the idempotent write the STREAMING loader needs:
+   * a replayed micro-batch (failure recovery re-delivers the same
+   * rows) converges to the same table state, where a plain append
+   * would duplicate. Spelled as batched DELETE-by-key + INSERT
+   * inside one transaction per partition — portable across dialects
+   * (Derby's MERGE cannot take a VALUES source), and exactly the
+   * per-key last-write-wins semantics an upsert promises. In-batch
+   * duplicate keys are collapsed first (arbitrary survivor —
+   * dedup upstream for a deterministic one). Executor-side:
+   * each partition opens one connection, so a 1000-task write is
+   * 1000 parallel transactions, not a driver loop.
+   */
+  def upsert(table: String, df: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val cols = df.columns.toSeq
+    keyCols.foreach(k => require(cols.contains(k), s"missing key column '$k'"))
+    val t = JdbcSink.rawTableName(table)
+    val deleteSql = s"DELETE FROM $t WHERE " +
+      keyCols.map(k => s"${JdbcSink.quote(k)} = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO $t (${cols.map(JdbcSink.quote).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val keyIdx = keyCols.map(cols.indexOf)
+    val (u, us, pw, bs) = (url, user, password, batchSize)
+    df.dropDuplicates(keyCols).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conn = java.sql.DriverManager.getConnection(u, us, pw)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(deleteSql)
+          val ins = conn.prepareStatement(insertSql)
+          try {
+            var n = 0
+            rows.foreach { r =>
+              keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+                del.setObject(pi + 1, r.get(ci))
+              }
+              del.addBatch()
+              cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+              ins.addBatch()
+              n += 1
+              if (n % bs == 0) { del.executeBatch(); ins.executeBatch() }
+            }
+            del.executeBatch(); ins.executeBatch()
+            conn.commit()
+          } finally { del.close(); ins.close() }
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: java.sql.SQLException => () }
+            throw e
+        } finally conn.close()
+    }
+  }
+
   /** Self-lookup compat mode (SURVEY §7.5.4): post-write UPDATE fixup for
     * targets preloaded with other data — same effect as the reference's
     * Postgres-only `UPDATE … FROM` (plugins/default_loader.py:128-141)

@@ -204,6 +204,27 @@ object StreamingOps {
   }
 
   /**
+   * Streaming JDBC loading with IDEMPOTENT micro-batches: foreachBatch
+   * → [[graft.sinks.JdbcSink.upsert]] (keyed delete+insert in one
+   * transaction per partition). Failure recovery replays a
+   * micro-batch from the checkpoint; an append sink would duplicate
+   * every replayed row, the upsert converges to the same state — the
+   * standard exactly-once-effects recipe for non-transactional,
+   * non-offset-aware sinks. The checkpoint location carries the
+   * stream's progress; keyCols must identify a row.
+   */
+  def streamingJdbcUpsert(stream: DataFrame, sink: graft.sinks.JdbcSink,
+                          table: String, keyCols: Seq[String],
+                          checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink.upsert(table, batch.toDF(), keyCols)
+      }
+      .start()
+
+  /**
    * Watermarked STREAM-STREAM interval join — Spark's native
    * stream-stream join machinery, which none of the other streaming
    * operators exercise (they are stream-static or stateful-single-

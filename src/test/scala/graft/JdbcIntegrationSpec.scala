@@ -287,4 +287,43 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     assert(emp(1) == Some("SALES") && emp(3) == Some("ENGINEERING"))
     assert(emp(6).isEmpty) // unknown key -> on_missing null
   }
+
+  test("upsert: keyed delete+insert is idempotent and last-write-wins") {
+    import spark.implicits._
+    exec("""CREATE TABLE ups ("k" INT, "v" VARCHAR(20))""")
+    val s = JdbcSink(url, "", "")
+    def state(): Map[Int, String] =
+      spark.read.format("jdbc").option("url", url).option("dbtable", "ups")
+        .load().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    s.upsert("ups", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    assert(state() == Map(1 -> "a", 2 -> "b"))
+    // overlapping batch: key 2 updates, key 3 inserts
+    val b2 = Seq((2, "B"), (3, "c")).toDF("k", "v")
+    s.upsert("ups", b2, Seq("k"))
+    assert(state() == Map(1 -> "a", 2 -> "B", 3 -> "c"))
+    // REPLAY of the same batch (failure recovery) changes nothing
+    s.upsert("ups", b2, Seq("k"))
+    assert(state() == Map(1 -> "a", 2 -> "B", 3 -> "c"),
+      "a replayed micro-batch must converge, not duplicate")
+  }
+
+  test("streamingJdbcUpsert: micro-batches land exactly-once-effects via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    exec("""CREATE TABLE sups ("k" INT, "v" VARCHAR(20))""")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+    val q = graft.streaming.StreamingOps.streamingJdbcUpsert(
+      mem.toDF().toDF("k", "v"), JdbcSink(url, "", ""), "sups", Seq("k"), ckpt)
+    mem.addData((1, "a"), (2, "b"))
+    q.processAllAvailable()
+    mem.addData((2, "B2"), (3, "c")) // second batch overwrites key 2
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "sups").load().collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a", 2 -> "B2", 3 -> "c"))
+  }
 }

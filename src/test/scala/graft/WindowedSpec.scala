@@ -163,6 +163,39 @@ class WindowedSpec extends AnyFunSuite {
     assert(out == Map("2024-01-01" -> ((2L, 2L)), "2024-01-03" -> ((1L, 3L))))
   }
 
+  test("ohlcAgg: endpoint picks by (ts, tie), extremes, per-bucket isolation") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (ts("2024-01-01 10:05:00"), "a", 3.0, 1L),
+      (ts("2024-01-01 10:01:00"), "a", 9.0, 2L), // earliest -> open
+      (ts("2024-01-01 10:59:00"), "a", 1.0, 3L), // latest -> close, low
+      (ts("2024-01-01 10:59:00"), "a", 4.0, 4L), // same ts, larger tie -> close
+      (ts("2024-01-01 11:10:00"), "a", 7.0, 5L), // next bucket
+      (ts("2024-01-01 10:30:00"), "b", 2.0, 6L)
+    ).toDF("ts", "event_type", "value", "event_id")
+    val out = Windowed.ohlcAgg(ev, "event_type", "ts", "value", "hour",
+      "event_id")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(13)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    assert(out(("a", "2024-01-01 10")) == ((9.0, 9.0, 1.0, 4.0, 4L)),
+      "open=earliest, close=max-tie at the latest ts, high/low extremes")
+    assert(out(("a", "2024-01-01 11")) == ((7.0, 7.0, 7.0, 7.0, 1L)))
+    assert(out(("b", "2024-01-01 10")) == ((2.0, 2.0, 2.0, 2.0, 1L)))
+  }
+
+  test("rollupAgg: prefix subtotal levels with ANSI NULL markers") {
+    val ev = Seq(("x", "d1", 1.0), ("x", "d1", 2.0), ("x", "d2", 4.0),
+      ("y", "d1", 8.0)).toDF("t", "d", "value")
+    val out = Windowed.rollupAgg(ev, Seq("t", "d"), "value")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((Some("x"), Some("d1"))) == ((2L, 3.0)))
+    assert(out((Some("x"), None)) == ((3L, 7.0)), "per-t subtotal")
+    assert(out((None, None)) == ((4L, 15.0)), "grand total")
+    assert(out.size == 6, "(t,d) x3 + t-subtotals x2 + grand total")
+  }
+
   test("pivotCounts zero-fills and unpivot inverts it exactly") {
     val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"))
       .toDF("user_id", "event_type")
