@@ -228,6 +228,42 @@ case class AsofBroadcastExec(
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Optimizer rule for the custom node — the `Rule[LogicalPlan]` rung
+ * of the ladder: Catalyst's own PushDownPredicates cannot see through
+ * an unknown node, so a `filter` over an as-of output would run AFTER
+ * the join, scanning and sorting fact rows the predicate was about to
+ * discard. A predicate referencing ONLY left-side columns commutes
+ * with the as-of join (each output row's left part is its left input
+ * row, and dropping left rows cannot change any other row's match),
+ * so it pushes into the left child — from where the stock rules carry
+ * it all the way to the scan. Predicates touching the produced
+ * columns (asof_ts/payload) stay put.
+ */
+object AsofFilterPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, j: AsofJoinNode) =>
+      val leftSet = j.left.outputSet
+      val (pushable, kept) = splitConjuncts(cond)
+        .partition(c => c.references.subsetOf(leftSet) && c.deterministic)
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left =
+          Filter(pushable.reduce(And), j.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans [[AsofJoinNode]] COST-BASED: a right side whose stats fit
   * under `spark.sql.autoBroadcastJoinThreshold` gets the broadcast
   * binary-search exec (fact side untouched); otherwise the
@@ -256,8 +292,10 @@ class AsofJoinStrategy extends SparkStrategy {
   * point; [[GraftExtensions.ensure]] injects the same strategy into an
   * already-running session via the public experimental hook. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => new AsofJoinStrategy)
+    e.injectOptimizerRule(_ => AsofFilterPushdown)
+  }
 }
 
 object GraftExtensions {
@@ -265,6 +303,9 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsofJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsofFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofFilterPushdown
   }
 
   /** Build the as-of join through the CUSTOM PLAN NODE (see

@@ -106,6 +106,41 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     assert(out(4L) == None, "unseen key is left-outer NULL")
   }
 
+  test("AsofFilterPushdown: left-only predicates sink below the node to the scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val (clicks, views) = sides()
+    val df = GraftExtensions.asofJoinExec(clicks, views, "user_id", "ts",
+      Seq("v"))
+      .filter(col("user_id") < lit(10L) && col("v").isNotNull)
+    val opt = df.queryExecution.optimizedPlan
+    // whatever Filter remains above the custom node must reference the
+    // produced columns only — the left-side conjunct moved below
+    opt.collect {
+      case f: LFilter
+        if f.find(_.isInstanceOf[graft.plans.AsofJoinNode]).isDefined =>
+        assert(!f.condition.references.exists(_.name == "user_id"),
+          s"left-only predicate must not remain above the node: ${f.condition}")
+    }
+    val node = opt.collectFirst { case n: graft.plans.AsofJoinNode => n }.get
+    assert(node.left.find {
+      case f: LFilter => f.condition.references.exists(_.name == "user_id")
+      case _ => false
+    }.isDefined, "the pushed predicate must sit inside the LEFT child")
+    // the pushed predicate reaches the parquet scan as a data filter
+    df.collect()
+    val scans = PlanWalk.nodes(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("LessThan(user_id,10)")),
+      "filter must ride the left parquet scan")
+    // and semantics are unchanged vs filtering the materialized output
+    val want = GraftExtensions.asofJoinExec(clicks, views, "user_id", "ts",
+      Seq("v")).collect()
+      .filter(r => r.getLong(1) < 10L && !r.isNullAt(4)).map(_.getLong(0)).toSet
+    assert(df.collect().map(_.getLong(0)).toSet == want)
+  }
+
   test("SparkSessionExtensions registration injects the planner strategy") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions()(ext)
