@@ -61,6 +61,12 @@ case class AsofJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -121,6 +127,8 @@ case class AsofJoinExec(
         }
       }
 
+      val outRows = longMetric("numOutputRows")
+      val matched = longMetric("numMatched")
       lIter.map { lRow =>
         val lk = lKeyE.eval(lRow)
         val lt = lTsE.eval(lRow)
@@ -131,6 +139,8 @@ case class AsofJoinExec(
           if (held != null &&
             tolMicros.forall(t => lt.asInstanceOf[Long] - heldTs <= t)) m = held
         }
+        outRows += 1
+        if (m ne nullMatch) matched += 1
         outProj(joined(lRow, m))
       }
     }
@@ -161,6 +171,14 @@ case class AsofBroadcastExec(
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"),
+    "broadcastKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "broadcast history keys"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val rOutput = right.output
     val rKeyE = BindReferences.bindReference(
@@ -184,6 +202,7 @@ case class AsofBroadcastExec(
         val sorted = rows.sortBy(_._2)
         (k, (sorted.map(_._2), sorted.map(_._3)))
       }
+    longMetric("broadcastKeys") += hist.size
     val bc = sparkContext.broadcast(hist)
 
     val lOutput = left.output
@@ -200,6 +219,8 @@ case class AsofBroadcastExec(
       val joined = new JoinedRow
       val nullMatch = new GenericInternalRow(matchWidth)
       val h = bc.value
+      val outRows = longMetric("numOutputRows")
+      val matched = longMetric("numMatched")
       lIter.map { lRow =>
         val lk = lKeyE.eval(lRow)
         val lt = lTsE.eval(lRow)
@@ -218,6 +239,8 @@ case class AsofBroadcastExec(
           if (found >= 0 && tolMicros.forall(t => ltv - tss(found) <= t))
             m = rows(found)
         }
+        outRows += 1
+        if (m ne nullMatch) matched += 1
         outProj(joined(lRow, m))
       }
     }

@@ -106,6 +106,24 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     assert(out(4L) == None, "unseen key is left-outer NULL")
   }
 
+  test("SQL metrics: output/matched counts on both physical paths") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:04"), 1L),
+      (2L, ts("2024-01-01 10:00:04"), 2L)).toDF("k", "ts", "id")
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 5.0)).toDF("k", "ts", "v")
+    for (threshold <- Seq("-1", "10485760")) withThreshold(threshold) {
+      val df = GraftExtensions.asofJoinExec(trades, quotes, "k", "ts", Seq("v"))
+      df.collect()
+      val node = PlanWalk.nodes(df).collectFirst {
+        case n: AsofJoinExec => n.metrics
+        case n: graft.plans.AsofBroadcastExec => n.metrics
+      }.get
+      assert(node("numOutputRows").value == 2L,
+        s"both trades emit (thr=$threshold)")
+      assert(node("numMatched").value == 1L,
+        s"only key 1 matches (thr=$threshold)")
+    }
+  }
+
   test("AsofFilterPushdown: left-only predicates sink below the node to the scan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val (clicks, views) = sides()
