@@ -1789,6 +1789,17 @@ object ExtensionQueries {
       det(graft.operators.Temporal.resampleLocf(asofViews(s, dir),
         "user_id", "ts", Seq("view_value"), unit = "day"))),
 
+    // missing-data report: per-user pauses longer than 2 days
+    "q_events_gaps" -> ((s, dir) =>
+      det(graft.operators.Windowed.gapReport(events(s, dir),
+        "user_id", "ts", minGapSeconds = 172800.0,
+        tieBreakCol = "event_id"))),
+
+    // latency-dashboard row: exact hourly value percentiles
+    "q_events_hourly_quantiles" -> ((s, dir) =>
+      det(graft.operators.Windowed.bucketQuantiles(events(s, dir),
+        "ts", "value", unit = "hour"))),
+
     // OHLC decimation per (event_type, hour): endpoint picks via
     // min_by/max_by on a packed (micros, tie) struct — one aggregate,
     // no window pass
@@ -3839,6 +3850,27 @@ object ExtensionQueries {
     // overlap with the <= rule)
     "q_events_sessionize" -> SessionizeOracle,
     "q_events_sessionize_native" -> SessionizeOracle,
+    // micros timestamps make round-6 the identity on gap seconds, so
+    // the rounded filter equals the raw one
+    "q_events_gaps" ->
+      s"""WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |   lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+         |     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+         |SELECT user_id, prev AS gap_start, ts AS gap_end,
+         |  round(epoch(ts) - epoch(prev), 6) AS gap_sec
+         |FROM l WHERE round(epoch(ts) - epoch(prev), 6) > 172800
+         |ORDER BY user_id $N1, gap_start $N1, gap_end $N1,
+         |  gap_sec $N1""".stripMargin,
+    "q_events_hourly_quantiles" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  round(quantile_cont(value, 0.5), 6) AS p50,
+         |  round(quantile_cont(value, 0.95), 6) AS p95,
+         |  round(quantile_cont(value, 0.99), 6) AS p99
+         |FROM events GROUP BY 1
+         |ORDER BY bucket $N1, n_events $N1, p50 $N1, p95 $N1,
+         |  p99 $N1""".stripMargin,
     // endpoints via full-frame first/last windows (all rows in a
     // group agree, min/max collapses them) — composite arg_min
     // ordering is not portable, the window formulation is

@@ -221,6 +221,43 @@ object Windowed {
         round(sum(col(valueCol)), 2).as("sum_value"))
   }
 
+  /**
+   * Missing-data GAP report: per key, every pause between consecutive
+   * events longer than `minGapSeconds` — (key, gap_start, gap_end,
+   * gap_sec). The monitoring complement of [[sessionizeBatch]] (whose
+   * gaps are session BOUNDARIES; here the gaps themselves are the
+   * deliverable: sensor dropouts, ingestion stalls). One key shuffle,
+   * one lag pass, output is gaps — not events.
+   */
+  def gapReport(events: DataFrame, keyCol: String, tsCol: String,
+                minGapSeconds: Double,
+                tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).cast("timestamp"), col(tieBreakCol))
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__prev", lag(col(tsCol).cast("timestamp"), 1).over(w))
+      .withColumn("gap_sec", round(col(tsCol).cast("timestamp").cast("double") -
+        col("__prev").cast("double"), 6))
+      .filter(col("gap_sec") > minGapSeconds)
+      .select(col(keyCol), col("__prev").as("gap_start"),
+        col(tsCol).cast("timestamp").as("gap_end"), col("gap_sec"))
+  }
+
+  /** Per-bucket EXACT value percentiles (p50/p95/p99 by default) —
+    * the latency-dashboard row; exact interpolated `percentile` at
+    * bucket cardinality ([[sessionStats]] conventions, round-6). */
+  def bucketQuantiles(events: DataFrame, tsCol: String, valueCol: String,
+                      unit: String,
+                      probs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    val aggs = probs.map(p =>
+      round(expr(s"percentile($valueCol, $p)"), 6)
+        .as(s"p${(p * 100).round}"))
+    events
+      .groupBy(date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+  }
+
   /** Tumbling time-bucket aggregation: count + sum per (bucket, key).
     * `bucket` uses date_trunc so the bucketing is SQL-portable. */
   def timeBucketAgg(events: DataFrame, tsCol: String, keyCol: String,
