@@ -1789,6 +1789,29 @@ object ExtensionQueries {
       det(graft.operators.Temporal.resampleLocf(asofViews(s, dir),
         "user_id", "ts", Seq("view_value"), unit = "day"))),
 
+    // the TEMPORAL composition row (the q_pipeline_* pattern for the
+    // events side): purchases asof-attributed to the user's last view,
+    // range-joined into their 2h-gap session, collapsed to a per-user
+    // attribution card — sessionize + asofJoin + rangeJoin + aggregate
+    // in ONE plan
+    "q_pipeline_events" -> ((s, dir) => {
+      val e = events(s, dir)
+      val enriched = graft.operators.Temporal.asofJoin(
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        asofViews(s, dir), "user_id", "ts", Seq("view_value"))
+      val sessions = graft.operators.Windowed.sessionizeBatch(e,
+        "user_id", "ts", gapSeconds = 7200, tieBreakCol = Some("event_id"))
+      val inSession = graft.operators.Temporal.rangeJoin(enriched, sessions,
+        "ts", "session_start", "session_end", bucketWidth = 86400.0,
+        keyCol = Some("user_id"))
+      det(inSession.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("view_value")).as("n_attributed"),
+        round(sum(col("view_value")), 2).as("sum_attributed_value"),
+        countDistinct(col("session_start")).as("n_purchase_sessions")))
+    }),
+
     // missing-data report: per-user pauses longer than 2 days
     "q_events_gaps" -> ((s, dir) =>
       det(graft.operators.Windowed.gapReport(events(s, dir),
@@ -3850,6 +3873,41 @@ object ExtensionQueries {
     // overlap with the <= rule)
     "q_events_sessionize" -> SessionizeOracle,
     "q_events_sessionize_native" -> SessionizeOracle,
+    // the proven fragments composed: ASOF attribution CTE + the
+    // sessionize chain + BETWEEN containment + one card aggregate
+    "q_pipeline_events" ->
+      s"""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |   arg_max(value, event_id) AS view_value
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events WHERE event_type = 'purchase'),
+         |m AS (SELECT p.event_id, p.user_id, p.ts, v.view_value
+         |  FROM p ASOF LEFT JOIN v
+         |    ON p.user_id = v.user_id AND p.ts >= v.ts),
+         |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+         |  FROM events),
+         |l AS (SELECT user_id, ts, event_id,
+         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM e),
+         |f AS (SELECT user_id, ts, event_id,
+         |   CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 7200
+         |        THEN 1 ELSE 0 END AS nw FROM l),
+         |s AS (SELECT user_id, ts,
+         |   sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         |  FROM f),
+         |iv AS (SELECT user_id, min(ts) AS session_start,
+         |   max(ts) AS session_end FROM s GROUP BY user_id, sid),
+         |j AS (SELECT m.user_id, m.view_value, iv.session_start
+         |  FROM m JOIN iv ON m.user_id = iv.user_id
+         |    AND m.ts BETWEEN iv.session_start AND iv.session_end)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+         |  CAST(count(view_value) AS BIGINT) AS n_attributed,
+         |  round(sum(view_value), 2) AS sum_attributed_value,
+         |  CAST(count(DISTINCT session_start) AS BIGINT)
+         |    AS n_purchase_sessions
+         |FROM j GROUP BY user_id
+         |ORDER BY user_id $N1, n_purchases $N1, n_attributed $N1,
+         |  sum_attributed_value $N1, n_purchase_sessions $N1""".stripMargin,
     // micros timestamps make round-6 the identity on gap seconds, so
     // the rounded filter equals the raw one
     "q_events_gaps" ->

@@ -269,6 +269,18 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("events pipeline composition: bounded exchanges, no nested loop") {
+    val df = ExtensionQueries.queries("q_pipeline_events")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val n = PlanWalk.shuffleCount(df)
+    assert(n <= 8,
+      s"sessionize + asof + range-join + card must stay plan-bounded, got $n")
+    val names = PlanWalk.nodes(df).map(_.nodeName.toLowerCase)
+    assert(!names.exists(x => x.contains("nestedloop") || x.contains("cartesian")),
+      "the composition must never fall back to a nested loop")
+  }
+
   test("rangeJoin: containment matches, inclusive bounds, no duplicates") {
     val points = Seq((1L, 5.0, "p5"), (1L, 10.0, "p10"), (1L, 25.0, "p25"),
       (2L, 5.0, "q5")).toDF("k", "x", "pid")
