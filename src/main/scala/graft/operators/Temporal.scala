@@ -52,9 +52,10 @@ object Temporal {
    * tied on (key, ts), backward keeps the one with the LARGEST
    * `rightTieCol`, forward the SMALLEST; pass a unique tie column (or
    * pre-aggregate the right side to unique (key, ts)) for a
-   * deterministic result. NULL keys/timestamps never match on either
-   * side (SQL join semantics): such left rows pass through with NULL
-   * payload, such right rows are dropped.
+   * deterministic result (the tie rides the sort as a double, so
+   * integral ties are distinct up to 2^53). NULL keys/timestamps
+   * never match on either side (SQL join semantics): such left rows
+   * pass through with NULL payload, such right rows are dropped.
    */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, payloadCols: Seq[String],
@@ -195,6 +196,8 @@ object Temporal {
                    rightTieCol: Option[String] = None): DataFrame = {
     require(Set("day", "hour", "minute")(unit.toLowerCase),
       s"unit must be day/hour/minute, got '$unit'")
+    require(tsCol == "grid_ts" || !log.columns.contains("grid_ts"),
+      "log already has a 'grid_ts' column — rename it before resampling")
     val grid = log
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(keyCol))
