@@ -1812,6 +1812,14 @@ object ExtensionQueries {
         countDistinct(col("session_start")).as("n_purchase_sessions")))
     }),
 
+    // linear multi-touch attribution: each purchase's value split
+    // equally over the user's views/clicks in the preceding day
+    "q_events_attribution" -> ((s, dir) =>
+      det(graft.operators.Windowed.attributionLinear(events(s, dir),
+        "user_id", "ts", "event_type", "value", "event_id",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        lookbackSeconds = 86400.0))),
+
     // missing-data report: per-user pauses longer than 2 days
     "q_events_gaps" -> ((s, dir) =>
       det(graft.operators.Windowed.gapReport(events(s, dir),
@@ -3873,6 +3881,27 @@ object ExtensionQueries {
     // overlap with the <= rule)
     "q_events_sessionize" -> SessionizeOracle,
     "q_events_sessionize_native" -> SessionizeOracle,
+    // per-conversion touch counts via a window over the pairs, then
+    // the equal-split credit sums (epoch doubles, round-6)
+    "q_events_attribution" ->
+      s"""WITH c AS (SELECT user_id, event_id AS conv_id, value AS conv_value,
+         |   epoch(CAST(ts AS TIMESTAMP)) - 86400.0 AS f,
+         |   epoch(CAST(ts AS TIMESTAMP)) AS t
+         |  FROM events WHERE event_type = 'purchase'),
+         |tc AS (SELECT user_id, event_id AS touch_id,
+         |   event_type AS touch_type, epoch(CAST(ts AS TIMESTAMP)) AS tt
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |p AS (SELECT tc.touch_id, tc.touch_type, c.conv_id, c.conv_value
+         |  FROM tc JOIN c ON tc.user_id = c.user_id
+         |    AND tc.tt BETWEEN c.f AND c.t),
+         |w AS (SELECT touch_id, touch_type, conv_id, conv_value,
+         |   count(*) OVER (PARTITION BY conv_id) AS n FROM p)
+         |SELECT touch_id, touch_type,
+         |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions_touched,
+         |  round(sum(conv_value / n), 6) AS credit_value
+         |FROM w GROUP BY touch_id, touch_type
+         |ORDER BY touch_id $N1, touch_type $N1, n_conversions_touched $N1,
+         |  credit_value $N1""".stripMargin,
     // the proven fragments composed: ASOF attribution CTE + the
     // sessionize chain + BETWEEN containment + one card aggregate
     "q_pipeline_events" ->

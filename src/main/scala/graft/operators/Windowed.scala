@@ -258,6 +258,53 @@ object Windowed {
       .agg(count(lit(1)).as("n_events"), aggs: _*)
   }
 
+  /**
+   * Linear multi-touch ATTRIBUTION: every conversion's value is
+   * split equally across the user's touch events inside the lookback
+   * window `[conv_ts - lookback, conv_ts]`, and each touch
+   * accumulates its credit over all conversions it contributed to —
+   * the marketing-analytics counterpart of the funnel (which counts
+   * users; this prices touchpoints). Touches with no conversion and
+   * conversions with no touch drop (inner semantics; an untouched
+   * conversion has nothing to credit).
+   *
+   * 100 TB design: conversions become lookback INTERVALS and the
+   * pair generation is [[graft.operators.Temporal.rangeJoin]]'s
+   * bucketized equi-join (bucket width = lookback, so each interval
+   * spans ≤ 2 buckets) — never an inequality nested loop; the
+   * per-conversion touch count is one window over the pairs, the
+   * credit card one aggregate.
+   *
+   * Output: (touch event id, touch type, n_conversions_touched,
+   * credit_value round-6).
+   */
+  def attributionLinear(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, valueCol: String, idCol: String,
+                        conversionType: String, touchTypes: Seq[String],
+                        lookbackSeconds: Double): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(lookbackSeconds > 0, "lookback must be positive")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(idCol).as("__conv_id"),
+        col(valueCol).as("__conv_value"),
+        (col(tsCol).cast("timestamp").cast("double") - lookbackSeconds)
+          .as("__from"),
+        col(tsCol).cast("timestamp").cast("double").as("__to"))
+    val touches = events.filter(col(typeCol).isin(touchTypes.map(lit): _*))
+      .select(col(userCol), col(idCol).as("touch_id"),
+        col(typeCol).as("touch_type"),
+        col(tsCol).cast("timestamp").cast("double").as("__t"))
+    val pairs = graft.operators.Temporal.rangeJoin(touches, conv,
+      "__t", "__from", "__to", bucketWidth = lookbackSeconds,
+      keyCol = Some(userCol))
+    val perConv = Window.partitionBy(col("__conv_id"))
+    pairs
+      .withColumn("__n", count(lit(1)).over(perConv))
+      .groupBy(col("touch_id"), col("touch_type"))
+      .agg(countDistinct(col("__conv_id")).as("n_conversions_touched"),
+        round(sum(col("__conv_value") / col("__n")), 6).as("credit_value"))
+  }
+
   /** Tumbling time-bucket aggregation: count + sum per (bucket, key).
     * `bucket` uses date_trunc so the bucketing is SQL-portable. */
   def timeBucketAgg(events: DataFrame, tsCol: String, keyCol: String,

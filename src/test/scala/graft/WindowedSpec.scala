@@ -163,6 +163,30 @@ class WindowedSpec extends AnyFunSuite {
     assert(out == Map("2024-01-01" -> ((2L, 2L)), "2024-01-03" -> ((1L, 3L))))
   }
 
+  test("attributionLinear: equal split, window edges, orphan conversions drop") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: two touches inside the 1h lookback, one outside
+      (1L, ts("2024-01-01 09:30:00"), "view", 0.0, 1L),
+      (1L, ts("2024-01-01 09:50:00"), "click", 0.0, 2L),
+      (1L, ts("2024-01-01 08:00:00"), "view", 0.0, 3L), // 2h before: out
+      (1L, ts("2024-01-01 10:00:00"), "purchase", 10.0, 4L),
+      // a second purchase whose [09:15, 10:15] window holds BOTH touches
+      (1L, ts("2024-01-01 10:15:00"), "purchase", 4.0, 5L),
+      // user 2: conversion with no touches -> contributes nothing
+      (2L, ts("2024-01-01 10:00:00"), "purchase", 99.0, 6L)
+    ).toDF("user_id", "ts", "event_type", "value", "event_id")
+    val out = Windowed.attributionLinear(ev, "user_id", "ts", "event_type",
+      "value", "event_id", "purchase", Seq("view", "click"), 3600.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 5.0 + 2.0)),
+      "half of purchase 1 plus half of purchase 2")
+    assert(out(2L) == ((2L, 5.0 + 2.0)))
+    assert(!out.contains(3L), "touch outside every lookback drops")
+    assert(out.size == 2, "the orphan conversion credits nobody")
+  }
+
   test("ohlcAgg: endpoint picks by (ts, tie), extremes, per-bucket isolation") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
