@@ -421,6 +421,24 @@ object ExtensionQueries {
       det(graft.operators.Temporal.timeWeightedAvg(events(s, dir),
         "user_id", "ts", "value", tieCol = "event_id"))),
 
+    // interval-overlap join: each user's view-sessions paired with
+    // the click-sessions they overlap (canonical-bucket dedup — no
+    // DISTINCT pass)
+    "q_events_interval_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      def sess(t: String, p: String) =
+        graft.operators.Windowed.sessionizeBatch(
+          e.filter(col("event_type") === t), "user_id", "ts",
+          gapSeconds = 86400, tieBreakCol = Some("event_id"))
+          .select(col("user_id"), col("session_start").as(s"${p}_start"),
+            col("session_end").as(s"${p}_end"),
+            col("n_events").as(s"${p}_n"))
+      det(graft.operators.Temporal.intervalOverlapJoin(
+        sess("view", "v"), sess("click", "c"),
+        "v_start", "v_end", "c_start", "c_end",
+        bucketWidth = 86400.0, keyCol = Some("user_id")))
+    }),
+
     // SCD2 build: the user's event-type episode history — same-ts
     // dups resolved by max event_id, unchanged repeats collapsed,
     // half-open [valid_from, valid_to) intervals + version counter
@@ -4231,6 +4249,39 @@ object ExtensionQueries {
          |  CAST(count(*) AS BIGINT) AS n_points
          |FROM d GROUP BY user_id
          |ORDER BY user_id $N1, twa $N1, span_sec $N1, n_points $N1""".stripMargin,
+    // two sessionize chains + the plain ANSI overlap predicate
+    "q_events_interval_join" ->
+      s"""WITH ve AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+         |  FROM events WHERE event_type = 'view'),
+         |vl AS (SELECT user_id, ts, event_id,
+         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM ve),
+         |vf AS (SELECT user_id, ts, event_id,
+         |   CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 86400
+         |        THEN 1 ELSE 0 END AS nw FROM vl),
+         |vs AS (SELECT user_id, ts,
+         |   sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         |  FROM vf),
+         |vi AS (SELECT user_id, min(ts) AS v_start, max(ts) AS v_end,
+         |   CAST(count(*) AS BIGINT) AS v_n FROM vs GROUP BY user_id, sid),
+         |ce AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+         |  FROM events WHERE event_type = 'click'),
+         |cl AS (SELECT user_id, ts, event_id,
+         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM ce),
+         |cf AS (SELECT user_id, ts, event_id,
+         |   CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 86400
+         |        THEN 1 ELSE 0 END AS nw FROM cl),
+         |cs AS (SELECT user_id, ts,
+         |   sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         |  FROM cf),
+         |ci AS (SELECT user_id, min(ts) AS c_start, max(ts) AS c_end,
+         |   CAST(count(*) AS BIGINT) AS c_n FROM cs GROUP BY user_id, sid)
+         |SELECT vi.user_id, v_start, v_end, v_n, c_start, c_end, c_n
+         |FROM vi JOIN ci ON vi.user_id = ci.user_id
+         |  AND v_start <= c_end AND c_start <= v_end
+         |ORDER BY vi.user_id $N1, v_start $N1, v_end $N1, v_n $N1,
+         |  c_start $N1, c_end $N1, c_n $N1""".stripMargin,
     // arg_max same-ts dedup, IS DISTINCT FROM change filter, lead +
     // row_number over the episode frame — the lag/lead SCD2 canon
     "q_events_scd2" ->

@@ -303,6 +303,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Set(("a", "ok")))
   }
 
+  test("intervalOverlapJoin: overlap matrix, touching ends, duplicate-free") {
+    val a = Seq((1L, 0.0, 10.0, "a1"), (1L, 20.0, 30.0, "a2"),
+      (2L, 0.0, 10.0, "a3")).toDF("k", "ls", "le", "aid")
+    val b = Seq((1L, 5.0, 25.0, "b1"), // overlaps a1 AND a2
+      (1L, 10.0, 12.0, "b2"), // touches a1's end exactly (inclusive)
+      (1L, 31.0, 40.0, "b3"), // disjoint
+      (2L, 100.0, 200.0, "b4")).toDF("k", "rs", "re", "bid")
+    val out = Temporal.intervalOverlapJoin(a, b, "ls", "le", "rs", "re",
+      bucketWidth = 4.0, keyCol = Some("k"))
+      .select("aid", "bid").as[(String, String)].collect().toList
+    assert(out.sorted == List(("a1", "b1"), ("a1", "b2"), ("a2", "b1")),
+      s"exact overlap set, each pair exactly once, got $out")
+  }
+
+  test("intervalOverlapJoin plan: equi-join, no distinct, no nested loop") {
+    val a = Seq((0.0, 10.0, "a")).toDF("ls", "le", "aid")
+    val b = Seq((5.0, 25.0, "b")).toDF("rs", "re", "bid")
+    val df = Temporal.intervalOverlapJoin(a, b, "ls", "le", "rs", "re", 4.0)
+    df.collect()
+    val names = PlanWalk.nodes(df).map(_.nodeName.toLowerCase)
+    assert(!names.exists(n => n.contains("nestedloop") || n.contains("cartesian")))
+    assert(!names.exists(_.contains("aggregate")),
+      "canonical-bucket dedup needs no DISTINCT pass")
+  }
+
   test("rangeJoin: maxSpans guard fires on an exploding interval") {
     val points = Seq((1.0, "p")).toDF("x", "pid")
     val intervals = Seq((0.0, 1e9, "huge")).toDF("lo", "hi", "iid")
