@@ -1838,6 +1838,21 @@ object ExtensionQueries {
         conversionType = "purchase", touchTypes = Seq("view", "click"),
         lookbackSeconds = 86400.0))),
 
+    // position-based (U-shaped) attribution: 40/20/40 edge weighting
+    "q_events_attribution_pos" -> ((s, dir) =>
+      det(graft.operators.Windowed.attributionPositional(events(s, dir),
+        "user_id", "ts", "event_type", "value", "event_id",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        lookbackSeconds = 86400.0, edgeShare = 0.4))),
+
+    // point-in-time snapshot: each user's event-type state AS OF the
+    // month's midpoint (SCD2 episodes + containment filter)
+    "q_events_snapshot" -> ((s, dir) =>
+      det(graft.operators.Temporal.snapshotAt(events(s, dir),
+        "user_id", "ts", "event_type",
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
+        tieCol = Some("event_id")))),
+
     // missing-data report: per-user pauses longer than 2 days
     "q_events_gaps" -> ((s, dir) =>
       det(graft.operators.Windowed.gapReport(events(s, dir),
@@ -3899,6 +3914,57 @@ object ExtensionQueries {
     // overlap with the <= rule)
     "q_events_sessionize" -> SessionizeOracle,
     "q_events_sessionize_native" -> SessionizeOracle,
+    // same pair CTE; U-shaped weights spelled as the SAME double
+    // expression (1.0 - 2*0.4) so constant folding is IEEE-identical
+    "q_events_attribution_pos" ->
+      s"""WITH c AS (SELECT user_id, event_id AS conv_id, value AS conv_value,
+         |   epoch(CAST(ts AS TIMESTAMP)) - 86400.0 AS f,
+         |   epoch(CAST(ts AS TIMESTAMP)) AS t
+         |  FROM events WHERE event_type = 'purchase'),
+         |tc AS (SELECT user_id, event_id AS touch_id,
+         |   event_type AS touch_type, epoch(CAST(ts AS TIMESTAMP)) AS tt
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |p AS (SELECT tc.touch_id, tc.touch_type, tc.tt, c.conv_id,
+         |   c.conv_value
+         |  FROM tc JOIN c ON tc.user_id = c.user_id
+         |    AND tc.tt BETWEEN c.f AND c.t),
+         |w AS (SELECT touch_id, touch_type, conv_id, conv_value,
+         |   count(*) OVER (PARTITION BY conv_id) AS n,
+         |   row_number() OVER (PARTITION BY conv_id
+         |     ORDER BY tt, touch_id) AS rk FROM p),
+         |x AS (SELECT touch_id, touch_type, conv_id, conv_value,
+         |   CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+         |        WHEN rk = 1 OR rk = n THEN 0.4
+         |        ELSE (1.0 - 2 * 0.4) / (n - 2) END AS wt FROM w)
+         |SELECT touch_id, touch_type,
+         |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions_touched,
+         |  round(sum(conv_value * wt), 6) AS credit_value
+         |FROM x GROUP BY touch_id, touch_type
+         |ORDER BY touch_id $N1, touch_type $N1, n_conversions_touched $N1,
+         |  credit_value $N1""".stripMargin,
+    // the SCD2 chain + containment at the snapshot instant
+    "q_events_snapshot" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |   arg_max(event_type, event_id) AS v
+         |  FROM events GROUP BY 1, 2),
+         |c AS (SELECT user_id, ts, v,
+         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts,
+         |   lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+         |  FROM e),
+         |k AS (SELECT user_id, ts AS valid_from, v FROM c
+         |  WHERE pts IS NULL OR v IS DISTINCT FROM pv),
+         |i AS (SELECT user_id, valid_from,
+         |   lead(valid_from) OVER (PARTITION BY user_id
+         |     ORDER BY valid_from) AS valid_to,
+         |   v AS event_type,
+         |   CAST(row_number() OVER (PARTITION BY user_id
+         |     ORDER BY valid_from) AS BIGINT) AS version
+         |  FROM k)
+         |SELECT user_id, valid_from, event_type, version FROM i
+         |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+         |ORDER BY user_id $N1, valid_from $N1, event_type $N1,
+         |  version $N1""".stripMargin,
     // per-conversion touch counts via a window over the pairs, then
     // the equal-split credit sums (epoch doubles, round-6)
     "q_events_attribution" ->

@@ -310,6 +310,23 @@ object Temporal {
   }
 
   /**
+   * Point-in-time table SNAPSHOT — "the table AS OF time T": each
+   * key's value whose [[changeIntervals]] episode contains `asOf`
+   * (valid_from ≤ T, valid_to > T or open). Keys whose first change
+   * is after T are absent, exactly like a temporal table. Pure
+   * composition over the SCD2 builder: one key shuffle, episode
+   * cardinality, then a row-local containment filter.
+   * Output: (keyCol, valid_from, valueCol, version).
+   */
+  def snapshotAt(log: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, asOf: java.sql.Timestamp,
+                 tieCol: Option[String] = None): DataFrame =
+    changeIntervals(log, keyCol, tsCol, valueCol, tieCol)
+      .filter(col("valid_from") <= lit(asOf) &&
+        (col("valid_to").isNull || col("valid_to") > lit(asOf)))
+      .select(col(keyCol), col("valid_from"), col(valueCol), col("version"))
+
+  /**
    * Range (interval containment) join: match each `points` row to
    * every `intervals` row with `startCol <= pointCol <= endCol`
    * (inclusive both ends), optionally also equi-keyed on

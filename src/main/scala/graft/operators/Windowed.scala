@@ -305,6 +305,54 @@ object Windowed {
         round(sum(col("__conv_value") / col("__n")), 6).as("credit_value"))
   }
 
+  /**
+   * Position-based (U-shaped) ATTRIBUTION — [[attributionLinear]]'s
+   * industry-standard sibling: the first and last touch before a
+   * conversion each take `edgeShare` of its value, the middle
+   * touches split the remainder equally. Single-touch conversions
+   * give that touch everything; two touches split 50/50 (each is
+   * both an edge). Same bucketized pair generation as the linear
+   * variant; position ranks ride two windows over the PAIRS frame
+   * (pair-cardinality, not event-cardinality).
+   */
+  def attributionPositional(events: DataFrame, userCol: String,
+                            tsCol: String, typeCol: String,
+                            valueCol: String, idCol: String,
+                            conversionType: String,
+                            touchTypes: Seq[String],
+                            lookbackSeconds: Double,
+                            edgeShare: Double = 0.4): DataFrame = {
+    require(edgeShare > 0 && edgeShare <= 0.5,
+      s"edgeShare must be in (0, 0.5], got $edgeShare")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(idCol).as("__conv_id"),
+        col(valueCol).as("__conv_value"),
+        (col(tsCol).cast("timestamp").cast("double") - lookbackSeconds)
+          .as("__from"),
+        col(tsCol).cast("timestamp").cast("double").as("__to"))
+    val touches = events.filter(col(typeCol).isin(touchTypes.map(lit): _*))
+      .select(col(userCol), col(idCol).as("touch_id"),
+        col(typeCol).as("touch_type"),
+        col(tsCol).cast("timestamp").cast("double").as("__t"))
+    val pairs = graft.operators.Temporal.rangeJoin(touches, conv,
+      "__t", "__from", "__to", bucketWidth = lookbackSeconds,
+      keyCol = Some(userCol))
+    val perConv = Window.partitionBy(col("__conv_id"))
+    val byTime = perConv.orderBy(col("__t"), col("touch_id"))
+    val weighted = pairs
+      .withColumn("__n", count(lit(1)).over(perConv))
+      .withColumn("__rk", row_number().over(byTime))
+      .withColumn("__w",
+        when(col("__n") === 1, lit(1.0))
+          .when(col("__n") === 2, lit(0.5))
+          .when(col("__rk") === 1 || col("__rk") === col("__n"),
+            lit(edgeShare))
+          .otherwise(lit(1.0 - 2 * edgeShare) / (col("__n") - 2)))
+    weighted.groupBy(col("touch_id"), col("touch_type"))
+      .agg(countDistinct(col("__conv_id")).as("n_conversions_touched"),
+        round(sum(col("__conv_value") * col("__w")), 6).as("credit_value"))
+  }
+
   /** Tumbling time-bucket aggregation: count + sum per (bucket, key).
     * `bucket` uses date_trunc so the bucketing is SQL-portable. */
   def timeBucketAgg(events: DataFrame, tsCol: String, keyCol: String,

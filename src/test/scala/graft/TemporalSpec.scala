@@ -208,6 +208,25 @@ class TemporalSpec extends AnyFunSuite {
       "asof-backward value must equal the containing episode's value")
   }
 
+  test("snapshotAt: the table state AS OF an instant") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "bronze", 1L),
+      (1L, ts("2024-01-10 00:00:00"), "silver", 2L),
+      (2L, ts("2024-01-20 00:00:00"), "gold", 3L) // first change AFTER T
+    ).toDF("k", "ts", "v", "tie")
+    val out = Temporal.snapshotAt(log, "k", "ts", "v",
+      ts("2024-01-15 00:00:00"), tieCol = Some("tie"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(1L -> (("silver", 2L))),
+      "key 1 is on episode 2 at T; key 2 does not exist yet")
+    // exactly AT an episode start: the new episode is current
+    val at = Temporal.snapshotAt(log, "k", "ts", "v",
+      ts("2024-01-10 00:00:00"), tieCol = Some("tie"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(at(1L) == "silver", "valid_from is inclusive")
+  }
+
   test("changeIntervals plan: one shuffle feeds dedup, lag, lead and version") {
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", col("ts").cast("timestamp"))

@@ -187,6 +187,26 @@ class WindowedSpec extends AnyFunSuite {
     assert(out.size == 2, "the orphan conversion credits nobody")
   }
 
+  test("attributionPositional: U-shaped weights incl. 1/2/3-touch degenerate forms") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:10:00"), "view", 0.0, 1L), // first -> 0.4
+      (1L, ts("2024-01-01 09:30:00"), "view", 0.0, 2L), // middle -> 0.2
+      (1L, ts("2024-01-01 09:50:00"), "click", 0.0, 3L), // last -> 0.4
+      (1L, ts("2024-01-01 10:00:00"), "purchase", 10.0, 4L),
+      // user 2: single touch takes everything
+      (2L, ts("2024-01-01 09:30:00"), "view", 0.0, 5L),
+      (2L, ts("2024-01-01 10:00:00"), "purchase", 8.0, 6L)
+    ).toDF("user_id", "ts", "event_type", "value", "event_id")
+    val out = Windowed.attributionPositional(ev, "user_id", "ts",
+      "event_type", "value", "event_id", "purchase", Seq("view", "click"),
+      3600.0, edgeShare = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 4.0 && out(3L) == 4.0, "edges take 40% each")
+    assert(math.abs(out(2L) - 2.0) < 1e-9, "the middle splits the remainder")
+    assert(out(5L) == 8.0, "a single touch takes the whole conversion")
+  }
+
   test("ohlcAgg: endpoint picks by (ts, tie), extremes, per-bucket isolation") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
