@@ -1838,6 +1838,28 @@ object ExtensionQueries {
         conversionType = "purchase", touchTypes = Seq("view", "click"),
         lookbackSeconds = 86400.0))),
 
+    // CDC apply: mid-month snapshot + the rest of the month as a
+    // change stream ('error' plays delete, everything else upserts
+    // the user's event-type state) -> the end-of-month snapshot
+    "q_events_cdc_apply" -> ((s, dir) => {
+      val t = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      val base = graft.operators.Temporal.snapshotAt(events(s, dir),
+        "user_id", "ts", "event_type", t, tieCol = Some("event_id"))
+        .select(col("user_id"), col("event_type"))
+      val changes = events(s, dir).filter(col("ts") > lit(t))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_type"))
+      det(graft.operators.Temporal.applyCdc(base, changes, "user_id",
+        "ts", "op", "event_type", tieCol = "event_id"))
+    }),
+
+    // RFM segmentation: per-user recency/frequency/monetary +
+    // deterministic quintile scores
+    "q_events_rfm" -> ((s, dir) =>
+      det(graft.operators.Windowed.rfmCard(events(s, dir),
+        "user_id", "ts", "value", nTiles = 5))),
+
     // position-based (U-shaped) attribution: 40/20/40 edge weighting
     "q_events_attribution_pos" -> ((s, dir) =>
       det(graft.operators.Windowed.attributionPositional(events(s, dir),
@@ -3914,6 +3936,63 @@ object ExtensionQueries {
     // overlap with the <= rule)
     "q_events_sessionize" -> SessionizeOracle,
     "q_events_sessionize_native" -> SessionizeOracle,
+    // the snapshot CTE + latest-change-per-key window + full join:
+    // delete drops, upsert wins, untouched keys keep the base row
+    "q_events_cdc_apply" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |   arg_max(event_type, event_id) AS v
+         |  FROM events GROUP BY 1, 2),
+         |c AS (SELECT user_id, ts, v,
+         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts,
+         |   lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+         |  FROM e),
+         |k AS (SELECT user_id, ts AS valid_from, v FROM c
+         |  WHERE pts IS NULL OR v IS DISTINCT FROM pv),
+         |i AS (SELECT user_id, valid_from,
+         |   lead(valid_from) OVER (PARTITION BY user_id
+         |     ORDER BY valid_from) AS valid_to, v
+         |  FROM k),
+         |snap AS (SELECT user_id, v AS bv FROM i
+         |  WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+         |    AND (valid_to IS NULL
+         |         OR valid_to > TIMESTAMP '2024-01-15 00:00:00')),
+         |ch AS (SELECT user_id, event_type, event_id,
+         |   CAST(ts AS TIMESTAMP) AS ts FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-15 00:00:00'),
+         |l2 AS (SELECT user_id, event_type AS nv, row_number() OVER
+         |   (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM ch),
+         |lt AS (SELECT user_id, nv FROM l2 WHERE rn = 1)
+         |SELECT COALESCE(s.user_id, lt.user_id) AS user_id,
+         |  CASE WHEN lt.user_id IS NOT NULL THEN lt.nv ELSE s.bv END
+         |    AS event_type
+         |FROM snap s FULL JOIN lt ON s.user_id = lt.user_id
+         |WHERE lt.user_id IS NULL OR lt.nv != 'error'
+         |ORDER BY user_id $N1, event_type $N1""".stripMargin,
+    // ntile matches across engines given the total (metric, key)
+    // ordering; recency via the corpus-max scalar
+    "q_events_rfm" ->
+      s"""WITH per AS (SELECT user_id,
+         |   max(CAST(ts AS TIMESTAMP)) AS last_ts,
+         |   CAST(count(*) AS BIGINT) AS frequency,
+         |   round(sum(value), 2) AS monetary
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY user_id),
+         |m AS (SELECT max(last_ts) AS cmax FROM per),
+         |r AS (SELECT user_id,
+         |   round(epoch(m.cmax) - epoch(last_ts), 6) AS recency_sec,
+         |   frequency, monetary
+         |  FROM per CROSS JOIN m)
+         |SELECT user_id, recency_sec, frequency, monetary,
+         |  CAST(ntile(5) OVER (ORDER BY recency_sec ASC, user_id ASC)
+         |    AS INTEGER) AS r_score,
+         |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+         |    AS INTEGER) AS f_score,
+         |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC)
+         |    AS INTEGER) AS m_score
+         |FROM r
+         |ORDER BY user_id $N1, recency_sec $N1, frequency $N1, monetary $N1,
+         |  r_score $N1, f_score $N1, m_score $N1""".stripMargin,
     // same pair CTE; U-shaped weights spelled as the SAME double
     // expression (1.0 - 2*0.4) so constant folding is IEEE-identical
     "q_events_attribution_pos" ->

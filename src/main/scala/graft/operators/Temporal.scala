@@ -327,6 +327,38 @@ object Temporal {
       .select(col(keyCol), col("valid_from"), col(valueCol), col("version"))
 
   /**
+   * CDC APPLY — the warehouse merge primitive: fold a change stream
+   * (upserts + deletes) into a base snapshot. Per key, the LATEST
+   * change in (ts, tie) order wins: a delete removes the key (even
+   * if present in base), an upsert sets its value (even if absent —
+   * insert); keys untouched by the stream keep their base row.
+   * Output: (keyCol, valueCol) — the next snapshot, ready to feed
+   * the next apply.
+   *
+   * 100 TB design: the change stream collapses to one row per
+   * TOUCHED key first (row_number window — change-cardinality), then
+   * ONE full-outer key join against base; the base never sorts and
+   * deletes never round-trip through it.
+   */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCol: String,
+               tsCol: String, opCol: String, valueCol: String,
+               tieCol: String, deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).cast("timestamp").desc, col(tieCol).desc)
+    val latest = changes
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(opCol).as("__op"), col(valueCol).as("__nv"))
+    base.select(col(keyCol), col(valueCol).as("__bv"))
+      .join(latest, Seq(keyCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= deleteOp)
+      .select(col(keyCol),
+        when(col("__op").isNotNull, col("__nv")).otherwise(col("__bv"))
+          .as(valueCol))
+  }
+
+  /**
    * Range (interval containment) join: match each `points` row to
    * every `intervals` row with `startCol <= pointCol <= endCol`
    * (inclusive both ends), optionally also equi-keyed on

@@ -353,6 +353,45 @@ object Windowed {
         round(sum(col("__conv_value") * col("__w")), 6).as("credit_value"))
   }
 
+  /**
+   * RFM segmentation card — recency (seconds from the key's last
+   * event to the corpus max), frequency (event count), monetary
+   * (value sum, round-2) per key, each scored into `nTiles` buckets
+   * with `ntile` (recency ranked ASCENDING — most recent = tile 1;
+   * frequency/monetary DESCENDING — biggest = tile 1; key ASC
+   * tie-breaks make every tile deterministic). The corpus max rides
+   * a broadcast 1-row cross join, the standard scalar-frame shape.
+   *
+   * Scale note: the card is KEY-cardinality (one row per user), and
+   * the three ntile windows are global single-partition ranks over
+   * that frame — fine to hundreds of millions of keys; at billions,
+   * swap ntile for the sharded-rank decomposition
+   * ([[graft.operators.Sampling]]'s interleave pattern) the same way
+   * the exact-N sampler does.
+   */
+  def rfmCard(events: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String, nTiles: Int = 5): DataFrame = {
+    require(nTiles >= 2, "need at least two tiles")
+    val per = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(col(tsCol).cast("timestamp")).as("__last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(valueCol)), 2).as("monetary"))
+    val corpusMax = per.agg(max(col("__last")).as("__cmax"))
+    val wR = Window.orderBy(col("recency_sec").asc, col(keyCol).asc)
+    val wF = Window.orderBy(col("frequency").desc, col(keyCol).asc)
+    val wM = Window.orderBy(col("monetary").desc, col(keyCol).asc)
+    per.crossJoin(broadcast(corpusMax))
+      .withColumn("recency_sec", round(col("__cmax").cast("double") -
+        col("__last").cast("double"), 6))
+      .select(col(keyCol), col("recency_sec"), col("frequency"),
+        col("monetary"),
+        ntile(nTiles).over(wR).as("r_score"),
+        ntile(nTiles).over(wF).as("f_score"),
+        ntile(nTiles).over(wM).as("m_score"))
+  }
+
   /** Tumbling time-bucket aggregation: count + sum per (bucket, key).
     * `bucket` uses date_trunc so the bucketing is SQL-portable. */
   def timeBucketAgg(events: DataFrame, tsCol: String, keyCol: String,

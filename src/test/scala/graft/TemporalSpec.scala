@@ -208,6 +208,23 @@ class TemporalSpec extends AnyFunSuite {
       "asof-backward value must equal the containing episode's value")
   }
 
+  test("applyCdc: latest change wins, delete drops, untouched base survives") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "U", "a2", 1L), // update...
+      (1L, ts("2024-01-01 00:00:02"), "U", "a3", 2L), // ...but this is later
+      (2L, ts("2024-01-01 00:00:01"), "D", "x", 3L), // delete key 2
+      (4L, ts("2024-01-01 00:00:01"), "U", "d", 4L), // insert new key
+      // key 5: inserted then deleted within the stream -> absent
+      (5L, ts("2024-01-01 00:00:01"), "U", "e", 5L),
+      (5L, ts("2024-01-01 00:00:02"), "D", "e", 6L)
+    ).toDF("k", "ts", "op", "v", "tie")
+    val out = Temporal.applyCdc(base, changes, "k", "ts", "op", "v", "tie")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a3", 3L -> "c", 4L -> "d"),
+      "update wins by ts, delete removes, base-only stays, insert lands")
+  }
+
   test("snapshotAt: the table state AS OF an instant") {
     val log = Seq(
       (1L, ts("2024-01-01 00:00:00"), "bronze", 1L),

@@ -187,6 +187,22 @@ class WindowedSpec extends AnyFunSuite {
     assert(out.size == 2, "the orphan conversion credits nobody")
   }
 
+  test("rfmCard: metrics and deterministic tile directions") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 10.0), // most recent, 1 event
+      (2L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, ts("2024-01-05 00:00:00"), 2.0) // 2 events, 3.0 total
+    ).toDF("user_id", "ts", "value")
+    val out = Windowed.rfmCard(ev, "user_id", "ts", "value", nTiles = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getInt(4),
+          r.getInt(5), r.getInt(6)))).toMap
+    assert(out(1L) == ((0.0, 1L, 10.0, 1, 2, 1)),
+      "most recent -> r 1; fewest events -> f 2; biggest spend -> m 1")
+    assert(out(2L) == ((5 * 86400.0, 2L, 3.0, 2, 1, 2)))
+  }
+
   test("attributionPositional: U-shaped weights incl. 1/2/3-touch degenerate forms") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
