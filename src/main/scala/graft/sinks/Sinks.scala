@@ -225,6 +225,51 @@ final case class JdbcSink(
     }
   }
 
+  /**
+   * Delete-aware CDC batch apply: rows whose `opCol` equals
+   * `deleteOp` remove their key, everything else upserts (via
+   * [[upsert]], so replays converge). The caller must pre-collapse
+   * to ONE row per key (latest change wins —
+   * [[graft.operators.Temporal.applyCdc]]'s window does exactly
+   * this); with a key both deleted and upserted in one frame the
+   * outcome would depend on arrival order, so that contract is the
+   * caller's.
+   */
+  def applyCdcBatch(table: String, df: DataFrame, keyCols: Seq[String],
+                    opCol: String, deleteOp: String = "D"): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "need at least one key column")
+    val t = JdbcSink.rawTableName(table)
+    val deleteSql = s"DELETE FROM $t WHERE " +
+      keyCols.map(k => s"${JdbcSink.quote(k)} = ?").mkString(" AND ")
+    val (u, us, pw, bs) = (url, user, password, batchSize)
+    df.filter(col(opCol) === deleteOp)
+      .select(keyCols.map(col): _*).distinct()
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conn = java.sql.DriverManager.getConnection(u, us, pw)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(deleteSql)
+          try {
+            var n = 0
+            rows.foreach { r =>
+              keyCols.indices.foreach(i => del.setObject(i + 1, r.get(i)))
+              del.addBatch()
+              n += 1
+              if (n % bs == 0) del.executeBatch()
+            }
+            del.executeBatch()
+            conn.commit()
+          } finally del.close()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: java.sql.SQLException => () }
+            throw e
+        } finally conn.close()
+      }
+    upsert(table, df.filter(col(opCol) =!= deleteOp).drop(opCol), keyCols)
+  }
+
   /** Self-lookup compat mode (SURVEY §7.5.4): post-write UPDATE fixup for
     * targets preloaded with other data — same effect as the reference's
     * Postgres-only `UPDATE … FROM` (plugins/default_loader.py:128-141)

@@ -225,6 +225,34 @@ object StreamingOps {
       .start()
 
   /**
+   * Streaming CDC loader — [[streamingJdbcUpsert]]'s delete-aware
+   * sibling: each micro-batch collapses to its LATEST change per key
+   * ((ts, tie) descending row_number — the same rule as
+   * [[graft.operators.Temporal.applyCdc]]), then deletes remove and
+   * upserts land via the idempotent keyed write. Replays converge;
+   * an insert+delete of the same key inside one batch resolves by
+   * event time, not arrival order.
+   */
+  def streamingCdcUpsert(stream: DataFrame, sink: graft.sinks.JdbcSink,
+                         table: String, keyCols: Seq[String],
+                         tsCol: String, opCol: String, tieCol: String,
+                         checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(tsCol).cast("timestamp").desc, col(tieCol).desc)
+        val latest = batch.toDF()
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", tsCol, tieCol)
+        sink.applyCdcBatch(table, latest, keyCols, opCol)
+      }
+      .start()
+
+  /**
    * Watermarked STREAM-STREAM interval join — Spark's native
    * stream-stream join machinery, which none of the other streaming
    * operators exercise (they are stream-static or stateful-single-

@@ -307,6 +307,37 @@ class JdbcIntegrationSpec extends AnyFunSuite {
       "a replayed micro-batch must converge, not duplicate")
   }
 
+  test("streamingCdcUpsert: deletes, updates and inserts land per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    exec("""CREATE TABLE cdct ("k" INT, "v" VARCHAR(20))""")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, java.sql.Timestamp, Long, String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+    val q = graft.streaming.StreamingOps.streamingCdcUpsert(
+      mem.toDF().toDF("k", "ts", "tie", "op", "v"), JdbcSink(url, "", ""),
+      "cdct", Seq("k"), "ts", "op", "tie", ckpt)
+    mem.addData((1, ts("2024-01-01 00:00:01"), 1L, "U", "a"),
+      (2, ts("2024-01-01 00:00:01"), 2L, "U", "b"))
+    q.processAllAvailable()
+    // batch 2: update 1, delete 2, insert 3, and key 4 is inserted
+    // then deleted WITHIN the batch (later ts wins -> absent)
+    mem.addData((1, ts("2024-01-01 00:01:00"), 3L, "U", "a2"),
+      (2, ts("2024-01-01 00:01:00"), 4L, "D", "x"),
+      (3, ts("2024-01-01 00:01:00"), 5L, "U", "c"),
+      (4, ts("2024-01-01 00:01:00"), 6L, "U", "ghost"),
+      (4, ts("2024-01-01 00:02:00"), 7L, "D", "ghost"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "cdct").load().collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a2", 3 -> "c"),
+      "update applied, delete removed, insert landed, in-batch " +
+        "insert+delete resolved by event time")
+  }
+
   test("streamingJdbcUpsert: micro-batches land exactly-once-effects via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
