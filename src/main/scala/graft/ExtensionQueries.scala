@@ -2619,6 +2619,23 @@ object ExtensionQueries {
       det(graft.operators.TextStats.diversityCard(docs(s, dir), "text",
         Seq("lang")))),
 
+    // star-schema revenue ROLLUP: the full dimension chain
+    // (lineitem -> orders -> customer -> nation -> region) with the
+    // three dims broadcast (stats-driven, no hints needed) and ONE
+    // fact-fact equi-join; subtotals per region and grand total
+    "q_star_revenue" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      val enriched = t("lineitem")
+        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t("customer"), col("o_custkey") === col("c_custkey"))
+        .join(t("nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t("region"), col("n_regionkey") === col("r_regionkey"))
+      det(enriched.rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue")))
+    }),
+
     // z-order (Morton) interleave for layout clustering, graded on
     // the raw bit math over lineitem's two key columns (low 16 bits
     // each; the writer path is spec-gated on per-file range tightness)
@@ -6044,6 +6061,17 @@ object ExtensionQueries {
          |FROM c GROUP BY lang
          |ORDER BY lang $N1, n_tokens $N1, n_types $N1, type_token_ratio $N1,
          |  entropy_bits $N1, perplexity $N1""".stripMargin,
+    "q_star_revenue" ->
+      s"""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY r_name $N1, n_name $N1, n_items $N1,
+         |  revenue $N1""".stripMargin,
     // the same 32 shift/mask/or terms, generated: bit j of column i
     // lands at position j*2+i
     "q_layout_zorder" -> {
