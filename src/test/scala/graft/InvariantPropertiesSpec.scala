@@ -215,4 +215,61 @@ class InvariantPropertiesSpec extends AnyFunSuite {
         s"case $i (${w}x$h): png round-trip changed the hash")
     }
   }
+
+  test("asofJoin (all directions, both tolerances, 4 execution paths) equals brute force") {
+    import graft.operators.Temporal
+    // seeded adversarial layout: few keys, clustered timestamps with
+    // exact collisions, so ties/equal-ts/empty-side paths all occur
+    val rnd = new scala.util.Random(42)
+    def t(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val leftRows = (1 to 120).map(i =>
+      (rnd.nextInt(5).toLong, t(rnd.nextInt(40)), i.toLong))
+    val rightRows = (1 to 80).map(i =>
+      (rnd.nextInt(6).toLong, t(rnd.nextInt(40)), i * 1.5))
+    // unique (k, ts) on the right: the deterministic contract
+    val rightU = rightRows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val left = leftRows.toDF("k", "ts", "id")
+    val right = rightU.toDF("k", "ts", "v")
+
+    def brute(dir: String, tol: Option[Double]): Map[Long, Option[Double]] =
+      leftRows.map { case (k, ts, id) =>
+        val cands = rightU.filter(_._1 == k)
+        def within(rt: java.sql.Timestamp) = tol.forall(x =>
+          math.abs(ts.getTime - rt.getTime) / 1000.0 <= x)
+        val back = cands.filter(r => !r._2.after(ts) && within(r._2))
+          .sortBy(_._2.getTime).lastOption
+        val fwd = cands.filter(r => !r._2.before(ts) && within(r._2))
+          .sortBy(_._2.getTime).headOption
+        val pick = dir match {
+          case "backward" => back
+          case "forward" => fwd
+          case _ => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (ts.getTime - b._2.getTime <= f._2.getTime - ts.getTime)
+                Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        id -> pick.map(_._3)
+      }.toMap
+
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(7.0))) {
+      val want = brute(dir, tol)
+      val got = Temporal.asofJoin(left, right, "k", "ts", Seq("v"),
+        direction = dir, toleranceSeconds = tol)
+        .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
+      assert(got == want, s"window path diverges at dir=$dir tol=$tol")
+      if (dir == "backward") {
+        val bc = Temporal.asofJoinBroadcast(left, right, "k", "ts", Seq("v"),
+          toleranceSeconds = tol)
+          .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
+        assert(bc == want, s"broadcast path diverges at tol=$tol")
+        val ex = graft.plans.GraftExtensions.asofJoinExec(left, right,
+          "k", "ts", Seq("v"), toleranceSeconds = tol)
+          .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
+        assert(ex == want, s"custom-plan path diverges at tol=$tol")
+      }
+    }
+  }
 }
