@@ -327,6 +327,79 @@ object Temporal {
       .select(col(keyCol), col("valid_from"), col(valueCol), col("version"))
 
   /**
+   * LTTB series DOWNSAMPLING (Largest-Triangle-Three-Buckets,
+   * Steinarsson 2013): per key, pick `nOut` points that preserve the
+   * series' visual shape — endpoints always kept, the middle split
+   * into `nOut-2` equal buckets, each contributing the point whose
+   * triangle with the PREVIOUSLY selected point and the next
+   * bucket's centroid has the largest area (spikes survive where
+   * uniform sampling would erase them).
+   *
+   * Honest `flatMapGroups` case: the selection is inherently
+   * SEQUENTIAL per key (each pick depends on the previous), so the
+   * per-key series materializes in task memory — the visualization
+   * regime this algorithm exists for (millions of keys × thousands
+   * of points each parallelizes across keys; one key with billions
+   * of points is not a plotting problem). Keys with ≤ nOut points
+   * pass through unchanged.
+   */
+  def downsampleLttb(series: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, nOut: Int): DataFrame = {
+    require(nOut >= 3, "LTTB needs at least 3 output points")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val typed = series
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("t"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val pts = it.map(p => (p._2, p._3)).toArray.sortBy(identity)
+        if (pts.length <= nOut) pts.iterator.map(p => (k, p._1, p._2))
+        else {
+          val out = Array.newBuilder[(Long, Double)]
+          var prev = pts.head
+          out += prev
+          val nBuckets = nOut - 2
+          // bucket i covers middle indices [lo(i), lo(i+1))
+          def lo(i: Int): Int = 1 + ((pts.length - 2).toLong * i / nBuckets).toInt
+          var i = 0
+          while (i < nBuckets) {
+            val (s, e) = (lo(i), lo(i + 1))
+            // centroid of the NEXT bucket (the last bucket looks at
+            // the final point)
+            val (ns, ne) = if (i + 1 < nBuckets) (lo(i + 1), lo(i + 2))
+              else (pts.length - 1, pts.length)
+            var cx = 0.0; var cy = 0.0
+            var j = ns
+            while (j < ne) { cx += pts(j)._1; cy += pts(j)._2; j += 1 }
+            cx /= (ne - ns); cy /= (ne - ns)
+            var best = s; var bestArea = -1.0
+            j = s
+            while (j < e) {
+              val area = math.abs(
+                (prev._1 - cx) * (pts(j)._2 - prev._2) -
+                  (prev._1 - pts(j)._1) * (cy - prev._2))
+              if (area > bestArea) { bestArea = area; best = j }
+              j += 1
+            }
+            prev = pts(best)
+            out += prev
+            i += 1
+          }
+          out += pts.last
+          out.result().iterator.map(p => (k, p._1, p._2))
+        }
+      }
+      .toDF("k", "t", "v")
+      .select(col("k").as(keyCol), timestamp_micros(col("t")).as(tsCol),
+        col("v").as(valueCol))
+  }
+
+  /**
    * CDC APPLY — the warehouse merge primitive: fold a change stream
    * (upserts + deletes) into a base snapshot. Per key, the LATEST
    * change in (ts, tie) order wins: a delete removes the key (even

@@ -208,6 +208,28 @@ class TemporalSpec extends AnyFunSuite {
       "asof-backward value must equal the containing episode's value")
   }
 
+  test("downsampleLttb: endpoints kept, spikes survive, short series pass through") {
+    def t(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    // flat series with one huge spike at t=50
+    val rows = (0 until 100).map(i =>
+      (1L, t(i), if (i == 50) 100.0 else math.sin(i / 10.0))) ++
+      (0 until 4).map(i => (2L, t(i), i.toDouble)) // short: unchanged
+    val out = Temporal.downsampleLttb(rows.toDF("k", "ts", "v"),
+      "k", "ts", "v", nOut = 10)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val k1 = out.filter(_._1 == "1").sortBy(_._2.getTime)
+    assert(k1.length == 10, "exactly nOut points for a long series")
+    assert(k1.head._2 == t(0) && k1.last._2 == t(99), "endpoints always kept")
+    assert(k1.exists(_._3 == 100.0),
+      "the spike forms the largest triangle in its bucket and must survive")
+    assert(out.count(_._1 == "2") == 4, "series at or under nOut untouched")
+    // deterministic: same input -> same selection
+    val again = Temporal.downsampleLttb(rows.toDF("k", "ts", "v"),
+      "k", "ts", "v", nOut = 10)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("applyCdc: latest change wins, delete drops, untouched base survives") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(
