@@ -925,6 +925,31 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(okById(4L) == ((false, null)), "empty rejected: invalid, NULL ratio")
   }
 
+  test("streamingSessionizeNative: sessions emit after the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamingOps.streamingSessionizeNative(
+      mem.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gapSeconds = 60, watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:01:00"))) // 60 s diff: SAME session (<= rule)
+    q.processAllAvailable()
+    // far-future event advances the watermark past the open session
+    mem.addData((2L, ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM native_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:01:00.0", 2L)),
+      "the exactly-at-gap event merged (+1us rule); the session emitted " +
+        "only after the watermark passed it")
+  }
+
   test("batch asofJoinBroadcast runs UNCHANGED as a stream-static enrichment") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
