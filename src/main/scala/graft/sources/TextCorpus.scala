@@ -111,6 +111,34 @@ object TextCorpus {
     * (lang, source, split); partitioning by a high-cardinality key
     * produces a million tiny files — the classic small-files
     * pathology. */
+  /**
+   * Small-files COMPACTION — the table-maintenance pass every
+   * long-lived corpus needs: streaming intake and incremental
+   * appends leave hundreds of KB-scale parquet files whose per-file
+   * open/footer overhead eventually dominates scans. Rewrites `in`
+   * to `out` at `ceil(totalBytes / targetBytes)` files (size taken
+   * from the source listing, never a second scan) and reports
+   * (filesBefore, filesAfter). The caller swaps directories —
+   * rewrite-then-swap keeps readers consistent, and this utility
+   * refuses in-place rewrites for exactly that reason.
+   */
+  def compactParquet(spark: SparkSession, in: String, out: String,
+                     targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(new java.io.File(in).getCanonicalPath !=
+      new java.io.File(out).getCanonicalPath,
+      "compaction must write to a NEW directory (rewrite-then-swap)")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(in).repartition(nOut)
+      .write.mode("errorifexists").parquet(out)
+    (files.length, nOut)
+  }
+
   def writePartitionedParquet(df: DataFrame, path: String,
                               partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")

@@ -201,4 +201,26 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(after("rogue.json") == "unexpected")
     assert(after(victim) == "missing")
   }
+
+  test("compactParquet: many small files become few, content identical, no in-place") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("cmp_in").toString
+    val out = java.nio.file.Files.createTempDirectory("cmp").toString + "/out"
+    // 32 tiny files
+    (1 to 320).map(i => (i.toLong, s"doc $i")).toDF("id", "t")
+      .repartition(32).write.mode("overwrite").parquet(in)
+    val (before, after) = TextCorpus.compactParquet(spark, in, out,
+      targetBytes = 64L * 1024)
+    assert(before == 32 && after < before,
+      s"compaction must shrink the file count ($before -> $after)")
+    val a = spark.read.parquet(in).collect().map(_.getLong(0)).sorted
+    val b = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq, "content byte-for-row identical")
+    val files = new java.io.File(out).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == after, "reported file count matches what landed")
+    intercept[IllegalArgumentException] {
+      TextCorpus.compactParquet(spark, in, in)
+    }
+  }
 }
