@@ -118,6 +118,54 @@ object StreamingOps {
         timestamp_millis(col("endMs")).as("session_end"),
         col("n").cast("long").as("n_events"))
 
+  // rate-limiter state machine shapes (public for Spark's encoder
+  // codegen, same reason as KeyedEvent above)
+  final case class ThrottleIn(key: String, tsMs: Long, id: Long)
+  final case class ThrottleState(windowStartMs: Long, n: Long)
+  final case class ThrottleOut(key: String, id: Long, kept: Boolean)
+  implicit private val throttleInEnc: Encoder[ThrottleIn] =
+    Encoders.product[ThrottleIn]
+  implicit private val throttleStateEnc: Encoder[ThrottleState] =
+    Encoders.product[ThrottleState]
+  implicit private val throttleOutEnc: Encoder[ThrottleOut] =
+    Encoders.product[ThrottleOut]
+
+  /**
+   * Per-key RATE LIMITER: at most `maxPerWindow` events per key per
+   * tumbling `windowMs` (event-time aligned to the epoch), the rest
+   * flagged `kept = false` — ingestion control for abusive keys
+   * (one crawler hammering the intake) without dropping the
+   * evidence. Within a micro-batch events resolve in (ts, id)
+   * order, so admission is deterministic under replay; state per key
+   * is one (window, count) pair. Production queries pass a timeout
+   * via their own wrapper the way [[sessionize]] documents.
+   */
+  def streamingRateLimit(events: DataFrame, keyCol: String, tsCol: String,
+                         idCol: String, maxPerWindow: Long,
+                         windowMs: Long): DataFrame = {
+    require(maxPerWindow >= 1 && windowMs >= 1, "positive limit and window")
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_millis(col(tsCol).cast("timestamp")).as("tsMs"),
+        col(idCol).cast("long").as("id")).as[ThrottleIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ThrottleState, ThrottleOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          var st = state.getOption.getOrElse(ThrottleState(Long.MinValue, 0L))
+          val out = it.toSeq.sortBy(e => (e.tsMs, e.id)).map { e =>
+            val w = math.floorDiv(e.tsMs, windowMs) * windowMs
+            if (w != st.windowStartMs) st = ThrottleState(w, 0L)
+            st = st.copy(n = st.n + 1)
+            ThrottleOut(key, e.id, st.n <= maxPerWindow)
+          }
+          state.update(st)
+          out.iterator
+      }
+      .select(col("key").as(keyCol), col("id").as(idCol), col("kept"))
+  }
+
   // streaming as-of enrichment state machine shapes (public for
   // Spark's encoder codegen, same reason as KeyedEvent above)
   final case class AsofIn(key: String, tsMs: Long, side: Int, id: Long,

@@ -925,6 +925,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(okById(4L) == ((false, null)), "empty rejected: invalid, NULL ratio")
   }
 
+  test("streamingRateLimit: per-key per-window admission, state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = StreamingOps.streamingRateLimit(
+      mem.toDF().toDF("k", "ts", "id"), "k", "ts", "id",
+      maxPerWindow = 2, windowMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("throttle")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 00:00:05"), 1L), // window 00:00, #1 -> kept
+      (1L, ts("2024-01-01 00:00:20"), 2L), // #2 -> kept
+      (1L, ts("2024-01-01 00:00:40"), 3L), // #3 -> throttled
+      (2L, ts("2024-01-01 00:00:40"), 4L)) // other key unaffected
+    q.processAllAvailable()
+    // next batch, same window: the counter carried over
+    mem.addData((1L, ts("2024-01-01 00:00:50"), 5L), // still throttled
+      (1L, ts("2024-01-01 00:01:10"), 6L)) // NEW window -> kept
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id, kept FROM throttle").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> true))
+  }
+
   test("streamingSessionizeNative: sessions emit after the watermark closes them") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
