@@ -327,6 +327,60 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("algebra: applyCdc(snapshot(T0), upserts in (T0, T1]) == snapshot(T1)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val t0 = ts("2024-01-10 00:00:00")
+    val t1 = ts("2024-01-20 00:00:00")
+    val snap0 = Temporal.snapshotAt(e, "user_id", "ts", "event_type", t0,
+      tieCol = Some("event_id")).select(col("user_id"), col("event_type"))
+    val changes = e.filter(col("ts") > lit(t0) && col("ts") <= lit(t1))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit("U").as("op"), col("event_type"))
+    val applied = Temporal.applyCdc(snap0, changes, "user_id", "ts", "op",
+      "event_type", tieCol = "event_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val snap1 = Temporal.snapshotAt(e, "user_id", "ts", "event_type", t1,
+      tieCol = Some("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(applied == snap1,
+      "snapshot + incremental apply must commute with snapshotting later")
+  }
+
+  test("rangeJoin and intervalOverlapJoin equal brute force on random intervals") {
+    val rnd = new scala.util.Random(7)
+    val points = (1 to 80).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextDouble() * 100, i.toLong))
+    val ivs = (1 to 40).map { i =>
+      val s = rnd.nextDouble() * 100
+      (rnd.nextInt(5).toLong, s, s + rnd.nextDouble() * 25, i.toLong)
+    }
+    val pDf = points.toDF("k", "x", "pid")
+    val iDf = ivs.toDF("k", "lo", "hi", "iid")
+    val wantPts = (for ((pk, x, pid) <- points; (ik, lo, hi, iid) <- ivs
+                        if pk == ik && x >= lo && x <= hi) yield (pid, iid)).toSet
+    val gotPts = Temporal.rangeJoin(pDf, iDf, "x", "lo", "hi",
+      bucketWidth = 7.0, keyCol = Some("k"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(gotPts == wantPts, "point-in-interval vs brute force")
+
+    val ivs2 = (1 to 40).map { i =>
+      val s = rnd.nextDouble() * 100
+      (rnd.nextInt(5).toLong, s, s + rnd.nextDouble() * 25, 100L + i)
+    }
+    val jDf = ivs2.toDF("k", "lo2", "hi2", "jid")
+    val wantOv = (for ((ak, alo, ahi, aid) <- ivs; (bk, blo, bhi, bid) <- ivs2
+                       if ak == bk && alo <= bhi && blo <= ahi)
+      yield (aid, bid)).toSet
+    val gotOv = Temporal.intervalOverlapJoin(iDf, jDf, "lo", "hi",
+      "lo2", "hi2", bucketWidth = 9.0, keyCol = Some("k"))
+      .select("iid", "jid").as[(Long, Long)].collect().toSet
+    assert(gotOv == wantOv, "interval overlap vs brute force, no dups")
+    assert(Temporal.intervalOverlapJoin(iDf, jDf, "lo", "hi", "lo2", "hi2",
+      bucketWidth = 9.0, keyCol = Some("k")).count() == wantOv.size,
+      "row count equals pair count — the canonical-bucket dedup is exact")
+  }
+
   test("events pipeline composition: bounded exchanges, no nested loop") {
     val df = ExtensionQueries.queries("q_pipeline_events")(
       spark, "/root/testdata/sf0.001")
