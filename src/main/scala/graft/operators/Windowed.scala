@@ -378,13 +378,18 @@ object Windowed {
       .agg(max(col(tsCol).cast("timestamp")).as("__last"),
         count(lit(1)).as("frequency"),
         round(sum(col(valueCol)), 2).as("monetary"))
-    val corpusMax = per.agg(max(col("__last")).as("__cmax"))
+    // corpus max as an unpartitioned window over the SAME key-
+    // cardinality frame — a scalar-frame cross join would re-evaluate
+    // `per` (the self-join trap), and the ntile windows already pay
+    // the single-partition pass
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val wR = Window.orderBy(col("recency_sec").asc, col(keyCol).asc)
     val wF = Window.orderBy(col("frequency").desc, col(keyCol).asc)
     val wM = Window.orderBy(col("monetary").desc, col(keyCol).asc)
-    per.crossJoin(broadcast(corpusMax))
-      .withColumn("recency_sec", round(col("__cmax").cast("double") -
-        col("__last").cast("double"), 6))
+    per
+      .withColumn("recency_sec", round(max(col("__last")).over(wAll)
+        .cast("double") - col("__last").cast("double"), 6))
       .select(col(keyCol), col("recency_sec"), col("frequency"),
         col("monetary"),
         ntile(nTiles).over(wR).as("r_score"),
