@@ -485,7 +485,9 @@ object Windowed {
     * shared by [[funnel]] and [[funnelTimings]]. */
   private def funnelStepFrames(events: DataFrame, userCol: String,
                                tsCol: String, typeCol: String,
-                               steps: Seq[String]): Seq[DataFrame] = {
+                               steps: Seq[String],
+                               maxStepSeconds: Option[Double] = None)
+      : Seq[DataFrame] = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct == steps, "funnel steps must be distinct")
     var reached = events.filter(col(typeCol) === steps.head)
@@ -493,13 +495,41 @@ object Windowed {
     val frames = scala.collection.mutable.ArrayBuffer(reached)
     for (s <- steps.tail) {
       val prev = reached.select(col(userCol), col("__t").as("__prev"))
+      val deadline = maxStepSeconds.map(d =>
+        col(tsCol).cast("timestamp").cast("double") <=
+          col("__prev").cast("timestamp").cast("double") + d)
+        .getOrElse(lit(true))
       reached = events.filter(col(typeCol) === s)
         .join(prev, userCol)
-        .filter(col(tsCol) >= col("__prev"))
+        .filter(col(tsCol) >= col("__prev") && deadline)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
       frames += reached
     }
     frames.toSeq
+  }
+
+  /** Time-constrained funnel: like [[funnel]], but each step must
+    * land within `maxStepSeconds` of the user\u0027s previous-step time
+    * (the "converted within an hour" product question). The chain
+    * min-time is still taken over qualifying events only, so a user
+    * who misses one deadline can never re-enter downstream. */
+  def funnelWithin(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   maxStepSeconds: Double): DataFrame = {
+    val frames = funnelStepFrames(events, userCol, tsCol, typeCol, steps,
+      Some(maxStepSeconds))
+    val card = frames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).cast("long").as("step_idx"),
+          lit(steps(i)).as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+    val w = Window.orderBy(col("step_idx"))
+    card
+      .withColumn("__p", lag(col("n_users"), 1).over(w))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        when(col("__p") > 0,
+          round(col("n_users").cast("double") / col("__p"), 6))
+          .as("conv_from_prev"))
   }
 
   def funnel(events: DataFrame, userCol: String, tsCol: String,

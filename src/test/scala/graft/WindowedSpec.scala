@@ -187,6 +187,30 @@ class WindowedSpec extends AnyFunSuite {
     assert(out.size == 2, "the orphan conversion credits nobody")
   }
 
+  test("funnelWithin: step deadlines drop slow converters, no re-entry") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: view -> click in 30 s -> inside the 60 s deadline
+      (1L, t("2024-01-01 00:00:00"), "view"),
+      (1L, t("2024-01-01 00:00:30"), "click"),
+      // user 2: click only after 2 minutes -> misses the deadline,
+      // and a later click can NEVER re-qualify
+      (2L, t("2024-01-01 00:00:00"), "view"),
+      (2L, t("2024-01-01 00:02:00"), "click"),
+      (2L, t("2024-01-01 00:05:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Windowed.funnelWithin(ev, "user_id", "ts", "event_type",
+      Seq("view", "click"), maxStepSeconds = 60.0)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 2L, "click" -> 1L),
+      "only the fast converter advances; the unconstrained funnel " +
+        "would count both")
+    val loose = Windowed.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click")).collect().map(r => r.getString(1) -> r.getLong(2))
+      .toMap
+    assert(loose("click") == 2L, "sanity: without the deadline both convert")
+  }
+
   test("rfmCard: metrics and deterministic tile directions") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
