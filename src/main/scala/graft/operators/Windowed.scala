@@ -509,7 +509,7 @@ object Windowed {
   }
 
   /** Time-constrained funnel: like [[funnel]], but each step must
-    * land within `maxStepSeconds` of the user\u0027s previous-step time
+    * land within `maxStepSeconds` of the user's previous-step time
     * (the "converted within an hour" product question). The chain
     * min-time is still taken over qualifying events only, so a user
     * who misses one deadline can never re-enter downstream. */
