@@ -1,0 +1,72 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+import org.yaml.snakeyaml.Yaml
+
+/**
+ * Config-driven EVENTS analytics job — the third config surface after
+ * the document and chat curation pipelines: the session-attribution
+ * composition ([[graft.plans.CurationCompiler.compileEvents]] builds
+ * the exact `q_pipeline_events` plan) declared as YAML. Same contract
+ * as the other two compilers: the config surface compiles through the
+ * SAME operators as the programmatic API, spec-pinned identical, so
+ * the two can never drift.
+ *
+ * Shape:
+ * {{{
+ * events_analytics:
+ *   user_col: user_id
+ *   ts_col: ts
+ *   enrich: {left_type: purchase, right_type: view,
+ *            value_col: value, tolerance_seconds: null}
+ *   sessions: {gap_seconds: 7200}
+ * }}}
+ */
+final case class EventsAnalyticsConfig(
+    userCol: String, tsCol: String, typeCol: String, idCol: String,
+    leftType: String, rightType: String, valueCol: String,
+    toleranceSeconds: Option[Double], sessionGapSeconds: Long) {
+  require(leftType != rightType, "enrich sides must differ")
+  require(sessionGapSeconds > 0, "session gap must be positive")
+}
+
+object EventsAnalyticsConfig {
+  def fromYaml(yaml: String): EventsAnalyticsConfig = {
+    val root0 = new Yaml().load[Object](yaml)
+    require(root0 != null, "empty events analytics config")
+    val root = root0.asInstanceOf[java.util.Map[String, Object]].asScala
+    val cfg = root.get("events_analytics")
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+      .getOrElse(root)
+    def str(k: String, d: String): String =
+      cfg.getOrElse(k, d).toString
+    val enrich = cfg.get("enrich") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala
+      case _ => throw new IllegalArgumentException(
+        "events analytics config needs an 'enrich' mapping")
+    }
+    val sessions = cfg.get("sessions") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala
+      case _ => throw new IllegalArgumentException(
+        "events analytics config needs a 'sessions' mapping")
+    }
+    EventsAnalyticsConfig(
+      userCol = str("user_col", "user_id"),
+      tsCol = str("ts_col", "ts"),
+      typeCol = str("type_col", "event_type"),
+      idCol = str("id_col", "event_id"),
+      leftType = enrich.getOrElse("left_type",
+        throw new IllegalArgumentException("enrich needs left_type")).toString,
+      rightType = enrich.getOrElse("right_type",
+        throw new IllegalArgumentException("enrich needs right_type")).toString,
+      valueCol = enrich.getOrElse("value_col", "value").toString,
+      toleranceSeconds = enrich.get("tolerance_seconds")
+        .filter(v => v != null && v.toString.nonEmpty &&
+          v.toString != "null")
+        .map(_.toString.toDouble),
+      sessionGapSeconds =
+        sessions.getOrElse("gap_seconds", "7200").toString.toLong)
+  }
+}

@@ -257,4 +257,41 @@ object CurationCompiler {
       }
     }
   }
+
+  /**
+   * Compile an [[graft.config.EventsAnalyticsConfig]] into the
+   * session-attribution composition — the SAME plan the programmatic
+   * `q_pipeline_events` builds (spec-pinned identical on real
+   * events): left-type rows asof-enriched with the latest
+   * unique-(key, ts) right-type value, range-joined into the user's
+   * gap sessions, collapsed to the per-user attribution card.
+   */
+  def compileEvents(cfg: graft.config.EventsAnalyticsConfig,
+                    events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val leftSide = events.filter(col(cfg.typeCol) === cfg.leftType)
+      .select(col(cfg.idCol), col(cfg.userCol), col(cfg.tsCol))
+    val rightSide = events.filter(col(cfg.typeCol) === cfg.rightType)
+      .groupBy(col(cfg.userCol), col(cfg.tsCol))
+      .agg(max_by(col(cfg.valueCol), col(cfg.idCol)).as("view_value"))
+    val enriched = graft.operators.Temporal.asofJoin(leftSide, rightSide,
+      cfg.userCol, cfg.tsCol, Seq("view_value"),
+      toleranceSeconds = cfg.toleranceSeconds)
+    val sessions = graft.operators.Windowed.sessionizeBatch(events,
+      cfg.userCol, cfg.tsCol, cfg.sessionGapSeconds,
+      tieBreakCol = Some(cfg.idCol))
+    val inSession = graft.operators.Temporal.rangeJoin(enriched, sessions,
+      cfg.tsCol, "session_start", "session_end",
+      bucketWidth = math.max(cfg.sessionGapSeconds, 86400L).toDouble,
+      keyCol = Some(cfg.userCol))
+    inSession.groupBy(col(cfg.userCol)).agg(
+      count(lit(1)).as("n_purchases"),
+      count(col("view_value")).as("n_attributed"),
+      round(sum(col("view_value")), 2).as("sum_attributed_value"),
+      countDistinct(col("session_start")).as("n_purchase_sessions"))
+  }
+
+  /** [[compileEvents]] straight from YAML. */
+  def compileEventsYaml(yaml: String, events: DataFrame): DataFrame =
+    compileEvents(graft.config.EventsAnalyticsConfig.fromYaml(yaml), events)
 }

@@ -327,4 +327,47 @@ class CurationCompilerSpec extends AnyFunSuite {
         resolve = Map("holdout" -> Seq((1L, "x")).toDF("doc_id", "text")))
     }
   }
+
+  test("events analytics config compiles to the programmatic pipeline exactly") {
+    val yaml =
+      """events_analytics:
+        |  user_col: user_id
+        |  ts_col: ts
+        |  enrich:
+        |    left_type: purchase
+        |    right_type: view
+        |    value_col: value
+        |  sessions:
+        |    gap_seconds: 7200
+        |""".stripMargin
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val compiled = CurationCompiler.compileEventsYaml(yaml, events)
+      .collect().map(_.toSeq).toSet
+    val programmatic = graft.ExtensionQueries
+      .queries("q_pipeline_events")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    assert(compiled == programmatic,
+      "the config surface must compile to the same plan as the " +
+        "programmatic q_pipeline_events — no drift possible")
+  }
+
+  test("events analytics config: parse defaults and loud failures") {
+    val cfg = graft.config.EventsAnalyticsConfig.fromYaml(
+      """events_analytics:
+        |  enrich: {left_type: a, right_type: b, tolerance_seconds: 60}
+        |  sessions: {gap_seconds: 100}
+        |""".stripMargin)
+    assert(cfg.userCol == "user_id" && cfg.typeCol == "event_type" &&
+      cfg.toleranceSeconds == Some(60.0) && cfg.sessionGapSeconds == 100L)
+    intercept[IllegalArgumentException] {
+      graft.config.EventsAnalyticsConfig.fromYaml(
+        "events_analytics:\n  sessions: {gap_seconds: 1}\n")
+    }
+    intercept[IllegalArgumentException] {
+      graft.config.EventsAnalyticsConfig.fromYaml(
+        "events_analytics:\n  enrich: {left_type: a, right_type: a}\n" +
+          "  sessions: {gap_seconds: 1}\n")
+    }
+  }
 }
