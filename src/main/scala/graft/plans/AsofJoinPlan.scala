@@ -43,7 +43,10 @@ case class AsofJoinNode(
     rightKey: Attribute, rightTs: Attribute,
     payload: Seq[Attribute],
     outAttrs: Seq[Attribute],
-    toleranceSeconds: Option[Double]) extends BinaryNode {
+    toleranceSeconds: Option[Double],
+    direction: String) extends BinaryNode {
+  require(direction == "backward" || direction == "forward",
+    s"exec as-of supports backward/forward, got '$direction'")
   override def output: Seq[Attribute] = left.output ++ outAttrs
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
   override protected def withNewChildrenInternal(
@@ -57,9 +60,15 @@ case class AsofJoinExec(
     payload: Seq[Attribute],
     outAttrs: Seq[Attribute],
     toleranceSeconds: Option[Double],
+    direction: String,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
+
+  private def backward: Boolean = direction == "backward"
+  // forward = the same two-pointer merge over the REVERSED time order
+  private def tsOrder =
+    if (backward) Ascending else org.apache.spark.sql.catalyst.expressions.Descending
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
@@ -72,11 +81,11 @@ case class AsofJoinExec(
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsOrder)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, tsOrder)))
 
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsOrder))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lOutput = left.output
@@ -115,7 +124,10 @@ case class AsofJoinExec(
             rRow = if (rIter.hasNext) rIter.next() else null
           } else {
             val c = keyOrd.compare(rk, lk)
-            if (c < 0 || (c == 0 && rt.asInstanceOf[Long] <= lt)) {
+            val timeOk =
+              if (backward) rt.asInstanceOf[Long] <= lt
+              else rt.asInstanceOf[Long] >= lt
+            if (c < 0 || (c == 0 && timeOk)) {
               if (c == 0) {
                 held = matchProj(rRow).copy()
                 heldKey = InternalRow.copyValue(rk)
@@ -136,8 +148,10 @@ case class AsofJoinExec(
         if (lk != null && lt != null) {
           if (held != null && keyOrd.compare(heldKey, lk) != 0) held = null
           advance(lk, lt.asInstanceOf[Long])
-          if (held != null &&
-            tolMicros.forall(t => lt.asInstanceOf[Long] - heldTs <= t)) m = held
+          val dt =
+            if (backward) lt.asInstanceOf[Long] - heldTs
+            else heldTs - lt.asInstanceOf[Long]
+          if (held != null && tolMicros.forall(dt <= _)) m = held
         }
         outRows += 1
         if (m ne nullMatch) matched += 1
@@ -167,9 +181,12 @@ case class AsofBroadcastExec(
     payload: Seq[Attribute],
     outAttrs: Seq[Attribute],
     toleranceSeconds: Option[Double],
+    direction: String,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
+
+  private def backward: Boolean = direction == "backward"
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
@@ -226,18 +243,26 @@ case class AsofBroadcastExec(
         val lt = lTsE.eval(lRow)
         var m: InternalRow = nullMatch
         if (lk != null && lt != null) h.get(lk).foreach { case (tss, rows) =>
-          // right-most index with tss(i) <= lt
+          // backward: right-most index with ts <= lt;
+          // forward: left-most index with ts >= lt
           var lo = 0
           var hi = tss.length - 1
           var found = -1
           val ltv = lt.asInstanceOf[Long]
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
-            if (tss(mid) <= ltv) { found = mid; lo = mid + 1 }
-            else hi = mid - 1
+            if (backward) {
+              if (tss(mid) <= ltv) { found = mid; lo = mid + 1 }
+              else hi = mid - 1
+            } else {
+              if (tss(mid) >= ltv) { found = mid; hi = mid - 1 }
+              else lo = mid + 1
+            }
           }
-          if (found >= 0 && tolMicros.forall(t => ltv - tss(found) <= t))
-            m = rows(found)
+          val dtOk = found >= 0 && tolMicros.forall { t =>
+            (if (backward) ltv - tss(found) else tss(found) - ltv) <= t
+          }
+          if (dtOk) m = rows(found)
         }
         outRows += 1
         if (m ne nullMatch) matched += 1
@@ -300,11 +325,11 @@ class AsofJoinStrategy extends SparkStrategy {
       val exec =
         if (threshold > 0 && n.right.stats.sizeInBytes <= threshold)
           AsofBroadcastExec(n.leftKey, n.leftTs, n.rightKey, n.rightTs,
-            n.payload, n.outAttrs, n.toleranceSeconds,
+            n.payload, n.outAttrs, n.toleranceSeconds, n.direction,
             planLater(n.left), planLater(n.right))
         else
           AsofJoinExec(n.leftKey, n.leftTs, n.rightKey, n.rightTs, n.payload,
-            n.outAttrs, n.toleranceSeconds,
+            n.outAttrs, n.toleranceSeconds, n.direction,
             planLater(n.left), planLater(n.right))
       exec :: Nil
     case _ => Nil
@@ -336,7 +361,8 @@ object GraftExtensions {
     * [[graft.operators.Temporal.asofJoin]] backward. */
   def asofJoinExec(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, payloadCols: Seq[String],
-                   toleranceSeconds: Option[Double] = None): DataFrame = {
+                   toleranceSeconds: Option[Double] = None,
+                   direction: String = "backward"): DataFrame = {
     require(payloadCols.nonEmpty, "need at least one right payload column")
     val spark = left.sparkSession
     ensure(spark)
@@ -367,6 +393,7 @@ object GraftExtensions {
     val outAttrs = AttributeReference("asof_ts", TimestampType)() +:
       pay.map(a => AttributeReference(a.name, a.dataType)())
     org.apache.spark.sql.GraftColumnBridge.dataFrame(spark,
-      AsofJoinNode(lp, rp, lk, lt, rk, rt, pay, outAttrs, toleranceSeconds))
+      AsofJoinNode(lp, rp, lk, lt, rk, rt, pay, outAttrs, toleranceSeconds,
+        direction))
   }
 }

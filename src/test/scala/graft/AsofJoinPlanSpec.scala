@@ -30,20 +30,20 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     try body finally spark.conf.set(key, old)
   }
 
-  test("custom-node as-of equals the window encoding on real events (both paths, both tolerances)") {
+  test("custom-node as-of equals the window encoding on real events (both paths, directions, tolerances)") {
     val (clicks, views) = sides()
-    for (tol <- Seq(None, Some(86400.0))) {
+    for (tol <- Seq(None, Some(86400.0)); dir <- Seq("backward", "forward")) {
       val want = Temporal.asofJoin(clicks, views, "user_id", "ts", Seq("v"),
-        toleranceSeconds = tol).collect()
+        direction = dir, toleranceSeconds = tol).collect()
         .map(r => r.getLong(0) -> ((Option(r.getTimestamp(3)), Option(r.get(4)))))
         .toMap
       for (threshold <- Seq("-1", "10485760")) withThreshold(threshold) {
         val got = GraftExtensions.asofJoinExec(clicks, views, "user_id", "ts",
-          Seq("v"), toleranceSeconds = tol).collect()
+          Seq("v"), toleranceSeconds = tol, direction = dir).collect()
           .map(r => r.getLong(0) -> ((Option(r.getTimestamp(3)), Option(r.get(4)))))
           .toMap
         assert(got == want,
-          s"custom-node as-of must match the window plan (tol=$tol, thr=$threshold)")
+          s"custom-node as-of must match the window plan (dir=$dir, tol=$tol, thr=$threshold)")
       }
     }
   }

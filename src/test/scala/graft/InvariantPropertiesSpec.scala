@@ -265,10 +265,12 @@ class InvariantPropertiesSpec extends AnyFunSuite {
           toleranceSeconds = tol)
           .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
         assert(bc == want, s"broadcast path diverges at tol=$tol")
+      }
+      if (dir != "nearest") {
         val ex = graft.plans.GraftExtensions.asofJoinExec(left, right,
-          "k", "ts", Seq("v"), toleranceSeconds = tol)
+          "k", "ts", Seq("v"), toleranceSeconds = tol, direction = dir)
           .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
-        assert(ex == want, s"custom-plan path diverges at tol=$tol")
+        assert(ex == want, s"custom-plan path diverges at dir=$dir tol=$tol")
       }
     }
   }
