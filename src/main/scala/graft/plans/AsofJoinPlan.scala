@@ -312,6 +312,29 @@ object AsofFilterPushdown
   }
 }
 
+/**
+ * Column-pruning rule for the custom node — ColumnPruning's stock
+ * cases cannot see through an unknown operator, so a narrow Project
+ * over the as-of output would still drag every left column through
+ * the exchange, the sort and the merge (and keep them in the scan's
+ * ReadSchema). A Project needing only some left columns lets the rest
+ * drop below the node: the node's own key/ts references are always
+ * retained, and the Project stays on top so the node's narrower
+ * output remains consistent for every consumer.
+ */
+object AsofColumnPruning
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(_, j: AsofJoinNode) =>
+      val needed = p.references ++ AttributeSet(Seq(j.leftKey, j.leftTs))
+      val kept = j.left.output.filter(a => needed.contains(a))
+      if (kept.length == j.left.output.length) p
+      else p.copy(child = j.copy(left = Project(kept, j.left)))
+  }
+}
+
 /** Plans [[AsofJoinNode]] COST-BASED: a right side whose stats fit
   * under `spark.sql.autoBroadcastJoinThreshold` gets the broadcast
   * binary-search exec (fact side untouched); otherwise the
@@ -343,6 +366,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => new AsofJoinStrategy)
     e.injectOptimizerRule(_ => AsofFilterPushdown)
+    e.injectOptimizerRule(_ => AsofColumnPruning)
   }
 }
 
@@ -354,6 +378,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(AsofFilterPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AsofFilterPushdown
+    if (!spark.experimental.extraOptimizations.contains(AsofColumnPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofColumnPruning
   }
 
   /** Build the as-of join through the CUSTOM PLAN NODE (see

@@ -159,6 +159,38 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSet == want)
   }
 
+  test("AsofColumnPruning: unused left columns fall out of the scan's ReadSchema") {
+    // feed the FULL events schema (6 columns) into the node, then
+    // select only two outputs — the unused left columns must never
+    // reach the exchange or the scan
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val full = e.filter(col("event_type") === "click") // keeps all 6 cols
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(expr("max_by(value, event_id)").as("v"))
+    val df = withThreshold("-1") {
+      val out = GraftExtensions.asofJoinExec(full, views, "user_id", "ts",
+        Seq("v")).select(col("event_id"), col("v"))
+      out.collect()
+      out
+    }
+    val node = df.queryExecution.optimizedPlan
+      .collectFirst { case n: graft.plans.AsofJoinNode => n }.get
+    val leftCols = node.left.output.map(_.name).toSet
+    assert(leftCols == Set("event_id", "user_id", "ts"),
+      s"only the selected + key/ts columns survive below the node, got $leftCols")
+    val scans = PlanWalk.nodes(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.exists(f => f.contains("event_id") && !f.contains("props") &&
+      !f.contains("value")),
+      s"the left parquet scan must not read pruned columns, got $scans")
+    // semantics unchanged
+    assert(df.count() == full.count())
+  }
+
   test("SparkSessionExtensions registration injects the planner strategy") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions()(ext)
