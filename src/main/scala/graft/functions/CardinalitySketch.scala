@@ -236,8 +236,10 @@ case class HllSketchAgg(
 }
 
 /** Merges sketch BYTE STRINGS produced by [[HllSketchAgg]] (NULLs
-  * skipped; empty group → empty sparse sketch with the first-seen
-  * geometry, or p=12 defaults if nothing arrives). */
+  * skipped; a group that never sees a sketch yields NULL — like
+  * [[CmsMergeAgg]], there is no universal empty geometry to
+  * synthesize, and inventing a p=12 one would crash a later merge
+  * with non-default-p sketches). */
 case class HllMergeAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
@@ -246,7 +248,7 @@ case class HllMergeAgg(
   with UnaryLike[Expression] {
 
   override def prettyName: String = "graft_hll_merge"
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def dataType: DataType = BinaryType
 
   // geometry adopted from the first sketch merged in: p is validated
@@ -274,14 +276,12 @@ case class HllMergeAgg(
     else { buf.mergeIn(other); buf }
 
   override def eval(buf: CardinalitySketch.HllBuf): Any =
-    (if (buf == null) new CardinalitySketch.HllBuf(12, 1 << 18) else buf)
-      .serialize
+    if (buf == null) null else buf.serialize
 
   override def serialize(buf: CardinalitySketch.HllBuf): Array[Byte] =
-    (if (buf == null) new CardinalitySketch.HllBuf(12, 1 << 18).serialize
-     else buf.serialize)
+    if (buf == null) Array.emptyByteArray else buf.serialize
   override def deserialize(bytes: Array[Byte]): CardinalitySketch.HllBuf =
-    CardinalitySketch.deserializeBuf(bytes)
+    if (bytes.isEmpty) null else CardinalitySketch.deserializeBuf(bytes)
 
   override def withNewMutableAggBufferOffset(n: Int): HllMergeAgg =
     copy(mutableAggBufferOffset = n)

@@ -284,9 +284,23 @@ case class AsofBroadcastExec(
  * discard. A predicate referencing ONLY left-side columns commutes
  * with the as-of join (each output row's left part is its left input
  * row, and dropping left rows cannot change any other row's match),
- * so it pushes into the left child — from where the stock rules carry
- * it all the way to the scan. Predicates touching the produced
+ * so it pushes into the left child. Predicates touching the produced
  * columns (asof_ts/payload) stay put.
+ *
+ * How far the pushed filter travels depends on the registration path.
+ * Via `spark.sql.extensions` (injectOptimizerRule) the stock batches
+ * run again after this rule and carry it arbitrarily deep. Via
+ * [[GraftExtensions.ensure]] (experimental.extraOptimizations) this
+ * rule runs in the user batch AFTER the main optimizer batches, so
+ * the stock logical rules do NOT re-run — the filter lands directly
+ * above the left child and stays there. That is still enough for the
+ * common case (a left child that is a Project/Filter/scan chain:
+ * DSv1 scan pushdown happens at PHYSICAL planning via
+ * PhysicalOperation, which collapses the chain regardless of which
+ * logical rule placed the Filter), but a deep left child (joins or
+ * aggregates above its scans) keeps the filter at its top on the
+ * ensure() path — an efficiency gap, not a correctness one: the
+ * predicate still executes before the as-of join either way.
  */
 object AsofFilterPushdown
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {

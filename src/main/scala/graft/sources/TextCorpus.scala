@@ -125,12 +125,18 @@ object TextCorpus {
   def compactParquet(spark: SparkSession, in: String, out: String,
                      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
-    require(new java.io.File(in).getCanonicalPath !=
-      new java.io.File(out).getCanonicalPath,
+    // resolve each path against ITS OWN filesystem (hdfs://, s3a://,
+    // file:…) — FileSystem.get(conf) would list the default FS for a
+    // qualified path, and java.io.File canonicalization is meaningless
+    // for non-local URIs
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inPath = new org.apache.hadoop.fs.Path(in)
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = inPath.getFileSystem(conf)
+    require(fs.makeQualified(inPath) !=
+      outPath.getFileSystem(conf).makeQualified(outPath),
       "compaction must write to a NEW directory (rewrite-then-swap)")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+    val files = fs.listStatus(inPath)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

@@ -156,9 +156,17 @@ object StreamingOps {
           var st = state.getOption.getOrElse(ThrottleState(Long.MinValue, 0L))
           val out = it.toSeq.sortBy(e => (e.tsMs, e.id)).map { e =>
             val w = math.floorDiv(e.tsMs, windowMs) * windowMs
-            if (w != st.windowStartMs) st = ThrottleState(w, 0L)
-            st = st.copy(n = st.n + 1)
-            ThrottleOut(key, e.id, st.n <= maxPerWindow)
+            // only ADVANCE on a newer window: an older-window straggler
+            // arriving in a later micro-batch has forfeited its budget
+            // (kept = false, state untouched) — resetting on ANY change
+            // would let the current window restart at zero and admit up
+            // to 2x maxPerWindow
+            if (w > st.windowStartMs) st = ThrottleState(w, 0L)
+            if (w < st.windowStartMs) ThrottleOut(key, e.id, kept = false)
+            else {
+              st = st.copy(n = st.n + 1)
+              ThrottleOut(key, e.id, st.n <= maxPerWindow)
+            }
           }
           state.update(st)
           out.iterator

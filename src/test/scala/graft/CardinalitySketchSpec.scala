@@ -100,6 +100,27 @@ class CardinalitySketchSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("different precision")))
   }
 
+  test("non-default-p merge survives empty partitions and NULL-only groups") {
+    // regression: the partial-agg buffer of an empty partition used to
+    // serialize as a DEFAULT p=12 sketch, so a global merge of p=8
+    // sketches crashed at final merge on the precision check
+    val sk8 = spark.range(100)
+      .select(col("id").cast("string").as("v"), (col("id") % 3).as("g"))
+      .groupBy("g")
+      .agg(CardinalitySketch.sketch(col("v"), p = 8).as("sk"))
+      .repartition(16) // 3 rows over 16 partitions → 13 empty partials
+    val n = sk8.agg(
+      CardinalitySketch.estimate(CardinalitySketch.merge(col("sk"))).as("n"))
+      .head().getLong(0)
+    assert(n == 100L, s"merged p=8 estimate must stay exact-sparse, got $n")
+    // a group that never sees a sketch yields NULL, not a fake geometry
+    val row = Seq((1, None: Option[Array[Byte]]))
+      .toDF("g", "sk").groupBy("g")
+      .agg(CardinalitySketch.merge(col("sk")).as("m"))
+      .select(col("m").isNull.as("isnull")).head()
+    assert(row.getBoolean(0), "NULL-only group must merge to NULL")
+  }
+
   test("empty input: zero estimate, exact") {
     val empty = Seq.empty[String].toDF("v")
     val row = empty.agg(

@@ -951,6 +951,34 @@ class StreamingOpsSpec extends AnyFunSuite {
       5L -> false, 6L -> true))
   }
 
+  test("streamingRateLimit: a late older-window straggler cannot reset the cap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = StreamingOps.streamingRateLimit(
+      mem.toDF().toDF("k", "ts", "id"), "k", "ts", "id",
+      maxPerWindow = 2, windowMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("throttle_late")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 00:01:05"), 1L), // window 00:01, #1 -> kept
+      (1L, ts("2024-01-01 00:01:10"), 2L)) // #2 -> kept (cap reached)
+    q.processAllAvailable()
+    // regression: a straggler from window 00:00 used to RESET the
+    // state, letting the following current-window events start a
+    // fresh count and admit up to 2x the cap
+    mem.addData(
+      (1L, ts("2024-01-01 00:00:30"), 3L), // late: budget forfeited
+      (1L, ts("2024-01-01 00:01:20"), 4L), // current window, still #3
+      (1L, ts("2024-01-01 00:01:25"), 5L)) // still over cap
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id, kept FROM throttle_late").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> false))
+  }
+
   test("streamingSessionizeNative: sessions emit after the watermark closes them") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
