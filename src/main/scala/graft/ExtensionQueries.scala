@@ -415,6 +415,15 @@ object ExtensionQueries {
         asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
         Seq("view_value")))),
 
+    // the FOURTH execution path: the monster-key scale-out —
+    // (key, ts-bucket) range partitioning with a boundary-carry pass,
+    // so one bot user can never serialize the job on a single task;
+    // graded on the same oracle text again (few buckets force carries)
+    "q_events_asof_skewed" -> ((s, dir) =>
+      det(graft.operators.Temporal.asofJoinSkewed(
+        asofClicks(s, dir), asofViews(s, dir), "user_id", "ts",
+        Seq("view_value"), numBuckets = 8))),
+
     // time-weighted mean of each user's value series (step-function
     // integral; plain avg is wrong under irregular sampling)
     "q_events_twa" -> ((s, dir) =>
@@ -4322,6 +4331,7 @@ object ExtensionQueries {
     "q_events_asof" -> AsofBackwardOracle,
     "q_events_asof_broadcast" -> AsofBackwardOracle,
     "q_events_asof_exec" -> AsofBackwardOracle,
+    "q_events_asof_skewed" -> AsofBackwardOracle,
     // both ASOF directions composed, closer side picked row-locally
     // (epoch doubles; distance ties -> backward, like the engine)
     "q_events_asof_nearest" ->

@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
  * running frame over the REVERSED sort instead of an
  * unbounded-following frame (Spark recomputes those per-row — O(n²)).
  * Skewed keys land on one task like any per-key window; the scale-out
- * for monster keys is range-partitioning (key, ts-bucket) with a
- * boundary-carry pass, which this operator's union layout supports
- * but does not need at per-user event cardinalities.
+ * for monster keys is [[asofJoinSkewed]] — range-partitioning
+ * (key, ts-bucket) with a boundary-carry pass over the same union
+ * layout — and [[graft.plans.GraftExtensions.asofJoinExec]] can probe
+ * for heavy keys and route to it (AQE cannot: its skew-join splitting
+ * only rewrites join operators it knows).
  */
 object Temporal {
 
@@ -69,26 +71,7 @@ object Temporal {
     (payloadCols :+ "asof_ts").foreach(c => require(!leftCols.contains(c),
       s"output column '$c' clashes with a left column"))
 
-    // Unified row: (__k, __ts, __side, __tie, __l left-struct, __r
-    // right-payload-struct). Struct packing dodges name collisions
-    // between the sides; the NULL literal on the opposite side needs
-    // the peer's struct type, taken from a zero-cost schema probe.
-    val rPayload = struct(
-      (col(tsCol).cast("timestamp").as("__rts") +: payloadCols.map(col)): _*)
-    val rTie = rightTieCol.map(col).getOrElse(lit(0L)).cast("double")
-    val rTagged = right
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(keyCol).as("__k"), col(tsCol).cast("timestamp").as("__ts"),
-        lit(0).as("__side"), rTie.as("__tie"), rPayload.as("__r"))
-    val lStructT = left.select(struct(leftCols.map(col): _*).as("s"))
-      .schema("s").dataType
-    val rStructT = rTagged.schema("__r").dataType
-    val lTagged = left.select(col(keyCol).as("__k"),
-      col(tsCol).cast("timestamp").as("__ts"), lit(1).as("__side"),
-      lit(null).cast("double").as("__tie"),
-      struct(leftCols.map(col): _*).as("__l"), lit(null).cast(rStructT).as("__r"))
-    val u = lTagged
-      .unionByName(rTagged.withColumn("__l", lit(null).cast(lStructT)))
+    val u = tagSides(left, right, keyCol, tsCol, payloadCols, rightTieCol)
 
     // Backward: ascending ts, right (side 0) before left at equal ts
     // so >= matches include it; ties keep the LAST right row = max tie.
@@ -134,6 +117,142 @@ object Temporal {
             .when(dtBack(col("__mb")) <= dtFwd(col("__mf")), col("__mb"))
             .otherwise(col("__mf")))
     }
+    matched.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        (col("__m.__rts").as("asof_ts") +:
+          payloadCols.map(p => col(s"__m.$p").as(p))): _*)
+  }
+
+  /** Shared tagging for the union-based as-of formulations: one row
+    * per input row as (__k, __ts, __side, __tie, __l left-struct,
+    * __r right-payload-struct). Struct packing dodges name collisions
+    * between the sides; the NULL literal on the opposite side needs
+    * the peer's struct type, taken from a zero-cost schema probe. */
+  private def tagSides(left: DataFrame, right: DataFrame, keyCol: String,
+                       tsCol: String, payloadCols: Seq[String],
+                       rightTieCol: Option[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rPayload = struct(
+      (col(tsCol).cast("timestamp").as("__rts") +: payloadCols.map(col)): _*)
+    val rTie = rightTieCol.map(col).getOrElse(lit(0L)).cast("double")
+    val rTagged = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).cast("timestamp").as("__ts"),
+        lit(0).as("__side"), rTie.as("__tie"), rPayload.as("__r"))
+    val lStructT = left.select(struct(leftCols.map(col): _*).as("s"))
+      .schema("s").dataType
+    val rStructT = rTagged.schema("__r").dataType
+    val lTagged = left.select(col(keyCol).as("__k"),
+      col(tsCol).cast("timestamp").as("__ts"), lit(1).as("__side"),
+      lit(null).cast("double").as("__tie"),
+      struct(leftCols.map(col): _*).as("__l"), lit(null).cast(rStructT).as("__r"))
+    lTagged.unionByName(rTagged.withColumn("__l", lit(null).cast(lStructT)))
+  }
+
+  /**
+   * Skew-hardened as-of join — the MONSTER-KEY scale-out of
+   * [[asofJoin]] (identical semantics and output, backward/forward).
+   * The plain formulation's per-key window serializes a key's entire
+   * history onto one task: a bot user holding 50% of a 100 TB event
+   * log turns one partition into the whole job. Here the union is
+   * partitioned by (key, ts-bucket) — `numBuckets` equal-width time
+   * ranges over the global span (one 1-row min/max aggregate) — so a
+   * monster key spreads over up to `numBuckets` parallel tasks, each
+   * sorting only its slice.
+   *
+   * Boundary carry: a left row whose bucket holds no earlier right
+   * row must see the latest right row from EARLIER buckets. A
+   * per-(key, bucket) aggregate (map-side combined — at most
+   * keys×buckets rows survive) keeps each bucket's extreme right row;
+   * a per-key running window over that TINY frame (≤ numBuckets rows
+   * per key) resolves each bucket's carry-in, which joins back on
+   * (key, bucket) and fills where the local window found nothing.
+   * Three shuffles total — (key, bucket) for the window+join, the
+   * tiny carry aggregate, the tiny carry window — versus one for
+   * [[asofJoin]]: worth it exactly when a key is big enough to
+   * serialize, which is why [[graft.plans.GraftExtensions.asofJoinExec]]
+   * routes here only on a positive heavy-key probe. AQE never fixes
+   * this case by itself: its skew-join splitting rewrites only the
+   * join operators it knows, and a window (or a custom exec) over a
+   * skewed exchange runs as-is.
+   *
+   * Tie-break, NULL, and tolerance contracts are [[asofJoin]]'s:
+   * equal timestamps match; among right rows tied on (key, ts)
+   * backward keeps the largest `rightTieCol`, forward the smallest;
+   * NULL keys/timestamps never match; tolerance nulls matches farther
+   * than the bound. (`nearest` is not offered — it needs both
+   * directions resolved; compose two calls if required.)
+   */
+  def asofJoinSkewed(left: DataFrame, right: DataFrame, keyCol: String,
+                     tsCol: String, payloadCols: Seq[String],
+                     direction: String = "backward",
+                     toleranceSeconds: Option[Double] = None,
+                     rightTieCol: Option[String] = None,
+                     numBuckets: Int = 64): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one right payload column")
+    require(Set("backward", "forward")(direction),
+      s"direction must be backward/forward, got '$direction'")
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val leftCols = left.columns.toSeq
+    (payloadCols :+ "asof_ts").foreach(c => require(!leftCols.contains(c),
+      s"output column '$c' clashes with a left column"))
+    val u = tagSides(left, right, keyCol, tsCol, payloadCols, rightTieCol)
+
+    // equal-width time buckets over the global span: one 1-row
+    // aggregate; every non-NULL ts lands in [0, numBuckets-1]
+    val span = u.agg(min(unix_micros(col("__ts"))).as("lo"),
+      max(unix_micros(col("__ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (span.isNullAt(0)) (0L, 0L) else (span.getLong(0), span.getLong(1))
+    val width = math.max(1L, (hi - lo) / numBuckets + 1L)
+    val b = u.withColumn("__b", // integral div: exact at any span
+      expr(s"(unix_micros(__ts) - ${lo}L) div ${width}L"))
+
+    val backward = direction == "backward"
+    // per-(key, bucket) extreme right row: backward wants the latest
+    // (max (ts, tie)), forward the earliest; left rows contribute NULL
+    // and min/max skip them. struct order = (ts, tie, payload), the
+    // window tie-break below in aggregate form.
+    val rightExtreme = when(col("__side") === 0,
+      struct(col("__ts"), col("__tie"), col("__r")))
+    val cells = b.groupBy(col("__k"), col("__b"))
+      .agg((if (backward) max(rightExtreme) else min(rightExtreme))
+        .as("__cell"))
+    // carry-in per (key, bucket): the extreme among all STRICTLY
+    // earlier (backward) / later (forward) buckets — a running window
+    // over ≤ numBuckets rows per key
+    val wCarry = Window.partitionBy(col("__k"))
+      .orderBy(if (backward) col("__b").asc else col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = cells.withColumn("__carry",
+      (if (backward) max(col("__cell")) else min(col("__cell"))).over(wCarry))
+      .select(col("__k"), col("__b"), col("__carry.__r").as("__cin"))
+
+    // local resolution inside each (key, bucket) slice, then fill
+    // from the carry where the slice held no qualifying right row
+    val wLoc = (if (backward)
+      Window.partitionBy(col("__k"), col("__b"))
+        .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+    else
+      Window.partitionBy(col("__k"), col("__b"))
+        .orderBy(col("__ts").desc, col("__side").asc, col("__tie").desc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ok = col("__k").isNotNull && col("__ts").isNotNull
+    val dt: Column => Column =
+      if (backward)
+        m => col("__ts").cast("double") - m.getField("__rts").cast("double")
+      else
+        m => m.getField("__rts").cast("double") - col("__ts").cast("double")
+    val bounded: Column => Column = toleranceSeconds match {
+      case Some(t) => m => when(dt(m) <= t, m)
+      case None => identity
+    }
+    val matched = b
+      .join(carry, Seq("__k", "__b"), "left")
+      .withColumn("__loc", last(col("__r"), ignoreNulls = true).over(wLoc))
+      .filter(col("__side") === 1)
+      .withColumn("__m",
+        bounded(when(ok, coalesce(col("__loc"), col("__cin")))))
     matched.select(
       leftCols.map(c => col(s"__l.$c").as(c)) ++
         (col("__m.__rts").as("asof_ts") +:

@@ -397,14 +397,47 @@ object GraftExtensions {
         spark.experimental.extraOptimizations :+ AsofColumnPruning
   }
 
+  /** Does any single `keyCol` value (NULL included — NULL left keys
+    * ride the exchange like any other) hold at least `share` of
+    * `df`'s rows? One column-pruned pass + a distinct-key-sized
+    * shuffle (map-side combined) — the exact, deterministic probe
+    * behind [[asofJoinExec]]'s skew routing. */
+  def heavyKeyExists(df: DataFrame, keyCol: String, share: Double): Boolean = {
+    require(share > 0 && share <= 1, s"share must be in (0,1], got $share")
+    val r = df.groupBy(org.apache.spark.sql.functions.col(keyCol))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__n"))
+      .agg(org.apache.spark.sql.functions.max("__n").as("mx"),
+        org.apache.spark.sql.functions.sum("__n").as("tot"))
+      .head()
+    !r.isNullAt(0) && r.getLong(0).toDouble >= share * r.getLong(1)
+  }
+
   /** Build the as-of join through the CUSTOM PLAN NODE (see
     * [[AsofJoinNode]]); same API shape and semantics as
-    * [[graft.operators.Temporal.asofJoin]] backward. */
+    * [[graft.operators.Temporal.asofJoin]] backward/forward.
+    *
+    * Skew routing: the custom exec (like any per-key window) is
+    * INVISIBLE to AQE's skew-join splitting — AQE only rewrites join
+    * operators it knows, so a monster key feeding [[AsofJoinExec]]
+    * serializes on one task no matter what AQE is configured to do.
+    * The planner stats that drive the broadcast pick say nothing
+    * about key distribution, so when `skewShare` is set this method
+    * runs [[heavyKeyExists]] on the left side (one column-pruned
+    * pass) and, on a hit, routes to
+    * [[graft.operators.Temporal.asofJoinSkewed]] — the
+    * (key, ts-bucket) range-partitioned formulation that spreads the
+    * monster key over parallel tasks. Pass `skewShare = None` to pin
+    * the custom exec unconditionally. */
   def asofJoinExec(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, payloadCols: Seq[String],
                    toleranceSeconds: Option[Double] = None,
-                   direction: String = "backward"): DataFrame = {
+                   direction: String = "backward",
+                   skewShare: Option[Double] = Some(0.25)): DataFrame = {
     require(payloadCols.nonEmpty, "need at least one right payload column")
+    if (skewShare.exists(s => heavyKeyExists(left, keyCol, s)))
+      return graft.operators.Temporal.asofJoinSkewed(left, right, keyCol,
+        tsCol, payloadCols, direction, toleranceSeconds)
     val spark = left.sparkSession
     ensure(spark)
     val lp = left.queryExecution.analyzed

@@ -56,7 +56,8 @@ class AsofJoinPlanSpec extends AnyFunSuite {
         .toDF("k", "ts", "id")
       val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 5.0))
         .toDF("k", "ts", "v")
-      val df = GraftExtensions.asofJoinExec(trades, quotes, "k", "ts", Seq("v"))
+      val df = GraftExtensions.asofJoinExec(trades, quotes, "k", "ts", Seq("v"),
+        skewShare = None) // tiny single-key fixture: pin the exec path
       df.collect()
       val nodes = PlanWalk.nodes(df)
       assert(nodes.exists(_.isInstanceOf[AsofJoinExec]),
@@ -74,7 +75,8 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 5.0),
       (1L, ts("2024-01-01 10:00:00"), 6.0), // dup ts: latest arrival wins
       (2L, ts("2024-01-01 10:00:00"), 7.0)).toDF("k", "ts", "v")
-    val df = GraftExtensions.asofJoinExec(trades, quotes, "k", "ts", Seq("v"))
+    val df = GraftExtensions.asofJoinExec(trades, quotes, "k", "ts", Seq("v"),
+      skewShare = None) // tiny single-key fixture: pin the exec path
     val rows = df.collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
     val nodes = PlanWalk.nodes(df)
     assert(nodes.exists(_.isInstanceOf[graft.plans.AsofBroadcastExec]),
@@ -98,7 +100,8 @@ class AsofJoinPlanSpec extends AnyFunSuite {
       (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), 9.0),
       (Option(1L), Option.empty[java.sql.Timestamp], 9.0)
     ).toDF("k", "ts", "v")
-    val out = GraftExtensions.asofJoinExec(left, right, "k", "ts", Seq("v"))
+    val out = GraftExtensions.asofJoinExec(left, right, "k", "ts", Seq("v"),
+      skewShare = None) // tiny few-key fixture: pin the exec path
       .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
     assert(out(1L) == Some(2.0), "latest duplicate-(key,ts) right row wins")
     assert(out(2L) == None, "NULL left key never matches")
@@ -111,7 +114,8 @@ class AsofJoinPlanSpec extends AnyFunSuite {
       (2L, ts("2024-01-01 10:00:04"), 2L)).toDF("k", "ts", "id")
     val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 5.0)).toDF("k", "ts", "v")
     for (threshold <- Seq("-1", "10485760")) withThreshold(threshold) {
-      val df = GraftExtensions.asofJoinExec(trades, quotes, "k", "ts", Seq("v"))
+      val df = GraftExtensions.asofJoinExec(trades, quotes, "k", "ts", Seq("v"),
+        skewShare = None) // tiny two-key fixture: pin the exec path
       df.collect()
       val node = PlanWalk.nodes(df).collectFirst {
         case n: AsofJoinExec => n.metrics
@@ -205,5 +209,99 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     GraftExtensions.ensure(spark)
     assert(spark.experimental.extraStrategies
       .count(_.isInstanceOf[graft.plans.AsofJoinStrategy]) == 1)
+  }
+
+  /** One monster key holding 60% of both sides — the input AQE cannot
+    * repair for the custom node (its skew-join splitting rewrites only
+    * join operators it knows). */
+  private def monsterSides() = {
+    val n = 2000
+    val left = spark.range(n).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 53).as("k"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1000).as("ts"),
+      col("id").as("lid"))
+    val right = spark.range(n / 2).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 53).as("k"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1713).as("ts"),
+      (col("id") * 2).as("v"))
+      .groupBy("k", "ts").agg(expr("max_by(v, v)").as("v"))
+    (left, right)
+  }
+
+  test("heavyKeyExists: exact probe, NULL keys counted, empty input safe") {
+    val skewed = Seq((Some(1L), 1), (Some(1L), 2), (Some(1L), 3), (Some(2L), 4))
+      .toDF("k", "x")
+    assert(GraftExtensions.heavyKeyExists(skewed, "k", 0.75))
+    assert(!GraftExtensions.heavyKeyExists(skewed, "k", 0.8))
+    val nulls = Seq((Option.empty[Long], 1), (Option.empty[Long], 2),
+      (Some(3L), 3)).toDF("k", "x")
+    assert(GraftExtensions.heavyKeyExists(nulls, "k", 0.5),
+      "a monster NULL key serializes the window exactly like any other")
+    assert(!GraftExtensions.heavyKeyExists(
+      Seq.empty[(Long, Int)].toDF("k", "x"), "k", 0.1))
+  }
+
+  test("skew routing: a monster key leaves the custom exec for the bucketed path") {
+    val (left, right) = monsterSides()
+    val routed = GraftExtensions.asofJoinExec(left, right, "k", "ts", Seq("v"))
+    routed.collect()
+    assert(!PlanWalk.nodes(routed).exists(n =>
+      n.isInstanceOf[AsofJoinExec] ||
+        n.isInstanceOf[graft.plans.AsofBroadcastExec]),
+      "a 60% key must route to asofJoinSkewed")
+    // pinned exec and routed plan agree row-for-row
+    val want = GraftExtensions.asofJoinExec(left, right, "k", "ts", Seq("v"),
+      skewShare = None)
+      .collect().map(r => r.getLong(2) ->
+        ((Option(r.getTimestamp(3)), Option(r.get(4))))).toMap
+    val got = routed.collect().map(r => r.getLong(2) ->
+      ((Option(r.getTimestamp(3)), Option(r.get(4))))).toMap
+    assert(got == want)
+    // a non-skewed input (events user_ids) stays on the custom exec
+    val (clicks, views) = sides()
+    val kept = withThreshold("-1") {
+      val df = GraftExtensions.asofJoinExec(clicks, views, "user_id", "ts",
+        Seq("v"))
+      df.collect(); df
+    }
+    assert(PlanWalk.nodes(kept).exists(_.isInstanceOf[AsofJoinExec]),
+      "the probe must keep well-distributed inputs on the custom exec")
+  }
+
+  test("AQE blindness: skew-join splitting never touches the exchanges feeding AsofJoinExec") {
+    // even with AQE's skew handling forced to its most aggressive
+    // settings, the custom node's exchanges are not split — AQE only
+    // rewrites SortMergeJoin/ShuffledHashJoin it recognizes. This is
+    // WHY asofJoinExec carries its own heavy-key probe.
+    val (left, right) = monsterSides()
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val olds = keys.map(k => k -> spark.conf.getOption(k))
+    Seq("true", "true", "1", "1b", "1b").zip(keys).foreach {
+      case (v, k) => spark.conf.set(k, v)
+    }
+    try {
+      val df = withThreshold("-1") {
+        val d = GraftExtensions.asofJoinExec(left, right, "k", "ts", Seq("v"),
+          skewShare = None)
+        d.collect(); d
+      }
+      val nodes = PlanWalk.nodes(df)
+      val exec = nodes.collectFirst { case n: AsofJoinExec => n }
+      assert(exec.isDefined, "custom exec planned (skewShare pinned off)")
+      val skewSplit = nodes.collect {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+          if r.hasSkewedPartition => r
+      }
+      assert(skewSplit.isEmpty,
+        "AQE must NOT have split any partition feeding the custom node — " +
+          "if this ever starts passing differently, the probe can retire")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }

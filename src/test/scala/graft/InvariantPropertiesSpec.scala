@@ -216,7 +216,7 @@ class InvariantPropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("asofJoin (all directions, both tolerances, 4 execution paths) equals brute force") {
+  test("asofJoin (all directions, both tolerances, 5 execution paths) equals brute force") {
     import graft.operators.Temporal
     // seeded adversarial layout: few keys, clustered timestamps with
     // exact collisions, so ties/equal-ts/empty-side paths all occur
@@ -267,10 +267,17 @@ class InvariantPropertiesSpec extends AnyFunSuite {
         assert(bc == want, s"broadcast path diverges at tol=$tol")
       }
       if (dir != "nearest") {
+        // skewShare = None pins the custom exec: with 5 keys over 120
+        // rows the heavy-key probe could legitimately route away
         val ex = graft.plans.GraftExtensions.asofJoinExec(left, right,
-          "k", "ts", Seq("v"), toleranceSeconds = tol, direction = dir)
+          "k", "ts", Seq("v"), toleranceSeconds = tol, direction = dir,
+          skewShare = None)
           .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
         assert(ex == want, s"custom-plan path diverges at dir=$dir tol=$tol")
+        val sk = Temporal.asofJoinSkewed(left, right, "k", "ts", Seq("v"),
+          direction = dir, toleranceSeconds = tol, numBuckets = 7)
+          .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
+        assert(sk == want, s"bucketed skew path diverges at dir=$dir tol=$tol")
       }
     }
   }

@@ -151,6 +151,104 @@ class TemporalSpec extends AnyFunSuite {
       "only the small right-side aggregation shuffles; the fact side is map-only")
   }
 
+  test("asofJoinSkewed equals asofJoin on real events (directions, tolerances)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(expr("max_by(value, event_id)").as("v"))
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(86400.0))) {
+      val want = Temporal.asofJoin(clicks, views, "user_id", "ts", Seq("v"),
+        direction = dir, toleranceSeconds = tol).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(3)), Option(r.get(4)))))
+        .toMap
+      // few buckets so carries actually fire across bucket boundaries
+      val got = Temporal.asofJoinSkewed(clicks, views, "user_id", "ts",
+        Seq("v"), direction = dir, toleranceSeconds = tol, numBuckets = 5)
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(3)), Option(r.get(4)))))
+        .toMap
+      assert(got == want,
+        s"bucketed variant must match the window plan (dir=$dir, tol=$tol)")
+    }
+  }
+
+  test("asofJoinSkewed: fixture contracts (boundary carry, ties, NULLs) hold") {
+    // tiny fixture with numBuckets >> rows: most buckets are empty,
+    // every match crosses bucket boundaries via the carry
+    val out = Temporal.asofJoinSkewed(trades, quotes, "k", "ts", Seq("px"),
+      numBuckets = 16)
+      .collect().map(r => r.getString(2) ->
+        (Option(r.getTimestamp(3)).map(_.toString), Option(r.get(4)))).toMap
+    assert(out("a") == ((Some("2024-01-01 10:00:00.0"), Some(100.0))))
+    assert(out("b") == ((Some("2024-01-01 10:00:05.0"), Some(101.0))),
+      "equal timestamps match (>= semantics)")
+    assert(out("c") == ((Some("2024-01-01 10:00:10.0"), Some(102.0))),
+      "carry must deliver the latest right row across empty buckets")
+    assert(out("d") == ((None, None)), "no quote at-or-before")
+    assert(out("e") == ((None, None)), "key never quoted")
+    assert(out.size == 5, "every left row survives")
+    // duplicate right (key, ts): backward max tie, forward min tie —
+    // both inside one bucket and (numBuckets so wide the pair spans
+    // the carry) across buckets
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 1.0, 10L),
+      (1L, ts("2024-01-01 10:00:00"), 2.0, 20L)).toDF("k", "ts", "v", "rid")
+    val lb = Seq((1L, ts("2024-01-01 10:00:01"), "x")).toDF("k", "ts", "tid")
+    val back = Temporal.asofJoinSkewed(lb, right, "k", "ts", Seq("v"),
+      rightTieCol = Some("rid"), numBuckets = 2)
+      .select("v").as[Double].head()
+    assert(back == 2.0, "backward keeps the largest tie at equal ts")
+    val lf = Seq((1L, ts("2024-01-01 09:59:59"), "x")).toDF("k", "ts", "tid")
+    val fwd = Temporal.asofJoinSkewed(lf, right, "k", "ts", Seq("v"),
+      direction = "forward", rightTieCol = Some("rid"), numBuckets = 2)
+      .select("v").as[Double].head()
+    assert(fwd == 1.0, "forward keeps the smallest tie at equal ts")
+    // NULL left key/ts pass through with NULL payload
+    val nl = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:06")), "ok"),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:06")), "nullkey"),
+      (Option(1L), Option.empty[java.sql.Timestamp], "nullts")
+    ).toDF("k", "ts", "tid")
+    val nOut = Temporal.asofJoinSkewed(nl, quotes, "k", "ts", Seq("px"),
+      numBuckets = 4)
+      .collect().map(r => r.getString(2) -> Option(r.get(4))).toMap
+    assert(nOut == Map("ok" -> Some(101.0), "nullkey" -> None,
+      "nullts" -> None))
+  }
+
+  test("asofJoinSkewed: a monster key matches the plain path and spreads over buckets") {
+    // one key holds ~60% of both sides — the case where the plain
+    // per-key window serializes onto a single task
+    val n = 3000
+    val left = spark.range(n).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 97).as("k"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1000).as("ts"),
+      col("id").as("lid"))
+    val right = spark.range(n / 2).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 97).as("k"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1713).as("ts"),
+      (col("id") * 2).as("v"))
+      .groupBy("k", "ts").agg(expr("max_by(v, v)").as("v"))
+    val want = Temporal.asofJoin(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(2) ->
+        ((Option(r.getTimestamp(3)), Option(r.get(4))))).toMap
+    val skewed = Temporal.asofJoinSkewed(left, right, "k", "ts", Seq("v"),
+      numBuckets = 16)
+    val got = skewed.collect().map(r => r.getLong(2) ->
+      ((Option(r.getTimestamp(3)), Option(r.get(4))))).toMap
+    assert(got == want)
+    // the local window really partitions by (key, bucket) — the
+    // monster key's sort is sliced, not serialized on one task
+    val winParts = PlanWalk.nodes(skewed).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(winParts.contains(2),
+      s"expected a (key, bucket)-partitioned window, got specs $winParts")
+  }
+
   test("asofJoin plan: exactly ONE shuffle, no join node") {
     val df = Temporal.asofJoin(trades, quotes, "k", "ts", Seq("px"))
     assert(PlanWalk.shuffleCount(df) == 1,
