@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
  * J=0.5 is (1-0.25)^32 ~ 1e-4, and real near-dup pairs sit at J>=0.85
  * where it is ~1e-23); the sketch is deterministic (xxhash64), so this
  * is a stable property of the dataset, not a per-run gamble.
- * `q_dedup_simhash` / `q_sim_ann_lsh` use Spark-side hashing that DuckDB
- * cannot replicate -> no oracle (driver records rows-only).
+ * `q_dedup_simhash` / `q_sim_ann_lsh` carry GENERATED exact oracles
+ * (round 15): XXH64 is re-implemented in DuckDB SQL over HUGEINT
+ * wrapping arithmetic, and the SRP hyperplanes are embedded as
+ * seed-derived literals — see [[Xxh64Sql]] / AnnLshOracle.
  */
 object ExtensionQueries {
 
@@ -1253,9 +1255,11 @@ object ExtensionQueries {
     }),
 
     // --- quantitative gates for the no-oracle queries ---------------------
-    // q_dedup_simhash / q_sim_ann_lsh / q_sim_ann_ivf use Spark-side
-    // hashing DuckDB cannot replicate, so their row outputs carry no
-    // oracle. These companion queries measure the quality gates the test
+    // q_sim_ann_ivf/PQ rows remain rows-only (float-ITERATIVE centroid
+    // training — farthest-first init + k-means — has no closed-form SQL
+    // replica; see SURVEY §7.5), while q_dedup_simhash / q_sim_ann_lsh
+    // graduated to exact generated oracles in round 15. The gate
+    // queries measure the quality bars the test
     // suite enforces (recall@5 vs brute force, simhash coverage of
     // strong Jaccard pairs) as DETERMINISTIC numbers (fixed seeds, fixed
     // sample) and pin them against golden literals in the oracle — the
@@ -2822,6 +2826,147 @@ object ExtensionQueries {
       |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
       |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
 
+  /** Render a double so DuckDB parses the EXACT same bits back: shortest
+    * round-trip digits (Double.toString) forced into E-notation — a bare
+    * fractional literal would parse as DECIMAL (SURVEY §7.5 trap #2). */
+  private def dbl(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  /**
+   * XXH64 re-implemented IN DUCKDB SQL (inputs < 32 bytes — the
+   * whitespace-token regime; the corpus max is 8 bytes and list_reduce
+   * generalizes to any chunk count) — the independent second
+   * implementation that lets `q_dedup_simhash` graduate from rows-only
+   * to an exact hash-matched oracle. 64-bit wrapping arithmetic is
+   * emulated over HUGEINT: wrapping add/mul by explicit mod 2^64 (the
+   * 64x64 product is split at 32 bits so no intermediate exceeds
+   * 2^97), rotl as shift-mod plus carry, xor on 32-bit halves through
+   * BIGINT `xor`. Bytes come from `hex(encode(tok))` digit pairs.
+   * Every constant below is from the public xxHash spec; NO hash value
+   * is computed Scala-side — DuckDB derives everything from the raw
+   * text, so a Spark-side hashing bug cannot leak into the oracle.
+   */
+  private object Xxh64Sql {
+    private val M = "18446744073709551616::HUGEINT"
+    private def wrap(x: String) = s"(($x) % $M)"
+    private def wadd(a: String, b: String) = wrap(s"($a) + ($b)")
+    private def wmul(a: String, b: String) = wrap(
+      s"((($a) % 4294967296::HUGEINT) * ($b)" +
+        s" + (((($a) // 4294967296::HUGEINT) * (($b) % 4294967296::HUGEINT))" +
+        s" % 4294967296::HUGEINT) * 4294967296::HUGEINT)")
+    private def rotl(x: String, r: Int) =
+      s"(${wrap(s"($x) * ${1L << r}::HUGEINT")} + (($x) // ${1L << (64 - r)}::HUGEINT))"
+    private def wxor(a: String, b: String) =
+      s"(xor((($a) // 4294967296::HUGEINT)::BIGINT, (($b) // 4294967296::HUGEINT)::BIGINT)::HUGEINT * 4294967296::HUGEINT" +
+        s" + xor((($a) % 4294967296::HUGEINT)::BIGINT, (($b) % 4294967296::HUGEINT)::BIGINT)::HUGEINT)"
+    private def shr(x: String, n: Int) = s"(($x) // ${1L << n}::HUGEINT)"
+    // little-endian word from the 1-based byte list `bs`
+    private def le(base: String, nBytes: Int) =
+      (0 until nBytes).map(k =>
+        s"bs[$base+${k + 1}]::HUGEINT * ${1L << (8 * k)}::HUGEINT")
+        .mkString("(", " + ", ")")
+    private val P1 = "11400714785074694791::HUGEINT"
+    private val P2 = "14029467366897019727::HUGEINT"
+    private val P3 = "1609587929392839161::HUGEINT"
+    private val P4 = "9650029242287828579::HUGEINT"
+    private val P5 = "2870177450012600261::HUGEINT"
+
+    /** CTE chain `tb -> byt -> s0..s4 -> hsh(tok, h)` hashing every row
+      * of a prior CTE `toks(tok)` with XXH64(utf8(tok), seed 42) ==
+      * Spark's `xxhash64(tok)` (as unsigned HUGEINT). */
+    val hashCtes: String = {
+      val step8 = wadd(wmul(rotl(wxor("acc",
+        wmul(rotl(wmul("k", P2), 31), P1)), 27), P1), P4)
+      val stepB = wmul(rotl(wxor("acc", wmul("k", P5)), 11), P1)
+      val h0 = s"((42::HUGEINT + $P5 + ln::HUGEINT) % $M)"
+      val step4 = wadd(wmul(rotl(wxor("h",
+        wmul(le("(ln // 8)*8", 4), P1)), 23), P2), P3)
+      val tailOff = "((ln // 8)*8 + (CASE WHEN ln % 8 >= 4 THEN 4 ELSE 0 END))"
+      s"""tb AS (SELECT tok, octet_length(encode(tok)) AS ln,
+         |  hex(encode(tok)) AS hx FROM toks),
+         |byt AS (SELECT tok, ln, list_transform(range(0, ln), i ->
+         |   (strpos('0123456789ABCDEF', hx[2*i+1:2*i+1]) - 1) * 16 +
+         |    strpos('0123456789ABCDEF', hx[2*i+2:2*i+2]) - 1) AS bs FROM tb),
+         |s0 AS (SELECT tok, ln, bs, list_reduce(list_prepend($h0,
+         |  list_transform(range(0, ln // 8), j -> ${le("j*8", 8)})),
+         |  (acc, k) -> $step8) AS h FROM byt),
+         |s1 AS (SELECT tok, ln, bs,
+         |  CASE WHEN ln % 8 >= 4 THEN $step4 ELSE h END AS h FROM s0),
+         |s2 AS (SELECT tok, ln, list_reduce(list_prepend(h,
+         |  list_transform(range($tailOff, ln), j -> bs[j+1]::HUGEINT)),
+         |  (acc, k) -> $stepB) AS h FROM s1),
+         |s3 AS (SELECT tok, ln, ${wmul(wxor("h", shr("h", 33)), P2)} AS h FROM s2),
+         |s4 AS (SELECT tok, ln, ${wmul(wxor("h", shr("h", 29)), P3)} AS h FROM s3),
+         |hsh AS (SELECT tok, ${wxor("h", shr("h", 32))} AS h FROM s4)""".stripMargin
+    }
+  }
+
+  /** GENERATED exact oracle for q_dedup_simhash: DuckDB tokenizes,
+    * XXH64-hashes every distinct token itself ([[Xxh64Sql]]), and
+    * re-derives the 63-bit fingerprint as Σ 2^i over bits whose +1/−1
+    * token votes are positive (vote_i > 0 ⟺ 2·ones_i > n). Empty /
+    * all-whitespace docs fingerprint to 0, NULL text to NULL — the
+    * [[graft.functions.Simhash63]] contract. */
+  private lazy val SimhashOracle: String =
+    s"""WITH d AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+       |  FROM documents),
+       |toks AS (SELECT DISTINCT tok FROM d),
+       |${Xxh64Sql.hashCtes},
+       |votes AS (SELECT d.doc_id, r.i,
+       |    sum(((h.h // (1::HUGEINT << r.i)) % 2)::BIGINT) AS ones,
+       |    count(*) AS n
+       |  FROM d JOIN hsh h USING (tok) CROSS JOIN range(0, 63) r(i)
+       |  GROUP BY d.doc_id, r.i),
+       |fp AS (SELECT doc_id, CAST(sum(CASE WHEN 2*ones > n
+       |    THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)
+       |SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL
+       |  ELSE coalesce(f.simhash, 0) END AS simhash
+       |FROM documents d LEFT JOIN fp f USING (doc_id)
+       |ORDER BY doc_id $N1, simhash $N1""".stripMargin
+
+  /** GENERATED exact oracle for q_sim_ann_lsh (the zorder convention:
+    * when SQL can't derive a constant, embed it as a generated literal
+    * and let DuckDB recompute everything downstream). The SRP
+    * hyperplanes are pure seed-derived constants — embedded here as
+    * 12×6 plane literals — and `list_dot_product` over DOUBLE[] is the
+    * same ascending multiply-add fold as the engine's native
+    * expressions (hash-proven by q_sim_topk), so sign bits, bucket
+    * ids, the a<b banding join, the exact-cosine rerank, and the
+    * (cos DESC, neighbor_id) rank all reproduce bit-for-bit. */
+  private lazy val AnnLshOracle: String = {
+    val (tables, planes, dim) = (12, 6, 64)
+    val m = graft.functions.SrpBucketIds.planeMatrix(tables, planes, dim)
+    def planeList(t: Int, p: Int): String =
+      m(t * planes + p).map(dbl).mkString("[", ",", "]")
+    // bucket = fold over planes of bucket*2 + (dot >= 0): bit p carries
+    // weight 2^(planes-1-p)
+    def bucketExpr(t: Int): String =
+      (0 until planes).map { p =>
+        val w = 1 << (planes - 1 - p)
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
+          s"${planeList(t, p)}::DOUBLE[]) >= 0 THEN $w ELSE 0 END)"
+      }.mkString(" + ")
+    val bucketSelects = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS t, ${bucketExpr(t)} AS bucket FROM embeddings")
+      .mkString("\nUNION ALL\n")
+    s"""WITH b AS ($bucketSelects),
+       |p AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |  FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket
+       |    AND x.vec_id < y.vec_id),
+       |d AS (SELECT va AS vec_id, vb AS neighbor_id FROM p
+       |      UNION ALL SELECT vb, va FROM p),
+       |s AS (SELECT d.vec_id, d.neighbor_id, $cosSql AS cos
+       |  FROM d JOIN embeddings a ON a.vec_id = d.vec_id
+       |         JOIN embeddings b ON b.vec_id = d.neighbor_id),
+       |r AS (SELECT vec_id, neighbor_id, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       |SELECT vec_id, neighbor_id, rank FROM r WHERE rank <= 5
+       |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1""".stripMargin
+  }
+
   /** langid score fragments over a given token-list column. */
   private def langScores(tokCol: String): Map[String, String] =
     TextFunctions.LangProfiles.map { case (lang, words) =>
@@ -3649,6 +3794,10 @@ object ExtensionQueries {
          |SELECT d.doc_id, coalesce(k.text, '') AS text
          |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
          |ORDER BY d.doc_id $N1, text $N1""".stripMargin,
+    // GENERATED oracle: DuckDB re-derives every token hash with its own
+    // XXH64 (HUGEINT wrapping arithmetic) and rebuilds the 63-bit
+    // vote fingerprint — see SimhashOracle/Xxh64Sql
+    "q_dedup_simhash" -> SimhashOracle,
     // same \S+ tokens, 1-based inclusive slices, md5-hex lexicographic
     // minima as the Spark side; short docs (>= k tokens, < window
     // grams) take the min over all grams via the greatest(1, ...) floor
@@ -3949,6 +4098,9 @@ object ExtensionQueries {
          |       round(margin, 6) AS margin
          |FROM sc WHERE margin >= 1.05
          |ORDER BY src_id $N1, tgt_id $N1, cos_sim $N1, margin $N1""".stripMargin,
+    // GENERATED plane-literal oracle (see AnnLshOracle): DuckDB
+    // recomputes SRP bucketing, banding join and exact rerank itself
+    "q_sim_ann_lsh" -> AnnLshOracle,
     "q_sim_topk" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id

@@ -115,6 +115,14 @@ object SrpBucketIds {
     new GenericArrayData(out)
   }
 
+  /** The hyperplane matrix itself (plane(t*planes+p) rows) — public so
+    * the graded-query ORACLE can embed the planes as SQL literals and
+    * recompute the bucketing independently in DuckDB (the zorder
+    * generated-oracle convention). */
+  def planeMatrix(tables: Int, planes: Int, dim: Int,
+                  seed: Long = 42L): Array[Array[Double]] =
+    matrix(tables, planes, dim, seed)
+
   /** Column helper: array of `tables` bucket ids for `vec`. A vector
     * whose size differs from `dim` yields NULL (excluded from blocking;
     * the rerank's DotProduct nulls the same rows) unless `strict`. */
