@@ -1667,6 +1667,37 @@ object ExtensionQueries {
       det(graft.operators.TextStats.applyBpe(docs(s, dir), "doc_id", "text",
         BpeFixtureMerges))),
 
+    // BYTE-LEVEL (GPT-2-style) BPE TRAINING on a planted word-frequency
+    // example extended with a multi-byte word (café: the C3+A9 bytes
+    // merge as symbols, proving the alphabet is bytes, not chars); the
+    // 15-merge sequence is fully determined by hand arithmetic over
+    // UTF-8 bytes and pinned as VALUES, incl. hex-order tie-breaks
+    "q_text_bpe_bytes_merges" -> ((s, dir) => {
+      import s.implicits._
+      val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+        Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs") ++
+        Seq.fill(3)("café")
+      val planted = Seq(words.mkString(" ")).toDF("text")
+      val m = graft.operators.TextStats.trainBpeBytes(planted, "text",
+        numMerges = 15)
+      val rows = m.zipWithIndex.map { case ((l, r, n), i) => (i + 1L, l, r, n) }
+      det(rows.toDF("merge_rank", "lhs", "rhs", "n_occurrences"))
+    }),
+
+    // BYTE-LEVEL BPE ENCODE with a fixed hex-symbol merge list over the
+    // real corpus (GPT-2-style pre-tokenization: leading spaces attach
+    // to the next run); the oracle re-derives byte symbols from
+    // hex(encode(tok)) and replays the same replace chain
+    "q_text_bpe_bytes_encode" -> ((s, dir) =>
+      det(graft.operators.TextStats.applyBpeBytes(docs(s, dir), "doc_id",
+        "text", ByteBpeFixtureMerges))),
+
+    // the fertility card RE-RUN under the byte-level tokenizer — the
+    // production segmentation's subwords-per-word and bytes-per-subword
+    "q_text_fertility_bytes" -> ((s, dir) =>
+      det(graft.operators.TextStats.byteBpeFertility(docs(s, dir), "text",
+        Seq("lang"), ByteBpeFixtureMerges))),
+
     "q_text_logprob" -> ((s, dir) =>
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
@@ -2781,6 +2812,19 @@ object ExtensionQueries {
   private val BpeFixtureMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
     ("e", "r"), ("o", "n"), ("r", "e"))
+  /** Fixed BYTE-level merge list (uppercase-hex UTF-8 byte symbols)
+    * behind q_text_bpe_bytes_encode / q_text_fertility_bytes: th, the,
+    * ␠the, in, an, and, er, on — the space byte (20) merging into a
+    * word is exactly what separates byte-level from word-internal BPE.
+    * The oracle's replace chain is GENERATED from this same list. */
+  private val ByteBpeFixtureMerges: Seq[(String, String)] = Seq(
+    ("74", "68"), ("7468", "65"), ("20", "746865"), ("69", "6E"),
+    ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+  /** GPT-2-style pre-token pattern as a DuckDB RE2 literal (single
+    * quote doubled) — must stay textually in sync with
+    * [[graft.operators.TextStats.ByteBpePretokenPattern]]. */
+  private val BytePretokenSql: String =
+    "''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
   private val BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   private val STOP_EN = TextFunctions.EnStopwords.map(w => s"'$w'").mkString(",")
 
@@ -5224,6 +5268,88 @@ object ExtensionQueries {
          |  coalesce(a.n_subwords, 0) AS n_subwords
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id $N1, n_tokens $N1, n_subwords $N1""".stripMargin
+    },
+    // byte-level training replay, hand-computed over UTF-8 bytes of the
+    // planted word-frequency table (hug:10 pug:5 pun:12 bun:4 hugs:5
+    // café:3, GPT-2-style pre-tokens so all but the first word carry a
+    // leading 20 byte): ug(20) ␠p(17) un(16) h+ug(15) ␠+hug(14 — both
+    // ␠hug and ␠hugs contribute) ␠p+un(12), then the count-5/4/3 tiers
+    // with hex-ascending tie-breaks (20687567+73 before 2070+7567),
+    // ending in ␠café fully merged through its C3 A9 bytes
+    "q_text_bpe_bytes_merges" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), '75', '67', CAST(20 AS BIGINT)),
+         |  (CAST(2 AS BIGINT), '20', '70', CAST(17 AS BIGINT)),
+         |  (CAST(3 AS BIGINT), '75', '6E', CAST(16 AS BIGINT)),
+         |  (CAST(4 AS BIGINT), '68', '7567', CAST(15 AS BIGINT)),
+         |  (CAST(5 AS BIGINT), '20', '687567', CAST(14 AS BIGINT)),
+         |  (CAST(6 AS BIGINT), '2070', '756E', CAST(12 AS BIGINT)),
+         |  (CAST(7 AS BIGINT), '20687567', '73', CAST(5 AS BIGINT)),
+         |  (CAST(8 AS BIGINT), '2070', '7567', CAST(5 AS BIGINT)),
+         |  (CAST(9 AS BIGINT), '20', '62', CAST(4 AS BIGINT)),
+         |  (CAST(10 AS BIGINT), '2062', '756E', CAST(4 AS BIGINT)),
+         |  (CAST(11 AS BIGINT), '20', '63', CAST(3 AS BIGINT)),
+         |  (CAST(12 AS BIGINT), '2063', '61', CAST(3 AS BIGINT)),
+         |  (CAST(13 AS BIGINT), '206361', '66', CAST(3 AS BIGINT)),
+         |  (CAST(14 AS BIGINT), '20636166', 'C3', CAST(3 AS BIGINT)),
+         |  (CAST(15 AS BIGINT), '20636166C3', 'A9', CAST(3 AS BIGINT)))
+         |  AS t(merge_rank, lhs, rhs, n_occurrences)
+         |ORDER BY merge_rank $N1, lhs $N1, rhs $N1, n_occurrences $N1""".stripMargin,
+    // byte-level encode replay: byte symbols re-derived from
+    // hex(encode(tok)) digit pairs, the SAME sentinel wrapping and
+    // generated replace chain as the engine's codegen'd projection
+    "q_text_bpe_bytes_encode" -> {
+      val base = "regexp_replace(hex(encode(tok)), '(..)', " +
+        "chr(1) || '\\1' || chr(2), 'g')"
+      val folded = ByteBpeFixtureMerges.foldLeft(base) { case (e, (l, r)) =>
+        s"replace($e, chr(1) || '$l' || chr(2) || chr(1) || '$r' || chr(2)," +
+          s" chr(1) || '$l$r' || chr(2))"
+      }
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '$BytePretokenSql')) AS tok
+         |  FROM documents),
+         |fld AS (SELECT doc_id, $folded AS f FROM toks),
+         |enc AS (SELECT doc_id,
+         |    len(f) - len(replace(f, chr(1), '')) AS ns FROM fld),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+         |    CAST(sum(ns) AS BIGINT) AS n_subwords FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_pretokens, 0) AS n_pretokens,
+         |  coalesce(a.n_subwords, 0) AS n_subwords
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id $N1, n_pretokens $N1, n_subwords $N1""".stripMargin
+    },
+    // the per-language fertility card under the byte-level tokenizer
+    "q_text_fertility_bytes" -> {
+      val base = "regexp_replace(hex(encode(tok)), '(..)', " +
+        "chr(1) || '\\1' || chr(2), 'g')"
+      val folded = ByteBpeFixtureMerges.foldLeft(base) { case (e, (l, r)) =>
+        s"replace($e, chr(1) || '$l' || chr(2) || chr(1) || '$r' || chr(2)," +
+          s" chr(1) || '$l$r' || chr(2))"
+      }
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '$BytePretokenSql')) AS tok
+         |  FROM documents),
+         |fld AS (SELECT doc_id, $folded AS f FROM toks),
+         |enc AS (SELECT doc_id,
+         |    CAST(sum(len(f) - len(replace(f, chr(1), ''))) AS BIGINT) AS ns
+         |  FROM fld GROUP BY doc_id),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         |      AS total_words,
+         |    CAST(sum(coalesce(e.ns, 0)) AS BIGINT) AS total_subwords,
+         |    CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+         |  FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+         |  GROUP BY lang)
+         |SELECT lang, n_docs, total_words, total_subwords, total_bytes,
+         |  CASE WHEN total_words > 0
+         |    THEN round(CAST(total_subwords AS DOUBLE) / total_words, 6)
+         |  END AS fertility,
+         |  CASE WHEN total_subwords > 0
+         |    THEN round(CAST(total_bytes AS DOUBLE) / total_subwords, 6)
+         |  END AS bytes_per_subword
+         |FROM a
+         |ORDER BY lang $N1, n_docs $N1, total_words $N1, total_subwords $N1,
+         |  total_bytes $N1, fertility $N1, bytes_per_subword $N1""".stripMargin
     },
     "q_text_stopwords" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id,

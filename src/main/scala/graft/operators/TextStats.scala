@@ -557,35 +557,45 @@ object TextStats {
           c => concat(lit(OPEN), c, lit(CLOSE))), "").as("__s"),
         col("n_occurrences").as("__cnt"))
       .cache()
-    try {
-      var cur = vocab0
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      var done = false
-      while (!done && merges.size < numMerges) {
-        // strip the outermost sentinels, then split on close+open seams
-        val syms = split(
-          col("__s").substr(lit(2), length(col("__s")) - 2), CLOSE + OPEN)
-        val pairs = when(size(syms) >= 2,
-          transform(sequence(lit(1), size(syms) - 1),
-            i => concat(element_at(syms, i), lit(OPEN), element_at(syms, i + 1))))
-          .otherwise(array().cast(ArrayType(StringType)))
-        val top = cur.select(explode(pairs).as("__p"), col("__cnt"))
-          .groupBy(col("__p")).agg(sum(col("__cnt")).as("__n"))
-          .orderBy(col("__n").desc, col("__p"))
-          .limit(1).collect()
-        if (top.isEmpty || top(0).getLong(1) < minPairCount) done = true
-        else {
-          val parts = top(0).getString(0).split(OPEN)
-          val (l, r) = (parts(0), parts(1))
-          merges += ((l, r, top(0).getLong(1)))
-          cur = cur.withColumn("__s",
-            replace(col("__s"), lit(OPEN + l + CLOSE + OPEN + r + CLOSE),
-              lit(OPEN + l + r + CLOSE)))
-          if (merges.size % checkpointEvery == 0) cur = cur.localCheckpoint()
-        }
+    try trainMerges(vocab0, numMerges, minPairCount)
+    finally { vocab0.unpersist(); () }
+  }
+
+  /** The shared BPE merge loop over a sentinel-encoded symbol-string
+    * vocabulary `(__s, __cnt)` — character symbols ([[trainBpe]]) and
+    * byte symbols ([[trainBpeBytes]]) run the IDENTICAL algorithm. */
+  private def trainMerges(vocab0: DataFrame, numMerges: Int,
+                          minPairCount: Long): Seq[(String, String, Long)] = {
+    val OPEN = ""
+    val CLOSE = ""
+    val checkpointEvery = 16
+    var cur = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (!done && merges.size < numMerges) {
+      // strip the outermost sentinels, then split on close+open seams
+      val syms = split(
+        col("__s").substr(lit(2), length(col("__s")) - 2), CLOSE + OPEN)
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), lit(OPEN), element_at(syms, i + 1))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      val top = cur.select(explode(pairs).as("__p"), col("__cnt"))
+        .groupBy(col("__p")).agg(sum(col("__cnt")).as("__n"))
+        .orderBy(col("__n").desc, col("__p"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) < minPairCount) done = true
+      else {
+        val parts = top(0).getString(0).split(OPEN)
+        val (l, r) = (parts(0), parts(1))
+        merges += ((l, r, top(0).getLong(1)))
+        cur = cur.withColumn("__s",
+          replace(col("__s"), lit(OPEN + l + CLOSE + OPEN + r + CLOSE),
+            lit(OPEN + l + r + CLOSE)))
+        if (merges.size % checkpointEvery == 0) cur = cur.localCheckpoint()
       }
-      merges.toSeq
-    } finally { vocab0.unpersist(); () }
+    }
+    merges.toSeq
   }
 
   /**
@@ -626,6 +636,140 @@ object TextStats {
     docs.select(col(idCol).as("doc_id"),
       size(toks).cast(LongType).as("n_tokens"),
       aggregate(perTok, lit(0L), (a, x) => a + x).as("n_subwords"))
+  }
+
+  // ------------------------------------------------- byte-level (GPT-2) BPE
+
+  /**
+   * GPT-2-STYLE pre-tokenization pattern: contraction suffixes,
+   * optionally-space-prefixed letter / digit / punctuation runs, and
+   * whitespace runs — the segmentation byte-level BPE trains within
+   * (Radford et al. 2019's regex). ONE deliberate deviation: the
+   * original's negative-lookahead branch `\s+(?!\S)` is omitted (RE2,
+   * the oracle engine, has no lookahead), so an interior whitespace
+   * run keeps all its spaces instead of donating its last one to the
+   * next pre-token. Segmentation stays deterministic and lossless;
+   * only multi-space runs group differently. Java and RE2 agree on
+   * `\p{L}`/`\p{N}` (Unicode letter/number classes).
+   */
+  val ByteBpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** GPT-2-style pre-tokens of `text` (see [[ByteBpePretokenPattern]]).
+    * Unlike `\S+` tokens, pre-tokens KEEP leading spaces and whitespace
+    * runs, so the byte stream is lossless. */
+  def bytePretokens(text: Column): Column =
+    regexp_extract_all(text, lit(ByteBpePretokenPattern), lit(0))
+
+  /** A pre-token as sentinel-wrapped BYTE symbols: its UTF-8 bytes as
+    * uppercase hex pairs, each wrapped `U+0001 hh U+0002` — the same
+    * paired-sentinel representation [[trainBpe]] uses for characters,
+    * so the identical literal-replace merge machinery applies. Hex
+    * pairs (not raw bytes) keep every symbol printable, engine-neutral
+    * (DuckDB's `hex(encode(tok))` produces the same text), and safe
+    * from sentinel collisions; ONE regexp pass inserts all sentinels
+    * (no per-index lambda re-evaluating `hex(encode(...))`). */
+  private def byteSymbolString(tok: Column): Column =
+    regexp_replace(hex(encode(tok, "UTF-8")), "(..)", "\u0001$1\u0002")
+
+  /** Row-local byte-level subword count of `text` under `merges` —
+    * the shared projection behind [[applyBpeBytes]] and
+    * [[byteBpeFertility]]: fold the literal-replace merge chain over
+    * each pre-token's byte-symbol string, count open sentinels. */
+  private def byteSubwordCount(text: Column,
+                               merges: Seq[(String, String)]): Column = {
+    val OPEN = "\u0001"
+    val CLOSE = "\u0002"
+    val perTok = transform(bytePretokens(text), tok => {
+      val folded = merges.foldLeft(byteSymbolString(tok)) {
+        case (s, (l, r)) =>
+          replace(s, lit(OPEN + l + CLOSE + OPEN + r + CLOSE),
+            lit(OPEN + l + r + CLOSE))
+      }
+      (length(folded) - length(translate(folded, OPEN, ""))).cast(LongType)
+    })
+    aggregate(perTok, lit(0L), (a, x) => a + x)
+  }
+
+  /**
+   * BYTE-LEVEL BPE training (the GPT-2 tokenizer recipe): the corpus
+   * collapses to its pre-token frequency table, each pre-token becomes
+   * its UTF-8 byte-symbol string, and the merge loop is EXACTLY
+   * [[trainBpe]]'s (shared code — most-frequent adjacent pair, ties by
+   * pair ascending, left-to-right non-overlapping application). Byte
+   * level is what production LLM pipelines run: the base alphabet is
+   * all 256 bytes, so every script — and every byte of malformed
+   * text — is representable without unknown tokens, and merge
+   * statistics reflect bytes, not characters (é is TWO symbols before
+   * a merge joins C3+A9).
+   *
+   * Returned symbols are uppercase-hex byte strings ("74", "7468" =
+   * t, th). 100 TB design: identical to [[trainBpe]] — one Zipf-bounded
+   * vocabulary collapse, then per merge one map-side-combined pair
+   * aggregate + a one-row argmax collect.
+   */
+  def trainBpeBytes(docs: DataFrame, textCol: String, numMerges: Int,
+                    minCount: Long = 1L,
+                    minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    val vocab0 = docs
+      .select(explode(bytePretokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(byteSymbolString(col("__tok")).as("__s"), col("__cnt"))
+      .cache()
+    try trainMerges(vocab0, numMerges, minPairCount)
+    finally { vocab0.unpersist(); () }
+  }
+
+  /**
+   * Byte-level BPE ENCODE under a fixed merge list ([[trainBpeBytes]]
+   * hex symbols): per-document pre-token and subword counts — the
+   * token-cost column under the PRODUCTION segmentation. Entirely
+   * row-local (merge list compiles to a codegen'd literal-replace
+   * chain; zero shuffle). Output: (doc_id, n_pretokens, n_subwords).
+   */
+  def applyBpeBytes(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    docs.select(col(idCol).as("doc_id"),
+      size(bytePretokens(col(textCol))).cast(LongType).as("n_pretokens"),
+      byteSubwordCount(col(textCol), merges).as("n_subwords"))
+  }
+
+  /**
+   * Tokenizer fertility card under the BYTE-LEVEL segmentation — the
+   * [[fertilityStats]] re-run the GPT-2-style tokenizer deserves:
+   * per stratum, documents, `\S+` words, byte-level subwords under
+   * `merges`, raw bytes, subwords-per-word fertility and
+   * bytes-per-subword compression. One aggregate over row-local
+   * columns — no shuffle beyond the stratum groupBy.
+   */
+  def byteBpeFertility(docs: DataFrame, textCol: String,
+                       strataCols: Seq[String],
+                       merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    docs
+      .select((strataCols.map(col) ++ Seq(
+        octet_length(col(textCol)).cast(LongType).as("__bytes"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).as("__words"),
+        byteSubwordCount(col(textCol), merges).as("__subwords"))): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__words")).as("total_words"),
+        sum(col("__subwords")).as("total_subwords"),
+        sum(col("__bytes")).cast(LongType).as("total_bytes"))
+      .select((strataCols.map(col) ++ Seq(
+        col("n_docs"), col("total_words"), col("total_subwords"),
+        col("total_bytes"),
+        when(col("total_words") > 0,
+          round(col("total_subwords").cast(DoubleType) /
+            col("total_words"), 6)).as("fertility"),
+        when(col("total_subwords") > 0,
+          round(col("total_bytes").cast(DoubleType) /
+            col("total_subwords"), 6)).as("bytes_per_subword"))): _*)
   }
 
   /**

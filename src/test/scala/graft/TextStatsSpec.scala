@@ -872,6 +872,59 @@ class TextStatsSpec extends AnyFunSuite {
     assert(m10.forall(_._3 >= 2L))
   }
 
+  test("byte-level BPE: GPT-2-style pre-tokens, byte alphabet, hand-checked merges") {
+    // pre-tokenization: leading spaces attach, contractions split,
+    // digit/punct runs separate, whitespace runs survive
+    val pts = Seq(("it's 2 cats!  ok")).toDF("text")
+      .select(TextStats.bytePretokens(col("text")).as("p"))
+      .head().getSeq[String](0)
+    assert(pts == Seq("it", "'s", " 2", " cats", "!", "  ", "ok"),
+      s"got $pts")
+    // byte-level training on the planted example + a multi-byte word:
+    // merges are HEX BYTE symbols; the leading-space byte merges into
+    // words; café's C3/A9 bytes merge as separate symbols
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs") ++
+      Seq.fill(3)("café")
+    val planted = Seq(words.mkString(" ")).toDF("text")
+    val m = TextStats.trainBpeBytes(planted, "text", numMerges = 15)
+    assert(m.take(6) == Seq(("75", "67", 20L), ("20", "70", 17L),
+      ("75", "6E", 16L), ("68", "7567", 15L), ("20", "687567", 14L),
+      ("2070", "756E", 12L)))
+    assert(m(13) == (("20636166", "C3", 3L)) && m(14) == (("20636166C3", "A9", 3L)),
+      "the multi-byte word must merge through its UTF-8 bytes")
+    // encode under the learned merges: both 'hug' (h+ug learned
+    // unprefixed at rank 4) and ' café' (6 bytes incl. the leading
+    // space and the C3 A9 pair) collapse to ONE subword each
+    val rows = TextStats.applyBpeBytes(
+      Seq((1L, "hug café"), (2L, ""), (3L, "é")).toDF("doc_id", "text"),
+      "doc_id", "text", m.map(x => (x._1, x._2)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((2L, 2L)),
+      "pretokens [hug, ␠café] each collapse to one subword")
+    assert(rows(2L) == ((0L, 0L)), "empty doc: zero pre-tokens, zero subwords")
+    assert(rows(3L) == ((1L, 2L)), "unmerged é = its two raw bytes")
+  }
+
+  test("byteBpeFertility equals a per-doc recomputation, strata preserved") {
+    val docs = Seq((1L, "en", "the cat and the hat"),
+      (2L, "en", "in there"), (3L, "de", "und und")).toDF("doc_id", "lang", "text")
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"))
+    val card = TextStats.byteBpeFertility(docs, "text", Seq("lang"), merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val perDoc = TextStats.applyBpeBytes(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // en: docs 1,2 — words 5+2; de: doc 3 — words 2
+    assert(card("en")._1 == 2L && card("en")._2 == 7L)
+    assert(card("de")._1 == 1L && card("de")._2 == 2L)
+    assert(card("en")._3 == perDoc(1L) + perDoc(2L),
+      "card subwords must equal the per-doc encode sum")
+    assert(card("de")._3 == perDoc(3L))
+    assert(card("en")._4 == 19L + 8L && card("de")._4 == 7L, "raw byte totals")
+  }
+
   test("applyBpe segments left-to-right non-overlapping in training order") {
     val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"), ("p", "un"), ("hug", "s"))
     val docs = Seq((1L, "hugs pun bug"), (2L, ""), (3L, "aaa")).toDF("doc_id", "text")
