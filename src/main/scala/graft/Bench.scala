@@ -45,6 +45,17 @@ import java.nio.file.{Files, Paths}
  *    measured 4.12 s in-bench vs 2.1 s isolated), so the recorded
  *    bench takes the repeat floor unless explicitly overridden.
  *
+ * Adaptive extra repeats (round 15 — VERDICT r14 #6): the sub-2 s rows
+ * are the documented in-sequence noise class (GC debt from 250
+ * neighbors can land inside ALL of a query's base repeats, so even a
+ * min-of-3 reads up to 1.6x high and every round pays an isolated
+ * re-bench to dismiss false regressions). When a row's base repeats
+ * finish under 2 s with a spread wider than 25% of the floor, the
+ * floor is suspect: up to 2 EXTRA repeats run (each behind its own
+ * System.gc()) and the minimum absorbs them. Stable rows and
+ * expensive rows pay nothing; a full 253-query run gains well under
+ * two minutes.
+ *
  * Inter-query GC (round 9): the repeat floor does NOT shed GC debt —
  * a 66-query run accumulates every query's broadcasts/shuffle state
  * until a multi-second collection lands on whichever query happens to
@@ -104,15 +115,18 @@ object Bench {
       // here, not inside the next measured window
       System.gc()
       var best = Double.MaxValue
+      var worst = 0.0
       var ok = true
-      for (_ <- 1 to repeat if ok) {
+      def once(): Unit = {
         val t0 = System.nanoTime()
         try {
           rows(name) = force(fn(spark, sfDir))
           // only a SUCCESSFUL iteration's time may enter the minimum — a
           // fast mid-run failure must not be recorded as the query's
           // best time (the file's "no fake fast timings" contract)
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          best = math.min(best, sec)
+          worst = math.max(worst, sec)
         } catch {
           case e: Throwable =>
             ok = false
@@ -122,6 +136,15 @@ object Bench {
             if (best == Double.MaxValue)
               best = (System.nanoTime() - t0) / 1e9 // no success to report
         }
+      }
+      for (_ <- 1 to repeat if ok) once()
+      // noise-class tightening: a cheap row whose repeats disagree is
+      // reading someone else's GC — buy up to 2 clean extra samples
+      var extra = 0
+      while (ok && extra < 2 && best < 2.0 && worst > 1.25 * best) {
+        System.gc()
+        once()
+        extra += 1
       }
       times(name) = best
     }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, ceil, coalesce, col, count, greatest, lit, pmod, sum, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -149,6 +150,72 @@ object TextCorpus {
                               partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /**
+   * BOUNDED-TASK parquet write — the skew-proof export path. A naive
+   * `partitionBy(lang)` write of a 90%-English corpus funnels 90% of
+   * the rows through however many tasks happen to hold them; at 100 TB
+   * that is a handful of multi-hour straggler tasks and multi-GB
+   * files. Here every write task carries ~`targetRecordsPerFile` rows
+   * by construction:
+   *
+   *  1. one TINY aggregate counts rows per partition value (partition
+   *     columns are low-cardinality by contract — the same rule
+   *     [[writePartitionedParquet]] documents);
+   *  2. each value gets `ceil(count / target)` salt buckets, joined
+   *     back broadcast; the salt is `xxhash64(saltCol) % buckets` —
+   *     DETERMINISTIC (re-runs produce identical layout, unlike a
+   *     rand() salt);
+   *  3. one repartition on (partitionCols..., salt) into ~bucket-count
+   *     tasks makes each task a small number of bounded slices (hash
+   *     collisions can co-locate two slices — still bounded, vs. the
+   *     unbounded monster task this replaces);
+   *  4. `maxRecordsPerFile` rides along as the hard per-FILE cap for
+   *     any remaining imbalance.
+   *
+   * With `partitionCols` empty the same logic sizes a flat write to
+   * `ceil(total / target)` tasks. Returns (rows, directories, buckets)
+   * for observability.
+   */
+  def writeSizedParquet(df: DataFrame, path: String,
+                        targetRecordsPerFile: Long,
+                        partitionCols: Seq[String],
+                        saltCol: String): (Long, Long, Long) = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    require(!df.columns.contains("__salt"), "df already has a __salt column")
+    val counts = df
+      .groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__buckets",
+        ceil(col("__n").cast("double") / targetRecordsPerFile).cast("int"))
+    val agg = counts.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("rows"),
+      count(lit(1)).as("dirs"),
+      coalesce(sum(col("__buckets").cast("long")), lit(0L)).as("buckets"))
+      .head()
+    val (rows, dirs, buckets) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val salted =
+      if (partitionCols.isEmpty)
+        df.withColumn("__salt",
+          pmod(xxhash64(col(saltCol)),
+            lit(math.max(1L, math.ceil(rows.toDouble / targetRecordsPerFile).toLong))))
+      else
+        df.join(broadcast(counts.select(partitionCols.map(col) :+
+            col("__buckets"): _*)), partitionCols, "left")
+          .withColumn("__salt",
+            pmod(xxhash64(col(saltCol)), greatest(col("__buckets"), lit(1))))
+          .drop("__buckets")
+    val writer = salted
+      .repartition(buckets.max(1L).min(Int.MaxValue).toInt,
+        (partitionCols :+ "__salt").map(col): _*)
+      .drop("__salt")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+    (if (partitionCols.isEmpty) writer
+     else writer.partitionBy(partitionCols: _*)).parquet(path)
+    (rows, dirs, buckets)
   }
 
   /**

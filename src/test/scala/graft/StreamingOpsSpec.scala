@@ -951,6 +951,90 @@ class StreamingOpsSpec extends AnyFunSuite {
       5L -> false, 6L -> true))
   }
 
+  /** Peak & final stateOperators.numRowsTotal over a query's whole
+    * progress history — the STATE-SIZE gate every watermark/timeout
+    * claim owes: "state is bounded" is only true if the progress
+    * counters actually shrink once the watermark passes. */
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery):
+      (Long, Long) = {
+    val perBatch = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+    (if (perBatch.isEmpty) 0L else perBatch.max,
+      if (perBatch.isEmpty) 0L else perBatch.last)
+  }
+
+  test("state-size gates: watermarks/buffers actually bound state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // 1. native sessionization: hundreds of events, 3 keys; once the
+    // watermark passes, closed sessions leave the store
+    val sMem = MemoryStream[(Long, java.sql.Timestamp)]
+    val sOut = StreamingOps.streamingSessionizeNative(
+      sMem.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gapSeconds = 60, watermark = "10 seconds")
+    val sq = sOut.writeStream.format("memory").queryName("gate_sessions")
+      .outputMode("append").start()
+    for (b <- 0 until 3) {
+      sMem.addData((0 until 100).map(i =>
+        ((i % 3).toLong,
+          ts(f"2024-01-01 00:0$b:${10 + i % 40}%02d"))): _*)
+      sq.processAllAvailable()
+    }
+    // far-future event closes everything open, incl. one late straggler
+    sMem.addData((1L, ts("2024-01-01 00:00:30")), (9L, ts("2024-01-01 06:00:00")))
+    sq.processAllAvailable()
+    val (sPeak, sLast) = stateRows(sq)
+    sq.stop()
+    assert(sPeak <= 12,
+      s"open-session state must stay ~keys-sized, not events-sized (peak $sPeak)")
+    assert(sLast <= 2, s"watermark must evict closed sessions (last $sLast)")
+
+    // 2. watermark-bounded exact dedup: 300 rows over 10 distinct keys;
+    // state tracks keys INSIDE the watermark, then evicts
+    val dMem = MemoryStream[(String, java.sql.Timestamp)]
+    val dOut = StreamingOps.streamingExactDedup(
+      dMem.toDF().toDF("k", "ts"), "k", "ts", watermark = "10 seconds")
+    val dq = dOut.writeStream.format("memory").queryName("gate_dedup")
+      .outputMode("append").start()
+    for (b <- 0 until 3) {
+      dMem.addData((0 until 100).map(i =>
+        (s"key${i % 10}", ts(f"2024-01-01 00:0$b:${10 + i % 30}%02d"))): _*)
+      dq.processAllAvailable()
+    }
+    dMem.addData(("fresh", ts("2024-01-01 06:00:00")))
+    dq.processAllAvailable()
+    val (dPeak, dLast) = stateRows(dq)
+    val dedupRows = spark.sql("SELECT count(*) FROM gate_dedup").head().getLong(0)
+    dq.stop()
+    assert(dedupRows >= 10 && dedupRows <= 31,
+      s"one survivor per key per watermark era, got $dedupRows")
+    assert(dPeak <= 30, s"dedup state must track keys-within-watermark (peak $dPeak)")
+    assert(dLast <= 2, s"watermark must evict expired dedup keys (last $dLast)")
+
+    // 3. streaming as-of: state is ONE ROW PER KEY (a bounded buffer
+    // inside), never per-event — 600 events over 4 keys = 4 state rows
+    val aMem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val aOut = StreamingOps.streamingAsofEnrich(
+      aMem.toDF().toDF("k", "ts", "id", "v").filter(col("id") % 2 === 0)
+        .select(col("k"), col("ts"), col("id")),
+      aMem.toDF().toDF("k", "ts", "id", "v").filter(col("id") % 2 === 1),
+      "k", "ts", "id", "v", maxBuffer = 16)
+    val aq = aOut.writeStream.format("memory").queryName("gate_asof")
+      .outputMode("append").start()
+    for (b <- 0 until 3) {
+      aMem.addData((0 until 200).map(i =>
+        ((i % 4).toLong, ts(f"2024-01-01 00:0$b:${i % 60}%02d"),
+          (b * 200 + i).toLong, i.toDouble)): _*)
+      aq.processAllAvailable()
+    }
+    val (aPeak, _) = stateRows(aq)
+    aq.stop()
+    assert(aPeak <= 4,
+      s"as-of state must be one bounded-buffer row per key (peak $aPeak)")
+  }
+
   test("streamingRateLimit: a late older-window straggler cannot reset the cap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -202,6 +202,42 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(after(victim) == "missing")
   }
 
+  test("writeSizedParquet: skewed write lands in bounded files, content identical") {
+    import spark.implicits._
+    // 90/10 skew: 'en' would be one monster task under plain partitionBy
+    val df = (0 until 2000).map(i =>
+      (i.toLong, if (i % 10 == 0) "de" else "en", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sized").toString + "/out"
+    val (rows, dirs, buckets) = TextCorpus.writeSizedParquet(
+      df, dir, targetRecordsPerFile = 250, Seq("lang"), "doc_id")
+    assert(rows == 2000L && dirs == 2L)
+    assert(buckets == math.ceil(1800 / 250.0).toLong + math.ceil(200 / 250.0).toLong)
+    val back = spark.read.parquet(dir)
+    // content identical
+    assert(back.count() == 2000L)
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq ==
+      (0L until 2000L))
+    // file envelope: EVERY file respects the record cap, and the
+    // monster stratum splits into ~bucket-count files instead of one
+    val perFile = back.groupBy(input_file_name().as("f"), col("lang"))
+      .count().collect()
+    assert(perFile.forall(_.getLong(2) <= 250L),
+      s"a file exceeds maxRecordsPerFile: ${perFile.map(_.getLong(2)).max}")
+    val enFiles = perFile.count(_.getString(1) == "en")
+    assert(enFiles >= 8 && enFiles <= 16,
+      s"1800 en rows at 250/file must spread over ~8 files, got $enFiles")
+    // flat (unpartitioned) flavor sizes to ceil(total/target) tasks
+    val dir2 = java.nio.file.Files.createTempDirectory("sized").toString + "/flat"
+    val (r2, d2, b2) = TextCorpus.writeSizedParquet(
+      df, dir2, targetRecordsPerFile = 600, Seq.empty, "doc_id")
+    assert(r2 == 2000L && d2 == 1L && b2 == 4L)
+    val flat = spark.read.parquet(dir2)
+    val flatFiles = flat.groupBy(input_file_name()).count().collect()
+    assert(flatFiles.forall(_.getLong(1) <= 600L))
+    assert(flat.count() == 2000L)
+  }
+
   test("compactParquet: many small files become few, content identical, no in-place") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("cmp_in").toString
