@@ -1837,6 +1837,13 @@ object ExtensionQueries {
       det(graft.operators.Windowed.sessionizeBatch(events(s, dir), "user_id", "ts",
         gapSeconds = 7200, tieBreakCol = Some("event_id")))),
 
+    // the monster-key scale-out: (key, ts-bucket) local sessions +
+    // boundary-fragment merge — THIRD execution path on the same
+    // oracle text (few buckets so cross-bucket chains actually fire)
+    "q_events_sessionize_skewed" -> ((s, dir) =>
+      det(graft.operators.Windowed.sessionizeSkewed(events(s, dir),
+        "user_id", "ts", gapSeconds = 7200, numBuckets = 8))),
+
     // Spark's native session_window grouping — SAME oracle text as
     // q_events_sessionize (one oracle, two execution paths); the
     // session merge happens inside the partial aggregate, which the
@@ -4158,6 +4165,7 @@ object ExtensionQueries {
     // overlap with the <= rule)
     "q_events_sessionize" -> SessionizeOracle,
     "q_events_sessionize_native" -> SessionizeOracle,
+    "q_events_sessionize_skewed" -> SessionizeOracle,
     // the snapshot CTE + latest-change-per-key window + full join:
     // delete drops, upsert wins, untouched keys keep the base row
     "q_events_cdc_apply" ->

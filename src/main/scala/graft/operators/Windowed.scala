@@ -69,6 +69,97 @@ object Windowed {
         col("n_events"))
 
   /**
+   * Skew-hardened sessionization — the MONSTER-KEY scale-out of
+   * [[sessionizeBatch]] (identical output contract), completing the
+   * per-key-window skew family next to
+   * [[graft.operators.Temporal.asofJoinSkewed]]: one bot key holding
+   * half a 100 TB event log serializes both window plans ([[
+   * sessionizeNative]]'s partial aggregation shrinks the DATA but its
+   * final per-key merge still lands on one task).
+   *
+   * Plan: events range-partition on (key, ts-bucket) — `numBuckets`
+   * equal-width time ranges over the global span (one 1-row min/max
+   * aggregate) — and sessionize LOCALLY per slice with the standard
+   * two-window lag plan. A local session is FINAL (emitted directly)
+   * unless it sits within `gapSeconds` of its bucket's edge: only
+   * those fragments — a per-(key, bucket) handful, since the bucket
+   * width is forced ≥ 4× the gap — enter a per-key merge pass, which
+   * is itself a mini-sessionization over (start, end) intervals on a
+   * frame ~buckets-sized per key, chaining fragments whose true gap
+   * is within the threshold across bucket boundaries (and across
+   * EMPTY buckets — the chain rule uses real timestamps, not bucket
+   * adjacency). Classification errs inclusive: an over-classified
+   * fragment just rides the tiny merge frame as a singleton chain.
+   *
+   * Correctness of the split: cross-bucket partners are always
+   * classified (if `next.start - cur.end <= gap` with `next` in a
+   * later bucket, then `cur.end >= bucketEnd - gap` and
+   * `next.start <= bucketStart + gap` — both land in the merge
+   * frame); within-bucket sessions were already split by the local
+   * gap rule and can never merge. When the data span is too short
+   * for `numBuckets` gap-clear buckets, the bucket count shrinks
+   * (down to 1 = exactly the batch plan), so the split can never
+   * produce boundary bands that overlap.
+   *
+   * NULL contract mirrors [[sessionizeBatch]]: NULL keys form their
+   * own sessions, NULL timestamps each start a singleton session.
+   */
+  def sessionizeSkewed(events: DataFrame, userCol: String, tsCol: String,
+                       gapSeconds: Long, numBuckets: Int = 64): DataFrame = {
+    require(gapSeconds >= 0, "gapSeconds must be >= 0")
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val e = events.select(col(userCol).as("__k"),
+      col(tsCol).cast("timestamp").as("__ts"))
+    val span = e.agg(min(unix_micros(col("__ts"))).as("lo"),
+      max(unix_micros(col("__ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (span.isNullAt(0)) (0L, 0L) else (span.getLong(0), span.getLong(1))
+    val gapUs = math.multiplyExact(gapSeconds, 1000000L)
+    // keep every bucket at least 4 gaps wide, or the boundary bands
+    // would cover whole buckets and the merge frame would stop being
+    // small; short spans degrade gracefully toward the batch plan
+    val maxBuckets = if (gapUs == 0) numBuckets.toLong
+      else math.max(1L, (hi - lo) / (4L * gapUs))
+    val effBuckets = math.max(1L, math.min(numBuckets.toLong, maxBuckets))
+    val width = math.max(1L, (hi - lo) / effBuckets + 1L)
+    val b = e.withColumn("__b", // integral div: exact at any span
+      expr(s"(unix_micros(__ts) - ${lo}L) div ${width}L"))
+    val wLoc = Window.partitionBy(col("__k"), col("__b")).orderBy(col("__ts"))
+    val prev = lag(col("__ts"), 1).over(wLoc)
+    val local = b
+      .withColumn("__new", when(prev.isNull ||
+        col("__ts").cast("double") - prev.cast("double") > gapSeconds, 1)
+        .otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(wLoc))
+      .groupBy(col("__k"), col("__b"), col("__sid"))
+      .agg(min(col("__ts")).as("__start"), max(col("__ts")).as("__end"),
+        count(lit(1)).as("__n"))
+    val bStartUs = lit(lo) + col("__b") * lit(width)
+    val isBoundary = coalesce(
+      unix_micros(col("__start")) <= bStartUs + lit(gapUs) ||
+        unix_micros(col("__end")) >= bStartUs + lit(width) - lit(gapUs),
+      lit(false)) // NULL-ts sessions are final singletons, like batch
+    val tagged = local.withColumn("__bd", isBoundary)
+    val interior = tagged.filter(!col("__bd"))
+    val frag = tagged.filter(col("__bd"))
+    val wm = Window.partitionBy(col("__k")).orderBy(col("__start"), col("__end"))
+    val prevEnd = lag(col("__end"), 1).over(wm)
+    val merged = frag
+      .withColumn("__cn", when(prevEnd.isNull ||
+        col("__start").cast("double") - prevEnd.cast("double") > gapSeconds, 1)
+        .otherwise(0))
+      .withColumn("__chain", sum(col("__cn")).over(wm))
+      .groupBy(col("__k"), col("__chain"))
+      .agg(min(col("__start")).as("__start"), max(col("__end")).as("__end"),
+        sum(col("__n")).as("__n"))
+    interior.select(col("__k"), col("__start"), col("__end"), col("__n"))
+      .unionByName(
+        merged.select(col("__k"), col("__start"), col("__end"), col("__n")))
+      .select(col("__k").as(userCol), col("__start").as("session_start"),
+        col("__end").as("session_end"), col("__n").cast("long").as("n_events"))
+  }
+
+  /**
    * Session STATISTICS card — the corpus-level summary over
    * [[sessionizeBatch]]'s output: session count, bounce share
    * (single-event sessions), mean/median/max duration and mean depth

@@ -321,4 +321,80 @@ class WindowedSpec extends AnyFunSuite {
         r.getLong(3))).toSet
     assert(got == want, "native session_window must equal the lag plan exactly")
   }
+
+  test("sessionizeSkewed equals the lag plan: real events, boundary chains, edges") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.get(0)),
+        Option(r.getTimestamp(1)).map(_.toString),
+        Option(r.getTimestamp(2)).map(_.toString), r.getLong(3))).toSet
+
+    // real events, buckets few enough that cross-bucket chains fire
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val want = asSet(Windowed.sessionizeBatch(e, "user_id", "ts", 7200))
+    for (nb <- Seq(1, 3, 16))
+      assert(asSet(Windowed.sessionizeSkewed(e, "user_id", "ts", 7200, nb))
+        == want, s"numBuckets=$nb must not change the session set")
+
+    // a session CHAIN spanning many buckets: continuous 1s-apart
+    // events over the whole span must come back as ONE session no
+    // matter how the buckets cut it, alongside a far-away singleton
+    val chain = (0 until 600).map(i =>
+      (1L, new java.sql.Timestamp(1700000000000L + i * 1000L))) :+
+      ((2L, new java.sql.Timestamp(1700009000000L)))
+    val cdf = chain.toDF("user_id", "ts")
+    val cOut = asSet(Windowed.sessionizeSkewed(cdf, "user_id", "ts", 2, 16))
+    assert(cOut == asSet(Windowed.sessionizeBatch(cdf, "user_id", "ts", 2)))
+    assert(cOut.count(_._1 == Some(1L)) == 1,
+      "the straddling chain must merge back into one session")
+
+    // exact-gap boundary ACROSS buckets: diff == gap stays one session
+    // (the <= rule must survive the fragment merge pass)
+    val edge = Seq((1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 01:00:00")), // spans buckets at small widths
+      (1L, ts("2024-01-01 02:00:00")),
+      (1L, ts("2024-01-01 03:00:01"))) // 3601 s -> new session
+      .toDF("user_id", "ts")
+    val eg = asSet(Windowed.sessionizeSkewed(edge, "user_id", "ts", 3600, 4))
+    assert(eg == asSet(Windowed.sessionizeBatch(edge, "user_id", "ts", 3600)))
+    assert(eg.size == 2, s"exact-gap steps chain, 3601s breaks: $eg")
+
+    // NULL key and NULL ts mirror the batch contract
+    val nulls = Seq(
+      (Option(1L), Option(ts("2024-01-01 00:00:00"))),
+      (Option.empty[Long], Option(ts("2024-01-01 00:00:01"))),
+      (Option.empty[Long], Option(ts("2024-01-01 00:00:02"))),
+      (Option(1L), Option.empty[java.sql.Timestamp]),
+      (Option(1L), Option.empty[java.sql.Timestamp])).toDF("user_id", "ts")
+    assert(asSet(Windowed.sessionizeSkewed(nulls, "user_id", "ts", 10, 4))
+      == asSet(Windowed.sessionizeBatch(nulls, "user_id", "ts", 10)))
+
+    // empty input
+    assert(Windowed.sessionizeSkewed(
+      Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts"),
+      "user_id", "ts", 10, 8).count() == 0L)
+  }
+
+  test("sessionizeSkewed: a monster key matches batch and slices over (key, bucket)") {
+    // one key = 60% of 40k events in bursts; gap 30 s splits bursts
+    val n = 40000
+    val df = spark.range(n).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 97).as("user_id"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 2000L +
+        (col("id") % 7) * 40000L).as("ts"))
+    val want = asSetL(Windowed.sessionizeBatch(df, "user_id", "ts", 30))
+    val skewed = Windowed.sessionizeSkewed(df, "user_id", "ts", 30, 32)
+    assert(asSetL(skewed) == want)
+    val winParts = PlanWalk.nodes(skewed).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(winParts.contains(2),
+      s"local sessions must partition by (key, bucket), got $winParts")
+  }
+
+  private def asSetL(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+      r.getLong(3))).toSet
 }
