@@ -1698,6 +1698,12 @@ object ExtensionQueries {
       det(graft.operators.TextStats.byteBpeFertility(docs(s, dir), "text",
         Seq("lang"), ByteBpeFixtureMerges))),
 
+    // the PIECES surface: ordered hex-byte subword symbols per doc —
+    // one dictionary lookup away from model input ids
+    "q_text_bpe_bytes_pieces" -> ((s, dir) =>
+      det(graft.operators.TextStats.encodeBpeBytes(docs(s, dir), "doc_id",
+        "text", ByteBpeFixtureMerges))),
+
     "q_text_logprob" -> ((s, dir) =>
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
@@ -5325,6 +5331,23 @@ object ExtensionQueries {
          |  coalesce(a.n_subwords, 0) AS n_subwords
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id $N1, n_pretokens $N1, n_subwords $N1""".stripMargin
+    },
+    // pieces replay: the same folded sentinel string, outer sentinels
+    // stripped, split on close+open seams, flattened across pre-tokens
+    "q_text_bpe_bytes_pieces" -> {
+      val base = "regexp_replace(hex(encode(tok)), '(..)', " +
+        "chr(1) || '\\1' || chr(2), 'g')"
+      val folded = ByteBpeFixtureMerges.foldLeft(base) { case (e, (l, r)) =>
+        s"replace($e, chr(1) || '$l' || chr(2) || chr(1) || '$r' || chr(2)," +
+          s" chr(1) || '$l$r' || chr(2))"
+      }
+      s"""SELECT doc_id, flatten(list_transform(
+         |    regexp_extract_all(text, '$BytePretokenSql'),
+         |    tok -> string_split(
+         |      substring($folded, 2, length($folded) - 2),
+         |      chr(2) || chr(1)))) AS subwords
+         |FROM documents
+         |ORDER BY doc_id $N1, subwords $N1""".stripMargin
     },
     // the per-language fertility card under the byte-level tokenizer
     "q_text_fertility_bytes" -> {

@@ -566,8 +566,8 @@ object TextStats {
     * byte symbols ([[trainBpeBytes]]) run the IDENTICAL algorithm. */
   private def trainMerges(vocab0: DataFrame, numMerges: Int,
                           minPairCount: Long): Seq[(String, String, Long)] = {
-    val OPEN = ""
-    val CLOSE = ""
+    val OPEN = "\u0001"
+    val CLOSE = "\u0002"
     val checkpointEvery = 16
     var cur = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -737,6 +737,31 @@ object TextStats {
     docs.select(col(idCol).as("doc_id"),
       size(bytePretokens(col(textCol))).cast(LongType).as("n_pretokens"),
       byteSubwordCount(col(textCol), merges).as("n_subwords"))
+  }
+
+  /**
+   * Byte-level BPE encode to the actual SUBWORD PIECES — the
+   * token-ids-ready surface ([[applyBpeBytes]] is the counting twin):
+   * per document, the ordered hex-byte-symbol pieces across all
+   * pre-tokens ("746865" = the). A piece-to-id dictionary lookup away
+   * from model input. Row-local, zero shuffle.
+   * Output: (doc_id, subwords array<string>); NULL text → NULL.
+   */
+  def encodeBpeBytes(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val OPEN = "\u0001"
+    val CLOSE = "\u0002"
+    val perTok = transform(bytePretokens(col(textCol)), tok => {
+      val folded = merges.foldLeft(byteSymbolString(tok)) {
+        case (s, (l, r)) =>
+          replace(s, lit(OPEN + l + CLOSE + OPEN + r + CLOSE),
+            lit(OPEN + l + r + CLOSE))
+      }
+      // strip the outer sentinels, split on the close+open seams
+      split(folded.substr(lit(2), length(folded) - 2), CLOSE + OPEN)
+    })
+    docs.select(col(idCol).as("doc_id"), flatten(perTok).as("subwords"))
   }
 
   /**

@@ -906,6 +906,43 @@ class TextStatsSpec extends AnyFunSuite {
     assert(rows(3L) == ((1L, 2L)), "unmerged é = its two raw bytes")
   }
 
+  test("encodeBpeBytes pieces: exact symbols, count-consistent, round-trip through ModelStore") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"))
+    val docs = Seq((1L, "the théme"), (2L, "")).toDF("doc_id", "text")
+    val pieces = TextStats.encodeBpeBytes(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // 'the' -> [746865]; ' théme' -> 20 74 68 C3 A9 6D 65: th merges
+    // (7468), the C3/A9 bytes stay separate, '20'+'746865' cannot fire
+    // (the é breaks the 'the' run) -> [20, 7468, C3, A9, 6D, 65]
+    assert(pieces(1L) == Seq("746865", "20", "7468", "C3", "A9", "6D", "65"),
+      s"got ${pieces(1L)}")
+    assert(pieces(2L) == Seq.empty, "empty doc -> empty pieces")
+    // the counting twin agrees with the pieces surface on real docs
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = TextStats.applyBpeBytes(d, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val p = TextStats.encodeBpeBytes(d, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).size).toMap
+    assert(p.forall { case (id, k) => n(id) == k.toLong },
+      "size(subwords) must equal n_subwords for every doc")
+    // byte merges persist through the SAME ModelStore artifact as the
+    // char-level trainer: train -> save -> load -> identical encode
+    val words = Seq.fill(6)("hug") ++ Seq.fill(4)("pun")
+    val planted = Seq(words.mkString(" ")).toDF("text")
+    val trained = TextStats.trainBpeBytes(planted, "text", numMerges = 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_bytes").toString
+    graft.sources.ModelStore.saveMerges(spark, trained, dir)
+    val loaded = graft.sources.ModelStore.loadMerges(spark, dir)
+    assert(loaded == trained, "hex-symbol merges must round-trip exactly")
+    val direct = TextStats.encodeBpeBytes(d, "doc_id", "text",
+      trained.map(m => (m._1, m._2)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaStore = TextStats.encodeBpeBytes(d, "doc_id", "text",
+      loaded.map(m => (m._1, m._2)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaStore == direct)
+  }
+
   test("byteBpeFertility equals a per-doc recomputation, strata preserved") {
     val docs = Seq((1L, "en", "the cat and the hat"),
       (2L, "en", "in there"), (3L, "de", "und und")).toDF("doc_id", "lang", "text")
