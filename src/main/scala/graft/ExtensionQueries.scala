@@ -1704,6 +1704,16 @@ object ExtensionQueries {
       det(graft.operators.TextStats.encodeBpeBytes(docs(s, dir), "doc_id",
         "text", ByteBpeFixtureMerges))),
 
+    // the induced vocabulary: base bytes at ids 0-255, merges at
+    // 256+rank — the oracle DERIVES the byte rows from range(0,256)
+    "q_text_bpe_bytes_vocab" -> ((s, dir) =>
+      det(graft.operators.TextStats.bpeBytesVocab(s, ByteBpeFixtureMerges))),
+
+    // and the ids: pieces looked up in the vocab as a plan-literal map
+    "q_text_bpe_bytes_ids" -> ((s, dir) =>
+      det(graft.operators.TextStats.encodeBpeBytesIds(docs(s, dir), "doc_id",
+        "text", ByteBpeFixtureMerges))),
+
     "q_text_logprob" -> ((s, dir) =>
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
@@ -2838,6 +2848,22 @@ object ExtensionQueries {
     * [[graft.operators.TextStats.ByteBpePretokenPattern]]. */
   private val BytePretokenSql: String =
     "''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  /** DuckDB expression: the ordered byte-level BPE pieces of `text`
+    * under [[ByteBpeFixtureMerges]] — shared by the pieces and ids
+    * oracles so the two can never drift. */
+  private lazy val BytePiecesSql: String = {
+    val base = "regexp_replace(hex(encode(tok)), '(..)', " +
+      "chr(1) || '\\1' || chr(2), 'g')"
+    val folded = ByteBpeFixtureMerges.foldLeft(base) { case (e, (l, r)) =>
+      s"replace($e, chr(1) || '$l' || chr(2) || chr(1) || '$r' || chr(2)," +
+        s" chr(1) || '$l$r' || chr(2))"
+    }
+    s"""flatten(list_transform(
+       |    regexp_extract_all(text, '$BytePretokenSql'),
+       |    tok -> string_split(
+       |      substring($folded, 2, length($folded) - 2),
+       |      chr(2) || chr(1))))""".stripMargin
+  }
   private val BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   private val STOP_EN = TextFunctions.EnStopwords.map(w => s"'$w'").mkString(",")
 
@@ -5334,20 +5360,36 @@ object ExtensionQueries {
     },
     // pieces replay: the same folded sentinel string, outer sentinels
     // stripped, split on close+open seams, flattened across pre-tokens
-    "q_text_bpe_bytes_pieces" -> {
-      val base = "regexp_replace(hex(encode(tok)), '(..)', " +
-        "chr(1) || '\\1' || chr(2), 'g')"
-      val folded = ByteBpeFixtureMerges.foldLeft(base) { case (e, (l, r)) =>
-        s"replace($e, chr(1) || '$l' || chr(2) || chr(1) || '$r' || chr(2)," +
-          s" chr(1) || '$l$r' || chr(2))"
-      }
-      s"""SELECT doc_id, flatten(list_transform(
-         |    regexp_extract_all(text, '$BytePretokenSql'),
-         |    tok -> string_split(
-         |      substring($folded, 2, length($folded) - 2),
-         |      chr(2) || chr(1)))) AS subwords
+    "q_text_bpe_bytes_pieces" ->
+      s"""SELECT doc_id, $BytePiecesSql AS subwords
          |FROM documents
-         |ORDER BY doc_id $N1, subwords $N1""".stripMargin
+         |ORDER BY doc_id $N1, subwords $N1""".stripMargin,
+    // the vocabulary DERIVED independently: printf over range(0,256)
+    // for the byte rows, generated VALUES at 256+rank for the merges
+    "q_text_bpe_bytes_vocab" -> {
+      val mergeRows = ByteBpeFixtureMerges.zipWithIndex.map {
+        case ((l, r), i) => s"('$l$r', CAST(${256 + i} AS BIGINT))"
+      }.mkString(",\n    ")
+      s"""SELECT * FROM (
+         |  SELECT printf('%02X', i) AS piece, CAST(i AS BIGINT) AS piece_id
+         |  FROM range(0, 256) t(i)
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $mergeRows) v(piece, piece_id))
+         |ORDER BY piece $N1, piece_id $N1""".stripMargin
+    },
+    // ids replay: merge pieces by generated CASE arms at 256+rank,
+    // single-byte pieces decoded from their own hex digits
+    "q_text_bpe_bytes_ids" -> {
+      val arms = ByteBpeFixtureMerges.zipWithIndex.map {
+        case ((l, r), i) => s"WHEN '$l$r' THEN CAST(${256 + i} AS BIGINT)"
+      }.mkString(" ")
+      val hexByte = "CAST((strpos('0123456789ABCDEF', p[1:1]) - 1) * 16 + " +
+        "strpos('0123456789ABCDEF', p[2:2]) - 1 AS BIGINT)"
+      s"""SELECT doc_id, list_transform($BytePiecesSql,
+         |    p -> CASE p $arms ELSE $hexByte END) AS token_ids
+         |FROM documents
+         |ORDER BY doc_id $N1, token_ids $N1""".stripMargin
     },
     // the per-language fertility card under the byte-level tokenizer
     "q_text_fertility_bytes" -> {

@@ -765,6 +765,43 @@ object TextStats {
   }
 
   /**
+   * The byte-level VOCABULARY a merge list induces — the id-assignment
+   * convention of GPT-2-style tokenizers: the 256 single-byte symbols
+   * take ids 0–255 (the base alphabet, so NO text is ever
+   * out-of-vocabulary), then one piece per merge in training order at
+   * 256+rank. Output: (piece, piece_id) — 256 + merges.size rows.
+   */
+  def bpeBytesVocab(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val base = (0 until 256).map(b => (f"$b%02X", b.toLong))
+    val learned = merges.zipWithIndex.map { case ((l, r), i) =>
+      (l + r, 256L + i)
+    }
+    (base ++ learned).toDF("piece", "piece_id")
+  }
+
+  /**
+   * Byte-level BPE encode to TOKEN IDS — the final tokenizer surface:
+   * [[encodeBpeBytes]]'s pieces looked up in [[bpeBytesVocab]]'s id
+   * space, as a plan-literal map (256+merges entries — no join, no
+   * shuffle; every piece is in-vocabulary by construction, so the
+   * lookup is total). Output: (doc_id, token_ids array<long>).
+   */
+  def encodeBpeBytesIds(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val vocab: Map[String, Long] =
+      ((0 until 256).map(b => f"$b%02X" -> b.toLong) ++
+        merges.zipWithIndex.map { case ((l, r), i) => (l + r) -> (256L + i) })
+        .toMap
+    val m = typedlit(vocab)
+    encodeBpeBytes(docs, idCol, textCol, merges)
+      .select(col("doc_id"),
+        transform(col("subwords"), p => element_at(m, p)).as("token_ids"))
+  }
+
+  /**
    * Tokenizer fertility card under the BYTE-LEVEL segmentation — the
    * [[fertilityStats]] re-run the GPT-2-style tokenizer deserves:
    * per stratum, documents, `\S+` words, byte-level subwords under

@@ -160,6 +160,24 @@ object Windowed {
   }
 
   /**
+   * Routed sessionization — the [[graft.plans.GraftExtensions.asofJoinExec]]
+   * convention applied to sessions: probe the key distribution once
+   * ([[graft.plans.GraftExtensions.heavyKeyExists]] — exact, one
+   * column-pruned pass) and pick [[sessionizeSkewed]] when a monster
+   * key would serialize the per-key window, [[sessionizeBatch]]
+   * otherwise (its single shuffle is cheaper on well-distributed
+   * keys). `skewShare = None` pins the batch plan.
+   */
+  def sessionizeAuto(events: DataFrame, userCol: String, tsCol: String,
+                     gapSeconds: Long,
+                     skewShare: Option[Double] = Some(0.25),
+                     numBuckets: Int = 64): DataFrame =
+    if (skewShare.exists(s =>
+      graft.plans.GraftExtensions.heavyKeyExists(events, userCol, s)))
+      sessionizeSkewed(events, userCol, tsCol, gapSeconds, numBuckets)
+    else sessionizeBatch(events, userCol, tsCol, gapSeconds)
+
+  /**
    * Session STATISTICS card — the corpus-level summary over
    * [[sessionizeBatch]]'s output: session count, bounce share
    * (single-event sessions), mean/median/max duration and mean depth

@@ -943,6 +943,23 @@ class TextStatsSpec extends AnyFunSuite {
     assert(viaStore == direct)
   }
 
+  test("byte-BPE ids: total over the corpus, invertible through the vocab") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"))
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = TextStats.bpeBytesVocab(spark, merges)
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(vocab.size == 259 && vocab(0L) == "00" && vocab(255L) == "FF" &&
+      vocab(258L) == "20746865")
+    val pieces = TextStats.encodeBpeBytes(d, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val ids = TextStats.encodeBpeBytesIds(d, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(ids.values.flatten.forall(_ != null),
+      "byte-level ids are TOTAL: no document may produce a null id")
+    assert(ids.map { case (k, v) => k -> v.map(i => vocab(i.asInstanceOf[Long])) }
+      == pieces, "ids must decode back to the exact pieces")
+  }
+
   test("byteBpeFertility equals a per-doc recomputation, strata preserved") {
     val docs = Seq((1L, "en", "the cat and the hat"),
       (2L, "en", "in there"), (3L, "de", "und und")).toDF("doc_id", "lang", "text")

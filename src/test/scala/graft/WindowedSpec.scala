@@ -394,6 +394,30 @@ class WindowedSpec extends AnyFunSuite {
       s"local sessions must partition by (key, bucket), got $winParts")
   }
 
+  test("sessionizeAuto: monster key routes to the bucketed plan, uniform stays") {
+    val skewed = spark.range(5000).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 97).as("user_id"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 2000L).as("ts"))
+    val routed = Windowed.sessionizeAuto(skewed, "user_id", "ts", 30, numBuckets = 8)
+    val want = asSetL(Windowed.sessionizeBatch(skewed, "user_id", "ts", 30))
+    assert(asSetL(routed) == want)
+    val winParts = PlanWalk.nodes(routed).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(winParts.contains(2), "60% key must route to (key, bucket) slicing")
+    val uniform = spark.range(5000).select((col("id") % 97).as("user_id"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 2000L).as("ts"))
+    val kept = Windowed.sessionizeAuto(uniform, "user_id", "ts", 30, numBuckets = 8)
+    kept.collect()
+    val keptParts = PlanWalk.nodes(kept).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(keptParts.nonEmpty && keptParts.forall(_ == 1),
+      "well-distributed keys stay on the single-shuffle batch plan")
+  }
+
   private def asSetL(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
       r.getLong(3))).toSet
