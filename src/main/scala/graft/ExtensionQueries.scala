@@ -1714,6 +1714,12 @@ object ExtensionQueries {
       det(graft.operators.TextStats.encodeBpeBytesIds(docs(s, dir), "doc_id",
         "text", ByteBpeFixtureMerges))),
 
+    // FIM infilling augmentation: hash-drawn participation, cuts and
+    // PSM/SPM mode, all replayed by the oracle (binary-exact 0.5 rates)
+    "q_text_fim" -> ((s, dir) =>
+      det(graft.operators.TextStats.fimTransform(docs(s, dir), "doc_id",
+        "text", fimRate = 0.5, spmRate = 0.5))),
+
     "q_text_logprob" -> ((s, dir) =>
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
@@ -5364,6 +5370,40 @@ object ExtensionQueries {
       s"""SELECT doc_id, $BytePiecesSql AS subwords
          |FROM documents
          |ORDER BY doc_id $N1, subwords $N1""".stripMargin,
+    // FIM replay: every hash draw recomputed (md5-uniform convention;
+    // the uniform is mantissa-exact, ::DOUBLE keeps the cut arithmetic
+    // off DuckDB's DECIMAL path), 1-based inclusive slices, the same
+    // concat_ws render (NULL-skipping, empty-keeping on both engines)
+    "q_text_fim" -> {
+      def u(salt: String) =
+        s"(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$salt'), 1, 8))::BIGINT" +
+          " / 4294967296.0::DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, text,
+         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |c AS (SELECT doc_id, text, toks, len(toks) AS n,
+         |    ${u("#fim")} AS uf, ${u("#fim_mode")} AS um,
+         |    CAST(floor(${u("#fim_c1")} * (len(toks) + 1)) AS INTEGER) AS c1,
+         |    CAST(floor(${u("#fim_c2")} * (len(toks) + 1)) AS INTEGER) AS c2
+         |  FROM t),
+         |r AS (SELECT doc_id, text,
+         |    uf < 0.5 AND n >= 3 AS part, um < 0.5 AS spm,
+         |    coalesce(array_to_string(toks[1:least(c1, c2)], ' '), '') AS pre,
+         |    coalesce(array_to_string(
+         |      toks[least(c1, c2)+1:greatest(c1, c2)], ' '), '') AS mid,
+         |    coalesce(array_to_string(toks[greatest(c1, c2)+1:n], ' '), '') AS suf
+         |  FROM c)
+         |SELECT doc_id,
+         |  CASE WHEN part THEN (CASE WHEN spm THEN 'SPM' ELSE 'PSM' END)
+         |       ELSE 'none' END AS fim_mode,
+         |  CASE WHEN part THEN
+         |    CASE WHEN spm THEN concat_ws(' ', '<|fim_suffix|>', suf,
+         |           '<|fim_prefix|>', pre, '<|fim_middle|>', mid)
+         |         ELSE concat_ws(' ', '<|fim_prefix|>', pre,
+         |           '<|fim_suffix|>', suf, '<|fim_middle|>', mid) END
+         |  ELSE text END AS text
+         |FROM r
+         |ORDER BY doc_id $N1, fim_mode $N1, text $N1""".stripMargin
+    },
     // the vocabulary DERIVED independently: printf over range(0,256)
     // for the byte rows, generated VALUES at 256+rank for the merges
     "q_text_bpe_bytes_vocab" -> {

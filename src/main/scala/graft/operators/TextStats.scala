@@ -835,6 +835,57 @@ object TextStats {
   }
 
   /**
+   * FIM (fill-in-the-middle) transformation — the infilling data
+   * augmentation code models train on (Bavarian et al. 2022, "Efficient
+   * Training of Language Models to Fill in the Middle"): a
+   * deterministic `fimRate` share of documents is split at two
+   * hash-drawn token cuts into (prefix, middle, suffix) and re-rendered
+   * with sentinel tokens — PSM order
+   * `<|fim_prefix|> P <|fim_suffix|> S <|fim_middle|> M` or, for a
+   * `spmRate` share of the transformed docs, SPM order (suffix first).
+   * Segments may be empty (cuts at the edges) — the paper keeps them,
+   * and so does this op. Documents under 3 tokens, and the untouched
+   * share, pass through verbatim with mode 'none'.
+   *
+   * Determinism: participation, both cuts and the mode are all
+   * [[graft.operators.Sampling.hashUniform]] draws off salted doc ids
+   * — reproducible across runs, partitionings AND engines (the DuckDB
+   * oracle replays every draw; the uniform is exact in double:
+   * a 32-bit integer over 2^32 is a mantissa-exact power-of-two
+   * division). Row-local, zero shuffle; inter-token whitespace is
+   * normalized to single spaces by the token join.
+   * Output: (doc_id, fim_mode 'PSM'|'SPM'|'none', text).
+   */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   fimRate: Double = 0.5,
+                   spmRate: Double = 0.5): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1, s"fimRate $fimRate not in [0,1]")
+    require(spmRate >= 0 && spmRate <= 1, s"spmRate $spmRate not in [0,1]")
+    val toks = graft.functions.TextFunctions.whitespaceTokens(col(textCol))
+    val n = size(toks)
+    def u(salt: String) = graft.operators.Sampling.hashUniform(
+      concat(col(idCol).cast(StringType), lit(salt)))
+    val c1 = floor(u("#fim_c1") * (n + 1)).cast(IntegerType)
+    val c2 = floor(u("#fim_c2") * (n + 1)).cast(IntegerType)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val pre = array_join(slice(toks, lit(1), lo), " ")
+    val mid = array_join(slice(toks, lo + 1, hi - lo), " ")
+    val suf = array_join(slice(toks, hi + 1, n - hi), " ")
+    val participates = u("#fim") < lit(fimRate) && n >= 3
+    val spm = u("#fim_mode") < lit(spmRate)
+    val psm = concat_ws(" ", lit("<|fim_prefix|>"), pre,
+      lit("<|fim_suffix|>"), suf, lit("<|fim_middle|>"), mid)
+    val spmText = concat_ws(" ", lit("<|fim_suffix|>"), suf,
+      lit("<|fim_prefix|>"), pre, lit("<|fim_middle|>"), mid)
+    docs.select(col(idCol).as("doc_id"),
+      when(participates, when(spm, "SPM").otherwise("PSM"))
+        .otherwise("none").as("fim_mode"),
+      when(participates, when(spm, spmText).otherwise(psm))
+        .otherwise(col(textCol)).as("text"))
+  }
+
+  /**
    * Unigram-LM tokenizer TRAINING (SentencePiece's default algorithm,
    * Kudo 2018, Viterbi-EM simplification): learn a piece table
    * (subword, log10 prob) maximizing corpus likelihood under the

@@ -960,6 +960,57 @@ class TextStatsSpec extends AnyFunSuite {
       == pieces, "ids must decode back to the exact pieces")
   }
 
+  test("fimTransform: lossless reassembly, modes, pass-throughs, determinism") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val orig = d.collect().map(r =>
+      r.getLong(0) -> Option(r.getString(1)).map(_.split("\\s+")
+        .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)).toMap
+    val out = TextStats.fimTransform(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(out.map(_._2).toSet.subsetOf(Set("PSM", "SPM", "none")))
+    val modes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(modes.getOrElse("PSM", 0) > 50 && modes.getOrElse("SPM", 0) > 50,
+      s"both orders must occur at ~25% each of 500 docs: $modes")
+    out.foreach { case (id, mode, text) =>
+      if (mode == "none") {
+        assert(text.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty) == orig(id), s"doc $id must pass through")
+      } else {
+        val t = text.get
+        // every transformed doc carries all three sentinels exactly once
+        Seq("<\\|fim_prefix\\|>", "<\\|fim_suffix\\|>", "<\\|fim_middle\\|>")
+          .foreach(sn => assert(sn.r.findAllIn(t).size == 1, s"doc $id: $t"))
+        // reassembly: P ++ M ++ S token streams equal the original
+        def seg(t: String, from: String, until: Option[String]): Seq[String] = {
+          val s0 = t.indexOf(from) + from.length
+          val s1 = until.map(t.indexOf).getOrElse(t.length)
+          t.substring(s0, s1).split("\\s+").filter(_.nonEmpty).toSeq
+        }
+        val (p, sfx, m) =
+          if (mode == "PSM")
+            (seg(t, "<|fim_prefix|>", Some("<|fim_suffix|>")),
+              seg(t, "<|fim_suffix|>", Some("<|fim_middle|>")),
+              seg(t, "<|fim_middle|>", None))
+          else
+            (seg(t, "<|fim_prefix|>", Some("<|fim_middle|>")),
+              seg(t, "<|fim_suffix|>", Some("<|fim_prefix|>")),
+              seg(t, "<|fim_middle|>", None))
+        assert(p ++ m ++ sfx == orig(id),
+          s"doc $id ($mode) must reassemble to the original tokens")
+      }
+    }
+    // short docs never transform
+    val tiny = Seq((1L, "a b"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val tOut = TextStats.fimTransform(tiny, "doc_id", "text", fimRate = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tOut.values.forall(_ == "none"), "under-3-token docs pass through")
+    // deterministic across runs
+    val again = TextStats.fimTransform(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(again.toSet == out.toSet)
+  }
+
   test("byteBpeFertility equals a per-doc recomputation, strata preserved") {
     val docs = Seq((1L, "en", "the cat and the hat"),
       (2L, "en", "in there"), (3L, "de", "und und")).toDF("doc_id", "lang", "text")
