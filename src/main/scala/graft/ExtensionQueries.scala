@@ -432,6 +432,12 @@ object ExtensionQueries {
       det(graft.operators.Temporal.timeWeightedAvg(events(s, dir),
         "user_id", "ts", "value", tieCol = "event_id"))),
 
+    // the bucketed scale-out of the same integral — SECOND execution
+    // path on the q_events_twa oracle text (few buckets force carries)
+    "q_events_twa_skewed" -> ((s, dir) =>
+      det(graft.operators.Temporal.timeWeightedAvgSkewed(events(s, dir),
+        "user_id", "ts", "value", tieCol = "event_id", numBuckets = 8))),
+
     // interval-overlap join: each user's view-sessions paired with
     // the click-sessions they overlap (canonical-bucket dedup — no
     // DISTINCT pass)
@@ -2812,6 +2818,25 @@ object ExtensionQueries {
        |FROM s GROUP BY user_id, sid
        |ORDER BY user_id $N1, session_start $N1, session_end $N1, n_events $N1""".stripMargin
 
+  /** Shared by q_events_twa and q_events_twa_skewed (one oracle, two
+    * execution paths — the per-key window plan and the bucketed
+    * boundary-carry scale-out). */
+  private lazy val TwaOracle: String =
+    s"""WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |   event_id
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND value IS NOT NULL),
+       |d AS (SELECT user_id, value,
+       |   epoch(lead(ts) OVER (PARTITION BY user_id
+       |     ORDER BY ts, event_id)) - epoch(ts) AS dur
+       |  FROM l)
+       |SELECT user_id, round(sum(value * dur) / sum(dur), 6) AS twa,
+       |  round(sum(dur), 6) AS span_sec,
+       |  CAST(count(*) AS BIGINT) AS n_points
+       |FROM d GROUP BY user_id
+       |ORDER BY user_id $N1, twa $N1, span_sec $N1, n_points $N1""".stripMargin
+
   /** Shared by q_events_asof and q_events_asof_broadcast (one oracle,
     * two execution paths). */
   private lazy val AsofBackwardOracle: String =
@@ -4648,21 +4673,9 @@ object ExtensionQueries {
          |  ON g.user_id = v.user_id AND g.grid_ts >= v.ts
          |ORDER BY g.user_id $N1, grid_ts $N1, asof_ts $N1, view_value $N1""".stripMargin,
     // lead-duration weights; last point carries none; 0/0 -> NULL
-    "q_events_twa" ->
-      s"""WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-         |   event_id
-         |  FROM events
-         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-         |    AND value IS NOT NULL),
-         |d AS (SELECT user_id, value,
-         |   epoch(lead(ts) OVER (PARTITION BY user_id
-         |     ORDER BY ts, event_id)) - epoch(ts) AS dur
-         |  FROM l)
-         |SELECT user_id, round(sum(value * dur) / sum(dur), 6) AS twa,
-         |  round(sum(dur), 6) AS span_sec,
-         |  CAST(count(*) AS BIGINT) AS n_points
-         |FROM d GROUP BY user_id
-         |ORDER BY user_id $N1, twa $N1, span_sec $N1, n_points $N1""".stripMargin,
+    // (same text graded twice: per-key window plan + bucketed carry)
+    "q_events_twa_skewed" -> TwaOracle,
+    "q_events_twa" -> TwaOracle,
     // two sessionize chains + the plain ANSI overlap predicate
     "q_events_interval_join" ->
       s"""WITH ve AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -295,6 +295,67 @@ object Temporal {
   }
 
   /**
+   * Skew-hardened [[timeWeightedAvg]] — the third member of the
+   * (key, ts-bucket) + boundary-carry family
+   * ([[asofJoinSkewed]], [[graft.operators.Windowed.sessionizeSkewed]]):
+   * the step-function integral decomposes exactly across time buckets.
+   * Each (key, bucket) slice computes its local lead-durations and
+   * partial sums; the only terms the slices cannot see are the spans
+   * from each bucket's LAST observation to the NEXT non-empty
+   * bucket's first — one row per (key, bucket) (max-(ts, tie)
+   * observation + min ts), resolved by a single lead over the tiny
+   * per-key carry frame. Contributions union and aggregate with the
+   * same null-skipping sums as the batch plan, so single-point keys
+   * still report NULL twa over a NULL span, and round-6 happens once
+   * at the end — identical output, monster key spread over
+   * `numBuckets` tasks.
+   */
+  def timeWeightedAvgSkewed(log: DataFrame, keyCol: String, tsCol: String,
+                            valueCol: String, tieCol: String,
+                            numBuckets: Int = 64): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val e = log
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).cast("timestamp").as("__ts"),
+        col(valueCol).as("__v"), col(tieCol).as("__tie"))
+    val span = e.agg(min(unix_micros(col("__ts"))).as("lo"),
+      max(unix_micros(col("__ts"))).as("hi")).head()
+    val (lo, hi) =
+      if (span.isNullAt(0)) (0L, 0L) else (span.getLong(0), span.getLong(1))
+    val width = math.max(1L, (hi - lo) / numBuckets + 1L)
+    val b = e.withColumn("__b",
+      expr(s"(unix_micros(__ts) - ${lo}L) div ${width}L"))
+    val wLoc = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__ts"), col("__tie"))
+    val withDur = b.withColumn("__dur",
+      lead(col("__ts"), 1).over(wLoc).cast("double") -
+        col("__ts").cast("double"))
+    val cells = withDur.groupBy(col("__k"), col("__b"))
+      .agg(sum(col("__v") * col("__dur")).as("__vd"),
+        sum(col("__dur")).as("__dd"),
+        count(lit(1)).as("__cnt"),
+        min(col("__ts")).as("__first"),
+        max(struct(col("__ts"), col("__tie"), col("__v"))).as("__last"))
+    val wk = Window.partitionBy(col("__k")).orderBy(col("__b"))
+    val carry = cells
+      .withColumn("__bdur",
+        lead(col("__first"), 1).over(wk).cast("double") -
+          col("__last.__ts").cast("double"))
+      .withColumn("__bvd", col("__last.__v") * col("__bdur"))
+    val contrib = carry
+      .select(col("__k"), col("__vd"), col("__dd"), col("__cnt"))
+      .unionByName(carry.select(col("__k"), col("__bvd").as("__vd"),
+        col("__bdur").as("__dd"), lit(0L).as("__cnt")))
+    contrib.groupBy(col("__k"))
+      .agg(round(sum(col("__vd")) / sum(col("__dd")), 6).as("twa"),
+        round(sum(col("__dd")), 6).as("span_sec"),
+        sum(col("__cnt")).as("n_points"))
+      .select(col("__k").as(keyCol), col("twa"), col("span_sec"),
+        col("n_points"))
+  }
+
+  /**
    * Resample-with-forward-fill (LOCF): regularize an irregular
    * per-key series onto a `unit` grid (day/hour/minute), each grid
    * point carrying the last observation at-or-before it — the

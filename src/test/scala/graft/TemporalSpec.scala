@@ -407,6 +407,49 @@ class TemporalSpec extends AnyFunSuite {
     assert(d.getDouble(1) == 3.0, "the max-tie duplicate carries the span")
   }
 
+  test("timeWeightedAvgSkewed equals the window plan: real events, ties, singletons, monster key") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getLong(3)))).toMap
+    val want = asMap(Temporal.timeWeightedAvg(e, "user_id", "ts", "value",
+      tieCol = "event_id"))
+    for (nb <- Seq(2, 5, 32))
+      assert(asMap(Temporal.timeWeightedAvgSkewed(e, "user_id", "ts", "value",
+        "event_id", nb)) == want, s"numBuckets=$nb diverges")
+    // corners: single-point key (NULL twa/span), same-ts duplicates
+    // (max-tie spans forward), a series crossing every bucket edge
+    val fix = (Seq((1L, 0L, 10.0, 1L), (1L, 0L, 99.0, 2L), // dup ts: tie 2 spans
+      (1L, 600L, 20.0, 3L), (2L, 50L, 5.0, 4L)) ++
+      (0 until 200).map(i => (3L, i * 13L, i.toDouble, 100L + i)))
+      .map { case (k, sec, v, id) =>
+        (k, new java.sql.Timestamp(1700000000000L + sec * 1000L), v, id) }
+      .toDF("user_id", "ts", "value", "event_id")
+    val fw = asMap(Temporal.timeWeightedAvg(fix, "user_id", "ts", "value", "event_id"))
+    val fs = asMap(Temporal.timeWeightedAvgSkewed(fix, "user_id", "ts", "value",
+      "event_id", 16))
+    assert(fs == fw)
+    assert(fw(2L)._1.isEmpty && fw(2L)._2.isEmpty,
+      "single-point key reports NULL twa over NULL span")
+    assert(fw(1L)._1 == Some(99.0), "the max-tie duplicate must span forward")
+    // monster key: 60% of rows on one key, parity + (key, bucket) window
+    val big = spark.range(30000).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 97).as("user_id"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1000L).as("ts"),
+      (col("id") % 23).cast("double").as("value"), col("id").as("event_id"))
+    val bw = asMap(Temporal.timeWeightedAvg(big, "user_id", "ts", "value", "event_id"))
+    val skewed = Temporal.timeWeightedAvgSkewed(big, "user_id", "ts", "value",
+      "event_id", 32)
+    assert(asMap(skewed) == bw)
+    val winParts = PlanWalk.nodes(skewed).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(winParts.contains(2),
+      s"local durations must partition by (key, bucket), got $winParts")
+  }
+
   test("resampleLocf: daily grid, forward fill, NULL before first observation") {
     val log = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),
