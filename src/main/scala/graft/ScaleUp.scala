@@ -96,10 +96,21 @@ object ScaleUp {
     spark.read.parquet(out).count()
   }
 
+  /** Scale all three study tables; returns their output row counts. */
+  def run(spark: SparkSession, inDir: String, outDir: String,
+          factor: Int): (Long, Long, Long) = {
+    require(factor >= 1 && factor <= 100, "factor must be in [1, 100]")
+    val n1 = scaleTable(spark, s"$inDir/documents.parquet",
+      s"$outDir/documents.parquet", factor, Seq("doc_id"), Some("text"))
+    val n2 = scaleTable(spark, s"$inDir/events.parquet",
+      s"$outDir/events.parquet", factor, Seq("event_id", "user_id"), None)
+    val n3 = scaleTable(spark, s"$inDir/embeddings.parquet",
+      s"$outDir/embeddings.parquet", factor, Seq("vec_id"), None)
+    (n1, n2, n3)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, factorStr) = args.take(3)
-    val factor = factorStr.toInt
-    require(factor >= 1 && factor <= 100, "factor must be in [1, 100]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,13 +119,8 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val n1 = scaleTable(spark, s"$inDir/documents.parquet",
-      s"$outDir/documents.parquet", factor, Seq("doc_id"), Some("text"))
-    val n2 = scaleTable(spark, s"$inDir/events.parquet",
-      s"$outDir/events.parquet", factor, Seq("event_id", "user_id"), None)
-    val n3 = scaleTable(spark, s"$inDir/embeddings.parquet",
-      s"$outDir/embeddings.parquet", factor, Seq("vec_id"), None)
-    println(s"""{"documents":$n1,"events":$n2,"embeddings":$n3,"factor":$factor}""")
+    val (n1, n2, n3) = run(spark, inDir, outDir, factorStr.toInt)
+    println(s"""{"documents":$n1,"events":$n2,"embeddings":$n3,"factor":${factorStr.toInt}}""")
     spark.stop()
   }
 }
