@@ -1705,20 +1705,36 @@ object ExtensionQueries {
         Seq("lang"), ByteBpeFixtureMerges))),
 
     // the PIECES surface: ordered hex-byte subword symbols per doc —
-    // one dictionary lookup away from model input ids
+    // one dictionary lookup away from model input ids. GRADED as
+    // posexploded (doc_id, pos, piece) scalar rows: the driver's
+    // canonicalizer sorts with pandas sort_values, which crashes on
+    // array-typed cells (SURVEY §7.5 #12) — the array-returning Scala
+    // API is unchanged; only the graded projection is flattened, and
+    // the pos column pins the exact in-document piece order.
     "q_text_bpe_bytes_pieces" -> ((s, dir) =>
       det(graft.operators.TextStats.encodeBpeBytes(docs(s, dir), "doc_id",
-        "text", ByteBpeFixtureMerges))),
+        "text", ByteBpeFixtureMerges)
+        .select(col("doc_id"),
+          posexplode(col("subwords")).as(Seq("pos", "piece")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("piece")))),
 
     // the induced vocabulary: base bytes at ids 0-255, merges at
     // 256+rank — the oracle DERIVES the byte rows from range(0,256)
     "q_text_bpe_bytes_vocab" -> ((s, dir) =>
       det(graft.operators.TextStats.bpeBytesVocab(s, ByteBpeFixtureMerges))),
 
-    // and the ids: pieces looked up in the vocab as a plan-literal map
+    // and the ids: pieces looked up in the vocab as a plan-literal map.
+    // Same posexplode grading shape as _pieces (no array columns in
+    // graded output — SURVEY §7.5 #12); the Scala API still returns
+    // (doc_id, token_ids array<long>).
     "q_text_bpe_bytes_ids" -> ((s, dir) =>
       det(graft.operators.TextStats.encodeBpeBytesIds(docs(s, dir), "doc_id",
-        "text", ByteBpeFixtureMerges))),
+        "text", ByteBpeFixtureMerges)
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("token_id")))),
 
     // FIM infilling augmentation: hash-drawn participation, cuts and
     // PSM/SPM mode, all replayed by the oracle (binary-exact 0.5 rates)
@@ -5378,11 +5394,17 @@ object ExtensionQueries {
          |ORDER BY d.doc_id $N1, n_pretokens $N1, n_subwords $N1""".stripMargin
     },
     // pieces replay: the same folded sentinel string, outer sentinels
-    // stripped, split on close+open seams, flattened across pre-tokens
+    // stripped, split on close+open seams, flattened across pre-tokens —
+    // then unnested to (doc_id, pos, piece) scalar rows (zipped
+    // generate_subscripts/unnest = Spark posexplode; 0-based pos)
     "q_text_bpe_bytes_pieces" ->
-      s"""SELECT doc_id, $BytePiecesSql AS subwords
-         |FROM documents
-         |ORDER BY doc_id $N1, subwords $N1""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, $BytePiecesSql AS subwords
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(generate_subscripts(subwords, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(subwords) AS piece
+         |FROM t
+         |ORDER BY doc_id $N1, pos $N1, piece $N1""".stripMargin,
     // FIM replay: every hash draw recomputed (md5-uniform convention;
     // the uniform is mantissa-exact, ::DOUBLE keeps the cut arithmetic
     // off DuckDB's DECIMAL path), 1-based inclusive slices, the same
@@ -5432,17 +5454,22 @@ object ExtensionQueries {
          |ORDER BY piece $N1, piece_id $N1""".stripMargin
     },
     // ids replay: merge pieces by generated CASE arms at 256+rank,
-    // single-byte pieces decoded from their own hex digits
+    // single-byte pieces decoded from their own hex digits — then
+    // unnested to (doc_id, pos, token_id) scalar rows like _pieces
     "q_text_bpe_bytes_ids" -> {
       val arms = ByteBpeFixtureMerges.zipWithIndex.map {
         case ((l, r), i) => s"WHEN '$l$r' THEN CAST(${256 + i} AS BIGINT)"
       }.mkString(" ")
       val hexByte = "CAST((strpos('0123456789ABCDEF', p[1:1]) - 1) * 16 + " +
         "strpos('0123456789ABCDEF', p[2:2]) - 1 AS BIGINT)"
-      s"""SELECT doc_id, list_transform($BytePiecesSql,
+      s"""WITH t AS (SELECT doc_id, list_transform($BytePiecesSql,
          |    p -> CASE p $arms ELSE $hexByte END) AS token_ids
-         |FROM documents
-         |ORDER BY doc_id $N1, token_ids $N1""".stripMargin
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(generate_subscripts(token_ids, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(token_ids) AS token_id
+         |FROM t
+         |ORDER BY doc_id $N1, pos $N1, token_id $N1""".stripMargin
     },
     // the per-language fertility card under the byte-level tokenizer
     "q_text_fertility_bytes" -> {

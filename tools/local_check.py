@@ -40,6 +40,20 @@ def kind(col):
         if isinstance(v, (list, tuple)) or "ndarray" in t: return "list"
     return "obj"
 
+def driver_sortable(df):
+    """Replicate the driver's canonicalizer, which pandas-sort_values
+    the RAW frame before hashing: sort_values builds a Categorical per
+    column and CRASHES on unhashable cells (lists/ndarrays).  r15
+    shipped two array-output queries that passed this script's
+    stringify-then-sort canon but died driver-side with `err` — run the
+    driver's sort first so that failure class fails locally too
+    (SURVEY §7.5 #12: no array columns in graded output)."""
+    try:
+        df.sort_values(by=sorted(df.columns))
+        return None
+    except Exception as e:
+        return f"{type(e).__name__}: {e}"
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     tsig = [kind(df[c]) if len(df) else "any" for c in df.columns]
@@ -75,6 +89,11 @@ for name in todo:
         odf = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         print(f"{name}: ORACLE ERROR {e}"); fails += 1; continue
+    err = driver_sortable(spark_df) or driver_sortable(odf)
+    if err:
+        print(f"{name}: DRIVER-SORT ERR (unsortable output — array "
+              f"columns? §7.5 #12): {err}")
+        fails += 1; continue
     sc, sn, sh, st = canon(spark_df)
     oc, on, oh, ot = canon(odf)
     ok = (sc == oc, sn == on, sh == oh, st == ot)
