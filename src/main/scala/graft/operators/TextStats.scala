@@ -653,7 +653,19 @@ object TextStats {
    * `\p{L}`/`\p{N}` (Unicode letter/number classes).
    */
   val ByteBpePretokenPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    graft.functions.ByteBpeEncode.PretokenPattern
+
+  /** Above this merge-list size the byte-BPE encode surfaces delegate
+    * to the native [[graft.functions.ByteBpeEncode]] kernel instead of
+    * the literal-`replace` chain: the chain is O(merges) expression
+    * nodes each rescanning the token, so a production-size list
+    * (GPT-2-class ~50k merges) blows whole-stage codegen's method
+    * limits and degrades to interpreted O(merges × len) per token,
+    * while the kernel is ONE codegen'd node at any merge count
+    * (spec-pinned row-identical on fixture and trained lists). The
+    * chain stays the default at fixture scale because it is the
+    * textually-generatable form the DuckDB oracles replay. */
+  val ReplaceChainMaxMerges: Int = 64
 
   /** GPT-2-style pre-tokens of `text` (see [[ByteBpePretokenPattern]]).
     * Unlike `\S+` tokens, pre-tokens KEEP leading spaces and whitespace
@@ -678,6 +690,8 @@ object TextStats {
     * each pre-token's byte-symbol string, count open sentinels. */
   private def byteSubwordCount(text: Column,
                                merges: Seq[(String, String)]): Column = {
+    if (merges.size > ReplaceChainMaxMerges)
+      return graft.functions.ByteBpeEncode.byteBpeCount(text, merges)
     val OPEN = "\u0001"
     val CLOSE = "\u0002"
     val perTok = transform(bytePretokens(text), tok => {
@@ -725,6 +739,141 @@ object TextStats {
   }
 
   /**
+   * The corpus's byte-BPE pre-token frequency table, collected to the
+   * driver — the input [[trainBpeBytesLocal]] wants. BOUNDED collect:
+   * `maxTokens` caps the rows (most-frequent first, ties by token
+   * ascending — a deterministic truncation of the Zipf tail, which is
+   * exactly what large-vocab BPE training does anyway: singleton-tail
+   * pre-tokens never win a merge). 100 TB: one map-side-combined
+   * aggregate + a TakeOrdered of `maxTokens` rows.
+   */
+  def bytePretokenCounts(docs: DataFrame, textCol: String,
+                         minCount: Long = 1L,
+                         maxTokens: Int = 100000): Seq[(String, Long)] = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    docs.select(explode(bytePretokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .orderBy(col("__cnt").desc, col("__tok"))
+      .limit(maxTokens)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /**
+   * DRIVER-SIDE byte-level BPE training over a pre-collected pre-token
+   * frequency table — the production-merge-count twin of
+   * [[trainBpeBytes]]: the distributed loop costs one Spark aggregate
+   * PER MERGE (right at corpus scale where the pair counts need a
+   * cluster, unusable at 10k+ merges where they don't), while this
+   * trainer runs the classic incremental algorithm (pair→count deltas
+   * touch only the words containing the merged pair; a lazy-deletion
+   * priority heap picks each round's winner) entirely in driver
+   * memory: O(vocab) state, seconds for 10k merges over a 100k-word
+   * table. Semantics are [[trainMerges]]'s exactly — most-frequent
+   * adjacent pair, ties by (lhs + U+0001 + rhs) ascending,
+   * left-to-right non-overlapping application, stop below
+   * `minPairCount` — spec-pinned identical on shared fixtures.
+   */
+  def trainBpeBytesLocal(tokenCounts: Seq[(String, Long)], numMerges: Int,
+                         minPairCount: Long = 2L): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    import scala.collection.mutable
+    val symHex = mutable.ArrayBuffer.tabulate(256)(b => f"$b%02X")
+    val words = mutable.ArrayBuffer.empty[Array[Int]]
+    val wcnt = mutable.ArrayBuffer.empty[Long]
+    tokenCounts.foreach { case (tok, c) =>
+      val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (c > 0 && bytes.length > 0) {
+        words += bytes.map(_ & 0xff); wcnt += c
+      }
+    }
+    def pack(l: Int, r: Int): Long = (l.toLong << 32) | r.toLong
+    def tieKey(p: Long): String =
+      symHex((p >>> 32).toInt) + "\u0001" + symHex((p & 0xffffffffL).toInt)
+    val pairCount = mutable.HashMap.empty[Long, Long]
+    val pairWords = mutable.HashMap.empty[Long, mutable.BitSet]
+    // heap entries are (count-at-push, packed); stale entries are
+    // dropped on pop by comparing against the live count (every count
+    // change pushes a fresh entry, so the live value is always present)
+    final case class Cand(count: Long, key: String, packed: Long)
+    val heap = new java.util.PriorityQueue[Cand](1024,
+      (x: Cand, y: Cand) =>
+        if (x.count != y.count) java.lang.Long.compare(y.count, x.count)
+        else x.key.compareTo(y.key))
+    def bump(p: Long, delta: Long, w: Int): Unit = {
+      val c = pairCount.getOrElse(p, 0L) + delta
+      if (c <= 0L) { pairCount.remove(p); () }
+      else pairCount.update(p, c)
+      if (delta > 0L) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
+    }
+    words.indices.foreach { w =>
+      val a = words(w)
+      var i = 0
+      while (i < a.length - 1) { bump(pack(a(i), a(i + 1)), wcnt(w), w); i += 1 }
+    }
+    pairCount.foreach { case (p, c) => heap.add(Cand(c, tieKey(p), p)) }
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (!done && merges.size < numMerges) {
+      var top: Cand = null
+      while (top == null && !heap.isEmpty) {
+        val c = heap.poll()
+        if (pairCount.getOrElse(c.packed, 0L) == c.count) top = c
+      }
+      if (top == null || top.count < minPairCount) done = true
+      else {
+        val l = (top.packed >>> 32).toInt
+        val r = (top.packed & 0xffffffffL).toInt
+        val newId = symHex.size
+        merges += ((symHex(l), symHex(r), top.count))
+        symHex += symHex(l) + symHex(r)
+        val affected = pairWords.getOrElse(top.packed, mutable.BitSet.empty).toArray
+        val touched = mutable.HashSet.empty[Long]
+        affected.foreach { w =>
+          val a = words(w)
+          val c = wcnt(w)
+          var contains = false
+          var i = 0
+          while (!contains && i < a.length - 1) {
+            if (a(i) == l && a(i + 1) == r) contains = true
+            i += 1
+          }
+          if (contains) {
+            i = 0
+            while (i < a.length - 1) {
+              val p = pack(a(i), a(i + 1)); bump(p, -c, w); touched += p; i += 1
+            }
+            val b = new Array[Int](a.length)
+            var n = 0
+            i = 0
+            while (i < a.length) {
+              if (i < a.length - 1 && a(i) == l && a(i + 1) == r) {
+                b(n) = newId; i += 2
+              } else { b(n) = a(i); i += 1 }
+              n += 1
+            }
+            val nw = java.util.Arrays.copyOf(b, n)
+            words(w) = nw
+            i = 0
+            while (i < nw.length - 1) {
+              val p = pack(nw(i), nw(i + 1)); bump(p, c, w); touched += p; i += 1
+            }
+          }
+        }
+        touched.foreach { p =>
+          pairCount.get(p).foreach(c => heap.add(Cand(c, tieKey(p), p)))
+        }
+        pairCount.remove(top.packed)
+        pairWords.remove(top.packed)
+      }
+    }
+    merges.toSeq
+  }
+
+  /**
    * Byte-level BPE ENCODE under a fixed merge list ([[trainBpeBytes]]
    * hex symbols): per-document pre-token and subword counts — the
    * token-cost column under the PRODUCTION segmentation. Entirely
@@ -750,6 +899,10 @@ object TextStats {
   def encodeBpeBytes(docs: DataFrame, idCol: String, textCol: String,
                      merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
+    if (merges.size > ReplaceChainMaxMerges)
+      return docs.select(col(idCol).as("doc_id"),
+        graft.functions.ByteBpeEncode.byteBpePieces(col(textCol), merges)
+          .as("subwords"))
     val OPEN = "\u0001"
     val CLOSE = "\u0002"
     val perTok = transform(bytePretokens(col(textCol)), tok => {
@@ -791,6 +944,10 @@ object TextStats {
   def encodeBpeBytesIds(docs: DataFrame, idCol: String, textCol: String,
                         merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
+    if (merges.size > ReplaceChainMaxMerges)
+      return docs.select(col(idCol).as("doc_id"),
+        graft.functions.ByteBpeEncode.byteBpeIds(col(textCol), merges)
+          .as("token_ids"))
     val vocab: Map[String, Long] =
       ((0 until 256).map(b => f"$b%02X" -> b.toLong) ++
         merges.zipWithIndex.map { case ((l, r), i) => (l + r) -> (256L + i) })

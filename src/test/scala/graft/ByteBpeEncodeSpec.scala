@@ -1,0 +1,164 @@
+package graft
+
+import graft.functions.ByteBpeEncode
+import graft.operators.TextStats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The native byte-BPE encode kernel (one expression node at any merge
+ * count) against the literal-replace chain (the DuckDB-replayable
+ * fixture path): row-identical pieces/ids/counts on planted edges and
+ * real corpus, greedy-by-rank semantics pinned where rank order and
+ * scan order disagree, and the driver-side incremental trainer
+ * identical to the distributed per-merge-aggregate trainer.
+ */
+class ByteBpeEncodeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val FixtureMerges = Seq(("74", "68"), ("7468", "65"),
+    ("20", "746865"), ("69", "6E"), ("61", "6E"), ("616E", "64"),
+    ("65", "72"), ("6F", "6E"))
+
+  private def edgeDocs = Seq(
+    (1L, "the théme of things"),
+    (2L, ""),
+    (3L, null.asInstanceOf[String]),
+    (4L, "it's 2 cats!  and   another, online"),
+    (5L, "émincé é́"), // combining marks, multi-byte runs
+    (6L, "a"),
+    (7L, "    "),
+    (8L, "ander andante ons online")
+  ).toDF("doc_id", "text")
+
+  private def piecesOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+    df.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+
+  test("kernel pieces == replace chain on fixture merges: edges + sf0.001 corpus") {
+    val chain = piecesOf(
+      TextStats.encodeBpeBytes(edgeDocs, "doc_id", "text", FixtureMerges))
+    val kernel = piecesOf(edgeDocs.select(col("doc_id"),
+      ByteBpeEncode.byteBpePieces(col("text"), FixtureMerges).as("subwords")))
+    assert(kernel == chain, "kernel must replicate the chain on every edge doc")
+    assert(kernel(3L) == null, "NULL text -> NULL")
+    assert(kernel(2L) == Seq.empty, "empty text -> empty pieces")
+
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chainC = piecesOf(
+      TextStats.encodeBpeBytes(d, "doc_id", "text", FixtureMerges))
+    val kernelC = piecesOf(d.select(col("doc_id"),
+      ByteBpeEncode.byteBpePieces(col("text"), FixtureMerges).as("subwords")))
+    assert(kernelC == chainC, "kernel must replicate the chain on the corpus")
+  }
+
+  test("kernel ids and count agree with the map/chain paths and each other") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mapIds = TextStats.encodeBpeBytesIds(d, "doc_id", "text", FixtureMerges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kIds = d.select(col("doc_id"),
+      ByteBpeEncode.byteBpeIds(col("text"), FixtureMerges).as("token_ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kIds == mapIds, "kernel ids must equal the plan-literal-map ids")
+    val chainN = TextStats.applyBpeBytes(d, "doc_id", "text", FixtureMerges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val kN = d.select(col("doc_id"),
+      ByteBpeEncode.byteBpeCount(col("text"), FixtureMerges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kN == chainN, "kernel count must equal the chain's subword count")
+    assert(kIds.forall { case (id, v) => v.size.toLong == kN(id) })
+  }
+
+  test("greedy-by-rank: lowest rank wins over leftmost pair (chain parity)") {
+    // text 'ABC' = 41 42 43; merge rank1 = (42,43), rank2 = (41,42).
+    // A leftmost-first encoder would merge AB; rank order demands BC —
+    // and the replace chain (rank order applied sequentially) agrees.
+    val merges = Seq(("42", "43"), ("41", "42"))
+    val doc = Seq((1L, "ABC")).toDF("doc_id", "text")
+    val kernel = piecesOf(doc.select(col("doc_id"),
+      ByteBpeEncode.byteBpePieces(col("text"), merges).as("p")))(1L)
+    val chain = piecesOf(
+      TextStats.encodeBpeBytes(doc, "doc_id", "text", merges))(1L)
+    assert(kernel == Seq("41", "4243") && chain == kernel)
+    // unreachable merge (operand '7468' never formable without its own
+    // merge) fires on neither path
+    val m2 = Seq(("7468", "65"))
+    val doc2 = Seq((1L, "the")).toDF("doc_id", "text")
+    val k2 = piecesOf(doc2.select(col("doc_id"),
+      ByteBpeEncode.byteBpePieces(col("text"), m2).as("p")))(1L)
+    val c2 = piecesOf(TextStats.encodeBpeBytes(doc2, "doc_id", "text", m2))(1L)
+    assert(k2 == Seq("74", "68", "65") && c2 == k2)
+  }
+
+  test("local incremental trainer == distributed per-merge-aggregate trainer") {
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs") ++
+      Seq.fill(3)("café")
+    val planted = Seq(words.mkString(" ")).toDF("text")
+    val dist = TextStats.trainBpeBytes(planted, "text", numMerges = 15)
+    val local = TextStats.trainBpeBytesLocal(
+      TextStats.bytePretokenCounts(planted, "text"), numMerges = 15)
+    assert(local == dist,
+      "same merges, same tie-breaks, same counts, same stop point")
+    // and on real text with punctuation/space pre-tokens
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val dist2 = TextStats.trainBpeBytes(d, "text", numMerges = 24)
+    val local2 = TextStats.trainBpeBytesLocal(
+      TextStats.bytePretokenCounts(d, "text"), numMerges = 24)
+    assert(local2 == dist2)
+  }
+
+  test("trained-list row-identity at the chain's ceiling, and the >threshold delegation") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val trained = TextStats.trainBpeBytesLocal(
+      TextStats.bytePretokenCounts(d, "text"),
+      numMerges = TextStats.ReplaceChainMaxMerges).map(m => (m._1, m._2))
+    assert(trained.size == TextStats.ReplaceChainMaxMerges,
+      "corpus must support a full threshold-size merge list")
+    // at exactly the threshold the public API still takes the chain...
+    val viaApi = TextStats.encodeBpeBytes(d, "doc_id", "text", trained)
+    assert(!viaApi.queryExecution.executedPlan.toString.contains("graft_byte_bpe"),
+      "<= threshold must stay on the oracle-replayable chain")
+    val chain = piecesOf(viaApi)
+    val kernel = piecesOf(d.select(col("doc_id"),
+      ByteBpeEncode.byteBpePieces(col("text"), trained).as("subwords")))
+    assert(kernel == chain,
+      "64-merge trained list: kernel row-identical to the chain")
+    // ...one more merge and every public surface routes to the kernel
+    val over = trained :+ ("FE", "FF")
+    val overApi = TextStats.encodeBpeBytes(d, "doc_id", "text", over)
+    assert(overApi.queryExecution.executedPlan.toString.contains("graft_byte_bpe_pieces"),
+      "> threshold must route to the native kernel")
+    assert(TextStats.encodeBpeBytesIds(d, "doc_id", "text", over)
+      .queryExecution.executedPlan.toString.contains("graft_byte_bpe_ids"))
+    assert(TextStats.applyBpeBytes(d, "doc_id", "text", over)
+      .queryExecution.executedPlan.toString.contains("graft_byte_bpe_count"))
+    // the (FE,FF) pair occurs nowhere, so both shapes stay comparable
+    assert(piecesOf(overApi) == chain)
+  }
+
+  test("production-size merge list: encode works, stays codegen'd, ids decode") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val big = TextStats.trainBpeBytesLocal(
+      TextStats.bytePretokenCounts(d, "text"), numMerges = 10000,
+      minPairCount = 1L).map(m => (m._1, m._2))
+    assert(big.size > TextStats.ReplaceChainMaxMerges)
+    val enc = TextStats.encodeBpeBytesIds(d, "doc_id", "text", big)
+    assert(enc.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      "the kernel must ride whole-stage codegen at production merge counts")
+    val ids = enc.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val vocab = TextStats.bpeBytesVocab(spark, big)
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    val pieces = piecesOf(d.select(col("doc_id"),
+      ByteBpeEncode.byteBpePieces(col("text"), big).as("p")))
+    assert(ids.map { case (k, v) => k -> v.map(vocab) } == pieces,
+      "ids must decode through bpeBytesVocab back to the exact pieces")
+    // lossless: pieces concatenate back to the document's exact bytes
+    val hexOf = d.select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pieces.forall { case (k, v) => v.mkString("") == hexOf(k) })
+  }
+}
