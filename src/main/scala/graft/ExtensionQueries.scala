@@ -463,6 +463,15 @@ object ExtensionQueries {
       det(graft.operators.Temporal.changeIntervals(events(s, dir),
         "user_id", "ts", "event_type", tieCol = Some("event_id")))),
 
+    // the monster-key scale-out of the SCD2 build — SECOND execution
+    // path on the q_events_scd2 oracle text (few buckets so the
+    // carry-fed change filter, cross-bucket valid_to and version
+    // offsets all fire)
+    "q_events_scd2_skewed" -> ((s, dir) =>
+      det(graft.operators.Temporal.changeIntervalsSkewed(events(s, dir),
+        "user_id", "ts", "event_type", tieCol = Some("event_id"),
+        numBuckets = 8))),
+
     // interval containment via bucketized blocking: purchases landing
     // inside the user's 1-day-gap VIEW sessions (equi-join on the
     // 1-day time bucket + user, exact filter after — no nested loop)
@@ -1928,6 +1937,13 @@ object ExtensionQueries {
       det(graft.operators.Temporal.resampleLocf(asofViews(s, dir),
         "user_id", "ts", Seq("view_value"), unit = "day"))),
 
+    // the monster-log scale-out — SECOND execution path on the
+    // q_events_resample oracle text (grid construction shared; the
+    // as-of resolution takes the bucketed boundary-carry plan)
+    "q_events_resample_skewed" -> ((s, dir) =>
+      det(graft.operators.Temporal.resampleLocfSkewed(asofViews(s, dir),
+        "user_id", "ts", Seq("view_value"), unit = "day", numBuckets = 8))),
+
     // the TEMPORAL composition row (the q_pipeline_* pattern for the
     // events side): purchases asof-attributed to the user's last view,
     // range-joined into their 2h-gap session, collapsed to a per-user
@@ -2060,6 +2076,14 @@ object ExtensionQueries {
     "q_events_rolling" -> ((s, dir) =>
       det(graft.operators.Windowed.rollingAgg(events(s, dir),
         "user_id", "ts", "value", nRows = 5, tieBreakCol = "event_id"))),
+
+    // the monster-key scale-out — SECOND execution path on the
+    // q_events_rolling oracle text (few buckets so the cross-bucket
+    // tail preamble feeds most frames)
+    "q_events_rolling_skewed" -> ((s, dir) =>
+      det(graft.operators.Windowed.rollingAggSkewed(events(s, dir),
+        "user_id", "ts", "value", nRows = 5, tieBreakCol = "event_id",
+        numBuckets = 8))),
 
     // new vs cumulative users per hour (first-seen trick: running
     // DISTINCT without a distinct-state window)
@@ -2892,6 +2916,63 @@ object ExtensionQueries {
        |  ON c.user_id = v.user_id AND c.ts >= v.ts
        |ORDER BY event_id $N1, c.user_id $N1, c.ts $N1, asof_ts $N1,
        |  view_value $N1""".stripMargin
+  /** Shared by q_events_rolling and q_events_rolling_skewed (one
+    * oracle, two execution paths: per-key row frame vs (key, bucket)
+    * slices with the tail preamble). */
+  private lazy val RollingOracle: String =
+    s"""SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+       |  round(avg(value) OVER w, 6) AS roll_avg,
+       |  min(value) OVER w AS roll_min,
+       |  max(value) OVER w AS roll_max,
+       |  CAST(count(value) OVER w AS BIGINT) AS roll_n
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id
+       |  ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id $N1, ts $N1, event_id $N1, value $N1,
+       |  roll_avg $N1, roll_min $N1, roll_max $N1, roll_n $N1""".stripMargin
+
+  /** Shared by q_events_resample and q_events_resample_skewed (one
+    * oracle, two execution paths: plain union-window as-of vs the
+    * bucketed boundary-carry as-of). */
+  private lazy val ResampleOracle: String =
+    s"""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |   arg_max(value, event_id) AS view_value
+       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       |b AS (SELECT user_id, date_trunc('day', min(ts)) AS lo,
+       |   date_trunc('day', max(ts)) AS hi
+       |  FROM v GROUP BY user_id),
+       |g AS (SELECT user_id,
+       |   unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS grid_ts
+       |  FROM b)
+       |SELECT g.user_id, g.grid_ts, v.ts AS asof_ts, v.view_value
+       |FROM g ASOF LEFT JOIN v
+       |  ON g.user_id = v.user_id AND g.grid_ts >= v.ts
+       |ORDER BY g.user_id $N1, grid_ts $N1, asof_ts $N1, view_value $N1""".stripMargin
+
+  /** Shared by q_events_scd2 and q_events_scd2_skewed (one oracle, two
+    * execution paths: per-key lag/lead plan vs (key, bucket) slices
+    * with the carry-fed change filter). */
+  private lazy val Scd2Oracle: String =
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |   arg_max(event_type, event_id) AS v
+       |  FROM events GROUP BY 1, 2),
+       |c AS (SELECT user_id, ts, v,
+       |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts,
+       |   lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS pv
+       |  FROM e),
+       |k AS (SELECT user_id, ts AS valid_from, v FROM c
+       |  WHERE pts IS NULL OR v IS DISTINCT FROM pv)
+       |SELECT user_id, valid_from,
+       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       |    AS valid_to,
+       |  v AS event_type,
+       |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from)
+       |    AS BIGINT) AS version
+       |FROM k
+       |ORDER BY user_id $N1, valid_from $N1, valid_to $N1, event_type $N1,
+       |  version $N1""".stripMargin
+
   /** Planted encoding-damage suffix for q_text_mojibake — one hit per
     * artifact family (Ã-pair, â€ punctuation, BOM-as-text); the oracle
     * embeds this same constant so the two sides cannot drift. */
@@ -4565,18 +4646,8 @@ object ExtensionQueries {
          |FROM u CROSS JOIN t
          |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
          |ORDER BY u.user_id $N1, t.event_type $N1, n_events $N1""".stripMargin,
-    "q_events_rolling" ->
-      s"""SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
-         |  round(avg(value) OVER w, 6) AS roll_avg,
-         |  min(value) OVER w AS roll_min,
-         |  max(value) OVER w AS roll_max,
-         |  CAST(count(value) OVER w AS BIGINT) AS roll_n
-         |FROM events
-         |WINDOW w AS (PARTITION BY user_id
-         |  ORDER BY CAST(ts AS TIMESTAMP), event_id
-         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-         |ORDER BY user_id $N1, ts $N1, event_id $N1, value $N1,
-         |  roll_avg $N1, roll_min $N1, roll_max $N1, roll_n $N1""".stripMargin,
+    "q_events_rolling" -> RollingOracle,
+    "q_events_rolling_skewed" -> RollingOracle,
     // running sum over the bucket-cardinality card; CAST the window
     // sum (DuckDB widens sum(BIGINT) OVER to HUGEINT — the
     // q_chat_spans class)
@@ -4737,20 +4808,8 @@ object ExtensionQueries {
     // generate_series daily grid per user + DuckDB's native ASOF for
     // the forward fill — the composition the engine builds from
     // sequence-explode + the union/window as-of
-    "q_events_resample" ->
-      s"""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-         |   arg_max(value, event_id) AS view_value
-         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
-         |b AS (SELECT user_id, date_trunc('day', min(ts)) AS lo,
-         |   date_trunc('day', max(ts)) AS hi
-         |  FROM v GROUP BY user_id),
-         |g AS (SELECT user_id,
-         |   unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS grid_ts
-         |  FROM b)
-         |SELECT g.user_id, g.grid_ts, v.ts AS asof_ts, v.view_value
-         |FROM g ASOF LEFT JOIN v
-         |  ON g.user_id = v.user_id AND g.grid_ts >= v.ts
-         |ORDER BY g.user_id $N1, grid_ts $N1, asof_ts $N1, view_value $N1""".stripMargin,
+    "q_events_resample" -> ResampleOracle,
+    "q_events_resample_skewed" -> ResampleOracle,
     // lead-duration weights; last point carries none; 0/0 -> NULL
     // (same text graded twice: per-key window plan + bucketed carry)
     "q_events_twa_skewed" -> TwaOracle,
@@ -4790,25 +4849,8 @@ object ExtensionQueries {
          |  c_start $N1, c_end $N1, c_n $N1""".stripMargin,
     // arg_max same-ts dedup, IS DISTINCT FROM change filter, lead +
     // row_number over the episode frame — the lag/lead SCD2 canon
-    "q_events_scd2" ->
-      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-         |   arg_max(event_type, event_id) AS v
-         |  FROM events GROUP BY 1, 2),
-         |c AS (SELECT user_id, ts, v,
-         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts,
-         |   lag(v) OVER (PARTITION BY user_id ORDER BY ts) AS pv
-         |  FROM e),
-         |k AS (SELECT user_id, ts AS valid_from, v FROM c
-         |  WHERE pts IS NULL OR v IS DISTINCT FROM pv)
-         |SELECT user_id, valid_from,
-         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-         |    AS valid_to,
-         |  v AS event_type,
-         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from)
-         |    AS BIGINT) AS version
-         |FROM k
-         |ORDER BY user_id $N1, valid_from $N1, valid_to $N1, event_type $N1,
-         |  version $N1""".stripMargin,
+    "q_events_scd2" -> Scd2Oracle,
+    "q_events_scd2_skewed" -> Scd2Oracle,
     // the q_events_sessionize CTE chain (1-day gap, views only) +
     // a plain containment join — DuckDB plans IEJoin, the engine
     // plans the bucketized equi-join; same pairs either way

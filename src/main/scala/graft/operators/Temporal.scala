@@ -210,22 +210,32 @@ object Temporal {
 
     val backward = direction == "backward"
     // per-(key, bucket) extreme right row: backward wants the latest
-    // (max (ts, tie)), forward the earliest; left rows contribute NULL
-    // and min/max skip them. struct order = (ts, tie, payload), the
-    // window tie-break below in aggregate form.
-    val rightExtreme = when(col("__side") === 0,
+    // (max (ts, tie)), forward the earliest; left rows carry a NULL
+    // ordering and max_by/min_by skip them. The ordering is (ts, tie)
+    // ONLY — the payload must never decide (the local window below
+    // cannot see it either), so duplicate (key, ts, tie) right rows
+    // resolve in the SAME nondeterminism class on both the in-bucket
+    // and cross-bucket paths; pass `rightTieCol` for determinism
+    // (ADVICE r15 #2).
+    val cellValue = when(col("__side") === 0,
       struct(col("__ts"), col("__tie"), col("__r")))
+    val cellOrder = when(col("__side") === 0,
+      struct(col("__ts"), col("__tie")))
     val cells = b.groupBy(col("__k"), col("__b"))
-      .agg((if (backward) max(rightExtreme) else min(rightExtreme))
-        .as("__cell"))
+      .agg((if (backward) max_by(cellValue, cellOrder)
+            else min_by(cellValue, cellOrder)).as("__cell"))
     // carry-in per (key, bucket): the extreme among all STRICTLY
     // earlier (backward) / later (forward) buckets — a running window
-    // over ≤ numBuckets rows per key
+    // over ≤ numBuckets rows per key; same (ts, tie)-only ordering,
+    // NULL cells (right-free buckets) skipped via the NULL ordering
     val wCarry = Window.partitionBy(col("__k"))
       .orderBy(if (backward) col("__b").asc else col("__b").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val carryOrder = when(col("__cell").isNotNull,
+      struct(col("__cell.__ts"), col("__cell.__tie")))
     val carry = cells.withColumn("__carry",
-      (if (backward) max(col("__cell")) else min(col("__cell"))).over(wCarry))
+      (if (backward) max_by(col("__cell"), carryOrder)
+       else min_by(col("__cell"), carryOrder)).over(wCarry))
       .select(col("__k"), col("__b"), col("__carry.__r").as("__cin"))
 
     // local resolution inside each (key, bucket) slice, then fill
@@ -391,6 +401,53 @@ object Temporal {
   }
 
   /**
+   * Skew-hardened LOCF resample — [[resampleLocf]] with the grid
+   * resolution delegated to [[asofJoinSkewed]] instead of [[asofJoin]]:
+   * the grid side is bounded (span/unit rows per key) but the LOG side
+   * is the fact stream, and a monster key's history serializes the
+   * plain union window exactly like the as-of case — same fix, same
+   * (key, ts-bucket) + boundary-carry machinery, identical output
+   * (grid construction is shared code; third execution path on the
+   * q_events_resample oracle text).
+   */
+  def resampleLocfSkewed(log: DataFrame, keyCol: String, tsCol: String,
+                         payloadCols: Seq[String], unit: String,
+                         rightTieCol: Option[String] = None,
+                         numBuckets: Int = 64): DataFrame = {
+    require(Set("day", "hour", "minute")(unit.toLowerCase),
+      s"unit must be day/hour/minute, got '$unit'")
+    require(tsCol == "grid_ts" || !log.columns.contains("grid_ts"),
+      "log already has a 'grid_ts' column — rename it before resampling")
+    val grid = log
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(date_trunc(unit, min(col(tsCol).cast("timestamp"))).as("__lo"),
+        date_trunc(unit, max(col(tsCol).cast("timestamp"))).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"),
+          expr(s"interval 1 $unit"))).as("grid_ts"))
+    asofJoinSkewed(grid, log.withColumnRenamed(tsCol, "grid_ts"), keyCol,
+      "grid_ts", payloadCols, rightTieCol = rightTieCol,
+      numBuckets = numBuckets)
+  }
+
+  /**
+   * Routed LOCF resample — sampled heavy-key probe on the LOG side
+   * (the side whose per-key history serializes), skewed plan on a
+   * hit; `skewShare = None` pins the plain plan.
+   */
+  def resampleLocfAuto(log: DataFrame, keyCol: String, tsCol: String,
+                       payloadCols: Seq[String], unit: String,
+                       rightTieCol: Option[String] = None,
+                       skewShare: Option[Double] = Some(0.25),
+                       numBuckets: Int = 64): DataFrame =
+    if (skewShare.exists(s =>
+      graft.plans.GraftExtensions.heavyKeyProbeCached(log, keyCol, s)))
+      resampleLocfSkewed(log, keyCol, tsCol, payloadCols, unit, rightTieCol,
+        numBuckets)
+    else resampleLocf(log, keyCol, tsCol, payloadCols, unit, rightTieCol)
+
+  /**
    * Broadcast as-of join — the zero-fact-shuffle variant of
    * [[asofJoin]] (backward direction) for when the right side is a
    * DIMENSION HISTORY that fits in a broadcast (price books, config
@@ -488,6 +545,128 @@ object Temporal {
       .select(col(keyCol), col("valid_from"), col("valid_to"),
         col(valueCol), col("version"))
   }
+
+  /**
+   * Skew-hardened SCD2 builder — the MONSTER-KEY scale-out of
+   * [[changeIntervals]] (identical output contract), completing the
+   * (key, ts-bucket) + boundary-carry family next to
+   * [[asofJoinSkewed]] / [[timeWeightedAvgSkewed]] /
+   * [[graft.operators.Windowed.sessionizeSkewed]]: the plain builder's
+   * per-key windows put one bot key's entire change log on one task.
+   *
+   * Decomposition — every per-key pass splits at bucket boundaries
+   * with a tiny carry:
+   *  - SAME-TS DEDUP is local for free: a timestamp run can never
+   *    cross buckets (the bucket is a pure function of ts).
+   *  - The CHANGE FILTER compares each row's value to its immediate
+   *    post-dedup predecessor; only each bucket's FIRST row looks
+   *    across the boundary, and its predecessor is exactly the
+   *    previous non-empty bucket's LAST value — one per-(key, bucket)
+   *    aggregate + a `lag` over the ≤`numBuckets`-rows-per-key cell
+   *    frame (rows with no carry are the key's true first row).
+   *  - VALID_TO of each bucket's last KEPT row is the next
+   *    kept-bucket's first episode start (a second tiny cell frame);
+   *    interior kept rows use the local lead.
+   *  - VERSION = local row_number + the running count of kept rows in
+   *    earlier buckets (same cell frame).
+   * Everything wide rides ONE (key, bucket) exchange (the local
+   * windows, both cell aggregates and the two cell joins share it);
+   * the per-key passes touch only bucket-cardinality cell frames.
+   *
+   * Tie and NULL contracts are [[changeIntervals]]'s verbatim.
+   */
+  def changeIntervalsSkewed(log: DataFrame, keyCol: String, tsCol: String,
+                            valueCol: String,
+                            tieCol: Option[String] = None,
+                            numBuckets: Int = 64): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val tie = tieCol.map(col).getOrElse(lit(0L))
+    val base = log
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        col(tsCol).cast("timestamp").as("valid_from"),
+        col(valueCol).as("__v"), tie.as("__tie"))
+    val span = base.agg(min(unix_micros(col("valid_from"))).as("lo"),
+      max(unix_micros(col("valid_from"))).as("hi")).head()
+    val (lo, hi) =
+      if (span.isNullAt(0)) (0L, 0L) else (span.getLong(0), span.getLong(1))
+    val width = math.max(1L, (hi - lo) / numBuckets + 1L)
+    val b = base.withColumn("__b", // integral div: exact at any span
+      expr(s"(unix_micros(valid_from) - ${lo}L) div ${width}L"))
+
+    // local same-ts dedup (runs never cross buckets): keep the last
+    // row of each ts run in (valid_from, tie) order
+    val wTieLoc = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("valid_from"), col("__tie"))
+    val wLoc = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("valid_from"))
+    val dedup = b
+      .withColumn("__nts", lead(col("valid_from"), 1).over(wTieLoc))
+      .filter(col("__nts").isNull || col("__nts") =!= col("valid_from"))
+
+    // carry-in value: the previous non-empty bucket's last value
+    // (post-dedup valid_from is unique per (key, bucket), so the
+    // struct extreme is deterministic)
+    val cells = dedup.groupBy(col("__k"), col("__b"))
+      .agg(max(struct(col("valid_from"), col("__v"))).as("__lastc"))
+    val wCell = Window.partitionBy(col("__k")).orderBy(col("__b"))
+    val carry = cells
+      .withColumn("__cin", lag(col("__lastc"), 1).over(wCell))
+      .select(col("__k"), col("__b"),
+        col("__cin").isNotNull.as("__hasPrev"), col("__cin.__v").as("__cv"))
+
+    // change filter with the boundary carry substituted at bucket-first
+    // rows; a key's true first row always starts an episode.
+    // SHUFFLE_HASH on the cell side: a sort-merge join would re-sort
+    // the FULL log on (key, bucket) — the hash build is cell-sized,
+    // and the log side arrives already partitioned on the join keys
+    // (no broadcast: cells are keys×buckets rows, unbounded at high
+    // key cardinality)
+    val kept = dedup
+      .join(carry.hint("shuffle_hash"), Seq("__k", "__b"), "left")
+      .withColumn("__pv", lag(col("__v"), 1).over(wLoc))
+      .withColumn("__first", lag(col("valid_from"), 1).over(wLoc).isNull)
+      .filter(
+        (col("__first") && !col("__hasPrev")) ||
+          (col("__first") && !(col("__v") <=> col("__cv"))) ||
+          (!col("__first") && !(col("__v") <=> col("__pv"))))
+
+    // valid_to + version across buckets: per-bucket kept cells carry
+    // the first episode start and the kept count
+    val kc = kept.groupBy(col("__k"), col("__b"))
+      .agg(min(col("valid_from")).as("__fk"), count(lit(1)).as("__nk"))
+    val kc2 = kc
+      .withColumn("__nextfk", lead(col("__fk"), 1).over(wCell))
+      .withColumn("__off", coalesce(
+        sum(col("__nk")).over(
+          wCell.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__k"), col("__b"), col("__nextfk"), col("__off"))
+    kept
+      .join(kc2.hint("shuffle_hash"), Seq("__k", "__b"), "left")
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(wLoc), col("__nextfk")))
+      .withColumn("version",
+        (col("__off") + row_number().over(wLoc)).cast("long"))
+      .select(col("__k").as(keyCol), col("valid_from"), col("valid_to"),
+        col("__v").as(valueCol), col("version"))
+  }
+
+  /**
+   * Routed SCD2 — the [[graft.plans.GraftExtensions.asofJoinExec]]
+   * convention: probe the key distribution once (sampled, exact
+   * fallback near the threshold) and take [[changeIntervalsSkewed]]
+   * only when a monster key would serialize [[changeIntervals]]'s
+   * per-key windows. `skewShare = None` pins the plain plan.
+   */
+  def changeIntervalsAuto(log: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String,
+                          tieCol: Option[String] = None,
+                          skewShare: Option[Double] = Some(0.25),
+                          numBuckets: Int = 64): DataFrame =
+    if (skewShare.exists(s =>
+      graft.plans.GraftExtensions.heavyKeyProbeCached(log, keyCol, s)))
+      changeIntervalsSkewed(log, keyCol, tsCol, valueCol, tieCol, numBuckets)
+    else changeIntervals(log, keyCol, tsCol, valueCol, tieCol)
 
   /**
    * Point-in-time table SNAPSHOT — "the table AS OF time T": each

@@ -162,18 +162,18 @@ object Windowed {
   /**
    * Routed sessionization — the [[graft.plans.GraftExtensions.asofJoinExec]]
    * convention applied to sessions: probe the key distribution once
-   * ([[graft.plans.GraftExtensions.heavyKeyExists]] — exact, one
-   * column-pruned pass) and pick [[sessionizeSkewed]] when a monster
-   * key would serialize the per-key window, [[sessionizeBatch]]
-   * otherwise (its single shuffle is cheaper on well-distributed
-   * keys). `skewShare = None` pins the batch plan.
+   * ([[graft.plans.GraftExtensions.heavyKeyExistsSampled]] — sampled,
+   * exact fallback near the threshold) and pick [[sessionizeSkewed]]
+   * when a monster key would serialize the per-key window,
+   * [[sessionizeBatch]] otherwise (its single shuffle is cheaper on
+   * well-distributed keys). `skewShare = None` pins the batch plan.
    */
   def sessionizeAuto(events: DataFrame, userCol: String, tsCol: String,
                      gapSeconds: Long,
                      skewShare: Option[Double] = Some(0.25),
                      numBuckets: Int = 64): DataFrame =
     if (skewShare.exists(s =>
-      graft.plans.GraftExtensions.heavyKeyExists(events, userCol, s)))
+      graft.plans.GraftExtensions.heavyKeyProbeCached(events, userCol, s)))
       sessionizeSkewed(events, userCol, tsCol, gapSeconds, numBuckets)
     else sessionizeBatch(events, userCol, tsCol, gapSeconds)
 
@@ -248,6 +248,105 @@ object Windowed {
       max(col(valueCol)).over(w).as("roll_max"),
       count(col(valueCol)).over(w).as("roll_n"))
   }
+
+  /**
+   * Skew-hardened rolling aggregate — the MONSTER-KEY scale-out of
+   * [[rollingAgg]] (identical output contract): the plain row-frame
+   * window serializes a key's whole series on one task.
+   *
+   * Decomposition: rows range-partition on (key, ts-bucket) and each
+   * bucket computes the `nRows`-row frame LOCALLY after prepending a
+   * PREAMBLE — the last `nRows-1` rows from all earlier buckets
+   * (globally, not just the adjacent bucket: a sparse predecessor
+   * bucket may hold fewer than `nRows-1` rows). The preamble is built
+   * from per-(key, bucket) TAIL cells (each bucket's last `nRows-1`
+   * rows as a bounded sorted array — one map-side-combined aggregate),
+   * concatenated per key over the ≤`numBuckets`-cells window and
+   * re-trimmed to the last `nRows-1` — O(numBuckets × nRows) per cell,
+   * bucket-cardinality frame. Preamble rows carry a flag, join the
+   * real rows through the same (key, bucket) exchange, feed the local
+   * frame, and are dropped from the output.
+   *
+   * Exactness: a preamble row's ts is strictly below its bucket's
+   * range (NULL-ts rows all share the sentinel first bucket), so the
+   * union sort equals the global (ts, tie) sort restricted to the
+   * slice, and any frame reaching past the bucket start finds exactly
+   * its true predecessors — `nRows-1` of them suffice by construction.
+   * Duplicate (ts, tie) rows are nondeterministically ordered in BOTH
+   * formulations (pass a unique tieBreakCol for determinism).
+   */
+  def rollingAggSkewed(events: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, nRows: Int,
+                       tieBreakCol: String, numBuckets: Int = 64): DataFrame = {
+    require(nRows >= 1, "nRows must be >= 1")
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val e = events.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      col(tieBreakCol).as("__tie"), col(valueCol).as("__v"))
+    val span = e.agg(
+      min(unix_micros(col("__ts").cast("timestamp"))).as("lo"),
+      max(unix_micros(col("__ts").cast("timestamp"))).as("hi")).head()
+    val (lo, hi) =
+      if (span.isNullAt(0)) (0L, 0L) else (span.getLong(0), span.getLong(1))
+    val width = math.max(1L, (hi - lo) / numBuckets + 1L)
+    // NULL ts sorts first in the plain window's ascending order, so it
+    // gets the sentinel bucket BELOW every real one
+    val b = e.withColumn("__b",
+      coalesce(expr(s"(unix_micros(cast(__ts as timestamp)) - ${lo}L)" +
+        s" div ${width}L"), lit(-1L)))
+    val wLoc = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__ts"), col("__tie"))
+      .rowsBetween(-(nRows - 1).toLong, Window.currentRow)
+    val rolled =
+      if (nRows == 1) b.withColumn("__p", lit(0)) // frame is the row itself
+      else {
+        val tailLen = nRows - 1
+        // last-n slice that survives short arrays: slice with a
+        // negative start PAST the array head returns EMPTY, not the
+        // whole array — a sparse bucket's 2-row tail must still carry
+        def lastN(a: Column, n: Int): Column =
+          when(size(a) === 0, a)
+            .otherwise(slice(a, greatest(lit(-n), -size(a)), lit(n)))
+        val cells = b.groupBy(col("__k"), col("__b"))
+          .agg(lastN(sort_array(collect_list(
+            struct(col("__ts"), col("__tie"), col("__v")))),
+            tailLen).as("__tail"))
+        val wCells = Window.partitionBy(col("__k")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pre = cells
+          .withColumn("__pre", lastN(sort_array(
+            flatten(collect_list(col("__tail")).over(wCells))), tailLen))
+          .select(col("__k"), col("__b"), explode(col("__pre")).as("__s"))
+          .select(col("__k"), col("__b"), col("__s.__ts").as("__ts"),
+            col("__s.__tie").as("__tie"), col("__s.__v").as("__v"),
+            lit(1).as("__p"))
+        b.withColumn("__p", lit(0)).unionByName(pre)
+      }
+    rolled
+      .select(col("__k"), col("__ts"), col("__tie"), col("__v"), col("__p"),
+        round(avg(col("__v")).over(wLoc), 6).as("roll_avg"),
+        min(col("__v")).over(wLoc).as("roll_min"),
+        max(col("__v")).over(wLoc).as("roll_max"),
+        count(col("__v")).over(wLoc).as("roll_n"))
+      .filter(col("__p") === 0)
+      .select(col("__k").as(keyCol), col("__ts").as(tsCol),
+        col("__tie").as(tieBreakCol), col("__v").as(valueCol),
+        col("roll_avg"), col("roll_min"), col("roll_max"), col("roll_n"))
+  }
+
+  /**
+   * Routed rolling aggregate — sampled heavy-key probe (exact
+   * fallback near the threshold), [[rollingAggSkewed]] on a hit,
+   * [[rollingAgg]] otherwise; `skewShare = None` pins the plain plan.
+   */
+  def rollingAggAuto(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, nRows: Int, tieBreakCol: String,
+                     skewShare: Option[Double] = Some(0.25),
+                     numBuckets: Int = 64): DataFrame =
+    if (skewShare.exists(s =>
+      graft.plans.GraftExtensions.heavyKeyProbeCached(events, keyCol, s)))
+      rollingAggSkewed(events, keyCol, tsCol, valueCol, nRows, tieBreakCol,
+        numBuckets)
+    else rollingAgg(events, keyCol, tsCol, valueCol, nRows, tieBreakCol)
 
   /**
    * Cumulative-adoption card: per `unit` bucket, how many keys were

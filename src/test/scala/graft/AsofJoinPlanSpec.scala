@@ -241,6 +241,79 @@ class AsofJoinPlanSpec extends AnyFunSuite {
       Seq.empty[(Long, Int)].toDF("k", "x"), "k", 0.1))
   }
 
+  test("heavyKeyExistsSampled: identical routing to exact on planted and uniform frames") {
+    // planted 60%-share monster key, large enough that the 2% sample
+    // clears the minSample floor — sampled and exact must agree, and
+    // the estimate sits ~25 standard errors from the 0.25 threshold
+    val monster = spark.range(120000).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 997).as("k"))
+    assert(GraftExtensions.heavyKeyExists(monster, "k", 0.25))
+    assert(GraftExtensions.heavyKeyExistsSampled(monster, "k", 0.25),
+      "sampled probe must route the 60% key exactly like the exact probe")
+    val uniform = spark.range(120000).select((col("id") % 997).as("k"))
+    assert(!GraftExtensions.heavyKeyExists(uniform, "k", 0.25))
+    assert(!GraftExtensions.heavyKeyExistsSampled(uniform, "k", 0.25),
+      "sampled probe must keep uniform keys on the plain plan")
+    // an empty sample = the frame is far too small for any key to
+    // serialize a task — the probe answers false (plain plan) in one
+    // job; routing is a wall-clock choice, so this cannot be wrong
+    val tiny = Seq((1L, 1), (1L, 2), (1L, 3), (2L, 4)).toDF("k", "x")
+    assert(!GraftExtensions.heavyKeyExistsSampled(tiny, "k", 0.75),
+      "a 4-row frame never routes to the bucketed plan")
+    // a small-but-sampled monster frame still decides correctly in one
+    // job: the 3σ band is miles below a 60% estimate at share=0.25
+    val smallMonster = spark.range(3000).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 97).as("k"))
+    assert(GraftExtensions.heavyKeyExistsSampled(smallMonster, "k", 0.25))
+    // the memoized front door probes once per (plan, key, thresholds):
+    // the second call answers from the cache without launching a job
+    val before = GraftExtensions.probeCacheSize
+    assert(GraftExtensions.heavyKeyProbeCached(smallMonster, "k", 0.25))
+    assert(GraftExtensions.probeCacheSize == before + 1)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(GraftExtensions.heavyKeyProbeCached(smallMonster, "k", 0.25))
+      Thread.sleep(300)
+      assert(jobs == 0, s"cached probe must not launch a job, saw $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // near-threshold band: a 25%-share key probed at share=0.25 lands
+    // inside ±margin and must fall back to the exact answer
+    val edge = spark.range(100000).select(
+      when(col("id") % 4 === 0, lit(7L)).otherwise(col("id") % 997).as("k"))
+    assert(GraftExtensions.heavyKeyExistsSampled(edge, "k", 0.25) ==
+      GraftExtensions.heavyKeyExists(edge, "k", 0.25),
+      "inside the margin band the sampled probe defers to exact")
+  }
+
+  test("asofJoinExec: the ts-type gate fires before routing (distribution-independent)") {
+    // a monster key would previously ROUTE to asofJoinSkewed, which
+    // casts ts — so a string-ts call could succeed or throw depending
+    // on the key distribution; the schema gate now throws either way
+    val strTs = spark.range(3000).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 97).as("k"),
+      concat(lit("2024-01-0"), (col("id") % 9 + 1)).as("ts"),
+      col("id").as("lid"))
+    val right = spark.range(100).select((col("id") % 97).as("k"),
+      concat(lit("2024-01-0"), (col("id") % 9 + 1)).as("ts"),
+      col("id").as("v"))
+    val e1 = intercept[IllegalArgumentException] {
+      GraftExtensions.asofJoinExec(strTs, right, "k", "ts", Seq("v"))
+    }
+    assert(e1.getMessage.contains("TIMESTAMP"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftExtensions.asofJoinExec(strTs, right, "k", "ts", Seq("v"),
+        skewShare = None)
+    }
+    assert(e2.getMessage.contains("TIMESTAMP"),
+      "same error with routing pinned off — behavior is distribution-independent")
+  }
+
   test("skew routing: a monster key leaves the custom exec for the bucketed path") {
     val (left, right) = monsterSides()
     val routed = GraftExtensions.asofJoinExec(left, right, "k", "ts", Seq("v"))

@@ -592,6 +592,112 @@ class TemporalSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("rangeJoin")))
   }
 
+  test("changeIntervalsSkewed equals changeIntervals: real events, bucket counts, edges") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), r.getString(3), r.getLong(4))).toSet
+    val want = asSet(Temporal.changeIntervals(e, "user_id", "ts",
+      "event_type", tieCol = Some("event_id")))
+    for (nb <- Seq(2, 5, 32))
+      assert(asSet(Temporal.changeIntervalsSkewed(e, "user_id", "ts",
+        "event_type", tieCol = Some("event_id"), numBuckets = nb)) == want,
+        s"numBuckets=$nb diverges")
+    // crafted boundary traps: an episode VALUE repeating across a
+    // bucket edge must not mint a version (carry feeds the change
+    // filter), a same-ts dup resolves by tie, and valid_to must cross
+    // empty and no-kept-row buckets to the next episode start
+    val fix = Seq(
+      (1L, 0L, "a", 1L), (1L, 0L, "b", 2L), // dup ts -> tie 2 wins -> 'b'
+      (1L, 100L, "b", 3L), // same value: collapses (NO new version)
+      (1L, 900L, "b", 4L), // still 'b' far later (likely another bucket)
+      (1L, 990L, "c", 5L), // change near the far edge
+      (2L, 500L, "x", 6L) // single-row key: one open episode
+    ).map { case (k, sec, v, id) =>
+      (k, new java.sql.Timestamp(1700000000000L + sec * 1000L), v, id)
+    }.toDF("k", "ts", "v", "id")
+    for (nb <- Seq(2, 4, 16)) {
+      val got = Temporal.changeIntervalsSkewed(fix, "k", "ts", "v",
+        tieCol = Some("id"), numBuckets = nb).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          Option(r.getTimestamp(2)).map(_.getTime), r.getString(3),
+          r.getLong(4))).toSet
+      val base = 1700000000000L
+      assert(got == Set(
+        (1L, base, Some(base + 990000L), "b", 1L),
+        (1L, base + 990000L, None, "c", 2L),
+        (2L, base + 500000L, None, "x", 1L)), s"numBuckets=$nb: $got")
+    }
+  }
+
+  test("changeIntervalsSkewed: monster key matches the plain path and slices over (key, bucket)") {
+    // 60% of a 30k-row change log on one key, values churning so the
+    // episode count stays high — the serialization case
+    val big = spark.range(30000).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 97).as("k"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1000L).as("ts"),
+      (col("id") % 3).cast("string").as("v"), col("id").as("tie"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), r.getString(3), r.getLong(4))).toSet
+    val want = asSet(Temporal.changeIntervals(big, "k", "ts", "v",
+      tieCol = Some("tie")))
+    val skewed = Temporal.changeIntervalsSkewed(big, "k", "ts", "v",
+      tieCol = Some("tie"), numBuckets = 32)
+    assert(asSet(skewed) == want)
+    val winParts = PlanWalk.nodes(skewed).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(winParts.contains(2),
+      s"expected (key, bucket)-partitioned local windows, got $winParts")
+    // routed front door: the monster log takes the skewed plan, a
+    // uniform log keeps the single-shuffle plain plan
+    assert(asSet(Temporal.changeIntervalsAuto(big, "k", "ts", "v",
+      tieCol = Some("tie"))) == want)
+    val uniform = spark.range(4000).select((col("id") % 211).as("k"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1000L).as("ts"),
+      (col("id") % 3).cast("string").as("v"), col("id").as("tie"))
+    val plain = Temporal.changeIntervalsAuto(uniform, "k", "ts", "v",
+      tieCol = Some("tie"))
+    plain.collect()
+    val plainParts = PlanWalk.nodes(plain).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(plainParts.nonEmpty && plainParts.forall(_ == 1),
+      "well-distributed keys stay on the plain per-key plan")
+  }
+
+  test("resampleLocfSkewed equals resampleLocf: real views, bucket counts, monster log") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(expr("max_by(value, event_id)").as("view_value"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    val want = asSet(Temporal.resampleLocf(views, "user_id", "ts",
+      Seq("view_value"), "day"))
+    for (nb <- Seq(2, 5, 16))
+      assert(asSet(Temporal.resampleLocfSkewed(views, "user_id", "ts",
+        Seq("view_value"), "day", numBuckets = nb)) == want,
+        s"numBuckets=$nb diverges")
+    // monster log: one key holds 60% of observations
+    val big = spark.range(20000).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 97).as("k"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 3600000L).as("ts"),
+      (col("id") % 17).cast("double").as("v"))
+      .groupBy("k", "ts").agg(expr("max_by(v, v)").as("v"))
+    val bw = asSet(Temporal.resampleLocf(big, "k", "ts", Seq("v"), "day"))
+    assert(asSet(Temporal.resampleLocfSkewed(big, "k", "ts", Seq("v"), "day",
+      numBuckets = 16)) == bw)
+    assert(asSet(Temporal.resampleLocfAuto(big, "k", "ts", Seq("v"), "day"))
+      == bw, "routed front door must agree on the monster log")
+  }
+
   test("rangeJoin plan: hash equi-join on the bucket, no nested loop") {
     val points = Seq((1L, 5.0, "p")).toDF("k", "x", "pid")
     val intervals = Seq((1L, 0.0, 10.0, "i")).toDF("k", "lo", "hi", "iid")

@@ -421,4 +421,84 @@ class WindowedSpec extends AnyFunSuite {
   private def asSetL(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
       r.getLong(3))).toSet
+
+  test("rollingAggSkewed equals rollingAgg: real events, bucket counts, nRows edges") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), r.getLong(7))).toSet
+    for (nRows <- Seq(1, 5); nb <- Seq(2, 7, 32)) {
+      val want = asSet(Windowed.rollingAgg(e, "user_id", "ts", "value",
+        nRows, "event_id"))
+      assert(asSet(Windowed.rollingAggSkewed(e, "user_id", "ts", "value",
+        nRows, "event_id", numBuckets = nb)) == want,
+        s"nRows=$nRows numBuckets=$nb diverges")
+    }
+  }
+
+  test("rollingAggSkewed: sparse buckets chain the preamble past the adjacent bucket") {
+    // one row per bucket and a 4-row frame: every row's predecessors
+    // live 1-3 buckets back, so a tail that only reached the adjacent
+    // bucket (or the short-array slice bug) would drop frame rows
+    val sparse = (0 until 12).map(i =>
+      (1L, new java.sql.Timestamp(1700000000000L + i * 100000000L),
+        i.toLong, i.toDouble))
+      .toDF("k", "ts", "tie", "v")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(2), r.getDouble(4), r.get(5),
+        r.get(6), r.getLong(7))).toSet
+    val want = asSet(Windowed.rollingAgg(sparse, "k", "ts", "v", 4, "tie"))
+    for (nb <- Seq(6, 12, 64))
+      assert(asSet(Windowed.rollingAggSkewed(sparse, "k", "ts", "v", 4,
+        "tie", numBuckets = nb)) == want, s"numBuckets=$nb diverges")
+    // NULL ts rows sort first in the plain window; the sentinel bucket
+    // must reproduce that, including their feeding the first real rows
+    val withNulls = (Seq((2L, Option.empty[java.sql.Timestamp], 0L, 10.0),
+      (2L, Option.empty[java.sql.Timestamp], 1L, 20.0)) ++
+      (0 until 4).map(i => (2L,
+        Option(new java.sql.Timestamp(1700000000000L + i * 1000L)),
+        10L + i, i.toDouble))).toDF("k", "ts", "tie", "v")
+    val wantN = Windowed.rollingAgg(withNulls, "k", "ts", "v", 3, "tie")
+      .collect().map(r => r.getLong(2) -> ((r.getDouble(4), r.getLong(7)))).toMap
+    val gotN = Windowed.rollingAggSkewed(withNulls, "k", "ts", "v", 3, "tie",
+      numBuckets = 4)
+      .collect().map(r => r.getLong(2) -> ((r.getDouble(4), r.getLong(7)))).toMap
+    assert(gotN == wantN, "NULL-ts rows must chain through the sentinel bucket")
+  }
+
+  test("rollingAggSkewed: monster key matches and slices; Auto routes both ways") {
+    val big = spark.range(30000).select(
+      when(col("id") % 5 < 3, lit(7L)).otherwise(col("id") % 97).as("k"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1000L).as("ts"),
+      col("id").as("tie"), (col("id") % 23).cast("double").as("v"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.get(5), r.get(6),
+        r.getLong(7))).toSet
+    val want = asSet(Windowed.rollingAgg(big, "k", "ts", "v", 5, "tie"))
+    val skewed = Windowed.rollingAggSkewed(big, "k", "ts", "v", 5, "tie",
+      numBuckets = 32)
+    assert(asSet(skewed) == want)
+    val winParts = PlanWalk.nodes(skewed).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(winParts.contains(2),
+      s"the rolling frame must partition by (key, bucket), got $winParts")
+    assert(asSet(Windowed.rollingAggAuto(big, "k", "ts", "v", 5, "tie"))
+      == want, "routed front door must agree on the monster key")
+    val uniform = spark.range(4000).select((col("id") % 211).as("k"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1000L).as("ts"),
+      col("id").as("tie"), (col("id") % 23).cast("double").as("v"))
+    val plain = Windowed.rollingAggAuto(uniform, "k", "ts", "v", 5, "tie")
+    plain.collect()
+    val plainParts = PlanWalk.nodes(plain).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(plainParts.nonEmpty && plainParts.forall(_ == 1),
+      "well-distributed keys stay on the single-shuffle plain plan")
+  }
 }
