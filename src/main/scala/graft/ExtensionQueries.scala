@@ -3158,7 +3158,17 @@ object ExtensionQueries {
       val step4 = wadd(wmul(rotl(wxor("h",
         wmul(le("(ln // 8)*8", 4), P1)), 23), P2), P3)
       val tailOff = "((ln // 8)*8 + (CASE WHEN ln % 8 >= 4 THEN 4 ELSE 0 END))"
-      s"""tb AS (SELECT tok, octet_length(encode(tok)) AS ln,
+      // NOTE: hashCtes is spliced into outer .stripMargin strings, so
+      // no generated line may START with '|' — keep concat operators
+      // at line ends
+      s"""tb AS (SELECT tok,
+         |  CASE WHEN octet_length(encode(tok)) >= 32
+         |    THEN error('Xxh64Sql precondition: token >= 32 bytes (' ||
+         |      tok ||
+         |      ') - this oracle implements only the < 32-byte XXH64' ||
+         |      ' path (no 4-lane stripe); regenerate with the' ||
+         |      ' long-input path before trusting the hash')
+         |    ELSE octet_length(encode(tok)) END AS ln,
          |  hex(encode(tok)) AS hx FROM toks),
          |byt AS (SELECT tok, ln, list_transform(range(0, ln), i ->
          |   (strpos('0123456789ABCDEF', hx[2*i+1:2*i+1]) - 1) * 16 +

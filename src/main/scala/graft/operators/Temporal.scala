@@ -319,6 +319,15 @@ object Temporal {
    * still report NULL twa over a NULL span, and round-6 happens once
    * at the end — identical output, monster key spread over
    * `numBuckets` tasks.
+   *
+   * Float caveat (ADVICE r15 #5): the summation ORDER differs from
+   * [[timeWeightedAvg]]'s single per-key sum (per-bucket partials +
+   * boundary terms), and both paths grade against one oracle with
+   * round(..., 6) as the only tolerance — a sum landing exactly on a
+   * 6-decimal rounding boundary could diverge by one rounded digit at
+   * scale. Every current fixture passes; if a flake ever appears at
+   * higher SF, compare pre-rounding values with a relative epsilon
+   * instead of tightening buckets.
    */
   def timeWeightedAvgSkewed(log: DataFrame, keyCol: String, tsCol: String,
                             valueCol: String, tieCol: String,

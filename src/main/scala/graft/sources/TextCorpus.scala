@@ -201,12 +201,23 @@ object TextCorpus {
         df.withColumn("__salt",
           pmod(xxhash64(col(saltCol)),
             lit(math.max(1L, math.ceil(rows.toDouble / targetRecordsPerFile).toLong))))
-      else
-        df.join(broadcast(counts.select(partitionCols.map(col) :+
-            col("__buckets"): _*)), partitionCols, "left")
+      else {
+        // NULL-SAFE join on the partition columns: a using-columns
+        // join would never match a NULL stratum, sending its entire
+        // row count to one salt bucket — the exact monster task this
+        // function exists to prevent (counts groupBy DOES emit the
+        // NULL group, so its quota exists; ADVICE r15 #3)
+        val cnt = counts.select(
+          partitionCols.map(c => col(c).as(s"__pc_$c")) :+
+            col("__buckets"): _*)
+        val cond = partitionCols.map(c => col(c) <=> col(s"__pc_$c"))
+          .reduce(_ && _)
+        df.join(broadcast(cnt), cond, "left")
+          .drop(partitionCols.map(c => s"__pc_$c"): _*)
           .withColumn("__salt",
             pmod(xxhash64(col(saltCol)), greatest(col("__buckets"), lit(1))))
           .drop("__buckets")
+      }
     val writer = salted
       .repartition(buckets.max(1L).min(Int.MaxValue).toInt,
         (partitionCols :+ "__salt").map(col): _*)

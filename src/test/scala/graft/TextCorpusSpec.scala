@@ -238,6 +238,37 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(flat.count() == 2000L)
   }
 
+  test("writeSizedParquet: a NULL stratum gets its count-derived buckets (null-safe join)") {
+    import spark.implicits._
+    // 90% of rows carry a NULL partition value — the using-columns
+    // join never matched them (NULL != NULL), so the whole stratum
+    // fell to ONE salt bucket / ONE write task (ADVICE r15 #3); the
+    // null-safe join must spread it like any other stratum
+    val df = (0 until 2000).map(i =>
+      (i.toLong, if (i % 10 == 0) Some("de") else None, s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sizedn").toString + "/out"
+    val (rows, dirs, buckets) = TextCorpus.writeSizedParquet(
+      df, dir, targetRecordsPerFile = 250, Seq("lang"), "doc_id")
+    assert(rows == 2000L && dirs == 2L)
+    assert(buckets == math.ceil(1800 / 250.0).toLong + 1L,
+      "the NULL stratum's quota must come from its own count")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2000L &&
+      back.filter(col("lang").isNull).count() == 1800L)
+    // write-task spread: part file names carry the writing task's
+    // partition index — pre-fix the whole NULL stratum came from ONE
+    // task (files split only by the record cap), post-fix its salt
+    // buckets land on several tasks
+    val nullTasks = back.filter(col("lang").isNull)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0).split("/").last.split("-")(1)).distinct
+    assert(nullTasks.length >= 4,
+      s"NULL stratum must spread over several write tasks, got ${nullTasks.length}")
+    val perFile = back.groupBy(input_file_name()).count().collect()
+    assert(perFile.forall(_.getLong(1) <= 250L))
+  }
+
   test("compactParquet: many small files become few, content identical, no in-place") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("cmp_in").toString
