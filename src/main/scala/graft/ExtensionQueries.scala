@@ -1967,6 +1967,22 @@ object ExtensionQueries {
         countDistinct(col("session_start")).as("n_purchase_sessions")))
     }),
 
+    // the SAME composition declared as YAML with the skew mapping set
+    // low enough that the probe fires on the fixture: the hardened
+    // (key, ts-bucket) as-of + sessionize paths compile from config
+    // and grade against the IDENTICAL q_pipeline_events oracle text —
+    // the no-drift row for the r16 skew config surface
+    "q_pipeline_events_skew_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileEventsYaml(
+        """events_analytics:
+          |  user_col: user_id
+          |  ts_col: ts
+          |  enrich: {left_type: purchase, right_type: view, value_col: value}
+          |  sessions: {gap_seconds: 7200}
+          |  skew: {share: 0.001, num_buckets: 8}
+          |""".stripMargin,
+        events(s, dir)))),
+
     // linear multi-touch attribution: each purchase's value split
     // equally over the user's views/clicks in the preceding day
     "q_events_attribution" -> ((s, dir) =>
@@ -2972,6 +2988,43 @@ object ExtensionQueries {
        |FROM k
        |ORDER BY user_id $N1, valid_from $N1, valid_to $N1, event_type $N1,
        |  version $N1""".stripMargin
+
+  /** Shared by q_pipeline_events and q_pipeline_events_skew_config
+    * (one oracle, two execution paths: plain composition vs the
+    * YAML-configured skew-hardened composition). */
+  private lazy val PipelineEventsOracle: String =
+        s"""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           |   arg_max(value, event_id) AS view_value
+           |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+           |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           |  FROM events WHERE event_type = 'purchase'),
+           |m AS (SELECT p.event_id, p.user_id, p.ts, v.view_value
+           |  FROM p ASOF LEFT JOIN v
+           |    ON p.user_id = v.user_id AND p.ts >= v.ts),
+           |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           |  FROM events),
+           |l AS (SELECT user_id, ts, event_id,
+           |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM e),
+           |f AS (SELECT user_id, ts, event_id,
+           |   CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 7200
+           |        THEN 1 ELSE 0 END AS nw FROM l),
+           |s AS (SELECT user_id, ts,
+           |   sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+           |  FROM f),
+           |iv AS (SELECT user_id, min(ts) AS session_start,
+           |   max(ts) AS session_end FROM s GROUP BY user_id, sid),
+           |j AS (SELECT m.user_id, m.view_value, iv.session_start
+           |  FROM m JOIN iv ON m.user_id = iv.user_id
+           |    AND m.ts BETWEEN iv.session_start AND iv.session_end)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+           |  CAST(count(view_value) AS BIGINT) AS n_attributed,
+           |  round(sum(view_value), 2) AS sum_attributed_value,
+           |  CAST(count(DISTINCT session_start) AS BIGINT)
+           |    AS n_purchase_sessions
+           |FROM j GROUP BY user_id
+           |ORDER BY user_id $N1, n_purchases $N1, n_attributed $N1,
+           |  sum_attributed_value $N1, n_purchase_sessions $N1""".stripMargin
 
   /** Planted encoding-damage suffix for q_text_mojibake — one hit per
     * artifact family (Ã-pair, â€ punctuation, BOM-as-text); the oracle
@@ -4530,39 +4583,8 @@ object ExtensionQueries {
          |  credit_value $N1""".stripMargin,
     // the proven fragments composed: ASOF attribution CTE + the
     // sessionize chain + BETWEEN containment + one card aggregate
-    "q_pipeline_events" ->
-      s"""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-         |   arg_max(value, event_id) AS view_value
-         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
-         |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-         |  FROM events WHERE event_type = 'purchase'),
-         |m AS (SELECT p.event_id, p.user_id, p.ts, v.view_value
-         |  FROM p ASOF LEFT JOIN v
-         |    ON p.user_id = v.user_id AND p.ts >= v.ts),
-         |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
-         |  FROM events),
-         |l AS (SELECT user_id, ts, event_id,
-         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-         |  FROM e),
-         |f AS (SELECT user_id, ts, event_id,
-         |   CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 7200
-         |        THEN 1 ELSE 0 END AS nw FROM l),
-         |s AS (SELECT user_id, ts,
-         |   sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
-         |  FROM f),
-         |iv AS (SELECT user_id, min(ts) AS session_start,
-         |   max(ts) AS session_end FROM s GROUP BY user_id, sid),
-         |j AS (SELECT m.user_id, m.view_value, iv.session_start
-         |  FROM m JOIN iv ON m.user_id = iv.user_id
-         |    AND m.ts BETWEEN iv.session_start AND iv.session_end)
-         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
-         |  CAST(count(view_value) AS BIGINT) AS n_attributed,
-         |  round(sum(view_value), 2) AS sum_attributed_value,
-         |  CAST(count(DISTINCT session_start) AS BIGINT)
-         |    AS n_purchase_sessions
-         |FROM j GROUP BY user_id
-         |ORDER BY user_id $N1, n_purchases $N1, n_attributed $N1,
-         |  sum_attributed_value $N1, n_purchase_sessions $N1""".stripMargin,
+    "q_pipeline_events" -> PipelineEventsOracle,
+    "q_pipeline_events_skew_config" -> PipelineEventsOracle,
     // micros timestamps make round-6 the identity on gap seconds, so
     // the rounded filter equals the raw one
     "q_events_gaps" ->

@@ -20,14 +20,28 @@ import org.yaml.snakeyaml.Yaml
  *   enrich: {left_type: purchase, right_type: view,
  *            value_col: value, tolerance_seconds: null}
  *   sessions: {gap_seconds: 7200}
+ *   skew: {share: 0.25, num_buckets: 64}   # optional
  * }}}
+ *
+ * The optional `skew` mapping exposes the monster-key hardened paths
+ * (r16): when `share` is set, the compiled plan probes the key
+ * distribution once
+ * ([[graft.plans.GraftExtensions.heavyKeyProbeCached]]) and takes
+ * [[graft.operators.Temporal.asofJoinSkewed]] /
+ * [[graft.operators.Windowed.sessionizeSkewed]] on a hit — a config
+ * user gets the (key, ts-bucket) + boundary-carry plans without
+ * touching Scala; output is identical either way (spec-pinned).
  */
 final case class EventsAnalyticsConfig(
     userCol: String, tsCol: String, typeCol: String, idCol: String,
     leftType: String, rightType: String, valueCol: String,
-    toleranceSeconds: Option[Double], sessionGapSeconds: Long) {
+    toleranceSeconds: Option[Double], sessionGapSeconds: Long,
+    skewShare: Option[Double] = None, skewNumBuckets: Int = 64) {
   require(leftType != rightType, "enrich sides must differ")
   require(sessionGapSeconds > 0, "session gap must be positive")
+  require(skewShare.forall(s => s > 0 && s <= 1),
+    "skew.share must be in (0,1]")
+  require(skewNumBuckets >= 2, "skew.num_buckets must be >= 2")
 }
 
 object EventsAnalyticsConfig {
@@ -67,6 +81,21 @@ object EventsAnalyticsConfig {
           v.toString != "null")
         .map(_.toString.toDouble),
       sessionGapSeconds =
-        sessions.getOrElse("gap_seconds", "7200").toString.toLong)
+        sessions.getOrElse("gap_seconds", "7200").toString.toLong,
+      skewShare = cfg.get("skew") match {
+        case Some(m: java.util.Map[_, _]) =>
+          m.asInstanceOf[java.util.Map[String, Object]].asScala
+            .get("share")
+            .filter(v => v != null && v.toString.nonEmpty &&
+              v.toString != "null")
+            .map(_.toString.toDouble)
+        case _ => None
+      },
+      skewNumBuckets = cfg.get("skew") match {
+        case Some(m: java.util.Map[_, _]) =>
+          m.asInstanceOf[java.util.Map[String, Object]].asScala
+            .getOrElse("num_buckets", "64").toString.toInt
+        case _ => 64
+      })
   }
 }

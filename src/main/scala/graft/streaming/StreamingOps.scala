@@ -1015,6 +1015,39 @@ object StreamingOps {
                         merges: Seq[(String, String)]): DataFrame =
     graft.operators.TextStats.applyBpe(docs, idCol, textCol, merges)
 
+  /** BYTE-level BPE pieces on a stream
+    * ([[graft.operators.TextStats.encodeBpeBytes]]): row-local at any
+    * merge-list size — the literal replace chain at fixture scale,
+    * the [[graft.functions.ByteBpeEncode]] reference-object kernel
+    * above the delegation threshold — so the batch operator is
+    * streaming-safe as-is (frozen-tokenizer contract: train offline,
+    * restart to re-tokenize). */
+  def streamingEncodeBpeBytes(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              merges: Seq[(String, String)]): DataFrame =
+    graft.operators.TextStats.encodeBpeBytes(docs, idCol, textCol, merges)
+
+  /** BYTE-level BPE token IDS on a stream
+    * ([[graft.operators.TextStats.encodeBpeBytesIds]]) — the SFT
+    * intake path's tokenize step, running in-stream under the same
+    * frozen-tokenizer contract as [[streamingEncodeBpeBytes]]. */
+  def streamingEncodeBpeBytesIds(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 merges: Seq[(String, String)]): DataFrame =
+    graft.operators.TextStats.encodeBpeBytesIds(docs, idCol, textCol, merges)
+
+  /** FIM infilling on a stream
+    * ([[graft.operators.TextStats.fimTransform]]): participation,
+    * cut points and PSM/SPM mode are all md5-hash draws off the doc
+    * id — row-local, deterministic, replayable — so the augmentation
+    * runs in-stream with exactly the batch semantics (a retried
+    * micro-batch re-derives identical rows). */
+  def streamingFimTransform(docs: DataFrame, idCol: String,
+                            textCol: String, fimRate: Double = 0.5,
+                            spmRate: Double = 0.5): DataFrame =
+    graft.operators.TextStats.fimTransform(docs, idCol, textCol,
+      fimRate, spmRate)
+
   /** [[graft.operators.TextStats.applyUnigramLm]] on a stream: the
     * Viterbi kernel is row-local with the piece table frozen as a
     * codegen reference object (train offline, restart to re-tokenize —

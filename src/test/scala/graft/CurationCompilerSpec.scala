@@ -352,6 +352,55 @@ class CurationCompilerSpec extends AnyFunSuite {
         "programmatic q_pipeline_events — no drift possible")
   }
 
+  test("events analytics skew config: parsed, hardened paths engaged, zero drift") {
+    val cfg = graft.config.EventsAnalyticsConfig.fromYaml(
+      """events_analytics:
+        |  enrich: {left_type: purchase, right_type: view}
+        |  sessions: {gap_seconds: 7200}
+        |  skew: {share: 0.2, num_buckets: 16}
+        |""".stripMargin)
+    assert(cfg.skewShare == Some(0.2) && cfg.skewNumBuckets == 16)
+    assert(graft.config.EventsAnalyticsConfig.fromYaml(
+      """events_analytics:
+        |  enrich: {left_type: a, right_type: b}
+        |  sessions: {gap_seconds: 1}
+        |""".stripMargin).skewShare.isEmpty,
+      "no skew mapping -> plain plans, byte-identical to r15 behavior")
+    intercept[IllegalArgumentException] {
+      graft.config.EventsAnalyticsConfig.fromYaml(
+        """events_analytics:
+          |  enrich: {left_type: a, right_type: b}
+          |  sessions: {gap_seconds: 1}
+          |  skew: {share: 1.5}
+          |""".stripMargin)
+    }
+    // share low enough that the probe fires on the fixture: the
+    // compiled plan must carry (key, bucket)-partitioned windows AND
+    // produce exactly the plain pipeline's rows
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val skewed = CurationCompiler.compileEventsYaml(
+      """events_analytics:
+        |  enrich: {left_type: purchase, right_type: view, value_col: value}
+        |  sessions: {gap_seconds: 7200}
+        |  skew: {share: 0.001, num_buckets: 8}
+        |""".stripMargin, events)
+    val winParts = PlanWalk.nodes(skewed).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(winParts.contains(2),
+      s"skew config must compile (key, bucket) windows, got $winParts")
+    val plain = CurationCompiler.compileEventsYaml(
+      """events_analytics:
+        |  enrich: {left_type: purchase, right_type: view, value_col: value}
+        |  sessions: {gap_seconds: 7200}
+        |""".stripMargin, events)
+    assert(skewed.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet,
+      "hardened and plain config plans must agree row-for-row")
+  }
+
   test("events analytics config: parse defaults and loud failures") {
     val cfg = graft.config.EventsAnalyticsConfig.fromYaml(
       """events_analytics:

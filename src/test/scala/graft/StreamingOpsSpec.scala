@@ -705,6 +705,65 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming byte-BPE ids equal batch on BOTH encode paths (chain and kernel)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staticDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rows = staticDocs.as[(Long, String)].collect().toSeq
+    val fixture = Seq(("74", "68"), ("7468", "65"), ("20", "746865"))
+    // a trained above-threshold list forces the ByteBpeEncode kernel —
+    // the reference-object path must serialize into streaming tasks too
+    val big = graft.operators.TextStats.trainBpeBytesLocal(
+      graft.operators.TextStats.bytePretokenCounts(staticDocs, "text"),
+      numMerges = 10000, minPairCount = 1L).map(m => (m._1, m._2))
+    assert(big.size > graft.operators.TextStats.ReplaceChainMaxMerges)
+    for ((merges, name) <- Seq((fixture, "chain"), (big, "kernel"))) {
+      val mem = MemoryStream[(Long, String)]
+      val out = StreamingOps.streamingEncodeBpeBytesIds(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", merges)
+      assert(out.isStreaming)
+      val q = out.writeStream.format("memory").queryName(s"stream_bpe_$name")
+        .outputMode("append").start()
+      mem.addData(rows: _*); q.processAllAvailable()
+      val got = spark.sql(s"SELECT doc_id, token_ids FROM stream_bpe_$name")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      q.stop()
+      val want = graft.operators.TextStats.encodeBpeBytesIds(
+          staticDocs, "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want, s"$name path must match batch row-for-row")
+    }
+  }
+
+  test("streaming FIM augmentation equals batch (hash draws replay per micro-batch)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staticDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rows = staticDocs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingFimTransform(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 0.5, 0.5)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_fim")
+      .outputMode("append").start()
+    // TWO adds = two micro-batches: the second half's draws must not
+    // depend on batch boundaries (pure per-row hash replay)
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, fim_mode, text FROM stream_fim")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    q.stop()
+    val want = graft.operators.TextStats.fimTransform(
+        staticDocs, "doc_id", "text", 0.5, 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want)
+    assert(want.exists(_._2 != "none") && want.exists(_._2 == "none"),
+      "fixture must exercise both participating and skipped docs")
+  }
+
   test("streaming unigram encode with a frozen piece table equals batch row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
