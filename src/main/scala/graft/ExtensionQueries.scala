@@ -286,15 +286,21 @@ object ExtensionQueries {
     * vs inter-center distance, seed 11) — deterministic and SF-invariant,
     * shared by the clustered-structure gates and the bench-visible
     * adaptive-IVF row so they all measure the SAME corpus. */
-  private def plantedClusters(s: SparkSession): DataFrame = {
-    import s.implicits._
+  /** The raw planted-cluster rows — shared by the frame builder AND
+    * the generated IvfClusteredOracle, so the two sides can never
+    * drift on the fixture itself (the generated-VALUES convention). */
+  private lazy val plantedClusterData: Seq[(Long, Array[Float])] = {
     val rnd = new scala.util.Random(11)
     val dim = 32
     val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
     (0 until 1000).map { i =>
       val c = centers(i % 20)
       (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
-    }.toDF("vec_id", "embedding")
+    }
+  }
+  private def plantedClusters(s: SparkSession): DataFrame = {
+    import s.implicits._
+    plantedClusterData.toDF("vec_id", "embedding")
   }
 
   /** Seeded planted-subspace frame for the PCA gate (shared construction
@@ -3304,6 +3310,154 @@ object ExtensionQueries {
        |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1""".stripMargin
   }
 
+  /** Independent pure-Scala XXH64 (any input length; the graded use
+    * hashes <=3-byte id strings) — a THIRD implementation next to
+    * Spark's and [[Xxh64Sql]]'s, used only by oracle GENERATORS that
+    * must replay a hash-ordered draw (IvfClusteredOracle); pinned
+    * equal to Spark's `xxhash64` in the suite. */
+  private[graft] def xxh64Local(bytes: Array[Byte], seed: Long = 42L): Long = {
+    val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
+    val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
+    val P5 = 0x27D4EB2F165667C5L
+    val len = bytes.length
+    def rotl(x: Long, r: Int): Long = java.lang.Long.rotateLeft(x, r)
+    var i = 0
+    var h =
+      if (len >= 32) {
+        var v1 = seed + P1 + P2; var v2 = seed + P2
+        var v3 = seed; var v4 = seed - P1
+        def le8(o: Int): Long = {
+          var k = 0L; var j = 7
+          while (j >= 0) { k = (k << 8) | (bytes(o + j) & 0xffL); j -= 1 }
+          k
+        }
+        while (len - i >= 32) {
+          v1 = rotl(v1 + le8(i) * P2, 31) * P1
+          v2 = rotl(v2 + le8(i + 8) * P2, 31) * P1
+          v3 = rotl(v3 + le8(i + 16) * P2, 31) * P1
+          v4 = rotl(v4 + le8(i + 24) * P2, 31) * P1
+          i += 32
+        }
+        var acc = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        def mix(a: Long, v: Long): Long =
+          (a ^ (rotl(v * P2, 31) * P1)) * P1 + P4
+        acc = mix(acc, v1); acc = mix(acc, v2)
+        acc = mix(acc, v3); acc = mix(acc, v4)
+        acc + len
+      } else seed + P5 + len
+    while (len - i >= 8) {
+      var k = 0L; var j = 7
+      while (j >= 0) { k = (k << 8) | (bytes(i + j) & 0xffL); j -= 1 }
+      h = rotl(h ^ (rotl(k * P2, 31) * P1), 27) * P1 + P4
+      i += 8
+    }
+    if (len - i >= 4) {
+      var k = 0L; var j = 3
+      while (j >= 0) { k = (k << 8) | (bytes(i + j) & 0xffL); j -= 1 }
+      h = rotl(h ^ (k * P1), 23) * P2 + P3
+      i += 4
+    }
+    while (i < len) {
+      h = rotl(h ^ ((bytes(i) & 0xffL) * P5), 11) * P1
+      i += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  /** GENERATED exact oracle for q_sim_ann_ivf_clustered (r16 — the row
+    * the §7.5 #11 argument EXEMPTED from impossibility: unlike the
+    * Lloyd-iterated rows, the auto-sized IVF self-search runs no
+    * float-iterative training, and its fixture is the fully
+    * deterministic planted-cluster frame). The generator REPLAYS the
+    * operator's setup with independent code — the hash-ordered draw
+    * ([[xxh64Local]], not Spark's hash), normalize + first-32-distinct
+    * centroid selection, the tightness median and the tightness-aware
+    * probe count — then embeds corpus and centroids as round-trip
+    * double VALUES and lets DuckDB recompute assignment (top-nprobe
+    * cells by `list_dot_product` — the same ascending fold as the
+    * native dot expression, hash-proven since r8), the asymmetric
+    * prober×rank-1-index candidate join, the exact-cosine rerank and
+    * the (cos DESC, neighbor) rank. The cellCap (4096) provably never
+    * binds at 1000 rows, so the running-count truncation needs no
+    * replay. If engine tuning drifts (draw size, tightness threshold,
+    * probe rule), this generator's requires fail the BUILD loudly
+    * instead of hash-mismatching mysteriously. */
+  private lazy val IvfClusteredOracle: String = {
+    val data = plantedClusterData
+    val k0 = math.max(16, math.min(4096,
+      math.ceil(math.sqrt(data.size.toDouble)).toInt))
+    // the draw: (xxhash64(CAST(id AS STRING)), id-string) ascending,
+    // first 8*k0, L2-normalized in double
+    val drawnRows = data
+      .map { case (id, v) => (xxh64Local(id.toString.getBytes("UTF-8")),
+        id.toString, v) }
+      .sortBy(t => (t._1, t._2))
+      .take(8 * k0)
+    val drawn: Array[Array[Double]] = drawnRows.map { case (_, _, v) =>
+      val a = v.map(_.toDouble)
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }.toArray
+    // first k0 distinct normalized directions
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+    drawn.iterator.takeWhile(_ => seen.size < k0).foreach(a => seen += a.toSeq)
+    val cents = seen.iterator.map(_.toArray).toArray
+    require(cents.length == k0,
+      s"planted fixture must yield $k0 distinct centroids, got ${cents.length}")
+    // tightness median over the draw (same filter/take/median-index
+    // arithmetic as the engine) -> tightness-aware probe count
+    val c1s = drawn.iterator.map { v =>
+      var best = -1.0
+      cents.foreach { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * v(i); i += 1 }
+        if (s > best) best = s
+      }
+      best
+    }.filter(_ < 0.999).take(256).toArray.sorted
+    val tight = if (c1s.isEmpty) 0.0 else c1s(c1s.length / 2)
+    require(tight >= 0.75,
+      f"planted fixture must measure clustered (tightness $tight%.3f >= " +
+        "0.75) or the replayed probe count is wrong — engine tuning drifted?")
+    val nprobe = math.min(8, math.max(3, math.ceil(0.7 * k0).toInt))
+    def vec(a: Array[Double]): String = a.map(dbl).mkString("[", ",", "]")
+    val corpusRows = data.map { case (id, v) =>
+      s"($id, ${vec(v.map(_.toDouble))}::DOUBLE[])"
+    }.mkString(",\n  ")
+    val centRows = cents.zipWithIndex.map { case (c, ci) =>
+      s"($ci, ${vec(c)}::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH corpus(vec_id, emb) AS (VALUES
+       |  $corpusRows),
+       |cents(cid, c) AS (VALUES
+       |  $centRows),
+       |scored AS (SELECT vec_id, cid, list_dot_product(emb, c) AS dot
+       |  FROM corpus CROSS JOIN cents),
+       |probes AS (SELECT vec_id, cid, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS pr
+       |  FROM scored),
+       |idx AS (SELECT vec_id, cid FROM probes WHERE pr = 1),
+       |pairs AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS va,
+       |    greatest(x.vec_id, y.vec_id) AS vb
+       |  FROM probes x JOIN idx y ON x.cid = y.cid
+       |    AND x.vec_id != y.vec_id
+       |  WHERE x.pr <= $nprobe),
+       |d AS (SELECT va AS vec_id, vb AS neighbor_id FROM pairs
+       |      UNION ALL SELECT vb, va FROM pairs),
+       |s AS (SELECT d.vec_id, d.neighbor_id,
+       |    list_dot_product(a.emb, b.emb) /
+       |      (sqrt(list_dot_product(a.emb, a.emb)) *
+       |       sqrt(list_dot_product(b.emb, b.emb))) AS cos
+       |  FROM d JOIN corpus a ON a.vec_id = d.vec_id
+       |         JOIN corpus b ON b.vec_id = d.neighbor_id),
+       |r AS (SELECT vec_id, neighbor_id, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       |SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5
+       |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1""".stripMargin
+  }
+
   /** langid score fragments over a given token-list column. */
   private def langScores(tokCol: String): Map[String, String] =
     TextFunctions.LangProfiles.map { case (lang, words) =>
@@ -4438,6 +4592,9 @@ object ExtensionQueries {
     // GENERATED plane-literal oracle (see AnnLshOracle): DuckDB
     // recomputes SRP bucketing, banding join and exact rerank itself
     "q_sim_ann_lsh" -> AnnLshOracle,
+    // graduated r16 (VERDICT r15 #8): generated replay over the
+    // deterministic planted fixture — see IvfClusteredOracle
+    "q_sim_ann_ivf_clustered" -> IvfClusteredOracle,
     "q_sim_topk" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id

@@ -912,4 +912,20 @@ class SimilaritySpec extends AnyFunSuite {
       r2.getAs[Double]("min_norm") == 5.0 && r2.getAs[Double]("max_norm") == 5.0)
     assert(r2.getAs[Double]("anisotropy") == 1.0)
   }
+
+  test("xxh64Local == Spark xxhash64 (the IvfClusteredOracle draw-order hash)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // the graded use: id strings "0".."999" (<= 3 bytes); plus longer
+    // inputs to pin the 4/8/32-byte paths of the third implementation
+    val inputs = (0 until 1000).map(_.toString) ++ Seq(
+      "abcd", "abcdefgh", "abcdefghi", "0123456789abcdef0123456789abcdef!!",
+      "", "é")
+    val want = inputs.toDF("s").select(col("s"), xxhash64(col("s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach { s =>
+      assert(graft.ExtensionQueries.xxh64Local(s.getBytes("UTF-8")) == want(s),
+        s"xxh64Local diverges from Spark on '$s'")
+    }
+  }
 }
