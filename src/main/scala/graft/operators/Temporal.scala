@@ -257,8 +257,15 @@ object Temporal {
       case Some(t) => m => when(dt(m) <= t, m)
       case None => identity
     }
+    // SHUFFLE_HASH on the carry side (r16, the changeIntervalsSkewed
+    // convention): at bench scale Spark happily broadcasts the cell
+    // frame, but carry is keys×buckets rows — unbounded at production
+    // key cardinality, where auto-planning would either OOM a
+    // broadcast or fall to a sort-merge join that re-sorts the FULL
+    // union on (key, bucket); the hash build is cell-sized and the
+    // union side arrives already partitioned on the join keys
     val matched = b
-      .join(carry, Seq("__k", "__b"), "left")
+      .join(carry.hint("shuffle_hash"), Seq("__k", "__b"), "left")
       .withColumn("__loc", last(col("__r"), ignoreNulls = true).over(wLoc))
       .filter(col("__side") === 1)
       .withColumn("__m",
