@@ -55,7 +55,18 @@ class ByteBpeEncodeSpec extends AnyFunSuite {
 
   test("kernel ids and count agree with the map/chain paths and each other") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val mapIds = TextStats.encodeBpeBytesIds(d, "doc_id", "text", FixtureMerges)
+    // the r15 formulation rebuilt by hand — chain pieces looked up in
+    // a plan-literal vocab map — as the independent cross-check for
+    // the kernel's direct id emission (the public API is kernel-only
+    // since r16: element_at on a literal map is a linear key scan)
+    val vocab: Map[String, Long] =
+      ((0 until 256).map(b => f"$b%02X" -> b.toLong) ++
+        FixtureMerges.zipWithIndex.map { case ((l, r), i) =>
+          (l + r) -> (256L + i) }).toMap
+    val m = typedlit(vocab)
+    val mapIds = TextStats.encodeBpeBytes(d, "doc_id", "text", FixtureMerges)
+      .select(col("doc_id"),
+        transform(col("subwords"), p => element_at(m, p)).as("token_ids"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val kIds = d.select(col("doc_id"),
       ByteBpeEncode.byteBpeIds(col("text"), FixtureMerges).as("token_ids"))
