@@ -1783,6 +1783,13 @@ object ExtensionQueries {
       det(graft.operators.TextStats.fimTransform(docs(s, dir), "doc_id",
         "text", fimRate = 0.5, spmRate = 0.5))),
 
+    // T5 span corruption: segment-hosted spans with hash-drawn lengths
+    // and offsets, sentinel inputs/targets — every draw and boundary
+    // replayed by the oracle in integer + md5-uniform arithmetic
+    "q_text_span_corrupt" -> ((s, dir) =>
+      det(graft.operators.TextStats.spanCorrupt(docs(s, dir), "doc_id",
+        "text"))),
+
     "q_text_logprob" -> ((s, dir) =>
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
@@ -5730,6 +5737,61 @@ object ExtensionQueries {
          |FROM r
          |ORDER BY doc_id $N1, fim_mode $N1, text $N1""".stripMargin
     },
+    // span-corruption replay: integer segment boundaries (// — equal
+    // to Spark's floor(double-div) for these magnitudes), per-(doc, k)
+    // md5-uniform length/offset draws, DuckDB's inclusive list slices
+    // (empty when start > stop, no guards needed), ORDER BY k list
+    // aggregation for the sentinel renderings
+    "q_text_span_corrupt" -> {
+      def u(salt: String) =
+        s"(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$salt'" +
+          s" || CAST(k AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0::DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, text,
+         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |c AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t),
+         |c2 AS (SELECT doc_id, text, toks, n,
+         |    greatest(1, greatest(1,
+         |      CAST(floor(0.15::DOUBLE * n) AS BIGINT)) // 3) AS ns
+         |  FROM c),
+         |segk AS (SELECT doc_id, toks, n, ns,
+         |    unnest(range(0, CASE WHEN n >= 2 THEN ns ELSE 0 END)) AS k
+         |  FROM c2),
+         |seg AS (SELECT doc_id, toks, n, ns, k,
+         |    (k*n)//ns + 1 AS a, ((k+1)*n)//ns AS b,
+         |    ${u("#sc_len#")} AS u1, ${u("#sc_pos#")} AS u2
+         |  FROM segk),
+         |sp AS (SELECT *, b - a + 1 AS m,
+         |    least(b - a + 1, 1 + CAST(floor(u1 * 5) AS BIGINT)) AS l
+         |  FROM seg),
+         |sp2 AS (SELECT *,
+         |    a + CAST(floor(u2 * (m - l + 1)) AS BIGINT) AS s FROM sp),
+         |rend AS (SELECT doc_id, ns, k, l,
+         |    toks[CAST(a AS INT):CAST(s-1 AS INT)]
+         |      || ['<extra_id_' || CAST(k AS VARCHAR) || '>']
+         |      || toks[CAST(s+l AS INT):CAST(b AS INT)] AS inseg,
+         |    ['<extra_id_' || CAST(k AS VARCHAR) || '>']
+         |      || toks[CAST(s AS INT):CAST(s+l-1 AS INT)] AS tseg
+         |  FROM sp2),
+         |agg AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(l) AS BIGINT) AS n_corrupted,
+         |    array_to_string(flatten(list(inseg ORDER BY k)), ' ') AS inputs,
+         |    array_to_string(flatten(list(tseg ORDER BY k))
+         |      || ['<extra_id_' || CAST(min(ns) AS VARCHAR) || '>'], ' ')
+         |      AS targets
+         |  FROM rend GROUP BY doc_id)
+         |SELECT c.doc_id, c.n AS n_tokens,
+         |  CASE WHEN c.n >= 2 THEN g.n_spans ELSE 0 END AS n_spans,
+         |  CASE WHEN c.n >= 2 THEN g.n_corrupted ELSE 0 END AS n_corrupted,
+         |  CASE WHEN c.n >= 2 THEN g.inputs ELSE c.text END AS inputs,
+         |  CASE WHEN c.n >= 2 THEN g.targets
+         |       WHEN c.text IS NOT NULL THEN '' END AS targets
+         |FROM c2 c LEFT JOIN agg g USING (doc_id)
+         |ORDER BY doc_id $N1, n_tokens $N1, n_spans $N1, n_corrupted $N1,
+         |  inputs $N1, targets $N1""".stripMargin
+    },
+
     // the vocabulary DERIVED independently: printf over range(0,256)
     // for the byte rows, generated VALUES at 256+rank for the merges
     "q_text_bpe_bytes_vocab" -> {

@@ -1043,6 +1043,91 @@ object TextStats {
   }
 
   /**
+   * T5-STYLE SPAN CORRUPTION (Raffel et al. 2020) — the
+   * denoising-objective sibling of [[fimTransform]]: sampled token
+   * spans are cut out of the document, each replaced in the INPUTS by
+   * a sentinel `<extra_id_k>`, while the TARGETS carry each sentinel
+   * followed by its removed tokens plus a closing sentinel — the
+   * (inputs, targets) pair an encoder-decoder pretraining batch wants.
+   *
+   * Deterministic, replayable sampling (the [[fimTransform]] md5
+   * convention — a retried task or a second run derives identical
+   * rows): the token sequence splits into `nSpans` contiguous equal
+   * SEGMENTS (integer-division boundaries), and segment k hosts one
+   * corrupted span whose length (1 .. 2·meanSpan−1, uniform — mean
+   * `meanSpan`) and offset are per-(doc, k) hash draws. Spans can
+   * therefore never overlap or touch out-of-segment tokens, which is
+   * what makes the construction closed-form for BOTH engines;
+   * adjacent-segment spans may abut, like T5's own Poisson draws
+   * occasionally do. `nSpans = max(1, max(1, ⌊density·n⌋) div
+   * meanSpan)`, so realized corruption tracks `noiseDensity` in
+   * expectation. Docs with fewer than 2 tokens pass through
+   * uncorrupted (inputs = text, empty targets; NULL text → NULL
+   * n_tokens/inputs/targets).
+   *
+   * Output: (doc_id, n_tokens, n_spans, n_corrupted, inputs, targets).
+   * 100 TB design: entirely row-local HOF projections over ONE staged
+   * token array (lambda-CSE discipline) — zero shuffle, rides the scan.
+   */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  noiseDensity: Double = 0.15, meanSpan: Int = 3): DataFrame = {
+    require(noiseDensity > 0 && noiseDensity < 1,
+      s"noiseDensity $noiseDensity not in (0,1)")
+    require(meanSpan >= 1, s"meanSpan must be >= 1, got $meanSpan")
+    def u(salt: String, k: Column) = graft.operators.Sampling.hashUniform(
+      concat(col("doc_id").cast(StringType), lit(salt), k.cast(StringType)))
+    val staged = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol)).as("__toks"))
+      // size(NULL) is -1, not NULL — guard so NULL text reports NULL
+      // token count (the oracle's len(NULL) shape)
+      .withColumn("__n",
+        when(col("__text").isNotNull, size(col("__toks")).cast(LongType)))
+      .withColumn("__ns", greatest(lit(1L),
+        floor(greatest(lit(1L), floor(lit(noiseDensity) * col("__n")))
+          / lit(meanSpan.toLong)).cast(LongType)))
+    // one struct per segment: [segStart, segEnd] 1-based inclusive,
+    // span [s, s+L-1] inside it — staged so every consumer below
+    // shares ONE evaluation (HOF lambdas get no CSE)
+    val spans = staged.withColumn("__spans",
+      transform(sequence(lit(0L), col("__ns") - 1), k => {
+        val segStart = floor((k * col("__n")) / col("__ns")) + 1
+        val segEnd = floor(((k + 1) * col("__n")) / col("__ns"))
+        val m = segEnd - segStart + 1
+        val len = least(m,
+          lit(1L) + floor(u("#sc_len#", k) * lit(2L * meanSpan - 1L)))
+        val s = segStart + floor(u("#sc_pos#", k) * (m - len + lit(1L)))
+        struct(segStart.as("a"), segEnd.as("b"), s.as("s"), len.as("l"))
+      }))
+    def sentinel(k: Column) =
+      concat(lit("<extra_id_"), k.cast(StringType), lit(">"))
+    def sliceL(start: Column, len: Column) =
+      when(len > 0, slice(col("__toks"), start.cast("int"), len.cast("int")))
+        .otherwise(array().cast("array<string>"))
+    val inputsToks = flatten(transform(col("__spans"), (sp, k) =>
+      concat(
+        sliceL(sp.getField("a"), sp.getField("s") - sp.getField("a")),
+        array(sentinel(k)),
+        sliceL(sp.getField("s") + sp.getField("l"),
+          sp.getField("b") - sp.getField("s") - sp.getField("l") + 1))))
+    val targetToks = concat(
+      flatten(transform(col("__spans"), (sp, k) =>
+        concat(array(sentinel(k)),
+          sliceL(sp.getField("s"), sp.getField("l"))))),
+      array(sentinel(col("__ns"))))
+    val participates = col("__n") >= 2
+    spans.select(col("doc_id"),
+      col("__n").as("n_tokens"),
+      when(participates, col("__ns")).otherwise(lit(0L)).as("n_spans"),
+      when(participates,
+        aggregate(col("__spans"), lit(0L), (a, x) => a + x.getField("l")))
+        .otherwise(lit(0L)).as("n_corrupted"),
+      when(participates, array_join(inputsToks, " "))
+        .otherwise(col("__text")).as("inputs"),
+      when(participates, array_join(targetToks, " "))
+        .otherwise(when(col("__text").isNotNull, lit(""))).as("targets"))
+  }
+
+  /**
    * Unigram-LM tokenizer TRAINING (SentencePiece's default algorithm,
    * Kudo 2018, Viterbi-EM simplification): learn a piece table
    * (subword, log10 prob) maximizing corpus likelihood under the

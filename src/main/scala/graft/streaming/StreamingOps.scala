@@ -1048,6 +1048,17 @@ object StreamingOps {
     graft.operators.TextStats.fimTransform(docs, idCol, textCol,
       fimRate, spmRate)
 
+  /** T5 span corruption on a stream
+    * ([[graft.operators.TextStats.spanCorrupt]]): span count,
+    * lengths and offsets are per-(doc, segment) md5-hash replays —
+    * row-local and deterministic, so the denoising pre-training pair
+    * construction runs in-stream like [[streamingFimTransform]]. */
+  def streamingSpanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                           noiseDensity: Double = 0.15,
+                           meanSpan: Int = 3): DataFrame =
+    graft.operators.TextStats.spanCorrupt(docs, idCol, textCol,
+      noiseDensity, meanSpan)
+
   /** [[graft.operators.TextStats.applyUnigramLm]] on a stream: the
     * Viterbi kernel is row-local with the piece table frozen as a
     * codegen reference object (train offline, restart to re-tokenize —

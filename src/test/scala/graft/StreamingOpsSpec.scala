@@ -764,6 +764,34 @@ class StreamingOpsSpec extends AnyFunSuite {
       "fixture must exercise both participating and skipped docs")
   }
 
+  test("streaming span corruption equals batch across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staticDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rows = staticDocs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingSpanCorrupt(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_spancorrupt")
+      .outputMode("append").start()
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    val got = spark.sql(
+        "SELECT doc_id, n_spans, n_corrupted, inputs, targets FROM stream_spancorrupt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    q.stop()
+    val want = graft.operators.TextStats.spanCorrupt(
+        staticDocs, "doc_id", "text")
+      .select("doc_id", "n_spans", "n_corrupted", "inputs", "targets")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(got == want)
+  }
+
   test("streaming unigram encode with a frozen piece table equals batch row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -872,6 +872,69 @@ class TextStatsSpec extends AnyFunSuite {
     assert(m10.forall(_._3 >= 2L))
   }
 
+  test("spanCorrupt: reconstruction, sentinel structure, edges, determinism") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextStats.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    val texts = docs.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val sentinelRe = "<extra_id_\\d+>".r
+    out.foreach { case (id, (n, nSpans, nCorrupt, inputs, targets)) =>
+      val toks = texts(id).map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      assert(n == toks.size, s"doc $id token count")
+      if (toks.size >= 2) {
+        // structure: targets = <id_0> span0 <id_1> span1 ... <id_ns>
+        val tParts = targets.split(" ").toSeq
+        val sentAt = tParts.zipWithIndex.filter {
+          case (t, _) => sentinelRe.pattern.matcher(t).matches
+        }
+        assert(sentAt.map(_._1) ==
+          (0L to nSpans).map(k => s"<extra_id_$k>"),
+          s"doc $id: ordered sentinel chain incl. the closing one")
+        assert(nCorrupt == tParts.size - (nSpans + 1) && nCorrupt >= nSpans,
+          s"doc $id: corrupted-token count vs targets shape")
+        // reconstruction: substituting each input sentinel with its
+        // target span yields the original token sequence exactly
+        // split drops the trailing empty after the closing sentinel;
+        // only the leading empty needs dropping
+        val spans = targets.split("<extra_id_\\d+>").map(_.trim).toSeq.drop(1)
+        assert(spans.size == nSpans, s"doc $id: $spans")
+        var rebuilt = inputs
+        spans.zipWithIndex.foreach { case (sp, k) =>
+          rebuilt = rebuilt.replace(s"<extra_id_$k>", sp)
+        }
+        assert(rebuilt.split("\\s+").filter(_.nonEmpty).toSeq == toks,
+          s"doc $id: inputs+targets must reconstruct the original tokens")
+        assert(nCorrupt < toks.size,
+          s"doc $id: corruption must never consume the whole doc")
+      } else {
+        assert(nSpans == 0 && nCorrupt == 0)
+        assert(Option(inputs) == texts(id))
+        assert(texts(id).isEmpty || targets == "")
+      }
+    }
+    // realized corruption tracks the density knob on real docs
+    val big = out.values.filter(_._1 >= 20)
+    val rate = big.map(v => v._3.toDouble / v._1).sum / big.size
+    assert(rate > 0.08 && rate < 0.25, s"mean corruption rate $rate")
+    // deterministic: a second run derives identical rows
+    val again = TextStats.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(again == out)
+    // NULL text: NULL n_tokens/inputs/targets, zero spans
+    import spark.implicits._
+    val nullRow = TextStats.spanCorrupt(
+      Seq((1L, Option.empty[String])).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    assert(nullRow.isNullAt(1) && nullRow.getLong(2) == 0L &&
+      nullRow.isNullAt(4) && nullRow.isNullAt(5))
+  }
+
   test("byte-level BPE: GPT-2-style pre-tokens, byte alphabet, hand-checked merges") {
     // pre-tokenization: leading spaces attach, contractions split,
     // digit/punct runs separate, whitespace runs survive
