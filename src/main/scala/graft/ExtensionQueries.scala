@@ -1192,9 +1192,11 @@ object ExtensionQueries {
     // tightness ≈ 0.25 ⇒ the 0.7·k0 probe floor); this row runs the SAME
     // auto-sized operator on the planted clustered frame, where the
     // measured tightness engages nprobe <= 8 — the bench shows both
-    // regimes side by side. Rows-only (Spark-side centroid sampling has
-    // no DuckDB twin); quality pinned by q_gate_ivf_clustered and the
-    // recall gates.
+    // regimes side by side. EXACT since r16: the fixture is fully
+    // deterministic, so the generated IvfClusteredOracle replays the
+    // whole setup (independent XXH64 draw order, centroid VALUES,
+    // tightness-derived probe count) — see §7.5 #11 technique (c);
+    // quality additionally pinned by q_gate_ivf_clustered.
     "q_sim_ann_ivf_clustered" -> ((s, dir) =>
       det(Similarity.ivfTopK(plantedClusters(s), "vec_id", "embedding", k = 5)
         .drop("cos_sim"))),
@@ -1739,10 +1741,12 @@ object ExtensionQueries {
     "q_text_bpe_bytes_vocab" -> ((s, dir) =>
       det(graft.operators.TextStats.bpeBytesVocab(s, ByteBpeFixtureMerges))),
 
-    // and the ids: pieces looked up in the vocab as a plan-literal map.
-    // Same posexplode grading shape as _pieces (no array columns in
-    // graded output — SURVEY §7.5 #12); the Scala API still returns
-    // (doc_id, token_ids array<long>).
+    // and the ids — the NATIVE KERNEL at every merge count since r16
+    // (the r15 plan-literal-map lookup was a linear key scan per
+    // token; the kernel emits vocab ids directly, 5.5 s → 0.51 s at
+    // sf0.1). Same posexplode grading shape as _pieces (no array
+    // columns in graded output — SURVEY §7.5 #12); the Scala API
+    // still returns (doc_id, token_ids array<long>).
     "q_text_bpe_bytes_ids" -> ((s, dir) =>
       det(graft.operators.TextStats.encodeBpeBytesIds(docs(s, dir), "doc_id",
         "text", ByteBpeFixtureMerges)

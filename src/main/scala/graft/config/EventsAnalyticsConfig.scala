@@ -66,6 +66,11 @@ object EventsAnalyticsConfig {
       case _ => throw new IllegalArgumentException(
         "events analytics config needs a 'sessions' mapping")
     }
+    // optional skew mapping, parsed ONCE for both fields
+    val skew = cfg.get("skew").collect {
+      case m: java.util.Map[_, _] =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala
+    }
     EventsAnalyticsConfig(
       userCol = str("user_col", "user_id"),
       tsCol = str("ts_col", "ts"),
@@ -82,20 +87,11 @@ object EventsAnalyticsConfig {
         .map(_.toString.toDouble),
       sessionGapSeconds =
         sessions.getOrElse("gap_seconds", "7200").toString.toLong,
-      skewShare = cfg.get("skew") match {
-        case Some(m: java.util.Map[_, _]) =>
-          m.asInstanceOf[java.util.Map[String, Object]].asScala
-            .get("share")
-            .filter(v => v != null && v.toString.nonEmpty &&
-              v.toString != "null")
-            .map(_.toString.toDouble)
-        case _ => None
-      },
-      skewNumBuckets = cfg.get("skew") match {
-        case Some(m: java.util.Map[_, _]) =>
-          m.asInstanceOf[java.util.Map[String, Object]].asScala
-            .getOrElse("num_buckets", "64").toString.toInt
-        case _ => 64
-      })
+      skewShare = skew.flatMap(_.get("share")
+        .filter(v => v != null && v.toString.nonEmpty && v.toString != "null")
+        .map(_.toString.toDouble)),
+      skewNumBuckets =
+        skew.map(_.getOrElse("num_buckets", "64").toString.toInt)
+          .getOrElse(64))
   }
 }

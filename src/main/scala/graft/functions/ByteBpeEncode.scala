@@ -91,6 +91,11 @@ object ByteBpeEncode {
     * share one table and ONE token cache instead of three. */
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], Model]()
+  /** Hard cap (review r16): a session retraining merge lists per
+    * iteration would otherwise leak one vocab-sized Model + token
+    * cache per list forever; past the cap new lists build uncached
+    * (correct, just unmemoized — the probeCache convention). */
+  private val ModelCacheCap = 64
   private[graft] def modelFor(merges: Seq[(String, String)]): Model = {
     val hit = modelCache.get(merges)
     if (hit != null) hit
@@ -98,8 +103,11 @@ object ByteBpeEncode {
       // racing builders both construct; CHM keeps one — builds are
       // idempotent and cheap relative to a duplicated 50k-entry cache
       val built = new Model(merges.toArray)
-      val prev = modelCache.putIfAbsent(merges, built)
-      if (prev != null) prev else built
+      if (modelCache.size >= ModelCacheCap) built
+      else {
+        val prev = modelCache.putIfAbsent(merges, built)
+        if (prev != null) prev else built
+      }
     }
   }
 
@@ -147,11 +155,10 @@ object ByteBpeEncode {
         if (lId != null && rId != null) {
           val key = java.lang.Long.valueOf((lId.longValue << 32) | rId.longValue)
           val value = java.lang.Long.valueOf((k.toLong << 32) | id.toLong)
-          // same (l,r) pair listed twice: first (lowest) rank wins; the
-          // second could never fire in the chain either (the first
-          // merge consumed every adjacency, and re-creations re-merge
-          // at the first rank)
-          pairRank.putIfAbsent(key, value)
+          // a duplicate (l,r) pair cannot reach here: it would produce
+          // a duplicate result piece l+r, which the require above
+          // rejects first
+          pairRank.put(key, value)
         }
         k += 1
       }

@@ -280,6 +280,21 @@ object Windowed {
                        tieBreakCol: String, numBuckets: Int = 64): DataFrame = {
     require(nRows >= 1, "nRows must be >= 1")
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    // TYPE GATE (review r16): buckets derive from cast(ts as timestamp)
+    // but frames sort by the RAW ts, exactly like [[rollingAgg]] — the
+    // two orders coincide only for temporal and numeric ts. A string
+    // ts whose lexicographic order differs from its parsed order (or
+    // an uncastable value landing in the sentinel bucket) would make
+    // this path silently diverge from the plain one, so reject it
+    // loudly; [[rollingAgg]] keeps accepting any orderable type.
+    val tsType = events.schema.fields.find(_.name == tsCol)
+      .getOrElse(throw new IllegalArgumentException(s"no column '$tsCol'"))
+      .dataType
+    require(tsType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+      tsType.isInstanceOf[org.apache.spark.sql.types.DateType] ||
+      tsType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"'$tsCol' must be timestamp/date/numeric for the bucketed rolling " +
+        s"plan (got $tsType): bucket order must equal the raw sort order")
     val e = events.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
       col(tieBreakCol).as("__tie"), col(valueCol).as("__v"))
     val span = e.agg(
@@ -341,12 +356,22 @@ object Windowed {
   def rollingAggAuto(events: DataFrame, keyCol: String, tsCol: String,
                      valueCol: String, nRows: Int, tieBreakCol: String,
                      skewShare: Option[Double] = Some(0.25),
-                     numBuckets: Int = 64): DataFrame =
-    if (skewShare.exists(s =>
+                     numBuckets: Int = 64): DataFrame = {
+    // ts types the bucketed plan cannot take (see rollingAggSkewed's
+    // gate) stay on the plain plan WITHOUT probing — routing is
+    // advisory, and erroring only when a monster key happens to exist
+    // would make failure distribution-dependent (the ADVICE r15 #1
+    // class)
+    val bucketable = events.schema.fields.find(_.name == tsCol).exists(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.DateType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    if (bucketable && skewShare.exists(s =>
       graft.plans.GraftExtensions.heavyKeyProbeCached(events, keyCol, s)))
       rollingAggSkewed(events, keyCol, tsCol, valueCol, nRows, tieBreakCol,
         numBuckets)
     else rollingAgg(events, keyCol, tsCol, valueCol, nRows, tieBreakCol)
+  }
 
   /**
    * Cumulative-adoption card: per `unit` bucket, how many keys were

@@ -452,7 +452,14 @@ object GraftExtensions {
     if (r.isNullAt(0) || r.getLong(1) == 0L) return false
     val tot = r.getLong(1).toDouble
     val est = r.getLong(0).toDouble / tot
-    val band = share * margin + 3.0 * math.sqrt(est * (1 - est) / tot)
+    // Agresti-adjusted sigma (review r16): the raw binomial SE
+    // collapses to ZERO at est = 0 or 1, so a 1-row sample would
+    // decide "heavy" with full confidence instead of widening; the
+    // (mx+1)/(tot+2) smoothing keeps tiny samples inside the fallback
+    // band (tot=1, mx=1 → σ≈0.47 → exact probe) while leaving
+    // healthy samples' bands essentially unchanged
+    val estAdj = (r.getLong(0).toDouble + 1.0) / (tot + 2.0)
+    val band = share * margin + 3.0 * math.sqrt(estAdj * (1 - estAdj) / tot)
     if (est >= share + band) true
     else if (est <= share - band) false
     else heavyKeyExists(df, keyCol, share)

@@ -103,6 +103,19 @@ def main():
     if got.get("failed"):
         fails.append(f"bench failures: {got['failed']}")
     if update:
+        # an envelope may only be re-pinned from a CLEAN, COMPLETE run:
+        # a failed query would bake rows=-1 and a failure-path timing
+        # into the baseline, and comparator-only mode may carry a
+        # partial LAST file that would silently shrink the gated set
+        if got.get("failed"):
+            print(f"[scale_gate] REFUSING --update: run has failures "
+                  f"{got['failed']}")
+            return 1
+        missing = sorted(set(pinned) - set(got.get("queries", {})))
+        if missing:
+            print(f"[scale_gate] REFUSING --update: run is missing pinned "
+                  f"queries {missing} (comparator-only partial file?)")
+            return 1
         env["queries"] = {n: {"sec": got["queries"][n],
                               "rows": got["rows"][n]}
                           for n in sorted(got["queries"])}
