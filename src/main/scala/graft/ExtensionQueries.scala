@@ -3469,6 +3469,87 @@ object ExtensionQueries {
        |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1""".stripMargin
   }
 
+  /** GENERATED exact oracle for q_sim_ann_ivf (r16 — upgrading §7.5
+    * #11's "cost, not impossibility" note to a graduation): unlike the
+    * clustered twin, NO literals are needed at all. DuckDB derives the
+    * ENTIRE setup itself from the embeddings table: the hash-ordered
+    * draw via [[Xxh64Sql]] (converted to Spark's SIGNED ordering),
+    * per-vector L2 normalization (`list_dot_product` ascending fold =
+    * the engine's `norm`), the first-k0-distinct centroid pick over
+    * draw order, the tightness median with the engine's exact
+    * filter/take-256/median-index arithmetic, the tightness-aware
+    * probe rule (`0.7::DOUBLE` per the §7.5 literal convention), then
+    * assignment / asymmetric candidates / cosine rerank — fully
+    * SF-generic (k0 = max(16, min(4096, ceil(sqrt(count)))) computes
+    * in SQL). cellCap (4096) cannot bind below 4097-member cells —
+    * far above the testdata's ~sqrt(N) average cell. */
+  private lazy val AnnIvfOracle: String = {
+    val U = "18446744073709551616::HUGEINT"
+    val HALF = "9223372036854775808::HUGEINT"
+    s"""WITH toks AS (SELECT DISTINCT CAST(vec_id AS VARCHAR) AS tok
+       |  FROM embeddings),
+       |${Xxh64Sql.hashCtes},
+       |params AS (SELECT greatest(16, least(4096,
+       |    CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS k0
+       |  FROM embeddings),
+       |ord AS (SELECT e.vec_id, e.embedding, row_number() OVER (ORDER BY
+       |    CASE WHEN h.h >= $HALF THEN CAST(h.h - $U AS BIGINT)
+       |         ELSE CAST(h.h AS BIGINT) END ASC,
+       |    CAST(e.vec_id AS VARCHAR) ASC) AS dr
+       |  FROM embeddings e JOIN hsh h ON h.tok = CAST(e.vec_id AS VARCHAR)),
+       |drawn AS (SELECT vec_id, dr,
+       |    CASE WHEN list_dot_product(embedding::DOUBLE[],
+       |        embedding::DOUBLE[]) = 0 THEN embedding::DOUBLE[]
+       |      ELSE list_transform(embedding::DOUBLE[],
+       |        x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+       |          embedding::DOUBLE[]))) END AS nv
+       |  FROM ord, params WHERE dr <= 8 * params.k0),
+       |cdupe AS (SELECT nv, dr,
+       |    row_number() OVER (PARTITION BY nv ORDER BY dr) AS dupr
+       |  FROM drawn),
+       |cord AS (SELECT nv, row_number() OVER (ORDER BY dr) AS cr
+       |  FROM cdupe WHERE dupr = 1),
+       |cents AS (SELECT cr - 1 AS cid, nv FROM cord, params
+       |  WHERE cr <= params.k0),
+       |c1 AS (SELECT d.dr, max(list_dot_product(d.nv, c.nv)) AS best
+       |  FROM drawn d CROSS JOIN cents c GROUP BY d.dr),
+       |ctake AS (SELECT best, row_number() OVER (ORDER BY dr) AS tr
+       |  FROM c1 WHERE best < 0.999::DOUBLE),
+       |tightn AS (SELECT CASE WHEN count(*) = 0 THEN 0.0::DOUBLE
+       |    ELSE (list_sort(list(best)))[(CAST(count(*) AS INT) // 2) + 1]
+       |    END AS tg
+       |  FROM ctake WHERE tr <= 256),
+       |np AS (SELECT CASE WHEN t.tg >= 0.75::DOUBLE
+       |      THEN least(8, greatest(3,
+       |        CAST(ceil(0.7::DOUBLE * p.k0) AS BIGINT)))
+       |      ELSE greatest(3, CAST(ceil(0.7::DOUBLE * p.k0) AS BIGINT))
+       |    END AS nprobe
+       |  FROM tightn t, params p),
+       |scored AS (SELECT e.vec_id, c.cid,
+       |    list_dot_product(e.embedding::DOUBLE[], c.nv) AS dot
+       |  FROM embeddings e CROSS JOIN cents c),
+       |probes AS (SELECT vec_id, cid, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS pr
+       |  FROM scored),
+       |idx AS (SELECT vec_id, cid FROM probes WHERE pr = 1),
+       |pairs AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS va,
+       |    greatest(x.vec_id, y.vec_id) AS vb
+       |  FROM probes x JOIN idx y ON x.cid = y.cid
+       |    AND x.vec_id != y.vec_id, np
+       |  WHERE x.pr <= np.nprobe),
+       |dd AS (SELECT va AS vec_id, vb AS neighbor_id FROM pairs
+       |       UNION ALL SELECT vb, va FROM pairs),
+       |sc AS (SELECT dd.vec_id, dd.neighbor_id, $cosSql AS cos
+       |  FROM dd JOIN embeddings a ON a.vec_id = dd.vec_id
+       |          JOIN embeddings b ON b.vec_id = dd.neighbor_id),
+       |rk AS (SELECT vec_id, neighbor_id, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM rk WHERE rank <= 5
+       |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1""".stripMargin
+  }
+
   /** langid score fragments over a given token-list column. */
   private def langScores(tokCol: String): Map[String, String] =
     TextFunctions.LangProfiles.map { case (lang, words) =>
@@ -4606,6 +4687,10 @@ object ExtensionQueries {
     // graduated r16 (VERDICT r15 #8): generated replay over the
     // deterministic planted fixture — see IvfClusteredOracle
     "q_sim_ann_ivf_clustered" -> IvfClusteredOracle,
+    // graduated r16 (beyond the verdict ask): zero-literal replay —
+    // DuckDB derives the draw, centroids, tightness and probe count
+    // entirely from the embeddings table — see AnnIvfOracle
+    "q_sim_ann_ivf" -> AnnIvfOracle,
     "q_sim_topk" ->
       s"""WITH p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
