@@ -1794,6 +1794,14 @@ object ExtensionQueries {
       det(graft.operators.TextStats.spanCorrupt(docs(s, dir), "doc_id",
         "text"))),
 
+    // UL2 mixture of denoisers: per-doc hash routing (3/8 R, 3/8 X,
+    // 1/4 S prefix-LM) over the same span machinery — the R and X
+    // branches replay through the SAME generated CTE chain as the
+    // span-corrupt oracle, S adds the single-cut rendering
+    "q_text_denoiser_mix" -> ((s, dir) =>
+      det(graft.operators.TextStats.denoiserMix(docs(s, dir), "doc_id",
+        "text"))),
+
     "q_text_logprob" -> ((s, dir) =>
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
@@ -3548,6 +3556,51 @@ object ExtensionQueries {
        |SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
        |FROM rk WHERE rank <= 5
        |ORDER BY vec_id $N1, neighbor_id $N1, rank $N1""".stripMargin
+  }
+
+  /** The span-corruption CTE chain over a prior CTE `c(doc_id, toks,
+    * n)`: prefixed names `<p>segk..<p>agg`, parameterized
+    * (density, meanSpan, salts) — ONE generator behind the
+    * q_text_span_corrupt oracle and the q_text_denoiser_mix R/X
+    * branches, so the replays can never drift. Length draw range is
+    * 2·meanSpan−1 (uniform, mean = meanSpan). */
+  private def spanCorruptCtes(p: String, density: String, meanSpan: Int,
+                              saltLen: String, saltPos: String): String = {
+    def u(salt: String) =
+      s"(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$salt'" +
+        s" || CAST(k AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0::DOUBLE)"
+    s"""${p}segk AS (SELECT doc_id, toks, n,
+       |    greatest(1, greatest(1,
+       |      CAST(floor($density::DOUBLE * n) AS BIGINT)) // $meanSpan) AS ns
+       |  FROM c),
+       |${p}segu AS (SELECT doc_id, toks, n, ns,
+       |    unnest(range(0, CASE WHEN n >= 2 THEN ns ELSE 0 END)) AS k
+       |  FROM ${p}segk),
+       |${p}seg AS (SELECT doc_id, toks, n, ns, k,
+       |    (k*n)//ns + 1 AS a, ((k+1)*n)//ns AS b,
+       |    ${u(saltLen)} AS u1, ${u(saltPos)} AS u2
+       |  FROM ${p}segu),
+       |${p}sp AS (SELECT *, b - a + 1 AS m,
+       |    least(b - a + 1,
+       |      1 + CAST(floor(u1 * ${2 * meanSpan - 1}) AS BIGINT)) AS l
+       |  FROM ${p}seg),
+       |${p}sp2 AS (SELECT *,
+       |    a + CAST(floor(u2 * (m - l + 1)) AS BIGINT) AS s FROM ${p}sp),
+       |${p}rend AS (SELECT doc_id, ns, k, l,
+       |    toks[CAST(a AS INT):CAST(s-1 AS INT)] ||
+       |      ['<extra_id_' || CAST(k AS VARCHAR) || '>'] ||
+       |      toks[CAST(s+l AS INT):CAST(b AS INT)] AS inseg,
+       |    ['<extra_id_' || CAST(k AS VARCHAR) || '>'] ||
+       |      toks[CAST(s AS INT):CAST(s+l-1 AS INT)] AS tseg
+       |  FROM ${p}sp2),
+       |${p}agg AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(l) AS BIGINT) AS n_corrupted,
+       |    array_to_string(flatten(list(inseg ORDER BY k)), ' ') AS inputs,
+       |    array_to_string(flatten(list(tseg ORDER BY k)) ||
+       |      ['<extra_id_' || CAST(min(ns) AS VARCHAR) || '>'], ' ')
+       |      AS targets
+       |  FROM ${p}rend GROUP BY doc_id)""".stripMargin
   }
 
   /** langid score fragments over a given token-list column. */
@@ -5830,54 +5883,73 @@ object ExtensionQueries {
     // to Spark's floor(double-div) for these magnitudes), per-(doc, k)
     // md5-uniform length/offset draws, DuckDB's inclusive list slices
     // (empty when start > stop, no guards needed), ORDER BY k list
-    // aggregation for the sentinel renderings
-    "q_text_span_corrupt" -> {
-      def u(salt: String) =
-        s"(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$salt'" +
-          s" || CAST(k AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0::DOUBLE)"
+    // aggregation for the sentinel renderings — the CTE chain is
+    // GENERATED (SpanCorruptCtes) and shared with the q_text_denoiser
+    // oracle's R/X branches so the three replays can never drift
+    "q_text_span_corrupt" ->
       s"""WITH t AS (SELECT doc_id, text,
          |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
          |c AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n
          |  FROM t),
-         |c2 AS (SELECT doc_id, text, toks, n,
-         |    greatest(1, greatest(1,
-         |      CAST(floor(0.15::DOUBLE * n) AS BIGINT)) // 3) AS ns
-         |  FROM c),
-         |segk AS (SELECT doc_id, toks, n, ns,
-         |    unnest(range(0, CASE WHEN n >= 2 THEN ns ELSE 0 END)) AS k
-         |  FROM c2),
-         |seg AS (SELECT doc_id, toks, n, ns, k,
-         |    (k*n)//ns + 1 AS a, ((k+1)*n)//ns AS b,
-         |    ${u("#sc_len#")} AS u1, ${u("#sc_pos#")} AS u2
-         |  FROM segk),
-         |sp AS (SELECT *, b - a + 1 AS m,
-         |    least(b - a + 1, 1 + CAST(floor(u1 * 5) AS BIGINT)) AS l
-         |  FROM seg),
-         |sp2 AS (SELECT *,
-         |    a + CAST(floor(u2 * (m - l + 1)) AS BIGINT) AS s FROM sp),
-         |rend AS (SELECT doc_id, ns, k, l,
-         |    toks[CAST(a AS INT):CAST(s-1 AS INT)]
-         |      || ['<extra_id_' || CAST(k AS VARCHAR) || '>']
-         |      || toks[CAST(s+l AS INT):CAST(b AS INT)] AS inseg,
-         |    ['<extra_id_' || CAST(k AS VARCHAR) || '>']
-         |      || toks[CAST(s AS INT):CAST(s+l-1 AS INT)] AS tseg
-         |  FROM sp2),
-         |agg AS (SELECT doc_id,
-         |    CAST(count(*) AS BIGINT) AS n_spans,
-         |    CAST(sum(l) AS BIGINT) AS n_corrupted,
-         |    array_to_string(flatten(list(inseg ORDER BY k)), ' ') AS inputs,
-         |    array_to_string(flatten(list(tseg ORDER BY k))
-         |      || ['<extra_id_' || CAST(min(ns) AS VARCHAR) || '>'], ' ')
-         |      AS targets
-         |  FROM rend GROUP BY doc_id)
+         |${spanCorruptCtes("", "0.15", 3, "#sc_len#", "#sc_pos#")}
          |SELECT c.doc_id, c.n AS n_tokens,
          |  CASE WHEN c.n >= 2 THEN g.n_spans ELSE 0 END AS n_spans,
          |  CASE WHEN c.n >= 2 THEN g.n_corrupted ELSE 0 END AS n_corrupted,
          |  CASE WHEN c.n >= 2 THEN g.inputs ELSE c.text END AS inputs,
          |  CASE WHEN c.n >= 2 THEN g.targets
          |       WHEN c.text IS NOT NULL THEN '' END AS targets
-         |FROM c2 c LEFT JOIN agg g USING (doc_id)
+         |FROM c LEFT JOIN agg g USING (doc_id)
          |ORDER BY doc_id $N1, n_tokens $N1, n_spans $N1, n_corrupted $N1,
+         |  inputs $N1, targets $N1""".stripMargin,
+
+    // UL2 mixture replay: the SAME generated span chains at the R and
+    // X parameters, the prefix-LM cut, and the binary-exact routing
+    // thresholds (3/8, 3/8, 1/4)
+    "q_text_denoiser_mix" -> {
+      def u0(salt: String) =
+        s"(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$salt'" +
+          s" || '0'), 1, 8))::BIGINT / 4294967296.0::DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, text,
+         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |c AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t),
+         |${spanCorruptCtes("r", "0.15", 3, "#ul2rl#", "#ul2rp#")},
+         |${spanCorruptCtes("x", "0.5", 8, "#ul2xl#", "#ul2xp#")},
+         |scut AS (SELECT doc_id, toks, n,
+         |    1 + CAST(floor(${u0("#ul2s#")} * (n - 1)) AS BIGINT) AS cut
+         |  FROM c WHERE n >= 2),
+         |sb AS (SELECT doc_id,
+         |    array_to_string(toks[1:CAST(cut AS INT)]
+         |      || ['<extra_id_0>'], ' ') AS inputs,
+         |    array_to_string(['<extra_id_0>']
+         |      || toks[CAST(cut+1 AS INT):CAST(n AS INT)]
+         |      || ['<extra_id_1>'], ' ') AS targets,
+         |    n - cut AS n_corrupted
+         |  FROM scut),
+         |route AS (SELECT doc_id, ${u0("#ul2#")} AS u FROM c)
+         |SELECT c.doc_id,
+         |  CASE WHEN NOT coalesce(c.n >= 2, false) THEN 'none'
+         |       WHEN r.u < 0.375 THEN 'R'
+         |       WHEN r.u < 0.75 THEN 'X' ELSE 'S' END AS denoiser,
+         |  c.n AS n_tokens,
+         |  CASE WHEN NOT coalesce(c.n >= 2, false) THEN 0
+         |       WHEN r.u < 0.375 THEN ragg.n_corrupted
+         |       WHEN r.u < 0.75 THEN xagg.n_corrupted
+         |       ELSE sb.n_corrupted END AS n_corrupted,
+         |  CASE WHEN NOT coalesce(c.n >= 2, false) THEN c.text
+         |       WHEN r.u < 0.375 THEN ragg.inputs
+         |       WHEN r.u < 0.75 THEN xagg.inputs
+         |       ELSE sb.inputs END AS inputs,
+         |  CASE WHEN NOT coalesce(c.n >= 2, false)
+         |         THEN (CASE WHEN c.text IS NOT NULL THEN '' END)
+         |       WHEN r.u < 0.375 THEN ragg.targets
+         |       WHEN r.u < 0.75 THEN xagg.targets
+         |       ELSE sb.targets END AS targets
+         |FROM c JOIN route r USING (doc_id)
+         |  LEFT JOIN ragg USING (doc_id)
+         |  LEFT JOIN xagg USING (doc_id)
+         |  LEFT JOIN sb USING (doc_id)
+         |ORDER BY doc_id $N1, denoiser $N1, n_tokens $N1, n_corrupted $N1,
          |  inputs $N1, targets $N1""".stripMargin
     },
 

@@ -1074,57 +1074,146 @@ object TextStats {
     require(noiseDensity > 0 && noiseDensity < 1,
       s"noiseDensity $noiseDensity not in (0,1)")
     require(meanSpan >= 1, s"meanSpan must be >= 1, got $meanSpan")
-    def u(salt: String, k: Column) = graft.operators.Sampling.hashUniform(
-      concat(col("doc_id").cast(StringType), lit(salt), k.cast(StringType)))
-    val staged = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-        graft.functions.TextFunctions.whitespaceTokens(col(textCol)).as("__toks"))
-      // size(NULL) is -1, not NULL — guard so NULL text reports NULL
-      // token count (the oracle's len(NULL) shape)
-      .withColumn("__n",
-        when(col("__text").isNotNull, size(col("__toks")).cast(LongType)))
-      .withColumn("__ns", greatest(lit(1L),
-        floor(greatest(lit(1L), floor(lit(noiseDensity) * col("__n")))
-          / lit(meanSpan.toLong)).cast(LongType)))
-    // one struct per segment: [segStart, segEnd] 1-based inclusive,
-    // span [s, s+L-1] inside it — staged so every consumer below
-    // shares ONE evaluation (HOF lambdas get no CSE)
-    val spans = staged.withColumn("__spans",
-      transform(sequence(lit(0L), col("__ns") - 1), k => {
-        val segStart = floor((k * col("__n")) / col("__ns")) + 1
-        val segEnd = floor(((k + 1) * col("__n")) / col("__ns"))
-        val m = segEnd - segStart + 1
-        val len = least(m,
-          lit(1L) + floor(u("#sc_len#", k) * lit(2L * meanSpan - 1L)))
-        val s = segStart + floor(u("#sc_pos#", k) * (m - len + lit(1L)))
-        struct(segStart.as("a"), segEnd.as("b"), s.as("s"), len.as("l"))
-      }))
-    def sentinel(k: Column) =
-      concat(lit("<extra_id_"), k.cast(StringType), lit(">"))
-    def sliceL(start: Column, len: Column) =
-      when(len > 0, slice(col("__toks"), start.cast("int"), len.cast("int")))
-        .otherwise(array().cast("array<string>"))
-    val inputsToks = flatten(transform(col("__spans"), (sp, k) =>
-      concat(
-        sliceL(sp.getField("a"), sp.getField("s") - sp.getField("a")),
-        array(sentinel(k)),
-        sliceL(sp.getField("s") + sp.getField("l"),
-          sp.getField("b") - sp.getField("s") - sp.getField("l") + 1))))
-    val targetToks = concat(
-      flatten(transform(col("__spans"), (sp, k) =>
-        concat(array(sentinel(k)),
-          sliceL(sp.getField("s"), sp.getField("l"))))),
-      array(sentinel(col("__ns"))))
+    val spans = stagedTokens(docs, idCol, textCol)
+      .withColumn("__spans",
+        spanArray(noiseDensity, meanSpan, "#sc_len#", "#sc_pos#"))
     val participates = col("__n") >= 2
     spans.select(col("doc_id"),
       col("__n").as("n_tokens"),
-      when(participates, col("__ns")).otherwise(lit(0L)).as("n_spans"),
-      when(participates,
-        aggregate(col("__spans"), lit(0L), (a, x) => a + x.getField("l")))
+      when(participates, size(col("__spans")).cast(LongType))
+        .otherwise(lit(0L)).as("n_spans"),
+      when(participates, spanCorruptedCount(col("__spans")))
         .otherwise(lit(0L)).as("n_corrupted"),
-      when(participates, array_join(inputsToks, " "))
+      when(participates, array_join(spanInputToks(col("__spans")), " "))
         .otherwise(col("__text")).as("inputs"),
-      when(participates, array_join(targetToks, " "))
+      when(participates, array_join(spanTargetToks(col("__spans")), " "))
         .otherwise(when(col("__text").isNotNull, lit(""))).as("targets"))
+  }
+
+  /** (doc_id, __text, __toks, __n) staging shared by the denoising
+    * objectives — one token array evaluation per row (lambda-CSE
+    * discipline); size(NULL) is -1, not NULL, hence the guard. */
+  private def stagedTokens(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        graft.functions.TextFunctions.whitespaceTokens(col(textCol)).as("__toks"))
+      .withColumn("__n",
+        when(col("__text").isNotNull, size(col("__toks")).cast(LongType)))
+
+  private def uDraw(salt: String, k: Column): Column =
+    graft.operators.Sampling.hashUniform(
+      concat(col("doc_id").cast(StringType), lit(salt), k.cast(StringType)))
+
+  /** One struct per segment over the staged frame: [segStart, segEnd]
+    * 1-based inclusive, hosted span [s, s+l-1] inside it. CALLERS MUST
+    * STAGE the result as a column (HOF lambdas get no CSE). */
+  private def spanArray(noiseDensity: Double, meanSpan: Int,
+                        saltLen: String, saltPos: String): Column = {
+    val ns = greatest(lit(1L),
+      floor(greatest(lit(1L), floor(lit(noiseDensity) * col("__n")))
+        / lit(meanSpan.toLong)).cast(LongType))
+    transform(sequence(lit(0L), ns - 1), k => {
+      val segStart = floor((k * col("__n")) / ns) + 1
+      val segEnd = floor(((k + 1) * col("__n")) / ns)
+      val m = segEnd - segStart + 1
+      val len = least(m,
+        lit(1L) + floor(uDraw(saltLen, k) * lit(2L * meanSpan - 1L)))
+      val s = segStart + floor(uDraw(saltPos, k) * (m - len + lit(1L)))
+      struct(segStart.as("a"), segEnd.as("b"), s.as("s"), len.as("l"))
+    })
+  }
+
+  private def sentinelTok(k: Column): Column =
+    concat(lit("<extra_id_"), k.cast(StringType), lit(">"))
+  private def sliceToks(start: Column, len: Column): Column =
+    when(len > 0, slice(col("__toks"), start.cast("int"), len.cast("int")))
+      .otherwise(array().cast("array<string>"))
+  private def spanCorruptedCount(spansCol: Column): Column =
+    aggregate(spansCol, lit(0L), (a, x) => a + x.getField("l"))
+  private def spanInputToks(spansCol: Column): Column =
+    flatten(transform(spansCol, (sp, k) =>
+      concat(
+        sliceToks(sp.getField("a"), sp.getField("s") - sp.getField("a")),
+        array(sentinelTok(k)),
+        sliceToks(sp.getField("s") + sp.getField("l"),
+          sp.getField("b") - sp.getField("s") - sp.getField("l") + 1))))
+  private def spanTargetToks(spansCol: Column): Column =
+    concat(
+      flatten(transform(spansCol, (sp, k) =>
+        concat(array(sentinelTok(k)),
+          sliceToks(sp.getField("s"), sp.getField("l"))))),
+      array(sentinelTok(size(spansCol))))
+
+  /**
+   * UL2-STYLE MIXTURE OF DENOISERS (Tay et al. 2022) — one pass that
+   * routes each document to one of three denoising objectives and
+   * emits its (inputs, targets) pair plus the routing label:
+   *
+   *  - **R** (regular): [[spanCorrupt]] at (`rDensity`, `rMeanSpan`) —
+   *    the T5 recipe;
+   *  - **X** (extreme): the same construction at (`xDensity`,
+   *    `xMeanSpan`) — long/denser spans, the "learn to generate
+   *    from little context" regime;
+   *  - **S** (sequential): prefix-LM — a single hash-drawn cut
+   *    c ∈ [1, n−1]; inputs = prefix + `<extra_id_0>`, targets =
+   *    `<extra_id_0>` + suffix + `<extra_id_1>` (the span rendering
+   *    of "continue the document").
+   *
+   * Routing is a per-doc hash draw with BINARY-EXACT thresholds (the
+   * §7.5 oracle convention): u < 0.375 → R, u < 0.75 → X, else S —
+   * a 3:3:2 mix. The R/X branches are the [[spanCorrupt]] CONSTRUCTION
+   * verbatim (shared builders — one definition), each drawing from
+   * its own salt space so the two span plans are independent samples.
+   * Docs under 2 tokens pass through as denoiser "none"
+   * (inputs = text, empty targets; NULL text → NULL).
+   *
+   * Output: (doc_id, denoiser, n_tokens, n_corrupted, inputs,
+   * targets). 100 TB design: all three branches are row-local
+   * HOF projections over ONE staged token array; the two span arrays
+   * stage as columns, the gating is a scalar CASE — zero shuffle,
+   * rides the scan.
+   */
+  def denoiserMix(docs: DataFrame, idCol: String, textCol: String,
+                  rDensity: Double = 0.15, rMeanSpan: Int = 3,
+                  xDensity: Double = 0.5, xMeanSpan: Int = 8): DataFrame = {
+    require(rDensity > 0 && rDensity < 1, "rDensity not in (0,1)")
+    require(xDensity > 0 && xDensity < 1, "xDensity not in (0,1)")
+    require(rMeanSpan >= 1 && xMeanSpan >= 1, "mean spans must be >= 1")
+    val staged = stagedTokens(docs, idCol, textCol)
+      .withColumn("__spr", spanArray(rDensity, rMeanSpan, "#ul2rl#", "#ul2rp#"))
+      .withColumn("__spx", spanArray(xDensity, xMeanSpan, "#ul2xl#", "#ul2xp#"))
+      .withColumn("__cut", lit(1L) +
+        floor(uDraw("#ul2s#", lit(0)) * (col("__n") - 1)).cast(LongType))
+      .withColumn("__u", uDraw("#ul2#", lit(0)))
+    // NULL-SAFE: this operator tests the NEGATION (unlike spanCorrupt,
+    // whose positive when() falls through to otherwise on NULL) — a
+    // NULL __n must read as not-participating, not as fall-through
+    // into whichever routing branch matches first
+    val participates = coalesce(col("__n") >= 2, lit(false))
+    val isR = col("__u") < 0.375
+    val isX = !isR && col("__u") < 0.75
+    // S branch: prefix-LM as a one-span corruption of [cut+1, n]
+    val sInputs = concat(sliceToks(lit(1L), col("__cut")),
+      array(sentinelTok(lit(0))))
+    val sTargets = concat(array(sentinelTok(lit(0))),
+      sliceToks(col("__cut") + 1, col("__n") - col("__cut")),
+      array(sentinelTok(lit(1))))
+    staged.select(col("doc_id"),
+      when(!participates, "none").when(isR, "R").when(isX, "X")
+        .otherwise("S").as("denoiser"),
+      col("__n").as("n_tokens"),
+      when(!participates, lit(0L))
+        .when(isR, spanCorruptedCount(col("__spr")))
+        .when(isX, spanCorruptedCount(col("__spx")))
+        .otherwise(col("__n") - col("__cut")).as("n_corrupted"),
+      when(!participates, col("__text"))
+        .when(isR, array_join(spanInputToks(col("__spr")), " "))
+        .when(isX, array_join(spanInputToks(col("__spx")), " "))
+        .otherwise(array_join(sInputs, " ")).as("inputs"),
+      when(!participates, when(col("__text").isNotNull, lit("")))
+        .when(isR, array_join(spanTargetToks(col("__spr")), " "))
+        .when(isX, array_join(spanTargetToks(col("__spx")), " "))
+        .otherwise(array_join(sTargets, " ")).as("targets"))
   }
 
   /**

@@ -1059,6 +1059,17 @@ object StreamingOps {
     graft.operators.TextStats.spanCorrupt(docs, idCol, textCol,
       noiseDensity, meanSpan)
 
+  /** UL2 mixture of denoisers on a stream
+    * ([[graft.operators.TextStats.denoiserMix]]): routing, spans and
+    * the prefix cut are all per-doc hash replays — row-local,
+    * deterministic, micro-batch-retry-safe like
+    * [[streamingSpanCorrupt]]. */
+  def streamingDenoiserMix(docs: DataFrame, idCol: String, textCol: String,
+                           rDensity: Double = 0.15, rMeanSpan: Int = 3,
+                           xDensity: Double = 0.5, xMeanSpan: Int = 8): DataFrame =
+    graft.operators.TextStats.denoiserMix(docs, idCol, textCol,
+      rDensity, rMeanSpan, xDensity, xMeanSpan)
+
   /** [[graft.operators.TextStats.applyUnigramLm]] on a stream: the
     * Viterbi kernel is row-local with the piece table frozen as a
     * codegen reference object (train offline, restart to re-tokenize —

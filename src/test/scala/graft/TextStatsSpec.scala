@@ -935,6 +935,70 @@ class TextStatsSpec extends AnyFunSuite {
       nullRow.isNullAt(4) && nullRow.isNullAt(5))
   }
 
+  test("denoiserMix: routing mix, per-branch reconstruction, edges, determinism") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextStats.denoiserMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    val texts = docs.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val byDen = out.values.groupBy(_._1).map { case (d, v) => d -> v.size }
+    assert(Set("R", "X", "S").subsetOf(byDen.keySet),
+      s"all three denoisers must fire on the corpus, got $byDen")
+    val active = out.values.count(_._1 != "none").toDouble
+    assert(math.abs(byDen("R") / active - 0.375) < 0.08 &&
+      math.abs(byDen("X") / active - 0.375) < 0.08 &&
+      math.abs(byDen("S") / active - 0.25) < 0.08,
+      s"3:3:2 routing mix off: $byDen")
+    out.foreach { case (id, (den, n, nCorrupt, inputs, targets)) =>
+      val toks = texts(id).map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      assert(n == toks.size)
+      den match {
+        case "none" =>
+          assert(nCorrupt == 0 && Option(inputs) == texts(id))
+        case "S" =>
+          // prefix-LM: inputs = prefix <id_0>; targets = <id_0> suffix <id_1>
+          assert(inputs.endsWith(" <extra_id_0>"))
+          assert(targets.startsWith("<extra_id_0> ") &&
+            targets.endsWith(" <extra_id_1>"))
+          val prefix = inputs.stripSuffix(" <extra_id_0>")
+          val suffix = targets.stripPrefix("<extra_id_0> ")
+            .stripSuffix(" <extra_id_1>")
+          assert((prefix + " " + suffix)
+            .split("\\s+").filter(_.nonEmpty).toSeq == toks,
+            s"doc $id: prefix+suffix must reconstruct the tokens")
+          val sufToks = suffix.split("\\s+").filter(_.nonEmpty).length
+          assert(nCorrupt == sufToks && nCorrupt >= 1 && nCorrupt < toks.size,
+            s"doc $id: cut in [1, n-1]")
+        case _ => // R / X: the spanCorrupt reconstruction invariant
+          val spans = targets.split("<extra_id_\\d+>").map(_.trim).toSeq.drop(1)
+          var rebuilt = inputs
+          spans.zipWithIndex.foreach { case (sp, k) =>
+            rebuilt = rebuilt.replace(s"<extra_id_$k>", sp)
+          }
+          assert(rebuilt.split("\\s+").filter(_.nonEmpty).toSeq == toks,
+            s"doc $id ($den): inputs+targets must reconstruct")
+          assert(nCorrupt ==
+            targets.split(" ").count(t => !t.matches("<extra_id_\\d+>")))
+      }
+    }
+    // X really corrupts more than R on comparable docs
+    val rRate = out.values.filter(v => v._1 == "R" && v._2 >= 20)
+      .map(v => v._3.toDouble / v._2)
+    val xRate = out.values.filter(v => v._1 == "X" && v._2 >= 20)
+      .map(v => v._3.toDouble / v._2)
+    assert(xRate.sum / xRate.size > 2 * (rRate.sum / rRate.size),
+      "the X denoiser must corrupt a much larger share than R")
+    // deterministic
+    val again = TextStats.denoiserMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(again == out)
+  }
+
   test("byte-level BPE: GPT-2-style pre-tokens, byte alphabet, hand-checked merges") {
     // pre-tokenization: leading spaces attach, contractions split,
     // digit/punct runs separate, whitespace runs survive
