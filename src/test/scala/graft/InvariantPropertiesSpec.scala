@@ -281,4 +281,95 @@ class InvariantPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("skew-family property: scd2/rolling/resample bucketed paths equal brute force") {
+    import graft.operators.{Temporal, Windowed}
+    // seeded frame: 5 keys, dense ts collisions (duplicate (k, ts)
+    // pairs with distinct ties), exact-integer values so rounding can
+    // never blur a real divergence
+    val rnd = new scala.util.Random(1234)
+    val rows = (0 until 160).map { i =>
+      val k = 1L + rnd.nextInt(5)
+      val ts = new java.sql.Timestamp(
+        1700000000000L + rnd.nextInt(200000) * 1000L)
+      (k, ts, rnd.nextInt(23).toDouble,
+        ('a' + rnd.nextInt(3)).toChar.toString, i.toLong)
+    }
+    val df = rows.toDF("k", "ts", "v", "s", "tie")
+
+    // ---- SCD2: dedup max-tie per ts, collapse equal values, half-open
+    val scd2Want: Set[(Long, Long, Option[Long], String, Long)] =
+      rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val dedup = rs.groupBy(_._2).toSeq
+          .map { case (ts, g) => (ts, g.maxBy(_._5)._4) }
+          .sortBy(_._1.getTime)
+        val kept = dedup.zipWithIndex.collect {
+          case ((ts, s), i) if i == 0 || dedup(i - 1)._2 != s => (ts, s)
+        }
+        kept.zipWithIndex.map { case ((vf, s), i) =>
+          (k, vf.getTime, kept.lift(i + 1).map(_._1.getTime), s,
+            (i + 1).toLong)
+        }
+      }.toSet
+    def scd2Got(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        Option(r.getTimestamp(2)).map(_.getTime), r.getString(3),
+        r.getLong(4))).toSet
+    assert(scd2Got(Temporal.changeIntervals(df, "k", "ts", "s",
+      Some("tie"))) == scd2Want, "plain SCD2 diverges from brute force")
+    for (nb <- Seq(2, 7, 31))
+      assert(scd2Got(Temporal.changeIntervalsSkewed(df, "k", "ts", "s",
+        Some("tie"), nb)) == scd2Want, s"bucketed SCD2 diverges at nb=$nb")
+
+    // ---- rolling: nRows-frame stats in (ts, tie) order
+    def rollWant(n: Int): Map[Long, (Double, Double, Double, Long)] =
+      rows.groupBy(_._1).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._2.getTime, r._5))
+        sorted.zipWithIndex.map { case (r, i) =>
+          val w = sorted.slice(math.max(0, i - n + 1), i + 1).map(_._3)
+          val avg = BigDecimal(w.sum / w.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          r._5 -> ((avg, w.min, w.max, w.size.toLong))
+        }
+      }
+    def rollGot(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(2) -> ((r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getLong(7)))).toMap
+    for (n <- Seq(1, 4)) {
+      val want = rollWant(n)
+      assert(rollGot(Windowed.rollingAgg(df, "k", "ts", "v", n, "tie"))
+        == want, s"plain rolling diverges from brute force at n=$n")
+      for (nb <- Seq(2, 7, 31))
+        assert(rollGot(Windowed.rollingAggSkewed(df, "k", "ts", "v", n,
+          "tie", nb)) == want, s"bucketed rolling diverges at n=$n nb=$nb")
+    }
+
+    // ---- resample: unique-(k, ts) log (max-tie value), daily grid,
+    // backward fill
+    val logU = rows.groupBy(r => (r._1, r._2)).map { case ((k, ts), g) =>
+      (k, ts, g.maxBy(_._5)._3)
+    }.toSeq
+    val logDf = logU.toDF("k", "ts", "v")
+    def dayTrunc(ms: Long): Long = ms - math.floorMod(ms, 86400000L)
+    val resWant: Set[(Long, Long, Option[Long], Option[Double])] =
+      logU.groupBy(_._1).flatMap { case (k, rs) =>
+        val lo = dayTrunc(rs.map(_._2.getTime).min)
+        val hi = dayTrunc(rs.map(_._2.getTime).max)
+        (lo to hi by 86400000L).map { g =>
+          val m = rs.filter(_._2.getTime <= g).sortBy(_._2.getTime)
+            .lastOption
+          (k, g, m.map(_._2.getTime), m.map(_._3))
+        }
+      }.toSet
+    def resGot(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        Option(r.getTimestamp(2)).map(_.getTime),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(resGot(Temporal.resampleLocf(logDf, "k", "ts", Seq("v"), "day"))
+      == resWant, "plain resample diverges from brute force")
+    for (nb <- Seq(2, 7, 31))
+      assert(resGot(Temporal.resampleLocfSkewed(logDf, "k", "ts", Seq("v"),
+        "day", numBuckets = nb)) == resWant,
+        s"bucketed resample diverges at nb=$nb")
+  }
 }
