@@ -1802,6 +1802,19 @@ object ExtensionQueries {
       det(graft.operators.TextStats.denoiserMix(docs(s, dir), "doc_id",
         "text"))),
 
+    // the augmentation stages on the CURATION CONFIG surface:
+    // dedup_exact -> denoiser_mix (terminal) declared as YAML,
+    // graded against the same generated replay over the md5-dedup
+    // survivor set
+    "q_pipeline_denoiser_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileYaml(
+        """curation:
+          |  stages:
+          |    - {op: dedup_exact}
+          |    - {op: denoiser_mix}
+          |""".stripMargin,
+        docs(s, dir)))),
+
     "q_text_logprob" -> ((s, dir) =>
       det(graft.operators.TextStats.unigramLogProbScore(docs(s, dir),
         "doc_id", "text", minCount = 2L))),
@@ -3601,6 +3614,61 @@ object ExtensionQueries {
        |      ['<extra_id_' || CAST(min(ns) AS VARCHAR) || '>'], ' ')
        |      AS targets
        |  FROM ${p}rend GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The FULL UL2 denoiser-mix replay over a parameterized document
+    * SOURCE (a SELECT yielding (doc_id, text)) — one generator behind
+    * q_text_denoiser_mix (raw documents) and
+    * q_pipeline_denoiser_config (the md5-dedup survivor set), so the
+    * operator replay and the config-composition replay can never
+    * drift. */
+  private def denoiserMixSql(sourceSql: String): String = {
+    def u0(salt: String) =
+      s"(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$salt'" +
+        s" || '0'), 1, 8))::BIGINT / 4294967296.0::DOUBLE)"
+    val src = sourceSql.replace("\n", "\n ")
+    s"""WITH t AS (SELECT doc_id, text,
+       |    regexp_extract_all(text, '\\S+') AS toks FROM ($src)),
+       |c AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n
+       |  FROM t),
+       |${spanCorruptCtes("r", "0.15", 3, "#ul2rl#", "#ul2rp#")},
+       |${spanCorruptCtes("x", "0.5", 8, "#ul2xl#", "#ul2xp#")},
+       |scut AS (SELECT doc_id, toks, n,
+       |    1 + CAST(floor(${u0("#ul2s#")} * (n - 1)) AS BIGINT) AS cut
+       |  FROM c WHERE n >= 2),
+       |sb AS (SELECT doc_id,
+       |    array_to_string(toks[1:CAST(cut AS INT)] ||
+       |      ['<extra_id_0>'], ' ') AS inputs,
+       |    array_to_string(['<extra_id_0>'] ||
+       |      toks[CAST(cut+1 AS INT):CAST(n AS INT)] ||
+       |      ['<extra_id_1>'], ' ') AS targets,
+       |    n - cut AS n_corrupted
+       |  FROM scut),
+       |route AS (SELECT doc_id, ${u0("#ul2#")} AS u FROM c)
+       |SELECT c.doc_id,
+       |  CASE WHEN NOT coalesce(c.n >= 2, false) THEN 'none'
+       |       WHEN r.u < 0.375 THEN 'R'
+       |       WHEN r.u < 0.75 THEN 'X' ELSE 'S' END AS denoiser,
+       |  c.n AS n_tokens,
+       |  CASE WHEN NOT coalesce(c.n >= 2, false) THEN 0
+       |       WHEN r.u < 0.375 THEN ragg.n_corrupted
+       |       WHEN r.u < 0.75 THEN xagg.n_corrupted
+       |       ELSE sb.n_corrupted END AS n_corrupted,
+       |  CASE WHEN NOT coalesce(c.n >= 2, false) THEN c.text
+       |       WHEN r.u < 0.375 THEN ragg.inputs
+       |       WHEN r.u < 0.75 THEN xagg.inputs
+       |       ELSE sb.inputs END AS inputs,
+       |  CASE WHEN NOT coalesce(c.n >= 2, false)
+       |         THEN (CASE WHEN c.text IS NOT NULL THEN '' END)
+       |       WHEN r.u < 0.375 THEN ragg.targets
+       |       WHEN r.u < 0.75 THEN xagg.targets
+       |       ELSE sb.targets END AS targets
+       |FROM c JOIN route r USING (doc_id)
+       |  LEFT JOIN ragg USING (doc_id)
+       |  LEFT JOIN xagg USING (doc_id)
+       |  LEFT JOIN sb USING (doc_id)
+       |ORDER BY doc_id $N1, denoiser $N1, n_tokens $N1, n_corrupted $N1,
+       |  inputs $N1, targets $N1""".stripMargin
   }
 
   /** langid score fragments over a given token-list column. */
@@ -5905,53 +5973,16 @@ object ExtensionQueries {
     // UL2 mixture replay: the SAME generated span chains at the R and
     // X parameters, the prefix-LM cut, and the binary-exact routing
     // thresholds (3/8, 3/8, 1/4)
-    "q_text_denoiser_mix" -> {
-      def u0(salt: String) =
-        s"(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '$salt'" +
-          s" || '0'), 1, 8))::BIGINT / 4294967296.0::DOUBLE)"
-      s"""WITH t AS (SELECT doc_id, text,
-         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
-         |c AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n
-         |  FROM t),
-         |${spanCorruptCtes("r", "0.15", 3, "#ul2rl#", "#ul2rp#")},
-         |${spanCorruptCtes("x", "0.5", 8, "#ul2xl#", "#ul2xp#")},
-         |scut AS (SELECT doc_id, toks, n,
-         |    1 + CAST(floor(${u0("#ul2s#")} * (n - 1)) AS BIGINT) AS cut
-         |  FROM c WHERE n >= 2),
-         |sb AS (SELECT doc_id,
-         |    array_to_string(toks[1:CAST(cut AS INT)]
-         |      || ['<extra_id_0>'], ' ') AS inputs,
-         |    array_to_string(['<extra_id_0>']
-         |      || toks[CAST(cut+1 AS INT):CAST(n AS INT)]
-         |      || ['<extra_id_1>'], ' ') AS targets,
-         |    n - cut AS n_corrupted
-         |  FROM scut),
-         |route AS (SELECT doc_id, ${u0("#ul2#")} AS u FROM c)
-         |SELECT c.doc_id,
-         |  CASE WHEN NOT coalesce(c.n >= 2, false) THEN 'none'
-         |       WHEN r.u < 0.375 THEN 'R'
-         |       WHEN r.u < 0.75 THEN 'X' ELSE 'S' END AS denoiser,
-         |  c.n AS n_tokens,
-         |  CASE WHEN NOT coalesce(c.n >= 2, false) THEN 0
-         |       WHEN r.u < 0.375 THEN ragg.n_corrupted
-         |       WHEN r.u < 0.75 THEN xagg.n_corrupted
-         |       ELSE sb.n_corrupted END AS n_corrupted,
-         |  CASE WHEN NOT coalesce(c.n >= 2, false) THEN c.text
-         |       WHEN r.u < 0.375 THEN ragg.inputs
-         |       WHEN r.u < 0.75 THEN xagg.inputs
-         |       ELSE sb.inputs END AS inputs,
-         |  CASE WHEN NOT coalesce(c.n >= 2, false)
-         |         THEN (CASE WHEN c.text IS NOT NULL THEN '' END)
-         |       WHEN r.u < 0.375 THEN ragg.targets
-         |       WHEN r.u < 0.75 THEN xagg.targets
-         |       ELSE sb.targets END AS targets
-         |FROM c JOIN route r USING (doc_id)
-         |  LEFT JOIN ragg USING (doc_id)
-         |  LEFT JOIN xagg USING (doc_id)
-         |  LEFT JOIN sb USING (doc_id)
-         |ORDER BY doc_id $N1, denoiser $N1, n_tokens $N1, n_corrupted $N1,
-         |  inputs $N1, targets $N1""".stripMargin
-    },
+    "q_text_denoiser_mix" -> denoiserMixSql("SELECT doc_id, text FROM documents"),
+
+    // the config-compiled composition (dedup_exact -> denoiser_mix
+    // terminal stage): the SAME denoiser replay over the md5-dedup
+    // survivor set — the q_pipeline_pretrain convention for the new
+    // augmentation stages
+    "q_pipeline_denoiser_config" -> denoiserMixSql(
+      """SELECT doc_id, text FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"""
+        .stripMargin),
 
     // the vocabulary DERIVED independently: printf over range(0,256)
     // for the byte rows, generated VALUES at 256+rank for the merges

@@ -65,12 +65,30 @@ final case class DedupLinesWithinDocStage() extends CurationStage
 /** [[graft.operators.TextStats.packSequences]] — TERMINAL (changes the
   * schema to packed-sequence addresses), must be the last stage. */
 final case class PackStage(budget: Int, shards: Int) extends CurationStage
+/** [[graft.operators.TextStats.fimTransform]] — TERMINAL augmentation
+  * (emits (id, fim_mode, text)); row-local, stream-legal. */
+final case class FimStage(fimRate: Double, spmRate: Double) extends CurationStage
+/** [[graft.operators.TextStats.spanCorrupt]] — TERMINAL (emits the
+  * (inputs, targets) denoising pair); row-local, stream-legal. */
+final case class SpanCorruptStage(density: Double,
+                                  meanSpan: Int) extends CurationStage
+/** [[graft.operators.TextStats.denoiserMix]] — TERMINAL (routed UL2
+  * (inputs, targets) pairs); row-local, stream-legal. */
+final case class DenoiserMixStage(rDensity: Double, rMeanSpan: Int,
+                                  xDensity: Double,
+                                  xMeanSpan: Int) extends CurationStage
 
 final case class CurationConfig(idCol: String, textCol: String,
                                 stages: Seq[CurationStage]) {
   require(stages.nonEmpty, "curation config needs at least one stage")
-  require(!stages.dropRight(1).exists(_.isInstanceOf[PackStage]),
-    "pack changes the row schema and must be the LAST stage")
+  private def terminal(s: CurationStage): Boolean = s match {
+    case _: PackStage | _: FimStage | _: SpanCorruptStage |
+         _: DenoiserMixStage => true
+    case _ => false
+  }
+  require(!stages.dropRight(1).exists(terminal),
+    "pack/fim/span_corrupt/denoiser_mix change the row schema and must " +
+      "be the LAST stage")
 }
 
 object CurationConfig {
@@ -157,6 +175,12 @@ object CurationConfig {
         dbl(m, "max_hits_per_char", 0.001))
       case "dedup_lines_within_doc" => DedupLinesWithinDocStage()
       case "pack" => PackStage(int(m, "budget", 512), int(m, "shards", 0))
+      case "fim" => FimStage(dbl(m, "fim_rate", 0.5), dbl(m, "spm_rate", 0.5))
+      case "span_corrupt" => SpanCorruptStage(
+        dbl(m, "density", 0.15), int(m, "mean_span", 3))
+      case "denoiser_mix" => DenoiserMixStage(
+        dbl(m, "r_density", 0.15), int(m, "r_mean_span", 3),
+        dbl(m, "x_density", 0.5), int(m, "x_mean_span", 8))
       case other => throw new IllegalArgumentException(s"unknown curation op: '$other'")
     }
 }

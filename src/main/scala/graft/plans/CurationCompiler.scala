@@ -67,6 +67,19 @@ object CurationCompiler {
       case SplitStage(weights, keep) =>
         val split = graft.operators.Sampling.assignSplit(cur, id, weights)
         Some(keep.fold(split)(s => split.filter(col("split") === s).drop("split")))
+      // the terminal augmentation stages (CurationConfig enforces
+      // last-position): row-local hash-replayed draws, so they are
+      // legal in BOTH compilers; the operators name their id output
+      // "doc_id" — rename back to the config's id column
+      case FimStage(fimRate, spmRate) =>
+        Some(graft.operators.TextStats.fimTransform(cur, id, text,
+          fimRate, spmRate).withColumnRenamed("doc_id", id))
+      case SpanCorruptStage(density, meanSpan) =>
+        Some(graft.operators.TextStats.spanCorrupt(cur, id, text,
+          density, meanSpan).withColumnRenamed("doc_id", id))
+      case DenoiserMixStage(rd, rs, xd, xs) =>
+        Some(graft.operators.TextStats.denoiserMix(cur, id, text,
+          rd, rs, xd, xs).withColumnRenamed("doc_id", id))
       case _ => None
     }
 

@@ -352,6 +352,67 @@ class CurationCompilerSpec extends AnyFunSuite {
         "programmatic q_pipeline_events — no drift possible")
   }
 
+  test("augmentation stages: parse, terminal enforcement, batch/stream no-drift") {
+    import graft.config._
+    val cfg = CurationConfig.fromYaml(
+      """curation:
+        |  stages:
+        |    - {op: dedup_exact}
+        |    - {op: denoiser_mix, r_density: 0.2, x_mean_span: 16}
+        |""".stripMargin)
+    assert(cfg.stages.last == DenoiserMixStage(0.2, 3, 0.5, 16))
+    assert(CurationConfig.fromYaml(
+      "curation:\n  stages:\n    - {op: span_corrupt, mean_span: 5}\n")
+      .stages.last == SpanCorruptStage(0.15, 5))
+    assert(CurationConfig.fromYaml(
+      "curation:\n  stages:\n    - {op: fim}\n")
+      .stages.last == FimStage(0.5, 0.5))
+    // terminal stages must be last
+    intercept[IllegalArgumentException] {
+      CurationConfig.fromYaml(
+        "curation:\n  stages:\n    - {op: denoiser_mix}\n    - {op: dedup_exact}\n")
+    }
+    // compiled == programmatic composition, row for row
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val compiled = CurationCompiler.compileYaml(
+      """curation:
+        |  stages:
+        |    - {op: dedup_exact}
+        |    - {op: denoiser_mix}
+        |""".stripMargin, docs)
+      .collect().map(_.toSeq).toSet
+    val programmatic = graft.operators.TextStats.denoiserMix(
+        graft.operators.Dedup.exactDedup(docs, "text", "doc_id",
+          byFingerprint = true), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(compiled == programmatic,
+      "config surface must compose the same operators — no drift")
+    // the terminal stages are row-local: the STREAMING compiler takes
+    // them (a span_corrupt intake on a stream of already-curated docs)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val out = CurationCompiler.compileStreaming(
+      CurationConfig.fromYaml(
+        "curation:\n  stages:\n    - {op: span_corrupt}\n"),
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "0 seconds")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("cur_span")
+      .outputMode("append").start()
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq.take(100)
+    mem.addData(rows: _*); q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, inputs, targets FROM cur_span")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    q.stop()
+    val want = graft.operators.TextStats.spanCorrupt(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "inputs", "targets")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want, "streamed config stage must equal batch")
+  }
+
   test("events analytics skew config: parsed, hardened paths engaged, zero drift") {
     val cfg = graft.config.EventsAnalyticsConfig.fromYaml(
       """events_analytics:
