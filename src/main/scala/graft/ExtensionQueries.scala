@@ -1613,6 +1613,17 @@ object ExtensionQueries {
         "lang", "doc_id", TextFunctions.tokenCount(col("text")),
         Map("en" -> 3000L, "de" -> 1000L)))),
 
+    // the budget measured under the PRODUCTION tokenizer: the byte-BPE
+    // KERNEL's subword count feeds the same budget sampler (the size
+    // column is a parameter — composition, not a new operator); the
+    // oracle re-derives the counts through the replace-chain replay,
+    // so this row cross-checks kernel==chain INSIDE a sampling plan
+    "q_sample_budget_bpe" -> ((s, dir) =>
+      det(graft.operators.Sampling.tokenBudgetSample(docs(s, dir),
+        Seq("lang"), "doc_id",
+        coalesce(graft.functions.ByteBpeEncode.byteBpeCount(col("text"),
+          ByteBpeFixtureMerges), lit(0L)), budget = 4000L))),
+
     // sentence segmentation with the pinned [^.!?]+[.!?]+ boundary
     // rule; the corpus carries no terminators, so the query PLANTS
     // deterministic sentence punctuation (the q_redact_pii trick) —
@@ -5729,6 +5740,33 @@ object ExtensionQueries {
          |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
          |SELECT doc_id, text, lang, source, n_chars FROM c WHERE cum - sz < 2000
          |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin,
+    // the kernel-counted budget: subword sizes re-derived through the
+    // replace-chain replay (the q_text_bpe_bytes_encode machinery),
+    // then the q_sample_budget cumulative-rank sampler verbatim
+    "q_sample_budget_bpe" -> {
+      val base = "regexp_replace(hex(encode(tok)), '(..)', " +
+        "chr(1) || '\\1' || chr(2), 'g')"
+      val folded = ByteBpeFixtureMerges.foldLeft(base) { case (e, (l, r)) =>
+        s"replace($e, chr(1) || '$l' || chr(2) || chr(1) || '$r' || chr(2)," +
+          s" chr(1) || '$l$r' || chr(2))"
+      }
+      s"""WITH bptoks AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '$BytePretokenSql')) AS tok
+         |  FROM documents),
+         |bpfld AS (SELECT doc_id, $folded AS f FROM bptoks),
+         |bpenc AS (SELECT doc_id,
+         |    CAST(sum(len(f) - len(replace(f, chr(1), ''))) AS BIGINT) AS ns
+         |  FROM bpfld GROUP BY doc_id),
+         |t AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+         |  coalesce(e.ns, 0) AS sz,
+         |  ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    / 4294967296.0 AS uni
+         |  FROM documents d LEFT JOIN bpenc e USING (doc_id)),
+         |c AS (SELECT *, sum(sz) OVER (PARTITION BY lang ORDER BY uni, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, text, lang, source, n_chars FROM c WHERE cum - sz < 4000
+         |ORDER BY doc_id $N1, text $N1, lang $N1, source $N1, n_chars $N1""".stripMargin
+    },
     "q_text_sentences" ->
       s"""WITH ss AS (SELECT doc_id, regexp_extract_all(
          |      text || '. Planted one! Planted' || CAST(doc_id AS VARCHAR)
