@@ -862,6 +862,13 @@ object ExtensionQueries {
           byFingerprint = true)
         .select(col("doc_id"), col("n_copies"), col("weight")))),
 
+    // monster-family hardened path (r17): groupBy-count + SHUFFLE_HASH
+    // join-back — second execution plan on the SAME oracle text
+    "q_dedup_softweights_skewed" -> ((s, dir) =>
+      det(Dedup.duplicationWeightsSkewed(plantedDups(s, dir), "text",
+          byFingerprint = true)
+        .select(col("doc_id"), col("n_copies"), col("weight")))),
+
     "q_dedup_ngram_pairs" -> ((s, dir) =>
       det(Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         n = 5, threshold = 0.5, dfCap = 100))),
@@ -2315,6 +2322,13 @@ object ExtensionQueries {
         "doc_id", "conv")
         .select(col("doc_id"), col("n_copies")))),
 
+    // monster-family hardened path (r17): one-pass min_by exemplar
+    // aggregate — second execution plan on the SAME oracle text
+    "q_chat_dedup_skewed" -> ((s, dir) =>
+      det(graft.operators.Chat.dedupByAssistantSkewed(chatFrame(s, dir),
+        "doc_id", "conv")
+        .select(col("doc_id"), col("n_copies")))),
+
     // round-trip: parse(render(conv)) re-graded through the SAME stats
     // oracle as q_chat_stats — one oracle, two construction paths, so
     // parseChat is pinned as renderChat's exact inverse
@@ -2665,6 +2679,17 @@ object ExtensionQueries {
       val resampled = base.filter(pmod(col("doc_id"), lit(10)) === 0)
         .withColumn("doc_id", col("doc_id") + 10000)
       det(graft.operators.Preference.dedupPairs(base.unionAll(resampled),
+        "doc_id", "prompt", "chosen")
+        .select(col("doc_id"), col("n_copies")))
+    }),
+
+    // monster-family hardened path (r17): one-pass min_by exemplar
+    // aggregate — second execution plan on the SAME oracle text
+    "q_pref_dedup_skewed" -> ((s, dir) => {
+      val base = validPairFrame(s, dir)
+      val resampled = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      det(graft.operators.Preference.dedupPairsSkewed(base.unionAll(resampled),
         "doc_id", "prompt", "chosen")
         .select(col("doc_id"), col("n_copies")))
     }),
@@ -7211,4 +7236,10 @@ object ExtensionQueries {
     // the YAML-compiled chat pipeline must be bit-identical to the
     // hand-composed one: SAME oracle text, two construction paths
     .updated("q_pipeline_chat_config", oracleSqlBase("q_pipeline_chat"))
+    // the monster-family hardened dedup paths (r17): second execution
+    // plans — groupBy-count + SHUFFLE_HASH join-back / min_by exemplar
+    // aggregate — graded on the SAME oracle texts as the window plans
+    .updated("q_dedup_softweights_skewed", oracleSqlBase("q_dedup_softweights"))
+    .updated("q_chat_dedup_skewed", oracleSqlBase("q_chat_dedup"))
+    .updated("q_pref_dedup_skewed", oracleSqlBase("q_pref_dedup"))
 }

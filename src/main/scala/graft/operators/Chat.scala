@@ -285,7 +285,6 @@ object Chat {
     // column of the same name.
     require(!df.columns.contains("n_copies"),
       "dedupByAssistant emits n_copies; rename or drop the input column first")
-    val norm = assistantNorm(convCol)
     // [[Dedup.exactDedup]]'s fingerprint-WINDOW contract: ONE shuffle
     // on the hash key, one pass over the input, no self-join (a
     // groupBy+join shape evaluates the input on both join sides —
@@ -294,13 +293,7 @@ object Chat {
     // carry no dedup evidence: their key falls back to their own id,
     // so each is a singleton family — all kept, n_copies 1, and never
     // one giant skewed NULL partition.
-    // stage the normalized answer once: inline, the HOF chain would
-    // evaluate per reference (condition + hash)
-    val withKey = df.withColumn("__norm", norm)
-      .withColumn("__fp", coalesce(
-        when(col("__norm") =!= "", sha2(col("__norm"), 256)),
-        concat(lit("__noans#"), col(idCol).cast(StringType))))
-      .drop("__norm")
+    val withKey = withAssistantFp(df, idCol, convCol)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
     withKey
       .withColumn("__keep", min(col(idCol)).over(w))
@@ -308,6 +301,70 @@ object Chat {
       .filter(col(idCol) === col("__keep"))
       .select(df.columns.map(col) :+ col("n_copies"): _*)
   }
+
+  /**
+   * Skew-hardened [[dedupByAssistant]] — the monster-family path. The
+   * default's unfiltered window `count` buffers an entire duplicate
+   * family in ONE task (InferWindowGroupLimit only trims rank-FILTERED
+   * windows, and `n_copies` is not a rank filter), so a 100M-copy
+   * canned-answer family at crawl scale is a single-task partition
+   * buffer. Because this operator keeps exactly ONE exemplar per
+   * family, the hardened plan needs no join-back at all: a single
+   * `min_by(struct(row), id)` + `count` aggregate — O(1) state per
+   * group, map-side combined (a monster family leaves each map task
+   * as one candidate row + a partial count), ONE scan of the input
+   * (the window path's own single-scan advantage, kept). Output
+   * identical (graded on the q_chat_dedup oracle text); precondition
+   * unchanged — `idCol` unique, so the family minimum is a unique row.
+   *
+   * Why the window stays the DEFAULT anyway: on well-distributed
+   * families the aggregate shuffles one candidate CONVERSATION per
+   * (task, family) — nearly the full corpus, same as the window — but
+   * pays struct packing/unpacking on every row; measured ~even at
+   * fixture scale, and the window plan composes with the pipeline's
+   * other window steps. [[dedupByAssistantAuto]] routes on the sampled
+   * fingerprint probe so only frames with a monster family switch.
+   */
+  def dedupByAssistantSkewed(df: DataFrame, idCol: String,
+                             convCol: String): DataFrame = {
+    require(!df.columns.contains("n_copies"),
+      "dedupByAssistantSkewed emits n_copies; rename or drop the input column first")
+    val withKey = withAssistantFp(df, idCol, convCol)
+    withKey.groupBy(col("__fp"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"),
+        count(lit(1)).as("n_copies"))
+      .select(df.columns.map(c => col("__row").getField(c).as(c)) :+
+        col("n_copies"): _*)
+  }
+
+  /** The assistant fingerprint — ONE definition shared by
+    * [[dedupByAssistant]] and [[dedupByAssistantSkewed]] (the two
+    * execution paths grade on one oracle text, so the key must be
+    * literally the same code, not a copy that can drift). */
+  private def withAssistantFp(df: DataFrame, idCol: String,
+                              convCol: String): DataFrame = {
+    val norm = assistantNorm(convCol)
+    // stage the normalized answer once: inline, the HOF chain would
+    // evaluate per reference (condition + hash)
+    df.withColumn("__norm", norm)
+      .withColumn("__fp", coalesce(
+        when(col("__norm") =!= "", sha2(col("__norm"), 256)),
+        concat(lit("__noans#"), col(idCol).cast(StringType))))
+      .drop("__norm")
+  }
+
+  /**
+   * Routed [[dedupByAssistant]]: sampled+memoized heavy-key probe on
+   * the assistant fingerprint ([[graft.plans.GraftExtensions
+   * .heavyKeyProbeCached]]), [[dedupByAssistantSkewed]] on a hit, the
+   * window plan otherwise; `skewShare = None` pins the window plan.
+   */
+  def dedupByAssistantAuto(df: DataFrame, idCol: String, convCol: String,
+                           skewShare: Option[Double] = Some(0.25)): DataFrame =
+    if (skewShare.exists(s => graft.plans.GraftExtensions
+        .heavyKeyProbeCached(withAssistantFp(df, idCol, convCol), "__fp", s)))
+      dedupByAssistantSkewed(df, idCol, convCol)
+    else dedupByAssistant(df, idCol, convCol)
 
   /**
    * Conversation-level benchmark decontamination — [[Dedup

@@ -187,6 +187,52 @@ class ChatSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("dedupByAssistantSkewed equals dedupByAssistant; Auto routes on a monster family") {
+    // planted-fixture parity first (covers normalization, multi-turn
+    // concat, no-assistant singletons)
+    val fixture = frame(
+      1L -> conv("user" -> "how do i sort", "assistant" -> "Use  Merge   Sort"),
+      2L -> conv("user" -> "other prompt", "assistant" -> "use merge sort"),
+      3L -> conv("user" -> "x", "assistant" -> "different answer"),
+      4L -> conv("user" -> "y", "assistant" -> "use merge", "assistant" -> "sort"),
+      5L -> conv("user" -> "no answer here"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "n_copies").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(asSet(Chat.dedupByAssistantSkewed(fixture, "id", "conv")) ==
+      asSet(Chat.dedupByAssistant(fixture, "id", "conv")))
+    // monster family: 60% of 20k conversations share one normalized
+    // answer — the single-task window buffer the hardened path exists for
+    val big = spark.range(20000).select(col("id"),
+      array(
+        struct(lit("user").as("role"),
+          concat(lit("q"), col("id")).as("content")),
+        struct(lit("assistant").as("role"),
+          when(col("id") % 5 < 3, lit("use merge sort"))
+            .otherwise(concat(lit("ans"), col("id"))).as("content"))).as("conv"))
+    val want = asSet(Chat.dedupByAssistant(big, "id", "conv"))
+    assert(want.contains(0L -> 12000L), "fixture sanity: monster family kept at min id")
+    val skewed = Chat.dedupByAssistantSkewed(big, "id", "conv")
+    assert(asSet(skewed) == want, "skewed path diverges from the window path")
+    skewed.collect()
+    val nodes = PlanWalk.nodes(skewed).map(_.nodeName.toLowerCase)
+    assert(!nodes.exists(_.contains("window")),
+      s"one-pass aggregate plan must not contain a window, got: ${nodes.mkString(", ")}")
+    // routed front door, both directions
+    val auto = Chat.dedupByAssistantAuto(big, "id", "conv")
+    assert(asSet(auto) == want)
+    assert(!PlanWalk.nodes(auto).map(_.nodeName.toLowerCase)
+      .exists(_.contains("window")), "monster family must route to the aggregate plan")
+    val uniform = big.withColumn("conv", array(
+      struct(lit("user").as("role"), concat(lit("q"), col("id")).as("content")),
+      struct(lit("assistant").as("role"),
+        concat(lit("unique answer "), col("id")).as("content"))))
+    val plain = Chat.dedupByAssistantAuto(uniform, "id", "conv")
+    plain.collect()
+    assert(PlanWalk.nodes(plain).map(_.nodeName.toLowerCase)
+      .exists(_.contains("window")), "well-distributed families stay on the window plan")
+  }
+
   test("dedupByAssistant keeps the lowest id per normalized answer set") {
     val d = frame(
       1L -> conv("user" -> "how do i sort", "assistant" -> "Use  Merge   Sort"),

@@ -771,6 +771,44 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(weights.values.map(_._2).sum - 3.0) < 1e-9)
   }
 
+  test("duplicationWeightsSkewed equals the window path on a planted monster family; Auto routes") {
+    // 60% of rows share ONE text (the crawl-scale boilerplate family
+    // the window path would buffer in a single task), 20% are a NULL
+    // family (one family under partitionBy — the join-back must be
+    // null-safe), 20% unique
+    val big = spark.range(10000).select(col("id").as("doc_id"),
+      when(col("id") % 5 < 3, lit("boilerplate boilerplate"))
+        .when(col("id") % 5 === 3, lit(null).cast("string"))
+        .otherwise(concat(lit("unique-"), col("id"))).as("text"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.get(1)),
+        r.getAs[Long]("n_copies"), r.getAs[Double]("weight"))).toSet
+    val want = asSet(Dedup.duplicationWeights(big, "text", byFingerprint = true))
+    assert(want.exists(_._3 == 6000L) && want.exists(t => t._2.isEmpty && t._3 == 2000L),
+      "fixture sanity: monster family + null family present")
+    val skewed = Dedup.duplicationWeightsSkewed(big, "text", byFingerprint = true)
+    assert(asSet(skewed) == want, "skewed path diverges from the window path")
+    // the hardened plan has NO window operator (that's the point) and
+    // joins back through a shuffled-hash join, never a sort-merge
+    skewed.collect()
+    val nodes = PlanWalk.nodes(skewed).map(_.nodeName.toLowerCase)
+    assert(!nodes.exists(_.contains("window")),
+      s"skewed path must not plan a window, got: ${nodes.mkString(", ")}")
+    assert(nodes.exists(_.contains("shuffledhashjoin")),
+      s"expected a shuffled-hash join-back, got: ${nodes.mkString(", ")}")
+    // routed front door: monster family -> skewed, uniform -> window
+    val auto = Dedup.duplicationWeightsAuto(big, "text", byFingerprint = true)
+    assert(asSet(auto) == want)
+    assert(!PlanWalk.nodes(auto).map(_.nodeName.toLowerCase)
+      .exists(_.contains("window")), "monster family must route to the join-back plan")
+    val uniform = spark.range(4000).select(col("id").as("doc_id"),
+      concat(lit("u"), col("id")).as("text"))
+    val plain = Dedup.duplicationWeightsAuto(uniform, "text", byFingerprint = true)
+    plain.collect()
+    assert(PlanWalk.nodes(plain).map(_.nodeName.toLowerCase)
+      .exists(_.contains("window")), "well-distributed keys stay on the single-scan window plan")
+  }
+
   test("scrubContaminatedWindows cuts only eval-overlapping spans") {
     val evalDoc = "q1 q2 q3 q4" // one 4-gram in the eval set
     val docs = Seq(

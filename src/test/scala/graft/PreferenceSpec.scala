@@ -95,6 +95,43 @@ class PreferenceSpec extends AnyFunSuite {
       "no-evidence pairs never collapse into one skewed family")
   }
 
+  test("dedupPairsSkewed equals dedupPairs; Auto routes on a monster family") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "n_copies").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // planted-fixture parity (canonicalization + no-evidence singletons)
+    val p = Seq(t("user", "q"))
+    val fixture = pairs(
+      (1L, p, "win", "lose1"), (2L, p, "win", "lose2"), (3L, p, "WIN  ", "x"),
+      (4L, p, "other", "x"), (5L, Seq(t("user", "q2")), "win", "x"),
+      (6L, p, "", "x"), (7L, p, null, "y"))
+    assert(asSet(Preference.dedupPairsSkewed(fixture, "id", "prompt", "chosen")) ==
+      asSet(Preference.dedupPairs(fixture, "id", "prompt", "chosen")))
+    // monster family: 60% of 20k pairs share (prompt, chosen)
+    val big = spark.range(20000).select(col("id"),
+      array(struct(lit("user").as("role"), lit("q").as("content"))).as("prompt"),
+      when(col("id") % 5 < 3, lit("the winning answer"))
+        .otherwise(concat(lit("w"), col("id"))).as("chosen"),
+      lit("lose").as("rejected"))
+    val want = asSet(Preference.dedupPairs(big, "id", "prompt", "chosen"))
+    assert(want.contains(0L -> 12000L), "fixture sanity: monster family kept at min id")
+    val skewed = Preference.dedupPairsSkewed(big, "id", "prompt", "chosen")
+    assert(asSet(skewed) == want, "skewed path diverges from the window path")
+    skewed.collect()
+    assert(!PlanWalk.nodes(skewed).map(_.nodeName.toLowerCase)
+      .exists(_.contains("window")),
+      "one-pass aggregate plan must not contain a window")
+    val auto = Preference.dedupPairsAuto(big, "id", "prompt", "chosen")
+    assert(asSet(auto) == want)
+    assert(!PlanWalk.nodes(auto).map(_.nodeName.toLowerCase)
+      .exists(_.contains("window")), "monster family must route to the aggregate plan")
+    val uniform = big.withColumn("chosen", concat(lit("unique"), col("id")))
+    val plain = Preference.dedupPairsAuto(uniform, "id", "prompt", "chosen")
+    plain.collect()
+    assert(PlanWalk.nodes(plain).map(_.nodeName.toLowerCase)
+      .exists(_.contains("window")), "well-distributed families stay on the window plan")
+  }
+
   test("dedupPairs refuses a pre-existing n_copies column") {
     val df = pairs((1L, Seq(t("user", "q")), "a", "b"))
       .withColumn("n_copies", lit(9))
