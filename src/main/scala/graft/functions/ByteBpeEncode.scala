@@ -38,7 +38,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * Output ids follow [[graft.operators.TextStats.bpeBytesVocab]]'s
  * convention (byte b → b, merge rank k → 256+k); duplicate result
  * pieces across merges are rejected loudly (the vocab's piece→id map
- * would be ambiguous — BPE training cannot produce them anyway).
+ * would be ambiguous). Distinct merge paths CAN legitimately produce
+ * one surface piece in real training — (b,c) wins in some words,
+ * (a,b) in others, then (a,'bc') and ('ab',c) both win later ranks,
+ * yielding 'abc' twice — so graft's trainers skip such winners at the
+ * producer ([[graft.operators.TextStats.trainBpeBytesLocal]] and the
+ * distributed twin, ADVICE r16 #2); the require here guards
+ * third-party merge lists.
  *
  * 100 TB design: entirely row-local, zero shuffle, one codegen'd call
  * per row into a shared model; per-executor memory is O(vocab) for

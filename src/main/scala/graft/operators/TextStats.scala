@@ -571,6 +571,17 @@ object TextStats {
     val checkpointEvery = 16
     var cur = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // Surface-piece guard (ADVICE r16 #2): distinct merge paths CAN
+    // concatenate to the same surface piece — (b,c) wins in some
+    // words, (a,b) in others, then both (a,'bc') and ('ab',c) win
+    // later ranks, producing piece 'abc' twice. The working strings
+    // stay unambiguous (paired sentinels), but the emitted LIST would
+    // make the encode-time piece->id vocabulary ambiguous
+    // ([[graft.functions.ByteBpeEncode]] refuses it loudly). Skip the
+    // colliding winner — exclude the pair and re-argmax — so every
+    // trained list is encodable by construction.
+    val pieces = scala.collection.mutable.HashSet.empty[String]
+    val excluded = scala.collection.mutable.HashSet.empty[String]
     var done = false
     while (!done && merges.size < numMerges) {
       // strip the outermost sentinels, then split on close+open seams
@@ -580,7 +591,9 @@ object TextStats {
         transform(sequence(lit(1), size(syms) - 1),
           i => concat(element_at(syms, i), lit(OPEN), element_at(syms, i + 1))))
         .otherwise(array().cast(ArrayType(StringType)))
-      val top = cur.select(explode(pairs).as("__p"), col("__cnt"))
+      val cands = cur.select(explode(pairs).as("__p"), col("__cnt"))
+      val top = (if (excluded.isEmpty) cands
+                 else cands.filter(!col("__p").isInCollection(excluded)))
         .groupBy(col("__p")).agg(sum(col("__cnt")).as("__n"))
         .orderBy(col("__n").desc, col("__p"))
         .limit(1).collect()
@@ -588,11 +601,15 @@ object TextStats {
       else {
         val parts = top(0).getString(0).split(OPEN)
         val (l, r) = (parts(0), parts(1))
-        merges += ((l, r, top(0).getLong(1)))
-        cur = cur.withColumn("__s",
-          replace(col("__s"), lit(OPEN + l + CLOSE + OPEN + r + CLOSE),
-            lit(OPEN + l + r + CLOSE)))
-        if (merges.size % checkpointEvery == 0) cur = cur.localCheckpoint()
+        if (pieces.contains(l + r)) { excluded += top(0).getString(0); () }
+        else {
+          pieces += (l + r)
+          merges += ((l, r, top(0).getLong(1)))
+          cur = cur.withColumn("__s",
+            replace(col("__s"), lit(OPEN + l + CLOSE + OPEN + r + CLOSE),
+              lit(OPEN + l + r + CLOSE)))
+          if (merges.size % checkpointEvery == 0) cur = cur.localCheckpoint()
+        }
       }
     }
     merges.toSeq
@@ -799,6 +816,7 @@ object TextStats {
     def pack(l: Int, r: Int): Long = (l.toLong << 32) | r.toLong
     def tieKey(p: Long): String =
       symHex((p >>> 32).toInt) + "\u0001" + symHex((p & 0xffffffffL).toInt)
+    val pieceSet = mutable.HashSet.empty[String] ++ symHex
     val pairCount = mutable.HashMap.empty[Long, Long]
     val pairWords = mutable.HashMap.empty[Long, mutable.BitSet]
     // heap entries are (count-at-push, packed); stale entries are
@@ -830,12 +848,25 @@ object TextStats {
         if (pairCount.getOrElse(c.packed, 0L) == c.count) top = c
       }
       if (top == null || top.count < minPairCount) done = true
-      else {
+      else if (pieceSet.contains(
+          symHex((top.packed >>> 32).toInt) +
+            symHex((top.packed & 0xffffffffL).toInt))) {
+        // surface-piece guard (ADVICE r16 #2), [[trainMerges]]'s
+        // exactly: two merge paths can concatenate to one piece
+        // ((a,'bc') and ('ab',c) -> 'abc'), which would make the
+        // encode-time piece->id vocabulary ambiguous. Skip the
+        // colliding winner: drop the pair from the candidate state so
+        // the heap proceeds to the next champion.
+        pairCount.remove(top.packed)
+        pairWords.remove(top.packed)
+        ()
+      } else {
         val l = (top.packed >>> 32).toInt
         val r = (top.packed & 0xffffffffL).toInt
         val newId = symHex.size
         merges += ((symHex(l), symHex(r), top.count))
         symHex += symHex(l) + symHex(r)
+        pieceSet += symHex(newId)
         val affected = pairWords.getOrElse(top.packed, mutable.BitSet.empty).toArray
         val touched = mutable.HashSet.empty[Long]
         affected.foreach { w =>

@@ -260,7 +260,11 @@ object Windowed {
    * (globally, not just the adjacent bucket: a sparse predecessor
    * bucket may hold fewer than `nRows-1` rows). The preamble is built
    * from per-(key, bucket) TAIL cells (each bucket's last `nRows-1`
-   * rows as a bounded sorted array — one map-side-combined aggregate),
+   * rows: a rank-FILTERED `row_number <= nRows-1` pre-trim — which
+   * InferWindowGroupLimit pushes map-side — so the collect_list that
+   * follows buffers O(nRows) rows per group, never the full bucket
+   * slice; ADVICE r16 #1 closed a version that collected the slice
+   * before trimming),
    * concatenated per key over the ≤`numBuckets`-cells window and
    * re-trimmed to the last `nRows-1` — O(numBuckets × nRows) per cell,
    * bucket-cardinality frame. Preamble rows carry a flag, join the
@@ -321,10 +325,24 @@ object Windowed {
         def lastN(a: Column, n: Int): Column =
           when(size(a) === 0, a)
             .otherwise(slice(a, greatest(lit(-n), -size(a)), lit(n)))
-        val cells = b.groupBy(col("__k"), col("__b"))
-          .agg(lastN(sort_array(collect_list(
-            struct(col("__ts"), col("__tie"), col("__v")))),
-            tailLen).as("__tail"))
+        // BOUND the aggregation buffer before aggregating (ADVICE r16
+        // #1): collect_list has no spill and no trim, so collecting a
+        // monster key's full bucket slice (rows/numBuckets) and THEN
+        // slicing to the tail would OOM at exactly the scale this path
+        // exists for. The rank filter keeps only each bucket's last
+        // nRows-1 rows first — `row_number <= k` on a desc order is
+        // InferWindowGroupLimit-eligible, so the trim runs map-side
+        // before the (key, bucket) exchange — and rides the SAME
+        // exchange into the groupBy. Desc order mirrors lastN's pick:
+        // the tailLen largest (ts, tie, v) triples.
+        val wTail = Window.partitionBy(col("__k"), col("__b"))
+          .orderBy(col("__ts").desc, col("__tie").desc, col("__v").desc)
+        val cells = b
+          .withColumn("__rn", row_number().over(wTail))
+          .filter(col("__rn") <= tailLen)
+          .groupBy(col("__k"), col("__b"))
+          .agg(sort_array(collect_list(
+            struct(col("__ts"), col("__tie"), col("__v")))).as("__tail"))
         val wCells = Window.partitionBy(col("__k")).orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val pre = cells

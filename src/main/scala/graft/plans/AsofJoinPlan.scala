@@ -433,6 +433,22 @@ object GraftExtensions {
    * The aggregate work drops ~50× vs exact; non-deterministic sources
    * (the exact probe shares this caveat) are computed once more per
    * probe — cache upstream if that matters.
+   *
+   * LAYOUT DEPENDENCE (ADVICE r16 #4, deliberate): sample membership
+   * hashes `monotonically_increasing_id()`, so the same data under a
+   * different partition layout / parallelism draws a different sample
+   * — the same frame can route to different plans across cluster
+   * configs, and the memo then pins that choice per JVM. This is the
+   * price of ROW-level sampling: the only layout-free alternative is
+   * hashing row CONTENT, and the probe's column pruning means the
+   * only content available is the key itself — key-hash sampling
+   * admits whole keys (a monster key is in the sample with
+   * probability `fraction`, which is useless for estimating its
+   * share). Benign by construction: both routed plans are exact, the
+   * band falls back to the exact probe near the threshold, and for a
+   * FIXED layout the sample is fully deterministic (no RNG state).
+   * Bench timings comparing routed operators across environments
+   * should pin `skewShare` explicitly if plan identity matters.
    */
   def heavyKeyExistsSampled(df: DataFrame, keyCol: String, share: Double,
                             fraction: Double = 0.02,
@@ -485,14 +501,29 @@ object GraftExtensions {
   def heavyKeyProbeCached(df: DataFrame, keyCol: String, share: Double,
                           fraction: Double = 0.02,
                           margin: Double = 0.25): Boolean = {
-    val key = df.queryExecution.analyzed.semanticHash().toString +
+    // cache key (hardened, ADVICE r16 #3): the 32-bit semanticHash
+    // alone can collide across distinct frames, serving a wrong (but
+    // perf-only: both routed plans are exact) decision — mix in an
+    // md5 of the full canonicalized plan string plus the output
+    // schema, which makes an accidental collision astronomically
+    // unlikely while staying layout-independent
+    val canon = df.queryExecution.analyzed.canonicalized
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((canon.toString + "|" + df.schema.catalogString)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val key = canon.semanticHash().toString + "|" + digest +
       "|" + keyCol + "|" + share + "|" + fraction + "|" + margin
-    val hit = probeCache.get(key)
-    if (hit != null) return hit.booleanValue
-    val v = heavyKeyExistsSampled(df, keyCol, share, fraction, margin)
-    if (probeCache.size < 4096)
-      probeCache.put(key, java.lang.Boolean.valueOf(v))
-    v
+    // computeIfAbsent: one probe per key even under concurrent
+    // routing calls (the plain get-then-put raced, double-probing and
+    // overshooting the cap); past the cap every call probes — correct,
+    // just unmemoized
+    if (probeCache.size >= 4096)
+      heavyKeyExistsSampled(df, keyCol, share, fraction, margin)
+    else
+      probeCache.computeIfAbsent(key, _ => java.lang.Boolean.valueOf(
+        heavyKeyExistsSampled(df, keyCol, share, fraction, margin)))
+        .booleanValue
   }
 
   /** Build the as-of join through the CUSTOM PLAN NODE (see

@@ -771,6 +771,40 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(weights.values.map(_._2).sum - 3.0) < 1e-9)
   }
 
+  test("exactDedup/capDuplicates rank filters get the map-side WindowGroupLimit trim") {
+    // The 100 TB argument for the hottest dedup operators rests on
+    // InferWindowGroupLimit rewriting `rn === 1` / `rn <= k` into a
+    // PARTIAL WindowGroupLimit BEFORE the fingerprint exchange, so a
+    // monster duplicate family costs tasks x k shuffled rows instead
+    // of the whole family. Pin the optimizer behavior (VERDICT r16
+    // minor (c)): a Spark upgrade or filter-shape drift that silently
+    // drops the trim must fail here, not at crawl scale.
+    val docs = spark.range(5000).select(col("id").as("doc_id"),
+      when(col("id") % 10 < 5, lit("dup dup dup"))
+        .otherwise(concat(lit("u"), col("id"))).as("text"))
+    def partialTrims(df: org.apache.spark.sql.DataFrame): Int =
+      PlanWalk.executedNodes(df).count {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+          w.mode.toString.toLowerCase.contains("partial")
+        case _ => false
+      }
+    assert(partialTrims(Dedup.exactDedup(docs, "text", "doc_id",
+      byFingerprint = true)) == 1,
+      "exactDedup's rn === 1 must plan a map-side (Partial) WindowGroupLimit")
+    assert(partialTrims(Dedup.capDuplicates(docs, "text", "doc_id",
+      maxCopies = 2, byFingerprint = true)) == 1,
+      "capDuplicates' rn <= k must plan a map-side (Partial) WindowGroupLimit")
+    // the r17 bounded-tail pre-trim in rollingAggSkewed leans on the
+    // same rewrite (desc order, rn <= nRows-1): pin it too
+    val events = spark.range(2000).select((col("id") % 7).as("k"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1000L).as("ts"),
+      (col("id") % 13).cast("double").as("v"), col("id").as("tie"))
+    assert(partialTrims(graft.operators.Windowed.rollingAggSkewed(
+      events, "k", "ts", "v", nRows = 5, tieBreakCol = "tie",
+      numBuckets = 8)) >= 1,
+      "rollingAggSkewed's tail pre-trim must plan a map-side WindowGroupLimit")
+  }
+
   test("duplicationWeightsSkewed equals the window path on a planted monster family; Auto routes") {
     // 60% of rows share ONE text (the crawl-scale boilerplate family
     // the window path would buffer in a single task), 20% are a NULL
