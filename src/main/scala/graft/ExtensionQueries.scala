@@ -444,6 +444,21 @@ object ExtensionQueries {
       det(graft.operators.Temporal.timeWeightedAvgSkewed(events(s, dir),
         "user_id", "ts", "value", tieCol = "event_id", numBuckets = 8))),
 
+    // the TWA job declared as YAML (r17): compiles through
+    // timeWeightedAvgAuto with the skew share set low enough that the
+    // probe fires on the fixture — THIRD execution path (config ->
+    // probe -> bucketed plan) on the q_events_twa oracle text
+    "q_events_twa_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileEventsTwaYaml(
+        """events_twa:
+          |  user_col: user_id
+          |  ts_col: ts
+          |  value_col: value
+          |  tie_col: event_id
+          |  skew: {share: 0.001, num_buckets: 8}
+          |""".stripMargin,
+        events(s, dir)))),
+
     // interval-overlap join: each user's view-sessions paired with
     // the click-sessions they overlap (canonical-bucket dedup — no
     // DISTINCT pass)
@@ -7242,4 +7257,7 @@ object ExtensionQueries {
     .updated("q_dedup_softweights_skewed", oracleSqlBase("q_dedup_softweights"))
     .updated("q_chat_dedup_skewed", oracleSqlBase("q_chat_dedup"))
     .updated("q_pref_dedup_skewed", oracleSqlBase("q_pref_dedup"))
+    // the YAML-declared TWA job (r17): third execution path (config
+    // -> probe -> bucketed plan) on the q_events_twa oracle text
+    .updated("q_events_twa_config", oracleSqlBase("q_events_twa"))
 }

@@ -382,6 +382,25 @@ object Temporal {
   }
 
   /**
+   * Routed time-weighted average — the last member of the skew family
+   * to get its Auto front door (VERDICT r16 #4): sampled+memoized
+   * heavy-key probe, [[timeWeightedAvgSkewed]] on a hit,
+   * [[timeWeightedAvg]] otherwise; `skewShare = None` pins the plain
+   * plan. No type gate needed (unlike
+   * [[graft.operators.Windowed.rollingAggAuto]]): BOTH execution
+   * paths order and bucket by `cast(ts as timestamp)`, so bucket
+   * order always equals the plain window's sort order.
+   */
+  def timeWeightedAvgAuto(log: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, tieCol: String,
+                          skewShare: Option[Double] = Some(0.25),
+                          numBuckets: Int = 64): DataFrame =
+    if (skewShare.exists(s =>
+      graft.plans.GraftExtensions.heavyKeyProbeCached(log, keyCol, s)))
+      timeWeightedAvgSkewed(log, keyCol, tsCol, valueCol, tieCol, numBuckets)
+    else timeWeightedAvg(log, keyCol, tsCol, valueCol, tieCol)
+
+  /**
    * Resample-with-forward-fill (LOCF): regularize an irregular
    * per-key series onto a `unit` grid (day/hour/minute), each grid
    * point carrying the last observation at-or-before it — the

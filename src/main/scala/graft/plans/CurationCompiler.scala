@@ -325,4 +325,21 @@ object CurationCompiler {
   /** [[compileEvents]] straight from YAML. */
   def compileEventsYaml(yaml: String, events: DataFrame): DataFrame =
     compileEvents(graft.config.EventsAnalyticsConfig.fromYaml(yaml), events)
+
+  /**
+   * Compile an [[graft.config.EventsTwaConfig]] — the time-weighted
+   * average job as config (r17): straight delegation to
+   * [[graft.operators.Temporal.timeWeightedAvgAuto]], so a config
+   * user gets the probe-routed (key, ts-bucket) monster-key plan
+   * exactly like the programmatic caller; `skew` omitted pins the
+   * plain per-key window (skewShare = None).
+   */
+  def compileEventsTwa(cfg: graft.config.EventsTwaConfig,
+                       events: DataFrame): DataFrame =
+    graft.operators.Temporal.timeWeightedAvgAuto(events, cfg.userCol,
+      cfg.tsCol, cfg.valueCol, cfg.tieCol, cfg.skewShare, cfg.skewNumBuckets)
+
+  /** [[compileEventsTwa]] straight from YAML. */
+  def compileEventsTwaYaml(yaml: String, events: DataFrame): DataFrame =
+    compileEventsTwa(graft.config.EventsTwaConfig.fromYaml(yaml), events)
 }

@@ -462,6 +462,59 @@ class CurationCompilerSpec extends AnyFunSuite {
       "hardened and plain config plans must agree row-for-row")
   }
 
+  test("events twa config: parsed, routed through the Auto front door, zero drift") {
+    val cfg = graft.config.EventsTwaConfig.fromYaml(
+      """events_twa:
+        |  value_col: value
+        |  skew: {share: 0.2, num_buckets: 16}
+        |""".stripMargin)
+    assert(cfg.userCol == "user_id" && cfg.tsCol == "ts" &&
+      cfg.tieCol == "event_id" && cfg.skewShare == Some(0.2) &&
+      cfg.skewNumBuckets == 16)
+    assert(graft.config.EventsTwaConfig.fromYaml(
+      "events_twa: {value_col: value}").skewShare.isEmpty,
+      "no skew mapping -> the plain per-key window plan, unprobed")
+    intercept[IllegalArgumentException] {
+      graft.config.EventsTwaConfig.fromYaml(
+        "events_twa: {skew: {share: 1.5}}")
+    }
+    intercept[IllegalArgumentException] {
+      graft.config.EventsTwaConfig.fromYaml("other_root: {}")
+    }
+    // no-drift + routing: with the share set low enough that the probe
+    // fires on the fixture, the compiled plan must carry the
+    // (key, bucket) windows and agree row-for-row with the plain
+    // programmatic operator
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val routed = CurationCompiler.compileEventsTwaYaml(
+      """events_twa:
+        |  value_col: value
+        |  skew: {share: 0.001, num_buckets: 8}
+        |""".stripMargin, events)
+    val winParts = PlanWalk.nodes(routed).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(winParts.contains(2),
+      s"low-share twa config must compile (key, bucket) windows, got $winParts")
+    val want = graft.operators.Temporal.timeWeightedAvg(events,
+      "user_id", "ts", "value", "event_id")
+    assert(routed.collect().map(_.toSeq).toSet ==
+      want.collect().map(_.toSeq).toSet,
+      "config-compiled twa must equal the programmatic operator")
+    // skew omitted -> plain single-key windows
+    val plain = CurationCompiler.compileEventsTwaYaml(
+      "events_twa: {value_col: value}", events)
+    plain.collect()
+    val plainParts = PlanWalk.nodes(plain).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(plainParts.nonEmpty && plainParts.forall(_ == 1),
+      "skew-less twa config stays on the plain per-key plan")
+  }
+
   test("events analytics config: parse defaults and loud failures") {
     val cfg = graft.config.EventsAnalyticsConfig.fromYaml(
       """events_analytics:

@@ -448,6 +448,30 @@ class TemporalSpec extends AnyFunSuite {
     }
     assert(winParts.contains(2),
       s"local durations must partition by (key, bucket), got $winParts")
+    // routed front door (r17 — the last skew-family member to get
+    // one): monster log takes the bucketed plan, uniform keys keep
+    // the single per-key window
+    assert(asMap(Temporal.timeWeightedAvgAuto(big, "user_id", "ts", "value",
+      "event_id")) == bw, "routed front door must agree on the monster log")
+    val autoParts = PlanWalk.nodes(Temporal.timeWeightedAvgAuto(big,
+      "user_id", "ts", "value", "event_id")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(autoParts.contains(2),
+      s"monster log must route to (key, bucket) windows, got $autoParts")
+    val uniform = spark.range(4000).select((col("id") % 211).as("user_id"),
+      timestamp_millis(lit(1700000000000L) + col("id") * 1000L).as("ts"),
+      (col("id") % 23).cast("double").as("value"), col("id").as("event_id"))
+    val plain = Temporal.timeWeightedAvgAuto(uniform, "user_id", "ts",
+      "value", "event_id")
+    plain.collect()
+    val plainParts = PlanWalk.nodes(plain).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(plainParts.nonEmpty && plainParts.forall(_ == 1),
+      "well-distributed keys stay on the plain per-key plan")
   }
 
   test("resampleLocf: daily grid, forward fill, NULL before first observation") {
