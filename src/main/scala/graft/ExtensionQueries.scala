@@ -2084,6 +2084,14 @@ object ExtensionQueries {
       det(graft.operators.Windowed.rfmCard(events(s, dir),
         "user_id", "ts", "value", nTiles = 5))),
 
+    // the billion-key sharded-rank card (r17): SECOND execution path
+    // on the q_events_rfm oracle text — exact ntile from decomposed
+    // ranks, no unpartitioned window (few buckets force multi-bucket
+    // prefix sums and key-cell splits on the fixture)
+    "q_events_rfm_sharded" -> ((s, dir) =>
+      det(graft.operators.Windowed.rfmCardSharded(events(s, dir),
+        "user_id", "ts", "value", nTiles = 5, vBuckets = 8, kBuckets = 8))),
+
     // position-based (U-shaped) attribution: 40/20/40 edge weighting
     "q_events_attribution_pos" -> ((s, dir) =>
       det(graft.operators.Windowed.attributionPositional(events(s, dir),
@@ -7260,4 +7268,7 @@ object ExtensionQueries {
     // the YAML-declared TWA job (r17): third execution path (config
     // -> probe -> bucketed plan) on the q_events_twa oracle text
     .updated("q_events_twa_config", oracleSqlBase("q_events_twa"))
+    // the billion-key sharded-rank RFM card (r17): second execution
+    // path on the q_events_rfm oracle text
+    .updated("q_events_rfm_sharded", oracleSqlBase("q_events_rfm"))
 }

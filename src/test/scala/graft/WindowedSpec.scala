@@ -227,6 +227,65 @@ class WindowedSpec extends AnyFunSuite {
     assert(out(2L) == ((5 * 86400.0, 2L, 3.0, 2, 1, 2)))
   }
 
+  test("rfmCardSharded equals rfmCard: real events, monster ties, tile-boundary straddle; no unpartitioned window; Auto routes") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), Option(r.get(3)), r.getInt(4),
+          r.getInt(5), r.getInt(6)))).toMap
+    // real events at several tile counts and bucket geometries (small
+    // bucket counts force multi-bucket prefixes; 2 buckets stresses
+    // the degenerate geometry)
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    for (t <- Seq(2, 5); vb <- Seq(2, 16); kb <- Seq(2, 16)) {
+      val want = asMap(Windowed.rfmCard(e, "user_id", "ts", "value", t))
+      val got = asMap(Windowed.rfmCardSharded(e, "user_id", "ts", "value",
+        t, vBuckets = vb, kBuckets = kb))
+      assert(got == want, s"nTiles=$t vBuckets=$vb kBuckets=$kb diverges")
+    }
+    // monster TIE: 60% of keys have frequency 1 (the billion-key RFM
+    // reality) and a shared value sum, so whole tie families straddle
+    // tile boundaries and the within-tie key rank decides every score;
+    // NULL monetary family included (keys whose every value is NULL)
+    val big = spark.range(20000).select(col("id").as("user_id"),
+      timestamp_millis(lit(1700000000000L) +
+        (col("id") % 1000) * 60000L).as("ts"),
+      when(col("id") % 50 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 3).cast("double")).as("value"))
+    val dup = big.filter(col("user_id") % 5 === 4) // 20% get a 2nd event
+      .withColumn("ts", timestamp_millis(lit(1700000100000L)))
+    val monster = big.unionByName(dup)
+    val want = asMap(Windowed.rfmCard(monster, "user_id", "ts", "value", 5))
+    val sharded = Windowed.rfmCardSharded(monster, "user_id", "ts", "value", 5,
+      vBuckets = 8, kBuckets = 8)
+    assert(asMap(sharded) == want, "sharded path diverges on monster ties")
+    // the whole point: NO unpartitioned window anywhere in the plan
+    sharded.collect()
+    val unpartitioned = PlanWalk.nodes(sharded).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"sharded card must not plan an unpartitioned window, found ${unpartitioned.size}")
+    // routed front door: tiny threshold -> sharded (no unpartitioned
+    // window), default threshold -> plain three-window card
+    val autoSharded = Windowed.rfmCardAuto(monster, "user_id", "ts", "value",
+      5, maxPlainKeys = 100L, vBuckets = 8, kBuckets = 8)
+    assert(asMap(autoSharded) == want)
+    assert(!PlanWalk.nodes(autoSharded).exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.isEmpty
+      case _ => false
+    }, "past the key threshold the card must route to the sharded plan")
+    val autoPlain = Windowed.rfmCardAuto(monster, "user_id", "ts", "value", 5)
+    autoPlain.collect()
+    assert(PlanWalk.nodes(autoPlain).exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.isEmpty
+      case _ => false
+    }, "below the threshold the plain three-window card is the right plan")
+  }
+
   test("attributionPositional: U-shaped weights incl. 1/2/3-touch degenerate forms") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
