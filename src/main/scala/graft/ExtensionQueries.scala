@@ -146,6 +146,18 @@ object ExtensionQueries {
       tmp.toString
     })
 
+  /** The byte-BPE fixture merges as a persisted ModelStore artifact —
+    * what the r17 `tokenizer:` config mapping loads, so the graded
+    * config row exercises the same persisted round-trip a production
+    * config would (one per JVM × sf dir, shutdown-cleaned). */
+  private val savedFixtureMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fixtureMergesStore(s: SparkSession, dir: String): String =
+    cachedTmpArtifact(savedFixtureMerges, "graft_bpe_merges", dir) { path =>
+      graft.sources.ModelStore.saveMerges(s,
+        ByteBpeFixtureMerges.map { case (l, r) => (l, r, 0L) }, path)
+    }
+
   /** One persisted dedup index per (JVM, sf dir): built on first use by
     * q_dedup_incremental_indexed over the historical half of the corpus
     * (doc_id < 400 — the same split q_dedup_incremental uses live). */
@@ -1645,6 +1657,20 @@ object ExtensionQueries {
         Seq("lang"), "doc_id",
         coalesce(graft.functions.ByteBpeEncode.byteBpeCount(col("text"),
           ByteBpeFixtureMerges), lit(0L)), budget = 4000L))),
+
+    // the SAME budget declared as YAML (r17): `tokenizer: {kind:
+    // bpe_bytes, merges: <ModelStore path>}` makes the token_budget
+    // stage size documents with the kernel — config-vs-programmatic
+    // no-drift row on the q_sample_budget_bpe oracle text (the merge
+    // list round-trips through a persisted ModelStore artifact, so
+    // the path a production config would take is the path graded)
+    "q_pipeline_budget_bpe_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileYaml(
+        s"""curation:
+           |  tokenizer: {kind: bpe_bytes, merges: ${fixtureMergesStore(s, dir)}}
+           |  stages:
+           |    - {op: token_budget, strata: [lang], budget_tokens: 4000}
+           |""".stripMargin, docs(s, dir)))),
 
     // sentence segmentation with the pinned [^.!?]+[.!?]+ boundary
     // rule; the corpus carries no terminators, so the query PLANTS
@@ -7271,4 +7297,7 @@ object ExtensionQueries {
     // the billion-key sharded-rank RFM card (r17): second execution
     // path on the q_events_rfm oracle text
     .updated("q_events_rfm_sharded", oracleSqlBase("q_events_rfm"))
+    // the YAML-declared production-tokenizer budget (r17): the config
+    // surface must be bit-identical to the programmatic composition
+    .updated("q_pipeline_budget_bpe_config", oracleSqlBase("q_sample_budget_bpe"))
 }

@@ -78,8 +78,24 @@ final case class DenoiserMixStage(rDensity: Double, rMeanSpan: Int,
                                   xDensity: Double,
                                   xMeanSpan: Int) extends CurationStage
 
+/** The PRODUCTION tokenizer on the config surface (r17, VERDICT r16
+  * #8): when set, the token-counting stages (`token_budget`, `pack`)
+  * size documents with the byte-BPE kernel under the merge list at
+  * `merges` (a [[graft.sources.ModelStore]] path) instead of the
+  * `\S+` proxy — so a config user gets production token counts
+  * without Scala ([[graft.ExtensionQueries]]'s q_sample_budget_bpe
+  * proved the composition programmatically). `kind` is validated
+  * loudly; `bpe_bytes` is the only production tokenizer the engine
+  * trains and encodes. */
+final case class TokenizerSpec(kind: String, merges: String) {
+  require(kind == "bpe_bytes",
+    s"tokenizer.kind must be 'bpe_bytes' (got '$kind')")
+  require(merges.nonEmpty, "tokenizer.merges must be a ModelStore path")
+}
+
 final case class CurationConfig(idCol: String, textCol: String,
-                                stages: Seq[CurationStage]) {
+                                stages: Seq[CurationStage],
+                                tokenizer: Option[TokenizerSpec] = None) {
   require(stages.nonEmpty, "curation config needs at least one stage")
   private def terminal(s: CurationStage): Boolean = s match {
     case _: PackStage | _: FimStage | _: SpanCorruptStage |
@@ -113,7 +129,17 @@ object CurationConfig {
       case other =>
         throw new IllegalArgumentException(s"stage must be a mapping, got: $other")
     }
-    CurationConfig(idCol, textCol, stages)
+    val tokenizer = cur.get("tokenizer").map {
+      case m: java.util.Map[_, _] =>
+        val t = m.asInstanceOf[java.util.Map[String, Object]].asScala
+        TokenizerSpec(
+          kind = t.getOrElse("kind", "bpe_bytes").toString,
+          merges = t.getOrElse("merges", throw new IllegalArgumentException(
+            "tokenizer needs a 'merges' ModelStore path")).toString)
+      case other => throw new IllegalArgumentException(
+        s"tokenizer must be a mapping, got: $other")
+    }
+    CurationConfig(idCol, textCol, stages, tokenizer)
   }
 
   private def str(m: Map[String, Object], k: String, d: String): String =

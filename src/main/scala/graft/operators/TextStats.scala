@@ -110,7 +110,8 @@ object TextStats {
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int, shards: Int = 0,
                     targetTokensPerShard: Long = 64L * 1024 * 1024,
-                    strategy: String = "chop"): DataFrame = {
+                    strategy: String = "chop",
+                    sizeCol: Option[Column] = None): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     require(targetTokensPerShard >= 1, "targetTokensPerShard must be >= 1")
     require(strategy == "chop" || strategy == "ffd",
@@ -118,22 +119,29 @@ object TextStats {
     require(shards >= 1 || !docs.isStreaming,
       "auto-sizing (shards <= 0) aggregates the corpus token volume at " +
         "plan time, which a streaming frame cannot do — pass explicit shards")
+    // `sizeCol` swaps the \S+ token-count proxy for a caller-supplied
+    // per-document size (r17: the production byte-BPE kernel count on
+    // the config surface); every sizing mode — the auto-shard
+    // aggregate included — must measure with the SAME column or shard
+    // geometry and offsets would disagree about what a token is
+    val size = sizeCol.getOrElse(
+      graft.functions.TextFunctions.tokenCount(col(textCol)))
     val nShards =
       if (shards >= 1) shards
       else {
-        val total = docs.agg(coalesce(
-            sum(graft.functions.TextFunctions.tokenCount(col(textCol))), lit(0L)))
+        val total = docs.agg(coalesce(sum(size), lit(0L)))
           .head().getLong(0)
         math.max(1L, math.min(1L << 20,
           (total + targetTokensPerShard - 1) / targetTokensPerShard)).toInt
       }
-    if (strategy == "ffd") packSequencesFfd(docs, idCol, textCol, budget, nShards)
-    else packSequencesSized(docs, idCol, textCol, budget, nShards)
+    if (strategy == "ffd") packSequencesFfd(docs, idCol, textCol, budget, nShards, size)
+    else packSequencesSized(docs, idCol, textCol, budget, nShards, size)
   }
 
   /** The fixed-shard-count packing kernel shared by both sizing modes. */
   private def packSequencesSized(docs: DataFrame, idCol: String, textCol: String,
-                                 budget: Int, shards: Int): DataFrame = {
+                                 budget: Int, shards: Int,
+                                 size: Column): DataFrame = {
     // integral ids shard on id % shards (stable, oracle-friendly); any
     // other id type shards on its xxhash64 — a raw pmod on a string id
     // yields NULL, which would silently collapse every row into ONE
@@ -149,7 +157,7 @@ object TextStats {
     docs.select(
         col(idCol).as("doc_id"),
         shardKey.cast("int").as("shard"),
-        graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+        size.as("n_tokens"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("shard"),
         floor((col("__cum") - col("n_tokens")) / budget).as("seq_id"),
@@ -183,7 +191,8 @@ object TextStats {
    * scan (2e9 ops at 128k docs / 16k bins — measured pathological).
    */
   private def packSequencesFfd(docs: DataFrame, idCol: String, textCol: String,
-                               budget: Int, shards: Int): DataFrame = {
+                               budget: Int, shards: Int,
+                               size: Column): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val shardKey = docs.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
@@ -203,8 +212,7 @@ object TextStats {
     val projected = docs.select(
       col(idCol).as("doc_id"),
       coalesce(shardKey, lit(0)).cast("int").as("shard"),
-      greatest(lit(0L),
-        graft.functions.TextFunctions.tokenCount(col(textCol))).as("n_tokens"))
+      greatest(lit(0L), coalesce(size, lit(0L))).as("n_tokens"))
     val outSchema = StructType(Seq(
       StructField("doc_id", idType),
       StructField("shard", IntegerType, nullable = false),

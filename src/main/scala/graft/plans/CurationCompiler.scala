@@ -87,6 +87,19 @@ object CurationCompiler {
               resolve: Map[String, DataFrame] = Map.empty): DataFrame = {
     val id = cfg.idCol
     val text = cfg.textCol
+    // the production tokenizer (r17): when the config names one, the
+    // token-counting stages size documents with the byte-BPE KERNEL
+    // under the ModelStore merge list instead of the \S+ proxy — the
+    // q_sample_budget_bpe composition, reachable from YAML. Loaded
+    // ONCE per compile (a bounded driver-side read), compiled into
+    // the row-local kernel expression; NULL text counts 0 like the
+    // proxy's coalesce discipline.
+    val bpeSize: Option[org.apache.spark.sql.Column] = cfg.tokenizer.map { t =>
+      val merges = graft.sources.ModelStore
+        .loadMerges(docs.sparkSession, t.merges).map(m => (m._1, m._2))
+      coalesce(graft.functions.ByteBpeEncode.byteBpeCount(col(text), merges),
+        lit(0L))
+    }
     cfg.stages.foldLeft(docs) { (cur, stage) =>
       rowLocalStage(cur, stage, id, text, resolve).getOrElse(stage match {
         case QualityFilterStage(langs, minQ, maxBigram) =>
@@ -102,9 +115,11 @@ object CurationCompiler {
             "doc_a", "doc_b")
         case TokenBudgetStage(strata, budget) =>
           graft.operators.Sampling.tokenBudgetSample(cur, strata, id,
-            graft.functions.TextFunctions.tokenCount(col(text)), budget)
+            bpeSize.getOrElse(
+              graft.functions.TextFunctions.tokenCount(col(text))), budget)
         case PackStage(budget, shards) =>
-          graft.operators.TextStats.packSequences(cur, id, text, budget, shards)
+          graft.operators.TextStats.packSequences(cur, id, text, budget,
+            shards, sizeCol = bpeSize)
         case other => throw new IllegalStateException(s"unhandled stage $other")
       })
     }

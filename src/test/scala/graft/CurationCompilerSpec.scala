@@ -462,6 +462,65 @@ class CurationCompilerSpec extends AnyFunSuite {
       "hardened and plain config plans must agree row-for-row")
   }
 
+  test("tokenizer config: parsed and validated; budget + pack stages size with the kernel, zero drift") {
+    // validation is loud
+    intercept[IllegalArgumentException] {
+      graft.config.CurationConfig.fromYaml(
+        """curation:
+          |  tokenizer: {kind: wordpiece, merges: /tmp/x}
+          |  stages: [{op: strip_markup}]
+          |""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      graft.config.CurationConfig.fromYaml(
+        """curation:
+          |  tokenizer: {kind: bpe_bytes}
+          |  stages: [{op: strip_markup}]
+          |""".stripMargin)
+    }
+    assert(graft.config.CurationConfig.fromYaml(
+      "curation: {stages: [{op: strip_markup}]}").tokenizer.isEmpty,
+      "tokenizer omitted -> the \\S+ proxy, byte-identical to r16 behavior")
+    // persist a merge list, then the config path must equal the
+    // programmatic kernel composition on both counting stages
+    val merges = Seq(("74", "68"), ("7468", "65"), ("69", "6E"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tok_cfg").toString
+    graft.sources.ModelStore.saveMerges(spark,
+      merges.map { case (l, r) => (l, r, 0L) }, tmp)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kernelSize = coalesce(
+      graft.functions.ByteBpeEncode.byteBpeCount(col("text"), merges), lit(0L))
+    val budgetCfg = CurationCompiler.compileYaml(
+      s"""curation:
+         |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+         |  stages:
+         |    - {op: token_budget, strata: [lang], budget_tokens: 900}
+         |""".stripMargin, docs)
+    val budgetWant = graft.operators.Sampling.tokenBudgetSample(docs,
+      Seq("lang"), "doc_id", kernelSize, budget = 900L)
+    assert(budgetCfg.collect().map(_.toSeq).toSet ==
+      budgetWant.collect().map(_.toSeq).toSet,
+      "config budget stage must equal the programmatic kernel composition")
+    val packCfg = CurationCompiler.compileYaml(
+      s"""curation:
+         |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+         |  stages:
+         |    - {op: pack, budget: 128, shards: 4}
+         |""".stripMargin, docs)
+    val packWant = graft.operators.TextStats.packSequences(docs, "doc_id",
+      "text", budget = 128, shards = 4, sizeCol = Some(kernelSize))
+    assert(packCfg.collect().map(_.toSeq).toSet ==
+      packWant.collect().map(_.toSeq).toSet,
+      "config pack stage must equal the programmatic kernel composition")
+    // and the kernel counts genuinely differ from the proxy on this
+    // corpus (the no-drift assertions above are not vacuous)
+    val proxyPack = graft.operators.TextStats.packSequences(docs, "doc_id",
+      "text", budget = 128, shards = 4)
+    assert(packCfg.collect().map(_.toSeq).toSet !=
+      proxyPack.collect().map(_.toSeq).toSet,
+      "kernel sizing must actually change the packing on the fixture")
+  }
+
   test("events twa config: parsed, routed through the Auto front door, zero drift") {
     val cfg = graft.config.EventsTwaConfig.fromYaml(
       """events_twa:
