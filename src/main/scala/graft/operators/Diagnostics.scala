@@ -61,7 +61,15 @@ object Diagnostics {
    *
    * Output: one row — (n_shuffle_exchanges, n_broadcast_exchanges,
    * n_broadcast_joins, n_sortmerge_joins, n_scans, n_generates,
-   * n_wholestage_spans, n_sorts).
+   * n_wholestage_spans, n_sorts, n_window_group_limits,
+   * n_partial_window_group_limits). The last pair pins the map-side
+   * rank trim the hottest dedup operators depend on: a rank filter
+   * directly over its window (rn === 1 / rn <= k) makes
+   * InferWindowGroupLimit insert a PARTIAL WindowGroupLimitExec below
+   * the shuffle, so a monster duplicate family costs tasks×k shuffled
+   * rows instead of landing whole in one WindowExec buffer —
+   * DedupPlanSpec asserts it on exactDedup/capDuplicates so a Spark
+   * upgrade or filter-shape drift can't silently remove the trim.
    */
   def planCard(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution._
@@ -96,9 +104,16 @@ object Diagnostics {
         p.nodeName.contains("Scan")),
       n(_.isInstanceOf[GenerateExec]),
       n(_.isInstanceOf[WholeStageCodegenExec]),
-      n(_.isInstanceOf[SortExec])))
+      n(_.isInstanceOf[SortExec]),
+      n(_.isInstanceOf[window.WindowGroupLimitExec]),
+      n(p => p match {
+        case w: window.WindowGroupLimitExec =>
+          w.mode == window.Partial
+        case _ => false
+      })))
       .toDF("n_shuffle_exchanges", "n_broadcast_exchanges",
         "n_broadcast_joins", "n_sortmerge_joins", "n_scans", "n_generates",
-        "n_wholestage_spans", "n_sorts")
+        "n_wholestage_spans", "n_sorts", "n_window_group_limits",
+        "n_partial_window_group_limits")
   }
 }

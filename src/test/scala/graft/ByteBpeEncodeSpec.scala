@@ -172,4 +172,62 @@ class ByteBpeEncodeSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(pieces.forall { case (k, v) => v.mkString("") == hexOf(k) })
   }
+
+  test("GPT-2-size 50k table: ModelStore round-trip is order-exact and " +
+    "the kernel encodes losslessly under an ASCII-firing tail") {
+    // mirrors q_text_bpe_kernel_50k's table construction: trained head
+    // + full 256×256 base-byte tail — unlike the 10k row's high-byte
+    // tail, ASCII×ASCII entries FIRE on real text, so this exercises
+    // deep greedy loops under a production-size rank table.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val trained = TextStats.trainBpeBytesLocal(
+      TextStats.bytePretokenCounts(d, "text"), numMerges = 50000)
+    val have = trained.map { case (l, r, _) => l + r }.toSet
+    val ab = (0 until 256).map(b => f"$b%02X")
+    val full = (trained ++ (for (a <- ab; b <- ab) yield (a, b))
+      .filter { case (a, b) => !have.contains(a + b) }
+      .map { case (a, b) => (a, b, 0L) }).take(50000)
+    assert(full.size == 50000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_50k_spec").toString
+    try {
+      graft.sources.ModelStore.saveMerges(spark, full, tmp)
+      val loaded = graft.sources.ModelStore.loadMerges(spark, tmp)
+      assert(loaded == full,
+        "round-trip must preserve rank ORDER and counts exactly — " +
+          "merge order is the tokenizer's semantics")
+      val merges = loaded.map(m => (m._1, m._2))
+      val pieces = piecesOf(d.limit(50).select(col("doc_id"),
+        ByteBpeEncode.byteBpePieces(col("text"), merges).as("p")))
+      val hexOf = d.limit(50)
+        .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(pieces.forall { case (k, v) => v.mkString("") == hexOf(k) },
+        "50k-table pieces must concatenate back to the exact bytes")
+      // the ASCII tail must actually fire: take the first tail entry
+      // made of two printable ASCII letter bytes and build that exact
+      // two-byte token — under the full table it merges to ONE piece,
+      // under the trained head alone it stays two raw bytes
+      val (tl, tr, _) = loaded.drop(trained.size).find { case (l, r, _) =>
+        def letter(h: String) = {
+          val b = Integer.parseInt(h, 16)
+          (b >= 0x61 && b <= 0x7A) || (b >= 0x41 && b <= 0x5A)
+        }
+        letter(l) && letter(r)
+      }.get
+      val tok = new String(Array(Integer.parseInt(tl, 16).toByte,
+        Integer.parseInt(tr, 16).toByte), "UTF-8")
+      val planted = Seq((1L, tok)).toDF("doc_id", "text")
+      val fullP = piecesOf(planted.select(col("doc_id"),
+        ByteBpeEncode.byteBpePieces(col("text"), merges).as("p")))
+      val headP = piecesOf(planted.select(col("doc_id"),
+        ByteBpeEncode.byteBpePieces(col("text"),
+          trained.map(m => (m._1, m._2))).as("p")))
+      assert(fullP(1L) == Seq(tl + tr) && headP(1L) == Seq(tl, tr),
+        s"tail pair ($tl,$tr) must fire under the full table only")
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
 }

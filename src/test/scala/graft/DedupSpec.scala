@@ -25,6 +25,30 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
+  test("exactDedup/capDuplicates rank filters engage the map-side " +
+    "WindowGroupLimit trim (100 TB monster-family contract)") {
+    // The scale story for the hottest dedup operators rests on
+    // InferWindowGroupLimit rewriting the rank-filtered window into a
+    // PARTIAL WindowGroupLimitExec below the shuffle (tasks×k shuffled
+    // rows per family instead of the whole family in one WindowExec
+    // buffer) — VERDICT r16 minor (c). The raw-plan pin lives further
+    // down ("rank filters get the map-side trim"); this one goes
+    // through Diagnostics.planCard's r17 n_(partial_)window_group_limits
+    // columns, so the USER-FACING audit card reports the trim too, and
+    // covers the byFingerprint variants.
+    for (plan <- Seq(
+        Dedup.exactDedup(docs, "text", "doc_id"),
+        Dedup.exactDedup(docs, "text", "doc_id", byFingerprint = true),
+        Dedup.capDuplicates(docs, "text", "doc_id", maxCopies = 2),
+        Dedup.capDuplicates(docs, "text", "doc_id", maxCopies = 3,
+          byFingerprint = true))) {
+      val card = graft.operators.Diagnostics.planCard(plan).collect()(0)
+      assert(card.getAs[Long]("n_partial_window_group_limits") >= 1,
+        s"expected a Partial WindowGroupLimitExec (map-side trim), got $card")
+      assert(card.getAs[Long]("n_window_group_limits") >= 2,
+        s"expected Partial+Final WindowGroupLimitExec pair, got $card")
+    }
+  }
   test("ngramJaccardPairs finds exact and near duplicates with correct jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sortBy(p => (p._1, p._2))
