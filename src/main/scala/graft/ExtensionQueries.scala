@@ -2138,6 +2138,21 @@ object ExtensionQueries {
       det(graft.operators.Windowed.rfmCardSharded(events(s, dir),
         "user_id", "ts", "value", nTiles = 5, vBuckets = 8, kBuckets = 8))),
 
+    // the YAML-declared RFM job (r17): THIRD execution path on the
+    // q_events_rfm oracle text — max_plain_keys: 1 forces the config
+    // through rfmCardAuto's SHARDED route, so the row grades the
+    // config surface AND the routed billion-key plan in one
+    "q_events_rfm_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileEventsRfmYaml(
+        """events_rfm:
+          |  user_col: user_id
+          |  ts_col: ts
+          |  value_col: value
+          |  n_tiles: 5
+          |  max_plain_keys: 1
+          |""".stripMargin,
+        events(s, dir)))),
+
     // position-based (U-shaped) attribution: 40/20/40 edge weighting
     "q_events_attribution_pos" -> ((s, dir) =>
       det(graft.operators.Windowed.attributionPositional(events(s, dir),
@@ -7477,8 +7492,11 @@ object ExtensionQueries {
     // -> probe -> bucketed plan) on the q_events_twa oracle text
     .updated("q_events_twa_config", oracleSqlBase("q_events_twa"))
     // the billion-key sharded-rank RFM card (r17): second execution
-    // path on the q_events_rfm oracle text
+    // path on the q_events_rfm oracle text; the YAML-declared job
+    // (routed through rfmCardAuto with a forced sharded threshold) is
+    // the third
     .updated("q_events_rfm_sharded", oracleSqlBase("q_events_rfm"))
+    .updated("q_events_rfm_config", oracleSqlBase("q_events_rfm"))
     // the YAML-declared production-tokenizer budget (r17): the config
     // surface must be bit-identical to the programmatic composition
     .updated("q_pipeline_budget_bpe_config", oracleSqlBase("q_sample_budget_bpe"))

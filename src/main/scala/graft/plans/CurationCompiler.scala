@@ -357,4 +357,22 @@ object CurationCompiler {
   /** [[compileEventsTwa]] straight from YAML. */
   def compileEventsTwaYaml(yaml: String, events: DataFrame): DataFrame =
     compileEventsTwa(graft.config.EventsTwaConfig.fromYaml(yaml), events)
+
+  /**
+   * Compile an [[graft.config.EventsRfmConfig]] — the RFM segmentation
+   * job as config (r17): straight delegation to
+   * [[graft.operators.Windowed.rfmCardAuto]], so a config user gets
+   * the billion-key sharded-rank routing exactly like the
+   * programmatic caller (`max_plain_keys` is the routing threshold —
+   * the default keeps frames under 100M keys on the plain
+   * three-window plan).
+   */
+  def compileEventsRfm(cfg: graft.config.EventsRfmConfig,
+                       events: DataFrame): DataFrame =
+    graft.operators.Windowed.rfmCardAuto(events, cfg.userCol, cfg.tsCol,
+      cfg.valueCol, cfg.nTiles, cfg.maxPlainKeys)
+
+  /** [[compileEventsRfm]] straight from YAML. */
+  def compileEventsRfmYaml(yaml: String, events: DataFrame): DataFrame =
+    compileEventsRfm(graft.config.EventsRfmConfig.fromYaml(yaml), events)
 }

@@ -574,6 +574,55 @@ class CurationCompilerSpec extends AnyFunSuite {
       "skew-less twa config stays on the plain per-key plan")
   }
 
+  test("events rfm config: parsed, routed through rfmCardAuto, zero drift") {
+    val cfg = graft.config.EventsRfmConfig.fromYaml(
+      """events_rfm:
+        |  value_col: value
+        |  n_tiles: 4
+        |""".stripMargin)
+    assert(cfg.userCol == "user_id" && cfg.tsCol == "ts" &&
+      cfg.nTiles == 4 && cfg.maxPlainKeys == 100000000L)
+    intercept[IllegalArgumentException] {
+      graft.config.EventsRfmConfig.fromYaml("events_rfm: {n_tiles: 1}")
+    }
+    intercept[IllegalArgumentException] {
+      graft.config.EventsRfmConfig.fromYaml("other_root: {}")
+    }
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // max_plain_keys: 1 forces the SHARDED route on any frame — the
+    // compiled plan must contain no unpartitioned window, and agree
+    // row-for-row with the plain programmatic card
+    val sharded = CurationCompiler.compileEventsRfmYaml(
+      """events_rfm:
+        |  value_col: value
+        |  max_plain_keys: 1
+        |""".stripMargin, events)
+    val shardedParts = PlanWalk.nodes(sharded).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(shardedParts.forall(_ >= 1),
+      s"forced-sharded rfm config must plan no unpartitioned window, got $shardedParts")
+    val want = graft.operators.Windowed.rfmCard(events,
+      "user_id", "ts", "value", nTiles = 5)
+    assert(sharded.collect().map(_.toSeq).toSet ==
+      want.collect().map(_.toSeq).toSet,
+      "config-compiled sharded rfm must equal the plain programmatic card")
+    // default threshold -> plain plan (global ntile windows present)
+    val plain = CurationCompiler.compileEventsRfmYaml(
+      "events_rfm: {value_col: value}", events)
+    val plainParts = PlanWalk.nodes(plain).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.length
+    }
+    assert(plainParts.contains(0),
+      "default-threshold rfm config stays on the plain global-ntile plan")
+    assert(plain.collect().map(_.toSeq).toSet ==
+      want.collect().map(_.toSeq).toSet,
+      "both routes must produce the identical card")
+  }
+
   test("events analytics config: parse defaults and loud failures") {
     val cfg = graft.config.EventsAnalyticsConfig.fromYaml(
       """events_analytics:
