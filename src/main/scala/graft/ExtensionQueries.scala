@@ -672,6 +672,20 @@ object ExtensionQueries {
       det(graft.operators.TextStats.materializePackedSequences(docs(s, dir),
         "doc_id", "text", budget = 512, shards = 8))),
 
+    // the FINAL pretraining artifact (r17): per-doc byte-BPE ids +
+    // EOS (fixture vocab -> eos id 264), per-shard concat-and-chop
+    // into 128-id context windows — graded as posexploded scalars
+    // (shard, seq_id, pos, token_id); the oracle re-derives the whole
+    // stream independently (ids replay + window offsets + integer
+    // chop arithmetic)
+    "q_pack_token_ids" -> ((s, dir) =>
+      det(graft.operators.TextStats.materializePackedTokenIds(docs(s, dir),
+        "doc_id", "text", ByteBpeFixtureMerges, budget = 128, shards = 8)
+        .select(col("shard"), col("seq_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("shard"), col("seq_id"),
+          col("pos").cast(LongType).as("pos"), col("token_id")))),
+
     // packing's dual: long docs split into overlapping context windows
     "q_chunk_documents" -> ((s, dir) =>
       det(graft.operators.TextStats.chunkDocuments(docs(s, dir), "doc_id", "text",
@@ -6317,6 +6331,39 @@ object ExtensionQueries {
          |  unnest(token_ids) AS token_id
          |FROM t
          |ORDER BY doc_id $N1, pos $N1, token_id $N1""".stripMargin
+    },
+
+    // the packed pretraining id stream: the SAME ids replay, one EOS
+    // (264 = 256 + |fixture merges|) appended per doc, per-shard
+    // running offsets (scalar window), integer chop into 128-id
+    // windows — a fully independent re-derivation of the operator's
+    // address+slice arithmetic
+    "q_pack_token_ids" -> {
+      val arms = ByteBpeFixtureMerges.zipWithIndex.map {
+        case ((l, r), i) => s"WHEN '$l$r' THEN CAST(${256 + i} AS BIGINT)"
+      }.mkString(" ")
+      val hexByte = "CAST((strpos('0123456789ABCDEF', p[1:1]) - 1) * 16 + " +
+        "strpos('0123456789ABCDEF', p[2:2]) - 1 AS BIGINT)"
+      val eos = 256 + ByteBpeFixtureMerges.size
+      s"""WITH t AS (SELECT doc_id, list_concat(list_transform($BytePiecesSql,
+         |    p -> CASE p $arms ELSE $hexByte END),
+         |    [CAST($eos AS BIGINT)]) AS ids
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard, ids,
+         |    COALESCE(SUM(len(ids)) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS toff
+         |  FROM t),
+         |x AS (SELECT shard,
+         |    toff + generate_subscripts(ids, 1) - 1 AS gpos,
+         |    unnest(ids) AS token_id
+         |  FROM o)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(gpos // 128 AS BIGINT) AS seq_id,
+         |  CAST(gpos % 128 AS BIGINT) AS pos, token_id
+         |FROM x
+         |ORDER BY shard $N1, seq_id $N1, pos $N1, token_id $N1""".stripMargin
     },
     // the per-language fertility card under the byte-level tokenizer
     "q_text_fertility_bytes" -> {

@@ -346,6 +346,82 @@ object TextStats {
   }
 
   /**
+   * MATERIALIZE the final PRETRAINING TOKEN STREAM — the artifact a
+   * GPT-style training loader actually reads: every document encoded
+   * to byte-BPE token ids under `merges`
+   * ([[graft.functions.ByteBpeEncode]] — the production kernel at any
+   * merge count), an EOS separator appended per document (the GPT-2
+   * `<|endoftext|>` convention: `eosId` defaults to `256 + merges.size`,
+   * the first id past the merge vocabulary), and the per-shard id
+   * streams concatenated in `idCol` order and chopped into fixed
+   * `budget`-length context windows. [[materializePackedSequences]] is
+   * the text-level twin; this one emits model-ready ids, so a doc
+   * crossing a window boundary splits token-exactly.
+   *
+   * Semantics: NULL-text docs are excluded entirely (no tokens, no
+   * EOS); an EMPTY doc contributes exactly its EOS (document count
+   * signal survives packing). Shard = `idCol % shards` (the
+   * [[packSequences]] convention — `idCol` numeric and unique).
+   *
+   * Output: (shard, seq_id, token_ids array<bigint>, n_tokens,
+   * n_docs) — `n_tokens <= budget`, only a shard's last sequence runs
+   * short; `n_docs` counts documents contributing ≥1 id to the window.
+   *
+   * 100 TB design: the offset pass windows over a SCALAR address
+   * frame (doc_id, shard, n) — id arrays never enter a window buffer —
+   * then one equi-join brings the ids back and each doc row-locally
+   * explodes into per-window SLICES, so the single (shard, seq_id)
+   * groupBy moves every token once and no shuffled row exceeds
+   * `budget` ids. Per-shard window state is bounded by the shard
+   * count the caller sizes (the packSequences auto-sizing note
+   * applies: ~64M scalar rows per shard at the default geometry).
+   */
+  def materializePackedTokenIds(docs: DataFrame, idCol: String,
+                                textCol: String,
+                                merges: Seq[(String, String)],
+                                budget: Int, shards: Int,
+                                eosId: Option[Long] = None): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    require(budget >= 1, "budget must be >= 1")
+    require(shards >= 1, "shards must be >= 1")
+    val eos = eosId.getOrElse(256L + merges.size)
+    val withIds = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        concat(graft.functions.ByteBpeEncode.byteBpeIds(col(textCol), merges),
+          array(lit(eos))).as("__ids"))
+    // scalar-only address frame: per-shard running offsets
+    val sized = withIds.select(col("doc_id"),
+      pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
+      size(col("__ids")).cast(LongType).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val addr = sized
+      .withColumn("tok_offset", coalesce(sum(col("__n")).over(w), lit(0L)))
+    val firstSeq = floor(col("tok_offset") / budget).cast(LongType)
+    val lastSeq = floor((col("tok_offset") + col("__n") - 1) / budget)
+      .cast(LongType)
+    val start = greatest(lit(0L), col("seq_id") * budget - col("tok_offset"))
+    val end = least(col("__n"), (col("seq_id") + 1) * budget - col("tok_offset"))
+    addr.join(withIds, Seq("doc_id"))
+      .select(col("shard"), col("tok_offset"), col("__n"), col("__ids"),
+        explode(sequence(firstSeq, lastSeq)).as("seq_id"))
+      .select(col("shard"), col("seq_id"),
+        (col("tok_offset") + start).as("__poff"),
+        slice(col("__ids"), (start + 1).cast(IntegerType),
+          (end - start).cast(IntegerType)).as("__piece"),
+        (end - start).as("__pn"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("__poff"), col("__piece")))),
+          x => x.getField("__piece"))).as("token_ids"),
+        sum(col("__pn")).as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /**
    * Split each document into token-window chunks of at most `maxTokens`
    * whitespace tokens, consecutive chunks overlapping by `overlap`
    * tokens — the context-window chunking step every RAG/embedding/

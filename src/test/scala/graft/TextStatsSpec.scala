@@ -470,6 +470,52 @@ class TextStatsSpec extends AnyFunSuite {
     assert(agg.getLong(1) <= 512L, "no sequence over budget")
   }
 
+  test("materializePackedTokenIds: stream identity, eos accounting, boundary split") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val eos = 256L + merges.size // 264
+    val docs = Seq((1L, "the and"), (2L, ""), (3L, "in then"),
+      (5L, null.asInstanceOf[String]), (7L, "on")).toDF("doc_id", "text")
+    val out = TextStats.materializePackedTokenIds(docs, "doc_id", "text",
+      merges, budget = 3, shards = 1)
+    val seqs = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getSeq[Long](2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // every window except the shard's last is exactly `budget` long
+    val lastSeq = seqs.keys.map(_._2).max
+    seqs.foreach { case ((_, sid), (ids, n, _)) =>
+      assert(ids.length == n && n <= 3)
+      if (sid != lastSeq) assert(n == 3L, s"non-terminal window $sid short")
+    }
+    // the concatenated stream equals per-doc ids + eos in id order
+    // (NULL doc excluded entirely; empty doc contributes its eos)
+    val stream = seqs.toSeq.sortBy(_._1).flatMap(_._2._1)
+    val perDoc = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.functions.ByteBpeEncode.byteBpeIds(
+        col("text"), merges).as("ids"))
+      .collect().sortBy(_.getLong(0))
+      .flatMap(r => r.getSeq[Long](1) :+ eos)
+    assert(stream == perDoc.toSeq, "chopped stream must equal the doc streams")
+    assert(stream.count(_ == eos) == 4L, "one eos per non-NULL doc")
+    // a doc crossing the 3-id boundary splits (fixture: 'the and' is
+    // [7468, 65?]... regardless of exact ids, total stream length > 3
+    // forces at least one split doc across windows)
+    assert(seqs.size >= 2)
+    // corpus-level conservation: every id lands exactly once, windows
+    // bounded, eos count == doc count
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mat = TextStats.materializePackedTokenIds(big, "doc_id", "text",
+      merges, budget = 128, shards = 8)
+    val agg = mat.agg(sum("n_tokens"), max("n_tokens")).head()
+    val want = big.filter(col("text").isNotNull).agg(
+      sum(size(graft.functions.ByteBpeEncode.byteBpeIds(col("text"), merges)))
+        .cast("long"), count(lit(1))).head()
+    assert(agg.getLong(0) == want.getLong(0) + want.getLong(1),
+      "id conservation: corpus ids + one eos per doc")
+    assert(agg.getLong(1) <= 128L, "no window over budget")
+  }
+
   test("bigramLogProbScore matches the hand formula; one bigram materialization") {
     // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,b) -> c2(a,b)=3, c2(b,a)=1,
     // c1(a)=3, total=4; minCount=2 keeps (a,b): lp = log10(3/3) = 0;
