@@ -672,6 +672,20 @@ object ExtensionQueries {
       det(graft.operators.TextStats.materializePackedSequences(docs(s, dir),
         "doc_id", "text", budget = 512, shards = 8))),
 
+    // the FINAL SFT artifact (r17): turn-template rendering -> per-turn
+    // byte-BPE ids + token-exact loss mask (assistant turns carry 1) +
+    // per-conversation EOS, packed into 128-id context windows; graded
+    // as posexploded scalars against a fully independent DuckDB
+    // re-derivation (turn render + ids replay + mask + offsets + chop)
+    "q_chat_pack_sft_ids" -> ((s, dir) =>
+      det(graft.operators.Chat.sftPackedTokenIds(chatFrame(s, dir),
+        "doc_id", "conv", ByteBpeFixtureMerges, budget = 128, shards = 8)
+        .select(col("shard"), col("seq_id"), col("loss_mask").as("__ms"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("shard"), col("seq_id"),
+          col("pos").cast(LongType).as("pos"), col("token_id"),
+          element_at(col("__ms"), col("pos") + 1).as("loss_mask")))),
+
     // the FINAL pretraining artifact (r17): per-doc byte-BPE ids +
     // EOS (fixture vocab -> eos id 264), per-shard concat-and-chop
     // into 128-id context windows — graded as posexploded scalars
@@ -6331,6 +6345,58 @@ object ExtensionQueries {
          |  unnest(token_ids) AS token_id
          |FROM t
          |ORDER BY doc_id $N1, pos $N1, token_id $N1""".stripMargin
+    },
+
+    // the packed SFT id stream: per-turn template render (textually
+    // renderChat's turnTemplate), the SAME ids replay per turn, mask 1
+    // on assistant-turn ids, one EOS (mask 0) per conversation, then
+    // the identical offsets + integer chop as the pretraining stream;
+    // NULL-turn docs coalesce to the empty conversation (EOS only),
+    // mirroring chatFromDocs' otherwise-empty-array
+    "q_chat_pack_sft_ids" -> {
+      val arms = ByteBpeFixtureMerges.zipWithIndex.map {
+        case ((l, r), i) => s"WHEN '$l$r' THEN CAST(${256 + i} AS BIGINT)"
+      }.mkString(" ")
+      val hexByte = "CAST((strpos('0123456789ABCDEF', p[1:1]) - 1) * 16 + " +
+        "strpos('0123456789ABCDEF', p[2:2]) - 1 AS BIGINT)"
+      val eos = 256 + ByteBpeFixtureMerges.size
+      s"""WITH $chatCte,
+         |tr AS (SELECT doc_id, generate_subscripts(turns, 1) AS ti,
+         |    unnest(turns) AS t FROM cv),
+         |r AS (SELECT doc_id, ti,
+         |    '<|' || t.role || '|>' || chr(10) || t.content ||
+         |      '<|end|>' || chr(10) AS text,
+         |    CASE WHEN t.role = 'assistant' THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS m
+         |  FROM tr),
+         |enc AS (SELECT doc_id, ti, m, list_transform($BytePiecesSql,
+         |    p -> CASE p $arms ELSE $hexByte END) AS ids
+         |  FROM r),
+         |byconv AS (SELECT doc_id, flatten(list(ids ORDER BY ti)) AS ids,
+         |    flatten(list(list_transform(ids, x -> m) ORDER BY ti)) AS ms
+         |  FROM enc GROUP BY doc_id),
+         |conv AS (SELECT cv.doc_id,
+         |    list_concat(COALESCE(b.ids, CAST([] AS BIGINT[])),
+         |      [CAST($eos AS BIGINT)]) AS ids,
+         |    list_concat(COALESCE(b.ms, CAST([] AS BIGINT[])),
+         |      [CAST(0 AS BIGINT)]) AS ms
+         |  FROM cv LEFT JOIN byconv b USING (doc_id)),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard, ids, ms,
+         |    COALESCE(SUM(len(ids)) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS toff
+         |  FROM conv),
+         |x AS (SELECT shard,
+         |    toff + generate_subscripts(ids, 1) - 1 AS gpos,
+         |    unnest(ids) AS token_id, unnest(ms) AS loss_mask
+         |  FROM o)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(gpos // 128 AS BIGINT) AS seq_id,
+         |  CAST(gpos % 128 AS BIGINT) AS pos, token_id, loss_mask
+         |FROM x
+         |ORDER BY shard $N1, seq_id $N1, pos $N1, token_id $N1,
+         |  loss_mask $N1""".stripMargin
     },
 
     // the packed pretraining id stream: the SAME ids replay, one EOS

@@ -143,13 +143,19 @@ object Chat {
    * `array_join`); rendered text is born on the executor that read
    * the row.
    */
+  /** One turn's template string — THE definition shared by
+    * [[renderChat]] and [[sftPackedTokenIds]] (and textually mirrored
+    * by their oracles), so the rendered surface and the tokenized
+    * surface can never drift. */
+  private def turnTemplate(t: Column): Column =
+    concat(lit("<|"), coalesce(t.getField("role"), lit("")),
+      lit("|>\n"), coalesce(t.getField("content"), lit("")),
+      lit("<|end|>\n"))
+
   def renderChat(df: DataFrame, convCol: String,
                  outCol: String = "rendered"): DataFrame =
     df.withColumn(outCol, array_join(
-      transform(col(convCol), t =>
-        concat(lit("<|"), coalesce(t.getField("role"), lit("")),
-          lit("|>\n"), coalesce(t.getField("content"), lit("")),
-          lit("<|end|>\n"))), ""))
+      transform(col(convCol), turnTemplate(_)), ""))
 
   /**
    * Parse a [[renderChat]]-rendered string back into the turn array —
@@ -457,5 +463,55 @@ object Chat {
                   shiftleft(i.cast(LongType), 32) + j)),
                 " ").as("content")))))
       .select(df.columns.map(col): _*)
+  }
+
+  /**
+   * The final SFT TRAINING ARTIFACT — packed context windows of
+   * PRODUCTION-tokenizer ids with a token-exact LOSS MASK: each turn
+   * renders through [[renderChat]]'s template (shared `turnTemplate`
+   * definition — turn boundaries are hard token boundaries, exactly
+   * how production SFT tokenizes), encodes to byte-BPE ids
+   * ([[graft.functions.ByteBpeEncode]]), and every id carries mask 1
+   * iff its turn's role is `assistant` (only assistant tokens carry
+   * loss); one EOS (mask 0) closes each conversation, and the
+   * per-shard (id, mask) streams chop into `budget`-length windows
+   * through the same pack kernel as
+   * [[graft.operators.TextStats.materializePackedTokenIds]].
+   * [[chatTokenSpans]] is the `\S+`-proxy ADDRESS of this mask at
+   * turn granularity; this operator materializes the real thing.
+   *
+   * Output: (shard, seq_id, token_ids array<bigint>,
+   * loss_mask array<bigint>, n_tokens, n_docs) — the two arrays are
+   * position-aligned; NULL conversations are excluded, an empty
+   * conversation contributes exactly its EOS.
+   *
+   * 100 TB design: rendering, encoding and masking are one row-local
+   * projection (the kernel rides HOF lambdas in eval mode — the merge
+   * table is still the shared reference-object model); the pack
+   * kernel's scalar-address-window + slice-explode discipline applies
+   * unchanged, so no window buffers arrays and no shuffled row
+   * exceeds `budget` cells.
+   */
+  def sftPackedTokenIds(df: DataFrame, idCol: String, convCol: String,
+                        merges: Seq[(String, String)],
+                        budget: Int, shards: Int,
+                        eosId: Option[Long] = None): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val eos = eosId.getOrElse(256L + merges.size)
+    val turnIds = transform(col(convCol), t =>
+      graft.functions.ByteBpeEncode.byteBpeIds(turnTemplate(t), merges))
+    val cells = zip_with(turnIds, col(convCol), (ids, t) =>
+      transform(ids, i => struct(i.as("id"),
+        when(t.getField("role") === "assistant", lit(1L))
+          .otherwise(lit(0L)).as("m"))))
+    val withIds = df.filter(col(convCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        concat(flatten(cells),
+          array(struct(lit(eos).as("id"), lit(0L).as("m")))).as("__ids"))
+    TextStats.packIdStream(withIds, budget, shards)
+      .select(col("shard"), col("seq_id"),
+        transform(col("packed_ids"), x => x.getField("id")).as("token_ids"),
+        transform(col("packed_ids"), x => x.getField("m")).as("loss_mask"),
+        col("n_tokens"), col("n_docs"))
   }
 }

@@ -382,14 +382,30 @@ object TextStats {
                                 budget: Int, shards: Int,
                                 eosId: Option[Long] = None): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
-    require(budget >= 1, "budget must be >= 1")
-    require(shards >= 1, "shards must be >= 1")
     val eos = eosId.getOrElse(256L + merges.size)
     val withIds = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         concat(graft.functions.ByteBpeEncode.byteBpeIds(col(textCol), merges),
           array(lit(eos))).as("__ids"))
-    // scalar-only address frame: per-shard running offsets
+    packIdStream(withIds, budget, shards)
+      .withColumnRenamed("packed_ids", "token_ids")
+  }
+
+  /**
+   * The shared concat-and-chop PACK KERNEL over a per-doc id stream —
+   * `withIds` is (doc_id, __ids array<T>) for any element type T
+   * (plain ids here, (id, mask) structs for the SFT twin). Per-shard
+   * running offsets window over a SCALAR address frame (the arrays
+   * never enter a window buffer), one equi-join brings the arrays
+   * back, and each doc explodes row-locally into per-window slices so
+   * the one (shard, seq_id) groupBy moves every element once and no
+   * shuffled row exceeds `budget` elements. Output: (shard, seq_id,
+   * packed_ids array<T>, n_tokens, n_docs).
+   */
+  private[operators] def packIdStream(withIds: DataFrame, budget: Int,
+                                      shards: Int): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(shards >= 1, "shards must be >= 1")
     val sized = withIds.select(col("doc_id"),
       pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
       size(col("__ids")).cast(LongType).as("__n"))
@@ -416,7 +432,7 @@ object TextStats {
       .agg(
         flatten(transform(
           array_sort(collect_list(struct(col("__poff"), col("__piece")))),
-          x => x.getField("__piece"))).as("token_ids"),
+          x => x.getField("__piece"))).as("packed_ids"),
         sum(col("__pn")).as("n_tokens"),
         count(lit(1)).as("n_docs"))
   }

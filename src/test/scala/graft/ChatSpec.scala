@@ -308,4 +308,58 @@ class ChatSpec extends AnyFunSuite {
         s"$name must not shuffle, plan:\n$plan")
     }
   }
+
+  test("sftPackedTokenIds: per-turn encode, assistant-only mask, eos, chop") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val eos = 256L + merges.size
+    val df = frame(
+      1L -> conv("user" -> "the and", "assistant" -> "in then"),
+      2L -> Seq.empty[Row],
+      4L -> conv("user" -> "on", "assistant" -> "the"))
+    val out = Chat.sftPackedTokenIds(df, "id", "conv", merges,
+      budget = 7, shards = 1)
+    val seqs = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getSeq[Long](2), r.getSeq[Long](3), r.getLong(4)))
+      .toMap
+    seqs.values.foreach { case (ids, ms, n) =>
+      assert(ids.length == n && ms.length == n && n <= 7,
+        "aligned arrays, budget bound")
+    }
+    val stream = seqs.toSeq.sortBy(_._1).flatMap(_._2._1)
+    val masks = seqs.toSeq.sortBy(_._1).flatMap(_._2._2)
+    // reference: per-turn template encode + roles, id order, eos per conv
+    import org.apache.spark.sql.DataFrame
+    def turnIds(role: String, content: String): Seq[Long] = {
+      val one: DataFrame = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(0L,
+          s"<|$role|>\n$content<|end|>\n"))),
+        StructType(Seq(StructField("id", LongType),
+          StructField("t", StringType))))
+      one.select(graft.functions.ByteBpeEncode.byteBpeIds(col("t"), merges))
+        .head().getSeq[Long](0)
+    }
+    val want = Seq(
+      (turnIds("user", "the and"), 0L), (turnIds("assistant", "in then"), 1L),
+      (Seq(eos), 0L), // conv 1 eos
+      (Seq(eos), 0L), // conv 2: EMPTY conversation -> eos only
+      (turnIds("user", "on"), 0L), (turnIds("assistant", "the"), 1L),
+      (Seq(eos), 0L)) // conv 4 eos
+    assert(stream == want.flatMap(_._1),
+      "chopped stream must equal per-turn ids + eos in id order")
+    assert(masks == want.flatMap { case (ids, m) => ids.map(_ => m) },
+      "mask must be 1 exactly on assistant-turn ids, 0 on eos")
+    // only the final window of the single shard runs short
+    val lastSeq = seqs.keys.map(_._2).max
+    seqs.foreach { case ((_, sid), (_, _, n)) =>
+      if (sid != lastSeq) assert(n == 7L, s"non-terminal window $sid short")
+    }
+    // renderChat consistency: the per-turn templates concatenate to the
+    // rendered conversation string (the turnTemplate sharing contract)
+    val rendered = Chat.renderChat(df, "conv").filter(col("id") === 1L)
+      .select(col("rendered")).head().getString(0)
+    assert(rendered ==
+      "<|user|>\nthe and<|end|>\n<|assistant|>\nin then<|end|>\n")
+  }
 }
