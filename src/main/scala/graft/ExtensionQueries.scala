@@ -1700,6 +1700,22 @@ object ExtensionQueries {
            |    - {op: token_budget, strata: [lang], budget_tokens: 4000}
            |""".stripMargin, docs(s, dir)))),
 
+    // the FINAL pretraining artifact from YAML (r17): pack_ids under
+    // the persisted production tokenizer — graded as posexploded
+    // scalars on the q_pack_token_ids oracle text (one oracle, two
+    // construction paths: programmatic and config)
+    "q_pipeline_pack_ids_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileYaml(
+        s"""curation:
+           |  tokenizer: {kind: bpe_bytes, merges: ${fixtureMergesStore(s, dir)}}
+           |  stages:
+           |    - {op: pack_ids, budget: 128, shards: 8}
+           |""".stripMargin, docs(s, dir))
+        .select(col("shard"), col("seq_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("shard"), col("seq_id"),
+          col("pos").cast(LongType).as("pos"), col("token_id")))),
+
     // sentence segmentation with the pinned [^.!?]+[.!?]+ boundary
     // rule; the corpus carries no terminators, so the query PLANTS
     // deterministic sentence punctuation (the q_redact_pii trick) —
@@ -7613,4 +7629,7 @@ object ExtensionQueries {
     // the YAML-declared production-tokenizer budget (r17): the config
     // surface must be bit-identical to the programmatic composition
     .updated("q_pipeline_budget_bpe_config", oracleSqlBase("q_sample_budget_bpe"))
+    // the YAML-declared packed id stream (r17): second construction
+    // path on the q_pack_token_ids oracle text
+    .updated("q_pipeline_pack_ids_config", oracleSqlBase("q_pack_token_ids"))
 }

@@ -65,6 +65,14 @@ final case class DedupLinesWithinDocStage() extends CurationStage
 /** [[graft.operators.TextStats.packSequences]] — TERMINAL (changes the
   * schema to packed-sequence addresses), must be the last stage. */
 final case class PackStage(budget: Int, shards: Int) extends CurationStage
+
+/** Terminal: [[graft.operators.TextStats.materializePackedTokenIds]] —
+  * the FINAL pretraining artifact (ids + per-doc EOS, concat-and-chop
+  * context windows) straight from YAML. Requires a `tokenizer:`
+  * mapping (the ids need a merge list); `eos_id` defaults to
+  * 256+|merges| (the GPT-2 convention) when omitted. */
+final case class PackIdsStage(budget: Int, shards: Int,
+                              eosId: Option[Long]) extends CurationStage
 /** [[graft.operators.TextStats.fimTransform]] — TERMINAL augmentation
   * (emits (id, fim_mode, text)); row-local, stream-legal. */
 final case class FimStage(fimRate: Double, spmRate: Double) extends CurationStage
@@ -98,13 +106,16 @@ final case class CurationConfig(idCol: String, textCol: String,
                                 tokenizer: Option[TokenizerSpec] = None) {
   require(stages.nonEmpty, "curation config needs at least one stage")
   private def terminal(s: CurationStage): Boolean = s match {
-    case _: PackStage | _: FimStage | _: SpanCorruptStage |
-         _: DenoiserMixStage => true
+    case _: PackStage | _: PackIdsStage | _: FimStage |
+         _: SpanCorruptStage | _: DenoiserMixStage => true
     case _ => false
   }
   require(!stages.dropRight(1).exists(terminal),
-    "pack/fim/span_corrupt/denoiser_mix change the row schema and must " +
-      "be the LAST stage")
+    "pack/pack_ids/fim/span_corrupt/denoiser_mix change the row schema " +
+      "and must be the LAST stage")
+  require(!stages.exists(_.isInstanceOf[PackIdsStage]) || tokenizer.nonEmpty,
+    "pack_ids encodes with the production tokenizer; declare a " +
+      "tokenizer: {kind: bpe_bytes, merges: <ModelStore path>} mapping")
 }
 
 object CurationConfig {
@@ -201,6 +212,8 @@ object CurationConfig {
         dbl(m, "max_hits_per_char", 0.001))
       case "dedup_lines_within_doc" => DedupLinesWithinDocStage()
       case "pack" => PackStage(int(m, "budget", 512), int(m, "shards", 0))
+      case "pack_ids" => PackIdsStage(int(m, "budget", 512),
+        int(m, "shards", 8), m.get("eos_id").map(_.toString.toLong))
       case "fim" => FimStage(dbl(m, "fim_rate", 0.5), dbl(m, "spm_rate", 0.5))
       case "span_corrupt" => SpanCorruptStage(
         dbl(m, "density", 0.15), int(m, "mean_span", 3))

@@ -94,10 +94,12 @@ object CurationCompiler {
     // ONCE per compile (a bounded driver-side read), compiled into
     // the row-local kernel expression; NULL text counts 0 like the
     // proxy's coalesce discipline.
-    val bpeSize: Option[org.apache.spark.sql.Column] = cfg.tokenizer.map { t =>
-      val merges = graft.sources.ModelStore
+    val bpeMerges: Option[Seq[(String, String)]] = cfg.tokenizer.map { t =>
+      graft.sources.ModelStore
         .loadMerges(docs.sparkSession, t.merges).map(m => (m._1, m._2))
-      coalesce(graft.functions.ByteBpeEncode.byteBpeCount(col(text), merges),
+    }
+    val bpeSize: Option[org.apache.spark.sql.Column] = bpeMerges.map { m =>
+      coalesce(graft.functions.ByteBpeEncode.byteBpeCount(col(text), m),
         lit(0L))
     }
     cfg.stages.foldLeft(docs) { (cur, stage) =>
@@ -120,6 +122,10 @@ object CurationCompiler {
         case PackStage(budget, shards) =>
           graft.operators.TextStats.packSequences(cur, id, text, budget,
             shards, sizeCol = bpeSize)
+        case PackIdsStage(budget, shards, eosId) =>
+          // tokenizer presence enforced at config construction
+          graft.operators.TextStats.materializePackedTokenIds(cur, id, text,
+            bpeMerges.get, budget, shards, eosId)
         case other => throw new IllegalStateException(s"unhandled stage $other")
       })
     }

@@ -574,6 +574,65 @@ class CurationCompilerSpec extends AnyFunSuite {
       "skew-less twa config stays on the plain per-key plan")
   }
 
+  test("pack_ids stage: terminal + tokenizer-required + zero drift vs programmatic") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_packids_cfg").toString
+    try {
+      graft.sources.ModelStore.saveMerges(spark,
+        merges.map { case (l, r) => (l, r, 0L) }, tmp)
+      // tokenizer required
+      intercept[IllegalArgumentException] {
+        graft.config.CurationConfig.fromYaml(
+          "curation:\n  stages:\n    - {op: pack_ids}\n")
+      }
+      // terminal enforced
+      intercept[IllegalArgumentException] {
+        graft.config.CurationConfig.fromYaml(
+          s"""curation:
+             |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+             |  stages:
+             |    - {op: pack_ids}
+             |    - {op: strip_markup}
+             |""".stripMargin)
+      }
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val cfg = graft.plans.CurationCompiler.compileYaml(
+        s"""curation:
+           |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+           |  stages:
+           |    - {op: dedup_exact}
+           |    - {op: pack_ids, budget: 64, shards: 4, eos_id: 300}
+           |""".stripMargin, docs)
+      val want = graft.operators.TextStats.materializePackedTokenIds(
+        graft.operators.Dedup.exactDedup(docs, "text", "doc_id",
+          byFingerprint = true),
+        "doc_id", "text", merges, budget = 64, shards = 4, eosId = Some(300L))
+      assert(cfg.collect().map(_.toSeq).toSet ==
+        want.collect().map(_.toSeq).toSet,
+        "config pack_ids must equal the programmatic composition")
+      // streaming compiler rejects it (corpus-global sequence assembly)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val sdf = ms.toDF.toDF("doc_id", "text", "ts")
+      intercept[UnsupportedOperationException] {
+        graft.plans.CurationCompiler.compileStreaming(
+          graft.config.CurationConfig.fromYaml(
+            s"""curation:
+               |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+               |  stages:
+               |    - {op: pack_ids}
+               |""".stripMargin), sdf, "ts", "10 minutes")
+      }
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("events rfm config: parsed, routed through rfmCardAuto, zero drift") {
     val cfg = graft.config.EventsRfmConfig.fromYaml(
       """events_rfm:
