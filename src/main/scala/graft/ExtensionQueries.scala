@@ -672,6 +672,23 @@ object ExtensionQueries {
       det(graft.operators.TextStats.materializePackedSequences(docs(s, dir),
         "doc_id", "text", budget = 512, shards = 8))),
 
+    // the FINAL SFT artifact from YAML (r17): pack_sft_ids on the CHAT
+    // config surface under the persisted tokenizer — graded on the
+    // q_chat_pack_sft_ids oracle text (one oracle, two construction
+    // paths)
+    "q_pipeline_sft_pack_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileChatYaml(
+        s"""chat_curation:
+           |  tokenizer: {kind: bpe_bytes, merges: ${fixtureMergesStore(s, dir)}}
+           |  stages:
+           |    - {op: pack_sft_ids, budget: 128, shards: 8}
+           |""".stripMargin, chatFrame(s, dir))
+        .select(col("shard"), col("seq_id"), col("loss_mask").as("__ms"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("shard"), col("seq_id"),
+          col("pos").cast(LongType).as("pos"), col("token_id"),
+          element_at(col("__ms"), col("pos") + 1).as("loss_mask")))),
+
     // the FINAL SFT artifact (r17): turn-template rendering -> per-turn
     // byte-BPE ids + token-exact loss mask (assistant turns carry 1) +
     // per-conversation EOS, packed into 128-id context windows; graded
@@ -7632,4 +7649,7 @@ object ExtensionQueries {
     // the YAML-declared packed id stream (r17): second construction
     // path on the q_pack_token_ids oracle text
     .updated("q_pipeline_pack_ids_config", oracleSqlBase("q_pack_token_ids"))
+    // the YAML-declared SFT pack (r17): second construction path on
+    // the q_chat_pack_sft_ids oracle text
+    .updated("q_pipeline_sft_pack_config", oracleSqlBase("q_chat_pack_sft_ids"))
 }

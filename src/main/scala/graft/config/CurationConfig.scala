@@ -101,6 +101,21 @@ final case class TokenizerSpec(kind: String, merges: String) {
   require(merges.nonEmpty, "tokenizer.merges must be a ModelStore path")
 }
 
+object TokenizerSpec {
+  /** Parse the `tokenizer:` mapping value — ONE definition shared by
+    * the document and chat curation parsers. */
+  private[config] def fromYamlValue(v: Object): TokenizerSpec = v match {
+    case m: java.util.Map[_, _] =>
+      val t = m.asInstanceOf[java.util.Map[String, Object]].asScala
+      TokenizerSpec(
+        kind = t.getOrElse("kind", "bpe_bytes").toString,
+        merges = t.getOrElse("merges", throw new IllegalArgumentException(
+          "tokenizer needs a 'merges' ModelStore path")).toString)
+    case other => throw new IllegalArgumentException(
+      s"tokenizer must be a mapping, got: $other")
+  }
+}
+
 final case class CurationConfig(idCol: String, textCol: String,
                                 stages: Seq[CurationStage],
                                 tokenizer: Option[TokenizerSpec] = None) {
@@ -140,16 +155,7 @@ object CurationConfig {
       case other =>
         throw new IllegalArgumentException(s"stage must be a mapping, got: $other")
     }
-    val tokenizer = cur.get("tokenizer").map {
-      case m: java.util.Map[_, _] =>
-        val t = m.asInstanceOf[java.util.Map[String, Object]].asScala
-        TokenizerSpec(
-          kind = t.getOrElse("kind", "bpe_bytes").toString,
-          merges = t.getOrElse("merges", throw new IllegalArgumentException(
-            "tokenizer needs a 'merges' ModelStore path")).toString)
-      case other => throw new IllegalArgumentException(
-        s"tokenizer must be a mapping, got: $other")
-    }
+    val tokenizer = cur.get("tokenizer").map(TokenizerSpec.fromYamlValue)
     CurationConfig(idCol, textCol, stages, tokenizer)
   }
 
@@ -258,12 +264,28 @@ final case class ChatScrubStage(eval: String, ngram: Int,
                                 evalTextCol: String) extends ChatStage
 /** [[graft.operators.Chat.renderChat]] — TERMINAL (adds `rendered`). */
 final case class ChatRenderStage() extends ChatStage
+/** Terminal: [[graft.operators.Chat.sftPackedTokenIds]] — the FINAL
+  * SFT artifact (per-turn byte-BPE ids + token-exact assistant loss
+  * mask, packed context windows) straight from YAML. Requires the
+  * config's `tokenizer:` mapping; `eos_id` defaults to 256+|merges|. */
+final case class ChatPackSftIdsStage(budget: Int, shards: Int,
+                                     eosId: Option[Long]) extends ChatStage
 
 final case class ChatCurationConfig(idCol: String, convCol: String,
-                                    stages: Seq[ChatStage]) {
+                                    stages: Seq[ChatStage],
+                                    tokenizer: Option[TokenizerSpec] = None) {
   require(stages.nonEmpty, "chat curation config needs at least one stage")
-  require(!stages.dropRight(1).exists(_.isInstanceOf[ChatRenderStage]),
-    "render adds the output column and must be the LAST stage")
+  private def terminal(s: ChatStage): Boolean = s match {
+    case _: ChatRenderStage | _: ChatPackSftIdsStage => true
+    case _ => false
+  }
+  require(!stages.dropRight(1).exists(terminal),
+    "render/pack_sft_ids change the output schema and must be the " +
+      "LAST stage")
+  require(!stages.exists(_.isInstanceOf[ChatPackSftIdsStage]) ||
+    tokenizer.nonEmpty,
+    "pack_sft_ids encodes with the production tokenizer; declare a " +
+      "tokenizer: {kind: bpe_bytes, merges: <ModelStore path>} mapping")
 }
 
 object ChatCurationConfig {
@@ -295,7 +317,8 @@ object ChatCurationConfig {
       case other =>
         throw new IllegalArgumentException(s"stage must be a mapping, got: $other")
     }
-    ChatCurationConfig(idCol, convCol, stages)
+    val tokenizer = cur.get("tokenizer").map(TokenizerSpec.fromYamlValue)
+    ChatCurationConfig(idCol, convCol, stages, tokenizer)
   }
 
   private def parseStage(m: Map[String, Object]): ChatStage = {
@@ -321,6 +344,8 @@ object ChatCurationConfig {
         int("ngram", 13), str("eval_id_col", "doc_id"),
         str("eval_text_col", "text"))
       case "render" => ChatRenderStage()
+      case "pack_sft_ids" => ChatPackSftIdsStage(int("budget", 512),
+        int("shards", 8), m.get("eos_id").map(_.toString.toLong))
       case other => throw new IllegalArgumentException(
         s"unknown chat curation op: '$other'")
     }

@@ -227,6 +227,14 @@ object CurationCompiler {
             eval(name), eid, etext, n)
         case ChatRenderStage() =>
           graft.operators.Chat.renderChat(cur, conv)
+        case ChatPackSftIdsStage(budget, shards, eosId) =>
+          // tokenizer presence enforced at config construction; loaded
+          // here (bounded driver-side read) like the document compiler
+          val merges = graft.sources.ModelStore
+            .loadMerges(convs.sparkSession, cfg.tokenizer.get.merges)
+            .map(m => (m._1, m._2))
+          graft.operators.Chat.sftPackedTokenIds(cur, id, conv, merges,
+            budget, shards, eosId)
       }
     }
   }

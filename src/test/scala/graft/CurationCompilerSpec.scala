@@ -633,6 +633,65 @@ class CurationCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sft_ids chat stage: terminal + tokenizer-required + zero drift") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sftpack_cfg").toString
+    try {
+      graft.sources.ModelStore.saveMerges(spark,
+        merges.map { case (l, r) => (l, r, 0L) }, tmp)
+      intercept[IllegalArgumentException] {
+        graft.config.ChatCurationConfig.fromYaml(
+          "chat_curation:\n  stages:\n    - {op: pack_sft_ids}\n")
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.ChatCurationConfig.fromYaml(
+          s"""chat_curation:
+             |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+             |  stages:
+             |    - {op: pack_sft_ids}
+             |    - {op: redact}
+             |""".stripMargin)
+      }
+      import org.apache.spark.sql.Row
+      val convType = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("role",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.StringType))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("conv", convType)))
+      val convs = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(1L, Seq(Row("user", "the and"), Row("assistant", "in on"))),
+          Row(2L, Seq(Row("user", "q"), Row("assistant", "the then"))))),
+        schema)
+      val cfg = graft.plans.CurationCompiler.compileChatYaml(
+        s"""chat_curation:
+           |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+           |  stages:
+           |    - {op: validate_filter}
+           |    - {op: pack_sft_ids, budget: 16, shards: 2, eos_id: 300}
+           |""".stripMargin, convs)
+      val okIds = graft.operators.Chat.validateChat(convs, "conv")
+        .filter(col("chat_ok")).select(col("doc_id"))
+      val want = graft.operators.Chat.sftPackedTokenIds(
+        convs.join(okIds, Seq("doc_id"), "left_semi"),
+        "doc_id", "conv", merges, budget = 16, shards = 2,
+        eosId = Some(300L))
+      assert(cfg.collect().map(_.toSeq).toSet ==
+        want.collect().map(_.toSeq).toSet,
+        "config pack_sft_ids must equal the programmatic composition")
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("events rfm config: parsed, routed through rfmCardAuto, zero drift") {
     val cfg = graft.config.EventsRfmConfig.fromYaml(
       """events_rfm:
