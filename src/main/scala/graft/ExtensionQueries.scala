@@ -689,6 +689,22 @@ object ExtensionQueries {
           col("pos").cast(LongType).as("pos"), col("token_id"),
           element_at(col("__ms"), col("pos") + 1).as("loss_mask")))),
 
+    // NO-SPLIT SFT packing (r17): conversations never cross windows —
+    // next-fit in id order per shard, oversized conversations truncate
+    // into their own window, every window pads to exactly 512 ids
+    // (pad = eos, mask 0). The oracle replays next-fit SEQUENTIALLY
+    // with a recursive CTE (one doc per step per shard) — running
+    // remainders are not a prefix sum, so this is the recursive-replay
+    // class like the kernel oracles
+    "q_chat_pack_sft_nosplit" -> ((s, dir) =>
+      det(graft.operators.Chat.sftPackedTokenIdsNoSplit(chatFrame(s, dir),
+        "doc_id", "conv", ByteBpeFixtureMerges, budget = 512, shards = 8)
+        .select(col("shard"), col("seq_id"), col("loss_mask").as("__ms"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("shard"), col("seq_id"),
+          col("pos").cast(LongType).as("pos"), col("token_id"),
+          element_at(col("__ms"), col("pos") + 1).as("loss_mask")))),
+
     // the FINAL SFT artifact (r17): turn-template rendering -> per-turn
     // byte-BPE ids + token-exact loss mask (assistant turns carry 1) +
     // per-conversation EOS, packed into 128-id context windows; graded
@@ -3499,6 +3515,42 @@ object ExtensionQueries {
       |      content := array_to_string(toks[i*6+1 : i*6+6], ' '))) AS turns
       |  FROM d)""".stripMargin
   private val chatCte = chatCteOver("text")
+
+  /** The per-conversation (ids, ms) cell CTE chain shared by BOTH
+    * packed-SFT oracles (q_chat_pack_sft_ids / q_chat_pack_sft_nosplit
+    * and their config twins): per-turn template render (textually
+    * renderChat's turnTemplate), the fixture ids replay, mask 1 on
+    * assistant-turn ids, one closing EOS cell (mask 0); NULL-turn docs
+    * coalesce to the empty conversation. Expects `cv` (the chatCte) in
+    * scope; yields `conv(doc_id, ids, ms)`. */
+  private lazy val SftCellCtes: String = {
+    val arms = ByteBpeFixtureMerges.zipWithIndex.map {
+      case ((l, r), i) => s"WHEN '$l$r' THEN CAST(${256 + i} AS BIGINT)"
+    }.mkString(" ")
+    val hexByte = "CAST((strpos('0123456789ABCDEF', p[1:1]) - 1) * 16 + " +
+      "strpos('0123456789ABCDEF', p[2:2]) - 1 AS BIGINT)"
+    val eos = 256 + ByteBpeFixtureMerges.size
+    s"""tr AS (SELECT doc_id, generate_subscripts(turns, 1) AS ti,
+       |    unnest(turns) AS t FROM cv),
+       |r AS (SELECT doc_id, ti,
+       |    '<|' || t.role || '|>' || chr(10) || t.content ||
+       |      '<|end|>' || chr(10) AS text,
+       |    CASE WHEN t.role = 'assistant' THEN CAST(1 AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS m
+       |  FROM tr),
+       |enc AS (SELECT doc_id, ti, m, list_transform($BytePiecesSql,
+       |    p -> CASE p $arms ELSE $hexByte END) AS ids
+       |  FROM r),
+       |byconv AS (SELECT doc_id, flatten(list(ids ORDER BY ti)) AS ids,
+       |    flatten(list(list_transform(ids, x -> m) ORDER BY ti)) AS ms
+       |  FROM enc GROUP BY doc_id),
+       |conv AS (SELECT cv.doc_id,
+       |    list_concat(COALESCE(b.ids, CAST([] AS BIGINT[])),
+       |      [CAST($eos AS BIGINT)]) AS ids,
+       |    list_concat(COALESCE(b.ms, CAST([] AS BIGINT[])),
+       |      [CAST(0 AS BIGINT)]) AS ms
+       |  FROM cv LEFT JOIN byconv b USING (doc_id))""".stripMargin
+  }
 
   /** shared word-5-gram blocking (df-cap 100) -> exact jaccard >= 0.5;
     * mirrors Dedup.ngramJaccardPairs / minhashLshPairs verify exactly. */
@@ -6386,34 +6438,60 @@ object ExtensionQueries {
     // the identical offsets + integer chop as the pretraining stream;
     // NULL-turn docs coalesce to the empty conversation (EOS only),
     // mirroring chatFromDocs' otherwise-empty-array
+    // next-fit no-split packing: the per-shard window assignment is a
+    // RECURSIVE replay (one conversation per step; the running
+    // remainder is not a prefix sum), then within-window offsets are a
+    // plain cumulative sum and pad rows generate from each window's
+    // total. eos=pad=264, budget 128, shards 8 — must mirror the
+    // registration exactly.
+    "q_chat_pack_sft_nosplit" -> {
+      s"""WITH RECURSIVE $chatCte,
+         |$SftCellCtes,
+         |s AS (SELECT doc_id, doc_id % 8 AS shard, ids, ms,
+         |    LEAST(len(ids), 512) AS eff,
+         |    row_number() OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id) AS ri
+         |  FROM conv),
+         |assign AS (
+         |  SELECT shard, ri, doc_id, eff,
+         |    CAST(0 AS BIGINT) AS seq, CAST(eff AS BIGINT) AS used
+         |  FROM s WHERE ri = 1
+         |  UNION ALL
+         |  SELECT s.shard, s.ri, s.doc_id, s.eff,
+         |    CASE WHEN a.used + s.eff > 512 THEN a.seq + 1
+         |      ELSE a.seq END,
+         |    CASE WHEN a.used + s.eff > 512 THEN CAST(s.eff AS BIGINT)
+         |      ELSE a.used + s.eff END
+         |  FROM assign a JOIN s ON s.shard = a.shard AND s.ri = a.ri + 1),
+         |woff AS (SELECT shard, doc_id, seq, eff,
+         |    COALESCE(SUM(eff) OVER (PARTITION BY shard, seq
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS off
+         |  FROM assign),
+         |cells AS (SELECT o.shard, o.seq AS seq_id,
+         |    o.off + generate_subscripts(c.ids[1:CAST(o.eff AS INT)], 1) - 1
+         |      AS pos,
+         |    unnest(c.ids[1:CAST(o.eff AS INT)]) AS token_id,
+         |    unnest(c.ms[1:CAST(o.eff AS INT)]) AS loss_mask
+         |  FROM woff o JOIN conv c USING (doc_id)),
+         |tot AS (SELECT shard, seq AS seq_id, SUM(eff) AS t
+         |  FROM assign GROUP BY shard, seq),
+         |padr AS (SELECT shard, seq_id,
+         |    t + unnest(range(0, CAST(512 - t AS BIGINT))) AS pos,
+         |    CAST(264 AS BIGINT) AS token_id, CAST(0 AS BIGINT) AS loss_mask
+         |  FROM tot),
+         |allr AS (SELECT * FROM cells UNION ALL SELECT * FROM padr)
+         |SELECT CAST(shard AS BIGINT) AS shard, seq_id,
+         |  CAST(pos AS BIGINT) AS pos, token_id, loss_mask
+         |FROM allr
+         |ORDER BY shard $N1, seq_id $N1, pos $N1, token_id $N1,
+         |  loss_mask $N1""".stripMargin
+    },
+
     "q_chat_pack_sft_ids" -> {
-      val arms = ByteBpeFixtureMerges.zipWithIndex.map {
-        case ((l, r), i) => s"WHEN '$l$r' THEN CAST(${256 + i} AS BIGINT)"
-      }.mkString(" ")
-      val hexByte = "CAST((strpos('0123456789ABCDEF', p[1:1]) - 1) * 16 + " +
-        "strpos('0123456789ABCDEF', p[2:2]) - 1 AS BIGINT)"
-      val eos = 256 + ByteBpeFixtureMerges.size
       s"""WITH $chatCte,
-         |tr AS (SELECT doc_id, generate_subscripts(turns, 1) AS ti,
-         |    unnest(turns) AS t FROM cv),
-         |r AS (SELECT doc_id, ti,
-         |    '<|' || t.role || '|>' || chr(10) || t.content ||
-         |      '<|end|>' || chr(10) AS text,
-         |    CASE WHEN t.role = 'assistant' THEN CAST(1 AS BIGINT)
-         |      ELSE CAST(0 AS BIGINT) END AS m
-         |  FROM tr),
-         |enc AS (SELECT doc_id, ti, m, list_transform($BytePiecesSql,
-         |    p -> CASE p $arms ELSE $hexByte END) AS ids
-         |  FROM r),
-         |byconv AS (SELECT doc_id, flatten(list(ids ORDER BY ti)) AS ids,
-         |    flatten(list(list_transform(ids, x -> m) ORDER BY ti)) AS ms
-         |  FROM enc GROUP BY doc_id),
-         |conv AS (SELECT cv.doc_id,
-         |    list_concat(COALESCE(b.ids, CAST([] AS BIGINT[])),
-         |      [CAST($eos AS BIGINT)]) AS ids,
-         |    list_concat(COALESCE(b.ms, CAST([] AS BIGINT[])),
-         |      [CAST(0 AS BIGINT)]) AS ms
-         |  FROM cv LEFT JOIN byconv b USING (doc_id)),
+         |$SftCellCtes,
          |o AS (SELECT doc_id, doc_id % 8 AS shard, ids, ms,
          |    COALESCE(SUM(len(ids)) OVER (PARTITION BY doc_id % 8
          |      ORDER BY doc_id

@@ -492,26 +492,125 @@ object Chat {
    * unchanged, so no window buffers arrays and no shuffled row
    * exceeds `budget` cells.
    */
-  def sftPackedTokenIds(df: DataFrame, idCol: String, convCol: String,
-                        merges: Seq[(String, String)],
-                        budget: Int, shards: Int,
-                        eosId: Option[Long] = None): DataFrame = {
-    require(merges.nonEmpty, "merges must be non-empty")
-    val eos = eosId.getOrElse(256L + merges.size)
+  /** One conversation's (id, mask) cell stream: per-turn template
+    * encode, mask 1 on assistant-turn ids, closing EOS cell (mask 0).
+    * Shared by [[sftPackedTokenIds]] and [[sftPackedTokenIdsNoSplit]]. */
+  private def convCells(convCol: String, merges: Seq[(String, String)],
+                        eos: Long): Column = {
     val turnIds = transform(col(convCol), t =>
       graft.functions.ByteBpeEncode.byteBpeIds(turnTemplate(t), merges))
     val cells = zip_with(turnIds, col(convCol), (ids, t) =>
       transform(ids, i => struct(i.as("id"),
         when(t.getField("role") === "assistant", lit(1L))
           .otherwise(lit(0L)).as("m"))))
+    concat(flatten(cells), array(struct(lit(eos).as("id"), lit(0L).as("m"))))
+  }
+
+  def sftPackedTokenIds(df: DataFrame, idCol: String, convCol: String,
+                        merges: Seq[(String, String)],
+                        budget: Int, shards: Int,
+                        eosId: Option[Long] = None): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val eos = eosId.getOrElse(256L + merges.size)
     val withIds = df.filter(col(convCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        concat(flatten(cells),
-          array(struct(lit(eos).as("id"), lit(0L).as("m")))).as("__ids"))
+        convCells(convCol, merges, eos).as("__ids"))
     TextStats.packIdStream(withIds, budget, shards)
       .select(col("shard"), col("seq_id"),
         transform(col("packed_ids"), x => x.getField("id")).as("token_ids"),
         transform(col("packed_ids"), x => x.getField("m")).as("loss_mask"),
         col("n_tokens"), col("n_docs"))
+  }
+
+  /**
+   * NO-SPLIT SFT packing — the OTHER production convention
+   * ([[sftPackedTokenIds]] is GPT-style concat-and-chop): a
+   * conversation never crosses a window boundary, so no example is
+   * ever torn mid-exchange. Windows assemble by NEXT-FIT in id order
+   * per shard (the streaming-writer discipline: append while it
+   * fits, else start a new window — deterministic and replayable,
+   * unlike best-fit bin packing), every window PADS to exactly
+   * `budget` ids with `padId` (default: the EOS id; pad cells carry
+   * mask 0), and a conversation longer than `budget` gets its own
+   * window TRUNCATED to `budget` (the max-seq-len rule) with the
+   * window's `truncated` flag set.
+   *
+   * Output: (shard, seq_id, token_ids array<bigint> — length exactly
+   * `budget`, loss_mask aligned, n_tokens = real ids before padding,
+   * n_docs, truncated).
+   *
+   * 100 TB design: next-fit is sequential PER SHARD, so the
+   * assignment runs as one `flatMapGroups` over the SCALAR address
+   * frame (doc_id, n) — the [[graft.operators.TextStats.packSequences]]
+   * FFD discipline: per-task state is one counter pair, arrays stay
+   * out of the groups entirely; the ids join back by doc_id and one
+   * (shard, seq_id) groupBy assembles windows bounded by `budget`.
+   * Shard count bounds per-task doc count exactly like packSequences.
+   */
+  def sftPackedTokenIdsNoSplit(df: DataFrame, idCol: String, convCol: String,
+                               merges: Seq[(String, String)],
+                               budget: Int, shards: Int,
+                               eosId: Option[Long] = None,
+                               padId: Option[Long] = None): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    require(budget >= 1, "budget must be >= 1")
+    require(shards >= 1, "shards must be >= 1")
+    val eos = eosId.getOrElse(256L + merges.size)
+    val pad = padId.getOrElse(eos)
+    val withIds = df.filter(col(convCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        convCells(convCol, merges, eos).as("__ids"))
+    val sized = withIds.select(col("doc_id"),
+      pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
+      size(col("__ids")).cast(LongType).as("__n"))
+    // sequential next-fit per shard over the scalar address frame
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        df.schema(idCol).dataType),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("win_off",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(outSchema)
+    val addr = sized.groupByKey(_.getLong(1))(Encoders.scalaLong)
+      .flatMapGroups { (shard: Long, it: Iterator[Row]) =>
+        // id order is the contract (next-fit is order-sensitive)
+        val ds = it.map(r => (r.getLong(0), r.getLong(2))).toArray
+          .sortBy(_._1)
+        var seq = -1L
+        var used = budget.toLong + 1 // forces a new window for the first doc
+        ds.iterator.map { case (id, n) =>
+          val eff = math.min(n, budget.toLong)
+          val off = if (used + eff > budget) { seq += 1; used = eff; 0L }
+          else { val o = used; used += eff; o }
+          Row(id, shard, seq, off)
+        }
+      }
+    addr.toDF().join(withIds, Seq("doc_id"))
+      .select(col("shard"), col("seq_id"), col("win_off"),
+        slice(col("__ids"), 1, budget).as("__piece"),
+        (size(col("__ids")) > budget).as("__cut"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("win_off"), col("__piece")))),
+          x => x.getField("__piece"))).as("__cells"),
+        count(lit(1)).as("n_docs"),
+        max(col("__cut")).as("truncated"))
+      .select(col("shard"), col("seq_id"),
+        concat(transform(col("__cells"), x => x.getField("id")),
+          array_repeat(lit(pad),
+            (lit(budget) - size(col("__cells"))).cast(IntegerType)))
+          .as("token_ids"),
+        concat(transform(col("__cells"), x => x.getField("m")),
+          array_repeat(lit(0L),
+            (lit(budget) - size(col("__cells"))).cast(IntegerType)))
+          .as("loss_mask"),
+        size(col("__cells")).cast(LongType).as("n_tokens"),
+        col("n_docs"), col("truncated"))
   }
 }

@@ -362,4 +362,61 @@ class ChatSpec extends AnyFunSuite {
     assert(rendered ==
       "<|user|>\nthe and<|end|>\n<|assistant|>\nin then<|end|>\n")
   }
+
+  test("sftPackedTokenIdsNoSplit: next-fit, padding, truncation, no torn conv") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val eos = 256L + merges.size
+    val df = frame(
+      1L -> conv("user" -> "hi", "assistant" -> "yo"),
+      2L -> conv("user" -> "ok", "assistant" -> "no"),
+      3L -> conv("user" -> ("x " * 40).trim, "assistant" -> "fin"), // oversized
+      4L -> Seq.empty[Row])
+    val budget = 48
+    val out = Chat.sftPackedTokenIdsNoSplit(df, "id", "conv", merges,
+      budget = budget, shards = 1)
+    val rows = out.collect().map(r => r.getLong(1) ->
+      (r.getSeq[Long](2), r.getSeq[Long](3), r.getLong(4), r.getLong(5),
+        r.getBoolean(6))).toMap
+    // every window padded to exactly budget; masks aligned; pad mask 0
+    rows.values.foreach { case (ids, ms, n, _, _) =>
+      assert(ids.length == budget && ms.length == budget)
+      assert(ms.drop(n.toInt).forall(_ == 0L), "pad cells carry mask 0")
+      assert(ids.drop(n.toInt).forall(_ == eos), "default pad is the eos id")
+    }
+    // independent next-fit replay over per-conv cell lengths
+    // (byteBpeIds per rendered turn + the eos cell)
+    def convLen(turns: Seq[(String, String)]): Long =
+      turns.map { case (role, content) =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(0L,
+            s"<|$role|>\n$content<|end|>\n"))),
+          StructType(Seq(StructField("i", LongType),
+            StructField("t", StringType))))
+          .select(size(graft.functions.ByteBpeEncode.byteBpeIds(col("t"),
+            merges))).head().getInt(0).toLong
+      }.sum + 1L // eos
+    val lens = Seq(
+      1L -> convLen(Seq("user" -> "hi", "assistant" -> "yo")),
+      2L -> convLen(Seq("user" -> "ok", "assistant" -> "no")),
+      3L -> convLen(Seq("user" -> ("x " * 40).trim, "assistant" -> "fin")),
+      4L -> 1L)
+    var seq = -1L; var used = budget.toLong + 1
+    val wantAssign = lens.map { case (id, n) =>
+      val eff = math.min(n, budget.toLong)
+      if (used + eff > budget) { seq += 1; used = eff } else used += eff
+      id -> seq
+    }.toMap
+    // windows carry the right docs: recompute per-window doc counts
+    val wantDocs = wantAssign.groupBy(_._2).map { case (s, m) => s -> m.size }
+    assert(rows.map { case (s, v) => s -> v._4.toInt } == wantDocs,
+      "window membership must equal the independent next-fit replay")
+    // the oversized conv: its window is truncated to budget real ids
+    val overSeq = wantAssign(3L)
+    val (oIds, _, oN, _, oTrunc) = rows(overSeq)
+    assert(oTrunc && oN == budget.toLong && oIds.length == budget,
+      "oversized conversation truncates to budget in its own window")
+    assert(rows.filter(_._1 != overSeq).values.forall(!_._5),
+      "no other window reports truncation")
+  }
 }
