@@ -689,6 +689,20 @@ object ExtensionQueries {
           col("pos").cast(LongType).as("pos"), col("token_id"),
           element_at(col("__ms"), col("pos") + 1).as("loss_mask")))),
 
+    // the UN-packed SFT tokenization surface (r17): per-conversation
+    // production-tokenizer ids + aligned assistant loss mask — the
+    // row-local (streaming-legal) half of the SFT intake; packing is
+    // the batch compaction. Posexploded scalars; the oracle is the
+    // shared conversation-cell CTE chain unnested directly
+    "q_chat_sft_tokenize" -> ((s, dir) =>
+      det(graft.operators.Chat.sftTokenizeMask(chatFrame(s, dir),
+        "doc_id", "conv", ByteBpeFixtureMerges)
+        .select(col("doc_id"), col("loss_mask").as("__ms"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("token_id"),
+          element_at(col("__ms"), col("pos") + 1).as("loss_mask")))),
+
     // NO-SPLIT SFT packing (r17): conversations never cross windows —
     // next-fit in id order per shard, oversized conversations truncate
     // into their own window, every window pads to exactly 512 ids
@@ -6438,6 +6452,18 @@ object ExtensionQueries {
     // the identical offsets + integer chop as the pretraining stream;
     // NULL-turn docs coalesce to the empty conversation (EOS only),
     // mirroring chatFromDocs' otherwise-empty-array
+    // the un-packed tokenize+mask surface: the shared cell chain
+    // unnested directly (no packing arithmetic to replay)
+    "q_chat_sft_tokenize" -> {
+      s"""WITH $chatCte,
+         |$SftCellCtes
+         |SELECT doc_id,
+         |  CAST(generate_subscripts(ids, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(ids) AS token_id, unnest(ms) AS loss_mask
+         |FROM conv
+         |ORDER BY doc_id $N1, pos $N1, token_id $N1, loss_mask $N1""".stripMargin
+    },
+
     // next-fit no-split packing: the per-shard window assignment is a
     // RECURSIVE replay (one conversation per step; the running
     // remainder is not a prefix sum), then within-window offsets are a

@@ -506,6 +506,36 @@ object Chat {
     concat(flatten(cells), array(struct(lit(eos).as("id"), lit(0L).as("m"))))
   }
 
+  /**
+   * The UN-packed SFT tokenization surface — per conversation, the
+   * production-tokenizer ids and the aligned assistant loss mask
+   * ([[sftPackedTokenIds]]' cell stream before packing): one row per
+   * conversation, (idCol, token_ids, loss_mask, n_tokens,
+   * n_assistant_tokens). ROW-LOCAL (zero shuffle), hence
+   * streaming-legal — the in-stream SFT intake tokenizes and masks
+   * per micro-batch ([[graft.streaming.StreamingOps]] twin) and the
+   * batch compaction pass packs. NULL conversations pass through as
+   * NULL arrays (the chat family's NULL contract); the closing EOS
+   * cell (mask 0) is included, so n_tokens counts it.
+   */
+  def sftTokenizeMask(df: DataFrame, idCol: String, convCol: String,
+                      merges: Seq[(String, String)],
+                      eosId: Option[Long] = None): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val eos = eosId.getOrElse(256L + merges.size)
+    val cells = when(col(convCol).isNotNull,
+      convCells(convCol, merges, eos))
+    df.select(col(idCol),
+      transform(cells, x => x.getField("id")).as("token_ids"),
+      transform(cells, x => x.getField("m")).as("loss_mask"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .withColumn("n_assistant_tokens",
+        aggregate(col("loss_mask"), lit(0L), (a, x) => a + x))
+      .withColumn("n_tokens",
+        when(col("token_ids").isNull, lit(null).cast("long"))
+          .otherwise(col("n_tokens")))
+  }
+
   def sftPackedTokenIds(df: DataFrame, idCol: String, convCol: String,
                         merges: Seq[(String, String)],
                         budget: Int, shards: Int,

@@ -1036,6 +1036,20 @@ object StreamingOps {
                                  merges: Seq[(String, String)]): DataFrame =
     graft.operators.TextStats.encodeBpeBytesIds(docs, idCol, textCol, merges)
 
+  /** SFT tokenize-and-mask on a CONVERSATION stream
+    * ([[graft.operators.Chat.sftTokenizeMask]]): per-turn template
+    * encode + assistant loss mask + closing EOS — row-local, so the
+    * in-stream SFT intake emits model-ready (ids, mask) rows per
+    * micro-batch under the frozen-tokenizer contract; the PACKED
+    * artifacts ([[graft.operators.Chat.sftPackedTokenIds]] /
+    * `NoSplit`) are the batch compaction pass (packing needs global
+    * offsets — the CurationCompiler streaming rejection class). */
+  def streamingSftTokenizeMask(convs: DataFrame, idCol: String,
+                               convCol: String,
+                               merges: Seq[(String, String)],
+                               eosId: Option[Long] = None): DataFrame =
+    graft.operators.Chat.sftTokenizeMask(convs, idCol, convCol, merges, eosId)
+
   /** FIM infilling on a stream
     * ([[graft.operators.TextStats.fimTransform]]): participation,
     * cut points and PSM/SPM mode are all md5-hash draws off the doc

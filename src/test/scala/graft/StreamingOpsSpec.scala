@@ -736,6 +736,42 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SFT tokenize+mask equals batch (row-local cell stream)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fixture = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val staticDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    def convify(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), array(
+        struct(lit("user").as("role"), col("text").as("content")),
+        struct(lit("assistant").as("role"),
+          reverse(col("text")).as("content"))).as("conv"))
+    val rows = staticDocs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingSftTokenizeMask(
+      convify(mem.toDF().toDF("doc_id", "text")), "doc_id", "conv", fixture)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_sft_tok")
+      .outputMode("append").start()
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2), r.getLong(3),
+        r.getLong(4))
+    val got = spark.sql("SELECT doc_id, token_ids, loss_mask, n_tokens, " +
+      "n_assistant_tokens FROM stream_sft_tok").collect().map(key).toSet
+    q.stop()
+    val want = graft.operators.Chat.sftTokenizeMask(
+        convify(staticDocs), "doc_id", "conv", fixture)
+      .collect().map(key).toSet
+    assert(got == want, "streaming tokenize+mask must match batch row-for-row")
+    assert(want.forall { case (_, ids, ms, n, na) =>
+      ids.length == n && ms.length == n && na == ms.sum && na > 0 })
+  }
+
   test("streaming FIM augmentation equals batch (hash draws replay per micro-batch)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
