@@ -683,11 +683,13 @@ object ExtensionQueries {
            |  stages:
            |    - {op: pack_sft_ids, budget: 128, shards: 8}
            |""".stripMargin, chatFrame(s, dir))
-        .select(col("shard"), col("seq_id"), col("loss_mask").as("__ms"),
-          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
         .select(col("shard"), col("seq_id"),
-          col("pos").cast(LongType).as("pos"), col("token_id"),
-          element_at(col("__ms"), col("pos") + 1).as("loss_mask")))),
+          posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
+            .as(Seq("pos", "__cell")))
+        .select(col("shard"), col("seq_id"),
+          col("pos").cast(LongType).as("pos"),
+          col("__cell").getField("token_ids").as("token_id"),
+          col("__cell").getField("loss_mask").as("loss_mask")))),
 
     // the UN-packed SFT tokenization surface (r17): per-conversation
     // production-tokenizer ids + aligned assistant loss mask — the
@@ -697,11 +699,12 @@ object ExtensionQueries {
     "q_chat_sft_tokenize" -> ((s, dir) =>
       det(graft.operators.Chat.sftTokenizeMask(chatFrame(s, dir),
         "doc_id", "conv", ByteBpeFixtureMerges)
-        .select(col("doc_id"), col("loss_mask").as("__ms"),
-          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
+            .as(Seq("pos", "__cell")))
         .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-          col("token_id"),
-          element_at(col("__ms"), col("pos") + 1).as("loss_mask")))),
+          col("__cell").getField("token_ids").as("token_id"),
+          col("__cell").getField("loss_mask").as("loss_mask")))),
 
     // NO-SPLIT SFT packing (r17): conversations never cross windows —
     // next-fit in id order per shard, oversized conversations truncate
@@ -713,11 +716,13 @@ object ExtensionQueries {
     "q_chat_pack_sft_nosplit" -> ((s, dir) =>
       det(graft.operators.Chat.sftPackedTokenIdsNoSplit(chatFrame(s, dir),
         "doc_id", "conv", ByteBpeFixtureMerges, budget = 512, shards = 8)
-        .select(col("shard"), col("seq_id"), col("loss_mask").as("__ms"),
-          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
         .select(col("shard"), col("seq_id"),
-          col("pos").cast(LongType).as("pos"), col("token_id"),
-          element_at(col("__ms"), col("pos") + 1).as("loss_mask")))),
+          posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
+            .as(Seq("pos", "__cell")))
+        .select(col("shard"), col("seq_id"),
+          col("pos").cast(LongType).as("pos"),
+          col("__cell").getField("token_ids").as("token_id"),
+          col("__cell").getField("loss_mask").as("loss_mask")))),
 
     // the FINAL SFT artifact (r17): turn-template rendering -> per-turn
     // byte-BPE ids + token-exact loss mask (assistant turns carry 1) +
@@ -727,11 +732,13 @@ object ExtensionQueries {
     "q_chat_pack_sft_ids" -> ((s, dir) =>
       det(graft.operators.Chat.sftPackedTokenIds(chatFrame(s, dir),
         "doc_id", "conv", ByteBpeFixtureMerges, budget = 128, shards = 8)
-        .select(col("shard"), col("seq_id"), col("loss_mask").as("__ms"),
-          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
         .select(col("shard"), col("seq_id"),
-          col("pos").cast(LongType).as("pos"), col("token_id"),
-          element_at(col("__ms"), col("pos") + 1).as("loss_mask")))),
+          posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
+            .as(Seq("pos", "__cell")))
+        .select(col("shard"), col("seq_id"),
+          col("pos").cast(LongType).as("pos"),
+          col("__cell").getField("token_ids").as("token_id"),
+          col("__cell").getField("loss_mask").as("loss_mask")))),
 
     // the FINAL pretraining artifact (r17): per-doc byte-BPE ids +
     // EOS (fixture vocab -> eos id 264), per-shard concat-and-chop

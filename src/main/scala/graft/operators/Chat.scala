@@ -494,16 +494,47 @@ object Chat {
    */
   /** One conversation's (id, mask) cell stream: per-turn template
     * encode, mask 1 on assistant-turn ids, closing EOS cell (mask 0).
-    * Shared by [[sftPackedTokenIds]] and [[sftPackedTokenIdsNoSplit]]. */
+    * Shared by [[sftTokenizeMask]], [[sftPackedTokenIds]] and
+    * [[sftPackedTokenIdsNoSplit]].
+    *
+    * Hot-loop shape (measured at sf10: 71.7 s → the per-turn HOF
+    * formulation interpreted byteBpeIds per turn with array/struct
+    * churn inside lambdas): the IDS come from ONE top-level codegen'd
+    * kernel call over the whole rendered conversation, and only the
+    * per-turn token COUNTS (a long each, Zipf-cache-hot re-encode)
+    * run per-turn to place the mask boundaries. Encoding the
+    * concatenation turn-by-turn and whole-string are IDENTICAL for
+    * this template: every turn ends `\n` and begins `<`, `\s+` cannot
+    * cross into `<`, and `` ?`` matches only a literal space (never
+    * the `\n`), so no pre-token — and therefore no BPE merge — ever
+    * spans a turn seam (spec-pinned against a per-turn reference
+    * encode on whitespace/unicode/empty-content edges). */
+  /** The whole-conversation rendered string ([[renderChat]]'s output
+    * as an expression) — the one-call encode surface. */
+  private def convRendered(convCol: String): Column =
+    array_join(transform(col(convCol), turnTemplate(_)), "")
+
+  /** Cell COUNT of a conversation (ids + the eos cell) WITHOUT
+    * building the cell array — the count-mode kernel call the packers'
+    * scalar address pass uses (see [[graft.operators.TextStats.packIdStream]]'s
+    * `__n` contract). Equals `size(convCells(...))` by the seam
+    * argument on [[convCells]]. */
+  private def convCellCount(convCol: String,
+                            merges: Seq[(String, String)]): Column =
+    graft.functions.ByteBpeEncode.byteBpeCount(convRendered(convCol),
+      merges) + lit(1L)
+
   private def convCells(convCol: String, merges: Seq[(String, String)],
                         eos: Long): Column = {
-    val turnIds = transform(col(convCol), t =>
-      graft.functions.ByteBpeEncode.byteBpeIds(turnTemplate(t), merges))
-    val cells = zip_with(turnIds, col(convCol), (ids, t) =>
-      transform(ids, i => struct(i.as("id"),
-        when(t.getField("role") === "assistant", lit(1L))
-          .otherwise(lit(0L)).as("m"))))
-    concat(flatten(cells), array(struct(lit(eos).as("id"), lit(0L).as("m"))))
+    val rendered = convRendered(convCol)
+    val ids = graft.functions.ByteBpeEncode.byteBpeIds(rendered, merges)
+    val mask = flatten(transform(col(convCol), t =>
+      array_repeat(
+        when(t.getField("role") === "assistant", lit(1L)).otherwise(lit(0L)),
+        graft.functions.ByteBpeEncode.byteBpeCount(turnTemplate(t), merges)
+          .cast(org.apache.spark.sql.types.IntegerType))))
+    zip_with(concat(ids, array(lit(eos))), concat(mask, array(lit(0L))),
+      (i, m) => struct(i.as("id"), m.as("m")))
   }
 
   /**
@@ -544,7 +575,8 @@ object Chat {
     val eos = eosId.getOrElse(256L + merges.size)
     val withIds = df.filter(col(convCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        convCells(convCol, merges, eos).as("__ids"))
+        convCells(convCol, merges, eos).as("__ids"),
+        convCellCount(convCol, merges).as("__n"))
     TextStats.packIdStream(withIds, budget, shards)
       .select(col("shard"), col("seq_id"),
         transform(col("packed_ids"), x => x.getField("id")).as("token_ids"),
@@ -589,10 +621,12 @@ object Chat {
     val pad = padId.getOrElse(eos)
     val withIds = df.filter(col(convCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        convCells(convCol, merges, eos).as("__ids"))
+        convCells(convCol, merges, eos).as("__ids"),
+        convCellCount(convCol, merges).as("__n"))
+    // scalar address pass: the count-mode column, never the cell array
     val sized = withIds.select(col("doc_id"),
       pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
-      size(col("__ids")).cast(LongType).as("__n"))
+      col("__n").cast(LongType).as("__n"))
     // sequential next-fit per shard over the scalar address frame
     import org.apache.spark.sql.{Encoders, Row}
     val outSchema = org.apache.spark.sql.types.StructType(Seq(

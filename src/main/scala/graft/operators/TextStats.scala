@@ -386,7 +386,11 @@ object TextStats {
     val withIds = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         concat(graft.functions.ByteBpeEncode.byteBpeIds(col(textCol), merges),
-          array(lit(eos))).as("__ids"))
+          array(lit(eos))).as("__ids"),
+        // count-mode twin for the scalar address pass (packIdStream's
+        // __n contract): the id array never evaluates on that branch
+        (graft.functions.ByteBpeEncode.byteBpeCount(col(textCol), merges) +
+          lit(1L)).as("__n"))
     packIdStream(withIds, budget, shards)
       .withColumnRenamed("packed_ids", "token_ids")
   }
@@ -406,9 +410,19 @@ object TextStats {
                                       shards: Int): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     require(shards >= 1, "shards must be >= 1")
-    val sized = withIds.select(col("doc_id"),
-      pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
-      size(col("__ids")).cast(LongType).as("__n"))
+    // the address pass PRUNES to scalars, and if the caller supplied a
+    // precomputed length column (__n — e.g. a count-mode kernel call
+    // that skips building the cell array entirely) the array
+    // expression never evaluates on this branch at all: the plan
+    // builds the expensive cells exactly once, on the join-back side
+    val sized =
+      if (withIds.columns.contains("__n"))
+        withIds.select(col("doc_id"),
+          pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
+          col("__n").cast(LongType).as("__n"))
+      else withIds.select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
+        size(col("__ids")).cast(LongType).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -420,7 +434,7 @@ object TextStats {
       .cast(LongType)
     val start = greatest(lit(0L), col("seq_id") * budget - col("tok_offset"))
     val end = least(col("__n"), (col("seq_id") + 1) * budget - col("tok_offset"))
-    addr.join(withIds, Seq("doc_id"))
+    addr.join(withIds.select(col("doc_id"), col("__ids")), Seq("doc_id"))
       .select(col("shard"), col("tok_offset"), col("__n"), col("__ids"),
         explode(sequence(firstSeq, lastSeq)).as("seq_id"))
       .select(col("shard"), col("seq_id"),

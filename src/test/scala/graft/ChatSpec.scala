@@ -316,7 +316,12 @@ class ChatSpec extends AnyFunSuite {
     val df = frame(
       1L -> conv("user" -> "the and", "assistant" -> "in then"),
       2L -> Seq.empty[Row],
-      4L -> conv("user" -> "on", "assistant" -> "the"))
+      4L -> conv("user" -> "on", "assistant" -> "the"),
+      // seam edges for the one-call encode (see convCells): trailing
+      // whitespace against the template's \n, unicode multi-byte,
+      // EMPTY assistant content, leading spaces
+      5L -> conv("user" -> "  café\t x ", "assistant" -> "",
+        "user" -> " the", "assistant" -> "then  "))
     val out = Chat.sftPackedTokenIds(df, "id", "conv", merges,
       budget = 7, shards = 1)
     val seqs = out.collect()
@@ -345,9 +350,14 @@ class ChatSpec extends AnyFunSuite {
       (Seq(eos), 0L), // conv 1 eos
       (Seq(eos), 0L), // conv 2: EMPTY conversation -> eos only
       (turnIds("user", "on"), 0L), (turnIds("assistant", "the"), 1L),
-      (Seq(eos), 0L)) // conv 4 eos
+      (Seq(eos), 0L), // conv 4 eos
+      (turnIds("user", "  café\t x "), 0L), (turnIds("assistant", ""), 1L),
+      (turnIds("user", " the"), 0L), (turnIds("assistant", "then  "), 1L),
+      (Seq(eos), 0L)) // conv 5 eos
     assert(stream == want.flatMap(_._1),
-      "chopped stream must equal per-turn ids + eos in id order")
+      "chopped stream must equal PER-TURN reference ids + eos in id " +
+        "order (pins the one-call whole-conversation encode against " +
+        "the per-turn reference across every seam edge)")
     assert(masks == want.flatMap { case (ids, m) => ids.map(_ => m) },
       "mask must be 1 exactly on assistant-turn ids, 0 on eos")
     // only the final window of the single shard runs short
