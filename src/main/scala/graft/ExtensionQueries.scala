@@ -740,6 +740,15 @@ object ExtensionQueries {
           col("__cell").getField("token_ids").as("token_id"),
           col("__cell").getField("loss_mask").as("loss_mask")))),
 
+    // the packed stream's DOCUMENT SPANS (r17): the block-diagonal
+    // attention-mask address book — for each (window, doc), where the
+    // doc's ids sit (span_start, span_len). Same address arithmetic as
+    // q_pack_token_ids (budget 128, shards 8); scalar-only, token
+    // arrays never built
+    "q_pack_token_spans" -> ((s, dir) =>
+      det(graft.operators.TextStats.packedDocSpans(docs(s, dir),
+        "doc_id", "text", ByteBpeFixtureMerges, budget = 128, shards = 8))),
+
     // the FINAL pretraining artifact (r17): per-doc byte-BPE ids +
     // EOS (fixture vocab -> eos id 264), per-shard concat-and-chop
     // into 128-id context windows — graded as posexploded scalars
@@ -6459,6 +6468,33 @@ object ExtensionQueries {
     // the identical offsets + integer chop as the pretraining stream;
     // NULL-turn docs coalesce to the empty conversation (EOS only),
     // mirroring chatFromDocs' otherwise-empty-array
+    // packed-stream document spans: the ids COUNT is the pieces count
+    // + the eos, so the replay needs no id arms at all — offsets and
+    // span bounds are integer arithmetic over the same chop geometry
+    // as q_pack_token_ids (budget 128, shards 8)
+    "q_pack_token_spans" -> {
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($BytePiecesSql) + 1 AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |x AS (SELECT shard, doc_id, n, toff,
+         |    unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
+         |  FROM o)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         |  CAST(GREATEST(toff - seq_id * 128, 0) AS BIGINT) AS span_start,
+         |  CAST(LEAST(n, (seq_id + 1) * 128 - toff)
+         |    - GREATEST(seq_id * 128 - toff, 0) AS BIGINT) AS span_len
+         |FROM x
+         |ORDER BY shard $N1, seq_id $N1, doc_id $N1, span_start $N1,
+         |  span_len $N1""".stripMargin
+    },
+
     // the un-packed tokenize+mask surface: the shared cell chain
     // unnested directly (no packing arithmetic to replay)
     "q_chat_sft_tokenize" -> {

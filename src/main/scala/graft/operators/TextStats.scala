@@ -396,6 +396,57 @@ object TextStats {
   }
 
   /**
+   * The DOCUMENT SPANS of the packed pretraining stream — what a
+   * training loader needs NEXT TO [[materializePackedTokenIds]]'
+   * windows: for every (window, document) pair, where the document's
+   * ids sit inside the window (`span_start`, 0-based, `span_len`).
+   * Attention must not flow across document boundaries in a packed
+   * window (the block-diagonal attention mask / position-id reset
+   * every packed-pretraining recipe applies), and this table IS that
+   * mask's address book — plus the provenance map back from any
+   * window position to its source document. Same EOS/shard/offset
+   * arithmetic as the materializer (shared address construction), so
+   * the two surfaces can never disagree about where a document went.
+   *
+   * Output: (shard, seq_id, doc_id, span_start, span_len) — a doc
+   * crossing window boundaries contributes one span per window.
+   *
+   * 100 TB design: the whole operator is the materializer's SCALAR
+   * address pass + the span explode — token arrays are never built,
+   * never shuffled; output volume is docs + boundary crossings, not
+   * tokens.
+   */
+  def packedDocSpans(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)],
+                     budget: Int, shards: Int): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    require(budget >= 1, "budget must be >= 1")
+    require(shards >= 1, "shards must be >= 1")
+    val withN = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        pmod(col(idCol), lit(shards)).cast(LongType).as("shard"),
+        (graft.functions.ByteBpeEncode.byteBpeCount(col(textCol), merges) +
+          lit(1L)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val addr = withN
+      .withColumn("tok_offset", coalesce(sum(col("__n")).over(w), lit(0L)))
+    val firstSeq = floor(col("tok_offset") / budget).cast(LongType)
+    val lastSeq = floor((col("tok_offset") + col("__n") - 1) / budget)
+      .cast(LongType)
+    val start = greatest(lit(0L), col("seq_id") * budget - col("tok_offset"))
+    val end = least(col("__n"), (col("seq_id") + 1) * budget - col("tok_offset"))
+    addr
+      .select(col("shard"), col("doc_id"), col("tok_offset"), col("__n"),
+        explode(sequence(firstSeq, lastSeq)).as("seq_id"))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (col("tok_offset") + start - col("seq_id") * budget).as("span_start"),
+        (end - start).as("span_len"))
+  }
+
+  /**
    * The shared concat-and-chop PACK KERNEL over a per-doc id stream —
    * `withIds` is (doc_id, __ids array<T>) for any element type T
    * (plain ids here, (id, mask) structs for the SFT twin). Per-shard

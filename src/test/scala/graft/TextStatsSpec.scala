@@ -516,6 +516,38 @@ class TextStatsSpec extends AnyFunSuite {
     assert(agg.getLong(1) <= 128L, "no window over budget")
   }
 
+  test("packedDocSpans agrees with the materialized windows (shared address)") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val spans = TextStats.packedDocSpans(d, "doc_id", "text", merges,
+      budget = 128, shards = 8)
+    val mat = TextStats.materializePackedTokenIds(d, "doc_id", "text", merges,
+      budget = 128, shards = 8)
+    // per (shard, seq): span lens sum to the window's n_tokens, doc
+    // counts match, spans tile the window contiguously from 0
+    val bySeq = spans.collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) =>
+        val sorted = rs.sortBy(_.getLong(3))
+        var pos = 0L
+        sorted.foreach { r =>
+          assert(r.getLong(3) == pos, s"gap in window $k at ${r.getLong(3)}")
+          pos += r.getLong(4)
+        }
+        k -> (pos, rs.length.toLong)
+      }
+    val wantSeq = mat.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(bySeq == wantSeq,
+      "span tiling must equal the materializer's (n_tokens, n_docs) per window")
+    // boundary-crossing docs appear once per window they touch
+    assert(spans.groupBy("doc_id").count()
+      .filter(col("count") > 1).count() > 0,
+      "the fixture must exercise multi-window docs")
+  }
+
   test("bigramLogProbScore matches the hand formula; one bigram materialization") {
     // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,b) -> c2(a,b)=3, c2(b,a)=1,
     // c1(a)=3, total=4; minCount=2 keeps (a,b): lp = log10(3/3) = 0;
