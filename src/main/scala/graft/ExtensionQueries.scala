@@ -706,6 +706,14 @@ object ExtensionQueries {
           col("__cell").getField("token_ids").as("token_id"),
           col("__cell").getField("loss_mask").as("loss_mask")))),
 
+    // the packed SFT stream's conversation spans (r17): example
+    // boundaries inside packed windows (the loss mask alone cannot
+    // recover them) — same chop geometry as q_chat_pack_sft_ids,
+    // scalar-only
+    "q_chat_pack_sft_spans" -> ((s, dir) =>
+      det(graft.operators.Chat.sftPackedDocSpans(chatFrame(s, dir),
+        "doc_id", "conv", ByteBpeFixtureMerges, budget = 128, shards = 8))),
+
     // NO-SPLIT SFT packing (r17): conversations never cross windows —
     // next-fit in id order per shard, oversized conversations truncate
     // into their own window, every window pads to exactly 512 ids
@@ -6505,6 +6513,32 @@ object ExtensionQueries {
          |  unnest(ids) AS token_id, unnest(ms) AS loss_mask
          |FROM conv
          |ORDER BY doc_id $N1, pos $N1, token_id $N1, loss_mask $N1""".stripMargin
+    },
+
+    // packed-SFT conversation spans: the cell CTE's list LENGTH (the
+    // eos cell is already in `ids`) + the same integer chop geometry
+    // as q_pack_token_spans, budget 128 shards 8
+    "q_chat_pack_sft_spans" -> {
+      s"""WITH $chatCte,
+         |$SftCellCtes,
+         |t AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n FROM conv),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |x AS (SELECT shard, doc_id, n, toff,
+         |    unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
+         |  FROM o)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         |  CAST(GREATEST(toff - seq_id * 128, 0) AS BIGINT) AS span_start,
+         |  CAST(LEAST(n, (seq_id + 1) * 128 - toff)
+         |    - GREATEST(seq_id * 128 - toff, 0) AS BIGINT) AS span_len
+         |FROM x
+         |ORDER BY shard $N1, seq_id $N1, doc_id $N1, span_start $N1,
+         |  span_len $N1""".stripMargin
     },
 
     // next-fit no-split packing: the per-shard window assignment is a

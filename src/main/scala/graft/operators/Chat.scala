@@ -585,6 +585,27 @@ object Chat {
   }
 
   /**
+   * The packed SFT stream's CONVERSATION SPANS —
+   * [[graft.operators.TextStats.packedDocSpans]]' chat twin, over the
+   * SAME chop geometry as [[sftPackedTokenIds]] (shared count-mode
+   * size, shared pack arithmetic): for every (window, conversation)
+   * pair, where the conversation's cells sit. The loss mask alone
+   * cannot recover example boundaries inside a packed window (a 0-run
+   * may be padding, a user turn, or the next conversation's prompt);
+   * attention isolation between packed examples needs THIS table.
+   * Entirely scalar — cell arrays never built.
+   * Output: (shard, seq_id, doc_id, span_start, span_len).
+   */
+  def sftPackedDocSpans(df: DataFrame, idCol: String, convCol: String,
+                        merges: Seq[(String, String)],
+                        budget: Int, shards: Int): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    TextStats.packedSpansBySize(df.filter(col(convCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        convCellCount(convCol, merges).as("__n")), budget, shards)
+  }
+
+  /**
    * NO-SPLIT SFT packing — the OTHER production convention
    * ([[sftPackedTokenIds]] is GPT-style concat-and-chop): a
    * conversation never crosses a window boundary, so no example is

@@ -420,13 +420,24 @@ object TextStats {
                      merges: Seq[(String, String)],
                      budget: Int, shards: Int): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
+    packedSpansBySize(docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        (graft.functions.ByteBpeEncode.byteBpeCount(col(textCol), merges) +
+          lit(1L)).as("__n")), budget, shards)
+  }
+
+  /** The generic scalar span pass behind [[packedDocSpans]] and the
+    * SFT twin ([[graft.operators.Chat.sftPackedDocSpans]]): `sized` is
+    * (doc_id, __n) — the per-doc cell count under whatever encode the
+    * caller packs with. Same offsets/chop arithmetic as
+    * [[packIdStream]], arrays never built. */
+  private[operators] def packedSpansBySize(sized: DataFrame, budget: Int,
+                                           shards: Int): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     require(shards >= 1, "shards must be >= 1")
-    val withN = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        pmod(col(idCol), lit(shards)).cast(LongType).as("shard"),
-        (graft.functions.ByteBpeEncode.byteBpeCount(col(textCol), merges) +
-          lit(1L)).as("__n"))
+    val withN = sized.select(col("doc_id"),
+      pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
+      col("__n").cast(LongType).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

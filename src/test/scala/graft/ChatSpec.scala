@@ -373,6 +373,36 @@ class ChatSpec extends AnyFunSuite {
       "<|user|>\nthe and<|end|>\n<|assistant|>\nin then<|end|>\n")
   }
 
+  test("sftPackedDocSpans tiles the packed SFT windows (shared address)") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val convs = d.select(col("doc_id"), array(
+      struct(lit("user").as("role"), col("text").as("content")),
+      struct(lit("assistant").as("role"),
+        reverse(col("text")).as("content"))).as("conv"))
+    val spans = Chat.sftPackedDocSpans(convs, "doc_id", "conv", merges,
+      budget = 128, shards = 8)
+    val mat = Chat.sftPackedTokenIds(convs, "doc_id", "conv", merges,
+      budget = 128, shards = 8)
+    val bySeq = spans.collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) =>
+        val sorted = rs.sortBy(_.getLong(3))
+        var pos = 0L
+        sorted.foreach { r =>
+          assert(r.getLong(3) == pos, s"gap in window $k at ${r.getLong(3)}")
+          pos += r.getLong(4)
+        }
+        k -> (pos, rs.length.toLong)
+      }
+    val wantSeq = mat.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(bySeq == wantSeq,
+      "span tiling must equal sftPackedTokenIds' (n_tokens, n_docs) per window")
+  }
+
   test("sftPackedTokenIdsNoSplit: next-fit, padding, truncation, no torn conv") {
     val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
       ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
