@@ -372,4 +372,44 @@ class InvariantPropertiesSpec extends AnyFunSuite {
         "day", numBuckets = nb)) == resWant,
         s"bucketed resample diverges at nb=$nb")
   }
+
+  test("packed token stream: brute-force replay at random geometries (r17)") {
+    // the r17 token-stream family against a driver-side brute force:
+    // encode every doc + eos, concat per shard in id order, chop —
+    // the packed windows, their spans, and the per-doc surfaces must
+    // all tile back to that exact stream at EVERY (budget, shards)
+    import graft.operators.TextStats
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val eos = 256L + merges.size
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // reference: one collect of the per-doc kernel ids
+    val perDoc = docs.select(col("doc_id"),
+        graft.functions.ByteBpeEncode.byteBpeIds(col("text"), merges)
+          .as("ids"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1) :+ eos))
+      .sortBy(_._1)
+    for ((budget, shards) <- Seq((3, 1), (7, 2), (16, 5), (64, 3))) {
+      val streams = perDoc.groupBy(_._1 % shards)
+        .map { case (sh, ds) => sh -> ds.sortBy(_._1).flatMap(_._2).toSeq }
+      // windows
+      val got = TextStats.materializePackedTokenIds(docs, "doc_id", "text",
+          merges, budget, shards)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+      val want = streams.flatMap { case (sh, st) =>
+        st.grouped(budget).zipWithIndex.map { case (w, i) =>
+          (sh, i.toLong) -> w.toSeq }
+      }.toMap
+      assert(got == want, s"windows diverge at budget=$budget shards=$shards")
+      // spans tile the same windows
+      val spans = TextStats.packedDocSpans(docs, "doc_id", "text", merges,
+          budget, shards)
+        .collect().groupBy(r => (r.getLong(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(4)).sum }
+      assert(spans == want.map { case (k, w) => k -> w.length.toLong },
+        s"span totals diverge at budget=$budget shards=$shards")
+    }
+  }
 }
