@@ -554,11 +554,16 @@ object Chat {
                       eosId: Option[Long] = None): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
     val eos = eosId.getOrElse(256L + merges.size)
-    val cells = when(col(convCol).isNotNull,
-      convCells(convCol, merges, eos))
-    df.select(col(idCol),
-      transform(cells, x => x.getField("id")).as("token_ids"),
-      transform(cells, x => x.getField("m")).as("loss_mask"))
+    // stage the cell struct array ONCE — lambda-bearing expressions get
+    // no common-subexpression elimination (the chatFromDocs trap), so
+    // projecting ids and mask straight from two convCells copies would
+    // run the hot BPE encode twice per row
+    val staged = df.select(col(idCol),
+      when(col(convCol).isNotNull,
+        convCells(convCol, merges, eos)).as("__cells"))
+    staged.select(col(idCol),
+      transform(col("__cells"), x => x.getField("id")).as("token_ids"),
+      transform(col("__cells"), x => x.getField("m")).as("loss_mask"))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
       .withColumn("n_assistant_tokens",
         aggregate(col("loss_mask"), lit(0L), (a, x) => a + x))
@@ -623,12 +628,13 @@ object Chat {
    * n_docs, truncated).
    *
    * 100 TB design: next-fit is sequential PER SHARD, so the
-   * assignment runs as one `flatMapGroups` over the SCALAR address
-   * frame (doc_id, n) — the [[graft.operators.TextStats.packSequences]]
-   * FFD discipline: per-task state is one counter pair, arrays stay
-   * out of the groups entirely; the ids join back by doc_id and one
+   * assignment runs as a STREAMING `mapPartitions` scan over the
+   * SCALAR address frame (doc_id, n) repartitioned by shard and
+   * sorted within partitions on (shard, doc_id) — Spark's external
+   * sort spills, the scan itself holds genuinely ONE counter pair
+   * (plus the current shard id) per task, arrays stay out of the
+   * assignment entirely; the ids join back by doc_id and one
    * (shard, seq_id) groupBy assembles windows bounded by `budget`.
-   * Shard count bounds per-task doc count exactly like packSequences.
    */
   def sftPackedTokenIdsNoSplit(df: DataFrame, idCol: String, convCol: String,
                                merges: Seq[(String, String)],
@@ -644,15 +650,21 @@ object Chat {
       .select(col(idCol).as("doc_id"),
         convCells(convCol, merges, eos).as("__ids"),
         convCellCount(convCol, merges).as("__n"))
-    // scalar address pass: the count-mode column, never the cell array
-    val sized = withIds.select(col("doc_id"),
+    // scalar address pass: the count-mode column, never the cell array;
+    // doc_id is cast to Long so ANY numeric id type works (the sibling
+    // packers' pmod convention — the join back coerces the key)
+    val sized = withIds.select(col("doc_id").cast(LongType).as("doc_id"),
       pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
       col("__n").cast(LongType).as("__n"))
-    // sequential next-fit per shard over the scalar address frame
+    // sequential next-fit per shard: repartition by shard, external
+    // sort within partitions on (shard, doc_id) — id order is the
+    // contract, next-fit is order-sensitive — then ONE streaming scan;
+    // per-task state is literally (current shard, seq counter, used
+    // counter), never a buffered address list
     import org.apache.spark.sql.{Encoders, Row}
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
-        df.schema(idCol).dataType),
+        org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("shard",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("seq_id",
@@ -661,21 +673,25 @@ object Chat {
         org.apache.spark.sql.types.LongType, nullable = false)))
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
       Encoders.row(outSchema)
-    val addr = sized.groupByKey(_.getLong(1))(Encoders.scalaLong)
-      .flatMapGroups { (shard: Long, it: Iterator[Row]) =>
-        // id order is the contract (next-fit is order-sensitive)
-        val ds = it.map(r => (r.getLong(0), r.getLong(2))).toArray
-          .sortBy(_._1)
+    val addr = sized
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
         var seq = -1L
-        var used = budget.toLong + 1 // forces a new window for the first doc
-        ds.iterator.map { case (id, n) =>
+        var used = budget.toLong + 1 // forces a new window per shard start
+        it.map { r =>
+          val id = r.getLong(0); val shard = r.getLong(1); val n = r.getLong(2)
+          if (shard != curShard) {
+            curShard = shard; seq = -1L; used = budget.toLong + 1
+          }
           val eff = math.min(n, budget.toLong)
           val off = if (used + eff > budget) { seq += 1; used = eff; 0L }
           else { val o = used; used += eff; o }
           Row(id, shard, seq, off)
         }
       }
-    addr.toDF().join(withIds, Seq("doc_id"))
+    addr.join(withIds, Seq("doc_id"))
       .select(col("shard"), col("seq_id"), col("win_off"),
         slice(col("__ids"), 1, budget).as("__piece"),
         (size(col("__ids")) > budget).as("__cut"))

@@ -263,7 +263,10 @@ object CurationCompiler {
    *  - `scrub` is REJECTED with the reason: its covered-position
    *    aggregate feeding a join back onto the same stream is a
    *    stream-stream join after an aggregation — run the surgical
-   *    pass in the batch compaction instead.
+   *    pass in the batch compaction instead;
+   *  - `pack_sft_ids` is REJECTED like the document compiler's
+   *    `pack_ids`: packed windows need corpus-global (shard, seq)
+   *    offsets — batch compaction work.
    */
   def compileStreamingChat(cfg: ChatCurationConfig, stream: DataFrame,
                            tsCol: String, watermark: String,
@@ -296,6 +299,15 @@ object CurationCompiler {
             s"stage $other joins a covered-position aggregate back onto the " +
               "same stream (stream-stream join after aggregation); run the " +
               "surgical scrub in the batch compaction pass")
+        case other: ChatPackSftIdsStage =>
+          // the document compiler's PackIdsStage rejection, chat twin:
+          // packed windows assemble from corpus-global (shard, seq)
+          // offsets a micro-batch cannot know — a clean loud reject,
+          // not a fold-time MatchError (ADVICE r17)
+          throw new UnsupportedOperationException(
+            s"stage $other assembles fixed context windows from " +
+              "corpus-global (shard, seq_id) offsets and cannot run on a " +
+              "micro-batch; run the packing in the batch compaction pass")
       }
     }
   }

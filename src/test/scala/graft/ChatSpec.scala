@@ -459,4 +459,34 @@ class ChatSpec extends AnyFunSuite {
     assert(rows.filter(_._1 != overSeq).values.forall(!_._5),
       "no other window reports truncation")
   }
+
+  test("sftTokenizeMask evaluates the whole-conversation encode ONCE") {
+    // ADVICE r17: projecting token_ids and loss_mask from two copies of
+    // the convCells expression ran the hot ids-mode kernel twice per
+    // row (lambda-bearing expressions get no CSE); the staged __cells
+    // column must leave exactly one ids-mode kernel in the plan
+    val merges = Seq(("74", "68"), ("7468", "65"))
+    val out = Chat.sftTokenizeMask(planted, "id", "conv", merges)
+    val plan = out.queryExecution.optimizedPlan.toString
+    val n = "graft_byte_bpe_ids".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly one ids-mode kernel call, got $n")
+  }
+
+  test("sftPackedTokenIdsNoSplit: any numeric id type packs identically") {
+    // ADVICE r17: the address scan read the id with getLong, so an
+    // IntegerType doc id threw ClassCastException while the sibling
+    // packers accepted any numeric id — pinned fixed here
+    val merges = Seq(("74", "68"), ("7468", "65"), ("69", "6E"))
+    val df = frame(
+      1L -> conv("user" -> "hi", "assistant" -> "yo"),
+      2L -> conv("user" -> "ok", "assistant" -> "no"),
+      3L -> conv("user" -> "the thin end", "assistant" -> "in the end"))
+    val asInt = df.withColumn("id", col("id").cast(IntegerType))
+    val want = Chat.sftPackedTokenIdsNoSplit(df, "id", "conv", merges,
+      budget = 32, shards = 2).collect().map(_.toString).sorted
+    val got = Chat.sftPackedTokenIdsNoSplit(asInt, "id", "conv", merges,
+      budget = 32, shards = 2).collect().map(_.toString).sorted
+    assert(got.sameElements(want),
+      "IntegerType ids must pack exactly like LongType ids")
+  }
 }

@@ -326,6 +326,18 @@ class CurationCompilerSpec extends AnyFunSuite {
         toConv(mem.toDF().toDF("doc_id", "ts", "packed")), "ts", "10 minutes",
         resolve = Map("holdout" -> Seq((1L, "x")).toDF("doc_id", "text")))
     }
+    // pack_sft_ids must reject CLEANLY (ADVICE r17: the missing arm
+    // made this a fold-time scala.MatchError), and before any
+    // ModelStore read — the merges path here does not exist
+    intercept[UnsupportedOperationException] {
+      CurationCompiler.compileStreamingChat(
+        ChatCurationConfig.fromYaml(
+          """tokenizer: {kind: bpe_bytes, merges: /nonexistent/merges}
+            |stages:
+            |  - {op: pack_sft_ids, budget: 64, shards: 2}
+            |""".stripMargin),
+        toConv(mem.toDF().toDF("doc_id", "ts", "packed")), "ts", "10 minutes")
+    }
   }
 
   test("events analytics config compiles to the programmatic pipeline exactly") {
