@@ -2268,6 +2268,18 @@ object ExtensionQueries {
           |""".stripMargin,
         events(s, dir)))),
 
+    // the STRING-KEY billion-key card (r18, VERDICT r17 #1: string/UUID
+    // ids are the COMMON billion-key case and used to fall back to the
+    // single-task ntile plan): FOURTH path on the q_events_rfm shape —
+    // a key whose BINARY order differs from numeric order ("u10" <
+    // "u2"), ranked through the order-preserving 6-byte UTF-8 prefix
+    // geometry; the oracle recomputes ntile with VARCHAR tie-breaks
+    "q_events_rfm_strkey" -> ((s, dir) =>
+      det(graft.operators.Windowed.rfmCardSharded(
+        events(s, dir).withColumn("user_key",
+          concat(lit("u"), col("user_id").cast("string"))),
+        "user_key", "ts", "value", nTiles = 5, vBuckets = 8, kBuckets = 8))),
+
     // position-based (U-shaped) attribution: 40/20/40 edge weighting
     "q_events_attribution_pos" -> ((s, dir) =>
       det(graft.operators.Windowed.attributionPositional(events(s, dir),
@@ -5308,6 +5320,31 @@ object ExtensionQueries {
          |    AS INTEGER) AS m_score
          |FROM r
          |ORDER BY user_id $N1, recency_sec $N1, frequency $N1, monetary $N1,
+         |  r_score $N1, f_score $N1, m_score $N1""".stripMargin,
+    // the q_events_rfm text over the derived STRING key — VARCHAR
+    // tie-breaks everywhere (binary collation on both engines), so the
+    // tile assignment is genuinely string-ordered
+    "q_events_rfm_strkey" ->
+      s"""WITH per AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS user_key,
+         |   max(CAST(ts AS TIMESTAMP)) AS last_ts,
+         |   CAST(count(*) AS BIGINT) AS frequency,
+         |   round(sum(value), 2) AS monetary
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY 1),
+         |m AS (SELECT max(last_ts) AS cmax FROM per),
+         |r AS (SELECT user_key,
+         |   round(epoch(m.cmax) - epoch(last_ts), 6) AS recency_sec,
+         |   frequency, monetary
+         |  FROM per CROSS JOIN m)
+         |SELECT user_key, recency_sec, frequency, monetary,
+         |  CAST(ntile(5) OVER (ORDER BY recency_sec ASC, user_key ASC)
+         |    AS INTEGER) AS r_score,
+         |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_key ASC)
+         |    AS INTEGER) AS f_score,
+         |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_key ASC)
+         |    AS INTEGER) AS m_score
+         |FROM r
+         |ORDER BY user_key $N1, recency_sec $N1, frequency $N1, monetary $N1,
          |  r_score $N1, f_score $N1, m_score $N1""".stripMargin,
     // same pair CTE; U-shaped weights spelled as the SAME double
     // expression (1.0 - 2*0.4) so constant folding is IEEE-identical

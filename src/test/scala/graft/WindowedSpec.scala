@@ -286,6 +286,65 @@ class WindowedSpec extends AnyFunSuite {
     }, "below the threshold the plain three-window card is the right plan")
   }
 
+  test("rfmCardSharded: STRING keys — prefix geometry, monster ties, Auto routes, no unpartitioned window") {
+    def asMapS(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), Option(r.get(3)), r.getInt(4),
+          r.getInt(5), r.getInt(6)))).toMap
+    // stringKeyRank is MONOTONE in the key's binary order (the whole
+    // correctness argument) — incl. multi-byte UTF-8 and prefix pairs
+    val keys = Seq("", "a", "a0", "ab", "abcdef", "abcdefg", "abcdeg",
+      "b", "u1", "u10", "u100", "u2", "zzzzzzzz", "é", "é1", "☃")
+    val ranked = keys.toDF("k")
+      .select(col("k"), Windowed.stringKeyRank(col("k")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    keys.sorted.sliding(2).foreach { case Seq(a, b) =>
+      assert(ranked(a) <= ranked(b), s"rank must not decrease: '$a' -> '$b'")
+    }
+    // real events under a string key whose BINARY order differs from
+    // the numeric order ("u10" < "u2"): sharded == plain, several
+    // geometries
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("user_key", concat(lit("u"), col("user_id").cast("string")))
+    for (vb <- Seq(2, 8); kb <- Seq(2, 8)) {
+      val want = asMapS(Windowed.rfmCard(e, "user_key", "ts", "value", 5))
+      val got = asMapS(Windowed.rfmCardSharded(e, "user_key", "ts", "value",
+        5, vBuckets = vb, kBuckets = kb))
+      assert(got == want, s"string key diverges at vBuckets=$vb kBuckets=$kb")
+    }
+    // crafted string-tie monster: EVERY key shares a >6-byte prefix, so
+    // the prefix geometry collapses all keys into ONE sub-bucket cell
+    // (the degenerate-but-exact case) while frequency=1 ties span the
+    // whole frame and whole tie families straddle tile boundaries;
+    // NULL-monetary families included
+    val tie = spark.range(3000).select(
+      concat(lit("user::"), col("id").cast("string")).as("user_key"),
+      timestamp_millis(lit(1700000000000L) +
+        (col("id") % 500) * 60000L).as("ts"),
+      when(col("id") % 40 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 2).cast("double")).as("value"))
+    val want = asMapS(Windowed.rfmCard(tie, "user_key", "ts", "value", 5))
+    val sharded = Windowed.rfmCardSharded(tie, "user_key", "ts", "value", 5,
+      vBuckets = 8, kBuckets = 8)
+    assert(asMapS(sharded) == want, "shared-prefix monster ties diverge")
+    sharded.collect()
+    assert(!PlanWalk.nodes(sharded).exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.isEmpty
+      case _ => false
+    }, "string-key sharded card must not plan an unpartitioned window")
+    // the routed front door now takes string keys past the threshold
+    val auto = Windowed.rfmCardAuto(tie, "user_key", "ts", "value", 5,
+      maxPlainKeys = 100L, vBuckets = 8, kBuckets = 8)
+    assert(asMapS(auto) == want)
+    assert(!PlanWalk.nodes(auto).exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.isEmpty
+      case _ => false
+    }, "past the key threshold string keys must route to the sharded plan")
+  }
+
   test("attributionPositional: U-shaped weights incl. 1/2/3-touch degenerate forms") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
