@@ -1797,6 +1797,29 @@ object ExtensionQueries {
         .select(col("shard"), col("seq_id"),
           col("pos").cast(LongType).as("pos"), col("token_id")))),
 
+    // the YAML-declared span address book (r18, VERDICT r17 #4): the
+    // doc_spans terminal stage on the SAME tokenizer/budget/shards as
+    // the pack_ids row — graded on the q_pack_token_spans oracle text
+    // (one oracle, two construction paths), so the config surface can
+    // never drift from the programmatic packer's geometry
+    "q_pipeline_pack_spans_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileYaml(
+        s"""curation:
+           |  tokenizer: {kind: bpe_bytes, merges: ${fixtureMergesStore(s, dir)}}
+           |  stages:
+           |    - {op: doc_spans, budget: 128, shards: 8}
+           |""".stripMargin, docs(s, dir)))),
+
+    // the chat twin: pack_sft_spans from YAML on the
+    // q_chat_pack_sft_spans oracle text
+    "q_pipeline_sft_spans_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileChatYaml(
+        s"""chat_curation:
+           |  tokenizer: {kind: bpe_bytes, merges: ${fixtureMergesStore(s, dir)}}
+           |  stages:
+           |    - {op: pack_sft_spans, budget: 128, shards: 8}
+           |""".stripMargin, chatFrame(s, dir)))),
+
     // sentence segmentation with the pinned [^.!?]+[.!?]+ boundary
     // rule; the corpus carries no terminators, so the query PLANTS
     // deterministic sentence punctuation (the q_redact_pii trick) —
@@ -8034,6 +8057,10 @@ object ExtensionQueries {
     // the YAML-declared packed id stream (r17): second construction
     // path on the q_pack_token_ids oracle text
     .updated("q_pipeline_pack_ids_config", oracleSqlBase("q_pack_token_ids"))
+    // the span address books from YAML grade on the programmatic rows'
+    // oracle texts (r18): one oracle, two construction paths
+    .updated("q_pipeline_pack_spans_config", oracleSqlBase("q_pack_token_spans"))
+    .updated("q_pipeline_sft_spans_config", oracleSqlBase("q_chat_pack_sft_spans"))
     // the YAML-declared SFT pack (r17): second construction path on
     // the q_chat_pack_sft_ids oracle text
     .updated("q_pipeline_sft_pack_config", oracleSqlBase("q_chat_pack_sft_ids"))

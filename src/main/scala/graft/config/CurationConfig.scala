@@ -73,6 +73,14 @@ final case class PackStage(budget: Int, shards: Int) extends CurationStage
   * 256+|merges| (the GPT-2 convention) when omitted. */
 final case class PackIdsStage(budget: Int, shards: Int,
                               eosId: Option[Long]) extends CurationStage
+/** Terminal: [[graft.operators.TextStats.packedDocSpans]] — the packed
+  * stream's ADDRESS BOOK (r18, VERDICT r17 #4: a packed artifact
+  * without its block-diagonal attention/provenance spans is not
+  * loadable): for every (window, document) pair, where the document's
+  * ids sit. Same tokenizer/budget/shards as the `pack_ids` run it
+  * describes — declare them identically in both configs. Requires a
+  * `tokenizer:` mapping (sizes come from the production encode). */
+final case class PackSpansStage(budget: Int, shards: Int) extends CurationStage
 /** [[graft.operators.TextStats.fimTransform]] — TERMINAL augmentation
   * (emits (id, fim_mode, text)); row-local, stream-legal. */
 final case class FimStage(fimRate: Double, spmRate: Double) extends CurationStage
@@ -121,15 +129,16 @@ final case class CurationConfig(idCol: String, textCol: String,
                                 tokenizer: Option[TokenizerSpec] = None) {
   require(stages.nonEmpty, "curation config needs at least one stage")
   private def terminal(s: CurationStage): Boolean = s match {
-    case _: PackStage | _: PackIdsStage | _: FimStage |
+    case _: PackStage | _: PackIdsStage | _: PackSpansStage | _: FimStage |
          _: SpanCorruptStage | _: DenoiserMixStage => true
     case _ => false
   }
   require(!stages.dropRight(1).exists(terminal),
-    "pack/pack_ids/fim/span_corrupt/denoiser_mix change the row schema " +
-      "and must be the LAST stage")
-  require(!stages.exists(_.isInstanceOf[PackIdsStage]) || tokenizer.nonEmpty,
-    "pack_ids encodes with the production tokenizer; declare a " +
+    "pack/pack_ids/doc_spans/fim/span_corrupt/denoiser_mix change the " +
+      "row schema and must be the LAST stage")
+  require(!stages.exists(s => s.isInstanceOf[PackIdsStage] ||
+    s.isInstanceOf[PackSpansStage]) || tokenizer.nonEmpty,
+    "pack_ids/doc_spans encode with the production tokenizer; declare a " +
       "tokenizer: {kind: bpe_bytes, merges: <ModelStore path>} mapping")
 }
 
@@ -220,6 +229,8 @@ object CurationConfig {
       case "pack" => PackStage(int(m, "budget", 512), int(m, "shards", 0))
       case "pack_ids" => PackIdsStage(int(m, "budget", 512),
         int(m, "shards", 8), m.get("eos_id").map(_.toString.toLong))
+      case "doc_spans" => PackSpansStage(int(m, "budget", 512),
+        int(m, "shards", 8))
       case "fim" => FimStage(dbl(m, "fim_rate", 0.5), dbl(m, "spm_rate", 0.5))
       case "span_corrupt" => SpanCorruptStage(
         dbl(m, "density", 0.15), int(m, "mean_span", 3))
@@ -270,22 +281,31 @@ final case class ChatRenderStage() extends ChatStage
   * config's `tokenizer:` mapping; `eos_id` defaults to 256+|merges|. */
 final case class ChatPackSftIdsStage(budget: Int, shards: Int,
                                      eosId: Option[Long]) extends ChatStage
+/** Terminal: [[graft.operators.Chat.sftPackedDocSpans]] — the packed
+  * SFT stream's conversation-span ADDRESS BOOK (r18: the loss mask
+  * alone cannot recover example boundaries inside a packed window;
+  * attention isolation needs this table). Same tokenizer/budget/shards
+  * as the `pack_sft_ids` run it describes. */
+final case class ChatPackSftSpansStage(budget: Int,
+                                       shards: Int) extends ChatStage
 
 final case class ChatCurationConfig(idCol: String, convCol: String,
                                     stages: Seq[ChatStage],
                                     tokenizer: Option[TokenizerSpec] = None) {
   require(stages.nonEmpty, "chat curation config needs at least one stage")
   private def terminal(s: ChatStage): Boolean = s match {
-    case _: ChatRenderStage | _: ChatPackSftIdsStage => true
+    case _: ChatRenderStage | _: ChatPackSftIdsStage |
+         _: ChatPackSftSpansStage => true
     case _ => false
   }
   require(!stages.dropRight(1).exists(terminal),
-    "render/pack_sft_ids change the output schema and must be the " +
-      "LAST stage")
-  require(!stages.exists(_.isInstanceOf[ChatPackSftIdsStage]) ||
-    tokenizer.nonEmpty,
-    "pack_sft_ids encodes with the production tokenizer; declare a " +
-      "tokenizer: {kind: bpe_bytes, merges: <ModelStore path>} mapping")
+    "render/pack_sft_ids/pack_sft_spans change the output schema and " +
+      "must be the LAST stage")
+  require(!stages.exists(s => s.isInstanceOf[ChatPackSftIdsStage] ||
+    s.isInstanceOf[ChatPackSftSpansStage]) || tokenizer.nonEmpty,
+    "pack_sft_ids/pack_sft_spans encode with the production tokenizer; " +
+      "declare a tokenizer: {kind: bpe_bytes, merges: <ModelStore path>} " +
+      "mapping")
 }
 
 object ChatCurationConfig {
@@ -346,6 +366,8 @@ object ChatCurationConfig {
       case "render" => ChatRenderStage()
       case "pack_sft_ids" => ChatPackSftIdsStage(int("budget", 512),
         int("shards", 8), m.get("eos_id").map(_.toString.toLong))
+      case "pack_sft_spans" => ChatPackSftSpansStage(int("budget", 512),
+        int("shards", 8))
       case other => throw new IllegalArgumentException(
         s"unknown chat curation op: '$other'")
     }

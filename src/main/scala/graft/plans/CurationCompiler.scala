@@ -126,6 +126,11 @@ object CurationCompiler {
           // tokenizer presence enforced at config construction
           graft.operators.TextStats.materializePackedTokenIds(cur, id, text,
             bpeMerges.get, budget, shards, eosId)
+        case PackSpansStage(budget, shards) =>
+          // the pack_ids run's address book: same count-mode sizing,
+          // same chop arithmetic (shared construction in TextStats)
+          graft.operators.TextStats.packedDocSpans(cur, id, text,
+            bpeMerges.get, budget, shards)
         case other => throw new IllegalStateException(s"unhandled stage $other")
       })
     }
@@ -235,6 +240,13 @@ object CurationCompiler {
             .map(m => (m._1, m._2))
           graft.operators.Chat.sftPackedTokenIds(cur, id, conv, merges,
             budget, shards, eosId)
+        case ChatPackSftSpansStage(budget, shards) =>
+          // the pack_sft_ids run's conversation-span address book
+          val merges = graft.sources.ModelStore
+            .loadMerges(convs.sparkSession, cfg.tokenizer.get.merges)
+            .map(m => (m._1, m._2))
+          graft.operators.Chat.sftPackedDocSpans(cur, id, conv, merges,
+            budget, shards)
       }
     }
   }
@@ -308,6 +320,11 @@ object CurationCompiler {
             s"stage $other assembles fixed context windows from " +
               "corpus-global (shard, seq_id) offsets and cannot run on a " +
               "micro-batch; run the packing in the batch compaction pass")
+        case other: ChatPackSftSpansStage =>
+          throw new UnsupportedOperationException(
+            s"stage $other derives window addresses from corpus-global " +
+              "(shard, seq_id) offsets and cannot run on a micro-batch; " +
+              "run the span pass in the batch compaction alongside the packer")
       }
     }
   }

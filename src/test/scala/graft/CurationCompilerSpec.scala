@@ -645,6 +645,96 @@ class CurationCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_spans / pack_sft_spans stages: parse, tokenizer-required, terminal, zero drift, stream reject") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spans_cfg").toString
+    try {
+      graft.sources.ModelStore.saveMerges(spark,
+        merges.map { case (l, r) => (l, r, 0L) }, tmp)
+      // tokenizer required on BOTH surfaces
+      intercept[IllegalArgumentException] {
+        graft.config.CurationConfig.fromYaml(
+          "curation:\n  stages:\n    - {op: doc_spans}\n")
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.ChatCurationConfig.fromYaml(
+          "chat_curation:\n  stages:\n    - {op: pack_sft_spans}\n")
+      }
+      // terminal enforced
+      intercept[IllegalArgumentException] {
+        graft.config.CurationConfig.fromYaml(
+          s"""curation:
+             |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+             |  stages:
+             |    - {op: doc_spans}
+             |    - {op: strip_markup}
+             |""".stripMargin)
+      }
+      // zero drift vs the programmatic address book — document side
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val cfgD = graft.plans.CurationCompiler.compileYaml(
+        s"""curation:
+           |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+           |  stages:
+           |    - {op: doc_spans, budget: 64, shards: 4}
+           |""".stripMargin, docs)
+      val wantD = graft.operators.TextStats.packedDocSpans(docs,
+        "doc_id", "text", merges, budget = 64, shards = 4)
+      assert(cfgD.collect().map(_.toSeq).toSet ==
+        wantD.collect().map(_.toSeq).toSet,
+        "config doc_spans must equal the programmatic address book")
+      // chat side
+      val convs = docs.limit(50).select(col("doc_id"), array(
+        struct(lit("user").as("role"), col("text").as("content")),
+        struct(lit("assistant").as("role"),
+          substring(col("text"), 1, 40).as("content"))).as("conv"))
+      val cfgC = graft.plans.CurationCompiler.compileChatYaml(
+        s"""chat_curation:
+           |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+           |  stages:
+           |    - {op: pack_sft_spans, budget: 64, shards: 4}
+           |""".stripMargin, convs)
+      val wantC = graft.operators.Chat.sftPackedDocSpans(convs,
+        "doc_id", "conv", merges, budget = 64, shards = 4)
+      assert(cfgC.collect().map(_.toSeq).toSet ==
+        wantC.collect().map(_.toSeq).toSet,
+        "config pack_sft_spans must equal the programmatic address book")
+      // streaming compilers reject cleanly on both surfaces
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val sdf = ms.toDF.toDF("doc_id", "text", "ts")
+      intercept[UnsupportedOperationException] {
+        graft.plans.CurationCompiler.compileStreaming(
+          graft.config.CurationConfig.fromYaml(
+            s"""curation:
+               |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+               |  stages:
+               |    - {op: doc_spans}
+               |""".stripMargin), sdf, "ts", "10 minutes")
+      }
+      val msc = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val cdf = msc.toDF.toDF("doc_id", "packed", "ts")
+        .withColumn("conv", array(struct(lit("user").as("role"),
+          col("packed").as("content"))))
+      intercept[UnsupportedOperationException] {
+        graft.plans.CurationCompiler.compileStreamingChat(
+          graft.config.ChatCurationConfig.fromYaml(
+            s"""chat_curation:
+               |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+               |  stages:
+               |    - {op: pack_sft_spans}
+               |""".stripMargin), cdf, "ts", "10 minutes")
+      }
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("pack_sft_ids chat stage: terminal + tokenizer-required + zero drift") {
     val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
       ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
