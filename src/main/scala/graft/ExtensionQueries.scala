@@ -771,6 +771,37 @@ object ExtensionQueries {
         .select(col("shard"), col("seq_id"),
           col("pos").cast(LongType).as("pos"), col("token_id")))),
 
+    // the pack-health datasheet (r18, VERDICT r17 #7): ONE row a
+    // training run gates on — windows, shard coverage, fill rate,
+    // docs/window distribution, truncation — over the SAME packed
+    // stream as q_pack_token_ids (the id arrays prune out of the
+    // aggregate; plan-asserted in TextStatsSpec)
+    "q_pack_datasheet" -> ((s, dir) =>
+      det(graft.operators.TextStats.packDatasheet(
+        graft.operators.TextStats.materializePackedTokenIds(docs(s, dir),
+          "doc_id", "text", ByteBpeFixtureMerges, budget = 128, shards = 8),
+        budget = 128))),
+
+    // the datasheet from YAML (pack_datasheet terminal stage) — the
+    // q_pack_datasheet oracle text, two construction paths
+    "q_pipeline_pack_datasheet_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileYaml(
+        s"""curation:
+           |  tokenizer: {kind: bpe_bytes, merges: ${fixtureMergesStore(s, dir)}}
+           |  stages:
+           |    - {op: pack_datasheet, budget: 128, shards: 8}
+           |""".stripMargin, docs(s, dir)))),
+
+    // the no-split packer's datasheet: the one packed shape where
+    // truncation is REAL (oversized conversations chop to budget in
+    // their own window) and fill < 1 by design (padding) — n_tokens
+    // counts real ids before padding, so fill_rate prices pad waste
+    "q_chat_pack_nosplit_datasheet" -> ((s, dir) =>
+      det(graft.operators.TextStats.packDatasheet(
+        graft.operators.Chat.sftPackedTokenIdsNoSplit(chatFrame(s, dir),
+          "doc_id", "conv", ByteBpeFixtureMerges, budget = 512, shards = 8),
+        budget = 512))),
+
     // packing's dual: long docs split into overlapping context windows
     "q_chunk_documents" -> ((s, dir) =>
       det(graft.operators.TextStats.chunkDocuments(docs(s, dir), "doc_id", "text",
@@ -6715,6 +6746,83 @@ object ExtensionQueries {
          |  span_len $N1""".stripMargin
     },
 
+    // pack-health datasheet: the q_pack_token_spans count chain
+    // aggregated per window, then ONE summary row — fill/avg spelled
+    // as the same single double division both engines execute
+    "q_pack_datasheet" -> {
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($BytePiecesSql) + 1 AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |x AS (SELECT shard, doc_id, n, toff,
+         |    unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
+         |  FROM o),
+         |w AS (SELECT shard, seq_id,
+         |    SUM(LEAST(n, (seq_id + 1) * 128 - toff)
+         |      - GREATEST(seq_id * 128 - toff, 0)) AS nt,
+         |    COUNT(*) AS nd
+         |  FROM x GROUP BY shard, seq_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(nt) AS DOUBLE) / CAST(count(*) * 128 AS DOUBLE), 6)
+         |    AS fill_rate,
+         |  CAST(sum(CASE WHEN nt = 128 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS full_windows,
+         |  round(CAST(sum(nd) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS avg_docs_per_window,
+         |  CAST(min(nd) AS BIGINT) AS min_docs_per_window,
+         |  CAST(max(nd) AS BIGINT) AS max_docs_per_window,
+         |  CAST(0 AS BIGINT) AS truncated_windows
+         |FROM w
+         |ORDER BY n_windows $N1""".stripMargin
+    },
+
+    // the no-split packer's datasheet: the recursive next-fit replay's
+    // per-window (eff sum, doc count, truncation max), summarized
+    "q_chat_pack_nosplit_datasheet" -> {
+      s"""WITH RECURSIVE $chatCte,
+         |$SftCellCtes,
+         |s AS (SELECT doc_id, doc_id % 8 AS shard,
+         |    LEAST(len(ids), 512) AS eff, len(ids) > 512 AS tr,
+         |    row_number() OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id) AS ri
+         |  FROM conv),
+         |assign AS (
+         |  SELECT shard, ri, doc_id, eff, tr,
+         |    CAST(0 AS BIGINT) AS seq, CAST(eff AS BIGINT) AS used
+         |  FROM s WHERE ri = 1
+         |  UNION ALL
+         |  SELECT s.shard, s.ri, s.doc_id, s.eff, s.tr,
+         |    CASE WHEN a.used + s.eff > 512 THEN a.seq + 1
+         |      ELSE a.seq END,
+         |    CASE WHEN a.used + s.eff > 512 THEN CAST(s.eff AS BIGINT)
+         |      ELSE a.used + s.eff END
+         |  FROM assign a JOIN s ON s.shard = a.shard AND s.ri = a.ri + 1),
+         |w AS (SELECT shard, seq, SUM(eff) AS nt, COUNT(*) AS nd,
+         |    MAX(CASE WHEN tr THEN 1 ELSE 0 END) AS wt
+         |  FROM assign GROUP BY shard, seq)
+         |SELECT CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(nt) AS DOUBLE) / CAST(count(*) * 512 AS DOUBLE), 6)
+         |    AS fill_rate,
+         |  CAST(sum(CASE WHEN nt = 512 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS full_windows,
+         |  round(CAST(sum(nd) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS avg_docs_per_window,
+         |  CAST(min(nd) AS BIGINT) AS min_docs_per_window,
+         |  CAST(max(nd) AS BIGINT) AS max_docs_per_window,
+         |  CAST(sum(wt) AS BIGINT) AS truncated_windows
+         |FROM w
+         |ORDER BY n_windows $N1""".stripMargin
+    },
+
     // the un-packed tokenize+mask surface: the shared cell chain
     // unnested directly (no packing arithmetic to replay)
     "q_chat_sft_tokenize" -> {
@@ -8061,6 +8169,7 @@ object ExtensionQueries {
     // oracle texts (r18): one oracle, two construction paths
     .updated("q_pipeline_pack_spans_config", oracleSqlBase("q_pack_token_spans"))
     .updated("q_pipeline_sft_spans_config", oracleSqlBase("q_chat_pack_sft_spans"))
+    .updated("q_pipeline_pack_datasheet_config", oracleSqlBase("q_pack_datasheet"))
     // the YAML-declared SFT pack (r17): second construction path on
     // the q_chat_pack_sft_ids oracle text
     .updated("q_pipeline_sft_pack_config", oracleSqlBase("q_chat_pack_sft_ids"))

@@ -81,6 +81,13 @@ final case class PackIdsStage(budget: Int, shards: Int,
   * describes — declare them identically in both configs. Requires a
   * `tokenizer:` mapping (sizes come from the production encode). */
 final case class PackSpansStage(budget: Int, shards: Int) extends CurationStage
+/** Terminal: [[graft.operators.TextStats.packDatasheet]] over the
+  * `pack_ids` artifact the same config parameters would build — the
+  * pack-health gate (ONE row: windows, fill rate, docs/window
+  * distribution, truncation) a training run checks from YAML before
+  * reading the packed stream. Requires a `tokenizer:` mapping. */
+final case class PackDatasheetStage(budget: Int, shards: Int,
+                                    eosId: Option[Long]) extends CurationStage
 /** [[graft.operators.TextStats.fimTransform]] — TERMINAL augmentation
   * (emits (id, fim_mode, text)); row-local, stream-legal. */
 final case class FimStage(fimRate: Double, spmRate: Double) extends CurationStage
@@ -129,17 +136,20 @@ final case class CurationConfig(idCol: String, textCol: String,
                                 tokenizer: Option[TokenizerSpec] = None) {
   require(stages.nonEmpty, "curation config needs at least one stage")
   private def terminal(s: CurationStage): Boolean = s match {
-    case _: PackStage | _: PackIdsStage | _: PackSpansStage | _: FimStage |
+    case _: PackStage | _: PackIdsStage | _: PackSpansStage |
+         _: PackDatasheetStage | _: FimStage |
          _: SpanCorruptStage | _: DenoiserMixStage => true
     case _ => false
   }
   require(!stages.dropRight(1).exists(terminal),
-    "pack/pack_ids/doc_spans/fim/span_corrupt/denoiser_mix change the " +
-      "row schema and must be the LAST stage")
+    "pack/pack_ids/doc_spans/pack_datasheet/fim/span_corrupt/denoiser_mix " +
+      "change the row schema and must be the LAST stage")
   require(!stages.exists(s => s.isInstanceOf[PackIdsStage] ||
-    s.isInstanceOf[PackSpansStage]) || tokenizer.nonEmpty,
-    "pack_ids/doc_spans encode with the production tokenizer; declare a " +
-      "tokenizer: {kind: bpe_bytes, merges: <ModelStore path>} mapping")
+    s.isInstanceOf[PackSpansStage] || s.isInstanceOf[PackDatasheetStage]) ||
+    tokenizer.nonEmpty,
+    "pack_ids/doc_spans/pack_datasheet encode with the production " +
+      "tokenizer; declare a tokenizer: {kind: bpe_bytes, merges: " +
+      "<ModelStore path>} mapping")
 }
 
 object CurationConfig {
@@ -231,6 +241,8 @@ object CurationConfig {
         int(m, "shards", 8), m.get("eos_id").map(_.toString.toLong))
       case "doc_spans" => PackSpansStage(int(m, "budget", 512),
         int(m, "shards", 8))
+      case "pack_datasheet" => PackDatasheetStage(int(m, "budget", 512),
+        int(m, "shards", 8), m.get("eos_id").map(_.toString.toLong))
       case "fim" => FimStage(dbl(m, "fim_rate", 0.5), dbl(m, "spm_rate", 0.5))
       case "span_corrupt" => SpanCorruptStage(
         dbl(m, "density", 0.15), int(m, "mean_span", 3))

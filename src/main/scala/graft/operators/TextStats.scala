@@ -514,6 +514,54 @@ object TextStats {
   }
 
   /**
+   * PACK-HEALTH DATASHEET — the observability card a training run
+   * gates on before reading a packed artifact (r18, VERDICT r17 #7):
+   * ONE row summarizing window count, shard coverage, token fill,
+   * docs-per-window distribution and truncation. Input contract:
+   * any packed-window frame carrying (shard, seq_id, n_tokens,
+   * n_docs) and optionally `truncated` — the output shapes of
+   * [[materializePackedTokenIds]], [[graft.operators.Chat.sftPackedTokenIds]]
+   * and [[graft.operators.Chat.sftPackedTokenIdsNoSplit]] (frames
+   * without a truncation flag — the concat-and-chop packers, which
+   * never truncate — report 0).
+   *
+   * Output: (n_windows, n_shards, total_tokens, fill_rate =
+   * total_tokens / (n_windows·budget) round-6, full_windows
+   * (n_tokens = budget), avg_docs_per_window round-6,
+   * min/max_docs_per_window, truncated_windows).
+   *
+   * 100 TB design: one partially-aggregated pass over the
+   * WINDOW-cardinality frame; the id arrays (if the input is the
+   * packer's unpersisted plan) are pruned out of the aggregate by
+   * Catalyst, so the card never materializes a single token.
+   */
+  def packDatasheet(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val withTr =
+      if (packed.columns.contains("truncated")) packed
+      else packed.withColumn("truncated", lit(false))
+    withTr.agg(
+        count(lit(1)).as("n_windows"),
+        countDistinct(col("shard")).as("n_shards"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("n_tokens") === budget, lit(1L)).otherwise(lit(0L)))
+          .as("full_windows"),
+        sum(col("n_docs")).as("__nd"),
+        min(col("n_docs")).as("min_docs_per_window"),
+        max(col("n_docs")).as("max_docs_per_window"),
+        sum(col("truncated").cast(LongType)).as("truncated_windows"))
+      .select(col("n_windows"), col("n_shards"), col("total_tokens"),
+        round(col("total_tokens").cast(DoubleType) /
+          (col("n_windows") * lit(budget.toLong)).cast(DoubleType), 6)
+          .as("fill_rate"),
+        col("full_windows"),
+        round(col("__nd").cast(DoubleType) /
+          col("n_windows").cast(DoubleType), 6).as("avg_docs_per_window"),
+        col("min_docs_per_window"), col("max_docs_per_window"),
+        col("truncated_windows"))
+  }
+
+  /**
    * Split each document into token-window chunks of at most `maxTokens`
    * whitespace tokens, consecutive chunks overlapping by `overlap`
    * tokens — the context-window chunking step every RAG/embedding/

@@ -131,6 +131,13 @@ object CurationCompiler {
           // same chop arithmetic (shared construction in TextStats)
           graft.operators.TextStats.packedDocSpans(cur, id, text,
             bpeMerges.get, budget, shards)
+        case PackDatasheetStage(budget, shards, eosId) =>
+          // the pack-health gate: the datasheet over the SAME packer
+          // plan pack_ids would build (Catalyst prunes the id arrays
+          // out of the card's aggregate)
+          graft.operators.TextStats.packDatasheet(
+            graft.operators.TextStats.materializePackedTokenIds(cur, id,
+              text, bpeMerges.get, budget, shards, eosId), budget)
         case other => throw new IllegalStateException(s"unhandled stage $other")
       })
     }

@@ -1611,4 +1611,45 @@ class TextStatsSpec extends AnyFunSuite {
     // de: two singletons: H = 1 bit, perplexity 2
     assert(out("de") == ((2L, 2L, 1.0, 1.0, 2.0)))
   }
+
+  test("packDatasheet: stats match the packed output; id arrays prune; truncation counted") {
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Seq(("74", "68"), ("7468", "65"))
+    val packed = TextStats.materializePackedTokenIds(docs, "doc_id", "text",
+      merges, budget = 64, shards = 4)
+    val card = TextStats.packDatasheet(packed, 64)
+    // the card must never build the token arrays: the ids-mode kernel
+    // prunes out of the aggregate (only the count-mode sizing survives)
+    val plan = card.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_byte_bpe_ids"),
+      "token arrays must prune out of the datasheet plan")
+    assert(plan.contains("graft_byte_bpe_count"),
+      "the count-mode sizing is the only kernel the card needs")
+    val rows = packed.collect()
+    val r = card.collect().head
+    val nw = rows.length.toLong
+    val tot = rows.map(_.getLong(3)).sum
+    val nds = rows.map(_.getLong(4))
+    assert(r.getLong(0) == nw)
+    assert(r.getLong(1) == rows.map(_.getLong(0)).distinct.length.toLong)
+    assert(r.getLong(2) == tot)
+    assert(r.getDouble(3) == r6(tot.toDouble / (nw * 64L).toDouble))
+    assert(r.getLong(4) == rows.count(_.getLong(3) == 64L).toLong)
+    assert(r.getDouble(5) == r6(nds.sum.toDouble / nw.toDouble))
+    assert(r.getLong(6) == nds.min && r.getLong(7) == nds.max)
+    assert(r.getLong(8) == 0L, "concat-and-chop never truncates")
+    // a frame WITH the truncation flag counts truncated windows
+    val fake = Seq((0L, 0L, 10L, 2L, true), (0L, 1L, 8L, 1L, false),
+      (1L, 0L, 10L, 3L, true))
+      .toDF("shard", "seq_id", "n_tokens", "n_docs", "truncated")
+    val c2 = TextStats.packDatasheet(fake, 10).collect().head
+    assert(c2.getLong(0) == 3L && c2.getLong(1) == 2L && c2.getLong(2) == 28L)
+    assert(c2.getDouble(3) == r6(28.0 / 30.0))
+    assert(c2.getLong(4) == 2L)
+    assert(c2.getDouble(5) == 2.0)
+    assert(c2.getLong(6) == 1L && c2.getLong(7) == 3L)
+    assert(c2.getLong(8) == 2L)
+  }
 }
