@@ -732,6 +732,42 @@ object ExtensionQueries {
           col("__cell").getField("token_ids").as("token_id"),
           col("__cell").getField("loss_mask").as("loss_mask")))),
 
+    // the no-split stream's conversation spans (r18): one row per
+    // conversation (no-split never tears one), same geometry as the
+    // packer through the SHARED address construction; span_len is the
+    // real cell count (truncated convs stop at budget), pad tails are
+    // whatever spans don't cover
+    "q_chat_pack_nosplit_spans" -> ((s, dir) =>
+      det(graft.operators.Chat.sftPackedDocSpansNoSplit(chatFrame(s, dir),
+        "doc_id", "conv", ByteBpeFixtureMerges, budget = 512, shards = 8))),
+
+    // the no-split packer from YAML (r18): pack_sft_ids_nosplit
+    // terminal stage on the q_chat_pack_sft_nosplit oracle text
+    "q_pipeline_sft_nosplit_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileChatYaml(
+        s"""chat_curation:
+           |  tokenizer: {kind: bpe_bytes, merges: ${fixtureMergesStore(s, dir)}}
+           |  stages:
+           |    - {op: pack_sft_ids_nosplit, budget: 512, shards: 8}
+           |""".stripMargin, chatFrame(s, dir))
+        .select(col("shard"), col("seq_id"),
+          posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
+            .as(Seq("pos", "__cell")))
+        .select(col("shard"), col("seq_id"),
+          col("pos").cast(LongType).as("pos"),
+          col("__cell").getField("token_ids").as("token_id"),
+          col("__cell").getField("loss_mask").as("loss_mask")))),
+
+    // its span address book from YAML, on the q_chat_pack_nosplit_spans
+    // oracle text
+    "q_pipeline_sft_nosplit_spans_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileChatYaml(
+        s"""chat_curation:
+           |  tokenizer: {kind: bpe_bytes, merges: ${fixtureMergesStore(s, dir)}}
+           |  stages:
+           |    - {op: pack_sft_spans_nosplit, budget: 512, shards: 8}
+           |""".stripMargin, chatFrame(s, dir)))),
+
     // the FINAL SFT artifact (r17): turn-template rendering -> per-turn
     // byte-BPE ids + token-exact loss mask (assistant turns carry 1) +
     // per-conversation EOS, packed into 128-id context windows; graded
@@ -6845,6 +6881,42 @@ object ExtensionQueries {
          |ORDER BY n_windows $N1""".stripMargin
     },
 
+    // the no-split stream's conversation spans: the recursive next-fit
+    // assignment chain + within-window offsets (a plain cumulative sum
+    // over eff in doc order), one row per conversation
+    "q_chat_pack_nosplit_spans" -> {
+      s"""WITH RECURSIVE $chatCte,
+         |$SftCellCtes,
+         |s AS (SELECT doc_id, doc_id % 8 AS shard,
+         |    LEAST(len(ids), 512) AS eff, len(ids) > 512 AS tr,
+         |    row_number() OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id) AS ri
+         |  FROM conv),
+         |assign AS (
+         |  SELECT shard, ri, doc_id, eff, tr,
+         |    CAST(0 AS BIGINT) AS seq, CAST(eff AS BIGINT) AS used
+         |  FROM s WHERE ri = 1
+         |  UNION ALL
+         |  SELECT s.shard, s.ri, s.doc_id, s.eff, s.tr,
+         |    CASE WHEN a.used + s.eff > 512 THEN a.seq + 1
+         |      ELSE a.seq END,
+         |    CASE WHEN a.used + s.eff > 512 THEN CAST(s.eff AS BIGINT)
+         |      ELSE a.used + s.eff END
+         |  FROM assign a JOIN s ON s.shard = a.shard AND s.ri = a.ri + 1),
+         |woff AS (SELECT shard, doc_id, seq, eff, tr,
+         |    COALESCE(SUM(eff) OVER (PARTITION BY shard, seq
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS off
+         |  FROM assign)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(seq AS BIGINT) AS seq_id,
+         |  doc_id, CAST(off AS BIGINT) AS span_start,
+         |  CAST(eff AS BIGINT) AS span_len, tr AS truncated
+         |FROM woff
+         |ORDER BY shard $N1, seq_id $N1, doc_id $N1, span_start $N1,
+         |  span_len $N1, truncated $N1""".stripMargin
+    },
+
     // the no-split packer's datasheet: the recursive next-fit replay's
     // per-window (eff sum, doc count, truncation max), summarized
     "q_chat_pack_nosplit_datasheet" -> {
@@ -8232,6 +8304,10 @@ object ExtensionQueries {
     .updated("q_pipeline_pack_spans_config", oracleSqlBase("q_pack_token_spans"))
     .updated("q_pipeline_sft_spans_config", oracleSqlBase("q_chat_pack_sft_spans"))
     .updated("q_pipeline_pack_datasheet_config", oracleSqlBase("q_pack_datasheet"))
+    .updated("q_pipeline_sft_nosplit_config",
+      oracleSqlBase("q_chat_pack_sft_nosplit"))
+    .updated("q_pipeline_sft_nosplit_spans_config",
+      oracleSqlBase("q_chat_pack_nosplit_spans"))
     // the YAML-declared SFT pack (r17): second construction path on
     // the q_chat_pack_sft_ids oracle text
     .updated("q_pipeline_sft_pack_config", oracleSqlBase("q_chat_pack_sft_ids"))

@@ -300,6 +300,19 @@ final case class ChatPackSftIdsStage(budget: Int, shards: Int,
   * as the `pack_sft_ids` run it describes. */
 final case class ChatPackSftSpansStage(budget: Int,
                                        shards: Int) extends ChatStage
+/** Terminal: [[graft.operators.Chat.sftPackedTokenIdsNoSplit]] — the
+  * NO-SPLIT SFT packing convention from YAML (r18): conversations
+  * never torn across windows, next-fit per shard, pad to budget
+  * (`pad_id` defaults to the eos id), oversized conversations
+  * truncate into their own window. */
+final case class ChatPackSftNoSplitStage(budget: Int, shards: Int,
+                                         eosId: Option[Long],
+                                         padId: Option[Long]) extends ChatStage
+/** Terminal: [[graft.operators.Chat.sftPackedDocSpansNoSplit]] — the
+  * no-split stream's conversation-span address book (one row per
+  * conversation; pad tails are whatever the spans don't cover). */
+final case class ChatPackSftNoSplitSpansStage(budget: Int,
+                                              shards: Int) extends ChatStage
 
 final case class ChatCurationConfig(idCol: String, convCol: String,
                                     stages: Seq[ChatStage],
@@ -307,15 +320,18 @@ final case class ChatCurationConfig(idCol: String, convCol: String,
   require(stages.nonEmpty, "chat curation config needs at least one stage")
   private def terminal(s: ChatStage): Boolean = s match {
     case _: ChatRenderStage | _: ChatPackSftIdsStage |
-         _: ChatPackSftSpansStage => true
+         _: ChatPackSftSpansStage | _: ChatPackSftNoSplitStage |
+         _: ChatPackSftNoSplitSpansStage => true
     case _ => false
   }
   require(!stages.dropRight(1).exists(terminal),
-    "render/pack_sft_ids/pack_sft_spans change the output schema and " +
-      "must be the LAST stage")
+    "render/pack_sft_ids/pack_sft_spans (and their _nosplit twins) " +
+      "change the output schema and must be the LAST stage")
   require(!stages.exists(s => s.isInstanceOf[ChatPackSftIdsStage] ||
-    s.isInstanceOf[ChatPackSftSpansStage]) || tokenizer.nonEmpty,
-    "pack_sft_ids/pack_sft_spans encode with the production tokenizer; " +
+    s.isInstanceOf[ChatPackSftSpansStage] ||
+    s.isInstanceOf[ChatPackSftNoSplitStage] ||
+    s.isInstanceOf[ChatPackSftNoSplitSpansStage]) || tokenizer.nonEmpty,
+    "the pack_sft stages encode with the production tokenizer; " +
       "declare a tokenizer: {kind: bpe_bytes, merges: <ModelStore path>} " +
       "mapping")
 }
@@ -380,6 +396,12 @@ object ChatCurationConfig {
         int("shards", 8), m.get("eos_id").map(_.toString.toLong))
       case "pack_sft_spans" => ChatPackSftSpansStage(int("budget", 512),
         int("shards", 8))
+      case "pack_sft_ids_nosplit" => ChatPackSftNoSplitStage(
+        int("budget", 512), int("shards", 8),
+        m.get("eos_id").map(_.toString.toLong),
+        m.get("pad_id").map(_.toString.toLong))
+      case "pack_sft_spans_nosplit" => ChatPackSftNoSplitSpansStage(
+        int("budget", 512), int("shards", 8))
       case other => throw new IllegalArgumentException(
         s"unknown chat curation op: '$other'")
     }

@@ -650,47 +650,8 @@ object Chat {
       .select(col(idCol).as("doc_id"),
         convCells(convCol, merges, eos).as("__ids"),
         convCellCount(convCol, merges).as("__n"))
-    // scalar address pass: the count-mode column, never the cell array;
-    // doc_id is cast to Long so ANY numeric id type works (the sibling
-    // packers' pmod convention — the join back coerces the key)
-    val sized = withIds.select(col("doc_id").cast(LongType).as("doc_id"),
-      pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
-      col("__n").cast(LongType).as("__n"))
-    // sequential next-fit per shard: repartition by shard, external
-    // sort within partitions on (shard, doc_id) — id order is the
-    // contract, next-fit is order-sensitive — then ONE streaming scan;
-    // per-task state is literally (current shard, seq counter, used
-    // counter), never a buffered address list
-    import org.apache.spark.sql.{Encoders, Row}
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("shard",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("seq_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("win_off",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
-      Encoders.row(outSchema)
-    val addr = sized
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("doc_id"))
-      .mapPartitions { it =>
-        var curShard = Long.MinValue
-        var seq = -1L
-        var used = budget.toLong + 1 // forces a new window per shard start
-        it.map { r =>
-          val id = r.getLong(0); val shard = r.getLong(1); val n = r.getLong(2)
-          if (shard != curShard) {
-            curShard = shard; seq = -1L; used = budget.toLong + 1
-          }
-          val eff = math.min(n, budget.toLong)
-          val off = if (used + eff > budget) { seq += 1; used = eff; 0L }
-          else { val o = used; used += eff; o }
-          Row(id, shard, seq, off)
-        }
-      }
+    val addr = noSplitAddresses(withIds, budget, shards)
+      .select(col("doc_id"), col("shard"), col("seq_id"), col("win_off"))
     addr.join(withIds, Seq("doc_id"))
       .select(col("shard"), col("seq_id"), col("win_off"),
         slice(col("__ids"), 1, budget).as("__piece"),
@@ -713,5 +674,87 @@ object Chat {
           .as("loss_mask"),
         size(col("__cells")).cast(LongType).as("n_tokens"),
         col("n_docs"), col("truncated"))
+  }
+
+  /** The no-split NEXT-FIT address frame — ONE construction shared by
+    * [[sftPackedTokenIdsNoSplit]] and [[sftPackedDocSpansNoSplit]], so
+    * the packer and its address book can never disagree about where a
+    * conversation went. `withIds` carries (doc_id numeric, __n = cell
+    * count); output is (doc_id LONG, shard, seq_id, win_off, span_len
+    * = min(__n, budget), truncated).
+    *
+    * 100 TB design: the scan is SCALAR (cell arrays pruned), the
+    * assignment is a streaming `mapPartitions` over the
+    * shard-repartitioned, within-partition-(shard, doc_id)-sorted
+    * frame — Spark's external sort spills; per-task state is literally
+    * the current shard id plus one counter pair. */
+  private def noSplitAddresses(withIds: DataFrame, budget: Int,
+                               shards: Int): DataFrame = {
+    // doc_id Long-cast so ANY numeric id type works (the sibling
+    // packers' pmod convention — join-backs coerce the key)
+    val sized = withIds.select(col("doc_id").cast(LongType).as("doc_id"),
+      pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
+      col("__n").cast(LongType).as("__n"))
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("win_off",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("span_len",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("truncated",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(outSchema)
+    sized
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var seq = -1L
+        var used = budget.toLong + 1 // forces a new window per shard start
+        it.map { r =>
+          val id = r.getLong(0); val shard = r.getLong(1); val n = r.getLong(2)
+          if (shard != curShard) {
+            curShard = shard; seq = -1L; used = budget.toLong + 1
+          }
+          val eff = math.min(n, budget.toLong)
+          val off = if (used + eff > budget) { seq += 1; used = eff; 0L }
+          else { val o = used; used += eff; o }
+          Row(id, shard, seq, off, eff, n > budget)
+        }
+      }
+  }
+
+  /**
+   * The NO-SPLIT packed stream's conversation spans —
+   * [[sftPackedDocSpans]]' twin for the [[sftPackedTokenIdsNoSplit]]
+   * convention: one row per conversation (no-split means a
+   * conversation never crosses a window), (shard, seq_id, doc_id,
+   * span_start, span_len, truncated). `span_len` is the REAL cell
+   * count in the window (min(cells, budget)); positions past
+   * span_start + span_len up to the next span (or the window's pad
+   * tail) are padding. Shares [[noSplitAddresses]] with the packer —
+   * the geometry cannot drift — and is entirely scalar: cell arrays
+   * are never built, output volume is one row per conversation.
+   */
+  def sftPackedDocSpansNoSplit(df: DataFrame, idCol: String, convCol: String,
+                               merges: Seq[(String, String)],
+                               budget: Int, shards: Int): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    require(budget >= 1, "budget must be >= 1")
+    require(shards >= 1, "shards must be >= 1")
+    noSplitAddresses(
+      df.filter(col(convCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          convCellCount(convCol, merges).as("__n")),
+      budget, shards)
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        col("win_off").as("span_start"), col("span_len"), col("truncated"))
   }
 }

@@ -254,6 +254,18 @@ object CurationCompiler {
             .map(m => (m._1, m._2))
           graft.operators.Chat.sftPackedDocSpans(cur, id, conv, merges,
             budget, shards)
+        case ChatPackSftNoSplitStage(budget, shards, eosId, padId) =>
+          val merges = graft.sources.ModelStore
+            .loadMerges(convs.sparkSession, cfg.tokenizer.get.merges)
+            .map(m => (m._1, m._2))
+          graft.operators.Chat.sftPackedTokenIdsNoSplit(cur, id, conv,
+            merges, budget, shards, eosId, padId)
+        case ChatPackSftNoSplitSpansStage(budget, shards) =>
+          val merges = graft.sources.ModelStore
+            .loadMerges(convs.sparkSession, cfg.tokenizer.get.merges)
+            .map(m => (m._1, m._2))
+          graft.operators.Chat.sftPackedDocSpansNoSplit(cur, id, conv,
+            merges, budget, shards)
       }
     }
   }
@@ -332,6 +344,12 @@ object CurationCompiler {
             s"stage $other derives window addresses from corpus-global " +
               "(shard, seq_id) offsets and cannot run on a micro-batch; " +
               "run the span pass in the batch compaction alongside the packer")
+        case other@(_: ChatPackSftNoSplitStage |
+                    _: ChatPackSftNoSplitSpansStage) =>
+          throw new UnsupportedOperationException(
+            s"stage $other assigns windows by SEQUENTIAL per-shard next-fit " +
+              "over the whole corpus and cannot run on a micro-batch; run " +
+              "the no-split packing in the batch compaction pass")
       }
     }
   }

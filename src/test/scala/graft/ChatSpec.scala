@@ -460,6 +460,51 @@ class ChatSpec extends AnyFunSuite {
       "no other window reports truncation")
   }
 
+  test("sftPackedDocSpansNoSplit tiles the no-split windows exactly") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"))
+    val df = frame(
+      1L -> conv("user" -> "hi", "assistant" -> "yo"),
+      2L -> conv("user" -> "ok then", "assistant" -> "no"),
+      3L -> conv("user" -> ("x " * 40).trim, "assistant" -> "fin"), // oversized
+      4L -> Seq.empty[Row],
+      5L -> conv("user" -> "the thin end", "assistant" -> "in the end"))
+    val budget = 48
+    val spans = Chat.sftPackedDocSpansNoSplit(df, "id", "conv", merges,
+      budget = budget, shards = 2)
+    val packed = Chat.sftPackedTokenIdsNoSplit(df, "id", "conv", merges,
+      budget = budget, shards = 2)
+    // per window: spans contiguous from 0, sum to n_tokens, count to
+    // n_docs, truncation flags agree
+    val byWin = spans.collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) =>
+        val sorted = rs.sortBy(_.getLong(3))
+        var pos = 0L
+        sorted.foreach { r =>
+          assert(r.getLong(3) == pos, s"gap in window $k at ${r.getLong(3)}")
+          pos += r.getLong(4)
+        }
+        k -> (pos, rs.length.toLong, rs.exists(_.getBoolean(5)))
+      }
+    val want = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(byWin == want,
+      "span tiling must equal the packer's (n_tokens, n_docs, truncated)")
+    // one span per conversation (no-split; the empty conv carries its
+    // EOS cell and so gets a 1-cell span)
+    assert(spans.count() == 5L)
+    // truncation flags equal the independent per-conv cell counts
+    val nTok = Chat.sftTokenizeMask(df, "id", "conv", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val expectTrunc = nTok.filter(_._2 > budget).keys.toSet
+    assert(expectTrunc.contains(3L), "fixture sanity: conv 3 is oversized")
+    assert(spans.filter(col("truncated")).collect()
+      .map(_.getLong(2)).toSet == expectTrunc,
+      "exactly the over-budget conversations are flagged truncated")
+  }
+
   test("sftTokenizeMask evaluates the whole-conversation encode ONCE") {
     // ADVICE r17: projecting token_ids and loss_mask from two copies of
     // the convCells expression ran the hot ids-mode kernel twice per

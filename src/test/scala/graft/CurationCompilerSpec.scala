@@ -735,6 +735,71 @@ class CurationCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sft_ids_nosplit / pack_sft_spans_nosplit stages: parse, no-drift, stream reject") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("69", "6E"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nosplit_cfg").toString
+    try {
+      graft.sources.ModelStore.saveMerges(spark,
+        merges.map { case (l, r) => (l, r, 0L) }, tmp)
+      // tokenizer required
+      intercept[IllegalArgumentException] {
+        graft.config.ChatCurationConfig.fromYaml(
+          "chat_curation:\n  stages:\n    - {op: pack_sft_ids_nosplit}\n")
+      }
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val convs = docs.limit(40).select(col("doc_id"), array(
+        struct(lit("user").as("role"), col("text").as("content")),
+        struct(lit("assistant").as("role"),
+          substring(col("text"), 1, 30).as("content"))).as("conv"))
+      // ids: zero drift vs programmatic, incl. pad_id override
+      val cfgIds = graft.plans.CurationCompiler.compileChatYaml(
+        s"""chat_curation:
+           |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+           |  stages:
+           |    - {op: pack_sft_ids_nosplit, budget: 96, shards: 4, pad_id: 7}
+           |""".stripMargin, convs)
+      val wantIds = graft.operators.Chat.sftPackedTokenIdsNoSplit(convs,
+        "doc_id", "conv", merges, budget = 96, shards = 4,
+        padId = Some(7L))
+      assert(cfgIds.collect().map(_.toSeq).toSet ==
+        wantIds.collect().map(_.toSeq).toSet,
+        "config pack_sft_ids_nosplit must equal the programmatic packer")
+      // spans: zero drift
+      val cfgSp = graft.plans.CurationCompiler.compileChatYaml(
+        s"""chat_curation:
+           |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+           |  stages:
+           |    - {op: pack_sft_spans_nosplit, budget: 96, shards: 4}
+           |""".stripMargin, convs)
+      val wantSp = graft.operators.Chat.sftPackedDocSpansNoSplit(convs,
+        "doc_id", "conv", merges, budget = 96, shards = 4)
+      assert(cfgSp.collect().map(_.toSeq).toSet ==
+        wantSp.collect().map(_.toSeq).toSet,
+        "config pack_sft_spans_nosplit must equal the programmatic spans")
+      // streaming reject (sequential per-shard next-fit is corpus-global)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val cdf = ms.toDF.toDF("doc_id", "packed", "ts")
+        .withColumn("conv", array(struct(lit("user").as("role"),
+          col("packed").as("content"))))
+      intercept[UnsupportedOperationException] {
+        graft.plans.CurationCompiler.compileStreamingChat(
+          graft.config.ChatCurationConfig.fromYaml(
+            s"""chat_curation:
+               |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+               |  stages:
+               |    - {op: pack_sft_ids_nosplit}
+               |""".stripMargin), cdf, "ts", "10 minutes")
+      }
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("pack_sft_ids chat stage: terminal + tokenizer-required + zero drift") {
     val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
       ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
