@@ -706,6 +706,45 @@ object ExtensionQueries {
           col("__cell").getField("token_ids").as("token_id"),
           col("__cell").getField("loss_mask").as("loss_mask")))),
 
+    // the SFT artifact's READER side (r18): reconstruct every
+    // conversation's (ids, mask) cells from the packed windows + the
+    // span address book — graded on the q_chat_sft_tokenize oracle
+    // text (unpack(pack) == tokenize, the oracle never sees the
+    // packed form)
+    "q_chat_sft_unpack" -> ((s, dir) => {
+      val cf = chatFrame(s, dir)
+      det(graft.operators.Chat.unpackSftWindows(
+        graft.operators.Chat.sftPackedTokenIds(cf,
+          "doc_id", "conv", ByteBpeFixtureMerges, budget = 128, shards = 8),
+        graft.operators.Chat.sftPackedDocSpans(cf,
+          "doc_id", "conv", ByteBpeFixtureMerges, budget = 128, shards = 8))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
+            .as(Seq("pos", "__cell")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("__cell").getField("token_ids").as("token_id"),
+          col("__cell").getField("loss_mask").as("loss_mask")))
+    }),
+
+    // the no-split reader (r18): same kernel over the no-split pair —
+    // what comes back is the MAX-SEQ-LEN rule's view (cells truncated
+    // at budget, pad tails excluded: spans never cover padding); the
+    // oracle is the tokenize replay sliced to budget
+    "q_chat_sft_unpack_nosplit" -> ((s, dir) => {
+      val cf = chatFrame(s, dir)
+      det(graft.operators.Chat.unpackSftWindows(
+        graft.operators.Chat.sftPackedTokenIdsNoSplit(cf,
+          "doc_id", "conv", ByteBpeFixtureMerges, budget = 512, shards = 8),
+        graft.operators.Chat.sftPackedDocSpansNoSplit(cf,
+          "doc_id", "conv", ByteBpeFixtureMerges, budget = 512, shards = 8))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
+            .as(Seq("pos", "__cell")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("__cell").getField("token_ids").as("token_id"),
+          col("__cell").getField("loss_mask").as("loss_mask")))
+    }),
+
     // the packed SFT stream's conversation spans (r17): example
     // boundaries inside packed windows (the loss mask alone cannot
     // recover them) — same chop geometry as q_chat_pack_sft_ids,
@@ -807,6 +846,17 @@ object ExtensionQueries {
         .select(col("shard"), col("seq_id"),
           col("pos").cast(LongType).as("pos"), col("token_id")))),
 
+    // the TRAINING-ORDER manifest (r18): per-epoch deterministic
+    // shuffle keys over the packed windows — md5(seed:epoch:shard:
+    // seq_id), the engine-portable md5-uniform convention; reading an
+    // epoch ordered by order_key IS the epoch's shuffle. A sort KEY,
+    // not a rank: no unpartitioned window anywhere
+    "q_pack_training_order" -> ((s, dir) =>
+      det(graft.operators.TextStats.trainingOrder(
+        graft.operators.TextStats.materializePackedTokenIds(docs(s, dir),
+          "doc_id", "text", ByteBpeFixtureMerges, budget = 128, shards = 8),
+        epochs = 2, seed = 42L))),
+
     // the pack-health datasheet (r18, VERDICT r17 #7): ONE row a
     // training run gates on — windows, shard coverage, fill rate,
     // docs/window distribution, truncation — over the SAME packed
@@ -827,6 +877,43 @@ object ExtensionQueries {
            |  stages:
            |    - {op: pack_datasheet, budget: 128, shards: 8}
            |""".stripMargin, docs(s, dir)))),
+
+    // the READER side of the packed artifact (r18): reconstruct every
+    // document's id stream from the packed windows + the span address
+    // book — slices reassembled in window order, spans crossing window
+    // boundaries re-joined. Proves the address book addresses the
+    // REAL artifact: the oracle tokenizes directly and never sees the
+    // packed form, so any drift in offset/chop/span arithmetic on
+    // either surface is a hash mismatch here
+    "q_pack_unpack" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(graft.operators.TextStats.unpackTokenWindows(
+        graft.operators.TextStats.materializePackedTokenIds(d,
+          "doc_id", "text", ByteBpeFixtureMerges, budget = 128, shards = 8),
+        graft.operators.TextStats.packedDocSpans(d,
+          "doc_id", "text", ByteBpeFixtureMerges, budget = 128, shards = 8))
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("token_id")))
+    }),
+
+    // the FULL artifact cycle (r18): tokenize -> pack -> unpack ->
+    // DETOKENIZE == identity. skipUnknown drops the one-past-vocab
+    // EOS sentinels (the 256+|merges| convention), so the reassembled
+    // stream decodes to the source text byte-for-byte; the oracle is
+    // the source table itself
+    "q_pack_roundtrip_text" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(graft.operators.TextStats.unpackTokenWindows(
+        graft.operators.TextStats.materializePackedTokenIds(d,
+          "doc_id", "text", ByteBpeFixtureMerges, budget = 128, shards = 8),
+        graft.operators.TextStats.packedDocSpans(d,
+          "doc_id", "text", ByteBpeFixtureMerges, budget = 128, shards = 8))
+        .select(col("doc_id"),
+          graft.functions.ByteBpeDecode.byteBpeDecode(col("token_ids"),
+            ByteBpeFixtureMerges, skipUnknown = true).as("text")))
+    }),
 
     // the no-split packer's datasheet: the one packed shape where
     // truncation is REAL (oversized conversations chop to budget in
@@ -2074,6 +2161,42 @@ object ExtensionQueries {
           posexplode(col("token_ids")).as(Seq("pos", "token_id")))
         .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
           col("token_id")))),
+
+    // token→byte ALIGNMENT (r18): the offsets mode of the native
+    // kernel — (token_id, byte_start, byte_len) per token, spans
+    // tiling the text's UTF-8 bytes contiguously; the join surface
+    // for character-level labels (NER spans, redaction windows,
+    // provenance cites) onto the token stream. The oracle re-derives
+    // spans from the pieces replay's hex lengths + a running sum
+    "q_text_bpe_offsets" -> ((s, dir) =>
+      det(docs(s, dir).select(col("doc_id"),
+        posexplode(graft.functions.ByteBpeEncode.byteBpeOffsets(col("text"),
+          ByteBpeFixtureMerges)).as(Seq("pos", "__o")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("__o").getField("token_id").as("token_id"),
+          col("__o").getField("byte_start").as("byte_start"),
+          col("__o").getField("byte_len").as("byte_len")))),
+
+    // DETOKENIZE round-trip (r18): decode(encode(text)) == text for
+    // every document — byte-level BPE is a pure segmentation of the
+    // UTF-8 bytes, so the native decode kernel inverts the native
+    // encode kernel exactly (NULL text passes through as NULL). The
+    // oracle is the source table: all the work is Spark-side
+    "q_text_bpe_decode" -> ((s, dir) =>
+      det(docs(s, dir).select(col("doc_id"),
+        graft.functions.ByteBpeDecode.byteBpeDecode(
+          graft.functions.ByteBpeEncode.byteBpeIds(col("text"),
+            ByteBpeFixtureMerges), ByteBpeFixtureMerges).as("text")))),
+
+    // the round-trip under the PRODUCTION 50k vocabulary: deep greedy
+    // encode loops + a 50k-piece decode table, still identity
+    "q_text_bpe_decode_50k" -> ((s, dir) => {
+      val m = kernelMerges50k(s, dir)
+      det(docs(s, dir).select(col("doc_id"),
+        graft.functions.ByteBpeDecode.byteBpeDecode(
+          graft.functions.ByteBpeEncode.byteBpeIds(col("text"), m), m)
+          .as("text")))
+    }),
 
     // the REAL pretraining artifact (r18, VERDICT r17 #6): the 50k
     // production vocabulary loaded from ModelStore by a YAML config
@@ -6969,6 +7092,20 @@ object ExtensionQueries {
          |ORDER BY doc_id $N1, pos $N1, token_id $N1, loss_mask $N1""".stripMargin
     },
 
+    // no-split reader replay: the tokenize chain SLICED to the 512
+    // budget (the max-seq-len rule the no-split packer applies);
+    // everything else — pack, spans, unpack — happens Spark-side only
+    "q_chat_sft_unpack_nosplit" -> {
+      s"""WITH $chatCte,
+         |$SftCellCtes,
+         |trunc AS (SELECT doc_id, ids[1:512] AS ids, ms[1:512] AS ms FROM conv)
+         |SELECT doc_id,
+         |  CAST(generate_subscripts(ids, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(ids) AS token_id, unnest(ms) AS loss_mask
+         |FROM trunc
+         |ORDER BY doc_id $N1, pos $N1, token_id $N1, loss_mask $N1""".stripMargin
+    },
+
     // packed-SFT conversation spans: the cell CTE's list LENGTH (the
     // eos cell is already in `ids`) + the same integer chop geometry
     // as q_pack_token_spans, budget 128 shards 8
@@ -7099,6 +7236,98 @@ object ExtensionQueries {
          |FROM x
          |ORDER BY shard $N1, seq_id $N1, pos $N1, token_id $N1""".stripMargin
     },
+    // training-order replay: window keys from the pack geometry (the
+    // spans oracle's seq ranges), epochs crossed in, md5 recomputed —
+    // both engines' md5/concat_ws agree byte-for-byte
+    "q_pack_training_order" -> {
+      val arms = ByteBpeFixtureMerges.zipWithIndex.map {
+        case ((l, r), i) => s"WHEN '$l$r' THEN CAST(${256 + i} AS BIGINT)"
+      }.mkString(" ")
+      val hexByte = "CAST((strpos('0123456789ABCDEF', p[1:1]) - 1) * 16 + " +
+        "strpos('0123456789ABCDEF', p[2:2]) - 1 AS BIGINT)"
+      val eos = 256 + ByteBpeFixtureMerges.size
+      s"""WITH t AS (SELECT doc_id, list_concat(list_transform($BytePiecesSql,
+         |    p -> CASE p $arms ELSE $hexByte END),
+         |    [CAST($eos AS BIGINT)]) AS ids
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(len(ids) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(len(ids)) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |w AS (SELECT DISTINCT shard, seq_id FROM (
+         |    SELECT CAST(shard AS BIGINT) AS shard,
+         |      CAST(unnest(range(toff // 128, (toff + n - 1) // 128 + 1))
+         |        AS BIGINT) AS seq_id
+         |    FROM o)),
+         |e AS (SELECT CAST(unnest(range(2)) AS BIGINT) AS epoch)
+         |SELECT e.epoch, w.shard, w.seq_id,
+         |  md5(concat_ws(':', 42, e.epoch, w.shard, w.seq_id)) AS order_key
+         |FROM e, w
+         |ORDER BY epoch $N1, shard $N1, seq_id $N1, order_key $N1""".stripMargin
+    },
+    // unpack replay: the oracle NEVER builds the packed form — it
+    // tokenizes each doc directly (ids replay + EOS) and unnests; the
+    // Spark side reconstructs the same stream from windows + spans
+    "q_pack_unpack" -> {
+      val arms = ByteBpeFixtureMerges.zipWithIndex.map {
+        case ((l, r), i) => s"WHEN '$l$r' THEN CAST(${256 + i} AS BIGINT)"
+      }.mkString(" ")
+      val hexByte = "CAST((strpos('0123456789ABCDEF', p[1:1]) - 1) * 16 + " +
+        "strpos('0123456789ABCDEF', p[2:2]) - 1 AS BIGINT)"
+      val eos = 256 + ByteBpeFixtureMerges.size
+      s"""WITH t AS (SELECT doc_id, list_concat(list_transform($BytePiecesSql,
+         |    p -> CASE p $arms ELSE $hexByte END),
+         |    [CAST($eos AS BIGINT)]) AS ids
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id,
+         |  CAST(generate_subscripts(ids, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(ids) AS token_id
+         |FROM t
+         |ORDER BY doc_id $N1, pos $N1, token_id $N1""".stripMargin
+    },
+    // alignment replay: token ids from the pieces CASE (the pack
+    // oracle's arms), byte_len from each hex piece's length, starts
+    // from a running sum — spans must tile the UTF-8 bytes exactly
+    "q_text_bpe_offsets" -> {
+      val arms = ByteBpeFixtureMerges.zipWithIndex.map {
+        case ((l, r), i) => s"WHEN '$l$r' THEN CAST(${256 + i} AS BIGINT)"
+      }.mkString(" ")
+      val hexByte = "CAST((strpos('0123456789ABCDEF', piece[1:1]) - 1) * 16" +
+        " + strpos('0123456789ABCDEF', piece[2:2]) - 1 AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, $BytePiecesSql AS pieces FROM documents),
+         |x AS (SELECT doc_id,
+         |    CAST(generate_subscripts(pieces, 1) - 1 AS BIGINT) AS pos,
+         |    unnest(pieces) AS piece
+         |  FROM t),
+         |y AS (SELECT doc_id, pos,
+         |    CASE piece $arms ELSE $hexByte END AS token_id,
+         |    CAST(len(piece) // 2 AS BIGINT) AS byte_len
+         |  FROM x)
+         |SELECT doc_id, pos, token_id,
+         |  CAST(COALESCE(SUM(byte_len) OVER (PARTITION BY doc_id
+         |    ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS byte_start,
+         |  byte_len
+         |FROM y
+         |ORDER BY doc_id $N1, pos $N1, token_id $N1, byte_start $N1,
+         |  byte_len $N1""".stripMargin
+    },
+    // full-cycle round-trips: tokenize->pack->unpack->detokenize (and
+    // plain decode(encode(text))) are the IDENTITY, so the oracle is
+    // the source table itself — every byte of arithmetic is Spark-side
+    "q_pack_roundtrip_text" ->
+      s"""SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+         |ORDER BY doc_id $N1, text $N1""".stripMargin,
+    "q_text_bpe_decode" ->
+      s"""SELECT doc_id, text FROM documents
+         |ORDER BY doc_id $N1, text $N1""".stripMargin,
+    "q_text_bpe_decode_50k" ->
+      s"""SELECT doc_id, text FROM documents
+         |ORDER BY doc_id $N1, text $N1""".stripMargin,
     // the per-language fertility card under the byte-level tokenizer
     "q_text_fertility_bytes" -> {
       val base = "regexp_replace(hex(encode(tok)), '(..)', " +
@@ -8298,6 +8527,9 @@ object ExtensionQueries {
     .updated("q_pipeline_budget_bpe_config", oracleSqlBase("q_sample_budget_bpe"))
     // the YAML-declared packed id stream (r17): second construction
     // path on the q_pack_token_ids oracle text
+    // the SFT reader (r18): unpack(pack) == tokenize — the SAME oracle
+    // text as the un-packed tokenize surface, third construction path
+    .updated("q_chat_sft_unpack", oracleSqlBase("q_chat_sft_tokenize"))
     .updated("q_pipeline_pack_ids_config", oracleSqlBase("q_pack_token_ids"))
     // the span address books from YAML grade on the programmatic rows'
     // oracle texts (r18): one oracle, two construction paths

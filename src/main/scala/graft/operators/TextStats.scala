@@ -562,6 +562,105 @@ object TextStats {
   }
 
   /**
+   * TRAINING-ORDER manifest for a packed window stream — the last
+   * step between a packed artifact and the data loader: for each of
+   * `epochs` passes, every window gets a deterministic pseudo-random
+   * `order_key` (md5 of seed:epoch:shard:seq_id — the engine-portable
+   * md5-uniform convention the samplers use), and reading the epoch's
+   * windows ordered by `order_key` IS the epoch's shuffle. Seeded and
+   * replayable: a restarted run re-derives the identical order, and
+   * every epoch reshuffles independently (the epoch is inside the
+   * hash).
+   *
+   * Output: (epoch, shard, seq_id, order_key).
+   *
+   * 100 TB design: deliberately a SORT KEY, not a rank — a global
+   * `row_number` would funnel the whole manifest through one
+   * unpartitioned window, while a sort key lets the artifact writer
+   * run a distributed range-partitioned sort (Spark's `orderBy`) or
+   * the loader do a streaming merge. The manifest itself is a
+   * zero-shuffle projection: explode(epochs) × one md5 per row over
+   * the scalar window keys (ids never touched).
+   */
+  def trainingOrder(packed: DataFrame, epochs: Int, seed: Long): DataFrame = {
+    require(epochs >= 1, "epochs must be >= 1")
+    packed.select(col("shard"), col("seq_id"))
+      .select(explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"),
+        col("shard"), col("seq_id"))
+      .withColumn("order_key", md5(concat_ws(":", lit(seed), col("epoch"),
+        col("shard"), col("seq_id"))))
+  }
+
+  /**
+   * DETOKENIZE a token-id frame back to text — the operator surface
+   * over [[graft.functions.ByteBpeDecode]] (one codegen'd call per
+   * row into the shared compiled model; `skipUnknown` drops
+   * out-of-vocabulary EOS/pad sentinels, the artifact-reading
+   * contract). Row-local and zero-shuffle, so the streaming twin
+   * ([[graft.streaming.StreamingOps.streamingDetokenize]]) is this
+   * operator as-is under the frozen-tokenizer contract.
+   * Output: (idCol, text).
+   */
+  def detokenize(df: DataFrame, idCol: String, idsCol: String,
+                 merges: Seq[(String, String)],
+                 skipUnknown: Boolean = false): DataFrame =
+    df.select(col(idCol), graft.functions.ByteBpeDecode.byteBpeDecode(
+      col(idsCol), merges, skipUnknown).as("text"))
+
+  /**
+   * Token→byte ALIGNMENT frame — the operator surface over the
+   * kernel's `offsets` mode ([[graft.functions.ByteBpeEncode.byteBpeOffsets]]):
+   * per document, `array<struct<token_id, byte_start, byte_len>>`
+   * spans tiling the text's UTF-8 encoding, the join surface that
+   * carries character-level labels (NER spans, redaction windows,
+   * provenance cites) onto the token stream. Row-local, zero-shuffle,
+   * streaming-safe as-is. Output: (idCol, token_offsets).
+   */
+  def tokenOffsets(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol), graft.functions.ByteBpeEncode.byteBpeOffsets(
+      col(textCol), merges).as("token_offsets"))
+
+  /**
+   * UNPACK a packed token stream back to per-document id arrays — the
+   * READER side of [[materializePackedTokenIds]] + [[packedDocSpans]],
+   * and the proof that the span address book actually addresses the
+   * artifact: every (window, doc) span slices its window's ids, and a
+   * document's slices (one per window it crossed into) reassemble in
+   * window order. `unpack(pack(docs)) == tokenize(docs) + EOS`
+   * exactly — the graded `q_pack_unpack` row pins this against a
+   * direct-tokenize DuckDB replay that never sees the packed form.
+   *
+   * Inputs: `packed` = (shard, seq_id, idsCol array<T>) — any element
+   * type T, so the SFT packer's struct cells unpack through the same
+   * kernel; `spans` = (shard, seq_id, doc_id, span_start 0-based,
+   * span_len), the packer's address book.
+   *
+   * Output: (doc_id, token_ids array<T>).
+   *
+   * 100 TB design: the mirror of the packer's cost shape — one
+   * equi-join on the (shard, seq_id) window key (windows are
+   * budget-bounded rows, spans are scalars), each window slices
+   * row-locally, and the one groupBy(doc_id) moves every token ONCE
+   * in pieces no larger than `budget`; the window-order reassembly is
+   * an `array_sort` over (seq_id, piece) structs inside the
+   * aggregate, never a sorted shuffle.
+   */
+  def unpackTokenWindows(packed: DataFrame, spans: DataFrame,
+                         idsCol: String = "token_ids"): DataFrame = {
+    spans
+      .join(packed.select(col("shard"), col("seq_id"), col(idsCol)),
+        Seq("shard", "seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        slice(col(idsCol), (col("span_start") + 1).cast(IntegerType),
+          col("span_len").cast(IntegerType)).as("__piece"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("seq_id"), col("__piece")))),
+        x => x.getField("__piece"))).as("token_ids"))
+  }
+
+  /**
    * Split each document into token-window chunks of at most `maxTokens`
    * whitespace tokens, consecutive chunks overlapping by `overlap`
    * tokens — the context-window chunking step every RAG/embedding/

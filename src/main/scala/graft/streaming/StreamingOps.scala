@@ -1050,6 +1050,26 @@ object StreamingOps {
                                eosId: Option[Long] = None): DataFrame =
     graft.operators.Chat.sftTokenizeMask(convs, idCol, convCol, merges, eosId)
 
+  /** DETOKENIZE on a stream
+    * ([[graft.operators.TextStats.detokenize]]): the decode kernel is
+    * row-local with the piece table frozen as a codegen reference
+    * object, so token-id streams (model outputs, packed-artifact
+    * readers) decode in-stream under the same frozen-tokenizer
+    * contract as [[streamingEncodeBpeBytesIds]]. */
+  def streamingDetokenize(frames: DataFrame, idCol: String, idsCol: String,
+                          merges: Seq[(String, String)],
+                          skipUnknown: Boolean = false): DataFrame =
+    graft.operators.TextStats.detokenize(frames, idCol, idsCol, merges,
+      skipUnknown)
+
+  /** Token→byte alignment on a stream
+    * ([[graft.operators.TextStats.tokenOffsets]]): the offsets mode
+    * is row-local like the ids mode, so span alignment (redaction
+    * windows, label projection) runs in-stream as-is. */
+  def streamingTokenOffsets(docs: DataFrame, idCol: String, textCol: String,
+                            merges: Seq[(String, String)]): DataFrame =
+    graft.operators.TextStats.tokenOffsets(docs, idCol, textCol, merges)
+
   /** FIM infilling on a stream
     * ([[graft.operators.TextStats.fimTransform]]): participation,
     * cut points and PSM/SPM mode are all md5-hash draws off the doc

@@ -81,6 +81,44 @@ class ByteBpeEncodeSpec extends AnyFunSuite {
     assert(kIds.forall { case (id, v) => v.size.toLong == kN(id) })
   }
 
+  test("offsets mode: spans tile the UTF-8 bytes, ids order-identical") {
+    val rows = edgeDocs.select(col("doc_id"), col("text"),
+        ByteBpeEncode.byteBpeOffsets(col("text"), FixtureMerges).as("o"),
+        ByteBpeEncode.byteBpeIds(col("text"), FixtureMerges).as("ids"),
+        ByteBpeEncode.byteBpePieces(col("text"), FixtureMerges).as("p"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(2)) assert(r.isNullAt(1), "NULL text -> NULL offsets")
+      else {
+        val text = r.getString(1)
+        val offs = r.getSeq[org.apache.spark.sql.Row](2)
+        val ids = r.getSeq[Long](3)
+        val pieces = r.getSeq[String](4)
+        assert(offs.map(_.getLong(0)) == ids,
+          "offset token_ids must be order-identical to ids mode")
+        // spans tile contiguously from 0 and cover every UTF-8 byte
+        var pos = 0L
+        offs.zip(pieces).foreach { case (o, hex) =>
+          assert(o.getLong(1) == pos, s"gap at $pos in doc ${r.getLong(0)}")
+          assert(o.getLong(2) == hex.length / 2,
+            "byte_len must equal the piece's byte count")
+          pos += o.getLong(2)
+        }
+        assert(pos == text.getBytes("UTF-8").length.toLong,
+          "spans must cover the text's full UTF-8 encoding")
+        // each span's bytes decode back to its piece (alignment is
+        // byte-exact, not just length-exact)
+        val bytes = text.getBytes("UTF-8")
+        offs.zip(pieces).foreach { case (o, hex) =>
+          val got = bytes.slice(o.getLong(1).toInt,
+            (o.getLong(1) + o.getLong(2)).toInt)
+            .map(b => f"${b & 0xff}%02X").mkString
+          assert(got == hex, s"span bytes must equal the piece hex")
+        }
+      }
+    }
+  }
+
   test("greedy-by-rank: lowest rank wins over leftmost pair (chain parity)") {
     // text 'ABC' = 41 42 43; merge rank1 = (42,43), rank2 = (41,42).
     // A leftmost-first encoder would merge AB; rank order demands BC —

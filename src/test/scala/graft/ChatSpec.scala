@@ -505,6 +505,43 @@ class ChatSpec extends AnyFunSuite {
       "exactly the over-budget conversations are flagged truncated")
   }
 
+  test("unpackSftWindows inverts BOTH SFT packing conventions") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val df = frame(
+      1L -> conv("user" -> "the and", "assistant" -> "in then"),
+      2L -> Seq.empty[Row],
+      4L -> conv("user" -> "on", "assistant" -> "the"),
+      5L -> conv("user" -> "  café\t x ", "assistant" -> "",
+        "user" -> " the", "assistant" -> "then  "))
+    def cells(o: org.apache.spark.sql.DataFrame) = o.collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toList, r.getSeq[Long](2).toList)).toMap
+    val want = cells(Chat.sftTokenizeMask(df, "id", "conv", merges)
+      .select(col("id"), col("token_ids"), col("loss_mask")))
+
+    // GPT-style: tiny budget forces window-crossing conversations;
+    // unpack must reassemble the split spans exactly
+    val got = cells(Chat.unpackSftWindows(
+      Chat.sftPackedTokenIds(df, "id", "conv", merges, budget = 7, shards = 1),
+      Chat.sftPackedDocSpans(df, "id", "conv", merges, budget = 7, shards = 1)))
+    assert(got == want, "unpack(GPT-pack) must equal the tokenize surface")
+
+    // no-split at budget 9: conversation 1 (and any other over 9
+    // cells) comes back TRUNCATED to budget, pads excluded
+    val gotNs = cells(Chat.unpackSftWindows(
+      Chat.sftPackedTokenIdsNoSplit(df, "id", "conv", merges,
+        budget = 9, shards = 1),
+      Chat.sftPackedDocSpansNoSplit(df, "id", "conv", merges,
+        budget = 9, shards = 1)))
+    val wantNs = want.map { case (k, (ids, ms)) =>
+      k -> (ids.take(9), ms.take(9)) }
+    assert(gotNs == wantNs,
+      "unpack(no-split pack) must equal tokenize truncated at budget")
+    assert(want.exists(_._2._1.length > 9),
+      "the fixture must actually exercise truncation")
+  }
+
   test("sftTokenizeMask evaluates the whole-conversation encode ONCE") {
     // ADVICE r17: projecting token_ids and loss_mask from two copies of
     // the convCells expression ran the hot ids-mode kernel twice per

@@ -772,6 +772,48 @@ class StreamingOpsSpec extends AnyFunSuite {
       ids.length == n && ms.length == n && na == ms.sum && na > 0 })
   }
 
+  test("streaming detokenize + token offsets equal batch (row-local kernels)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fixture = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val staticDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val rows = staticDocs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    // tokenize in-stream, then detokenize in-stream: the composed
+    // round trip must return the source text row-for-row
+    val out = StreamingOps.streamingDetokenize(
+      src.select(col("doc_id"), graft.functions.ByteBpeEncode.byteBpeIds(
+        col("text"), fixture).as("ids")), "doc_id", "ids", fixture)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_detok")
+      .outputMode("append").start()
+    mem.addData(rows: _*); q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, text FROM stream_detok")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    assert(got == rows.toMap, "in-stream round trip must return the source")
+
+    val mem2 = MemoryStream[(Long, String)]
+    val out2 = StreamingOps.streamingTokenOffsets(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", fixture)
+    assert(out2.isStreaming)
+    val q2 = out2.writeStream.format("memory").queryName("stream_offs")
+      .outputMode("append").start()
+    mem2.addData(rows: _*); q2.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1)
+        .map(o => (o.getLong(0), o.getLong(1), o.getLong(2)))
+    val got2 = spark.sql("SELECT doc_id, token_offsets FROM stream_offs")
+      .collect().map(key).toMap
+    q2.stop()
+    val want2 = graft.operators.TextStats.tokenOffsets(
+      staticDocs, "doc_id", "text", fixture).collect().map(key).toMap
+    assert(got2 == want2, "streaming offsets must match batch row-for-row")
+  }
+
   test("streaming FIM augmentation equals batch (hash draws replay per micro-batch)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -548,6 +548,53 @@ class TextStatsSpec extends AnyFunSuite {
       "the fixture must exercise multi-window docs")
   }
 
+  test("unpackTokenWindows inverts the packer: ids + eos per doc, any geometry") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val eos = 256L + merges.size
+    // tiny budget forces window-crossing docs (split spans re-join)
+    val docs = Seq((1L, "the and"), (2L, ""), (3L, "in then"),
+      (5L, null.asInstanceOf[String]), (7L, "on")).toDF("doc_id", "text")
+    def check(d: org.apache.spark.sql.DataFrame, budget: Int, shards: Int): Unit = {
+      val packed = TextStats.materializePackedTokenIds(d, "doc_id", "text",
+        merges, budget, shards)
+      val spans = TextStats.packedDocSpans(d, "doc_id", "text", merges,
+        budget, shards)
+      val got = TextStats.unpackTokenWindows(packed, spans).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = d.filter(col("text").isNotNull)
+        .select(col("doc_id"), graft.functions.ByteBpeEncode.byteBpeIds(
+          col("text"), merges).as("ids"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1) :+ eos)).toMap
+      assert(got == want,
+        s"unpack(pack) must return every doc's ids + eos (budget=$budget, " +
+          s"shards=$shards)")
+    }
+    check(docs, budget = 3, shards = 1)
+    check(docs, budget = 5, shards = 2)
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    check(big, budget = 128, shards = 8)
+  }
+
+  test("unpack + decode closes the full artifact cycle back to source text") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = TextStats.materializePackedTokenIds(d, "doc_id", "text",
+      merges, budget = 128, shards = 8)
+    val spans = TextStats.packedDocSpans(d, "doc_id", "text", merges,
+      budget = 128, shards = 8)
+    val mismatches = TextStats.unpackTokenWindows(packed, spans)
+      .select(col("doc_id"),
+        graft.functions.ByteBpeDecode.byteBpeDecode(col("token_ids"), merges,
+          skipUnknown = true).as("rt"))
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(col("rt") =!= col("text")).count()
+    assert(mismatches == 0L,
+      "tokenize -> pack -> unpack -> detokenize must be the identity")
+  }
+
   test("bigramLogProbScore matches the hand formula; one bigram materialization") {
     // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,b) -> c2(a,b)=3, c2(b,a)=1,
     // c1(a)=3, total=4; minCount=2 keeps (a,b): lp = log10(3/3) = 0;
