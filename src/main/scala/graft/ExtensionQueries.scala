@@ -868,6 +868,28 @@ object ExtensionQueries {
           "doc_id", "text", ByteBpeFixtureMerges, budget = 128, shards = 8),
         budget = 128))),
 
+    // the artifact's PHYSICAL-LAYOUT address card (r18): windows
+    // assigned to training files of 4 windows each (files never span
+    // shards — seq_id is per-shard contiguous, so file_idx is a pure
+    // projection, no rank), per-file window range + token/doc counts;
+    // the oracle re-derives per-window stats independently and rolls
+    // them up with integer division
+    "q_pack_file_manifest" -> ((s, dir) =>
+      det(graft.operators.TextStats.packFileManifest(
+        graft.operators.TextStats.materializePackedTokenIds(docs(s, dir),
+          "doc_id", "text", ByteBpeFixtureMerges, budget = 128, shards = 8),
+        windowsPerFile = 4))),
+
+    // the manifest from YAML (pack_manifest terminal stage) — the
+    // q_pack_file_manifest oracle text, two construction paths
+    "q_pipeline_pack_manifest_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileYaml(
+        s"""curation:
+           |  tokenizer: {kind: bpe_bytes, merges: ${fixtureMergesStore(s, dir)}}
+           |  stages:
+           |    - {op: pack_manifest, budget: 128, shards: 8, windows_per_file: 4}
+           |""".stripMargin, docs(s, dir)))),
+
     // the datasheet from YAML (pack_datasheet terminal stage) — the
     // q_pack_datasheet oracle text, two construction paths
     "q_pipeline_pack_datasheet_config" -> ((s, dir) =>
@@ -7236,6 +7258,38 @@ object ExtensionQueries {
          |FROM x
          |ORDER BY shard $N1, seq_id $N1, pos $N1, token_id $N1""".stripMargin
     },
+    // file-manifest replay: the datasheet's per-window chain rolled
+    // up per (shard, seq_id // 4) file with integer division
+    "q_pack_file_manifest" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($BytePiecesSql) + 1 AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |x AS (SELECT shard, doc_id, n, toff,
+         |    unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
+         |  FROM o),
+         |w AS (SELECT shard, seq_id,
+         |    SUM(LEAST(n, (seq_id + 1) * 128 - toff)
+         |      - GREATEST(seq_id * 128 - toff, 0)) AS nt,
+         |    COUNT(*) AS nd
+         |  FROM x GROUP BY shard, seq_id)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(seq_id // 4 AS BIGINT) AS file_idx,
+         |  CAST(min(seq_id) AS BIGINT) AS seq_from,
+         |  CAST(max(seq_id) AS BIGINT) AS seq_to,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nd) AS BIGINT) AS n_docs,
+         |  CAST(0 AS BIGINT) AS truncated_windows
+         |FROM w GROUP BY shard, seq_id // 4
+         |ORDER BY shard $N1, file_idx $N1, seq_from $N1, seq_to $N1,
+         |  n_windows $N1, n_tokens $N1, n_docs $N1,
+         |  truncated_windows $N1""".stripMargin,
     // training-order replay: window keys from the pack geometry (the
     // spans oracle's seq ranges), epochs crossed in, md5 recomputed —
     // both engines' md5/concat_ws agree byte-for-byte
@@ -8536,6 +8590,8 @@ object ExtensionQueries {
     .updated("q_pipeline_pack_spans_config", oracleSqlBase("q_pack_token_spans"))
     .updated("q_pipeline_sft_spans_config", oracleSqlBase("q_chat_pack_sft_spans"))
     .updated("q_pipeline_pack_datasheet_config", oracleSqlBase("q_pack_datasheet"))
+    .updated("q_pipeline_pack_manifest_config",
+      oracleSqlBase("q_pack_file_manifest"))
     .updated("q_pipeline_sft_nosplit_config",
       oracleSqlBase("q_chat_pack_sft_nosplit"))
     .updated("q_pipeline_sft_nosplit_spans_config",

@@ -88,6 +88,14 @@ final case class PackSpansStage(budget: Int, shards: Int) extends CurationStage
   * reading the packed stream. Requires a `tokenizer:` mapping. */
 final case class PackDatasheetStage(budget: Int, shards: Int,
                                     eosId: Option[Long]) extends CurationStage
+/** Terminal: [[graft.operators.TextStats.packFileManifest]] over the
+  * `pack_ids` artifact the same config parameters would build — the
+  * physical-layout address card (per output file of `windows_per_file`
+  * windows: window range, window/token/doc counts, truncation) a
+  * loader seeks by. Requires a `tokenizer:` mapping. */
+final case class PackManifestStage(budget: Int, shards: Int,
+                                   windowsPerFile: Int,
+                                   eosId: Option[Long]) extends CurationStage
 /** [[graft.operators.TextStats.fimTransform]] — TERMINAL augmentation
   * (emits (id, fim_mode, text)); row-local, stream-legal. */
 final case class FimStage(fimRate: Double, spmRate: Double) extends CurationStage
@@ -137,19 +145,21 @@ final case class CurationConfig(idCol: String, textCol: String,
   require(stages.nonEmpty, "curation config needs at least one stage")
   private def terminal(s: CurationStage): Boolean = s match {
     case _: PackStage | _: PackIdsStage | _: PackSpansStage |
-         _: PackDatasheetStage | _: FimStage |
+         _: PackDatasheetStage | _: PackManifestStage | _: FimStage |
          _: SpanCorruptStage | _: DenoiserMixStage => true
     case _ => false
   }
   require(!stages.dropRight(1).exists(terminal),
-    "pack/pack_ids/doc_spans/pack_datasheet/fim/span_corrupt/denoiser_mix " +
+    "pack/pack_ids/doc_spans/pack_datasheet/pack_manifest/fim/" +
+      "span_corrupt/denoiser_mix " +
       "change the row schema and must be the LAST stage")
   require(!stages.exists(s => s.isInstanceOf[PackIdsStage] ||
-    s.isInstanceOf[PackSpansStage] || s.isInstanceOf[PackDatasheetStage]) ||
+    s.isInstanceOf[PackSpansStage] || s.isInstanceOf[PackDatasheetStage] ||
+    s.isInstanceOf[PackManifestStage]) ||
     tokenizer.nonEmpty,
-    "pack_ids/doc_spans/pack_datasheet encode with the production " +
-      "tokenizer; declare a tokenizer: {kind: bpe_bytes, merges: " +
-      "<ModelStore path>} mapping")
+    "pack_ids/doc_spans/pack_datasheet/pack_manifest encode with the " +
+      "production tokenizer; declare a tokenizer: {kind: bpe_bytes, " +
+      "merges: <ModelStore path>} mapping")
 }
 
 object CurationConfig {
@@ -243,6 +253,9 @@ object CurationConfig {
         int(m, "shards", 8))
       case "pack_datasheet" => PackDatasheetStage(int(m, "budget", 512),
         int(m, "shards", 8), m.get("eos_id").map(_.toString.toLong))
+      case "pack_manifest" => PackManifestStage(int(m, "budget", 512),
+        int(m, "shards", 8), int(m, "windows_per_file", 1024),
+        m.get("eos_id").map(_.toString.toLong))
       case "fim" => FimStage(dbl(m, "fim_rate", 0.5), dbl(m, "spm_rate", 0.5))
       case "span_corrupt" => SpanCorruptStage(
         dbl(m, "density", 0.15), int(m, "mean_span", 3))

@@ -562,6 +562,44 @@ object TextStats {
   }
 
   /**
+   * OUTPUT-FILE manifest for a packed window stream — the address
+   * card of the artifact's physical layout: windows are assigned to
+   * training files of `windowsPerFile` windows each, files never
+   * spanning shards (`seq_id` is per-shard contiguous, so
+   * `file_idx = seq_id div windowsPerFile` is a pure projection — no
+   * global coordination, no rank), and each file rolls up the card a
+   * loader seeks by: its window range, window/token/doc counts and
+   * truncation. Compose with [[trainingOrder]] (shuffle keys) and
+   * [[packDatasheet]] (the global card) for the full write-side
+   * surface; the no-split packers' `truncated` flag aggregates when
+   * present.
+   *
+   * Output: (shard, file_idx, seq_from, seq_to, n_windows, n_tokens,
+   * n_docs, truncated_windows).
+   *
+   * 100 TB design: ONE shuffle on the (shard, file_idx) key straight
+   * to file cardinality — the id arrays prune out of the aggregate
+   * (only the packer's scalar columns are read); `div` is exact Long
+   * arithmetic, no double rounding at any window count.
+   */
+  def packFileManifest(packed: DataFrame, windowsPerFile: Int): DataFrame = {
+    require(windowsPerFile >= 1, "windowsPerFile must be >= 1")
+    val withTr =
+      if (packed.columns.contains("truncated")) packed
+      else packed.withColumn("truncated", lit(false))
+    withTr
+      .groupBy(col("shard"),
+        expr(s"seq_id div $windowsPerFile").as("file_idx"))
+      .agg(
+        min(col("seq_id")).as("seq_from"),
+        max(col("seq_id")).as("seq_to"),
+        count(lit(1)).as("n_windows"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("truncated").cast(LongType)).as("truncated_windows"))
+  }
+
+  /**
    * TRAINING-ORDER manifest for a packed window stream — the last
    * step between a packed artifact and the data loader: for each of
    * `epochs` passes, every window gets a deterministic pseudo-random

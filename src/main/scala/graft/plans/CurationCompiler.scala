@@ -138,6 +138,12 @@ object CurationCompiler {
           graft.operators.TextStats.packDatasheet(
             graft.operators.TextStats.materializePackedTokenIds(cur, id,
               text, bpeMerges.get, budget, shards, eosId), budget)
+        case PackManifestStage(budget, shards, perFile, eosId) =>
+          // the physical-layout address card over the same packer
+          // plan (id arrays prune out of the per-file rollup too)
+          graft.operators.TextStats.packFileManifest(
+            graft.operators.TextStats.materializePackedTokenIds(cur, id,
+              text, bpeMerges.get, budget, shards, eosId), perFile)
         case other => throw new IllegalStateException(s"unhandled stage $other")
       })
     }

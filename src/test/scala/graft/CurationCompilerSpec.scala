@@ -645,6 +645,60 @@ class CurationCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_manifest stage: parse, tokenizer-required, terminal, zero drift, stream reject") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_manifest_cfg").toString
+    try {
+      graft.sources.ModelStore.saveMerges(spark,
+        merges.map { case (l, r) => (l, r, 0L) }, tmp)
+      intercept[IllegalArgumentException] {
+        graft.config.CurationConfig.fromYaml(
+          "curation:\n  stages:\n    - {op: pack_manifest}\n")
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.CurationConfig.fromYaml(
+          s"""curation:
+             |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+             |  stages:
+             |    - {op: pack_manifest}
+             |    - {op: strip_markup}
+             |""".stripMargin)
+      }
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val cfg = graft.plans.CurationCompiler.compileYaml(
+        s"""curation:
+           |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+           |  stages:
+           |    - {op: pack_manifest, budget: 64, shards: 4, windows_per_file: 4}
+           |""".stripMargin, docs)
+      val want = graft.operators.TextStats.packFileManifest(
+        graft.operators.TextStats.materializePackedTokenIds(docs,
+          "doc_id", "text", merges, budget = 64, shards = 4),
+        windowsPerFile = 4)
+      assert(cfg.collect().map(_.toSeq).toSet ==
+        want.collect().map(_.toSeq).toSet,
+        "config pack_manifest must equal the programmatic rollup")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val sdf = ms.toDF.toDF("doc_id", "text", "ts")
+      intercept[UnsupportedOperationException] {
+        graft.plans.CurationCompiler.compileStreaming(
+          graft.config.CurationConfig.fromYaml(
+            s"""curation:
+               |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+               |  stages:
+               |    - {op: pack_manifest}
+               |""".stripMargin), sdf, "ts", "10 minutes")
+      }
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("doc_spans / pack_sft_spans stages: parse, tokenizer-required, terminal, zero drift, stream reject") {
     val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
       ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))

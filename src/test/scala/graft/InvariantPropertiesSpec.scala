@@ -410,6 +410,17 @@ class InvariantPropertiesSpec extends AnyFunSuite {
         .map { case (k, rs) => k -> rs.map(_.getLong(4)).sum }
       assert(spans == want.map { case (k, w) => k -> w.length.toLong },
         s"span totals diverge at budget=$budget shards=$shards")
+      // r18 READER closure: unpack(windows, spans) must return every
+      // doc's ids + eos at EVERY geometry — the reader works against
+      // the same brute-force reference, not just the packer's output
+      val unpacked = TextStats.unpackTokenWindows(
+          TextStats.materializePackedTokenIds(docs, "doc_id", "text",
+            merges, budget, shards),
+          TextStats.packedDocSpans(docs, "doc_id", "text", merges,
+            budget, shards))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(unpacked == perDoc.toMap,
+        s"unpack(pack) diverges at budget=$budget shards=$shards")
     }
   }
 }

@@ -1659,6 +1659,44 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out("de") == ((2L, 2L, 1.0, 1.0, 2.0)))
   }
 
+  test("packFileManifest: per-file rollup matches the windows; arrays prune") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Seq(("74", "68"), ("7468", "65"))
+    val packed = TextStats.materializePackedTokenIds(docs, "doc_id", "text",
+      merges, budget = 64, shards = 4)
+    val man = TextStats.packFileManifest(packed, windowsPerFile = 4)
+    // like the datasheet: the manifest reads only the packer's scalar
+    // columns, so the ids-mode kernel prunes out of the plan entirely
+    val plan = man.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_byte_bpe_ids"),
+      "token arrays must prune out of the manifest plan")
+    val rows = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val want = rows.groupBy { case (sh, sq, _, _) => (sh, sq / 4) }
+      .map { case ((sh, f), ws) =>
+        (sh, f) -> (ws.map(_._2).min, ws.map(_._2).max, ws.length.toLong,
+          ws.map(_._3).sum, ws.map(_._4).sum, 0L)
+      }
+    val got = man.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    assert(got == want, "per-file rollup must match the materialized windows")
+    // files never span shards; every non-terminal file is FULL
+    val lastFile = got.keys.groupBy(_._1).map { case (sh, ks) =>
+      sh -> ks.map(_._2).max }
+    got.foreach { case ((sh, f), (_, _, nw, _, _, _)) =>
+      if (f != lastFile(sh)) assert(nw == 4L, s"non-terminal file ($sh,$f) " +
+        s"must hold exactly windowsPerFile windows, got $nw")
+    }
+    // the truncated flag aggregates when the input carries one
+    val fake = Seq((0L, 0L, 10L, 2L, true), (0L, 1L, 8L, 1L, false),
+      (0L, 4L, 10L, 3L, true))
+      .toDF("shard", "seq_id", "n_tokens", "n_docs", "truncated")
+    val m2 = TextStats.packFileManifest(fake, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(7)).toMap
+    assert(m2 == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L))
+  }
+
   test("packDatasheet: stats match the packed output; id arrays prune; truncation counted") {
     def r6(d: Double) =
       BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
