@@ -937,6 +937,16 @@ object ExtensionQueries {
             ByteBpeFixtureMerges, skipUnknown = true).as("text")))
     }),
 
+    // the no-split artifact's FILE manifest (r18): the one packed
+    // shape where the card's truncated_windows column is REAL —
+    // per-file rollup over the truncating next-fit packer; n_tokens
+    // counts real ids before padding
+    "q_chat_pack_nosplit_manifest" -> ((s, dir) =>
+      det(graft.operators.TextStats.packFileManifest(
+        graft.operators.Chat.sftPackedTokenIdsNoSplit(chatFrame(s, dir),
+          "doc_id", "conv", ByteBpeFixtureMerges, budget = 512, shards = 8),
+        windowsPerFile = 4))),
+
     // the no-split packer's datasheet: the one packed shape where
     // truncation is REAL (oversized conversations chop to budget in
     // their own window) and fill < 1 by design (padding) — n_tokens
@@ -7203,6 +7213,49 @@ object ExtensionQueries {
          |FROM allr
          |ORDER BY shard $N1, seq_id $N1, pos $N1, token_id $N1,
          |  loss_mask $N1""".stripMargin
+    },
+
+    // no-split file manifest: the next-fit assignment replay's window
+    // stats (real ids before padding, per-doc truncation flags joined
+    // back) rolled up per (shard, seq // 4) file
+    "q_chat_pack_nosplit_manifest" -> {
+      s"""WITH RECURSIVE $chatCte,
+         |$SftCellCtes,
+         |s AS (SELECT doc_id, doc_id % 8 AS shard, ids, ms,
+         |    LEAST(len(ids), 512) AS eff,
+         |    len(ids) > 512 AS cut,
+         |    row_number() OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id) AS ri
+         |  FROM conv),
+         |assign AS (
+         |  SELECT shard, ri, doc_id, eff,
+         |    CAST(0 AS BIGINT) AS seq, CAST(eff AS BIGINT) AS used
+         |  FROM s WHERE ri = 1
+         |  UNION ALL
+         |  SELECT s.shard, s.ri, s.doc_id, s.eff,
+         |    CASE WHEN a.used + s.eff > 512 THEN a.seq + 1
+         |      ELSE a.seq END,
+         |    CASE WHEN a.used + s.eff > 512 THEN CAST(s.eff AS BIGINT)
+         |      ELSE a.used + s.eff END
+         |  FROM assign a JOIN s ON s.shard = a.shard AND s.ri = a.ri + 1),
+         |w AS (SELECT a.shard, a.seq,
+         |    CAST(SUM(a.eff) AS BIGINT) AS nt,
+         |    CAST(COUNT(*) AS BIGINT) AS nd,
+         |    CAST(MAX(CASE WHEN s2.cut THEN 1 ELSE 0 END) AS BIGINT) AS tw
+         |  FROM assign a JOIN s s2 USING (doc_id)
+         |  GROUP BY a.shard, a.seq)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(seq // 4 AS BIGINT) AS file_idx,
+         |  CAST(MIN(seq) AS BIGINT) AS seq_from,
+         |  CAST(MAX(seq) AS BIGINT) AS seq_to,
+         |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(nd) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tw) AS BIGINT) AS truncated_windows
+         |FROM w GROUP BY shard, seq // 4
+         |ORDER BY shard $N1, file_idx $N1, seq_from $N1, seq_to $N1,
+         |  n_windows $N1, n_tokens $N1, n_docs $N1,
+         |  truncated_windows $N1""".stripMargin
     },
 
     "q_chat_pack_sft_ids" -> {
