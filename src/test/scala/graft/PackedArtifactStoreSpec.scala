@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.TextStats
+import graft.sources.PackedArtifactStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The on-disk packed-artifact layout: write → read restores every
+ * surface exactly (windows, spans, manifest, meta), the per-shard
+ * files come back readable in stream order, and — the loadability
+ * proof — unpacking the READ-BACK frames reproduces the same per-doc
+ * token streams as unpacking the in-memory frames.
+ */
+class PackedArtifactStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val Merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+    ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+
+  test("write -> read round trip: windows, spans, manifest, meta, unpack parity") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = TextStats.materializePackedTokenIds(docs, "doc_id", "text",
+      Merges, budget = 128, shards = 8)
+    val spans = TextStats.packedDocSpans(docs, "doc_id", "text", Merges,
+      budget = 128, shards = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_artifact").toString
+    try {
+      val meta = PackedArtifactStore.Meta(budget = 128, shards = 8,
+        windowsPerFile = 4, eosId = 256L + Merges.size)
+      PackedArtifactStore.write(packed, spans, dir, meta)
+
+      assert(PackedArtifactStore.readMeta(spark, dir) == meta)
+
+      def winSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("shard", "seq_id", "token_ids", "n_tokens", "n_docs")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2),
+          r.getLong(3), r.getLong(4))).toSet
+      val rw = PackedArtifactStore.readWindows(spark, dir)
+      assert(rw.schema("shard").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "shard must restore to LongType through the partition key")
+      assert(winSet(rw) == winSet(packed),
+        "read-back windows must equal the written frame")
+
+      def spanSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("shard", "seq_id", "doc_id", "span_start", "span_len")
+        .collect().map(_.toSeq).toSet
+      assert(spanSet(PackedArtifactStore.readSpans(spark, dir)) ==
+        spanSet(spans), "read-back spans must equal the written frame")
+
+      assert(PackedArtifactStore.readManifest(spark, dir)
+        .collect().map(_.toSeq).toSet ==
+        TextStats.packFileManifest(packed, 4).collect().map(_.toSeq).toSet,
+        "the persisted manifest must equal a fresh rollup")
+
+      // loadability: unpack the artifact AS READ FROM DISK
+      def unpacked(w: org.apache.spark.sql.DataFrame,
+                   s: org.apache.spark.sql.DataFrame) =
+        TextStats.unpackTokenWindows(w, s).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(unpacked(rw, PackedArtifactStore.readSpans(spark, dir)) ==
+        unpacked(packed, spans),
+        "unpacking the on-disk artifact must equal unpacking in memory")
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+}
