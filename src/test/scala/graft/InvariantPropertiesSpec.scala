@@ -373,6 +373,36 @@ class InvariantPropertiesSpec extends AnyFunSuite {
         s"bucketed resample diverges at nb=$nb")
   }
 
+  test("byte-BPE decode/offsets invariants over adversarial unicode (r18)") {
+    import graft.functions.{ByteBpeDecode, ByteBpeEncode}
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    // widen the alphabet: 4-byte astral chars + combining marks join
+    // the base generator's multi-byte set
+    val wide = texts.zipWithIndex.map { case (t, i) =>
+      if (i % 3 == 0) t + "😀" else if (i % 3 == 1) "é" + t
+      else t
+    }
+    val df = wide.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    // decode(encode(t)) == t, and offsets tile len(utf8(t)) exactly,
+    // evaluated as ONE job
+    val bad = df.select(col("id"), col("t"),
+        ByteBpeDecode.byteBpeDecode(
+          ByteBpeEncode.byteBpeIds(col("t"), merges), merges).as("rt"),
+        coalesce(element_at(
+          ByteBpeEncode.byteBpeOffsets(col("t"), merges), -1), // last span
+          struct(lit(0L).as("token_id"), lit(0L).as("byte_start"),
+            lit(0L).as("byte_len"))).as("last"))
+      .filter(col("rt") =!= col("t") ||
+        (col("last").getField("byte_start") + col("last").getField("byte_len"))
+          =!= length(encode(col("t"), "UTF-8")))
+      .count()
+    assert(bad == 0L,
+      "decode must invert encode and offsets must tile the UTF-8 bytes " +
+        "on every adversarial sample")
+  }
+
   test("packed token stream: brute-force replay at random geometries (r17)") {
     // the r17 token-stream family against a driver-side brute force:
     // encode every doc + eos, concat per shard in id order, chop —

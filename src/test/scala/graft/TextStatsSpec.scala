@@ -575,6 +575,21 @@ class TextStatsSpec extends AnyFunSuite {
     check(docs, budget = 5, shards = 2)
     val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     check(big, budget = 128, shards = 8)
+    // scale contract: the reader is one window-key join + one doc
+    // groupBy over the packer's own bounded plan — the whole
+    // pack+unpack pipeline stays within a fixed shuffle budget
+    val card = graft.operators.Diagnostics.planCard(
+      TextStats.unpackTokenWindows(
+        TextStats.materializePackedTokenIds(big, "doc_id", "text", merges,
+          budget = 128, shards = 8),
+        TextStats.packedDocSpans(big, "doc_id", "text", merges,
+          budget = 128, shards = 8))).collect()(0)
+    // measured shape: 3 shuffles (pack window + pack groupBy + unpack
+    // groupBy) with both equi-joins broadcast at fixture scale; pin a
+    // notch above so an AQE join-strategy flip doesn't false-trip but
+    // a structural regression (extra repartition, lost reuse) does
+    assert(card.getAs[Long]("n_shuffle_exchanges") <= 4,
+      s"unpack(pack) must stay within the bounded shuffle budget: $card")
   }
 
   test("unpack + decode closes the full artifact cycle back to source text") {
