@@ -87,4 +87,31 @@ object PackedArtifactStore {
     val others = df.columns.filterNot(_ == "shard").map(col)
     df.select(col("shard").cast(LongType).as("shard") +: others.toIndexedSeq: _*)
   }
+
+  /**
+   * Loader-side INTEGRITY gate: recompute the file manifest from the
+   * PERSISTED windows and diff it against the PERSISTED manifest — a
+   * partial windows write, a stale manifest after a re-pack, or a
+   * hand-edited card all surface as mismatched file rows before a
+   * training run reads a single token. One row:
+   * (n_files_stored, n_files_recomputed, n_mismatched_files, ok).
+   *
+   * 100 TB design: the recompute is the manifest rollup's one
+   * file-cardinality shuffle over scalar columns (id arrays prune);
+   * the diff runs at file cardinality (`exceptAll` both ways), never
+   * token scale.
+   */
+  def validate(spark: SparkSession, path: String): DataFrame = {
+    val meta = readMeta(spark, path)
+    val fresh = graft.operators.TextStats.packFileManifest(
+      readWindows(spark, path), meta.windowsPerFile)
+    val stored = readManifest(spark, path)
+    val nStored = stored.count()
+    val nFresh = fresh.count()
+    val mismatched = stored.exceptAll(fresh).count() +
+      fresh.exceptAll(stored).count()
+    import spark.implicits._
+    Seq((nStored, nFresh, mismatched, mismatched == 0L && nStored == nFresh))
+      .toDF("n_files_stored", "n_files_recomputed", "n_mismatched_files", "ok")
+  }
 }

@@ -63,6 +63,20 @@ class PackedArtifactStoreSpec extends AnyFunSuite {
       assert(unpacked(rw, PackedArtifactStore.readSpans(spark, dir)) ==
         unpacked(packed, spans),
         "unpacking the on-disk artifact must equal unpacking in memory")
+
+      // integrity gate: a healthy artifact validates clean...
+      val okRow = PackedArtifactStore.validate(spark, dir).head()
+      assert(okRow.getAs[Boolean]("ok") &&
+        okRow.getAs[Long]("n_mismatched_files") == 0L,
+        s"fresh artifact must validate clean, got $okRow")
+      // ...and a STALE manifest (wrong rollup geometry written over
+      // the real one) is caught before a loader reads a token
+      TextStats.packFileManifest(packed, 2)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+      val badRow = PackedArtifactStore.validate(spark, dir).head()
+      assert(!badRow.getAs[Boolean]("ok") &&
+        badRow.getAs[Long]("n_mismatched_files") > 0L,
+        s"stale manifest must fail validation, got $badRow")
     } finally {
       import java.nio.file.{Files, Path, Paths}
       Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder[Path]())
