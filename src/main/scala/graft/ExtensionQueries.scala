@@ -846,6 +846,19 @@ object ExtensionQueries {
         .select(col("shard"), col("seq_id"),
           col("pos").cast(LongType).as("pos"), col("token_id")))),
 
+    // the per-window DOMAIN MIX card (r18): what fraction of every
+    // packed context window's tokens comes from which source — the
+    // window-level view of the mixing recipe (batch-composition
+    // pathologies that corpus shares hide); spans carry their doc's
+    // stratum, shares normalize per window (partitioned window only)
+    "q_pack_window_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      det(graft.operators.TextStats.packedWindowMix(
+        graft.operators.TextStats.packedDocSpans(d, "doc_id", "text",
+          ByteBpeFixtureMerges, budget = 128, shards = 8),
+        d, "doc_id", "source"))
+    }),
+
     // the TRAINING-ORDER manifest (r18): per-epoch deterministic
     // shuffle keys over the packed windows — md5(seed:epoch:shard:
     // seq_id), the engine-portable md5-uniform convention; reading an
@@ -7311,6 +7324,38 @@ object ExtensionQueries {
          |FROM x
          |ORDER BY shard $N1, seq_id $N1, pos $N1, token_id $N1""".stripMargin
     },
+    // window-mix replay: the spans chain joined to each doc's source,
+    // grouped to window×source, shares via a per-window SUM OVER —
+    // the same single double division + round(6) both engines run
+    "q_pack_window_mix" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($BytePiecesSql) + 1 AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |x AS (SELECT shard, doc_id, n, toff,
+         |    unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
+         |  FROM o),
+         |sp AS (SELECT shard, seq_id, doc_id,
+         |    LEAST(n, (seq_id + 1) * 128 - toff)
+         |      - GREATEST(seq_id * 128 - toff, 0) AS sl
+         |  FROM x),
+         |j AS (SELECT sp.shard, sp.seq_id, d.source AS stratum,
+         |    CAST(SUM(sp.sl) AS BIGINT) AS n_tokens
+         |  FROM sp JOIN documents d USING (doc_id)
+         |  GROUP BY sp.shard, sp.seq_id, d.source)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(seq_id AS BIGINT) AS seq_id, stratum, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) /
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard, seq_id)
+         |      AS DOUBLE), 6) AS share
+         |FROM j
+         |ORDER BY shard $N1, seq_id $N1, stratum $N1, n_tokens $N1,
+         |  share $N1""".stripMargin,
     // file-manifest replay: the datasheet's per-window chain rolled
     // up per (shard, seq_id // 4) file with integer division
     "q_pack_file_manifest" ->

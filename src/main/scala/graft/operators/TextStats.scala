@@ -600,6 +600,39 @@ object TextStats {
   }
 
   /**
+   * Per-window DOMAIN MIX card — what fraction of every packed
+   * context window's tokens comes from which stratum (source, lang,
+   * license tier): the window-level view of the corpus mixing
+   * recipe, and the observability a training run needs to spot
+   * batch-composition pathologies (a window wholly from one crawl, a
+   * contaminated stratum concentrating in few windows) that
+   * corpus-level shares hide. Each (window, doc) span carries its
+   * document's stratum; spans aggregate to window×stratum token
+   * counts and shares (a doc's span includes its EOS — attribution
+   * follows the stream). `spans` is [[packedDocSpans]]' output (or
+   * the SFT twin's); `docs` supplies the stratum column.
+   *
+   * Output: (shard, seq_id, stratum, n_tokens, share round-6).
+   *
+   * 100 TB design: one equi-join of two SCALAR frames (spans ×
+   * id→stratum projection — token arrays never touched), one groupBy
+   * to window×stratum cardinality, and the share normalizer is a
+   * window PARTITIONED by (shard, seq_id) — never unpartitioned.
+   */
+  def packedWindowMix(spans: DataFrame, docs: DataFrame, idCol: String,
+                      stratumCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("seq_id"))
+    spans
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(stratumCol).as("stratum")), Seq("doc_id"))
+      .groupBy(col("shard"), col("seq_id"), col("stratum"))
+      .agg(sum(col("span_len")).as("n_tokens"))
+      .withColumn("share", round(col("n_tokens").cast(DoubleType) /
+        sum(col("n_tokens")).over(w).cast(DoubleType), 6))
+  }
+
+  /**
    * TRAINING-ORDER manifest for a packed window stream — the last
    * step between a packed artifact and the data loader: for each of
    * `epochs` passes, every window gets a deterministic pseudo-random

@@ -592,6 +592,43 @@ class TextStatsSpec extends AnyFunSuite {
       s"unpack(pack) must stay within the bounded shuffle budget: $card")
   }
 
+  test("packedWindowMix: shares normalize per window, tokens conserve, hand case") {
+    val merges = Seq(("74", "68"), ("7468", "65"))
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val spans = TextStats.packedDocSpans(d, "doc_id", "text", merges,
+      budget = 64, shards = 4)
+    val mix = TextStats.packedWindowMix(spans, d, "doc_id", "source")
+    val rows = mix.collect()
+    // token conservation: window-mix counts sum to the span totals
+    val mixTotal = rows.map(_.getLong(3)).sum
+    val spanTotal = spans.agg(sum("span_len")).head().getLong(0)
+    assert(mixTotal == spanTotal, "every span token must land in one stratum")
+    // shares sum to ~1 per window (round-6 per-term rounding)
+    rows.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (k, rs) =>
+      val s = rs.map(_.getDouble(4)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"window $k shares sum to $s")
+    }
+    // hand case: two docs, two sources, one window — exact shares
+    val docs2 = Seq((0L, "the the", "a"), (2L, "the", "b"))
+      .toDF("doc_id", "text", "source")
+    val sp2 = TextStats.packedDocSpans(docs2, "doc_id", "text", merges,
+      budget = 64, shards = 1)
+    val got = TextStats.packedWindowMix(sp2, docs2, "doc_id", "source")
+      .collect().map(r => r.getString(2) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    // 'the the' -> [the, ' the'-less fixture: 7468+65 merges give
+    // 'the'=2 tokens? compute from the engine itself instead: counts
+    // must match byteBpeCount + 1 (eos) per doc
+    val counts = docs2.select(col("source"),
+        graft.functions.ByteBpeEncode.byteBpeCount(col("text"), merges) + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = counts.values.sum.toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == ((counts("a"), r6(counts("a") / tot))))
+    assert(got("b") == ((counts("b"), r6(counts("b") / tot))))
+  }
+
   test("unpack + decode closes the full artifact cycle back to source text") {
     val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
       ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
