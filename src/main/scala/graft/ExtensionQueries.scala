@@ -753,6 +753,16 @@ object ExtensionQueries {
       det(graft.operators.Chat.sftPackedDocSpans(chatFrame(s, dir),
         "doc_id", "conv", ByteBpeFixtureMerges, budget = 128, shards = 8))),
 
+    // the SFT window-mix twin (r18): the domain mix of every packed
+    // SFT window — same operator, the chat spans geometry; the
+    // conversation ids ARE doc ids, so each window's mix traces back
+    // to the source strata
+    "q_chat_pack_window_mix" -> ((s, dir) =>
+      det(graft.operators.TextStats.packedWindowMix(
+        graft.operators.Chat.sftPackedDocSpans(chatFrame(s, dir),
+          "doc_id", "conv", ByteBpeFixtureMerges, budget = 128, shards = 8),
+        docs(s, dir), "doc_id", "source"))),
+
     // NO-SPLIT SFT packing (r17): conversations never cross windows —
     // next-fit in id order per shard, oversized conversations truncate
     // into their own window, every window pads to exactly 512 ids
@@ -7175,6 +7185,40 @@ object ExtensionQueries {
          |FROM x
          |ORDER BY shard $N1, seq_id $N1, doc_id $N1, span_start $N1,
          |  span_len $N1""".stripMargin
+    },
+
+    // SFT window-mix replay: the chat spans chain joined to each
+    // conversation's SOURCE document stratum, grouped to
+    // window×stratum, shares via the per-window SUM OVER
+    "q_chat_pack_window_mix" -> {
+      s"""WITH $chatCte,
+         |$SftCellCtes,
+         |t AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n FROM conv),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |x AS (SELECT shard, doc_id, n, toff,
+         |    unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
+         |  FROM o),
+         |sp AS (SELECT shard, seq_id, doc_id,
+         |    LEAST(n, (seq_id + 1) * 128 - toff)
+         |      - GREATEST(seq_id * 128 - toff, 0) AS sl
+         |  FROM x),
+         |j AS (SELECT sp.shard, sp.seq_id, dd.source AS stratum,
+         |    CAST(SUM(sp.sl) AS BIGINT) AS n_tokens
+         |  FROM sp JOIN documents dd USING (doc_id)
+         |  GROUP BY sp.shard, sp.seq_id, dd.source)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(seq_id AS BIGINT) AS seq_id, stratum, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) /
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard, seq_id)
+         |      AS DOUBLE), 6) AS share
+         |FROM j
+         |ORDER BY shard $N1, seq_id $N1, stratum $N1, n_tokens $N1,
+         |  share $N1""".stripMargin
     },
 
     // next-fit no-split packing: the per-shard window assignment is a
