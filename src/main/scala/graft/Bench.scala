@@ -156,8 +156,12 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"failed":$fl,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
-    println(json)
+    // stop BEFORE the final print: Spark's shutdown logging otherwise
+    // lands after the JSON line and the driver's tail-parse sees a log
+    // line instead of the dump (r19, VERDICT r18 "parsed: null")
     spark.stop()
+    println(json)
+    Console.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -96,6 +96,24 @@ final case class PackDatasheetStage(budget: Int, shards: Int,
 final case class PackManifestStage(budget: Int, shards: Int,
                                    windowsPerFile: Int,
                                    eosId: Option[Long]) extends CurationStage
+/** Terminal: [[graft.sources.PackedArtifactStore.write]] — the
+  * MOUNTABLE artifact itself from YAML (r19, VERDICT r18 #2: the
+  * config could build the four loose frames but not the
+  * `windows//spans//manifest//meta/` directory a training job
+  * mounts): builds the `pack_ids` windows AND the `doc_spans` address
+  * book under the stage's tokenizer/budget/shards params, writes the
+  * store to `path` (epochs >= 1 persists the per-epoch training order
+  * under `order/`), and returns the loader-side
+  * [[graft.sources.PackedArtifactStore.validate]] integrity row — so
+  * a config run ends on the same gate a training job would check.
+  * Requires a `tokenizer:` mapping; `eos_id` defaults to 256+|merges|. */
+final case class PackStoreStage(budget: Int, shards: Int,
+                                windowsPerFile: Int, eosId: Option[Long],
+                                epochs: Int, seed: Long,
+                                path: String) extends CurationStage {
+  require(path.nonEmpty, "pack_store needs a non-empty path")
+  require(epochs >= 0, "pack_store epochs must be >= 0")
+}
 /** [[graft.operators.TextStats.fimTransform]] — TERMINAL augmentation
   * (emits (id, fim_mode, text)); row-local, stream-legal. */
 final case class FimStage(fimRate: Double, spmRate: Double) extends CurationStage
@@ -145,21 +163,21 @@ final case class CurationConfig(idCol: String, textCol: String,
   require(stages.nonEmpty, "curation config needs at least one stage")
   private def terminal(s: CurationStage): Boolean = s match {
     case _: PackStage | _: PackIdsStage | _: PackSpansStage |
-         _: PackDatasheetStage | _: PackManifestStage | _: FimStage |
-         _: SpanCorruptStage | _: DenoiserMixStage => true
+         _: PackDatasheetStage | _: PackManifestStage | _: PackStoreStage |
+         _: FimStage | _: SpanCorruptStage | _: DenoiserMixStage => true
     case _ => false
   }
   require(!stages.dropRight(1).exists(terminal),
-    "pack/pack_ids/doc_spans/pack_datasheet/pack_manifest/fim/" +
+    "pack/pack_ids/doc_spans/pack_datasheet/pack_manifest/pack_store/fim/" +
       "span_corrupt/denoiser_mix " +
       "change the row schema and must be the LAST stage")
   require(!stages.exists(s => s.isInstanceOf[PackIdsStage] ||
     s.isInstanceOf[PackSpansStage] || s.isInstanceOf[PackDatasheetStage] ||
-    s.isInstanceOf[PackManifestStage]) ||
+    s.isInstanceOf[PackManifestStage] || s.isInstanceOf[PackStoreStage]) ||
     tokenizer.nonEmpty,
-    "pack_ids/doc_spans/pack_datasheet/pack_manifest encode with the " +
-      "production tokenizer; declare a tokenizer: {kind: bpe_bytes, " +
-      "merges: <ModelStore path>} mapping")
+    "pack_ids/doc_spans/pack_datasheet/pack_manifest/pack_store encode " +
+      "with the production tokenizer; declare a tokenizer: {kind: " +
+      "bpe_bytes, merges: <ModelStore path>} mapping")
 }
 
 object CurationConfig {
@@ -256,6 +274,13 @@ object CurationConfig {
       case "pack_manifest" => PackManifestStage(int(m, "budget", 512),
         int(m, "shards", 8), int(m, "windows_per_file", 1024),
         m.get("eos_id").map(_.toString.toLong))
+      case "pack_store" => PackStoreStage(int(m, "budget", 512),
+        int(m, "shards", 8), int(m, "windows_per_file", 1024),
+        m.get("eos_id").map(_.toString.toLong),
+        int(m, "epochs", 0), lng(m, "seed", 0L),
+        m.get("path").map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            "pack_store stage needs a path")))
       case "fim" => FimStage(dbl(m, "fim_rate", 0.5), dbl(m, "spm_rate", 0.5))
       case "span_corrupt" => SpanCorruptStage(
         dbl(m, "density", 0.15), int(m, "mean_span", 3))

@@ -358,28 +358,46 @@ object ByteBpeEncode {
       * cross pre-token boundaries, and pre-tokens tile the input, so
       * `decode(ids(t)) == t` for every string `t`). Ids OUTSIDE the
       * vocabulary `[0, 256+|merges|)` — EOS / pad sentinels under the
-      * `256+|merges|` id convention — throw by default; with
-      * `skipUnknown` they are dropped, which is the artifact-reading
-      * contract (an EOS-terminated packed stream decodes to its
-      * source text directly). */
-    def decode(idsArr: ArrayData, skipUnknown: Boolean): UTF8String = {
+      * `256+|merges|` id convention — and NULL array elements throw
+      * by default; with `skipUnknown` they are dropped (the blanket
+      * artifact-reading contract: an EOS-terminated packed stream
+      * decodes to its source text directly); a non-empty `sentinels`
+      * set (sorted, ADVICE r18 #4) narrows the dropped set to exactly
+      * those ids so genuinely garbage ids still fail loudly. */
+    def decode(idsArr: ArrayData, skipUnknown: Boolean,
+               sentinels: Array[Long]): UTF8String = {
       val n = idsArr.numElements()
+      // droppable = skipUnknown OR a listed sentinel; anything else
+      // out of vocabulary throws
+      def keepOrThrow(i: Int): Long = {
+        if (idsArr.isNullAt(i)) {
+          if (skipUnknown) return -1L
+          throw new IllegalArgumentException(
+            "NULL token id in the input array; pass skipUnknown=true " +
+              "to drop null elements")
+        }
+        val id = idsArr.getLong(i)
+        if (id >= 0 && id < nSym) id
+        else if (skipUnknown ||
+          java.util.Arrays.binarySearch(sentinels, id) >= 0) -1L
+        else throw new IllegalArgumentException(
+          s"token id $id outside the vocabulary [0, $nSym); pass " +
+            "skipUnknown=true (or list it in sentinelIds) to drop " +
+            "EOS/pad sentinels")
+      }
       var total = 0
       var i = 0
       while (i < n) {
-        val id = idsArr.getLong(i)
-        if (id >= 0 && id < nSym) total += symBytes(id.toInt).length
-        else if (!skipUnknown) throw new IllegalArgumentException(
-          s"token id $id outside the vocabulary [0, $nSym); pass " +
-            "skipUnknown=true to drop EOS/pad sentinels")
+        val id = keepOrThrow(i)
+        if (id >= 0) total += symBytes(id.toInt).length
         i += 1
       }
       val buf = new Array[Byte](total)
       var w = 0
       i = 0
       while (i < n) {
-        val id = idsArr.getLong(i)
-        if (id >= 0 && id < nSym) {
+        val id = keepOrThrow(i)
+        if (id >= 0) {
           val b = symBytes(id.toInt)
           System.arraycopy(b, 0, buf, w, b.length)
           w += b.length

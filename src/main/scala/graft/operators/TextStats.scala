@@ -614,6 +614,13 @@ object TextStats {
    *
    * Output: (shard, seq_id, stratum, n_tokens, share round-6).
    *
+   * Missing attribution is VISIBLE (ADVICE r18 #3): a span whose
+   * doc_id is absent from `docs` (or whose stratum is NULL) lands in
+   * an explicit `unknown` bucket via a LEFT join instead of silently
+   * dropping and renormalizing — a coverage gap between the artifact
+   * and the doc table shows up as an `unknown` share, and token
+   * conservation against the spans total holds by construction.
+   *
    * 100 TB design: one equi-join of two SCALAR frames (spans ×
    * id→stratum projection — token arrays never touched), one groupBy
    * to window×stratum cardinality, and the share normalizer is a
@@ -625,7 +632,8 @@ object TextStats {
       .partitionBy(col("shard"), col("seq_id"))
     spans
       .join(docs.select(col(idCol).as("doc_id"),
-        col(stratumCol).as("stratum")), Seq("doc_id"))
+        col(stratumCol).as("stratum")), Seq("doc_id"), "left")
+      .withColumn("stratum", coalesce(col("stratum"), lit("unknown")))
       .groupBy(col("shard"), col("seq_id"), col("stratum"))
       .agg(sum(col("span_len")).as("n_tokens"))
       .withColumn("share", round(col("n_tokens").cast(DoubleType) /

@@ -698,12 +698,17 @@ object Windowed {
    * `keyCol` may be NUMERIC (cast to double — the sub-bucket geometry
    * over its value range) or STRING (r18, VERDICT r17 #1 — billion-key
    * event logs key on string/UUID ids more often than numeric ones):
-   * string keys map through [[stringKeyRank]] — the first-6-byte
-   * big-endian UTF-8 prefix as an exact-in-double integer, MONOTONE
-   * NON-DECREASING in the key's binary sort order, which is all the
-   * tie decomposition needs (keys sharing a 6-byte prefix land in one
-   * sub-bucket cell and the per-cell `row_number` ranks them — the
-   * same tie/kBuckets bound, just a coarser cell split).
+   * string keys map through [[stringKeyRank]] — a 6-byte big-endian
+   * UTF-8 window taken AFTER the population's longest common prefix
+   * (r19, VERDICT r18 #1: prefixed id schemes would otherwise collapse
+   * the whole population into one rank value) as an exact-in-double
+   * integer, MONOTONE NON-DECREASING in the key's binary sort order —
+   * cut at equi-HEIGHT quantile boundaries
+   * ([[stringKeyQuantileBuckets]]) so sparse id alphabets (digits,
+   * hex) still fill every cell. Keys sharing a 6-byte post-prefix
+   * window land in one sub-bucket cell and the per-cell `row_number`
+   * ranks them — the same tie/kBuckets bound, just a coarser cell
+   * split.
    */
   def rfmCardSharded(events: DataFrame, keyCol: String, tsCol: String,
                      valueCol: String, nTiles: Int = 5,
@@ -713,26 +718,28 @@ object Windowed {
     val keyType = events.schema.fields.find(_.name == keyCol)
       .getOrElse(throw new IllegalArgumentException(s"no column '$keyCol'"))
       .dataType
-    val keyNum: Column = keyType match {
-      case _: org.apache.spark.sql.types.NumericType =>
-        col(keyCol).cast("double")
-      case org.apache.spark.sql.types.StringType => stringKeyRank(col(keyCol))
-      case other => throw new IllegalArgumentException(
+    val keyIsString = keyType == org.apache.spark.sql.types.StringType
+    if (!keyIsString &&
+        !keyType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      throw new IllegalArgumentException(
         s"'$keyCol' must be numeric or string for the sharded rank " +
-          s"(got $other); use rfmCard for other key types")
-    }
+          s"(got $keyType); use rfmCard for other key types")
     val per = rfmPerKey(events, keyCol, tsCol, valueCol)
     // ONE scalar pass for every bound the bucket geometry needs (the
     // plain card's corpus-max window would be a single-partition pass
     // over the very frame this method exists to never single-task).
     // NaN-safe min/max for the double metric: max() returns NaN if any
-    // NaN is present, which would poison the bucket width.
+    // NaN is present, which would poison the bucket width. String keys
+    // aggregate the raw min/max KEY (binary order on both engines) —
+    // the longest-common-prefix source the rank window is taken after.
+    val kMinCol = if (keyIsString) min(col(keyCol)) else min(col(keyCol).cast("double"))
+    val kMaxCol = if (keyIsString) max(col(keyCol)) else max(col(keyCol).cast("double"))
     val st = per.agg(
       max(col("__last")).cast("double").as("maxLast"),
       min(col("__last")).cast("double").as("minLast"),
       count(lit(1)).as("n"),
-      min(keyNum).as("kLo"),
-      max(keyNum).as("kHi"),
+      kMinCol.as("kLo"),
+      kMaxCol.as("kHi"),
       min(col("frequency")).cast("double").as("fLo"),
       max(col("frequency")).cast("double").as("fHi"),
       min(when(!isnan(col("monetary")), col("monetary"))).as("mLo"),
@@ -744,53 +751,142 @@ object Windowed {
         lit(0).as("f_score"), lit(0).as("m_score")).limit(0)
     val maxLast = st.getDouble(0)
     def bound(i: Int, d: Double): Double = if (st.isNullAt(i)) d else st.getDouble(i)
-    val (kLo, kHi) = (bound(3, 0.0), bound(4, 1.0))
+    // Key sub-bucket geometry (computed ONCE — the same cell split
+    // serves all three metrics): numeric keys bucket equi-width over
+    // their value range; string keys (r19, VERDICT r18 #1:
+    // customer_/ORD-2024- style id schemes share a >=6-byte literal
+    // prefix, which collapsed the whole population into sub-bucket 0
+    // and re-created the single-task tie window the decomposition
+    // exists to avoid) bucket equi-HEIGHT over the post-LCP rank —
+    // see [[stringKeyQuantileBuckets]] for why equi-width is not
+    // enough even after the prefix strip.
+    val kb: Column =
+      if (keyIsString)
+        stringKeyQuantileBuckets(per, col(keyCol), st.getString(3),
+          st.getString(4), kBuckets)
+      else subBucketIndex(col(keyCol).cast("double"), bound(3, 0.0),
+        bound(4, 1.0), kBuckets)
     val card0 = per.withColumn("recency_sec",
       round(lit(maxLast) - col("__last").cast("double"), 6))
     val withR = shardedNtile(card0, "recency_sec", ascending = true, keyCol,
-      keyNum, "r_score", nTiles, n, maxLast - bound(0, 0.0),
-      maxLast - bound(1, 1.0), kLo, kHi, vBuckets, kBuckets)
+      kb, "r_score", nTiles, n, maxLast - bound(0, 0.0),
+      maxLast - bound(1, 1.0), vBuckets)
     val withF = shardedNtile(withR, "frequency", ascending = false, keyCol,
-      keyNum, "f_score", nTiles, n, bound(5, 0.0), bound(6, 1.0),
-      kLo, kHi, vBuckets, kBuckets)
+      kb, "f_score", nTiles, n, bound(5, 0.0), bound(6, 1.0), vBuckets)
     val withM = shardedNtile(withF, "monetary", ascending = false, keyCol,
-      keyNum, "m_score", nTiles, n, bound(7, 0.0), bound(8, 1.0),
-      kLo, kHi, vBuckets, kBuckets)
+      kb, "m_score", nTiles, n, bound(7, 0.0), bound(8, 1.0), vBuckets)
     withM.select(col(keyCol), col("recency_sec"), col("frequency"),
       col("monetary"), col("r_score"), col("f_score"), col("m_score"))
   }
 
   /** Order-preserving NUMERIC RANK of a string key — the sharded
-    * card's sub-bucket geometry for string/UUID ids: the first 6 bytes
-    * of the UTF-8 encoding read big-endian (48 bits — EXACT in a
-    * double, no rounding subtleties), shorter keys zero-padded.
-    * Monotone non-decreasing in the key's binary (memcmp) order —
-    * Spark's default-collation string ordering and DuckDB's — because
-    * byte-wise comparison decides within the first 6 bytes or ties
-    * (prefix extension sorts after, and pads are 0x00). Keys sharing
-    * the 6-byte prefix collapse to one rank value; the decomposition
-    * only needs monotonicity, never injectivity. */
-  private[graft] def stringKeyRank(k: Column): Column =
-    conv(rpad(substring(hex(encode(k, "UTF-8")), 1, 12), 12, "0"), 16, 10)
-      .cast("double")
+    * card's sub-bucket geometry for string/UUID ids: 6 bytes of the
+    * UTF-8 encoding starting at byte `skipBytes`, read big-endian
+    * (48 bits — EXACT in a double, no rounding subtleties), shorter
+    * keys zero-padded. Monotone non-decreasing in the key's binary
+    * (memcmp) order WITHIN any population sharing the first
+    * `skipBytes` bytes — Spark's default-collation string ordering
+    * and DuckDB's — because byte-wise comparison decides within the
+    * rank window or ties (prefix extension sorts after, and pads are
+    * 0x00). `skipBytes` is the population's longest common prefix
+    * (r19): real id schemes (`customer_…`, `ORD-2024-…`, URL keys)
+    * share a long literal prefix, and ranking the bytes AFTER it is
+    * what spreads the tie cells; keys sharing a 6-byte post-prefix
+    * window still collapse to one rank value — the decomposition only
+    * needs monotonicity, never injectivity. */
+  private[graft] def stringKeyRank(k: Column, skipBytes: Int = 0): Column =
+    conv(rpad(substring(hex(encode(k, "UTF-8")), 1 + 2 * skipBytes, 12),
+      12, "0"), 16, 10).cast("double")
+
+  /** Driver-side twin of [[stringKeyRank]] — the rank of ONE key
+    * (used for the min/max keys' bounds, saving a second pass). */
+  private[graft] def stringKeyRankLocal(key: String, skipBytes: Int): Double = {
+    val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < 6) {
+      v = (v << 8) |
+        (if (skipBytes + i < b.length) b(skipBytes + i) & 0xffL else 0L)
+      i += 1
+    }
+    v.toDouble
+  }
+
+  /** The string-key GEOMETRY of a population bounded by `minKey` /
+    * `maxKey` (binary order): (longest common prefix in UTF-8 bytes,
+    * rank of minKey after it, rank of maxKey after it). Every key of
+    * the population shares the bounds' LCP — a string binary-between
+    * two strings shares any prefix they share — so the post-prefix
+    * rank is monotone over the whole population and these ARE its
+    * exact bounds. */
+  private[graft] def stringKeyGeometry(minKey: String,
+                                       maxKey: String): (Int, Double, Double) = {
+    val a = minKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = maxKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var lcp = 0
+    while (lcp < a.length && lcp < b.length && a(lcp) == b(lcp)) lcp += 1
+    (lcp, stringKeyRankLocal(minKey, lcp), stringKeyRankLocal(maxKey, lcp))
+  }
+
+  /** Equi-width KEY sub-bucket index over a monotone key rank — the
+    * NUMERIC keys' cell split (the split that bounds per-task window
+    * state to tie size / kBuckets). */
+  private[graft] def subBucketIndex(keyNum: Column, kLo: Double, kHi: Double,
+                                    kBuckets: Int): Column = {
+    val kw = math.max((kHi - kLo) / kBuckets, java.lang.Double.MIN_NORMAL)
+    least(greatest(floor((keyNum - lit(kLo)) / lit(kw)), lit(0L)),
+      lit(kBuckets.toLong))
+  }
+
+  /** Equi-HEIGHT KEY sub-bucket index for STRING keys (r19): the
+    * population's LCP is stripped ([[stringKeyGeometry]]) and the
+    * post-prefix 6-byte rank is cut at `kBuckets`-quantile boundaries
+    * (one approximate-percentile pass over the key-cardinality
+    * `frame`, column-pruned to the key). The bucket index is the
+    * count of boundaries <= rank — monotone non-decreasing in the
+    * key's binary order, which is all the decomposition needs; the
+    * boundary approximation moves only cell BALANCE, never
+    * correctness.
+    *
+    * Why not equi-width over the stripped rank: real id alphabets are
+    * tiny slivers of the byte — ASCII digits are 10 of 256 values, so
+    * a `customer_000123` population's ranks cluster in narrow bands
+    * and equi-width cells catch ~(10/256) of the space per byte
+    * level (17 of 256 cells on the digit fixture, measured). Quantile
+    * boundaries track the realized distribution, so every cell holds
+    * ~1/kBuckets of the keys whatever the alphabet. */
+  private[graft] def stringKeyQuantileBuckets(frame: DataFrame, key: Column,
+                                              minKey: String, maxKey: String,
+                                              kBuckets: Int): Column = {
+    val (lcp, _, _) = stringKeyGeometry(minKey, maxKey)
+    val rank = stringKeyRank(key, lcp)
+    val probs = array((1 until kBuckets).map(i =>
+      lit(i.toDouble / kBuckets)): _*)
+    val qs = frame
+      .agg(percentile_approx(rank, probs, lit(10000)).as("__q"))
+      .head().getSeq[Double](0)
+    // constant-folded boundary array; count-below is a row-local HOF
+    // over kBuckets-1 literals — O(kBuckets) per key-cardinality row
+    val bounds = array(qs.map(lit): _*)
+    size(filter(bounds, b => b <= rank)).cast("long")
+  }
 
   /** Exact `ntile(nTiles) over (order by vCol dir, keyCol asc)` as a
     * sharded-rank composition (see [[rfmCardSharded]] for the
     * decomposition proof sketch). `lo`/`hi` bound the non-NaN values
     * of `vCol` (any monotone bucket geometry is correct; bounds only
-    * affect balance), `n` is the frame's exact row count. `keyNum` is
-    * the key's monotone numeric rank (the key itself for numeric keys,
-    * [[stringKeyRank]] for strings) with `kLo`/`kHi` its bounds. */
+    * affect balance), `n` is the frame's exact row count. `kb` is the
+    * key's sub-bucket index — any column MONOTONE NON-DECREASING in
+    * the key's sort order ([[subBucketIndex]] for numeric keys,
+    * [[stringKeyQuantileBuckets]] for strings). */
   private def shardedNtile(df: DataFrame, vCol: String, ascending: Boolean,
-                           keyCol: String, keyNum: Column, outCol: String,
+                           keyCol: String, kb: Column, outCol: String,
                            nTiles: Int, n: Long, lo: Double, hi: Double,
-                           kLo: Double, kHi: Double,
-                           vBuckets: Int, kBuckets: Int): DataFrame = {
+                           vBuckets: Int): DataFrame = {
     val isFloating = df.schema.fields.find(_.name == vCol).exists(f =>
       f.dataType == org.apache.spark.sql.types.DoubleType ||
         f.dataType == org.apache.spark.sql.types.FloatType)
     val w = math.max((hi - lo) / vBuckets, java.lang.Double.MIN_NORMAL)
-    val kw = math.max((kHi - kLo) / kBuckets, java.lang.Double.MIN_NORMAL)
     val v = col(vCol)
     // direction-aware bucket index: monotone NON-DECREASING along the
     // sort order, with sentinel buckets for NULL/NaN at the exact ends
@@ -805,9 +901,6 @@ object Windowed {
       if (isFloating)
         when(v.isNull, nullBucket).when(isnan(v), nanBucket).otherwise(clamped)
       else when(v.isNull, nullBucket).otherwise(clamped)
-    val kb = least(greatest(
-      floor((keyNum - lit(kLo)) / lit(kw)), lit(0L)),
-      lit(kBuckets.toLong))
     val ordD = if (ascending) col("__dv").asc_nulls_first
                else col("__dv").desc_nulls_last
     val staged = df.withColumn("__vb", vb).withColumn("__kb", kb)
@@ -873,26 +966,40 @@ object Windowed {
 
   /**
    * Routed RFM card: [[rfmCardSharded]] when the estimated key
-   * cardinality (one column-pruned `approx_count_distinct` pass)
-   * exceeds `maxPlainKeys`, the plain three-window [[rfmCard]]
-   * otherwise — cardinality, not key skew, is what breaks the plain
-   * plan here (the card frame is one row PER KEY, so a monster key
-   * does not make it bigger; a billion distinct keys do). Numeric AND
-   * string keys both route (r18 — string/UUID ids are the common
-   * billion-key case, via [[stringKeyRank]]); other key types stay on
-   * the plain plan.
+   * cardinality exceeds `maxPlainKeys`, the plain three-window
+   * [[rfmCard]] otherwise — cardinality, not key skew, is what breaks
+   * the plain plan here (the card frame is one row PER KEY, so a
+   * monster key does not make it bigger; a billion distinct keys do).
+   * Numeric AND string keys both route (r18 — string/UUID ids are the
+   * common billion-key case, via [[stringKeyRank]]); other key types
+   * stay on the plain plan.
+   *
+   * The probe (r19, VERDICT r18 #2: the full-frame
+   * `approx_count_distinct` was a complete column scan per routing
+   * decision) follows the skew paths' convention: pass
+   * `knownKeys` when the caller/catalog knows the cardinality (no
+   * data touched), else a sampled+memoized probe
+   * ([[graft.plans.GraftExtensions.distinctKeysProbeCached]]) sketches
+   * a ~2% deterministic sample once per JVM. Routing is a wall-clock
+   * choice — both plans are exact — so a boundary miss is perf-only
+   * (and the probe's bias runs toward the sharded plan, the safe
+   * direction at scale).
    */
   def rfmCardAuto(events: DataFrame, keyCol: String, tsCol: String,
                   valueCol: String, nTiles: Int = 5,
                   maxPlainKeys: Long = 100000000L,
-                  vBuckets: Int = 256, kBuckets: Int = 256): DataFrame = {
+                  vBuckets: Int = 256, kBuckets: Int = 256,
+                  knownKeys: Option[Long] = None): DataFrame = {
     val routableKey = events.schema.fields.find(_.name == keyCol)
       .exists(f =>
         f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
           f.dataType == org.apache.spark.sql.types.StringType)
-    lazy val estKeys = events
-      .agg(approx_count_distinct(col(keyCol)).as("__k")).head().getLong(0)
-    if (routableKey && estKeys > maxPlainKeys)
+    lazy val manyKeys = knownKeys match {
+      case Some(k) => k > maxPlainKeys
+      case None => graft.plans.GraftExtensions.distinctKeysProbeCached(
+        events, keyCol, threshold = math.min(maxPlainKeys, Long.MaxValue - 1) + 1)
+    }
+    if (routableKey && manyKeys)
       rfmCardSharded(events, keyCol, tsCol, valueCol, nTiles, vBuckets,
         kBuckets)
     else rfmCard(events, keyCol, tsCol, valueCol, nTiles)

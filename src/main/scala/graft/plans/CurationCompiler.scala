@@ -144,6 +144,25 @@ object CurationCompiler {
           graft.operators.TextStats.packFileManifest(
             graft.operators.TextStats.materializePackedTokenIds(cur, id,
               text, bpeMerges.get, budget, shards, eosId), perFile)
+        case PackStoreStage(budget, shards, perFile, eosId, epochs, seed,
+            path) =>
+          // the MOUNTABLE artifact (r19): one store write — windows +
+          // spans + manifest (+ order) + meta — then the loader-side
+          // integrity gate as the stage's output row, so a config run
+          // ends on the same check a training job would make. The
+          // write executes at compile time (a terminal SINK stage,
+          // like the Engine's loads); both frames come from the same
+          // packer params the sibling stages use.
+          val eos = eosId.getOrElse(256L + bpeMerges.get.size)
+          graft.sources.PackedArtifactStore.write(
+            graft.operators.TextStats.materializePackedTokenIds(cur, id,
+              text, bpeMerges.get, budget, shards, eosId),
+            graft.operators.TextStats.packedDocSpans(cur, id, text,
+              bpeMerges.get, budget, shards),
+            path,
+            graft.sources.PackedArtifactStore.Meta(budget, shards, perFile,
+              eos, epochs, seed))
+          graft.sources.PackedArtifactStore.validate(cur.sparkSession, path)
         case other => throw new IllegalStateException(s"unhandled stage $other")
       })
     }
@@ -194,8 +213,8 @@ object CurationCompiler {
         case other =>
           throw new UnsupportedOperationException(
             s"stage $other needs the whole corpus (pair mining / cumulative " +
-              "budgets / sequence assembly) and cannot run on a micro-batch; " +
-              "run it in the batch compaction pass")
+              "budgets / sequence assembly / artifact compaction) and cannot " +
+              "run on a micro-batch; run it in the batch compaction pass")
       })
     }
   }

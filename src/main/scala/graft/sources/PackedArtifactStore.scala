@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 /**
  * On-disk layout for a PACKED TOKEN ARTIFACT — the final write that
  * turns the token-stream operators into something a training job can
- * actually mount. One directory, four surfaces:
+ * actually mount. One directory, five surfaces:
  *
  *   `<path>/windows/`   the packed windows
  *                       ([[graft.operators.TextStats.materializePackedTokenIds]]
@@ -20,31 +20,52 @@ import org.apache.spark.sql.types.LongType
  *                       attention / provenance), same shard layout;
  *   `<path>/manifest/`  the [[graft.operators.TextStats.packFileManifest]]
  *                       rollup — the per-file seek card;
+ *   `<path>/order/`     (when `meta.epochs >= 1`) the
+ *                       [[graft.operators.TextStats.trainingOrder]]
+ *                       per-epoch shuffle keys — the read pattern a
+ *                       training run actually executes, persisted so a
+ *                       restarted job replays the identical order
+ *                       (r19, VERDICT r18 #3);
  *   `<path>/meta/`      one row: budget, shards, windows_per_file,
- *                       eos_id — the numbers a loader must agree on.
+ *                       eos_id, epochs, seed — the numbers a loader
+ *                       must agree on.
  *
  * Read side restores the exact frames ([[readWindows]] casts the
- * directory-partition `shard` key back to the packers' LongType).
- * Spec-pinned round trip: write → read → [[graft.operators.TextStats.unpackTokenWindows]]
+ * directory-partition `shard` key back to the packers' LongType);
+ * [[readWindowsOrdered]] joins an epoch's persisted keys back onto
+ * the windows and returns them in shuffle order. Spec-pinned round
+ * trip: write → read → [[graft.operators.TextStats.unpackTokenWindows]]
  * reproduces the SAME per-doc streams as unpacking the in-memory
  * frames (PackedArtifactStoreSpec).
  *
+ * The manifest (and order) are derived from the JUST-WRITTEN windows,
+ * not the in-memory plan (ADVICE r18 #2): the persisted card then
+ * describes the bytes actually on disk, any upstream nondeterminism
+ * included, and the packed pipeline executes once for the windows
+ * write plus file-cardinality-input reads for the cards.
+ *
  * 100 TB design: the windows write is the one corpus-scale pass —
  * `repartition(shard)` + `sortWithinPartitions` is a single shuffle
- * into the layout the loader wants (Spark's external sort spills);
- * spans are scalar rows, manifest/meta are KB-scale. Nothing touches
- * the driver.
+ * into the layout the loader wants (Spark's external sort spills; the
+ * `shards` knob is therefore ALSO the write-parallelism knob — each
+ * shard's token volume funnels through one task's external sort, so
+ * size shards to executors, not just to loader count); spans are
+ * scalar rows, manifest/order/meta are KB-per-window scale. Nothing
+ * touches the driver.
  */
 object PackedArtifactStore {
 
-  /** The loader contract numbers, persisted next to the data. */
+  /** The loader contract numbers, persisted next to the data.
+    * `epochs >= 1` persists the training order under `order/` with
+    * `seed` (r19); `epochs = 0` skips the order surface. */
   final case class Meta(budget: Int, shards: Int, windowsPerFile: Int,
-                        eosId: Long)
+                        eosId: Long, epochs: Int = 0, seed: Long = 0L)
 
   def write(packed: DataFrame, spans: DataFrame, path: String,
             meta: Meta): Unit = {
     require(meta.budget >= 1 && meta.shards >= 1 && meta.windowsPerFile >= 1,
       "meta fields must be >= 1")
+    require(meta.epochs >= 0, "epochs must be >= 0")
     packed
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("seq_id"))
@@ -55,12 +76,23 @@ object PackedArtifactStore {
       .sortWithinPartitions(col("shard"), col("seq_id"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$path/spans")
-    graft.operators.TextStats.packFileManifest(packed, meta.windowsPerFile)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
     val spark = packed.sparkSession
+    // manifest + order from the PERSISTED windows (ADVICE r18 #2): the
+    // cards must describe the bytes on disk, and reading them back
+    // costs a scalar-column scan instead of a second pipeline run
+    val written = readWindows(spark, path)
+    graft.operators.TextStats.packFileManifest(written, meta.windowsPerFile)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    if (meta.epochs >= 1)
+      graft.operators.TextStats.trainingOrder(written, meta.epochs, meta.seed)
+        .repartition(col("epoch"), col("shard"))
+        .write.mode("overwrite").partitionBy("epoch")
+        .parquet(s"$path/order")
     import spark.implicits._
-    Seq((meta.budget, meta.shards, meta.windowsPerFile, meta.eosId))
-      .toDF("budget", "shards", "windows_per_file", "eos_id")
+    Seq((meta.budget, meta.shards, meta.windowsPerFile, meta.eosId,
+        meta.epochs, meta.seed))
+      .toDF("budget", "shards", "windows_per_file", "eos_id", "epochs",
+        "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -77,10 +109,48 @@ object PackedArtifactStore {
   def readManifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/manifest")
 
+  /** One epoch's persisted shuffle keys (epoch-partition pruned). */
+  def readOrder(spark: SparkSession, path: String, epoch: Long): DataFrame =
+    spark.read.parquet(s"$path/order")
+      .filter(col("epoch") === epoch)
+      .select(lit(epoch).as("epoch"), col("shard"), col("seq_id"),
+        col("order_key"))
+
+  /**
+   * The windows of ONE epoch in training order — the read pattern a
+   * training job actually runs (r19, VERDICT r18 #3): join the
+   * epoch's persisted keys back onto the windows and return the
+   * stream sorted by `order_key`. Replay is bit-identical (the keys
+   * are persisted, md5-derived, and the sort tie-breaks on the unique
+   * (shard, seq_id)); distinct epochs produce distinct orders (the
+   * epoch is inside the hash).
+   *
+   * 100 TB design: one equi-join on the (shard, seq_id) window key
+   * (the order side is KB-per-window scalars) and one distributed
+   * range-partitioned sort on the key — never an unpartitioned
+   * window; a loader wanting only its slice filters `order_key`
+   * ranges before the join and prunes.
+   */
+  def readWindowsOrdered(spark: SparkSession, path: String,
+                         epoch: Long): DataFrame = {
+    val meta = readMeta(spark, path)
+    require(meta.epochs >= 1 && epoch >= 0 && epoch < meta.epochs,
+      s"epoch $epoch outside the artifact's [0, ${meta.epochs}) range")
+    readWindows(spark, path)
+      .join(readOrder(spark, path, epoch).drop("epoch"),
+        Seq("shard", "seq_id"))
+      .orderBy(col("order_key"), col("shard"), col("seq_id"))
+  }
+
   def readMeta(spark: SparkSession, path: String): Meta = {
-    val r = spark.read.parquet(s"$path/meta").head()
+    val df = spark.read.parquet(s"$path/meta")
+    val r = df.head()
+    // pre-r19 artifacts persisted no epochs/seed columns
+    def opt[T](name: String, d: T): T =
+      if (df.columns.contains(name)) r.getAs[T](name) else d
     Meta(r.getAs[Int]("budget"), r.getAs[Int]("shards"),
-      r.getAs[Int]("windows_per_file"), r.getAs[Long]("eos_id"))
+      r.getAs[Int]("windows_per_file"), r.getAs[Long]("eos_id"),
+      opt("epochs", 0), opt("seed", 0L))
   }
 
   private def restoreShard(df: DataFrame): DataFrame = {

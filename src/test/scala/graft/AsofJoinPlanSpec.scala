@@ -291,6 +291,46 @@ class AsofJoinPlanSpec extends AnyFunSuite {
       "inside the margin band the sampled probe defers to exact")
   }
 
+  test("distinctKeysAtLeastSampled: cardinality routing from a BOUNDED probe input (r19, VERDICT r18 #2)") {
+    val uniform = spark.range(40000).select((col("id") % 20000).as("k"))
+    // 20k distinct: clears a 100-key threshold, not a 1M-key one
+    assert(GraftExtensions.distinctKeysAtLeastSampled(uniform, "k", 100L),
+      "20k distinct keys must clear a 100-key threshold")
+    assert(!GraftExtensions.distinctKeysAtLeastSampled(uniform, "k", 1000000L),
+      "20k distinct keys must not clear a 1M-key threshold")
+    // THE input bound: the probe aggregates the deterministic ~2%
+    // hash sample, never the frame — pin the sample's size directly
+    val probed = GraftExtensions.distinctProbeFrame(uniform, "k", 0.02).count()
+    assert(probed > 0 && probed < 40000 / 10,
+      s"the probe must sketch a bounded (~2%) sample, saw $probed of 40000 rows")
+    // an empty/tiny sample = the frame is tiny: plain plan, one job
+    val tiny = spark.range(5).select(col("id").as("k"))
+    assert(!GraftExtensions.distinctKeysAtLeastSampled(tiny, "k", 1000000L),
+      "a 5-row frame never routes to the sharded plan")
+    // repeat-heavy frames err toward the sharded plan, never the
+    // single-task one: distinct-in-sample approaches D itself, so the
+    // decision boundary (threshold x fraction) can only over-route
+    val repeats = spark.range(200000).select((col("id") % 5000).as("k"))
+    assert(GraftExtensions.distinctKeysAtLeastSampled(repeats, "k", 5000L),
+      "a frame AT the threshold must take the safe (sharded) side")
+    // the memoized front door answers from the cache on the second call
+    val before = GraftExtensions.probeCacheSize
+    assert(GraftExtensions.distinctKeysProbeCached(uniform, "k", 100L))
+    assert(GraftExtensions.probeCacheSize == before + 1)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(GraftExtensions.distinctKeysProbeCached(uniform, "k", 100L))
+      Thread.sleep(300)
+      assert(jobs == 0, s"cached probe must not launch a job, saw $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("asofJoinExec: the ts-type gate fires before routing (distribution-independent)") {
     // a monster key would previously ROUTE to asofJoinSkewed, which
     // casts ts — so a string-ts call could succeed or throw depending

@@ -96,4 +96,47 @@ class ByteBpeDecodeSpec extends AnyFunSuite {
       skipUnknown = true).as("t")).head().getString(0)
     assert(ok == "the", "the EOS sentinel must drop, the payload decode")
   }
+
+  test("input contract: array<int> fails at ANALYSIS time (r19, ADVICE r18 #1)") {
+    val bad = Seq((1L, Seq(116, 104))).toDF("id", "ids") // array<int>
+    val boom = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(ByteBpeDecode.byteBpeDecode(col("ids"), FixtureMerges))
+    }
+    assert(boom.getMessage.toLowerCase.contains("bigint") ||
+      boom.getMessage.toLowerCase.contains("mismatch"),
+      s"analysis error must name the type contract, got: ${boom.getMessage}")
+  }
+
+  test("NULL array elements: loud by default, dropped with skipUnknown (r19)") {
+    val df = Seq(1L).toDF("id").select(col("id"),
+      array(lit(0x74L), lit(null).cast("long"), lit(0x68L)).as("ids"))
+    val boom = intercept[Exception] {
+      df.select(ByteBpeDecode.byteBpeDecode(col("ids"), FixtureMerges))
+        .collect()
+    }
+    assert(boom.getMessage != null)
+    val ok = df.select(ByteBpeDecode.byteBpeDecode(col("ids"), FixtureMerges,
+      skipUnknown = true).as("t")).head().getString(0)
+    assert(ok == "th", "null elements must drop under skipUnknown")
+  }
+
+  test("sentinelIds: EXACTLY the listed ids drop; garbage still throws (r19, ADVICE r18 #4)") {
+    val eos = 256L + FixtureMerges.size
+    // the strict artifact-reading mode: eos drops...
+    val packed = Seq((1L, Seq(257L, eos))).toDF("id", "ids")
+    val ok = packed.select(ByteBpeDecode.byteBpeDecode(col("ids"),
+      FixtureMerges, skipUnknown = false, sentinelIds = Seq(eos)).as("t"))
+      .head().getString(0)
+    assert(ok == "the", "the listed sentinel must drop")
+    // ...but a wild id from corruption is NOT silently eaten
+    val corrupt = Seq((1L, Seq(257L, 99999L)), (2L, Seq(257L, -3L)))
+      .toDF("id", "ids")
+    val boom = intercept[Exception] {
+      corrupt.select(ByteBpeDecode.byteBpeDecode(col("ids"),
+        FixtureMerges, skipUnknown = false, sentinelIds = Seq(eos)))
+        .collect()
+    }
+    assert(boom.getMessage != null,
+      "ids outside the sentinel set must still fail loudly")
+  }
 }

@@ -699,6 +699,109 @@ class CurationCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_store stage: parse, path/tokenizer-required, terminal, artifact no-drift, validate green, stream reject (r19)") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_cfg_m").toString
+    val cfgStore = java.nio.file.Files.createTempDirectory("graft_store_cfg").toString
+    val progStore = java.nio.file.Files.createTempDirectory("graft_store_prog").toString
+    def rmrf(d: String): Unit = {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(d)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    try {
+      graft.sources.ModelStore.saveMerges(spark,
+        merges.map { case (l, r) => (l, r, 0L) }, tmp)
+      // path required
+      intercept[IllegalArgumentException] {
+        graft.config.CurationConfig.fromYaml(
+          s"""curation:
+             |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+             |  stages:
+             |    - {op: pack_store}
+             |""".stripMargin)
+      }
+      // tokenizer required
+      intercept[IllegalArgumentException] {
+        graft.config.CurationConfig.fromYaml(
+          s"curation:\n  stages:\n    - {op: pack_store, path: $cfgStore}\n")
+      }
+      // terminal
+      intercept[IllegalArgumentException] {
+        graft.config.CurationConfig.fromYaml(
+          s"""curation:
+             |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+             |  stages:
+             |    - {op: pack_store, path: $cfgStore}
+             |    - {op: strip_markup}
+             |""".stripMargin)
+      }
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // the stage writes the store and returns the validate() row
+      val out = graft.plans.CurationCompiler.compileYaml(
+        s"""curation:
+           |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+           |  stages:
+           |    - {op: pack_store, budget: 64, shards: 4,
+           |       windows_per_file: 4, epochs: 2, seed: 7, path: $cfgStore}
+           |""".stripMargin, docs)
+      val row = out.head()
+      assert(row.getAs[Boolean]("ok") &&
+        row.getAs[Long]("n_mismatched_files") == 0L,
+        s"the config-built artifact must validate clean, got $row")
+      // meta carries the stage's params (eos defaults to 256+|merges|)
+      val meta = graft.sources.PackedArtifactStore.readMeta(spark, cfgStore)
+      assert(meta == graft.sources.PackedArtifactStore.Meta(64, 4, 4,
+        256L + merges.size, 2, 7L),
+        s"meta must carry the stage params, got $meta")
+      // no-drift: the config-built artifact read back + unpacked equals
+      // the programmatic store row-for-row
+      graft.sources.PackedArtifactStore.write(
+        graft.operators.TextStats.materializePackedTokenIds(docs, "doc_id",
+          "text", merges, budget = 64, shards = 4),
+        graft.operators.TextStats.packedDocSpans(docs, "doc_id", "text",
+          merges, budget = 64, shards = 4),
+        progStore,
+        graft.sources.PackedArtifactStore.Meta(64, 4, 4,
+          256L + merges.size, 2, 7L))
+      def unpacked(path: String) = graft.operators.TextStats
+        .unpackTokenWindows(
+          graft.sources.PackedArtifactStore.readWindows(spark, path),
+          graft.sources.PackedArtifactStore.readSpans(spark, path))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(unpacked(cfgStore) == unpacked(progStore),
+        "config-built and programmatic artifacts must unpack identically")
+      assert(graft.sources.PackedArtifactStore.readManifest(spark, cfgStore)
+        .collect().map(_.toSeq).toSet ==
+        graft.sources.PackedArtifactStore.readManifest(spark, progStore)
+          .collect().map(_.toSeq).toSet,
+        "manifests must match row-for-row")
+      assert(graft.sources.PackedArtifactStore
+        .readOrder(spark, cfgStore, 1L).collect().map(_.toSeq).toSet ==
+        graft.sources.PackedArtifactStore
+          .readOrder(spark, progStore, 1L).collect().map(_.toSeq).toSet,
+        "persisted training orders must match")
+      // streaming reject: artifact compaction needs the whole corpus
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val sdf = ms.toDF.toDF("doc_id", "text", "ts")
+      intercept[UnsupportedOperationException] {
+        graft.plans.CurationCompiler.compileStreaming(
+          graft.config.CurationConfig.fromYaml(
+            s"""curation:
+               |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+               |  stages:
+               |    - {op: pack_store, path: $cfgStore}
+               |""".stripMargin), sdf, "ts", "10 minutes")
+      }
+    } finally {
+      rmrf(tmp); rmrf(cfgStore); rmrf(progStore)
+    }
+  }
+
   test("doc_spans / pack_sft_spans stages: parse, tokenizer-required, terminal, zero drift, stream reject") {
     val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
       ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))

@@ -83,4 +83,87 @@ class PackedArtifactStoreSpec extends AnyFunSuite {
         .forEach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("training order persisted (r19): readOrder == recompute, epochs distinct, ordered read replays bit-identically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = TextStats.materializePackedTokenIds(docs, "doc_id", "text",
+      Merges, budget = 128, shards = 8)
+    val spans = TextStats.packedDocSpans(docs, "doc_id", "text", Merges,
+      budget = 128, shards = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_artifact_ord").toString
+    try {
+      val meta = PackedArtifactStore.Meta(budget = 128, shards = 8,
+        windowsPerFile = 4, eosId = 256L + Merges.size, epochs = 3,
+        seed = 99L)
+      PackedArtifactStore.write(packed, spans, dir, meta)
+      assert(PackedArtifactStore.readMeta(spark, dir) == meta,
+        "meta must round-trip epochs and seed")
+
+      // on-disk epoch order equals trainingOrder recomputed in memory
+      val want = TextStats.trainingOrder(packed, 3, 99L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getString(3))
+        .toMap
+      def onDisk(epoch: Long) = PackedArtifactStore
+        .readOrder(spark, dir, epoch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getString(3))
+        .toMap
+      val byEpoch = (0L to 2L).map(e => e -> onDisk(e)).toMap
+      assert(byEpoch.values.map(_.size).sum == want.size &&
+        byEpoch.values.reduce(_ ++ _) == want,
+        "persisted order must equal the in-memory recompute, all epochs")
+      // distinct epochs produce distinct orders (the epoch is hashed)
+      def keysOf(e: Long) = byEpoch(e).map { case ((_, s, q), k) => (s, q) -> k }
+      assert(keysOf(0L) != keysOf(1L) && keysOf(1L) != keysOf(2L),
+        "every epoch must reshuffle independently")
+
+      // readWindowsOrdered: sorted by the epoch's keys, window content
+      // intact, and a second read is bit-identical (replay)
+      def orderedKeys(epoch: Long): Seq[(String, Long, Long)] =
+        PackedArtifactStore.readWindowsOrdered(spark, dir, epoch)
+          .select("order_key", "shard", "seq_id").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val o1 = orderedKeys(1L)
+      assert(o1 == o1.sorted, "the stream must come back in key order")
+      assert(o1 == orderedKeys(1L), "replay must be bit-identical")
+      assert(o1.map(k => (k._2, k._3)).toSet ==
+        packed.select("shard", "seq_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet,
+        "the ordered read must cover every window exactly once")
+      assert(o1 != orderedKeys(0L), "epochs must produce different streams")
+
+      // out-of-range epoch is loud
+      intercept[IllegalArgumentException] {
+        PackedArtifactStore.readWindowsOrdered(spark, dir, 3L)
+      }
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("epochs = 0 (default): no order surface, ordered read refuses") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val packed = TextStats.materializePackedTokenIds(docs, "doc_id", "text",
+      Merges, budget = 128, shards = 4)
+    val spans = TextStats.packedDocSpans(docs, "doc_id", "text", Merges,
+      budget = 128, shards = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_artifact_noord").toString
+    try {
+      PackedArtifactStore.write(packed, spans, dir,
+        PackedArtifactStore.Meta(budget = 128, shards = 4,
+          windowsPerFile = 4, eosId = 256L + Merges.size))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/order")),
+        "epochs = 0 must not write an order surface")
+      intercept[IllegalArgumentException] {
+        PackedArtifactStore.readWindowsOrdered(spark, dir, 0L)
+      }
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
 }

@@ -345,6 +345,64 @@ class WindowedSpec extends AnyFunSuite {
     }, "past the key threshold string keys must route to the sharded plan")
   }
 
+  test("stringKeyRank LCP strip: prefixed populations SPREAD across sub-buckets (r19, VERDICT r18 #1)") {
+    // geometry: the min/max keys' common prefix, rank bounds after it
+    val (lcp9, lo9, hi9) =
+      Windowed.stringKeyGeometry("customer_000000", "customer_999999")
+    assert(lcp9 == 9, "customer_ prefix is 9 shared bytes")
+    assert(lo9 < hi9, "post-prefix ranks must spread the bounds")
+    // a prefixed id population — the shape that used to collapse
+    val keys = spark.range(5000).select(
+      concat(lit("customer_"), lpad(col("id").cast("string"), 6, "0")).as("k"))
+    val mm = keys.agg(min(col("k")), max(col("k"))).head()
+    val (minK, maxK) = (mm.getString(0), mm.getString(1))
+    // the PRE-r19 geometry (rank window at byte 0) provably collapses:
+    // every key shares >= 6 leading bytes, so one rank value, one cell
+    val lo0 = Windowed.stringKeyRankLocal(minK, 0)
+    val hi0 = Windowed.stringKeyRankLocal(maxK, 0)
+    val cells0 = keys.select(Windowed.subBucketIndex(
+      Windowed.stringKeyRank(col("k")), lo0, hi0, 256).as("kb"))
+      .distinct().count()
+    assert(cells0 == 1L,
+      s"the unshifted rank window must collapse this population (got $cells0 cells) — " +
+        "the regression the LCP strip exists to fix")
+    // the r19 geometry: strip the population's LCP, rank, cut at
+    // equi-HEIGHT quantile boundaries — the digit alphabet (10 of 256
+    // byte values) fills the cells anyway
+    val kbCol = Windowed.stringKeyQuantileBuckets(keys, col("k"), minK,
+      maxK, 256)
+    val hist = keys.select(kbCol.as("kb")).groupBy("kb").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.size >= 128,
+      s"prefixed keys must spread across sub-bucket cells, got ${hist.size} of 256")
+    assert(hist.values.max <= 5000 / 32,
+      s"no cell may hold a large share of the keys, max cell = ${hist.values.max}")
+    // monotone in binary key order (the correctness condition the
+    // decomposition rests on): kb never decreases along the sorted keys
+    val ranked = keys.select(col("k"), kbCol.as("kb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    ranked.sliding(2).foreach { case Array((a, ra), (b, rb)) =>
+      assert(ra <= rb, s"bucket must not decrease: '$a' -> '$b'")
+    }
+    // and the card itself stays EXACT over the prefixed population:
+    // sharded == plain on a frame with monster ties under the prefix
+    def asMapS(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), Option(r.get(3)), r.getInt(4),
+          r.getInt(5), r.getInt(6)))).toMap
+    val e = spark.range(4000).select(
+      concat(lit("customer_"),
+        lpad((col("id") % 800).cast("string"), 5, "0")).as("user_key"),
+      timestamp_millis(lit(1700000000000L) +
+        (col("id") % 400) * 60000L).as("ts"),
+      when(col("id") % 30 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 2).cast("double")).as("value"))
+    assert(asMapS(Windowed.rfmCardSharded(e, "user_key", "ts", "value", 5,
+        vBuckets = 8, kBuckets = 8)) ==
+      asMapS(Windowed.rfmCard(e, "user_key", "ts", "value", 5)),
+      "sharded card must stay exact over a >=6-byte shared-prefix population")
+  }
+
   test("attributionPositional: U-shaped weights incl. 1/2/3-touch degenerate forms") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
