@@ -156,11 +156,21 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"failed":$fl,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
-    // stop BEFORE the final print: Spark's shutdown logging otherwise
-    // lands after the JSON line and the driver's tail-parse sees a log
-    // line instead of the dump (r19, VERDICT r18 "parsed: null")
+    // stop BEFORE the final prints so Spark's shutdown logging cannot
+    // land after them; then print the full dump FOLLOWED by a compact
+    // summary line. The driver keeps only a ~2000-char stdout tail and
+    // parses its last line — the full 300+-query line blew that budget
+    // (r19, VERDICT r18 "parsed: null"), so the LAST line is a short
+    // summary (total, counts, failures, slowest rows) that always
+    // fits; the complete per-query data stays in outPath (committed as
+    // BENCH_OUT_r{N}) and in the full line above the summary.
     spark.stop()
     println(json)
+    val slowest = times.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${times.size},"queries_truncated_to":10,""" +
+      s""""queries":$slowest,"failed":$fl,"out":"$outPath"}""")
     Console.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }

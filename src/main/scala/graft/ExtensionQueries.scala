@@ -223,6 +223,28 @@ object ExtensionQueries {
           epochs = 2, seed = 42L))
     }
 
+  /** One PERSISTED SFT artifact per (JVM, sf dir) — the chat packer's
+    * windows + conversation-span address book through the same store
+    * (struct window cells exercise the layout's type-agnostic side).
+    * q_chat_pack_window_mix_stored reads the PERSISTED spans, so the
+    * sf10 envelope pin prices the mix operator itself instead of
+    * re-running the whole chat tokenize+pack chain (r19, VERDICT r18
+    * #5: 29.1 s pin for a ~2 s operator). */
+  private val sftStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sftStore(s: SparkSession, dir: String): String =
+    cachedTmpArtifact(sftStores, "graft_sft_store", dir) { path =>
+      val c = chatFrame(s, dir)
+      graft.sources.PackedArtifactStore.write(
+        graft.operators.Chat.sftPackedTokenIds(c, "doc_id", "conv",
+          ByteBpeFixtureMerges, budget = 128, shards = 8),
+        graft.operators.Chat.sftPackedDocSpans(c, "doc_id", "conv",
+          ByteBpeFixtureMerges, budget = 128, shards = 8),
+        path,
+        graft.sources.PackedArtifactStore.Meta(budget = 128, shards = 8,
+          windowsPerFile = 4, eosId = 256L + ByteBpeFixtureMerges.size))
+    }
+
   /** One temp DIRECTORY per (JVM, sf dir) for the `pack_store` config
     * stage's output — allocated here so bench repeats overwrite the
     * same artifact instead of accumulating stores. */
@@ -793,6 +815,16 @@ object ExtensionQueries {
       det(graft.operators.TextStats.packedWindowMix(
         graft.operators.Chat.sftPackedDocSpans(chatFrame(s, dir),
           "doc_id", "conv", ByteBpeFixtureMerges, budget = 128, shards = 8),
+        docs(s, dir), "doc_id", "source"))),
+
+    // the SAME mix over the PERSISTED conversation-span address book
+    // (r19, VERDICT r18 #5): spans read back from the SFT store, so
+    // the row prices the mix operator itself — a training job computes
+    // the mix from the mounted artifact, not by re-packing; identical
+    // oracle text, third construction path for the spans
+    "q_chat_pack_window_mix_stored" -> ((s, dir) =>
+      det(graft.operators.TextStats.packedWindowMix(
+        graft.sources.PackedArtifactStore.readSpans(s, sftStore(s, dir)),
         docs(s, dir), "doc_id", "source"))),
 
     // NO-SPLIT SFT packing (r17): conversations never cross windows —
@@ -8883,6 +8915,10 @@ object ExtensionQueries {
     .updated("q_pack_store_manifest", oracleSqlBase("q_pack_file_manifest"))
     .updated("q_pack_store_unpack", oracleSqlBase("q_pack_unpack"))
     .updated("q_pack_store_order", oracleSqlBase("q_pack_training_order"))
+    // the mix over PERSISTED spans grades on the in-memory row's
+    // oracle: one oracle, the spans' third construction path
+    .updated("q_chat_pack_window_mix_stored",
+      oracleSqlBase("q_chat_pack_window_mix"))
     .updated("q_pipeline_sft_nosplit_config",
       oracleSqlBase("q_chat_pack_sft_nosplit"))
     .updated("q_pipeline_sft_nosplit_spans_config",
