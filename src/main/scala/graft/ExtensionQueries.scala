@@ -827,6 +827,24 @@ object ExtensionQueries {
         graft.sources.PackedArtifactStore.readSpans(s, sftStore(s, dir)),
         docs(s, dir), "doc_id", "source"))),
 
+    // the PERSISTED SFT artifact unpacked from disk (r19): windows
+    // (struct cells — ids ZIPPED with the loss mask survive the
+    // parquet round trip) + spans read back through the store,
+    // reassembled per conversation against the tokenize oracle that
+    // never sees the packed form — the SFT twin of q_pack_store_unpack
+    "q_chat_sft_unpack_stored" -> ((s, dir) => {
+      val p = sftStore(s, dir)
+      det(graft.operators.Chat.unpackSftWindows(
+        graft.sources.PackedArtifactStore.readWindows(s, p),
+        graft.sources.PackedArtifactStore.readSpans(s, p))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
+            .as(Seq("pos", "__cell")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("__cell").getField("token_ids").as("token_id"),
+          col("__cell").getField("loss_mask").as("loss_mask")))
+    }),
+
     // NO-SPLIT SFT packing (r17): conversations never cross windows —
     // next-fit in id order per shard, oversized conversations truncate
     // into their own window, every window pads to exactly 512 ids
@@ -8919,6 +8937,9 @@ object ExtensionQueries {
     // oracle: one oracle, the spans' third construction path
     .updated("q_chat_pack_window_mix_stored",
       oracleSqlBase("q_chat_pack_window_mix"))
+    // the persisted SFT unpack grades on the tokenize oracle like its
+    // in-memory twin: unpack(store(pack)) == tokenize
+    .updated("q_chat_sft_unpack_stored", oracleSqlBase("q_chat_sft_tokenize"))
     .updated("q_pipeline_sft_nosplit_config",
       oracleSqlBase("q_chat_pack_sft_nosplit"))
     .updated("q_pipeline_sft_nosplit_spans_config",

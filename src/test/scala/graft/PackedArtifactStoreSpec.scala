@@ -142,6 +142,46 @@ class PackedArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("shard/epoch reads PRUNE to their directories (the mountable layout's point)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = TextStats.materializePackedTokenIds(docs, "doc_id", "text",
+      Merges, budget = 128, shards = 4)
+    val spans = TextStats.packedDocSpans(docs, "doc_id", "text", Merges,
+      budget = 128, shards = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_artifact_prune").toString
+    try {
+      PackedArtifactStore.write(packed, spans, dir,
+        PackedArtifactStore.Meta(budget = 128, shards = 4,
+          windowsPerFile = 4, eosId = 256L + Merges.size, epochs = 2,
+          seed = 5L))
+      def scanOf(df: org.apache.spark.sql.DataFrame) = {
+        df.collect() // materialize so the scan is planned + executed
+        PlanWalk.nodes(df).collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(fail("no file scan in the plan"))
+      }
+      // a loader assigned shard 2 reads ONE shard directory
+      val oneShard = scanOf(PackedArtifactStore.readWindows(spark, dir)
+        .filter(col("shard") === 2L))
+      assert(oneShard.partitionFilters.nonEmpty,
+        "the shard predicate must reach the scan as a partition filter")
+      assert(oneShard.selectedPartitions.partitionCount == 1,
+        s"one shard filter must prune to 1 of 4 directories, read " +
+          s"${oneShard.selectedPartitions.partitionCount}")
+      // an epoch's order read prunes to the epoch directory
+      val oneEpoch = scanOf(PackedArtifactStore.readOrder(spark, dir, 1L))
+      assert(oneEpoch.partitionFilters.nonEmpty,
+        "the epoch predicate must reach the order scan as a partition filter")
+      assert(oneEpoch.selectedPartitions.partitionCount == 1,
+        s"one epoch filter must prune to 1 of 2 directories, read " +
+          s"${oneEpoch.selectedPartitions.partitionCount}")
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("epochs = 0 (default): no order surface, ordered read refuses") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50)
