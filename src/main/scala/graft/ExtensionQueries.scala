@@ -245,6 +245,25 @@ object ExtensionQueries {
           windowsPerFile = 4, eosId = 256L + ByteBpeFixtureMerges.size))
     }
 
+  /** The NO-SPLIT twin of [[sftStore]] (r19): the truncating,
+    * padding next-fit convention through the same on-disk layout —
+    * the one packed shape where the manifest's `truncated_windows`
+    * column is real, so the persisted path must aggregate it too. */
+  private val sftNoSplitStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sftNoSplitStore(s: SparkSession, dir: String): String =
+    cachedTmpArtifact(sftNoSplitStores, "graft_sft_store_ns", dir) { path =>
+      val c = chatFrame(s, dir)
+      graft.sources.PackedArtifactStore.write(
+        graft.operators.Chat.sftPackedTokenIdsNoSplit(c, "doc_id", "conv",
+          ByteBpeFixtureMerges, budget = 512, shards = 8),
+        graft.operators.Chat.sftPackedDocSpansNoSplit(c, "doc_id", "conv",
+          ByteBpeFixtureMerges, budget = 512, shards = 8),
+        path,
+        graft.sources.PackedArtifactStore.Meta(budget = 512, shards = 8,
+          windowsPerFile = 4, eosId = 256L + ByteBpeFixtureMerges.size))
+    }
+
   /** One temp DIRECTORY per (JVM, sf dir) for the `pack_store` config
     * stage's output — allocated here so bench repeats overwrite the
     * same artifact instead of accumulating stores. */
@@ -844,6 +863,32 @@ object ExtensionQueries {
           col("__cell").getField("token_ids").as("token_id"),
           col("__cell").getField("loss_mask").as("loss_mask")))
     }),
+
+    // the NO-SPLIT convention through the persisted store (r19):
+    // unpack the truncating/padding packer's on-disk windows+spans —
+    // the budget-sliced max-seq-len view, same oracle as the in-memory
+    // twin
+    "q_chat_sft_unpack_nosplit_stored" -> ((s, dir) => {
+      val p = sftNoSplitStore(s, dir)
+      det(graft.operators.Chat.unpackSftWindows(
+        graft.sources.PackedArtifactStore.readWindows(s, p),
+        graft.sources.PackedArtifactStore.readSpans(s, p))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
+            .as(Seq("pos", "__cell")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("__cell").getField("token_ids").as("token_id"),
+          col("__cell").getField("loss_mask").as("loss_mask")))
+    }),
+
+    // the no-split store's PERSISTED manifest (r19): write() derived
+    // it from the just-written windows, and this shape is the one
+    // where truncated_windows is REAL — the persisted path must
+    // aggregate the truncation flag too; q_chat_pack_nosplit_manifest
+    // oracle text
+    "q_chat_store_nosplit_manifest" -> ((s, dir) =>
+      det(graft.sources.PackedArtifactStore.readManifest(s,
+        sftNoSplitStore(s, dir)))),
 
     // NO-SPLIT SFT packing (r17): conversations never cross windows —
     // next-fit in id order per shard, oversized conversations truncate
@@ -8938,8 +8983,13 @@ object ExtensionQueries {
     .updated("q_chat_pack_window_mix_stored",
       oracleSqlBase("q_chat_pack_window_mix"))
     // the persisted SFT unpack grades on the tokenize oracle like its
-    // in-memory twin: unpack(store(pack)) == tokenize
+    // in-memory twin: unpack(store(pack)) == tokenize; the no-split
+    // persisted twins grade on the in-memory rows' own oracle texts
     .updated("q_chat_sft_unpack_stored", oracleSqlBase("q_chat_sft_tokenize"))
+    .updated("q_chat_sft_unpack_nosplit_stored",
+      oracleSqlBase("q_chat_sft_unpack_nosplit"))
+    .updated("q_chat_store_nosplit_manifest",
+      oracleSqlBase("q_chat_pack_nosplit_manifest"))
     .updated("q_pipeline_sft_nosplit_config",
       oracleSqlBase("q_chat_pack_sft_nosplit"))
     .updated("q_pipeline_sft_nosplit_spans_config",

@@ -142,6 +142,43 @@ object PackedArtifactStore {
       .orderBy(col("order_key"), col("shard"), col("seq_id"))
   }
 
+  /**
+   * ONE LOADER'S SLICE of an epoch's ordered stream — the
+   * coordination-free data-parallel read pattern (r19): loader `slice`
+   * of `nSlices` takes the windows whose `order_key` falls in its
+   * 1/nSlices cut of the hex keyspace. The keys are md5-uniform, so
+   * the cuts balance (~1/nSlices of the windows each) with ZERO
+   * communication between loaders; the cuts PARTITION the epoch
+   * exactly (every window in exactly one slice — spec-pinned), each
+   * slice streams in the same global key order, and the same (epoch,
+   * slice, nSlices) triple replays bit-identically on a restart.
+   *
+   * 100 TB design: the slice filter applies to the KB-per-window order
+   * keys BEFORE the window join, so a loader joins only its share of
+   * the scalar keys against the windows (one equi-join + one
+   * distributed sort over ~1/nSlices of the stream).
+   */
+  def readWindowsOrderedSlice(spark: SparkSession, path: String,
+                              epoch: Long, slice: Int,
+                              nSlices: Int): DataFrame = {
+    require(nSlices >= 1 && slice >= 0 && slice < nSlices,
+      s"slice $slice outside [0, $nSlices)")
+    val meta = readMeta(spark, path)
+    require(meta.epochs >= 1 && epoch >= 0 && epoch < meta.epochs,
+      s"epoch $epoch outside the artifact's [0, ${meta.epochs}) range")
+    // slice index from the key's first 8 hex chars (32 uniform bits):
+    // exact integer arithmetic, no doubles — cuts partition the space
+    val keyBits = conv(substring(col("order_key"), 1, 8), 16, 10)
+      .cast(LongType)
+    val mine = readOrder(spark, path, epoch).drop("epoch")
+      .withColumn("__kb32", keyBits)
+      .filter(expr(s"(__kb32 * $nSlices) div 4294967296") === slice.toLong)
+      .drop("__kb32")
+    readWindows(spark, path)
+      .join(mine, Seq("shard", "seq_id"))
+      .orderBy(col("order_key"), col("shard"), col("seq_id"))
+  }
+
   def readMeta(spark: SparkSession, path: String): Meta = {
     val df = spark.read.parquet(s"$path/meta")
     val r = df.head()

@@ -135,6 +135,27 @@ class PackedArtifactStoreSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         PackedArtifactStore.readWindowsOrdered(spark, dir, 3L)
       }
+
+      // loader slices PARTITION the epoch: disjoint-by-count, union =
+      // the full stream, each slice in global key order, md5-uniform
+      // balance, replay identical, bad args loud
+      def sliceKeys(i: Int, n: Int): Seq[(String, Long, Long)] =
+        PackedArtifactStore.readWindowsOrderedSlice(spark, dir, 1L, i, n)
+          .select("order_key", "shard", "seq_id").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val slices = (0 until 4).map(sliceKeys(_, 4))
+      assert(slices.map(_.size).sum == o1.size &&
+        slices.flatten.toSet == o1.toSet,
+        "the 4 slices must partition the epoch's windows exactly")
+      slices.foreach(sl => assert(sl == sl.sorted,
+        "every slice must stream in global key order"))
+      val mean = o1.size / 4.0
+      slices.foreach(sl => assert(sl.size > mean * 0.5 && sl.size < mean * 1.5,
+        s"md5-uniform keys must balance the slices, got ${sl.size} vs mean $mean"))
+      assert(sliceKeys(2, 4) == slices(2), "slice replay must be identical")
+      intercept[IllegalArgumentException] {
+        PackedArtifactStore.readWindowsOrderedSlice(spark, dir, 1L, 4, 4)
+      }
     } finally {
       import java.nio.file.{Files, Path, Paths}
       Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder[Path]())
