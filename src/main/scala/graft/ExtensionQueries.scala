@@ -272,6 +272,13 @@ object ExtensionQueries {
   private def configStoreDir(s: SparkSession, dir: String): String =
     cachedTmpArtifact(configStoreDirs, "graft_pack_store_cfg", dir)(_ => ())
 
+  /** The chat twin's `pack_store` output directory (same overwrite
+    * discipline). */
+  private val chatConfigStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def chatConfigStoreDir(s: SparkSession, dir: String): String =
+    cachedTmpArtifact(chatConfigStoreDirs, "graft_chat_store_cfg", dir)(_ => ())
+
   /** documents plus planted exact duplicates: every doc_id % 50 == 0
     * row re-enters TWICE under offset ids (+1e6, +2e6), giving those
     * texts exactly 3 copies — shared by q_dedup_cap (cap 2 drops the
@@ -889,6 +896,19 @@ object ExtensionQueries {
     "q_chat_store_nosplit_manifest" -> ((s, dir) =>
       det(graft.sources.PackedArtifactStore.readManifest(s,
         sftNoSplitStore(s, dir)))),
+
+    // the mountable SFT artifact from YAML (r19): the chat pack_store
+    // terminal stage — windows + conversation spans + manifest + meta
+    // written from config, validate() returned; the oracle counts the
+    // artifact's files independently from the SFT pack geometry
+    "q_pipeline_chat_store_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileChatYaml(
+        s"""chat_curation:
+           |  tokenizer: {kind: bpe_bytes, merges: ${fixtureMergesStore(s, dir)}}
+           |  stages:
+           |    - {op: pack_store, budget: 128, shards: 8,
+           |       windows_per_file: 4, path: ${chatConfigStoreDir(s, dir)}}
+           |""".stripMargin, chatFrame(s, dir)))),
 
     // NO-SPLIT SFT packing (r17): conversations never cross windows —
     // next-fit in id order per shard, oversized conversations truncate
@@ -7403,6 +7423,30 @@ object ExtensionQueries {
     // SFT window-mix replay: the chat spans chain joined to each
     // conversation's SOURCE document stratum, grouped to
     // window×stratum, shares via the per-window SUM OVER
+    // the chat pack_store stage's validate() row (r19): file count
+    // re-derived from the SFT pack geometry (cell sizes -> per-shard
+    // offsets -> window range -> files of 4), reported twice with
+    // zero mismatches by a healthy store
+    "q_pipeline_chat_store_config" -> {
+      s"""WITH $chatCte,
+         |$SftCellCtes,
+         |t AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n FROM conv),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |x AS (SELECT shard,
+         |    unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
+         |  FROM o),
+         |f AS (SELECT DISTINCT shard, seq_id // 4 AS file_idx FROM x)
+         |SELECT CAST(count(*) AS BIGINT) AS n_files_stored,
+         |  CAST(count(*) AS BIGINT) AS n_files_recomputed,
+         |  CAST(0 AS BIGINT) AS n_mismatched_files,
+         |  true AS ok
+         |FROM f""".stripMargin
+    },
     "q_chat_pack_window_mix" -> {
       s"""WITH $chatCte,
          |$SftCellCtes,

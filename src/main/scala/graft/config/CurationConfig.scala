@@ -351,6 +351,20 @@ final case class ChatPackSftNoSplitStage(budget: Int, shards: Int,
   * conversation; pad tails are whatever the spans don't cover). */
 final case class ChatPackSftNoSplitSpansStage(budget: Int,
                                               shards: Int) extends ChatStage
+/** Terminal: the mountable SFT ARTIFACT from YAML (r19) —
+  * [[graft.sources.PackedArtifactStore.write]] over the chat packers:
+  * `pack_sft_ids` windows + the conversation-span address book written
+  * to `path` (epochs >= 1 persists the training order), returning the
+  * loader-side validate() row. `no_split: true` routes BOTH frames
+  * through the no-split convention (`pad_id` applies there). */
+final case class ChatPackStoreStage(budget: Int, shards: Int,
+                                    windowsPerFile: Int, eosId: Option[Long],
+                                    padId: Option[Long], noSplit: Boolean,
+                                    epochs: Int, seed: Long,
+                                    path: String) extends ChatStage {
+  require(path.nonEmpty, "pack_store needs a non-empty path")
+  require(epochs >= 0, "pack_store epochs must be >= 0")
+}
 
 final case class ChatCurationConfig(idCol: String, convCol: String,
                                     stages: Seq[ChatStage],
@@ -359,19 +373,20 @@ final case class ChatCurationConfig(idCol: String, convCol: String,
   private def terminal(s: ChatStage): Boolean = s match {
     case _: ChatRenderStage | _: ChatPackSftIdsStage |
          _: ChatPackSftSpansStage | _: ChatPackSftNoSplitStage |
-         _: ChatPackSftNoSplitSpansStage => true
+         _: ChatPackSftNoSplitSpansStage | _: ChatPackStoreStage => true
     case _ => false
   }
   require(!stages.dropRight(1).exists(terminal),
-    "render/pack_sft_ids/pack_sft_spans (and their _nosplit twins) " +
-      "change the output schema and must be the LAST stage")
+    "render/pack_sft_ids/pack_sft_spans (and their _nosplit twins)/" +
+      "pack_store change the output schema and must be the LAST stage")
   require(!stages.exists(s => s.isInstanceOf[ChatPackSftIdsStage] ||
     s.isInstanceOf[ChatPackSftSpansStage] ||
     s.isInstanceOf[ChatPackSftNoSplitStage] ||
-    s.isInstanceOf[ChatPackSftNoSplitSpansStage]) || tokenizer.nonEmpty,
-    "the pack_sft stages encode with the production tokenizer; " +
-      "declare a tokenizer: {kind: bpe_bytes, merges: <ModelStore path>} " +
-      "mapping")
+    s.isInstanceOf[ChatPackSftNoSplitSpansStage] ||
+    s.isInstanceOf[ChatPackStoreStage]) || tokenizer.nonEmpty,
+    "the pack_sft/pack_store stages encode with the production " +
+      "tokenizer; declare a tokenizer: {kind: bpe_bytes, merges: " +
+      "<ModelStore path>} mapping")
 }
 
 object ChatCurationConfig {
@@ -440,6 +455,16 @@ object ChatCurationConfig {
         m.get("pad_id").map(_.toString.toLong))
       case "pack_sft_spans_nosplit" => ChatPackSftNoSplitSpansStage(
         int("budget", 512), int("shards", 8))
+      case "pack_store" => ChatPackStoreStage(int("budget", 512),
+        int("shards", 8), int("windows_per_file", 1024),
+        m.get("eos_id").map(_.toString.toLong),
+        m.get("pad_id").map(_.toString.toLong),
+        m.get("no_split").exists(_.toString.toBoolean),
+        int("epochs", 0),
+        m.get("seed").map(_.toString.toLong).getOrElse(0L),
+        m.get("path").map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            "pack_store stage needs a path")))
       case other => throw new IllegalArgumentException(
         s"unknown chat curation op: '$other'")
     }

@@ -291,6 +291,34 @@ object CurationCompiler {
             .map(m => (m._1, m._2))
           graft.operators.Chat.sftPackedDocSpansNoSplit(cur, id, conv,
             merges, budget, shards)
+        case ChatPackStoreStage(budget, shards, perFile, eosId, padId,
+            noSplit, epochs, seed, path) =>
+          // the mountable SFT artifact (r19): windows + span address
+          // book through the store in ONE terminal sink stage, then
+          // the loader-side integrity gate as the stage's output —
+          // the document compiler's PackStoreStage, chat twin. The
+          // spans builder sizes with the count-mode kernel, so the
+          // stage pays one ids-encode (the windows) + one cheap
+          // count-encode, not two materializations.
+          val merges = graft.sources.ModelStore
+            .loadMerges(convs.sparkSession, cfg.tokenizer.get.merges)
+            .map(m => (m._1, m._2))
+          val eos = eosId.getOrElse(256L + merges.size)
+          val (windows, spans) =
+            if (noSplit)
+              (graft.operators.Chat.sftPackedTokenIdsNoSplit(cur, id, conv,
+                merges, budget, shards, eosId, padId),
+                graft.operators.Chat.sftPackedDocSpansNoSplit(cur, id, conv,
+                  merges, budget, shards))
+            else
+              (graft.operators.Chat.sftPackedTokenIds(cur, id, conv,
+                merges, budget, shards, eosId),
+                graft.operators.Chat.sftPackedDocSpans(cur, id, conv,
+                  merges, budget, shards))
+          graft.sources.PackedArtifactStore.write(windows, spans, path,
+            graft.sources.PackedArtifactStore.Meta(budget, shards, perFile,
+              eos, epochs, seed))
+          graft.sources.PackedArtifactStore.validate(cur.sparkSession, path)
       }
     }
   }
@@ -375,6 +403,12 @@ object CurationCompiler {
             s"stage $other assigns windows by SEQUENTIAL per-shard next-fit " +
               "over the whole corpus and cannot run on a micro-batch; run " +
               "the no-split packing in the batch compaction pass")
+        case other: ChatPackStoreStage =>
+          throw new UnsupportedOperationException(
+            s"stage $other compacts the whole corpus into a mounted " +
+              "artifact (corpus-global window offsets + a store write) and " +
+              "cannot run on a micro-batch; run it in the batch compaction " +
+              "pass")
       }
     }
   }

@@ -802,6 +802,113 @@ class CurationCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("chat pack_store stage: parse, no-drift vs programmatic SFT store, no_split routing, stream reject (r19)") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cstore_m").toString
+    val cfgStore = java.nio.file.Files.createTempDirectory("graft_cstore_cfg").toString
+    val nsStore = java.nio.file.Files.createTempDirectory("graft_cstore_ns").toString
+    val progStore = java.nio.file.Files.createTempDirectory("graft_cstore_prog").toString
+    def rmrf(d: String): Unit = {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(d)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    try {
+      graft.sources.ModelStore.saveMerges(spark,
+        merges.map { case (l, r) => (l, r, 0L) }, tmp)
+      // path + tokenizer + terminal validations
+      intercept[IllegalArgumentException] {
+        graft.config.ChatCurationConfig.fromYaml(
+          s"""chat_curation:
+             |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+             |  stages:
+             |    - {op: pack_store}
+             |""".stripMargin)
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.ChatCurationConfig.fromYaml(
+          s"chat_curation:\n  stages:\n    - {op: pack_store, path: $cfgStore}\n")
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.ChatCurationConfig.fromYaml(
+          s"""chat_curation:
+             |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+             |  stages:
+             |    - {op: pack_store, path: $cfgStore}
+             |    - {op: redact}
+             |""".stripMargin)
+      }
+      val convs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(60).select(col("doc_id"), array(
+          struct(lit("user").as("role"), col("text").as("content")),
+          struct(lit("assistant").as("role"),
+            substring(col("text"), 1, 40).as("content"))).as("conv"))
+      // split convention: config artifact == programmatic store
+      val out = graft.plans.CurationCompiler.compileChatYaml(
+        s"""chat_curation:
+           |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+           |  stages:
+           |    - {op: pack_store, budget: 128, shards: 4,
+           |       windows_per_file: 4, epochs: 1, seed: 3, path: $cfgStore}
+           |""".stripMargin, convs)
+      val row = out.head()
+      assert(row.getAs[Boolean]("ok") &&
+        row.getAs[Long]("n_mismatched_files") == 0L,
+        s"the config-built SFT artifact must validate clean, got $row")
+      graft.sources.PackedArtifactStore.write(
+        graft.operators.Chat.sftPackedTokenIds(convs, "doc_id", "conv",
+          merges, budget = 128, shards = 4),
+        graft.operators.Chat.sftPackedDocSpans(convs, "doc_id", "conv",
+          merges, budget = 128, shards = 4),
+        progStore,
+        graft.sources.PackedArtifactStore.Meta(128, 4, 4,
+          256L + merges.size, 1, 3L))
+      def unpacked(path: String) = graft.operators.Chat.unpackSftWindows(
+        graft.sources.PackedArtifactStore.readWindows(spark, path),
+        graft.sources.PackedArtifactStore.readSpans(spark, path))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2)))
+        .toMap
+      assert(unpacked(cfgStore) == unpacked(progStore),
+        "config-built and programmatic SFT artifacts must unpack identically")
+      assert(graft.sources.PackedArtifactStore.readMeta(spark, cfgStore) ==
+        graft.sources.PackedArtifactStore.Meta(128, 4, 4,
+          256L + merges.size, 1, 3L))
+      // no_split routes both frames through the no-split convention:
+      // every window pads to exactly the budget
+      graft.plans.CurationCompiler.compileChatYaml(
+        s"""chat_curation:
+           |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+           |  stages:
+           |    - {op: pack_store, budget: 512, shards: 4,
+           |       windows_per_file: 4, no_split: true, path: $nsStore}
+           |""".stripMargin, convs).collect()
+      val lens = graft.sources.PackedArtifactStore.readWindows(spark, nsStore)
+        .select(size(col("token_ids")).as("n")).distinct().collect()
+        .map(_.getInt(0)).toSet
+      assert(lens == Set(512),
+        s"no-split windows must all pad to the budget, got sizes $lens")
+      // streaming reject
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val sdf = ms.toDF.toDF("doc_id", "text", "ts")
+      intercept[UnsupportedOperationException] {
+        graft.plans.CurationCompiler.compileStreamingChat(
+          graft.config.ChatCurationConfig.fromYaml(
+            s"""chat_curation:
+               |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+               |  stages:
+               |    - {op: pack_store, path: $cfgStore}
+               |""".stripMargin), sdf, "ts", "10 minutes")
+      }
+    } finally {
+      rmrf(tmp); rmrf(cfgStore); rmrf(nsStore); rmrf(progStore)
+    }
+  }
+
   test("doc_spans / pack_sft_spans stages: parse, tokenizer-required, terminal, zero drift, stream reject") {
     val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
       ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
