@@ -2787,6 +2787,23 @@ object ExtensionQueries {
           concat(lit("customer_"), col("user_id").cast("string"))),
         "user_key", "ts", "value", nTiles = 5, vBuckets = 8, kBuckets = 8))),
 
+    // the MIXED-population string-key card (r20, VERDICT r19 #1): a
+    // customer_*-prefixed population PLUS planted outlier keys
+    // ('admin', '', 'zzz' — the stray legacy ids every real event log
+    // has). One such key zeroed the r19 geometry's global-min/max LCP
+    // and re-collapsed the whole prefixed population into one cell;
+    // the boundary-key cut is outlier-immune, and the oracle re-derives
+    // ntile under VARCHAR collation over the same mixed key
+    "q_events_rfm_strkey_mixed" -> ((s, dir) =>
+      det(graft.operators.Windowed.rfmCardSharded(
+        events(s, dir).withColumn("user_key",
+          when(pmod(col("user_id"), lit(997)) === 0, lit("admin"))
+            .when(pmod(col("user_id"), lit(997)) === 1, lit(""))
+            .when(pmod(col("user_id"), lit(997)) === 2, lit("zzz"))
+            .otherwise(concat(lit("customer_"),
+              col("user_id").cast("string")))),
+        "user_key", "ts", "value", nTiles = 5, vBuckets = 8, kBuckets = 8))),
+
     // position-based (U-shaped) attribution: 40/20/40 edge weighting
     "q_events_attribution_pos" -> ((s, dir) =>
       det(graft.operators.Windowed.attributionPositional(events(s, dir),
@@ -6040,6 +6057,36 @@ object ExtensionQueries {
     // LCP-strip regime, same VARCHAR tie-breaks
     "q_events_rfm_strkey_prefixed" ->
       s"""WITH per AS (SELECT 'customer_' || CAST(user_id AS VARCHAR)
+         |     AS user_key,
+         |   max(CAST(ts AS TIMESTAMP)) AS last_ts,
+         |   CAST(count(*) AS BIGINT) AS frequency,
+         |   round(sum(value), 2) AS monetary
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY 1),
+         |m AS (SELECT max(last_ts) AS cmax FROM per),
+         |r AS (SELECT user_key,
+         |   round(epoch(m.cmax) - epoch(last_ts), 6) AS recency_sec,
+         |   frequency, monetary
+         |  FROM per CROSS JOIN m)
+         |SELECT user_key, recency_sec, frequency, monetary,
+         |  CAST(ntile(5) OVER (ORDER BY recency_sec ASC, user_key ASC)
+         |    AS INTEGER) AS r_score,
+         |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_key ASC)
+         |    AS INTEGER) AS f_score,
+         |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_key ASC)
+         |    AS INTEGER) AS m_score
+         |FROM r
+         |ORDER BY user_key $N1, recency_sec $N1, frequency $N1, monetary $N1,
+         |  r_score $N1, f_score $N1, m_score $N1""".stripMargin,
+    // the strkey text over a MIXED population (r20): customer_*
+    // prefixed ids plus planted outlier keys — the outlier-LCP regime,
+    // same VARCHAR tie-breaks
+    "q_events_rfm_strkey_mixed" ->
+      s"""WITH per AS (SELECT
+         |   CASE WHEN user_id % 997 = 0 THEN 'admin'
+         |        WHEN user_id % 997 = 1 THEN ''
+         |        WHEN user_id % 997 = 2 THEN 'zzz'
+         |        ELSE 'customer_' || CAST(user_id AS VARCHAR) END
          |     AS user_key,
          |   max(CAST(ts AS TIMESTAMP)) AS last_ts,
          |   CAST(count(*) AS BIGINT) AS frequency,

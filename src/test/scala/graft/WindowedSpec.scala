@@ -291,15 +291,18 @@ class WindowedSpec extends AnyFunSuite {
       df.collect().map(r => r.getString(0) ->
         ((r.getDouble(1), r.getLong(2), Option(r.get(3)), r.getInt(4),
           r.getInt(5), r.getInt(6)))).toMap
-    // stringKeyRank is MONOTONE in the key's binary order (the whole
-    // correctness argument) — incl. multi-byte UTF-8 and prefix pairs
+    // the boundary-key bucket is MONOTONE in the key's binary order
+    // (the whole correctness argument) — incl. multi-byte UTF-8 and
+    // prefix pairs, whatever boundaries the sample picked
     val keys = Seq("", "a", "a0", "ab", "abcdef", "abcdefg", "abcdeg",
       "b", "u1", "u10", "u100", "u2", "zzzzzzzz", "é", "é1", "☃")
-    val ranked = keys.toDF("k")
-      .select(col("k"), Windowed.stringKeyRank(col("k")).as("r"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val keyDf = keys.toDF("k")
+    val ranked = keyDf
+      .select(col("k"),
+        Windowed.stringKeyBoundaryBuckets(keyDf, col("k"), 4).as("r"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     keys.sorted.sliding(2).foreach { case Seq(a, b) =>
-      assert(ranked(a) <= ranked(b), s"rank must not decrease: '$a' -> '$b'")
+      assert(ranked(a) <= ranked(b), s"bucket must not decrease: '$a' -> '$b'")
     }
     // real events under a string key whose BINARY order differs from
     // the numeric order ("u10" < "u2"): sharded == plain, several
@@ -313,11 +316,11 @@ class WindowedSpec extends AnyFunSuite {
         5, vBuckets = vb, kBuckets = kb))
       assert(got == want, s"string key diverges at vBuckets=$vb kBuckets=$kb")
     }
-    // crafted string-tie monster: EVERY key shares a >6-byte prefix, so
-    // the prefix geometry collapses all keys into ONE sub-bucket cell
-    // (the degenerate-but-exact case) while frequency=1 ties span the
-    // whole frame and whole tie families straddle tile boundaries;
-    // NULL-monetary families included
+    // crafted string-tie monster: EVERY key shares a >6-byte prefix
+    // while frequency=1 ties span the whole frame and whole tie
+    // families straddle tile boundaries; NULL-monetary families
+    // included (boundary keys split shared-prefix populations fine —
+    // the point here is exactness under monster ties)
     val tie = spark.range(3000).select(
       concat(lit("user::"), col("id").cast("string")).as("user_key"),
       timestamp_millis(lit(1700000000000L) +
@@ -345,36 +348,24 @@ class WindowedSpec extends AnyFunSuite {
     }, "past the key threshold string keys must route to the sharded plan")
   }
 
-  test("stringKeyRank LCP strip: prefixed populations SPREAD across sub-buckets (r19, VERDICT r18 #1)") {
-    // geometry: the min/max keys' common prefix, rank bounds after it
-    val (lcp9, lo9, hi9) =
-      Windowed.stringKeyGeometry("customer_000000", "customer_999999")
-    assert(lcp9 == 9, "customer_ prefix is 9 shared bytes")
-    assert(lo9 < hi9, "post-prefix ranks must spread the bounds")
-    // a prefixed id population — the shape that used to collapse
+  test("stringKeyBoundaryBuckets: prefixed populations SPREAD even with outlier keys (r20, VERDICT r19 #1)") {
+    // a prefixed id population PLUS adversarial outlier keys — the
+    // exact shape that broke every numeric-rank geometry: `""` and
+    // `zzz` drive the global min/max LCP to 0, so the r19 LCP-strip
+    // ranked bytes 0-6 again and every customer_* id collapsed into
+    // one rank value and ONE quantile cell (single-task tie window)
     val keys = spark.range(5000).select(
-      concat(lit("customer_"), lpad(col("id").cast("string"), 6, "0")).as("k"))
-    val mm = keys.agg(min(col("k")), max(col("k"))).head()
-    val (minK, maxK) = (mm.getString(0), mm.getString(1))
-    // the PRE-r19 geometry (rank window at byte 0) provably collapses:
-    // every key shares >= 6 leading bytes, so one rank value, one cell
-    val lo0 = Windowed.stringKeyRankLocal(minK, 0)
-    val hi0 = Windowed.stringKeyRankLocal(maxK, 0)
-    val cells0 = keys.select(Windowed.subBucketIndex(
-      Windowed.stringKeyRank(col("k")), lo0, hi0, 256).as("kb"))
-      .distinct().count()
-    assert(cells0 == 1L,
-      s"the unshifted rank window must collapse this population (got $cells0 cells) — " +
-        "the regression the LCP strip exists to fix")
-    // the r19 geometry: strip the population's LCP, rank, cut at
-    // equi-HEIGHT quantile boundaries — the digit alphabet (10 of 256
-    // byte values) fills the cells anyway
-    val kbCol = Windowed.stringKeyQuantileBuckets(keys, col("k"), minK,
-      maxK, 256)
+      when(col("id") === 0, lit(""))
+        .when(col("id") === 1, lit("admin"))
+        .when(col("id") === 2, lit("zzz"))
+        .otherwise(concat(lit("customer_"),
+          lpad(col("id").cast("string"), 6, "0"))).as("k"))
+    val kbCol = Windowed.stringKeyBoundaryBuckets(keys, col("k"), 256)
     val hist = keys.select(kbCol.as("kb")).groupBy("kb").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hist.size >= 128,
-      s"prefixed keys must spread across sub-bucket cells, got ${hist.size} of 256")
+      s"prefixed keys + outliers must spread across sub-bucket cells, " +
+        s"got ${hist.size} of 256")
     assert(hist.values.max <= 5000 / 32,
       s"no cell may hold a large share of the keys, max cell = ${hist.values.max}")
     // monotone in binary key order (the correctness condition the
@@ -384,15 +375,25 @@ class WindowedSpec extends AnyFunSuite {
     ranked.sliding(2).foreach { case Array((a, ra), (b, rb)) =>
       assert(ra <= rb, s"bucket must not decrease: '$a' -> '$b'")
     }
-    // and the card itself stays EXACT over the prefixed population:
+    // deterministic: the sampled boundaries replay bit-identically
+    val hist2 = keys.select(
+      Windowed.stringKeyBoundaryBuckets(keys, col("k"), 256).as("kb"))
+      .groupBy("kb").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist2 == hist, "the boundary sample must be deterministic")
+    // and the card itself stays EXACT over the mixed population:
     // sharded == plain on a frame with monster ties under the prefix
+    // plus the planted outliers
     def asMapS(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) ->
         ((r.getDouble(1), r.getLong(2), Option(r.get(3)), r.getInt(4),
           r.getInt(5), r.getInt(6)))).toMap
     val e = spark.range(4000).select(
-      concat(lit("customer_"),
-        lpad((col("id") % 800).cast("string"), 5, "0")).as("user_key"),
+      when(col("id") % 1000 === 0, lit("admin"))
+        .when(col("id") % 1000 === 1, lit(""))
+        .when(col("id") % 1000 === 2, lit("zzz"))
+        .otherwise(concat(lit("customer_"),
+          lpad((col("id") % 800).cast("string"), 5, "0"))).as("user_key"),
       timestamp_millis(lit(1700000000000L) +
         (col("id") % 400) * 60000L).as("ts"),
       when(col("id") % 30 === 0, lit(null).cast("double"))
@@ -400,7 +401,31 @@ class WindowedSpec extends AnyFunSuite {
     assert(asMapS(Windowed.rfmCardSharded(e, "user_key", "ts", "value", 5,
         vBuckets = 8, kBuckets = 8)) ==
       asMapS(Windowed.rfmCard(e, "user_key", "ts", "value", 5)),
-      "sharded card must stay exact over a >=6-byte shared-prefix population")
+      "sharded card must stay exact over a prefixed-plus-outlier population")
+  }
+
+  test("rfmCardSharded: the events-scale per-key aggregation runs EXACTLY ONCE (r20, VERDICT r19 #2)") {
+    // the probe actions (stats head, boundary sample) and the card
+    // plan itself are three driver actions over the per-key frame;
+    // the localCheckpoint must make the events-scale groupBy run once.
+    // An accumulator UDF inside the value column counts how many times
+    // each raw event row's value is evaluated.
+    val acc = spark.sparkContext.longAccumulator("rfm_value_evals")
+    val tick = udf((x: Double) => { acc.add(1L); x })
+    val e = spark.range(2000).select(
+      concat(lit("customer_"), (col("id") % 400).cast("string")).as("user_key"),
+      timestamp_millis(lit(1700000000000L) +
+        (col("id") % 100) * 1000L).as("ts"),
+      tick((col("id") % 7).cast("double")).as("value"))
+    val card = Windowed.rfmCardSharded(e, "user_key", "ts", "value", 5,
+      vBuckets = 8, kBuckets = 8)
+    // construction already ran the one checkpoint job
+    assert(acc.value == 2000L,
+      s"construction must aggregate the events exactly once, got ${acc.value}")
+    card.collect()
+    assert(acc.value == 2000L,
+      s"the card job must read the checkpointed per-key frame, not " +
+        s"re-aggregate the events (evals = ${acc.value})")
   }
 
   test("attributionPositional: U-shaped weights incl. 1/2/3-touch degenerate forms") {
