@@ -1141,6 +1141,15 @@ object ExtensionQueries {
         .unionByName(graft.sources.PackedArtifactStore.readOrder(s, p, 1L)))
     }),
 
+    // the loader-side integrity gate over the persisted 2-epoch store
+    // (r20, VERDICT r19 #4): manifest diff + span token conservation +
+    // per-epoch order cardinality, one row, zero driver actions inside
+    // — the oracle re-derives every count from the pack geometry and
+    // a healthy artifact must report all-clean
+    "q_pack_store_validate" -> ((s, dir) =>
+      det(graft.sources.PackedArtifactStore.validate(s,
+        packedStore(s, dir)))),
+
     // the MOUNTABLE artifact from YAML (r19, VERDICT r18 #2): the
     // pack_store terminal stage writes windows+spans+manifest+meta and
     // returns the loader-side validate() integrity row — graded
@@ -7487,10 +7496,15 @@ object ExtensionQueries {
          |x AS (SELECT shard,
          |    unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
          |  FROM o),
+         |wd AS (SELECT DISTINCT shard, seq_id FROM x),
          |f AS (SELECT DISTINCT shard, seq_id // 4 AS file_idx FROM x)
          |SELECT CAST(count(*) AS BIGINT) AS n_files_stored,
          |  CAST(count(*) AS BIGINT) AS n_files_recomputed,
          |  CAST(0 AS BIGINT) AS n_mismatched_files,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM wd) AS n_windows,
+         |  CAST(0 AS BIGINT) AS n_bad_span_windows,
+         |  CAST(0 AS BIGINT) AS n_epochs,
+         |  CAST(0 AS BIGINT) AS n_bad_epochs,
          |  true AS ok
          |FROM f""".stripMargin
     },
@@ -7753,10 +7767,41 @@ object ExtensionQueries {
          |x AS (SELECT shard,
          |    unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
          |  FROM o),
+         |wd AS (SELECT DISTINCT shard, seq_id FROM x),
          |f AS (SELECT DISTINCT shard, seq_id // 4 AS file_idx FROM x)
          |SELECT CAST(count(*) AS BIGINT) AS n_files_stored,
          |  CAST(count(*) AS BIGINT) AS n_files_recomputed,
          |  CAST(0 AS BIGINT) AS n_mismatched_files,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM wd) AS n_windows,
+         |  CAST(0 AS BIGINT) AS n_bad_span_windows,
+         |  CAST(0 AS BIGINT) AS n_epochs,
+         |  CAST(0 AS BIGINT) AS n_bad_epochs,
+         |  true AS ok
+         |FROM f""".stripMargin,
+    // the persisted 2-epoch store's gate (r20): same geometry replay,
+    // n_epochs = 2 (the packedStore fixture persists a 2-epoch order)
+    "q_pack_store_validate" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($BytePiecesSql) + 1 AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |x AS (SELECT shard,
+         |    unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
+         |  FROM o),
+         |wd AS (SELECT DISTINCT shard, seq_id FROM x),
+         |f AS (SELECT DISTINCT shard, seq_id // 4 AS file_idx FROM x)
+         |SELECT CAST(count(*) AS BIGINT) AS n_files_stored,
+         |  CAST(count(*) AS BIGINT) AS n_files_recomputed,
+         |  CAST(0 AS BIGINT) AS n_mismatched_files,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM wd) AS n_windows,
+         |  CAST(0 AS BIGINT) AS n_bad_span_windows,
+         |  CAST(2 AS BIGINT) AS n_epochs,
+         |  CAST(0 AS BIGINT) AS n_bad_epochs,
          |  true AS ok
          |FROM f""".stripMargin,
     // training-order replay: window keys from the pack geometry (the

@@ -315,9 +315,13 @@ object CurationCompiler {
                 merges, budget, shards, eosId),
                 graft.operators.Chat.sftPackedDocSpans(cur, id, conv,
                   merges, budget, shards))
+          // pad_id and the convention flag persist to meta/ (r20,
+          // ADVICE r19: a loader could not recover a non-default pad
+          // or the no-split convention from the mounted artifact)
           graft.sources.PackedArtifactStore.write(windows, spans, path,
             graft.sources.PackedArtifactStore.Meta(budget, shards, perFile,
-              eos, epochs, seed))
+              eos, epochs, seed, padId = padId.getOrElse(-1L),
+              noSplit = noSplit))
           graft.sources.PackedArtifactStore.validate(cur.sparkSession, path)
       }
     }

@@ -57,9 +57,18 @@ object PackedArtifactStore {
 
   /** The loader contract numbers, persisted next to the data.
     * `epochs >= 1` persists the training order under `order/` with
-    * `seed` (r19); `epochs = 0` skips the order surface. */
+    * `seed` (r19); `epochs = 0` skips the order surface. `padId` and
+    * `noSplit` (r20, ADVICE r19: a non-default pad id and the packing
+    * convention itself were unrecoverable from a mounted artifact)
+    * record the SFT no-split packers' contract: `padId < 0` means
+    * "unset — pad with the EOS id" (the packers' own default, and
+    * what pre-r20 artifacts without the column read back as). */
   final case class Meta(budget: Int, shards: Int, windowsPerFile: Int,
-                        eosId: Long, epochs: Int = 0, seed: Long = 0L)
+                        eosId: Long, epochs: Int = 0, seed: Long = 0L,
+                        padId: Long = -1L, noSplit: Boolean = false) {
+    /** The id a loader must treat as padding. */
+    def effectivePadId: Long = if (padId < 0) eosId else padId
+  }
 
   def write(packed: DataFrame, spans: DataFrame, path: String,
             meta: Meta): Unit = {
@@ -90,9 +99,9 @@ object PackedArtifactStore {
         .parquet(s"$path/order")
     import spark.implicits._
     Seq((meta.budget, meta.shards, meta.windowsPerFile, meta.eosId,
-        meta.epochs, meta.seed))
+        meta.epochs, meta.seed, meta.padId, meta.noSplit))
       .toDF("budget", "shards", "windows_per_file", "eos_id", "epochs",
-        "seed")
+        "seed", "pad_id", "no_split")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -109,8 +118,22 @@ object PackedArtifactStore {
   def readManifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/manifest")
 
-  /** One epoch's persisted shuffle keys (epoch-partition pruned). */
-  def readOrder(spark: SparkSession, path: String, epoch: Long): DataFrame =
+  /** One epoch's persisted shuffle keys (epoch-partition pruned).
+    * The epoch is validated against the artifact's meta (r20, ADVICE
+    * r19: an out-of-range epoch used to return a silently EMPTY frame
+    * — a loader pointed one epoch past the end would train on
+    * nothing without an error). */
+  def readOrder(spark: SparkSession, path: String, epoch: Long): DataFrame = {
+    val meta = readMeta(spark, path)
+    require(meta.epochs >= 1 && epoch >= 0 && epoch < meta.epochs,
+      s"epoch $epoch outside the artifact's [0, ${meta.epochs}) range")
+    readOrderUnchecked(spark, path, epoch)
+  }
+
+  /** [[readOrder]] without the meta round-trip — for callers that
+    * already validated the epoch against meta. */
+  private def readOrderUnchecked(spark: SparkSession, path: String,
+                                 epoch: Long): DataFrame =
     spark.read.parquet(s"$path/order")
       .filter(col("epoch") === epoch)
       .select(lit(epoch).as("epoch"), col("shard"), col("seq_id"),
@@ -137,7 +160,7 @@ object PackedArtifactStore {
     require(meta.epochs >= 1 && epoch >= 0 && epoch < meta.epochs,
       s"epoch $epoch outside the artifact's [0, ${meta.epochs}) range")
     readWindows(spark, path)
-      .join(readOrder(spark, path, epoch).drop("epoch"),
+      .join(readOrderUnchecked(spark, path, epoch).drop("epoch"),
         Seq("shard", "seq_id"))
       .orderBy(col("order_key"), col("shard"), col("seq_id"))
   }
@@ -170,7 +193,7 @@ object PackedArtifactStore {
     // exact integer arithmetic, no doubles — cuts partition the space
     val keyBits = conv(substring(col("order_key"), 1, 8), 16, 10)
       .cast(LongType)
-    val mine = readOrder(spark, path, epoch).drop("epoch")
+    val mine = readOrderUnchecked(spark, path, epoch).drop("epoch")
       .withColumn("__kb32", keyBits)
       .filter(expr(s"(__kb32 * $nSlices) div 4294967296") === slice.toLong)
       .drop("__kb32")
@@ -187,7 +210,8 @@ object PackedArtifactStore {
       if (df.columns.contains(name)) r.getAs[T](name) else d
     Meta(r.getAs[Int]("budget"), r.getAs[Int]("shards"),
       r.getAs[Int]("windows_per_file"), r.getAs[Long]("eos_id"),
-      opt("epochs", 0), opt("seed", 0L))
+      opt("epochs", 0), opt("seed", 0L),
+      opt("pad_id", -1L), opt("no_split", false))
   }
 
   private def restoreShard(df: DataFrame): DataFrame = {
@@ -196,29 +220,103 @@ object PackedArtifactStore {
   }
 
   /**
-   * Loader-side INTEGRITY gate: recompute the file manifest from the
-   * PERSISTED windows and diff it against the PERSISTED manifest — a
-   * partial windows write, a stale manifest after a re-pack, or a
-   * hand-edited card all surface as mismatched file rows before a
-   * training run reads a single token. One row:
-   * (n_files_stored, n_files_recomputed, n_mismatched_files, ok).
+   * Loader-side INTEGRITY gate over EVERY surface a training run
+   * reads (r20, VERDICT r19 #4 — the r19 gate checked only
+   * windows↔manifest, so a tampered or truncated `spans/` or `order/`
+   * surface passed while spans are what block-diagonal attention
+   * reads and order is what the loader replays). One row:
    *
-   * 100 TB design: the recompute is the manifest rollup's one
-   * file-cardinality shuffle over scalar columns (id arrays prune);
-   * the diff runs at file cardinality (`exceptAll` both ways), never
-   * token scale.
+   *   - manifest: recompute the file card from the PERSISTED windows
+   *     and diff against the PERSISTED card — a partial windows write,
+   *     a stale manifest after a re-pack, or a hand-edited card all
+   *     surface as mismatched file rows
+   *     (n_files_stored, n_files_recomputed, n_mismatched_files);
+   *   - spans: token CONSERVATION per window — sum(span_len) must
+   *     equal the window's n_tokens and the span count its n_docs
+   *     (both SFT conventions satisfy this: no-split spans exclude
+   *     pad tails and n_tokens counts real ids before padding), and
+   *     every window must have spans / every span a window
+   *     (n_windows, n_bad_span_windows);
+   *   - order: every epoch in [0, meta.epochs) present with key
+   *     cardinality exactly the window count, no stray epochs
+   *     (n_epochs, n_bad_epochs);
+   *   - ok: all of the above clean.
+   *
+   * 100 TB design: ZERO driver actions inside (the r19 gate ran THREE
+   * separate counts, each re-running the manifest recompute) — the
+   * manifest diff is ONE full-outer join on the (shard, file_idx)
+   * file key feeding one aggregate, the span check one full-outer
+   * join on the window key over scalar columns (id arrays prune out
+   * of both scans), the order check a per-epoch count against the
+   * expected epoch range, and the three 1-row aggregates cross-join
+   * broadcast into the output row. Everything at file/window/KB
+   * cardinality; evaluating the returned row is one Spark action.
    */
   def validate(spark: SparkSession, path: String): DataFrame = {
     val meta = readMeta(spark, path)
+    val windows = readWindows(spark, path)
+
+    // manifest diff: one full-outer join on the file key
     val fresh = graft.operators.TextStats.packFileManifest(
-      readWindows(spark, path), meta.windowsPerFile)
+      windows, meta.windowsPerFile)
     val stored = readManifest(spark, path)
-    val nStored = stored.count()
-    val nFresh = fresh.count()
-    val mismatched = stored.exceptAll(fresh).count() +
-      fresh.exceptAll(stored).count()
-    import spark.implicits._
-    Seq((nStored, nFresh, mismatched, mismatched == 0L && nStored == nFresh))
-      .toDF("n_files_stored", "n_files_recomputed", "n_mismatched_files", "ok")
+    val dataCols = fresh.columns.filterNot(c => c == "shard" || c == "file_idx")
+    def tagged(df: DataFrame, p: String): DataFrame =
+      df.select(Seq(col("shard").as(s"${p}_shard"),
+        col("file_idx").as(s"${p}_file"), lit(1L).as(s"${p}_present")) ++
+        dataCols.map(c => col(c).as(s"${p}_$c")): _*)
+    val mismatch = col("s_present").isNull || col("f_present").isNull ||
+      dataCols.map(c => !(col(s"s_$c") <=> col(s"f_$c")))
+        .reduce(_ || _)
+    val manifestAgg = tagged(stored, "s")
+      .join(tagged(fresh, "f"),
+        col("s_shard") === col("f_shard") && col("s_file") === col("f_file"),
+        "full_outer")
+      .agg(
+        coalesce(sum(col("s_present")), lit(0L)).as("n_files_stored"),
+        coalesce(sum(col("f_present")), lit(0L)).as("n_files_recomputed"),
+        coalesce(sum(when(mismatch, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("n_mismatched_files"))
+
+    // span conservation: one full-outer join on the window key
+    val spanSums = readSpans(spark, path)
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(sum(col("span_len")).as("__sl"), count(lit(1)).as("__sc"))
+    val badSpan = col("__w").isNull || col("__sl").isNull ||
+      !(col("__sl") <=> col("n_tokens")) || !(col("__sc") <=> col("n_docs"))
+    val spanAgg = windows
+      .select(col("shard"), col("seq_id"), col("n_tokens"), col("n_docs"),
+        lit(1L).as("__w"))
+      .join(spanSums, Seq("shard", "seq_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("__w")), lit(0L)).as("n_windows"),
+        coalesce(sum(when(badSpan, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("n_bad_span_windows"))
+
+    // order cardinality: every expected epoch, exactly n_windows keys
+    val orderAgg =
+      if (meta.epochs >= 1) {
+        val oc = spark.read.parquet(s"$path/order")
+          .groupBy(col("epoch").cast(LongType).as("epoch"))
+          .agg(count(lit(1)).as("__oc"))
+        val expected = spark.range(meta.epochs)
+          .select(col("id").as("epoch"), lit(1L).as("__e"))
+        val nw = windows.agg(count(lit(1)).as("__nw"))
+        expected.join(oc, Seq("epoch"), "full_outer")
+          .crossJoin(broadcast(nw))
+          .agg(coalesce(sum(when(col("__e").isNull || col("__oc").isNull ||
+            !(col("__oc") <=> col("__nw")), lit(1L)).otherwise(lit(0L))),
+            lit(0L)).as("n_bad_epochs"))
+      } else spark.range(1).select(lit(0L).as("n_bad_epochs"))
+
+    manifestAgg.crossJoin(spanAgg).crossJoin(orderAgg)
+      .select(col("n_files_stored"), col("n_files_recomputed"),
+        col("n_mismatched_files"), col("n_windows"),
+        col("n_bad_span_windows"),
+        lit(meta.epochs.toLong).as("n_epochs"), col("n_bad_epochs"),
+        (col("n_mismatched_files") === 0L &&
+          col("n_files_stored") === col("n_files_recomputed") &&
+          col("n_bad_span_windows") === 0L &&
+          col("n_bad_epochs") === 0L).as("ok"))
   }
 }

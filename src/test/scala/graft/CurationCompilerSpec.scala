@@ -882,13 +882,31 @@ class CurationCompilerSpec extends AnyFunSuite {
            |  tokenizer: {kind: bpe_bytes, merges: $tmp}
            |  stages:
            |    - {op: pack_store, budget: 512, shards: 4,
-           |       windows_per_file: 4, no_split: true, path: $nsStore}
+           |       windows_per_file: 4, no_split: true, pad_id: 999,
+           |       path: $nsStore}
            |""".stripMargin, convs).collect()
       val lens = graft.sources.PackedArtifactStore.readWindows(spark, nsStore)
         .select(size(col("token_ids")).as("n")).distinct().collect()
         .map(_.getInt(0)).toSet
       assert(lens == Set(512),
         s"no-split windows must all pad to the budget, got sizes $lens")
+      // the loader contract is RECOVERABLE from meta/ (r20, ADVICE
+      // r19): a non-default pad id and the convention flag persist
+      val nsMeta = graft.sources.PackedArtifactStore.readMeta(spark, nsStore)
+      assert(nsMeta.noSplit && nsMeta.padId == 999L &&
+        nsMeta.effectivePadId == 999L,
+        s"pad_id/no_split must persist to meta, got $nsMeta")
+      assert(graft.sources.PackedArtifactStore.readMeta(spark, cfgStore)
+        .effectivePadId == 256L + merges.size,
+        "an unset pad_id must resolve to the EOS id")
+      // and the padded cells actually carry the declared pad id
+      val padIds = graft.sources.PackedArtifactStore
+        .readWindows(spark, nsStore)
+        .filter(col("n_tokens") < 512)
+        .select(element_at(col("token_ids"), 512).as("last")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(padIds == Set(999L),
+        s"pad tails must carry the declared pad id, got $padIds")
       // streaming reject
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._

@@ -64,10 +64,14 @@ class PackedArtifactStoreSpec extends AnyFunSuite {
         unpacked(packed, spans),
         "unpacking the on-disk artifact must equal unpacking in memory")
 
-      // integrity gate: a healthy artifact validates clean...
+      // integrity gate: a healthy artifact validates clean across all
+      // surfaces (manifest, spans, order — epochs = 0 here)...
       val okRow = PackedArtifactStore.validate(spark, dir).head()
       assert(okRow.getAs[Boolean]("ok") &&
-        okRow.getAs[Long]("n_mismatched_files") == 0L,
+        okRow.getAs[Long]("n_mismatched_files") == 0L &&
+        okRow.getAs[Long]("n_bad_span_windows") == 0L &&
+        okRow.getAs[Long]("n_bad_epochs") == 0L &&
+        okRow.getAs[Long]("n_windows") > 0L,
         s"fresh artifact must validate clean, got $okRow")
       // ...and a STALE manifest (wrong rollup geometry written over
       // the real one) is caught before a loader reads a token
@@ -156,6 +160,84 @@ class PackedArtifactStoreSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         PackedArtifactStore.readWindowsOrderedSlice(spark, dir, 1L, 4, 4)
       }
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("validate() gates spans and order too (r20, VERDICT r19 #4): tampered spans / deleted epoch fail loudly, one action") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = TextStats.materializePackedTokenIds(docs, "doc_id", "text",
+      Merges, budget = 128, shards = 4)
+    val spans = TextStats.packedDocSpans(docs, "doc_id", "text", Merges,
+      budget = 128, shards = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_artifact_gate").toString
+    try {
+      PackedArtifactStore.write(packed, spans, dir,
+        PackedArtifactStore.Meta(budget = 128, shards = 4,
+          windowsPerFile = 4, eosId = 256L + Merges.size, epochs = 3,
+          seed = 11L))
+      val ok = PackedArtifactStore.validate(spark, dir).head()
+      assert(ok.getAs[Boolean]("ok") &&
+        ok.getAs[Long]("n_epochs") == 3L &&
+        ok.getAs[Long]("n_bad_epochs") == 0L &&
+        ok.getAs[Long]("n_bad_span_windows") == 0L,
+        s"healthy 3-epoch artifact must validate clean, got $ok")
+      // the gate runs NO corpus-shaped driver action at construction
+      // (the r19 gate ran three manifest-recompute counts inside
+      // validate, each a full windows scan + shuffle). What remains
+      // are metadata-only jobs: the 1-row meta head plus one
+      // single-task parquet schema read per surface (5 reads) —
+      // anything above that bound means a count() crept back in.
+      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val gate = PackedArtifactStore.validate(spark, dir)
+      val during = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(during - before <= 6,
+        s"validate() must not run data actions at construction — only " +
+          s"the meta head + per-surface schema reads (jobs $before -> $during)")
+      assert(gate.columns.contains("n_bad_span_windows"))
+
+      // TAMPERED SPANS: drop every span of one window — token
+      // conservation breaks for exactly that window
+      val k = spans.select("shard", "seq_id").head()
+      val tampered = PackedArtifactStore.readSpans(spark, dir)
+        .filter(!(col("shard") === k.getLong(0) &&
+          col("seq_id") === k.getLong(1)))
+      val spanCols = tampered.columns
+      tampered
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$dir/__spans_new")
+      // swap the surface in place (overwrite into the read path)
+      val fs = java.nio.file.Paths.get(dir)
+      def replace(sub: String, from: String): Unit = {
+        import java.nio.file.{Files, Path, Paths}
+        val target = Paths.get(s"$dir/$sub")
+        Files.walk(target).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        Files.move(Paths.get(s"$dir/$from"), target)
+      }
+      replace("spans", "__spans_new")
+      assert(spanCols.contains("doc_id")) // guard the rewrite kept schema
+      val badSpans = PackedArtifactStore.validate(spark, dir).head()
+      assert(!badSpans.getAs[Boolean]("ok") &&
+        badSpans.getAs[Long]("n_bad_span_windows") == 1L &&
+        badSpans.getAs[Long]("n_mismatched_files") == 0L,
+        s"a window with missing spans must fail the gate, got $badSpans")
+
+      // DELETED EPOCH: remove one epoch's order directory — the
+      // per-epoch cardinality check flags exactly one epoch
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(s"$dir/order/epoch=2"))
+        .sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      val badOrder = PackedArtifactStore.validate(spark, dir).head()
+      assert(!badOrder.getAs[Boolean]("ok") &&
+        badOrder.getAs[Long]("n_bad_epochs") == 1L,
+        s"a deleted epoch must fail the gate, got $badOrder")
+      assert(fs.toFile.exists())
     } finally {
       import java.nio.file.{Files, Path, Paths}
       Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder[Path]())
