@@ -1164,6 +1164,45 @@ object ExtensionQueries {
            |       windows_per_file: 4, path: ${configStoreDir(s, dir)}}
            |""".stripMargin, docs(s, dir)))),
 
+    // the from_store MOUNT path (r20, VERDICT r19 #3): the YAML read
+    // surface over the persisted artifact — unpack straight from a
+    // mounted store, graded on the q_pack_unpack oracle that tokenizes
+    // directly and never sees the packed form
+    "q_pipeline_store_unpack_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileStoreReadYaml(
+        s"""from_store:
+           |  path: ${packedStore(s, dir)}
+           |  read: unpack
+           |""".stripMargin, s)
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("token_id")))),
+
+    // the mounted SFT artifact's window-mix card from YAML (r20): the
+    // spans surface resolved through from_store, the docs frame through
+    // the resolve map — the q_chat_pack_window_mix oracle's fourth
+    // construction path
+    "q_pipeline_store_mix_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileStoreReadYaml(
+        s"""from_store:
+           |  path: ${sftStore(s, dir)}
+           |  read: window_mix
+           |  docs: documents
+           |  id_col: doc_id
+           |  stratum_col: source
+           |""".stripMargin, s,
+        resolve = Map("documents" -> docs(s, dir))))),
+
+    // the full integrity gate from YAML (r20): mount + validate in one
+    // config read — the q_pack_store_validate oracle text
+    "q_pipeline_store_validate_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileStoreReadYaml(
+        s"""from_store:
+           |  path: ${packedStore(s, dir)}
+           |  read: validate
+           |""".stripMargin, s))),
+
     // the no-split artifact's FILE manifest (r18): the one packed
     // shape where the card's truncated_windows column is REAL —
     // per-file rollup over the truncating next-fit packer; n_tokens
@@ -9133,4 +9172,13 @@ object ExtensionQueries {
     // the YAML-declared SFT pack (r17): second construction path on
     // the q_chat_pack_sft_ids oracle text
     .updated("q_pipeline_sft_pack_config", oracleSqlBase("q_chat_pack_sft_ids"))
+    // the from_store MOUNT path (r20, VERDICT r19 #3): the YAML read
+    // surfaces grade on the programmatic persisted-path rows' oracle
+    // texts — one oracle, a construction path that goes YAML ->
+    // StoreReadConfig -> the loader-side reader
+    .updated("q_pipeline_store_unpack_config", oracleSqlBase("q_pack_unpack"))
+    .updated("q_pipeline_store_mix_config",
+      oracleSqlBase("q_chat_pack_window_mix"))
+    .updated("q_pipeline_store_validate_config",
+      oracleSqlBase("q_pack_store_validate"))
 }

@@ -1208,4 +1208,92 @@ class CurationCompilerSpec extends AnyFunSuite {
           "  sessions: {gap_seconds: 1}\n")
     }
   }
+
+  test("from_store config (r20, VERDICT r19 #3): every surface mounts the artifact identically to the programmatic reader; parse/validation loud; streaming legality") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_from_store").toString
+    def rmrf(d: String): Unit = {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(d)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      graft.sources.PackedArtifactStore.write(
+        graft.operators.TextStats.materializePackedTokenIds(docs, "doc_id",
+          "text", merges, budget = 128, shards = 4),
+        graft.operators.TextStats.packedDocSpans(docs, "doc_id", "text",
+          merges, budget = 128, shards = 4),
+        dir,
+        graft.sources.PackedArtifactStore.Meta(128, 4, 4,
+          256L + merges.size, epochs = 2, seed = 9L))
+      def read(y: String, res: Map[String, org.apache.spark.sql.DataFrame] = Map.empty) =
+        graft.plans.CurationCompiler.compileStoreReadYaml(y, spark, res)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      // parse/validation: loud failures
+      intercept[IllegalArgumentException] {
+        graft.config.StoreReadConfig.fromYaml("from_store: {read: windows}")
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.StoreReadConfig.fromYaml(s"from_store: {path: $dir}")
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.StoreReadConfig.fromYaml(
+          s"from_store: {path: $dir, read: nonsense}")
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.StoreReadConfig.fromYaml(
+          s"from_store: {path: $dir, read: window_mix}") // docs missing
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.StoreReadConfig.fromYaml(
+          s"from_store: {path: $dir, read: ordered_slice, epoch: 0}")
+      }
+      // each surface == the programmatic reader
+      assert(rows(read(s"from_store: {path: $dir, read: windows}")) ==
+        rows(graft.sources.PackedArtifactStore.readWindows(spark, dir)))
+      assert(rows(read(s"from_store: {path: $dir, read: spans}")) ==
+        rows(graft.sources.PackedArtifactStore.readSpans(spark, dir)))
+      assert(rows(read(s"from_store: {path: $dir, read: manifest}")) ==
+        rows(graft.sources.PackedArtifactStore.readManifest(spark, dir)))
+      assert(rows(read(s"from_store: {path: $dir, read: validate}")) ==
+        rows(graft.sources.PackedArtifactStore.validate(spark, dir)))
+      assert(rows(read(s"from_store: {path: $dir, read: unpack}")) ==
+        rows(graft.operators.TextStats.unpackTokenWindows(
+          graft.sources.PackedArtifactStore.readWindows(spark, dir),
+          graft.sources.PackedArtifactStore.readSpans(spark, dir))))
+      assert(rows(read(s"from_store: {path: $dir, read: ordered, epoch: 1}")) ==
+        rows(graft.sources.PackedArtifactStore.readWindowsOrdered(spark,
+          dir, 1L)))
+      assert(rows(read(
+        s"from_store: {path: $dir, read: ordered_slice, epoch: 1, slice: 1, n_slices: 3}")) ==
+        rows(graft.sources.PackedArtifactStore.readWindowsOrderedSlice(spark,
+          dir, 1L, 1, 3)))
+      assert(rows(read(
+        s"from_store: {path: $dir, read: window_mix, docs: d, stratum_col: source}",
+        Map("d" -> docs))) ==
+        rows(graft.operators.TextStats.packedWindowMix(
+          graft.sources.PackedArtifactStore.readSpans(spark, dir), docs,
+          "doc_id", "source")))
+      // streaming legality: windows/spans stream as file sources, the
+      // corpus-global surfaces reject with their reasons
+      val cfgW = graft.config.StoreReadConfig.fromYaml(
+        s"from_store: {path: $dir, read: windows}")
+      assert(graft.plans.CurationCompiler
+        .compileStoreReadStreaming(cfgW, spark).isStreaming,
+        "the windows surface must compile to a file stream")
+      intercept[UnsupportedOperationException] {
+        graft.plans.CurationCompiler.compileStoreReadStreaming(
+          graft.config.StoreReadConfig.fromYaml(
+            s"from_store: {path: $dir, read: unpack}"), spark)
+      }
+      intercept[UnsupportedOperationException] {
+        graft.plans.CurationCompiler.compileStoreReadStreaming(
+          graft.config.StoreReadConfig.fromYaml(
+            s"from_store: {path: $dir, read: ordered, epoch: 0}"), spark)
+      }
+    } finally rmrf(dir)
+  }
 }
