@@ -223,6 +223,26 @@ object ExtensionQueries {
           epochs = 2, seed = 42L))
     }
 
+  /** A SECOND persisted doc store (r20) with different pack geometry
+    * (budget 96, shards 4, seed 7) — the other corpus a multi-store
+    * training job mounts; q_pack_stores_interleaved reads
+    * [[packedStore]] + this one as a weighted WFQ interleave. */
+  private val packedStoreBs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def packedStoreB(s: SparkSession, dir: String): String =
+    cachedTmpArtifact(packedStoreBs, "graft_pack_store_b", dir) { path =>
+      val d = docs(s, dir)
+      graft.sources.PackedArtifactStore.write(
+        graft.operators.TextStats.materializePackedTokenIds(d, "doc_id",
+          "text", ByteBpeFixtureMerges, budget = 96, shards = 4),
+        graft.operators.TextStats.packedDocSpans(d, "doc_id", "text",
+          ByteBpeFixtureMerges, budget = 96, shards = 4),
+        path,
+        graft.sources.PackedArtifactStore.Meta(budget = 96, shards = 4,
+          windowsPerFile = 4, eosId = 256L + ByteBpeFixtureMerges.size,
+          epochs = 2, seed = 7L))
+    }
+
   /** One PERSISTED SFT artifact per (JVM, sf dir) — the chat packer's
     * windows + conversation-span address book through the same store
     * (struct window cells exercise the layout's type-agnostic side).
@@ -1140,6 +1160,19 @@ object ExtensionQueries {
       det(graft.sources.PackedArtifactStore.readOrder(s, p, 0L)
         .unionByName(graft.sources.PackedArtifactStore.readOrder(s, p, 1L)))
     }),
+
+    // the MULTI-STORE weighted interleave (r20, VERDICT r19 #5): two
+    // mounted corpora with different pack geometries consumed as ONE
+    // WFQ-scheduled stream — every prefix holds the stores in weight
+    // proportion, each store stays in its own persisted epoch order;
+    // the oracle replays both geometries, both stores' md5 keys, the
+    // within-store rank and the virtual-finish-time division
+    "q_pack_stores_interleaved" -> ((s, dir) =>
+      det(graft.sources.PackedArtifactStore.readStoresInterleaved(s,
+        Seq(packedStore(s, dir), packedStoreB(s, dir)), Seq(0.7, 0.3),
+        epoch = 1L)
+        .select(col("store"), col("shard"), col("seq_id"),
+          col("order_key"), col("interleave_key")))),
 
     // the loader-side integrity gate over the persisted 2-epoch store
     // (r20, VERDICT r19 #4): manifest diff + span token conservation +
@@ -7817,6 +7850,55 @@ object ExtensionQueries {
          |  CAST(0 AS BIGINT) AS n_bad_epochs,
          |  true AS ok
          |FROM f""".stripMargin,
+    // the multi-store WFQ interleave (r20): both stores' chop
+    // geometries replayed (budget 128/shards 8/seed 42 and budget 96/
+    // shards 4/seed 7), epoch-1 md5 keys recomputed, the within-store
+    // rank as a plain row_number (the engine's sharded-rank
+    // decomposition equals it exactly — the cell cut is monotone in
+    // the key), virtual finish time = (rank + 0.5) / weight
+    "q_pack_stores_interleaved" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($BytePiecesSql) + 1 AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |oa AS (SELECT doc_id, doc_id % 8 AS shard, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |wa AS (SELECT DISTINCT CAST(shard AS BIGINT) AS shard,
+         |    CAST(seq_id AS BIGINT) AS seq_id FROM (
+         |    SELECT shard,
+         |      unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
+         |    FROM oa)),
+         |ob AS (SELECT doc_id, doc_id % 4 AS shard, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY doc_id % 4
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |wb AS (SELECT DISTINCT CAST(shard AS BIGINT) AS shard,
+         |    CAST(seq_id AS BIGINT) AS seq_id FROM (
+         |    SELECT shard,
+         |      unnest(range(toff // 96, (toff + n - 1) // 96 + 1)) AS seq_id
+         |    FROM ob)),
+         |k AS (
+         |  SELECT CAST(0 AS BIGINT) AS store, shard, seq_id,
+         |    md5(concat_ws(':', 42, 1, shard, seq_id)) AS order_key FROM wa
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT) AS store, shard, seq_id,
+         |    md5(concat_ws(':', 7, 1, shard, seq_id)) AS order_key FROM wb),
+         |rnk AS (SELECT store, shard, seq_id, order_key,
+         |    CAST(row_number() OVER (PARTITION BY store
+         |      ORDER BY order_key, shard, seq_id) - 1 AS BIGINT) AS r
+         |  FROM k)
+         |SELECT store, shard, seq_id, order_key,
+         |  (CAST(r AS DOUBLE) + 0.5) /
+         |    (CASE WHEN store = 0 THEN CAST(0.7 AS DOUBLE)
+         |          ELSE CAST(0.3 AS DOUBLE) END) AS interleave_key
+         |FROM rnk
+         |ORDER BY store $N1, shard $N1, seq_id $N1, order_key $N1,
+         |  interleave_key $N1""".stripMargin,
     // the persisted 2-epoch store's gate (r20): same geometry replay,
     // n_epochs = 2 (the packedStore fixture persists a 2-epoch order)
     "q_pack_store_validate" ->

@@ -202,6 +202,110 @@ object PackedArtifactStore {
       .orderBy(col("order_key"), col("shard"), col("seq_id"))
   }
 
+  /**
+   * WEIGHTED INTERLEAVE of SEVERAL mounted stores' ordered epoch
+   * streams (r20, VERDICT r19 #5) — the multi-corpus training read:
+   * a run mounts N artifacts (web, books, code) with mixing weights,
+   * and the loader consumes ONE stream whose every prefix contains the
+   * stores in proportion to their weights (weighted fair queueing —
+   * the [[graft.operators.Sampling.interleaveByMixture]] convention,
+   * here over the persisted per-epoch order keys): store i's k-th
+   * window gets virtual finish time `(k + 0.5) / weight_i`, and the
+   * merged sort by that key is the schedule. Within each store the
+   * stream stays in ITS OWN training order (the order_key sort the
+   * epoch persisted), so replay is bit-identical per (stores, weights,
+   * epoch, slice) and degrades gracefully when a store runs dry.
+   *
+   * `slice`/`nSlices` give loader i of N its coordination-free cut:
+   * each store's keys filter by the [[readWindowsOrderedSlice]] hex
+   * arithmetic BEFORE ranking, so a slice is itself a proportional
+   * WFQ interleave of ~1/nSlices of every store.
+   *
+   * All stores must expose the same windows schema (doc stores with
+   * doc stores, SFT with SFT) — checked loudly.
+   *
+   * Output: each store's windows columns + (store, order_key,
+   * interleave_key), sorted by (interleave_key, store, shard, seq_id).
+   *
+   * 100 TB design: the within-store rank is EXACT without any
+   * unpartitioned window — the md5-uniform key's first 32 bits cut
+   * monotone contiguous cells (`rankShards` of them), local
+   * `row_number` runs per (store, cell), and cell offsets come from an
+   * exclusive prefix sum over the (stores × rankShards)-row count
+   * frame, broadcast back (the sharded-rank discipline). Ranking
+   * touches only the KB-per-window scalar keys; windows join in by
+   * ONE equi-join on (store, shard, seq_id); the final sort is a
+   * distributed range partition by the interleave key.
+   */
+  def readStoresInterleaved(spark: SparkSession, paths: Seq[String],
+                            weights: Seq[Double], epoch: Long,
+                            slice: Int = 0, nSlices: Int = 1,
+                            rankShards: Int = 64): DataFrame = {
+    require(paths.nonEmpty, "need at least one store")
+    require(paths.size == weights.size,
+      s"${paths.size} stores but ${weights.size} weights")
+    require(weights.forall(_ > 0), "every mixing weight must be > 0")
+    require(nSlices >= 1 && slice >= 0 && slice < nSlices,
+      s"slice $slice outside [0, $nSlices)")
+    require(rankShards >= 1, "rankShards must be >= 1")
+    paths.foreach { p =>
+      val meta = readMeta(spark, p)
+      require(meta.epochs >= 1 && epoch >= 0 && epoch < meta.epochs,
+        s"store $p: epoch $epoch outside its [0, ${meta.epochs}) range")
+    }
+    val keyBits = conv(substring(col("order_key"), 1, 8), 16, 10)
+      .cast(LongType)
+    val keys = paths.zipWithIndex.map { case (p, i) =>
+      val k0 = readOrderUnchecked(spark, p, epoch).drop("epoch")
+        .withColumn("__kb32", keyBits)
+      val k1 =
+        if (nSlices == 1) k0
+        else k0.filter(
+          expr(s"(__kb32 * $nSlices) div 4294967296") === slice.toLong)
+      k1.withColumn("store", lit(i.toLong))
+        .withColumn("__cell", expr(s"(__kb32 * $rankShards) div 4294967296"))
+        .drop("__kb32")
+    }.reduce(_ unionByName _)
+    // exact within-store rank under (order_key, shard, seq_id): local
+    // row_number per monotone key cell + broadcast cell offsets
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("store"), col("__cell"))
+      .orderBy(col("order_key"), col("shard"), col("seq_id"))
+    val offsets = keys.groupBy(col("store").as("__os"), col("__cell").as("__oc"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__os"))
+          .orderBy(col("__oc"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)), lit(0L)))
+      .drop("__n")
+    val weightCol = weights.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (w, i)) => when(col("store") === i.toLong, lit(w)).otherwise(acc)
+    }
+    val ranked = keys
+      .withColumn("__r", row_number().over(wCell).cast(LongType) - 1)
+      .join(broadcast(offsets),
+        col("store") === col("__os") && col("__cell") === col("__oc"))
+      .withColumn("interleave_key",
+        ((col("__off") + col("__r")).cast("double") + lit(0.5)) / weightCol)
+      .select(col("store"), col("shard"), col("seq_id"), col("order_key"),
+        col("interleave_key"))
+    // tag + union the stores' windows (schemas must agree)
+    val windows = paths.zipWithIndex.map { case (p, i) =>
+      readWindows(spark, p).withColumn("store", lit(i.toLong))
+    }
+    val cols0 = windows.head.columns.toSeq
+    windows.zip(paths).foreach { case (w, p) =>
+      require(w.columns.toSeq == cols0,
+        s"store $p windows schema ${w.columns.mkString(",")} differs from " +
+          s"${paths.head}'s ${cols0.mkString(",")} — interleave like with like")
+    }
+    windows.reduce(_ unionByName _)
+      .join(ranked, Seq("store", "shard", "seq_id"))
+      .orderBy(col("interleave_key"), col("store"), col("shard"),
+        col("seq_id"))
+  }
+
   def readMeta(spark: SparkSession, path: String): Meta = {
     val df = spark.read.parquet(s"$path/meta")
     val r = df.head()

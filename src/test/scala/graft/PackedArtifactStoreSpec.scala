@@ -285,6 +285,91 @@ class PackedArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("readStoresInterleaved (r20, VERDICT r19 #5): WFQ mix ratios, per-store order preserved, exact coverage, replay, slices, loud failures") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dirA = java.nio.file.Files.createTempDirectory("graft_mix_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_mix_b").toString
+    def rmrf(d: String): Unit = {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(d)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    try {
+      def store(dir: String, budget: Int, shards: Int, seed: Long): Unit =
+        PackedArtifactStore.write(
+          TextStats.materializePackedTokenIds(docs, "doc_id", "text",
+            Merges, budget, shards),
+          TextStats.packedDocSpans(docs, "doc_id", "text", Merges,
+            budget, shards),
+          dir, PackedArtifactStore.Meta(budget, shards, 4,
+            256L + Merges.size, epochs = 2, seed = seed))
+      store(dirA, 128, 8, 42L)
+      store(dirB, 96, 4, 7L)
+      def stream(slice: Int = 0, n: Int = 1) = PackedArtifactStore
+        .readStoresInterleaved(spark, Seq(dirA, dirB), Seq(0.7, 0.3), 1L,
+          slice, n)
+        .select("store", "shard", "seq_id", "order_key", "interleave_key")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getDouble(4)))
+      val s1 = stream()
+      // the merged stream is sorted by the WFQ key
+      assert(s1.map(_._5).toSeq == s1.map(_._5).sorted.toSeq,
+        "the merged stream must come back in interleave-key order")
+      // exact coverage: every window of both epochs' stores once
+      def winKeys(dir: String) = PackedArtifactStore.readWindows(spark, dir)
+        .select("shard", "seq_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(s1.filter(_._1 == 0L).map(t => (t._2, t._3)).toSet == winKeys(dirA)
+        && s1.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet == winKeys(dirB),
+        "the interleave must cover every window of every store exactly once")
+      // per-store order preserved: each store's projection is ITS
+      // training order (order_key asc with the (shard, seq_id) tie)
+      for (st <- Seq(0L, 1L)) {
+        val proj = s1.filter(_._1 == st).map(t => (t._4, t._2, t._3)).toSeq
+        assert(proj == proj.sorted,
+          s"store $st's projection must stay in its own training order")
+      }
+      // WFQ mix: while both stores are live, every prefix holds them
+      // ~in weight proportion (check at the point the smaller store is
+      // half-consumed to stay away from exhaustion)
+      // prefix ending when store A has delivered half its windows —
+      // the heavier-weighted store exhausts FIRST under WFQ, so this
+      // point is safely before either store runs dry
+      val nA = s1.count(_._1 == 0L)
+      var seen = 0; var idx = 0
+      s1.indices.foreach { i =>
+        if (s1(i)._1 == 0L && seen < nA / 2) { seen += 1; idx = i } }
+      val probe = s1.take(idx + 1)
+      val shareA = probe.count(_._1 == 0L).toDouble / probe.length
+      assert(math.abs(shareA - 0.7) < 0.1,
+        s"prefix composition must track the weights, store-A share $shareA")
+      // replay bit-identical
+      assert(stream().toSeq == s1.toSeq, "replay must be bit-identical")
+      // slices partition the merged stream, each internally WFQ-sorted
+      val slices = (0 until 3).map(stream(_, 3))
+      assert(slices.map(_.length).sum == s1.length &&
+        slices.flatten.map(t => (t._1, t._2, t._3)).toSet ==
+          s1.map(t => (t._1, t._2, t._3)).toSet,
+        "the 3 slices must partition the interleaved stream exactly")
+      slices.foreach(sl => assert(sl.map(_._5).toSeq == sl.map(_._5).sorted.toSeq,
+        "every slice must stream in interleave-key order"))
+      // loud failures: weight count, non-positive weight, bad epoch
+      intercept[IllegalArgumentException] {
+        PackedArtifactStore.readStoresInterleaved(spark, Seq(dirA, dirB),
+          Seq(1.0), 1L)
+      }
+      intercept[IllegalArgumentException] {
+        PackedArtifactStore.readStoresInterleaved(spark, Seq(dirA, dirB),
+          Seq(0.7, 0.0), 1L)
+      }
+      intercept[IllegalArgumentException] {
+        PackedArtifactStore.readStoresInterleaved(spark, Seq(dirA, dirB),
+          Seq(0.7, 0.3), 2L)
+      }
+    } finally { rmrf(dirA); rmrf(dirB) }
+  }
+
   test("epochs = 0 (default): no order surface, ordered read refuses") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50)
