@@ -363,17 +363,22 @@ object ByteBpeEncode {
       * artifact-reading contract: an EOS-terminated packed stream
       * decodes to its source text directly); a non-empty `sentinels`
       * set (sorted, ADVICE r18 #4) narrows the dropped set to exactly
-      * those ids so genuinely garbage ids still fail loudly. */
+      * those ids PLUS null elements (r20, ADVICE r19: strict sentinel
+      * mode had no way to tolerate nulls without abandoning strict
+      * out-of-vocabulary checking via skipUnknown — NULL is
+      * sentinel-class, a masked/absent cell, not a garbage id) so
+      * genuinely wild ids still fail loudly. */
     def decode(idsArr: ArrayData, skipUnknown: Boolean,
                sentinels: Array[Long]): UTF8String = {
       val n = idsArr.numElements()
-      // droppable = skipUnknown OR a listed sentinel; anything else
-      // out of vocabulary throws
+      // droppable = skipUnknown OR a listed sentinel (nulls count as
+      // sentinel-class); anything else out of vocabulary throws
       def keepOrThrow(i: Int): Long = {
         if (idsArr.isNullAt(i)) {
-          if (skipUnknown) return -1L
+          if (skipUnknown || sentinels.length > 0) return -1L
           throw new IllegalArgumentException(
             "NULL token id in the input array; pass skipUnknown=true " +
+              "(or any non-empty sentinelIds — nulls are sentinel-class) " +
               "to drop null elements")
         }
         val id = idsArr.getLong(i)

@@ -556,8 +556,11 @@ object GraftExtensions {
    * noise that is negligible at routing scale (the default threshold
    * is 1e8; d concentrates over millions of indicator terms).
    *
-   *   - d >= threshold          → certainly at least threshold: TRUE.
-   *   - otherwise               → TRUE iff d >= threshold·fraction.
+   * The decision is the single cutoff `d >= ceil(threshold·fraction)`
+   * (r20, ADVICE r19: a separate `d >= threshold` fast-path arm was
+   * dead code — the cutoff subsumes it for every fraction in (0,1] —
+   * and obscured that the real rule is one threshold with sample+HLL
+   * noise around it).
    *
    * The boundary errs toward TRUE (the sharded plan) by design: for a
    * repeat-heavy population d approaches D itself, so a frame with
@@ -576,7 +579,7 @@ object GraftExtensions {
     import org.apache.spark.sql.functions._
     val d = distinctProbeFrame(df, keyCol, fraction)
       .agg(approx_count_distinct(col("__k")).as("__d")).head().getLong(0)
-    d >= threshold || d >= math.ceil(threshold * fraction).toLong
+    d >= math.ceil(threshold * fraction).toLong
   }
 
   /** MEMOIZED sampled cardinality probe — the [[heavyKeyProbeCached]]

@@ -138,5 +138,20 @@ class ByteBpeDecodeSpec extends AnyFunSuite {
     }
     assert(boom.getMessage != null,
       "ids outside the sentinel set must still fail loudly")
+    // NULL elements are sentinel-class (r20, ADVICE r19): strict
+    // sentinel mode tolerates masked/absent cells without abandoning
+    // strict out-of-vocabulary checking via skipUnknown
+    val withNull = Seq((1L, Seq[java.lang.Long](257L, null, eos)))
+      .toDF("id", "ids")
+    val nullOk = withNull.select(ByteBpeDecode.byteBpeDecode(col("ids"),
+      FixtureMerges, skipUnknown = false, sentinelIds = Seq(eos)).as("t"))
+      .head().getString(0)
+    assert(nullOk == "the",
+      "null elements must drop when a sentinel list is given")
+    // ...while with NO sentinel list and no skipUnknown, nulls still throw
+    intercept[Exception] {
+      withNull.select(ByteBpeDecode.byteBpeDecode(col("ids"),
+        FixtureMerges, skipUnknown = false)).collect()
+    }
   }
 }
