@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness parses the LAST stdout line; sbt's "[success]
+// Total time" banner otherwise lands after the bench's own summary
+// line, and the logged-output strategy would prefix it with "[info]".
+// Cosmetic only — exit codes still signal failures.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
