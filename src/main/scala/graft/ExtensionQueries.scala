@@ -1161,6 +1161,16 @@ object ExtensionQueries {
         .unionByName(graft.sources.PackedArtifactStore.readOrder(s, p, 1L)))
     }),
 
+    // one loader's COORDINATION-FREE slice of the persisted epoch
+    // stream (r20): slice 1 of 3 by the exact 32-bit hex-keyspace cut,
+    // filtered before the window join — the oracle recomputes the md5
+    // keys from the pack geometry and applies the same integer
+    // arithmetic, so the cut itself is driver-checked
+    "q_pack_store_ordered_slice" -> ((s, dir) =>
+      det(graft.sources.PackedArtifactStore.readWindowsOrderedSlice(s,
+        packedStore(s, dir), epoch = 1L, slice = 1, nSlices = 3)
+        .select(col("shard"), col("seq_id"), col("order_key")))),
+
     // the MULTI-STORE weighted interleave (r20, VERDICT r19 #5): two
     // mounted corpora with different pack geometries consumed as ONE
     // WFQ-scheduled stream — every prefix holds the stores in weight
@@ -1235,6 +1245,23 @@ object ExtensionQueries {
            |  path: ${packedStore(s, dir)}
            |  read: validate
            |""".stripMargin, s))),
+
+    // the SFT arm of the from_store unpack (r20): `sft: true` routes
+    // the mounted windows+spans through the zipped-cell unpacker —
+    // graded on the tokenize oracle that never sees the packed form
+    "q_pipeline_store_sft_unpack_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileStoreReadYaml(
+        s"""from_store:
+           |  path: ${sftStore(s, dir)}
+           |  read: unpack
+           |  sft: true
+           |""".stripMargin, s)
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
+            .as(Seq("pos", "__cell")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("__cell").getField("token_ids").as("token_id"),
+          col("__cell").getField("loss_mask").as("loss_mask")))),
 
     // the no-split artifact's FILE manifest (r18): the one packed
     // shape where the card's truncated_windows column is REAL —
@@ -7850,6 +7877,32 @@ object ExtensionQueries {
          |  CAST(0 AS BIGINT) AS n_bad_epochs,
          |  true AS ok
          |FROM f""".stripMargin,
+    // one loader's slice of the persisted epoch stream (r20): the
+    // geometry + md5 replay filtered by the same exact 32-bit integer
+    // cut ((kb32 * nSlices) div 2^32 = slice) the reader applies
+    "q_pack_store_ordered_slice" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($BytePiecesSql) + 1 AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (SELECT doc_id, doc_id % 8 AS shard, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS toff
+         |  FROM t),
+         |wd AS (SELECT DISTINCT CAST(shard AS BIGINT) AS shard,
+         |    CAST(seq_id AS BIGINT) AS seq_id FROM (
+         |    SELECT shard,
+         |      unnest(range(toff // 128, (toff + n - 1) // 128 + 1)) AS seq_id
+         |    FROM o)),
+         |k AS (SELECT shard, seq_id,
+         |    md5(concat_ws(':', 42, 1, shard, seq_id)) AS order_key
+         |  FROM wd)
+         |SELECT shard, seq_id, order_key
+         |FROM k
+         |WHERE (('0x' || substr(order_key, 1, 8))::BIGINT * 3)
+         |  // 4294967296 = 1
+         |ORDER BY shard $N1, seq_id $N1, order_key $N1""".stripMargin,
     // the multi-store WFQ interleave (r20): both stores' chop
     // geometries replayed (budget 128/shards 8/seed 42 and budget 96/
     // shards 4/seed 7), epoch-1 md5 keys recomputed, the within-store
@@ -9263,4 +9316,8 @@ object ExtensionQueries {
       oracleSqlBase("q_chat_pack_window_mix"))
     .updated("q_pipeline_store_validate_config",
       oracleSqlBase("q_pack_store_validate"))
+    // the SFT arm of the from_store unpack: unpack(mount(pack)) ==
+    // tokenize, the same text as every other SFT-unpack path
+    .updated("q_pipeline_store_sft_unpack_config",
+      oracleSqlBase("q_chat_sft_tokenize"))
 }
