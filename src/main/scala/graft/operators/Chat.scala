@@ -650,12 +650,23 @@ object Chat {
       .select(col(idCol).as("doc_id"),
         convCells(convCol, merges, eos).as("__ids"),
         convCellCount(convCol, merges).as("__n"))
-    val addr = noSplitAddresses(withIds, budget, shards)
-      .select(col("doc_id"), col("shard"), col("seq_id"), col("win_off"))
-    addr.join(withIds, Seq("doc_id"))
+    noSplitWindowsFromAddr(noSplitAddresses(withIds, budget, shards),
+      withIds, budget, pad)
+  }
+
+  /** The no-split window assembly over a precomputed address frame —
+    * the tail of [[sftPackedTokenIdsNoSplit]]: join the cells back,
+    * assemble per (shard, seq_id), pad to exactly `budget`. The
+    * truncation flag comes from the address frame (n > budget under
+    * the shared count — identical to sizing the cell array). */
+  private def noSplitWindowsFromAddr(addr0: DataFrame, withIds: DataFrame,
+                                     budget: Int, pad: Long): DataFrame = {
+    val addr = addr0.select(col("doc_id"), col("shard"), col("seq_id"),
+      col("win_off"), col("truncated").as("__cut"))
+    addr.join(withIds.select(col("doc_id"), col("__ids")), Seq("doc_id"))
       .select(col("shard"), col("seq_id"), col("win_off"),
         slice(col("__ids"), 1, budget).as("__piece"),
-        (size(col("__ids")) > budget).as("__cut"))
+        col("__cut"))
       .groupBy(col("shard"), col("seq_id"))
       .agg(
         flatten(transform(
@@ -756,6 +767,52 @@ object Chat {
       budget, shards)
       .select(col("shard"), col("seq_id"), col("doc_id"),
         col("win_off").as("span_start"), col("span_len"), col("truncated"))
+  }
+
+  /**
+   * SFT WINDOWS + SPANS from ONE shared address pass — the
+   * artifact-store build path (r20, the chat twin of
+   * [[graft.operators.TextStats.packedArtifactFrames]]): a chat
+   * `pack_store` stage previously sized the packer AND the spans
+   * builder with two independent count-encodes of every conversation
+   * (plus two offset passes). Here the scalar address frame computes
+   * once and `localCheckpoint`s; both surfaces derive from its
+   * blocks — one count-encode + one ids-encode for the whole store
+   * write, under EITHER convention (`noSplit` routes through the
+   * shared next-fit address scan). Same arithmetic as the public
+   * operators (shared tails), spec-pinned row-for-row against them.
+   */
+  def sftPackedArtifactFrames(df: DataFrame, idCol: String, convCol: String,
+                              merges: Seq[(String, String)],
+                              budget: Int, shards: Int,
+                              eosId: Option[Long] = None,
+                              padId: Option[Long] = None,
+                              noSplit: Boolean = false): (DataFrame, DataFrame) = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    require(budget >= 1, "budget must be >= 1")
+    require(shards >= 1, "shards must be >= 1")
+    val eos = eosId.getOrElse(256L + merges.size)
+    val base = df.filter(col(convCol).isNotNull)
+    val sized = base.select(col(idCol).as("doc_id"),
+      convCellCount(convCol, merges).as("__n"))
+    val withIds = base.select(col(idCol).as("doc_id"),
+      convCells(convCol, merges, eos).as("__ids"))
+    if (noSplit) {
+      val addr = noSplitAddresses(sized, budget, shards).localCheckpoint()
+      (noSplitWindowsFromAddr(addr, withIds, budget, padId.getOrElse(eos)),
+        addr.select(col("shard"), col("seq_id"), col("doc_id"),
+          col("win_off").as("span_start"), col("span_len"),
+          col("truncated")))
+    } else {
+      val addr = TextStats.packAddresses(sized, budget, shards)
+        .localCheckpoint()
+      val windows = TextStats.windowsFromAddr(addr, withIds, budget)
+        .select(col("shard"), col("seq_id"),
+          transform(col("packed_ids"), x => x.getField("id")).as("token_ids"),
+          transform(col("packed_ids"), x => x.getField("m")).as("loss_mask"),
+          col("n_tokens"), col("n_docs"))
+      (windows, TextStats.spansFromAddr(addr, budget))
+    }
   }
 
   /**

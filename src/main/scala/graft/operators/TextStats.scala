@@ -432,7 +432,18 @@ object TextStats {
     * caller packs with. Same offsets/chop arithmetic as
     * [[packIdStream]], arrays never built. */
   private[operators] def packedSpansBySize(sized: DataFrame, budget: Int,
-                                           shards: Int): DataFrame = {
+                                           shards: Int): DataFrame =
+    spansFromAddr(packAddresses(sized, budget, shards), budget)
+
+  /** The SHARED scalar ADDRESS frame of the concat-and-chop pack:
+    * (doc_id, shard, __n, tok_offset) — the per-shard running offsets
+    * window over the doc-cardinality scalars. ONE definition feeding
+    * [[packIdStream]] (windows), [[packedSpansBySize]] (spans) and
+    * the store's shared artifact build (r20: a `pack_store` stage
+    * previously ran this window — and the count-encode sizing it —
+    * TWICE, once per surface). */
+  private[operators] def packAddresses(sized: DataFrame, budget: Int,
+                                       shards: Int): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     require(shards >= 1, "shards must be >= 1")
     val withN = sized.select(col("doc_id"),
@@ -442,8 +453,13 @@ object TextStats {
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    val addr = withN
-      .withColumn("tok_offset", coalesce(sum(col("__n")).over(w), lit(0L)))
+    withN.withColumn("tok_offset", coalesce(sum(col("__n")).over(w), lit(0L)))
+  }
+
+  /** The span explode over a precomputed address frame — the tail of
+    * [[packedSpansBySize]], row-local arithmetic only. */
+  private[operators] def spansFromAddr(addr: DataFrame,
+                                       budget: Int): DataFrame = {
     val firstSeq = floor(col("tok_offset") / budget).cast(LongType)
     val lastSeq = floor((col("tok_offset") + col("__n") - 1) / budget)
       .cast(LongType)
@@ -470,8 +486,6 @@ object TextStats {
    */
   private[operators] def packIdStream(withIds: DataFrame, budget: Int,
                                       shards: Int): DataFrame = {
-    require(budget >= 1, "budget must be >= 1")
-    require(shards >= 1, "shards must be >= 1")
     // the address pass PRUNES to scalars, and if the caller supplied a
     // precomputed length column (__n — e.g. a count-mode kernel call
     // that skips building the cell array entirely) the array
@@ -479,18 +493,17 @@ object TextStats {
     // builds the expensive cells exactly once, on the join-back side
     val sized =
       if (withIds.columns.contains("__n"))
-        withIds.select(col("doc_id"),
-          pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
-          col("__n").cast(LongType).as("__n"))
-      else withIds.select(col("doc_id"),
-        pmod(col("doc_id"), lit(shards)).cast(LongType).as("shard"),
-        size(col("__ids")).cast(LongType).as("__n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    val addr = sized
-      .withColumn("tok_offset", coalesce(sum(col("__n")).over(w), lit(0L)))
+        withIds.select(col("doc_id"), col("__n"))
+      else withIds.select(col("doc_id"), size(col("__ids")).as("__n"))
+    windowsFromAddr(packAddresses(sized, budget, shards), withIds, budget)
+  }
+
+  /** The window assembly over a precomputed address frame — the tail
+    * of [[packIdStream]]: one equi-join brings the cell arrays back,
+    * row-local slices, one (shard, seq_id) groupBy moving every
+    * element once in ≤ budget-sized pieces. */
+  private[operators] def windowsFromAddr(addr: DataFrame, withIds: DataFrame,
+                                         budget: Int): DataFrame = {
     val firstSeq = floor(col("tok_offset") / budget).cast(LongType)
     val lastSeq = floor((col("tok_offset") + col("__n") - 1) / budget)
       .cast(LongType)
@@ -511,6 +524,41 @@ object TextStats {
           x => x.getField("__piece"))).as("packed_ids"),
         sum(col("__pn")).as("n_tokens"),
         count(lit(1)).as("n_docs"))
+  }
+
+  /**
+   * WINDOWS + SPANS from ONE shared scalar address pass — the
+   * artifact-store build path (r20): a `pack_store` stage previously
+   * constructed the two surfaces through the independent operators,
+   * which ran the corpus count-encode AND the per-shard offsets
+   * window TWICE (once sizing the packer's address pass, once sizing
+   * the spans builder). Here the (doc_id, shard, __n, tok_offset)
+   * address frame computes once and `localCheckpoint`s — it is
+   * doc-cardinality SCALARS, the cell arrays stay out — and both
+   * surfaces derive from its blocks, so the whole store write pays
+   * exactly one count-encode + one ids-encode. Arithmetic is the
+   * operators' own ([[packAddresses]]/[[windowsFromAddr]]/
+   * [[spansFromAddr]] are the same code the public operators run), so
+   * the shared path cannot drift — spec-pinned row-for-row against
+   * the independent operators.
+   */
+  def packedArtifactFrames(docs: DataFrame, idCol: String, textCol: String,
+                           merges: Seq[(String, String)],
+                           budget: Int, shards: Int,
+                           eosId: Option[Long] = None): (DataFrame, DataFrame) = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    val eos = eosId.getOrElse(256L + merges.size)
+    val base = docs.filter(col(textCol).isNotNull)
+    val sized = base.select(col(idCol).as("doc_id"),
+      (graft.functions.ByteBpeEncode.byteBpeCount(col(textCol), merges) +
+        lit(1L)).as("__n"))
+    val addr = packAddresses(sized, budget, shards).localCheckpoint()
+    val withIds = base.select(col(idCol).as("doc_id"),
+      concat(graft.functions.ByteBpeEncode.byteBpeIds(col(textCol), merges),
+        array(lit(eos))).as("__ids"))
+    (windowsFromAddr(addr, withIds, budget)
+       .withColumnRenamed("packed_ids", "token_ids"),
+      spansFromAddr(addr, budget))
   }
 
   /**

@@ -151,15 +151,15 @@ object CurationCompiler {
           // integrity gate as the stage's output row, so a config run
           // ends on the same check a training job would make. The
           // write executes at compile time (a terminal SINK stage,
-          // like the Engine's loads); both frames come from the same
-          // packer params the sibling stages use.
+          // like the Engine's loads); both frames come from ONE shared
+          // checkpointed address pass (r20) — the stage pays exactly
+          // one count-encode + one ids-encode instead of sizing each
+          // surface independently.
           val eos = eosId.getOrElse(256L + bpeMerges.get.size)
-          graft.sources.PackedArtifactStore.write(
-            graft.operators.TextStats.materializePackedTokenIds(cur, id,
-              text, bpeMerges.get, budget, shards, eosId),
-            graft.operators.TextStats.packedDocSpans(cur, id, text,
-              bpeMerges.get, budget, shards),
-            path,
+          val (windows, spans) = graft.operators.TextStats
+            .packedArtifactFrames(cur, id, text, bpeMerges.get, budget,
+              shards, eosId)
+          graft.sources.PackedArtifactStore.write(windows, spans, path,
             graft.sources.PackedArtifactStore.Meta(budget, shards, perFile,
               eos, epochs, seed))
           graft.sources.PackedArtifactStore.validate(cur.sparkSession, path)
@@ -296,25 +296,17 @@ object CurationCompiler {
           // the mountable SFT artifact (r19): windows + span address
           // book through the store in ONE terminal sink stage, then
           // the loader-side integrity gate as the stage's output —
-          // the document compiler's PackStoreStage, chat twin. The
-          // spans builder sizes with the count-mode kernel, so the
-          // stage pays one ids-encode (the windows) + one cheap
-          // count-encode, not two materializations.
+          // the document compiler's PackStoreStage, chat twin. Both
+          // frames derive from ONE shared checkpointed address pass
+          // (r20): one count-encode + one ids-encode per stage under
+          // either convention, instead of sizing each surface
+          // independently.
           val merges = graft.sources.ModelStore
             .loadMerges(convs.sparkSession, cfg.tokenizer.get.merges)
             .map(m => (m._1, m._2))
           val eos = eosId.getOrElse(256L + merges.size)
-          val (windows, spans) =
-            if (noSplit)
-              (graft.operators.Chat.sftPackedTokenIdsNoSplit(cur, id, conv,
-                merges, budget, shards, eosId, padId),
-                graft.operators.Chat.sftPackedDocSpansNoSplit(cur, id, conv,
-                  merges, budget, shards))
-            else
-              (graft.operators.Chat.sftPackedTokenIds(cur, id, conv,
-                merges, budget, shards, eosId),
-                graft.operators.Chat.sftPackedDocSpans(cur, id, conv,
-                  merges, budget, shards))
+          val (windows, spans) = graft.operators.Chat.sftPackedArtifactFrames(
+            cur, id, conv, merges, budget, shards, eosId, padId, noSplit)
           // pad_id and the convention flag persist to meta/ (r20,
           // ADVICE r19: a loader could not recover a non-default pad
           // or the no-split convention from the mounted artifact)

@@ -571,4 +571,48 @@ class ChatSpec extends AnyFunSuite {
     assert(got.sameElements(want),
       "IntegerType ids must pack exactly like LongType ids")
   }
+
+  test("sftPackedArtifactFrames: shared-address build == independent operators, both conventions (r20)") {
+    val merges = Seq(("74", "68"), ("7468", "65"), ("20", "746865"),
+      ("69", "6E"), ("61", "6E"), ("616E", "64"), ("65", "72"), ("6F", "6E"))
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(80)
+    val convs = d.select(col("doc_id"), array(
+      struct(lit("user").as("role"), col("text").as("content")),
+      struct(lit("assistant").as("role"),
+        reverse(col("text")).as("content"))).as("conv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toList
+        case x => x
+      }).toSet
+    // split convention
+    val (w1, s1) = Chat.sftPackedArtifactFrames(convs, "doc_id", "conv",
+      merges, budget = 128, shards = 4)
+    assert(rows(w1) == rows(Chat.sftPackedTokenIds(convs, "doc_id", "conv",
+      merges, budget = 128, shards = 4)),
+      "shared-path split windows must equal the independent packer")
+    assert(rows(s1) == rows(Chat.sftPackedDocSpans(convs, "doc_id", "conv",
+      merges, budget = 128, shards = 4)),
+      "shared-path split spans must equal the independent builder")
+    // no-split convention (non-default pad exercises the pad plumbing)
+    val (w2, s2) = Chat.sftPackedArtifactFrames(convs, "doc_id", "conv",
+      merges, budget = 96, shards = 4, padId = Some(999L), noSplit = true)
+    assert(rows(w2) == rows(Chat.sftPackedTokenIdsNoSplit(convs, "doc_id",
+      "conv", merges, budget = 96, shards = 4, padId = Some(999L))),
+      "shared-path no-split windows must equal the independent packer")
+    assert(rows(s2) == rows(Chat.sftPackedDocSpansNoSplit(convs, "doc_id",
+      "conv", merges, budget = 96, shards = 4)),
+      "shared-path no-split spans must equal the independent builder")
+    // the doc twin
+    val (w3, s3) = graft.operators.TextStats.packedArtifactFrames(d,
+      "doc_id", "text", merges, budget = 128, shards = 4)
+    assert(rows(w3) == rows(graft.operators.TextStats
+      .materializePackedTokenIds(d, "doc_id", "text", merges, 128, 4)),
+      "shared-path doc windows must equal the independent packer")
+    assert(rows(s3) == rows(graft.operators.TextStats.packedDocSpans(d,
+      "doc_id", "text", merges, 128, 4)),
+      "shared-path doc spans must equal the independent builder")
+  }
 }
+
