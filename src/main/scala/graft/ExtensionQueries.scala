@@ -1184,6 +1184,20 @@ object ExtensionQueries {
         .select(col("store"), col("shard"), col("seq_id"),
           col("order_key"), col("interleave_key")))),
 
+    // the multi-corpus mount from YAML (r20): the from_stores config
+    // root compiled through the same WFQ interleave — one oracle, two
+    // construction paths (the q_pack_stores_interleaved text)
+    "q_pipeline_stores_interleave_config" -> ((s, dir) =>
+      det(graft.plans.CurationCompiler.compileStoresInterleaveYaml(
+        s"""from_stores:
+           |  stores:
+           |    - {path: ${packedStore(s, dir)}, weight: 0.7}
+           |    - {path: ${packedStoreB(s, dir)}, weight: 0.3}
+           |  epoch: 1
+           |""".stripMargin, s)
+        .select(col("store"), col("shard"), col("seq_id"),
+          col("order_key"), col("interleave_key")))),
+
     // the loader-side integrity gate over the persisted 2-epoch store
     // (r20, VERDICT r19 #4): manifest diff + span token conservation +
     // per-epoch order cardinality, one row, zero driver actions inside
@@ -9320,4 +9334,8 @@ object ExtensionQueries {
     // tokenize, the same text as every other SFT-unpack path
     .updated("q_pipeline_store_sft_unpack_config",
       oracleSqlBase("q_chat_sft_tokenize"))
+    // the multi-corpus mount from YAML: the interleave oracle text,
+    // second construction path
+    .updated("q_pipeline_stores_interleave_config",
+      oracleSqlBase("q_pack_stores_interleaved"))
 }

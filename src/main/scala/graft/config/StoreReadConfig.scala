@@ -51,6 +51,57 @@ final case class StoreReadConfig(path: String, read: String,
     "from_store read: ordered_slice needs 'slice' and 'n_slices'")
 }
 
+/**
+ * The MULTI-STORE mount (r20) — the `from_stores:` YAML root over
+ * [[graft.sources.PackedArtifactStore.readStoresInterleaved]]: N
+ * mounted corpora with mixing weights consumed as one
+ * weighted-fair-queueing stream, optional coordination-free loader
+ * slice. The config twin of the programmatic multi-corpus read, so a
+ * training job's whole mount (stores, weights, epoch, slice) is a
+ * reviewable document.
+ */
+final case class StoresInterleaveConfig(stores: Seq[(String, Double)],
+                                        epoch: Long,
+                                        slice: Int = 0,
+                                        nSlices: Int = 1) {
+  require(stores.nonEmpty, "from_stores needs at least one store")
+  require(stores.forall(_._1.nonEmpty), "every store needs a path")
+  require(stores.forall(_._2 > 0), "every mixing weight must be > 0")
+  require(nSlices >= 1 && slice >= 0 && slice < nSlices,
+    s"slice $slice outside [0, $nSlices)")
+}
+
+object StoresInterleaveConfig {
+  /** Parse from YAML (root key `from_stores`, or the document root):
+    * `stores` list of `{path, weight}` mappings, `epoch`, optional
+    * `slice`/`n_slices`. */
+  def fromYaml(yaml: String): StoresInterleaveConfig = {
+    val root0 = new Yaml().load[Object](yaml)
+    require(root0 != null, "empty from_stores config")
+    val root = root0.asInstanceOf[java.util.Map[String, Object]].asScala
+    val m = root.get("from_stores")
+      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+      .getOrElse(root)
+    val stores = m.get("stores") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map {
+        case sm: java.util.Map[_, _] =>
+          val s = sm.asInstanceOf[java.util.Map[String, Object]].asScala
+          (s.get("path").map(_.toString).getOrElse(
+            throw new IllegalArgumentException("store entry needs a path")),
+            s.get("weight").map(_.toString.toDouble).getOrElse(1.0))
+        case other => throw new IllegalArgumentException(
+          s"store entry must be a mapping, got: $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "from_stores needs a stores list")
+    }
+    StoresInterleaveConfig(stores,
+      epoch = m.get("epoch").map(_.toString.toLong).getOrElse(0L),
+      slice = m.get("slice").map(_.toString.toInt).getOrElse(0),
+      nSlices = m.get("n_slices").map(_.toString.toInt).getOrElse(1))
+  }
+}
+
 object StoreReadConfig {
   private[config] val Reads = Seq("windows", "spans", "manifest", "validate",
     "unpack", "window_mix", "ordered", "ordered_slice")

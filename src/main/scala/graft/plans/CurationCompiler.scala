@@ -552,6 +552,29 @@ object CurationCompiler {
       resolve)
 
   /**
+   * Compile a [[graft.config.StoresInterleaveConfig]] — the
+   * multi-corpus training mount from YAML (r20): straight delegation
+   * to [[graft.sources.PackedArtifactStore.readStoresInterleaved]],
+   * so a config user gets the WFQ-scheduled weighted interleave of N
+   * mounted stores' ordered epoch streams exactly like the
+   * programmatic caller (same exactness, same coordination-free
+   * slice arithmetic). No streaming twin: the interleave key is a
+   * function of the within-store RANK, which is corpus-global by
+   * definition — mount in the batch pass.
+   */
+  def compileStoresInterleave(cfg: graft.config.StoresInterleaveConfig,
+                              spark: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.sources.PackedArtifactStore.readStoresInterleaved(spark,
+      cfg.stores.map(_._1), cfg.stores.map(_._2), cfg.epoch,
+      cfg.slice, cfg.nSlices)
+
+  /** [[compileStoresInterleave]] straight from YAML. */
+  def compileStoresInterleaveYaml(yaml: String,
+                                  spark: org.apache.spark.sql.SparkSession): DataFrame =
+    compileStoresInterleave(
+      graft.config.StoresInterleaveConfig.fromYaml(yaml), spark)
+
+  /**
    * The STREAMING twin of [[compileStoreRead]] — which surfaces of a
    * mounted artifact are stream-legal:
    *

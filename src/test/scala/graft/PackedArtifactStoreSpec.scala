@@ -354,6 +354,29 @@ class PackedArtifactStoreSpec extends AnyFunSuite {
         "the 3 slices must partition the interleaved stream exactly")
       slices.foreach(sl => assert(sl.map(_._5).toSeq == sl.map(_._5).sorted.toSeq,
         "every slice must stream in interleave-key order"))
+      // the from_stores YAML mount compiles to the identical stream
+      // (one convention, two construction paths) and parses loudly
+      val viaConfig = graft.plans.CurationCompiler.compileStoresInterleaveYaml(
+        s"""from_stores:
+           |  stores:
+           |    - {path: $dirA, weight: 0.7}
+           |    - {path: $dirB, weight: 0.3}
+           |  epoch: 1
+           |""".stripMargin, spark)
+        .select("store", "shard", "seq_id", "order_key", "interleave_key")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getDouble(4)))
+      assert(viaConfig.toSeq == s1.toSeq,
+        "the YAML mount must produce the identical interleaved stream")
+      intercept[IllegalArgumentException] {
+        graft.config.StoresInterleaveConfig.fromYaml(
+          "from_stores: {epoch: 1}")
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.StoresInterleaveConfig.fromYaml(
+          s"from_stores:\n  stores:\n    - {path: $dirA, weight: 0}\n")
+      }
       // loud failures: weight count, non-positive weight, bad epoch
       intercept[IllegalArgumentException] {
         PackedArtifactStore.readStoresInterleaved(spark, Seq(dirA, dirB),
