@@ -737,8 +737,13 @@ object Windowed {
     // KEY-cardinality frame, materialized ONCE (r20, VERDICT r19 #2):
     // the stats head(), the string-key boundary sample and the card
     // plan are three separate driver actions, and an unpersisted `per`
-    // re-ran the events-scale groupBy under each of them
-    val per = rfmPerKey(events, keyCol, tsCol, valueCol).localCheckpoint()
+    // re-ran the events-scale groupBy under each of them. LAZY (r21):
+    // the eager form ran a dedicated materialization job whose work the
+    // stats pass repeats anyway — `eager = false` folds the checkpoint
+    // into the stats action (first job over the RDD stores the blocks),
+    // one events-scale aggregation total, one fewer Spark job.
+    val per = rfmPerKey(events, keyCol, tsCol, valueCol)
+      .localCheckpoint(eager = false)
     // ONE scalar pass for every bound the bucket geometry needs (the
     // plain card's corpus-max window would be a single-partition pass
     // over the very frame this method exists to never single-task).
@@ -780,15 +785,39 @@ object Windowed {
         bound(4, 1.0), kBuckets)
     val card0 = per.withColumn("recency_sec",
       round(lit(maxLast) - col("__last").cast("double"), 6))
-    val withR = shardedNtile(card0, "recency_sec", ascending = true, keyCol,
-      kb, "r_score", nTiles, n, maxLast - bound(0, 0.0),
-      maxLast - bound(1, 1.0), vBuckets)
-    val withF = shardedNtile(withR, "frequency", ascending = false, keyCol,
-      kb, "f_score", nTiles, n, bound(5, 0.0), bound(6, 1.0), vBuckets)
-    val withM = shardedNtile(withF, "monetary", ascending = false, keyCol,
-      kb, "m_score", nTiles, n, bound(7, 0.0), bound(8, 1.0), vBuckets)
-    withM.select(col(keyCol), col("recency_sec"), col("frequency"),
-      col("monetary"), col("r_score"), col("f_score"), col("m_score"))
+    // Each metric's ntile is a pure function of (metric value, key), so
+    // the three passes run over NARROW (key, value) projections of the
+    // checkpointed frame and join back once on the (unique, non-null)
+    // key. r20 CHAINED the passes instead (withR -> withF -> withM),
+    // and because one pass references its input ~5 times (window, cell
+    // counts, distinct-value frame, bucket totals, final join), the
+    // composed plan grew geometrically: 865 physical operators, 480
+    // Exchanges, 170 scans of the checkpointed RDD at kBuckets=8 —
+    // planning + codegen dominated the wall clock and every duplicated
+    // subtree was re-executed wherever exchange reuse missed. Narrow
+    // inputs keep each pass's 5 references a 2-op leaf projection; the
+    // plan is linear in the pass count (r21: 200 operators, 104
+    // Exchanges, 32 RDD scans) at the price of three key-equi-joins
+    // over the key-cardinality frame.
+    val rScore = shardedNtile(
+      card0.select(col(keyCol), col("recency_sec")), "recency_sec",
+      ascending = true, keyCol, kb, "r_score", nTiles, n,
+      maxLast - bound(0, 0.0), maxLast - bound(1, 1.0), vBuckets)
+      .select(col(keyCol), col("r_score"))
+    val fScore = shardedNtile(
+      per.select(col(keyCol), col("frequency")), "frequency",
+      ascending = false, keyCol, kb, "f_score", nTiles, n,
+      bound(5, 0.0), bound(6, 1.0), vBuckets)
+      .select(col(keyCol), col("f_score"))
+    val mScore = shardedNtile(
+      per.select(col(keyCol), col("monetary")), "monetary",
+      ascending = false, keyCol, kb, "m_score", nTiles, n,
+      bound(7, 0.0), bound(8, 1.0), vBuckets)
+      .select(col(keyCol), col("m_score"))
+    card0.join(rScore, Seq(keyCol)).join(fScore, Seq(keyCol))
+      .join(mScore, Seq(keyCol))
+      .select(col(keyCol), col("recency_sec"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
   }
 
   /** Equi-width KEY sub-bucket index over a monotone key rank — the
