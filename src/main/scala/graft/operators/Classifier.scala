@@ -49,14 +49,28 @@ object Classifier extends Logging {
                   iters: Int = 30, lr: Double = 1.0): LogRegModel = {
     require(iters >= 1, "iters must be >= 1")
     require(lr > 0, "lr must be > 0")
-    val base = df.select(
+    val base0 = df.select(
         transform(col(vecCol), x => x.cast(DoubleType)).as("__v"),
         col(labelCol).cast(DoubleType).as("__y"))
       .filter(col("__v").isNotNull && col("__y").isNotNull)
-    val head = base.select(size(col("__v")).as("n")).limit(1).collect()
-    require(head.nonEmpty, "training frame is empty")
-    val dim = head(0).getInt(0)
-    val n = base.count().toDouble
+    // ONE probe job for (n, dim) — r21: the dim head() and the count()
+    // were two separate scans of the training frame
+    val stats = base0.agg(count(lit(1)).as("n"),
+      first(size(col("__v"))).as("dim")).head()
+    require(stats.getLong(0) > 0, "training frame is empty")
+    val dim = stats.getInt(1)
+    val nRows = stats.getLong(0)
+    val n = nRows.toDouble
+    // Scale-adaptive parallelism (r21, guide §2): every GD iteration is
+    // one Spark job over this frame, and a gate-sized fixture (hundreds
+    // of rows) split across defaultParallelism tasks pays ~all of its
+    // wall clock in task scheduling — 15 iterations of 32+32 tasks for
+    // 400 rows. Size partitions to the measured row count (coalesce,
+    // no shuffle); corpus-scale frames keep their scan partitioning.
+    val targetParts = math.max(1L,
+      math.min(nRows / 50000L + 1L, base0.rdd.getNumPartitions.toLong)).toInt
+    val base = if (targetParts < base0.rdd.getNumPartitions)
+      base0.coalesce(targetParts) else base0
     var w = Array.fill(dim)(0.0)
     var b = 0.0
     for (_ <- 1 to iters) {
@@ -194,19 +208,29 @@ object Classifier extends Logging {
                   iters: Int = 30, lr: Double = 2.0): LangidModel = {
     require(iters >= 1, "iters must be >= 1")
     require(lr > 0, "lr must be > 0")
-    val feats = docs.select(
+    val feats0 = docs.select(
         graft.functions.CharNgramVector.charNgramVector(
           col(textCol), dim, nLo, nHi).as("__f"),
         col(labelCol).cast(StringType).as("__lang"))
       .filter(col("__lang").isNotNull)
       .persist()
     try {
-      val labels = feats.select("__lang").distinct()
+      val labels = feats0.select("__lang").distinct()
         .collect().map(_.getString(0)).sorted.toIndexedSeq
       require(labels.size >= 2, "need at least two labels to train langid")
       val L = labels.size
-      val n = feats.count().toDouble
+      val nRows = feats0.count()
+      val n = nRows.toDouble
       require(n > 0, "training frame is empty")
+      // scale-adaptive parallelism (r21, the trainLogReg rationale):
+      // each joint-GD iteration is one job over the persisted frame;
+      // coalesce fixture-sized frames so iterations don't spend their
+      // wall clock scheduling empty tasks (cached blocks still serve
+      // the reads; corpus-scale frames keep their partitioning)
+      val targetParts = math.max(1L, math.min(nRows / 50000L + 1L,
+        feats0.rdd.getNumPartitions.toLong)).toInt
+      val feats = if (targetParts < feats0.rdd.getNumPartitions)
+        feats0.coalesce(targetParts) else feats0
       val w = Array.fill(L)(Array.fill(dim)(0.0))
       val b = Array.fill(L)(0.0)
       for (_ <- 1 to iters) {
@@ -239,7 +263,7 @@ object Classifier extends Logging {
       }
       LangidModel(labels,
         labels.indices.map(h => LogRegModel(w(h), b(h))), dim, nLo, nHi)
-    } finally feats.unpersist()
+    } finally feats0.unpersist()
   }
 
   /**
