@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /**
  * Native Catalyst expression for the pairwise-similarity hot kernel
@@ -81,6 +81,188 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Whole PQ ADC lookup table (m × numCodes sub-centroid dots) as ONE
+ * expression — r21, guide §1.2 step 2 / §4: the composed formulation
+ * (`array(array(dotProduct(slice(qv,…), lit(centroid))))`) builds
+ * m·numCodes separate expression trees (128 at m=8, codes=16), and the
+ * whole-stage-codegen source for that projection took ~1.8 s of janino
+ * compile per query plan — more than the query's entire execution at
+ * sf0.1. One expression with a tight Scala loop removes the codegen
+ * blowup (CodegenFallback: eval is a single JIT-compiled method; the
+ * table is computed once per QUERY row, the per-pair ADC score stays
+ * builtin-codegen).
+ *
+ * Bit-identical to the composed form: per (s, c) the fold is the same
+ * ascending per-subspace dot; a NULL query vector, a short slice
+ * (ragged vector) or a NULL element yields a NULL table entry exactly
+ * where slice+dotProduct produced one (the outer table itself is never
+ * NULL, matching `array(...)`).
+ */
+case class PqAdcTable(child: Expression,
+                      centroids: Array[Array[Array[Double]]])
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val m = centroids.length
+  private val numCodes = centroids(0).length
+  private val subdim = centroids(0)(0).length
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = true), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_adc_table"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val qv = child.eval(input).asInstanceOf[ArrayData]
+    val qn = if (qv == null) 0 else qv.numElements()
+    val outer = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val inner = new Array[Any](numCodes)
+      val start = s * subdim
+      // slice semantics: a missing/short/null-bearing slice leaves the
+      // whole subspace's entries NULL (dot of ragged or null input)
+      if (qv != null && start + subdim <= qn) {
+        var hasNull = false
+        var j = 0
+        while (j < subdim && !hasNull) {
+          if (qv.isNullAt(start + j)) hasNull = true
+          j += 1
+        }
+        if (!hasNull) {
+          var c = 0
+          while (c < numCodes) {
+            val cent = centroids(s)(c)
+            var acc = 0.0
+            var i = 0
+            while (i < subdim) {
+              acc += qv.getDouble(start + i) * cent(i)
+              i += 1
+            }
+            inner(c) = acc
+            c += 1
+          }
+        }
+      }
+      outer(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(inner)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(outer)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+}
+
+/**
+ * PQ encode (nearest sub-centroid per subspace) as ONE expression —
+ * r21, the corpus-side twin of [[PqAdcTable]]: the composed
+ * formulation built m·numCodes `struct(dot(slice(vnorm,…),lit)·2−c2, c)`
+ * trees with the whole normalize subtree duplicated under each slice —
+ * the dominant share of pqTopK's ~1.8 s plan+codegen gap, and per
+ * corpus ROW at scale a 128-branch generated function instead of a
+ * loop. Bit-identical by construction:
+ *
+ *  - norm = sqrt(ascending Σ x²); ANY null element nulls the norm, and
+ *    `when(n > 0, x/n).otherwise(0.0)` then zero-fills the whole
+ *    vector (null condition → otherwise), exactly as the HOF form;
+ *  - per (s, c): score = 2·(ascending subspace dot) − c2 with c2
+ *    computed by the same Scala `map(x*x).sum` fold;
+ *  - a NULL input vector or a short/ragged slice gives NULL scores for
+ *    that subspace, and `array_max` over `struct(score, c)` with NULL
+ *    smallest, NaN largest, −0.0 == 0.0 and ties toward the larger
+ *    code is replayed by the comparison loop below.
+ */
+case class PqEncode(child: Expression,
+                    centroids: Array[Array[Array[Double]]])
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val m = centroids.length
+  private val numCodes = centroids(0).length
+  private val subdim = centroids(0)(0).length
+  private val c2: Array[Array[Double]] =
+    centroids.map(_.map(c => c.map(x => x * x).sum))
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_pq_encode"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vd = child.eval(input).asInstanceOf[ArrayData]
+    // norm: null array or any null element -> null norm -> zero-fill
+    var vnormNull = false // transform(null) -> null vector
+    var zeroFill = false  // n null or n <= 0 -> every component 0.0
+    var n = 0.0
+    if (vd == null) vnormNull = true
+    else {
+      val len = vd.numElements()
+      var i = 0
+      var s = 0.0
+      var anyNull = false
+      while (i < len && !anyNull) {
+        if (vd.isNullAt(i)) anyNull = true
+        else { val x = vd.getDouble(i); s += x * x }
+        i += 1
+      }
+      if (anyNull) zeroFill = true
+      else {
+        n = math.sqrt(s)
+        // Spark comparison semantics: NaN > 0 is TRUE (NaN sorts above
+        // everything), so only an exactly-zero norm zero-fills; a NaN
+        // norm rides the divide path (x/NaN = NaN) like the when() did
+        if (n == 0.0) zeroFill = true
+      }
+    }
+    val vlen = if (vd == null) 0 else vd.numElements()
+    val out = new Array[Any](m)
+    var sIdx = 0
+    while (sIdx < m) {
+      val start = sIdx * subdim
+      // slice of a null vector -> null; short slice -> ragged dot -> null
+      val sliceOk = !vnormNull && start + subdim <= vlen
+      var bestC = 0
+      var bestScore = 0.0
+      var bestNull = true
+      var c = 0
+      while (c < numCodes) {
+        var scoreNull = true
+        var score = 0.0
+        if (sliceOk) {
+          val cent = centroids(sIdx)(c)
+          var acc = 0.0
+          var j = 0
+          while (j < subdim) {
+            val x = if (zeroFill) 0.0 else vd.getDouble(start + j) / n
+            acc += x * cent(j)
+            j += 1
+          }
+          score = acc * 2.0 - c2(sIdx)(c) + 0.0 // normalize -0.0 for compare
+          scoreNull = false
+        }
+        // array_max tie rules: NULL smallest, NaN largest, ties -> the
+        // later (larger) code wins because we replace on >=
+        val replace =
+          if (c == 0) true
+          else if (scoreNull && bestNull) true
+          else if (scoreNull) false
+          else if (bestNull) true
+          else java.lang.Double.compare(score, bestScore) >= 0
+        if (replace) { bestC = c; bestScore = score; bestNull = scoreNull }
+        c += 1
+      }
+      out(sIdx) = bestC
+      sIdx += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product; arguments are cast to array<double> (no-op
     * when already double) so the expression's primitive reads are safe. */
@@ -88,5 +270,21 @@ object VectorExpressions {
     val dd = ArrayType(DoubleType)
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a.cast(dd)), GraftColumnBridge.expression(b.cast(dd))))
+  }
+
+  /** The m × numCodes ADC table of `qv` against a PQ codebook, as one
+    * expression (see [[PqAdcTable]]). */
+  def pqAdcTable(qv: Column, centroids: Array[Array[Array[Double]]]): Column = {
+    val dd = ArrayType(DoubleType)
+    GraftColumnBridge.column(
+      PqAdcTable(GraftColumnBridge.expression(qv.cast(dd)), centroids))
+  }
+
+  /** PQ codes of `vec` against a codebook (normalize + per-subspace
+    * nearest sub-centroid), as one expression (see [[PqEncode]]). */
+  def pqEncode(vec: Column, centroids: Array[Array[Array[Double]]]): Column = {
+    val dd = ArrayType(DoubleType)
+    GraftColumnBridge.column(
+      PqEncode(GraftColumnBridge.expression(vec.cast(dd)), centroids))
   }
 }

@@ -1511,25 +1511,16 @@ object Similarity extends Logging {
    * Zero vectors (no direction) encode arbitrarily but consistently;
    * exclude them upstream as the cosine ops do.
    */
-  def pqEncodeColumn(vec: Column, model: PqModel): Column = {
-    val vd = transform(vec, x => x.cast(DoubleType))
-    val n = norm(vec)
-    val vnorm = transform(vd, x => when(n > 0, x / n).otherwise(lit(0.0)))
-    val codes = (0 until model.m).map { s =>
-      val sub = slice(vnorm, s * model.subdim + 1, model.subdim)
-      val scored = array(model.centroids(s).indices.map { c =>
-        val cent = model.centroids(s)(c)
-        val c2 = cent.map(x => x * x).sum
-        struct(
-          (graft.functions.VectorExpressions.dotProduct(sub, typedlit(cent.toSeq))
-            * 2.0 - lit(c2)).as("s"),
-          lit(c).as("c"))
-      }: _*)
-      // max (score, code) struct under struct ordering — no sorted copy
-      array_max(scored).getField("c")
-    }
-    array(codes: _*)
-  }
+  def pqEncodeColumn(vec: Column, model: PqModel): Column =
+    // ONE custom expression for the whole normalize + m-subspace argmax
+    // (r21): the previous array(array_max(array(struct(dot(slice…)))))
+    // formulation built m·numCodes struct trees with the normalize
+    // subtree duplicated under every slice — the dominant share of
+    // pqTopK's ~1.8 s plan+codegen gap, and a 128-branch generated
+    // function per corpus row instead of a loop. Same argmax, same
+    // tie-breaks, same null/ragged placement — see
+    // [[graft.functions.PqEncode]] for the bit-identity argument.
+    graft.functions.VectorExpressions.pqEncode(vec, model.centroids)
 
   /**
    * Approximate top-k cosine search over the PQ-compressed corpus
@@ -1597,13 +1588,13 @@ object Similarity extends Logging {
     * pairs took 14 s). Same fold order term-by-term, so scores are
     * bit-identical to the naive formulation. */
   private def adcTable(qv: Column, model: PqModel): Column =
-    array((0 until model.m).map { s =>
-      array(model.centroids(s).indices.map { c =>
-        graft.functions.VectorExpressions.dotProduct(
-          slice(qv, s * model.subdim + 1, model.subdim),
-          typedlit(model.centroids(s)(c).toSeq))
-      }: _*)
-    }: _*)
+    // ONE custom expression for the whole m×numCodes table (r21): the
+    // previous array(array(dotProduct(slice…))) formulation built 128
+    // expression trees at m=8/codes=16 and paid ~1.8 s of codegen
+    // compile per query plan — see [[graft.functions.PqAdcTable]] for
+    // the bit-identity argument (same per-subspace ascending fold, same
+    // NULL placement for ragged/null inputs).
+    graft.functions.VectorExpressions.pqAdcTable(qv, model.centroids)
 
   /** The asymmetric-distance score over a precomputed [[adcTable]]
     * column: m nested element_at lookups summed in subspace order —
