@@ -26,6 +26,10 @@ object JobProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTS", cpus))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries.getOrElse(name,
@@ -54,6 +58,12 @@ object JobProfile {
           jobs.values.find(j => e.stageInfo.submissionTime.exists(_ >= j.start)
             && j.end < 0).foreach { j =>
             j.tasks += e.stageInfo.numTasks; j.stages += 1
+            val dur = (for (s <- e.stageInfo.submissionTime;
+                            c <- e.stageInfo.completionTime) yield c - s)
+              .getOrElse(-1L)
+            println(f"    stage ${e.stageInfo.stageId}%3d " +
+              f"dur ${dur / 1000.0}%6.2fs tasks ${e.stageInfo.numTasks}%4d  " +
+              e.stageInfo.name.take(100))
           }
         }
     }

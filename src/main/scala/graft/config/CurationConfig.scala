@@ -364,6 +364,12 @@ final case class ChatPackStoreStage(budget: Int, shards: Int,
                                     path: String) extends ChatStage {
   require(path.nonEmpty, "pack_store needs a non-empty path")
   require(epochs >= 0, "pack_store epochs must be >= 0")
+  // ADVICE r20: the split convention never pads, and silently writing
+  // an unused pad_id to meta/ would advertise a contract no window
+  // honors — reject it loudly instead
+  require(noSplit || padId.isEmpty,
+    "pack_store pad_id only applies with no_split: true (the split " +
+      "convention never pads a window)")
 }
 
 final case class ChatCurationConfig(idCol: String, convCol: String,

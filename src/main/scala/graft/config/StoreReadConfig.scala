@@ -78,9 +78,9 @@ object StoresInterleaveConfig {
   def fromYaml(yaml: String): StoresInterleaveConfig = {
     val root0 = new Yaml().load[Object](yaml)
     require(root0 != null, "empty from_stores config")
-    val root = root0.asInstanceOf[java.util.Map[String, Object]].asScala
+    val root = StoreReadConfig.asMapping(root0, "from_stores config root")
     val m = root.get("from_stores")
-      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+      .map(StoreReadConfig.asMapping(_, "from_stores"))
       .getOrElse(root)
     val stores = m.get("stores") match {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map {
@@ -92,7 +92,9 @@ object StoresInterleaveConfig {
         case other => throw new IllegalArgumentException(
           s"store entry must be a mapping, got: $other")
       }
-      case _ => throw new IllegalArgumentException(
+      case Some(other) => throw new IllegalArgumentException(
+        s"from_stores 'stores' must be a list of mappings, got: $other")
+      case None => throw new IllegalArgumentException(
         "from_stores needs a stores list")
     }
     StoresInterleaveConfig(stores,
@@ -106,14 +108,27 @@ object StoreReadConfig {
   private[config] val Reads = Seq("windows", "spans", "manifest", "validate",
     "unpack", "window_mix", "ordered", "ordered_slice")
 
+  /** Structural cast with the loud contract (ADVICE r20): a malformed
+    * document (list or scalar where a mapping belongs) must raise
+    * IllegalArgumentException naming the offending node, not a
+    * ClassCastException from a raw asInstanceOf. */
+  private[config] def asMapping(
+      obj: Object, what: String): scala.collection.Map[String, Object] =
+    obj match {
+      case m: java.util.Map[_, _] =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala
+      case other => throw new IllegalArgumentException(
+        s"$what must be a mapping, got: $other")
+    }
+
   /** Parse a store-read config from a YAML string (root key
     * `from_store`, or the document root). */
   def fromYaml(yaml: String): StoreReadConfig = {
     val root0 = new Yaml().load[Object](yaml)
     require(root0 != null, "empty from_store config")
-    val root = root0.asInstanceOf[java.util.Map[String, Object]].asScala
+    val root = asMapping(root0, "from_store config root")
     val m = root.get("from_store")
-      .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+      .map(asMapping(_, "from_store"))
       .getOrElse(root)
     StoreReadConfig(
       path = m.get("path").map(_.toString).getOrElse(

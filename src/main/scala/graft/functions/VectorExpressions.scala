@@ -239,7 +239,7 @@ case class PqEncode(child: Expression,
             acc += x * cent(j)
             j += 1
           }
-          score = acc * 2.0 - c2(sIdx)(c) + 0.0 // normalize -0.0 for compare
+          score = acc * 2.0 - c2(sIdx)(c)
           scoreNull = false
         }
         // array_max tie rules: NULL smallest, NaN largest, ties -> the
@@ -249,6 +249,7 @@ case class PqEncode(child: Expression,
           else if (scoreNull && bestNull) true
           else if (scoreNull) false
           else if (bestNull) true
+          else if (score == bestScore) true // -0.0 == 0.0 tie -> later code
           else java.lang.Double.compare(score, bestScore) >= 0
         if (replace) { bestC = c; bestScore = score; bestNull = scoreNull }
         c += 1
@@ -260,6 +261,95 @@ case class PqEncode(child: Expression,
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/**
+ * Top-`nprobe` centroids of a vector by dot product, as ONE expression
+ * — r21, the centroid-assignment twin of [[PqAdcTable]]/[[PqEncode]]:
+ * the composed formulation (`slice(array_sort(array(struct(dot(v,
+ * lit(c_i)), i))), -n, n)`) built one expression tree per centroid
+ * (k0 ≈ sqrt(corpus) of them) and sorted k0 boxed structs per row with
+ * the interpreted struct ordering. One expression computes the k dots
+ * in a tight loop and sorts an index array with the identical
+ * comparator.
+ *
+ * Bit-identical ordering: ascending by (dot, cid) where a NULL dot
+ * (null/ragged input vector) is smallest, NaN is largest, and
+ * -0.0 == 0.0 — then the LAST `min(nprobe, k)` entries in ascending
+ * order, exactly `slice(array_sort(...), -n, n)`. Output:
+ * array<struct<dot: double, cid: int>>, never NULL.
+ */
+case class TopCentroids(child: Expression,
+                        centroids: Array[Array[Double]],
+                        nprobe: Int)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val k = centroids.length
+  private val sliceLen = math.min(nprobe, k)
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dot", DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("cid", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_top_centroids"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input).asInstanceOf[ArrayData]
+    val dots = new Array[Double](k)
+    val dotNull = new Array[Boolean](k)
+    if (v == null) java.util.Arrays.fill(dotNull, true)
+    else {
+      val n = v.numElements()
+      var hasNull = false
+      var i = 0
+      while (i < n && !hasNull) { // dot breaks at the first null element
+        if (v.isNullAt(i)) hasNull = true
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        val cent = centroids(c)
+        if (hasNull || cent.length != n) dotNull(c) = true
+        else {
+          var acc = 0.0
+          var j = 0
+          while (j < n) { acc += v.getDouble(j) * cent(j); j += 1 }
+          dots(c) = acc
+        }
+        c += 1
+      }
+    }
+    // ascending (dot, cid): NULL smallest, NaN largest, -0.0 == 0.0
+    // (Spark's SQLOrderingUtil.compareDoubles), cid breaks ties
+    val idx = Array.range(0, k).map(Integer.valueOf)
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val an = dotNull(a); val bn = dotNull(b)
+        val c0 =
+          if (an && bn) 0
+          else if (an) -1
+          else if (bn) 1
+          else if (dots(a) == dots(b)) 0
+          else java.lang.Double.compare(dots(a), dots(b))
+        if (c0 != 0) c0 else Integer.compare(a, b)
+      }
+    })
+    val out = new Array[Any](sliceLen)
+    var p = 0
+    while (p < sliceLen) {
+      val ci = idx(k - sliceLen + p)
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(
+        if (dotNull(ci)) null else dots(ci), ci.intValue())
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
     copy(child = newChild)
 }
 
@@ -286,5 +376,14 @@ object VectorExpressions {
     val dd = ArrayType(DoubleType)
     GraftColumnBridge.column(
       PqEncode(GraftColumnBridge.expression(vec.cast(dd)), centroids))
+  }
+
+  /** The `nprobe` nearest centroids of `v` by dot product, ascending
+    * (slice(array_sort(...), -n, n) semantics — see [[TopCentroids]]). */
+  def topCentroids(v: Column, centroids: Array[Array[Double]],
+                   nprobe: Int): Column = {
+    val dd = ArrayType(DoubleType)
+    GraftColumnBridge.column(
+      TopCentroids(GraftColumnBridge.expression(v.cast(dd)), centroids, nprobe))
   }
 }

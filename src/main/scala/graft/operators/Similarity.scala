@@ -606,16 +606,16 @@ object Similarity extends Logging {
   private def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
                                 cents: Array[Array[Double]],
                                 nprobe: Int): DataFrame = {
-    val scored = cents.indices.map { ci =>
-      struct(
-        graft.functions.VectorExpressions.dotProduct(
-          col("__v"), typedlit(cents(ci).toSeq)).as("dot"),
-        lit(ci).as("cid"))
-    }
-    // top-nprobe cells: sort (dot, cid) structs ascending, take the tail;
-    // position inside the slice gives the probe rank (last = nearest = 1)
+    // top-nprobe cells as ONE expression (r21): the composed
+    // slice(array_sort(array(struct(dot(v, lit(c_i)), i))), -n, n) built
+    // k0 expression trees and sorted k0 boxed structs per row through
+    // the interpreted struct ordering — see
+    // [[graft.functions.TopCentroids]] for the identical-ordering
+    // argument. Position inside the slice still gives the probe rank
+    // (last = nearest = 1).
     val sliceLen = math.min(nprobe, cents.length)
-    val probes = slice(array_sort(array(scored: _*)), -sliceLen, sliceLen)
+    val probes = graft.functions.VectorExpressions.topCentroids(
+      col("__v"), cents, nprobe)
     // two-step: the generator references __v, which must come from a
     // LOWER projection (a generator argument cannot be a lateral alias)
     df.select(col(idCol).as("__id"),

@@ -597,7 +597,12 @@ object CurationCompiler {
       case "windows" | "spans" =>
         val sub = if (cfg.read == "windows") "windows" else "spans"
         val schema = spark.read.parquet(s"${cfg.path}/$sub").schema
-        spark.readStream.schema(schema).parquet(s"${cfg.path}/$sub")
+        // ADVICE r20: pin the STREAMED schema to the batch readers'
+        // exact shape (shard cast to LongType, leading position —
+        // restoreShard) so a consumer unioning/joining stream and
+        // batch frames never hits a type or column-order mismatch
+        graft.sources.PackedArtifactStore.restoreShard(
+          spark.readStream.schema(schema).parquet(s"${cfg.path}/$sub"))
       case other =>
         throw new UnsupportedOperationException(
           s"from_store read '$other' needs the whole artifact (span-window " +

@@ -318,7 +318,7 @@ object PackedArtifactStore {
       opt("pad_id", -1L), opt("no_split", false))
   }
 
-  private def restoreShard(df: DataFrame): DataFrame = {
+  private[graft] def restoreShard(df: DataFrame): DataFrame = {
     val others = df.columns.filterNot(_ == "shard").map(col)
     df.select(col("shard").cast(LongType).as("shard") +: others.toIndexedSeq: _*)
   }

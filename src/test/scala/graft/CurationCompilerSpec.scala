@@ -839,6 +839,16 @@ class CurationCompilerSpec extends AnyFunSuite {
              |    - {op: redact}
              |""".stripMargin)
       }
+      // ADVICE r20: the split convention never pads — a pad_id without
+      // no_split would write meta no window honors; reject at parse
+      intercept[IllegalArgumentException] {
+        graft.config.ChatCurationConfig.fromYaml(
+          s"""chat_curation:
+             |  tokenizer: {kind: bpe_bytes, merges: $tmp}
+             |  stages:
+             |    - {op: pack_store, pad_id: 999, path: $cfgStore}
+             |""".stripMargin)
+      }
       val convs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .limit(60).select(col("doc_id"), array(
           struct(lit("user").as("role"), col("text").as("content")),
@@ -1281,9 +1291,37 @@ class CurationCompilerSpec extends AnyFunSuite {
       // corpus-global surfaces reject with their reasons
       val cfgW = graft.config.StoreReadConfig.fromYaml(
         s"from_store: {path: $dir, read: windows}")
-      assert(graft.plans.CurationCompiler
-        .compileStoreReadStreaming(cfgW, spark).isStreaming,
+      val streamW = graft.plans.CurationCompiler
+        .compileStoreReadStreaming(cfgW, spark)
+      assert(streamW.isStreaming,
         "the windows surface must compile to a file stream")
+      // ADVICE r20: the streamed frame must match the BATCH reader's
+      // schema exactly (shard cast to LongType, leading position) so
+      // stream/batch frames union without a type or order mismatch
+      assert(streamW.schema ==
+        graft.sources.PackedArtifactStore.readWindows(spark, dir).schema,
+        "streaming windows schema must equal the batch read's")
+      val cfgS = graft.config.StoreReadConfig.fromYaml(
+        s"from_store: {path: $dir, read: spans}")
+      assert(graft.plans.CurationCompiler
+        .compileStoreReadStreaming(cfgS, spark).schema ==
+        graft.sources.PackedArtifactStore.readSpans(spark, dir).schema,
+        "streaming spans schema must equal the batch read's")
+      // ADVICE r20: structurally malformed YAML raises the loud
+      // IllegalArgumentException contract, not a ClassCastException
+      intercept[IllegalArgumentException] {
+        graft.config.StoreReadConfig.fromYaml("from_store: [a, b]")
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.StoreReadConfig.fromYaml("- just\n- a\n- list\n")
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.StoresInterleaveConfig.fromYaml("from_stores: scalar")
+      }
+      intercept[IllegalArgumentException] {
+        graft.config.StoresInterleaveConfig.fromYaml(
+          "from_stores: {stores: notalist}")
+      }
       intercept[UnsupportedOperationException] {
         graft.plans.CurationCompiler.compileStoreReadStreaming(
           graft.config.StoreReadConfig.fromYaml(
