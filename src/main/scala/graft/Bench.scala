@@ -86,6 +86,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // Scale-adaptive AQE coalescing floor (r21, guide §2.2):
+      // coalescePartitions.minPartitionSize 64k (default 1m). AQE's
+      // byte-based coalescing misprices CPU-dense small-byte stages —
+      // an IVF cell join's ~1.5MB of candidate keys coalesced to ONE
+      // post-shuffle partition that enumerated millions of pairs on one
+      // core (measured: q_sim_ann_ivf 2.92 -> 1.49 s isolated). At
+      // production scale post-shuffle partitions are MBs-GBs, far above
+      // either floor value, so the setting is inert there; it only
+      // stops tiny-SF coalescing from serializing compute-heavy joins.
+      // Env-overridable so the driver's low-core runs stay comparable.
+      // (A files.minPartitionNum=cores scan floor was ALSO measured and
+      // REJECTED: splitting sub-MB parquet into 32 splits re-pays the
+      // per-task BPE table setup 32x — chat pack rows +0.5..1.5 s.)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.operators.CapMetrics.install(spark) // cap firings WARN-log per query
