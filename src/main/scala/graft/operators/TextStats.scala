@@ -2185,8 +2185,14 @@ object TextStats {
     val D = DoubleType
     def bucketOf(gram: Column): Column =
       conv(substring(md5(gram), 1, 8), 16, 10).cast(LongType) % numBuckets
-    def gramsOf(t: Column): Column = {
-      val toks = split(t, " ")
+    // gramsOf takes a STAGED token-array column (the chatFromDocs
+    // lambda-CSE discipline, r21): codegen disables subexpression
+    // elimination inside lambda bodies, so an inline split(t, " ")
+    // referenced from the bigram transform re-tokenized the text once
+    // per ELEMENT — O(tokens²) per document (measured 4.4 s of the
+    // row's 5.5 s in one scan task). Staging makes the lambda read a
+    // bound attribute; the gram values are unchanged.
+    def gramsOf(toks: Column): Column = {
       val bi = when(size(toks) >= 2,
         transform(sequence(lit(1), size(toks) - 1),
           i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
@@ -2200,7 +2206,8 @@ object TextStats {
     // stops firing, re-scanning the corpus per consumer (the
     // unigramLogProbScore trick, one hop downstream)
     val docBucket = docs.select(col(idCol).as("doc_id"),
-        explode(gramsOf(col(textCol))).as("__gram"))
+        split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), explode(gramsOf(col("__toks"))).as("__gram"))
       .filter(col("doc_id").isNotNull && col("__gram").isNotNull)
       .select(col("doc_id"), bucketOf(col("__gram")).as("__b"))
       .filter(col("__b").isNotNull)
@@ -2208,7 +2215,8 @@ object TextStats {
       .agg(count(lit(1)).as("__n"))
     val raw = docBucket.groupBy(col("__b")).agg(sum(col("__n")).as("__qc"))
     val rawTot = docBucket.agg(sum(col("__n")).as("__qtot"))
-    val tgtBucket = target.select(explode(gramsOf(col(targetTextCol))).as("__gram"))
+    val tgtBucket = target.select(split(col(targetTextCol), " ").as("__toks"))
+      .select(explode(gramsOf(col("__toks"))).as("__gram"))
       .filter(col("__gram").isNotNull)
       .select(bucketOf(col("__gram")).as("__b"))
       .filter(col("__b").isNotNull)

@@ -743,8 +743,10 @@ object StreamingOps {
     require(numBuckets >= 2, "numBuckets must be >= 2")
     def bucketOf(g: Column): Column =
       conv(substring(md5(g), 1, 8), 16, 10).cast("long") % numBuckets
-    def gramsOf(t: Column): Column = {
-      val toks = split(t, " ")
+    // gramsOf takes a STAGED token-array column (r21, the dsirScore
+    // lambda-CSE fix: an inline split referenced from the bigram
+    // transform re-tokenizes per element — O(tokens²) per document)
+    def gramsOf(toks: Column): Column = {
       val bi = when(size(toks) >= 2,
         transform(sequence(lit(1), size(toks) - 1),
           i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
@@ -752,7 +754,8 @@ object StreamingOps {
       concat(toks, bi)
     }
     def model(df: DataFrame, tcol: String): (Map[Long, Long], Long) = {
-      val rows = df.select(explode(gramsOf(col(tcol))).as("__g"))
+      val rows = df.select(split(col(tcol), " ").as("__toks"))
+        .select(explode(gramsOf(col("__toks"))).as("__g"))
         .select(bucketOf(col("__g")).as("__b"))
         .groupBy(col("__b")).agg(count(lit(1)).as("__c")).collect()
       (rows.map(r => r.getLong(0) -> r.getLong(1)).toMap,
@@ -770,12 +773,14 @@ object StreamingOps {
       typedlit(buckets.map(b =>
         lp(pc.getOrElse(b, 0L), ptot) - lp(qc.getOrElse(b, 0L), qtot))))
     val lrFloor = lp(0, ptot) - lp(0, qtot)
-    val grams = gramsOf(col(textCol))
+    val grams = gramsOf(col("__dsir_toks"))
     docs
+      .withColumn("__dsir_toks", split(col(textCol), " "))
       .withColumn("n_grams", coalesce(size(grams).cast("long"), lit(0L)))
       .withColumn("dsir_logratio", when(col("n_grams") > 0,
         round(aggregate(grams, lit(0.0), (acc, g) =>
           acc + coalesce(element_at(lrMap, bucketOf(g)), lit(lrFloor))), 6)))
+      .drop("__dsir_toks")
   }
 
   /**
