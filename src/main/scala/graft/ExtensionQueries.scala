@@ -31,10 +31,20 @@ object ExtensionQueries {
   private def det(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
 
+  /** The text/embedding corpora fan out at the SOURCE (r22, guide
+    * §2.5): both are one-row-group parquet files at bench SF, so every
+    * CPU-dense row-local kernel downstream (BPE encode, n-gram
+    * scoring, vector math) would otherwise serialize onto ONE scan
+    * task regardless of core count. ScanFanOut is a no-op above its
+    * size threshold (production inputs) and every consumer below it is
+    * order-insensitive (audited: aggregates commute or carry explicit
+    * sort keys, samplers/shuffles/k-means inits are value-hash-based,
+    * collect_list sites are array_sort/sort_array-wrapped, outputs are
+    * det()-sorted). */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.operators.ScanFanOut(s.read.parquet(s"$dir/documents.parquet"))
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.ScanFanOut(s.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Driver-side fixture builder: encode a w×h image through the JDK's
     * own `ImageIO` writer so the decode query exercises REAL container
@@ -66,11 +76,22 @@ object ExtensionQueries {
     // staged token column: the chunk lambda gets no CSE, an inline
     // regex split would re-tokenize the text once per turn
     val toks = col("__toks")
-    d.withColumn("__toks", TextFunctions.whitespaceTokens(col("text")))
+    // coalesce pins __toks (and hence conv) NON-NULLABLE — same values
+    // (null text: size(null)=-1 and size(array())=0 both take the
+    // else-branch), but now the chat operators' conv-isNotNull guard
+    // FOLDS AWAY instead of being predicate-pushed below the fan-out
+    // exchange with the whole conv construction substituted into it
+    // (measured: the pushed filter re-tokenized + re-built conv on the
+    // 1-task scan side of every chat pack plan, ~0.85 s/branch)
+    d.withColumn("__toks", coalesce(TextFunctions.whitespaceTokens(col("text")),
+        array().cast(ArrayType(StringType))))
       .select(col("doc_id"),
         when(size(toks) > 0,
           transform(
-            sequence(lit(0), ceil(size(toks) / lit(6.0)).cast(IntegerType) - 1),
+            // coalesce: Ceil is unconditionally nullable in Catalyst,
+            // which would poison conv's nullability (see __toks note)
+            sequence(lit(0), coalesce(ceil(size(toks) / lit(6.0))
+              .cast(IntegerType), lit(0)) - 1),
             i => struct(
               when(pmod(i, lit(2)) === 0, lit("user")).otherwise(lit("assistant"))
                 .as("role"),
@@ -78,7 +99,7 @@ object ExtensionQueries {
           .otherwise(array().cast(convType)).as("conv"))
   }
   private def chatFrame(s: SparkSession, dir: String): DataFrame =
-    chatFromDocs(docs(s, dir))
+    chatFromDocs(docs(s, dir)) // docs() is already fanned out at source
 
   /** Deterministic preference pairs derived from [[chatFrame]]
     * conversations (mirrored 1:1 by the oracles' `pf`/`pr` CTEs):
@@ -813,11 +834,14 @@ object ExtensionQueries {
     // packed form)
     "q_chat_sft_unpack" -> ((s, dir) => {
       val cf = chatFrame(s, dir)
-      det(graft.operators.Chat.unpackSftWindows(
-        graft.operators.Chat.sftPackedTokenIds(cf,
-          "doc_id", "conv", ByteBpeFixtureMerges, budget = 128, shards = 8),
-        graft.operators.Chat.sftPackedDocSpans(cf,
-          "doc_id", "conv", ByteBpeFixtureMerges, budget = 128, shards = 8))
+      // r22: windows + spans from ONE shared address pass (the r20
+      // store-write trick, VERDICT r21 #2) — one count-encode + one
+      // ids-encode instead of two count-encodes + two address passes;
+      // sftPackedArtifactFrames is spec-pinned row-identical to the
+      // two independent operators (shared arithmetic tails)
+      val (win, spans) = graft.operators.Chat.sftPackedArtifactFrames(cf,
+        "doc_id", "conv", ByteBpeFixtureMerges, budget = 128, shards = 8)
+      det(graft.operators.Chat.unpackSftWindows(win, spans)
         .select(col("doc_id"),
           posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
             .as(Seq("pos", "__cell")))
@@ -832,11 +856,12 @@ object ExtensionQueries {
     // oracle is the tokenize replay sliced to budget
     "q_chat_sft_unpack_nosplit" -> ((s, dir) => {
       val cf = chatFrame(s, dir)
-      det(graft.operators.Chat.unpackSftWindows(
-        graft.operators.Chat.sftPackedTokenIdsNoSplit(cf,
-          "doc_id", "conv", ByteBpeFixtureMerges, budget = 512, shards = 8),
-        graft.operators.Chat.sftPackedDocSpansNoSplit(cf,
-          "doc_id", "conv", ByteBpeFixtureMerges, budget = 512, shards = 8))
+      // r22: shared next-fit address pass (see q_chat_sft_unpack) —
+      // one count-encode + one address scan feed both surfaces
+      val (win, spans) = graft.operators.Chat.sftPackedArtifactFrames(cf,
+        "doc_id", "conv", ByteBpeFixtureMerges, budget = 512, shards = 8,
+        noSplit = true)
+      det(graft.operators.Chat.unpackSftWindows(win, spans)
         .select(col("doc_id"),
           posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
             .as(Seq("pos", "__cell")))

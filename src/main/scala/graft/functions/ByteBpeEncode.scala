@@ -142,6 +142,18 @@ object ByteBpeEncode {
    * them either.
    */
   final class Model(merges: Array[(String, String)]) extends Serializable {
+    /** Per-JVM sharing across TASKS (guide §4.5, VERDICT r21 #3): a
+      * reference object is serialized into every task binary, so
+      * without this hook each task deserializes a FRESH model — a
+      * fresh pair table (50k entries for production vocabularies) and,
+      * worse, a COLD token cache re-warmed per task. The proxy ships
+      * only the merge list; deserialization resolves through
+      * [[ByteBpeEncode.modelFor]], so every task in the JVM shares ONE
+      * table and ONE warm Zipf cache, and the task binary carries the
+      * merges instead of the built table. */
+    @throws(classOf[java.io.ObjectStreamException])
+    private def writeReplace(): Object = new ModelRef(merges)
+
     private val nSym = 256 + merges.length
     /** id → hex piece string (for `pieces` output). */
     private val symHex = new Array[String](nSym)
@@ -411,6 +423,15 @@ object ByteBpeEncode {
       }
       UTF8String.fromBytes(buf)
     }
+  }
+
+  /** [[Model]]'s serialization proxy: carries the merge list only and
+    * resolves to the per-JVM cached model on read (same instance —
+    * and same WARM token cache — for every task in the JVM). */
+  private final class ModelRef(merges: Array[(String, String)])
+      extends Serializable {
+    @throws(classOf[java.io.ObjectStreamException])
+    private def readResolve(): Object = modelFor(merges.toIndexedSeq)
   }
 
   /**

@@ -30,7 +30,7 @@ case class UnigramSegment(child: Expression, pieces: Seq[(String, Double)],
   require(pieces.nonEmpty, "piece table must be non-empty")
 
   @transient private lazy val model =
-    new UnigramSegment.Model(pieces.toArray, unkLogProb)
+    UnigramSegment.modelFor(pieces, unkLogProb)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_unigram_segment"
@@ -50,10 +50,41 @@ case class UnigramSegment(child: Expression, pieces: Seq[(String, Double)],
 
 object UnigramSegment {
 
+  /** One compiled model per distinct (piece table, unk) per JVM — the
+    * [[ByteBpeEncode.modelFor]] convention: plans (and TASKS — see
+    * [[Model.writeReplace]]) sharing a table share one built HashMap
+    * instead of rebuilding per expression instance / per task.
+    * Hard-capped like the BPE model cache (past the cap new tables
+    * build uncached — correct, just unmemoized). */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[(String, Double)], Double), Model]()
+  private val ModelCacheCap = 64
+  private[graft] def modelFor(pieces: Seq[(String, Double)],
+                              unkLogProb: Double): Model = {
+    val key = (pieces, unkLogProb)
+    val hit = modelCache.get(key)
+    if (hit != null) hit
+    else {
+      val built = new Model(pieces.toArray, unkLogProb)
+      if (modelCache.size >= ModelCacheCap) built
+      else {
+        val prev = modelCache.putIfAbsent(key, built)
+        if (prev != null) prev else built
+      }
+    }
+  }
+
   /** The shared piece-table + Viterbi kernel — one instance per plan,
     * serialized to executors, referenced from generated code. */
   final class Model(pieceTable: Array[(String, Double)],
                     unkLogProb: Double) extends Serializable {
+    /** Per-JVM task sharing (guide §4.5): ship the piece table, not
+      * the built map; deserialization resolves through [[modelFor]]
+      * so every task in the JVM shares one built model. */
+    @throws(classOf[java.io.ObjectStreamException])
+    private def writeReplace(): Object =
+      new ModelRef(pieceTable, unkLogProb)
+
     private val map = new java.util.HashMap[String, java.lang.Double]()
     private var maxLen = 1
     pieceTable.foreach { case (p, lp) =>
@@ -123,6 +154,15 @@ object UnigramSegment {
       }
       new GenericArrayData(out)
     }
+  }
+
+  /** [[Model]]'s serialization proxy ([[ByteBpeEncode]]'s ModelRef
+    * pattern): carries the piece table only, resolves per-JVM. */
+  private final class ModelRef(pieceTable: Array[(String, Double)],
+                               unkLogProb: Double) extends Serializable {
+    @throws(classOf[java.io.ObjectStreamException])
+    private def readResolve(): Object =
+      modelFor(pieceTable.toIndexedSeq, unkLogProb)
   }
 
   /** Column helper: the Viterbi-best piece array. */

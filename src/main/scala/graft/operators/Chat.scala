@@ -558,7 +558,7 @@ object Chat {
     // no common-subexpression elimination (the chatFromDocs trap), so
     // projecting ids and mask straight from two convCells copies would
     // run the hot BPE encode twice per row
-    val staged = df.select(col(idCol),
+    val staged = ScanFanOut(df).select(col(idCol),
       when(col(convCol).isNotNull,
         convCells(convCol, merges, eos)).as("__cells"))
     staged.select(col(idCol),
@@ -578,7 +578,7 @@ object Chat {
                         eosId: Option[Long] = None): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
     val eos = eosId.getOrElse(256L + merges.size)
-    val withIds = df.filter(col(convCol).isNotNull)
+    val withIds = ScanFanOut(df.filter(col(convCol).isNotNull))
       .select(col(idCol).as("doc_id"),
         convCells(convCol, merges, eos).as("__ids"),
         convCellCount(convCol, merges).as("__n"))
@@ -605,7 +605,7 @@ object Chat {
                         merges: Seq[(String, String)],
                         budget: Int, shards: Int): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
-    TextStats.packedSpansBySize(df.filter(col(convCol).isNotNull)
+    TextStats.packedSpansBySize(ScanFanOut(df.filter(col(convCol).isNotNull))
       .select(col(idCol).as("doc_id"),
         convCellCount(convCol, merges).as("__n")), budget, shards)
   }
@@ -646,7 +646,7 @@ object Chat {
     require(shards >= 1, "shards must be >= 1")
     val eos = eosId.getOrElse(256L + merges.size)
     val pad = padId.getOrElse(eos)
-    val withIds = df.filter(col(convCol).isNotNull)
+    val withIds = ScanFanOut(df.filter(col(convCol).isNotNull))
       .select(col(idCol).as("doc_id"),
         convCells(convCol, merges, eos).as("__ids"),
         convCellCount(convCol, merges).as("__n"))
@@ -662,28 +662,38 @@ object Chat {
   private def noSplitWindowsFromAddr(addr0: DataFrame, withIds: DataFrame,
                                      budget: Int, pad: Long): DataFrame = {
     val addr = addr0.select(col("doc_id"), col("shard"), col("seq_id"),
-      col("win_off"), col("truncated").as("__cut"))
+      col("win_off"), col("span_len").as("__len"),
+      col("truncated").as("__cut"))
+    // n_tokens comes from the SCALAR span lengths (sum(min(n, budget))
+    // == size of the assembled cell array — the same seam-pinned
+    // count==size contract the whole pack geometry rides), NOT from
+    // size(__cells): consumers that read only the window scalars
+    // (packFileManifest, packDatasheet — the manifest/datasheet bench
+    // rows) then PRUNE the collect_list aggregate and with it the
+    // entire ids-encode join branch out of their plans (guide §2.3:
+    // shuffle scalars, not payloads).
     addr.join(withIds.select(col("doc_id"), col("__ids")), Seq("doc_id"))
       .select(col("shard"), col("seq_id"), col("win_off"),
         slice(col("__ids"), 1, budget).as("__piece"),
-        col("__cut"))
+        col("__len"), col("__cut"))
       .groupBy(col("shard"), col("seq_id"))
       .agg(
         flatten(transform(
           array_sort(collect_list(struct(col("win_off"), col("__piece")))),
           x => x.getField("__piece"))).as("__cells"),
+        coalesce(sum(col("__len")), lit(0L)).as("__ntok"),
         count(lit(1)).as("n_docs"),
         max(col("__cut")).as("truncated"))
       .select(col("shard"), col("seq_id"),
         concat(transform(col("__cells"), x => x.getField("id")),
           array_repeat(lit(pad),
-            (lit(budget) - size(col("__cells"))).cast(IntegerType)))
+            (lit(budget) - col("__ntok")).cast(IntegerType)))
           .as("token_ids"),
         concat(transform(col("__cells"), x => x.getField("m")),
           array_repeat(lit(0L),
-            (lit(budget) - size(col("__cells"))).cast(IntegerType)))
+            (lit(budget) - col("__ntok")).cast(IntegerType)))
           .as("loss_mask"),
-        size(col("__cells")).cast(LongType).as("n_tokens"),
+        col("__ntok").as("n_tokens"),
         col("n_docs"), col("truncated"))
   }
 
@@ -761,7 +771,7 @@ object Chat {
     require(budget >= 1, "budget must be >= 1")
     require(shards >= 1, "shards must be >= 1")
     noSplitAddresses(
-      df.filter(col(convCol).isNotNull)
+      ScanFanOut(df.filter(col(convCol).isNotNull))
         .select(col(idCol).as("doc_id"),
           convCellCount(convCol, merges).as("__n")),
       budget, shards)
@@ -792,7 +802,7 @@ object Chat {
     require(budget >= 1, "budget must be >= 1")
     require(shards >= 1, "shards must be >= 1")
     val eos = eosId.getOrElse(256L + merges.size)
-    val base = df.filter(col(convCol).isNotNull)
+    val base = ScanFanOut(df.filter(col(convCol).isNotNull))
     val sized = base.select(col(idCol).as("doc_id"),
       convCellCount(convCol, merges).as("__n"))
     val withIds = base.select(col(idCol).as("doc_id"),

@@ -383,7 +383,7 @@ object TextStats {
                                 eosId: Option[Long] = None): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
     val eos = eosId.getOrElse(256L + merges.size)
-    val withIds = docs.filter(col(textCol).isNotNull)
+    val withIds = ScanFanOut(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).as("doc_id"),
         concat(graft.functions.ByteBpeEncode.byteBpeIds(col(textCol), merges),
           array(lit(eos))).as("__ids"),
@@ -420,7 +420,7 @@ object TextStats {
                      merges: Seq[(String, String)],
                      budget: Int, shards: Int): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
-    packedSpansBySize(docs.filter(col(textCol).isNotNull)
+    packedSpansBySize(ScanFanOut(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).as("doc_id"),
         (graft.functions.ByteBpeEncode.byteBpeCount(col(textCol), merges) +
           lit(1L)).as("__n")), budget, shards)
@@ -548,7 +548,7 @@ object TextStats {
                            eosId: Option[Long] = None): (DataFrame, DataFrame) = {
     require(merges.nonEmpty, "merges must be non-empty")
     val eos = eosId.getOrElse(256L + merges.size)
-    val base = docs.filter(col(textCol).isNotNull)
+    val base = ScanFanOut(docs.filter(col(textCol).isNotNull))
     val sized = base.select(col(idCol).as("doc_id"),
       (graft.functions.ByteBpeEncode.byteBpeCount(col(textCol), merges) +
         lit(1L)).as("__n"))

@@ -406,13 +406,15 @@ class TextStatsSpec extends AnyFunSuite {
     // plan pathologies. The exchange bound catches a recomputed subtree
     // (every stage doubling would blow it); measured 12 at sf0.001
     // (collapse joins + decontaminate semi/anti + the two windows + the
-    // deterministic output sort).
+    // deterministic output sort). r22: +5 from the deliberate ScanFanOut
+    // repartitions of the sub-threshold corpus (tiny-payload, inert at
+    // production size) — measured 17, notch at 19.
     val out = ExtensionQueries.queries("q_pipeline_pretrain")(
       spark, "/root/testdata/sf0.001")
     val nodes = PlanWalk.executedNodes(out)
     val shuffles = nodes.count(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
-    assert(shuffles <= 14, s"pretrain composition plan has $shuffles exchanges")
+    assert(shuffles <= 19, s"pretrain composition plan has $shuffles exchanges")
     assert(out.count() > 0, "the composed pipeline must yield training sequences")
     // packed sequence addresses stay within the token budget arithmetic:
     // every sequence id is consistent with its offset and the 512 budget
@@ -585,10 +587,13 @@ class TextStatsSpec extends AnyFunSuite {
         TextStats.packedDocSpans(big, "doc_id", "text", merges,
           budget = 128, shards = 8))).collect()(0)
     // measured shape: 3 shuffles (pack window + pack groupBy + unpack
-    // groupBy) with both equi-joins broadcast at fixture scale; pin a
-    // notch above so an AQE join-strategy flip doesn't false-trip but
-    // a structural regression (extra repartition, lost reuse) does
-    assert(card.getAs[Long]("n_shuffle_exchanges") <= 4,
+    // groupBy) with both equi-joins broadcast at fixture scale, +2 r22
+    // ScanFanOut repartitions of the sub-threshold corpus (one per pack
+    // surface — deliberate, tiny-payload, inert at production size);
+    // pin a notch above so an AQE join-strategy flip doesn't
+    // false-trip but a structural regression (extra repartition, lost
+    // reuse) does
+    assert(card.getAs[Long]("n_shuffle_exchanges") <= 6,
       s"unpack(pack) must stay within the bounded shuffle budget: $card")
   }
 
