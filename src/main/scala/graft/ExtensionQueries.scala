@@ -31,20 +31,24 @@ object ExtensionQueries {
   private def det(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
 
-  /** The text/embedding corpora fan out at the SOURCE (r22, guide
-    * §2.5): both are one-row-group parquet files at bench SF, so every
-    * CPU-dense row-local kernel downstream (BPE encode, n-gram
-    * scoring, vector math) would otherwise serialize onto ONE scan
-    * task regardless of core count. ScanFanOut is a no-op above its
-    * size threshold (production inputs) and every consumer below it is
-    * order-insensitive (audited: aggregates commute or carry explicit
-    * sort keys, samplers/shuffles/k-means inits are value-hash-based,
-    * collect_list sites are array_sort/sort_array-wrapped, outputs are
-    * det()-sorted). */
+  /** NOTE (r22): a blanket ScanFanOut at these source helpers was
+    * MEASURED AND REJECTED — it improved the heavy chat/pack rows but
+    * taxed ~100 cheap queries with an extra exchange + AQE stage
+    * barrier each (~+0.5 s/row at this SF; register 216 -> 263 s).
+    * Fan-out lives at the CPU-dense operator entry points and the
+    * specific heavy query constructions instead (guide §2.4: no
+    * exchanges "for parallelism" where there is nothing to feed). */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ScanFanOut(s.read.parquet(s"$dir/documents.parquet"))
+    s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ScanFanOut(s.read.parquet(s"$dir/embeddings.parquet"))
+    s.read.parquet(s"$dir/embeddings.parquet")
+  /** The fanned twins, for query constructions whose downstream per-row
+    * kernels are measured-heavy (BPE encode, n-gram scoring over every
+    * token, vector math per candidate). */
+  private def docsFan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ScanFanOut(docs(s, dir))
+  private def embFan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ScanFanOut(emb(s, dir))
 
   /** Driver-side fixture builder: encode a w×h image through the JDK's
     * own `ImageIO` writer so the decode query exercises REAL container
@@ -99,7 +103,10 @@ object ExtensionQueries {
           .otherwise(array().cast(convType)).as("conv"))
   }
   private def chatFrame(s: SparkSession, dir: String): DataFrame =
-    chatFromDocs(docs(s, dir)) // docs() is already fanned out at source
+    // fan BEFORE the conv construction (~1 s of single-task HOF work at
+    // sf0.1) so every chat operator's per-conversation kernels run at
+    // session parallelism; no-op at production input sizes
+    chatFromDocs(docsFan(s, dir))
 
   /** Deterministic preference pairs derived from [[chatFrame]]
     * conversations (mirrored 1:1 by the oracles' `pf`/`pr` CTEs):
