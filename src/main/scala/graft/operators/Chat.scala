@@ -87,14 +87,18 @@ object Chat {
    */
   def validateChat(df: DataFrame, convCol: String,
                    extraRoles: Seq[String] = Nil): DataFrame = {
-    val conv = col(convCol)
-    val vocab = RoleVocab ++ extraRoles
-    // STAGE the non-system slice, and build chat_ok from the flag
-    // COLUMNS, not the flag expressions: a downstream
+    // STAGE conv behind an optimizer fence, and build chat_ok from the
+    // flag COLUMNS, not the flag expressions: a downstream
     // filter(chat_ok) gets predicate-pushed with aliases substituted,
-    // and inlined flag expressions would each carry their own copy of
-    // the array machinery (measured 58 regex calls per row and zero
-    // codegen spans on the pipeline query; staged: 2).
+    // and inlined flag expressions each carry their own copy of the
+    // conv machinery (measured 58 regex calls per row in r17; r22
+    // re-measured the push STILL inlining a COMPUTED conv column ~10x
+    // into the scan-side Filter — 4.9 s single-task on q_pipeline_chat).
+    // The fence pins the staged conv where it was staged; flags
+    // evaluate over the materialized attribute (OptimizerFence
+    // scaladoc has the full story).
+    val conv = col("__convf")
+    val vocab = RoleVocab ++ extraRoles
     val nonSys = col("__nonsys")
     val startsUser = coalesce(
       element_at(nonSys, 1).getField("role") === "user", lit(false))
@@ -115,7 +119,9 @@ object Chat {
       lit(false))
     val hasBadRole = coalesce(
       exists(conv, t => !t.getField("role").isin(vocab: _*)), lit(false))
-    df.withColumn("__nonsys", filter(conv, t => t.getField("role") =!= "system"))
+    df.withColumn("__convf",
+        graft.functions.OptimizerFence.fence(col(convCol)))
+      .withColumn("__nonsys", filter(conv, t => t.getField("role") =!= "system"))
       .withColumn("starts_user", startsUser)
       .withColumn("alternates", alternates)
       .withColumn("ends_assistant", endsAssistant)
@@ -125,7 +131,7 @@ object Chat {
         coalesce(size(conv) > 0, lit(false)) && col("starts_user") &&
           col("alternates") && col("ends_assistant") &&
           !col("has_empty_turn") && !col("has_bad_role"))
-      .drop("__nonsys")
+      .drop("__nonsys").drop("__convf")
   }
 
   /**
